@@ -1,0 +1,40 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Every `SparkEntry.queries` entry receives an `sfDir`; all table access
+  * funnels through here so scan options (and, at cluster scale, catalog
+  * indirection / bucketing metadata) live in one place.
+  *
+  * Scale note: these are plain columnar Parquet scans — Catalyst pushes
+  * predicates and prunes columns into the scan, so at 100 TB the same code
+  * reads only the row groups + columns a query needs. Nothing here ever
+  * collects to the driver.
+  */
+object Tables {
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame    = load(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame    = load(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame  = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame  = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame      = load(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
+  def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+
+  /** `events` is written with nanosecond timestamps. Spark reads Parquet
+    * TIMESTAMP(NANOS) only via the legacy nanosAsLong flag, which changes the
+    * column type; instead we read it and normalize `ts` to microsecond
+    * precision (Spark's native resolution) if needed. DuckDB keeps nanos, so
+    * oracle-facing queries must only use `ts` through `date_trunc('second')`
+    * or coarser — see the query builders.
+    */
+  def events(spark: SparkSession, d: String): DataFrame = load(spark, d, "events")
+}
