@@ -20,11 +20,19 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    warehouse.RelationalQueries.queries
+    warehouse.RelationalQueries.queries ++
+      warehouse.WindowQueries.queries ++
+      warehouse.EventQueries.queries ++
+      warehouse.ScalarQueries.queries ++
+      warehouse.SetAggQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    warehouse.RelationalQueries.oracleSql
+    warehouse.RelationalQueries.oracleSql ++
+      warehouse.WindowQueries.oracleSql ++
+      warehouse.EventQueries.oracleSql ++
+      warehouse.ScalarQueries.oracleSql ++
+      warehouse.SetAggQueries.oracleSql
 }

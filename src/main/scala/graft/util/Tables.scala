@@ -29,12 +29,18 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 
-  /** `events` is written with nanosecond timestamps. Spark reads Parquet
-    * TIMESTAMP(NANOS) only via the legacy nanosAsLong flag, which changes the
-    * column type; instead we read it and normalize `ts` to microsecond
-    * precision (Spark's native resolution) if needed. DuckDB keeps nanos, so
+  /** `events` is written with nanosecond Parquet timestamps, which Spark 4
+    * refuses to read natively (PARQUET_TYPE_ILLEGAL). We read them as raw
+    * nanos via the legacy flag and rebuild `ts` at microsecond precision
+    * with exact integer division (`div`, not double division — ns-since-epoch
+    * exceeds double's 53-bit mantissa). DuckDB keeps full nanos, so
     * oracle-facing queries must only use `ts` through `date_trunc('second')`
-    * or coarser — see the query builders.
+    * or coarser, and must order by `event_id` (globally monotonic with ts)
+    * rather than by `ts` itself.
     */
-  def events(spark: SparkSession, d: String): DataFrame = load(spark, d, "events")
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

@@ -1,0 +1,177 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.util.Tables
+
+/** Event-stream analytics over the `events` table — the deterministic batch
+  * equivalents of the streaming surface (SURVEY.md §2.8 T7/T10): lag/lead,
+  * moving frames, tumbling windows, as-of join, sessionization, JSON
+  * navigation (the reference's Redshift SUPER columns, §1.1).
+  *
+  * `ts` parity rules (see Tables.events): compare only at second
+  * granularity, order by `event_id`.
+  */
+object EventQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- W3: lag — seconds since the user's previous event.
+    "q13_window_lag" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables.events(s, d)
+        .withColumn("ts_s", date_trunc("second", col("ts")))
+        .select(
+          col("event_id"), col("user_id"),
+          lag(col("event_id"), 1).over(w).as("prev_event_id"),
+          (unix_timestamp(col("ts_s")) - unix_timestamp(lag(col("ts_s"), 1).over(w))).as("gap_s"))
+        .orderBy(col("event_id"))
+    },
+
+    // -- W4: rows-frame moving sum (exact decimal, order-independent).
+    "q14_window_moving_sum" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          sum(col("value").cast(dec)).over(w).as("moving_sum"))
+        .orderBy(col("event_id"))
+    },
+
+    // -- §2.7 JSON navigation: the Redshift-SUPER-equivalent schema-on-read
+    //    path over the `props` JSON column.
+    "q22_json_extract" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).as("total_value"))
+        .orderBy(col("k"))
+    },
+
+    // -- J6: as-of join — for every purchase, the user's most recent click
+    //    at or before it. Implemented as a single pass over the unioned
+    //    stream with a running max window: one shuffle on user_id, no
+    //    range-join blowup, scales linearly with events (vs the naive
+    //    per-purchase backward scan).
+    "q25_asof_join" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("last_click_id",
+          max(when(col("event_type") === "click", col("event_id"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("last_click_id"))
+        .orderBy(col("event_id"))
+    },
+
+    // -- A7: collect_list rebuilt deterministically — array_sort over
+    //    (event_id, type) structs, then project the type. This is how the
+    //    reference's asks/bids arrays (§2.7) are reassembled from rows.
+    "q28_collect_list" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("event_id"), col("event_type")))),
+          c => c.getField("event_type")).as("types"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- T7 (batch-deterministic): tumbling 1-hour window aggregation.
+    "q30_tumbling_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).as("total_value"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+
+    // -- T10 (batch-deterministic): sessionization with a 30-minute
+    //    inactivity gap — lag marks session starts, running sum numbers
+    //    sessions, then one grouped agg. Two window passes + one agg over
+    //    a single user_id shuffle; the streaming equivalent lives in
+    //    graft.streaming (flatMapGroupsWithState).
+    "q31_sessionize" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("ts_s", date_trunc("second", col("ts")))
+        .withColumn("gap_s",
+          unix_timestamp(col("ts_s")) - unix_timestamp(lag(col("ts_s"), 1).over(w)))
+        .withColumn("is_new",
+          when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          min(col("ts_s")).as("session_start"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).as("total_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q13_window_lag" ->
+      """SELECT event_id, user_id,
+        |  LAG(event_id, 1) OVER w AS prev_event_id,
+        |  DATE_DIFF('second', LAG(DATE_TRUNC('second', ts), 1) OVER w,
+        |            DATE_TRUNC('second', ts)) AS gap_s
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q14_window_moving_sum" ->
+      """SELECT event_id, user_id,
+        |  SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q22_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  COUNT(*) AS n_events,
+        |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "q25_asof_join" ->
+      """SELECT event_id, user_id, last_click_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    MAX(CASE WHEN event_type = 'click' THEN event_id END) OVER (
+        |      PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+        |  FROM events) WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q28_collect_list" ->
+      """SELECT user_id, list(event_type ORDER BY event_id) AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q30_tumbling_window" ->
+      """SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q31_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, DATE_TRUNC('second', ts) AS ts_s, value
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN DATE_DIFF('second',
+        |      LAG(ts_s, 1) OVER (PARTITION BY user_id ORDER BY event_id), ts_s)
+        |      IS NULL OR DATE_DIFF('second',
+        |      LAG(ts_s, 1) OVER (PARTITION BY user_id ORDER BY event_id), ts_s) > 1800
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, MIN(ts_s) AS session_start,
+        |  COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+  )
+}

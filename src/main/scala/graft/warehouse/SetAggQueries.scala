@@ -1,0 +1,155 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.util.Tables
+
+/** Set operations, multi-dimensional grouping, non-equi joins, and array
+  * flattening (SURVEY.md §2.3 J5, §2.4 A5, §2.6).
+  *
+  * The reference's two pipelines landing in one warehouse is semantically a
+  * unionByName (q17); its RDS-vs-Redshift parity check generalizes to
+  * except/intersect (q18/q19, and graft.cdc.Reconcile).
+  */
+object SetAggQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- §2.6: UNION ALL of the two "pipelines" (customer/supplier account
+    //    populations) tagged by source, then grouped — map-side combine
+    //    keeps the shuffle at |nationkey × source| rows.
+    "q17_union_all" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+        .select(col("c_nationkey").cast("int").as("nationkey"),
+          lit("customer").as("side"), col("c_acctbal").as("acctbal"))
+      val p = Tables.supplier(s, d)
+        .select(col("s_nationkey").cast("int").as("nationkey"),
+          lit("supplier").as("side"), col("s_acctbal").as("acctbal"))
+      c.unionByName(p)
+        .groupBy(col("nationkey"), col("side"))
+        .agg(count(lit(1)).as("n"), sum(col("acctbal").cast(dec)).as("total_bal"))
+        .orderBy(col("nationkey"), col("side"))
+    },
+
+    // -- §2.6: INTERSECT (distinct) — nations having both customers and
+    //    suppliers.
+    "q18_intersect" -> { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+        .intersect(
+          Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey")))
+        .orderBy(col("nationkey"))
+    },
+
+    // -- §2.6: EXCEPT (distinct) — orders that have no lineitems (non-empty
+    //    at every sf). This is also the shape of the CDC reconciliation
+    //    check (source minus target).
+    "q19_except" -> { (s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey").as("orderkey"))
+        .except(Tables.lineitem(s, d).select(col("l_orderkey").as("orderkey")))
+        .orderBy(col("orderkey"))
+    },
+
+    // -- J5: range (non-equi) join against a tiny in-memory band dim.
+    //    The band side is broadcast -> a BroadcastNestedLoopJoin that
+    //    streams the fact side once; never a cartesian shuffle.
+    "q24_range_join" -> { (s, d) =>
+      import s.implicits._
+      val bands = Seq(
+        (0L, 100000L, "small"),
+        (100000L, 250000L, "medium"),
+        (250000L, 1000000000L, "large")
+      ).toDF("lo", "hi", "band")
+      val o = Tables.orders(s, d)
+      o.join(broadcast(bands),
+          o("o_totalprice") >= bands("lo") && o("o_totalprice") < bands("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).as("total"))
+        .orderBy(col("band"))
+    },
+
+    // -- A5: full cube over status × priority.
+    "q26_cube" -> { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast(dec)).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    // -- A5: explicit GROUPING SETS via SQL (Spark SQL surface).
+    "q27_grouping_sets" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+
+    // -- §2.7 array ops: posexplode of the embedding vectors (the
+    //    reference's asks/bids arrays): first 3 dims per vector, 1-based
+    //    ordinal to match UNNEST WITH ORDINALITY.
+    "q29_explode" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "val")))
+        .filter(col("pos0") < 3)
+        .select(col("vec_id"), (col("pos0") + 1).as("dim"), col("val"))
+        .orderBy(col("vec_id"), col("dim"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q17_union_all" ->
+      """SELECT nationkey, side, COUNT(*) AS n,
+        |  SUM(CAST(acctbal AS DECIMAL(18,2))) AS total_bal
+        |FROM (
+        |  SELECT c_nationkey AS nationkey, 'customer' AS side, c_acctbal AS acctbal FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey, 'supplier' AS side, s_acctbal AS acctbal FROM supplier)
+        |GROUP BY nationkey, side ORDER BY nationkey, side""".stripMargin,
+
+    "q18_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q19_except" ->
+      """SELECT o_orderkey AS orderkey FROM orders
+        |EXCEPT
+        |SELECT l_orderkey AS orderkey FROM lineitem
+        |ORDER BY orderkey""".stripMargin,
+
+    "q24_range_join" ->
+      """SELECT band, COUNT(*) AS n_orders,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders
+        |JOIN (VALUES (0, 100000, 'small'), (100000, 250000, 'medium'),
+        |             (250000, 1000000000, 'large')) AS bands(lo, hi, band)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q26_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q27_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q29_explode" ->
+      """SELECT vec_id, d.dim, embedding[d.dim] AS val
+        |FROM embeddings, (VALUES (1), (2), (3)) AS d(dim)
+        |WHERE vec_id < 100
+        |ORDER BY vec_id, dim""".stripMargin
+  )
+}

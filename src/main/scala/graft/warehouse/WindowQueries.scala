@@ -1,0 +1,103 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.util.Tables
+
+/** Window-function surface (SURVEY.md §2.5): running totals, ranking,
+  * frames, top-k. The reference's `balance_amt` column IS a materialized
+  * running sum (txns.csv), so W1 is its core implied operator.
+  *
+  * Determinism rule for the oracle: every window ORDER BY ends on a unique
+  * key (orderkey / custkey / event_id) so rank and frame contents are
+  * reproducible in both engines.
+  *
+  * Scale: window functions shuffle once on the partition key, then sort
+  * within partitions — the same plan a 1000-executor cluster runs. No
+  * driver-side state. Skew risk sits on hot partition keys (a user with
+  * millions of events); for such workloads pre-bucket by the partition key.
+  */
+object WindowQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- W1/W4: running total per customer (the reference's balance_amt
+    //    semantics re-expressed as a window).
+    "q11_window_running" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(dec)).over(w).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // -- W2/W5: row_number ranking, top-3 orders per priority class.
+    "q12_window_rank_topk" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+          col("o_totalprice").cast(dec).as("totalprice"))
+        .orderBy(col("o_orderpriority"), col("rk"))
+    },
+
+    // -- sorts/limits §2.6: global top-k (TakeOrderedAndProject — each
+    //    partition keeps k rows, driver merges k*partitions, no full sort).
+    "q15_order_limit_topk" -> { (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(dec).as("totalprice"))
+    },
+
+    // -- W2: ntile + dense_rank (dense_rank tolerates acctbal ties).
+    "q16_window_ntile" -> { (s, d) =>
+      val wGlobal = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      val wSeg = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(wGlobal).as("wealth_quartile"),
+          dense_rank().over(wSeg).as("seg_rank"))
+        .orderBy(col("c_custkey"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q11_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q12_window_rank_topk" ->
+      """SELECT o_orderpriority, rk, o_orderkey, totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3
+        |ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q15_order_limit_topk" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q16_window_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS wealth_quartile,
+        |  DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS seg_rank
+        |FROM customer ORDER BY c_custkey""".stripMargin
+  )
+}
