@@ -24,7 +24,8 @@ object SparkEntry {
       warehouse.WindowQueries.queries ++
       warehouse.EventQueries.queries ++
       warehouse.ScalarQueries.queries ++
-      warehouse.SetAggQueries.queries
+      warehouse.SetAggQueries.queries ++
+      cdc.CdcQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,5 +35,6 @@ object SparkEntry {
       warehouse.WindowQueries.oracleSql ++
       warehouse.EventQueries.oracleSql ++
       warehouse.ScalarQueries.oracleSql ++
-      warehouse.SetAggQueries.oracleSql
+      warehouse.SetAggQueries.oracleSql ++
+      cdc.CdcQueries.oracleSql
 }

@@ -1,0 +1,90 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Staged-file → warehouse apply loop (SURVEY.md §2.1 S9–S11, §2.8 T9).
+  *
+  * The reference lists an `unprocessed/` S3 prefix every 5 minutes, issues
+  * one Redshift `COPY … FORMAT AS JSON 'auto'` per file, then moves the
+  * file to a `processed/` prefix
+  * (`source/load_s3_files_from_dynamodb_stream_to_redshift_lambda/handler.py:45-92`).
+  * Structured Streaming's file source + checkpoint subsumes that entire
+  * protocol: the checkpoint IS the processed-files ledger, and restart
+  * resumes exactly where it stopped (T9 idempotence for free). Marker
+  * `.txt` files are excluded by the `*.json` glob — they carry no rows,
+  * matching the loader's archive-without-COPY branch (`handler.py:80-90`).
+  *
+  * Retention (S12): `cleanSourceArchive` mirrors the reference's
+  * processed-prefix + 1-day-expiry lifecycle.
+  */
+object Apply {
+
+  /** Streaming view of the staged NDJSON batches, schema-on-read: fields
+    * absent in a record land as null (Redshift `COPY json 'auto'`
+    * semantics, S10). */
+  def stagedStream(
+      spark: SparkSession,
+      stageDir: String,
+      schema: StructType,
+      maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger) // T2 batch cap
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.json")
+      .json(stageDir)
+
+  /** S9/T4: continuous append into the warehouse table (parquet dir).
+    * Faithful semantics: INSERT and MODIFY both append, one row per change
+    * event, no dedup — the warehouse accumulates history exactly like the
+    * reference's Redshift table. */
+  def startAppend(
+      staged: DataFrame,
+      warehouseDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    staged.writeStream
+      .format("parquet")
+      .option("path", warehouseDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+  /** S11: full-load-and-cdc composition — batch snapshot into
+    * `{dir}/full_load`, change stream into `{dir}/cdc`. Two physical
+    * phases, one logical table (read via [[readWarehouse]]). Kept as
+    * separate directories because the streaming parquet sink's
+    * `_spark_metadata` ledger would otherwise hide batch-written snapshot
+    * files from readers — and because at scale the snapshot is written
+    * once with full parallelism while the CDC phase streams with
+    * exactly-once file-sink semantics.
+    */
+  def fullLoadAndCdc(
+      spark: SparkSession,
+      snapshot: DataFrame,
+      stageDir: String,
+      schema: StructType,
+      warehouseDir: String,
+      checkpointDir: String): StreamingQuery = {
+    snapshot.write.mode("overwrite").parquet(s"$warehouseDir/full_load")
+    startAppend(stagedStream(spark, stageDir, schema), s"$warehouseDir/cdc", checkpointDir)
+  }
+
+  /** The logical warehouse table: snapshot ∪ accumulated change rows. */
+  def readWarehouse(spark: SparkSession, warehouseDir: String, schema: StructType): DataFrame = {
+    val full = spark.read.schema(schema).parquet(s"$warehouseDir/full_load")
+    val cdcPath = new java.io.File(s"$warehouseDir/cdc")
+    if (cdcPath.exists())
+      full.unionByName(spark.read.schema(schema).parquet(s"$warehouseDir/cdc"))
+    else full
+  }
+
+  /** T9: idempotent start — no-op if a query with this name is already
+    * active (the reference's "start task only if ready/stopped" check,
+    * `source/start_dms_replication_task_lambda/handler.py:60-79`). */
+  def startIfNotRunning(spark: SparkSession, name: String)(start: => StreamingQuery): Option[StreamingQuery] =
+    if (spark.streams.active.exists(_.name == name)) None else Some(start)
+}

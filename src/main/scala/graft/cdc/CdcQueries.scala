@@ -1,0 +1,123 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.util.Tables
+
+/** Oracle-visible CDC operators over the deterministic `events` table —
+  * the batch-checkable faces of the streaming pipeline (SURVEY.md §2.2
+  * P1-P3, §2.8 T4/T5, §3.3). `events` stands in for the change feed:
+  * signup→INSERT, error→REMOVE, everything else→MODIFY.
+  */
+object CdcQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  /** events as a CDC envelope feed. */
+  private def asFeed(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("op",
+      when(col("event_type") === "signup", Envelope.Insert)
+        .when(col("event_type") === "error", Envelope.Remove)
+        .otherwise(Envelope.Modify))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- P1/T5: route the change feed — REMOVEs dropped, kept ops counted.
+    //    Uses the production Envelope.route (raise-on-unknown included).
+    "q32_cdc_route" -> { (s, d) =>
+      Envelope.route(asFeed(s, d))
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+        .orderBy(col("op"))
+    },
+
+    // -- T4-improved: latest-state compaction (the merge view the
+    //    reference's warehouse never materializes). One shuffle on the
+    //    key + in-partition sort: the standard CDC upsert at any scale.
+    "q33_cdc_latest_state" -> { (s, d) =>
+      Envelope.latestByKey(Tables.events(s, d), col("user_id"), col("event_id"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"),
+          col("value").cast(dec).as("last_value"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- A1/3.3: the reference's reconciliation counts, one row per table.
+    "q34_reconcile_counts" -> { (s, d) =>
+      val one = (name: String, df: DataFrame) =>
+        df.agg(count(lit(1)).as("n")).select(lit(name).as("tbl"), col("n"))
+      one("customer", Tables.customer(s, d))
+        .unionByName(one("lineitem", Tables.lineitem(s, d)))
+        .unionByName(one("orders", Tables.orders(s, d)))
+        .orderBy(col("tbl"))
+    },
+
+    // -- 3.3 strengthened: exceptAll catches a double-applied batch that
+    //    count parity alone would misattribute — target built as source
+    //    plus a duplicated 'O'-status slice; the diff is exactly that slice.
+    "q35_reconcile_exceptall" -> { (s, d) =>
+      val src = Tables.orders(s, d).select(col("o_orderkey").as("orderkey"))
+      val dup = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey").as("orderkey"))
+      src.unionByName(dup).exceptAll(src).orderBy(col("orderkey"))
+    },
+
+    // -- J7 (batch face): stream-static enrichment — change feed joined to
+    //    the customer dim; dim side broadcast, no shuffle of the feed.
+    "q36_stream_static_join" -> { (s, d) =>
+      val feed = Envelope.route(asFeed(s, d))
+      val dim = Tables.customer(s, d)
+      feed.join(broadcast(dim), feed("user_id") === dim("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_changes"),
+          sum(col("value").cast(dec)).as("total_value"))
+        .orderBy(col("c_mktsegment"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q32_cdc_route" ->
+      """SELECT op, COUNT(*) AS n, MIN(event_id) AS first_event,
+        |  MAX(event_id) AS last_event
+        |FROM (SELECT *, CASE WHEN event_type = 'signup' THEN 'INSERT'
+        |    WHEN event_type = 'error' THEN 'REMOVE' ELSE 'MODIFY' END AS op
+        |  FROM events)
+        |WHERE op IN ('INSERT', 'MODIFY')
+        |GROUP BY op ORDER BY op""".stripMargin,
+
+    "q33_cdc_latest_state" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  CAST(value AS DECIMAL(18,2)) AS last_value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q34_reconcile_counts" ->
+      """SELECT 'customer' AS tbl, COUNT(*) AS n FROM customer
+        |UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        |ORDER BY tbl""".stripMargin,
+
+    "q35_reconcile_exceptall" ->
+      """SELECT orderkey FROM (
+        |  SELECT o_orderkey AS orderkey FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey AS orderkey FROM orders WHERE o_orderstatus = 'O')
+        |EXCEPT ALL
+        |SELECT o_orderkey AS orderkey FROM orders
+        |ORDER BY orderkey""".stripMargin,
+
+    "q36_stream_static_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_changes,
+        |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM (SELECT *, CASE WHEN event_type = 'signup' THEN 'INSERT'
+        |    WHEN event_type = 'error' THEN 'REMOVE' ELSE 'MODIFY' END AS op
+        |  FROM events) e
+        |JOIN customer ON e.user_id = c_custkey
+        |WHERE op IN ('INSERT', 'MODIFY')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}

@@ -1,0 +1,114 @@
+package graft.cdc
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** End-to-end CDC pipeline semantics (SURVEY.md §2.8, FIXTURES.md §3-§4):
+  * capture → staged NDJSON with metadata names / markers → apply →
+  * warehouse append, with checkpoint idempotence.
+  */
+class CaptureApplySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+  private def env(op: String, id: String, price: Double = 1.0) =
+    Env(op, id, After(id, "tick", price), ts(1700000000L))
+
+  private val afterSchema =
+    Seq(env("INSERT", "x")).toDF().schema("after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  test("S8: staged batch dir carries ts/uuid/count metadata name, NDJSON content") {
+    val stage = tmp("stage")
+    val batch = Seq(env("INSERT", "a"), env("MODIFY", "b", 2.0), env("REMOVE", "c")).toDF()
+    val name = Capture.stageBatch(Envelope.route(batch), stage)
+    assert(name.matches("""\d{4}-\d{2}-\d{2}T\d{2}-\d{2}-\d{2}Z__[0-9a-f-]{36}__2__inserted_or_modified_records"""))
+    val staged = spark.read.schema(afterSchema).json(s"$stage/$name")
+    assert(staged.count() == 2)
+  }
+
+  test("S8: empty batch produces a zero-byte marker, not a data file") {
+    val stage = tmp("stage-empty")
+    val batch = Seq(env("REMOVE", "a"), env("REMOVE", "b")).toDF()
+    val name = Capture.stageBatch(Envelope.route(batch), stage)
+    assert(name.endsWith("__0__no_inserted_or_modified_records"))
+    val marker = Paths.get(stage, s"$name.txt")
+    assert(Files.exists(marker) && Files.size(marker) == 0)
+  }
+
+  test("S7->S9 e2e: capture stream -> staged -> apply appends to warehouse; restart is idempotent") {
+    val stage = tmp("stage-e2e")
+    val wh = tmp("warehouse")
+    val ckCapture = tmp("ck-capture")
+    val ckApply = tmp("ck-apply")
+
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Env]
+    val q = Capture.start(ms.toDF(), stage, ckCapture)
+    ms.addData(env("INSERT", "a"), env("MODIFY", "b", 2.0), env("REMOVE", "gone"))
+    q.processAllAvailable()
+    ms.addData(env("INSERT", "c", 3.0))
+    q.processAllAvailable()
+    q.stop()
+
+    // Apply phase 1: AvailableNow drains both staged batches.
+    val ap1 = Apply.startAppend(
+      Apply.stagedStream(spark, stage, afterSchema), wh, ckApply)
+    ap1.awaitTermination()
+    val landed = spark.read.schema(afterSchema).parquet(wh)
+    assert(landed.count() == 3) // a, b, c — REMOVE dropped (T5)
+
+    // Restart with same checkpoint: nothing new -> no duplicates (T8/T9).
+    val ap2 = Apply.startAppend(
+      Apply.stagedStream(spark, stage, afterSchema), wh, ckApply)
+    ap2.awaitTermination()
+    assert(spark.read.schema(afterSchema).parquet(wh).count() == 3)
+  }
+
+  test("S11: fullLoadAndCdc = snapshot then streamed appends") {
+    val stage = tmp("stage-fl")
+    val wh = tmp("warehouse-fl")
+    val ck = tmp("ck-fl")
+
+    // stage one CDC batch first
+    Capture.stageBatch(
+      Envelope.route(Seq(env("MODIFY", "a", 10.0), env("INSERT", "d", 4.0)).toDF()), stage)
+
+    val snapshot = Seq(env("INSERT", "a"), env("INSERT", "b", 2.0))
+      .toDF().select(col("after.*"))
+    val q = Apply.fullLoadAndCdc(spark, snapshot, stage, afterSchema, wh, ck)
+    q.awaitTermination()
+
+    val landed = Apply.readWarehouse(spark, wh, afterSchema)
+    assert(landed.count() == 4) // 2 snapshot + 2 cdc, append-only
+    // improved mode compacts to latest state
+    val latest = Envelope.latestByKey(landed, col("id"), col("price"))
+    assert(latest.count() == 3)
+  }
+
+  test("T9: startIfNotRunning is a no-op when the named query is active") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Env]
+    val stage = tmp("stage-t9")
+    val q = ms.toDF().writeStream.queryName("cdc-capture-t9")
+      .option("checkpointLocation", tmp("ck-t9"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    try {
+      val second = Apply.startIfNotRunning(spark, "cdc-capture-t9") {
+        fail("should not start a second query"); q
+      }
+      assert(second.isEmpty)
+    } finally q.stop()
+  }
+}
