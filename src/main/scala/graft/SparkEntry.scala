@@ -25,7 +25,10 @@ object SparkEntry {
       warehouse.EventQueries.queries ++
       warehouse.ScalarQueries.queries ++
       warehouse.SetAggQueries.queries ++
-      cdc.CdcQueries.queries
+      cdc.CdcQueries.queries ++
+      text.TextQueries.queries ++
+      ann.AnnQueries.queries ++
+      multimodal.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -36,5 +39,8 @@ object SparkEntry {
       warehouse.EventQueries.oracleSql ++
       warehouse.ScalarQueries.oracleSql ++
       warehouse.SetAggQueries.oracleSql ++
-      cdc.CdcQueries.oracleSql
+      cdc.CdcQueries.oracleSql ++
+      text.TextQueries.oracleSql ++
+      ann.AnnQueries.oracleSql ++
+      multimodal.MultimodalQueries.oracleSql
 }

@@ -1,0 +1,75 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+import graft.dedup.Dedup
+
+/** Similarity-search operator surface over `embeddings`.
+  *
+  * q42 (brute-force top-k) and q47 (blocked cosine near-dup) are oracle
+  * checked — DuckDB computes the same double-precision left-to-right
+  * sums once the float32 lists are cast to DOUBLE[]. q43 (IVF) has no
+  * tractable SQL twin (argmin assignment + Lloyd refinement) and is
+  * recall-tested against brute force in AnnSpec instead.
+  */
+object AnnQueries {
+
+  private def queryVec(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- exact ANN baseline: cosine top-10 for the vec_id=0 query.
+    "q42_ann_bruteforce" -> { (s, d) =>
+      Similarity.bruteForceTopK(
+        Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+        col("vec_id"), col("embedding"),
+        queryVec(s, d), k = 10)
+    },
+
+    // -- IVF scale path: probe 2 of 8 cells (no oracle; AnnSpec asserts
+    //    recall vs q42).
+    "q43_ann_ivf" -> { (s, d) =>
+      val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val idx = Similarity.buildIvf(embs, col("vec_id"), col("embedding"),
+        nCentroids = 8, iterations = 1)
+      Similarity.ivfSearch(idx, queryVec(s, d), k = 10, nprobe = 2)
+    },
+
+    // -- embedding-cosine near-dup pairs, blocked by label (bounded
+    //    subset; at scale the block key comes from LSH buckets).
+    "q47_embedding_neardup" -> { (s, d) =>
+      Dedup.embeddingNearDups(
+          Tables.embeddings(s, d).filter(col("vec_id") < 300),
+          col("vec_id"), col("embedding"), col("label"), threshold = 0.25)
+        .orderBy(col("a_id"), col("b_id"))
+    }
+  )
+
+  private val cosSql =
+    "LIST_DOT_PRODUCT(%s, %s) / (SQRT(LIST_DOT_PRODUCT(%s, %s)) * SQRT(LIST_DOT_PRODUCT(%s, %s)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q42_ann_bruteforce" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id AS nn_id,
+        |  LIST_DOT_PRODUCT(embedding::DOUBLE[], qv)
+        |    / (SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |       * SQRT(LIST_DOT_PRODUCT(qv, qv))) AS cosine
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY cosine DESC, nn_id LIMIT 10""".stripMargin,
+
+    "q47_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id < 300)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  LIST_DOT_PRODUCT(a.v, b.v)
+        |    / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE LIST_DOT_PRODUCT(a.v, b.v)
+        |    / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))) >= 0.25
+        |ORDER BY a_id, b_id""".stripMargin
+  )
+}

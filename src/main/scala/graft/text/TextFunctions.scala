@@ -1,0 +1,143 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting, shingling,
+  * MinHash and SimHash signatures.
+  *
+  * Everything here is a composition of codegen'd Catalyst built-ins
+  * (split/transform/aggregate/xxhash64/md5) — no UDFs, so the per-document
+  * work stays inside WholeStageCodegen and scales linearly with no
+  * serialization cliff. Signatures are deterministic (fixed coefficient
+  * tables, no RNG) so results are reproducible across runs and cluster
+  * sizes — a requirement for dedup ledgers at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization of normalized text. */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of tokens from `words` present in the text (word-boundary
+    * matching via padded contains — cheap and oracle-reproducible). */
+  def wordHits(text: Column, words: Seq[String]): Column = {
+    val padded = concat(lit(" "), lower(trim(text)), lit(" "))
+    words.map(w => when(padded.contains(s" $w "), 1).otherwise(0))
+      .reduce(_ + _)
+  }
+
+  /** Tiny per-language marker-word profiles (public stopword lists). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "zh" -> Seq("的", "是", "在"))
+
+  /** n-gram/stopword-heuristic language ID: argmax of profile hits with
+    * deterministic alphabetical tie-break. */
+  def langId(text: Column): Column = {
+    val scores = langProfiles.map { case (l, ws) => l -> wordHits(text, ws) }
+    // argmax via chained CASE: first lang (alphabetical) whose score is >=
+    // all others wins — reproducible in ANSI SQL for the oracle.
+    scores.foldRight(lit(scores.head._1)) { case ((l, s), els) =>
+      when(scores.filter(_._1 != l).map(_._2).foldLeft(lit(true))((acc, o) => acc && s >= o), lit(l))
+        .otherwise(els)
+    }
+  }
+
+  /** Quality metrics: char/token counts, non-alnum ratio, stopword ratio.
+    * Ratios are double divisions of exact integers — IEEE-identical in any
+    * engine. */
+  def charLen(text: Column): Column = length(text)
+
+  def nonAlnumCount(text: Column): Column =
+    length(text) - length(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
+
+  def stopwordRatio(text: Column): Column =
+    wordHits(text, Seq("the", "a", "of", "and", "is", "in")).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Document fingerprint: md5 of whitespace-collapsed lowercased text —
+    * the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Distinct n-token shingles (n consecutive tokens joined by space);
+    * empty array when the document is shorter than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // Fixed odd multipliers/offsets for the MinHash permutation family
+  // h_j(x) = (a_j * x + b_j) mod P — deterministic, no RNG.
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private val As: Seq[Long] = Seq(
+    1610612741L, 805306457L, 402653189L, 201326611L, 100663319L, 50331653L,
+    25165843L, 12582917L, 6291469L, 3145739L, 1572869L, 786433L, 393241L,
+    196613L, 98317L, 49157L)
+  private val Bs: Seq[Long] = Seq(
+    12345L, 67891L, 24681L, 13579L, 97531L, 86421L, 11111L, 22222L, 33333L,
+    44444L, 55555L, 66666L, 77777L, 88888L, 99999L, 10101L)
+
+  /** Non-negative 32-bit base hash of a shingle. */
+  private def baseHash(s: Column): Column =
+    pmod(hash(s).cast("long"), lit(4294967296L))
+
+  /** k-permutation MinHash signature over the distinct shingle set.
+    * Documents shorter than the shingle width get a sentinel signature. */
+  def minhashSignature(shingleArr: Column, k: Int = 16): Column = {
+    require(k <= As.length, s"at most ${As.length} permutations available")
+    val sig = (0 until k).map { j =>
+      coalesce(
+        array_min(transform(shingleArr, s => pmod(baseHash(s) * As(j) + Bs(j), lit(P)))),
+        lit(P)) // empty doc sentinel
+    }
+    array(sig: _*)
+  }
+
+  /** LSH band keys: signature split into `bands` rows of `k/bands` values,
+    * each band hashed to one bucket key. Equal band key => candidate pair. */
+  def lshBandKeys(sig: Column, k: Int = 16, bands: Int = 4): Column = {
+    val r = k / bands
+    array((0 until bands).map { b =>
+      hash(struct(lit(b) +: (0 until r).map(i => element_at(sig, b * r + i + 1)): _*))
+    }: _*)
+  }
+
+  /** Per-bit ±1 sums for SimHash (xxhash64 per token, 64-long array). */
+  def simhashBitSums(text: Column): Column =
+    aggregate(
+      tokens(text),
+      array_repeat(lit(0L), 64),
+      (acc, tok) => zip_with(
+        acc,
+        // per-bit masks are Scala-level constants (the functions API only
+        // shifts by literal amounts); xxhash64(tok) is shared via CSE
+        array((0 until 64).map { i =>
+          when(xxhash64(tok).bitwiseAND(lit(1L << i)) =!= 0, lit(1L)).otherwise(lit(-1L))
+        }: _*),
+        (a, b) => a + b))
+
+  /** Collapse bit sums to the 64-bit signature (sign -> bit). Shift
+    * amounts are Scala-level constants, so each term is codegen-friendly;
+    * Spark's subexpression elimination shares the underlying sums array. */
+  def simhashFromBitSums(sums: Column): Column =
+    (0 until 64).map { i =>
+      when(element_at(sums, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** 64-bit SimHash over the token multiset. Near-dup distance between two
+    * docs = bit_count(a ^ b) (Hamming). */
+  def simhash64(text: Column): Column =
+    simhashFromBitSums(simhashBitSums(text))
+}

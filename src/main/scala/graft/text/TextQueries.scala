@@ -1,0 +1,147 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+import graft.dedup.Dedup
+
+/** Text-analysis + dedup operator surface over `documents` (the
+  * training-data-pipeline extension in the builder contract).
+  *
+  * Oracle-checked where the logic is SQL-expressible (quality metrics,
+  * language ID, fingerprints, exact dedup, blocked n-gram Jaccard);
+  * hash-family ops (MinHash/SimHash — Spark Murmur3/xxhash64 have no
+  * DuckDB equivalent) are rows-only checked here and unit-tested with
+  * known-duplicate fixtures in DedupSpec.
+  */
+object TextQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- quality scoring: char/token counts, non-alnum ratio, stopword
+    //    ratio, keep/drop flag (all exact-integer or single-division math).
+    "q37_text_quality" -> { (s, d) =>
+      val t = col("text")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          TextFunctions.charLen(t).as("n_chars_text"),
+          TextFunctions.tokenCount(t).as("n_tokens"),
+          TextFunctions.nonAlnumCount(t).as("n_non_alnum"),
+          TextFunctions.stopwordRatio(t).as("stopword_ratio"),
+          (TextFunctions.tokenCount(t) >= 5 && TextFunctions.charLen(t) >= 20)
+            .as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -- language ID: marker-word argmax + agreement with the labeled lang.
+    "q38_lang_id" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("predicted_lang", TextFunctions.langId(col("text")))
+        .groupBy(col("lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted_lang"))
+    },
+
+    // -- document fingerprinting: md5 of normalized text + canonical flag
+    //    (exact-dedup ledger shape).
+    "q39_fingerprint" -> { (s, d) =>
+      Dedup.withExactDupFlags(Tables.documents(s, d), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("fp"), col("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -- exact dedup stats: total vs distinct-content counts.
+    "q40_exact_dedup" -> { (s, d) =>
+      Tables.documents(s, d)
+        .agg(
+          count(lit(1)).as("total_docs"),
+          countDistinct(TextFunctions.fingerprint(col("text"))).as("distinct_docs"))
+    },
+
+    // -- n-gram Jaccard near-dup pairs, blocked by source (bounded subset
+    //    so the quadratic-within-block cost stays fixed across sf;
+    //    MinHash+LSH below is the scale path).
+    "q41_ngram_jaccard" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), col("source"),
+          threshold = 0.08, shingleWidth = 3)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // -- MinHash+LSH near-dup pairs (no oracle: Spark hash family).
+    "q45_minhash_lsh" -> { (s, d) =>
+      Dedup.minhashNearDups(
+          Tables.documents(s, d), col("doc_id"), col("text"), threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // -- SimHash near-dup pairs (no oracle: xxhash64).
+    "q46_simhash" -> { (s, d) =>
+      Dedup.simhashNearDups(
+          Tables.documents(s, d), col("doc_id"), col("text"), maxHamming = 16)
+        .orderBy(col("a_id"), col("b_id"))
+    }
+  )
+
+  // SQL mirrors of the Spark-side heuristics. The langId CASE chain is
+  // generated from the same profile table to keep the two in lockstep.
+  private def hitsSql(words: Seq[String]): String =
+    words.map(w =>
+      s"(CASE WHEN CONTAINS(' ' || LOWER(TRIM(text)) || ' ', ' $w ') THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  private val langCaseSql: String = {
+    val scores = TextFunctions.langProfiles.map { case (l, ws) => l -> hitsSql(ws) }
+    val arms = scores.map { case (l, s) =>
+      val geAll = scores.filter(_._1 != l).map(o => s"$s >= ${o._2}").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }
+    s"CASE ${arms.init.mkString(" ")} ELSE '${scores.last._1}' END"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q37_text_quality" ->
+      s"""SELECT doc_id,
+         |  LENGTH(text) AS n_chars_text,
+         |  LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS n_tokens,
+         |  LENGTH(text) - LENGTH(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g')) AS n_non_alnum,
+         |  CAST(${hitsSql(Seq("the", "a", "of", "and", "is", "in"))} AS DOUBLE)
+         |    / CAST(LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS DOUBLE) AS stopword_ratio,
+         |  (LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) >= 5 AND LENGTH(text) >= 20) AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q38_lang_id" ->
+      s"""SELECT lang, $langCaseSql AS predicted_lang, COUNT(*) AS n
+         |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin,
+
+    "q39_fingerprint" ->
+      """SELECT doc_id,
+        |  MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
+        |  doc_id = MIN(doc_id) OVER (
+        |    PARTITION BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'))) AS is_canonical
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q40_exact_dedup" ->
+      """SELECT COUNT(*) AS total_docs,
+        |  COUNT(DISTINCT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'))) AS distinct_docs
+        |FROM documents""".stripMargin,
+
+    "q41_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source, LIST_DISTINCT([
+        |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      FOR i IN RANGE(1, GREATEST(LEN(toks) - 1, 1))]) AS sh
+        |  FROM (SELECT doc_id, source,
+        |      STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+        |    FROM documents WHERE doc_id < 500))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |    / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) AS jaccard
+        |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |    / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.08
+        |ORDER BY a_id, b_id""".stripMargin
+  )
+}

@@ -1,0 +1,77 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.text.TextFunctions
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby"
+  private val nearDup = base.replace("lazy", "sleepy") // 1-token edit
+  private val unrelated =
+    "completely different content about distributed query engines and columnar storage formats for analytics"
+
+  private def docs = Seq(
+    (1L, base), (2L, base), // exact dup pair
+    (3L, nearDup),
+    (4L, unrelated),
+    (5L, "tiny doc") // shorter than shingle width
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: identical text collapses, canonical is min id") {
+    val flagged = Dedup.withExactDupFlags(docs, col("doc_id"), col("text"))
+    assert(flagged.filter(!col("is_canonical")).select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(Dedup.dropExactDups(docs, col("doc_id"), col("text")).count() == 4)
+  }
+
+  test("minhash LSH: finds exact and near dup, not unrelated") {
+    val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash signature: deterministic and length k") {
+    val sig = docs.select(TextFunctions.minhashSignature(
+      TextFunctions.shingles(col("text"), 3)).as("sig"))
+    val rows = sig.collect()
+    assert(rows.forall(_.getSeq[Long](0).length == 16))
+    val again = sig.collect()
+    assert(rows.map(_.getSeq[Long](0)).toSeq == again.map(_.getSeq[Long](0)).toSeq)
+  }
+
+  test("simhash: near-dup within small hamming distance, unrelated far") {
+    val sigs = docs.select(col("doc_id"), TextFunctions.simhash64(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) == 0)
+    assert(ham(sigs(1L), sigs(3L)) <= 16)
+    assert(ham(sigs(1L), sigs(4L)) > 16)
+    val pairs = Dedup.simhashNearDups(docs, col("doc_id"), col("text"), maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+  }
+
+  test("ngram jaccard within block: exact scores") {
+    val blocked = docs.withColumn("blk", lit("all"))
+    val pairs = Dedup.ngramJaccardPairs(blocked, col("doc_id"), col("text"),
+        col("blk"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L).get
+    assert(exact._3 == 1.0)
+  }
+
+  test("degenerate buckets are capped (no quadratic blowup)") {
+    val many = (1L to 300L).map(i => (i, base)).toDF("doc_id", "text")
+    // all 300 docs identical -> one bucket of 300 > cap 100 -> dropped
+    val pairs = Dedup.minhashCandidates(many, col("doc_id"), col("text"),
+      maxBucketSize = 100)
+    assert(pairs.count() == 0)
+  }
+}
