@@ -35,12 +35,16 @@ object CsvNormalize {
         .option("quote", "\"")
         .csv(path))
 
-  /** Money-string parse: strip spaces/commas, empty → null, exact decimal. */
-  def moneyCol(c: Column): Column = {
+  /** Money-string parse: strip spaces/commas, empty → null, exact decimal.
+    * Default path is the native codegen'd expression (single pass, no
+    * regex); [[moneyColComposed]] is the built-ins-only equivalent kept
+    * for cross-validation. */
+  def moneyCol(c: Column): Column = graft.functions.ParseMoney.parse_money(c)
+
+  def moneyColComposed(c: Column): Column = {
     val cleaned = regexp_replace(c, "[ ,]", "")
-    when(cleaned === "" || cleaned.isNull, lit(null))
-      .otherwise(cleaned)
-      .cast(DecimalType(18, 2))
+    when(cleaned === "" || cleaned.isNull, lit(null).cast(DecimalType(18, 2)))
+      .otherwise(cleaned.try_cast(DecimalType(18, 2))) // ANSI-safe: garbage -> null
   }
 
   /** `29-Jun-17`-style date parse (reference txns.csv date format). */

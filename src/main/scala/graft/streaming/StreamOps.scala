@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics operators (SURVEY.md §2.8 T6/T7/T10, §2.3 J8):
+  * event-time windows under watermarks, built-in session windows, custom
+  * sessionization state, and stream-stream joins.
+  *
+  * The reference has no event-time processing at all (processing-time
+  * only, T6) — these are the [W] warehouse-surface extensions, built on
+  * Structured Streaming so the same code runs continuously at scale:
+  * state lives in the checkpointed state store, partitioned by group key,
+  * never on the driver.
+  */
+object StreamOps {
+
+  /** T7: tumbling event-time window counts/sums with a watermark bounding
+    * state retention (late rows beyond the delay are dropped). */
+  def tumblingAgg(events: DataFrame, delay: String = "10 minutes", width: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** T7: sliding window (width, slide). */
+  def slidingAgg(events: DataFrame, width: String = "1 hour", slide: String = "15 minutes",
+      delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** T10: built-in gap-based session window. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes", delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  // ---- custom state machine (flatMapGroupsWithState) ----
+
+  final case class Evt(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Int, total_value: Double)
+
+  /** T10: hand-rolled sessionization — a session closes inline when the
+    * gap since the previous event exceeds `gapSeconds`, or via event-time
+    * timeout once the watermark passes last+gap (trailing sessions). Shows
+    * the custom-state seam (the reference's "state" was an S3 prefix; here
+    * it's the partitioned, checkpointed state store — watermark-bounded,
+    * so state size is O(active users), not O(history)). */
+  def sessionize(events: Dataset[Evt], gapSeconds: Long = 1800,
+      delay: String = "10 minutes")(
+      implicit enc1: org.apache.spark.sql.Encoder[SessionState],
+      enc2: org.apache.spark.sql.Encoder[ClosedSession],
+      enc3: org.apache.spark.sql.Encoder[Long]): Dataset[ClosedSession] = {
+
+    def fn(userId: Long, rows: Iterator[Evt], state: GroupState[SessionState]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(ClosedSession(userId, new java.sql.Timestamp(s.start * 1000), s.n, s.total))
+      }
+      val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val sec = e.ts.getTime / 1000
+        state.getOption match {
+          case Some(s) if sec - s.last > gapSeconds =>
+            closed += ClosedSession(userId, new java.sql.Timestamp(s.start * 1000), s.n, s.total)
+            state.update(SessionState(sec, sec, 1, e.value))
+          case Some(s) =>
+            state.update(SessionState(s.start, sec, s.n + 1, s.total + e.value))
+          case None =>
+            state.update(SessionState(sec, sec, 1, e.value))
+        }
+      }
+      state.getOption.foreach { s =>
+        state.setTimeoutTimestamp((s.last + gapSeconds) * 1000)
+      }
+      closed.iterator
+    }
+
+    import org.apache.spark.sql.Encoders
+    events
+      .withWatermark("ts", delay)
+      .as(Encoders.product[Evt])
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** J8: stream-stream join — purchases correlated with the same user's
+    * clicks in the preceding hour. Watermarks bound both join-state sides. */
+  def purchaseClickJoin(events: DataFrame, delay: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", delay)
+    purchases.join(
+      clicks,
+      expr("""p_user = c_user AND
+              click_ts <= purchase_ts AND
+              click_ts >= purchase_ts - INTERVAL 1 HOUR"""))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.StreamOps.Evt
+
+class StreamOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append")(feed: => Unit): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    feed
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("T7: tumbling windows close as the watermark advances; late rows dropped") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val agg = StreamOps.tumblingAgg(ms.toDF(), delay = "10 minutes", width = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    // hour-0 events, then jump past hour 1 + delay to close hour 0
+    ms.addData(Evt(1, t(5), "click", 1.0), Evt(1, t(20), "click", 2.0))
+    q.processAllAvailable()
+    ms.addData(Evt(1, t(75), "click", 4.0)) // advances watermark to :65
+    q.processAllAvailable()
+    ms.addData(Evt(1, t(6), "click", 99.0)) // late beyond watermark -> dropped
+    ms.addData(Evt(1, t(200), "click", 8.0)) // closes hour-1 window
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tumbling").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(2), r.getDouble(3))).toSet
+    // hour-0 window: 2 events, total 3.0 (the late 99.0 never counted)
+    assert(rows.exists { case (_, n, v) => n == 2 && v == 3.0 })
+    assert(!rows.exists { case (_, n, v) => v == 102.0 })
+  }
+
+  test("T10: built-in session window groups by gap") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val agg = StreamOps.sessionAgg(ms.toDF(), gap = "30 minutes", delay = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // user 1: two events 10 min apart (one session), then 90 min silence,
+    // then one more event (second session)
+    ms.addData(Evt(1, t(0), "click", 1.0), Evt(1, t(10), "view", 2.0))
+    q.processAllAvailable()
+    ms.addData(Evt(1, t(100), "click", 3.0))
+    q.processAllAvailable()
+    ms.addData(Evt(1, t(300), "click", 0.0)) // advance watermark, close all
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.contains((1L, 2L, 3.0))) // first session: 2 events, 3.0
+    assert(rows.contains((1L, 1L, 3.0))) // second session: 1 event, 3.0
+  }
+
+  test("T10: custom flatMapGroupsWithState sessionization emits on gap") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val sessions = StreamOps.sessionize(ms.toDS(), gapSeconds = 1800)
+    val q = sessions.toDF().writeStream.format("memory").queryName("customsessions")
+      .outputMode("append").start()
+    ms.addData(Evt(7, t(0), "click", 1.5), Evt(7, t(10), "view", 2.5))
+    q.processAllAvailable()
+    ms.addData(Evt(7, t(120), "click", 9.0)) // 110-min gap -> closes session 1
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("customsessions").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+    assert(rows.contains((7L, 2, 4.0)))
+  }
+
+  test("J8: stream-stream join matches clicks within the preceding hour") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val joined = StreamOps.purchaseClickJoin(ms.toDF(), delay = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    ms.addData(
+      Evt(1, t(0), "click", 0.0),
+      Evt(1, t(30), "purchase", 10.0), // matches click at t0
+      Evt(2, t(10), "click", 0.0),
+      Evt(2, t(200), "purchase", 5.0)) // click 190 min earlier: no match
+    q.processAllAvailable()
+    ms.addData(Evt(9, t(400), "click", 0.0)) // advance watermarks
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssjoin").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("p_user") == 1L)
+  }
+}
