@@ -67,15 +67,17 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment: broadcast the (tiny) centroid table,
-    * score every (vector, centroid) pair, keep the argmin per vector. */
-  private def assign(data: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vid")).orderBy(col("d").asc, col("cell").asc)
+    * score every (vector, centroid) pair, keep the argmin per vector via
+    * min(struct(d, cell)) — a plain map-side-combinable aggregation, no
+    * per-vector window sort. */
+  private def assign(data: DataFrame, centroids: DataFrame): DataFrame =
     data.crossJoin(broadcast(centroids))
       .withColumn("d", -dot(col("v"), col("c")) / (norm(col("v")) * norm(col("c"))))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vid"), col("v"), col("cell"))
-  }
+      .groupBy(col("vid"))
+      .agg(
+        min(struct(col("d"), col("cell"))).as("best"),
+        first(col("v")).as("v"))
+      .select(col("vid"), col("v"), col("best.cell").as("cell"))
 
   /** Per-cell elementwise mean (posexplode → groupBy(cell, dim) → avg →
     * reassemble). Fully distributed; no vector ever reaches the driver. */

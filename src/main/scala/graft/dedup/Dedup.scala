@@ -48,34 +48,90 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash+LSH candidate pairs: shingle → k-permutation signature →
-    * band keys → bucket join. Default 8 bands × 2 rows: the S-curve
-    * midpoint sits at (1/b)^(1/r) ≈ 0.35, so pairs with jaccard ≥ 0.5
-    * are caught with probability > 0.97 (4×4 banding would miss ~40%
-    * of them). */
+  /** Shingle rows built without higher-order functions: posexplode the
+    * tokens, window-lead the next n-1 tokens, concat. HOFs
+    * (transform/aggregate) are CodegenFallback — interpreted per element —
+    * while generators + window + concat stay fully codegen'd; the window's
+    * id-partitioning is then reused by the downstream groupBy (single
+    * shuffle). MinHash min is duplicate-insensitive, so no distinct pass
+    * is needed. */
+  def shingleRows(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(id.as("id"),
+      posexplode(graft.text.TextFunctions.tokens(text)).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    toks
+      .select(col("id") +: col("tok") +:
+        (1 until n).map(j => lead(col("tok"), j).over(w).as(s"t$j")): _*)
+      .filter((1 until n).map(j => col(s"t$j").isNotNull).reduce(_ && _))
+      .select(col("id"),
+        concat_ws(" ", col("tok") +: (1 until n).map(j => col(s"t$j")): _*).as("sh"))
+  }
+
+  /** MinHash signatures computed the scale-friendly way: shingle rows,
+    * hash once per shingle, then one codegen'd grouped aggregation with k
+    * `min` columns (map-side combine). The array-HOF formulation
+    * (array_min over transform) is interpreted — measured ~40× slower.
+    * Output: (id, sig_0..sig_{k-1}). Docs shorter than the shingle width
+    * drop out. */
+  def minhashSignatures(
+      docs: DataFrame, id: Column, text: Column,
+      shingleWidth: Int = 3, k: Int = 16): DataFrame =
+    shingleRows(docs, id, text, shingleWidth)
+      .withColumn("h", pmod(hash(col("sh")).cast("long"), lit(4294967296L)))
+      .groupBy(col("id"))
+      .agg(
+        min(pmod(col("h") * minhashA(0) + minhashB(0), lit(minhashP))).as("sig_0"),
+        (1 until k).map(j =>
+          min(pmod(col("h") * minhashA(j) + minhashB(j), lit(minhashP))).as(s"sig_$j")): _*)
+
+  /** MinHash+LSH candidate pairs: signature → band keys → bucket join.
+    * Default 8 bands × 2 rows: the S-curve midpoint sits at
+    * (1/b)^(1/r) ≈ 0.35, so pairs with jaccard ≥ 0.5 are caught with
+    * probability > 0.97 (4×4 banding would miss ~40% of them). */
   def minhashCandidates(
       docs: DataFrame, id: Column, text: Column,
       shingleWidth: Int = 3, k: Int = 16, bands: Int = 8,
       maxBucketSize: Int = 1000): DataFrame = {
-    val keyed = docs
-      .select(id.as("id"), shingles(text, shingleWidth).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .select(col("id"), explode(lshBandKeys(col("sig"), k, bands)).as("bucket"))
+    val r = k / bands
+    val sigs = minhashSignatures(docs, id, text, shingleWidth, k)
+    val keyed = sigs.select(col("id"), explode(array((0 until bands).map { b =>
+      hash(struct(lit(b) +: (0 until r).map(i => col(s"sig_${b * r + i}")): _*))
+    }: _*)).as("bucket"))
     pairsFromBuckets(keyed, maxBucketSize)
   }
 
-  /** MinHash near-dups: LSH candidates verified with exact shingle
-    * Jaccard ≥ `threshold`. Verification joins shingle sets back by id —
-    * two broadcast-or-shuffle hash joins, still no cross product. */
+  /** MinHash near-dups: LSH candidates verified with exact Jaccard over
+    * the hashed-shingle sets (identical to string-shingle Jaccard modulo
+    * ~2^-32 collisions, and arrays of longs compare much faster).
+    * Signatures, band keys AND the verification sets come out of ONE
+    * exploded-shingle aggregation pass — one shuffle on doc id, then the
+    * bucket join and two verification joins. */
   def minhashNearDups(
       docs: DataFrame, id: Column, text: Column,
-      threshold: Double, shingleWidth: Int = 3): DataFrame = {
-    val sh = docs.select(id.as("sid"), shingles(text, shingleWidth).as("sh"))
-    val cands = minhashCandidates(docs, id, text, shingleWidth)
+      threshold: Double, shingleWidth: Int = 3,
+      k: Int = 16, bands: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
+    val r = k / bands
+    // One aggregation pass produces signatures AND verification sets;
+    // persisted because three downstream joins consume it (without the
+    // persist the whole shingle pipeline re-executes per consumer — at
+    // cluster scale this is where signatures get checkpointed to a table).
+    val agg = shingleRows(docs, id, text, shingleWidth)
+      .withColumn("h", pmod(hash(col("sh")).cast("long"), lit(4294967296L)))
+      .groupBy(col("id"))
+      .agg(
+        collect_set(col("h")).as("hset"),
+        (0 until k).map(j =>
+          min(pmod(col("h") * minhashA(j) + minhashB(j), lit(minhashP))).as(s"sig_$j")): _*)
+      .persist()
+    val keyed = agg.select(col("id"), explode(array((0 until bands).map { b =>
+      hash(struct(lit(b) +: (0 until r).map(i => col(s"sig_${b * r + i}")): _*))
+    }: _*)).as("bucket"))
+    val cands = pairsFromBuckets(keyed, maxBucketSize)
+    val sets = agg.select(col("id"), col("hset"))
     cands
-      .join(sh.withColumnRenamed("sid", "a_id").withColumnRenamed("sh", "a_sh"), Seq("a_id"))
-      .join(sh.withColumnRenamed("sid", "b_id").withColumnRenamed("sh", "b_sh"), Seq("b_id"))
+      .join(sets.select(col("id").as("a_id"), col("hset").as("a_sh")), Seq("a_id"))
+      .join(sets.select(col("id").as("b_id"), col("hset").as("b_sh")), Seq("b_id"))
       .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
@@ -102,13 +158,38 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** SimHash signatures the scale-friendly way (same reasoning as
+    * [[minhashSignatures]]): explode tokens, xxhash64 once per token, one
+    * codegen'd aggregation with 64 conditional-sum columns, then a single
+    * projection folds signs into the 64-bit signature. */
+  def simhashSignatures(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    // Stage 1 collapses token multiplicity (natural-language vocab is much
+    // smaller than token count), so the 64-wide weighted aggregation runs
+    // over distinct (id, hash) rows only — the wide-agg update code is the
+    // expensive part (too large to JIT), so feed it as few rows as possible.
+    val bitCols = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, col("cnt")).otherwise(-col("cnt"))).as(s"b_$i")
+    }
+    docs
+      .select(id.as("id"), explode(graft.text.TextFunctions.tokens(text)).as("tok"))
+      .groupBy(col("id"), xxhash64(col("tok")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id"))
+      .agg(bitCols.head, bitCols.tail: _*)
+      .select(col("id"),
+        (0 until 64).map { i =>
+          when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+  }
+
   /** SimHash near-dups: 64-bit signatures banded into four 16-bit chunks;
     * by pigeonhole any pair within Hamming distance 3 shares at least one
     * exact chunk, so the bucket join loses no such pair. */
   def simhashNearDups(
       docs: DataFrame, id: Column, text: Column,
       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    val sigs = docs.select(id.as("id"), simhash64(text).as("sig"))
+    // persisted: consumed by the bucket join and both verification joins
+    val sigs = simhashSignatures(docs, id, text).persist()
     val keyed = sigs.select(col("id"), posexplode(array((0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("bits"))

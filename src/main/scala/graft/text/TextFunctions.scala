@@ -39,16 +39,19 @@ object TextFunctions {
     "zh" -> Seq("的", "是", "在"))
 
   /** n-gram/stopword-heuristic language ID: argmax of profile hits with
-    * deterministic alphabetical tie-break. */
-  def langId(text: Column): Column = {
-    val scores = langProfiles.map { case (l, ws) => l -> wordHits(text, ws) }
-    // argmax via chained CASE: first lang (alphabetical) whose score is >=
-    // all others wins — reproducible in ANSI SQL for the oracle.
+    * deterministic alphabetical tie-break. `scoreCols` should be
+    * materialized as named columns first (see [[langIdFromScores]]) so
+    * each profile score is computed once, not once per CASE arm. */
+  def langId(text: Column): Column =
+    langIdFromScores(langProfiles.map { case (l, ws) => l -> wordHits(text, ws) })
+
+  /** argmax via chained CASE: first lang (alphabetical order) whose score
+    * is >= all others wins — reproducible in ANSI SQL for the oracle. */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column =
     scores.foldRight(lit(scores.head._1)) { case ((l, s), els) =>
       when(scores.filter(_._1 != l).map(_._2).foldLeft(lit(true))((acc, o) => acc && s >= o), lit(l))
         .otherwise(els)
     }
-  }
 
   /** Quality metrics: char/token counts, non-alnum ratio, stopword ratio.
     * Ratios are double divisions of exact integers — IEEE-identical in any
@@ -80,7 +83,10 @@ object TextFunctions {
 
   // Fixed odd multipliers/offsets for the MinHash permutation family
   // h_j(x) = (a_j * x + b_j) mod P — deterministic, no RNG.
-  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  val minhashP: Long = 2147483647L // 2^31 - 1 (Mersenne prime)
+  def minhashA(j: Int): Long = As(j)
+  def minhashB(j: Int): Long = Bs(j)
+  private val P = minhashP
   private val As: Seq[Long] = Seq(
     1610612741L, 805306457L, 402653189L, 201326611L, 100663319L, 50331653L,
     25165843L, 12582917L, 6291469L, 3145739L, 1572869L, 786433L, 393241L,

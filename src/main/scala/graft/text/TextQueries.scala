@@ -35,10 +35,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
-    // -- language ID: marker-word argmax + agreement with the labeled lang.
+    // -- language ID: marker-word argmax + agreement with the labeled
+    //    lang. Scores land as named columns first so each profile is
+    //    computed once (the inlined CASE chain re-evaluates every score
+    //    per arm — measured ~7× slower).
     "q38_lang_id" -> { (s, d) =>
-      Tables.documents(s, d)
-        .withColumn("predicted_lang", TextFunctions.langId(col("text")))
+      val scored = TextFunctions.langProfiles.foldLeft(Tables.documents(s, d)) {
+        case (df, (l, ws)) => df.withColumn(s"_s_$l", TextFunctions.wordHits(col("text"), ws))
+      }
+      scored
+        .withColumn("predicted_lang", TextFunctions.langIdFromScores(
+          TextFunctions.langProfiles.map { case (l, _) => l -> col(s"_s_$l") }))
         .groupBy(col("lang"), col("predicted_lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted_lang"))
@@ -77,10 +84,12 @@ object TextQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
-    // -- SimHash near-dup pairs (no oracle: xxhash64).
+    // -- SimHash near-dup pairs (no oracle: xxhash64). Radius 6/64 bits —
+    //    the near-duplicate regime; wider radii on same-domain corpora
+    //    degenerate into quadratic almost-everything-matches output.
     "q46_simhash" -> { (s, d) =>
       Dedup.simhashNearDups(
-          Tables.documents(s, d), col("doc_id"), col("text"), maxHamming = 16)
+          Tables.documents(s, d), col("doc_id"), col("text"), maxHamming = 6)
         .orderBy(col("a_id"), col("b_id"))
     }
   )
