@@ -25,6 +25,7 @@ object SparkEntry {
       warehouse.EventQueries.queries ++
       warehouse.ScalarQueries.queries ++
       warehouse.SetAggQueries.queries ++
+      warehouse.ExtrasQueries.queries ++
       cdc.CdcQueries.queries ++
       text.TextQueries.queries ++
       ann.AnnQueries.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
       warehouse.EventQueries.oracleSql ++
       warehouse.ScalarQueries.oracleSql ++
       warehouse.SetAggQueries.oracleSql ++
+      warehouse.ExtrasQueries.oracleSql ++
       cdc.CdcQueries.oracleSql ++
       text.TextQueries.oracleSql ++
       ann.AnnQueries.oracleSql ++

@@ -1,0 +1,139 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.util.Tables
+
+/** Remaining operator-inventory entries (SURVEY.md §2.4 A4/A8, §2.6,
+  * §2.3 J6-tolerance) plus SQL-surface subqueries.
+  */
+object ExtrasQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- A4: HLL++ approximate distinct (no oracle — sketch internals are
+    //    engine-specific; ApproxSpec asserts the error envelope vs exact).
+    "q49_approx_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // -- §2.4: pivot (wide conditional aggregation).
+    "q50_pivot" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // -- §2.6: unionByName with missing columns — the reference's two
+    //    heterogeneous pipelines landing in one table (optional `ticket`
+    //    lands null, configure_redshift DDL).
+    "q51_union_missing" -> { (s, d) =>
+      val a = Tables.orders(s, d).select(
+        col("o_orderkey").as("key"),
+        col("o_totalprice").cast(dec).as("amount"),
+        col("o_orderstatus").as("status"))
+      val b = Tables.lineitem(s, d).filter(col("l_linenumber") === 1).select(
+        col("l_orderkey").as("key"),
+        col("l_extendedprice").cast(dec).as("amount"))
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("amount")).as("total"))
+        .orderBy(col("status").asc_nulls_first)
+    },
+
+    // -- A8: custom typed Aggregator (exact cents accumulation).
+    "q52_custom_aggregator" -> { (s, d) =>
+      val centsSum = udaf(graft.functions.CentsSum)
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(centsSum(col("o_totalprice")).as("total_exact"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // -- J6 with tolerance: as-of join bounded to 1 hour — clicks older
+    //    than the tolerance yield null, same single-pass window plan.
+    "q53_asof_tolerance" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("sec", unix_timestamp(date_trunc("second", col("ts"))))
+        .withColumn("last_click_id",
+          max(when(col("event_type") === "click", col("event_id"))).over(w))
+        .withColumn("last_click_sec",
+          max(when(col("event_type") === "click", col("sec"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          when(col("sec") - col("last_click_sec") <= 3600, col("last_click_id")).as("click_within_1h"))
+        .orderBy(col("event_id"))
+    },
+
+    // -- SQL surface: uncorrelated scalar subquery + correlated EXISTS in
+    //    one statement (Catalyst subquery decorrelation).
+    "q54_scalar_subquery" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sq")
+      s.sql(
+        """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+          |FROM orders_sq
+          |WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders_sq)
+          |  AND EXISTS (SELECT 1 FROM lineitem_sq WHERE l_orderkey = o_orderkey
+          |              AND l_quantity >= 45)
+          |ORDER BY o_orderkey""".stripMargin)
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q50_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q51_union_missing" ->
+      """SELECT status, COUNT(*) AS n, SUM(amount) AS total FROM (
+        |  SELECT o_orderkey AS key, CAST(o_totalprice AS DECIMAL(18,2)) AS amount,
+        |    o_orderstatus AS status FROM orders
+        |  UNION ALL
+        |  SELECT l_orderkey, CAST(l_extendedprice AS DECIMAL(18,2)), NULL
+        |  FROM lineitem WHERE l_linenumber = 1)
+        |GROUP BY status ORDER BY status NULLS FIRST""".stripMargin,
+
+    "q52_custom_aggregator" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_exact
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q53_asof_tolerance" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN sec - last_click_sec <= 3600 THEN last_click_id END AS click_within_1h
+        |FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    EPOCH(DATE_TRUNC('second', ts)) AS sec,
+        |    MAX(CASE WHEN event_type = 'click' THEN event_id END) OVER w AS last_click_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN EPOCH(DATE_TRUNC('second', ts)) END) OVER w AS last_click_sec
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q54_scalar_subquery" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+        |FROM orders
+        |WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |              AND l_quantity >= 45)
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}
