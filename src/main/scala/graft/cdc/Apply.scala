@@ -28,13 +28,21 @@ object Apply {
       spark: SparkSession,
       stageDir: String,
       schema: StructType,
-      maxFilesPerTrigger: Int = 100): DataFrame =
-    spark.readStream
+      maxFilesPerTrigger: Int = 100,
+      cleanSource: Option[String] = None, // S12: "archive" | "delete"
+      sourceArchiveDir: Option[String] = None): DataFrame = {
+    val r = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger) // T2 batch cap
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.json")
-      .json(stageDir)
+    // Retention (S12): the reference moves consumed files to a processed/
+    // prefix with 1-day S3 expiry; the file source's cleanSource option is
+    // the native equivalent (archive to a prefix, or delete outright).
+    val r2 = cleanSource.fold(r)(m => r.option("cleanSource", m))
+    val r3 = sourceArchiveDir.fold(r2)(p => r2.option("sourceArchiveDir", p))
+    r3.json(stageDir)
+  }
 
   /** S9/T4: continuous append into the warehouse table (parquet dir).
     * Faithful semantics: INSERT and MODIFY both append, one row per change
