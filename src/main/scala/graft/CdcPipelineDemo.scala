@@ -37,6 +37,21 @@ object CdcPipelineDemo {
     val trades = JsonTrades.readTradesFile(spark, fixture)
     println(s"[ingest] trades=${trades.count()} null_ticket=${trades.filter(col("ticket").isNull).count()}")
 
+    // 1b. Tagged-wire decode (P3): the DynamoDB NEW_IMAGE form round-trips
+    //     through the tag codec back to the landing schema.
+    import spark.implicits._
+    val taggedWire =
+      """{"id": {"S": "abc123"}, "price": {"N": "99.5"}, "shares": {"N": "10"},
+        | "ticker": {"S": "demo"},
+        | "details": {"M": {"asks": {"L": [{"N": "99.6"}]}, "bids": {"L": [{"N": "99.4"}]},
+        |                   "lag": {"N": "0"}, "system": {"S": "demo"}}},
+        | "time": {"M": {"date": {"S": "2013-05-11T09:30:00.000Z"}}}}""".stripMargin.replace("\n", "")
+    val decoded = cdc.DynamoTags.decode(
+      spark.read.schema(cdc.DynamoTags.taggedSchema(Schemas.tradesLanding))
+        .json(Seq(taggedWire).toDS()),
+      Schemas.tradesLanding)
+    println(s"[tag-decode] rows=${decoded.count()} price=${decoded.select("price").collect()(0).getDouble(0)}")
+
     // 2. Turn batch 1 into INSERT envelopes, batch 2 (replay) into MODIFYs
     //    — the reference replays the same ids every 5 minutes (T4).
     def envelopes(op: String) = trades.select(
