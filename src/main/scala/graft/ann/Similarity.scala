@@ -22,11 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product in double precision. */
+  /** Elementwise dot product in double precision — native codegen'd
+    * expression (see graft.functions.VecDot; the zip_with/aggregate
+    * composition is interpreted and allocates per row). Summation order
+    * is the same left-to-right fold, so results are bit-identical. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecDot.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
