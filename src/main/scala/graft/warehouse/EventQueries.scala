@@ -82,12 +82,16 @@ object EventQueries {
     },
 
     // -- T7 (batch-deterministic): tumbling 1-hour window aggregation.
+    //    Window start as epoch seconds: integer-exact across engines
+    //    (Spark truncates parquet ns timestamps to micros, DuckDB keeps
+    //    ns — raw timestamp outputs depend on the comparator's
+    //    normalization; epoch ints don't).
     "q30_tumbling_window" -> { (s, d) =>
       Tables.events(s, d)
-        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(dec)).as("total_value"))
-        .orderBy(col("hour"), col("event_type"))
+        .orderBy(col("hour_epoch"), col("event_type"))
     },
 
     // -- T10 (batch-deterministic): sessionization with a 30-minute
@@ -107,7 +111,7 @@ object EventQueries {
         .withColumn("session_id", sum(col("is_new")).over(wRun))
         .groupBy(col("user_id"), col("session_id"))
         .agg(
-          min(col("ts_s")).as("session_start"),
+          min(unix_timestamp(col("ts_s"))).as("session_start_epoch"),
           count(lit(1)).as("n_events"),
           sum(col("value").cast(dec)).as("total_value"))
         .orderBy(col("user_id"), col("session_id"))
@@ -151,9 +155,9 @@ object EventQueries {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q30_tumbling_window" ->
-      """SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS n,
+      """SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch, event_type, COUNT(*) AS n,
         |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+        |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
 
     "q31_sessionize" ->
       """WITH e AS (
@@ -170,7 +174,7 @@ object EventQueries {
         |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM g)
-        |SELECT user_id, session_id, MIN(ts_s) AS session_start,
+        |SELECT user_id, session_id, CAST(MIN(EPOCH(ts_s)) AS BIGINT) AS session_start_epoch,
         |  COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,2))) AS total_value
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
   )
