@@ -26,6 +26,7 @@ object SparkEntry {
       warehouse.ScalarQueries.queries ++
       warehouse.SetAggQueries.queries ++
       warehouse.ExtrasQueries.queries ++
+      warehouse.TpchQueries.queries ++
       cdc.CdcQueries.queries ++
       text.TextQueries.queries ++
       ann.AnnQueries.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       warehouse.ScalarQueries.oracleSql ++
       warehouse.SetAggQueries.oracleSql ++
       warehouse.ExtrasQueries.oracleSql ++
+      warehouse.TpchQueries.oracleSql ++
       cdc.CdcQueries.oracleSql ++
       text.TextQueries.oracleSql ++
       ann.AnnQueries.oracleSql ++

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.streaming.StreamOps
+
+/** Streaming analytics driven end-to-end over the testdata events table:
+  * the parquet file is replayed as a bounded stream (Trigger.AvailableNow)
+  * through the watermarked window/session/join operators — the same code
+  * that would run continuously against a live source at scale.
+  * Run: `sbt "runMain graft.StreamingDemo [sfDir]"`.
+  */
+object StreamingDemo {
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects; for streaming reads the nanosAsLong flag types `ts` as a
+    * long, rebuilt here at micros (same convention as Tables.events). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // streaming file source wants a directory; glob-filter to the events
+    // table inside the sf dir
+    def eventsStream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+    def runToMemory(df: org.apache.spark.sql.DataFrame, name: String): Long = {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).count()
+    }
+
+    val tumbling = runToMemory(StreamOps.tumblingAgg(eventsStream), "demo_tumbling")
+    println(s"[tumbling] closed 1h windows: $tumbling")
+    val sessions = runToMemory(StreamOps.sessionAgg(eventsStream), "demo_sessions")
+    println(s"[sessions] closed 30min-gap sessions: $sessions")
+    val joined = runToMemory(StreamOps.purchaseClickJoin(eventsStream), "demo_ssjoin")
+    println(s"[stream-stream join] purchase-click matches: $joined")
+    spark.stop()
+  }
+}
