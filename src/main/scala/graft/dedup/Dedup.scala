@@ -204,6 +204,29 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** Winnowing near-dups: documents sharing ≥ `minShared` sampled
+    * rolling-hash fingerprints (containment-style overlap — catches a
+    * copied paragraph inside an otherwise different document, which
+    * whole-document MinHash dilutes away). Explode fingerprints → bucket
+    * join → count shared per pair. */
+  def winnowNearDups(
+      docs: DataFrame, id: Column, text: Column,
+      minShared: Int = 2, k: Int = 16, w: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val fps = docs.select(id.as("id"),
+      explode(graft.functions.WinnowFingerprints.winnow_fingerprints(text, k, w)).as("bucket"))
+    val sized = fps
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("bsz") <= maxBucketSize)
+    val a = sized.select(col("id").as("a_id"), col("bucket"))
+    val b = sized.select(col("id").as("b_id"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+  }
+
   /** Embedding-cosine near-dups within a blocking key. Vectors cast to
     * double before any arithmetic (float32 upcast, then IEEE-stable). */
   def embeddingNearDups(

@@ -22,6 +22,13 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword-boundary token count: alpha runs, digit runs, and
+    * individual symbols — the pre-tokenization split BPE vocabularies are
+    * trained over. A real BPE merge table would apply on top of these
+    * pieces; the count is the standard cheap length-estimate. */
+  def bpeIshTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
   /** Count of tokens from `words` present in the text (word-boundary
     * matching via padded contains — cheap and oracle-reproducible). */
   def wordHits(text: Column, words: Seq[String]): Column = {

@@ -28,6 +28,7 @@ object TextQueries {
           col("doc_id"),
           TextFunctions.charLen(t).as("n_chars_text"),
           TextFunctions.tokenCount(t).as("n_tokens"),
+          TextFunctions.bpeIshTokenCount(t).as("n_bpe_tokens"),
           TextFunctions.nonAlnumCount(t).as("n_non_alnum"),
           TextFunctions.stopwordRatio(t).as("stopword_ratio"),
           (TextFunctions.tokenCount(t) >= 5 && TextFunctions.charLen(t) >= 20)
@@ -84,6 +85,14 @@ object TextQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // -- winnowing fingerprint near-dups (no oracle: native rolling-hash
+    //    expression) — containment-style overlap detection.
+    "q57_winnow_fingerprints" -> { (s, d) =>
+      Dedup.winnowNearDups(
+          Tables.documents(s, d), col("doc_id"), col("text"), minShared = 3)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // -- SimHash near-dup pairs (no oracle: xxhash64). Radius 6/64 bits —
     //    the near-duplicate regime; wider radii on same-domain corpora
     //    degenerate into quadratic almost-everything-matches output.
@@ -115,6 +124,7 @@ object TextQueries {
       s"""SELECT doc_id,
          |  LENGTH(text) AS n_chars_text,
          |  LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS n_tokens,
+         |  LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
          |  LENGTH(text) - LENGTH(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g')) AS n_non_alnum,
          |  CAST(${hitsSql(Seq("the", "a", "of", "and", "is", "in"))} AS DOUBLE)
          |    / CAST(LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS DOUBLE) AS stopword_ratio,

@@ -67,6 +67,28 @@ class DedupSpec extends AnyFunSuite {
     assert(exact._3 == 1.0)
   }
 
+  test("winnowing: shared-paragraph containment detected, unrelated not") {
+    val para = "the quick brown fox jumps over the lazy dog near the riverbank every single morning"
+    // doc 3 shares no >=16-byte phrase with 1/2 (winnowing correctly
+    // flags any such shared run as containment)
+    val containment = Seq(
+      (1L, para + " with extra trailing words that differ at the end"),
+      (2L, "some opening words come before " + para),
+      (3L, "columnar storage kernels power vectorized execution inside modern warehouses")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowNearDups(containment, col("doc_id"), col("text"), minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowing guarantee: identical text -> identical fingerprint sets") {
+    import graft.functions.WinnowFingerprints.winnow_fingerprints
+    val fps = Seq(base, base).toDF("text")
+      .select(winnow_fingerprints(col("text")).as("f")).collect()
+    assert(fps(0).getSeq[Long](0) == fps(1).getSeq[Long](0))
+    assert(fps(0).getSeq[Long](0).nonEmpty)
+  }
+
   test("degenerate buckets are capped (no quadratic blowup)") {
     val many = (1L to 300L).map(i => (i, base)).toDF("doc_id", "text")
     // all 300 docs identical -> one bucket of 300 > cap 100 -> dropped
