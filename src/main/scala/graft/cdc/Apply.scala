@@ -52,14 +52,20 @@ object Apply {
       staged: DataFrame,
       warehouseDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    staged.writeStream
+      trigger: Trigger = Trigger.AvailableNow(),
+      partitionBy: Seq[String] = Nil): StreamingQuery = {
+    val w = staged.writeStream
       .format("parquet")
       .option("path", warehouseDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(trigger)
-      .start()
+    // Partitioned layout: at warehouse scale the landing table partitions
+    // on a low-cardinality derived key (e.g. event date) so analytic scans
+    // prune whole directories — the Spark-native form of Redshift's
+    // distribution/sort keys.
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).start()
+  }
 
   /** S11: full-load-and-cdc composition — batch snapshot into
     * `{dir}/full_load`, change stream into `{dir}/cdc`. Two physical

@@ -96,6 +96,21 @@ class CaptureApplySpec extends AnyFunSuite {
     assert(latest.count() == 3)
   }
 
+  test("S9: partitioned warehouse append creates prunable directories") {
+    val stage = tmp("stage-part")
+    val wh = tmp("wh-part")
+    Capture.stageBatch(Envelope.route(
+      Seq(env("INSERT", "a"), env("INSERT", "b", 2.0)).toDF()), stage)
+    val ap = Apply.startAppend(
+      Apply.stagedStream(spark, stage, afterSchema), wh, tmp("ck-part"),
+      partitionBy = Seq("ticker"))
+    ap.awaitTermination()
+    assert(new java.io.File(s"$wh/ticker=tick").exists())
+    // partition filter prunes to the directory
+    val scan = spark.read.schema(afterSchema).parquet(wh).filter(col("ticker") === "tick")
+    assert(scan.count() == 2)
+  }
+
   test("T9: startIfNotRunning is a no-op when the named query is active") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Env]
