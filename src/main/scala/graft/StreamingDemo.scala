@@ -55,6 +55,17 @@ object StreamingDemo {
     println(s"[sessions] closed 30min-gap sessions: $sessions")
     val joined = runToMemory(StreamOps.purchaseClickJoin(eventsStream), "demo_ssjoin")
     println(s"[stream-stream join] purchase-click matches: $joined")
+
+    // transformWithState sessionizer (needs the RocksDB state store)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import org.apache.spark.sql.Encoders
+    val typed = eventsStream
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as(Encoders.product[StreamOps.Evt])
+    val tws = runToMemory(
+      StreamOps.sessionizeTws(typed, gapSeconds = 1800).toDF(), "demo_tws")
+    println(s"[transformWithState] closed sessions: $tws")
     spark.stop()
   }
 }

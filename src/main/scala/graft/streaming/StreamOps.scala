@@ -96,6 +96,58 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** T10, modern API: the same sessionizer on Spark 4's transformWithState
+    * (StatefulProcessor + typed ValueState). Functionally equivalent to
+    * [[sessionize]]; this is the forward-compatible state API (state TTL,
+    * multiple named states). Requires the RocksDB state store provider —
+    * set spark.sql.streaming.stateStore.providerClass to
+    * o.a.s.sql.execution.streaming.state.RocksDBStateStoreProvider (the
+    * HDFS-backed default store has no column families). */
+  class SessionProcessor(gapSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, ClosedSession] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState](
+        "session", E.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Evt],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val sec = e.ts.getTime / 1000
+        (if (state.exists()) Some(state.get()) else None) match {
+          case Some(s) if sec - s.last > gapSeconds =>
+            closed += ClosedSession(userId, new java.sql.Timestamp(s.start * 1000), s.n, s.total)
+            state.update(SessionState(sec, sec, 1, e.value))
+          case Some(s) =>
+            state.update(SessionState(s.start, sec, s.n + 1, s.total + e.value))
+          case None =>
+            state.update(SessionState(sec, sec, 1, e.value))
+        }
+      }
+      closed.iterator
+    }
+  }
+
+  /** transformWithState-based sessionization entry point. */
+  def sessionizeTws(events: Dataset[Evt], gapSeconds: Long = 1800): Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import org.apache.spark.sql.{Encoders => E}
+    implicit val closedEnc: org.apache.spark.sql.Encoder[ClosedSession] =
+      E.product[ClosedSession]
+    events
+      .groupByKey(_.user_id)(E.scalaLong)
+      .transformWithState(
+        new SessionProcessor(gapSeconds),
+        TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** J8: stream-stream join — purchases correlated with the same user's
     * clicks in the preceding hour. Watermarks bound both join-state sides. */
   def purchaseClickJoin(events: DataFrame, delay: String = "10 minutes"): DataFrame = {

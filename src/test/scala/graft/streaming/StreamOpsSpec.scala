@@ -83,6 +83,32 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows.contains((7L, 2, 4.0)))
   }
 
+  test("T10 modern: transformWithState sessionizer matches the fMGWS one") {
+    implicit val ctx = spark.sqlContext
+    // transformWithState needs a column-family-capable state store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Evt]
+      val sessions = StreamOps.sessionizeTws(ms.toDS(), gapSeconds = 1800)
+      val q = sessions.toDF().writeStream.format("memory").queryName("twssessions")
+        .outputMode("append").start()
+      ms.addData(Evt(9, t(0), "click", 1.5), Evt(9, t(10), "view", 2.5))
+      q.processAllAvailable()
+      ms.addData(Evt(9, t(120), "click", 9.0)) // gap closes session 1
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("twssessions").collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+      assert(rows.contains((9L, 2, 4.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("J8: stream-stream join matches clicks within the preceding hour") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Evt]
