@@ -86,14 +86,30 @@ object ParseMoney {
       ParseMoney(org.apache.spark.sql.GraftColumnBridge.expression(c)))
 }
 
-/** SparkSessionExtensions hook: registers `parse_money` for SQL use.
-  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+/** SparkSessionExtensions hook: registers the engine's native functions
+  * for SQL use. `SparkSession.builder().withExtensions(new
+  * GraftExtensions)` or `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("parse_money"),
       new ExpressionInfo(classOf[ParseMoney].getName, "parse_money"),
       (exprs: Seq[Expression]) => ParseMoney(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (exprs: Seq[Expression]) => {
+        def lit(i: Int): Int = exprs(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => sys.error(s"winnow_fingerprints arg ${i + 1} must be an int literal, got $other")
+        }
+        WinnowFingerprints(exprs.head,
+          if (exprs.length > 1) lit(1) else 16,
+          if (exprs.length > 2) lit(2) else 8)
+      }))
   }
 }

@@ -94,6 +94,19 @@ object EventQueries {
         .orderBy(col("hour_epoch"), col("event_type"))
     },
 
+    // -- §1.1 SUPER parity, modern form: VariantType (Spark 4) —
+    //    schema-on-read semi-structured column, navigated with variant_get.
+    //    Same result contract as q22's get_json_object path.
+    "q58_variant_super" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", try_variant_get(col("v"), "$.k", "long"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).as("total_value"))
+        .orderBy(col("k"))
+    },
+
     // -- T10 (batch-deterministic): sessionization with a 30-minute
     //    inactivity gap — lag marks session starts, running sum numbers
     //    sessions, then one grouped agg. Two window passes + one agg over
@@ -158,6 +171,12 @@ object EventQueries {
       """SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch, event_type, COUNT(*) AS n,
         |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
+
+    "q58_variant_super" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  COUNT(*) AS n_events,
+        |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
 
     "q31_sessionize" ->
       """WITH e AS (

@@ -52,6 +52,12 @@ class ParseMoneySpec extends AnyFunSuite {
         .getOrCreate()
       val out = s2.sql("SELECT parse_money('  1,234.56 ') AS v").collect()(0)
       assert(out.getDecimal(0).compareTo(new java.math.BigDecimal("1234.56")) == 0)
+      val dot = s2.sql("SELECT vec_dot(array(1.5D, 2.5D), array(2.0D, 3.0D)) AS d")
+        .collect()(0).getDouble(0)
+      assert(dot == 10.5)
+      val fps = s2.sql("SELECT winnow_fingerprints('the quick brown fox jumps over the lazy dog', 8, 4) AS f")
+        .collect()(0).getSeq[Long](0)
+      assert(fps.nonEmpty)
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
