@@ -16,8 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  // Memoized per (session, path): repeated reads of the same immutable
+  // table otherwise re-list files and re-read parquet footers on every
+  // query — measurable fixed overhead when a session runs the whole
+  // 58-query surface. The cache holds lazy plans (no data), so memory
+  // cost is the file index only.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   def region(spark: SparkSession, d: String): DataFrame    = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame    = load(spark, d, "nation")
