@@ -27,6 +27,7 @@ object SparkEntry {
       warehouse.SetAggQueries.queries ++
       warehouse.ExtrasQueries.queries ++
       warehouse.TpchQueries.queries ++
+      warehouse.StatsQueries.queries ++
       cdc.CdcQueries.queries ++
       text.TextQueries.queries ++
       ann.AnnQueries.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
       warehouse.SetAggQueries.oracleSql ++
       warehouse.ExtrasQueries.oracleSql ++
       warehouse.TpchQueries.oracleSql ++
+      warehouse.StatsQueries.oracleSql ++
       cdc.CdcQueries.oracleSql ++
       text.TextQueries.oracleSql ++
       ann.AnnQueries.oracleSql ++

@@ -1,0 +1,79 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.util.Tables
+
+/** Window value functions, multiset intersect, and percentile aggregates —
+  * the last §2.5/§2.6 inventory stragglers.
+  */
+object StatsQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- W3 value functions: first/last/nth over explicit frames.
+    "q59_window_values" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // -- §2.6: INTERSECT ALL (multiset semantics — the dual of q35's
+    //    EXCEPT ALL reconciliation).
+    "q60_intersect_all" -> { (s, d) =>
+      val a = Tables.lineitem(s, d).filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey").as("orderkey"))
+      val b = Tables.lineitem(s, d).filter(col("l_linestatus") === "F")
+        .select(col("l_orderkey").as("orderkey"))
+      a.intersectAll(b).orderBy(col("orderkey"))
+    },
+
+    // -- §2.4: exact percentiles (Spark `percentile` and DuckDB
+    //    quantile_cont share linear interpolation; quantities are small
+    //    integers so results are exact).
+    "q61_percentile" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, array(0.25, 0.75))").as("quartiles"),
+          max(col("l_quantity").cast(dec)).as("max_qty"))
+        .orderBy(col("l_returnflag"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q59_window_values" ->
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+        |  LAST_VALUE(o_orderkey) OVER w AS last_order,
+        |  NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q60_intersect_all" ->
+      """SELECT l_orderkey AS orderkey FROM lineitem WHERE l_returnflag = 'A'
+        |INTERSECT ALL
+        |SELECT l_orderkey AS orderkey FROM lineitem WHERE l_linestatus = 'F'
+        |ORDER BY orderkey""".stripMargin,
+
+    "q61_percentile" ->
+      """SELECT l_returnflag,
+        |  QUANTILE_CONT(l_quantity, 0.5) AS median_qty,
+        |  QUANTILE_CONT(l_quantity, [0.25, 0.75]) AS quartiles,
+        |  MAX(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}
