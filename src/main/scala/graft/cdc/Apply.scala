@@ -67,6 +67,72 @@ object Apply {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).start()
   }
 
+  /** T4/T5-improved: merge (upsert+delete) apply mode — the capability the
+    * reference documents as missing (README.md:30: REMOVE events dropped,
+    * MODIFY accumulates duplicates). Each micro-batch folds into the
+    * keyed table: latest-by-version wins per key, REMOVE tombstones
+    * delete. Hand-rolled over parquet (no table format available
+    * offline): read-modify-write with a staging dir + atomic-ish rename.
+    * At cluster scale the same foreachBatch body targets a transactional
+    * table format's MERGE; only this sink function changes.
+    */
+  def startMerge(
+      envelopes: DataFrame,
+      tableDir: String,
+      checkpointDir: String,
+      keyCol: String,
+      versionCol: String,
+      schema: StructType,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    envelopes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch.sparkSession
+        val dir = new java.io.File(tableDir)
+        val current =
+          if (dir.exists() && dir.listFiles().exists(_.getName.endsWith(".parquet")))
+            spark.read.schema(addVersion(schema)).parquet(tableDir)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], addVersion(schema))
+        // batch rows carry the key at the envelope level (REMOVE has a
+        // null after-image, so the payload key can't be used for merging)
+        val upserts = batch
+          .select(col("op"), col("key").as("_key"),
+            col(versionCol).as("_version"), col("after.*"))
+        val cur = current
+          .withColumn("op", lit(Envelope.Modify))
+          .withColumn("_key", col(keyCol))
+        val merged = Envelope.latestByKey(
+            cur.unionByName(upserts, allowMissingColumns = true),
+            col("_key"), col("_version"))
+          .filter(col("op") =!= Envelope.Remove) // tombstones drop out
+          .drop("op", "_key")
+        val tmp = tableDir + ".staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        // swap (best-effort atomic on a local fs; table formats make this a
+        // metadata commit)
+        val old = new java.io.File(tableDir + ".old")
+        if (old.exists()) delete(old)
+        if (dir.exists() && !dir.renameTo(old)) sys.error(s"cannot retire $tableDir")
+        if (!new java.io.File(tmp).renameTo(dir)) sys.error(s"cannot publish $tmp")
+        delete(old)
+        ()
+      }
+      .start()
+
+  private def addVersion(schema: StructType): StructType =
+    StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_version",
+        org.apache.spark.sql.types.TimestampType))
+
+  private def delete(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(delete)
+    f.delete()
+    ()
+  }
+
   /** S11: full-load-and-cdc composition — batch snapshot into
     * `{dir}/full_load`, change stream into `{dir}/cdc`. Two physical
     * phases, one logical table (read via [[readWarehouse]]). Kept as

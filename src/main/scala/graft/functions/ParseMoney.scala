@@ -86,11 +86,32 @@ object ParseMoney {
       ParseMoney(org.apache.spark.sql.GraftColumnBridge.expression(c)))
 }
 
+/** Optimizer rule (tier (c) of the custom ladder, SURVEY.md §7.3): folds
+  * `parse_money` of a literal to its parsed constant at plan time, the
+  * same way Catalyst's ConstantFolding handles built-ins — custom
+  * expressions aren't covered by it unless they declare foldability, and
+  * folding here keeps literal thresholds out of the per-row path. */
+object FoldParseMoneyLiterals
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ParseMoney(l @ Literal(_, StringType)) =>
+        Literal.create(
+          MoneyParseUtil.parse(l.value.asInstanceOf[UTF8String]),
+          DecimalType(18, 2))
+    }
+}
+
 /** SparkSessionExtensions hook: registers the engine's native functions
   * for SQL use. `SparkSession.builder().withExtensions(new
   * GraftExtensions)` or `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => FoldParseMoneyLiterals)
     e.injectFunction((
       FunctionIdentifier("parse_money"),
       new ExpressionInfo(classOf[ParseMoney].getName, "parse_money"),

@@ -38,6 +38,21 @@ object StatsQueries {
       a.intersectAll(b).orderBy(col("orderkey"))
     },
 
+    // -- A8+W5: per-group top-k via the mergeable TopKByValue Aggregator —
+    //    O(k) buffers, no per-group sort; cross-validates the window
+    //    row_number formulation (q12) against an independent
+    //    implementation through the oracle.
+    "q62_topk_agg" -> { (s, d) =>
+      val topk = udaf(new graft.functions.TopKByValue(3))
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"),
+          posexplode(col("top.keys")).as(Seq("pos0", "o_orderkey")))
+        .select(col("o_orderpriority"), (col("pos0") + 1).as("rk"), col("o_orderkey"))
+        .orderBy(col("o_orderpriority"), col("rk"))
+    },
+
     // -- §2.4: exact percentiles (Spark `percentile` and DuckDB
     //    quantile_cont share linear interpolation; quantities are small
     //    integers so results are exact).
@@ -68,6 +83,14 @@ object StatsQueries {
         |INTERSECT ALL
         |SELECT l_orderkey AS orderkey FROM lineitem WHERE l_linestatus = 'F'
         |ORDER BY orderkey""".stripMargin,
+
+    "q62_topk_agg" ->
+      """SELECT o_orderpriority, rk, o_orderkey FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3
+        |ORDER BY o_orderpriority, rk""".stripMargin,
 
     "q61_percentile" ->
       """SELECT l_returnflag,

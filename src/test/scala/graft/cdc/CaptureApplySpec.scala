@@ -111,6 +111,31 @@ class CaptureApplySpec extends AnyFunSuite {
     assert(scan.count() == 2)
   }
 
+  test("T4/T5-improved: merge apply upserts by latest version and deletes on REMOVE") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("merge-table") + "/t" // nonexistent dir initially
+    val ms = MemoryStream[Env]
+    val q = Apply.startMerge(ms.toDF(), table, tmp("ck-merge"),
+      keyCol = "id", versionCol = "ts",
+      schema = afterSchema, trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    // batch 1: two inserts
+    ms.addData(env("INSERT", "a", 1.0).copy(ts = ts(100)),
+      env("INSERT", "b", 2.0).copy(ts = ts(100)))
+    q.processAllAvailable()
+    // batch 2: modify a, remove b, insert c
+    ms.addData(
+      env("MODIFY", "a", 10.0).copy(ts = ts(200)),
+      Env("REMOVE", "b", null, ts(200)),
+      env("INSERT", "c", 3.0).copy(ts = ts(200)))
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.parquet(table)
+    val byId = landed.collect().map(r => r.getAs[String]("id") ->
+      r.getAs[Double]("price")).toMap
+    assert(byId == Map("a" -> 10.0, "c" -> 3.0)) // b deleted, a upserted
+  }
+
   test("T9: startIfNotRunning is a no-op when the named query is active") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Env]

@@ -58,6 +58,12 @@ class ParseMoneySpec extends AnyFunSuite {
       val fps = s2.sql("SELECT winnow_fingerprints('the quick brown fox jumps over the lazy dog', 8, 4) AS f")
         .collect()(0).getSeq[Long](0)
       assert(fps.nonEmpty)
+      // optimizer rule: parse_money of a literal folds to a constant
+      val optimized = s2.sql("SELECT parse_money(' 9,999.99 ') AS v")
+        .queryExecution.optimizedPlan
+      assert(!optimized.toString.contains("parsemoney"),
+        s"expected literal fold, got: $optimized")
+      assert(optimized.toString.contains("9999.99"))
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
