@@ -30,6 +30,7 @@ object SparkEntry {
       warehouse.StatsQueries.queries ++
       cdc.CdcQueries.queries ++
       text.TextQueries.queries ++
+      text.SamplingQueries.queries ++
       ann.AnnQueries.queries ++
       multimodal.MultimodalQueries.queries
 
@@ -47,6 +48,7 @@ object SparkEntry {
       warehouse.StatsQueries.oracleSql ++
       cdc.CdcQueries.oracleSql ++
       text.TextQueries.oracleSql ++
+      text.SamplingQueries.oracleSql ++
       ann.AnnQueries.oracleSql ++
       multimodal.MultimodalQueries.oracleSql
 }

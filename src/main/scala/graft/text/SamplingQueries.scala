@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Corpus subsampling / mixing operators — the selection stage of a
+  * training-data pipeline. Sampling is systematic (key-modulo) rather
+  * than RNG-based: deterministic, reproducible across runs and engines,
+  * and resumable at 100 TB (a restarted job selects the same rows;
+  * `TABLESAMPLE` semantics differ per engine and per partitioning).
+  */
+object SamplingQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- stratified sampling: cap each language at 50 docs, lowest ids
+    //    win (deterministic quota per stratum).
+    "q63_stratified_sample" -> { (s, d) =>
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          max(col("doc_id")).as("max_kept_id"))
+        .orderBy(col("lang"))
+    },
+
+    // -- weighted source mixture: per-source systematic rates (1-in-2 for
+    //    even sources, 1-in-5 for odd) — the "mix corpora at fixed
+    //    proportions" op, as one declarative filter.
+    "q64_source_mixture" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("src_num",
+          regexp_extract(col("source"), "([0-9]+)$", 1).cast("int"))
+        .filter(
+          (col("src_num") % 2 === 0 && col("doc_id") % 2 === 0) ||
+          (col("src_num") % 2 === 1 && col("doc_id") % 5 === 0))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q63_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS n_sampled, MAX(doc_id) AS max_kept_id FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 50
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q64_source_mixture" ->
+      """SELECT source, COUNT(*) AS n_kept
+        |FROM (SELECT *, CAST(REGEXP_EXTRACT(source, '([0-9]+)$', 1) AS INT) AS src_num
+        |  FROM documents)
+        |WHERE (src_num % 2 = 0 AND doc_id % 2 = 0)
+        |   OR (src_num % 2 = 1 AND doc_id % 5 = 0)
+        |GROUP BY source ORDER BY source""".stripMargin
+  )
+}
