@@ -53,6 +53,20 @@ object StatsQueries {
         .orderBy(col("o_orderpriority"), col("rk"))
     },
 
+    // -- skew salting through the correctness gate: the salted join is
+    //    semantics-preserving, so its oracle is the PLAIN join — any
+    //    drop/duplication introduced by the salt replication would fail
+    //    the hash compare.
+    "q65_salted_join" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("value"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      Scale.saltedJoin(ev, dim, "user_id", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("total_value"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // -- §2.4: exact percentiles (Spark `percentile` and DuckDB
     //    quantile_cont share linear interpolation; quantities are small
     //    integers so results are exact).
@@ -91,6 +105,12 @@ object StatsQueries {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) WHERE rk <= 3
         |ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q65_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q61_percentile" ->
       """SELECT l_returnflag,
