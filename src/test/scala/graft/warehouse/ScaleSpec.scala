@@ -36,6 +36,11 @@ class ScaleSpec extends AnyFunSuite {
       val o = Tables.orders(spark, sf)
       val li = Tables.lineitem(spark, sf)
       assert(joined.count() == o.join(li, o("o_orderkey") === li("l_orderkey")).count())
+      // aggregation on the bucket key also rides the bucketing: no exchange
+      val aggPlan = spark.table("lineitem_b").groupBy("o_orderkey").count()
+        .queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange hashpartitioning"),
+        s"expected exchange-free bucketed aggregation, got:\n$aggPlan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
