@@ -38,6 +38,15 @@ object AnnQueries {
       Similarity.ivfSearch(idx, queryVec(s, d), k = 10, nprobe = 2)
     },
 
+    // -- LSH scale path: sign-LSH buckets, probe Hamming<=1 neighbors
+    //    (no oracle; AnnSpec asserts candidate containment + recall).
+    "q66_ann_lsh" -> { (s, d) =>
+      Similarity.lshSearch(
+        Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+        col("vec_id"), col("embedding"),
+        queryVec(s, d), k = 10)
+    },
+
     // -- embedding-cosine near-dup pairs, blocked by label (bounded
     //    subset; at scale the block key comes from LSH buckets).
     "q47_embedding_neardup" -> { (s, d) =>

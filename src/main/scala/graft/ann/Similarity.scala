@@ -92,6 +92,43 @@ object Similarity {
         array_sort(collect_list(struct(col("dim"), col("m")))),
         s => s.getField("m").cast("float")).as("c"))
 
+  /** Deterministic pseudo-random hyperplanes for sign-LSH (no RNG:
+    * reproducible across runs/executors — an LSH index must hash the same
+    * vector to the same bucket forever). */
+  private def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { i =>
+        (((p * 2654435761L + i * 40503L + 12289L) % 1000003L).toDouble / 500001.5) - 1.0
+      }
+    }
+
+  /** Sign-LSH bucket id: one bit per hyperplane (sign of the projection).
+    * Cosine-similar vectors agree on most signs, so they collide. */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
+    planes(nPlanes, dim).zipWithIndex.map { case (pl, i) =>
+      when(dot(vec, typedlit(pl)) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: scan only vectors whose bucket is within Hamming
+    * distance `probeHamming` of the query's bucket (sign flips near a
+    * plane are the failure mode; probing neighbor buckets buys recall).
+    * Scanned fraction ≈ sum_{h<=probeHamming} C(nPlanes,h) / 2^nPlanes.
+    */
+  def lshSearch(
+      embs: DataFrame, id: Column, vec: Column,
+      query: DataFrame, k: Int, nPlanes: Int = 8, dim: Int = 64,
+      probeHamming: Int = 1): DataFrame = {
+    val bucketed = embs.select(id.as("nn_id"), vec.as("v"))
+      .withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
+    val qb = query.withColumn("qbucket", lshBucket(col("q"), nPlanes, dim))
+    bucketed.crossJoin(broadcast(qb))
+      .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= probeHamming)
+      .withColumn("cosine", cosine(col("v"), col("q")))
+      .select(col("nn_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("nn_id"))
+      .limit(k)
+  }
+
   /** Probe an IVF index: rank cells by query-to-centroid similarity, scan
     * only the vectors in the best `nprobe` cells. */
   def ivfSearch(

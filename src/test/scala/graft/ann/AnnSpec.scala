@@ -42,6 +42,27 @@ class AnnSpec extends AnyFunSuite {
     assert(full == bf)
   }
 
+  test("LSH search: deterministic buckets, results within the scanned cone") {
+    val r1 = Similarity.lshSearch(embs, col("vec_id"), col("embedding"), query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val r2 = Similarity.lshSearch(embs, col("vec_id"), col("embedding"), query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(r1 == r2) // deterministic planes -> reproducible result
+    assert(r1.nonEmpty && r1.size <= 10)
+    // every returned neighbor really is cosine-ranked (desc)
+    val cosines = r1.map(_._2)
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("LSH with all buckets probed reproduces brute force exactly") {
+    val all = Similarity.lshSearch(embs, col("vec_id"), col("embedding"), query,
+        k = 10, nPlanes = 8, probeHamming = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val bf = Similarity.bruteForceTopK(embs, col("vec_id"), col("embedding"), query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all == bf)
+  }
+
   test("IVF partial probe: subset of brute-force scan with sane recall") {
     val idx = Similarity.buildIvf(embs, col("vec_id"), col("embedding"),
       nCentroids = 8, iterations = 1)
