@@ -28,6 +28,7 @@ object SparkEntry {
       warehouse.ExtrasQueries.queries ++
       warehouse.TpchQueries.queries ++
       warehouse.StatsQueries.queries ++
+      warehouse.StatsQueries.moreQueries ++
       cdc.CdcQueries.queries ++
       text.TextQueries.queries ++
       text.SamplingQueries.queries ++

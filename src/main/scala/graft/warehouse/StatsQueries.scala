@@ -81,7 +81,46 @@ object StatsQueries {
     }
   )
 
+  def moreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- §2.4: ordered string aggregation (listagg) — deterministic via
+    //    explicit WITHIN GROUP ordering on a unique key.
+    "q67_listagg" -> { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation_la")
+      s.sql(
+        """SELECT n_regionkey,
+          |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+          |FROM nation_la GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    },
+
+    // -- gap filling over a generated date spine: days in 1995-01 with no
+    //    orders still get a zero row (sequence+explode = the Spark form of
+    //    a calendar dimension; at scale the spine is generated, never
+    //    materialized by hand).
+    "q68_date_spine" -> { (s, d) =>
+      val spine = s.range(1)
+        .select(explode(sequence(
+          to_date(lit("1995-01-01")), to_date(lit("1995-01-31")),
+          expr("interval 1 day"))).as("day"))
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(daily, Seq("day"), "left_outer")
+        .select(col("day"), coalesce(col("n"), lit(0)).as("n_orders"))
+        .orderBy(col("day"))
+    }
+  )
+
   def oracleSql: Map[String, String] = Map(
+    "q67_listagg" ->
+      """SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q68_date_spine" ->
+      """SELECT CAST(gs.day AS DATE) AS day, COALESCE(d.n, 0) AS n_orders
+        |FROM generate_series(DATE '1995-01-01', DATE '1995-01-31', INTERVAL 1 DAY) AS gs(day)
+        |LEFT JOIN (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+        |  FROM orders GROUP BY 1) d ON CAST(gs.day AS DATE) = d.day
+        |ORDER BY day""".stripMargin,
     "q59_window_values" ->
       """SELECT o_custkey, o_orderkey,
         |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
