@@ -85,6 +85,19 @@ object TextQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // -- text normalization pipeline: lowercase, strip non-alnum,
+    //    squeeze whitespace — the canonicalization step before any
+    //    fingerprint/shingle stage, exposed as its own operator.
+    "q69_text_normalize" -> { (s, d) =>
+      val norm = regexp_replace(
+        regexp_replace(lower(trim(col("text"))), "[^a-z0-9 ]", " "),
+        " +", " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), norm.as("norm_text"),
+          length(norm).as("norm_len"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- winnowing fingerprint near-dups (no oracle: native rolling-hash
     //    expression) — containment-style overlap detection.
     "q57_winnow_fingerprints" -> { (s, d) =>
@@ -134,6 +147,14 @@ object TextQueries {
     "q38_lang_id" ->
       s"""SELECT lang, $langCaseSql AS predicted_lang, COUNT(*) AS n
          |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin,
+
+    "q69_text_normalize" ->
+      """SELECT doc_id,
+        |  REGEXP_REPLACE(REGEXP_REPLACE(LOWER(TRIM(text)), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g') AS norm_text,
+        |  LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(TRIM(text)), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q39_fingerprint" ->
       """SELECT doc_id,
