@@ -62,10 +62,12 @@ object StreamingDemo {
     import org.apache.spark.sql.Encoders
     val typed = eventsStream
       .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .withWatermark("ts", "10 minutes")
       .as(Encoders.product[StreamOps.Evt])
     val tws = runToMemory(
-      StreamOps.sessionizeTws(typed, gapSeconds = 1800).toDF(), "demo_tws")
-    println(s"[transformWithState] closed sessions: $tws")
+      StreamOps.sessionizeTws(typed, gapSeconds = 1800,
+        eventTimeTimers = true).toDF(), "demo_tws")
+    println(s"[transformWithState] closed sessions (incl. timer-closed trailing): $tws")
     spark.stop()
   }
 }

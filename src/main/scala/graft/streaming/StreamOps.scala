@@ -105,14 +105,20 @@ object StreamOps {
     * HDFS-backed default store has no column families). */
   class SessionProcessor(gapSeconds: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, ClosedSession] {
-    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.{Encoders => E}
 
     @transient private var state: ValueState[SessionState] = _
+    @transient private var useTimers: Boolean = false
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       state = getHandle.getValueState[SessionState](
         "session", E.product[SessionState], TTLConfig.NONE)
+      useTimers = timeMode == TimeMode.EventTime()
+    }
+
+    private def close(userId: Long, s: SessionState) =
+      ClosedSession(userId, new java.sql.Timestamp(s.start * 1000), s.n, s.total)
 
     override def handleInputRows(
         userId: Long, rows: Iterator[Evt],
@@ -122,7 +128,7 @@ object StreamOps {
         val sec = e.ts.getTime / 1000
         (if (state.exists()) Some(state.get()) else None) match {
           case Some(s) if sec - s.last > gapSeconds =>
-            closed += ClosedSession(userId, new java.sql.Timestamp(s.start * 1000), s.n, s.total)
+            closed += close(userId, s)
             state.update(SessionState(sec, sec, 1, e.value))
           case Some(s) =>
             state.update(SessionState(s.start, sec, s.n + 1, s.total + e.value))
@@ -130,12 +136,31 @@ object StreamOps {
             state.update(SessionState(sec, sec, 1, e.value))
         }
       }
+      // event-time timer: close the trailing session once the watermark
+      // passes last + gap (re-registered per batch; newer events push it)
+      if (useTimers && state.exists()) {
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer((state.get().last + gapSeconds) * 1000)
+      }
       closed.iterator
+    }
+
+    override def handleExpiredTimer(
+        userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (!state.exists()) return Iterator.empty
+      val s = state.get()
+      state.clear()
+      Iterator(close(userId, s))
     }
   }
 
-  /** transformWithState-based sessionization entry point. */
-  def sessionizeTws(events: Dataset[Evt], gapSeconds: Long = 1800): Dataset[ClosedSession] = {
+  /** transformWithState-based sessionization entry point.
+    * `eventTimeTimers = true` (requires `withWatermark` upstream) also
+    * closes trailing sessions when the watermark passes last + gap —
+    * full parity with [[sessionize]]'s timeout behavior. */
+  def sessionizeTws(events: Dataset[Evt], gapSeconds: Long = 1800,
+      eventTimeTimers: Boolean = false): Dataset[ClosedSession] = {
     import org.apache.spark.sql.streaming.TimeMode
     import org.apache.spark.sql.{Encoders => E}
     implicit val closedEnc: org.apache.spark.sql.Encoder[ClosedSession] =
@@ -144,7 +169,7 @@ object StreamOps {
       .groupByKey(_.user_id)(E.scalaLong)
       .transformWithState(
         new SessionProcessor(gapSeconds),
-        TimeMode.None(),
+        if (eventTimeTimers) TimeMode.EventTime() else TimeMode.None(),
         OutputMode.Append())
   }
 

@@ -26,6 +26,22 @@ class JsonTradesSpec extends AnyFunSuite {
     assert(systems == Set("alpha", "beta", "gamma"))
   }
 
+  test("S10 schema evolution: widened landing schema null-fills old rows, lands new fields") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val widened = StructType(
+      graft.model.Schemas.tradesLanding.fields :+
+        StructField("venue", StringType, nullable = true))
+    val lines = Seq(
+      """{"id": "old1", "ticker": "aa", "price": 1.0}""",
+      """{"id": "new1", "ticker": "bb", "price": 2.0, "venue": "XNYS"}""")
+    val df = spark.read.schema(widened).json(lines.toDS())
+    assert(df.count() == 2)
+    val byId = df.collect().map(r => r.getAs[String]("id") ->
+      Option(r.getAs[String]("venue"))).toMap
+    assert(byId("old1").isEmpty && byId("new1").contains("XNYS"))
+  }
+
   test("typed view: ISO timestamps parse, array stats computed") {
     val t = JsonTrades.typedTrades(trades)
     assert(t.filter(col("trade_ts").isNull).count() == 0)

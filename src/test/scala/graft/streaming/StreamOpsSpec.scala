@@ -109,6 +109,37 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("T10 modern + timers: trailing session closes when watermark passes gap") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Evt]
+      val withWm = ms.toDF().withWatermark("ts", "1 minute")
+        .as(org.apache.spark.sql.Encoders.product[Evt])
+      val sessions = StreamOps.sessionizeTws(withWm, gapSeconds = 1800,
+        eventTimeTimers = true)
+      val q = sessions.toDF().writeStream.format("memory").queryName("twstimers")
+        .outputMode("append").start()
+      ms.addData(Evt(11, t(0), "click", 1.0), Evt(11, t(5), "view", 2.0))
+      q.processAllAvailable()
+      // no gap-closing event — only the watermark advances (other user)
+      ms.addData(Evt(12, t(200), "click", 0.0))
+      q.processAllAvailable()
+      ms.addData(Evt(12, t(400), "click", 0.0)) // push watermark further
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("twstimers").collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+      assert(rows.contains((11L, 2, 3.0))) // closed by timer, not by an event
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("J8: stream-stream join matches clicks within the preceding hour") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Evt]
