@@ -65,6 +65,28 @@ object Capture {
     } finally routed.unpersist()
   }
 
+  /** Kafka-wire adapter (S7): a Kafka source yields (key binary, value
+    * binary, timestamp, …); this projects it into the CDC envelope via
+    * from_json on the payload — `spark.readStream.format("kafka")…` plugs
+    * straight into [[start]] through this. Envelope JSON shape:
+    * {"op": …, "after": {…}}; the record key is the entity key and the
+    * broker timestamp the event time. */
+  def fromKafkaShape(
+      kafka: DataFrame,
+      afterSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val parsed = from_json(
+      col("value").cast("string"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("after", afterSchema))))
+    kafka.select(
+      parsed.getField("op").as("op"),
+      col("key").cast("string").as("key"),
+      parsed.getField("after").as("after"),
+      col("timestamp").as("ts"))
+  }
+
   /** S7/S8: start the capture query. `maxFilesPerTrigger`-style batch caps
     * and start position belong to the upstream source config; here the
     * trigger mirrors the reference's 5-second batching window (T1).
