@@ -29,6 +29,7 @@ object SparkEntry {
       warehouse.TpchQueries.queries ++
       warehouse.StatsQueries.queries ++
       warehouse.StatsQueries.moreQueries ++
+      warehouse.SketchQueries.queries ++
       cdc.CdcQueries.queries ++
       text.TextQueries.queries ++
       text.SamplingQueries.queries ++
