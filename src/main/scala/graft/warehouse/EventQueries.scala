@@ -94,6 +94,45 @@ object EventQueries {
         .orderBy(col("hour_epoch"), col("event_type"))
     },
 
+    // -- funnel analysis: users who signed up, then clicked, then
+    //    purchased, in event order (min event id per stage, ordered).
+    "q72_funnel" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("event_id"))).as("first_signup"),
+          min(when(col("event_type") === "click", col("event_id"))).as("first_click"),
+          min(when(col("event_type") === "purchase", col("event_id"))).as("first_purchase"))
+        .select(col("user_id"),
+          col("first_signup").isNotNull.as("s1"),
+          (col("first_click") > col("first_signup")).as("s2"),
+          (col("first_purchase") > col("first_click")).as("s3"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(when(col("s1"), 1)).as("reached_signup"),
+          count(when(col("s1") && col("s2"), 1)).as("reached_click"),
+          count(when(col("s1") && col("s2") && col("s3"), 1)).as("reached_purchase"))
+    },
+
+    // -- cohort retention: users grouped by first-activity day; how many
+    //    are active k days later (day diffs on second-truncated ts).
+    "q73_cohort_retention" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val firstDay = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      ev.join(firstDay, Seq("user_id"))
+        .select(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("age_days"), col("user_id"))
+        .distinct()
+        .groupBy(col("cohort_day"))
+        .agg(
+          countDistinct(when(col("age_days") === 0, col("user_id"))).as("d0"),
+          countDistinct(when(col("age_days") === 1, col("user_id"))).as("d1"),
+          countDistinct(when(col("age_days") >= 7, col("user_id"))).as("d7plus"))
+        .orderBy(col("cohort_day"))
+    },
+
     // -- §1.1 SUPER parity, modern form: VariantType (Spark 4) —
     //    schema-on-read semi-structured column, navigated with variant_get.
     //    Same result contract as q22's get_json_object path.
@@ -177,6 +216,36 @@ object EventQueries {
         |  COUNT(*) AS n_events,
         |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "q72_funnel" ->
+      """WITH stages AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN event_id END) AS first_signup,
+        |    MIN(CASE WHEN event_type = 'click' THEN event_id END) AS first_click,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN event_id END) AS first_purchase
+        |  FROM events GROUP BY user_id),
+        |flags AS (
+        |  SELECT user_id, first_signup IS NOT NULL AS s1,
+        |    first_click > first_signup AS s2,
+        |    first_purchase > first_click AS s3
+        |  FROM stages)
+        |SELECT COUNT(*) AS n_users,
+        |  COUNT(CASE WHEN s1 THEN 1 END) AS reached_signup,
+        |  COUNT(CASE WHEN s1 AND s2 THEN 1 END) AS reached_click,
+        |  COUNT(CASE WHEN s1 AND s2 AND s3 THEN 1 END) AS reached_purchase
+        |FROM flags""".stripMargin,
+
+    "q73_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |fd AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
+        |aged AS (SELECT DISTINCT fd.cohort_day,
+        |    DATE_DIFF('day', fd.cohort_day, ev.day) AS age_days, ev.user_id
+        |  FROM ev JOIN fd ON ev.user_id = fd.user_id)
+        |SELECT cohort_day,
+        |  COUNT(DISTINCT CASE WHEN age_days = 0 THEN user_id END) AS d0,
+        |  COUNT(DISTINCT CASE WHEN age_days = 1 THEN user_id END) AS d1,
+        |  COUNT(DISTINCT CASE WHEN age_days >= 7 THEN user_id END) AS d7plus
+        |FROM aged GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
 
     "q31_sessionize" ->
       """WITH e AS (
