@@ -91,11 +91,19 @@ object Apply {
         import org.apache.spark.sql.functions._
         val spark = batch.sparkSession
         val dir = new java.io.File(tableDir)
+        // crash recovery: a death between the two renames leaves the table
+        // only under .old — restore it before reading, otherwise the replay
+        // would publish a table containing just the replayed batch
+        val retired = new java.io.File(tableDir + ".old")
+        if (!dir.exists() && retired.exists() && !retired.renameTo(dir))
+          sys.error(s"cannot restore $retired")
+        val versionType = envelopes.schema(versionCol).dataType
+        val stored = addVersion(schema, versionType)
         val current =
           if (dir.exists() && dir.listFiles().exists(_.getName.endsWith(".parquet")))
-            spark.read.schema(addVersion(schema)).parquet(tableDir)
+            spark.read.schema(stored).parquet(tableDir)
           else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], addVersion(schema))
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stored)
         // batch rows carry the key at the envelope level (REMOVE has a
         // null after-image, so the payload key can't be used for merging)
         val upserts = batch
@@ -104,9 +112,11 @@ object Apply {
         val cur = current
           .withColumn("op", lit(Envelope.Modify))
           .withColumn("_key", col(keyCol))
+        // tie-break: on equal versions REMOVE outranks MODIFY outranks
+        // INSERT ('R' > 'M' > 'I'), so deletes win replays deterministically
         val merged = Envelope.latestByKey(
             cur.unionByName(upserts, allowMissingColumns = true),
-            col("_key"), col("_version"))
+            col("_key"), col("_version"), tieBreak = Seq(col("op").desc))
           .filter(col("op") =!= Envelope.Remove) // tombstones drop out
           .drop("op", "_key")
         val tmp = tableDir + ".staging"
@@ -122,10 +132,10 @@ object Apply {
       }
       .start()
 
-  private def addVersion(schema: StructType): StructType =
+  private def addVersion(schema: StructType,
+      versionType: org.apache.spark.sql.types.DataType): StructType =
     StructType(schema.fields :+
-      org.apache.spark.sql.types.StructField("_version",
-        org.apache.spark.sql.types.TimestampType))
+      org.apache.spark.sql.types.StructField("_version", versionType))
 
   private def delete(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(delete)

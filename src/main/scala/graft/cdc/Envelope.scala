@@ -36,9 +36,13 @@ object Envelope {
     * window over a single shuffle on the key; at scale this is the
     * standard CDC compaction pattern.
     */
-  def latestByKey(appended: DataFrame, key: Column, version: Column): DataFrame = {
+  def latestByKey(appended: DataFrame, key: Column, version: Column,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(key).orderBy(version.desc)
+    // tieBreak makes equal-version rows deterministic (e.g. merge apply
+    // orders REMOVE above MODIFY so deletes win replays reproducibly);
+    // without it, equal versions fall to arbitrary partition order.
+    val w = Window.partitionBy(key).orderBy(version.desc +: tieBreak: _*)
     appended
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

@@ -56,9 +56,11 @@ object Dedup {
     * shuffle). MinHash min is duplicate-insensitive, so no distinct pass
     * is needed. */
   def shingleRows(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(id.as("id"),
       posexplode(graft.text.TextFunctions.tokens(text)).as(Seq("pos", "tok")))
+    if (n == 1) return toks.select(col("id"), col("tok").as("sh"))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     toks
       .select(col("id") +: col("tok") +:
@@ -93,6 +95,8 @@ object Dedup {
       docs: DataFrame, id: Column, text: Column,
       shingleWidth: Int = 3, k: Int = 16, bands: Int = 8,
       maxBucketSize: Int = 1000): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide k (got k=$k, bands=$bands)")
     val r = k / bands
     val sigs = minhashSignatures(docs, id, text, shingleWidth, k)
     val keyed = sigs.select(col("id"), explode(array((0 until bands).map { b =>
@@ -111,6 +115,8 @@ object Dedup {
       docs: DataFrame, id: Column, text: Column,
       threshold: Double, shingleWidth: Int = 3,
       k: Int = 16, bands: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide k (got k=$k, bands=$bands)")
     val r = k / bands
     // One aggregation pass produces signatures AND verification sets;
     // persisted because three downstream joins consume it (without the
@@ -213,8 +219,13 @@ object Dedup {
       docs: DataFrame, id: Column, text: Column,
       minShared: Int = 2, k: Int = 16, w: Int = 8,
       maxBucketSize: Int = 1000): DataFrame = {
+    // distinct: winnowing dedups only consecutive picks, so a repetitive
+    // document can emit the same fingerprint at several positions —
+    // counted with multiplicity that would fake minShared for a pair
+    // sharing just one distinct fingerprint
     val fps = docs.select(id.as("id"),
       explode(graft.functions.WinnowFingerprints.winnow_fingerprints(text, k, w)).as("bucket"))
+      .distinct()
     val sized = fps
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
       .filter(col("bsz") <= maxBucketSize)

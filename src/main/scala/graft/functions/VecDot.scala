@@ -28,7 +28,11 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     e.dataType.asInstanceOf[ArrayType].elementType
 
   override def checkInputDataTypes() = {
+    // Decimal excluded: the generated `(double)` cast only compiles for
+    // primitive element types (a Decimal element would silently force the
+    // interpreted fallback); cast decimal arrays to double upstream.
     def ok(e: Expression) = e.dataType match {
+      case ArrayType(_: DecimalType, _) => false
       case ArrayType(_: NumericType, _) => true
       case _ => false
     }
@@ -36,7 +40,7 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"vec_dot expects numeric arrays, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+        s"vec_dot expects non-decimal numeric arrays, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
   }
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {

@@ -136,6 +136,21 @@ class CaptureApplySpec extends AnyFunSuite {
     assert(byId == Map("a" -> 10.0, "c" -> 3.0)) // b deleted, a upserted
   }
 
+  test("T8: equal-version MODIFY+REMOVE ties resolve deterministically (REMOVE wins)") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("merge-tie") + "/t"
+    val ms = MemoryStream[Env]
+    val q = Apply.startMerge(ms.toDF(), table, tmp("ck-tie"), "id", "ts", afterSchema,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    ms.addData(
+      env("MODIFY", "x", 9.0).copy(ts = ts(100)),
+      Env("REMOVE", "x", null, ts(100)), // same version as the MODIFY
+      env("INSERT", "y", 1.0).copy(ts = ts(100)))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.read.parquet(table).collect().map(_.getAs[String]("id")).toSet
+    assert(ids == Set("y")) // delete outranks modify on a version tie
+  }
+
   test("S7: Kafka-wire shape projects into the envelope") {
     import spark.implicits._
     val payload = """{"op": "INSERT", "after": {"id": "k1", "ticker": "tt", "price": 5.5}}"""

@@ -89,6 +89,32 @@ class DedupSpec extends AnyFunSuite {
     assert(fps(0).getSeq[Long](0).nonEmpty)
   }
 
+  test("winnowing: repeated fingerprints in one doc don't fake minShared") {
+    // doc 21 is highly repetitive (same fingerprint at many positions);
+    // doc 22 shares exactly one phrase occurrence — a multiplicity-counted
+    // join would report them at minShared=2 off a single distinct match
+    val rep = ("spark rules " * 30).trim
+    val docs2 = Seq(
+      (21L, rep),
+      (22L, "unrelated prefix text then spark rules spark rules and nothing else after")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowNearDups(docs2, col("doc_id"), col("text"), minShared = 2)
+      .collect()
+    // shared distinct fingerprints decide; result must be stable and based
+    // on distinct counts (either 0 or a genuine >=2 distinct overlap)
+    val shared = pairs.find(r => r.getLong(0) == 21L && r.getLong(1) == 22L)
+      .map(_.getLong(2))
+    assert(shared.forall(_ >= 2))
+  }
+
+  test("invalid LSH banding is rejected loudly") {
+    intercept[IllegalArgumentException] {
+      Dedup.minhashCandidates(docs, col("doc_id"), col("text"), k = 16, bands = 20)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDups(docs, col("doc_id"), col("text"), 0.5, k = 16, bands = 5)
+    }
+  }
+
   test("degenerate buckets are capped (no quadratic blowup)") {
     val many = (1L to 300L).map(i => (i, base)).toDF("doc_id", "text")
     // all 300 docs identical -> one bucket of 300 > cap 100 -> dropped
