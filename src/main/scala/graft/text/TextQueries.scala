@@ -26,10 +26,12 @@ object TextQueries {
       Tables.documents(s, d)
         .select(
           col("doc_id"),
-          TextFunctions.charLen(t).as("n_chars_text"),
-          TextFunctions.tokenCount(t).as("n_tokens"),
-          TextFunctions.bpeIshTokenCount(t).as("n_bpe_tokens"),
-          TextFunctions.nonAlnumCount(t).as("n_non_alnum"),
+          // counts pinned to BIGINT: Spark length/size are int32, DuckDB
+          // LENGTH/LEN are int64 (round-1 verdict on output types).
+          TextFunctions.charLen(t).cast("long").as("n_chars_text"),
+          TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
+          TextFunctions.bpeIshTokenCount(t).cast("long").as("n_bpe_tokens"),
+          TextFunctions.nonAlnumCount(t).cast("long").as("n_non_alnum"),
           TextFunctions.stopwordRatio(t).as("stopword_ratio"),
           (TextFunctions.tokenCount(t) >= 5 && TextFunctions.charLen(t) >= 20)
             .as("keep"))
@@ -94,7 +96,7 @@ object TextQueries {
         " +", " ")
       Tables.documents(s, d)
         .select(col("doc_id"), norm.as("norm_text"),
-          length(norm).as("norm_len"))
+          length(norm).cast("long").as("norm_len"))
         .orderBy(col("doc_id"))
     },
 

@@ -18,6 +18,9 @@ import graft.util.Tables
 object EventQueries {
 
   private val dec = DecimalType(18, 2)
+  // Final SUM outputs pinned to DECIMAL(38,2) on both engines (round-1
+  // verdict: physical-type-sensitive driver hash).
+  private val dec38 = DecimalType(38, 2)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- W3: lag — seconds since the user's previous event.
@@ -38,7 +41,7 @@ object EventQueries {
         .rowsBetween(-2, Window.currentRow)
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
-          sum(col("value").cast(dec)).over(w).as("moving_sum"))
+          sum(col("value").cast(dec)).over(w).cast(dec38).as("moving_sum"))
         .orderBy(col("event_id"))
     },
 
@@ -49,7 +52,7 @@ object EventQueries {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(dec)).as("total_value"))
+          sum(col("value").cast(dec)).cast(dec38).as("total_value"))
         .orderBy(col("k"))
     },
 
@@ -72,12 +75,14 @@ object EventQueries {
     // -- A7: collect_list rebuilt deterministically — array_sort over
     //    (event_id, type) structs, then project the type. This is how the
     //    reference's asks/bids arrays (§2.7) are reassembled from rows.
+    //    The oracle-facing output is array_join'd to a string: raw array
+    //    columns crash the driver's row sort (round-1 verdict #2).
     "q28_collect_list" -> { (s, d) =>
       Tables.events(s, d)
         .groupBy(col("user_id"))
-        .agg(transform(
+        .agg(array_join(transform(
           array_sort(collect_list(struct(col("event_id"), col("event_type")))),
-          c => c.getField("event_type")).as("types"))
+          c => c.getField("event_type")), ",").as("types"))
         .orderBy(col("user_id"))
     },
 
@@ -90,7 +95,7 @@ object EventQueries {
       Tables.events(s, d)
         .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(dec)).as("total_value"))
+          sum(col("value").cast(dec)).cast(dec38).as("total_value"))
         .orderBy(col("hour_epoch"), col("event_type"))
     },
 
@@ -142,7 +147,7 @@ object EventQueries {
         .withColumn("k", try_variant_get(col("v"), "$.k", "long"))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(dec)).as("total_value"))
+          sum(col("value").cast(dec)).cast(dec38).as("total_value"))
         .orderBy(col("k"))
     },
 
@@ -165,7 +170,7 @@ object EventQueries {
         .agg(
           min(unix_timestamp(col("ts_s"))).as("session_start_epoch"),
           count(lit(1)).as("n_events"),
-          sum(col("value").cast(dec)).as("total_value"))
+          sum(col("value").cast(dec)).cast(dec38).as("total_value"))
         .orderBy(col("user_id"), col("session_id"))
     }
   )
@@ -182,15 +187,15 @@ object EventQueries {
 
     "q14_window_moving_sum" ->
       """SELECT event_id, user_id,
-        |  SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
         |    PARTITION BY user_id ORDER BY event_id
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS moving_sum
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q22_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  COUNT(*) AS n_events,
-        |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
 
     "q25_asof_join" ->
@@ -203,18 +208,18 @@ object EventQueries {
         |ORDER BY event_id""".stripMargin,
 
     "q28_collect_list" ->
-      """SELECT user_id, list(event_type ORDER BY event_id) AS types
+      """SELECT user_id, STRING_AGG(event_type, ',' ORDER BY event_id) AS types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q30_tumbling_window" ->
       """SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch, event_type, COUNT(*) AS n,
-        |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
 
     "q58_variant_super" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  COUNT(*) AS n_events,
-        |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
 
     "q72_funnel" ->
@@ -262,8 +267,10 @@ object EventQueries {
         |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM g)
-        |SELECT user_id, session_id, CAST(MIN(EPOCH(ts_s)) AS BIGINT) AS session_start_epoch,
-        |  COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(MIN(EPOCH(ts_s)) AS BIGINT) AS session_start_epoch,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
   )
 }

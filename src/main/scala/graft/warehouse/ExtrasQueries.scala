@@ -48,7 +48,7 @@ object ExtrasQueries {
         col("l_extendedprice").cast(dec).as("amount"))
       a.unionByName(b, allowMissingColumns = true)
         .groupBy(col("status"))
-        .agg(count(lit(1)).as("n"), sum(col("amount")).as("total"))
+        .agg(count(lit(1)).as("n"), sum(col("amount")).cast(DecimalType(38, 2)).as("total"))
         .orderBy(col("status").asc_nulls_first)
     },
 
@@ -80,13 +80,20 @@ object ExtrasQueries {
 
     // -- SQL surface: uncorrelated scalar subquery + correlated EXISTS in
     //    one statement (Catalyst subquery decorrelation).
+    //    `price > 1.5 * avg(price)` is evaluated as
+    //    `2 * count * price_cents > 3 * sum(price_cents)` — all-BIGINT
+    //    arithmetic, so the boundary rows are engine-independent (a double
+    //    AVG is summation-order-dependent; round-1 verdict on q54).
     "q54_scalar_subquery" -> { (s, d) =>
       Tables.orders(s, d).createOrReplaceTempView("orders_sq")
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sq")
       s.sql(
         """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
           |FROM orders_sq
-          |WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders_sq)
+          |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          |      * (SELECT 2 * COUNT(*) FROM orders_sq)
+          |    > (SELECT 3 * SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+          |       FROM orders_sq)
           |  AND EXISTS (SELECT 1 FROM lineitem_sq WHERE l_orderkey = o_orderkey
           |              AND l_quantity >= 45)
           |ORDER BY o_orderkey""".stripMargin)
@@ -102,7 +109,7 @@ object ExtrasQueries {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q51_union_missing" ->
-      """SELECT status, COUNT(*) AS n, SUM(amount) AS total FROM (
+      """SELECT status, COUNT(*) AS n, CAST(SUM(amount) AS DECIMAL(38,2)) AS total FROM (
         |  SELECT o_orderkey AS key, CAST(o_totalprice AS DECIMAL(18,2)) AS amount,
         |    o_orderstatus AS status FROM orders
         |  UNION ALL
@@ -131,7 +138,10 @@ object ExtrasQueries {
     "q54_scalar_subquery" ->
       """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
         |FROM orders
-        |WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * (SELECT 2 * COUNT(*) FROM orders)
+        |    > (SELECT 3 * SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |       FROM orders)
         |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
         |              AND l_quantity >= 45)
         |ORDER BY o_orderkey""".stripMargin

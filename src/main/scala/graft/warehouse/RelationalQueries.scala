@@ -21,6 +21,11 @@ import graft.util.Tables
 object RelationalQueries {
 
   private val dec = DecimalType(18, 2)
+  // Final aggregate outputs are pinned to DECIMAL(38,2) on BOTH engines:
+  // Spark's SUM(DECIMAL(18,2)) widens to (28,2) while DuckDB's widens to
+  // (38,2), and the driver's hash is physical-type sensitive (round-1
+  // verdict). The cast is lossless (same scale, wider precision).
+  private val dec38 = DecimalType(38, 2)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- A2: grouped aggregation (TPC-H Q1 shape). Partial aggregation
@@ -30,8 +35,8 @@ object RelationalQueries {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(dec)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
+          sum(col("l_quantity").cast(dec)).cast(dec38).as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast(dec38).as("sum_base_price"),
           // decimal-domain arithmetic: raw columns are exact 2-decimal
           // values, so cast-then-multiply is exact and order-independent
           // (casting the computed double instead would hit double→decimal
@@ -50,7 +55,8 @@ object RelationalQueries {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast(dec).as("qty"),
-          (col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))).as("net_price"))
+          (col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            .cast(DecimalType(38, 4)).as("net_price"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
@@ -67,7 +73,7 @@ object RelationalQueries {
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           count(lit(1)).as("n_customers"),
-          sum(col("c_acctbal").cast(dec)).as("total_acctbal"))
+          sum(col("c_acctbal").cast(dec)).cast(dec38).as("total_acctbal"))
         .orderBy(col("r_name"), col("n_name"))
     },
 
@@ -81,7 +87,7 @@ object RelationalQueries {
         .groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n_lines"),
-          sum(col("l_extendedprice").cast(dec)).as("total_price"))
+          sum(col("l_extendedprice").cast(dec)).cast(dec38).as("total_price"))
         .orderBy(col("o_orderpriority"))
     },
 
@@ -94,7 +100,7 @@ object RelationalQueries {
         .groupBy(col("c_custkey"))
         .agg(
           count(col("o_orderkey")).as("n_orders"),
-          coalesce(sum(col("o_totalprice").cast(dec)), lit(0).cast(dec)).as("total_spent"))
+          coalesce(sum(col("o_totalprice").cast(dec)), lit(0).cast(dec)).cast(dec38).as("total_spent"))
         .orderBy(col("c_custkey"))
     },
 
@@ -132,8 +138,8 @@ object RelationalQueries {
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(
-          sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0).cast(dec)).as("f_total"),
-          sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0).cast(dec)).as("o_total"),
+          sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0).cast(dec)).cast(dec38).as("f_total"),
+          sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0).cast(dec)).cast(dec38).as("o_total"),
           count(when(col("o_orderstatus") === "P", lit(1))).as("p_count"))
         .orderBy(col("o_orderpriority"))
     },
@@ -155,8 +161,8 @@ object RelationalQueries {
   def oracleSql: Map[String, String] = Map(
     "q01_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
         |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -165,13 +171,13 @@ object RelationalQueries {
     "q02_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(l_quantity AS DECIMAL(18,2)) AS qty,
-        |  CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS net_price
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS net_price
         |FROM lineitem WHERE l_quantity >= 45 AND l_discount > 0.07
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q03_join_broadcast" ->
       """SELECT r_name, n_name, COUNT(*) AS n_customers,
-        |  SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_acctbal
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -179,13 +185,13 @@ object RelationalQueries {
 
     "q04_join_fact" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q05_join_outer" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-        |  COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS total_spent
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS total_spent
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
@@ -209,8 +215,8 @@ object RelationalQueries {
 
     "q09_conditional_agg" ->
       """SELECT o_orderpriority,
-        |  SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS f_total,
-        |  SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS o_total,
+        |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS f_total,
+        |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS o_total,
         |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_count
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 

@@ -28,9 +28,11 @@ object ScalarQueries {
         .select(
           col("doc_id"),
           upper(col("lang")).as("lang_uc"),
-          length(col("text")).as("text_len"),
+          // int widths pinned to BIGINT: Spark length/size return int32,
+          // DuckDB LENGTH/LEN return int64 (round-1 verdict).
+          length(col("text")).cast("long").as("text_len"),
           regexp_extract(col("text"), "^(\\S+)", 1).as("first_word"),
-          size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
           replace(lower(col("source")), lit("src"), lit("source_")).as("source_norm"),
           col("text").contains("join").as("mentions_join"))
         .orderBy(col("doc_id"))
@@ -40,12 +42,14 @@ object ScalarQueries {
     "q21_date_funcs" -> { (s, d) =>
       Tables.orders(s, d)
         .groupBy(
-          year(col("o_orderdate")).as("yr"),
-          quarter(col("o_orderdate")).as("qtr"),
-          month(col("o_orderdate")).as("mo"))
+          // Spark year()/quarter()/month() are int32; DuckDB EXTRACT is
+          // int64 — pin to BIGINT (round-1 verdict).
+          year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          month(col("o_orderdate")).cast("long").as("mo"))
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(dec)).as("total"),
+          sum(col("o_totalprice").cast(dec)).cast(DecimalType(38, 2)).as("total"),
           min(to_date(col("o_orderdate"))).as("first_day"),
           max(date_add(to_date(col("o_orderdate")), 30)).as("latest_due"))
         .orderBy(col("yr"), col("qtr"), col("mo"))
@@ -82,7 +86,7 @@ object ScalarQueries {
         |  EXTRACT(QUARTER FROM o_orderdate) AS qtr,
         |  EXTRACT(MONTH FROM o_orderdate) AS mo,
         |  COUNT(*) AS n_orders,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
         |  MIN(CAST(o_orderdate AS DATE)) AS first_day,
         |  MAX(CAST(o_orderdate AS DATE) + 30) AS latest_due
         |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, qtr, mo""".stripMargin,

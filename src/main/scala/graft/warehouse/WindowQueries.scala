@@ -23,6 +23,10 @@ import graft.util.Tables
 object WindowQueries {
 
   private val dec = DecimalType(18, 2)
+  // Output-type pinning (round-1 verdict): window SUM widens to (28,2) in
+  // Spark vs (38,2) in DuckDB, and rank functions are int32 in Spark vs
+  // int64 in DuckDB — pin both sides explicitly.
+  private val dec38 = DecimalType(38, 2)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- W1/W4: running total per customer (the reference's balance_amt
@@ -34,7 +38,7 @@ object WindowQueries {
       Tables.orders(s, d)
         .select(
           col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(dec)).over(w).as("running_total"))
+          sum(col("o_totalprice").cast(dec)).over(w).cast(dec38).as("running_total"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
@@ -43,7 +47,7 @@ object WindowQueries {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, d)
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
           col("o_totalprice").cast(dec).as("totalprice"))
@@ -67,8 +71,8 @@ object WindowQueries {
       Tables.customer(s, d)
         .select(
           col("c_custkey"), col("c_mktsegment"),
-          ntile(4).over(wGlobal).as("wealth_quartile"),
-          dense_rank().over(wSeg).as("seg_rank"))
+          ntile(4).over(wGlobal).cast("long").as("wealth_quartile"),
+          dense_rank().over(wSeg).cast("long").as("seg_rank"))
         .orderBy(col("c_custkey"))
     }
   )
@@ -76,9 +80,9 @@ object WindowQueries {
   def oracleSql: Map[String, String] = Map(
     "q11_window_running" ->
       """SELECT o_custkey, o_orderkey,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q12_window_rank_topk" ->

@@ -1,14 +1,21 @@
 #!/usr/bin/env python3
-"""Local self-check mimicking the driver's t2 oracle compare.
+"""Local self-check mimicking the driver's t2 oracle compare — EXACT mode.
 
 Usage: python3 tools/check.py <verify_out_dir> [sf_dir]
 
 Reads each <name>/ parquet result written by graft.Verify, runs the
 matching SQL from oracle_sql.json in DuckDB over the sf_dir parquet
-tables, and compares row count, column names, and cell values
-(column-name-sorted, row-sorted, with numeric normalization).
+tables, and compares row count, column names, arrow physical types,
+and cell values at repr level (column-name-sorted, row-sorted).
+
+Round-1 lesson (VERDICT.md "What's wrong" #1): the driver's hash is
+physical-type sensitive, and the old isclose/round-6 tolerance here
+over-reported passes (42 driver-green while this script said 64).
+This version is zero-tolerance: a pass here must predict a driver
+hash_match. Array-typed output columns crash the driver's row sort
+(unhashable ndarray) — they are reported as DRIVER-CRASH failures.
 """
-import sys, os, json, glob, math
+import sys, os, json, glob
 from decimal import Decimal
 
 import duckdb
@@ -19,21 +26,31 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
-    if isinstance(v, Decimal):
-        return float(v)
-    if isinstance(v, float):
-        return round(v, 6)
+    """Stable, exact cell representation: no rounding, no float coercion."""
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
     if hasattr(v, "isoformat"):
-        return v.isoformat()[:26]
+        return v.isoformat()
     return v
+
+
+def cell_repr(v):
+    """repr-level compare key: Decimal('1.50') != Decimal('1.5000'),
+    float compared by full repr, bytes by hex."""
+    n = norm(v)
+    if isinstance(n, bytes):
+        return "bytes:" + n.hex()
+    return f"{type(n).__name__}:{n!r}"
 
 
 def rows_of(table):
     cols = sorted(table.column_names)
+    types = {c: str(table.schema.field(c).type) for c in table.column_names}
     data = [table.column(c).to_pylist() for c in cols]
-    return cols, sorted(zip(*data), key=lambda r: tuple(str(norm(x)) for x in r)) if data else (cols, [])
+    rows = sorted(zip(*data), key=lambda r: tuple(cell_repr(x) for x in r)) if data else []
+    return cols, types, rows
 
 
 def main():
@@ -54,6 +71,13 @@ def main():
             n_fail += 1
             continue
         spark_tbl = pq.read_table(files[0])
+        # Array/struct output columns crash the driver's pandas row sort.
+        nested = [f.name for f in spark_tbl.schema
+                  if str(f.type).startswith(("list", "large_list", "struct", "map", "fixed_size_list"))]
+        if nested:
+            print(f"FAIL {name}: DRIVER-CRASH nested output columns {nested}")
+            n_fail += 1
+            continue
         if name not in oracle:
             print(f"SKIP {name}: no oracle sql (rows={spark_tbl.num_rows})")
             n_noracle += 1
@@ -64,10 +88,15 @@ def main():
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        sc, sr = rows_of(spark_tbl)
-        dc, dr = rows_of(duck_tbl)
+        sc, st, sr = rows_of(spark_tbl)
+        dc, dt, dr = rows_of(duck_tbl)
         if sc != dc:
             print(f"FAIL {name}: columns {sc} vs {dc}")
+            n_fail += 1
+            continue
+        type_diff = {c: (st[c], dt[c]) for c in sc if st[c] != dt[c]}
+        if type_diff:
+            print(f"FAIL {name}: TYPE mismatch {type_diff}")
             n_fail += 1
             continue
         if len(sr) != len(dr):
@@ -76,13 +105,9 @@ def main():
             continue
         bad = None
         for i, (a, b) in enumerate(zip(sr, dr)):
-            na, nb = tuple(norm(x) for x in a), tuple(norm(x) for x in b)
-            ok = all(
-                (isinstance(x, float) and isinstance(y, float)
-                 and (math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-6)))
-                or x == y
-                for x, y in zip(na, nb))
-            if not ok:
+            na = tuple(cell_repr(x) for x in a)
+            nb = tuple(cell_repr(x) for x in b)
+            if na != nb:
                 bad = (i, na, nb)
                 break
         if bad:
