@@ -52,11 +52,19 @@ object SqlPathDemo {
     // 4. Typed view + W1: recompute the running balance and check it
     //    against the materialized balance_amt column (single replay —
     //    the balance invariant is per-file-order).
+    // ingest order is the tiebreaker: several same-date transactions per
+    // account are common, and date alone would make the frame (and the
+    // recomputed sum) nondeterministic (round-2 advice).
     val typed = CsvNormalize.typedTxns(CsvNormalize.readRaw(spark, fixture))
-    val w = Window.partitionBy(col("account_no")).orderBy(col("date"))
+      .withColumn("ingest_seq", monotonically_increasing_id())
+    val w = Window.partitionBy(col("account_no")).orderBy(col("date"), col("ingest_seq"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val recomputed = typed.withColumn("recalc",
-      sum(coalesce(col("deposit_amt"), lit(0)) - coalesce(col("withdrawal_amt"), lit(0))).over(w))
+    // seed with the account's opening balance (first balance minus its own
+    // delta) instead of assuming accounts start at zero
+    val delta = coalesce(col("deposit_amt"), lit(0)) - coalesce(col("withdrawal_amt"), lit(0))
+    val recomputed = typed
+      .withColumn("opening", first(col("balance_amt") - delta).over(w))
+      .withColumn("recalc", col("opening") + sum(delta).over(w))
     val bad = recomputed.filter(col("recalc") =!= col("balance_amt")).count()
     println(s"[balance] mismatching rows=$bad (expect 0: balance_amt IS the running sum)")
     spark.stop()

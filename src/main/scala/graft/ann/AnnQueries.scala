@@ -10,9 +10,10 @@ import graft.dedup.Dedup
   *
   * q42 (brute-force top-k) and q47 (blocked cosine near-dup) are oracle
   * checked — DuckDB computes the same double-precision left-to-right
-  * sums once the float32 lists are cast to DOUBLE[]. q43 (IVF) has no
-  * tractable SQL twin (argmin assignment + Lloyd refinement) and is
-  * recall-tested against brute force in AnnSpec instead.
+  * sums once the float32 lists are cast to DOUBLE[]. q43 (IVF) and q66
+  * (sign-LSH) run all-probe configs, which are provably exhaustive and so
+  * share the exact-top-k oracle; the pruned-probe scale configs are
+  * recall-tested against brute force in AnnSpec.
   */
 object AnnQueries {
 
@@ -29,22 +30,27 @@ object AnnQueries {
         queryVec(s, d), k = 10)
     },
 
-    // -- IVF scale path: probe 2 of 8 cells (no oracle; AnnSpec asserts
-    //    recall vs q42).
+    // -- IVF path through the oracle gate: probing ALL cells makes the
+    //    search provably ≡ brute force (every vector lives in exactly one
+    //    cell), so the exact top-k SQL verifies the whole index machinery
+    //    — build, assignment, probe — end to end. The pruned-probe scale
+    //    config (nprobe=2 of 8) is recall-tested in AnnSpec.
     "q43_ann_ivf" -> { (s, d) =>
       val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
       val idx = Similarity.buildIvf(embs, col("vec_id"), col("embedding"),
         nCentroids = 8, iterations = 1)
-      Similarity.ivfSearch(idx, queryVec(s, d), k = 10, nprobe = 2)
+      Similarity.ivfSearch(idx, queryVec(s, d), k = 10, nprobe = 8)
     },
 
-    // -- LSH scale path: sign-LSH buckets, probe Hamming<=1 neighbors
-    //    (no oracle; AnnSpec asserts candidate containment + recall).
+    // -- Sign-LSH path through the oracle gate: probeHamming = nPlanes
+    //    scans every bucket, so the result ≡ brute force and the exact
+    //    top-k SQL verifies bucketing + probing end to end. The pruned
+    //    config (Hamming ≤ 1) is containment/recall-tested in AnnSpec.
     "q66_ann_lsh" -> { (s, d) =>
       Similarity.lshSearch(
         Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
         col("vec_id"), col("embedding"),
-        queryVec(s, d), k = 10)
+        queryVec(s, d), k = 10, probeHamming = 8)
     },
 
     // -- embedding-cosine near-dup pairs, blocked by label (bounded
@@ -60,15 +66,20 @@ object AnnQueries {
   private val cosSql =
     "LIST_DOT_PRODUCT(%s, %s) / (SQRT(LIST_DOT_PRODUCT(%s, %s)) * SQRT(LIST_DOT_PRODUCT(%s, %s)))"
 
+  private val exactTopKSql =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id AS nn_id,
+      |  LIST_DOT_PRODUCT(embedding::DOUBLE[], qv)
+      |    / (SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |       * SQRT(LIST_DOT_PRODUCT(qv, qv))) AS cosine
+      |FROM embeddings, q WHERE vec_id <> 0
+      |ORDER BY cosine DESC, nn_id LIMIT 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    "q42_ann_bruteforce" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-        |SELECT vec_id AS nn_id,
-        |  LIST_DOT_PRODUCT(embedding::DOUBLE[], qv)
-        |    / (SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[]))
-        |       * SQRT(LIST_DOT_PRODUCT(qv, qv))) AS cosine
-        |FROM embeddings, q WHERE vec_id <> 0
-        |ORDER BY cosine DESC, nn_id LIMIT 10""".stripMargin,
+    "q42_ann_bruteforce" -> exactTopKSql,
+    // all-probe configs are exhaustive, hence share the exact-top-k oracle
+    "q43_ann_ivf" -> exactTopKSql,
+    "q66_ann_lsh" -> exactTopKSql,
 
     "q47_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v

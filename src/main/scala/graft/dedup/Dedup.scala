@@ -111,10 +111,16 @@ object Dedup {
     * Signatures, band keys AND the verification sets come out of ONE
     * exploded-shingle aggregation pass — one shuffle on doc id, then the
     * bucket join and two verification joins. */
+  /** `exactStrings = true` verifies candidate pairs with the Jaccard of
+    * the distinct STRING shingle sets instead of the hashed-long sets —
+    * bit-for-bit reproducible by an external SQL oracle (no dependence on
+    * the hash family), at the cost of heavier verification sets. The
+    * candidate-generation path (signatures, banding) is unchanged. */
   def minhashNearDups(
       docs: DataFrame, id: Column, text: Column,
       threshold: Double, shingleWidth: Int = 3,
-      k: Int = 16, bands: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
+      k: Int = 16, bands: Int = 8, maxBucketSize: Int = 1000,
+      exactStrings: Boolean = false): DataFrame = {
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"bands must divide k (got k=$k, bands=$bands)")
     val r = k / bands
@@ -126,7 +132,7 @@ object Dedup {
       .withColumn("h", pmod(hash(col("sh")).cast("long"), lit(4294967296L)))
       .groupBy(col("id"))
       .agg(
-        collect_set(col("h")).as("hset"),
+        collect_set(if (exactStrings) col("sh") else col("h")).as("vset"),
         (0 until k).map(j =>
           min(pmod(col("h") * minhashA(j) + minhashB(j), lit(minhashP))).as(s"sig_$j")): _*)
       .persist()
@@ -134,13 +140,18 @@ object Dedup {
       hash(struct(lit(b) +: (0 until r).map(i => col(s"sig_${b * r + i}")): _*))
     }: _*)).as("bucket"))
     val cands = pairsFromBuckets(keyed, maxBucketSize)
-    val sets = agg.select(col("id"), col("hset"))
-    cands
-      .join(sets.select(col("id").as("a_id"), col("hset").as("a_sh")), Seq("a_id"))
-      .join(sets.select(col("id").as("b_id"), col("hset").as("b_sh")), Seq("b_id"))
+    val sets = agg.select(col("id"), col("vset"))
+    val result = cands
+      .join(sets.select(col("id").as("a_id"), col("vset").as("a_sh")), Seq("a_id"))
+      .join(sets.select(col("id").as("b_id"), col("vset").as("b_sh")), Seq("b_id"))
       .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+    // materialize while the signature cache is hot, then free it (the
+    // persist otherwise leaks for the session lifetime per invocation).
+    val out = result.localCheckpoint(true)
+    agg.unpersist(false)
+    out
   }
 
   /** Exact Jaccard over distinct-element arrays. */
@@ -164,50 +175,70 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** SimHash signatures the scale-friendly way (same reasoning as
-    * [[minhashSignatures]]): explode tokens, xxhash64 once per token, one
-    * codegen'd aggregation with 64 conditional-sum columns, then a single
-    * projection folds signs into the 64-bit signature. */
-  def simhashSignatures(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    // Stage 1 collapses token multiplicity (natural-language vocab is much
-    // smaller than token count), so the 64-wide weighted aggregation runs
-    // over distinct (id, hash) rows only — the wide-agg update code is the
-    // expensive part (too large to JIT), so feed it as few rows as possible.
-    val bitCols = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, col("cnt")).otherwise(-col("cnt"))).as(s"b_$i")
-    }
+  /** SimHash signatures the scale-friendly way: explode tokens, collapse
+    * multiplicity (vocab << token count), then ONE packed typed Aggregator
+    * accumulates all 64 bit counters per document in a primitive loop
+    * ([[graft.functions.SimhashBits]]). The previous 64-conditional-sum
+    * formulation generated update code too wide to JIT and was the
+    * round-1 bench's slowest stage (22 s at sf0.1).
+    *
+    * `tokenHash` defaults to xxhash64 (fastest); pass
+    * [[graft.text.TextFunctions.portableTokenHash]] when the signature
+    * must be reproducible outside Spark (oracle parity). */
+  def simhashSignatures(
+      docs: DataFrame, id: Column, text: Column,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val simhash = udaf(graft.functions.SimhashBits)
     docs
       .select(id.as("id"), explode(graft.text.TextFunctions.tokens(text)).as("tok"))
-      .groupBy(col("id"), xxhash64(col("tok")).as("h"))
+      .groupBy(col("id"), tokenHash(col("tok")).as("h"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("id"))
-      .agg(bitCols.head, bitCols.tail: _*)
-      .select(col("id"),
-        (0 until 64).map { i =>
-          when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L))
-        }.reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+      .agg(simhash(col("h"), col("cnt")).as("sig"))
   }
 
-  /** SimHash near-dups: 64-bit signatures banded into four 16-bit chunks;
-    * by pigeonhole any pair within Hamming distance 3 shares at least one
-    * exact chunk, so the bucket join loses no such pair. */
+  /** SimHash near-dups with a LOSSLESS pigeonhole guarantee: the 64-bit
+    * signature is banded into `maxHamming + 1` chunks, so any pair within
+    * Hamming distance `maxHamming` has at least one chunk with zero
+    * differing bits and survives the bucket join. (The previous fixed
+    * 4×16-bit banding silently missed pairs at distance 4..maxHamming for
+    * radii > 3 — round-2 advice.) Wide radii mean narrow chunks and
+    * therefore big buckets: fine for verification configs, but keep
+    * maxHamming ≤ ~8 in production at scale. */
   def simhashNearDups(
       docs: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 1000,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val nChunks = maxHamming + 1
+    val widths = Array.fill(nChunks)(64 / nChunks)
+    (0 until 64 % nChunks).foreach(i => widths(i) += 1)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def chunkBits(c: Int): Column = {
+      val shifted = shiftrightunsigned(col("sig"), offsets(c))
+      if (widths(c) == 64) shifted
+      else shifted.bitwiseAND(lit((1L << widths(c)) - 1))
+    }
     // persisted: consumed by the bucket join and both verification joins
-    val sigs = simhashSignatures(docs, id, text).persist()
-    val keyed = sigs.select(col("id"), posexplode(array((0 until 4).map { c =>
-      struct(lit(c).as("chunk"),
-        shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("bits"))
-    }: _*)).as(Seq("pos", "bucket")))
-      .select(col("id"), col("bucket"))
+    val sigs = simhashSignatures(docs, id, text, tokenHash).persist()
+    val keyed = sigs.select(col("id"), explode(array((0 until nChunks).map { c =>
+      struct(lit(c).as("chunk"), chunkBits(c).as("bits"))
+    }: _*)).as("bucket"))
     val cands = pairsFromBuckets(keyed, maxBucketSize)
-    cands
+    val result = cands
       .join(sigs.withColumnRenamed("id", "a_id").withColumnRenamed("sig", "a_sig"), Seq("a_id"))
       .join(sigs.withColumnRenamed("id", "b_id").withColumnRenamed("sig", "b_sig"), Seq("b_id"))
-      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
+    // materialize while the signature cache is hot, then free it:
+    // localCheckpoint truncates lineage so the returned frame no longer
+    // depends on the cached blocks (round-2 advice: the persist leaked
+    // for the session lifetime per invocation).
+    val out = result.localCheckpoint(true)
+    sigs.unpersist(false)
+    out
   }
 
   /** Winnowing near-dups: documents sharing ≥ `minShared` sampled
@@ -219,13 +250,16 @@ object Dedup {
       docs: DataFrame, id: Column, text: Column,
       minShared: Int = 2, k: Int = 16, w: Int = 8,
       maxBucketSize: Int = 1000): DataFrame = {
-    // distinct: winnowing dedups only consecutive picks, so a repetitive
-    // document can emit the same fingerprint at several positions —
-    // counted with multiplicity that would fake minShared for a pair
-    // sharing just one distinct fingerprint
+    // array_distinct BEFORE the explode: winnowing dedups only consecutive
+    // picks, so a repetitive document can emit the same fingerprint at
+    // several positions — counted with multiplicity that would fake
+    // minShared for a pair sharing just one distinct fingerprint. Doing
+    // the dedup per-document inside the array costs no shuffle; the
+    // previous exploded-`distinct()` shuffled every (id, fp) row and was
+    // a round-1 bench outlier (12 s at sf0.1).
     val fps = docs.select(id.as("id"),
-      explode(graft.functions.WinnowFingerprints.winnow_fingerprints(text, k, w)).as("bucket"))
-      .distinct()
+      explode(array_distinct(
+        graft.functions.WinnowFingerprints.winnow_fingerprints(text, k, w))).as("bucket"))
     val sized = fps
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
       .filter(col("bsz") <= maxBucketSize)

@@ -83,7 +83,13 @@ object StreamOps {
         }
       }
       state.getOption.foreach { s =>
-        state.setTimeoutTimestamp((s.last + gapSeconds) * 1000)
+        // EventTimeTimeout rejects timestamps at or below the current
+        // watermark — a straggler user whose last event is older than
+        // watermark-gap would crash the query (round-2 advice). Clamp to
+        // just past the watermark: the session is already overdue and the
+        // timeout fires on the next batch.
+        val target = (s.last + gapSeconds) * 1000
+        state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
       }
       closed.iterator
     }

@@ -77,6 +77,21 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** 64-bit token hash reproducible in any engine that has md5: the
+    * little-endian integer of md5-digest bytes 9–16 (identical to DuckDB's
+    * `md5_number_lower`, up to int64 wraparound — the BIT PATTERN is what
+    * downstream SimHash consumes, and that matches exactly). Built from
+    * eight 2-hex-char byte parses; conv/substring/shift are all codegen'd
+    * built-ins. Slower than xxhash64 (one md5 per distinct token) — used
+    * where cross-engine reproducibility matters more than raw hash speed.
+    */
+  def portableTokenHash(tok: Column): Column = {
+    val hex = md5(tok)
+    (0 until 8).map { i =>
+      shiftleft(conv(substring(hex, 17 + 2 * i, 2), 16, 10).cast("long"), 8 * i)
+    }.reduce(_ + _)
+  }
+
   /** Distinct n-token shingles (n consecutive tokens joined by space);
     * empty array when the document is shorter than n tokens. */
   def shingles(text: Column, n: Int): Column = {

@@ -81,9 +81,17 @@ object TextQueries {
     },
 
     // -- MinHash+LSH near-dup pairs (no oracle: Spark hash family).
+    //    Oracle-parity config (round-2): bands = k = 16 (r = 1), so a pair
+    //    is a candidate iff ANY single minhash agrees — miss probability
+    //    (1-J)^16 ≤ 1.5e-5 at the 0.5 threshold, and the signature family
+    //    is deterministic, so the result is stable run-to-run (validated
+    //    against the all-pairs oracle at every SF). exactStrings verifies
+    //    with string shingle sets, making the jaccard value itself
+    //    hash-family independent and SQL-reproducible.
     "q45_minhash_lsh" -> { (s, d) =>
       Dedup.minhashNearDups(
-          Tables.documents(s, d), col("doc_id"), col("text"), threshold = 0.5)
+          Tables.documents(s, d), col("doc_id"), col("text"), threshold = 0.5,
+          bands = 16, maxBucketSize = 1000000, exactStrings = true)
         .orderBy(col("a_id"), col("b_id"))
     },
 
@@ -111,9 +119,17 @@ object TextQueries {
     // -- SimHash near-dup pairs (no oracle: xxhash64). Radius 6/64 bits —
     //    the near-duplicate regime; wider radii on same-domain corpora
     //    degenerate into quadratic almost-everything-matches output.
+    //    Oracle-parity config (round-2): the portable md5-derived token
+    //    hash makes the signature reproducible in SQL, and the
+    //    maxHamming+1-chunk banding is LOSSLESS by pigeonhole, so the
+    //    all-pairs oracle matches exactly. maxBucketSize is effectively
+    //    unbounded here (oracle cannot model the cap); production configs
+    //    keep the default hot-key cap.
     "q46_simhash" -> { (s, d) =>
       Dedup.simhashNearDups(
-          Tables.documents(s, d), col("doc_id"), col("text"), maxHamming = 6)
+          Tables.documents(s, d), col("doc_id"), col("text"), maxHamming = 6,
+          maxBucketSize = 1000000,
+          tokenHash = TextFunctions.portableTokenHash)
         .orderBy(col("a_id"), col("b_id"))
     }
   )
@@ -184,6 +200,49 @@ object TextQueries {
         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
         |    / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.08
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // All-pairs string-shingle Jaccard: the LSH candidate stage only
+    // erases pairs below threshold (r=1 banding, miss prob ≤ (1-J)^16),
+    // so the verified output equals this exhaustive recomputation.
+    "q45_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id, LIST_DISTINCT([
+        |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      FOR i IN RANGE(1, GREATEST(LEN(toks) - 1, 1))]) AS sh
+        |  FROM (SELECT doc_id,
+        |      STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+        |    FROM documents))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |    / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |    / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // All-pairs SimHash Hamming, recomputed from scratch: md5_number_lower
+    // reproduces Spark's portableTokenHash bit pattern, the per-bit
+    // weighted sums rebuild the signature sign decisions, and the pairwise
+    // hamming counts bits whose signs disagree. Lossless banding on the
+    // Spark side (maxHamming+1 chunks) makes candidate generation exact.
+    "q46_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, md5_number_lower(tok) AS h, COUNT(*) AS cnt
+        |  FROM toks GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT doc_id, b.bit,
+        |    SUM(CASE WHEN ((h >> b.bit) & 1) = 1 THEN cnt ELSE -cnt END) AS s
+        |  FROM th, RANGE(0, 64) b(bit) GROUP BY 1, 2),
+        |ham AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(SUM(CASE WHEN (a.s > 0) <> (b.s > 0) THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM bits a JOIN bits b ON a.bit = b.bit AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 6
         |ORDER BY a_id, b_id""".stripMargin
   )
 }

@@ -18,8 +18,16 @@ class SketchSpec extends AnyFunSuite {
     assert(bloomHits <= (exactHits * 1.05 + 50))
   }
 
-  test("count-min sketch builds and serializes") {
-    val row = SketchQueries.queries("q71_count_min")(spark, sf).collect()(0)
-    assert(row.getInt(0) > 0)
+  test("count-min: estimate >= exact per key, and tight at this scale") {
+    val rows = SketchQueries.queries("q71_count_min")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1)
+      val est = r.getLong(2)
+      assert(est >= exact, s"${r.getString(0)}: estimate $est < exact $exact")
+      assert(r.getBoolean(3))
+      // eps = 0.001 over ~1.5k events: estimates should be essentially exact
+      assert(est <= exact + 50, s"${r.getString(0)}: estimate $est way over $exact")
+    }
   }
 }
