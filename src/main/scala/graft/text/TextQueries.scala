@@ -85,13 +85,13 @@ object TextQueries {
     //    is a candidate iff ANY single minhash agrees — miss probability
     //    (1-J)^16 ≤ 1.5e-5 at the 0.5 threshold, and the signature family
     //    is deterministic, so the result is stable run-to-run (validated
-    //    against the all-pairs oracle at every SF). exactStrings verifies
-    //    with string shingle sets, making the jaccard value itself
-    //    hash-family independent and SQL-reproducible.
+    //    against the all-pairs oracle at every SF). Verification uses
+    //    64-bit shingle-set hashes, so the jaccard equals the oracle's
+    //    string-set jaccard (collision odds ~4e-15 per pair).
     "q45_minhash_lsh" -> { (s, d) =>
       Dedup.minhashNearDups(
           Tables.documents(s, d), col("doc_id"), col("text"), threshold = 0.5,
-          bands = 16, maxBucketSize = 1000000, exactStrings = true)
+          bands = 16, maxBucketSize = 1000000)
         .orderBy(col("a_id"), col("b_id"))
     },
 
