@@ -136,6 +136,42 @@ class CaptureApplySpec extends AnyFunSuite {
     assert(byId == Map("a" -> 10.0, "c" -> 3.0)) // b deleted, a upserted
   }
 
+  test("partition-scoped merge: a batch leaves untouched buckets byte-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("merge-buckets") + "/t"
+    // pick two keys that hash into different buckets (same function the
+    // sink uses: xxhash64 mod nBuckets)
+    def bucketOf(k: String): Int = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(8)).cast("int")).collect()(0).getInt(0)
+    val k1 = "a"
+    val k2 = ('b' to 'z').map(_.toString).find(bucketOf(_) != bucketOf(k1)).get
+    val ms = MemoryStream[Env]
+    val q = Apply.startMerge(ms.toDF(), table, tmp("ck-buckets"),
+      keyCol = "id", versionCol = "ts", schema = afterSchema,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"),
+      nBuckets = 8)
+    ms.addData(env("INSERT", k1, 1.0).copy(ts = ts(100)),
+      env("INSERT", k2, 2.0).copy(ts = ts(100)))
+    q.processAllAvailable()
+    val dir1 = new java.io.File(table, s"_bucket=${bucketOf(k1)}")
+    def snapshot(d: java.io.File): Map[String, (Long, String)] =
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        f.getName -> (f.lastModified(), java.util.Base64.getEncoder.encodeToString(
+          java.security.MessageDigest.getInstance("MD5").digest(bytes)))
+      }.toMap
+    val before = snapshot(dir1)
+    assert(before.nonEmpty)
+    // second batch touches ONLY k2's bucket
+    ms.addData(env("MODIFY", k2, 20.0).copy(ts = ts(200)))
+    q.processAllAvailable()
+    q.stop()
+    assert(snapshot(dir1) == before) // k1's bucket: same files, same bytes
+    val byId = spark.read.parquet(table).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Double]("price")).toMap
+    assert(byId == Map(k1 -> 1.0, k2 -> 20.0))
+  }
+
   test("T8: equal-version MODIFY+REMOVE ties resolve deterministically (REMOVE wins)") {
     implicit val sqlCtx = spark.sqlContext
     val table = tmp("merge-tie") + "/t"
@@ -181,6 +217,80 @@ class CaptureApplySpec extends AnyFunSuite {
     runOnce(tmp("ck-i2")) // fresh checkpoint = full replay of the same batch
     val second = spark.read.parquet(table).collect().map(_.toString).sorted
     assert(first.sameElements(second)) // latest-by-version makes replay a no-op
+  }
+
+  test("S12: cleanSource=archive actually moves consumed staged files") {
+    val stage = tmp("stage-s12")
+    val archive = tmp("archive-s12")
+    val ck = tmp("ck-s12")
+    val wh = tmp("wh-s12")
+    // three staged batches -> three source files
+    (1 to 3).foreach { i =>
+      Capture.stageBatch(Envelope.route(Seq(env("INSERT", s"k$i", i.toDouble)).toDF()), stage)
+    }
+    def sourceDataFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(stage)).map(_.getName).filter(_.endsWith(".json")).toSet
+    }
+    val before = sourceDataFiles()
+    assert(before.size == 3)
+    def runPass(): Unit = {
+      val q = Apply.startAppend(
+        Apply.stagedStream(spark, stage, afterSchema, maxFilesPerTrigger = 1,
+          cleanSource = Some("archive"), sourceArchiveDir = Some(archive)),
+        wh, ck)
+      q.awaitTermination()
+    }
+    runPass()
+    // the cleaner archives a batch's files while later batches run; a
+    // second pass (new data) flushes the tail, and the move is async —
+    // poll briefly
+    Capture.stageBatch(Envelope.route(Seq(env("INSERT", "k4", 4.0)).toDF()), stage)
+    runPass()
+    def archivedFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(archive)).map(_.getName).filter(_.endsWith(".json")).toSet
+    }
+    val deadline = System.currentTimeMillis() + 20000
+    while (archivedFiles().isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(250)
+    val archived = archivedFiles()
+    assert(archived.nonEmpty, "no staged file was archived")
+    assert(archived.subsetOf(before + "k4"), "archived files must come from the staged set")
+    // archived files left the source prefix (retention applied, S12)
+    assert(archived.intersect(sourceDataFiles()).isEmpty)
+    // and no data was lost: all four inserts landed
+    assert(spark.read.schema(afterSchema).parquet(wh).count() == 4)
+  }
+
+  test("S7 e2e: kafka-shaped stream -> envelopes -> staged -> warehouse") {
+    implicit val sqlCtx = spark.sqlContext
+    val stage = tmp("stage-kafka")
+    val wh = tmp("wh-kafka")
+    // exactly the schema spark.readStream.format("kafka") produces; only
+    // the broker is faked (no Kafka in the offline sandbox)
+    val ms = MemoryStream[(Array[Byte], Array[Byte], java.sql.Timestamp, String, Int, Long)]
+    val kafkaShaped = ms.toDF()
+      .toDF("key", "value", "timestamp", "topic", "partition", "offset")
+    val q = Capture.start(
+      Capture.fromKafkaShape(kafkaShaped, afterSchema), stage, tmp("ck-kafka"))
+    def rec(op: String, id: String, price: Double, off: Long) = (
+      id.getBytes("UTF-8"),
+      s"""{"op": "$op", "after": {"id": "$id", "ticker": "tick", "price": $price}}""".getBytes("UTF-8"),
+      new java.sql.Timestamp(1700000000000L + off), "trades", 0, off)
+    ms.addData(rec("INSERT", "a", 1.5, 0), rec("MODIFY", "b", 2.5, 1), rec("REMOVE", "c", 0.0, 2))
+    q.processAllAvailable()
+    q.stop()
+    val ap = Apply.startAppend(
+      Apply.stagedStream(spark, stage, afterSchema), wh, tmp("ck-kafka-apply"))
+    ap.awaitTermination()
+    val landed = spark.read.schema(afterSchema).parquet(wh)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("price")).toMap
+    assert(landed == Map("a" -> 1.5, "b" -> 2.5)) // REMOVE routed out (T5)
   }
 
   test("T9: startIfNotRunning is a no-op when the named query is active") {
