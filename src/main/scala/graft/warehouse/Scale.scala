@@ -37,4 +37,69 @@ object Scale {
       explode(sequence(lit(0), lit(salts - 1))))
     saltedL.join(saltedR, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Distributed global row number: `Window.orderBy(...)` with no
+    * partitionBy funnels EVERY row through one task — correct at test
+    * scale, dead at 100 TB (round-1 verdict on q16). This is the two-pass
+    * alternative:
+    *   1. range-repartition on the sort key (Spark samples split points,
+    *      so the sort is spread over `partitions` tasks),
+    *   2. per-partition row_number + a per-partition row-count offset
+    *      (the offsets are `partitions` longs — a driver-side scalar
+    *      handful, not data).
+    * `sortCols` must be a total order (include a unique tiebreaker) for
+    * the numbering to be deterministic.
+    */
+  private def numberedWithCounts(
+      df: DataFrame, sortCols: Seq[Column], out: String,
+      partitions: Int): (DataFrame, Seq[Long]) = {
+    import org.apache.spark.sql.expressions.Window
+    // lazy localCheckpoint: the counts pass materializes the repartition
+    // once; the numbering pass reuses the stored blocks instead of
+    // re-shuffling (blocks are freed when the frame is GC'd)
+    val parted = df.repartitionByRange(partitions, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(false)
+    // pass 1: per-partition cardinalities -> cumulative offsets.
+    // RangePartitioner assigns ascending ranges to ascending partition
+    // ids, so offsets accumulate in _pid order.
+    val counts = parted.groupBy(col("_pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+      .init.map(_._2)
+    val offsetCol = counts.map(_._1).zip(offsets).foldLeft(lit(0L)) {
+      case (acc, (pid, off)) => when(col("_pid") === pid, lit(off)).otherwise(acc)
+    }
+    // pass 2: window WITHIN each range partition only
+    val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+    val numbered = parted
+      .withColumn(out, row_number().over(w).cast("long") + offsetCol)
+      .drop("_pid")
+    (numbered, counts.map(_._2))
+  }
+
+  def withGlobalRowNumber(
+      df: DataFrame, sortCols: Seq[Column], out: String,
+      partitions: Int = 32): DataFrame =
+    numberedWithCounts(df, sortCols, out, partitions)._1
+
+  /** Distributed global NTILE(k) built on [[withGlobalRowNumber]], with
+    * standard SQL semantics (first `n % k` tiles get one extra row) — the
+    * scale-safe replacement for `ntile(k).over(Window.orderBy(...))`. */
+  def withGlobalNtile(
+      df: DataFrame, sortCols: Seq[Column], k: Int, out: String,
+      partitions: Int = 32): DataFrame = {
+    val rn = "_global_rn"
+    val (numbered, counts) = numberedWithCounts(df, sortCols, rn, partitions)
+    val n = counts.sum
+    val base = n / k
+    val rem = n % k
+    // integer `div`, not `/`: Column./ is double division and truncation
+    // after a 0.9999… artifact would mis-tile large row numbers
+    val tile = if (base == 0) col(rn) // fewer rows than tiles
+    else when(col(rn) <= rem * (base + 1),
+        expr(s"($rn - 1) div ${base + 1}") + 1)
+      .otherwise(expr(s"($rn - 1 - ${rem * (base + 1)}) div $base") + rem + 1)
+    numbered.withColumn(out, tile.cast("long")).drop(rn)
+  }
 }

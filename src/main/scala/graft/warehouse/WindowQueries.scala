@@ -65,14 +65,18 @@ object WindowQueries {
     },
 
     // -- W2: ntile + dense_rank (dense_rank tolerates acctbal ties).
+    //    The global quartile runs through Scale.withGlobalNtile — a
+    //    partitionBy-less `Window.orderBy` funnels the whole table
+    //    through ONE task (round-1 verdict: correct at sf0.1, dead at
+    //    100 TB); the two-pass range-partitioned formulation produces
+    //    identical standard NTILE semantics distributed.
     "q16_window_ntile" -> { (s, d) =>
-      val wGlobal = Window.orderBy(col("c_acctbal"), col("c_custkey"))
       val wSeg = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
-      Tables.customer(s, d)
-        .select(
-          col("c_custkey"), col("c_mktsegment"),
-          ntile(4).over(wGlobal).cast("long").as("wealth_quartile"),
-          dense_rank().over(wSeg).cast("long").as("seg_rank"))
+      Scale.withGlobalNtile(Tables.customer(s, d),
+          Seq(col("c_acctbal"), col("c_custkey")), 4, "wealth_quartile")
+        .withColumn("seg_rank", dense_rank().over(wSeg).cast("long"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("wealth_quartile"), col("seg_rank"))
         .orderBy(col("c_custkey"))
     }
   )

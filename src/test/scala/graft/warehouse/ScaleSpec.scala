@@ -59,4 +59,30 @@ class ScaleSpec extends AnyFunSuite {
       .groupBy("_salt").count().count()
     assert(spread == 8)
   }
+
+  test("distributed global row number == single-partition window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    // values with heavy ties; (v, id) is the total order
+    val df = spark.range(5000).select(
+      (col("id") % 97).as("v"), col("id"))
+    val viaWindow = df
+      .withColumn("rn", row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    val viaScale = Scale.withGlobalRowNumber(df, Seq(col("v"), col("id")), "rn", partitions = 7)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(viaScale == viaWindow)
+  }
+
+  test("distributed global ntile == window NTILE for uneven and tiny inputs") {
+    import org.apache.spark.sql.expressions.Window
+    for ((rows, k) <- Seq((5003, 4), (10, 3), (2, 5))) {
+      val df = spark.range(rows).select((col("id") % 13).as("v"), col("id"))
+      val viaWindow = df
+        .withColumn("t", ntile(k).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+      val viaScale = Scale.withGlobalNtile(df, Seq(col("v"), col("id")), k, "t", partitions = 7)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+      assert(viaScale == viaWindow, s"rows=$rows k=$k")
+    }
+  }
 }
