@@ -117,10 +117,15 @@ object Dedup {
     * per pair — never, in practice), while the set payload and the
     * per-pair intersection work shrink ~5× vs string sets. This is what
     * makes the output reproducible by a hash-family-free SQL oracle. */
+  /** `materialize = true` (default) runs the pipeline eagerly via
+    * localCheckpoint and releases the signature cache; pass false to get
+    * the full lazy plan (composition / plan inspection) — the caller then
+    * owns triggering execution, and the cache lives until session end. */
   def minhashNearDups(
       docs: DataFrame, id: Column, text: Column,
       threshold: Double, shingleWidth: Int = 3,
-      k: Int = 16, bands: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
+      k: Int = 16, bands: Int = 8, maxBucketSize: Int = 1000,
+      materialize: Boolean = true): DataFrame = {
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"bands must divide k (got k=$k, bands=$bands)")
     val r = k / bands
@@ -150,10 +155,13 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
     // materialize while the signature cache is hot, then free it (the
-    // persist otherwise leaks for the session lifetime per invocation).
-    val out = result.localCheckpoint(true)
-    agg.unpersist(false)
-    out
+    // persist otherwise leaks for the session lifetime per invocation)
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true)
+      agg.unpersist(false)
+      out
+    }
   }
 
   /** Exact Jaccard over distinct-element arrays. */
@@ -210,7 +218,8 @@ object Dedup {
   def simhashNearDups(
       docs: DataFrame, id: Column, text: Column,
       maxHamming: Int = 3, maxBucketSize: Int = 1000,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+      tokenHash: Column => Column = xxhash64(_),
+      materialize: Boolean = true): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0, 63], got $maxHamming")
     val nChunks = maxHamming + 1
@@ -246,10 +255,13 @@ object Dedup {
     // materialize while the signature cache is hot, then free it:
     // localCheckpoint truncates lineage so the returned frame no longer
     // depends on the cached blocks (round-2 advice: the persist leaked
-    // for the session lifetime per invocation).
-    val out = result.localCheckpoint(true)
-    sigs.unpersist(false)
-    out
+    // for the session lifetime per invocation)
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true)
+      sigs.unpersist(false)
+      out
+    }
   }
 
   /** Winnowing near-dups: documents sharing ≥ `minShared` sampled
