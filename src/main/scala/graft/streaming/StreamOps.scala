@@ -109,7 +109,8 @@ object StreamOps {
     * set spark.sql.streaming.stateStore.providerClass to
     * o.a.s.sql.execution.streaming.state.RocksDBStateStoreProvider (the
     * HDFS-backed default store has no column families). */
-  class SessionProcessor(gapSeconds: Long)
+  class SessionProcessor(gapSeconds: Long,
+      stateTtl: Option[java.time.Duration] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, ClosedSession] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.{Encoders => E}
@@ -118,8 +119,12 @@ object StreamOps {
     @transient private var useTimers: Boolean = false
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      // state TTL (processing-time based): idle per-user state is evicted
+      // by the store itself — at 100 TB this bounds state to ACTIVE users
+      // even when a key never sends another event to trigger gap logic
       state = getHandle.getValueState[SessionState](
-        "session", E.product[SessionState], TTLConfig.NONE)
+        "session", E.product[SessionState],
+        stateTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
       useTimers = timeMode == TimeMode.EventTime()
     }
 
@@ -166,16 +171,24 @@ object StreamOps {
     * closes trailing sessions when the watermark passes last + gap —
     * full parity with [[sessionize]]'s timeout behavior. */
   def sessionizeTws(events: Dataset[Evt], gapSeconds: Long = 1800,
-      eventTimeTimers: Boolean = false): Dataset[ClosedSession] = {
+      eventTimeTimers: Boolean = false,
+      stateTtl: Option[java.time.Duration] = None): Dataset[ClosedSession] = {
     import org.apache.spark.sql.streaming.TimeMode
     import org.apache.spark.sql.{Encoders => E}
+    require(!(eventTimeTimers && stateTtl.nonEmpty),
+      "state TTL is processing-time based (TimeMode.ProcessingTime); it cannot " +
+        "be combined with event-time timers in one processor")
     implicit val closedEnc: org.apache.spark.sql.Encoder[ClosedSession] =
       E.product[ClosedSession]
+    val timeMode =
+      if (eventTimeTimers) TimeMode.EventTime()
+      else if (stateTtl.nonEmpty) TimeMode.ProcessingTime()
+      else TimeMode.None()
     events
       .groupByKey(_.user_id)(E.scalaLong)
       .transformWithState(
-        new SessionProcessor(gapSeconds),
-        if (eventTimeTimers) TimeMode.EventTime() else TimeMode.None(),
+        new SessionProcessor(gapSeconds, stateTtl),
+        timeMode,
         OutputMode.Append())
   }
 

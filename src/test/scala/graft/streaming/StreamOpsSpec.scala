@@ -109,6 +109,55 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("T10 modern + TTL: idle state is evicted, later events start fresh sessions") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Evt]
+      val sessions = StreamOps.sessionizeTws(ms.toDS(), gapSeconds = 1800,
+        stateTtl = Some(java.time.Duration.ofSeconds(1)))
+      // A TimeMode.ProcessingTime query never self-terminates (the engine
+      // schedules micro-batches continuously to evict state), so neither
+      // processAllAvailable nor Trigger.AvailableNow returns — poll the
+      // committed source offset and stop the query explicitly instead.
+      val ckpt = java.nio.file.Files.createTempDirectory("twsttl").toString
+      // memory sink can't recover from a checkpoint; foreachBatch can
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Double)]
+      def runUpTo(target: Long): Unit = {
+        val q = sessions.toDF().writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.collect().foreach(r => out.add((r.getLong(0), r.getInt(2), r.getDouble(3))))
+          }
+          .outputMode("append").option("checkpointLocation", ckpt).start()
+        val deadline = System.currentTimeMillis + 120000
+        def caughtUp = Option(q.lastProgress).flatMap(p =>
+          scala.util.Try(p.sources.head.endOffset.trim.toLong).toOption)
+          .exists(_ >= target)
+        while (!caughtUp && System.currentTimeMillis < deadline) Thread.sleep(100)
+        assert(caughtUp, "stream did not consume its input within 120s")
+        q.stop()
+      }
+      val o1 = ms.addData(Evt(5, t(0), "click", 1.5))
+      runUpTo(o1.json.trim.toLong)
+      Thread.sleep(2500) // wall-clock TTL expires the idle state
+      // one batch: post-expiry event starts a FRESH session (t0 state is
+      // gone despite being within the event-time gap), far event closes it
+      val o2 = ms.addData(Evt(5, t(10), "view", 2.5), Evt(5, t(3000), "click", 9.0))
+      runUpTo(o2.json.trim.toLong)
+      val rows = out.toArray(Array.empty[(Long, Int, Double)])
+      // with TTL the closed session holds only the post-expiry event;
+      // without TTL it would have absorbed t(0) too -> (5, 2, 4.0)
+      assert(rows.contains((5L, 1, 2.5)), rows.mkString(","))
+      assert(!rows.contains((5L, 2, 4.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("T10 modern + timers: trailing session closes when watermark passes gap") {
     implicit val ctx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
