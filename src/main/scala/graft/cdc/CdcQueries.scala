@@ -2,9 +2,8 @@ package graft.cdc
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-
 import graft.util.Tables
+import graft.util.Exact.cents
 
 /** Oracle-visible CDC operators over the deterministic `events` table —
   * the batch-checkable faces of the streaming pipeline (SURVEY.md §2.2
@@ -12,8 +11,6 @@ import graft.util.Tables
   * signup→INSERT, error→REMOVE, everything else→MODIFY.
   */
 object CdcQueries {
-
-  private val dec = DecimalType(18, 2)
 
   /** events as a CDC envelope feed. */
   private def asFeed(s: SparkSession, d: String): DataFrame =
@@ -45,7 +42,7 @@ object CdcQueries {
       Envelope.latestByKey(Tables.events(s, d), col("user_id"), col("event_id"))
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_type"),
-          (col("value").cast(dec) * 100).cast("long").as("last_value_cents"))
+          cents(col("value")).as("last_value_cents"))
         .orderBy(col("user_id"))
     },
 
@@ -77,7 +74,7 @@ object CdcQueries {
       feed.join(broadcast(dim), feed("user_id") === dim("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_changes"),
-          sum(col("value").cast(dec)).cast(DecimalType(38, 2)).as("total_value"))
+          sum(cents(col("value"))).as("total_value_cents"))
         .orderBy(col("c_mktsegment"))
     }
   )
@@ -116,7 +113,7 @@ object CdcQueries {
 
     "q36_stream_static_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_changes,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_cents
         |FROM (SELECT *, CASE WHEN event_type = 'signup' THEN 'INSERT'
         |    WHEN event_type = 'error' THEN 'REMOVE' ELSE 'MODIFY' END AS op
         |  FROM events) e

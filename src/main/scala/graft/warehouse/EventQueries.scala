@@ -3,9 +3,8 @@ package graft.warehouse
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-
 import graft.util.Tables
+import graft.util.Exact.cents
 
 /** Event-stream analytics over the `events` table — the deterministic batch
   * equivalents of the streaming surface (SURVEY.md §2.8 T7/T10): lag/lead,
@@ -17,10 +16,9 @@ import graft.util.Tables
   */
 object EventQueries {
 
-  private val dec = DecimalType(18, 2)
-  // Final SUM outputs pinned to DECIMAL(38,2) on both engines (round-1
-  // verdict: physical-type-sensitive driver hash).
-  private val dec38 = DecimalType(38, 2)
+  // Money outputs are BIGINT cents (Exact.cents): no decimal type may
+  // appear in an oracle-gated output (round-2 verdict — the driver hasher
+  // normalizes decimal reprs one-sidedly).
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- W3: lag — seconds since the user's previous event.
@@ -41,7 +39,7 @@ object EventQueries {
         .rowsBetween(-2, Window.currentRow)
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
-          sum(col("value").cast(dec)).over(w).cast(dec38).as("moving_sum"))
+          sum(cents(col("value"))).over(w).as("moving_sum_cents"))
         .orderBy(col("event_id"))
     },
 
@@ -52,7 +50,7 @@ object EventQueries {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(dec)).cast(dec38).as("total_value"))
+          sum(cents(col("value"))).as("total_value_cents"))
         .orderBy(col("k"))
     },
 
@@ -95,7 +93,7 @@ object EventQueries {
       Tables.events(s, d)
         .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(dec)).cast(dec38).as("total_value"))
+          sum(cents(col("value"))).as("total_value_cents"))
         .orderBy(col("hour_epoch"), col("event_type"))
     },
 
@@ -147,7 +145,7 @@ object EventQueries {
         .withColumn("k", try_variant_get(col("v"), "$.k", "long"))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(dec)).cast(dec38).as("total_value"))
+          sum(cents(col("value"))).as("total_value_cents"))
         .orderBy(col("k"))
     },
 
@@ -170,7 +168,7 @@ object EventQueries {
         .agg(
           min(unix_timestamp(col("ts_s"))).as("session_start_epoch"),
           count(lit(1)).as("n_events"),
-          sum(col("value").cast(dec)).cast(dec38).as("total_value"))
+          sum(cents(col("value"))).as("total_value_cents"))
         .orderBy(col("user_id"), col("session_id"))
     }
   )
@@ -187,15 +185,15 @@ object EventQueries {
 
     "q14_window_moving_sum" ->
       """SELECT event_id, user_id,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
         |    PARTITION BY user_id ORDER BY event_id
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS moving_sum
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_sum_cents
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q22_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_cents
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
 
     "q25_asof_join" ->
@@ -213,13 +211,13 @@ object EventQueries {
 
     "q30_tumbling_window" ->
       """SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch, event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_cents
         |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
 
     "q58_variant_super" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_cents
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
 
     "q72_funnel" ->
@@ -270,7 +268,7 @@ object EventQueries {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  CAST(MIN(EPOCH(ts_s)) AS BIGINT) AS session_start_epoch,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_cents
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
   )
 }

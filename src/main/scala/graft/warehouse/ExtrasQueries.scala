@@ -3,16 +3,13 @@ package graft.warehouse
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-
 import graft.util.Tables
+import graft.util.Exact.cents
 
 /** Remaining operator-inventory entries (SURVEY.md §2.4 A4/A8, §2.6,
   * §2.3 J6-tolerance) plus SQL-surface subqueries.
   */
 object ExtrasQueries {
-
-  private val dec = DecimalType(18, 2)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- A4: HLL++ approximate distinct (no oracle — sketch internals are
@@ -41,14 +38,14 @@ object ExtrasQueries {
     "q51_union_missing" -> { (s, d) =>
       val a = Tables.orders(s, d).select(
         col("o_orderkey").as("key"),
-        col("o_totalprice").cast(dec).as("amount"),
+        cents(col("o_totalprice")).as("amount_cents"),
         col("o_orderstatus").as("status"))
       val b = Tables.lineitem(s, d).filter(col("l_linenumber") === 1).select(
         col("l_orderkey").as("key"),
-        col("l_extendedprice").cast(dec).as("amount"))
+        cents(col("l_extendedprice")).as("amount_cents"))
       a.unionByName(b, allowMissingColumns = true)
         .groupBy(col("status"))
-        .agg(count(lit(1)).as("n"), sum(col("amount")).cast(DecimalType(38, 2)).as("total"))
+        .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("total_cents"))
         .orderBy(col("status").asc_nulls_first)
     },
 
@@ -88,7 +85,8 @@ object ExtrasQueries {
       Tables.orders(s, d).createOrReplaceTempView("orders_sq")
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sq")
       s.sql(
-        """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+        """SELECT o_orderkey,
+          |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS totalprice_cents
           |FROM orders_sq
           |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
           |      * (SELECT 2 * COUNT(*) FROM orders_sq)
@@ -109,11 +107,12 @@ object ExtrasQueries {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q51_union_missing" ->
-      """SELECT status, COUNT(*) AS n, CAST(SUM(amount) AS DECIMAL(38,2)) AS total FROM (
-        |  SELECT o_orderkey AS key, CAST(o_totalprice AS DECIMAL(18,2)) AS amount,
+      """SELECT status, COUNT(*) AS n, CAST(SUM(amount_cents) AS BIGINT) AS total_cents FROM (
+        |  SELECT o_orderkey AS key,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS amount_cents,
         |    o_orderstatus AS status FROM orders
         |  UNION ALL
-        |  SELECT l_orderkey, CAST(l_extendedprice AS DECIMAL(18,2)), NULL
+        |  SELECT l_orderkey, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT), NULL
         |  FROM lineitem WHERE l_linenumber = 1)
         |GROUP BY status ORDER BY status NULLS FIRST""".stripMargin,
 
@@ -136,7 +135,8 @@ object ExtrasQueries {
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     "q54_scalar_subquery" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS totalprice_cents
         |FROM orders
         |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
         |      * (SELECT 2 * COUNT(*) FROM orders)

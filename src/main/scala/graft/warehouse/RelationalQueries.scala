@@ -2,15 +2,15 @@ package graft.warehouse
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-
-import graft.util.Tables
+import graft.util.{Exact, Tables}
+import graft.util.Exact.{cents, netE4}
 
 /** Core relational operator surface (SURVEY.md §2.2–§2.4, §2.6–§2.7).
   *
   * Oracle-parity conventions (driver compares vs DuckDB at sf0.01):
-  *  - every money/quantity SUM goes through DecimalType(18,2) so the
-  *    aggregation is exact and order-independent in both engines;
+  *  - every money/quantity output is a BIGINT scaled integer (Exact.cents /
+  *    Exact.netE4) so aggregation is exact, order-independent, and free of the
+  *    driver hasher's decimal-repr normalization in both engines;
   *  - every result has a total ORDER BY on a unique key combination;
   *  - every computed column is aliased identically in Spark and SQL.
   *
@@ -20,12 +20,10 @@ import graft.util.Tables
   */
 object RelationalQueries {
 
-  private val dec = DecimalType(18, 2)
-  // Final aggregate outputs are pinned to DECIMAL(38,2) on BOTH engines:
-  // Spark's SUM(DECIMAL(18,2)) widens to (28,2) while DuckDB's widens to
-  // (38,2), and the driver's hash is physical-type sensitive (round-1
-  // verdict). The cast is lossless (same scale, wider precision).
-  private val dec38 = DecimalType(38, 2)
+  // Money outputs are BIGINT scaled integers (cents / 1e-4 units) on BOTH
+  // engines — see graft.util.Exact for why no oracle-gated output may carry
+  // a decimal type (round-2 verdict: the driver's hasher strips decimal
+  // trailing zeros on one side only).
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- A2: grouped aggregation (TPC-H Q1 shape). Partial aggregation
@@ -35,13 +33,9 @@ object RelationalQueries {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(dec)).cast(dec38).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec)).cast(dec38).as("sum_base_price"),
-          // decimal-domain arithmetic: raw columns are exact 2-decimal
-          // values, so cast-then-multiply is exact and order-independent
-          // (casting the computed double instead would hit double→decimal
-          // rounding divergence vs the oracle at .xx5 boundaries).
-          sum(col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))).as("sum_disc_price"),
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_price_cents"),
+          sum(netE4(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price_e4"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -53,10 +47,9 @@ object RelationalQueries {
       Tables.lineitem(s, d)
         .filter(col("l_quantity") >= 45 && col("l_discount") > 0.07)
         .select(
-          col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity").cast(dec).as("qty"),
-          (col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
-            .cast(DecimalType(38, 4)).as("net_price"))
+          col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          cents(col("l_quantity")).as("qty_cents"),
+          netE4(col("l_extendedprice"), col("l_discount")).as("net_price_e4"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
@@ -73,7 +66,7 @@ object RelationalQueries {
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           count(lit(1)).as("n_customers"),
-          sum(col("c_acctbal").cast(dec)).cast(dec38).as("total_acctbal"))
+          sum(cents(col("c_acctbal"))).as("total_acctbal_cents"))
         .orderBy(col("r_name"), col("n_name"))
     },
 
@@ -87,7 +80,7 @@ object RelationalQueries {
         .groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n_lines"),
-          sum(col("l_extendedprice").cast(dec)).cast(dec38).as("total_price"))
+          sum(cents(col("l_extendedprice"))).as("total_price_cents"))
         .orderBy(col("o_orderpriority"))
     },
 
@@ -100,7 +93,7 @@ object RelationalQueries {
         .groupBy(col("c_custkey"))
         .agg(
           count(col("o_orderkey")).as("n_orders"),
-          coalesce(sum(col("o_totalprice").cast(dec)), lit(0).cast(dec)).cast(dec38).as("total_spent"))
+          coalesce(sum(cents(col("o_totalprice"))), lit(0L)).as("total_spent_cents"))
         .orderBy(col("c_custkey"))
     },
 
@@ -138,8 +131,8 @@ object RelationalQueries {
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(
-          sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0).cast(dec)).cast(dec38).as("f_total"),
-          sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0).cast(dec)).cast(dec38).as("o_total"),
+          sum(when(col("o_orderstatus") === "F", cents(col("o_totalprice"))).otherwise(0L)).as("f_total_cents"),
+          sum(when(col("o_orderstatus") === "O", cents(col("o_totalprice"))).otherwise(0L)).as("o_total_cents"),
           count(when(col("o_orderstatus") === "P", lit(1))).as("p_count"))
         .orderBy(col("o_orderpriority"))
     },
@@ -161,23 +154,25 @@ object RelationalQueries {
   def oracleSql: Map[String, String] = Map(
     "q01_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
         |  COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q02_filter_project" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_quantity AS DECIMAL(18,2)) AS qty,
-        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS net_price
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_cents,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |    (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS net_price_e4
         |FROM lineitem WHERE l_quantity >= 45 AND l_discount > 0.07
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q03_join_broadcast" ->
       """SELECT r_name, n_name, COUNT(*) AS n_customers,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+        |  CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_acctbal_cents
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -185,13 +180,13 @@ object RelationalQueries {
 
     "q04_join_fact" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_price_cents
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q05_join_outer" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS total_spent
+        |  CAST(COALESCE(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)), 0) AS BIGINT) AS total_spent_cents
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
@@ -215,8 +210,10 @@ object RelationalQueries {
 
     "q09_conditional_agg" ->
       """SELECT o_orderpriority,
-        |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS f_total,
-        |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS o_total,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS f_total_cents,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS o_total_cents,
         |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_count
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 

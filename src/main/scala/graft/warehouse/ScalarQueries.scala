@@ -2,9 +2,8 @@ package graft.warehouse
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-
 import graft.util.Tables
+import graft.util.Exact.cents
 
 /** Scalar-function surface (SURVEY.md §2.7): string normalization /
   * matching, date parts and arithmetic, math. These are the functions the
@@ -17,8 +16,6 @@ import graft.util.Tables
   * doubles is avoided (engines disagree at .5 boundaries).
   */
 object ScalarQueries {
-
-  private val dec = DecimalType(18, 2)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- string functions over documents: the reference's header
@@ -49,7 +46,7 @@ object ScalarQueries {
           month(col("o_orderdate")).cast("long").as("mo"))
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(dec)).cast(DecimalType(38, 2)).as("total"),
+          sum(cents(col("o_totalprice"))).as("total_cents"),
           min(to_date(col("o_orderdate"))).as("first_day"),
           max(date_add(to_date(col("o_orderdate")), 30)).as("latest_due"))
         .orderBy(col("yr"), col("qtr"), col("mo"))
@@ -86,7 +83,7 @@ object ScalarQueries {
         |  EXTRACT(QUARTER FROM o_orderdate) AS qtr,
         |  EXTRACT(MONTH FROM o_orderdate) AS mo,
         |  COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
         |  MIN(CAST(o_orderdate AS DATE)) AS first_day,
         |  MAX(CAST(o_orderdate AS DATE) + 30) AS latest_due
         |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, qtr, mo""".stripMargin,

@@ -2,9 +2,8 @@ package graft.warehouse
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-
 import graft.util.Tables
+import graft.util.Exact.cents
 
 /** Set operations, multi-dimensional grouping, non-equi joins, and array
   * flattening (SURVEY.md §2.3 J5, §2.4 A5, §2.6).
@@ -15,11 +14,8 @@ import graft.util.Tables
   */
 object SetAggQueries {
 
-  private val dec = DecimalType(18, 2)
-  // Final SUM outputs pinned to DECIMAL(38,2) on both engines (round-1
-  // verdict: Spark widens SUM to (28,2), DuckDB to (38,2); the driver's
-  // hash is physical-type sensitive).
-  private val dec38 = DecimalType(38, 2)
+  // Money outputs are BIGINT cents (Exact.cents) — no decimal type may
+  // appear in an oracle-gated output (round-2 verdict).
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- §2.6: UNION ALL of the two "pipelines" (customer/supplier account
@@ -27,23 +23,23 @@ object SetAggQueries {
     //    keeps the shuffle at |nationkey × source| rows.
     "q17_union_all" -> { (s, d) =>
       val c = Tables.customer(s, d)
-        .select(col("c_nationkey").cast("int").as("nationkey"),
+        .select(col("c_nationkey").cast("long").as("nationkey"),
           lit("customer").as("side"), col("c_acctbal").as("acctbal"))
       val p = Tables.supplier(s, d)
-        .select(col("s_nationkey").cast("int").as("nationkey"),
+        .select(col("s_nationkey").cast("long").as("nationkey"),
           lit("supplier").as("side"), col("s_acctbal").as("acctbal"))
       c.unionByName(p)
         .groupBy(col("nationkey"), col("side"))
-        .agg(count(lit(1)).as("n"), sum(col("acctbal").cast(dec)).cast(dec38).as("total_bal"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("acctbal"))).as("total_bal_cents"))
         .orderBy(col("nationkey"), col("side"))
     },
 
     // -- §2.6: INTERSECT (distinct) — nations having both customers and
     //    suppliers.
     "q18_intersect" -> { (s, d) =>
-      Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+      Tables.customer(s, d).select(col("c_nationkey").cast("long").as("nationkey"))
         .intersect(
-          Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey")))
+          Tables.supplier(s, d).select(col("s_nationkey").cast("long").as("nationkey")))
         .orderBy(col("nationkey"))
     },
 
@@ -71,7 +67,7 @@ object SetAggQueries {
           o("o_totalprice") >= bands("lo") && o("o_totalprice") < bands("hi"))
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(dec)).cast(dec38).as("total"))
+          sum(cents(col("o_totalprice"))).as("total_cents"))
         .orderBy(col("band"))
     },
 
@@ -79,7 +75,7 @@ object SetAggQueries {
     "q26_cube" -> { (s, d) =>
       Tables.orders(s, d)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast(dec)).cast(dec38).as("total"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
     },
@@ -102,7 +98,8 @@ object SetAggQueries {
         .filter(col("vec_id") < 100)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "val")))
         .filter(col("pos0") < 3)
-        .select(col("vec_id"), (col("pos0") + 1).as("dim"), col("val"))
+        .select(col("vec_id"), (col("pos0") + 1).cast("long").as("dim"),
+          col("val").cast("double").as("val"))
         .orderBy(col("vec_id"), col("dim"))
     }
   )
@@ -110,17 +107,17 @@ object SetAggQueries {
   def oracleSql: Map[String, String] = Map(
     "q17_union_all" ->
       """SELECT nationkey, side, COUNT(*) AS n,
-        |  CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal
+        |  CAST(SUM(CAST(CAST(acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_bal_cents
         |FROM (
-        |  SELECT c_nationkey AS nationkey, 'customer' AS side, c_acctbal AS acctbal FROM customer
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, 'customer' AS side, c_acctbal AS acctbal FROM customer
         |  UNION ALL
-        |  SELECT s_nationkey AS nationkey, 'supplier' AS side, s_acctbal AS acctbal FROM supplier)
+        |  SELECT CAST(s_nationkey AS BIGINT) AS nationkey, 'supplier' AS side, s_acctbal AS acctbal FROM supplier)
         |GROUP BY nationkey, side ORDER BY nationkey, side""".stripMargin,
 
     "q18_intersect" ->
-      """SELECT c_nationkey AS nationkey FROM customer
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
         |INTERSECT
-        |SELECT s_nationkey AS nationkey FROM supplier
+        |SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
 
     "q19_except" ->
@@ -131,7 +128,7 @@ object SetAggQueries {
 
     "q24_range_join" ->
       """SELECT band, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders
         |JOIN (VALUES (0, 100000, 'small'), (100000, 250000, 'medium'),
         |             (250000, 1000000000, 'large')) AS bands(lo, hi, band)
@@ -140,7 +137,7 @@ object SetAggQueries {
 
     "q26_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
@@ -151,7 +148,8 @@ object SetAggQueries {
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q29_explode" ->
-      """SELECT vec_id, d.dim, embedding[d.dim] AS val
+      """SELECT vec_id, CAST(d.dim AS BIGINT) AS dim,
+        |  CAST(embedding[d.dim] AS DOUBLE) AS val
         |FROM embeddings, (VALUES (1), (2), (3)) AS d(dim)
         |WHERE vec_id < 100
         |ORDER BY vec_id, dim""".stripMargin

@@ -3,16 +3,13 @@ package graft.warehouse
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-
 import graft.util.Tables
+import graft.util.Exact.cents
 
 /** Window value functions, multiset intersect, and percentile aggregates —
   * the last §2.5/§2.6 inventory stragglers.
   */
 object StatsQueries {
-
-  private val dec = DecimalType(18, 2)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- W3 value functions: first/last/nth over explicit frames.
@@ -63,7 +60,7 @@ object StatsQueries {
         .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
       Scale.saltedJoin(ev, dim, "user_id", salts = 8)
         .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).cast(DecimalType(38, 2)).as("total_value"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("total_value_cents"))
         .orderBy(col("c_mktsegment"))
     },
 
@@ -79,7 +76,7 @@ object StatsQueries {
           expr("percentile(l_quantity, 0.5)").as("median_qty"),
           expr("percentile(l_quantity, 0.25)").as("q25"),
           expr("percentile(l_quantity, 0.75)").as("q75"),
-          max(col("l_quantity").cast(dec)).as("max_qty"))
+          max(cents(col("l_quantity"))).as("max_qty_cents"))
         .orderBy(col("l_returnflag"))
     }
   )
@@ -90,7 +87,7 @@ object StatsQueries {
     "q67_listagg" -> { (s, d) =>
       Tables.nation(s, d).createOrReplaceTempView("nation_la")
       s.sql(
-        """SELECT n_regionkey,
+        """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
           |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
           |FROM nation_la GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     },
@@ -115,7 +112,8 @@ object StatsQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q67_listagg" ->
-      """SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "q68_date_spine" ->
@@ -150,7 +148,7 @@ object StatsQueries {
 
     "q65_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_cents
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
@@ -159,7 +157,7 @@ object StatsQueries {
         |  QUANTILE_CONT(l_quantity, 0.5) AS median_qty,
         |  QUANTILE_CONT(l_quantity, 0.25) AS q25,
         |  QUANTILE_CONT(l_quantity, 0.75) AS q75,
-        |  MAX(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty
+        |  MAX(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_qty_cents
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -3,9 +3,8 @@ package graft.warehouse
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-
 import graft.util.Tables
+import graft.util.Exact.cents
 
 /** Window-function surface (SURVEY.md §2.5): running totals, ranking,
   * frames, top-k. The reference's `balance_amt` column IS a materialized
@@ -22,11 +21,11 @@ import graft.util.Tables
   */
 object WindowQueries {
 
-  private val dec = DecimalType(18, 2)
-  // Output-type pinning (round-1 verdict): window SUM widens to (28,2) in
-  // Spark vs (38,2) in DuckDB, and rank functions are int32 in Spark vs
-  // int64 in DuckDB — pin both sides explicitly.
-  private val dec38 = DecimalType(38, 2)
+  // Output-type pinning: money outputs are BIGINT cents (Exact.cents; no
+  // decimal may reach an oracle-gated output — round-2 verdict), rank
+  // functions are int32 in Spark vs int64 in DuckDB so ranks cast to long,
+  // and DuckDB widens window SUM(BIGINT) to HUGEINT so the oracle wraps it
+  // in CAST(... AS BIGINT).
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- W1/W4: running total per customer (the reference's balance_amt
@@ -38,7 +37,7 @@ object WindowQueries {
       Tables.orders(s, d)
         .select(
           col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(dec)).over(w).cast(dec38).as("running_total"))
+          sum(cents(col("o_totalprice"))).over(w).as("running_total_cents"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
@@ -50,7 +49,7 @@ object WindowQueries {
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
-          col("o_totalprice").cast(dec).as("totalprice"))
+          cents(col("o_totalprice")).as("totalprice_cents"))
         .orderBy(col("o_orderpriority"), col("rk"))
     },
 
@@ -61,7 +60,7 @@ object WindowQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(20)
         .select(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice").cast(dec).as("totalprice"))
+          cents(col("o_totalprice")).as("totalprice_cents"))
     },
 
     // -- W2: ntile + dense_rank (dense_rank tolerates acctbal ties).
@@ -84,22 +83,23 @@ object WindowQueries {
   def oracleSql: Map[String, String] = Map(
     "q11_window_running" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_total_cents
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q12_window_rank_topk" ->
-      """SELECT o_orderpriority, rk, o_orderkey, totalprice FROM (
+      """SELECT o_orderpriority, rk, o_orderkey, totalprice_cents FROM (
         |  SELECT o_orderpriority, o_orderkey,
-        |    CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS totalprice_cents,
         |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) WHERE rk <= 3
         |ORDER BY o_orderpriority, rk""".stripMargin,
 
     "q15_order_limit_topk" ->
-      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS totalprice_cents
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "q16_window_ntile" ->

@@ -14,6 +14,14 @@ over-reported passes (42 driver-green while this script said 64).
 This version is zero-tolerance: a pass here must predict a driver
 hash_match. Array-typed output columns crash the driver's row sort
 (unhashable ndarray) — they are reported as DRIVER-CRASH failures.
+
+Round-2 lesson (VERDICT.md round 2): the driver hash-fails any query
+whose output carries a DECIMAL column containing a value whose repr
+ends in '0' (its hasher strips decimal trailing zeros on one side
+only) — so decimal output columns are banned outright, value-identical
+or not. Allowed output types: int64, float64, date, string, bool (and
+int32/timestamp variants never used by oracle-gated outputs are still
+rejected to keep both engines pinned).
 """
 import sys, os, json, glob
 from decimal import Decimal
@@ -81,6 +89,19 @@ def main():
         if name not in oracle:
             print(f"SKIP {name}: no oracle sql (rows={spark_tbl.num_rows})")
             n_noracle += 1
+            continue
+        # Decimal outputs are banned: the driver's hasher normalizes decimal
+        # reprs (strips trailing zeros) on one side only, so a decimal column
+        # hash-fails whenever any value's repr ends in '0' — regardless of
+        # cell-level equality. Emit BIGINT scaled integers instead.
+        ALLOWED = ("int64", "double", "float64", "date32[day]", "string",
+                   "large_string", "bool")
+        banned = [f"{f.name}:{f.type}" for f in spark_tbl.schema
+                  if str(f.type) not in ALLOWED]
+        if banned:
+            print(f"FAIL {name}: DRIVER-HASH-RISK output types {banned} "
+                  f"(allowed: BIGINT/DOUBLE/DATE/VARCHAR/BOOLEAN)")
+            n_fail += 1
             continue
         try:
             duck_tbl = con.execute(oracle[name]).arrow()
