@@ -48,6 +48,7 @@ object SparkEntry {
       warehouse.ExtrasQueries.oracleSql ++
       warehouse.TpchQueries.oracleSql ++
       warehouse.StatsQueries.oracleSql ++
+      warehouse.SketchQueries.oracleSql ++
       cdc.CdcQueries.oracleSql ++
       text.TextQueries.oracleSql ++
       text.SamplingQueries.oracleSql ++

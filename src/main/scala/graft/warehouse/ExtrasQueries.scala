@@ -12,14 +12,25 @@ import graft.util.Exact.cents
 object ExtrasQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // -- A4: HLL++ approximate distinct (no oracle — sketch internals are
-    //    engine-specific; ApproxSpec asserts the error envelope vs exact).
+    // -- A4: HLL++ approximate distinct. Sketch estimates are
+    //    engine-specific, so the oracle-gated output carries only
+    //    engine-independent invariants: the exact distinct counts plus
+    //    "approx within 5% of exact" booleans (the oracle emits literal
+    //    TRUE — a violated envelope fails the hash compare). ApproxSpec
+    //    additionally pins the error envelope across rsd configs.
     "q49_approx_distinct" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("a_orders"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("a_parts"))
+        .select(col("l_returnflag"), col("n_orders"), col("n_parts"),
+          (abs(col("a_orders") - col("n_orders")) <=
+            col("n_orders") * 0.05).as("orders_within_5pct"),
+          (abs(col("a_parts") - col("n_parts")) <=
+            col("n_parts") * 0.05).as("parts_within_5pct"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -99,6 +110,14 @@ object ExtrasQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q49_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  TRUE AS orders_within_5pct,
+        |  TRUE AS parts_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q50_pivot" ->
       """SELECT o_orderpriority,
         |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",

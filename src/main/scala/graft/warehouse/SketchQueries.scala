@@ -14,37 +14,55 @@ import graft.util.Tables
   */
 object SketchQueries {
 
+  /** Raw (bloom_hits, exact_hits) frame — spec-facing. Build a Bloom filter
+    * over high-value order keys, probe the fact table. might_contain admits
+    * false positives but never false negatives, so bloom_hits >= exact_hits
+    * always. The expressions exist in Catalyst (they power runtime
+    * filtering) but are not SQL-registered — exposed here via temp
+    * functions; the probe side must see the filter as a scalar subquery
+    * (BloomFilterMightContain requires a constant-foldable filter).
+    */
+  private[graft] def bloomHitCounts(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
+      "scala_udf")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)),
+      "scala_udf")
+    Tables.orders(s, d).createOrReplaceTempView("orders_bf")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_bf")
+    s.sql(
+      """SELECT
+        |  (SELECT COUNT(*) FROM lineitem_bf
+        |   WHERE graft_might_contain(
+        |     (SELECT graft_bloom_agg(o_orderkey, 50000L, 400000L)
+        |      FROM orders_bf WHERE o_totalprice > 300000),
+        |     l_orderkey)) AS bloom_hits,
+        |  (SELECT COUNT(*) FROM lineitem_bf
+        |   WHERE l_orderkey IN (SELECT o_orderkey FROM orders_bf
+        |     WHERE o_totalprice > 300000)) AS exact_hits""".stripMargin)
+  }
+
+  /** Raw (event_type, exact_n, est_n) — spec-facing Count-Min probe. */
+  private[graft] def cmsEstimates(s: SparkSession, d: String): Seq[(String, Long, Long)] = {
+    val ev = Tables.events(s, d)
+    val cms = ev.stat.countMinSketch(col("event_type"), 0.001, 0.999, 42)
+    ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      .map { case (t, n) => (t, n, cms.estimateCount(t)) }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // -- Bloom semi-join: build a filter over high-value order keys, probe
-    //    the fact table. might_contain admits false positives but never
-    //    false negatives, so bloom_hits >= exact_hits always. The
-    //    expressions exist in Catalyst (they power runtime filtering) but
-    //    are not SQL-registered — exposed here via temp functions; the
-    //    probe side must see the filter as a scalar subquery
-    //    (BloomFilterMightContain requires a constant-foldable filter).
+    // -- Bloom semi-join, oracle-gated face: exact_hits plus the
+    //    no-false-negative invariant (estimates are engine-specific; the
+    //    invariant is not — the oracle emits literal TRUE).
     "q70_bloom_semi_join" -> { (s, d) =>
-      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-      s.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_bloom_agg",
-        exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
-        "scala_udf")
-      s.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_might_contain",
-        exprs => BloomFilterMightContain(exprs(0), exprs(1)),
-        "scala_udf")
-      Tables.orders(s, d).createOrReplaceTempView("orders_bf")
-      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_bf")
-      s.sql(
-        """SELECT
-          |  (SELECT COUNT(*) FROM lineitem_bf
-          |   WHERE graft_might_contain(
-          |     (SELECT graft_bloom_agg(o_orderkey, 50000L, 400000L)
-          |      FROM orders_bf WHERE o_totalprice > 300000),
-          |     l_orderkey)) AS bloom_hits,
-          |  (SELECT COUNT(*) FROM lineitem_bf
-          |   WHERE l_orderkey IN (SELECT o_orderkey FROM orders_bf
-          |     WHERE o_totalprice > 300000)) AS exact_hits""".stripMargin)
+      bloomHitCounts(s, d).select(col("exact_hits"),
+        (col("bloom_hits") >= col("exact_hits")).as("bloom_no_false_negatives"))
     },
 
     // -- Count-Min frequency sketch: estimated per-key frequency is always
@@ -58,18 +76,27 @@ object SketchQueries {
     //    the sketch's hex length, which demonstrated nothing (VERDICT #3).
     "q71_count_min" -> { (s, d) =>
       import s.implicits._
-      val ev = Tables.events(s, d)
-      val cms = ev.stat.countMinSketch(col("event_type"), 0.001, 0.999, 42)
-      val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
-      exact.map { case (t, n) =>
-        val est = cms.estimateCount(t)
-        (t, n, est, est >= n)
-      }.toDF("event_type", "exact_n", "est_n", "est_ge_exact")
+      cmsEstimates(s, d)
+        .map { case (t, n, est) => (t, n, est >= n) }
+        .toDF("event_type", "exact_n", "est_ge_exact")
         .orderBy(col("event_type"))
     }
   )
 
-  // sketch internals are engine-specific: rows-only checks
-  def oracleSql: Map[String, String] = Map()
+  /** Sketch *estimates* are engine-specific, but their invariants are not:
+    * the oracle recomputes the exact side and emits literal TRUE for the
+    * guarantee columns (Bloom admits no false negatives; Count-Min only
+    * overestimates) — a violated guarantee fails the hash compare.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q70_bloom_semi_join" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |     WHERE o_totalprice > 300000)) AS exact_hits,
+        |  TRUE AS bloom_no_false_negatives""".stripMargin,
+
+    "q71_count_min" ->
+      """SELECT event_type, COUNT(*) AS exact_n, TRUE AS est_ge_exact
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
