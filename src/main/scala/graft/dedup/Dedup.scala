@@ -201,8 +201,14 @@ object Dedup {
     val simhash = udaf(graft.functions.SimhashBits)
     docs
       .select(id.as("id"), explode(graft.text.TextFunctions.tokens(text)).as("tok"))
-      .groupBy(col("id"), tokenHash(col("tok")).as("h"))
+      // group on the raw token and hash AFTER the multiplicity collapse:
+      // the hash (an md5 + 8 hex parses in the portable config) then runs
+      // once per distinct (id, token), not once per token occurrence —
+      // identical signatures (same (h, cnt) multiset reaches the packed
+      // Aggregator) at a fraction of the hashing work.
+      .groupBy(col("id"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
+      .select(col("id"), tokenHash(col("tok")).as("h"), col("cnt"))
       .groupBy(col("id"))
       .agg(simhash(col("h"), col("cnt")).as("sig"))
   }

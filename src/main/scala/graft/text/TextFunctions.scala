@@ -52,13 +52,18 @@ object TextFunctions {
   def langId(text: Column): Column =
     langIdFromScores(langProfiles.map { case (l, ws) => l -> wordHits(text, ws) })
 
-  /** argmax via chained CASE: first lang (alphabetical order) whose score
-    * is >= all others wins — reproducible in ANSI SQL for the oracle. */
-  def langIdFromScores(scores: Seq[(String, Column)]): Column =
-    scores.foldRight(lit(scores.head._1)) { case ((l, s), els) =>
-      when(scores.filter(_._1 != l).map(_._2).foldLeft(lit(true))((acc, o) => acc && s >= o), lit(l))
-        .otherwise(els)
+  /** argmax with deterministic alphabetical tie-break, reproducible in
+    * ANSI SQL for the oracle: one `greatest` over the scores, then an
+    * O(langs) CASE chain picking the first (alphabetical) language at the
+    * max. Round-2 verdict: the previous pairwise form expanded to
+    * O(langs²) comparisons per row. */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
+    val sorted = scores.sortBy(_._1)
+    val mx = greatest(sorted.map(_._2): _*)
+    sorted.init.foldRight(lit(sorted.last._1)) { case ((l, s), els) =>
+      when(s === mx, lit(l)).otherwise(els)
     }
+  }
 
   /** Quality metrics: char/token counts, non-alnum ratio, stopword ratio.
     * Ratios are double divisions of exact integers — IEEE-identical in any

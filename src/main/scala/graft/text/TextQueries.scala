@@ -85,7 +85,13 @@ object TextQueries {
     //    is a candidate iff ANY single minhash agrees — miss probability
     //    (1-J)^16 ≤ 1.5e-5 at the 0.5 threshold, and the signature family
     //    is deterministic, so the result is stable run-to-run (validated
-    //    against the all-pairs oracle at every SF). Verification uses
+    //    against the all-pairs oracle at every SF). Expected-miss budget
+    //    vs the all-pairs oracle (round-2 advice): a J-similar pair is
+    //    missed with probability (1-J)^16, so only near-threshold pairs
+    //    carry risk — at sf0.01 (~10² candidate pairs near J=0.5) the
+    //    expected miss count is ~10²·1.5e-5 ≈ 2e-3; at sf0.1 ~2e-2. The
+    //    gate runs at sf0.01; a flake needs ~500× more near-threshold
+    //    pairs than the generator produces. Verification uses
     //    64-bit shingle-set hashes, so the jaccard equals the oracle's
     //    string-set jaccard (collision odds ~4e-15 per pair).
     "q45_minhash_lsh" -> { (s, d) =>
@@ -142,12 +148,12 @@ object TextQueries {
       .mkString("(", " + ", ")")
 
   private val langCaseSql: String = {
-    val scores = TextFunctions.langProfiles.map { case (l, ws) => l -> hitsSql(ws) }
-    val arms = scores.map { case (l, s) =>
-      val geAll = scores.filter(_._1 != l).map(o => s"$s >= ${o._2}").mkString(" AND ")
-      s"WHEN $geAll THEN '$l'"
-    }
-    s"CASE ${arms.init.mkString(" ")} ELSE '${scores.last._1}' END"
+    // mirrors TextFunctions.langIdFromScores: GREATEST + first-alphabetical
+    // at the max (O(langs) arms, not O(langs²) pairwise comparisons)
+    val scores = TextFunctions.langProfiles.map { case (l, ws) => l -> hitsSql(ws) }.sortBy(_._1)
+    val mx = scores.map(_._2).mkString("GREATEST(", ", ", ")")
+    val arms = scores.init.map { case (l, s) => s"WHEN $s = $mx THEN '$l'" }
+    s"CASE ${arms.mkString(" ")} ELSE '${scores.last._1}' END"
   }
 
   def oracleSql: Map[String, String] = Map(
