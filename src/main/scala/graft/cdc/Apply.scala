@@ -91,6 +91,14 @@ object Apply {
     * same buckets) restores every `*.old` leftover before reading.
     * Replaying an already-applied batch is a no-op because latest-by-
     * version with the REMOVE>MODIFY>INSERT tie-break is idempotent.
+    *
+    * Layout guard (round-2 advice): the bucket function is a lifetime
+    * invariant of the table, so `nBuckets` and a layout version are
+    * persisted to `_graft_table_meta.json` inside tableDir on first write.
+    * Every batch fails fast if the stored bucket count mismatches the
+    * parameter, or if loose parquet files sit at the table root (a
+    * pre-bucketing flat layout) — either would silently treat current rows
+    * as absent and drop them from rewritten buckets.
     */
   def startMerge(
       envelopes: DataFrame,
@@ -119,6 +127,36 @@ object Apply {
             if (live.exists()) delete(retired) // publish completed; drop backup
             else if (!retired.renameTo(live)) sys.error(s"cannot restore $retired")
           }
+        // layout guard: refuse to merge into a table whose bucket layout
+        // does not match this writer's configuration
+        val metaFile = new java.io.File(root, "_graft_table_meta.json")
+        val rootFiles = Option(root.listFiles()).getOrElse(Array.empty)
+        val looseParquet = rootFiles.filter(f =>
+          f.isFile && f.getName.endsWith(".parquet"))
+        if (looseParquet.nonEmpty) sys.error(
+          s"$tableDir contains non-bucketed parquet files at the root " +
+            s"(${looseParquet.take(3).map(_.getName).mkString(", ")}…): " +
+            "refusing to merge — a bucket-scoped rewrite would drop these rows")
+        if (metaFile.exists()) {
+          val meta = new String(
+            java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8")
+          val stored = "\"nBuckets\"\\s*:\\s*(\\d+)".r
+            .findFirstMatchIn(meta).map(_.group(1).toInt)
+          if (!meta.contains("\"layout\": \"bucketed-v1\""))
+            sys.error(s"$tableDir has unknown layout in ${metaFile.getName}: $meta")
+          if (!stored.contains(nBuckets)) sys.error(
+            s"$tableDir was written with nBuckets=${stored.getOrElse("?")}, " +
+              s"this writer is configured with nBuckets=$nBuckets: " +
+              "the bucket function is a lifetime invariant of the table")
+        } else {
+          val hasBuckets = rootFiles.exists(_.getName.startsWith("_bucket="))
+          if (hasBuckets) sys.error(
+            s"$tableDir has _bucket= directories but no ${metaFile.getName}: " +
+              "cannot verify the table's bucket count — refusing to merge")
+          java.nio.file.Files.createDirectories(root.toPath)
+          java.nio.file.Files.write(metaFile.toPath,
+            s"""{"layout": "bucketed-v1", "nBuckets": $nBuckets}""".getBytes("UTF-8"))
+        }
         val bucketOf = (c: org.apache.spark.sql.Column) =>
           pmod(xxhash64(c), lit(nBuckets)).cast("int")
         // batch rows carry the key at the envelope level (REMOVE has a

@@ -18,9 +18,11 @@ import org.apache.spark.sql.types._
   * allocation-free and O(|a|+|b|), the (b)-tier treatment of SURVEY §7.3.
   *
   * Contract: both inputs ascending-sorted with distinct elements (e.g.
-  * `sort_array(collect_set(…))`). Null elements are not expected (set
-  * elements come from non-null hashes); any nulls sort first in Spark and
-  * are skipped. Both arrays empty → 0.0 (no division by zero).
+  * `sort_array(collect_set(…))`). Null elements are excluded from BOTH the
+  * intersection and the union denominator (round-2 advice: skipping them
+  * only in the intersection silently deflated the Jaccard), so the result
+  * is the set Jaccard of the non-null elements. Both effective sets
+  * empty → 0.0 (no division by zero).
   */
 case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -44,9 +46,10 @@ case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpr
     val b = r.asInstanceOf[ArrayData]
     val (na, nb) = (a.numElements(), b.numElements())
     var (i, j, inter) = (0, 0, 0)
+    var (nullsA, nullsB) = (0, 0)
     while (i < na && j < nb) {
-      if (a.isNullAt(i)) i += 1
-      else if (b.isNullAt(j)) j += 1
+      if (a.isNullAt(i)) { nullsA += 1; i += 1 }
+      else if (b.isNullAt(j)) { nullsB += 1; j += 1 }
       else {
         val x = a.getLong(i)
         val y = b.getLong(j)
@@ -55,7 +58,9 @@ case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpr
         else j += 1
       }
     }
-    val union = na + nb - inter
+    while (i < na) { if (a.isNullAt(i)) nullsA += 1; i += 1 }
+    while (j < nb) { if (b.isNullAt(j)) nullsB += 1; j += 1 }
+    val union = (na - nullsA) + (nb - nullsB) - inter
     if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 
@@ -69,13 +74,16 @@ case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpr
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       val union = ctx.freshName("union")
+      val nullsA = ctx.freshName("nullsA")
+      val nullsB = ctx.freshName("nullsB")
       s"""
         int $na = $a.numElements();
         int $nb = $b.numElements();
         int $i = 0; int $j = 0; int $inter = 0;
+        int $nullsA = 0; int $nullsB = 0;
         while ($i < $na && $j < $nb) {
-          if ($a.isNullAt($i)) { $i++; }
-          else if ($b.isNullAt($j)) { $j++; }
+          if ($a.isNullAt($i)) { $nullsA++; $i++; }
+          else if ($b.isNullAt($j)) { $nullsB++; $j++; }
           else {
             long $x = $a.getLong($i);
             long $y = $b.getLong($j);
@@ -84,7 +92,9 @@ case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpr
             else { $j++; }
           }
         }
-        int $union = $na + $nb - $inter;
+        while ($i < $na) { if ($a.isNullAt($i)) $nullsA++; $i++; }
+        while ($j < $nb) { if ($b.isNullAt($j)) $nullsB++; $j++; }
+        int $union = ($na - $nullsA) + ($nb - $nullsB) - $inter;
         ${ev.value} = ($union == 0) ? 0.0 : ((double) $inter) / ((double) $union);
       """
     })

@@ -293,6 +293,50 @@ class CaptureApplySpec extends AnyFunSuite {
     assert(landed == Map("a" -> 1.5, "b" -> 2.5)) // REMOVE routed out (T5)
   }
 
+  test("layout guard: merge persists nBuckets and refuses a mismatched writer") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("merge-guard") + "/t"
+    val ms = MemoryStream[Env]
+    val q = Apply.startMerge(ms.toDF(), table, tmp("ck-guard1"), "id", "ts", afterSchema,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"),
+      nBuckets = 8)
+    ms.addData(env("INSERT", "a", 1.0).copy(ts = ts(100)))
+    q.processAllAvailable(); q.stop()
+    val meta = new java.io.File(table, "_graft_table_meta.json")
+    assert(meta.exists())
+    assert(new String(java.nio.file.Files.readAllBytes(meta.toPath), "UTF-8")
+      .contains("\"nBuckets\": 8"))
+    // a writer configured with a different bucket count must fail fast
+    // (silently rehashing would drop rows from rewritten buckets)
+    val ms2 = MemoryStream[Env]
+    val q2 = Apply.startMerge(ms2.toDF(), table, tmp("ck-guard2"), "id", "ts", afterSchema,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"),
+      nBuckets = 16)
+    ms2.addData(env("MODIFY", "a", 2.0).copy(ts = ts(200)))
+    val e = intercept[Exception] { q2.processAllAvailable() }
+    assert(e.getMessage.contains("nBuckets") ||
+      Option(e.getCause).exists(_.getMessage.contains("nBuckets")))
+    // the guard fired before any rewrite: table contents unchanged
+    val byId = spark.read.parquet(table).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Double]("price")).toMap
+    assert(byId == Map("a" -> 1.0))
+  }
+
+  test("layout guard: merge refuses a pre-existing flat (non-bucketed) table") {
+    implicit val sqlCtx = spark.sqlContext
+    val flat = tmp("merge-flat") + "/t"
+    // a round-1-style flat layout: parquet files at the table root
+    Seq(env("INSERT", "a", 1.0)).toDF().select(col("after.*"), col("ts").as("_version"))
+      .write.parquet(flat)
+    val ms = MemoryStream[Env]
+    val q = Apply.startMerge(ms.toDF(), flat, tmp("ck-flat"), "id", "ts", afterSchema,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    ms.addData(env("MODIFY", "a", 2.0).copy(ts = ts(200)))
+    val e = intercept[Exception] { q.processAllAvailable() }
+    assert(e.getMessage.contains("non-bucketed") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-bucketed")))
+  }
+
   test("T9: startIfNotRunning is a no-op when the named query is active") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Env]

@@ -35,6 +35,22 @@ class JaccardSortedSpec extends AnyFunSuite {
     assert(j(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) == 1.0)
   }
 
+  test("null elements are excluded from both intersection and union") {
+    // nulls used to be skipped by the intersection but counted in the
+    // union denominator, silently deflating the Jaccard (round-2 advice)
+    val df = Seq(1).toDF("x").select(
+      array(lit(null).cast("long"), lit(1L), lit(2L)).as("a"),
+      array(lit(2L), lit(3L)).as("b"))
+    val got = df.select(JaccardSorted.jaccard_sorted(col("a"), col("b")).as("j"))
+      .collect()(0).getDouble(0)
+    assert(got == 1.0 / 3.0) // {1,2} vs {2,3}: inter 1, union 3 — not 1/4
+    // all-null vs all-null: empty effective sets -> 0.0, no div-by-zero
+    val z = Seq(1).toDF("x").select(
+      array(lit(null).cast("long")).as("a"), array(lit(null).cast("long")).as("b"))
+    assert(z.select(JaccardSorted.jaccard_sorted(col("a"), col("b")))
+      .collect()(0).getDouble(0) == 0.0)
+  }
+
   test("codegen and interpreted paths agree") {
     val df = spark.range(200).select(
       sort_array(array_distinct(array(
