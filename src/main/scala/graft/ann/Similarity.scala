@@ -49,22 +49,62 @@ object Similarity {
   /** IVF index state: centroid table + cell-assigned vectors. */
   final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
 
-  /** Build an IVF index. Centroids are seeded deterministically from the
-    * `nCentroids` lowest-id vectors, then refined with `iterations` Lloyd
-    * steps (distributed: assignment = broadcast join + argmin window;
-    * update = per-cell elementwise mean via posexplode/groupBy). */
+  /** Build an IVF index: seed centroids, refine with `iterations` Lloyd
+    * steps (distributed: assignment = broadcast join + argmin agg; update =
+    * per-cell elementwise mean via posexplode/groupBy).
+    *
+    * Seeding (SURVEY §9.7): `"farthest"` (default) runs a deterministic
+    * farthest-first traversal — the classic Gonzalez k-center sweep, the
+    * RNG-free proxy for k-means++'s D² sampling (k-means++ IS
+    * farthest-point with probabilistic smoothing; an LSH/IVF index must
+    * assign the same vector to the same cell forever, so no RNG). On
+    * clustered data the round-2 lowest-id seeding could drop several seeds
+    * into one cluster and leave others unsplit; farthest-first provably
+    * spreads seeds (2-approx for k-center). `"by-id"` keeps the round-2
+    * behavior for comparison. */
   def buildIvf(
       embs: DataFrame, id: Column, vec: Column,
-      nCentroids: Int, iterations: Int = 1): IvfIndex = {
+      nCentroids: Int, iterations: Int = 1,
+      seeding: String = "farthest"): IvfIndex = {
     val data = embs.select(id.as("vid"), vec.as("v"))
-    var centroids = data.orderBy(col("vid")).limit(nCentroids)
-      .select(row_number().over(Window.orderBy(col("vid"))).as("cell"), col("v").as("c"))
+    var centroids = seeding match {
+      case "farthest" => farthestSeeds(data, nCentroids)
+      case "by-id" => data.orderBy(col("vid")).limit(nCentroids)
+        .select(row_number().over(Window.orderBy(col("vid"))).as("cell"), col("v").as("c"))
+      case other => sys.error(s"unknown seeding mode '$other' (farthest | by-id)")
+    }
     var assigned = assign(data, centroids)
     for (_ <- 0 until iterations) {
       centroids = recomputeCentroids(assigned)
       assigned = assign(data, centroids)
     }
     IvfIndex(centroids, assigned)
+  }
+
+  /** Deterministic farthest-first traversal: seed 1 = lowest-id vector;
+    * each next seed is the vector with the LARGEST cosine distance to the
+    * current seed set (ties → lowest id). k−1 scans, each updating a
+    * running min-distance column and taking a 1-row argmax — only single
+    * vectors travel to the driver (the same driver traffic as broadcasting
+    * the centroid table itself). Lineage is truncated every few rounds so
+    * the nested `least` chain cannot outgrow codegen. */
+  private def farthestSeeds(data: DataFrame, nCentroids: Int): DataFrame = {
+    val spark = data.sparkSession
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Float] = r.getSeq[Float](1)
+    val first = data.orderBy(col("vid")).limit(1).collect()(0)
+    val seeds = scala.collection.mutable.ArrayBuffer[Seq[Float]](vecOf(first))
+    var state = data.withColumn("minD", lit(Double.MaxValue))
+    for (i <- 1 until nCentroids) {
+      val c = typedlit(seeds.last)
+      state = state.withColumn("minD",
+        least(col("minD"), -dot(col("v"), c) / (norm(col("v")) * norm(c))))
+      if (i % 8 == 0) state = state.localCheckpoint(false)
+      val far = state.orderBy(col("minD").desc, col("vid")).limit(1).collect()(0)
+      seeds += vecOf(far)
+    }
+    import spark.implicits._
+    seeds.toSeq.zipWithIndex
+      .map { case (v, i) => (i + 1, v) }.toDF("cell", "c")
   }
 
   /** Nearest-centroid assignment: broadcast the (tiny) centroid table,
@@ -127,6 +167,31 @@ object Similarity {
       .select(col("nn_id"), col("cosine"))
       .orderBy(col("cosine").desc, col("nn_id"))
       .limit(k)
+  }
+
+  /** Auto-tuned nprobe (SURVEY §9.7): probe the similarity-ranked cells
+    * until the probed population holds at least `oversample × k` vectors —
+    * a candidate pool big enough that the exact top-k re-rank inside it is
+    * stable, without hand-picking nprobe per dataset. Cell sizes and the
+    * ranking are centroid-table-sized (driver-scale by construction); the
+    * data scan itself remains nprobe/nCentroids of the table. */
+  def ivfSearchAuto(
+      index: IvfIndex, query: DataFrame, k: Int,
+      oversample: Int = 10): DataFrame = {
+    val sizes = index.assigned.groupBy(col("cell")).count()
+    val ranked = index.centroids
+      .crossJoin(broadcast(query))
+      .withColumn("sim", cosine(col("c"), col("q")))
+      .join(sizes, Seq("cell"))
+      .select(col("cell"), col("sim"), col("count"))
+      .orderBy(col("sim").desc, col("cell"))
+      .collect()
+    val need = oversample.toLong * k
+    var acc = 0L
+    val nprobe = math.max(1, ranked.segmentLength { r =>
+      val take = acc < need; acc += r.getLong(2); take
+    })
+    ivfSearch(index, query, k, nprobe)
   }
 
   /** Probe an IVF index: rank cells by query-to-centroid similarity, scan

@@ -102,4 +102,64 @@ object Scale {
       .otherwise(expr(s"($rn - 1 - ${rem * (base + 1)}) div $base") + rem + 1)
     numbered.withColumn(out, tile.cast("long")).drop(rn)
   }
+
+  /** Z-order (Morton) value over `clusterCols` (SURVEY §9.5 multi-key
+    * clustering — the Spark-native form of liquid clustering / Redshift
+    * compound sort keys for MULTI-predicate pruning).
+    *
+    * Each column is first reduced to a `2^bits`-level QUANTILE rank via the
+    * distributed [[withGlobalNtile]] (rank-based, so arbitrary data types
+    * and skewed distributions cluster evenly — a min/max linear scale would
+    * collapse under one outlier), then the per-column rank bits are
+    * interleaved into one long. Rows close in EVERY cluster column land
+    * close in z, so range-partitioning the write on z gives every file a
+    * narrow min/max envelope on EACH column simultaneously.
+    *
+    * Cost: one two-pass range shuffle per cluster column plus the final
+    * write shuffle — a write-time-only cost, the same trade Delta's
+    * OPTIMIZE ZORDER makes. Rank ties across partition boundaries make the
+    * tile assignment of EQUAL key values nondeterministic between runs;
+    * that moves file boundaries by a few rows, never which z-region a
+    * distinct value lands in.
+    */
+  def withZValue(
+      df: DataFrame, clusterCols: Seq[String], out: String,
+      bits: Int = 8, partitions: Int = 32): DataFrame = {
+    val nCols = clusterCols.size
+    require(nCols >= 1, "need at least one cluster column")
+    require(bits >= 1 && bits * nCols <= 62,
+      s"bits * columns must fit a long, got $bits * $nCols")
+    val k = 1 << bits
+    val ranked = clusterCols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+      withGlobalNtile(acc, Seq(col(c)), k, s"_zrank_$i", partitions)
+    }
+    // bit interleave: z bit (b*nCols + ci) = bit b of column ci's rank.
+    // bits*nCols codegen'd shift/and/or terms — no UDF, no HOF.
+    val z = clusterCols.indices.flatMap { ci =>
+      val rank = col(s"_zrank_$ci") - 1 // ntile is 1-based
+      (0 until bits).map { b =>
+        shiftleft(shiftrightunsigned(rank, b).bitwiseAND(lit(1L)), b * nCols + ci)
+      }
+    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    ranked.withColumn(out, z)
+      .drop(clusterCols.indices.map(i => s"_zrank_$i"): _*)
+  }
+
+  /** Z-order-clustered parquet write: range-partition on the z-value into
+    * `files` output partitions, sort within each, drop the helper column.
+    * Every output file then covers a compact z-range — its footer min/max
+    * stats are narrow on every cluster column, so row-group stats pushdown
+    * (and file-level skipping, once a table format tracks the stats) prunes
+    * scans that filter on ANY subset of the cluster columns. A single-key
+    * sort only ever prunes its leading column. */
+  def writeZOrdered(
+      df: DataFrame, clusterCols: Seq[String], outDir: String,
+      files: Int = 64, bits: Int = 8): Unit = {
+    val z = "_zvalue"
+    withZValue(df, clusterCols, z, bits, partitions = files)
+      .repartitionByRange(files, col(z))
+      .sortWithinPartitions(col(z))
+      .drop(z)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+  }
 }

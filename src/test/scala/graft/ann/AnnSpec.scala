@@ -74,4 +74,47 @@ class AnnSpec extends AnyFunSuite {
     // partial probe results all come from the true top-50 neighborhood
     assert((approx -- bf).size <= 5)
   }
+
+  test("farthest-first seeding spreads seeds across separated clusters") {
+    import spark.implicits._
+    // 3 tight, well-separated clusters along different axes; ids ordered so
+    // the FIRST 3 ids all sit in cluster 0 — by-id seeding starts with 3
+    // seeds in one cluster, farthest-first must pick one per cluster.
+    val base = Seq(
+      Seq(1f, 0f, 0f), Seq(0f, 1f, 0f), Seq(0f, 0f, 1f))
+    val vecs = (0 until 30).map { i =>
+      val c = if (i < 3) 0 else i % 3
+      val v = base(c).zipWithIndex.map { case (x, d) =>
+        x + (if (d == (i / 3) % 3) 0.01f * (i % 7) else 0f) }
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvf(df, col("vec_id"), col("embedding"),
+      nCentroids = 3, iterations = 0)
+    // with zero Lloyd refinement, cell quality is pure seeding quality:
+    // every cluster must map to its own cell
+    // (ids 0,1,2 are all cluster 0 by construction, rest by i % 3)
+    val clusters = idx.assigned
+      .select(when(col("vid") < 3, 0L).otherwise(col("vid") % 3).as("cluster"), col("cell"))
+      .distinct().collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(clusters.size == 3)
+    assert(clusters.values.forall(_.size == 1), s"split cluster: $clusters")
+    assert(clusters.values.flatten.toSet.size == 3, s"merged clusters: $clusters")
+  }
+
+  test("auto-tuned nprobe covers an oversampled candidate pool") {
+    val idx = Similarity.buildIvf(embs, col("vec_id"), col("embedding"),
+      nCentroids = 8, iterations = 1)
+    val auto = Similarity.ivfSearchAuto(idx, query, k = 10, oversample = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(auto.size == 10)
+    // oversample >= table size forces an all-cells probe == brute force
+    val n = embs.count().toInt
+    val full = Similarity.ivfSearchAuto(idx, query, k = 10, oversample = n)
+      .collect().map(_.getLong(0)).toSeq
+    val bf = Similarity.bruteForceTopK(embs, col("vec_id"), col("embedding"), query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == bf)
+  }
 }

@@ -85,4 +85,52 @@ class ScaleSpec extends AnyFunSuite {
       assert(viaScale == viaWindow, s"rows=$rows k=$k")
     }
   }
+
+  test("z-order write: every file gets a narrow envelope on BOTH cluster keys") {
+    // 64×64 uniform grid: x and y are independent, the adversarial case
+    // for any single-key sort.
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
+    val grid = spark.range(64L * 64L).select(
+      (col("id") % 64).as("x"), expr("id div 64").as("y"), col("id").as("payload"))
+    Scale.writeZOrdered(grid, Seq("x", "y"), dir, files = 16, bits = 6)
+    // nothing lost, helper columns dropped
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 64 * 64 && back.columns.sorted.sameElements(
+      Array("payload", "x", "y")))
+    // per-file min/max envelopes (what row-group stats pushdown / a table
+    // format's file index sees)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length == 16)
+    val envelopes = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("x"), max("x"), min("y"), max("y")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    def overlapping(xLo: Long, xHi: Long, yLo: Long, yHi: Long) =
+      envelopes.count { case (xm, xx, ym, yx) =>
+        xx >= xLo && xm <= xHi && yx >= yLo && ym <= yHi }
+    // a 1/16-area box touches a couple of z-contiguous files, not all 16
+    assert(overlapping(0, 15, 0, 15) <= 4,
+      s"2-D box should prune most files, envelopes=${envelopes.toSeq}")
+    // single-key predicates prune on EITHER dimension (a y-only filter
+    // prunes nothing in an x-sorted layout)
+    assert(overlapping(0, 15, Long.MinValue, Long.MaxValue) <= 8)
+    assert(overlapping(Long.MinValue, Long.MaxValue, 0, 15) <= 8)
+  }
+
+  test("z-value interleaves quantile ranks, robust to skewed distributions") {
+    // 3/4 of the mass on one hot x value: a linear min/max scale would put
+    // all of it in one z-stripe; quantile ranks keep tiles balanced.
+    val skewed = spark.range(4000).select(
+      when(col("id") % 4 =!= 0, 999999L).otherwise(col("id")).as("x"),
+      (col("id") % 100).as("y"), col("id"))
+    val z = Scale.withZValue(skewed, Seq("x", "y"), "z", bits = 4, partitions = 7)
+    assert(z.count() == 4000)
+    // 8-bit z space (4 bits × 2 cols): distinct z values spread over the
+    // full range, not collapsed into a corner
+    val stats = z.agg(min("z"), max("z"), countDistinct("z")).collect()(0)
+    assert(stats.getLong(0) >= 0L && stats.getLong(1) <= 255L)
+    assert(stats.getLong(2) >= 64, s"z space should be well-populated: $stats")
+  }
 }
