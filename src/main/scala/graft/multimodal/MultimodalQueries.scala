@@ -22,16 +22,20 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     },
 
-    // -- frame sampling + feature extraction (stubbed decode; rows-only
-    //    check — mapPartitions output has no SQL twin). Aggregated so the
-    //    result is small at any sf.
+    // -- frame sampling + feature extraction through the REAL mapPartitions
+    //    seam. The decode stub is a pure function of the bytes, so the
+    //    result is oracle-checkable after all (round-3): frame count falls
+    //    out of the byte length and stride; histogram bin 0 counts bytes
+    //    0x00–0x3F, which UTF-8 produces ONLY for code points U+0000–003F
+    //    (continuation bytes are ≥ 0x80), so the oracle can count those
+    //    characters — byte-exact even on CJK text.
     "q48_multimodal_features" -> { (s, d) =>
       val media = Multimodal.asMediaTable(
         Tables.documents(s, d), col("doc_id"), col("text"), "text/plain")
       val frames = media.withColumn("frames",
         Multimodal.frameSample(col("media"), frameBytes = 32, stride = 24, maxFrames = 4))
       val feats = Multimodal.extractFeatures(media)
-      feats.join(frames.select(col("media_id"), size(col("frames")).as("n_frames")), Seq("media_id"))
+      feats.join(frames.select(col("media_id"), size(col("frames")).cast("long").as("n_frames")), Seq("media_id"))
         .select(col("media_id"), col("n_frames"),
           element_at(col("features"), 5).as("n_bytes_feat"),
           element_at(col("features"), 1).as("bin0"))
@@ -40,6 +44,14 @@ object MultimodalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q48_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN OCTET_LENGTH(ENCODE(text)) = 0 THEN 0
+        |    ELSE LEAST(4, (OCTET_LENGTH(ENCODE(text)) - 1) // 24 + 1) END AS n_frames,
+        |  CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE) AS n_bytes_feat,
+        |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[\x00-\x3F]', '', 'g')) AS DOUBLE) AS bin0
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     "q44_multimodal_binary" ->
       """SELECT doc_id AS media_id, 'text/plain' AS format,
         |  OCTET_LENGTH(ENCODE(text)) AS n_bytes, MD5(text) AS checksum
