@@ -2,7 +2,7 @@ package graft.warehouse
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.util.{Exact, Tables}
+import graft.util.Tables
 import graft.util.Exact.{cents, netE4}
 
 /** Core relational operator surface (SURVEY.md §2.2–§2.4, §2.6–§2.7).
