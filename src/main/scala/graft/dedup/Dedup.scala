@@ -237,35 +237,67 @@ object Dedup {
       if (widths(c) == 64) shifted
       else shifted.bitwiseAND(lit((1L << widths(c)) - 1))
     }
-    // The 8-byte signature rides along INTO the bucket join (instead of
-    // two post-candidate verification joins): Hamming verification is then
-    // an xor+popcount per joined row, the radius filter runs BEFORE the
-    // pair-dedup shuffle, and the distinct only sees surviving pairs
-    // (≤ nChunks copies each). ~2× faster than the join-back formulation
-    // on near-dup-heavy data.
-    val sigs = simhashSignatures(docs, id, text, tokenHash).persist()
-    val keyed = sigs.select(col("id"), col("sig"),
+    // Identical signatures collapse into CLASSES before the bucket join
+    // (round-3): on duplicate-heavy corpora — the normal web-scale case —
+    // many documents share one signature, and joining per-document makes
+    // every duplicate storm quadratic INSIDE the join. Joining one row per
+    // distinct signature shrinks both join sides and moves the pair-dedup
+    // `distinct` from id-pair granularity (× nChunks copies) to class-pair
+    // granularity; the id pairs are exploded back out afterwards (that
+    // expansion is the true output size, not join overhead). The 8-byte
+    // signature still rides INTO the bucket join, so the Hamming radius
+    // filter runs BEFORE the dedup shuffle.
+    //
+    // `maxBucketSize` guards both quadratic edges: signature-classes per
+    // chunk bucket (cross-class join fan-out) and ids per class
+    // (within-class C(n,2) expansion of a duplicate storm).
+    val classes = simhashSignatures(docs, id, text, tokenHash)
+      .groupBy(col("sig"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .withColumn("cid", element_at(col("ids"), 1))
+      .persist()
+    val keyed = classes.select(col("cid"), col("sig"), col("ids"),
       explode(array((0 until nChunks).map { c =>
         struct(lit(c).as("chunk"), chunkBits(c).as("bits"))
       }: _*)).as("bucket"))
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
       .filter(col("bsz") <= maxBucketSize)
-    val a = keyed.select(col("id").as("a_id"), col("sig").as("a_sig"), col("bucket"))
-    val b = keyed.select(col("id").as("b_id"), col("sig").as("b_sig"), col("bucket"))
-    val result = a.join(b, Seq("bucket"))
-      .filter(col("a_id") < col("b_id"))
+    // the id lists ride through the join (typically 1-element arrays) so
+    // no join-back is needed to expand class pairs into id pairs
+    val a = keyed.select(col("cid").as("a_cid"), col("sig").as("a_sig"),
+      col("ids").as("a_ids"), col("bucket"))
+    val b = keyed.select(col("cid").as("b_cid"), col("sig").as("b_sig"),
+      col("ids").as("b_ids"), col("bucket"))
+    val classPairs = a.join(b, Seq("bucket"))
+      .filter(col("a_cid") < col("b_cid"))
       .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a_id"), col("b_id"), col("hamming"))
-      .distinct()
-    // materialize while the signature cache is hot, then free it:
+      .select(col("a_cid"), col("b_cid"), col("a_ids"), col("b_ids"), col("hamming"))
+      .dropDuplicates("a_cid", "b_cid")
+    // cross-class pairs: explode both id lists; a class's min id ordering
+    // (a_cid < b_cid) does NOT order every member pair, so least/greatest
+    // restores the a_id < b_id output convention.
+    val cross = classPairs
+      .select(explode(col("a_ids")).as("x"), col("b_ids"), col("hamming"))
+      .select(col("x"), explode(col("b_ids")).as("y"), col("hamming"))
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"), col("hamming"))
+    // within-class pairs: identical signatures are Hamming 0 by definition
+    val within = classes
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(0L).as("hamming"))
+    val result = within.unionByName(cross)
+    // materialize while the class cache is hot, then free it:
     // localCheckpoint truncates lineage so the returned frame no longer
     // depends on the cached blocks (round-2 advice: the persist leaked
     // for the session lifetime per invocation)
     if (!materialize) result
     else {
       val out = result.localCheckpoint(true)
-      sigs.unpersist(false)
+      classes.unpersist(false)
       out
     }
   }
