@@ -13,6 +13,9 @@ object StressProbe {
     val t0 = System.nanoTime()
     val n = graft.dedup.Dedup.simhashNearDups(x20, col("doc_id"), col("text"), maxHamming = 3).count()
     println(f"STRESS simhash x20: $n pairs in ${(System.nanoTime()-t0)/1e9}%.1f s")
+    val t1 = System.nanoTime()
+    val m = graft.dedup.Dedup.minhashNearDups(x20, col("doc_id"), col("text"), threshold = 0.5).count()
+    println(f"STRESS minhash x20: $m pairs in ${(System.nanoTime()-t1)/1e9}%.1f s")
     spark.stop()
   }
 }

@@ -129,10 +129,7 @@ object Dedup {
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"bands must divide k (got k=$k, bands=$bands)")
     val r = k / bands
-    // One aggregation pass produces signatures AND verification sets;
-    // persisted because three downstream joins consume it (without the
-    // persist the whole shingle pipeline re-executes per consumer — at
-    // cluster scale this is where signatures get checkpointed to a table).
+    // One aggregation pass produces signatures AND verification sets.
     val agg = shingleRows(docs, id, text, shingleWidth)
       .withColumn("h", pmod(hash(col("sh")).cast("long"), lit(4294967296L)))
       .groupBy(col("id"))
@@ -141,25 +138,53 @@ object Dedup {
         sort_array(collect_set(xxhash64(col("sh")))).as("vset"),
         (0 until k).map(j =>
           min(pmod(col("h") * minhashA(j) + minhashB(j), lit(minhashP))).as(s"sig_$j")): _*)
+    // Documents with an identical shingle SET collapse into one CLASS
+    // before banding (round-3, same reasoning as simhashNearDups): a
+    // duplicate storm then costs one row in the bucket join and ONE
+    // Jaccard verification per class pair instead of one per id pair, and
+    // duplicates no longer count against the bucket cap (per-document
+    // counting evicted hot buckets and silently dropped real pairs).
+    // vset is in the grouping key, so members of a class have pairwise
+    // Jaccard exactly 1.0 and every cross-class member pair shares its
+    // class pair's Jaccard. Persisted: three downstream consumers (at
+    // cluster scale this is where the class table gets checkpointed).
+    val classes = agg
+      .groupBy(col("vset") +: (0 until k).map(j => col(s"sig_$j")): _*)
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .withColumn("cid", element_at(col("ids"), 1))
       .persist()
-    val keyed = agg.select(col("id"), explode(array((0 until bands).map { b =>
+    val keyed = classes.select(col("cid").as("id"), explode(array((0 until bands).map { b =>
       hash(struct(lit(b) +: (0 until r).map(i => col(s"sig_${b * r + i}")): _*))
     }: _*)).as("bucket"))
     val cands = pairsFromBuckets(keyed, maxBucketSize)
-    val sets = agg.select(col("id"), col("vset"))
-    val result = cands
-      .join(sets.select(col("id").as("a_id"), col("vset").as("a_sh")), Seq("a_id"))
-      .join(sets.select(col("id").as("b_id"), col("vset").as("b_sh")), Seq("b_id"))
+      .select(col("a_id").as("a_cid"), col("b_id").as("b_cid"))
+    val sets = classes.select(col("cid"), col("vset"), col("ids"))
+    val cross = cands
+      .join(sets.select(col("cid").as("a_cid"), col("vset").as("a_sh"),
+        col("ids").as("a_ids")), Seq("a_cid"))
+      .join(sets.select(col("cid").as("b_cid"), col("vset").as("b_sh"),
+        col("ids").as("b_ids")), Seq("b_cid"))
       .withColumn("jaccard",
         graft.functions.JaccardSorted.jaccard_sorted(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
-    // materialize while the signature cache is hot, then free it (the
+      .select(explode(col("a_ids")).as("x"), col("b_ids"), col("jaccard"))
+      .select(col("x"), explode(col("b_ids")).as("y"), col("jaccard"))
+      // class-min-id order does not order every member pair: restore a < b
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"), col("jaccard"))
+    val within = classes
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
+    val result = within.unionByName(cross)
+    // materialize while the class cache is hot, then free it (the
     // persist otherwise leaks for the session lifetime per invocation)
     if (!materialize) result
     else {
       val out = result.localCheckpoint(true)
-      agg.unpersist(false)
+      classes.unpersist(false)
       out
     }
   }
