@@ -31,15 +31,23 @@ object Dedup {
     withExactDupFlags(docs, id, text).filter(col("is_canonical"))
       .drop("fp", "is_canonical")
 
+  /** Degenerate-key guard shared by every bucket-join pipeline: drop
+    * buckets holding more than `maxBucketSize` rows (a stopword-only
+    * shingle, a zero vector, an all-zero signature chunk) so one hot key
+    * cannot produce a quadratic straggler. */
+  private def capBuckets(keyed: DataFrame, maxBucketSize: Int): DataFrame =
+    keyed
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+
   /** Generic bucket-join candidate generation: explode bucket keys, join
     * docs sharing a bucket, emit each unordered id pair once. Oversized
-    * buckets are dropped (degenerate-key guard). */
+    * buckets are dropped ([[capBuckets]]). */
   private def pairsFromBuckets(
       keyed: DataFrame, // columns: id, bucket
       maxBucketSize: Int): DataFrame = {
-    val sized = keyed
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .filter(col("bsz") <= maxBucketSize)
+    val sized = capBuckets(keyed, maxBucketSize)
     val a = sized.select(col("id").as("a_id"), col("bucket"))
     val b = sized.select(col("id").as("b_id"), col("bucket"))
     a.join(b, Seq("bucket"))
@@ -281,12 +289,12 @@ object Dedup {
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .withColumn("cid", element_at(col("ids"), 1))
       .persist()
-    val keyed = classes.select(col("cid"), col("sig"), col("ids"),
-      explode(array((0 until nChunks).map { c =>
-        struct(lit(c).as("chunk"), chunkBits(c).as("bits"))
-      }: _*)).as("bucket"))
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .filter(col("bsz") <= maxBucketSize)
+    val keyed = capBuckets(
+      classes.select(col("cid"), col("sig"), col("ids"),
+        explode(array((0 until nChunks).map { c =>
+          struct(lit(c).as("chunk"), chunkBits(c).as("bits"))
+        }: _*)).as("bucket")),
+      maxBucketSize)
     // the id lists ride through the join (typically 1-element arrays) so
     // no join-back is needed to expand class pairs into id pairs
     val a = keyed.select(col("cid").as("a_cid"), col("sig").as("a_sig"),
@@ -346,9 +354,7 @@ object Dedup {
     val fps = docs.select(id.as("id"),
       explode(array_distinct(
         graft.functions.WinnowFingerprints.winnow_fingerprints(text, k, w))).as("bucket"))
-    val sized = fps
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .filter(col("bsz") <= maxBucketSize)
+    val sized = capBuckets(fps, maxBucketSize)
     val a = sized.select(col("id").as("a_id"), col("bucket"))
     val b = sized.select(col("id").as("b_id"), col("bucket"))
     a.join(b, Seq("bucket"))
