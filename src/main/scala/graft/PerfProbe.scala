@@ -20,45 +20,18 @@ object PerfProbe {
       println(f"PROBE $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (n=$n)")
     }
     time("warmup")(docs.count())
-    time("tokens+group(id,xxhash)") {
-      docs.select(col("doc_id").as("id"), explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
-        .groupBy(col("id"), xxhash64(col("tok")).as("h")).agg(count(lit(1))).count()
+    time("q57 winnow (native kernel)") {
+      graft.dedup.Dedup.winnowNearDups(docs, col("doc_id"), col("text"),
+        minShared = 3, maxBucketSize = 1000000).count()
     }
-    time("tokens+group(id,portable)") {
-      docs.select(col("doc_id").as("id"), explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
-        .groupBy(col("id"), graft.text.TextFunctions.portableTokenHash(col("tok")).as("h")).agg(count(lit(1))).count()
+    time("q57 winnow (portable)") {
+      graft.dedup.Dedup.winnowNearDups(docs, col("doc_id"), col("text"),
+        minShared = 3, maxBucketSize = 1000000, portable = true).count()
     }
-    time("sigs(xxhash64) via Aggregator") {
-      graft.dedup.Dedup.simhashSignatures(docs, col("doc_id"), col("text")).count()
-    }
-    time("sigs(portable) via Aggregator") {
-      graft.dedup.Dedup.simhashSignatures(docs, col("doc_id"), col("text"),
-        graft.text.TextFunctions.portableTokenHash).count()
-    }
-    time("q46 full (portable, lossless bands)") {
-      graft.dedup.Dedup.simhashNearDups(docs, col("doc_id"), col("text"),
-        maxHamming = 6, maxBucketSize = 1000000,
-        tokenHash = graft.text.TextFunctions.portableTokenHash).count()
-    }
-    time("q45 full (r=1)") {
-      graft.dedup.Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
-        threshold = 0.5, bands = 16, maxBucketSize = 1000000).count()
-    }
-    time("q45 shingleRows") {
-      graft.dedup.Dedup.shingleRows(docs, col("doc_id"), col("text"), 3).count()
-    }
-    time("q45 agg sets+sigs") {
-      import graft.text.TextFunctions._
-      graft.dedup.Dedup.shingleRows(docs, col("doc_id"), col("text"), 3)
-        .withColumn("h", pmod(hash(col("sh")).cast("long"), lit(4294967296L)))
-        .groupBy(col("id"))
-        .agg(collect_set(xxhash64(col("sh"))).as("vset"),
-          (0 until 16).map(j => min(pmod(col("h") * minhashA(j) + minhashB(j), lit(minhashP))).as(s"sig_$j")): _*)
-        .count()
-    }
-    time("q45 candidates (r=1)") {
-      graft.dedup.Dedup.minhashCandidates(docs, col("doc_id"), col("text"),
-        bands = 16, maxBucketSize = 1000000).count()
+    time("q41 ngram jaccard (doc_id<500)") {
+      graft.dedup.Dedup.ngramJaccardPairs(
+        docs.filter(col("doc_id") < 500), col("doc_id"), col("text"),
+        col("source"), threshold = 0.08, shingleWidth = 3).count()
     }
     spark.stop()
   }

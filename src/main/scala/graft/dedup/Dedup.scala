@@ -335,15 +335,76 @@ object Dedup {
     }
   }
 
+  /** Portable winnowing fingerprint rows (id, bucket): the same
+    * per-window-minimum sampling as the native kernel, but over a hash any
+    * engine can recompute — md5 of each k-CHAR substring, low 8 digest
+    * bytes little-endian ([[graft.text.TextFunctions.portableTokenHash]]),
+    * logically right-shifted one bit so the value is non-negative and MIN
+    * agrees between engines that read the same bits as signed (Spark
+    * BIGINT) vs unsigned (DuckDB `md5_number_lower`). Differences vs the
+    * native kernel, both deliberate: positions are characters (both
+    * engines' SUBSTRING is code-point based; the kernel walks UTF-8
+    * bytes), and the distinct SET of window minima is emitted directly
+    * (the kernel's consecutive-pick dedup vanishes under the
+    * array_distinct the pair join applies anyway).
+    *
+    * Cost: one md5 per character position (the rolling kernel hashes each
+    * byte once) plus a per-document window sort — the oracle-parity
+    * configuration, same trade as portableTokenHash vs xxhash64. */
+  def portableWinnowRows(
+      docs: DataFrame, id: Column, text: Column,
+      k: Int = 16, w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 1, s"gram width and window must be >= 1, got k=$k w=$w")
+    val pos = docs
+      .select(id.as("id"), text.as("_t"))
+      .filter(length(col("_t")) >= k)
+      // repartition BEFORE the explode+hash: a compact documents table can
+      // arrive as one scan partition, and the md5-per-position projection
+      // would then run single-threaded (measured 5.7 s vs 0.3 s at sf0.1).
+      // Hashing after an id-hash shuffle spreads the work AND satisfies the
+      // window's distribution requirement, so no second exchange appears.
+      // The partition count is pinned because AQE sizes coalescing on MAP
+      // output (the compact docs, ~KBs) and cannot see the ~len(text)×
+      // explode amplification behind it — unpinned, it folds the shuffle
+      // back to one partition and resurrects the single-thread hash stage.
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id"))
+      .select(col("id"), col("_t"),
+        explode(sequence(lit(1), length(col("_t")) - (k - 1))).as("i"))
+      .select(col("id"), col("i"),
+        shiftrightunsigned(
+          graft.text.TextFunctions.portableTokenHash(
+            col("_t").substr(col("i"), lit(k))), 1).as("h"))
+    val wWin = Window.partitionBy(col("id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val mWin = Window.partitionBy(col("id"))
+    pos
+      .withColumn("wm", min(col("h")).over(wWin))
+      .withColumn("m", count(lit(1)).over(mWin))
+      // full w-windows start at i = 1 .. m-w+1; a document with fewer than
+      // w positions degenerates to its single global minimum (i = 1, whose
+      // frame then covers every position) — the kernel's m <= w branch
+      .filter(col("i") <= greatest(col("m") - (w - 1), lit(1)))
+      .select(col("id"), col("wm").as("bucket"))
+      .distinct()
+  }
+
   /** Winnowing near-dups: documents sharing ≥ `minShared` sampled
     * rolling-hash fingerprints (containment-style overlap — catches a
     * copied paragraph inside an otherwise different document, which
     * whole-document MinHash dilutes away). Explode fingerprints → bucket
-    * join → count shared per pair. */
+    * join → count shared per pair.
+    *
+    * `portable = false` (default) uses the native O(n) rolling-hash kernel
+    * ([[graft.functions.WinnowFingerprints]]) — the production path.
+    * `portable = true` swaps in [[portableWinnowRows]], whose hash family
+    * is reproducible in engine-independent SQL (oracle parity) — the same
+    * switch pattern as `tokenHash` on [[simhashSignatures]]. */
   def winnowNearDups(
       docs: DataFrame, id: Column, text: Column,
       minShared: Int = 2, k: Int = 16, w: Int = 8,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, portable: Boolean = false,
+      materialize: Boolean = true): DataFrame = {
     // array_distinct BEFORE the explode: winnowing dedups only consecutive
     // picks, so a repetitive document can emit the same fingerprint at
     // several positions — counted with multiplicity that would fake
@@ -351,10 +412,16 @@ object Dedup {
     // the dedup per-document inside the array costs no shuffle; the
     // previous exploded-`distinct()` shuffled every (id, fp) row and was
     // a round-1 bench outlier (12 s at sf0.1).
-    val fps = docs.select(id.as("id"),
-      explode(array_distinct(
-        graft.functions.WinnowFingerprints.winnow_fingerprints(text, k, w))).as("bucket"))
-    val sized = capBuckets(fps, maxBucketSize)
+    val fps =
+      if (portable) portableWinnowRows(docs, id, text, k, w)
+      else docs.select(id.as("id"),
+        explode(array_distinct(
+          graft.functions.WinnowFingerprints.winnow_fingerprints(text, k, w))).as("bucket"))
+    // both join sides reference the capped fingerprint rows — materialize
+    // them once (the whole extract+window+distinct pipeline otherwise runs
+    // twice; same reasoning as the class-table persist in minhashNearDups)
+    val sizedLazy = capBuckets(fps, maxBucketSize)
+    val sized = if (materialize) sizedLazy.localCheckpoint(true) else sizedLazy
     val a = sized.select(col("id").as("a_id"), col("bucket"))
     val b = sized.select(col("id").as("b_id"), col("bucket"))
     a.join(b, Seq("bucket"))

@@ -10,11 +10,15 @@ import graft.dedup.Dedup
 /** Text-analysis + dedup operator surface over `documents` (the
   * training-data-pipeline extension in the builder contract).
   *
-  * Oracle-checked where the logic is SQL-expressible (quality metrics,
-  * language ID, fingerprints, exact dedup, blocked n-gram Jaccard);
-  * hash-family ops (MinHash/SimHash — Spark Murmur3/xxhash64 have no
-  * DuckDB equivalent) are rows-only checked here and unit-tested with
-  * known-duplicate fixtures in DedupSpec.
+  * Every query here is oracle-checked. Directly SQL-expressible logic
+  * (quality metrics, language ID, fingerprints, exact dedup, blocked
+  * n-gram Jaccard) mirrors one-to-one; the hash-family ops run their
+  * oracle-parity configurations — MinHash with r=1 banding against the
+  * all-pairs Jaccard, SimHash and winnowing with the portable md5-derived
+  * hash recomputed from scratch in SQL. Production hash families
+  * (xxhash64 / the native rolling kernel) stay the defaults in the
+  * library API and are unit-tested with known-duplicate fixtures in
+  * DedupSpec.
   */
 object TextQueries {
 
@@ -114,11 +118,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
-    // -- winnowing fingerprint near-dups (no oracle: native rolling-hash
-    //    expression) — containment-style overlap detection.
+    // -- winnowing fingerprint near-dups — containment-style overlap
+    //    detection. Oracle-parity config (round-4, closing the last
+    //    no-oracle row): the portable md5-derived per-position hash makes
+    //    the window-minimum sampling reproducible in SQL (the q46
+    //    playbook); production keeps the native O(n) rolling-hash kernel
+    //    (portable = false). maxBucketSize is effectively unbounded here
+    //    (the oracle cannot model the hot-key cap), as in q45/q46.
     "q57_winnow_fingerprints" -> { (s, d) =>
       Dedup.winnowNearDups(
-          Tables.documents(s, d), col("doc_id"), col("text"), minShared = 3)
+          Tables.documents(s, d), col("doc_id"), col("text"), minShared = 3,
+          maxBucketSize = 1000000, portable = true)
         .orderBy(col("a_id"), col("b_id"))
     },
 
@@ -225,6 +235,36 @@ object TextQueries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
         |    / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Winnowing recomputed from scratch (round-4): md5_number_lower of each
+    // 16-char substring reproduces portableTokenHash's bit pattern; the
+    // one-bit logical right shift makes the value non-negative so MIN
+    // agrees between DuckDB's UBIGINT and Spark's signed BIGINT reading of
+    // the same bits. Window minima over every full 8-position window (or
+    // the single global min when a document has fewer than 8 positions),
+    // then distinct-fingerprint pair counts — exactly portableWinnowRows.
+    "q57_winnow_fingerprints" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, UNNEST(RANGE(1, LENGTH(text) - 14)) AS i
+        |  FROM documents WHERE LENGTH(text) >= 16),
+        |h AS (
+        |  SELECT doc_id, i,
+        |    md5_number_lower(SUBSTRING(text, CAST(i AS INTEGER), 16)) >> 1 AS h
+        |  FROM pos),
+        |wmin AS (
+        |  SELECT doc_id, i,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wm,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS m
+        |  FROM h),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, wm FROM wmin
+        |  WHERE i <= GREATEST(m - 7, 1))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  COUNT(*) AS shared_fingerprints
+        |FROM fps a JOIN fps b ON a.wm = b.wm AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
         |ORDER BY a_id, b_id""".stripMargin,
 
     // All-pairs SimHash Hamming, recomputed from scratch: md5_number_lower

@@ -81,6 +81,35 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("winnowing portable path: same containment verdicts as the native kernel") {
+    val para = "the quick brown fox jumps over the lazy dog near the riverbank every single morning"
+    val containment = Seq(
+      (1L, para + " with extra trailing words that differ at the end"),
+      (2L, "some opening words come before " + para),
+      (3L, "columnar storage kernels power vectorized execution inside modern warehouses")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowNearDups(containment, col("doc_id"), col("text"),
+        minShared = 3, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("portable winnow rows: short-doc degenerate cases") {
+    val docs3 = Seq(
+      (1L, "short"),                           // < k chars: no fingerprints
+      (2L, "exactly sixteen!"),                // one position: one global min
+      (3L, "a somewhat longer document with many positions to winnow over")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.portableWinnowRows(docs3, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!rows.exists(_._1 == 1L))
+    assert(rows.count(_._1 == 2L) == 1)
+    assert(rows.count(_._1 == 3L) >= 2)
+    // fingerprints are non-negative after the one-bit logical shift (the
+    // signed/unsigned MIN-parity invariant the oracle relies on)
+    assert(rows.forall(_._2 >= 0L))
+  }
+
   test("winnowing guarantee: identical text -> identical fingerprint sets") {
     import graft.functions.WinnowFingerprints.winnow_fingerprints
     val fps = Seq(base, base).toDF("text")
