@@ -33,6 +33,32 @@ object PerfProbe {
         docs.filter(col("doc_id") < 500), col("doc_id"), col("text"),
         col("source"), threshold = 0.08, shingleWidth = 3).count()
     }
+    time("q41 ngram jaccard (2nd run)") {
+      graft.dedup.Dedup.ngramJaccardPairs(
+        docs.filter(col("doc_id") < 500), col("doc_id"), col("text"),
+        col("source"), threshold = 0.08, shingleWidth = 3).count()
+    }
+    time("q41 sets pipeline only") {
+      graft.dedup.Dedup.shingleRows(docs.filter(col("doc_id") < 500),
+          col("doc_id"), col("text"), 3, carry = Seq("blk" -> col("source")))
+        .groupBy(col("id"), col("blk"))
+        .agg(sort_array(collect_set(xxhash64(col("sh")))).as("sh"))
+        .agg(sum(size(col("sh")))).collect(); 0L
+    }
+    val setsCk = graft.dedup.Dedup.shingleRows(docs.filter(col("doc_id") < 500),
+        col("doc_id"), col("text"), 3, carry = Seq("blk" -> col("source")))
+      .groupBy(col("id"), col("blk"))
+      .agg(sort_array(collect_set(xxhash64(col("sh")))).as("sh"))
+      .localCheckpoint(true)
+    time("q41 join from checkpointed sets") {
+      val a = setsCk.select(col("id").as("a_id"), col("blk"), col("sh").as("a_sh"))
+      val b = setsCk.select(col("id").as("b_id"), col("blk"), col("sh").as("b_sh"))
+      a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
+        .withColumn("jaccard",
+          graft.functions.JaccardSorted.jaccard_sorted(col("a_sh"), col("b_sh")))
+        .filter(col("jaccard") >= 0.08)
+        .count()
+    }
     spark.stop()
   }
 }

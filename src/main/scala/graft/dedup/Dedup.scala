@@ -63,19 +63,23 @@ object Dedup {
     * id-partitioning is then reused by the downstream groupBy (single
     * shuffle). MinHash min is duplicate-insensitive, so no distinct pass
     * is needed. */
-  def shingleRows(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+  def shingleRows(docs: DataFrame, id: Column, text: Column, n: Int,
+      carry: Seq[(String, Column)] = Nil): DataFrame = {
     require(n >= 1, s"shingle width must be >= 1, got $n")
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(id.as("id"),
-      posexplode(graft.text.TextFunctions.tokens(text)).as(Seq("pos", "tok")))
-    if (n == 1) return toks.select(col("id"), col("tok").as("sh"))
+    val carried = carry.map { case (nm, c) => c.as(nm) }
+    val carriedRefs = carry.map { case (nm, _) => col(nm) }
+    val toks = docs.select(id.as("id") +: carried :+
+      posexplode(graft.text.TextFunctions.tokens(text)).as(Seq("pos", "tok")): _*)
+    if (n == 1)
+      return toks.select(col("id") +: carriedRefs :+ col("tok").as("sh"): _*)
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     toks
-      .select(col("id") +: col("tok") +:
+      .select(col("id") +: carriedRefs ++: col("tok") +:
         (1 until n).map(j => lead(col("tok"), j).over(w).as(s"t$j")): _*)
       .filter((1 until n).map(j => col(s"t$j").isNotNull).reduce(_ && _))
-      .select(col("id"),
-        concat_ws(" ", col("tok") +: (1 until n).map(j => col(s"t$j")): _*).as("sh"))
+      .select(col("id") +: carriedRefs :+
+        concat_ws(" ", col("tok") +: (1 until n).map(j => col(s"t$j")): _*).as("sh"): _*)
   }
 
   /** MinHash signatures computed the scale-friendly way: shingle rows,
@@ -203,17 +207,34 @@ object Dedup {
       size(array_union(a, b)).cast("double")
 
   /** n-gram Jaccard near-dups within an explicit blocking key (e.g.
-    * source, length bucket): the non-probabilistic small-block variant. */
+    * source, length bucket): the non-probabilistic small-block variant.
+    *
+    * Round-4: the shingle sets are 64-bit xxhash64 hashes built by the
+    * same exploded-rows aggregation as [[minhashNearDups]] (the string-
+    * array `shingles` HOF is CodegenFallback, and string-set intersection
+    * was the heaviest per-pair kernel in the bench) — sorted long arrays
+    * feed the allocation-free merge-intersect [[graft.functions.JaccardSorted]].
+    * The Jaccard equals the string-set Jaccard unless two distinct
+    * shingles of one PAIR collide (~4e-15), so a hash-free SQL oracle
+    * still reproduces it. Docs shorter than the shingle width drop out
+    * (empty sets never reach threshold anyway). */
   def ngramJaccardPairs(
       docs: DataFrame, id: Column, text: Column, block: Column,
-      threshold: Double, shingleWidth: Int = 3): DataFrame = {
-    val sh = docs.select(id.as("id"), block.as("blk"),
-      shingles(text, shingleWidth).as("sh"))
-    val a = sh.select(col("id").as("a_id"), col("blk"), col("sh").as("a_sh"))
-    val b = sh.select(col("id").as("b_id"), col("blk"), col("sh").as("b_sh"))
+      threshold: Double, shingleWidth: Int = 3,
+      materialize: Boolean = true): DataFrame = {
+    val setsLazy = shingleRows(docs, id, text, shingleWidth,
+        carry = Seq("blk" -> block))
+      .groupBy(col("id"), col("blk"))
+      .agg(sort_array(collect_set(xxhash64(col("sh")))).as("sh"))
+    // both join sides reference the set table — materialize it once
+    // (explode+window+agg otherwise run twice), as in the sibling pipelines
+    val sets = if (materialize) setsLazy.localCheckpoint(true) else setsLazy
+    val a = sets.select(col("id").as("a_id"), col("blk"), col("sh").as("a_sh"))
+    val b = sets.select(col("id").as("b_id"), col("blk"), col("sh").as("b_sh"))
     a.join(b, Seq("blk"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+      .withColumn("jaccard",
+        graft.functions.JaccardSorted.jaccard_sorted(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
