@@ -24,10 +24,6 @@ object PerfProbe {
       graft.dedup.Dedup.winnowNearDups(docs, col("doc_id"), col("text"),
         minShared = 3, maxBucketSize = 1000000).count()
     }
-    time("q57 winnow (portable)") {
-      graft.dedup.Dedup.winnowNearDups(docs, col("doc_id"), col("text"),
-        minShared = 3, maxBucketSize = 1000000, portable = true).count()
-    }
     time("q41 ngram jaccard (doc_id<500)") {
       graft.dedup.Dedup.ngramJaccardPairs(
         docs.filter(col("doc_id") < 500), col("doc_id"), col("text"),

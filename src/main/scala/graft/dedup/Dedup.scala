@@ -217,7 +217,9 @@ object Dedup {
     * The Jaccard equals the string-set Jaccard unless two distinct
     * shingles of one PAIR collide (~4e-15), so a hash-free SQL oracle
     * still reproduces it. Docs shorter than the shingle width drop out
-    * (empty sets never reach threshold anyway). */
+    * before the join: identical output for any `threshold > 0`, but at
+    * exactly `threshold = 0.0` the (useless) all-pairs rows that paired a
+    * short doc at jaccard 0.0 are no longer emitted. */
   def ngramJaccardPairs(
       docs: DataFrame, id: Column, text: Column, block: Column,
       threshold: Double, shingleWidth: Int = 3,
@@ -356,75 +358,33 @@ object Dedup {
     }
   }
 
-  /** Portable winnowing fingerprint rows (id, bucket): the same
-    * per-window-minimum sampling as the native kernel, but over a hash any
-    * engine can recompute — md5 of each k-CHAR substring, low 8 digest
-    * bytes little-endian ([[graft.text.TextFunctions.portableTokenHash]]),
-    * logically right-shifted one bit so the value is non-negative and MIN
-    * agrees between engines that read the same bits as signed (Spark
-    * BIGINT) vs unsigned (DuckDB `md5_number_lower`). Differences vs the
-    * native kernel, both deliberate: positions are characters (both
-    * engines' SUBSTRING is code-point based; the kernel walks UTF-8
-    * bytes), and the distinct SET of window minima is emitted directly
-    * (the kernel's consecutive-pick dedup vanishes under the
-    * array_distinct the pair join applies anyway).
-    *
-    * Cost: one md5 per character position (the rolling kernel hashes each
-    * byte once) plus a per-document window sort — the oracle-parity
-    * configuration, same trade as portableTokenHash vs xxhash64. */
-  def portableWinnowRows(
-      docs: DataFrame, id: Column, text: Column,
-      k: Int = 16, w: Int = 8): DataFrame = {
-    require(k >= 1 && w >= 1, s"gram width and window must be >= 1, got k=$k w=$w")
-    val pos = docs
-      .select(id.as("id"), text.as("_t"))
-      .filter(length(col("_t")) >= k)
-      // repartition BEFORE the explode+hash: a compact documents table can
-      // arrive as one scan partition, and the md5-per-position projection
-      // would then run single-threaded (measured 5.7 s vs 0.3 s at sf0.1).
-      // Hashing after an id-hash shuffle spreads the work AND satisfies the
-      // window's distribution requirement, so no second exchange appears.
-      // The partition count is pinned because AQE sizes coalescing on MAP
-      // output (the compact docs, ~KBs) and cannot see the ~len(text)×
-      // explode amplification behind it — unpinned, it folds the shuffle
-      // back to one partition and resurrects the single-thread hash stage.
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
-        col("id"))
-      .select(col("id"), col("_t"),
-        explode(sequence(lit(1), length(col("_t")) - (k - 1))).as("i"))
-      .select(col("id"), col("i"),
-        shiftrightunsigned(
-          graft.text.TextFunctions.portableTokenHash(
-            col("_t").substr(col("i"), lit(k))), 1).as("h"))
-    val wWin = Window.partitionBy(col("id")).orderBy(col("i"))
-      .rowsBetween(Window.currentRow, w - 1)
-    val mWin = Window.partitionBy(col("id"))
-    pos
-      .withColumn("wm", min(col("h")).over(wWin))
-      .withColumn("m", count(lit(1)).over(mWin))
-      // full w-windows start at i = 1 .. m-w+1; a document with fewer than
-      // w positions degenerates to its single global minimum (i = 1, whose
-      // frame then covers every position) — the kernel's m <= w branch
-      .filter(col("i") <= greatest(col("m") - (w - 1), lit(1)))
-      .select(col("id"), col("wm").as("bucket"))
-      .distinct()
-  }
-
   /** Winnowing near-dups: documents sharing ≥ `minShared` sampled
     * rolling-hash fingerprints (containment-style overlap — catches a
     * copied paragraph inside an otherwise different document, which
     * whole-document MinHash dilutes away). Explode fingerprints → bucket
     * join → count shared per pair.
     *
-    * `portable = false` (default) uses the native O(n) rolling-hash kernel
-    * ([[graft.functions.WinnowFingerprints]]) — the production path.
-    * `portable = true` swaps in [[portableWinnowRows]], whose hash family
-    * is reproducible in engine-independent SQL (oracle parity) — the same
-    * switch pattern as `tokenHash` on [[simhashSignatures]]. */
+    * Runs the native O(n) rolling-hash kernel
+    * ([[graft.functions.WinnowFingerprints]]) — there is no separate
+    * "portable" hash family: the kernel's mod-2^64 Rabin-Karp polynomial
+    * over UTF-8 bytes is itself recomputable in engine-independent SQL
+    * (128-bit integer arithmetic over the hex-encoded bytes; see the q57
+    * oracle in [[graft.text.TextQueries]]), so the production hash IS the
+    * oracle-parity hash. The round-4 md5-per-position variant this
+    * replaces cost one digest per character (37 s vs 3.7 s at sf0.1).
+    *
+    * `materialize = true` (default) single-pass-evaluates the capped
+    * fingerprint rows via eager `localCheckpoint`: the whole
+    * extract+cap pipeline otherwise runs once per join side. The
+    * checkpoint is non-reliable — losing an executor after construction
+    * fails downstream reads instead of recomputing — so long-lived
+    * cluster jobs on preemptible nodes should pass `materialize = false`
+    * (lazy, fault-tolerant, double-evaluated) or checkpoint reliably
+    * themselves; same trade on every `materialize` switch in this file. */
   def winnowNearDups(
       docs: DataFrame, id: Column, text: Column,
       minShared: Int = 2, k: Int = 16, w: Int = 8,
-      maxBucketSize: Int = 1000, portable: Boolean = false,
+      maxBucketSize: Int = 1000,
       materialize: Boolean = true): DataFrame = {
     // array_distinct BEFORE the explode: winnowing dedups only consecutive
     // picks, so a repetitive document can emit the same fingerprint at
@@ -433,11 +393,9 @@ object Dedup {
     // the dedup per-document inside the array costs no shuffle; the
     // previous exploded-`distinct()` shuffled every (id, fp) row and was
     // a round-1 bench outlier (12 s at sf0.1).
-    val fps =
-      if (portable) portableWinnowRows(docs, id, text, k, w)
-      else docs.select(id.as("id"),
-        explode(array_distinct(
-          graft.functions.WinnowFingerprints.winnow_fingerprints(text, k, w))).as("bucket"))
+    val fps = docs.select(id.as("id"),
+      explode(array_distinct(
+        graft.functions.WinnowFingerprints.winnow_fingerprints(text, k, w))).as("bucket"))
     // both join sides reference the capped fingerprint rows — materialize
     // them once (the whole extract+window+distinct pipeline otherwise runs
     // twice; same reasoning as the class-table persist in minhashNearDups)

@@ -14,7 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * O(n) per document via a monotonic deque; called from both interpreted
   * eval and generated code. */
 object WinnowUtil {
-  private val B = 257L
+  /** Polynomial base. Public because the q57 oracle SQL is GENERATED from
+    * it (graft.text.TextQueries derives the B^p mod 2^64 constants), so
+    * the Spark kernel and the DuckDB recomputation can never drift. */
+  val B = 257L
 
   def fingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
     val bytes = s.getBytes

@@ -119,16 +119,20 @@ object TextQueries {
     },
 
     // -- winnowing fingerprint near-dups — containment-style overlap
-    //    detection. Oracle-parity config (round-4, closing the last
-    //    no-oracle row): the portable md5-derived per-position hash makes
-    //    the window-minimum sampling reproducible in SQL (the q46
-    //    playbook); production keeps the native O(n) rolling-hash kernel
-    //    (portable = false). maxBucketSize is effectively unbounded here
-    //    (the oracle cannot model the hot-key cap), as in q45/q46.
+    //    detection, running the PRODUCTION native rolling-hash kernel.
+    //    Round-5: the kernel's mod-2^64 Rabin-Karp is recomputed from
+    //    scratch by the oracle in 128-bit SQL arithmetic (see
+    //    winnowOracleSql), so the round-4 md5-per-position stand-in —
+    //    37 s of a 96 s bench at sf0.1 for a hash family no production
+    //    caller would run — is gone. k/w/minShared are named constants
+    //    shared with the SQL generator. maxBucketSize is effectively
+    //    unbounded here (the oracle cannot model the hot-key cap), as in
+    //    q45/q46.
     "q57_winnow_fingerprints" -> { (s, d) =>
       Dedup.winnowNearDups(
-          Tables.documents(s, d), col("doc_id"), col("text"), minShared = 3,
-          maxBucketSize = 1000000, portable = true)
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          minShared = WinnowMinShared, k = WinnowK, w = WinnowW,
+          maxBucketSize = 1000000)
         .orderBy(col("a_id"), col("b_id"))
     },
 
@@ -149,6 +153,70 @@ object TextQueries {
         .orderBy(col("a_id"), col("b_id"))
     }
   )
+
+  // q57 configuration — named once, consumed by BOTH the Spark query and
+  // the SQL generator below, so changing a width can never silently break
+  // oracle parity (round-4 advice: the old SQL hardcoded '- 14' /
+  // '7 FOLLOWING' literals against Scala-side defaults).
+  private val WinnowK = 16
+  private val WinnowW = 8
+  private val WinnowMinShared = 3
+
+  /** DuckDB recomputation of the NATIVE winnowing kernel
+    * ([[graft.functions.WinnowUtil.fingerprints]]) — generated, not
+    * hand-written, from the same constants the Spark query uses.
+    *
+    * The kernel is a base-[[graft.functions.WinnowUtil.B]] Rabin-Karp
+    * polynomial over UTF-8 bytes in 64-bit wraparound arithmetic. SQL
+    * can reproduce that exactly with 128-bit integers: HEX(ENCODE(text))
+    * exposes the bytes, each k-gram hash is Σ byte_j · (B^(k-1-j) mod
+    * 2^64) reduced mod 2^64 in HUGEINT, and a final conditional subtract
+    * of 2^64 recovers Spark's SIGNED Long reading of the same bits (so
+    * window MIN agrees). The kernel's consecutive-pick dedup and the SQL's
+    * DISTINCT window-minima differ only in multiplicity, which the
+    * pair-join's per-document distinct erases; the m ≤ w branch
+    * degenerates to the global minimum in both (the i = 1 frame covers
+    * every position). Byte extraction parses the hex pair by STRPOS —
+    * O(k) per position is fine for the oracle's sf0.01 corpus. */
+  private val winnowOracleSql: String = {
+    val m64 = BigInt(1) << 64
+    val signFlip = BigInt(1) << 63
+    val pows = (0 until WinnowK).map(j =>
+      BigInt(graft.functions.WinnowUtil.B).modPow(BigInt(WinnowK - 1 - j), m64))
+    def byteExpr(j: Int): String =
+      s"((STRPOS('0123456789ABCDEF', SUBSTRING(hx, ${2 * j - 1}, 1)) - 1) * 16 + " +
+        s"STRPOS('0123456789ABCDEF', SUBSTRING(hx, ${2 * j}, 1)) - 1)"
+    val terms = (1 to WinnowK).map(j =>
+      s"CAST(${byteExpr(j)} AS HUGEINT) * CAST(${pows(j - 1)} AS HUGEINT)")
+      .mkString("\n          + ")
+    s"""WITH pos AS (
+       |  SELECT doc_id, HEX(ENCODE(text)) AS hex,
+       |    UNNEST(RANGE(1, OCTET_LENGTH(ENCODE(text)) - ${WinnowK - 2})) AS i
+       |  FROM documents WHERE OCTET_LENGTH(ENCODE(text)) >= $WinnowK),
+       |hx AS (
+       |  SELECT doc_id, i, SUBSTRING(hex, 2*i - 1, ${2 * WinnowK}) AS hx FROM pos),
+       |h AS (
+       |  SELECT doc_id, i,
+       |    CAST(CASE WHEN hm < CAST($signFlip AS HUGEINT) THEN hm
+       |         ELSE hm - CAST($m64 AS HUGEINT) END AS BIGINT) AS h
+       |  FROM (SELECT doc_id, i,
+       |          ($terms) % CAST($m64 AS HUGEINT) AS hm
+       |        FROM hx)),
+       |wmin AS (
+       |  SELECT doc_id, i,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wm,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS m
+       |  FROM h),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, wm FROM wmin
+       |  WHERE i <= GREATEST(m - ${WinnowW - 1}, 1))
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  COUNT(*) AS shared_fingerprints
+       |FROM fps a JOIN fps b ON a.wm = b.wm AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   // SQL mirrors of the Spark-side heuristics. The langId CASE chain is
   // generated from the same profile table to keep the two in lockstep.
@@ -237,35 +305,7 @@ object TextQueries {
         |    / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
 
-    // Winnowing recomputed from scratch (round-4): md5_number_lower of each
-    // 16-char substring reproduces portableTokenHash's bit pattern; the
-    // one-bit logical right shift makes the value non-negative so MIN
-    // agrees between DuckDB's UBIGINT and Spark's signed BIGINT reading of
-    // the same bits. Window minima over every full 8-position window (or
-    // the single global min when a document has fewer than 8 positions),
-    // then distinct-fingerprint pair counts — exactly portableWinnowRows.
-    "q57_winnow_fingerprints" ->
-      """WITH pos AS (
-        |  SELECT doc_id, text, UNNEST(RANGE(1, LENGTH(text) - 14)) AS i
-        |  FROM documents WHERE LENGTH(text) >= 16),
-        |h AS (
-        |  SELECT doc_id, i,
-        |    md5_number_lower(SUBSTRING(text, CAST(i AS INTEGER), 16)) >> 1 AS h
-        |  FROM pos),
-        |wmin AS (
-        |  SELECT doc_id, i,
-        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wm,
-        |    COUNT(*) OVER (PARTITION BY doc_id) AS m
-        |  FROM h),
-        |fps AS (
-        |  SELECT DISTINCT doc_id, wm FROM wmin
-        |  WHERE i <= GREATEST(m - 7, 1))
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  COUNT(*) AS shared_fingerprints
-        |FROM fps a JOIN fps b ON a.wm = b.wm AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
-        |ORDER BY a_id, b_id""".stripMargin,
+    "q57_winnow_fingerprints" -> winnowOracleSql,
 
     // All-pairs SimHash Hamming, recomputed from scratch: md5_number_lower
     // reproduces Spark's portableTokenHash bit pattern, the per-bit

@@ -81,33 +81,36 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
-  test("winnowing portable path: same containment verdicts as the native kernel") {
-    val para = "the quick brown fox jumps over the lazy dog near the riverbank every single morning"
-    val containment = Seq(
-      (1L, para + " with extra trailing words that differ at the end"),
-      (2L, "some opening words come before " + para),
-      (3L, "columnar storage kernels power vectorized execution inside modern warehouses")).toDF("doc_id", "text")
-    val pairs = Dedup.winnowNearDups(containment, col("doc_id"), col("text"),
-        minShared = 3, portable = true)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((1L, 2L)))
-    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
-  }
-
-  test("portable winnow rows: short-doc degenerate cases") {
-    val docs3 = Seq(
-      (1L, "short"),                           // < k chars: no fingerprints
-      (2L, "exactly sixteen!"),                // one position: one global min
-      (3L, "a somewhat longer document with many positions to winnow over")
-    ).toDF("doc_id", "text")
-    val rows = Dedup.portableWinnowRows(docs3, col("doc_id"), col("text"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(!rows.exists(_._1 == 1L))
-    assert(rows.count(_._1 == 2L) == 1)
-    assert(rows.count(_._1 == 3L) >= 2)
-    // fingerprints are non-negative after the one-bit logical shift (the
-    // signed/unsigned MIN-parity invariant the oracle relies on)
-    assert(rows.forall(_._2 >= 0L))
+  test("winnowing kernel pins the documented hash family (oracle contract)") {
+    // The q57 DuckDB oracle recomputes the kernel from its published
+    // definition: base-B Rabin-Karp over UTF-8 bytes in mod-2^64
+    // arithmetic, signed Long window minima, m <= w -> global min. Any
+    // kernel change that preserves this reference recomputation keeps the
+    // oracle green; one that doesn't must fail HERE, not at the driver.
+    def reference(text: String, k: Int, w: Int): Set[Long] = {
+      val bs = text.getBytes("UTF-8")
+      val m64 = BigInt(1) << 64
+      if (bs.length < k) return Set.empty
+      val hs = bs.sliding(k).map { gram =>
+        gram.foldLeft(BigInt(0))((h, b) =>
+          (h * graft.functions.WinnowUtil.B + (b & 0xff)).mod(m64)).toLong
+      }.toVector
+      if (hs.length <= w) Set(hs.min)
+      else hs.sliding(w).map(_.min).toSet
+    }
+    val texts = Seq(
+      "short",                                  // < k bytes: empty
+      "exactly sixteen!",                       // one position: global min
+      ("spark rules " * 30).trim,               // repetitive
+      "unicode mixté — 漢字 bytes exercise the rolling subtraction path",
+      "a somewhat longer document with many positions to winnow over and sample from")
+    import graft.functions.WinnowFingerprints.winnow_fingerprints
+    val got = texts.toDF("text")
+      .select(winnow_fingerprints(col("text"), 16, 8).as("f"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == reference(t, 16, 8), s"hash-family drift on: $t")
+    }
   }
 
   test("winnowing guarantee: identical text -> identical fingerprint sets") {
