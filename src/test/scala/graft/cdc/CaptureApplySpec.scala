@@ -130,7 +130,7 @@ class CaptureApplySpec extends AnyFunSuite {
       env("INSERT", "c", 3.0).copy(ts = ts(200)))
     q.processAllAvailable()
     q.stop()
-    val landed = spark.read.parquet(table)
+    val landed = Apply.readMergeTable(spark, table)
     val byId = landed.collect().map(r => r.getAs[String]("id") ->
       r.getAs[Double]("price")).toMap
     assert(byId == Map("a" -> 10.0, "c" -> 3.0)) // b deleted, a upserted
@@ -153,7 +153,7 @@ class CaptureApplySpec extends AnyFunSuite {
     ms.addData(env("INSERT", k1, 1.0).copy(ts = ts(100)),
       env("INSERT", k2, 2.0).copy(ts = ts(100)))
     q.processAllAvailable()
-    val dir1 = new java.io.File(table, s"_bucket=${bucketOf(k1)}")
+    val dir1 = Apply.bucketDirs(table)(bucketOf(k1))
     def snapshot(d: java.io.File): Map[String, (Long, String)] =
       d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
         val bytes = java.nio.file.Files.readAllBytes(f.toPath)
@@ -167,7 +167,7 @@ class CaptureApplySpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
     assert(snapshot(dir1) == before) // k1's bucket: same files, same bytes
-    val byId = spark.read.parquet(table).collect()
+    val byId = Apply.readMergeTable(spark, table).collect()
       .map(r => r.getAs[String]("id") -> r.getAs[Double]("price")).toMap
     assert(byId == Map(k1 -> 1.0, k2 -> 20.0))
   }
@@ -183,7 +183,7 @@ class CaptureApplySpec extends AnyFunSuite {
       Env("REMOVE", "x", null, ts(100)), // same version as the MODIFY
       env("INSERT", "y", 1.0).copy(ts = ts(100)))
     q.processAllAvailable(); q.stop()
-    val ids = spark.read.parquet(table).collect().map(_.getAs[String]("id")).toSet
+    val ids = Apply.readMergeTable(spark, table).collect().map(_.getAs[String]("id")).toSet
     assert(ids == Set("y")) // delete outranks modify on a version tie
   }
 
@@ -213,9 +213,9 @@ class CaptureApplySpec extends AnyFunSuite {
       q.processAllAvailable(); q.stop()
     }
     runOnce(tmp("ck-i1"))
-    val first = spark.read.parquet(table).collect().map(_.toString).sorted
+    val first = Apply.readMergeTable(spark, table).collect().map(_.toString).sorted
     runOnce(tmp("ck-i2")) // fresh checkpoint = full replay of the same batch
-    val second = spark.read.parquet(table).collect().map(_.toString).sorted
+    val second = Apply.readMergeTable(spark, table).collect().map(_.toString).sorted
     assert(first.sameElements(second)) // latest-by-version makes replay a no-op
   }
 
@@ -293,6 +293,39 @@ class CaptureApplySpec extends AnyFunSuite {
     assert(landed == Map("a" -> 1.5, "b" -> 2.5)) // REMOVE routed out (T5)
   }
 
+  test("manifest commit: an uncommitted generation is invisible and GC'd") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("merge-manifest") + "/t"
+    val ms = MemoryStream[Env]
+    val q = Apply.startMerge(ms.toDF(), table, tmp("ck-mf1"), "id", "ts", afterSchema,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    ms.addData(env("INSERT", "a", 1.0).copy(ts = ts(100)))
+    q.processAllAvailable(); q.stop()
+    // simulate a publish that died between data write and manifest flip:
+    // a generation on disk that no manifest entry references. This is the
+    // crash the old rename-swap protocol could not survive on an object
+    // store — here it must be invisible to readers (no reliance on any
+    // rename being atomic) and reclaimed by the next commit's GC.
+    val orphan = new java.io.File(table, "gen=999/_bucket=0")
+    Seq(env("INSERT", "zzz", 9.0)).toDF()
+      .select(col("after.*"), col("ts").as("_version"))
+      .write.parquet(orphan.getPath)
+    val ids0 = Apply.readMergeTable(spark, table)
+      .collect().map(_.getAs[String]("id")).toSet
+    assert(ids0 == Set("a")) // manifest-resolved read ignores the orphan
+    // a later writer (fresh checkpoint, so stream batch ids restart — the
+    // generation counter must not collide with live dirs) commits past it
+    val ms2 = MemoryStream[Env]
+    val q2 = Apply.startMerge(ms2.toDF(), table, tmp("ck-mf2"), "id", "ts", afterSchema,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    ms2.addData(env("INSERT", "b", 2.0).copy(ts = ts(200)))
+    q2.processAllAvailable(); q2.stop()
+    assert(!new java.io.File(table, "gen=999").exists(), "orphan generation not GC'd")
+    val ids = Apply.readMergeTable(spark, table)
+      .collect().map(_.getAs[String]("id")).toSet
+    assert(ids == Set("a", "b"))
+  }
+
   test("layout guard: merge persists nBuckets and refuses a mismatched writer") {
     implicit val sqlCtx = spark.sqlContext
     val table = tmp("merge-guard") + "/t"
@@ -317,7 +350,7 @@ class CaptureApplySpec extends AnyFunSuite {
     assert(e.getMessage.contains("nBuckets") ||
       Option(e.getCause).exists(_.getMessage.contains("nBuckets")))
     // the guard fired before any rewrite: table contents unchanged
-    val byId = spark.read.parquet(table).collect()
+    val byId = Apply.readMergeTable(spark, table).collect()
       .map(r => r.getAs[String]("id") -> r.getAs[Double]("price")).toMap
     assert(byId == Map("a" -> 1.0))
   }
