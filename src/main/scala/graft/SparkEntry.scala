@@ -30,6 +30,7 @@ object SparkEntry {
       warehouse.StatsQueries.queries ++
       warehouse.StatsQueries.moreQueries ++
       warehouse.SketchQueries.queries ++
+      warehouse.ScaleQueries.queries ++
       cdc.CdcQueries.queries ++
       text.TextQueries.queries ++
       text.SamplingQueries.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
       warehouse.TpchQueries.oracleSql ++
       warehouse.StatsQueries.oracleSql ++
       warehouse.SketchQueries.oracleSql ++
+      warehouse.ScaleQueries.oracleSql ++
       cdc.CdcQueries.oracleSql ++
       text.TextQueries.oracleSql ++
       text.SamplingQueries.oracleSql ++
