@@ -1,6 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
+/** Duplication-factor sweep for the signature-class dedup pipelines
+  * (round-3 roadmap #7): one row per (dup factor, algorithm) so the
+  * class-collapse behavior is pinned by data, not anecdote. ×f replicates
+  * every document f times under fresh ids — the adversarial regime for
+  * LSH banding, where identical signatures flood their buckets. Results
+  * are committed as a table in SURVEY §8.13.
+  */
 object StressProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -8,14 +16,33 @@ object StressProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.1")
-    val x20 = (0 until 20).map(i => docs.select((col("doc_id") * 20 + i).as("doc_id"), col("text")))
-      .reduce(_ unionByName _)
-    val t0 = System.nanoTime()
-    val n = graft.dedup.Dedup.simhashNearDups(x20, col("doc_id"), col("text"), maxHamming = 3).count()
-    println(f"STRESS simhash x20: $n pairs in ${(System.nanoTime()-t0)/1e9}%.1f s")
-    val t1 = System.nanoTime()
-    val m = graft.dedup.Dedup.minhashNearDups(x20, col("doc_id"), col("text"), threshold = 0.5).count()
-    println(f"STRESS minhash x20: $m pairs in ${(System.nanoTime()-t1)/1e9}%.1f s")
+      .localCheckpoint(true) // sweep timings must not re-read parquet
+    println(f"${"dup"}%4s ${"docs"}%7s ${"algo"}%8s ${"pairs"}%10s ${"sec"}%7s")
+    for (f <- Seq(1, 5, 20)) {
+      val xf =
+        if (f == 1) docs.select(col("doc_id"), col("text"))
+        else (0 until f).map(i =>
+            docs.select((col("doc_id") * f + i).as("doc_id"), col("text")))
+          .reduce(_ unionByName _)
+      val nDocs = xf.count()
+      def run(algo: String)(pairs: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = pairs
+        println(f"x$f%-3d $nDocs%7d $algo%8s $n%10d ${(System.nanoTime() - t0) / 1e9}%7.1f")
+      }
+      run("simhash") {
+        graft.dedup.Dedup.simhashNearDups(
+          xf, col("doc_id"), col("text"), maxHamming = 3).count()
+      }
+      run("minhash") {
+        graft.dedup.Dedup.minhashNearDups(
+          xf, col("doc_id"), col("text"), threshold = 0.5).count()
+      }
+      run("winnow") {
+        graft.dedup.Dedup.winnowNearDups(
+          xf, col("doc_id"), col("text"), minShared = 3).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -373,41 +373,76 @@ object Dedup {
     * oracle-parity hash. The round-4 md5-per-position variant this
     * replaces cost one digest per character (37 s vs 3.7 s at sf0.1).
     *
-    * `materialize = true` (default) single-pass-evaluates the capped
-    * fingerprint rows via eager `localCheckpoint`: the whole
-    * extract+cap pipeline otherwise runs once per join side. The
-    * checkpoint is non-reliable — losing an executor after construction
-    * fails downstream reads instead of recomputing — so long-lived
-    * cluster jobs on preemptible nodes should pass `materialize = false`
-    * (lazy, fault-tolerant, double-evaluated) or checkpoint reliably
-    * themselves; same trade on every `materialize` switch in this file. */
+    * Documents with an IDENTICAL fingerprint set collapse into one class
+    * before the bucket join (round-5, completing the round-3
+    * simhash/minhash pattern — the x20-duplication stress sweep showed
+    * winnow at 89.6 s where the class-collapsed pipelines sat under 15 s:
+    * a duplicate storm put every copy of a document into every one of its
+    * ~n/w buckets, and the join edge is quadratic per bucket). A class
+    * rides the join once; identical-set members pairwise share the whole
+    * set, and every cross-class member pair shares its class pair's
+    * count, so the output is EQUAL, not approximate. Duplicates also no
+    * longer count against the bucket cap.
+    *
+    * `materialize = true` (default) single-pass-evaluates the class table
+    * via eager `localCheckpoint`: the extract+collapse pipeline otherwise
+    * runs once per consumer. The checkpoint is non-reliable — losing an
+    * executor after construction fails downstream reads instead of
+    * recomputing — so long-lived cluster jobs on preemptible nodes should
+    * pass `materialize = false` (lazy, fault-tolerant, double-evaluated)
+    * or checkpoint reliably themselves; same trade on every `materialize`
+    * switch in this file. */
   def winnowNearDups(
       docs: DataFrame, id: Column, text: Column,
       minShared: Int = 2, k: Int = 16, w: Int = 8,
       maxBucketSize: Int = 1000,
       materialize: Boolean = true): DataFrame = {
-    // array_distinct BEFORE the explode: winnowing dedups only consecutive
+    // array_distinct BEFORE grouping: winnowing dedups only consecutive
     // picks, so a repetitive document can emit the same fingerprint at
     // several positions — counted with multiplicity that would fake
-    // minShared for a pair sharing just one distinct fingerprint. Doing
-    // the dedup per-document inside the array costs no shuffle; the
-    // previous exploded-`distinct()` shuffled every (id, fp) row and was
-    // a round-1 bench outlier (12 s at sf0.1).
-    val fps = docs.select(id.as("id"),
-      explode(array_distinct(
-        graft.functions.WinnowFingerprints.winnow_fingerprints(text, k, w))).as("bucket"))
-    // both join sides reference the capped fingerprint rows — materialize
-    // them once (the whole extract+window+distinct pipeline otherwise runs
-    // twice; same reasoning as the class-table persist in minhashNearDups)
-    val sizedLazy = capBuckets(fps, maxBucketSize)
-    val sized = if (materialize) sizedLazy.localCheckpoint(true) else sizedLazy
-    val a = sized.select(col("id").as("a_id"), col("bucket"))
-    val b = sized.select(col("id").as("b_id"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("shared_fingerprints"))
+    // minShared for a pair sharing just one distinct fingerprint. Sorted,
+    // the distinct set doubles as the class key.
+    val classes = docs
+      .select(id.as("id"), array_sort(array_distinct(
+        graft.functions.WinnowFingerprints.winnow_fingerprints(text, k, w))).as("fps"))
+      .groupBy(col("fps"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .withColumn("cid", element_at(col("ids"), 1))
+      .persist()
+    val keyed = capBuckets(
+      classes.select(col("cid"), col("ids"), explode(col("fps")).as("bucket")),
+      maxBucketSize)
+    val a = keyed.select(col("cid").as("a_cid"), col("ids").as("a_ids"), col("bucket"))
+    val b = keyed.select(col("cid").as("b_cid"), col("ids").as("b_ids"), col("bucket"))
+    val classPairs = a.join(b, Seq("bucket"))
+      .filter(col("a_cid") < col("b_cid"))
+      .groupBy(col("a_cid"), col("b_cid"))
+      .agg(first(col("a_ids")).as("a_ids"), first(col("b_ids")).as("b_ids"),
+        count(lit(1)).as("shared_fingerprints"))
       .filter(col("shared_fingerprints") >= minShared)
+    // cross-class pairs: class-min-id order does not order every member
+    // pair — least/greatest restores the a_id < b_id output convention
+    val cross = classPairs
+      .select(explode(col("a_ids")).as("x"), col("b_ids"), col("shared_fingerprints"))
+      .select(col("x"), explode(col("b_ids")).as("y"), col("shared_fingerprints"))
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"), col("shared_fingerprints"))
+    // within-class pairs share the ENTIRE fingerprint set by definition
+    val within = classes
+      .filter(size(col("ids")).between(2, maxBucketSize) &&
+        size(col("fps")) >= minShared)
+      .select(col("ids"), size(col("fps")).cast("long").as("shared_fingerprints"))
+      .select(explode(col("ids")).as("a_id"), col("ids"), col("shared_fingerprints"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"), col("shared_fingerprints"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("shared_fingerprints"))
+    val result = within.unionByName(cross)
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true)
+      classes.unpersist(false)
+      out
+    }
   }
 
   /** Embedding-cosine near-dups within a blocking key. Vectors cast to
