@@ -89,7 +89,15 @@ object TextFunctions {
     * eight 2-hex-char byte parses; conv/substring/shift are all codegen'd
     * built-ins. Slower than xxhash64 (one md5 per distinct token) — used
     * where cross-engine reproducibility matters more than raw hash speed.
-    */
+    *
+    * Deliberately NOT the cheaper base-257 polynomial that the winnowing
+    * kernel/oracle share (round-5 experiment): SimHash consumes the hash
+    * BITS as 64 independent votes, and a polynomial without a finalizer
+    * has no avalanche — a 1-char token hashes below 2^8, so bits 8–63
+    * vote identically across most of the vocabulary and the pair output
+    * exploded 57k → 4.7M at sf0.1. Winnowing only needs ORDER agreement
+    * within one hash family, so the polynomial is fine there; SimHash
+    * needs uniformity, which md5 provides. */
   def portableTokenHash(tok: Column): Column = {
     val hex = md5(tok)
     (0 until 8).map { i =>
