@@ -14,11 +14,12 @@ import graft.dedup.Dedup
   * (quality metrics, language ID, fingerprints, exact dedup, blocked
   * n-gram Jaccard) mirrors one-to-one; the hash-family ops run their
   * oracle-parity configurations — MinHash with r=1 banding against the
-  * all-pairs Jaccard, SimHash and winnowing with the portable md5-derived
-  * hash recomputed from scratch in SQL. Production hash families
-  * (xxhash64 / the native rolling kernel) stay the defaults in the
-  * library API and are unit-tested with known-duplicate fixtures in
-  * DedupSpec.
+  * all-pairs Jaccard, SimHash with the portable md5-derived token hash
+  * recomputed from scratch in SQL, and winnowing running its PRODUCTION
+  * native kernel, whose mod-2^64 rolling hash the oracle reproduces in
+  * 128-bit SQL arithmetic (round 5). xxhash64 stays the default token
+  * hash in the library API and is unit-tested with known-duplicate
+  * fixtures in DedupSpec.
   */
 object TextQueries {
 
