@@ -445,6 +445,47 @@ object Dedup {
     }
   }
 
+  /** Connected components over a near-dup pair graph — the clustering
+    * step a dedup pipeline runs AFTER pair generation: documents in one
+    * component keep/drop together and the minimum id becomes the
+    * canonical survivor. Returns (id, comp) for every vertex that
+    * appears in an edge (isolated documents are their own canonical by
+    * definition; callers union them in if they need the full ledger).
+    *
+    * Deterministic min-label propagation: each round every vertex takes
+    * the minimum label in its closed neighborhood; labels only decrease,
+    * so the fixpoint is exact components. Rounds ≈ graph diameter —
+    * near-dup clusters are near-cliques (diameter ≤ ~3), so the loop is
+    * short; a long-chain adversary costs O(diameter) rounds (the
+    * alternating small-star/large-star formulation is the O(log n)
+    * upgrade path if that ever bites at cluster scale). Per round: one
+    * join + one partial-aggregated groupBy; labels are eagerly
+    * checkpointed so lineage cannot grow with the round count, and the
+    * driver sees only the changed-row COUNT (loop control, not data). */
+  def components(edges: DataFrame, a: Column, b: Column): DataFrame = {
+    val sym = edges.select(a.as("src"), b.as("dst"))
+      .unionByName(edges.select(b.as("src"), a.as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neigh = sym
+        .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+        .select(col("src").as("id"), col("ncomp"))
+      val next = labels.join(neigh, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (col("comp") > coalesce(col("ncomp"), col("comp"))).as("_chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("_chg")).count()
+      labels = next.drop("_chg")
+    }
+    labels
+  }
+
   /** Embedding-cosine near-dups within a blocking key. Vectors cast to
     * double before any arithmetic (float32 upcast, then IEEE-stable). */
   def embeddingNearDups(
