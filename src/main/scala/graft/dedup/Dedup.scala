@@ -458,32 +458,63 @@ object Dedup {
     * near-dup clusters are near-cliques (diameter ≤ ~3), so the loop is
     * short; a long-chain adversary costs O(diameter) rounds (the
     * alternating small-star/large-star formulation is the O(log n)
-    * upgrade path if that ever bites at cluster scale). Per round: one
-    * join + one partial-aggregated groupBy; labels are eagerly
-    * checkpointed so lineage cannot grow with the round count, and the
-    * driver sees only the changed-row COUNT (loop control, not data). */
-  def components(edges: DataFrame, a: Column, b: Column): DataFrame = {
+    * upgrade path if that ever bites at cluster scale). Per round: ONE
+    * job — a join on the CLOSED neighborhood (self-loops added once, up
+    * front) + one partial-aggregated groupBy; the self-loop row carries
+    * each vertex's previous label through the aggregation, so change
+    * detection needs no second reference to the label table and the
+    * carried logical plan grows LINEARLY with rounds, not exponentially
+    * (a two-reference formulation doubles the plan every round — it
+    * OOM'd Catalyst's plan stringification near diameter 10). The
+    * driver sees only the changed-row COUNT (loop control, not data).
+    *
+    * Storage is bounded at two generations, not O(rounds): each round's
+    * labels are `persist`ed and the superseded round unpersisted as soon
+    * as the next is materialized. Plan depth (analysis cost + recompute-
+    * on-block-loss) is cut every `checkpointInterval` rounds by an eager
+    * localCheckpoint — those anchors are pinned until session end (no
+    * public API frees a checkpoint), but there are at most
+    * rounds/interval of them and a near-clique dedup graph converges
+    * before the first. */
+  def components(edges: DataFrame, a: Column, b: Column,
+      checkpointInterval: Int = 10): DataFrame = {
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be >= 1, got $checkpointInterval")
     val sym = edges.select(a.as("src"), b.as("dst"))
       .unionByName(edges.select(b.as("src"), a.as("dst")))
-      .localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    val verts = sym.select(col("src").as("id")).distinct()
+    val closed = sym
+      .unionByName(verts.select(col("id").as("src"), col("id").as("dst")))
+      .persist()
+    // `cur` holds this round's storage handle; `labels` the projection
+    // downstream rounds read.
+    var cur = verts.withColumn("comp", col("id")).persist()
+    var labels = cur
+    var round = 0
     var changed = 1L
     while (changed > 0) {
-      val neigh = sym
+      round += 1
+      val nextPlan = closed
         .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
-        .select(col("src").as("id"), col("ncomp"))
-      val next = labels.join(neigh, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          (col("comp") > coalesce(col("ncomp"), col("comp"))).as("_chg"))
-        .localCheckpoint(true)
-      changed = next.filter(col("_chg")).count()
-      labels = next.drop("_chg")
+        .groupBy(col("src"))
+        .agg(min(col("comp")).as("comp"),
+          // the self-loop row is the one whose dst equals the group key
+          min(when(col("dst") === col("src"), col("comp"))).as("_old"))
+        .select(col("src").as("id"), col("comp"), col("_old"))
+      val next =
+        if (round % checkpointInterval == 0) nextPlan.localCheckpoint(true)
+        else nextPlan.persist()
+      changed = next.filter(col("comp") < col("_old")).count() // materializes
+      cur.unpersist(false) // superseded round: blocks freed immediately
+      cur = next
+      labels = next.drop("_old")
     }
-    labels
+    // truncate the returned lineage so the loop state can be released;
+    // the caller owns the one surviving checkpoint
+    val out = labels.localCheckpoint(true)
+    cur.unpersist(false)
+    closed.unpersist(false)
+    out
   }
 
   /** Embedding-cosine near-dups within a blocking key. Vectors cast to

@@ -137,6 +137,33 @@ object TextQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // -- dedup ledger: the clustering step AFTER pair generation. q45's
+    //    near-dup pairs feed min-label connected components; every
+    //    document gets a component id (its component's minimum doc_id —
+    //    the canonical survivor), the component size, and a keep/drop
+    //    flag. Isolated documents are their own canonical. This is the
+    //    shape a production dedup pipeline actually applies: filter
+    //    is_canonical to compact, or join comp back to route all copies
+    //    together.
+    "q75_dedup_components" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(
+        docs, col("doc_id"), col("text"), threshold = 0.5,
+        bands = 16, maxBucketSize = 1000000)
+      val lbl = Dedup.components(pairs, col("a_id"), col("b_id"))
+      val full = docs
+        .join(lbl.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+      // both sides hash-partition on comp: the join reuses the groupBy's
+      // exchange (a comp can hold arbitrarily many docs at 100 TB, so
+      // sizes is NOT broadcast-safe; AQE may still choose to)
+      val sizes = full.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+      full.join(sizes, Seq("comp"))
+        .select(col("doc_id"), col("comp"), col("comp_size"),
+          (col("doc_id") === col("comp")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- SimHash near-dup pairs (no oracle: xxhash64). Radius 6/64 bits —
     //    the near-duplicate regime; wider radii on same-domain corpora
     //    degenerate into quadratic almost-everything-matches output.
@@ -219,6 +246,27 @@ object TextQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Shared CTE block computing q45's verified near-dup pairs — the
+    * all-pairs string-shingle Jaccard at threshold 0.5. Consumed by the
+    * q45 oracle directly and by the q75 oracle as the edge list its
+    * recursive component closure runs over, so the two gates can never
+    * drift onto different pair sets. */
+  private val minhashPairsCtes: String =
+    """sh AS (
+      |  SELECT doc_id, LIST_DISTINCT([
+      |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |      FOR i IN RANGE(1, GREATEST(LEN(toks) - 1, 1))]) AS sh
+      |  FROM (SELECT doc_id,
+      |      STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+      |    FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+      |      / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+      |      / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.5)""".stripMargin
+
   // SQL mirrors of the Spark-side heuristics. The langId CASE chain is
   // generated from the same profile table to keep the two in lockstep.
   private def hitsSql(words: Seq[String]): String =
@@ -291,20 +339,33 @@ object TextQueries {
     // erases pairs below threshold (r=1 banding, miss prob ≤ (1-J)^16),
     // so the verified output equals this exhaustive recomputation.
     "q45_minhash_lsh" ->
-      """WITH sh AS (
-        |  SELECT doc_id, LIST_DISTINCT([
-        |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-        |      FOR i IN RANGE(1, GREATEST(LEN(toks) - 1, 1))]) AS sh
-        |  FROM (SELECT doc_id,
-        |      STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
-        |    FROM documents))
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
-        |    / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
-        |    / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.5
-        |ORDER BY a_id, b_id""".stripMargin,
+      s"""WITH $minhashPairsCtes
+         |SELECT a_id, b_id, jaccard FROM pairs
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Min-label closure over the SAME pair set as q45, as a recursive
+    // CTE: reach(v) accumulates every label reachable from v along the
+    // symmetric edge list (UNION dedups states, so it terminates), and
+    // MIN over the reachable set is exactly the component minimum the
+    // Spark-side min-label propagation converges to. Isolated documents
+    // come back via the LEFT JOIN with their own id.
+    "q75_dedup_components" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+         |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+         |ledger AS (
+         |  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id)
+         |SELECT doc_id, comp,
+         |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
+         |  doc_id = comp AS is_canonical
+         |FROM ledger ORDER BY doc_id""".stripMargin,
 
     "q57_winnow_fingerprints" -> winnowOracleSql,
 

@@ -138,6 +138,61 @@ class DedupSpec extends AnyFunSuite {
     assert(shared.forall(_ >= 2))
   }
 
+  test("components: chain, clique, disjoint — min label wins") {
+    // 1-2-3-4 is a diameter-3 chain (multi-round propagation); 10/11/12
+    // a clique; the two must not merge
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val got = Dedup.components(edges, col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("components: random edge sets match a local union-find") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 24
+      val es = Seq.fill(28)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (x, y) =>
+        val (fx, fy) = (find(x.toInt), find(y.toInt))
+        if (fx != fy) parent(math.max(fx, fy)) = math.min(fx, fy)
+      }
+      val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = verts.groupBy(v => find(v.toInt)).values
+        .flatMap(c => { val m = c.min; c.map(_ -> m) }).toMap
+      val got = Dedup.components(es.toDF("a", "b"), col("a"), col("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial, edges $es")
+    }
+  }
+
+  test("components: idempotent — relabeling the labeled graph is a fixpoint") {
+    val edges = Seq((5L, 9L), (9L, 2L), (7L, 8L)).toDF("a", "b")
+    val first = Dedup.components(edges, col("a"), col("b"))
+    val firstMap = first.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // feed (id, comp) assignments back in as edges: labels must not move
+    val again = Dedup.components(first, col("id"), col("comp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    firstMap.foreach { case (id, comp) => assert(again(id) == comp) }
+    assert(firstMap == Map(5L -> 2L, 9L -> 2L, 2L -> 2L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("components: checkpoint interval exercises the lineage cut") {
+    // interval 1 checkpoints every round; result identical to default
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Dedup.components(edges, col("a"), col("b"), checkpointInterval = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    intercept[IllegalArgumentException] {
+      Dedup.components(edges, col("a"), col("b"), checkpointInterval = 0)
+    }
+  }
+
   test("invalid LSH banding is rejected loudly") {
     intercept[IllegalArgumentException] {
       Dedup.minhashCandidates(docs, col("doc_id"), col("text"), k = 16, bands = 20)
