@@ -101,10 +101,29 @@ object Apply {
     * checkpoint replays the batch, which writes a FRESH generation and
     * commits it — replay is safe because latest-by-version with the
     * REMOVE>MODIFY>INSERT tie-break makes re-merging a no-op, and the
-    * orphan from the crashed attempt is never referenced. Superseded and
-    * orphaned generation dirs are garbage-collected best-effort after
-    * each commit (single writer per table — the streaming sink contract —
-    * so no other batch can be mid-write during GC).
+    * orphan from the crashed attempt is never referenced. Deletions only
+    * ever target directories that are non-live under the manifest
+    * ALREADY COMMITTED when the delete runs, so a crash mid-GC can strand
+    * garbage but never lose referenced data.
+    *
+    * DEFERRED GC (round-6, ADVICE: a reader that planned a scan just
+    * before a commit could hit FileNotFoundException if the superseded
+    * generation vanished immediately — Delta/Iceberg retain superseded
+    * files until an explicit vacuum/retention window for the same
+    * reason). A superseded or orphaned `gen=/_bucket=` dir is first
+    * RECORDED in the manifest's `retired` ledger with a timestamp (object
+    * stores have no reliable directory mtime, so the ledger carries the
+    * clock) and only deleted once it has been retired for more than
+    * `gcGraceMs` — long enough for any in-flight scan planned against the
+    * previous manifest to finish. [[vacuum]] is the explicit entry point
+    * for reclaiming sooner. Single writer per table (the streaming sink
+    * contract), so no other batch can be mid-write during GC.
+    *
+    * All control-plane I/O goes through Hadoop's `FileSystem`/
+    * `FileContext` ([[graft.util.Hfs]]), so the table works on any Hadoop
+    * FS (`file:`, `hdfs:`, `s3a:`, `gs:` …) — matching the reference's
+    * S3-staged pipeline boundary
+    * (`cdk_infrastructure/__init__.py:380-388`).
     *
     * Layout guard (round-2 advice): the bucket function is a lifetime
     * invariant of the table, so `nBuckets` and the layout version are
@@ -123,42 +142,43 @@ object Apply {
       versionCol: String,
       schema: StructType,
       trigger: Trigger = Trigger.AvailableNow(),
-      nBuckets: Int = 16): StreamingQuery =
+      nBuckets: Int = 16,
+      gcGraceMs: Long = DefaultGcGraceMs): StreamingQuery =
     envelopes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         import org.apache.spark.sql.functions._
         val spark = batch.sparkSession
-        val root = new java.io.File(tableDir)
+        val hc = graft.util.Hfs.conf(spark)
+        val root = new HPath(tableDir)
         // layout guard: refuse to merge into a table whose bucket layout
         // does not match this writer's configuration
-        val metaFile = new java.io.File(root, MetaName)
-        val rootFiles = Option(root.listFiles()).getOrElse(Array.empty)
-        val looseParquet = rootFiles.filter(f =>
-          f.isFile && f.getName.endsWith(".parquet"))
+        val rootList = graft.util.Hfs.list(root, hc)
+        val looseParquet = rootList.filter(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet"))
         if (looseParquet.nonEmpty) sys.error(
           s"$tableDir contains non-bucketed parquet files at the root " +
-            s"(${looseParquet.take(3).map(_.getName).mkString(", ")}…): " +
+            s"(${looseParquet.take(3).map(_.getPath.getName).mkString(", ")}…): " +
             "refusing to merge — a bucket-scoped rewrite would drop these rows")
-        if (metaFile.exists()) {
-          val meta = new String(
-            java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8")
-          val stored = "\"nBuckets\"\\s*:\\s*(\\d+)".r
-            .findFirstMatchIn(meta).map(_.group(1).toInt)
-          if (!meta.contains("\"layout\": \"bucketed-v2\""))
-            sys.error(s"$tableDir has unknown layout in ${metaFile.getName}: " +
-              s"$meta (a rename-swap bucketed-v1 table needs a one-time rewrite)")
-          if (!stored.contains(nBuckets)) sys.error(
-            s"$tableDir was written with nBuckets=${stored.getOrElse("?")}, " +
-              s"this writer is configured with nBuckets=$nBuckets: " +
-              "the bucket function is a lifetime invariant of the table")
-        } else if (rootFiles.exists(_.getName.startsWith("_bucket="))) sys.error(
-          s"$tableDir has _bucket= directories but no $MetaName: " +
-            "cannot verify the table's bucket count — refusing to merge")
-        // gen= dirs WITHOUT a manifest are fine: a first batch that died
-        // between data write and commit; the replay below overwrites them
-        val gens = committedGens(root) // bucket -> generation, {} if new
+        val meta = readMeta(root, hc)
+        meta match {
+          case Some(m) =>
+            if (m.layout != LayoutV2)
+              sys.error(s"$tableDir has unknown layout '${m.layout}' in $MetaName " +
+                "(a rename-swap bucketed-v1 table needs a one-time rewrite)")
+            if (m.nBuckets != nBuckets) sys.error(
+              s"$tableDir was written with nBuckets=${m.nBuckets}, " +
+                s"this writer is configured with nBuckets=$nBuckets: " +
+                "the bucket function is a lifetime invariant of the table")
+          case None =>
+            if (rootList.exists(_.getPath.getName.startsWith("_bucket="))) sys.error(
+              s"$tableDir has _bucket= directories but no $MetaName: " +
+                "cannot verify the table's bucket count — refusing to merge")
+          // gen= dirs WITHOUT a manifest are fine: a first batch that died
+          // between data write and commit; the replay below overwrites them
+        }
+        val gens = meta.map(_.buckets).getOrElse(Map.empty) // bucket -> gen
         val bucketOf = (c: org.apache.spark.sql.Column) =>
           pmod(xxhash64(c), lit(nBuckets)).cast("int")
         // batch rows carry the key at the envelope level (REMOVE has a
@@ -175,7 +195,7 @@ object Apply {
           val stored = addVersion(schema, versionType)
           val liveDirs = touched.toIndexedSeq
             .flatMap(b => gens.get(b).map(g =>
-              new java.io.File(root, s"gen=$g/_bucket=$b").getPath))
+              new HPath(root, s"gen=$g/_bucket=$b").toString))
           val current =
             if (liveDirs.nonEmpty) spark.read.schema(stored).parquet(liveDirs: _*)
             else spark.createDataFrame(
@@ -198,102 +218,200 @@ object Apply {
           //    contract is single-writer-per-table. Immutable once
           //    written, invisible to readers until the manifest points at
           //    it.
-          val gen = (rootListGens(root).map(_.getName.stripPrefix("gen=").toLong)
-            ++ gens.values ++ Seq(-1L)).max + 1
-          val genDir = new java.io.File(root, s"gen=$gen")
-          merged.write.partitionBy("_bucket").mode("overwrite").parquet(genDir.getPath)
+          val gen = (rootGenNumbers(root, hc) ++ gens.values ++ Seq(-1L)).max + 1
+          val genDir = new HPath(root, s"gen=$gen")
+          merged.write.partitionBy("_bucket").mode("overwrite").parquet(genDir.toString)
           // 2. commit: touched buckets move to this generation; a touched
           //    bucket whose rows were all deleted has no output dir and
           //    drops out of the manifest entirely
-          val written = Option(genDir.listFiles()).getOrElse(Array.empty)
-            .filter(_.getName.startsWith("_bucket="))
-            .map(_.getName.stripPrefix("_bucket=").toInt).toSet
+          val written = graft.util.Hfs.list(genDir, hc)
+            .filter(_.getPath.getName.startsWith("_bucket="))
+            .map(_.getPath.getName.stripPrefix("_bucket=").toInt).toSet
           val newGens = (gens -- touched) ++
             touched.filter(written).map(_ -> gen)
-          writeManifest(root, nBuckets, newGens)
-          // 3. GC superseded/orphaned bucket dirs (best-effort: a leftover
-          //    is invisible garbage, never wrong data)
+          // 3. retire + GC, then publish. Newly non-live dirs enter the
+          //    retired ledger stamped now; dirs retired for > gcGraceMs
+          //    are deleted AFTER the manifest flip (they are non-live
+          //    under both old and new manifests by then, so a crash
+          //    anywhere in the sequence strands garbage, never data).
           // toSeq first: mapping the Map directly would re-key by
           // generation and collapse every bucket sharing a gen into one
           val live = newGens.toSeq.map { case (b, g) => (g, b) }.toSet
-          rootListGens(root).foreach { gd =>
-            val g = gd.getName.stripPrefix("gen=").toLong
-            Option(gd.listFiles()).getOrElse(Array.empty)
-              .filter(_.getName.startsWith("_bucket="))
-              .foreach { bd =>
-                if (!live((g, bd.getName.stripPrefix("_bucket=").toInt))) delete(bd)
-              }
-            if (Option(gd.listFiles()).getOrElse(Array.empty)
-                .forall(f => !f.getName.startsWith("_bucket="))) delete(gd)
-          }
+          val prevRetired = meta.map(_.retired).getOrElse(Map.empty)
+          val (keep, drop) = splitRetired(root, live, prevRetired, gcGraceMs, hc)
+          writeManifest(root, nBuckets, newGens, keep, hc)
+          gcDirs(root, drop, hc)
         }
         ()
       }
       .start()
 
-  private val MetaName = "_graft_table_meta.json"
-
-  private def rootListGens(root: java.io.File): Array[java.io.File] =
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("gen="))
-
-  /** Parse the manifest's bucket → generation map ({} for a new table). */
-  private def committedGens(root: java.io.File): Map[Int, Long] = {
-    val metaFile = new java.io.File(root, MetaName)
-    if (!metaFile.exists()) Map.empty
-    else {
-      val meta = new String(
-        java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8")
-      "\"(\\d+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(meta)
-        .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+  /** Reclaim retired (superseded/orphaned) generation dirs older than
+    * `graceMs`. The per-commit GC uses the same ledger; this is the
+    * explicit entry point for reclaiming sooner (or, with the default
+    * grace raised, at all). Safe only from the table's single writer or
+    * while no writer is active. */
+  def vacuum(spark: SparkSession, tableDir: String, graceMs: Long = 0L): Unit = {
+    val hc = graft.util.Hfs.conf(spark)
+    val root = new HPath(tableDir)
+    readMeta(root, hc).foreach { m =>
+      val live = m.buckets.toSeq.map { case (b, g) => (g, b) }.toSet
+      val (keep, drop) = splitRetired(root, live, m.retired, graceMs, hc)
+      writeManifest(root, m.nBuckets, m.buckets, keep, hc)
+      gcDirs(root, drop, hc)
     }
   }
 
-  /** Publish a new manifest: temp file + rename. Atomic on POSIX; the
-    * object-store translation is a single conditional PUT of one small
-    * file — the point of the manifest design is that this is the ONLY
-    * mutation the commit needs. */
+  private type HPath = org.apache.hadoop.fs.Path
+  private type HConf = org.apache.hadoop.conf.Configuration
+
+  private val MetaName = "_graft_table_meta.json"
+  private val LayoutV2 = "bucketed-v2"
+
+  /** Default retirement grace before a superseded generation dir is
+    * deleted: long enough for any reader that planned its scan against
+    * the previous manifest to finish. */
+  val DefaultGcGraceMs: Long = 15L * 60 * 1000
+
+  private[cdc] case class TableMeta(
+      layout: String,
+      nBuckets: Int,
+      buckets: Map[Int, Long],           // bucket -> live generation
+      retired: Map[(Long, Int), Long])   // (gen, bucket) -> retired-at ms
+
+  /** Parse the manifest with a real JSON reader, scoped to the fields it
+    * owns — the previous bare regex over the whole file would have
+    * silently absorbed any future quoted-numeric key as a bucket entry
+    * (round-5 ADVICE). Malformed content fails loudly. */
+  private[cdc] def parseMeta(json: String): TableMeta = {
+    import org.json4s._
+    def fail(what: String): Nothing =
+      sys.error(s"malformed $MetaName ($what): $json")
+    val j = jackson.JsonMethods.parse(json)
+    val layout = j \ "layout" match {
+      case JString(s) => s
+      case _ => fail("missing layout")
+    }
+    val n = j \ "nBuckets" match {
+      case JInt(i) => i.toInt
+      case _ => fail("missing nBuckets")
+    }
+    val buckets = j \ "buckets" match {
+      case JObject(fields) => fields.map {
+        case (k, JInt(g)) if k.forall(_.isDigit) => k.toInt -> g.toLong
+        case (k, v) => fail(s"bucket entry $k -> $v")
+      }.toMap
+      case JNothing => Map.empty[Int, Long]
+      case _ => fail("buckets is not an object")
+    }
+    val retired = j \ "retired" match {
+      case JArray(items) => items.map { it =>
+        (it \ "gen", it \ "bucket", it \ "at") match {
+          case (JInt(g), JInt(b), JInt(at)) => (g.toLong, b.toInt) -> at.toLong
+          case _ => fail(s"retired entry $it")
+        }
+      }.toMap
+      case JNothing => Map.empty[(Long, Int), Long] // pre-round-6 manifest
+      case _ => fail("retired is not an array")
+    }
+    TableMeta(layout, n, buckets, retired)
+  }
+
+  private def readMeta(root: HPath, hc: HConf): Option[TableMeta] = {
+    val mp = new HPath(root, MetaName)
+    if (!graft.util.Hfs.exists(mp, hc)) None
+    else Some(parseMeta(graft.util.Hfs.readString(mp, hc)))
+  }
+
+  private def rootGenNumbers(root: HPath, hc: HConf): Seq[Long] =
+    graft.util.Hfs.list(root, hc).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .map(_.getPath.getName.stripPrefix("gen=").toLong)
+
+  /** Every `gen=g/_bucket=b` directory on disk. */
+  private def listGenBuckets(root: HPath, hc: HConf): Seq[((Long, Int), HPath)] =
+    graft.util.Hfs.list(root, hc).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .flatMap { gd =>
+        val g = gd.getPath.getName.stripPrefix("gen=").toLong
+        graft.util.Hfs.list(gd.getPath, hc).toSeq
+          .filter(ch => ch.isDirectory && ch.getPath.getName.startsWith("_bucket="))
+          .map(ch => ((g, ch.getPath.getName.stripPrefix("_bucket=").toInt), ch.getPath))
+      }
+
+  /** Split the on-disk non-live dirs into (ledger to keep, dirs to
+    * delete): each gets its retirement stamp from the previous ledger or
+    * `now` on first observation; stamps older than `graceMs` graduate to
+    * deletion. Ledger entries whose dir is already gone drop out. */
+  private def splitRetired(
+      root: HPath, live: Set[(Long, Int)],
+      prevRetired: Map[(Long, Int), Long], graceMs: Long,
+      hc: HConf): (Map[(Long, Int), Long], Seq[HPath]) = {
+    val now = System.currentTimeMillis()
+    val keep = Map.newBuilder[(Long, Int), Long]
+    val drop = Seq.newBuilder[HPath]
+    listGenBuckets(root, hc).foreach { case (gb, path) =>
+      if (!live(gb)) {
+        val at = prevRetired.getOrElse(gb, now)
+        if (now - at >= graceMs) drop += path
+        else keep += gb -> at
+      }
+    }
+    (keep.result(), drop.result())
+  }
+
+  /** Delete graduated dirs, then sweep generation dirs left with no
+    * bucket children (only ever reached AFTER the manifest no longer
+    * references any of them). */
+  private def gcDirs(root: HPath, dirs: Seq[HPath], hc: HConf): Unit = {
+    dirs.foreach(graft.util.Hfs.delete(_, hc))
+    graft.util.Hfs.list(root, hc)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .foreach { gd =>
+        if (graft.util.Hfs.list(gd.getPath, hc)
+            .forall(ch => !ch.getPath.getName.startsWith("_bucket=")))
+          graft.util.Hfs.delete(gd.getPath, hc)
+      }
+  }
+
+  /** Publish a new manifest: temp file + overwrite-rename through
+    * `FileContext`. Atomic on POSIX; the object-store translation is a
+    * single PUT of one small file — the point of the manifest design is
+    * that this is the ONLY mutation the commit needs. */
   private def writeManifest(
-      root: java.io.File, nBuckets: Int, gens: Map[Int, Long]): Unit = {
-    java.nio.file.Files.createDirectories(root.toPath)
+      root: HPath, nBuckets: Int, gens: Map[Int, Long],
+      retired: Map[(Long, Int), Long], hc: HConf): Unit = {
     val body = gens.toSeq.sorted
       .map { case (b, g) => s""""$b": $g""" }.mkString("{", ", ", "}")
-    val json =
-      s"""{"layout": "bucketed-v2", "nBuckets": $nBuckets, "buckets": $body}"""
-    val tmp = java.nio.file.Files.createTempFile(root.toPath, "._meta", ".tmp")
-    java.nio.file.Files.write(tmp, json.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, new java.io.File(root, MetaName).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    ()
+    val ret = retired.toSeq.sortBy(_._1)
+      .map { case ((g, b), at) => s"""{"gen": $g, "bucket": $b, "at": $at}""" }
+      .mkString("[", ", ", "]")
+    val json = s"""{"layout": "$LayoutV2", "nBuckets": $nBuckets, """ +
+      s""""buckets": $body, "retired": $ret}"""
+    graft.util.Hfs.writeStringAtomic(new HPath(root, MetaName), json, hc)
   }
 
   /** Current data directory of each committed bucket (manifest-resolved). */
-  private[cdc] def bucketDirs(tableDir: String): Map[Int, java.io.File] =
-    committedGens(new java.io.File(tableDir)).map { case (b, g) =>
-      b -> new java.io.File(tableDir, s"gen=$g/_bucket=$b")
-    }
+  private[cdc] def bucketDirs(spark: SparkSession, tableDir: String): Map[Int, HPath] = {
+    val root = new HPath(tableDir)
+    readMeta(root, graft.util.Hfs.conf(spark)).map(_.buckets).getOrElse(Map.empty)
+      .map { case (b, g) => b -> new HPath(root, s"gen=$g/_bucket=$b") }
+  }
 
   /** Read a [[startMerge]] table through its manifest. Listing the tree
     * instead would also surface generations that were written but never
     * committed (a crashed batch) — the manifest IS the table. */
   def readMergeTable(spark: SparkSession, tableDir: String): DataFrame = {
-    val dirs = bucketDirs(tableDir)
+    val dirs = bucketDirs(spark, tableDir)
     require(dirs.nonEmpty,
       s"$tableDir has no committed buckets (missing or empty manifest)")
-    spark.read.parquet(dirs.values.map(_.getPath).toSeq: _*)
+    spark.read.parquet(dirs.values.map(_.toString).toSeq: _*)
   }
 
   private def addVersion(schema: StructType,
       versionType: org.apache.spark.sql.types.DataType): StructType =
     StructType(schema.fields :+
       org.apache.spark.sql.types.StructField("_version", versionType))
-
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(delete)
-    f.delete()
-    ()
-  }
 
   /** S11: full-load-and-cdc composition — batch snapshot into
     * `{dir}/full_load`, change stream into `{dir}/cdc`. Two physical
@@ -318,8 +436,7 @@ object Apply {
   /** The logical warehouse table: snapshot ∪ accumulated change rows. */
   def readWarehouse(spark: SparkSession, warehouseDir: String, schema: StructType): DataFrame = {
     val full = spark.read.schema(schema).parquet(s"$warehouseDir/full_load")
-    val cdcPath = new java.io.File(s"$warehouseDir/cdc")
-    if (cdcPath.exists())
+    if (graft.util.Hfs.exists(new HPath(s"$warehouseDir/cdc"), graft.util.Hfs.conf(spark)))
       full.unionByName(spark.read.schema(schema).parquet(s"$warehouseDir/cdc"))
     else full
   }

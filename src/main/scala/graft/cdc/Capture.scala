@@ -1,6 +1,5 @@
 package graft.cdc
 
-import java.nio.file.{Files, Paths}
 import java.time.format.DateTimeFormatter
 import java.time.{Instant, ZoneOffset}
 import java.util.UUID
@@ -55,8 +54,12 @@ object Capture {
       val n = routed.count()
       val name = batchName(n)
       if (n == 0) {
-        Files.createDirectories(Paths.get(stageDir))
-        Files.createFile(Paths.get(stageDir, s"$name.txt"))
+        // FS-neutral marker write (the stage dir is an S3 prefix in the
+        // reference deployment, handler.py:47-48)
+        val hc = graft.util.Hfs.conf(routed.sparkSession)
+        graft.util.Hfs.mkdirs(new org.apache.hadoop.fs.Path(stageDir), hc)
+        graft.util.Hfs.touch(
+          new org.apache.hadoop.fs.Path(stageDir, s"$name.txt"), hc)
       } else {
         routed.select(col("after.*"))
           .write.mode("overwrite").json(s"$stageDir/$name")

@@ -25,15 +25,21 @@ object ScaleQueries {
   // The clustered copy is written once per (session, table) — it is a
   // LAYOUT, not a query result; rewriting it on every probe would time
   // the writer, not the clustering (same memo reasoning as the IVF index
-  // in AnnQueries). Lives under java.io.tmpdir keyed by the source dir.
+  // in AnnQueries). Lives under a PER-PROCESS temp dir (round-5 ADVICE:
+  // a shared tmpdir keyed by a 32-bit hashCode let two concurrent JVMs
+  // benching the same source — or two sources colliding on the hash —
+  // race one Overwrite against another's scan), keyed inside it by the
+  // full sanitized source path.
   private val zCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  private lazy val zRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_zorder_")
+
   private def zorderedLineitem(s: SparkSession, d: String): String =
     zCache.computeIfAbsent((s, d), { case (s2, d2) =>
-      val dir = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_zorder_${Integer.toHexString(d2.hashCode)}").getPath
+      val key = d2.replaceAll("[^A-Za-z0-9._-]", "_")
+      val dir = zRoot.resolve(key).toString
       Scale.writeZOrdered(
         Tables.lineitem(s2, d2).select(col("l_orderkey"), col("l_partkey")),
         Seq("l_orderkey", "l_partkey"), dir, files = ZFiles, bits = 8)
@@ -60,8 +66,11 @@ object ScaleQueries {
         .filter(col("l_orderkey") * 4 <= mo && col("l_partkey") * 4 <= mp)
         .agg(count(lit(1)).as("n"), countDistinct(col("_f")).as("fwm"))
         .collect()(0)
-      val filesTotal = Option(new java.io.File(dir).listFiles())
-        .getOrElse(Array.empty).count(_.getName.endsWith(".parquet")).toLong
+      // FS-neutral file count (the clustered layout lives wherever the
+      // warehouse does — s3a:// in the reference deployment)
+      val filesTotal = graft.util.Hfs.list(
+          new org.apache.hadoop.fs.Path(dir), graft.util.Hfs.conf(s))
+        .count(_.getPath.getName.endsWith(".parquet")).toLong
       Seq((hit.getLong(0), filesTotal, hit.getLong(1) * 4 <= filesTotal))
         .toDF("rows_matched", "files_total", "scan_confined")
     }

@@ -153,7 +153,7 @@ class CaptureApplySpec extends AnyFunSuite {
     ms.addData(env("INSERT", k1, 1.0).copy(ts = ts(100)),
       env("INSERT", k2, 2.0).copy(ts = ts(100)))
     q.processAllAvailable()
-    val dir1 = Apply.bucketDirs(table)(bucketOf(k1))
+    val dir1 = new java.io.File(Apply.bucketDirs(spark, table)(bucketOf(k1)).toUri.getPath)
     def snapshot(d: java.io.File): Map[String, (Long, String)] =
       d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
         val bytes = java.nio.file.Files.readAllBytes(f.toPath)
@@ -316,14 +316,72 @@ class CaptureApplySpec extends AnyFunSuite {
     // a later writer (fresh checkpoint, so stream batch ids restart — the
     // generation counter must not collide with live dirs) commits past it
     val ms2 = MemoryStream[Env]
+    // gcGraceMs = 0: this test pins the GC mechanism itself; the deferred
+    // default is covered by the vacuum test below
     val q2 = Apply.startMerge(ms2.toDF(), table, tmp("ck-mf2"), "id", "ts", afterSchema,
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"),
+      gcGraceMs = 0L)
     ms2.addData(env("INSERT", "b", 2.0).copy(ts = ts(200)))
     q2.processAllAvailable(); q2.stop()
     assert(!new java.io.File(table, "gen=999").exists(), "orphan generation not GC'd")
     val ids = Apply.readMergeTable(spark, table)
       .collect().map(_.getAs[String]("id")).toSet
     assert(ids == Set("a", "b"))
+  }
+
+  test("deferred GC: superseded generations outlive the commit until vacuum") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("merge-vacuum") + "/t"
+    def runOnce(ck: String, e: Env): Unit = {
+      val ms = MemoryStream[Env]
+      val q = Apply.startMerge(ms.toDF(), table, ck, "id", "ts", afterSchema,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      ms.addData(e)
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce(tmp("ck-vac1"), env("INSERT", "a", 1.0).copy(ts = ts(100)))
+    runOnce(tmp("ck-vac2"), env("MODIFY", "a", 2.0).copy(ts = ts(200)))
+    def genDirs = new java.io.File(table).listFiles()
+      .filter(_.getName.startsWith("gen=")).map(_.getName).toSet
+    // the superseded generation is retired, NOT deleted (default grace):
+    // a reader that planned its scan against the previous manifest can
+    // still finish
+    assert(genDirs.size == 2, s"expected retained superseded gen, got $genDirs")
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(table, "_graft_table_meta.json").toPath), "UTF-8")
+    assert(meta.contains("\"retired\": [{\"gen\""), meta)
+    val byId = Apply.readMergeTable(spark, table).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Double]("price")).toMap
+    assert(byId == Map("a" -> 2.0))
+    // vacuum(grace=0) reclaims; the live generation and contents survive
+    Apply.vacuum(spark, table, graceMs = 0L)
+    assert(genDirs.size == 1, s"vacuum left $genDirs")
+    Apply.vacuum(spark, table, graceMs = 0L) // idempotent
+    val after = Apply.readMergeTable(spark, table).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Double]("price")).toMap
+    assert(after == Map("a" -> 2.0))
+  }
+
+  test("manifest parse is scoped and fails loudly on malformed content") {
+    val m = Apply.parseMeta(
+      """{"layout": "bucketed-v2", "nBuckets": 8,
+        | "buckets": {"0": 3, "5": 2},
+        | "retired": [{"gen": 1, "bucket": 0, "at": 1700000000000}],
+        | "rowCounts": {"7": 999}}""".stripMargin)
+    // a numeric map elsewhere in the manifest must NOT be absorbed as
+    // bucket entries (the round-5 regex would have)
+    assert(m.buckets == Map(0 -> 3L, 5 -> 2L))
+    assert(m.retired == Map((1L, 0) -> 1700000000000L))
+    assert(m.nBuckets == 8)
+    // pre-round-6 manifest without a retired ledger still parses
+    val old = Apply.parseMeta("""{"layout": "bucketed-v2", "nBuckets": 4, "buckets": {"1": 0}}""")
+    assert(old.buckets == Map(1 -> 0L) && old.retired.isEmpty)
+    intercept[RuntimeException] {
+      Apply.parseMeta("""{"layout": "bucketed-v2", "nBuckets": 4, "buckets": {"x": "y"}}""")
+    }
+    intercept[RuntimeException] {
+      Apply.parseMeta("""{"nBuckets": 4, "buckets": {}}""")
+    }
   }
 
   test("layout guard: merge persists nBuckets and refuses a mismatched writer") {
