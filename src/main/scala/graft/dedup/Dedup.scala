@@ -56,6 +56,74 @@ object Dedup {
       .distinct()
   }
 
+  // ---- signature-class collapse, shared by minhash / simhash / winnow ----
+  //
+  // Documents with an IDENTICAL signature/fingerprint set collapse into
+  // one CLASS before the bucket join: on duplicate-heavy corpora — the
+  // normal web-scale case — a duplicate storm otherwise rides into every
+  // one of its buckets and the join edge is quadratic per bucket. A class
+  // costs one row in the join and ONE verification per class pair; the id
+  // pairs are exploded back out afterwards (that expansion is the true
+  // output size, not join overhead), and duplicates no longer count
+  // against the bucket cap (per-document counting evicted hot buckets and
+  // silently dropped real pairs). Round 5 had to re-derive this fix a
+  // third time for winnowing; the helpers below are that pattern, named.
+
+  /** One row per distinct class key: sorted member `ids`, canonical `cid`
+    * = min id (the class key columns ride along for banding/verification). */
+  private def collapseClasses(rows: DataFrame, classKey: Seq[Column]): DataFrame =
+    rows.groupBy(classKey: _*)
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .withColumn("cid", element_at(col("ids"), 1))
+
+  /** Expand verified class pairs (`a_ids`, `b_ids`, value) into member id
+    * pairs. Class-min-id order (a_cid < b_cid) does NOT order every member
+    * pair, so least/greatest restores the a_id < b_id output convention. */
+  private def expandCrossPairs(classPairs: DataFrame, valueName: String): DataFrame =
+    classPairs
+      .select(explode(col("a_ids")).as("x"), col("b_ids"), col(valueName))
+      .select(col("x"), explode(col("b_ids")).as("y"), col(valueName))
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"), col(valueName))
+
+  /** Within-class member pairs: identical-set members match by definition,
+    * at a per-class `value` (jaccard 1.0 / hamming 0 / the whole set
+    * size). `maxBucketSize` guards the C(n,2) expansion of a duplicate
+    * storm; `keepIf` lets a pipeline exclude classes that cannot reach its
+    * threshold (winnow's `size(fps) >= minShared`). */
+  private def expandWithinPairs(
+      classes: DataFrame, value: Column, valueName: String,
+      maxBucketSize: Int, keepIf: Column = lit(true)): DataFrame =
+    classes
+      .filter(size(col("ids")).between(2, maxBucketSize) && keepIf)
+      .select(col("ids"), value.as(valueName))
+      .select(explode(col("ids")).as("a_id"), col("ids"), col(valueName))
+      .select(col("a_id"), explode(col("ids")).as("b_id"), col(valueName))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col(valueName))
+
+  /** Shared evaluation policy around a class-collapsed pipeline.
+    *
+    * `materialize = true` (default at call sites): the class table is
+    * persisted (it has several downstream consumers), the result is
+    * eagerly evaluated via non-reliable `localCheckpoint`, and the class
+    * cache is released before returning — nothing leaks past the call.
+    * Losing an executor after construction fails downstream reads instead
+    * of recomputing, so long-lived cluster jobs on preemptible nodes
+    * should pass `materialize = false`: fully lazy AND unpersisted — the
+    * class sub-plan is simply re-evaluated per consumer (round-5 ADVICE:
+    * the previous unconditional persist leaked a cached DataFrame for the
+    * session lifetime on every lazy call). */
+  private def classPipeline(classesLazy: DataFrame, materialize: Boolean)(
+      build: DataFrame => DataFrame): DataFrame =
+    if (!materialize) build(classesLazy)
+    else {
+      val classes = classesLazy.persist()
+      val out = build(classes).localCheckpoint(true)
+      classes.unpersist(false)
+      out
+    }
+
   /** Shingle rows built without higher-order functions: posexplode the
     * tokens, window-lead the next n-1 tokens, concat. HOFs
     * (transform/aggregate) are CodegenFallback — interpreted per element —
@@ -150,54 +218,31 @@ object Dedup {
         sort_array(collect_set(xxhash64(col("sh")))).as("vset"),
         (0 until k).map(j =>
           min(pmod(col("h") * minhashA(j) + minhashB(j), lit(minhashP))).as(s"sig_$j")): _*)
-    // Documents with an identical shingle SET collapse into one CLASS
-    // before banding (round-3, same reasoning as simhashNearDups): a
-    // duplicate storm then costs one row in the bucket join and ONE
-    // Jaccard verification per class pair instead of one per id pair, and
-    // duplicates no longer count against the bucket cap (per-document
-    // counting evicted hot buckets and silently dropped real pairs).
-    // vset is in the grouping key, so members of a class have pairwise
-    // Jaccard exactly 1.0 and every cross-class member pair shares its
-    // class pair's Jaccard. Persisted: three downstream consumers (at
-    // cluster scale this is where the class table gets checkpointed).
-    val classes = agg
-      .groupBy(col("vset") +: (0 until k).map(j => col(s"sig_$j")): _*)
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .withColumn("cid", element_at(col("ids"), 1))
-      .persist()
-    val keyed = classes.select(col("cid").as("id"), explode(array((0 until bands).map { b =>
-      hash(struct(lit(b) +: (0 until r).map(i => col(s"sig_${b * r + i}")): _*))
-    }: _*)).as("bucket"))
-    val cands = pairsFromBuckets(keyed, maxBucketSize)
-      .select(col("a_id").as("a_cid"), col("b_id").as("b_cid"))
-    val sets = classes.select(col("cid"), col("vset"), col("ids"))
-    val cross = cands
-      .join(sets.select(col("cid").as("a_cid"), col("vset").as("a_sh"),
-        col("ids").as("a_ids")), Seq("a_cid"))
-      .join(sets.select(col("cid").as("b_cid"), col("vset").as("b_sh"),
-        col("ids").as("b_ids")), Seq("b_cid"))
-      .withColumn("jaccard",
-        graft.functions.JaccardSorted.jaccard_sorted(col("a_sh"), col("b_sh")))
-      .filter(col("jaccard") >= threshold)
-      .select(explode(col("a_ids")).as("x"), col("b_ids"), col("jaccard"))
-      .select(col("x"), explode(col("b_ids")).as("y"), col("jaccard"))
-      // class-min-id order does not order every member pair: restore a < b
-      .select(least(col("x"), col("y")).as("a_id"),
-        greatest(col("x"), col("y")).as("b_id"), col("jaccard"))
-    val within = classes
-      .filter(size(col("ids")).between(2, maxBucketSize))
-      .select(explode(col("ids")).as("a_id"), col("ids"))
-      .select(col("a_id"), explode(col("ids")).as("b_id"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
-    val result = within.unionByName(cross)
-    // materialize while the class cache is hot, then free it (the
-    // persist otherwise leaks for the session lifetime per invocation)
-    if (!materialize) result
-    else {
-      val out = result.localCheckpoint(true)
-      classes.unpersist(false)
-      out
+    // Class collapse (round-3; see the shared helpers above): vset is in
+    // the grouping key, so members of a class have pairwise Jaccard
+    // exactly 1.0 and every cross-class member pair shares its class
+    // pair's Jaccard.
+    val classesLazy = collapseClasses(agg,
+      col("vset") +: (0 until k).map(j => col(s"sig_$j")))
+    classPipeline(classesLazy, materialize) { classes =>
+      val keyed = classes.select(col("cid").as("id"), explode(array((0 until bands).map { b =>
+        hash(struct(lit(b) +: (0 until r).map(i => col(s"sig_${b * r + i}")): _*))
+      }: _*)).as("bucket"))
+      val cands = pairsFromBuckets(keyed, maxBucketSize)
+        .select(col("a_id").as("a_cid"), col("b_id").as("b_cid"))
+      val sets = classes.select(col("cid"), col("vset"), col("ids"))
+      val cross = expandCrossPairs(
+        cands
+          .join(sets.select(col("cid").as("a_cid"), col("vset").as("a_sh"),
+            col("ids").as("a_ids")), Seq("a_cid"))
+          .join(sets.select(col("cid").as("b_cid"), col("vset").as("b_sh"),
+            col("ids").as("b_ids")), Seq("b_cid"))
+          .withColumn("jaccard",
+            graft.functions.JaccardSorted.jaccard_sorted(col("a_sh"), col("b_sh")))
+          .filter(col("jaccard") >= threshold),
+        "jaccard")
+      val within = expandWithinPairs(classes, lit(1.0), "jaccard", maxBucketSize)
+      within.unionByName(cross)
     }
   }
 
@@ -293,68 +338,36 @@ object Dedup {
       if (widths(c) == 64) shifted
       else shifted.bitwiseAND(lit((1L << widths(c)) - 1))
     }
-    // Identical signatures collapse into CLASSES before the bucket join
-    // (round-3): on duplicate-heavy corpora — the normal web-scale case —
-    // many documents share one signature, and joining per-document makes
-    // every duplicate storm quadratic INSIDE the join. Joining one row per
-    // distinct signature shrinks both join sides and moves the pair-dedup
-    // `distinct` from id-pair granularity (× nChunks copies) to class-pair
-    // granularity; the id pairs are exploded back out afterwards (that
-    // expansion is the true output size, not join overhead). The 8-byte
-    // signature still rides INTO the bucket join, so the Hamming radius
-    // filter runs BEFORE the dedup shuffle.
-    //
+    // Class collapse (round-3; shared helpers above). The 8-byte
+    // signature rides INTO the bucket join, so the Hamming radius filter
+    // runs BEFORE the pair-dedup shuffle, and the id lists ride through
+    // (typically 1-element arrays) so no join-back is needed.
     // `maxBucketSize` guards both quadratic edges: signature-classes per
     // chunk bucket (cross-class join fan-out) and ids per class
     // (within-class C(n,2) expansion of a duplicate storm).
-    val classes = simhashSignatures(docs, id, text, tokenHash)
-      .groupBy(col("sig"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .withColumn("cid", element_at(col("ids"), 1))
-      .persist()
-    val keyed = capBuckets(
-      classes.select(col("cid"), col("sig"), col("ids"),
-        explode(array((0 until nChunks).map { c =>
-          struct(lit(c).as("chunk"), chunkBits(c).as("bits"))
-        }: _*)).as("bucket")),
-      maxBucketSize)
-    // the id lists ride through the join (typically 1-element arrays) so
-    // no join-back is needed to expand class pairs into id pairs
-    val a = keyed.select(col("cid").as("a_cid"), col("sig").as("a_sig"),
-      col("ids").as("a_ids"), col("bucket"))
-    val b = keyed.select(col("cid").as("b_cid"), col("sig").as("b_sig"),
-      col("ids").as("b_ids"), col("bucket"))
-    val classPairs = a.join(b, Seq("bucket"))
-      .filter(col("a_cid") < col("b_cid"))
-      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("a_cid"), col("b_cid"), col("a_ids"), col("b_ids"), col("hamming"))
-      .dropDuplicates("a_cid", "b_cid")
-    // cross-class pairs: explode both id lists; a class's min id ordering
-    // (a_cid < b_cid) does NOT order every member pair, so least/greatest
-    // restores the a_id < b_id output convention.
-    val cross = classPairs
-      .select(explode(col("a_ids")).as("x"), col("b_ids"), col("hamming"))
-      .select(col("x"), explode(col("b_ids")).as("y"), col("hamming"))
-      .select(least(col("x"), col("y")).as("a_id"),
-        greatest(col("x"), col("y")).as("b_id"), col("hamming"))
-    // within-class pairs: identical signatures are Hamming 0 by definition
-    val within = classes
-      .filter(size(col("ids")).between(2, maxBucketSize))
-      .select(explode(col("ids")).as("a_id"), col("ids"))
-      .select(col("a_id"), explode(col("ids")).as("b_id"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), lit(0L).as("hamming"))
-    val result = within.unionByName(cross)
-    // materialize while the class cache is hot, then free it:
-    // localCheckpoint truncates lineage so the returned frame no longer
-    // depends on the cached blocks (round-2 advice: the persist leaked
-    // for the session lifetime per invocation)
-    if (!materialize) result
-    else {
-      val out = result.localCheckpoint(true)
-      classes.unpersist(false)
-      out
+    val classesLazy = collapseClasses(
+      simhashSignatures(docs, id, text, tokenHash), Seq(col("sig")))
+    classPipeline(classesLazy, materialize) { classes =>
+      val keyed = capBuckets(
+        classes.select(col("cid"), col("sig"), col("ids"),
+          explode(array((0 until nChunks).map { c =>
+            struct(lit(c).as("chunk"), chunkBits(c).as("bits"))
+          }: _*)).as("bucket")),
+        maxBucketSize)
+      val a = keyed.select(col("cid").as("a_cid"), col("sig").as("a_sig"),
+        col("ids").as("a_ids"), col("bucket"))
+      val b = keyed.select(col("cid").as("b_cid"), col("sig").as("b_sig"),
+        col("ids").as("b_ids"), col("bucket"))
+      val classPairs = a.join(b, Seq("bucket"))
+        .filter(col("a_cid") < col("b_cid"))
+        .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("long"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("a_cid"), col("b_cid"), col("a_ids"), col("b_ids"), col("hamming"))
+        .dropDuplicates("a_cid", "b_cid")
+      val cross = expandCrossPairs(classPairs, "hamming")
+      // within-class pairs: identical signatures are Hamming 0 by definition
+      val within = expandWithinPairs(classes, lit(0L), "hamming", maxBucketSize)
+      within.unionByName(cross)
     }
   }
 
@@ -402,46 +415,28 @@ object Dedup {
     // several positions — counted with multiplicity that would fake
     // minShared for a pair sharing just one distinct fingerprint. Sorted,
     // the distinct set doubles as the class key.
-    val classes = docs
-      .select(id.as("id"), array_sort(array_distinct(
-        graft.functions.WinnowFingerprints.winnow_fingerprints(text, k, w))).as("fps"))
-      .groupBy(col("fps"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .withColumn("cid", element_at(col("ids"), 1))
-      .persist()
-    val keyed = capBuckets(
-      classes.select(col("cid"), col("ids"), explode(col("fps")).as("bucket")),
-      maxBucketSize)
-    val a = keyed.select(col("cid").as("a_cid"), col("ids").as("a_ids"), col("bucket"))
-    val b = keyed.select(col("cid").as("b_cid"), col("ids").as("b_ids"), col("bucket"))
-    val classPairs = a.join(b, Seq("bucket"))
-      .filter(col("a_cid") < col("b_cid"))
-      .groupBy(col("a_cid"), col("b_cid"))
-      .agg(first(col("a_ids")).as("a_ids"), first(col("b_ids")).as("b_ids"),
-        count(lit(1)).as("shared_fingerprints"))
-      .filter(col("shared_fingerprints") >= minShared)
-    // cross-class pairs: class-min-id order does not order every member
-    // pair — least/greatest restores the a_id < b_id output convention
-    val cross = classPairs
-      .select(explode(col("a_ids")).as("x"), col("b_ids"), col("shared_fingerprints"))
-      .select(col("x"), explode(col("b_ids")).as("y"), col("shared_fingerprints"))
-      .select(least(col("x"), col("y")).as("a_id"),
-        greatest(col("x"), col("y")).as("b_id"), col("shared_fingerprints"))
-    // within-class pairs share the ENTIRE fingerprint set by definition
-    val within = classes
-      .filter(size(col("ids")).between(2, maxBucketSize) &&
-        size(col("fps")) >= minShared)
-      .select(col("ids"), size(col("fps")).cast("long").as("shared_fingerprints"))
-      .select(explode(col("ids")).as("a_id"), col("ids"), col("shared_fingerprints"))
-      .select(col("a_id"), explode(col("ids")).as("b_id"), col("shared_fingerprints"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("shared_fingerprints"))
-    val result = within.unionByName(cross)
-    if (!materialize) result
-    else {
-      val out = result.localCheckpoint(true)
-      classes.unpersist(false)
-      out
+    val classesLazy = collapseClasses(
+      docs.select(id.as("id"), array_sort(array_distinct(
+        graft.functions.WinnowFingerprints.winnow_fingerprints(text, k, w))).as("fps")),
+      Seq(col("fps")))
+    classPipeline(classesLazy, materialize) { classes =>
+      val keyed = capBuckets(
+        classes.select(col("cid"), col("ids"), explode(col("fps")).as("bucket")),
+        maxBucketSize)
+      val a = keyed.select(col("cid").as("a_cid"), col("ids").as("a_ids"), col("bucket"))
+      val b = keyed.select(col("cid").as("b_cid"), col("ids").as("b_ids"), col("bucket"))
+      val classPairs = a.join(b, Seq("bucket"))
+        .filter(col("a_cid") < col("b_cid"))
+        .groupBy(col("a_cid"), col("b_cid"))
+        .agg(first(col("a_ids")).as("a_ids"), first(col("b_ids")).as("b_ids"),
+          count(lit(1)).as("shared_fingerprints"))
+        .filter(col("shared_fingerprints") >= minShared)
+      val cross = expandCrossPairs(classPairs, "shared_fingerprints")
+      // within-class pairs share the ENTIRE fingerprint set by definition
+      val within = expandWithinPairs(classes,
+        size(col("fps")).cast("long"), "shared_fingerprints",
+        maxBucketSize, keepIf = size(col("fps")) >= minShared)
+      within.unionByName(cross)
     }
   }
 
