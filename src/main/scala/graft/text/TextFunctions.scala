@@ -22,12 +22,14 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword-boundary token count: alpha runs, digit runs, and
-    * individual symbols — the pre-tokenization split BPE vocabularies are
-    * trained over. A real BPE merge table would apply on top of these
-    * pieces; the count is the standard cheap length-estimate. */
-  def bpeIshTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+  /** BPE token count: pre-tokenize into alpha runs / digit runs /
+    * single symbols, then run the rank-ordered merge loop against the
+    * fixed merges table ([[graft.functions.BpeUtil.merges]]) in one
+    * codegen'd native pass. Replaces the round-5 pieces-only estimate
+    * (round-5 verdict #6: mixture weighting needs token-budget-accurate
+    * counts); the q37 oracle recomputes the loop from the same table. */
+  def bpeTokenCount(text: Column): Column =
+    graft.functions.BpeTokenCount.bpe_token_count(text)
 
   /** Count of tokens from `words` present in the text (word-boundary
     * matching via padded contains — cheap and oracle-reproducible). */

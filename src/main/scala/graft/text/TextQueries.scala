@@ -35,7 +35,7 @@ object TextQueries {
           // LENGTH/LEN are int64 (round-1 verdict on output types).
           TextFunctions.charLen(t).cast("long").as("n_chars_text"),
           TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
-          TextFunctions.bpeIshTokenCount(t).cast("long").as("n_bpe_tokens"),
+          TextFunctions.bpeTokenCount(t).as("n_bpe_tokens"),
           TextFunctions.nonAlnumCount(t).cast("long").as("n_non_alnum"),
           TextFunctions.stopwordRatio(t).as("stopword_ratio"),
           (TextFunctions.tokenCount(t) >= 5 && TextFunctions.charLen(t) >= 20)
@@ -267,6 +267,46 @@ object TextQueries {
       |  WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
       |      / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.5)""".stripMargin
 
+  /** DuckDB recomputation of the native BPE token count
+    * ([[graft.functions.BpeUtil]]) — generated from the SAME merges table
+    * the kernel compiles in (the q57 shared-constant pattern). The kernel
+    * is defined in REPLACE-fixpoint terms precisely so SQL can replay it:
+    * state = units joined by `|`, one recursion step = one leftmost-
+    * non-overlapping global REPLACE of the lowest-rank merge present,
+    * recursion ends at the fixpoint; the unit count is bars − 1 of the
+    * shortest state. Counting is per DISTINCT pre-token (the vocabulary
+    * is tiny next to the corpus), then multiplied back by occurrence. */
+  private val bpeCtes: String = {
+    val values = graft.functions.BpeUtil.merges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, '$a', '$b')" }.mkString(", ")
+    s"""mrg(rnk, a, b) AS (SELECT * FROM (VALUES $values) v),
+       |pre AS (
+       |  SELECT doc_id,
+       |    UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok
+       |  FROM documents),
+       |grp AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM pre GROUP BY 1, 2),
+       |atoks AS (
+       |  SELECT DISTINCT tok FROM grp
+       |  WHERE REGEXP_MATCHES(tok, '^([a-z]+|[0-9]+)$$')),
+       |bpe(tok, st) AS (
+       |  SELECT tok, '|' || REGEXP_REPLACE(tok, '(.)', '\\1|', 'g') FROM atoks
+       |  UNION ALL
+       |  SELECT x.tok,
+       |    REPLACE(x.st, '|' || m.a || '|' || m.b || '|', '|' || m.a || m.b || '|')
+       |  FROM (SELECT tok, st,
+       |          (SELECT MIN(m2.rnk) FROM mrg m2
+       |           WHERE CONTAINS(st, '|' || m2.a || '|' || m2.b || '|')) AS r
+       |        FROM bpe) x
+       |  JOIN mrg m ON m.rnk = x.r),
+       |units AS (
+       |  SELECT tok,
+       |    MIN(LENGTH(st) - LENGTH(REPLACE(st, '|', ''))) - 1 AS units
+       |  FROM bpe GROUP BY tok),
+       |bpecnt AS (
+       |  SELECT g.doc_id, SUM(g.cnt * COALESCE(u.units, 1)) AS n_bpe
+       |  FROM grp g LEFT JOIN units u ON g.tok = u.tok GROUP BY 1)""".stripMargin
+  }
+
   // SQL mirrors of the Spark-side heuristics. The langId CASE chain is
   // generated from the same profile table to keep the two in lockstep.
   private def hitsSql(words: Seq[String]): String =
@@ -285,15 +325,17 @@ object TextQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q37_text_quality" ->
-      s"""SELECT doc_id,
+      s"""WITH RECURSIVE $bpeCtes
+         |SELECT d.doc_id,
          |  LENGTH(text) AS n_chars_text,
          |  LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS n_tokens,
-         |  LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+         |  CAST(COALESCE(b.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
          |  LENGTH(text) - LENGTH(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g')) AS n_non_alnum,
          |  CAST(${hitsSql(Seq("the", "a", "of", "and", "is", "in"))} AS DOUBLE)
          |    / CAST(LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS DOUBLE) AS stopword_ratio,
          |  (LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) >= 5 AND LENGTH(text) >= 20) AS keep
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |FROM documents d LEFT JOIN bpecnt b ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q38_lang_id" ->
       s"""SELECT lang, $langCaseSql AS predicted_lang, COUNT(*) AS n
