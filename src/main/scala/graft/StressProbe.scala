@@ -34,9 +34,19 @@ object StressProbe {
         graft.dedup.Dedup.simhashNearDups(
           xf, col("doc_id"), col("text"), maxHamming = 3).count()
       }
+      var minhashPairs: org.apache.spark.sql.DataFrame = null
       run("minhash") {
-        graft.dedup.Dedup.minhashNearDups(
-          xf, col("doc_id"), col("text"), threshold = 0.5).count()
+        minhashPairs = graft.dedup.Dedup.minhashNearDups(
+          xf, col("doc_id"), col("text"), threshold = 0.5)
+        minhashPairs.count()
+      }
+      // the ledger step downstream of pair generation: a ×f duplicate
+      // storm multiplies EDGES quadratically but components stay few and
+      // near-clique — rounds must not grow with f (min-label convergence
+      // is diameter-bound, not size-bound)
+      run("comps") {
+        graft.dedup.Dedup.components(
+          minhashPairs, col("a_id"), col("b_id")).count()
       }
       run("winnow") {
         graft.dedup.Dedup.winnowNearDups(

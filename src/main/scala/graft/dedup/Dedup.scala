@@ -478,8 +478,15 @@ object Dedup {
     val sym = edges.select(a.as("src"), b.as("dst"))
       .unionByName(edges.select(b.as("src"), a.as("dst")))
     val verts = sym.select(col("src").as("id")).distinct()
+    // The edge table dwarfs the label table (E >= V on every non-trivial
+    // graph), so cache it ALREADY partitioned and sorted on the join key:
+    // the cached InMemoryTableScan reports that partitioning/ordering, and
+    // every round's sort-merge join then shuffles only the labels side —
+    // the per-round cost at cluster scale is O(V) movement, not O(E).
     val closed = sym
       .unionByName(verts.select(col("id").as("src"), col("id").as("dst")))
+      .repartition(col("dst"))
+      .sortWithinPartitions(col("dst"))
       .persist()
     // `cur` holds this round's storage handle; `labels` the projection
     // downstream rounds read.
@@ -489,13 +496,7 @@ object Dedup {
     var changed = 1L
     while (changed > 0) {
       round += 1
-      val nextPlan = closed
-        .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
-        .groupBy(col("src"))
-        .agg(min(col("comp")).as("comp"),
-          // the self-loop row is the one whose dst equals the group key
-          min(when(col("dst") === col("src"), col("comp"))).as("_old"))
-        .select(col("src").as("id"), col("comp"), col("_old"))
+      val nextPlan = componentsRound(closed, labels)
       val next =
         if (round % checkpointInterval == 0) nextPlan.localCheckpoint(true)
         else nextPlan.persist()
@@ -510,6 +511,34 @@ object Dedup {
     cur.unpersist(false)
     closed.unpersist(false)
     out
+  }
+
+  /** One min-label round: join the closed neighborhood to the current
+    * labels, take the per-vertex minimum; the self-loop row (dst == src)
+    * carries the vertex's previous label out as `_old` for change
+    * detection. Shared with [[componentsRoundPlan]]. */
+  private def componentsRound(closed: DataFrame, labels: DataFrame): DataFrame =
+    closed
+      .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
+      .groupBy(col("src"))
+      .agg(min(col("comp")).as("comp"),
+        min(when(col("dst") === col("src"), col("comp"))).as("_old"))
+      .select(col("src").as("id"), col("comp"), col("_old"))
+
+  /** The lazy plan of one [[components]] round over the initial labels —
+    * the plan-evidence face (the loop itself materializes per round, so
+    * its executed plans are not visible from a single lazy frame). The
+    * Exchange+Sort under the closed-neighborhood side is the one the loop
+    * pays ONCE at cache time; per round only the labels side moves. */
+  def componentsRoundPlan(edges: DataFrame, a: Column, b: Column): DataFrame = {
+    val sym = edges.select(a.as("src"), b.as("dst"))
+      .unionByName(edges.select(b.as("src"), a.as("dst")))
+    val verts = sym.select(col("src").as("id")).distinct()
+    val closed = sym
+      .unionByName(verts.select(col("id").as("src"), col("id").as("dst")))
+      .repartition(col("dst"))
+      .sortWithinPartitions(col("dst"))
+    componentsRound(closed, verts.withColumn("comp", col("id")))
   }
 
   /** Embedding-cosine near-dups within a blocking key. Vectors cast to
