@@ -41,8 +41,33 @@ object SamplingQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source"))
+    },
+
+    // -- sequence packing: concatenate the corpus in doc_id order and
+    //    chunk it into fixed 512-token context windows (the GPT-style
+    //    concat-and-chunk batch layout). Per document: its BPE token
+    //    count, the first/last pack it lands in, and whether it straddles
+    //    a pack boundary. The global prefix sum is the two-pass
+    //    range-partitioned form (Scale.withGlobalRunningSum) — a bare
+    //    unpartitioned window would serialize 100 TB through one task.
+    "q76_sequence_pack" -> { (s, d) =>
+      val L = SeqPackLen
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.bpeTokenCount(col("text")).as("n_bpe"))
+        .filter(col("n_bpe") > 0)
+      graft.warehouse.Scale
+        .withGlobalRunningSum(toks, Seq(col("doc_id")), col("n_bpe"), "cum")
+        .select(col("doc_id"), col("n_bpe"),
+          expr(s"(cum - n_bpe) div $L").as("first_pack"),
+          expr(s"(cum - 1) div $L").as("last_pack"),
+          (expr(s"(cum - n_bpe) div $L") =!= expr(s"(cum - 1) div $L"))
+            .as("spans_boundary"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** Context length for q76 — shared with the generated oracle SQL. */
+  private val SeqPackLen = 512
 
   def oracleSql: Map[String, String] = Map(
     "q63_stratified_sample" ->
@@ -58,6 +83,23 @@ object SamplingQueries {
         |  FROM documents)
         |WHERE (src_num % 2 = 0 AND doc_id % 2 = 0)
         |   OR (src_num % 2 = 1 AND doc_id % 5 = 0)
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Reuses the generated BPE recomputation (TextQueries.bpeCtes) so the
+    // pack layout is checked against the SAME merges table the kernel
+    // compiles in; DuckDB widens SUM(BIGINT) to HUGEINT, hence the casts.
+    "q76_sequence_pack" ->
+      s"""WITH RECURSIVE ${TextQueries.bpeCtes},
+         |toks AS (
+         |  SELECT doc_id, CAST(n_bpe AS BIGINT) AS n_bpe FROM bpecnt WHERE n_bpe > 0),
+         |c AS (
+         |  SELECT doc_id, n_bpe,
+         |    CAST(SUM(n_bpe) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+         |  FROM toks)
+         |SELECT doc_id, n_bpe,
+         |  (cum - n_bpe) // $SeqPackLen AS first_pack,
+         |  (cum - 1) // $SeqPackLen AS last_pack,
+         |  ((cum - n_bpe) // $SeqPackLen) <> ((cum - 1) // $SeqPackLen) AS spans_boundary
+         |FROM c ORDER BY doc_id""".stripMargin
   )
 }

@@ -276,7 +276,7 @@ object TextQueries {
     * recursion ends at the fixpoint; the unit count is bars − 1 of the
     * shortest state. Counting is per DISTINCT pre-token (the vocabulary
     * is tiny next to the corpus), then multiplied back by occurrence. */
-  private val bpeCtes: String = {
+  private[text] val bpeCtes: String = {
     val values = graft.functions.BpeUtil.merges.zipWithIndex
       .map { case ((a, b), r) => s"($r, '$a', '$b')" }.mkString(", ")
     s"""mrg(rnk, a, b) AS (SELECT * FROM (VALUES $values) v),

@@ -83,6 +83,34 @@ object Scale {
       partitions: Int = 32): DataFrame =
     numberedWithCounts(df, sortCols, out, partitions)._1
 
+  /** Distributed global running (prefix) sum of `value` in `sortCols`
+    * order — same two-pass shape as [[withGlobalRowNumber]]: range
+    * repartition, per-partition totals to the driver (`partitions` longs,
+    * not data), window-sum WITHIN each range partition plus the
+    * preceding-partition offset. A bare `sum().over(Window.orderBy(...))`
+    * funnels every row through one task. */
+  def withGlobalRunningSum(
+      df: DataFrame, sortCols: Seq[Column], value: Column, out: String,
+      partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = df.repartitionByRange(partitions, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_v", value)
+      .localCheckpoint(false)
+    val totals = parted.groupBy(col("_pid")).agg(sum(col("_v")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+      .init.map(_._2)
+    val offsetCol = totals.map(_._1).zip(offsets).foldLeft(lit(0L)) {
+      case (acc, (pid, off)) => when(col("_pid") === pid, lit(off)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn(out, sum(col("_v")).over(w) + offsetCol)
+      .drop("_pid", "_v")
+  }
+
   /** Distributed global NTILE(k) built on [[withGlobalRowNumber]], with
     * standard SQL semantics (first `n % k` tiles get one extra row) — the
     * scale-safe replacement for `ntile(k).over(Window.orderBy(...))`. */

@@ -73,6 +73,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(viaScale == viaWindow)
   }
 
+  test("distributed global running sum == single-partition window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(5000).select(
+      (col("id") % 97).as("v"), col("id"), (col("id") % 7 + 1).as("n"))
+    val w = Window.orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viaWindow = df.withColumn("cum", sum(col("n")).over(w))
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toMap
+    val viaScale = Scale.withGlobalRunningSum(
+        df, Seq(col("v"), col("id")), col("n"), "cum", partitions = 7)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toMap
+    assert(viaScale == viaWindow)
+  }
+
   test("distributed global ntile == window NTILE for uneven and tiny inputs") {
     import org.apache.spark.sql.expressions.Window
     for ((rows, k) <- Seq((5003, 4), (10, 3), (2, 5))) {
