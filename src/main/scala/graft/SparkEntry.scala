@@ -33,6 +33,7 @@ object SparkEntry {
       warehouse.ScaleQueries.queries ++
       cdc.CdcQueries.queries ++
       text.TextQueries.queries ++
+      text.CorpusQueries.queries ++
       text.SamplingQueries.queries ++
       ann.AnnQueries.queries ++
       multimodal.MultimodalQueries.queries
@@ -53,6 +54,7 @@ object SparkEntry {
       warehouse.ScaleQueries.oracleSql ++
       cdc.CdcQueries.oracleSql ++
       text.TextQueries.oracleSql ++
+      text.CorpusQueries.oracleSql ++
       text.SamplingQueries.oracleSql ++
       ann.AnnQueries.oracleSql ++
       multimodal.MultimodalQueries.oracleSql

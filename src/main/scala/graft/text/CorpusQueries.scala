@@ -1,0 +1,213 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.util.Tables
+
+/** Corpus-hygiene operators for training-data pipelines: benchmark
+  * decontamination, PII scrubbing, within-document repetition scoring,
+  * and vocabulary statistics. The reference stages raw business text
+  * into a warehouse (README.md:3); a training-data warehouse needs
+  * these same hygiene passes before the corpus is consumable.
+  *
+  * All column logic is codegen'd built-ins (split/regexp/window) — no
+  * UDFs — and every pipeline is one shuffle on a blocking key, never
+  * all-pairs, so each survives a 100 TB corpus unchanged.
+  */
+object CorpusQueries {
+
+  // q77 configuration — shared by the Spark query and the SQL generator
+  // (the q57 shared-constant pattern). Production decontamination runs
+  // 13-gram windows (GPT-3 appendix C); this corpus is ~50-word synthetic
+  // docs, so 3-grams keep the overlap distribution informative while the
+  // threshold still separates real leakage from incidental collisions.
+  private[text] val ContamN = 3
+  private[text] val ContamThreshold = 5
+  private[text] val EvalSource = "src0"
+
+  /** Benchmark-decontamination ledger: for every train document, the
+    * number of its distinct n-gram shingles that appear anywhere in the
+    * eval slice, and a contamination flag at `threshold`.
+    *
+    * Scale shape: distinct eval shingles are one small-side relation (an
+    * eval suite is KBs–MBs against a 100 TB corpus), so the semi join
+    * broadcasts; if the eval side ever grows, the join degrades to one
+    * shuffle on the shingle key — never a cross product. The train side
+    * is one shingle explode + distinct + groupBy(id), all riding the
+    * same id partitioning as [[Dedup.shingleRows]]'s window.
+    */
+  def contaminationLedger(docs: DataFrame, id: Column, text: Column,
+      isEval: Column, n: Int = ContamN,
+      threshold: Int = ContamThreshold): DataFrame = {
+    val tagged = docs.select(id.as("id"), text.as("text"), isEval.as("is_eval"))
+    val evalSh = Dedup.shingleRows(tagged.filter(col("is_eval")), col("id"),
+        col("text"), n)
+      .select(col("sh")).distinct()
+    val trainSh = Dedup.shingleRows(tagged.filter(!col("is_eval")), col("id"),
+        col("text"), n)
+      .distinct()
+    val hits = trainSh.join(evalSh, Seq("sh"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    tagged.filter(!col("is_eval")).select(col("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_shared_ngrams"),
+        (coalesce(col("n_hits"), lit(0L)) >= threshold).as("is_contaminated"))
+  }
+
+  // PII patterns constrained to the RE2 ∩ java.util.regex common subset
+  // (no lookaround, no backrefs) so the DuckDB oracle replays them
+  // verbatim. The phone pattern anchors on '+' to avoid swallowing
+  // arbitrary digit runs (dates, ids) — production scrubbers run a
+  // pattern battery; the plumbing (count on the raw text, sequential
+  // replace) is what this operator pins down.
+  private[text] val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[text] val PhonePattern = "\\+[0-9][0-9-]{6,}"
+
+  /** Redacted text: emails first (so their digits can't half-match the
+    * phone pattern), then phone numbers. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long")
+
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("long")
+
+  /** Per-document repetition score: total vs distinct trigram counts and
+    * the duplicated-trigram ratio (1 − distinct/total) — the cheap
+    * single-pass signal for degenerate/boilerplate text (repeated
+    * n-grams are the canonical low-quality marker). Documents shorter
+    * than the shingle width score 0. One shuffle on the doc id. */
+  def repetitionScores(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3): DataFrame = {
+    val sh = Dedup.shingleRows(docs.select(id.as("id"), text.as("text")),
+      col("id"), col("text"), n)
+    val counts = sh.groupBy(col("id")).agg(
+      count(lit(1)).as("n_total"),
+      countDistinct(col("sh")).as("n_distinct"))
+    val tot = coalesce(col("n_total"), lit(0L))
+    val dst = coalesce(col("n_distinct"), lit(0L))
+    docs.select(id.as("id"))
+      .join(counts, Seq("id"), "left")
+      .select(col("id"), tot.as("n_trigrams"), dst.as("n_distinct_trigrams"),
+        when(tot > lit(0L), (tot - dst).cast("double") / tot.cast("double"))
+          .otherwise(lit(0.0)).as("dup_trigram_ratio"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- decontamination: eval slice = one source, train = the rest.
+    "q77_decontaminate" -> { (s, d) =>
+      contaminationLedger(Tables.documents(s, d), col("doc_id"), col("text"),
+          col("source") === EvalSource)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // -- PII scrub: the synthetic corpus carries no PII, so the query
+    //    plants a deterministic doc_id-derived email + phone per row
+    //    (both engines build the identical string), then counts and
+    //    redacts — the scrub genuinely fires on every row.
+    "q78_pii_scrub" -> { (s, d) =>
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-010-"), col("doc_id").cast("string"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          scrubPii(aug).as("scrubbed"),
+          emailCount(aug).as("n_emails"),
+          phoneCount(aug).as("n_phones"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -- repetition / boilerplate scoring.
+    "q79_repetition" -> { (s, d) =>
+      repetitionScores(Tables.documents(s, d), col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // -- vocabulary statistics: corpus-wide top bigrams (the counting
+    //    pass a tokenizer-training / vocab-extension job runs; one
+    //    map-side-combined groupBy + TakeOrderedAndProject, no global
+    //    sort).
+    "q83_vocab_bigrams" -> { (s, d) =>
+      Dedup.shingleRows(Tables.documents(s, d), col("doc_id"), col("text"), 2)
+        .groupBy(col("sh")).agg(count(lit(1)).as("n"))
+        .select(col("sh").as("bigram"), col("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q77_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, UNNEST(LIST_DISTINCT([
+         |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |      FOR i IN RANGE(1, GREATEST(LEN(toks) - 1, 1))])) AS sh
+         |  FROM (SELECT doc_id, source,
+         |      STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks
+         |    FROM documents)),
+         |ev AS (SELECT DISTINCT sh FROM sh WHERE source = '$EvalSource'),
+         |hits AS (
+         |  SELECT t.doc_id, COUNT(*) AS n
+         |  FROM sh t JOIN ev ON t.sh = ev.sh
+         |  WHERE t.source <> '$EvalSource' GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_ngrams,
+         |  COALESCE(h.n, 0) >= $ContamThreshold AS is_contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |WHERE d.source <> '$EvalSource'
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q78_pii_scrub" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com or +1-555-010-' || CAST(doc_id AS VARCHAR) AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  REGEXP_REPLACE(REGEXP_REPLACE(t, '$EmailPattern', '<EMAIL>', 'g'),
+         |    '$PhonePattern', '<PHONE>', 'g') AS scrubbed,
+         |  CAST(LEN(REGEXP_EXTRACT_ALL(t, '$EmailPattern')) AS BIGINT) AS n_emails,
+         |  CAST(LEN(REGEXP_EXTRACT_ALL(t, '$PhonePattern')) AS BIGINT) AS n_phones
+         |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "q79_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    GREATEST(LEN(toks) - 2, 0) AS n_total,
+        |    CASE WHEN LEN(toks) >= 3 THEN LEN(LIST_DISTINCT([
+        |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |        FOR i IN RANGE(1, LEN(toks) - 1)]))
+        |      ELSE 0 END AS n_distinct
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(n_total AS BIGINT) AS n_trigrams,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct_trigrams,
+        |  CASE WHEN n_total > 0
+        |    THEN CAST(n_total - n_distinct AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |    ELSE 0.0 END AS dup_trigram_ratio
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q83_vocab_bigrams" ->
+      """WITH t AS (
+        |  SELECT STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT UNNEST([toks[i] || ' ' || toks[i+1]
+        |    FOR i IN RANGE(1, GREATEST(LEN(toks), 1))]) AS bigram
+        |  FROM t)
+        |SELECT bigram, COUNT(*) AS n FROM bg
+        |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+  )
+}

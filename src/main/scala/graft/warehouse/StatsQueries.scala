@@ -92,6 +92,37 @@ object StatsQueries {
           |FROM nation_la GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     },
 
+    // -- §2.4: correlation / stddev via EXACT integer moments. Spark's
+    //    corr/stddev_samp stream doubles whose partial sums depend on
+    //    partition boundaries — not bit-reproducible across engines or
+    //    even cluster layouts. Instead: one map-side-combinable pass
+    //    accumulates the six exact BIGINT moments (n, Σx, Σy, Σx², Σy²,
+    //    Σxy) on cents/whole-dollar integers, and the statistics are a
+    //    final deterministic double expression over them — both engines
+    //    (and any cluster size) produce the identical bit pattern.
+    //    Overflow headroom: y ≤ ~1.1e5 dollars → Σy² wraps only past
+    //    ~7e8 rows per group (≈ sf200 lineitem).
+    "q82_stats_moments" -> { (s, d) =>
+      val x = cents(col("l_quantity"))
+      val y = floor(col("l_extendedprice")).cast("long")
+      def D(c: String) = col(c).cast("double")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), x.as("x"), y.as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+          ((D("n") * D("sxy") - D("sx") * D("sy")) /
+            (sqrt(D("n") * D("sxx") - D("sx") * D("sx")) *
+              sqrt(D("n") * D("syy") - D("sy") * D("sy")))).as("corr_qty_price"),
+          sqrt((D("n") * D("sxx") - D("sx") * D("sx")) /
+            (D("n") * (D("n") - lit(1.0)))).as("stddev_qty_cents"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // -- gap filling over a generated date spine: days in 1995-01 with no
     //    orders still get a zero row (sequence+explode = the Spark form of
     //    a calendar dimension; at scale the spine is generated, never
@@ -151,6 +182,25 @@ object StatsQueries {
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_cents
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q82_stats_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM (SELECT l_returnflag,
+        |      CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |      CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+        |    FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, sx, sy,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price,
+        |  SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty_cents
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "q61_percentile" ->
       """SELECT l_returnflag,

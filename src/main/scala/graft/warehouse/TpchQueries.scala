@@ -38,6 +38,43 @@ object TpchQueries {
         .limit(20)
     },
 
+    // -- Q4 shape: correlated EXISTS. Exercises Catalyst's subquery
+    //    decorrelation (RewritePredicateSubquery → LeftSemi with the
+    //    non-equi shipdate predicate riding the join) — the physical
+    //    plan is one shuffle on the order key, never a per-row probe.
+    "q80_exists_subquery" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_q80")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q80")
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS order_count
+          |FROM orders_q80
+          |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          |  AND o_orderdate < TIMESTAMP '1995-04-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem_q80
+          |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // -- Q10 shape: returned-item revenue per customer, top 20. Fact-fact
+    //    join shuffles once on the order key; nation broadcasts; the
+    //    limit is a TakeOrderedAndProject, not a global sort.
+    "q81_tpch_q10" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val n = Tables.nation(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(revenueE4(li).as("revenue_e4"),
+          max(Exact.cents(col("c_acctbal"))).as("acctbal_cents"))
+        .orderBy(col("revenue_e4").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // -- Q5 shape: revenue by nation through the full dim chain.
     "q56_tpch_q5" -> { (s, d) =>
       val c = Tables.customer(s, d)
@@ -70,6 +107,30 @@ object TpchQueries {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue_e4 DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q80_exists_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q81_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS revenue_e4,
+        |  MAX(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS acctbal_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q56_tpch_q5" ->
       """SELECT r_name, n_name,

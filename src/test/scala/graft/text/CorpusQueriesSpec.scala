@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CorpusQueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- decontamination -----------------------------------------------
+
+  private val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+  private def contamDocs = Seq(
+    (1L, evalText, true), // the eval doc
+    // full copy of the eval doc leaked into train: 6 shared trigrams
+    (2L, evalText, false),
+    // partial overlap: shares exactly the 3 trigrams of the first 5 words
+    (3L, "alpha beta gamma delta epsilon omega psi chi phi", false),
+    // disjoint
+    (4L, "one two three four five six seven eight nine ten", false)
+  ).toDF("doc_id", "text", "is_eval")
+
+  test("contamination ledger: counts shared distinct n-grams, flags at threshold") {
+    val led = CorpusQueries.contaminationLedger(
+        contamDocs, col("doc_id"), col("text"), col("is_eval"),
+        n = 3, threshold = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(led.keySet == Set(2L, 3L, 4L)) // eval docs excluded from the ledger
+    assert(led(2L) == ((6L, true)))       // 8 tokens -> 6 trigrams, all shared
+    assert(led(3L) == ((3L, false)))      // below threshold
+    assert(led(4L) == ((0L, false)))
+  }
+
+  test("contamination ledger: duplicate shingles within one doc count once") {
+    val docs = Seq(
+      (1L, "a b c x y z", true),
+      (2L, "a b c q a b c q a b c", false) // 'a b c' appears 3 times
+    ).toDF("doc_id", "text", "is_eval")
+    val led = CorpusQueries.contaminationLedger(
+        docs, col("doc_id"), col("text"), col("is_eval"), n = 3, threshold = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(led(2L) == 1L) // distinct overlap, not occurrence count
+  }
+
+  // --- PII scrub ------------------------------------------------------
+
+  test("pii scrub: emails and phones redacted, counts match") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+spam@mail-host.org or +1-555-010-7788 today"),
+      (2L, "no pii here at all"),
+      (3L, "two mails: a@b.co and c.d@e-f.io; short plus +12 stays")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        CorpusQueries.scrubPii(col("text")).as("s"),
+        CorpusQueries.emailCount(col("text")).as("ne"),
+        CorpusQueries.phoneCount(col("text")).as("np"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("reach me at <EMAIL> or <PHONE> today", 1L, 1L)))
+    assert(out(2L) == (("no pii here at all", 0L, 0L)))
+    // '+12' is too short for the phone pattern; both emails redacted
+    assert(out(3L) == (("two mails: <EMAIL> and <EMAIL>; short plus +12 stays", 2L, 0L)))
+  }
+
+  // --- repetition -----------------------------------------------------
+
+  test("repetition: duplicated trigrams raise the ratio; short docs score 0") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"),   // 7 trigrams, 3 distinct
+      (2L, "p q r s t u v w"),     // 6 trigrams, all distinct
+      (3L, "just two")             // below shingle width
+    ).toDF("doc_id", "text")
+    val out = CorpusQueries.repetitionScores(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((7L, 3L, 4.0 / 7.0)))
+    assert(out(2L) == ((6L, 6L, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0.0)))
+  }
+
+  // --- exact-moment statistics (q82's formula) ------------------------
+
+  test("exact-moment corr matches a direct computation") {
+    // y = 2x + noise-free affine => corr exactly 1.0 from exact moments
+    val df = (1 to 100).map(i => (i.toLong, 2L * i + 5)).toDF("x", "y")
+    val m = df.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy")).head()
+    val Seq(n, sx, sy, sxx, syy, sxy) = (0 until 6).map(m.getLong(_).toDouble)
+    val corr = (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(math.abs(corr - 1.0) < 1e-12)
+    // sample stddev of 1..100 is sqrt(sum((i-mean)^2)/99) = sqrt(841.666..)
+    val sd = math.sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
+    assert(math.abs(sd - 29.011491975882016) < 1e-9)
+  }
+}
