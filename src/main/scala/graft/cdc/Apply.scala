@@ -239,7 +239,8 @@ object Apply {
           val live = newGens.toSeq.map { case (b, g) => (g, b) }.toSet
           val prevRetired = meta.map(_.retired).getOrElse(Map.empty)
           val (keep, drop) = splitRetired(root, live, prevRetired, gcGraceMs, hc)
-          writeManifest(root, nBuckets, newGens, keep, hc)
+          val commitId = meta.map(_.commitId).getOrElse(0L) + 1
+          writeManifest(root, nBuckets, newGens, keep, commitId, hc, archive = true)
           gcDirs(root, drop, hc)
         }
         ()
@@ -257,7 +258,8 @@ object Apply {
     readMeta(root, hc).foreach { m =>
       val live = m.buckets.toSeq.map { case (b, g) => (g, b) }.toSet
       val (keep, drop) = splitRetired(root, live, m.retired, graceMs, hc)
-      writeManifest(root, m.nBuckets, m.buckets, keep, hc)
+      // same commit id: a vacuum changes the retired ledger, not the table
+      writeManifest(root, m.nBuckets, m.buckets, keep, m.commitId, hc, archive = false)
       gcDirs(root, drop, hc)
     }
   }
@@ -277,7 +279,8 @@ object Apply {
       layout: String,
       nBuckets: Int,
       buckets: Map[Int, Long],           // bucket -> live generation
-      retired: Map[(Long, Int), Long])   // (gen, bucket) -> retired-at ms
+      retired: Map[(Long, Int), Long],   // (gen, bucket) -> retired-at ms
+      commitId: Long = 0L)               // monotonic snapshot id
 
   /** Parse the manifest with a real JSON reader, scoped to the fields it
     * owns — the previous bare regex over the whole file would have
@@ -314,7 +317,12 @@ object Apply {
       case JNothing => Map.empty[(Long, Int), Long] // pre-round-6 manifest
       case _ => fail("retired is not an array")
     }
-    TableMeta(layout, n, buckets, retired)
+    val commit = j \ "commit" match {
+      case JInt(i) => i.toLong
+      case JNothing => 0L // pre-time-travel manifest
+      case _ => fail("commit is not an integer")
+    }
+    TableMeta(layout, n, buckets, retired, commit)
   }
 
   private def readMeta(root: HPath, hc: HConf): Option[TableMeta] = {
@@ -377,18 +385,71 @@ object Apply {
   /** Publish a new manifest: temp file + overwrite-rename through
     * `FileContext`. Atomic on POSIX; the object-store translation is a
     * single PUT of one small file — the point of the manifest design is
-    * that this is the ONLY mutation the commit needs. */
+    * that this is the ONLY mutation the commit needs.
+    *
+    * TIME TRAVEL (round-6): when `archive` is set (a merge commit — not a
+    * vacuum, which changes only the retired ledger), the same manifest
+    * body is ALSO written to the immutable `_graft_history/commit-N.json`
+    * BEFORE the current-manifest flip. Crash between the two leaves a
+    * history entry that never became current; the checkpoint replay
+    * re-merges under the SAME commit id (the current manifest still holds
+    * N−1) and overwrites it — history only ever describes committed
+    * states. History files are a few hundred bytes per commit and are
+    * never GC'd; a snapshot stays READABLE only while its generation
+    * dirs survive the retirement grace window (Delta/Iceberg retention
+    * semantics — [[readMergeTableAt]] fails loudly afterwards). */
   private def writeManifest(
       root: HPath, nBuckets: Int, gens: Map[Int, Long],
-      retired: Map[(Long, Int), Long], hc: HConf): Unit = {
+      retired: Map[(Long, Int), Long], commitId: Long, hc: HConf,
+      archive: Boolean): Unit = {
     val body = gens.toSeq.sorted
       .map { case (b, g) => s""""$b": $g""" }.mkString("{", ", ", "}")
     val ret = retired.toSeq.sortBy(_._1)
       .map { case ((g, b), at) => s"""{"gen": $g, "bucket": $b, "at": $at}""" }
       .mkString("[", ", ", "]")
     val json = s"""{"layout": "$LayoutV2", "nBuckets": $nBuckets, """ +
-      s""""buckets": $body, "retired": $ret}"""
+      s""""commit": $commitId, "buckets": $body, "retired": $ret}"""
+    if (archive)
+      graft.util.Hfs.writeStringAtomic(historyPath(root, commitId), json, hc)
     graft.util.Hfs.writeStringAtomic(new HPath(root, MetaName), json, hc)
+  }
+
+  private val HistoryDirName = "_graft_history"
+  private val HistoryRe = "commit-([0-9]+)\\.json".r
+
+  private def historyPath(root: HPath, commit: Long): HPath =
+    new HPath(root, s"$HistoryDirName/commit-$commit.json")
+
+  /** Committed snapshot ids available for time travel, ascending. */
+  def commits(spark: SparkSession, tableDir: String): Seq[Long] =
+    graft.util.Hfs.list(
+        new HPath(new HPath(tableDir), HistoryDirName), graft.util.Hfs.conf(spark))
+      .toSeq.map(_.getPath.getName)
+      .collect { case HistoryRe(id) => id.toLong }.sorted
+
+  /** Read the table AS OF a committed snapshot id (ascending per merge
+    * commit; see [[commits]]). Resolves through the archived manifest,
+    * exactly like [[readMergeTable]] resolves through the current one.
+    * Readable only while the snapshot's generation dirs survive — after
+    * the retirement grace window (or an explicit [[vacuum]]) superseded
+    * generations are deleted and this fails loudly, the same retention
+    * trade every manifest-pointer table format makes. */
+  def readMergeTableAt(spark: SparkSession, tableDir: String, commit: Long): DataFrame = {
+    val hc = graft.util.Hfs.conf(spark)
+    val root = new HPath(tableDir)
+    val hp = historyPath(root, commit)
+    require(graft.util.Hfs.exists(hp, hc),
+      s"$tableDir has no committed snapshot $commit " +
+        s"(available: ${commits(spark, tableDir).mkString(", ")})")
+    val m = parseMeta(graft.util.Hfs.readString(hp, hc))
+    val dirs = m.buckets.toSeq.sortBy(_._1)
+      .map { case (b, g) => new HPath(root, s"gen=$g/_bucket=$b") }
+    require(dirs.nonEmpty, s"snapshot $commit of $tableDir has no buckets")
+    val gone = dirs.filterNot(d => graft.util.Hfs.exists(d, hc))
+    require(gone.isEmpty,
+      s"snapshot $commit of $tableDir is no longer readable: ${gone.head} " +
+        "was garbage-collected (raise gcGraceMs / delay vacuum to retain history)")
+    spark.read.parquet(dirs.map(_.toString): _*)
   }
 
   /** Current data directory of each committed bucket (manifest-resolved). */

@@ -187,6 +187,43 @@ class CaptureApplySpec extends AnyFunSuite {
     assert(ids == Set("y")) // delete outranks modify on a version tie
   }
 
+  test("time travel: snapshots read past states; GC'd snapshots fail loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("merge-tt") + "/t"
+    val ms = MemoryStream[Env]
+    val q = Apply.startMerge(ms.toDF(), table, tmp("ck-tt"), "id", "ts", afterSchema,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    ms.addData(env("INSERT", "a", 1.0).copy(ts = ts(100)))
+    q.processAllAvailable()
+    ms.addData(env("MODIFY", "a", 2.0).copy(ts = ts(200)),
+      env("INSERT", "b", 3.0).copy(ts = ts(200)))
+    q.processAllAvailable()
+    q.stop()
+    def state(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      df.collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("price")).toMap
+    assert(Apply.commits(spark, table) == Seq(1L, 2L))
+    assert(state(Apply.readMergeTableAt(spark, table, 1)) == Map("a" -> 1.0))
+    assert(state(Apply.readMergeTableAt(spark, table, 2)) ==
+      Map("a" -> 2.0, "b" -> 3.0))
+    // the latest snapshot and the current read are the same table
+    assert(state(Apply.readMergeTableAt(spark, table, 2)) ==
+      state(Apply.readMergeTable(spark, table)))
+    // a snapshot whose generations were reclaimed fails loudly, with the
+    // still-live snapshots unaffected (retention semantics)
+    Apply.vacuum(spark, table, graceMs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      Apply.readMergeTableAt(spark, table, 1)
+    }
+    assert(e.getMessage.contains("garbage-collected"))
+    assert(state(Apply.readMergeTableAt(spark, table, 2)) ==
+      Map("a" -> 2.0, "b" -> 3.0))
+    // an unknown snapshot id lists what exists
+    val e2 = intercept[IllegalArgumentException] {
+      Apply.readMergeTableAt(spark, table, 99)
+    }
+    assert(e2.getMessage.contains("no committed snapshot"))
+  }
+
   test("S7: Kafka-wire shape projects into the envelope") {
     import spark.implicits._
     val payload = """{"op": "INSERT", "after": {"id": "k1", "ticker": "tt", "price": 5.5}}"""
