@@ -192,6 +192,26 @@ object StreamOps {
         OutputMode.Append())
   }
 
+  /** Dedup-at-ingest: drop repeat deliveries of the same key as the
+    * stream lands — the streaming face of the exact-dedup ledger, and
+    * the at-source fix for the duplicate accumulation the reference
+    * documents on its MODIFY path (README.md:30: every MODIFY event
+    * appends another copy into Redshift).
+    *
+    * `dropDuplicatesWithinWatermark` keys the state store on the id
+    * columns and EXPIRES entries once the watermark passes — bounded
+    * state, so it runs forever at 100 TB/day ingest rates, versus plain
+    * `dropDuplicates` on a stream whose state grows without bound. The
+    * contract is deliberately the weaker one a bounded dedup can honor:
+    * duplicates arriving within the watermark delay of each other are
+    * suppressed; a duplicate arriving later than the delay is treated as
+    * new (at that point the upstream retention, not the dedup, is wrong). */
+  def dedupWithinWatermark(
+      events: DataFrame, idCols: Seq[String], tsCol: String = "ts",
+      delay: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** J8: stream-stream join — purchases correlated with the same user's
     * clicks in the preceding hour. Watermarks bound both join-state sides. */
   def purchaseClickJoin(events: DataFrame, delay: String = "10 minutes"): DataFrame = {

@@ -75,6 +75,29 @@ object TpchQueries {
         .limit(20)
     },
 
+    // -- Q17 shape: small-quantity-order revenue — the correlated
+    //    AGGREGATE subquery face (`l_quantity < 0.2 * avg per part`).
+    //    Expressed as its decorrelated form: one per-part aggregate
+    //    joined back to the fact (what Catalyst's subquery decorrelation
+    //    produces anyway), with the threshold comparison rewritten in
+    //    EXACT integers — `q < 0.2 * (sum/n)` ⟺ `5·q_cents·n <
+    //    sum_cents` — so no engine-dependent double average can flip a
+    //    borderline row. Both fact passes shuffle on the same part key.
+    "q85_tpch_q17" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).filter(col("p_brand") === "Brand#11")
+        .select(col("p_partkey"))
+      val perPart = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg(sum(Exact.cents(col("l_quantity"))).as("sum_qty_cents"),
+          count(lit(1)).as("n_qty"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(perPart, li("l_partkey") === col("ap_partkey"))
+        .filter(Exact.cents(col("l_quantity")) * col("n_qty") * lit(5L) <
+          col("sum_qty_cents"))
+        .agg(sum(Exact.cents(col("l_extendedprice"))).as("small_order_revenue_cents"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // -- Q5 shape: revenue by nation through the full dim chain.
     "q56_tpch_q5" -> { (s, d) =>
       val c = Tables.customer(s, d)
@@ -131,6 +154,21 @@ object TpchQueries {
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // The oracle keeps the CORRELATED subquery spelling (the surface under
+    // test); the integer rewrite makes it value-identical to the Spark
+    // decorrelated form.
+    "q85_tpch_q17" ->
+      """SELECT
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS small_order_revenue_cents,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#11'
+        |  AND CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey) * 5 <
+        |      (SELECT CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |       FROM lineitem l3 WHERE l3.l_partkey = p_partkey)""".stripMargin,
 
     "q56_tpch_q5" ->
       """SELECT r_name, n_name,

@@ -46,6 +46,31 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(!rows.exists { case (_, n, v) => v == 102.0 })
   }
 
+  test("dedup-at-ingest: repeat deliveries within the watermark suppressed, state expires") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val dd = StreamOps.dedupWithinWatermark(
+      ms.toDF(), idCols = Seq("user_id", "event_type"), delay = "10 minutes")
+    val q = dd.writeStream.format("memory").queryName("dedup_ingest")
+      .outputMode("append").start()
+    // first delivery + an immediate duplicate (same key, same batch)
+    ms.addData(Evt(1, t(0), "click", 1.0), Evt(1, t(1), "click", 99.0))
+    q.processAllAvailable()
+    // duplicate in a LATER batch, still within the 10-min delay
+    ms.addData(Evt(1, t(5), "click", 98.0))
+    q.processAllAvailable()
+    // advance the watermark far past the key's expiry, then redeliver:
+    // the state entry is gone, so the redelivery is treated as new
+    ms.addData(Evt(2, t(60), "view", 2.0))
+    q.processAllAvailable()
+    ms.addData(Evt(1, t(61), "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val vals = spark.table("dedup_ingest").collect()
+      .filter(_.getAs[Long]("user_id") == 1L).map(_.getAs[Double]("value")).toSet
+    assert(vals == Set(1.0, 3.0)) // 99.0 and 98.0 suppressed; 3.0 survived expiry
+  }
+
   test("T10: built-in session window groups by gap") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Evt]
