@@ -76,6 +76,25 @@ object CdcQueries {
         .agg(count(lit(1)).as("n_changes"),
           sum(cents(col("value"))).as("total_value_cents"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    // -- SCD Type-2 dimension history: the change feed compacted to one
+    //    row per (user, event_type) run with half-open validity interval
+    //    and version — the Kimball dimension-history shape the reference's
+    //    append-only landing never materializes. One shuffle on user_id;
+    //    both windows ride it.
+    //    Validity bounds go out as BIGINT epoch-µs: timestamp columns are
+    //    on the driver-hash risk list (ns-vs-µs repr drift), primitives
+    //    are not.
+    "q86_scd2" -> { (s, d) =>
+      Scd.type2(Tables.events(s, d), col("user_id"), col("event_type"),
+          col("ts"), col("event_id"))
+        .select(col("key").as("user_id"), col("state"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("version").cast("long").as("version"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("version"))
     }
   )
 
@@ -119,6 +138,28 @@ object CdcQueries {
         |  FROM events) e
         |JOIN customer ON e.user_id = c_custkey
         |WHERE op IN ('INSERT', 'MODIFY')
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // Run starts via LAG + row-number-1; interval stitching + version via
+    // LEAD/ROW_NUMBER over the surviving run starts. (ts, event_id) makes
+    // the ordering total, so the closure is deterministic.
+    "q86_scd2" ->
+      """WITH chg AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    LAG(event_type) OVER w AS prev,
+        |    ROW_NUMBER() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |starts AS (
+        |  SELECT user_id, event_type, ts, event_id FROM chg
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type AS state,
+        |  EPOCH_US(ts) AS valid_from_us,
+        |  EPOCH_US(LEAD(ts) OVER w) AS valid_to_us,
+        |  ROW_NUMBER() OVER w AS version,
+        |  LEAD(ts) OVER w IS NULL AS is_current
+        |FROM starts
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin
   )
 }

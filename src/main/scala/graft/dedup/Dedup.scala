@@ -150,6 +150,71 @@ object Dedup {
         concat_ws(" ", col("tok") +: (1 until n).map(j => col(s"t$j")): _*).as("sh"): _*)
   }
 
+  /** [[shingleRows]] variant that keeps each shingle's 0-based start
+    * position: (id, pos, sh). Same generator + window-lead construction
+    * (fully codegen'd, no HOFs); the window's id-partitioning is reused by
+    * any downstream per-document window. */
+  def shingleRowsPos(docs: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    val toks = docs.select(id.as("id"),
+      posexplode(graft.text.TextFunctions.tokens(text)).as(Seq("pos", "tok")))
+    if (n == 1)
+      return toks.select(col("id"), col("pos"), col("tok").as("sh"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    toks
+      .select(Seq(col("id"), col("pos"), col("tok")) ++
+        (1 until n).map(j => lead(col("tok"), j).over(w).as(s"t$j")): _*)
+      .filter((1 until n).map(j => col(s"t$j").isNotNull).reduce(_ && _))
+      .select(col("id"), col("pos"),
+        concat_ws(" ", col("tok") +: (1 until n).map(j => col(s"t$j")): _*).as("sh"))
+  }
+
+  /** Substring-level dedup (the Lee et al. 2022 "Deduplicating Training
+    * Data" face): find every MAXIMAL token span of a document whose every
+    * length-`n` window also occurs in some OTHER document. Whole-document
+    * dedup misses boilerplate headers/footers and quoted passages pasted
+    * into otherwise-unique documents; span-level detection is what a
+    * production corpus cleaner cuts with.
+    *
+    * Pipeline: positioned n-gram windows → cross-document-repeated window
+    * keys (min(id) < max(id) on one map-side-combinable groupBy — the
+    * exact "appears in ≥2 docs" test without a countDistinct) → semi join
+    * positions back onto the repeated keys (reuses the groupBy's exchange)
+    * → merge consecutive hit positions per document into maximal spans
+    * with the classic gaps-and-islands `pos − row_number()` grouping.
+    *
+    * Output: (id, span_start, span_end, span_tokens) — 0-based inclusive
+    * token indices, span_tokens = covered token count.
+    *
+    * Scale: one shuffle on the window key + one on the doc id; never
+    * all-pairs. `hashKeys=true` (production default) joins on xxhash64 of
+    * the window instead of the string — at 100 TB the shuffled key drops
+    * from ~`n` words to 8 bytes, at the cost of a vanishing (2^-64-ish)
+    * false-merge probability; oracle-parity callers pass false so SQL can
+    * replay the key. */
+  def repeatedSpans(docs: DataFrame, id: Column, text: Column, n: Int = 8,
+      hashKeys: Boolean = true): DataFrame = {
+    val sh0 = shingleRowsPos(docs, id, text, n)
+    val sh = if (hashKeys) sh0.select(col("id"), col("pos"), xxhash64(col("sh")).as("sh"))
+             else sh0
+    val crossDoc = sh.groupBy(col("sh"))
+      .agg(min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .filter(col("min_id") < col("max_id"))
+      .select(col("sh"))
+    val hits = sh.join(crossDoc, Seq("sh"), "left_semi")
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    hits
+      .select(col("id"), col("pos"),
+        (col("pos") - row_number().over(w)).as("grp"))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n - 1)).as("span_end"))
+      .select(col("id"), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"))
+  }
+
   /** MinHash signatures computed the scale-friendly way: shingle rows,
     * hash once per shingle, then one codegen'd grouped aggregation with k
     * `min` columns (map-side combine). The array-HOF formulation

@@ -66,6 +66,12 @@ object CorpusQueries {
   private[text] val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private[text] val PhonePattern = "\\+[0-9][0-9-]{6,}"
 
+  // q87 window width — shared by the Spark query and the SQL generator.
+  // Production substring dedup runs ~50-token windows (Lee et al. 2022);
+  // this corpus is ~50-word docs, so 8-token windows keep maximal spans
+  // informative (47 spans at sf0.01, all true duplicated passages).
+  private[text] val SpanN = 8
+
   /** Redacted text: emails first (so their digits can't half-match the
     * phone pattern), then phone numbers. */
   def scrubPii(text: Column): Column =
@@ -130,6 +136,19 @@ object CorpusQueries {
       repetitionScores(Tables.documents(s, d), col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    },
+
+    // -- substring-level dedup (Lee et al. 2022): maximal cross-document
+    //    repeated token spans — the passage/boilerplate detection whole-
+    //    document dedup (q40/q45) cannot see. Oracle-parity config keeps
+    //    the raw window string as the join key (hashKeys=false) so DuckDB
+    //    replays it; production callers keep the default xxhash64 key,
+    //    which shrinks the shuffled key to 8 bytes.
+    "q87_repeated_spans" -> { (s, d) =>
+      Dedup.repeatedSpans(Tables.documents(s, d), col("doc_id"), col("text"),
+          n = SpanN, hashKeys = false)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("span_start"))
     },
 
     // -- vocabulary statistics: corpus-wide top bigrams (the counting
@@ -198,6 +217,29 @@ object CorpusQueries {
         |    THEN CAST(n_total - n_distinct AS DOUBLE) / CAST(n_total AS DOUBLE)
         |    ELSE 0.0 END AS dup_trigram_ratio
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Same maximal-span closure: 0-based window starts i, 1-based-inclusive
+    // DuckDB list slice toks[i+1 : i+N] = the N tokens from 0-based i;
+    // min<max per window key = "occurs in ≥2 docs"; i − ROW_NUMBER() is the
+    // gaps-and-islands group.
+    "q87_repeated_spans" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, i, ARRAY_TO_STRING(toks[i+1:i+$SpanN], ' ') AS sh
+         |  FROM t, UNNEST(RANGE(0, GREATEST(LEN(toks) - ${SpanN - 1}, 0))) r(i)),
+         |rep AS (SELECT sh FROM pos GROUP BY sh HAVING MIN(doc_id) < MAX(doc_id)),
+         |hits AS (SELECT doc_id, i FROM pos WHERE sh IN (SELECT sh FROM rep)),
+         |isl AS (
+         |  SELECT doc_id, i,
+         |    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS g
+         |  FROM hits)
+         |SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+         |  CAST(MAX(i) + ${SpanN - 1} AS BIGINT) AS span_end,
+         |  CAST(MAX(i) - MIN(i) + $SpanN AS BIGINT) AS span_tokens
+         |FROM isl GROUP BY doc_id, g
+         |ORDER BY doc_id, span_start""".stripMargin,
 
     "q83_vocab_bigrams" ->
       """WITH t AS (

@@ -98,6 +98,56 @@ object TpchQueries {
           count(lit(1)).as("n_lines"))
     },
 
+    // -- Q18 shape: large-volume customers — HAVING-filtered aggregate as
+    //    a semi-filter on the fact. The big-orders relation is ~0.3% of
+    //    orders (473 at sf0.1): too big to assume broadcast at 100 TB, so
+    //    it joins by shuffle on the order key — the SAME key the
+    //    customer⋈orders⋈lineitem chain and the final groupBy already
+    //    shuffle on, so AQE reuses the exchange; it may still elect to
+    //    broadcast at small SF.
+    "q88_tpch_q18" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val big = li.groupBy(col("l_orderkey").as("big_orderkey"))
+        .agg(sum(Exact.cents(col("l_quantity"))).as("sum_q_cents"))
+        .filter(col("sum_q_cents") > lit(300L * 100))
+        .select(col("big_orderkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(big, o("o_orderkey") === col("big_orderkey"), "left_semi")
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"))
+        .agg(sum(Exact.cents(col("l_quantity"))).as("total_qty_cents"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("orderdate"), col("total_qty_cents"))
+        .orderBy(col("total_qty_cents").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    // -- Q22 shape: above-average-balance customers with no recent orders
+    //    — scalar aggregate subquery (1-row broadcast, q54's face) COMBINED
+    //    with an anti join, the classic "lapsed valuable customers" report.
+    //    The average test is exact integers (`cents·n > sum_cents`), so no
+    //    double average can flip a borderline customer.
+    "q89_tpch_q22" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      val avgAgg = c.filter(col("c_acctbal") > 0)
+        .agg(sum(Exact.cents(col("c_acctbal"))).as("sum_bal_cents"),
+          count(lit(1)).as("n_bal"))
+      c.crossJoin(broadcast(avgAgg))
+        .filter(Exact.cents(col("c_acctbal")) * col("n_bal") > col("sum_bal_cents"))
+        .join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(Exact.cents(col("c_acctbal"))).as("totacctbal_cents"))
+        .orderBy(col("n_name"))
+    },
+
     // -- Q5 shape: revenue by nation through the full dim chain.
     "q56_tpch_q5" -> { (s, d) =>
       val c = Tables.customer(s, d)
@@ -169,6 +219,35 @@ object TpchQueries {
         |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey) * 5 <
         |      (SELECT CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
         |       FROM lineitem l3 WHERE l3.l_partkey = p_partkey)""".stripMargin,
+
+    "q88_tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS orderdate,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS total_qty_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |         > 30000)
+        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+        |ORDER BY total_qty_cents DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q89_tpch_q22" ->
+      """SELECT n_name, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS totacctbal_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+        |    > (SELECT CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |       FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q56_tpch_q5" ->
       """SELECT r_name, n_name,

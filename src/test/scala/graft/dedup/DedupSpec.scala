@@ -209,4 +209,41 @@ class DedupSpec extends AnyFunSuite {
       maxBucketSize = 100)
     assert(pairs.count() == 0)
   }
+
+  // ---- repeated spans (substring-level dedup) ----
+
+  private def spanDocs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta unique1 unique2"),
+    (2L, "prefix alpha beta gamma delta epsilon zeta suffix"),
+    // within-doc-only repetition: "x y z" twice in the SAME doc only
+    (3L, "x y z x y z"),
+    // two disjoint shared passages in one doc
+    (4L, "alpha beta gamma filler1 filler2 delta epsilon zeta"),
+    (5L, "ab") // shorter than the window
+  ).toDF("doc_id", "text")
+
+  private def spans(hashKeys: Boolean) =
+    Dedup.repeatedSpans(spanDocs, col("doc_id"), col("text"), n = 3,
+        hashKeys = hashKeys)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("repeated spans: maximal cross-doc spans, islands merged") {
+    val got = spans(hashKeys = false)
+    // doc1 shares "alpha beta gamma" (with 2 and 4) and "delta epsilon
+    // zeta" (with 2 and 4); in doc1/doc2 the two runs are ADJACENT, so the
+    // island merge yields one maximal 6-token span.
+    assert(got.contains((1L, 0L, 5L, 6L)))
+    assert(got.contains((2L, 1L, 6L, 6L)))
+    // doc4 holds them disjointly -> two separate 3-token spans
+    assert(got.contains((4L, 0L, 2L, 3L)))
+    assert(got.contains((4L, 5L, 7L, 3L)))
+    // within-doc-only repetition (doc3) and short docs (doc5) emit nothing
+    assert(!got.exists(s => s._1 == 3L || s._1 == 5L))
+  }
+
+  test("repeated spans: hashed keys produce identical spans") {
+    assert(spans(hashKeys = true) == spans(hashKeys = false))
+  }
 }
