@@ -27,6 +27,7 @@ object SparkEntry {
       warehouse.SetAggQueries.queries ++
       warehouse.ExtrasQueries.queries ++
       warehouse.TpchQueries.queries ++
+      warehouse.TpchMoreQueries.queries ++
       warehouse.StatsQueries.queries ++
       warehouse.StatsQueries.moreQueries ++
       warehouse.SketchQueries.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
       warehouse.SetAggQueries.oracleSql ++
       warehouse.ExtrasQueries.oracleSql ++
       warehouse.TpchQueries.oracleSql ++
+      warehouse.TpchMoreQueries.oracleSql ++
       warehouse.StatsQueries.oracleSql ++
       warehouse.SketchQueries.oracleSql ++
       warehouse.ScaleQueries.oracleSql ++

@@ -1,0 +1,367 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.{Exact, Tables}
+
+/** Second TPC-H wave — the remaining classic shapes expressible on the
+  * testdata star schema (no `partsupp`, no ship/commit/receipt-date triple,
+  * so Q2/Q11/Q21 run as adapted faces that keep the PLAN shape under test
+  * and swap the missing columns for available ones; Q9/Q12/Q16/Q20 have no
+  * faithful adaptation and stay out of scope).
+  *
+  * These queries exist to pin the warehouse surface the reference's
+  * Redshift serves (README.md:3): multi-way joins with dims broadcast,
+  * correlated subqueries decorrelated by Catalyst into semi/anti joins,
+  * conditional aggregation, and disjunctive predicate pushdown. All money
+  * outputs are exact scaled BIGINTs (Exact.scala); ratios are a single
+  * IEEE division of two exact BIGINTs, identical across engines.
+  */
+object TpchMoreQueries {
+
+  private def netE4(li: DataFrame) =
+    sum(Exact.netE4(li("l_extendedprice"), li("l_discount")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- Q7 shape: volume shipping between two nations, by direction and
+    //    ship year. The disjunctive PAIR filter can't be pushed below the
+    //    joins by Catalyst (it spans both sides), but its two single-side
+    //    implications can: each nation dim is pre-filtered to the two
+    //    nations of interest, so the inner joins drop ~(1 − 2/N) of
+    //    suppliers and customers BEFORE the fact join — at 100 TB that
+    //    shrinks the lineitem⋈supplier probe by ~92% instead of carrying
+    //    every nation through the join and filtering at the end. The pair
+    //    filter then only removes the two same-nation combinations.
+    "q90_tpch_q7" -> { (s, d) =>
+      val nations = Seq("NATION_1", "NATION_2")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val o = Tables.orders(s, d)
+      val n1 = Tables.nation(s, d).filter(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).filter(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val c = Tables.customer(s, d)
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .select(col("c_custkey"), col("cust_nation"))
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(netE4(li).as("revenue_e4"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // -- Q8 shape: a nation's market share inside a region for one part
+    //    type, by order year. Two nation dims + region + filtered part all
+    //    broadcast; numerator and denominator come out of ONE conditional
+    //    aggregation pass (no second scan), and the share is one IEEE
+    //    division of two exact BIGINTs — identical in any engine.
+    "q91_tpch_q8" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"))
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val n1 = Tables.nation(s, d).select(col("n_nationkey").as("n1_key"),
+        col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).select(col("n_nationkey").as("n2_key"),
+        col("n_regionkey").as("n2_region"))
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val vol = Exact.netE4(li("l_extendedprice"), li("l_discount"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n2), c("c_nationkey") === col("n2_key"))
+        .join(broadcast(r), col("n2_region") === r("r_regionkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n1), sup("s_nationkey") === col("n1_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_11", vol).otherwise(0L))
+          .as("nation_rev_e4"),
+          sum(vol).as("total_rev_e4"))
+        .withColumn("mkt_share",
+          col("nation_rev_e4").cast("double") / col("total_rev_e4").cast("double"))
+        .orderBy(col("o_year"))
+    },
+
+    // -- Q13 shape: customer order-count distribution. The left outer join
+    //    keeps zero-order customers; both aggregations partition on their
+    //    own grouping key (custkey, then the small count domain), so the
+    //    plan is two shuffles, the second over ≤ a few hundred rows.
+    "q92_tpch_q13" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // -- Q14 shape: promo-type revenue share in one quarter. The part dim
+    //    broadcasts; promo and total revenue come from one conditional
+    //    aggregation; the percentage is a single division of exact BIGINTs.
+    "q93_tpch_q14" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+      val vol = Exact.netE4(li("l_extendedprice"), li("l_discount"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", vol).otherwise(0L))
+          .as("promo_rev_e4"),
+          sum(vol).as("total_rev_e4"))
+        .withColumn("promo_share",
+          col("promo_rev_e4").cast("double") / col("total_rev_e4").cast("double"))
+    },
+
+    // -- Q15 shape: top supplier(s) by quarter revenue — the classic
+    //    revenue-view + scalar-MAX pattern. The per-supplier aggregate is
+    //    computed ONCE and reused for both the max and the final filter
+    //    (Catalyst plans the 1-row max as a broadcast, not a second scan
+    //    of the fact).
+    "q94_tpch_q15" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      val sup = Tables.supplier(s, d)
+      val rev = li.groupBy(col("l_suppkey"))
+        .agg(netE4(li).as("total_revenue_e4"))
+      val maxRev = rev.agg(max(col("total_revenue_e4")).as("max_rev"))
+      rev.crossJoin(broadcast(maxRev))
+        .filter(col("total_revenue_e4") === col("max_rev"))
+        .join(sup, col("l_suppkey") === sup("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_e4"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // -- Q19 shape: disjunctive brand/size/quantity predicate — the OR-of-
+    //    ANDs face. Catalyst extracts the common `p_partkey` equi-key and
+    //    pushes `p_brand IN (...)` + size bounds into the part scan
+    //    (PushedFilters), leaving the per-branch conjunctions as a join
+    //    residual; quantity bounds are pure comparisons on stored doubles
+    //    (no arithmetic), so they hash identically in any engine.
+    "q95_tpch_q19" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey") && (
+        (p("p_brand") === "Brand#12" && p("p_size").between(1, 15) &&
+          li("l_quantity").between(1, 11)) ||
+        (p("p_brand") === "Brand#23" && p("p_size").between(1, 10) &&
+          li("l_quantity").between(10, 20)) ||
+        (p("p_brand") === "Brand#3" && p("p_size").between(1, 5) &&
+          li("l_quantity").between(20, 30))))
+        .agg(netE4(li).as("revenue_e4"), count(lit(1)).as("n_lines"))
+    },
+
+    // -- Q21 shape (adapted): suppliers who alone shipped late on
+    //    multi-supplier finished orders. The testdata has no commit/receipt
+    //    dates, so "late" is l_shipdate > o_orderdate + 60 days — the
+    //    DOUBLE-correlated EXISTS + NOT EXISTS plan shape (LeftSemi then
+    //    LeftAnti on the same order key, decorrelated by Catalyst) is what
+    //    this query pins, and both probes ride one shuffle key.
+    "q96_tpch_q21" -> { (s, d) =>
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q96")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q96")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q96")
+      s.sql(
+        """SELECT s_name, COUNT(*) AS numwait
+          |FROM supplier_q96
+          |JOIN lineitem_q96 l1 ON s_suppkey = l1.l_suppkey
+          |JOIN orders_q96 ON o_orderkey = l1.l_orderkey
+          |WHERE o_orderstatus = 'F'
+          |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          |  AND EXISTS (SELECT 1 FROM lineitem_q96 l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem_q96 l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name
+          |LIMIT 10""".stripMargin)
+    },
+
+    // -- Q2 shape (adapted): cheapest supplier per part — the correlated
+    //    scalar-MIN subquery face. No partsupp table, so the min is over
+    //    lineitem sale prices; the decorrelated form (per-part MIN
+    //    aggregate joined back on the part key) is exactly what Catalyst
+    //    produces from the correlated spelling, and both passes shuffle on
+    //    the same part key. Price equality is compared in exact cents.
+    "q97_tpch_q2" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).filter(col("p_size") === 10)
+        .select(col("p_partkey"), col("p_brand"))
+      val sup = Tables.supplier(s, d)
+      val minPrice = li.groupBy(col("l_partkey").as("mp_partkey"))
+        .agg(min(Exact.cents(col("l_extendedprice"))).as("min_price_cents"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(minPrice, li("l_partkey") === col("mp_partkey"))
+        .filter(Exact.cents(col("l_extendedprice")) === col("min_price_cents"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_suppkey"), col("s_name"),
+          col("min_price_cents"))
+        .distinct()
+        .orderBy(col("p_partkey"), col("s_suppkey"))
+        .limit(100)
+    },
+
+    // -- Q11 shape (adapted): parts carrying an outsized share of total
+    //    sale value — grouped aggregate HAVING against a scalar-subquery
+    //    global total (1-row broadcast). A fixed share threshold isn't
+    //    scale-free (part count grows with SF, shares shrink), so the
+    //    cut is relative to the AVERAGE part value, in exact integers:
+    //    `part_sum > 1.5 · total/n` ⟺ `part_sum·n·10 > total·15` (all
+    //    BIGINT; max part_sum ≈ 1e11 × n = 2e4 × 10 ≈ 2e16 < 2^63).
+    "q98_tpch_q11" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(netE4(li).as("value_e4"))
+      val total = perPart.agg(sum(col("value_e4")).as("total_e4"),
+        count(lit(1)).as("n_parts"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value_e4") * col("n_parts") * 10L > col("total_e4") * 15L)
+        .select(col("l_partkey"), col("value_e4"))
+        .orderBy(col("value_e4").desc, col("l_partkey"))
+    }
+  )
+
+  private val netE4Sql =
+    """CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+      |      (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q90_tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+        |  $netE4Sql AS revenue_e4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q91_tpch_q8" ->
+      """WITH flat AS (
+        |  SELECT YEAR(o_orderdate) AS o_year, n1.n_name AS supp_nation,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS vol
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  WHERE p_type = 'STANDARD' AND r_name = 'ASIA')
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_11' THEN vol ELSE 0 END) AS BIGINT)
+        |    AS nation_rev_e4,
+        |  CAST(SUM(vol) AS BIGINT) AS total_rev_e4,
+        |  CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_11' THEN vol ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(vol) AS BIGINT) AS DOUBLE) AS mkt_share
+        |FROM flat GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q92_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q93_tpch_q14" ->
+      """WITH flat AS (
+        |  SELECT p_type,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS vol
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01')
+        |SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+        |  CAST(SUM(vol) AS BIGINT) AS total_rev_e4,
+        |  CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(vol) AS BIGINT) AS DOUBLE) AS promo_share
+        |FROM flat""".stripMargin,
+
+    "q94_tpch_q15" ->
+      s"""WITH revenue AS (
+        |  SELECT l_suppkey, $netE4Sql AS total_revenue_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue_e4
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue_e4 = (SELECT MAX(total_revenue_e4) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q95_tpch_q19" ->
+      s"""SELECT $netE4Sql AS revenue_e4, COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q96_tpch_q21" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin,
+
+    "q97_tpch_q2" ->
+      """SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS min_price_cents
+        |FROM part
+        |JOIN lineitem ON l_partkey = p_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE p_size = 10
+        |  AND CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) =
+        |      (SELECT MIN(CAST(CAST(l2.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |       FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |ORDER BY p_partkey, s_suppkey LIMIT 100""".stripMargin,
+
+    "q98_tpch_q11" ->
+      s"""WITH per_part AS (
+        |  SELECT l_partkey, $netE4Sql AS value_e4
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, value_e4
+        |FROM per_part
+        |WHERE value_e4 * (SELECT COUNT(*) FROM per_part) * 10
+        |      > (SELECT CAST(SUM(value_e4) AS BIGINT) FROM per_part) * 15
+        |ORDER BY value_e4 DESC, l_partkey""".stripMargin
+  )
+}
