@@ -75,6 +75,35 @@ object AnnQueries {
           Tables.embeddings(s, d).filter(col("vec_id") < 300),
           col("vec_id"), col("embedding"), col("label"), threshold = 0.25)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // -- scalar (int8-style) quantized search: rank by the INTEGER dot
+    //    product of 0..254 codes from corpus-wide per-dimension ranges —
+    //    4× smaller vectors, exact-integer ranking, zero float divergence
+    //    after the (deterministic, op-order-pinned) quantization step.
+    //    The timed query includes the dim-bounded range aggregation; at
+    //    scale the ranges persist with the table like any index.
+    "q100_ann_quantized" -> { (s, d) =>
+      val corpus = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val (mins, maxs) = Similarity.quantRanges(corpus, col("embedding"))
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.quantizedTopK(corpus, col("vec_id"), col("embedding"),
+        qv, mins, maxs, k = 10)
+    },
+
+    // -- SemDeDup-style embedding near-dup at scale: the blocking key is
+    //    the sign-LSH bucket (q47's declared scale path made first-class).
+    //    No label crutch, no all-pairs: one shuffle on the bucket id, and
+    //    the oracle recomputes the SAME deterministic hyperplanes from
+    //    Similarity.planes (the generated-constants pattern q37 uses for
+    //    its BPE merges table).
+    "q102_lsh_neardup" -> { (s, d) =>
+      Dedup.embeddingNearDups(
+          Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+          Similarity.lshBucket(col("embedding"), nPlanes = 8, dim = 64),
+          threshold = 0.25)
+        .orderBy(col("a_id"), col("b_id"))
     }
   )
 
@@ -105,6 +134,41 @@ object AnnQueries {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE LIST_DOT_PRODUCT(a.v, b.v)
         |    / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))) >= 0.25
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Replays quantization verbatim: same per-dim ranges, same op-order-
+    // pinned FLOOR((x - mn) * 254.0 / (mx - mn) + 0.5), integer dot.
+    "q100_ann_quantized" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |dims AS (
+        |  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+        |  FROM e, (SELECT UNNEST(RANGE(1, 65)) AS i)
+        |  WHERE vec_id <> 0 GROUP BY i),
+        |qc AS (
+        |  SELECT i, CASE WHEN mx = mn THEN 0
+        |    ELSE CAST(FLOOR((q.v[i] - mn) * 254.0 / (mx - mn) + 0.5) AS BIGINT) END AS qcode
+        |  FROM dims, (SELECT v FROM e WHERE vec_id = 0) q),
+        |codes AS (
+        |  SELECT e.vec_id, d.i, CASE WHEN d.mx = d.mn THEN 0
+        |    ELSE CAST(FLOOR((e.v[d.i] - d.mn) * 254.0 / (d.mx - d.mn) + 0.5) AS BIGINT) END AS code
+        |  FROM e, dims d WHERE e.vec_id <> 0)
+        |SELECT c.vec_id AS nn_id, CAST(SUM(c.code * qc.qcode) AS BIGINT) AS qdot
+        |FROM codes c JOIN qc ON c.i = qc.i
+        |GROUP BY c.vec_id ORDER BY qdot DESC, nn_id LIMIT 10""".stripMargin,
+
+    "q102_lsh_neardup" -> {
+      val bucketSql = Similarity.planes(8, 64).zipWithIndex.map { case (pl, i) =>
+        s"(CASE WHEN LIST_DOT_PRODUCT(v, [${pl.mkString(", ")}]) >= 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("\n    + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e)
+        |SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+        |  LIST_DOT_PRODUCT(a.v, c.v)
+        |    / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))) AS cosine
+        |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        |WHERE LIST_DOT_PRODUCT(a.v, c.v)
+        |    / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))) >= 0.25
         |ORDER BY a_id, b_id""".stripMargin
+    }
   )
 }

@@ -177,8 +177,10 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes for sign-LSH (no RNG:
     * reproducible across runs/executors — an LSH index must hash the same
-    * vector to the same bucket forever). */
-  private def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    * vector to the same bucket forever). Public so the oracle SQL can be
+    * generated from the SAME plane values (the q37 merges-table pattern:
+    * the test replays the exact constants the engine uses). */
+  def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
     (0 until nPlanes).map { p =>
       (0 until dim).map { i =>
         (((p * 2654435761L + i * 40503L + 12289L) % 1000003L).toDouble / 500001.5) - 1.0
@@ -235,6 +237,64 @@ object Similarity {
       val take = acc < need; acc += r.getLong(2); take
     })
     ivfSearch(index, query, k, nprobe)
+  }
+
+  /** Per-dimension [min, max] quantization ranges over the corpus —
+    * the "codebook" of scalar (int8-style) quantization. One exploded
+    * aggregation: posexplode → groupBy(dim) collapses to `dim` groups per
+    * partition map-side, so the shuffle is dim-bounded regardless of table
+    * size; the collect is `dim` rows of driver-side metadata (the same
+    * bounded-fetch class as IVF seeding). */
+  def quantRanges(embs: DataFrame, vec: Column): (Seq[Double], Seq[Double]) = {
+    val rows = embs.select(posexplode(vec).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .orderBy(col("dim"))
+      .collect()
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Scalar-quantized similarity search: each dimension is affinely mapped
+    * to an integer code 0..254 using the corpus-wide per-dimension range,
+    * and ranking happens on the INTEGER dot product of codes — the memory-
+    * bandwidth play of int8 quantization (4× smaller vectors, exact-integer
+    * math) with zero float divergence risk: after the deterministic
+    * quantization expression, everything is BIGINT arithmetic, so any
+    * engine reproduces the ranking bit-for-bit.
+    *
+    * The quantization expression `floor((x − mn) · 254 / (mx − mn) + 0.5)`
+    * is evaluated in double precision in this exact operation order on
+    * both sides of the oracle (IEEE ops are individually deterministic;
+    * only op-order changes results). Constant dimensions map to code 0.
+    *
+    * Scan shape: codes are computed inline (transform + zip_with +
+    * aggregate over the broadcast-literal ranges and query codes — no
+    * shuffle of the table), ranking is a TakeOrderedAndProject. At scale
+    * the ranges come from one dim-bounded aggregation (quantRanges) and
+    * would be persisted with the table, not recomputed per query. */
+  def quantizedTopK(
+      embs: DataFrame, id: Column, vec: Column,
+      queryVec: Seq[Double], mins: Seq[Double], maxs: Seq[Double],
+      k: Int): DataFrame = {
+    def codeOf(x: Double, i: Int): Long = {
+      val (mn, mx) = (mins(i), maxs(i))
+      if (mx == mn) 0L else math.floor((x - mn) * 254.0 / (mx - mn) + 0.5).toLong
+    }
+    val qCodes = queryVec.zipWithIndex.map { case (x, i) => codeOf(x, i) }
+    val mnA = typedlit(mins)
+    val mxA = typedlit(maxs)
+    val codes = transform(vec, (x, i) => {
+      val mn = element_at(mnA, i + 1)
+      val mx = element_at(mxA, i + 1)
+      when(mx === mn, lit(0L)).otherwise(
+        floor((x.cast("double") - mn) * lit(254.0) / (mx - mn) + lit(0.5)))
+    })
+    val qdot = aggregate(
+      zip_with(codes, typedlit(qCodes), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    embs.select(id.as("nn_id"), qdot.as("qdot"))
+      .orderBy(col("qdot").desc, col("nn_id"))
+      .limit(k)
   }
 
   /** Probe an IVF index: rank cells by query-to-centroid similarity, scan

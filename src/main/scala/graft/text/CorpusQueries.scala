@@ -161,6 +161,37 @@ object CorpusQueries {
         .select(col("sh").as("bigram"), col("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)
+    },
+
+    // -- per-document keyword extraction: top-3 terms by TF-IDF. The IDF
+    //    is the RAW inverse document frequency N/df (log-free: ln() is
+    //    libm-dependent and not bit-stable across engines; the ranking it
+    //    induces per document is identical since ln is monotone). Plan:
+    //    one explode shuffled on (doc, term) for TF, a term-keyed
+    //    aggregate for DF that joins back on the same term partitioning,
+    //    a 1-row broadcast for N, and a doc-partitioned ranking window —
+    //    no global sort, no all-pairs, survives corpus scale unchanged.
+    "q99_tfidf_terms" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val terms = docs.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val score = col("tf").cast("double") * col("n_docs").cast("double") /
+        col("df").cast("double")
+      tf.join(df, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("term"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
     }
   )
 
@@ -250,6 +281,24 @@ object CorpusQueries {
         |    FOR i IN RANGE(1, GREATEST(LEN(toks), 1))]) AS bigram
         |  FROM t)
         |SELECT bigram, COUNT(*) AS n FROM bg
-        |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+        |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "q99_tfidf_terms" ->
+      """WITH t AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df,
+        |    CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) DESC,
+        |        term) AS rank
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, score, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin
   )
 }

@@ -106,6 +106,24 @@ object ExtrasQueries {
           |  AND EXISTS (SELECT 1 FROM lineitem_sq WHERE l_orderkey = o_orderkey
           |              AND l_quantity >= 45)
           |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // -- q50's inverse: UNPIVOT (wide metrics → long key/value rows), the
+    //    melt step every metrics/feature table needs before a generic
+    //    per-metric pipeline. Dataset.unpivot is a local projection (each
+    //    input row expands to |metrics| rows, no shuffle); the only
+    //    shuffle is the per-source aggregate feeding it.
+    "q101_unpivot" -> { (s, d) =>
+      val wide = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+      wide.unpivot(
+          Array(col("source")),
+          Array(col("n_docs"), col("total_chars"), col("n_langs")),
+          "metric", "value")
+        .orderBy(col("source"), col("metric"))
     }
   )
 
@@ -163,6 +181,21 @@ object ExtrasQueries {
         |       FROM orders)
         |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
         |              AND l_quantity >= 45)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // The UNION ALL spelling is UNPIVOT's relational definition — engine
+    // syntax differs (DuckDB UNPIVOT, Spark melt), the semantics don't.
+    "q101_unpivot" ->
+      """WITH wide AS (
+        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    COUNT(DISTINCT lang) AS n_langs
+        |  FROM documents GROUP BY source)
+        |SELECT source, metric, value FROM (
+        |  SELECT source, 'n_docs' AS metric, n_docs AS value FROM wide
+        |  UNION ALL
+        |  SELECT source, 'total_chars', total_chars FROM wide
+        |  UNION ALL
+        |  SELECT source, 'n_langs', n_langs FROM wide)
+        |ORDER BY source, metric""".stripMargin
   )
 }
