@@ -92,17 +92,17 @@ object AnnQueries {
         qv, mins, maxs, k = 10)
     },
 
-    // -- SemDeDup-style embedding near-dup at scale: the blocking key is
-    //    the sign-LSH bucket (q47's declared scale path made first-class).
-    //    No label crutch, no all-pairs: one shuffle on the bucket id, and
-    //    the oracle recomputes the SAME deterministic hyperplanes from
+    // -- SemDeDup-style embedding near-dup at scale: blocked by BANDED
+    //    sign-LSH (q47's declared scale path made first-class — no label
+    //    crutch, no all-pairs; 4 bands × 4 sign bits, the measured
+    //    recall/candidate trade on this data, see Similarity.bandKeys).
+    //    The oracle recomputes the SAME deterministic hyperplanes from
     //    Similarity.planes (the generated-constants pattern q37 uses for
     //    its BPE merges table).
     "q102_lsh_neardup" -> { (s, d) =>
-      Dedup.embeddingNearDups(
+      Dedup.lshNearDups(
           Tables.embeddings(s, d), col("vec_id"), col("embedding"),
-          Similarity.lshBucket(col("embedding"), nPlanes = 8, dim = 64),
-          threshold = 0.25)
+          nBands = 4, planesPerBand = 4, dim = 64, threshold = 0.25)
         .orderBy(col("a_id"), col("b_id"))
     }
   )
@@ -137,7 +137,7 @@ object AnnQueries {
         |ORDER BY a_id, b_id""".stripMargin,
 
     // Replays quantization verbatim: same per-dim ranges, same op-order-
-    // pinned FLOOR((x - mn) * 254.0 / (mx - mn) + 0.5), integer dot.
+    // pinned FLOOR((x - mn) * 254.0 / (mx - mn) + 0.5), integer L2.
     "q100_ann_quantized" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |dims AS (
@@ -152,22 +152,32 @@ object AnnQueries {
         |  SELECT e.vec_id, d.i, CASE WHEN d.mx = d.mn THEN 0
         |    ELSE CAST(FLOOR((e.v[d.i] - d.mn) * 254.0 / (d.mx - d.mn) + 0.5) AS BIGINT) END AS code
         |  FROM e, dims d WHERE e.vec_id <> 0)
-        |SELECT c.vec_id AS nn_id, CAST(SUM(c.code * qc.qcode) AS BIGINT) AS qdot
+        |SELECT c.vec_id AS nn_id,
+        |  CAST(SUM((c.code - qc.qcode) * (c.code - qc.qcode)) AS BIGINT) AS qdist
         |FROM codes c JOIN qc ON c.i = qc.i
-        |GROUP BY c.vec_id ORDER BY qdot DESC, nn_id LIMIT 10""".stripMargin,
+        |GROUP BY c.vec_id ORDER BY qdist ASC, nn_id LIMIT 10""".stripMargin,
 
     "q102_lsh_neardup" -> {
-      val bucketSql = Similarity.planes(8, 64).zipWithIndex.map { case (pl, i) =>
-        s"(CASE WHEN LIST_DOT_PRODUCT(v, [${pl.mkString(", ")}]) >= 0 THEN ${1 << i} ELSE 0 END)"
+      val pls = Similarity.planes(4 * 4, 64)
+      def bucketSql(b: Int): String = (0 until 4).map { j =>
+        s"(CASE WHEN LIST_DOT_PRODUCT(v, [${pls(b * 4 + j).mkString(", ")}]) >= 0 THEN ${1 << j} ELSE 0 END)"
       }.mkString("\n    + ")
+      val bandsSql = (0 until 4).map { b =>
+        s"SELECT vec_id, v, $b AS band, ${bucketSql(b)} AS bucket FROM e"
+      }.mkString("\n  UNION ALL\n  ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e)
-        |SELECT a.vec_id AS a_id, c.vec_id AS b_id,
-        |  LIST_DOT_PRODUCT(a.v, c.v)
-        |    / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))) AS cosine
-        |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-        |WHERE LIST_DOT_PRODUCT(a.v, c.v)
-        |    / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))) >= 0.25
+        |k AS (
+        |  $bandsSql),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS a_id, c.vec_id AS b_id, a.v AS a_v, c.v AS b_v
+        |  FROM k a JOIN k c ON a.band = c.band AND a.bucket = c.bucket
+        |    AND a.vec_id < c.vec_id)
+        |SELECT a_id, b_id,
+        |  LIST_DOT_PRODUCT(a_v, b_v)
+        |    / (SQRT(LIST_DOT_PRODUCT(a_v, a_v)) * SQRT(LIST_DOT_PRODUCT(b_v, b_v))) AS cosine
+        |FROM cand
+        |WHERE LIST_DOT_PRODUCT(a_v, b_v)
+        |    / (SQRT(LIST_DOT_PRODUCT(a_v, a_v)) * SQRT(LIST_DOT_PRODUCT(b_v, b_v))) >= 0.25
         |ORDER BY a_id, b_id""".stripMargin
     }
   )

@@ -256,16 +256,24 @@ object Similarity {
 
   /** Scalar-quantized similarity search: each dimension is affinely mapped
     * to an integer code 0..254 using the corpus-wide per-dimension range,
-    * and ranking happens on the INTEGER dot product of codes — the memory-
-    * bandwidth play of int8 quantization (4× smaller vectors, exact-integer
-    * math) with zero float divergence risk: after the deterministic
-    * quantization expression, everything is BIGINT arithmetic, so any
-    * engine reproduces the ranking bit-for-bit.
+    * and ranking is by INTEGER squared L2 distance in code space — the
+    * memory-bandwidth play of int8 quantization (4× smaller vectors,
+    * exact-integer math) with zero float divergence risk: after the
+    * deterministic quantization expression, everything is BIGINT
+    * arithmetic, so any engine reproduces the ranking bit-for-bit.
+    *
+    * The metric must be DISTANCE, not dot product: codes are translated by
+    * `mn_i`, and a translated inner product is not rank-equivalent to the
+    * true one, while squared L2 is translation-invariant — code-space L2
+    * equals true L2 after per-dimension min-max whitening, up to ≤0.5-code
+    * rounding per dimension (AnnSpec pins the recall against the
+    * float-space whitened metric).
     *
     * The quantization expression `floor((x − mn) · 254 / (mx − mn) + 0.5)`
     * is evaluated in double precision in this exact operation order on
     * both sides of the oracle (IEEE ops are individually deterministic;
     * only op-order changes results). Constant dimensions map to code 0.
+    * Max distance 254²·dim ≈ 4.1M at dim 64 — far inside BIGINT.
     *
     * Scan shape: codes are computed inline (transform + zip_with +
     * aggregate over the broadcast-literal ranges and query codes — no
@@ -289,12 +297,34 @@ object Similarity {
       when(mx === mn, lit(0L)).otherwise(
         floor((x.cast("double") - mn) * lit(254.0) / (mx - mn) + lit(0.5)))
     })
-    val qdot = aggregate(
-      zip_with(codes, typedlit(qCodes), (a, b) => a * b),
+    val qdist = aggregate(
+      zip_with(codes, typedlit(qCodes), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, v) => acc + v)
-    embs.select(id.as("nn_id"), qdot.as("qdot"))
-      .orderBy(col("qdot").desc, col("nn_id"))
+    embs.select(id.as("nn_id"), qdist.as("qdist"))
+      .orderBy(col("qdist").asc, col("nn_id"))
       .limit(k)
+  }
+
+  /** Banded sign-LSH keys: `nBands` independent buckets of `planesPerBand`
+    * sign bits each — the minhash-banding construction applied to random
+    * hyperplanes. A single wide bucket (lshBucket) has vanishing recall at
+    * moderate similarity (P[all s bits agree] = (1−θ/π)^s); banding
+    * recovers it by giving every pair `nBands` independent chances while
+    * each band's bucket stays selective enough to block. Measured on the
+    * testdata at cosine ≥ 0.25 (64 dims): 4×4 → 0.37 recall touching ~12%
+    * of pairs; 8×2 → 0.90 recall but ~80% of pairs (4 buckets/band is no
+    * longer blocking); one 8-bit band → 0.045 recall. Recall rises with
+    * similarity, so true near-dups (cosine ≥ 0.8) survive far better than
+    * the threshold-boundary pairs that dominate these aggregates. */
+  def bandKeys(vec: Column, nBands: Int, planesPerBand: Int, dim: Int): Column = {
+    val pls = planes(nBands * planesPerBand, dim)
+    array((0 until nBands).map { b =>
+      val bucket = (0 until planesPerBand).map { j =>
+        when(dot(vec, typedlit(pls(b * planesPerBand + j))) >= 0,
+          lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }: _*)
   }
 
   /** Probe an IVF index: rank cells by query-to-centroid similarity, scan

@@ -620,4 +620,37 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
+
+  /** SemDeDup-style embedding near-dups blocked by BANDED sign-LSH — the
+    * label-free scale path for embeddingNearDups. Each vector gets
+    * `nBands` (band, bucket) keys (Similarity.bandKeys: minhash-banding
+    * over hyperplane sign bits — a single wide bucket has vanishing
+    * recall at moderate similarity); candidate pairs are vectors sharing
+    * ANY band bucket, deduplicated BEFORE the cosine verify so a pair
+    * colliding in several bands is verified once.
+    *
+    * Shuffle shape: one on the (band, bucket) key (explode is nBands×,
+    * map-side), one distinct on the pair ids, then the verify re-joins
+    * vectors by id — never all-pairs, candidate volume bounded by bucket
+    * selectivity (2^planesPerBand buckets per band). */
+  def lshNearDups(
+      embs: DataFrame, id: Column, vec: Column,
+      nBands: Int, planesPerBand: Int, dim: Int,
+      threshold: Double): DataFrame = {
+    val e = embs.select(id.as("id"), vec.as("v"))
+    val keyed = e.select(col("id"),
+      explode(graft.ann.Similarity.bandKeys(col("v"), nBands, planesPerBand, dim))
+        .as("bk"))
+    val pairs = keyed.select(col("id").as("a_id"), col("bk"))
+      .join(keyed.select(col("id").as("b_id"), col("bk")), Seq("bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    pairs
+      .join(e.select(col("id").as("a_id"), col("v").as("a_v")), Seq("a_id"))
+      .join(e.select(col("id").as("b_id"), col("v").as("b_v")), Seq("b_id"))
+      .withColumn("cosine", graft.ann.Similarity.cosine(col("a_v"), col("b_v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
 }

@@ -96,4 +96,27 @@ class CorpusQueriesSpec extends AnyFunSuite {
     val sd = math.sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
     assert(math.abs(sd - 29.011491975882016) < 1e-9)
   }
+
+  // --- TF-IDF keyword extraction (q99) -------------------------------
+
+  test("tfidf: rarer terms outrank common ones, ranks are 1..k per doc") {
+    val got = CorpusQueries.queries("q99_tfidf_terms")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (doc, rows) =>
+      val sorted = rows.sortBy(_._6)
+      // ranks are exactly 1..n (n <= 3), scores non-increasing along them
+      assert(sorted.map(_._6).toSeq == (1L to sorted.length).toSeq, s"doc $doc ranks")
+      val scores = sorted.map(_._5)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"doc $doc scores")
+      // score really is tf * N / df for the emitted tf/df
+      val n = byDoc.size.toDouble
+      sorted.foreach { case (_, _, tf, df, score, _) =>
+        assert(math.abs(score - tf.toDouble * n / df.toDouble) < 1e-9)
+      }
+    }
+  }
 }
