@@ -227,4 +227,29 @@ object StreamOps {
               click_ts <= purchase_ts AND
               click_ts >= purchase_ts - INTERVAL 1 HOUR"""))
   }
+
+  /** Stream-stream LEFT OUTER join: like [[purchaseClickJoin]] but a
+    * purchase with NO preceding click still emits — with null click
+    * columns — once the watermark proves no matching click can arrive.
+    * This is the semantic the inner join can't give: "every purchase,
+    * attributed if possible". The null-padded row is emitted only after
+    * `purchase_ts + delay` passes the click watermark (state for the
+    * purchase side must be provably complete), so results trail the
+    * inner join by up to the watermark delay — the correctness/latency
+    * trade outer stream joins buy. Both state stores stay bounded by the
+    * same watermark + time-range condition as the inner form. */
+  def purchaseClickLeftJoin(events: DataFrame, delay: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", delay)
+    purchases.join(
+      clicks,
+      expr("""p_user = c_user AND
+              click_ts <= purchase_ts AND
+              click_ts >= purchase_ts - INTERVAL 1 HOUR"""),
+      "left_outer")
+  }
 }

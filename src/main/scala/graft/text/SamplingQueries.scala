@@ -89,8 +89,51 @@ object SamplingQueries {
           sum(col("n_bpe")).as("tokens_kept"),
           max(col("quota")).as("quota_tokens"))
         .orderBy(col("source"))
+    },
+
+    // -- per-domain cap ("domain balancing"): no single source may
+    //    contribute more than DomainCap docs, and within the cap the
+    //    LONGEST docs win (n_chars desc — the keep-the-substance rule;
+    //    doc_id breaks ties). One source-partitioned ranking window; a
+    //    heavy-hitter domain at 100 TB rides the same two-pass top-k
+    //    pattern the repo uses for global numbering if a single source
+    //    outgrows a partition.
+    "q103_domain_cap" -> { (s, d) =>
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("rn") <= DomainCap, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") <= DomainCap, col("n_chars")).otherwise(0L))
+            .as("kept_chars"))
+        .orderBy(col("source"))
+    },
+
+    // -- deterministic epoch shuffle: the training-order permutation.
+    //    Position = global rank of md5(epoch_salt || doc_id) — an
+    //    RNG-free permutation any engine reproduces, re-dealt per epoch
+    //    by the salt. The global numbering is the two-pass range-
+    //    partitioned form (Scale.withGlobalRowNumber): a bare
+    //    ROW_NUMBER() OVER (ORDER BY hash) would pull 100 TB through one
+    //    task, the defining anti-pattern of shuffle-the-corpus jobs.
+    "q104_epoch_shuffle" -> { (s, d) =>
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(lit(EpochSalt), col("doc_id").cast("string"))).as("skey"))
+      graft.warehouse.Scale
+        .withGlobalRowNumber(keyed, Seq(col("skey")), "shuffle_pos")
+        .select(col("doc_id"), col("skey"), col("shuffle_pos"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** q103's per-source cap — shared with the generated oracle SQL. */
+  private val DomainCap = 10
+
+  /** q104's epoch salt — a new salt is a new permutation. */
+  private val EpochSalt = "epoch1:"
 
   /** Context length for q76 — shared with the generated oracle SQL. */
   private val SeqPackLen = 512
@@ -150,6 +193,24 @@ object SamplingQueries {
          |  CAST(SUM(n_bpe) AS BIGINT) AS tokens_kept,
          |  MAX(q.quota) AS quota_tokens
          |FROM c, q WHERE cum <= q.quota
-         |GROUP BY source ORDER BY source""".stripMargin
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q103_domain_cap" ->
+      s"""SELECT source, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN rn <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN rn <= $DomainCap THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM (
+        |  SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q104_epoch_shuffle" ->
+      s"""SELECT doc_id, skey,
+        |  ROW_NUMBER() OVER (ORDER BY skey) AS shuffle_pos
+        |FROM (SELECT doc_id, MD5('$EpochSalt' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -138,6 +138,22 @@ object StatsQueries {
       spine.join(daily, Seq("day"), "left_outer")
         .select(col("day"), coalesce(col("n"), lit(0)).as("n_orders"))
         .orderBy(col("day"))
+    },
+
+    // -- equi-width histogram in exact integers: $500 bins over order
+    //    totals by integer division on cents (floor-division binning ≡
+    //    width_bucket with a zero origin, minus the engine-specific edge
+    //    conventions). One map-side-combined groupBy over a few hundred
+    //    bins; empty bins are absent by construction (sparse histogram).
+    "q105_histogram" -> { (s, d) =>
+      val binCents = 50000L // $500 per bin
+      Tables.orders(s, d)
+        .select(graft.util.Exact.cents(col("o_totalprice")).as("cents"))
+        .select(expr(s"cents div $binCents").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("bin"), (col("bin") * binCents).as("bin_lo_cents"), col("n"))
+        .orderBy(col("bin"))
     }
   )
 
@@ -208,6 +224,12 @@ object StatsQueries {
         |  QUANTILE_CONT(l_quantity, 0.25) AS q25,
         |  QUANTILE_CONT(l_quantity, 0.75) AS q75,
         |  MAX(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_qty_cents
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q105_histogram" ->
+      """SELECT bin, bin * 50000 AS bin_lo_cents, COUNT(*) AS n
+        |FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 50000 AS bin
+        |  FROM orders)
+        |GROUP BY bin ORDER BY bin""".stripMargin
   )
 }

@@ -233,4 +233,31 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows.length == 1)
     assert(rows(0).getAs[Long]("p_user") == 1L)
   }
+
+  test("J8b: left-outer stream-stream join null-pads unmatched purchases") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val joined = StreamOps.purchaseClickLeftJoin(ms.toDF(), delay = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssljoin")
+      .outputMode("append").start()
+    ms.addData(
+      Evt(1, t(0), "click", 0.0),
+      Evt(1, t(30), "purchase", 10.0), // matches click at t0
+      Evt(2, t(10), "click", 0.0),
+      Evt(2, t(200), "purchase", 5.0)) // click 190 min earlier: NO match
+    q.processAllAvailable()
+    // the unmatched row emits only once the watermark proves completeness
+    ms.addData(Evt(9, t(400), "click", 0.0), Evt(9, t(400), "purchase", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssljoin").collect()
+    val matched = rows.filter(r => !r.isNullAt(r.fieldIndex("c_user")))
+    val unmatched = rows.filter(r => r.isNullAt(r.fieldIndex("c_user")))
+    // user 1's purchase matches its click; user 9's matches its own
+    // same-timestamp click (added to advance the watermark)
+    assert(matched.map(_.getAs[Long]("p_user")).toSet == Set(1L, 9L))
+    // user 2's purchase emits WITH NULL click columns instead of vanishing
+    assert(unmatched.map(_.getAs[Long]("p_user")).contains(2L))
+  }
 }
