@@ -95,6 +95,31 @@ object CdcQueries {
           col("version").cast("long").as("version"),
           col("is_current"))
         .orderBy(col("user_id"), col("version"))
+    },
+
+    // -- incremental aggregate maintenance (materialized-view delta
+    //    update): the maintained aggregate = combine(base partial state,
+    //    delta partial state) — NEVER a rescan of the base fact. Here the
+    //    base snapshot is pre-2000 orders and the delta is the newer
+    //    append feed (the reference's landing model is append-only;
+    //    updates/deletes generalize by signed ±1 weights on the same
+    //    combine). SUM/COUNT states merge by addition, so the combine is
+    //    a union of two agg tables re-aggregated on the group key — at
+    //    100 TB the base side of that union is agg-table-sized (a few
+    //    rows per group), not fact-sized. The oracle recomputes from
+    //    scratch: incremental ≡ full is exactly the maintenance
+    //    invariant.
+    "q106_incremental_agg" -> { (s, d) =>
+      val cut = lit("2000-01-01").cast("timestamp")
+      def partial(df: DataFrame) = df
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("tot"))
+      val base = partial(Tables.orders(s, d).filter(col("o_orderdate") < cut))
+      val delta = partial(Tables.orders(s, d).filter(col("o_orderdate") >= cut))
+      base.unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("n_orders"), sum(col("tot")).as("total_cents"))
+        .orderBy(col("o_orderpriority"))
     }
   )
 
@@ -160,6 +185,15 @@ object CdcQueries {
         |  LEAD(ts) OVER w IS NULL AS is_current
         |FROM starts
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, version""".stripMargin
+        |ORDER BY user_id, version""".stripMargin,
+
+    // Full recompute — equality with the incremental combine IS the
+    // materialized-view maintenance invariant under test.
+    "q106_incremental_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

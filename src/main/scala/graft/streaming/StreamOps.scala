@@ -252,4 +252,22 @@ object StreamOps {
               click_ts >= purchase_ts - INTERVAL 1 HOUR"""),
       "left_outer")
   }
+
+  /** Chained windowed aggregation — hourly totals rolled up to daily in
+    * ONE streaming query (two stateful operators in append mode;
+    * `window_time` re-derives an event-time column from the finalized
+    * hourly window so the second aggregation can watermark on it). The
+    * alternative is two queries glued by a sink+source hop; the chain
+    * keeps exactly-once semantics and one checkpoint. Each hourly window
+    * finalizes when the watermark passes it, then flows into its day's
+    * running state — daily rows emit a watermark-delay after the day
+    * closes. */
+  def hourlyDailyRollup(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .groupBy(window(window_time(col("window")), "1 day"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"), sum(col("v")).as("total_value"))
+      .select(col("window.start").as("day_start"), col("event_type"),
+        col("n_events"), col("total_value"))
 }

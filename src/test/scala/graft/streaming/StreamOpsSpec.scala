@@ -260,4 +260,42 @@ class StreamOpsSpec extends AnyFunSuite {
     // user 2's purchase emits WITH NULL click columns instead of vanishing
     assert(unmatched.map(_.getAs[Long]("p_user")).contains(2L))
   }
+
+  test("T7b: chained hourly->daily windowed aggregation in one query") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val rolled = StreamOps.hourlyDailyRollup(ms.toDF(), delay = "10 minutes")
+    val q = rolled.writeStream.format("memory").queryName("rollup")
+      .outputMode("append").start()
+    // day 0: clicks in two different hours plus one purchase
+    ms.addData(
+      Evt(1, t(5), "click", 1.0),    // hour 0
+      Evt(2, t(70), "click", 2.0),   // hour 1
+      Evt(3, t(80), "purchase", 5.0))
+    q.processAllAvailable()
+    // finalizing a chained agg takes one watermark hop per stage: the
+    // first advance closes day-0's HOURS (they emit downstream), the
+    // second closes day 0 itself once those hourly rows have advanced
+    // the second stage's watermark
+    ms.addData(Evt(9, t(60 * 24 * 2), "click", 0.0))
+    q.processAllAvailable()
+    ms.addData(Evt(9, t(60 * 24 * 4), "click", 0.0))
+    q.processAllAvailable()
+    ms.addData(Evt(9, t(60 * 24 * 6), "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    // day windows are UTC-aligned; all three day-0 events land in the
+    // window containing t(0)
+    val day0 = spark.table("rollup").collect()
+      .filter { r =>
+        val start = r.getAs[Timestamp]("day_start").getTime
+        start <= t(0).getTime && t(0).getTime < start + 86400000L
+      }
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))).toMap
+    // both hours of day-0 clicks combined into ONE daily row
+    assert(day0("click") == ((2L, 3.0)))
+    assert(day0("purchase") == ((1L, 5.0)))
+  }
 }
