@@ -28,6 +28,7 @@ object SparkEntry {
       warehouse.ExtrasQueries.queries ++
       warehouse.TpchQueries.queries ++
       warehouse.TpchMoreQueries.queries ++
+      warehouse.GraphQueries.queries ++
       warehouse.StatsQueries.queries ++
       warehouse.StatsQueries.moreQueries ++
       warehouse.SketchQueries.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
       warehouse.ExtrasQueries.oracleSql ++
       warehouse.TpchQueries.oracleSql ++
       warehouse.TpchMoreQueries.oracleSql ++
+      warehouse.GraphQueries.oracleSql ++
       warehouse.StatsQueries.oracleSql ++
       warehouse.SketchQueries.oracleSql ++
       warehouse.ScaleQueries.oracleSql ++

@@ -1,0 +1,95 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Graph analytics over the co-purchase graph — the third graph face
+  * next to `Dedup.components` (connected components) and the pair
+  * pipelines: triangle counting and degree statistics, the building
+  * blocks of clustering-coefficient / community analyses.
+  *
+  * The graph: parts are vertices; an edge joins two parts co-occurring
+  * in at least `MinCoOccurrence` orders ("frequently co-purchased").
+  * Edge generation is bounded by order width (≤ ~13 lineitems → ≤ ~78
+  * pairs per order, a map-side explode, never quadratic in the table);
+  * the canonical u < v orientation counts every edge and triangle once.
+  *
+  * Triangle plan: wedge join (E ⋈ E on the shared middle vertex) then a
+  * closure probe against E — two shuffle joins on vertex keys. At 100 TB
+  * the standard refinement is degree orientation (point each edge from
+  * its lower-degree endpoint, bounding wedge fan-out by arboricity
+  * instead of max degree); the id orientation here keeps the oracle SQL
+  * identical and the thresholded graph sparse enough that wedges stay
+  * linear-ish in E.
+  */
+object GraphQueries {
+
+  /** Co-occurrence threshold shared with the generated oracle SQL. */
+  private val MinCoOccurrence = 2
+
+  /** Canonical (u < v) thresholded co-purchase edge list. */
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= MinCoOccurrence)
+      .select(col("u"), col("v"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- triangle count: wedges (e1.v = e2.u) closed by an e3 probe.
+    "q107_triangles" -> { (s, d) =>
+      val e = edges(s, d)
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .join(e.as("e3"),
+          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .agg(count(lit(1)).as("n_triangles"))
+      e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+    },
+
+    // -- degree distribution: how many parts have k frequent partners.
+    //    Undirected degree = out + in under the canonical orientation.
+    "q108_degree_dist" -> { (s, d) =>
+      val e = edges(s, d)
+      e.select(col("u").as("p")).unionAll(e.select(col("v").as("p")))
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy(col("degree"))
+    }
+  )
+
+  private val edgesSql =
+    s"""SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a
+      |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinCoOccurrence""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q107_triangles" ->
+      s"""WITH e AS (
+        |  $edgesSql)
+        |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+        |  (SELECT COUNT(*) FROM e e1
+        |     JOIN e e2 ON e1.v = e2.u
+        |     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin,
+
+    "q108_degree_dist" ->
+      s"""WITH e AS (
+        |  $edgesSql),
+        |deg AS (
+        |  SELECT p, COUNT(*) AS degree FROM (
+        |    SELECT u AS p FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY p)
+        |SELECT degree, COUNT(*) AS n_parts FROM deg
+        |GROUP BY degree ORDER BY degree""".stripMargin
+  )
+}
