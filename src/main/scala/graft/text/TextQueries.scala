@@ -164,6 +164,30 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // -- the business end of the dedup stack: per-source savings from the
+    //    pairs → components → canonical ledger (keep one doc per
+    //    component — the min-label canonical). Same pipeline as q75 with
+    //    the rollup a training-data owner actually reads: how many docs
+    //    and bytes each source sheds. One extra source-keyed aggregate on
+    //    top of the ledger join.
+    "q111_dedup_savings" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(
+        docs, col("doc_id"), col("text"), threshold = 0.5,
+        bands = 16, maxBucketSize = 1000000)
+      val lbl = Dedup.components(pairs, col("a_id"), col("b_id"))
+      docs
+        .join(lbl.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+        .select(col("source"), col("n_chars"),
+          (coalesce(col("comp"), col("doc_id")) === col("doc_id")).as("keep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("chars_kept"))
+        .orderBy(col("source"))
+    },
+
     // -- SimHash near-dup pairs (no oracle: xxhash64). Radius 6/64 bits —
     //    the near-duplicate regime; wider radii on same-domain corpora
     //    degenerate into quadratic almost-everything-matches output.
@@ -408,6 +432,27 @@ object TextQueries {
          |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
          |  doc_id = comp AS is_canonical
          |FROM ledger ORDER BY doc_id""".stripMargin,
+
+    // q75's closure rolled up per source: keep = min-label canonical.
+    "q111_dedup_savings" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+         |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+         |ledger AS (
+         |  SELECT d.source, d.n_chars,
+         |    COALESCE(l.comp, d.doc_id) = d.doc_id AS keep
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+         |  CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+         |FROM ledger GROUP BY source ORDER BY source""".stripMargin,
 
     "q57_winnow_fingerprints" -> winnowOracleSql,
 

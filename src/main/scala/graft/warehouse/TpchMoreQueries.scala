@@ -217,6 +217,43 @@ object TpchMoreQueries {
         .limit(100)
     },
 
+    // -- Q6: the forecasting-revenue-change scan — pure filter + global
+    //    aggregate, THE predicate-pushdown showcase (every filter reaches
+    //    the parquet scan; no join, no shuffle beyond the 1-row agg).
+    //    Revenue = price·discount in exact 1e-4 units. The discount
+    //    bounds compare stored doubles against the same binary64
+    //    literals in both engines — comparisons, not arithmetic.
+    "q109_tpch_q6" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(Exact.cents(col("l_extendedprice")) *
+          Exact.cents(col("l_discount"))).as("revenue_e4"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // -- W-extension: percent_rank + cume_dist — the relative-standing
+    //    window functions (the only ranking family §2.5 didn't pin): each
+    //    line's quantity standing WITHIN ITS ORDER. Partitioned by the
+    //    order key (≤ ~13 lines per order — bounded partitions, unlike a
+    //    whole-relation ranking window, which at 100 TB is the
+    //    single-task anti-pattern the two-pass Scale numbering exists
+    //    for). Tie handling is the standard-SQL rank/count definition,
+    //    identical across engines given the same ordering.
+    "q110_percent_rank" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("qty_cents"))
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("lineno"),
+          Exact.cents(col("l_quantity")).as("qty_cents"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .orderBy(col("l_orderkey"), col("lineno"))
+    },
+
     // -- Q11 shape (adapted): parts carrying an outsized share of total
     //    sale value — grouped aggregate HAVING against a scalar-subquery
     //    global total (1-row broadcast). A fixed share threshold isn't
@@ -353,6 +390,28 @@ object TpchMoreQueries {
         |      (SELECT MIN(CAST(CAST(l2.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
         |       FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
         |ORDER BY p_partkey, s_suppkey LIMIT 100""".stripMargin,
+
+    "q109_tpch_q6" ->
+      """SELECT
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q110_percent_rank" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS lineno,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_cents,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd
+        |FROM lineitem
+        |WHERE l_returnflag = 'R'
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |  ORDER BY CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |ORDER BY l_orderkey, lineno""".stripMargin,
 
     "q98_tpch_q11" ->
       s"""WITH per_part AS (
