@@ -52,6 +52,14 @@ object StressProbe {
         graft.dedup.Dedup.winnowNearDups(
           xf, col("doc_id"), col("text"), minShared = 3).count()
       }
+      // substring-span dedup (q87): a duplicate storm multiplies every
+      // window's row set ×f — the min<max cross-doc test and the
+      // map-side-combined window groupBy must stay count-shaped, not
+      // pair-shaped (output = spans, which dup factors don't multiply)
+      run("spans") {
+        graft.dedup.Dedup.repeatedSpans(
+          xf, col("doc_id"), col("text")).count()
+      }
     }
     spark.stop()
   }

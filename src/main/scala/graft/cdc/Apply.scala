@@ -264,6 +264,58 @@ object Apply {
     }
   }
 
+  /** OPTIMIZE-style compaction: rewrite every live bucket into ONE fresh
+    * generation with ~one file per bucket. A long-running merge stream
+    * leaves each bucket's data in whichever generation last touched it,
+    * one file per (batch × bucket) over time — the classic small-file
+    * problem; compaction is the table-maintenance pass that re-pays write
+    * amplification once to restore scan efficiency (Delta `OPTIMIZE` /
+    * Iceberg `rewrite_data_files`).
+    *
+    * Commit protocol is IDENTICAL to a merge batch: write the new
+    * generation (invisible until referenced), flip the manifest (a new
+    * commit id, archived for time travel), retire the superseded dirs
+    * into the grace-window ledger. A crash anywhere strands an
+    * unreferenced generation, never data; pre-compaction snapshots stay
+    * readable until the grace window (or an explicit [[vacuum]]) reclaims
+    * their dirs. Same single-writer caveat as [[vacuum]]: run from the
+    * table's writer or while no writer is active. */
+  def compact(spark: SparkSession, tableDir: String,
+      gcGraceMs: Long = DefaultGcGraceMs): Unit = {
+    import org.apache.spark.sql.functions._
+    val hc = graft.util.Hfs.conf(spark)
+    val root = new HPath(tableDir)
+    val m = readMeta(root, hc).getOrElse(
+      sys.error(s"$tableDir has no $MetaName: nothing to compact"))
+    if (m.layout != LayoutV2)
+      sys.error(s"$tableDir has unknown layout '${m.layout}': refusing to compact")
+    if (m.buckets.nonEmpty) {
+      // read each live bucket THROUGH the manifest (the bucket id is not
+      // stored in the files, so it is re-tagged from the manifest entry)
+      val all = m.buckets.toSeq.sortBy(_._1).map { case (b, g) =>
+        spark.read.parquet(new HPath(root, s"gen=$g/_bucket=$b").toString)
+          .withColumn("_bucket", lit(b))
+      }.reduce(_.unionByName(_))
+      val gen = (rootGenNumbers(root, hc) ++ m.buckets.values ++ Seq(-1L)).max + 1
+      val genDir = new HPath(root, s"gen=$gen")
+      all.repartitionByRange(m.nBuckets, col("_bucket"))
+        .write.partitionBy("_bucket").mode("overwrite").parquet(genDir.toString)
+      val written = graft.util.Hfs.list(genDir, hc)
+        .filter(_.getPath.getName.startsWith("_bucket="))
+        .map(_.getPath.getName.stripPrefix("_bucket=").toInt).toSet
+      // compaction rewrites, never drops: every live bucket must reappear
+      if (written != m.buckets.keySet) sys.error(
+        s"compaction of $tableDir lost buckets ${m.buckets.keySet -- written}: " +
+          "aborting before commit (orphan generation will be GC'd)")
+      val newGens: Map[Int, Long] = m.buckets.keysIterator.map(_ -> gen).toMap
+      val live = newGens.toSeq.map { case (b, g) => (g, b) }.toSet
+      val (keep, drop) = splitRetired(root, live, m.retired, gcGraceMs, hc)
+      writeManifest(root, m.nBuckets, newGens, keep, m.commitId + 1, hc,
+        archive = true)
+      gcDirs(root, drop, hc)
+    }
+  }
+
   private type HPath = org.apache.hadoop.fs.Path
   private type HConf = org.apache.hadoop.conf.Configuration
 

@@ -224,6 +224,58 @@ class CaptureApplySpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no committed snapshot"))
   }
 
+  test("compact: generations collapse to one, data and snapshots intact") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("merge-compact") + "/t"
+    val ms = MemoryStream[Env]
+    val q = Apply.startMerge(ms.toDF(), table, tmp("ck-compact"), "id", "ts",
+      afterSchema, nBuckets = 4,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"),
+      gcGraceMs = Long.MaxValue)
+    // three batches so buckets span several generations
+    ms.addData(env("INSERT", "a", 1.0).copy(ts = ts(100)),
+      env("INSERT", "b", 2.0).copy(ts = ts(100)))
+    q.processAllAvailable()
+    ms.addData(env("MODIFY", "a", 1.5).copy(ts = ts(200)),
+      env("INSERT", "c", 3.0).copy(ts = ts(200)))
+    q.processAllAvailable()
+    ms.addData(env("INSERT", "d", 4.0).copy(ts = ts(300)))
+    q.processAllAvailable()
+    q.stop()
+    def state(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      df.collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("price")).toMap
+    val before = state(Apply.readMergeTable(spark, table))
+    assert(before == Map("a" -> 1.5, "b" -> 2.0, "c" -> 3.0, "d" -> 4.0))
+    val gensBefore = Apply.bucketDirs(spark, table).values
+      .map(_.getParent.getName).toSet
+    assert(gensBefore.size > 1, s"expected multi-generation table, got $gensBefore")
+    val lastCommit = Apply.commits(spark, table).last
+
+    Apply.compact(spark, table, gcGraceMs = Long.MaxValue)
+    // data identical; every bucket now lives in ONE generation
+    assert(state(Apply.readMergeTable(spark, table)) == before)
+    val gensAfter = Apply.bucketDirs(spark, table).values
+      .map(_.getParent.getName).toSet
+    assert(gensAfter.size == 1, s"expected one live generation, got $gensAfter")
+    // compaction is a commit: a new snapshot id, and the PRE-compaction
+    // snapshot still reads (its dirs are retired, not deleted)
+    assert(Apply.commits(spark, table).last == lastCommit + 1)
+    assert(state(Apply.readMergeTableAt(spark, table, lastCommit)) == before)
+    // ~one file per bucket in the compacted generation
+    val hc = graft.util.Hfs.conf(spark)
+    Apply.bucketDirs(spark, table).values.foreach { d =>
+      val files = graft.util.Hfs.list(d, hc)
+        .count(_.getPath.getName.endsWith(".parquet"))
+      assert(files == 1, s"$d has $files files after compaction")
+    }
+    // vacuum reclaims the retired dirs; current read unaffected
+    Apply.vacuum(spark, table, graceMs = 0L)
+    assert(state(Apply.readMergeTable(spark, table)) == before)
+    intercept[IllegalArgumentException] {
+      Apply.readMergeTableAt(spark, table, lastCommit)
+    }
+  }
+
   test("S7: Kafka-wire shape projects into the envelope") {
     import spark.implicits._
     val payload = """{"op": "INSERT", "after": {"id": "k1", "ticker": "tt", "price": 5.5}}"""
