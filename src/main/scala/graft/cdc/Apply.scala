@@ -504,6 +504,32 @@ object Apply {
     spark.read.parquet(dirs.map(_.toString): _*)
   }
 
+  /** Change-data-feed between two committed snapshots — the Delta CDF
+    * analog that closes the loop: CDC lands in the merge table, and
+    * downstream incremental consumers read row-level changes OUT of it
+    * without diffing full snapshots themselves. Emitted shape: the
+    * stored row plus `_change_type` ('insert' | 'delete'); an update
+    * appears as a delete of the old row + insert of the new (callers
+    * that want 'update_pre/postimage' pair them on the key).
+    *
+    * Implementation: exceptAll between the two archived snapshots, which
+    * Catalyst plans as one hash aggregation per side on the full row —
+    * a shuffle proportional to the SNAPSHOT sizes. That is the honest
+    * cost of reconstructing changes after the fact; writers that need
+    * cheap CDF write a change log at commit time instead (the trade
+    * Delta's CDF option makes). Snapshots must still be readable
+    * (within the retention grace / before vacuum). */
+  def changesBetween(spark: SparkSession, tableDir: String,
+      fromCommit: Long, toCommit: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromCommit < toCommit,
+      s"changesBetween needs fromCommit < toCommit, got $fromCommit >= $toCommit")
+    val from = readMergeTableAt(spark, tableDir, fromCommit)
+    val to = readMergeTableAt(spark, tableDir, toCommit)
+    to.exceptAll(from).withColumn("_change_type", lit("insert"))
+      .unionByName(from.exceptAll(to).withColumn("_change_type", lit("delete")))
+  }
+
   /** Current data directory of each committed bucket (manifest-resolved). */
   private[cdc] def bucketDirs(spark: SparkSession, tableDir: String): Map[Int, HPath] = {
     val root = new HPath(tableDir)

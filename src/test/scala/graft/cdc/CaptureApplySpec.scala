@@ -224,6 +224,36 @@ class CaptureApplySpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no committed snapshot"))
   }
 
+  test("change data feed: row-level inserts/deletes between snapshots") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("merge-cdf") + "/t"
+    val ms = MemoryStream[Env]
+    val q = Apply.startMerge(ms.toDF(), table, tmp("ck-cdf"), "id", "ts",
+      afterSchema,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"),
+      gcGraceMs = Long.MaxValue)
+    ms.addData(env("INSERT", "a", 1.0).copy(ts = ts(100)),
+      env("INSERT", "b", 2.0).copy(ts = ts(100)))
+    q.processAllAvailable()
+    ms.addData(env("MODIFY", "a", 9.0).copy(ts = ts(200)),  // update a
+      env("REMOVE", "b", 2.0).copy(ts = ts(200)),           // delete b
+      env("INSERT", "c", 3.0).copy(ts = ts(200)))           // insert c
+    q.processAllAvailable()
+    q.stop()
+    val changes = Apply.changesBetween(spark, table, 1, 2)
+      .collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[String]("id"),
+        r.getAs[Double]("price"))).toSet
+    assert(changes == Set(
+      ("delete", "a", 1.0), ("insert", "a", 9.0), // the update pair
+      ("delete", "b", 2.0),
+      ("insert", "c", 3.0)))
+    // a no-change window is empty
+    intercept[IllegalArgumentException] {
+      Apply.changesBetween(spark, table, 2, 2)
+    }
+  }
+
   test("compact: generations collapse to one, data and snapshots intact") {
     implicit val sqlCtx = spark.sqlContext
     val table = tmp("merge-compact") + "/t"
