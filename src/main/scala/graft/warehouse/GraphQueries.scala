@@ -63,6 +63,38 @@ object GraphQueries {
         .groupBy(col("degree"))
         .agg(count(lit(1)).as("n_parts"))
         .orderBy(col("degree"))
+    },
+
+    // -- association-rule mining face: top co-purchased pairs by LIFT =
+    //    P(A,B) / (P(A)·P(B)) over order baskets. Pair and item supports
+    //    come from two map-side-combined aggregates over the same
+    //    order-level projection; the 1-row basket count broadcasts; the
+    //    lift is ONE IEEE division of exact integer products —
+    //    `(n_ab·N) / (n_a·n_b)` — so the ranking is engine-stable.
+    //    Support floor MinCoOccurrence keeps the pair list the same
+    //    bounded set the graph queries use.
+    "q112_basket_lift" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= MinCoOccurrence)
+      val items = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
+      val baskets = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      pairs
+        .join(items.select(col("l_partkey").as("u"), col("n_i").as("n_a")), Seq("u"))
+        .join(items.select(col("l_partkey").as("v"), col("n_i").as("n_b")), Seq("v"))
+        .crossJoin(broadcast(baskets))
+        .withColumn("lift",
+          (col("n_ab") * col("n_baskets")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"))
+        .select(col("u"), col("v"), col("n_ab"), col("n_a"), col("n_b"), col("lift"))
+        .orderBy(col("lift").desc, col("u"), col("v"))
+        .limit(25)
     }
   )
 
@@ -90,6 +122,26 @@ object GraphQueries {
         |    SELECT u AS p FROM e UNION ALL SELECT v FROM e)
         |  GROUP BY p)
         |SELECT degree, COUNT(*) AS n_parts FROM deg
-        |GROUP BY degree ORDER BY degree""".stripMargin
+        |GROUP BY degree ORDER BY degree""".stripMargin,
+
+    "q112_basket_lift" ->
+      s"""WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n_ab
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinCoOccurrence),
+        |items AS (
+        |  SELECT l_partkey, COUNT(*) AS n_i FROM li GROUP BY 1),
+        |baskets AS (
+        |  SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li)
+        |SELECT u, v, n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+        |  CAST(n_ab * n_baskets AS DOUBLE) / CAST(ia.n_i * ib.n_i AS DOUBLE) AS lift
+        |FROM pairs
+        |JOIN items ia ON ia.l_partkey = u
+        |JOIN items ib ON ib.l_partkey = v
+        |CROSS JOIN baskets
+        |ORDER BY lift DESC, u, v LIMIT 25""".stripMargin
   )
 }
