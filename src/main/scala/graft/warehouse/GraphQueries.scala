@@ -41,29 +41,34 @@ object GraphQueries {
       .select(col("u"), col("v"))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // -- triangle count: wedges (e1.v = e2.u) closed by an e3 probe.
-    "q107_triangles" -> { (s, d) =>
-      val e = edges(s, d)
-      val tri = e.as("e1")
-        .join(e.as("e2"), col("e1.v") === col("e2.u"))
-        .join(e.as("e3"),
-          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
-        .agg(count(lit(1)).as("n_triangles"))
-      e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
-    },
+  /** Triangle count over a canonically-oriented (u < v) edge list:
+    * wedges (e1.v = e2.u) closed by an e3 probe. Returns one row
+    * (n_edges, n_triangles). Exposed on the edge DF so GraphSpec can pin
+    * the closure on hand-built graphs (K4 = 4, chains/stars = 0) —
+    * oracle gates alone can't exercise degenerate shapes. */
+  def triangleCount(e: DataFrame): DataFrame = {
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+  }
 
-    // -- degree distribution: how many parts have k frequent partners.
-    //    Undirected degree = out + in under the canonical orientation.
-    "q108_degree_dist" -> { (s, d) =>
-      val e = edges(s, d)
-      e.select(col("u").as("p")).unionAll(e.select(col("v").as("p")))
-        .groupBy(col("p"))
-        .agg(count(lit(1)).as("degree"))
-        .groupBy(col("degree"))
-        .agg(count(lit(1)).as("n_parts"))
-        .orderBy(col("degree"))
-    },
+  /** Degree histogram of a canonically-oriented edge list: undirected
+    * degree = out + in under the u < v orientation. */
+  def degreeDistribution(e: DataFrame): DataFrame =
+    e.select(col("u").as("p")).unionAll(e.select(col("v").as("p")))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("degree"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_triangles" -> { (s, d) => triangleCount(edges(s, d)) },
+
+    "q108_degree_dist" -> { (s, d) => degreeDistribution(edges(s, d)) },
 
     // -- association-rule mining face: top co-purchased pairs by LIFT =
     //    P(A,B) / (P(A)·P(B)) over order baskets. Pair and item supports
