@@ -262,6 +262,19 @@ object StreamOps {
     * finalizes when the watermark passes it, then flows into its day's
     * running state — daily rows emit a watermark-delay after the day
     * closes. */
+  /** Pipeline observability: attach named metrics to a (streaming or
+    * batch) DataFrame without a second pass — `Dataset.observe` computes
+    * the aggregates inside the existing plan and surfaces them per
+    * micro-batch in `StreamingQueryProgress.observedMetrics`. This is
+    * the production answer to "how many rows / how much value flowed
+    * this batch" — a separate monitoring query would double-read the
+    * source and could never see exactly the same batch boundaries. */
+  def observed(events: DataFrame, name: String = "ingest_metrics"): DataFrame =
+    events.observe(name,
+      count(lit(1)).as("n_rows"),
+      sum(col("value")).as("total_value"),
+      max(col("ts")).as("max_ts"))
+
   def hourlyDailyRollup(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", delay)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

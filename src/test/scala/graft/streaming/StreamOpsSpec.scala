@@ -261,6 +261,23 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(unmatched.map(_.getAs[Long]("p_user")).contains(2L))
   }
 
+  test("observe: per-batch metrics ride the existing plan") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val q = StreamOps.observed(ms.toDF()).writeStream
+      .format("memory").queryName("observed").outputMode("append").start()
+    ms.addData(Evt(1, t(0), "click", 2.0), Evt(2, t(1), "click", 3.0))
+    q.processAllAvailable()
+    val metrics = q.recentProgress
+      .flatMap(p => Option(p.observedMetrics.get("ingest_metrics")))
+      .filter(_.getAs[Long]("n_rows") > 0)
+    assert(metrics.nonEmpty)
+    assert(metrics.last.getAs[Long]("n_rows") == 2L)
+    assert(metrics.last.getAs[Double]("total_value") == 5.0)
+    q.stop()
+  }
+
   test("T7b: chained hourly->daily windowed aggregation in one query") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
