@@ -29,6 +29,7 @@ object SparkEntry {
       warehouse.TpchQueries.queries ++
       warehouse.TpchMoreQueries.queries ++
       warehouse.GraphQueries.queries ++
+      warehouse.QualityQueries.queries ++
       warehouse.StatsQueries.queries ++
       warehouse.StatsQueries.moreQueries ++
       warehouse.SketchQueries.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       warehouse.TpchQueries.oracleSql ++
       warehouse.TpchMoreQueries.oracleSql ++
       warehouse.GraphQueries.oracleSql ++
+      warehouse.QualityQueries.oracleSql ++
       warehouse.StatsQueries.oracleSql ++
       warehouse.SketchQueries.oracleSql ++
       warehouse.ScaleQueries.oracleSql ++

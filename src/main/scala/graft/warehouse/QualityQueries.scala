@@ -1,0 +1,94 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Data-quality operators — the Deequ-style profiling / validation pass
+  * every warehouse landing runs before consumers trust a table. The
+  * reference reconciles COUNT(*) parity (README.md:30); production
+  * pipelines profile and assert much more, and both faces here are one
+  * map-side-combinable aggregation pass each (a profile of a 100 TB
+  * table costs one scan, not one scan per metric).
+  */
+object QualityQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- column profile: null count + exact distinct count per column,
+    //    computed in ONE aggregation (Catalyst plans multi-distinct via
+    //    Expand: one scan, grouped partial aggs), emitted long-form.
+    "q113_profile" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val aggs = cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__distinct"))
+      }
+      val wide = o.agg(aggs.head, aggs.tail: _*)
+      val long = cols.map { c =>
+        wide.select(lit(c).as("column"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__distinct").as("n_distinct"))
+      }.reduce(_.unionAll(_))
+      long.orderBy(col("column"))
+    },
+
+    // -- validation suite: named integrity checks, one row per check
+    //    with its violation count — uniqueness, referential integrity
+    //    (orphaned facts), and domain constraints. Shapes: the unique
+    //    check is a groupBy-HAVING, the FK check an anti join, the
+    //    domain checks conditional sums on the scan.
+    "q114_quality_checks" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val dupKeys = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .agg(coalesce(sum(col("n")), lit(0L)).as("violations"))
+        .select(lit("orderkey_unique").as("check_name"), col("violations"))
+      val orphans = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("lineitem_fk_orders").as("check_name"), col("violations"))
+      val domains = li.agg(
+        sum(when(col("l_extendedprice") < 0, 1L).otherwise(0L)).as("neg_price"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)).as("bad_discount"))
+      val domainRows =
+        domains.select(lit("price_nonnegative").as("check_name"),
+            col("neg_price").as("violations"))
+          .unionAll(domains.select(lit("discount_in_unit_range").as("check_name"),
+            col("bad_discount").as("violations")))
+      dupKeys.unionAll(orphans).unionAll(domainRows).orderBy(col("check_name"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q113_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column",
+           |  CAST(COUNT(*) FILTER ($c IS NULL) AS BIGINT) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+
+    "q114_quality_checks" ->
+      """SELECT 'orderkey_unique' AS check_name,
+        |  CAST(COALESCE((SELECT SUM(n) FROM (
+        |    SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+        |    HAVING COUNT(*) > 1)), 0) AS BIGINT) AS violations
+        |UNION ALL
+        |SELECT 'lineitem_fk_orders',
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+        |UNION ALL
+        |SELECT 'price_nonnegative',
+        |  (SELECT COUNT(*) FILTER (l_extendedprice < 0) FROM lineitem)
+        |UNION ALL
+        |SELECT 'discount_in_unit_range',
+        |  (SELECT COUNT(*) FILTER (l_discount < 0 OR l_discount > 1) FROM lineitem)
+        |ORDER BY check_name""".stripMargin
+  )
+}
