@@ -280,15 +280,19 @@ object Similarity {
     * shuffle of the table), ranking is a TakeOrderedAndProject. At scale
     * the ranges come from one dim-bounded aggregation (quantRanges) and
     * would be persisted with the table, not recomputed per query. */
+  /** Pure scalar-quantization kernel — the exact formula the column
+    * expression in [[quantizedTopK]] compiles (and QuantProps
+    * property-tests: bounded 0..254 on the range, monotone,
+    * reconstruction within half a code step). */
+  def quantCode(x: Double, mn: Double, mx: Double): Long =
+    if (mx == mn) 0L else math.floor((x - mn) * 254.0 / (mx - mn) + 0.5).toLong
+
   def quantizedTopK(
       embs: DataFrame, id: Column, vec: Column,
       queryVec: Seq[Double], mins: Seq[Double], maxs: Seq[Double],
       k: Int): DataFrame = {
-    def codeOf(x: Double, i: Int): Long = {
-      val (mn, mx) = (mins(i), maxs(i))
-      if (mx == mn) 0L else math.floor((x - mn) * 254.0 / (mx - mn) + 0.5).toLong
-    }
-    val qCodes = queryVec.zipWithIndex.map { case (x, i) => codeOf(x, i) }
+    val qCodes = queryVec.zipWithIndex.map { case (x, i) =>
+      quantCode(x, mins(i), maxs(i)) }
     val mnA = typedlit(mins)
     val mxA = typedlit(maxs)
     val codes = transform(vec, (x, i) => {

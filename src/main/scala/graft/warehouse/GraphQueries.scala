@@ -8,7 +8,10 @@ import graft.util.Tables
 /** Graph analytics over the co-purchase graph — the third graph face
   * next to `Dedup.components` (connected components) and the pair
   * pipelines: triangle counting and degree statistics, the building
-  * blocks of clustering-coefficient / community analyses.
+  * blocks of clustering-coefficient / community analyses. Part of the
+  * warehouse-analytics surface the reference delegates wholesale to
+  * Redshift (reference README.md:3 — "available for analytics"); basket
+  * affinity is the canonical retail example of that delegation.
   *
   * The graph: parts are vertices; an edge joins two parts co-occurring
   * in at least `MinCoOccurrence` orders ("frequently co-purchased").
