@@ -1,6 +1,6 @@
 package graft.warehouse
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Scale utilities (SURVEY.md §4, builder contract "Partitioning &
