@@ -192,8 +192,40 @@ object CorpusQueries {
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           col("score"), col("rank"))
         .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // -- inverted index build: term → document-frequency + sorted posting
+    //    list, the IR structure decontamination / exact-phrase lookups
+    //    probe. One (doc, term) dedup shuffle; the posting aggregation
+    //    rides the term key. Postings are CAPPED per term (first
+    //    PostingCap doc ids — the segment-sharding every production index
+    //    applies to stop-word-grade terms; latent at these SFs but the
+    //    plan shape is the 100 TB one); df counts ALL docs regardless of
+    //    the cap. Output df >= MinDf only (the index head — bounded rows).
+    "q115_inverted_index" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val terms = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .distinct()
+      val dfC = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+      val postings = terms
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= PostingCap)
+        .groupBy(col("term"))
+        .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("postings"))
+      dfC.filter(col("df") >= MinDf)
+        .join(postings, Seq("term"))
+        .select(col("term"), col("df"), col("postings"))
+        .orderBy(col("term"))
     }
   )
+
+  /** q115 posting-segment cap + index-head threshold (shared with SQL). */
+  private val PostingCap = 1000
+  private val MinDf = 100
 
   def oracleSql: Map[String, String] = Map(
     "q77_decontaminate" ->
@@ -299,6 +331,26 @@ object CorpusQueries {
         |  FROM tf JOIN df USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tf, df, score, rank
         |FROM ranked WHERE rank <= 3
-        |ORDER BY doc_id, rank""".stripMargin
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "q115_inverted_index" ->
+      s"""WITH t0 AS (
+        |  SELECT doc_id,
+        |    UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS term
+        |  FROM documents),
+        |t AS (SELECT DISTINCT doc_id, term FROM t0),
+        |dfc AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term),
+        |capped AS (
+        |  SELECT term, doc_id FROM (
+        |    SELECT term, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |    FROM t) WHERE rn <= $PostingCap),
+        |p AS (
+        |  SELECT term, STRING_AGG(doc_id, ',' ORDER BY doc_id) AS postings
+        |  FROM capped GROUP BY term)
+        |SELECT dfc.term, dfc.df, p.postings
+        |FROM dfc JOIN p ON dfc.term = p.term
+        |WHERE dfc.df >= $MinDf
+        |ORDER BY dfc.term""".stripMargin
   )
 }

@@ -187,6 +187,28 @@ object TextQueries {
         .orderBy(col("source"))
     },
 
+    // -- cross-source duplicate flows: which sources share near-dup
+    //    content with which — the provenance view of the pair graph
+    //    (detects mirror/scrape relationships between corpora). q45's
+    //    pairs joined to both endpoints' sources, direction normalized
+    //    via least/greatest; two id-keyed joins + one small groupBy.
+    "q116_dup_flows" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(
+        docs, col("doc_id"), col("text"), threshold = 0.5,
+        bands = 16, maxBucketSize = 1000000)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("a_id"), col("source").as("src_a")),
+          Seq("a_id"))
+        .join(src.select(col("doc_id").as("b_id"), col("source").as("src_b")),
+          Seq("b_id"))
+        .groupBy(least(col("src_a"), col("src_b")).as("source_lo"),
+          greatest(col("src_a"), col("src_b")).as("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("source_lo"), col("source_hi"))
+    },
+
     // -- SimHash near-dup pairs (no oracle: xxhash64). Radius 6/64 bits —
     //    the near-duplicate regime; wider radii on same-domain corpora
     //    degenerate into quadratic almost-everything-matches output.
@@ -431,6 +453,18 @@ object TextQueries {
          |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
          |  doc_id = comp AS is_canonical
          |FROM ledger ORDER BY doc_id""".stripMargin,
+
+    // Provenance rollup of the same pair CTE, direction-normalized.
+    "q116_dup_flows" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT LEAST(da.source, db.source) AS source_lo,
+         |  GREATEST(da.source, db.source) AS source_hi,
+         |  COUNT(*) AS n_pairs
+         |FROM pairs
+         |JOIN documents da ON da.doc_id = a_id
+         |JOIN documents db ON db.doc_id = b_id
+         |GROUP BY 1, 2
+         |ORDER BY n_pairs DESC, source_lo, source_hi""".stripMargin,
 
     // q75's closure rolled up per source: keep = min-label canonical.
     "q111_dedup_savings" ->
