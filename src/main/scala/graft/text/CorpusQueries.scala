@@ -203,25 +203,33 @@ object CorpusQueries {
     //    plan shape is the 100 TB one); df counts ALL docs regardless of
     //    the cap. Output df >= MinDf only (the index head — bounded rows).
     "q115_inverted_index" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val terms = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-        .distinct()
-      val dfC = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
-      val postings = terms
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= PostingCap)
-        .groupBy(col("term"))
-        .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
-          x => x.cast("string")), ",").as("postings"))
-      dfC.filter(col("df") >= MinDf)
-        .join(postings, Seq("term"))
-        .select(col("term"), col("df"), col("postings"))
-        .orderBy(col("term"))
+      invertedIndex(Tables.documents(s, d), MinDf, PostingCap)
     }
   )
+
+  /** Inverted-index build over a `(doc_id, text)` corpus: term → document
+    * frequency (over ALL docs) + sorted posting list capped at
+    * `postingCap` ids. Exposed so CorpusQueriesSpec can exercise the cap
+    * branch, which is latent at the gate SFs. */
+  def invertedIndex(docs: DataFrame, minDf: Int, postingCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .distinct()
+    val dfC = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    val postings = terms
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= postingCap)
+      .groupBy(col("term"))
+      .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+        x => x.cast("string")), ",").as("postings"))
+    dfC.filter(col("df") >= minDf)
+      .join(postings, Seq("term"))
+      .select(col("term"), col("df"), col("postings"))
+      .orderBy(col("term"))
+  }
 
   /** q115 posting-segment cap + index-head threshold (shared with SQL). */
   private val PostingCap = 1000

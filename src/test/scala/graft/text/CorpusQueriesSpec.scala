@@ -97,6 +97,24 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(math.abs(sd - 29.011491975882016) < 1e-9)
   }
 
+  // --- inverted index (q115) -----------------------------------------
+
+  test("inverted index: df counts all docs, postings sorted and capped") {
+    val docs = Seq(
+      (3L, "apple banana"),
+      (1L, "apple cherry"),
+      (2L, "apple banana cherry cherry")
+    ).toDF("doc_id", "text")
+    val idx = CorpusQueries.invertedIndex(docs, minDf = 2, postingCap = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // df = 3 for apple but postings capped to the 2 LOWEST doc ids
+    assert(idx("apple") == ((3L, "1,2")))
+    assert(idx("banana") == ((2L, "2,3")))
+    // within-doc repeats dedup before df; below-minDf terms drop out...
+    assert(idx("cherry") == ((2L, "1,2")))
+    assert(idx.keySet == Set("apple", "banana", "cherry"))
+  }
+
   // --- TF-IDF keyword extraction (q99) -------------------------------
 
   test("tfidf: rarer terms outrank common ones, ranks are 1..k per doc") {
