@@ -176,6 +176,36 @@ object EventQueries {
           count(lit(1)).as("n_events"),
           sum(cents(col("value"))).as("total_value_cents"))
         .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // -- time-series resample + forward fill: per-entity hourly grid
+    //    carrying each slot's LAST observation forward through empty
+    //    slots — the sensor/finance regularization op (q68's gap fill
+    //    zero-fills COUNTS; this interpolates VALUES). Slot value =
+    //    max_by(value, event_id) (event_id is the total order, unique);
+    //    the fill window partitions per user over the bounded grid
+    //    (hours-in-range rows, never data-sized); slots before a user's
+    //    first observation stay null by design. Timestamps leave as
+    //    epoch seconds (BIGINT) — hour-trunc is coarser than the
+    //    ns-vs-µs boundary so both engines agree.
+    "q117_resample_ffill" -> { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("user_id") < 5)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("slot"),
+          col("event_id"), col("value"))
+      val bySlot = ev.groupBy(col("user_id"), col("slot"))
+        .agg(max_by(col("value"), col("event_id")).as("slot_value"))
+      val hours = s.range(1).select(explode(sequence(
+        to_timestamp(lit("2024-01-01 00:00:00")),
+        to_timestamp(lit("2024-01-07 23:00:00")),
+        expr("interval 1 hour"))).as("slot"))
+      val spine = ev.select(col("user_id")).distinct().crossJoin(hours)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("slot"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(bySlot, Seq("user_id", "slot"), "left")
+        .withColumn("value_ffill", last(col("slot_value"), ignoreNulls = true).over(w))
+        .select(col("user_id"), unix_timestamp(col("slot")).as("slot_epoch"),
+          col("value_ffill"))
+        .orderBy(col("user_id"), col("slot_epoch"))
     }
   )
 
@@ -275,6 +305,28 @@ object EventQueries {
         |  CAST(MIN(EPOCH(ts_s)) AS BIGINT) AS session_start_epoch,
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_cents
-        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q117_resample_ffill" ->
+      """WITH ev AS (
+        |  SELECT user_id, DATE_TRUNC('hour', ts) AS slot, event_id, value
+        |  FROM events WHERE user_id < 5),
+        |byslot AS (
+        |  SELECT user_id, slot, ARG_MAX(value, event_id) AS slot_value
+        |  FROM ev GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT u.user_id, g.slot
+        |  FROM (SELECT DISTINCT user_id FROM ev) u
+        |  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(TIMESTAMP '2024-01-01',
+        |    TIMESTAMP '2024-01-07 23:00:00', INTERVAL 1 HOUR)) AS slot) g),
+        |j AS (
+        |  SELECT s.user_id, s.slot, b.slot_value
+        |  FROM spine s LEFT JOIN byslot b
+        |    ON s.user_id = b.user_id AND s.slot = b.slot)
+        |SELECT user_id, CAST(EPOCH(slot) AS BIGINT) AS slot_epoch,
+        |  LAST_VALUE(slot_value IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY slot ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS value_ffill
+        |FROM j ORDER BY user_id, slot_epoch""".stripMargin
   )
 }
