@@ -77,10 +77,13 @@ object AnnQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
-    // -- scalar (int8-style) quantized search: rank by the INTEGER dot
-    //    product of 0..254 codes from corpus-wide per-dimension ranges —
-    //    4× smaller vectors, exact-integer ranking, zero float divergence
-    //    after the (deterministic, op-order-pinned) quantization step.
+    // -- scalar (int8-style) quantized search: rank by the INTEGER
+    //    squared L2 distance of 0..254 codes from corpus-wide
+    //    per-dimension ranges (squared L2 is translation-invariant under
+    //    the quantization offset, unlike the dot product — see
+    //    Similarity.quantizedTopK) — 4× smaller vectors, exact-integer
+    //    ranking, zero float divergence after the (deterministic,
+    //    op-order-pinned) quantization step.
     //    The timed query includes the dim-bounded range aggregation; at
     //    scale the ranges persist with the table like any index.
     "q100_ann_quantized" -> { (s, d) =>

@@ -106,16 +106,20 @@ object CdcQueries {
     //    combine). SUM/COUNT states merge by addition, so the combine is
     //    a union of two agg tables re-aggregated on the group key — at
     //    100 TB the base side of that union is agg-table-sized (a few
-    //    rows per group), not fact-sized. The oracle recomputes from
-    //    scratch: incremental ≡ full is exactly the maintenance
-    //    invariant.
+    //    rows per group), not fact-sized. The two partials must PARTITION
+    //    the fact exactly, so the delta predicate is the negation of the
+    //    base predicate (NOT(date < cut)), which routes NULL order dates
+    //    to the delta side instead of silently dropping them from both.
+    //    The oracle recomputes from scratch: incremental ≡ full is
+    //    exactly the maintenance invariant.
     "q106_incremental_agg" -> { (s, d) =>
       val cut = lit("2000-01-01").cast("timestamp")
       def partial(df: DataFrame) = df
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("tot"))
       val base = partial(Tables.orders(s, d).filter(col("o_orderdate") < cut))
-      val delta = partial(Tables.orders(s, d).filter(col("o_orderdate") >= cut))
+      val delta = partial(Tables.orders(s, d).filter(!(col("o_orderdate") < cut) ||
+        col("o_orderdate").isNull))
       base.unionByName(delta)
         .groupBy(col("o_orderpriority"))
         .agg(sum(col("n")).as("n_orders"), sum(col("tot")).as("total_cents"))

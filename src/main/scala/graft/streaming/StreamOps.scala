@@ -253,15 +253,6 @@ object StreamOps {
       "left_outer")
   }
 
-  /** Chained windowed aggregation — hourly totals rolled up to daily in
-    * ONE streaming query (two stateful operators in append mode;
-    * `window_time` re-derives an event-time column from the finalized
-    * hourly window so the second aggregation can watermark on it). The
-    * alternative is two queries glued by a sink+source hop; the chain
-    * keeps exactly-once semantics and one checkpoint. Each hourly window
-    * finalizes when the watermark passes it, then flows into its day's
-    * running state — daily rows emit a watermark-delay after the day
-    * closes. */
   /** Pipeline observability: attach named metrics to a (streaming or
     * batch) DataFrame without a second pass — `Dataset.observe` computes
     * the aggregates inside the existing plan and surfaces them per
@@ -275,6 +266,15 @@ object StreamOps {
       sum(col("value")).as("total_value"),
       max(col("ts")).as("max_ts"))
 
+  /** Chained windowed aggregation — hourly totals rolled up to daily in
+    * ONE streaming query (two stateful operators in append mode;
+    * `window_time` re-derives an event-time column from the finalized
+    * hourly window so the second aggregation can watermark on it). The
+    * alternative is two queries glued by a sink+source hop; the chain
+    * keeps exactly-once semantics and one checkpoint. Each hourly window
+    * finalizes when the watermark passes it, then flows into its day's
+    * running state — daily rows emit a watermark-delay after the day
+    * closes. */
   def hourlyDailyRollup(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", delay)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -141,15 +141,19 @@ object StatsQueries {
     },
 
     // -- equi-width histogram in exact integers: $500 bins over order
-    //    totals by integer division on cents (floor-division binning ≡
-    //    width_bucket with a zero origin, minus the engine-specific edge
-    //    conventions). One map-side-combined groupBy over a few hundred
-    //    bins; empty bins are absent by construction (sparse histogram).
+    //    totals by FLOOR division on cents (≡ width_bucket with a zero
+    //    origin, minus the engine-specific edge conventions). Spark's
+    //    `div` truncates toward zero, so the explicit correction term
+    //    makes negative cent amounts land in the same bin DuckDB's `//`
+    //    (floor division) assigns them. One map-side-combined groupBy
+    //    over a few hundred bins; empty bins absent by construction.
     "q105_histogram" -> { (s, d) =>
       val binCents = 50000L // $500 per bin
       Tables.orders(s, d)
         .select(graft.util.Exact.cents(col("o_totalprice")).as("cents"))
-        .select(expr(s"cents div $binCents").as("bin"))
+        .select(expr(
+          s"(cents div $binCents) - (CASE WHEN cents % $binCents < 0 THEN 1 ELSE 0 END)")
+          .as("bin"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"))
         .select(col("bin"), (col("bin") * binCents).as("bin_lo_cents"), col("n"))
