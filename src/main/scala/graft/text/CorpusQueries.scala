@@ -197,30 +197,59 @@ object CorpusQueries {
     // -- inverted index build: term → document-frequency + sorted posting
     //    list, the IR structure decontamination / exact-phrase lookups
     //    probe. One (doc, term) dedup shuffle; the posting aggregation
-    //    rides the term key. Postings are CAPPED per term (first
-    //    PostingCap doc ids — the segment-sharding every production index
-    //    applies to stop-word-grade terms; latent at these SFs but the
-    //    plan shape is the 100 TB one); df counts ALL docs regardless of
-    //    the cap. Output df >= MinDf only (the index head — bounded rows).
+    //    rides the term key. Postings are CAPPED per term (lowest
+    //    PostingCap doc ids) via a TWO-STAGE SALTED cap so a stop-word
+    //    term never funnels its full posting list through one sort task —
+    //    the segment-sharding every production index applies; see
+    //    invertedIndex below for the equivalence argument. df counts ALL
+    //    docs regardless of the cap. Output df >= MinDf only (the index
+    //    head — bounded rows).
     "q115_inverted_index" -> { (s, d) =>
       invertedIndex(Tables.documents(s, d), MinDf, PostingCap)
     }
   )
 
   /** Inverted-index build over a `(doc_id, text)` corpus: term → document
-    * frequency (over ALL docs) + sorted posting list capped at
-    * `postingCap` ids. Exposed so CorpusQueriesSpec can exercise the cap
-    * branch, which is latent at the gate SFs. */
-  def invertedIndex(docs: DataFrame, minDf: Int, postingCap: Int): DataFrame = {
+    * frequency (over ALL docs) + sorted posting list capped at the
+    * `postingCap` LOWEST doc ids.
+    *
+    * The cap is applied in TWO stages so no task ever sorts a whole
+    * term's postings. A stop-word-grade term at 100 TB has billions of
+    * postings; a single `row_number over (partition by term)` would
+    * funnel all of them through one task before the cap filter ran.
+    * Instead:
+    *
+    *  1. per-(term, salt) cap, salt = xxhash64(doc_id) mod `saltBuckets`
+    *     — every window task sees at most its bucket's share of one
+    *     term, and at most `postingCap` rows per bucket survive;
+    *  2. per-term re-cap over the ≤ saltBuckets×postingCap survivors —
+    *     a bounded sort regardless of the term's true df.
+    *
+    * Stage 2 output is EXACTLY the unsalted answer: a doc id among the
+    * term's `postingCap` lowest has fewer than `postingCap` ids below it
+    * in the whole term, hence fewer than `postingCap` below it in its
+    * own salt bucket, so stage 1 cannot drop it. df comes from the
+    * map-side-combined count over all postings, unaffected by either
+    * cap. Exposed (with `saltBuckets`) so CorpusQueriesSpec can pin
+    * salted ≡ unsalted on a corpus that actually exercises the cap. */
+  def invertedIndex(docs: DataFrame, minDf: Int, postingCap: Int,
+      saltBuckets: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(saltBuckets >= 1, "saltBuckets must be positive")
     val terms = docs
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
       .distinct()
     val dfC = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
-    val postings = terms
-      .withColumn("rn", row_number().over(w))
+    val w1 = Window.partitionBy(col("term"), col("salt")).orderBy(col("doc_id"))
+    val bucketCapped = terms
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(saltBuckets.toLong)))
+      .withColumn("rn", row_number().over(w1))
+      .filter(col("rn") <= postingCap)
+      .drop("salt", "rn")
+    val w2 = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    val postings = bucketCapped
+      .withColumn("rn", row_number().over(w2))
       .filter(col("rn") <= postingCap)
       .groupBy(col("term"))
       .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),

@@ -115,6 +115,31 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(idx.keySet == Set("apple", "banana", "cherry"))
   }
 
+  test("inverted index: salted two-stage cap ≡ unsalted on a hot term") {
+    // 'hot' appears in 200 docs with a cap of 7 — the cap genuinely
+    // bites, and doc ids are shuffled so salt buckets are non-trivial.
+    // 'cool' has df 6 < cap (cap never bites); 'rare' has df 2 < minDf.
+    val rnd = new scala.util.Random(42)
+    val hotIds = rnd.shuffle((1L to 200L).toList)
+    val docs = (
+      hotIds.map(id => (id, s"hot filler$id")) ++
+      (201L to 206L).map(id => (id, "cool stuff")) ++
+      Seq((207L, "rare gem"), (208L, "rare gem"))
+    ).toDF("doc_id", "text")
+    val salted = CorpusQueries.invertedIndex(docs, minDf = 3, postingCap = 7,
+        saltBuckets = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val unsalted = CorpusQueries.invertedIndex(docs, minDf = 3, postingCap = 7,
+        saltBuckets = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(salted.toSeq == unsalted.toSeq)
+    val byTerm = salted.map(t => t._1 -> ((t._2, t._3))).toMap
+    // the capped posting list is the 7 LOWEST doc ids; df counts all 200
+    assert(byTerm("hot") == ((200L, (1L to 7L).mkString(","))))
+    assert(byTerm("cool") == ((6L, (201L to 206L).mkString(","))))
+    assert(!byTerm.contains("rare"))
+  }
+
   // --- TF-IDF keyword extraction (q99) -------------------------------
 
   test("tfidf: rarer terms outrank common ones, ranks are 1..k per doc") {
