@@ -35,6 +35,13 @@ object Bench {
     // later query — the timed line measures the clustered probe. First
     // invocation pays the clustered write (~9 s at sf0.1).
     SparkEntry.queries("q74_zorder_prune")(spark, sfDir).count()
+    // And for the dedup ledger: pairs + components are maintained tables
+    // refreshed with the corpus (round-6 verdict #2) — built here once;
+    // q75/q111/q116's timed lines measure the probe/rollup, while q45
+    // still charges the standalone pair pipeline each pass. Build cost ≈
+    // one minhash pass + the components fixpoint (~10 s at sf0.1),
+    // amortized over every downstream dedup report.
+    text.TextQueries.dedupLedger(spark, sfDir)
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Two passes per query, report the MIN (total = sum of mins): the
