@@ -19,13 +19,14 @@ import graft.util.Tables
   * pairs per order, a map-side explode, never quadratic in the table);
   * the canonical u < v orientation counts every edge and triangle once.
   *
-  * Triangle plan: wedge join (E ⋈ E on the shared middle vertex) then a
-  * closure probe against E — two shuffle joins on vertex keys. At 100 TB
-  * the standard refinement is degree orientation (point each edge from
-  * its lower-degree endpoint, bounding wedge fan-out by arboricity
-  * instead of max degree); the id orientation here keeps the oracle SQL
-  * identical and the thresholded graph sparse enough that wedges stay
-  * linear-ish in E.
+  * Triangle plan: DEGREE-ORIENTED wedge join (each edge points from its
+  * lower-degree endpoint, ties by id) then a closure probe against the
+  * undirected list — two shuffle joins on vertex keys whose fan-out is
+  * bounded by arboricity (O(√E)) instead of max degree, so a degree-d
+  * hub contributes zero wedges rather than Θ(d²) (round-6 verdict #3).
+  * The triangle COUNT is orientation-invariant, so the oracle SQL keeps
+  * the plain id-oriented wedge join; GraphSpec pins the equivalence and
+  * the hub-star wedge asymmetry.
   */
 object GraphQueries {
 
@@ -44,16 +45,58 @@ object GraphQueries {
       .select(col("u"), col("v"))
   }
 
-  /** Triangle count over a canonically-oriented (u < v) edge list:
-    * wedges (e1.v = e2.u) closed by an e3 probe. Returns one row
-    * (n_edges, n_triangles). Exposed on the edge DF so GraphSpec can pin
-    * the closure on hand-built graphs (K4 = 4, chains/stars = 0) —
-    * oracle gates alone can't exercise degenerate shapes. */
+  /** Re-orient a canonical (u < v) edge list from each edge's
+    * lower-DEGREE endpoint, ties broken by id — i.e. from the minimum
+    * endpoint under the total order (degree, id). Output columns (s, t).
+    *
+    * This is the standard hub-taming refinement for wedge generation:
+    * out-degree under this orientation is O(√E) on any graph (arboricity
+    * bound), so a degree-d hub contributes ZERO wedges — its incident
+    * edges all point INTO it — where id orientation can generate Θ(d²)
+    * wedges at a low-id hub. Costs one degree aggregate plus two
+    * vertex-keyed joins, all on the (small) edge list, and makes the
+    * wedge join's fan-out skew-proof at 100×. */
+  def orientByDegree(e: DataFrame): DataFrame = {
+    val deg = e.select(col("u").as("p")).unionAll(e.select(col("v").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    e.join(deg.select(col("p").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("p").as("v"), col("deg").as("dv")), Seq("v"))
+      // u < v already, so equal degrees keep u first (lower id)
+      .select(
+        when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("s"),
+        when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("t"))
+  }
+
+  /** Wedge candidates the closure probe would scan for an oriented
+    * (s, t) edge list: Σ_s C(outdeg(s), 2), in exact integers. The
+    * join-size diagnostic GraphSpec uses to show degree orientation
+    * stays linear on hub graphs where id orientation is quadratic. */
+  def wedgeCount(oriented: DataFrame): Long =
+    oriented.groupBy(col("s")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)))
+      .head().getLong(0)
+
+  /** Triangle count over a canonically-oriented (u < v) edge list.
+    * Returns one row (n_edges, n_triangles). Exposed on the edge DF so
+    * GraphSpec can pin the closure on hand-built graphs (K4 = 4,
+    * chains/stars = 0) — oracle gates alone can't exercise degenerate
+    * shapes.
+    *
+    * Plan: [[orientByDegree]], then wedges are ordered pairs of
+    * out-neighbors (e1.t < e2.t keeps the pair canonical), closed by a
+    * probe against the UNDIRECTED canonical list. Every triangle is
+    * counted exactly once — at its minimum vertex under the (degree, id)
+    * order, whose two out-edges form the wedge; the closing edge between
+    * the other two endpoints is (lower id, higher id), exactly the e3
+    * probe key. The count is identical to the id-oriented wedge join
+    * (GraphSpec pins the equivalence), but the fan-out is arboricity-
+    * bounded instead of max-degree-bounded. */
   def triangleCount(e: DataFrame): DataFrame = {
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+    val o = orientByDegree(e)
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
       .join(e.as("e3"),
-        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        col("e3.u") === col("e1.t") && col("e3.v") === col("e2.t"))
       .agg(count(lit(1)).as("n_triangles"))
     e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
   }

@@ -1,5 +1,6 @@
 package graft.warehouse
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -41,5 +42,37 @@ class GraphSpec extends AnyFunSuite {
         Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("u", "v"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist == Map(1L -> 4L, 4L -> 1L))
+  }
+
+  test("hub-star adversary: id orientation makes Θ(d²) wedges, degree orientation zero") {
+    // star K1,50 with the hub at the LOWEST id — the worst case for id
+    // orientation, where every edge leaves the hub and the wedge join
+    // fans out C(50,2) pairs. Degree orientation points every edge INTO
+    // the hub (leaves have degree 1 < 50), so no vertex has 2 out-edges.
+    val d = 50L
+    val star = (1L to d).map(i => (0L, i)).toDF("u", "v")
+    val idOriented = star.select(col("u").as("s"), col("v").as("t"))
+    assert(GraphQueries.wedgeCount(idOriented) == d * (d - 1) / 2) // 1225
+    assert(GraphQueries.wedgeCount(GraphQueries.orientByDegree(star)) == 0L)
+    // and the hub graph is still triangle-free under the new plan
+    val r = GraphQueries.triangleCount(star).head()
+    assert((r.getLong(0), r.getLong(1)) == ((d, 0L)))
+  }
+
+  test("degree-oriented count ≡ brute force on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 24
+    val edges = (for {
+      u <- 1 to n; v <- (u + 1) to n if rnd.nextDouble() < 0.3
+    } yield (u.toLong, v.toLong)).toSeq
+    val adj = edges.toSet
+    val brute = (for {
+      a <- 1 to n; b <- (a + 1) to n; c <- (b + 1) to n
+      if adj((a.toLong, b.toLong)) && adj((a.toLong, c.toLong)) &&
+        adj((b.toLong, c.toLong))
+    } yield 1).size.toLong
+    val r = GraphQueries.triangleCount(edges.toDF("u", "v")).head()
+    assert((r.getLong(0), r.getLong(1)) == ((edges.size.toLong, brute)))
+    assert(brute > 0L) // the fixture actually exercises the closure
   }
 }
