@@ -185,20 +185,24 @@ object EventQueries {
     //    max_by(value, event_id) (event_id is the total order, unique);
     //    the fill window partitions per user over the bounded grid
     //    (hours-in-range rows, never data-sized); slots before a user's
-    //    first observation stay null by design. Timestamps leave as
-    //    epoch seconds (BIGINT) — hour-trunc is coarser than the
-    //    ns-vs-µs boundary so both engines agree.
+    //    first observation stay null by design. The grid bounds are
+    //    DERIVED from the data — a 1-row broadcast min/max aggregate
+    //    feeds `sequence`, so the operator resamples whatever range the
+    //    table actually covers (round-6 verdict #5; no driver-side
+    //    collect, the bounds ride the plan). Timestamps leave as epoch
+    //    seconds (BIGINT) — hour-trunc is coarser than the ns-vs-µs
+    //    boundary so both engines agree.
     "q117_resample_ffill" -> { (s, d) =>
       val ev = Tables.events(s, d).filter(col("user_id") < 5)
         .select(col("user_id"), date_trunc("hour", col("ts")).as("slot"),
           col("event_id"), col("value"))
       val bySlot = ev.groupBy(col("user_id"), col("slot"))
         .agg(max_by(col("value"), col("event_id")).as("slot_value"))
-      val hours = s.range(1).select(explode(sequence(
-        to_timestamp(lit("2024-01-01 00:00:00")),
-        to_timestamp(lit("2024-01-07 23:00:00")),
-        expr("interval 1 hour"))).as("slot"))
-      val spine = ev.select(col("user_id")).distinct().crossJoin(hours)
+      val hours = ev.agg(min(col("slot")).as("lo"), max(col("slot")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("slot"))
+      val spine = ev.select(col("user_id")).distinct()
+        .crossJoin(broadcast(hours))
       val w = Window.partitionBy(col("user_id")).orderBy(col("slot"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       spine.join(bySlot, Seq("user_id", "slot"), "left")
@@ -314,11 +318,14 @@ object EventQueries {
         |byslot AS (
         |  SELECT user_id, slot, ARG_MAX(value, event_id) AS slot_value
         |  FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(slot) AS lo, MAX(slot) AS hi FROM ev),
         |spine AS (
         |  SELECT u.user_id, g.slot
         |  FROM (SELECT DISTINCT user_id FROM ev) u
-        |  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(TIMESTAMP '2024-01-01',
-        |    TIMESTAMP '2024-01-07 23:00:00', INTERVAL 1 HOUR)) AS slot) g),
+        |  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(
+        |    (SELECT CAST(lo AS TIMESTAMP) FROM bounds),
+        |    (SELECT CAST(hi AS TIMESTAMP) FROM bounds),
+        |    INTERVAL 1 HOUR)) AS slot) g),
         |j AS (
         |  SELECT s.user_id, s.slot, b.slot_value
         |  FROM spine s LEFT JOIN byslot b
