@@ -51,4 +51,84 @@ object Scd {
         row_number().over(wRun).as("version"))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** One INCREMENTAL Type-2 maintenance step: fold a merge-table change
+    * window ([[Apply.changesBetween]]'s insert/delete rows) into an
+    * existing history, on the COMMIT-ID time axis.
+    *
+    * `history` carries [[type2]]'s shape with BIGINT validity bounds:
+    * (key, state, valid_from, valid_to, version, is_current). Per step:
+    *
+    *  - a key whose `insert` change row carries a state DIFFERENT from
+    *    its current run closes that run at `commit` and opens a new one
+    *    (version = its max version + 1). The state comparison matters:
+    *    stored rows include bookkeeping columns (`_version`), so a
+    *    same-state re-upsert still emits change rows — the `<=>` filter
+    *    is what gives the exact analog of [[type2]]'s run collapse;
+    *  - a key with only a `delete` row closes its run and opens nothing
+    *    (re-insertion later resumes at version + 1);
+    *  - untouched keys pass through unread.
+    *
+    * Work per step is proportional to the change window plus the history
+    * table — NEVER the full feed; this is what lets a dimension history
+    * maintain under streaming ingest (the same fold is the foreachBatch
+    * body when the change feed arrives as a stream). All joins are on
+    * the history key, one shuffle each; the change side is batch-sized
+    * and broadcast-eligible under AQE. */
+  def type2Apply(history: DataFrame, changes: DataFrame, key: Column,
+      state: Column, commit: Long): DataFrame = {
+    val cur = history.filter(col("is_current"))
+    val insAll = changes.filter(col("_change_type") === "insert")
+      .select(key.as("key"), state.as("state"))
+    // pure deletes: keys that vanished, not halves of an update pair
+    val delKeys = changes.filter(col("_change_type") === "delete")
+      .select(key.as("key")).distinct()
+      .join(insAll.select(col("key")).distinct(), Seq("key"), "left_anti")
+    // real state changes: drop inserts whose state matches the key's
+    // current run (bookkeeping-only rewrites emit change rows too)
+    val ins = insAll
+      .join(cur.select(col("key"), col("state").as("_cs")), Seq("key"), "left")
+      .filter(!(col("state") <=> col("_cs"))).drop("_cs")
+    val touched = ins.select(col("key")).distinct().unionByName(delKeys)
+    val closed = cur.join(touched, Seq("key"), "left_semi")
+      .withColumn("valid_to", lit(commit))
+      .withColumn("is_current", lit(false))
+    val untouched = cur.join(touched, Seq("key"), "left_anti")
+    val past = history.filter(!col("is_current"))
+    val prevVer = history.groupBy(col("key")).agg(max(col("version")).as("_pv"))
+    val opened = ins.join(prevVer, Seq("key"), "left")
+      .select(col("key"), col("state"), lit(commit).as("valid_from"),
+        lit(null).cast("long").as("valid_to"),
+        (coalesce(col("_pv"), lit(0)) + lit(1)).as("version"),
+        lit(true).as("is_current"))
+    past.unionByName(closed).unionByName(untouched).unionByName(opened)
+  }
+
+  /** Maintain Type-2 history across a merge table's WHOLE commit range by
+    * folding [[type2Apply]] over consecutive change windows — the
+    * dimension history maintains from the change feed alone, without ever
+    * recomputing from a full event feed (round-6 verdict #6). The first
+    * commit's snapshot seeds version-1 runs; each later window reads only
+    * its changes. `localCheckpoint` per step truncates the fold's lineage
+    * exactly as a production maintainer's per-batch history write does.
+    * CaptureApplySpec pins batch-built ≡ incrementally-maintained across
+    * update / no-op / delete / re-insert commits. */
+  def type2FromMergeTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, key: Column, state: Column): DataFrame = {
+    val cs = Apply.commits(spark, tableDir).sorted
+    require(cs.nonEmpty, s"$tableDir has no commits")
+    var history = Apply.readMergeTableAt(spark, tableDir, cs.head)
+      .select(key.as("key"), state.as("state"))
+      .select(col("key"), col("state"), lit(cs.head).as("valid_from"),
+        lit(null).cast("long").as("valid_to"), lit(1).as("version"),
+        lit(true).as("is_current"))
+    cs.sliding(2).foreach {
+      case Seq(a, b) =>
+        history = type2Apply(history,
+          Apply.changesBetween(spark, tableDir, a, b), key, state, b)
+          .localCheckpoint(true)
+      case _ => () // single-commit table: the seed IS the history
+    }
+    history
+  }
 }

@@ -254,6 +254,64 @@ class CaptureApplySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental SCD2 from the change feed ≡ batch-built history") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("merge-scd2") + "/t"
+    val ms = MemoryStream[Env]
+    val q = Apply.startMerge(ms.toDF(), table, tmp("ck-scd2"), "id", "ts",
+      afterSchema,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"),
+      gcGraceMs = Long.MaxValue)
+    // c1: two dimension rows appear
+    ms.addData(env("INSERT", "a", 1.0).copy(ts = ts(100)),
+      env("INSERT", "b", 2.0).copy(ts = ts(100)))
+    q.processAllAvailable()
+    // c2: a changes state; b is rewritten with the SAME state (new ts
+    // only — a bookkeeping rewrite that must NOT open a new run)
+    ms.addData(env("MODIFY", "a", 9.0).copy(ts = ts(200)),
+      env("MODIFY", "b", 2.0).copy(ts = ts(200)))
+    q.processAllAvailable()
+    // c3: b deleted, c appears
+    ms.addData(env("REMOVE", "b", 2.0).copy(ts = ts(300)),
+      env("INSERT", "c", 3.0).copy(ts = ts(300)))
+    q.processAllAvailable()
+    // c4: b re-inserted with a new state — version resumes, not restarts
+    ms.addData(env("INSERT", "b", 5.0).copy(ts = ts(400)))
+    q.processAllAvailable()
+    q.stop()
+
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("key", "state", "valid_from", "valid_to", "version", "is_current")
+      .collect().map(r => (r.getString(0), r.getAs[Double](1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4), r.getBoolean(5)))
+      .toSet
+
+    val inc = norm(Scd.type2FromMergeTable(spark, table, col("id"), col("price")))
+    assert(inc == Set(
+      ("a", 1.0, 1L, 2L, 1, false), ("a", 9.0, 2L, -1L, 2, true),
+      ("b", 2.0, 1L, 3L, 1, false), ("b", 5.0, 4L, -1L, 2, true),
+      ("c", 3.0, 3L, -1L, 1, true)))
+
+    // batch equivalent: observe every key at every commit (NULL state
+    // when absent = tombstone), run the one-shot type2, drop tombstone
+    // runs, renumber versions over the real runs. The tombstone run's
+    // start is exactly the deletion commit, so valid_to bounds agree.
+    val cs = Apply.commits(spark, table).sorted
+    assert(cs.size == 4)
+    val live = cs.map(c => Apply.readMergeTableAt(spark, table, c)
+        .select(col("id"), col("price")).withColumn("c", lit(c)))
+      .reduce(_ unionByName _)
+    val obs = live.select(col("id")).distinct()
+      .crossJoin(live.select(col("c")).distinct())
+      .join(live, Seq("id", "c"), "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("valid_from"))
+    val batch = Scd.type2(obs, col("id"), col("price"), col("c"), col("c"))
+      .filter(col("state").isNotNull)
+      .withColumn("version", row_number().over(w))
+    assert(norm(batch) == inc)
+  }
+
   test("compact: generations collapse to one, data and snapshots intact") {
     implicit val sqlCtx = spark.sqlContext
     val table = tmp("merge-compact") + "/t"
