@@ -516,9 +516,10 @@ object Dedup {
     * the minimum label in its closed neighborhood; labels only decrease,
     * so the fixpoint is exact components. Rounds ≈ graph diameter —
     * near-dup clusters are near-cliques (diameter ≤ ~3), so the loop is
-    * short; a long-chain adversary costs O(diameter) rounds (the
-    * alternating small-star/large-star formulation is the O(log n)
-    * upgrade path if that ever bites at cluster scale). Per round: ONE
+    * short; a long-chain adversary costs O(diameter) rounds — for THAT
+    * regime use [[componentsStars]], the alternating small-star/large-
+    * star formulation whose round count is logarithmic in the component
+    * size (DedupSpec pins the two algorithms equivalent). Per round: ONE
     * job — a join on the CLOSED neighborhood (self-loops added once, up
     * front) + one partial-aggregated groupBy; the self-loop row carries
     * each vertex's previous label through the aggregation, so change
@@ -576,6 +577,73 @@ object Dedup {
     cur.unpersist(false)
     closed.unpersist(false)
     out
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", MRC model) — the diameter-proof alternative to
+    * [[components]]: round count is logarithmic in component size
+    * instead of linear in diameter, so a 10⁶-vertex chain converges in
+    * ~20 rounds, not 10⁶. Same contract: (id, comp = component minimum)
+    * for every vertex on an edge.
+    *
+    *  - large-star: every strictly-LARGER neighbor of a vertex attaches
+    *    to the minimum of its closed neighborhood;
+    *  - small-star: every SMALLER neighbor (and the vertex itself)
+    *    attaches to the minimum of the smaller neighbors.
+    *
+    * Both preserve connectivity and only move edges toward smaller ids;
+    * the fixpoint is a star per component rooted at its minimum. Each
+    * round is two groupBy+join passes over the CURRENT edge set — which
+    * SHRINKS as stars collapse (dedup graphs: fast). Unlike
+    * [[components]]' single-reference round, a star round references
+    * the edge frame ~a dozen times (symmetric view × min join × the
+    * small-star union), so lineage MUST be cut every round: each round
+    * lands in an eager localCheckpoint, leaving O(log n) edge-set-sized
+    * anchors over the whole run (pinned until session end, but the edge
+    * set shrinks geometrically). Convergence = the canonical edge set is
+    * unchanged (count + exceptAll on already-materialized frames).
+    *
+    * Prefer [[components]] for near-clique dedup graphs (fewer passes
+    * per round, O(1) rounds there anyway); prefer this for deep/chained
+    * graphs — substring-dup chains, citation paths — where diameter is
+    * unbounded. */
+  def componentsStars(edges: DataFrame, a: Column, b: Column): DataFrame = {
+    var e = edges.select(least(a, b).as("u"), greatest(a, b).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var eCount = e.count()
+    var done = eCount == 0L
+    while (!done) {
+      // large-star over the symmetric view
+      val sym = e.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+      val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val ls = sym.join(mins, Seq("src"))
+        .filter(col("dst") > col("src"))
+        .select(col("m").as("u"), col("dst").as("v")) // m <= src < dst
+        .distinct()
+      // small-star over the larger→smaller direction
+      val dir = ls.select(col("v").as("src"), col("u").as("dst"))
+      val mins2 = dir.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val ss = dir.join(mins2, Seq("src"))
+        .select(col("m").as("u"), col("dst").as("v")) // m <= dst < src
+        .filter(col("u") =!= col("v"))                // dst == m: that IS m
+        .unionByName(mins2.select(col("m").as("u"), col("src").as("v")))
+        .distinct()
+      val next = ss.localCheckpoint(true) // mandatory per-round lineage cut
+      val nextCount = next.count()
+      done = nextCount == eCount && next.exceptAll(e).isEmpty
+      e = next
+      eCount = nextCount
+    }
+    // fixpoint edges are (component-min, member) stars
+    e.select(col("v").as("id"), col("u").as("comp"))
+      .unionByName(
+        e.select(col("u").as("comp")).distinct()
+          .select(col("comp").as("id"), col("comp")))
+      .distinct()
+      .localCheckpoint(true)
   }
 
   /** One min-label round: join the closed neighborhood to the current

@@ -149,6 +149,40 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("componentsStars ≡ components on random graphs and a long chain") {
+    val rnd = new scala.util.Random(11)
+    // random graphs: both algorithms, identical labelings
+    for (trial <- 1 to 3) {
+      val n = 20
+      val es = Seq.fill(24)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val a = Dedup.components(es.toDF("a", "b"), col("a"), col("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = Dedup.componentsStars(es.toDF("a", "b"), col("a"), col("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a == b, s"trial $trial, edges $es")
+    }
+    // the diameter adversary: a 48-vertex chain with shuffled ids —
+    // min-label needs ~diameter rounds, the star rewrite converges
+    // logarithmically, and the labels must still agree exactly
+    val ids = rnd.shuffle((100L to 147L).toList)
+    val chain = ids.zip(ids.tail)
+    val minId = ids.min
+    val got = Dedup.componentsStars(chain.toDF("a", "b"), col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ids.map(_ -> minId).toMap)
+    assert(got == Dedup.components(chain.toDF("a", "b"), col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
+  test("componentsStars: empty input and pure self-loops yield no rows") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.componentsStars(empty, col("a"), col("b")).count() == 0L)
+    // pure self-loops carry no connectivity — and no vertices survive
+    val selfs = Seq((3L, 3L), (4L, 4L)).toDF("a", "b")
+    assert(Dedup.componentsStars(selfs, col("a"), col("b")).count() == 0L)
+  }
+
   test("components: random edge sets match a local union-find") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 4) {
