@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -126,6 +126,53 @@ object SamplingQueries {
         .withGlobalRowNumber(keyed, Seq(col("skey")), "shuffle_pos")
         .select(col("doc_id"), col("skey"), col("shuffle_pos"))
         .orderBy(col("doc_id"))
+    },
+
+    // -- length-bucketed batching: assign each document to the smallest
+    //    power-of-two context length holding its whitespace token count,
+    //    and report the padding bill per bucket (waste = n·bucket − Σtok)
+    //    — the ledger that decides bucket boundaries for padded-batch
+    //    training. The bucket function is an explicit 21-arm CASE chain
+    //    (codegen'd, libm-free — ceil(log2(n)) would gate an exact
+    //    integer on a libm rounding); the oracle computes the same
+    //    function as MIN over a generated powers table. One map-side-
+    //    combined groupBy over ≤21 buckets.
+    "q120_length_buckets" -> { (s, d) =>
+      val n = TextFunctions.tokenCount(col("text")).cast("long")
+      val bucket = (0 until 20).foldRight(lit(1L << 20): Column) { (k, rest) =>
+        when(n <= (1L << k), lit(1L << k)).otherwise(rest)
+      }
+      Tables.documents(s, d)
+        .select(n.as("n_tokens"), bucket.as("bucket_len"))
+        .groupBy(col("bucket_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .select(col("bucket_len"), col("n_docs"), col("sum_tokens"),
+          (col("n_docs") * col("bucket_len")).as("padded_tokens"),
+          (col("n_docs") * col("bucket_len") - col("sum_tokens"))
+            .as("waste_tokens"))
+        .orderBy(col("bucket_len"))
+    },
+
+    // -- deterministic stratified train/val/test split: bucket =
+    //    portable 48-bit md5 hash of the doc id mod 100, 90/5/5. The
+    //    split is a pure function of the row key — reproducible across
+    //    engines, runs, and repartitions, and any engine (or the oracle)
+    //    re-derives membership without a stored assignment table. Per-
+    //    source counts verify the strata land proportionally. 48 bits
+    //    because the full md5 lower half goes negative in a signed
+    //    BIGINT and 2^64 mod 100 ≠ 0 would break bucket parity
+    //    (TextFunctions.portableHash48).
+    "q121_split_assign" -> { (s, d) =>
+      val b = pmod(TextFunctions.portableHash48(col("doc_id").cast("string")),
+        lit(100L))
+      Tables.documents(s, d)
+        .select(col("source"),
+          when(b < 90, "train").when(b < 95, "val").otherwise("test")
+            .as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("split"))
     }
   )
 
@@ -211,6 +258,36 @@ object SamplingQueries {
         |  ROW_NUMBER() OVER (ORDER BY skey) AS shuffle_pos
         |FROM (SELECT doc_id, MD5('$EpochSalt' || CAST(doc_id AS VARCHAR)) AS skey
         |  FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // MIN over a generated powers-of-two table computes the same bucket
+    // the Spark side's 21-arm CASE chain does.
+    "q120_length_buckets" ->
+      """WITH toks AS (
+        |  SELECT CAST(LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS BIGINT)
+        |    AS n_tokens
+        |  FROM documents),
+        |pows AS (SELECT (1::BIGINT << x) AS p FROM RANGE(21) t(x)),
+        |b AS (
+        |  SELECT n_tokens,
+        |    (SELECT MIN(p) FROM pows WHERE p >= n_tokens) AS bucket_len
+        |  FROM toks)
+        |SELECT bucket_len, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(COUNT(*) * bucket_len AS BIGINT) AS padded_tokens,
+        |  CAST(COUNT(*) * bucket_len - SUM(n_tokens) AS BIGINT) AS waste_tokens
+        |FROM b GROUP BY bucket_len ORDER BY bucket_len""".stripMargin,
+
+    // md5_number_lower's lower half is the same little-endian byte order
+    // portableHash48 builds; % 2^48 keeps both engines in positive range.
+    "q121_split_assign" ->
+      """SELECT source, split, COUNT(*) AS n_docs FROM (
+        |  SELECT source,
+        |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT source,
+        |      (md5_number_lower(CAST(doc_id AS VARCHAR)) % 281474976710656) % 100 AS b
+        |    FROM documents))
+        |GROUP BY source, split ORDER BY source, split""".stripMargin
   )
 }

@@ -107,6 +107,22 @@ object TextFunctions {
     }.reduce(_ + _)
   }
 
+  /** 48-bit md5-derived row hash: little-endian bytes 8..13 of the
+    * digest — the lower 48 bits of the same value DuckDB's
+    * `md5_number_lower` computes, so it replays in SQL as
+    * `md5_number_lower(x) % 2^48`. 48 bits keep the value positive in a
+    * signed BIGINT on BOTH engines (the full 64-bit lower half goes
+    * negative in Spark's long but stays a UBIGINT in DuckDB, and
+    * 2^64 mod k ≠ 0 breaks modulo-bucket parity). Used for
+    * deterministic, engine-portable bucket assignment (splits,
+    * sharding). */
+  def portableHash48(s: Column): Column = {
+    val hex = md5(s)
+    (0 until 6).map { i =>
+      shiftleft(conv(substring(hex, 17 + 2 * i, 2), 16, 10).cast("long"), 8 * i)
+    }.reduce(_ + _)
+  }
+
   /** Distinct n-token shingles (n consecutive tokens joined by space);
     * empty array when the document is shorter than n tokens. */
   def shingles(text: Column, n: Int): Column = {

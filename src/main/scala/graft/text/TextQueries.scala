@@ -188,6 +188,48 @@ object TextQueries {
       dedupLedger(s, d).ledger.orderBy(col("doc_id"))
     },
 
+    // -- the SAME ledger clustered by the alternating small-star/large-
+    //    star rewrite (Dedup.componentsStars) — the diameter-proof
+    //    algorithm proves itself against the identical recursive-CTE
+    //    min-label oracle (both compute component minima, so the outputs
+    //    are bit-identical; DedupSpec pins the equivalence on adversarial
+    //    shapes, this gate pins it on the real pair graph).
+    "q118_components_stars" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val lbl = Dedup.componentsStars(
+        dedupLedger(s, d).pairs, col("a_id"), col("b_id"))
+      val full = docs
+        .join(lbl.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+      val sizes = full.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+      full.join(sizes, Seq("comp"))
+        .select(col("doc_id"), col("comp"), col("comp_size"),
+          (col("doc_id") === col("comp")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -- quality-max canonical selection: production dedup pipelines
+    //    rarely keep the MIN-ID member of a duplicate cluster — they keep
+    //    the BEST one (longest, highest quality score). Same ledger, the
+    //    canonical is argmax(n_chars) with a lowest-id tie-break,
+    //    computed as ONE map-side-combinable struct-max aggregate
+    //    (max(struct(n_chars, -doc_id))) — no per-component window, so a
+    //    pathological million-doc component never funnels through one
+    //    sort task. Probes the session-memoized [[dedupLedger]].
+    "q119_best_of_cluster" -> { (s, d) =>
+      val led = dedupLedger(s, d).ledger.select(col("doc_id"), col("comp"))
+      val j = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        .join(led, Seq("doc_id"))
+      val best = j.groupBy(col("comp"))
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("b"))
+        .select(col("comp"), (-col("b.neg_id")).as("best_doc"))
+      j.join(best, Seq("comp"))
+        .select(col("doc_id"), col("comp"), col("n_chars"),
+          (col("doc_id") === col("best_doc")).as("is_best"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- the business end of the dedup stack: per-source savings from the
     //    pairs → components → canonical ledger (keep one doc per
     //    component — the min-label canonical). Same pipeline as q75 with
@@ -473,6 +515,51 @@ object TextQueries {
          |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
          |  doc_id = comp AS is_canonical
          |FROM ledger ORDER BY doc_id""".stripMargin,
+
+    // Identical to q75's oracle: the star rewrite computes the same
+    // component minima the recursive min-label closure does.
+    "q118_components_stars" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+         |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+         |ledger AS (
+         |  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id)
+         |SELECT doc_id, comp,
+         |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
+         |  doc_id = comp AS is_canonical
+         |FROM ledger ORDER BY doc_id""".stripMargin,
+
+    // Same closure; canonical = max n_chars, ties to the lowest doc_id
+    // (MIN over the max-achieving members — equivalent to the struct-max).
+    "q119_best_of_cluster" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+         |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+         |ledger AS (
+         |  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp,
+         |    CAST(d.n_chars AS BIGINT) AS n_chars
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
+         |mx AS (SELECT comp, MAX(n_chars) AS m FROM ledger GROUP BY comp),
+         |best AS (
+         |  SELECT g.comp, MIN(g.doc_id) AS best_doc
+         |  FROM ledger g JOIN mx ON g.comp = mx.comp AND g.n_chars = mx.m
+         |  GROUP BY g.comp)
+         |SELECT g.doc_id, g.comp, g.n_chars, g.doc_id = b.best_doc AS is_best
+         |FROM ledger g JOIN best b ON g.comp = b.comp
+         |ORDER BY g.doc_id""".stripMargin,
 
     // Provenance rollup of the same pair CTE, direction-normalized.
     "q116_dup_flows" ->
