@@ -78,6 +78,32 @@ object StatsQueries {
           expr("percentile(l_quantity, 0.75)").as("q75"),
           max(cents(col("l_quantity"))).as("max_qty_cents"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // -- §2.4: APPROXIMATE percentile — the scale face of q61. Exact
+    //    percentile needs a full per-group sort; percentile_approx is a
+    //    one-pass mergeable sketch (map-side partials combine like any
+    //    agg), the only shape that works at 100 TB. Verified with the
+    //    q49 HLL pattern: the sketch's p50 must land inside the exact
+    //    p45..p55 value band — its rank error (1/accuracy = 1e-4) is two
+    //    orders of magnitude inside the ±5pp band, so the flag is a
+    //    deterministic TRUE the oracle emits literally. The exact median
+    //    rides along for reference (q61's interpolation parity).
+    "q122_approx_percentile" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          cents(col("o_totalprice")).as("c"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(c, 0.5)").as("median_cents_exact"),
+          expr("percentile_approx(c, 0.5, 10000)").as("approx"),
+          expr("percentile(c, 0.45)").as("lo"),
+          expr("percentile(c, 0.55)").as("hi"))
+        .select(col("o_orderpriority"), col("n"), col("median_cents_exact"),
+          (col("approx") >= col("lo") && col("approx") <= col("hi"))
+            .as("approx_within_band"))
+        .orderBy(col("o_orderpriority"))
     }
   )
 
@@ -234,6 +260,13 @@ object StatsQueries {
       """SELECT bin, bin * 50000 AS bin_lo_cents, COUNT(*) AS n
         |FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 50000 AS bin
         |  FROM orders)
-        |GROUP BY bin ORDER BY bin""".stripMargin
+        |GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q122_approx_percentile" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  QUANTILE_CONT(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0.5)
+        |    AS median_cents_exact,
+        |  TRUE AS approx_within_band
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }
