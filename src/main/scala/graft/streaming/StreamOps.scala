@@ -253,6 +253,29 @@ object StreamOps {
       "left_outer")
   }
 
+  /** FULL-outer stream-stream join — the reconciliation shape: every
+    * purchase AND every click emits exactly once, matched when the
+    * time-range condition holds, null-padded otherwise. Spark requires a
+    * watermark-bounded time-range (or equality) condition on BOTH sides
+    * for full outer so both state stores provably complete; each
+    * unmatched row emits once its own side's watermark passes it. This
+    * completes the streaming join matrix next to the inner (J8) and
+    * left-outer (J8b) forms. */
+  def purchaseClickFullJoin(events: DataFrame, delay: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", delay)
+    purchases.join(
+      clicks,
+      expr("""p_user = c_user AND
+              click_ts <= purchase_ts AND
+              click_ts >= purchase_ts - INTERVAL 1 HOUR"""),
+      "full_outer")
+  }
+
   /** Pipeline observability: attach named metrics to a (streaming or
     * batch) DataFrame without a second pass — `Dataset.observe` computes
     * the aggregates inside the existing plan and surfaces them per

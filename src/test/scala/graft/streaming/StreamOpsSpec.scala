@@ -261,6 +261,38 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(unmatched.map(_.getAs[Long]("p_user")).contains(2L))
   }
 
+  test("J8c: full-outer stream-stream join emits both unmatched sides") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val joined = StreamOps.purchaseClickFullJoin(ms.toDF(), delay = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssfjoin")
+      .outputMode("append").start()
+    ms.addData(
+      Evt(1, t(0), "click", 0.0),
+      Evt(1, t(30), "purchase", 10.0),  // matched pair
+      Evt(2, t(200), "purchase", 5.0),  // purchase with no click in range
+      Evt(3, t(210), "click", 0.0))     // click with no purchase at all
+    q.processAllAvailable()
+    // advance both watermarks far enough to flush the unmatched state
+    ms.addData(Evt(9, t(600), "click", 0.0), Evt(9, t(600), "purchase", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssfjoin").collect()
+    def pUser(r: org.apache.spark.sql.Row) =
+      if (r.isNullAt(r.fieldIndex("p_user"))) -1L else r.getAs[Long]("p_user")
+    def cUser(r: org.apache.spark.sql.Row) =
+      if (r.isNullAt(r.fieldIndex("c_user"))) -1L else r.getAs[Long]("c_user")
+    // matched: user 1 and the watermark-advancing user 9
+    assert(rows.filter(r => pUser(r) >= 0 && cUser(r) >= 0)
+      .map(pUser).toSet == Set(1L, 9L))
+    // purchase-only row survives with null click columns...
+    assert(rows.filter(r => cUser(r) < 0).map(pUser).toSet == Set(2L))
+    // ...and the click-only row survives with null purchase columns —
+    // the side the left-outer form (J8b) drops
+    assert(rows.filter(r => pUser(r) < 0).map(cUser).toSet == Set(3L))
+  }
+
   test("observe: per-batch metrics ride the existing plan") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
