@@ -312,6 +312,42 @@ class CaptureApplySpec extends AnyFunSuite {
     assert(norm(batch) == inc)
   }
 
+  test("incremental aggregate maintenance ≡ groupBy of the live snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("merge-iagg") + "/t"
+    val ms = MemoryStream[Env]
+    val q = Apply.startMerge(ms.toDF(), table, tmp("ck-iagg"), "id", "ts",
+      afterSchema,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"),
+      gcGraceMs = Long.MaxValue)
+    // group key = ticker (constant "tick" would be one group; use ids as
+    // two groups via distinct tickers in the after-image)
+    def ev(op: String, id: String, tick: String, price: Double, s: Long) =
+      Env(op, id, After(id, tick, price), ts(s))
+    ms.addData(ev("INSERT", "a", "X", 1.0, 100), ev("INSERT", "b", "Y", 2.0, 100))
+    q.processAllAvailable()
+    ms.addData(ev("MODIFY", "a", "X", 9.0, 200),  // update: net +8 on X
+      ev("INSERT", "c", "X", 3.0, 200))           // second X member
+    q.processAllAvailable()
+    ms.addData(ev("REMOVE", "b", "Y", 2.0, 300))  // Y's count reaches zero
+    q.processAllAvailable()
+    q.stop()
+
+    val cents = (col("price") * 100).cast("long")
+    val inc = IncrementalAgg.fromMergeTable(spark, table, col("ticker"), cents)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // X: a=9.00 + c=3.00; Y: deleted group drops out entirely
+    assert(inc == Map("X" -> ((2L, 1200L))))
+    // the invariant: identical to a from-scratch groupBy of the final table
+    val full = Apply.readMergeTable(spark, table)
+      .groupBy(col("ticker"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(cents).as("tot"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(inc == full)
+  }
+
   test("compact: generations collapse to one, data and snapshots intact") {
     implicit val sqlCtx = spark.sqlContext
     val table = tmp("merge-compact") + "/t"
