@@ -66,6 +66,51 @@ object Multimodal {
     bins :+ bytes.length.toDouble
   }
 
+  /** Deterministic "resize" stub: block-average the byte stream down to
+    * exactly `outLen` taps (0..255 domain) — the shape of image/audio
+    * downsampling (decode → pool → re-encode) without a codec. Block i
+    * covers bytes [i·n/outLen, (i+1)·n/outLen); empty blocks (input
+    * shorter than outLen) and null payloads yield 0-taps, so the output
+    * length is ALWAYS outLen — the fixed-shape contract a model input
+    * pipeline needs. Pure function of the bytes. */
+  def resizeStub(bytes: Array[Byte], outLen: Int): Array[Double] = {
+    require(outLen >= 1, s"outLen must be positive, got $outLen")
+    val out = new Array[Double](outLen)
+    if (bytes == null || bytes.length == 0) return out
+    val n = bytes.length
+    var i = 0
+    while (i < outLen) {
+      val lo = (i.toLong * n / outLen).toInt
+      val hi = ((i + 1).toLong * n / outLen).toInt
+      if (hi > lo) {
+        var s = 0.0
+        var j = lo
+        while (j < hi) { s += (bytes(j) & 0xFF); j += 1 }
+        out(i) = s / (hi - lo)
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Partition-batched resize over the media table — same mapPartitions
+    * codec seam as [[extractFeatures]]. Output: (media_id, taps array of
+    * exactly `outLen` doubles). */
+  def resized(mediaTable: DataFrame, outLen: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("taps", ArrayType(DoubleType), nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    mediaTable.select(col("media_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          Row(id, resizeStub(bytes, outLen).toSeq)
+        }
+      }(encoder)
+  }
+
   /** Partition-batched feature extraction over the media table: the
     * mapPartitions seam where a real decoder (codec, model) initializes
     * once per partition. Output: (media_id, features array). */
