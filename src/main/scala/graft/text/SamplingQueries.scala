@@ -173,11 +173,40 @@ object SamplingQueries {
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("source"), col("split"))
+    },
+
+    // -- exact proportional sample allocation (largest-remainder /
+    //    Hamilton method): split a sample budget of AllocBudget docs
+    //    across sources proportionally to size, in EXACT integers —
+    //    floor quotas first, then the leftover units go to the largest
+    //    remainders (source-name tie-break). Σalloc = budget always;
+    //    q84's equal quota is the degenerate uniform case. Everything
+    //    after the fact-table count runs on the #sources-sized
+    //    allocation table — the global remainder ranking is a window
+    //    over dozens of rows, not data (fine at any corpus scale).
+    "q123_proportional_alloc" -> { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("tot"))
+      val based = counts.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($AllocBudget * n) div tot"))
+        .withColumn("rem", expr(s"($AllocBudget * n) % tot"))
+      val leftover = based.agg((lit(AllocBudget) - sum(col("base"))).as("lo"))
+      val wRem = Window.orderBy(col("rem").desc, col("source"))
+      based.withColumn("rk", row_number().over(wRem))
+        .crossJoin(broadcast(leftover))
+        .select(col("source"), col("n").as("n_docs"),
+          (col("base") + when(col("rk") <= col("lo"), 1L).otherwise(0L))
+            .as("alloc_docs"))
+        .orderBy(col("source"))
     }
   )
 
   /** q103's per-source cap — shared with the generated oracle SQL. */
   private val DomainCap = 10
+
+  /** q123's total sample budget — shared with the generated oracle SQL. */
+  private val AllocBudget = 1000
 
   /** q104's epoch salt — a new salt is a new permutation. */
   private val EpochSalt = "epoch1:"
@@ -288,6 +317,23 @@ object SamplingQueries {
         |  FROM (SELECT source,
         |      (md5_number_lower(CAST(doc_id AS VARCHAR)) % 281474976710656) % 100 AS b
         |    FROM documents))
-        |GROUP BY source, split ORDER BY source, split""".stripMargin
+        |GROUP BY source, split ORDER BY source, split""".stripMargin,
+
+    "q123_proportional_alloc" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+         |t AS (SELECT SUM(n) AS tot FROM c),
+         |b AS (
+         |  SELECT source, n, ($AllocBudget * n) // t.tot AS base,
+         |    ($AllocBudget * n) % t.tot AS rem
+         |  FROM c, t),
+         |l AS (SELECT $AllocBudget - SUM(base) AS leftover FROM b),
+         |r AS (
+         |  SELECT source, n, base, rem,
+         |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+         |  FROM b)
+         |SELECT source, CAST(n AS BIGINT) AS n_docs,
+         |  CAST(base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
+         |    AS alloc_docs
+         |FROM r, l ORDER BY source""".stripMargin
   )
 }
