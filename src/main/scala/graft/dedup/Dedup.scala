@@ -351,6 +351,44 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Containment (overlap-coefficient) pairs within a blocking key:
+    * shared / min(|A|, |B|) over the same hashed shingle sets as
+    * [[ngramJaccardPairs]] — the ASYMMETRIC relation Jaccard misses. A
+    * short document fully quoted inside a long one has tiny Jaccard
+    * (union is large) but containment ≈ 1; training-data dedup wants
+    * both signals. `direction` names the contained side ('a_in_b' when A
+    * is the smaller set, 'b_in_a' when B is, 'same_size' on ties).
+    * Containment is ONE IEEE division of two exact integers; shared and
+    * set sizes ride along as BIGINTs so the caller (and the oracle) can
+    * re-derive it. Same bounded-block face as q41; the winnowing
+    * pipeline is the scale path for containment detection. */
+  def containmentPairs(
+      docs: DataFrame, id: Column, text: Column, block: Column,
+      threshold: Double, shingleWidth: Int = 3,
+      materialize: Boolean = true): DataFrame = {
+    val setsLazy = shingleRows(docs, id, text, shingleWidth,
+        carry = Seq("blk" -> block))
+      .groupBy(col("id"), col("blk"))
+      .agg(sort_array(collect_set(xxhash64(col("sh")))).as("sh"))
+    val sets = if (materialize) setsLazy.localCheckpoint(true) else setsLazy
+    val a = sets.select(col("id").as("a_id"), col("blk"), col("sh").as("a_sh"))
+    val b = sets.select(col("id").as("b_id"), col("blk"), col("sh").as("b_sh"))
+    a.join(b, Seq("blk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("long").as("shared"),
+        size(col("a_sh")).cast("long").as("n_a"),
+        size(col("b_sh")).cast("long").as("n_b"))
+      .withColumn("containment",
+        col("shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .withColumn("direction",
+        when(col("n_a") < col("n_b"), "a_in_b")
+          .when(col("n_b") < col("n_a"), "b_in_a")
+          .otherwise("same_size"))
+  }
+
   /** SimHash signatures the scale-friendly way: explode tokens, collapse
     * multiplicity (vocab << token count), then ONE packed typed Aggregator
     * accumulates all 64 bit counters per document in a primitive loop

@@ -123,6 +123,18 @@ object TextQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // -- containment pairs: overlap coefficient shared/min(|A|,|B|) with
+    //    a direction flag — the asymmetric quote/subset relation Jaccard
+    //    misses (a short doc fully inside a long one has tiny Jaccard
+    //    but containment 1.0). Same bounded block face as q41; winnowing
+    //    (q57) is the scale path for containment detection.
+    "q124_containment" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      Dedup.containmentPairs(docs, col("doc_id"), col("text"), col("source"),
+          threshold = 0.5, shingleWidth = 3)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // -- MinHash+LSH near-dup pairs (no oracle: Spark hash family).
     //    Oracle-parity config (round-2): bands = k = 16 (r = 1), so a pair
     //    is a candidate iff ANY single minhash agrees — miss probability
@@ -515,6 +527,30 @@ object TextQueries {
          |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
          |  doc_id = comp AS is_canonical
          |FROM ledger ORDER BY doc_id""".stripMargin,
+
+    // q41's shingle CTE with overlap-coefficient semantics; the hashed
+    // long sets on the Spark side intersect identically to the string
+    // sets here (per-pair collision odds ~4e-15, the q41 precedent).
+    "q124_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source, LIST_DISTINCT([
+        |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      FOR i IN RANGE(1, GREATEST(LEN(toks) - 1, 1))]) AS sh
+        |  FROM (SELECT doc_id, source,
+        |      STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+        |    FROM documents WHERE doc_id < 500))
+        |SELECT a_id, b_id, shared, n_a, n_b, containment,
+        |  CASE WHEN n_a < n_b THEN 'a_in_b' WHEN n_b < n_a THEN 'b_in_a'
+        |       ELSE 'same_size' END AS direction
+        |FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS BIGINT) AS shared,
+        |    CAST(LEN(a.sh) AS BIGINT) AS n_a, CAST(LEN(b.sh) AS BIGINT) AS n_b,
+        |    CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |      / CAST(LEAST(LEN(a.sh), LEN(b.sh)) AS DOUBLE) AS containment
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE containment >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // Identical to q75's oracle: the star rewrite computes the same
     // component minima the recursive min-label closure does.

@@ -175,6 +175,33 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  test("containment: quoted subset detected with direction; jaccard would miss it") {
+    val quote = "alpha beta gamma delta epsilon"     // 3 trigrams
+    val docs = Seq(
+      (1L, s"intro words here $quote closing words trailing tokens", "s"),
+      (2L, quote, "s"),                              // fully inside doc 1
+      (3L, "unrelated content entirely different words", "s"),
+      // identical shingle sets in different docs -> same_size tie
+      (10L, "p q r s", "t"),
+      (11L, "p q r s", "t")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.containmentPairs(docs, col("doc_id"), col("text"),
+        col("source"), threshold = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(5), r.getString(6)))).toMap
+    // doc 2's 3 trigrams all appear in doc 1 -> containment 1.0, b inside a
+    assert(got((1L, 2L)) == ((3L, 1.0, "b_in_a")))
+    assert(got((10L, 11L)) == ((2L, 1.0, "same_size")))
+    assert(got.keySet == Set((1L, 2L), (10L, 11L)))
+    // the same quoted pair is INVISIBLE to jaccard at any useful threshold:
+    // 3 shared of 10 union trigrams
+    val jac = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        col("source"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
   test("componentsStars: empty input and pure self-loops yield no rows") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.componentsStars(empty, col("a"), col("b")).count() == 0L)
