@@ -479,6 +479,35 @@ object Apply {
       .toSeq.map(_.getPath.getName)
       .collect { case HistoryRe(id) => id.toLong }.sorted
 
+  /** Commit ids with the write time of their archived manifest —
+    * the timestamp axis for [[readMergeTableAsOf]]. */
+  def commitTimes(spark: SparkSession, tableDir: String): Seq[(Long, Long)] =
+    graft.util.Hfs.list(
+        new HPath(new HPath(tableDir), HistoryDirName), graft.util.Hfs.conf(spark))
+      .toSeq
+      .flatMap(s => s.getPath.getName match {
+        case HistoryRe(id) => Some(id.toLong -> s.getModificationTime)
+        case _ => None
+      }).sorted
+
+  /** TIMESTAMP-AS-OF time travel: read the snapshot of the LATEST commit
+    * whose history manifest was written at or before `tsMillis` — the
+    * same resolution rule Delta applies to its log-file timestamps.
+    * Clock caveat inherited from that design: the axis is the
+    * filesystem's write clock, monotone per writer but only as
+    * trustworthy as the store's clock. Fails loudly when `tsMillis`
+    * precedes the first commit (there is no table to read that early). */
+  def readMergeTableAsOf(spark: SparkSession, tableDir: String,
+      tsMillis: Long): DataFrame = {
+    val times = commitTimes(spark, tableDir)
+    require(times.nonEmpty, s"$tableDir has no committed snapshots")
+    val at = times.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"$tableDir has no commit at or before $tsMillis " +
+        s"(earliest: ${times.head._1} @ ${times.head._2})")
+    readMergeTableAt(spark, tableDir, at.map(_._1).max)
+  }
+
   /** Read the table AS OF a committed snapshot id (ascending per merge
     * commit; see [[commits]]). Resolves through the archived manifest,
     * exactly like [[readMergeTable]] resolves through the current one.

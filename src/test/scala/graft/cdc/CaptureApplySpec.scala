@@ -224,6 +224,37 @@ class CaptureApplySpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no committed snapshot"))
   }
 
+  test("timestamp-as-of time travel resolves through commit write times") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("merge-ttts") + "/t"
+    val ms = MemoryStream[Env]
+    val q = Apply.startMerge(ms.toDF(), table, tmp("ck-ttts"), "id", "ts",
+      afterSchema,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    ms.addData(env("INSERT", "a", 1.0).copy(ts = ts(100)))
+    q.processAllAvailable()
+    Thread.sleep(1100) // separate the two commits on the mtime axis
+    ms.addData(env("MODIFY", "a", 2.0).copy(ts = ts(200)))
+    q.processAllAvailable()
+    q.stop()
+    val times = Apply.commitTimes(spark, table)
+    assert(times.map(_._1) == Seq(1L, 2L))
+    val Seq((_, t1), (_, t2)) = times
+    assert(t1 < t2)
+    def price(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[Double]("price")).toSeq
+    // between the commits -> snapshot 1; at/after the last -> snapshot 2
+    assert(price(Apply.readMergeTableAsOf(spark, table, t1)) == Seq(1.0))
+    assert(price(Apply.readMergeTableAsOf(spark, table, t2 - 1)) == Seq(1.0))
+    assert(price(Apply.readMergeTableAsOf(spark, table, t2)) == Seq(2.0))
+    assert(price(Apply.readMergeTableAsOf(spark, table, Long.MaxValue)) == Seq(2.0))
+    // before the first commit there is no table to read
+    val e = intercept[IllegalArgumentException] {
+      Apply.readMergeTableAsOf(spark, table, t1 - 1)
+    }
+    assert(e.getMessage.contains("no commit at or before"))
+  }
+
   test("change data feed: row-level inserts/deletes between snapshots") {
     implicit val sqlCtx = spark.sqlContext
     val table = tmp("merge-cdf") + "/t"
