@@ -60,6 +60,31 @@ object QualityQueries {
           .unionAll(domains.select(lit("discount_in_unit_range").as("check_name"),
             col("bad_discount").as("violations")))
       dupKeys.unionAll(orphans).unionAll(domainRows).orderBy(col("check_name"))
+    },
+
+    // -- functional-dependency profiling: does column A determine column
+    //    B? Key → #distinct-dependents > 1 marks a violating key; the FD
+    //    holds iff no key violates. The discovery pass schema designers
+    //    and Deequ's uniqueness/consistency checks run — here over known
+    //    candidates spanning a real key (orderkey→custkey), a real
+    //    hierarchy (nationkey→regionkey), and two that genuinely fail.
+    //    Each FD is one groupBy + one tiny re-agg, map-side combinable.
+    "q125_fd_profile" -> { (s, d) =>
+      def fd(df: DataFrame, name: String, k: String, v: String) =
+        df.groupBy(col(k)).agg(countDistinct(col(v)).as("nd"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"))
+          .select(lit(name).as("fd_name"), col("n_keys"), col("n_violating"),
+            (col("n_violating") === 0L).as("holds"))
+      fd(Tables.orders(s, d), "orderkey_determines_custkey",
+          "o_orderkey", "o_custkey")
+        .unionAll(fd(Tables.nation(s, d), "nationkey_determines_regionkey",
+          "n_nationkey", "n_regionkey"))
+        .unionAll(fd(Tables.lineitem(s, d), "orderkey_determines_suppkey",
+          "l_orderkey", "l_suppkey"))
+        .unionAll(fd(Tables.documents(s, d), "source_determines_lang",
+          "source", "lang"))
+        .orderBy(col("fd_name"))
     }
   )
 
@@ -89,6 +114,20 @@ object QualityQueries {
         |UNION ALL
         |SELECT 'discount_in_unit_range',
         |  (SELECT COUNT(*) FILTER (l_discount < 0 OR l_discount > 1) FROM lineitem)
-        |ORDER BY check_name""".stripMargin
+        |ORDER BY check_name""".stripMargin,
+
+    "q125_fd_profile" -> {
+      def fd(table: String, name: String, k: String, v: String) =
+        s"""SELECT '$name' AS fd_name, COUNT(*) AS n_keys,
+           |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           |  SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+           |FROM (SELECT $k, COUNT(DISTINCT $v) AS nd FROM $table GROUP BY $k)""".stripMargin
+      Seq(
+        fd("orders", "orderkey_determines_custkey", "o_orderkey", "o_custkey"),
+        fd("nation", "nationkey_determines_regionkey", "n_nationkey", "n_regionkey"),
+        fd("lineitem", "orderkey_determines_suppkey", "l_orderkey", "l_suppkey"),
+        fd("documents", "source_determines_lang", "source", "lang")
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY fd_name")
+    }
   )
 }
