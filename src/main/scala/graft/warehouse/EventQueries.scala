@@ -43,6 +43,25 @@ object EventQueries {
         .orderBy(col("event_id"))
     },
 
+    // -- W4: time-based RANGE frame — trailing-hour value sum per user.
+    //    Unlike q14's ROWS frame (a fixed row count), the frame bound is
+    //    a VALUE distance on the ordering key (3600 s), so peers with an
+    //    equal key all join the frame (SQL-standard semantics both
+    //    engines share). Ordering key = epoch seconds (second-trunc'd —
+    //    coarser than the ns-vs-µs boundary); same one shuffle on
+    //    user_id as every window in this family.
+    "q126_range_frame" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("es")).rangeBetween(-3600, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("es"),
+          cents(col("value")).as("v"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("v")).over(w).as("hour_sum_cents"))
+        .orderBy(col("event_id"))
+    },
+
     // -- §2.7 JSON navigation: the Redshift-SUPER-equivalent schema-on-read
     //    path over the `props` JSON column.
     "q22_json_extract" -> { (s, d) =>
@@ -229,6 +248,17 @@ object EventQueries {
         |    PARTITION BY user_id ORDER BY event_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_sum_cents
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q126_range_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY es
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS hour_sum_cents
+        |FROM (SELECT event_id, user_id,
+        |    CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
 
     "q22_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
