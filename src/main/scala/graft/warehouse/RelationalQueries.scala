@@ -148,6 +148,27 @@ object RelationalQueries {
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+
+    // -- A5 companion: rollup with GROUPING disambiguation — the
+    //    practitioner-correct form where subtotal rows carry an explicit
+    //    level id (grand total 3, region subtotal 1, detail 0) instead
+    //    of being inferred from NULLs that could also be data. Spark's
+    //    grouping_id() and the SQL-standard GROUPING(a, b) share the bit
+    //    encoding, so the gate pins it exactly.
+    "q127_rollup_grouping_id" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val nat  = Tables.nation(s, d)
+      val reg  = Tables.region(s, d)
+      cust
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_customers"))
+        .select(col("r_name"), col("n_name"), col("gid"), col("n_customers"))
+        .orderBy(col("gid").desc, col("r_name").asc_nulls_first,
+          col("n_name").asc_nulls_first)
     }
   )
 
@@ -223,6 +244,15 @@ object RelationalQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
-        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q127_rollup_grouping_id" ->
+      """SELECT r_name, n_name, CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY gid DESC, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
   )
 }
