@@ -389,6 +389,84 @@ object Dedup {
           .otherwise("same_size"))
   }
 
+  /** Exact Jaccard similarity join with LOSSLESS prefix filtering — the
+    * scale path for EXACT set-similarity output (the PPJoin family;
+    * Chaudhuri et al., "A Primitive Operator for Similarity Joins", ICDE
+    * 2006). [[ngramJaccardPairs]] is all-pairs within a blocking key and
+    * exists as a bounded correctness face; this operator produces the SAME
+    * exact answer with NO blocking key and no all-pairs blowup:
+    *
+    *   1. hash each doc's distinct shingles, count global document
+    *      frequency per shingle (one map-side-combinable groupBy);
+    *   2. order every doc's shingle set by ascending (df, hash) — a
+    *      single GLOBAL total order by rarity;
+    *   3. a pair with Jaccard >= tau must share a token inside each
+    *      side's first `len - ceil(tau*len) + 1` tokens under ANY common
+    *      total order (pigeonhole on the overlap lower bound
+    *      |A∩B| >= tau/(1+tau)*(|A|+|B|)), so candidates are generated by
+    *      an equi-join on PREFIX tokens only — and because the order is
+    *      rarity-first, prefix tokens are precisely the low-df ones, so
+    *      the join fans out on rare tokens and stop-word shingles never
+    *      generate candidates;
+    *   4. a size filter (tau*max(|A|,|B|) <= min(|A|,|B|), exact integer
+    *      cross-multiplication) prunes impossible pairs before verify;
+    *   5. surviving candidate pairs (deduped) are verified with the
+    *      allocation-free merge-intersect [[graft.functions.JaccardSorted]]
+    *      over the full sorted hash arrays.
+    *
+    * Prefix length uses exact integer arithmetic on the rational
+    * threshold `tauNum/tauDen` (ceil(a/b) = (a+b-1) div b), so the filter
+    * is provably complete — the output equals the all-pairs answer
+    * exactly, which is what the oracle checks. At 100 TB the candidate
+    * join's fan-out is bounded by the df of the RAREST tokens of each
+    * set, not by corpus size; the final double is one IEEE division of
+    * two exact integers (JaccardSorted), identical across engines. */
+  def prefixJaccardJoin(
+      docs: DataFrame, id: Column, text: Column,
+      tauNum: Int, tauDen: Int, shingleWidth: Int = 3,
+      materialize: Boolean = true): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"threshold must be a rational in (0, 1], got $tauNum/$tauDen")
+    val threshold = tauNum.toDouble / tauDen
+    val rows = shingleRows(docs, id, text, shingleWidth)
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+      .distinct()
+    val df = rows.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // one groupBy builds BOTH orderings: rarity-first for the prefix,
+    // hash-sorted for the merge-intersect verify
+    val setsLazy = rows.join(df, Seq("h"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(struct(col("df"), col("h")))).as("rare"))
+      .select(col("id"),
+        expr("transform(rare, x -> x.h)").as("by_rarity"),
+        sort_array(expr("transform(rare, x -> x.h)")).as("sh"),
+        size(col("rare")).cast("long").as("len"))
+      .withColumn("prefix_len",
+        // ceil(tau*len) in exact integers: Column./ is DOUBLE division,
+        // so the ceil rides SQL `div` (operands positive -> floor)
+        col("len") - expr(s"(len * $tauNum + $tauDen - 1) div $tauDen") + 1)
+    // referenced three times (prefix explode + both verify sides)
+    val sets = if (materialize) setsLazy.localCheckpoint(true) else setsLazy
+    val prefixes = sets
+      .select(col("id"), col("len"),
+        posexplode(col("by_rarity")).as(Seq("pos", "h")))
+      .filter(col("pos") < col("prefix_len"))
+      .select(col("id"), col("len"), col("h"))
+    val cands = prefixes.as("a").join(prefixes.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          greatest(col("a.len"), col("b.len")) * tauNum <=
+            least(col("a.len"), col("b.len")) * tauDen)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    cands
+      .join(sets.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sets.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .withColumn("jaccard",
+        graft.functions.JaccardSorted.jaccard_sorted(col("a_sh"), col("b_sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   /** SimHash signatures the scale-friendly way: explode tokens, collapse
     * multiplicity (vocab << token count), then ONE packed typed Aggregator
     * accumulates all 64 bit counters per document in a primitive loop

@@ -135,6 +135,20 @@ object TextQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // -- EXACT Jaccard join via lossless prefix filtering (PPJoin face):
+    //    same answer as all-pairs — which is exactly what the oracle
+    //    computes — but candidates are generated only from each set's
+    //    rarest `len - ceil(tau*len) + 1` shingles under one global
+    //    rarity order, so NO blocking key and no quadratic blowup. This
+    //    is the scale path for EXACT similarity output; MinHash+LSH
+    //    (q45) remains the approximate path.
+    "q128_prefix_jaccard" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.prefixJaccardJoin(docs, col("doc_id"), col("text"),
+          tauNum = 1, tauDen = 2, shingleWidth = 3)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // -- MinHash+LSH near-dup pairs (no oracle: Spark hash family).
     //    Oracle-parity config (round-2): bands = k = 16 (r = 1), so a pair
     //    is a candidate iff ANY single minhash agrees — miss probability
@@ -494,6 +508,28 @@ object TextQueries {
         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
         |    / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.08
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // All-pairs over the WHOLE corpus, no blocking key: prefix filtering
+    // is lossless (any J >= tau pair must collide inside the rarity-order
+    // prefixes), so the exhaustive recomputation is the exact answer the
+    // operator must reproduce. The LEN >= 1 guards mirror Spark dropping
+    // docs shorter than the shingle width.
+    "q128_prefix_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, LIST_DISTINCT([
+        |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      FOR i IN RANGE(1, GREATEST(LEN(toks) - 1, 1))]) AS sh
+        |  FROM (SELECT doc_id,
+        |      STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+        |    FROM documents))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |    / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE LEN(a.sh) >= 1 AND LEN(b.sh) >= 1
+        |  AND CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+        |    / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
 
     // All-pairs string-shingle Jaccard: the LSH candidate stage only

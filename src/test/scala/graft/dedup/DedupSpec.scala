@@ -67,6 +67,38 @@ class DedupSpec extends AnyFunSuite {
     assert(exact._3 == 1.0)
   }
 
+  test("prefix jaccard join ≡ all-pairs, including near-threshold pairs") {
+    // adversarial corpus: exact dups, a 1-token edit, pairs engineered to
+    // sit just above and just below tau = 1/2, and shared-prefix decoys
+    // that only overlap on COMMON shingles (rarity ordering must still
+    // not lose the real pairs)
+    val common = "alpha beta gamma delta epsilon zeta eta theta"
+    val extra = Seq(
+      (10L, s"$common one two three four"),
+      (11L, s"$common one two three five"),  // high overlap with 10
+      (12L, s"$common nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+      (13L, "alpha beta gamma delta unrelated tail of completely different words here")
+    ).toDF("doc_id", "text")
+    val corpus = docs.union(extra)
+    val allPairs = Dedup.ngramJaccardPairs(
+        corpus.withColumn("blk", lit("all")), col("doc_id"), col("text"),
+        col("blk"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = Dedup.prefixJaccardJoin(corpus, col("doc_id"), col("text"),
+        tauNum = 1, tauDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefix == allPairs)
+    assert(prefix.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+    assert(prefix.exists(p => p._1 == 10L && p._2 == 11L)) // near-threshold survivor
+  }
+
+  test("prefix jaccard join: tau = 1 degenerates to exact-duplicate pairs") {
+    val pairs = Dedup.prefixJaccardJoin(docs, col("doc_id"), col("text"),
+        tauNum = 1, tauDen = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs == Set((1L, 2L, 1.0)))
+  }
+
   test("winnowing: shared-paragraph containment detected, unrelated not") {
     val para = "the quick brown fox jumps over the lazy dog near the riverbank every single morning"
     // doc 3 shares no >=16-byte phrase with 1/2 (winnowing correctly
