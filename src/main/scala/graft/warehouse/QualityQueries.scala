@@ -85,6 +85,41 @@ object QualityQueries {
         .unionAll(fd(Tables.documents(s, d), "source_determines_lang",
           "source", "lang"))
         .orderBy(col("fd_name"))
+    },
+
+    // -- outlier detection with EXACT arithmetic: flag orders beyond
+    //    k·sigma of their segment mean without ever computing a float
+    //    sigma. (x-mu)^2 > k^2*var cross-multiplies to
+    //    (n*x - S)^2 > k^2*(n*Q - S^2) with S = sum(cents),
+    //    Q = sum(cents^2) — every term an exact integer (DECIMAL(38,0)
+    //    here, HUGEINT in the oracle; n*Q overflows BIGINT beyond
+    //    sf0.01, so the widening is load-bearing), k rational (3/2,
+    //    17/10). Two scans: one map-side-combinable stats pass (5 rows,
+    //    broadcast back), one flagging pass. The data is uniform, so
+    //    thresholds sit below uniform's sqrt(3)-sigma max deviation.
+    "q129_outlier_zscore" -> { (s, d) =>
+      val dec = "decimal(38,0)"
+      val base = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          graft.util.Exact.cents(col("o_totalprice")).as("cents"))
+      val st = base.groupBy(col("seg")).agg(
+        count(lit(1)).as("n"),
+        sum(col("cents").cast(dec)).as("s"),
+        sum((col("cents").cast(dec) * col("cents").cast(dec))).as("q"))
+      base.join(broadcast(st), Seq("seg"))
+        .withColumn("dev", col("n").cast(dec) * col("cents").cast(dec) - col("s"))
+        .withColumn("dev2", col("dev") * col("dev"))
+        .withColumn("var_n2", col("n").cast(dec) * col("q") - col("s") * col("s"))
+        .groupBy(col("seg"), col("n"))
+        .agg(
+          sum(when(col("dev2") * 4 > col("var_n2") * 9, 1L).otherwise(0L))
+            .as("n_out_15"),
+          sum(when(col("dev2") * 100 > col("var_n2") * 289, 1L).otherwise(0L))
+            .as("n_out_17"))
+        .select(col("seg"), col("n").as("n_orders"),
+          col("n_out_15"), col("n_out_17"))
+        .orderBy(col("seg"))
     }
   )
 
@@ -128,6 +163,26 @@ object QualityQueries {
         fd("lineitem", "orderkey_determines_suppkey", "l_orderkey", "l_suppkey"),
         fd("documents", "source_determines_lang", "source", "lang")
       ).mkString("", "\nUNION ALL\n", "\nORDER BY fd_name")
-    }
+    },
+
+    "q129_outlier_zscore" ->
+      """WITH o AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |st AS (
+        |  SELECT seg, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(CAST(cents AS HUGEINT)) AS s,
+        |    SUM(CAST(cents AS HUGEINT)*cents) AS q
+        |  FROM o GROUP BY seg),
+        |fl AS (
+        |  SELECT o.seg, st.n,
+        |    (st.n*o.cents - st.s)*(st.n*o.cents - st.s) AS dev2,
+        |    st.n*st.q - st.s*st.s AS var_n2
+        |  FROM o JOIN st USING (seg))
+        |SELECT seg, CAST(n AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN 4*dev2 > 9*var_n2 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_15,
+        |  CAST(SUM(CASE WHEN 100*dev2 > 289*var_n2 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_17
+        |FROM fl GROUP BY seg, n ORDER BY seg""".stripMargin
   )
 }
