@@ -311,6 +311,60 @@ object Dedup {
     }
   }
 
+  /** DELTA near-dup pairs: every Jaccard >= threshold pair that TOUCHES a
+    * new document (`isNew`), generated WITHOUT any old×old candidate
+    * work — the incremental-ingest face of [[minhashNearDups]]. New-side
+    * band-bucket rows join against the full bucket table, so only buckets
+    * containing a new document produce join work; at 100 TB the cost is
+    * O(delta × bucket occupancy), not O(corpus²). Signatures are per-
+    * document and deterministic, so the old side's rows here stand in for
+    * the signature store a production ledger keeps (recomputing them is
+    * one narrow scan; no pair work happens among old docs either way).
+    * Union with the EXISTING pair ledger reproduces [[minhashNearDups]]
+    * over the full corpus exactly (same family, same banding, caps
+    * disabled) — which is what the q130 gate checks. */
+  def minhashNearDupsDelta(
+      docs: DataFrame, id: Column, text: Column, isNew: Column,
+      threshold: Double, shingleWidth: Int = 3,
+      k: Int = 16, bands: Int = 8, maxBucketSize: Int = 1000,
+      materialize: Boolean = true): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide k (got k=$k, bands=$bands)")
+    val r = k / bands
+    val aggLazy = shingleRows(docs, id, text, shingleWidth,
+        carry = Seq("is_new" -> isNew))
+      .withColumn("h", pmod(hash(col("sh")).cast("long"), lit(4294967296L)))
+      .groupBy(col("id"), col("is_new"))
+      .agg(
+        sort_array(collect_set(xxhash64(col("sh")))).as("vset"),
+        (0 until k).map(j =>
+          min(pmod(col("h") * minhashA(j) + minhashB(j), lit(minhashP))).as(s"sig_$j")): _*)
+    // referenced by the bucket join's two sides and both verify joins
+    val agg = if (materialize) aggLazy.localCheckpoint(true) else aggLazy
+    val keyed = capBuckets(
+      agg.select(col("id"), col("is_new"),
+        explode(array((0 until bands).map { b =>
+          hash(struct(lit(b) +: (0 until r).map(i => col(s"sig_${b * r + i}")): _*))
+        }: _*)).as("bucket")),
+      maxBucketSize)
+    val newSide = keyed.filter(col("is_new"))
+      .select(col("id").as("n_id"), col("bucket"))
+    val anySide = keyed.select(col("id").as("o_id"), col("bucket"))
+    val cands = newSide.join(anySide, Seq("bucket"))
+      .filter(col("n_id") =!= col("o_id"))
+      .select(least(col("n_id"), col("o_id")).as("a_id"),
+        greatest(col("n_id"), col("o_id")).as("b_id"))
+      .distinct()
+    val sets = agg.select(col("id"), col("vset"))
+    cands
+      .join(sets.select(col("id").as("a_id"), col("vset").as("a_sh")), Seq("a_id"))
+      .join(sets.select(col("id").as("b_id"), col("vset").as("b_sh")), Seq("b_id"))
+      .withColumn("jaccard",
+        graft.functions.JaccardSorted.jaccard_sorted(col("a_sh"), col("b_sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   /** Exact Jaccard over distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -788,6 +842,45 @@ object Dedup {
       .repartition(col("dst"))
       .sortWithinPartitions(col("dst"))
     componentsRound(closed, verts.withColumn("comp", col("id")))
+  }
+
+  /** Incremental connected-components maintenance: fold DELTA edges into
+    * an EXISTING labeling without re-clustering the old graph. The
+    * standard contraction argument: each old component is already a star
+    * rooted at its minimum id, so it suffices to (1) map every delta
+    * edge endpoint to its current label (its own id if unlabeled — i.e.
+    * new), (2) run components on that CONTRACTED graph — whose size is
+    * bounded by the delta edge count, never by the corpus — and (3)
+    * re-root the old labels through the contracted result. Because an
+    * old label IS the minimum id of its old component, the contracted
+    * minimum equals the merged component's true global minimum: the
+    * output is bit-identical to a full re-run on old ∪ delta edges
+    * (which is exactly what the q130 oracle recomputes).
+    *
+    * `labels` is the prior (id, comp) ledger; `ids` is the full vertex
+    * universe (old ∪ new) so isolated new vertices label themselves.
+    * Shuffle shape: two label-lookup joins on endpoint id, the contracted
+    * run (delta-sized), one re-rooting join on the old label — the old
+    * corpus is touched only by the O(V) lookup joins, never by pair or
+    * fixpoint work. */
+  def componentsIncremental(
+      labels: DataFrame, ids: DataFrame, idCol: Column,
+      edges: DataFrame, a: Column, b: Column): DataFrame = {
+    val lab = labels.select(col("id").as("_lid"), col("comp").as("_lcomp"))
+    val base = ids.select(idCol.as("id"))
+      .join(lab, col("id") === col("_lid"), "left")
+      .select(col("id"), coalesce(col("_lcomp"), col("id")).as("lab0"))
+    val e = edges.select(a.as("ea"), b.as("eb"))
+      .join(base.select(col("id").as("ea"), col("lab0").as("lab_a")), Seq("ea"))
+      .join(base.select(col("id").as("eb"), col("lab0").as("lab_b")), Seq("eb"))
+      .select(col("lab_a"), col("lab_b"))
+      .filter(col("lab_a") =!= col("lab_b"))
+      .distinct()
+    val meta = components(e, col("lab_a"), col("lab_b"))
+      .select(col("id").as("m_id"), col("comp").as("m_comp"))
+    base
+      .join(meta, col("lab0") === col("m_id"), "left")
+      .select(col("id"), coalesce(col("m_comp"), col("lab0")).as("comp"))
   }
 
   /** Embedding-cosine near-dups within a blocking key. Vectors cast to

@@ -214,6 +214,34 @@ object TextQueries {
       dedupLedger(s, d).ledger.orderBy(col("doc_id"))
     },
 
+    // -- INCREMENTAL ledger maintenance: the corpus is split into a base
+    //    (doc_id < 250) whose pairs+components are "already on disk" and
+    //    a delta (the null-inclusive complement, the q106 lesson); delta
+    //    pairs come from minhashNearDupsDelta (bucket probes touching a
+    //    new doc only — no old×old pair work), and componentsIncremental
+    //    folds them into the base labeling by contracting onto labels
+    //    and re-clustering a delta-sized graph. The oracle is q75's FULL
+    //    recompute over the whole corpus: incremental ≡ full, exactly.
+    "q130_incremental_components" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cut = lit(250L)
+      val base = docs.filter(col("doc_id") < cut)
+      val basePairs = Dedup.minhashNearDups(base, col("doc_id"), col("text"),
+        threshold = 0.5, bands = 16, maxBucketSize = 1000000)
+      val baseLabels = Dedup.components(basePairs, col("a_id"), col("b_id"))
+      val deltaPairs = Dedup.minhashNearDupsDelta(
+        docs.withColumn("is_new", !(col("doc_id") < cut)),
+        col("doc_id"), col("text"), col("is_new"),
+        threshold = 0.5, bands = 16, maxBucketSize = 1000000)
+      val lbl = Dedup.componentsIncremental(baseLabels, docs, col("doc_id"),
+        deltaPairs, col("a_id"), col("b_id"))
+      val sizes = lbl.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+      lbl.join(sizes, Seq("comp"))
+        .select(col("id").as("doc_id"), col("comp"), col("comp_size"),
+          (col("id") === col("comp")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- the SAME ledger clustered by the alternating small-star/large-
     //    star rewrite (Dedup.componentsStars) — the diameter-proof
     //    algorithm proves itself against the identical recursive-CTE
@@ -591,6 +619,28 @@ object TextQueries {
     // Identical to q75's oracle: the star rewrite computes the same
     // component minima the recursive min-label closure does.
     "q118_components_stars" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+         |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+         |ledger AS (
+         |  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id)
+         |SELECT doc_id, comp,
+         |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
+         |  doc_id = comp AS is_canonical
+         |FROM ledger ORDER BY doc_id""".stripMargin,
+
+    // Identical to q75's oracle again — a FULL recompute over the whole
+    // corpus. The Spark side never runs full pair generation: it folds
+    // delta-touching pairs into the base labeling. Incremental ≡ full is
+    // precisely the claim under test.
+    "q130_incremental_components" ->
       s"""WITH RECURSIVE $minhashPairsCtes,
          |edges AS (
          |  SELECT a_id AS src, b_id AS dst FROM pairs

@@ -264,6 +264,44 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("componentsIncremental ≡ full recompute on random splits") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 24
+      val es = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val cut = 4 + rnd.nextInt(16) // delta vertices: id >= cut
+      val baseEdges = es.filter(e => e._1 < cut && e._2 < cut)
+      // delta edges = every edge touching a new vertex (merging old
+      // components through a new vertex is the hard case)
+      val deltaEdges = es.filter(e => e._1 >= cut || e._2 >= cut)
+      val ids = (0L until n.toLong).toDF("id")
+      val baseLabels = Dedup.components(
+        baseEdges.toDF("a", "b"), col("a"), col("b"))
+      val inc = Dedup.componentsIncremental(baseLabels, ids, col("id"),
+          deltaEdges.toDF("a", "b"), col("a"), col("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fullLbl = Dedup.components(es.toDF("a", "b"), col("a"), col("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = (0L until n.toLong).map(v => v -> fullLbl.getOrElse(v, v)).toMap
+      assert(inc == full, s"trial $trial cut $cut edges $es")
+    }
+  }
+
+  test("minhashNearDupsDelta: exactly the full pair set that touches a new doc") {
+    val corpus = docs // ids 1..5; mark 3..5 as the delta
+    val flagged = corpus.withColumn("is_new", col("doc_id") >= 3L)
+    val delta = Dedup.minhashNearDupsDelta(flagged, col("doc_id"), col("text"),
+        col("is_new"), threshold = 0.5, bands = 16, maxBucketSize = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashNearDups(corpus, col("doc_id"), col("text"),
+        threshold = 0.5, bands = 16, maxBucketSize = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(delta == full.filter(p => p._1 >= 3L || p._2 >= 3L))
+    assert(delta.exists(p => p._1 == 1L && p._2 == 3L)) // old-new near-dup pair
+    assert(!delta.exists(p => p._1 == 1L && p._2 == 2L)) // old-old excluded
+  }
+
   test("components: idempotent — relabeling the labeled graph is a fixpoint") {
     val edges = Seq((5L, 9L), (9L, 2L), (7L, 8L)).toDF("a", "b")
     val first = Dedup.components(edges, col("a"), col("b"))
