@@ -316,6 +316,45 @@ object Apply {
     }
   }
 
+  /** RESTORE a committed snapshot as the NEW current state — the table
+    * format's RESTORE verb (Delta `RESTORE TABLE ... TO VERSION AS OF`):
+    * a METADATA-ONLY commit whose bucket map is the archived snapshot's.
+    * No data files move or rewrite; the commit is one manifest PUT, the
+    * same cost as any merge commit's publish step regardless of table
+    * size. History is preserved — the restore itself archives as commit
+    * N+1 — so a restore is undone by restoring the pre-restore commit.
+    * Generations referenced by the pre-restore state but not by the
+    * restored one become non-live and enter the grace-windowed
+    * retirement ledger (normal supersession); generations the restored
+    * snapshot references fall OUT of the ledger by the liveness
+    * recomputation, so a pending deferred-GC no longer touches them.
+    * Fails loudly if any restored generation dir was already GC'd. */
+  def restore(spark: SparkSession, tableDir: String, commit: Long,
+      gcGraceMs: Long = DefaultGcGraceMs): Unit = {
+    val hc = graft.util.Hfs.conf(spark)
+    val root = new HPath(tableDir)
+    val cur = readMeta(root, hc).getOrElse(
+      sys.error(s"$tableDir is not a merge table (no $MetaName)"))
+    val hp = historyPath(root, commit)
+    require(graft.util.Hfs.exists(hp, hc),
+      s"$tableDir has no committed snapshot $commit " +
+        s"(available: ${commits(spark, tableDir).mkString(", ")})")
+    val snap = parseMeta(graft.util.Hfs.readString(hp, hc))
+    require(snap.nBuckets == cur.nBuckets,
+      s"snapshot $commit has nBuckets=${snap.nBuckets}, table has ${cur.nBuckets}")
+    val gone = snap.buckets.toSeq.sortBy(_._1)
+      .map { case (b, g) => new HPath(root, s"gen=$g/_bucket=$b") }
+      .filterNot(d => graft.util.Hfs.exists(d, hc))
+    require(gone.isEmpty,
+      s"snapshot $commit of $tableDir is no longer restorable: ${gone.head} " +
+        "was garbage-collected (raise gcGraceMs / delay vacuum to retain history)")
+    val live = snap.buckets.toSeq.map { case (b, g) => (g, b) }.toSet
+    val (keep, drop) = splitRetired(root, live, cur.retired, gcGraceMs, hc)
+    writeManifest(root, snap.nBuckets, snap.buckets, keep, cur.commitId + 1, hc,
+      archive = true)
+    gcDirs(root, drop, hc)
+  }
+
   private type HPath = org.apache.hadoop.fs.Path
   private type HConf = org.apache.hadoop.conf.Configuration
 

@@ -224,6 +224,50 @@ class CaptureApplySpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no committed snapshot"))
   }
 
+  test("restore: snapshot becomes current as a new commit; undo by re-restore") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("merge-restore") + "/t"
+    val ms = MemoryStream[Env]
+    val q = Apply.startMerge(ms.toDF(), table, tmp("ck-restore"), "id", "ts", afterSchema,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    ms.addData(env("INSERT", "a", 1.0).copy(ts = ts(100)))
+    q.processAllAvailable()
+    ms.addData(env("MODIFY", "a", 2.0).copy(ts = ts(200)),
+      env("INSERT", "b", 3.0).copy(ts = ts(200)))
+    q.processAllAvailable()
+    q.stop()
+    def state(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      df.collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("price")).toMap
+    assert(Apply.commits(spark, table) == Seq(1L, 2L))
+    // restore to commit 1: current read flips back, as commit 3
+    Apply.restore(spark, table, 1L)
+    assert(state(Apply.readMergeTable(spark, table)) == Map("a" -> 1.0))
+    assert(Apply.commits(spark, table) == Seq(1L, 2L, 3L))
+    // history intact: the overwritten state is still readable...
+    assert(state(Apply.readMergeTableAt(spark, table, 2)) ==
+      Map("a" -> 2.0, "b" -> 3.0))
+    // ...and the restore is undone by restoring it
+    Apply.restore(spark, table, 2L)
+    assert(state(Apply.readMergeTable(spark, table)) ==
+      Map("a" -> 2.0, "b" -> 3.0))
+    assert(Apply.commits(spark, table) == Seq(1L, 2L, 3L, 4L))
+    // restored generations are un-retired: an immediate zero-grace vacuum
+    // must not delete what the CURRENT state references
+    Apply.vacuum(spark, table, graceMs = 0L)
+    assert(state(Apply.readMergeTable(spark, table)) ==
+      Map("a" -> 2.0, "b" -> 3.0))
+    // commit-1-only generations are now gone; restoring it fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Apply.restore(spark, table, 1L)
+    }
+    assert(e.getMessage.contains("garbage-collected"))
+    // an unknown snapshot id lists what exists
+    val e2 = intercept[IllegalArgumentException] {
+      Apply.restore(spark, table, 99L)
+    }
+    assert(e2.getMessage.contains("no committed snapshot"))
+  }
+
   test("timestamp-as-of time travel resolves through commit write times") {
     implicit val sqlCtx = spark.sqlContext
     val table = tmp("merge-ttts") + "/t"
