@@ -124,6 +124,29 @@ object ExtrasQueries {
           Array(col("n_docs"), col("total_chars"), col("n_langs")),
           "metric", "value")
         .orderBy(col("source"), col("metric"))
+    },
+
+    // -- fuzzy entity matching: edit-distance pairs within a blocking key
+    //    (brand), the record-linkage primitive exact-equality dedup
+    //    misses (typo'd names). levenshtein is codegen'd in Spark and
+    //    exact-integer in both engines, so the gate is exact. The length
+    //    filter |len_a - len_b| <= k is implied by distance <= k and
+    //    rides the JOIN condition, pruning before the distance kernel
+    //    runs; at 100 TB the blocking key + length band bound each
+    //    comparison block (the q41 pattern — a production matcher blocks
+    //    on phonetic/length keys the same way).
+    "q131_fuzzy_match" -> { (s, d) =>
+      val a = Tables.part(s, d).select(col("p_partkey").as("a_id"),
+        col("p_name").as("a_name"), col("p_brand").as("brand"))
+      val b = Tables.part(s, d).select(col("p_partkey").as("b_id"),
+        col("p_name").as("b_name"), col("p_brand").as("brand"))
+      a.join(b, col("a_id") < col("b_id") &&
+          a("brand") === b("brand") &&
+          abs(length(col("a_name")) - length(col("b_name"))) <= 2)
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+        .filter(col("dist") <= 2)
+        .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"), col("dist"))
+        .orderBy(col("a_id"), col("b_id"))
     }
   )
 
@@ -196,6 +219,16 @@ object ExtrasQueries {
         |  SELECT source, 'total_chars', total_chars FROM wide
         |  UNION ALL
         |  SELECT source, 'n_langs', n_langs FROM wide)
-        |ORDER BY source, metric""".stripMargin
+        |ORDER BY source, metric""".stripMargin,
+
+    "q131_fuzzy_match" ->
+      """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+        |  a.p_name AS a_name, b.p_name AS b_name,
+        |  CAST(LEVENSHTEIN(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_partkey < b.p_partkey AND a.p_brand = b.p_brand
+        | AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
+        |WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 2
+        |ORDER BY a_id, b_id""".stripMargin
   )
 }
