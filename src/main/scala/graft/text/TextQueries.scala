@@ -340,6 +340,37 @@ object TextQueries {
           maxBucketSize = 1000000,
           tokenHash = TextFunctions.portableTokenHash)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // -- detector EVALUATION: score one dedup method against another's
+    //    ground truth — the measurement loop a production corpus cleaner
+    //    runs before trusting a cheaper detector. Here SimHash (hamming
+    //    <= 6, the q46 detector) is scored against exact shingle-Jaccard
+    //    >= 0.5 (the q75 ledger's pair set, probed from the memoized
+    //    maintenance build): a full outer join of the two pair sets
+    //    yields exact TP/FP/FN counts; precision and recall are each ONE
+    //    IEEE division of exact integers. SimHash sees token
+    //    MULTIPLICITY while Jaccard sees shingle SETS, so neither is a
+    //    subset of the other — the confusion counts quantify exactly
+    //    that divergence.
+    "q132_dedup_eval" -> { (s, d) =>
+      val det = Dedup.simhashNearDups(
+          Tables.documents(s, d), col("doc_id"), col("text"), maxHamming = 6,
+          maxBucketSize = 1000000,
+          tokenHash = TextFunctions.portableTokenHash)
+        .select(col("a_id"), col("b_id"), lit(true).as("detected"))
+      val truth = dedupLedger(s, d).pairs
+        .select(col("a_id"), col("b_id"), lit(true).as("is_dup"))
+      det.join(truth, Seq("a_id", "b_id"), "full_outer")
+        .agg(
+          sum(when(col("detected") && col("is_dup"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("detected") && col("is_dup").isNull, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("detected").isNull && col("is_dup"), 1L).otherwise(0L)).as("fn"))
+        .select(col("tp"), col("fp"), col("fn"),
+          (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+            .as("precision"),
+          (col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+            .as("recall"))
     }
   )
 
@@ -740,6 +771,39 @@ object TextQueries {
         |  FROM bits a JOIN bits b ON a.bit = b.bit AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 6
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // q46's simhash CTEs (detector) + q45's pair CTEs (ground truth),
+    // confusion-joined. Both recomputations are exact, so the counts --
+    // and the single-division precision/recall -- are too.
+    "q132_dedup_eval" ->
+      s"""WITH $minhashPairsCtes,
+         |toks AS (
+         |  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |th AS (
+         |  SELECT doc_id, md5_number_lower(tok) AS h, COUNT(*) AS cnt
+         |  FROM toks GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT doc_id, b.bit,
+         |    SUM(CASE WHEN ((h >> b.bit) & 1) = 1 THEN cnt ELSE -cnt END) AS s
+         |  FROM th, RANGE(0, 64) b(bit) GROUP BY 1, 2),
+         |ham AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(SUM(CASE WHEN (a.s > 0) <> (b.s > 0) THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+         |  FROM bits a JOIN bits b ON a.bit = b.bit AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |det AS (SELECT a_id, b_id, TRUE AS detected FROM ham WHERE hamming <= 6),
+         |truth AS (SELECT a_id, b_id, TRUE AS is_dup FROM pairs),
+         |cm AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN detected AND is_dup THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN detected AND is_dup IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN detected IS NULL AND is_dup THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM det FULL OUTER JOIN truth USING (a_id, b_id))
+         |SELECT tp, fp, fn,
+         |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+         |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall
+         |FROM cm""".stripMargin
   )
 }
