@@ -215,6 +215,53 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"))
   }
 
+  /** PAIR-ALIGNED maximal shared substrings — the cross-width extension
+    * of [[repeatedSpans]] (round-6 verdict #8). repeatedSpans proves
+    * every window of a span repeats SOMEWHERE; this operator proves the
+    * whole span appears CONTIGUOUSLY in one specific other document, and
+    * emits it per (docA, docB) pair with both offsets — the exact
+    * "duplicate passage between A and B" unit a span-cut pipeline needs
+    * (suffix-array semantics of Lee et al. 2022 for spans >= n, without
+    * the suffix automaton): two windows extend the same shared substring
+    * iff they lie on the same DIAGONAL (posA - posB constant), so maximal
+    * shared substrings are gaps-and-islands runs per (pair, diagonal).
+    *
+    * Plan shape: window df via one map-side-combinable groupBy; the
+    * occurrence self-join is quadratic ONLY in each window's df, so
+    * `maxOccurrences` drops stop-windows before the join (boilerplate
+    * guard — the posting-cap/bucket-cap pattern; pass a huge cap for
+    * oracle parity, where the SQL recomputation cannot model the drop).
+    * Islands ride one window per (pair, diagonal) — bounded by span
+    * length, never by corpus size. */
+  def sharedSpans(docs: DataFrame, id: Column, text: Column, n: Int = 8,
+      maxOccurrences: Int = 1000, hashKeys: Boolean = true): DataFrame = {
+    val sh0 = shingleRowsPos(docs, id, text, n)
+    val sh = if (hashKeys)
+      sh0.select(col("id"), col("pos"), xxhash64(col("sh")).as("sh"))
+    else sh0
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxOccurrences)
+      .select(col("sh"))
+    val occ = sh.join(rare, Seq("sh"), "left_semi")
+    val a = occ.select(col("sh"), col("id").as("id_a"), col("pos").as("pos_a"))
+    val b = occ.select(col("sh"), col("id").as("id_b"), col("pos").as("pos_b"))
+    val pairs = a.join(b, Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        col("pos_a"), (col("pos_a") - col("pos_b")).as("diag"))
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    pairs
+      .select(col("id_a"), col("id_b"), col("diag"), col("pos_a"),
+        (col("pos_a") - row_number().over(w)).as("grp"))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("grp"))
+      .agg(min(col("pos_a")).as("a_start"), max(col("pos_a")).as("a_last"))
+      .select(col("id_a"), col("id_b"),
+        col("a_start").cast("long").as("a_start"),
+        (col("a_start") - col("diag")).cast("long").as("b_start"),
+        (col("a_last") - col("a_start") + n).cast("long").as("n_tokens"))
+  }
+
   /** MinHash signatures computed the scale-friendly way: shingle rows,
     * hash once per shingle, then one codegen'd grouped aggregation with k
     * `min` columns (map-side combine). The array-HOF formulation

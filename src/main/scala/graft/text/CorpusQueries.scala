@@ -151,6 +151,20 @@ object CorpusQueries {
         .orderBy(col("doc_id"), col("span_start"))
     },
 
+    // -- PAIR-ALIGNED shared spans (q87's cross-width extension, round-6
+    //    verdict #8): the whole span provably appears contiguously in
+    //    BOTH documents of the emitted pair, with both offsets — the
+    //    exact duplicate-passage unit a span-cut pipeline removes.
+    //    Diagonal (pos_a - pos_b) gaps-and-islands per pair; oracle-
+    //    parity config keeps raw window strings (q87 precedent) and an
+    //    unbounded occurrence cap (the SQL cannot model the stop-window
+    //    drop; production callers keep both defaults).
+    "q133_shared_spans" -> { (s, d) =>
+      Dedup.sharedSpans(Tables.documents(s, d), col("doc_id"), col("text"),
+          n = SpanN, maxOccurrences = 1000000, hashKeys = false)
+        .orderBy(col("id_a"), col("id_b"), col("a_start"), col("b_start"))
+    },
+
     // -- vocabulary statistics: corpus-wide top bigrams (the counting
     //    pass a tokenizer-training / vocab-extension job runs; one
     //    map-side-combined groupBy + TakeOrderedAndProject, no global
@@ -340,6 +354,30 @@ object CorpusQueries {
          |  CAST(MAX(i) - MIN(i) + $SpanN AS BIGINT) AS span_tokens
          |FROM isl GROUP BY doc_id, g
          |ORDER BY doc_id, span_start""".stripMargin,
+
+    // Same windowing CTE as q87; occurrence pairs join on the raw window
+    // string, islands run per (pair, diagonal). b_start = a_start - diag.
+    "q133_shared_spans" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, i, ARRAY_TO_STRING(toks[i+1:i+$SpanN], ' ') AS sh
+         |  FROM t, UNNEST(RANGE(0, GREATEST(LEN(toks) - ${SpanN - 1}, 0))) r(i)),
+         |occ AS (
+         |  SELECT a.doc_id AS id_a, a.i AS pos_a, b.doc_id AS id_b, b.i AS pos_b
+         |  FROM pos a JOIN pos b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |isl AS (
+         |  SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
+         |    pos_a - ROW_NUMBER() OVER (
+         |      PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS grp
+         |  FROM occ)
+         |SELECT id_a, id_b,
+         |  CAST(MIN(pos_a) AS BIGINT) AS a_start,
+         |  CAST(MIN(pos_a) - diag AS BIGINT) AS b_start,
+         |  CAST(MAX(pos_a) - MIN(pos_a) + $SpanN AS BIGINT) AS n_tokens
+         |FROM isl GROUP BY id_a, id_b, diag, grp
+         |ORDER BY id_a, id_b, a_start, b_start""".stripMargin,
 
     "q83_vocab_bigrams" ->
       """WITH t AS (

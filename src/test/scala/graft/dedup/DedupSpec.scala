@@ -377,4 +377,33 @@ class DedupSpec extends AnyFunSuite {
   test("repeated spans: hashed keys produce identical spans") {
     assert(spans(hashKeys = true) == spans(hashKeys = false))
   }
+
+  private def shared(hashKeys: Boolean, maxOcc: Int = 1000000) =
+    Dedup.sharedSpans(spanDocs, col("doc_id"), col("text"), n = 3,
+        maxOccurrences = maxOcc, hashKeys = hashKeys)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+  test("shared spans: per-pair aligned maximal substrings with both offsets") {
+    val got = shared(hashKeys = false)
+    // doc1/doc2 share the contiguous 6-token run; offsets differ (doc2
+    // has a 1-token prefix) — exactly one maximal span on that diagonal
+    assert(got.contains((1L, 2L, 0L, 1L, 6L)))
+    // doc1/doc4 share the two passages DISJOINTLY (doc4 splits them), so
+    // the pair yields two 3-token spans on two diagonals — the case
+    // repeatedSpans cannot distinguish from one long shared run
+    assert(got.contains((1L, 4L, 0L, 0L, 3L)))
+    assert(got.contains((1L, 4L, 3L, 5L, 3L)))
+    // within-doc-only repetition (doc3) pairs with nothing
+    assert(!got.exists(s => s._1 == 3L || s._2 == 3L))
+  }
+
+  test("shared spans: hashed keys ≡ string keys; stop-window cap drops hubs") {
+    assert(shared(hashKeys = true) == shared(hashKeys = false))
+    // "alpha beta gamma" occurs in docs 1, 2, 4 (df = 3): capping at 2
+    // removes every span built on it, keeping rarer diagonals only
+    val capped = shared(hashKeys = true, maxOcc = 2)
+    assert(!capped.exists(s => s._3 == 0L && s._1 == 1L && s._2 == 2L && s._5 == 6L))
+  }
 }
