@@ -215,6 +215,69 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"))
   }
 
+  /** Edit-distance pairs (record linkage) with a LOSSLESS segment filter —
+    * the PassJoin principle (Li, Deng, Feng, "PassJoin: a partition-based
+    * method for similarity joins", PVLDB 5(3), 2012): if lev(a, b) <= k,
+    * then for ANY partition of `a` into k+1 segments, at least one
+    * segment appears in `b` EXACTLY (pigeonhole over the <= k edits), at
+    * a start position shifted by at most the net indels before it, i.e.
+    * within ±k. So candidates are an equi-join:
+    *
+    *   probe side: each string's k+1 even-split segments, keyed by
+    *     (probe length, segment index, segment text);
+    *   index side: each string generates the substrings matching a probe
+    *     of length in [len-k, len+k], for each segment index, at start
+    *     offsets within ±k of that probe's segment start — a bounded
+    *     (2k+1)·(k+1)·(2k+1) ≈ 45 (k=2) substrings per row.
+    *
+    * Candidate volume is LINEAR in table size times that constant (vs a
+    * blocking key's per-block quadratic, which grows with scale), and the
+    * filter is exact: verified pairs equal the all-pairs answer, which is
+    * what the q131 oracle recomputes. The verify is codegen'd
+    * `levenshtein`. An optional blocking column still composes (brand
+    * here), cutting the index join's fan-out further. */
+  def editDistancePairs(
+      rows: DataFrame, id: Column, name: Column, block: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 4, s"segment filter sized for k in [1,4], got $k")
+    val nSeg = k + 1
+    val base = rows.select(id.as("rid"), name.as("nm"), block.as("blk"),
+      length(name).as("len"))
+    // probe side: even split into k+1 segments; start_i = i*len div nSeg
+    val probes = base.select(col("rid").as("a_id"), col("nm").as("a_nm"),
+        col("blk"), col("len").as("a_len"),
+        explode(array((0 until nSeg).map(lit): _*)).as("seg_i"))
+      .withColumn("s0", expr(s"(seg_i * a_len) div $nSeg"))
+      .withColumn("s1", expr(s"((seg_i + 1) * a_len) div $nSeg"))
+      .filter(col("s1") > col("s0")) // empty segments carry no signal
+      .select(col("a_id"), col("a_nm"), col("blk"), col("a_len"), col("seg_i"),
+        expr("substring(a_nm, s0 + 1, s1 - s0)").as("seg"))
+    // index side: substrings matching any probe length within ±k, any
+    // segment index, any ±k start offset (bounded constant per row)
+    val combos = for {
+      dl <- -k to k; i <- 0 until nSeg; off <- -k to k
+    } yield struct(lit(dl).as("dl"), lit(i).as("seg_i"), lit(off).as("off"))
+    val index = base.select(col("rid").as("b_id"), col("nm").as("b_nm"),
+        col("blk"), col("len").as("b_len"),
+        explode(array(combos: _*)).as("c"))
+      .withColumn("a_len", col("b_len") + col("c.dl"))
+      .withColumn("seg_i", col("c.seg_i"))
+      .withColumn("s0", expr(s"(seg_i * a_len) div $nSeg + c.off"))
+      .withColumn("s1", expr(s"((seg_i + 1) * a_len) div $nSeg + c.off"))
+      .filter(col("a_len") >= 1 && col("s1") > col("s0") &&
+        col("s0") >= 0 && col("s1") <= col("b_len"))
+      .select(col("b_id"), col("b_nm"), col("blk"), col("a_len"), col("seg_i"),
+        expr("substring(b_nm, s0 + 1, s1 - s0)").as("seg"))
+    probes.join(index, Seq("blk", "a_len", "seg_i", "seg"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_nm"), col("b_nm"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("a_nm"), col("b_nm")).cast("long"))
+      .filter(col("dist") <= k)
+      .select(col("a_id"), col("b_id"),
+        col("a_nm").as("a_name"), col("b_nm").as("b_name"), col("dist"))
+  }
+
   /** PAIR-ALIGNED maximal shared substrings — the cross-width extension
     * of [[repeatedSpans]] (round-6 verdict #8). repeatedSpans proves
     * every window of a span repeats SOMEWHERE; this operator proves the

@@ -126,26 +126,18 @@ object ExtrasQueries {
         .orderBy(col("source"), col("metric"))
     },
 
-    // -- fuzzy entity matching: edit-distance pairs within a blocking key
-    //    (brand), the record-linkage primitive exact-equality dedup
-    //    misses (typo'd names). levenshtein is codegen'd in Spark and
-    //    exact-integer in both engines, so the gate is exact. The length
-    //    filter |len_a - len_b| <= k is implied by distance <= k and
-    //    rides the JOIN condition, pruning before the distance kernel
-    //    runs; at 100 TB the blocking key + length band bound each
-    //    comparison block (the q41 pattern — a production matcher blocks
-    //    on phonetic/length keys the same way).
+    // -- fuzzy entity matching: edit-distance pairs, the record-linkage
+    //    primitive exact-equality dedup misses (typo'd names).
+    //    Candidates come from Dedup.editDistancePairs' LOSSLESS PassJoin
+    //    segment filter — linear in table size times a ~45× constant,
+    //    instead of a blocking key's per-block quadratic that grows with
+    //    scale — then the codegen'd exact levenshtein verifies. The
+    //    brand key still composes as extra blocking. The oracle is the
+    //    all-pairs recomputation the filter provably equals.
     "q131_fuzzy_match" -> { (s, d) =>
-      val a = Tables.part(s, d).select(col("p_partkey").as("a_id"),
-        col("p_name").as("a_name"), col("p_brand").as("brand"))
-      val b = Tables.part(s, d).select(col("p_partkey").as("b_id"),
-        col("p_name").as("b_name"), col("p_brand").as("brand"))
-      a.join(b, col("a_id") < col("b_id") &&
-          a("brand") === b("brand") &&
-          abs(length(col("a_name")) - length(col("b_name"))) <= 2)
-        .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
-        .filter(col("dist") <= 2)
-        .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"), col("dist"))
+      val p = Tables.part(s, d)
+      graft.dedup.Dedup.editDistancePairs(p, col("p_partkey"), col("p_name"),
+          col("p_brand"), k = 2)
         .orderBy(col("a_id"), col("b_id"))
     }
   )

@@ -99,6 +99,41 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L, 1.0)))
   }
 
+  test("editDistancePairs ≡ all-pairs brute force, including indel shifts") {
+    // adversarial strings: leading insertion (shifts every segment),
+    // middle deletion, substitutions at segment boundaries, dist exactly
+    // k, dist k+1 (must be excluded), and cross-block decoys
+    val names = Seq(
+      (1L, "sturdy copper bracket", "X"),
+      (2L, "asturdy copper bracket", "X"),  // leading insert, d=1
+      (3L, "sturdy coper bracket", "X"),    // middle delete, d=1
+      (4L, "sturdy copper brackXY", "X"),   // two subs at the tail, d=2
+      (5L, "sturdy copper braZZZt", "X"),   // d=3: excluded at k=2
+      (6L, "sturdy copper bracket", "Y"),   // exact text, other block
+      (7L, "zz", "X"), (8L, "z", "X")       // tiny strings, d=1
+    ).toDF("rid", "nm", "blk")
+    val got = Dedup.editDistancePairs(names, col("rid"), col("nm"),
+        col("blk"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    val rows = names.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, na, ba) <- rows; (ib, nb, bb) <- rows
+      if ia < ib && ba == bb && lev(na, nb) <= 2
+    } yield (ia, ib, lev(na, nb).toLong)).toSet
+    assert(got == expected)
+    assert(got.contains((1L, 2L, 1L)) && got.contains((1L, 4L, 2L)))
+    assert(!got.exists(p => p._1 == 1L && p._2 == 5L)) // d=3 out
+    assert(!got.exists(p => p._1 == 1L && p._2 == 6L)) // cross-block out
+  }
+
   test("winnowing: shared-paragraph containment detected, unrelated not") {
     val para = "the quick brown fox jumps over the lazy dog near the riverbank every single morning"
     // doc 3 shares no >=16-byte phrase with 1/2 (winnowing correctly
