@@ -165,6 +165,31 @@ object CorpusQueries {
         .orderBy(col("id_a"), col("id_b"), col("a_start"), col("b_start"))
     },
 
+    // -- overlapping context-window chunking: fixed 64-token chunks on a
+    //    48-token stride (16-token overlap) — the RAG / training split
+    //    every long document goes through before embedding or packing.
+    //    Chunk boundaries derive from each doc's own token count
+    //    (sequence + slice: generators, no UDFs, no shuffle beyond the
+    //    final sort), so the operator is embarrassingly parallel and
+    //    chunk counts stay proportional to document length at any scale.
+    "q134_chunk_overlap" -> { (s, d) =>
+      val C = 64; val S = 48
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") >= 1)
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0), expr(s"(n - 1) div $S"))).as("chunk_id"))
+        .select(col("doc_id"),
+          col("chunk_id").cast("long").as("chunk_id"),
+          (col("chunk_id") * S).cast("long").as("start_tok"),
+          least(lit(C), col("n") - col("chunk_id") * S).cast("long")
+            .as("n_chunk_toks"),
+          array_join(slice(col("toks"), col("chunk_id") * S + 1, lit(C)), " ")
+            .as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // -- vocabulary statistics: corpus-wide top bigrams (the counting
     //    pass a tokenizer-training / vocab-extension job runs; one
     //    map-side-combined groupBy + TakeOrderedAndProject, no global
@@ -378,6 +403,19 @@ object CorpusQueries {
          |  CAST(MAX(pos_a) - MIN(pos_a) + $SpanN AS BIGINT) AS n_tokens
          |FROM isl GROUP BY id_a, id_b, diag, grp
          |ORDER BY id_a, id_b, a_start, b_start""".stripMargin,
+
+    // Same tokenization; DuckDB's inclusive list slice auto-clamps at the
+    // array end exactly like Spark's slice(length=64) does.
+    "q134_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id, i AS chunk_id, i*48 AS start_tok,
+        |  LEAST(64, LEN(toks) - i*48) AS n_chunk_toks,
+        |  ARRAY_TO_STRING(toks[i*48+1 : i*48+64], ' ') AS chunk_text
+        |FROM (SELECT doc_id, toks, UNNEST(RANGE(0, (LEN(toks)-1)//48 + 1)) AS i
+        |      FROM t WHERE LEN(toks) >= 1)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q83_vocab_bigrams" ->
       """WITH t AS (

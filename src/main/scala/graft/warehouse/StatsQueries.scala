@@ -184,6 +184,45 @@ object StatsQueries {
         .agg(count(lit(1)).as("n"))
         .select(col("bin"), (col("bin") * binCents).as("bin_lo_cents"), col("n"))
         .orderBy(col("bin"))
+    },
+
+    // -- feature normalization in EXACT integers: min-max scale each
+    //    order's price to 0..10000 basis points of its segment's range —
+    //    (x - min) * 10000 div (max - min) never touches a float, so the
+    //    gate is exact where a double normalization would be at the
+    //    mercy of libm. Two scans: one map-side-combinable min/max pass
+    //    (5 rows, broadcast back), one scaling pass — the same shape
+    //    any per-group feature scaler has at 100 TB.
+    "q135_feature_scale" -> { (s, d) =>
+      val base = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment").as("seg"),
+          graft.util.Exact.cents(col("o_totalprice")).as("cents"))
+      val ranges = base.groupBy(col("seg"))
+        .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      base.join(broadcast(ranges), Seq("seg"))
+        .select(col("o_orderkey"), col("seg"),
+          expr("CASE WHEN hi = lo THEN CAST(0 AS BIGINT) " +
+            "ELSE ((cents - lo) * 10000) div (hi - lo) END").as("scaled_bp"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // -- join-key skew profiler: the diagnostic a 100 TB join plan runs
+    //    BEFORE choosing salting / AQE skew handling. One map-side-
+    //    combinable count per key, one tiny total, top keys by share
+    //    (TakeOrderedAndProject — no global sort); share is one IEEE
+    //    division of exact counts, and the heavy-hitter flag compares
+    //    integers cross-multiplied (share > 0.1% ⟺ 1000*n > total).
+    "q136_skew_profile" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val counts = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      val total = li.agg(count(lit(1)).as("total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("l_suppkey"), col("n"),
+          (col("n").cast("double") / col("total").cast("double")).as("share"),
+          (col("n") * 1000L > col("total")).as("heavy"))
+        .orderBy(col("n").desc, col("l_suppkey"))
+        .limit(20)
     }
   )
 
@@ -267,6 +306,27 @@ object StatsQueries {
         |  QUANTILE_CONT(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0.5)
         |    AS median_cents_exact,
         |  TRUE AS approx_within_band
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q135_feature_scale" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, c_mktsegment AS seg,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT seg, MIN(cents) AS lo, MAX(cents) AS hi FROM o GROUP BY seg)
+        |SELECT o_orderkey, seg,
+        |  CASE WHEN hi = lo THEN 0
+        |       ELSE ((cents - lo) * 10000) // (hi - lo) END AS scaled_bp
+        |FROM o JOIN r USING (seg)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q136_skew_profile" ->
+      """WITH c AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS total FROM lineitem)
+        |SELECT l_suppkey, n,
+        |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |  n * 1000 > total AS heavy
+        |FROM c, t
+        |ORDER BY n DESC, l_suppkey LIMIT 20""".stripMargin
   )
 }
