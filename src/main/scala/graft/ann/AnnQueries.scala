@@ -39,6 +39,18 @@ object AnnQueries {
         nCentroids = 8, iterations = 1, materialize = true)
     })
 
+  /** The q137 PQ index, memoized per (session, table) like [[ivfIndex]]
+    * (train once, probe forever; Bench warms it and says so). */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Similarity.PqIndex]()
+
+  def pqIndex(s: SparkSession, d: String): Similarity.PqIndex =
+    pqCache.computeIfAbsent((s, d), { case (s2, d2) =>
+      val embs = Tables.embeddings(s2, d2).filter(col("vec_id") =!= 0)
+      Similarity.buildPq(embs, col("vec_id"), col("embedding"),
+        m = 16, ksub = 64, materialize = true)
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- exact ANN baseline: cosine top-10 for the vec_id=0 query.
     "q42_ann_bruteforce" -> { (s, d) =>
@@ -95,6 +107,40 @@ object AnnQueries {
         qv, mins, maxs, k = 10)
     },
 
+    // -- product-quantization ADC search (the third quantization face
+    //    next to IVF cells and scalar codes): 16 sub-spaces × 64
+    //    centroids ≈ 16 bytes per stored vector, query scored by m table
+    //    lookups — no full vector read at search time. PQ is lossy with
+    //    no exhaustive-equivalence config, so the gate is the q49
+    //    invariant pattern: the EXACT L2 top-1 id is recomputed by the
+    //    oracle (VecDot/LIST_DOT_PRODUCT parity, identical op order),
+    //    and the PQ-quality claims ride as pinned booleans — exact top-1
+    //    retrieved in the ADC top-10, and ADC recall@10 >= 5/10 against
+    //    exact L2 (both deterministic: RNG-free training, tie-broken
+    //    ranks). AnnSpec additionally pins the ksub >= corpus degenerate
+    //    config, where ADC ≡ exact L2 identically.
+    "q137_ann_pq" -> { (s, d) =>
+      val corpus = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      val qlit = typedlit(qv)
+      val exact = corpus.select(col("vec_id"),
+          (Similarity.dot(col("embedding"), col("embedding"))
+            - lit(2) * Similarity.dot(col("embedding"), qlit)
+            + Similarity.dot(qlit, qlit)).as("d2"))
+        .orderBy(col("d2").asc, col("vec_id"))
+        .limit(10)
+      // bounded driver-side fetches: two 10-row top-k results
+      val exactIds = exact.collect().map(_.getLong(0)).toSeq
+      val pqIds = Similarity.pqSearchAdc(pqIndex(s, d), qv, k = 10)
+        .collect().map(_.getLong(0)).toSeq
+      val recall = pqIds.count(exactIds.toSet)
+      val s2 = s
+      import s2.implicits._
+      Seq((exactIds.head, pqIds.contains(exactIds.head), recall >= 5))
+        .toDF("exact_l2_top1", "pq_hit_top10", "recall_ok")
+    },
+
     // -- SemDeDup-style embedding near-dup at scale: blocked by BANDED
     //    sign-LSH (q47's declared scale path made first-class — no label
     //    crutch, no all-pairs; 4 bands × 4 sign bits, the measured
@@ -127,6 +173,21 @@ object AnnQueries {
     // all-probe configs are exhaustive, hence share the exact-top-k oracle
     "q43_ann_ivf" -> exactTopKSql,
     "q66_ann_lsh" -> exactTopKSql,
+
+    // Exact-L2 top-1 recomputed with the identical op order
+    // (a·a − 2·a·q + q·q, left-to-right); the PQ quality flags are the
+    // q49 invariant pattern (lossy sketch pinned by a band the exact
+    // recomputation defines).
+    "q137_ann_pq" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |d AS (
+        |  SELECT vec_id,
+        |    LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])
+        |      - 2 * LIST_DOT_PRODUCT(embedding::DOUBLE[], qv)
+        |      + LIST_DOT_PRODUCT(qv, qv) AS d2
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT (SELECT vec_id FROM d ORDER BY d2, vec_id LIMIT 1) AS exact_l2_top1,
+        |  TRUE AS pq_hit_top10, TRUE AS recall_ok""".stripMargin,
 
     "q47_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v

@@ -309,6 +309,164 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization index: per-subspace codebooks (driver-held —
+    * m × ksub × subDim doubles, a few KB) plus the distributed code
+    * table (vid, codes array) — the ~`4·subDim`× compression that makes
+    * billion-vector search feasible. */
+  final case class PqIndex(m: Int, subDim: Int,
+      codebooks: IndexedSeq[IndexedSeq[Array[Double]]],
+      codes: DataFrame)
+
+  /** Build a product-quantization index (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+    * vector into `m` contiguous subvectors, learn `ksub` centroids PER
+    * subspace, store each vector as m small codes.
+    *
+    * Codebook training runs the same deterministic RNG-free recipe as
+    * IVF seeding ([[farthestSeeds]]): a hash-sampled, driver-bounded
+    * vector sample (≤ 64·ksub rows), sliced into subspaces, Gonzalez
+    * farthest-first per subspace under SQUARED L2 (the metric ADC
+    * sums — cosine is meaningless on subvectors, which can be zero).
+    * Assignment is distributed: one shuffle rebuilds (vid, sub,
+    * subvector) rows, the tiny codebook broadcasts, and the argmin is a
+    * map-side-combinable min(struct(d2, cell)) — never a per-vector
+    * window. The codes table is the only per-row state kept.
+    *
+    * At 100 TB: training cost is one bounded sample scan; assignment is
+    * one pass over the vectors; queries ([[pqSearchAdc]]) never touch a
+    * full vector again. */
+  def buildPq(embs: DataFrame, id: Column, vec: Column,
+      m: Int, ksub: Int, materialize: Boolean = false,
+      lloydIterations: Int = 8): PqIndex = {
+    val spark = embs.sparkSession
+    val data = embs.select(id.as("vid"), vec.as("v"))
+    val dim = data.select(size(col("v"))).head().getInt(0)
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    // bounded deterministic sample (the farthestSeeds fetch pattern)
+    val n = data.count()
+    val rate = math.max(1L, n / math.max(SeedSamplePerCentroid * ksub, 1L))
+    val sample = data
+      .filter(pmod(xxhash64(col("vid")), lit(rate)) === 0)
+      .select(col("vid").cast("long"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    require(sample.nonEmpty, s"cannot train PQ codebooks from an empty table (n=$n)")
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val codebooks = (0 until m).map { sub =>
+      val pts = sample.map(_._2.slice(sub * subDim, (sub + 1) * subDim))
+      val nSeeds = math.min(ksub, pts.length)
+      val picked = scala.collection.mutable.ArrayBuffer(0)
+      val minD = Array.fill(pts.length)(Double.MaxValue)
+      while (picked.length < nSeeds) {
+        val last = pts(picked.last)
+        var best = -1
+        var i = 0
+        while (i < pts.length) {
+          val d = l2(pts(i), last)
+          if (d < minD(i)) minD(i) = d
+          if (best < 0 || minD(i) > minD(best)) best = i // ties -> earliest
+          i += 1
+        }
+        picked += best
+      }
+      // Lloyd refinement ON THE SAMPLE (standard PQ training): Gonzalez
+      // seeds are a 2-approx k-center cover, but sub-quantizer ERROR is
+      // what ADC sums — a few deterministic k-means steps (ties to the
+      // lowest cell, empty cells keep their centroid) cut the residual
+      // substantially. All driver-side over the bounded sample.
+      var cents = picked.toArray.map(i => pts(i).clone)
+      for (_ <- 0 until lloydIterations) {
+        val sums = Array.fill(cents.length)(new Array[Double](subDim))
+        val cnt = new Array[Long](cents.length)
+        var i = 0
+        while (i < pts.length) {
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < cents.length) {
+            val d = l2(pts(i), cents(c))
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          cnt(best) += 1
+          var j = 0
+          while (j < subDim) { sums(best)(j) += pts(i)(j); j += 1 }
+          i += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (cnt(c) == 0) old
+          else sums(c).map(_ / cnt(c))
+        }
+      }
+      cents.toIndexedSeq
+    }
+    val cbRows = for {
+      sub <- 0 until m; (c, cell) <- codebooks(sub).zipWithIndex
+    } yield (sub, cell, c.toSeq)
+    import spark.implicits._
+    val cb = cbRows.toDF("sub", "cell", "c")
+    val subs = data
+      .select(col("vid"), posexplode(col("v")).as(Seq("d", "x")))
+      .withColumn("sub", expr(s"d div $subDim"))
+      .groupBy(col("vid"), col("sub"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("d"), col("x")))),
+        s => s.getField("x").cast("double")).as("sv"))
+    val codesLazy = subs.join(broadcast(cb), Seq("sub"))
+      .withColumn("d2",
+        dot(col("sv"), col("sv")) - lit(2) * dot(col("sv"), col("c")) +
+          dot(col("c"), col("c")))
+      .groupBy(col("vid"), col("sub"))
+      .agg(min(struct(col("d2"), col("cell"))).as("best"))
+      .select(col("vid"), col("sub"), col("best.cell").as("cell"))
+      .groupBy(col("vid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("cell")))),
+        s => s.getField("cell")).as("codes"))
+    val codes = if (materialize) codesLazy.localCheckpoint(true) else codesLazy
+    PqIndex(m, subDim, codebooks, codes)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ index: the query stays
+    * full-precision; per-subspace distances to every centroid form a
+    * tiny m × ksub table computed on the driver and broadcast; each
+    * stored vector's score is the SUM of m table lookups on its codes.
+    * One broadcast join on (sub, cell) + one map-side-combinable sum —
+    * no full vector is read at query time, which is the entire point of
+    * PQ at scale. Approximation error is the quantization residual;
+    * recall is property-tested (AnnSpec) and gate-pinned (q137) —
+    * `ksub >= corpus` degenerates to exact L2 because every sampled
+    * point becomes its own centroid. */
+  def pqSearchAdc(index: PqIndex, queryVec: Seq[Double], k: Int): DataFrame = {
+    val spark = index.codes.sparkSession
+    val q = queryVec.toArray
+    require(q.length == index.m * index.subDim,
+      s"query dim ${q.length} != ${index.m} * ${index.subDim}")
+    val dtabRows = for {
+      sub <- 0 until index.m
+      (c, cell) <- index.codebooks(sub).zipWithIndex
+    } yield {
+      var s = 0.0; var j = 0
+      while (j < index.subDim) {
+        val d = q(sub * index.subDim + j) - c(j); s += d * d; j += 1
+      }
+      (sub, cell, s)
+    }
+    import spark.implicits._
+    val dtab = dtabRows.toDF("sub", "cell", "qd2")
+    index.codes
+      .select(col("vid").as("nn_id"), posexplode(col("codes")).as(Seq("sub", "cell")))
+      .join(broadcast(dtab), Seq("sub", "cell"))
+      .groupBy(col("nn_id"))
+      .agg(sum(col("qd2")).as("adc_d2"))
+      .orderBy(col("adc_d2").asc, col("nn_id"))
+      .limit(k)
+  }
+
   /** Banded sign-LSH keys: `nBands` independent buckets of `planesPerBand`
     * sign bits each — the minhash-banding construction applied to random
     * hyperplanes. A single wide bucket (lshBucket) has vanishing recall at

@@ -147,6 +147,45 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 8, s"recall too low: $recall/10")
   }
 
+  test("PQ with ksub >= corpus degenerates to exact L2; deterministic") {
+    // every sampled point becomes its own centroid, codes are lossless
+    // for sampled vectors; on a tiny corpus the sample IS the corpus
+    val small = embs.filter(col("vec_id") <= 40)
+    val idx = Similarity.buildPq(small, col("vec_id"), col("embedding"),
+      m = 4, ksub = 64)
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+    val got = Similarity.pqSearchAdc(idx, qv, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = small.select(col("vec_id"), col("embedding")).collect().map { r =>
+      val v = r.getSeq[Float](1)
+      val d = v.indices.map(i => { val df = v(i).toDouble - qv(i); df * df }).sum
+      (r.getLong(0), d)
+    }.sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSeq
+    assert(got == exact)
+    val again = Similarity.pqSearchAdc(
+      Similarity.buildPq(small, col("vec_id"), col("embedding"), m = 4, ksub = 64),
+      qv, k = 5).collect().map(_.getLong(0)).toSeq
+    assert(again == got) // training + assignment fully deterministic
+  }
+
+  test("PQ compressed search: sane recall vs exact L2 on the full slice") {
+    val idx = Similarity.buildPq(embs, col("vec_id"), col("embedding"),
+      m = 16, ksub = 32)
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+    val got = Similarity.pqSearchAdc(idx, qv, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val exact = embs.select(col("vec_id"), col("embedding")).collect().map { r =>
+      val v = r.getSeq[Float](1)
+      val d = v.indices.map(i => { val df = v(i).toDouble - qv(i); df * df }).sum
+      (r.getLong(0), d)
+    }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    val recall = got.count(exact)
+    info(s"PQ recall@10 = $recall/10")
+    assert(recall >= 5, s"recall too low: $recall/10")
+  }
+
   test("quantized codes: constant dimension maps to 0, extremes to 0/254") {
     import spark.implicits._
     val rows = Seq(
