@@ -233,6 +233,27 @@ object CorpusQueries {
         .orderBy(col("doc_id"), col("rank"))
     },
 
+    // -- feature hashing ("hashing trick"): every token is projected to
+    //    a fixed 64-dim slot by the PORTABLE 48-bit hash
+    //    ([[TextFunctions.portableHash48]] ≡ DuckDB md5_number_lower %
+    //    2^48), giving the bounded-width bag-of-words a linear model
+    //    trains on without a vocabulary pass. One explode + one
+    //    map-side-combined aggregate on the dim key — collision
+    //    accounting (n_terms per slot) rides the same shuffle. The
+    //    output width is the CONSTANT D regardless of corpus size: this
+    //    is the whole point of the trick at 100 TB — no vocab table, no
+    //    second join, no skew (the hash spreads tokens uniformly).
+    "q139_feature_hash" -> { (s, d) =>
+      val terms = Tables.documents(s, d).select(
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      terms
+        .withColumn("dim", pmod(TextFunctions.portableHash48(col("term")), lit(64L)))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("term")).as("n_terms"))
+        .orderBy(col("dim"))
+    },
+
     // -- inverted index build: term → document-frequency + sorted posting
     //    list, the IR structure decontamination / exact-phrase lookups
     //    probe. One (doc, term) dedup shuffle; the posting aggregation
@@ -445,6 +466,15 @@ object CorpusQueries {
         |SELECT doc_id, term, tf, df, score, rank
         |FROM ranked WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    "q139_feature_hash" ->
+      """WITH t AS (
+        |  SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS term
+        |  FROM documents),
+        |ft AS (SELECT term FROM t WHERE term <> '')
+        |SELECT CAST((md5_number_lower(term) % 281474976710656) % 64 AS BIGINT) AS dim,
+        |  COUNT(*) AS n, COUNT(DISTINCT term) AS n_terms
+        |FROM ft GROUP BY 1 ORDER BY dim""".stripMargin,
 
     "q115_inverted_index" ->
       s"""WITH t0 AS (

@@ -45,6 +45,48 @@ object GraphQueries {
       .select(col("u"), col("v"))
   }
 
+  /** Fixed-point PageRank over an undirected canonical (u < v) edge
+    * list — ranks in units of 1e-12 (`Scale`), damping 0.85, `iters`
+    * power-iteration rounds. EVERY arithmetic step is exact integer
+    * (`div` truncation ≡ DuckDB `//` floor on the non-negative domain),
+    * so the result is engine-bit-stable and the oracle replays the
+    * identical recurrence in a recursive CTE — no float summation order
+    * to diverge, no libm.
+    *
+    * Plan: the degree-annotated directed adjacency list is built once,
+    * hash-partitioned on `src`, and persisted; each round shuffles ONLY
+    * the O(V) rank table into that layout (same discipline as q75's
+    * components — the O(E) side never re-shuffles), aggregates
+    * `r div deg` contributions map-side-combined on `dst`, and applies
+    * the damping affine in integers. Per-round eager localCheckpoint
+    * keeps the logical plan O(1) across rounds. An undirected graph has
+    * no dangling vertices (every endpoint has degree ≥ 1), so the
+    * rank mass lost to truncation is the only leak — bounded by V per
+    * round at scale 1e12, immaterial and identical in both engines.
+    *
+    * The vertex count reaching the driver is ONE scalar from a
+    * distributed distinct-count (the same bounded-metadata shape as the
+    * basket count in q112) — no per-row collect. */
+  def pageRank(e: DataFrame, iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
+    val de = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = de.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adj = de.join(deg, Seq("src")).repartition(col("src")).persist()
+    val n = adj.select(col("src")).distinct().count()
+    val base = 15L * (scale / n) / 100L
+    var ranks = deg.select(col("src").as("v"), lit(scale / n).as("r"))
+    (1 to iters).foreach { _ =>
+      ranks = adj.join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+        .groupBy(col("dst").as("v"))
+        .agg((lit(base) + expr("(85 * sum(r div deg)) div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    adj.unpersist()
+    ranks.select(col("v").as("part_id"), col("r").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("part_id"))
+      .limit(25)
+  }
+
   /** Re-orient a canonical (u < v) edge list from each edge's
     * lower-DEGREE endpoint, ties broken by id — i.e. from the minimum
     * endpoint under the total order (degree, id). Output columns (s, t).
@@ -116,6 +158,8 @@ object GraphQueries {
 
     "q108_degree_dist" -> { (s, d) => degreeDistribution(edges(s, d)) },
 
+    "q138_pagerank" -> { (s, d) => pageRank(edges(s, d)) },
+
     // -- association-rule mining face: top co-purchased pairs by LIFT =
     //    P(A,B) / (P(A)·P(B)) over order baskets. Pair and item supports
     //    come from two map-side-combined aggregates over the same
@@ -174,6 +218,30 @@ object GraphQueries {
         |  GROUP BY p)
         |SELECT degree, COUNT(*) AS n_parts FROM deg
         |GROUP BY degree ORDER BY degree""".stripMargin,
+
+    // Replays pageRank's integer recurrence exactly: same scale, same
+    // truncating division at every step, same 5 rounds. `//` floor ≡
+    // Spark `div` truncation because every operand is non-negative.
+    "q138_pagerank" ->
+      s"""WITH RECURSIVE
+        |e AS (
+        |  $edgesSql),
+        |de AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT src AS v, COUNT(*) AS deg FROM de GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM deg),
+        |pr AS (
+        |  SELECT v, 1000000000000 // n.n AS r, 0 AS it FROM deg, n
+        |  UNION ALL
+        |  SELECT de.dst AS v,
+        |    (15 * (1000000000000 // (SELECT n FROM n))) // 100
+        |      + (85 * SUM(p.r // dg.deg)) // 100 AS r,
+        |    p.it + 1 AS it
+        |  FROM pr p JOIN de ON de.src = p.v JOIN deg dg ON dg.v = p.v
+        |  WHERE p.it < 5
+        |  GROUP BY de.dst, p.it)
+        |SELECT v AS part_id, CAST(r AS BIGINT) AS rank_fp
+        |FROM pr WHERE it = 5
+        |ORDER BY rank_fp DESC, part_id LIMIT 25""".stripMargin,
 
     "q112_basket_lift" ->
       s"""WITH li AS (

@@ -65,6 +65,36 @@ object SketchQueries {
         (col("bloom_hits") >= col("exact_hits")).as("bloom_no_false_negatives"))
     },
 
+    // -- HLL++ sketch RE-AGGREGATION — the property that matters at
+    //    100 TB: per-nation customer sketches are built in one pass
+    //    (map-side mergeable, a few KB each), then UNIONED to region
+    //    level without touching the base table again — the cube/rollup
+    //    pattern for distinct counts, where exact distincts cannot be
+    //    summed across grouping levels but sketches can. The exact
+    //    region distinct rides the same plan as a sum of per-nation
+    //    distincts (custkeys never span nations), so the oracle can pin
+    //    it exactly; the estimate is engine-specific, gated by the q49
+    //    invariant pattern — HLL++ at default lgConfigK=12 is ~1.6%
+    //    error, checked here against a ±5% integer band (exact BIGINT
+    //    cross-multiply, no float tolerance).
+    "q141_hll_union" -> { (s, d) =>
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_regionkey"))
+      val r = Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+      val perNation = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("n_nationkey"))
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"),
+          countDistinct(col("c_custkey")).as("nd"))
+      perNation.groupBy(col("n_regionkey"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+          sum(col("nd")).as("exact_distinct"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("region"), col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct")) * 100 <=
+            col("exact_distinct") * 5).as("est_within_5pct"))
+        .orderBy(col("region"))
+    },
+
     // -- Count-Min frequency sketch: estimated per-key frequency is always
     //    >= the true frequency (hash collisions add counts, never subtract)
     //    and within eps*N with the configured confidence. The sketch is
@@ -98,5 +128,13 @@ object SketchQueries {
 
     "q71_count_min" ->
       """SELECT event_type, COUNT(*) AS exact_n, TRUE AS est_ge_exact
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q141_hll_union" ->
+      """SELECT r_name AS region, COUNT(DISTINCT c_custkey) AS exact_distinct,
+        |  TRUE AS est_within_5pct
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY region""".stripMargin)
 }

@@ -173,6 +173,41 @@ object StatsQueries {
     //    makes negative cent amounts land in the same bin DuckDB's `//`
     //    (floor division) assigns them. One map-side-combined groupBy
     //    over a few hundred bins; empty bins absent by construction.
+    // -- EXACT percentiles by counting-selection — the percentile plan
+    //    that survives 100 TB where q122's `percentile` (a per-group
+    //    value buffer inside one aggregation task) cannot. Two steps:
+    //    (1) a map-side-combined (group, value) histogram — the only
+    //    row-count-sized shuffle; (2) a per-group cumulative window over
+    //    DISTINCT VALUES, whose size is bounded by the value domain
+    //    (cent amounts), not the row count — a billion-row group with
+    //    ~10^6 distinct cents does 10^6 window rows, not 10^9. The k-th
+    //    element is the value whose cumulative range [cm−c+1, cm] covers
+    //    position k. Median = mean of the two middle positions (ONE IEEE
+    //    division of an exact integer sum); p90 = discrete element at
+    //    ceil(0.9·n) (one IEEE multiply + ceil, identical both engines).
+    //    StatsSpec pins equality with q122's buffered `percentile`.
+    "q140_percentile_select" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("pri"), cents(col("o_totalprice")).as("cents"))
+      val h = o.groupBy(col("pri"), col("cents")).agg(count(lit(1)).as("c"))
+      val cum = h
+        .withColumn("cm", sum(col("c")).over(
+          Window.partitionBy(col("pri")).orderBy(col("cents"))))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("pri"))))
+      val hits = expr("cm - c < (n+1) div 2 AND (n+1) div 2 <= cm")
+      val hits2 = expr("cm - c < n div 2 + 1 AND n div 2 + 1 <= cm")
+      val hits90 = expr(
+        "cm - c < CAST(ceil(0.9 * n) AS BIGINT) AND CAST(ceil(0.9 * n) AS BIGINT) <= cm")
+      cum.groupBy(col("pri"))
+        .agg(
+          max(col("n")).as("n_orders"),
+          ((sum(when(hits, col("cents")).otherwise(0L)) +
+            sum(when(hits2, col("cents")).otherwise(0L))).cast("double") / 2)
+            .as("median_cents"),
+          max(when(hits90, col("cents"))).as("p90_cents"))
+        .orderBy(col("pri"))
+    },
+
     "q105_histogram" -> { (s, d) =>
       val binCents = 50000L // $500 per bin
       Tables.orders(s, d)
@@ -294,6 +329,28 @@ object StatsQueries {
         |  QUANTILE_CONT(l_quantity, 0.75) AS q75,
         |  MAX(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_qty_cents
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Same counting-selection recurrence; `//` floor ≡ Spark `div`
+    // truncation on the non-negative domain, and the (lo+hi)/2 double is
+    // IEEE-exact for cent sums < 2^52.
+    "q140_percentile_select" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents
+        |  FROM orders),
+        |h AS (SELECT pri, cents, COUNT(*) AS c FROM o GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT pri, cents, c,
+        |    SUM(c) OVER (PARTITION BY pri ORDER BY cents) AS cm,
+        |    SUM(c) OVER (PARTITION BY pri) AS n
+        |  FROM h)
+        |SELECT pri, CAST(MAX(n) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN cm - c < (n+1)//2 AND (n+1)//2 <= cm THEN cents ELSE 0 END)
+        |     + SUM(CASE WHEN cm - c < n//2+1 AND n//2+1 <= cm THEN cents ELSE 0 END)
+        |    AS DOUBLE) / 2 AS median_cents,
+        |  MAX(CASE WHEN cm - c < CAST(CEIL(0.9 * n) AS BIGINT)
+        |        AND CAST(CEIL(0.9 * n) AS BIGINT) <= cm THEN cents END) AS p90_cents
+        |FROM cum GROUP BY pri ORDER BY pri""".stripMargin,
 
     "q105_histogram" ->
       """SELECT bin, bin * 50000 AS bin_lo_cents, COUNT(*) AS n

@@ -59,6 +59,30 @@ class GraphSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1)) == ((d, 0L)))
   }
 
+  test("pagerank: symmetric cycle gives every vertex the identical rank") {
+    // 6-cycle: every vertex has degree 2 and an isomorphic neighborhood,
+    // so the integer recurrence must produce one shared rank value.
+    val cyc = (0L until 6L).map(i => (i min ((i + 1) % 6), i max ((i + 1) % 6)))
+      .distinct.toDF("u", "v")
+    val ranks = GraphQueries.pageRank(cyc).collect()
+    assert(ranks.length == 6)
+    assert(ranks.map(_.getLong(1)).distinct.length == 1)
+  }
+
+  test("pagerank: star hub outranks leaves; mass stays within truncation leak") {
+    val star = (1L to 10L).map(i => (0L, i)).toDF("u", "v")
+    val rows = GraphQueries.pageRank(star).collect()
+    val byId = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hub = byId(0L)
+    val leaves = (1L to 10L).map(byId)
+    assert(leaves.forall(_ < hub))
+    assert(leaves.distinct.length == 1) // leaves are symmetric
+    // total mass: starts at scale, each round loses only div-truncation
+    val scale = 1000000000000L
+    val total = rows.map(_.getLong(1)).sum
+    assert(total <= scale && total > scale - scale / 10)
+  }
+
   test("degree-oriented count ≡ brute force on a seeded random graph") {
     val rnd = new scala.util.Random(7)
     val n = 24

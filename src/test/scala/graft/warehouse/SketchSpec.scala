@@ -21,6 +21,26 @@ class SketchSpec extends AnyFunSuite {
     assert(gated.getLong(0) == exactHits && gated.getBoolean(1))
   }
 
+  test("hll union: merged nation sketches track the exact region distinct") {
+    val rows = SketchQueries.queries("q141_hll_union")(spark, sf).collect()
+    assert(rows.length == 5) // all five regions present
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getBoolean(2), s"${r.getString(0)}: union estimate outside ±5%")
+    }
+  }
+
+  test("counting-selection percentiles ≡ buffered percentile aggregate") {
+    // q140's distributed selection must reproduce q122's per-group-buffer
+    // `percentile` answers exactly — same groups, same medians.
+    val sel = StatsQueries.moreQueries("q140_percentile_select")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val buf = StatsQueries.queries("q122_approx_percentile")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(sel == buf)
+    assert(sel.nonEmpty)
+  }
+
   test("count-min: estimate >= exact per key, and tight at this scale") {
     val rows = SketchQueries.cmsEstimates(spark, sf)
     assert(rows.nonEmpty)
