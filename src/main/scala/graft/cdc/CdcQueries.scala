@@ -124,8 +124,40 @@ object CdcQueries {
         .groupBy(col("o_orderpriority"))
         .agg(sum(col("n")).as("n_orders"), sum(col("tot")).as("total_cents"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // -- sequence-gap audit: find every missing id range in the
+    //    successfully-processed stream (here: non-error events over the
+    //    dense event_id sequence — each gap is a dropped/poisoned batch a
+    //    CDC operator must replay). Plan is fully distributed: the
+    //    gaps-and-islands key (id − global_rn) rides the TWO-PASS
+    //    range-partitioned numbering (Scale.withGlobalRowNumber — never a
+    //    bare global window), islands reduce by that key, and consecutive
+    //    islands pair by a second two-pass numbering + an equi self-join
+    //    on rank — O(islands) shuffle, no single-task sort anywhere.
+    "q143_sequence_gaps" -> { (s, d) =>
+      sequenceGaps(Tables.events(s, d)
+        .filter(col("event_type") =!= "error")
+        .select(col("event_id").as("id")))
     }
   )
+
+  /** Missing ranges in a (distinct) id column — every maximal run of
+    * absent ids strictly inside [min(id), max(id)], as (gap_lo, gap_hi,
+    * n_missing). See the q143 plan notes above. */
+  def sequenceGaps(ids: DataFrame): DataFrame = {
+    import graft.warehouse.Scale
+    val numbered = Scale.withGlobalRowNumber(ids, Seq(col("id")), "rn")
+    val islands = numbered
+      .groupBy((col("id") - col("rn")).as("k"))
+      .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+    val ranked = Scale.withGlobalRowNumber(islands, Seq(col("lo")), "irn")
+    ranked.as("a")
+      .join(ranked.as("b"), col("b.irn") === col("a.irn") + 1)
+      .select((col("a.hi") + 1).as("gap_lo"), (col("b.lo") - 1).as("gap_hi"),
+        (col("b.lo") - col("a.hi") - 1).as("n_missing"))
+      .orderBy(col("gap_lo"))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q32_cdc_route" ->
@@ -198,6 +230,18 @@ object CdcQueries {
         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
         |    AS total_cents
         |FROM orders
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q143_sequence_gaps" ->
+      """WITH ok AS (
+        |  SELECT event_id AS id FROM events WHERE event_type <> 'error'),
+        |isl AS (
+        |  SELECT id, id - row_number() OVER (ORDER BY id) AS k FROM ok),
+        |g AS (SELECT MIN(id) AS lo, MAX(id) AS hi FROM isl GROUP BY k),
+        |p AS (SELECT hi, lead(lo) OVER (ORDER BY lo) AS next_lo FROM g)
+        |SELECT hi + 1 AS gap_lo, next_lo - 1 AS gap_hi,
+        |  next_lo - hi - 1 AS n_missing
+        |FROM p WHERE next_lo IS NOT NULL
+        |ORDER BY gap_lo""".stripMargin
   )
 }

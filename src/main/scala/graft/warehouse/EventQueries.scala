@@ -211,6 +211,53 @@ object EventQueries {
     //    collect, the bounds ride the plan). Timestamps leave as epoch
     //    seconds (BIGINT) — hour-trunc is coarser than the ns-vs-µs
     //    boundary so both engines agree.
+    // -- time-weighted average (TWAP): each reading holds until the next
+    //    one, so its weight is the interval length. Sums are EXACT
+    //    integers (cents × whole seconds); the average is ONE IEEE
+    //    division per user — engine-bit-stable. One lag window per user
+    //    key (high-cardinality partition, no global sort); the last
+    //    reading per user carries no interval and drops out, matching
+    //    the right-open step-function semantics.
+    "q142_twap" -> { (s, d) =>
+      val e = Tables.events(s, d).select(
+        col("user_id"),
+        date_trunc("second", col("ts")).as("t"),
+        cents(col("value")).as("c"),
+        col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      e.withColumn("dur",
+          unix_timestamp(lead(col("t"), 1).over(w)) - unix_timestamp(col("t")))
+        .filter(col("dur").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          (sum(col("c") * col("dur")).cast("double") /
+            sum(col("dur")).cast("double")).as("twap_cents"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- last-touch attribution: every purchase credits the user's most
+    //    recent PRIOR view/click. The canonical marketing rollup, and the
+    //    canonical use of `last(_, ignoreNulls)` over a rows-frame ending
+    //    at 1 PRECEDING — an as-of join that rides ONE user-partitioned
+    //    window instead of a join (the touch and the purchase are already
+    //    co-partitioned by user). Revenue sums are exact cents.
+    "q144_attribution" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("t"),
+          cents(col("value")).as("c"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("touch",
+          last(when(col("event_type").isin("view", "click"), col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("unattributed")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("c")).as("attributed_cents"))
+        .orderBy(col("touch_type"))
+    },
+
     "q117_resample_ffill" -> { (s, d) =>
       val ev = Tables.events(s, d).filter(col("user_id") < 5)
         .select(col("user_id"), date_trunc("hour", col("ts")).as("slot"),
@@ -340,6 +387,38 @@ object EventQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_cents
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q142_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS c, event_id
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, c,
+        |    CAST(epoch(lead(t) OVER w) AS BIGINT)
+        |      - CAST(epoch(t) AS BIGINT) AS dur
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |  CAST(SUM(c * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE) AS twap_cents
+        |FROM iv WHERE dur IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q144_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, date_trunc('second', ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM e)
+        |SELECT coalesce(touch, 'unattributed') AS touch_type,
+        |  COUNT(*) AS n_purchases, CAST(SUM(c) AS BIGINT) AS attributed_cents
+        |FROM w WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY touch_type""".stripMargin,
 
     "q117_resample_ffill" ->
       """WITH ev AS (
