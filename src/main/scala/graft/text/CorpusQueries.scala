@@ -233,6 +233,32 @@ object CorpusQueries {
         .orderBy(col("doc_id"), col("rank"))
     },
 
+    // -- language-model count tables: bigram frequency PLUS the
+    //    Kneser-Ney continuation count (how many DISTINCT left contexts
+    //    each word follows — the numerator of the KN lower-order
+    //    distribution). Counts only, by design: the smoothed
+    //    probabilities are one libm-free division away and engine-
+    //    dependent, the counts are exact. One multiplicity-preserving
+    //    bigram explode feeds both aggregates; the continuation table
+    //    joins back on the word key it was grouped by — no extra shuffle
+    //    of the big side.
+    "q147_kn_counts" -> { (s, d) =>
+      val pairs = Tables.documents(s, d)
+        .select(split(lower(trim(col("text"))), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> struct(element_at(toks, i) AS w1,
+            |              element_at(toks, i + 1) AS w2))""".stripMargin)).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bc = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      val cont = pairs.groupBy(col("w2")).agg(countDistinct(col("w1")).as("n_contexts"))
+      bc.join(cont, Seq("w2"))
+        .select(col("w1"), col("w2"), col("n"), col("n_contexts"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(30)
+    },
+
     // -- feature hashing ("hashing trick"): every token is projected to
     //    a fixed 64-dim slot by the PORTABLE 48-bit hash
     //    ([[TextFunctions.portableHash48]] ≡ DuckDB md5_number_lower %
@@ -466,6 +492,20 @@ object CorpusQueries {
         |SELECT doc_id, term, tf, df, score, rank
         |FROM ranked WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    "q147_kn_counts" ->
+      """WITH t AS (
+        |  SELECT STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT UNNEST([{'w1': toks[i], 'w2': toks[i+1]}
+        |    FOR i IN RANGE(1, GREATEST(LEN(toks), 1))], recursive := true)
+        |  FROM t),
+        |bc AS (SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+        |cont AS (SELECT w2, COUNT(DISTINCT w1) AS n_contexts FROM pairs GROUP BY 1)
+        |SELECT bc.w1, bc.w2, bc.n, cont.n_contexts
+        |FROM bc JOIN cont ON bc.w2 = cont.w2
+        |ORDER BY bc.n DESC, bc.w1, bc.w2 LIMIT 30""".stripMargin,
 
     "q139_feature_hash" ->
       """WITH t AS (

@@ -1,6 +1,6 @@
 package graft.warehouse
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Tables
@@ -107,7 +107,101 @@ object StatsQueries {
     }
   )
 
+  /** 2-D Pareto frontier (both dimensions maximized): rows no other row
+    * weakly dominates with one strict inequality. Distributed as every
+    * skyline should be: (1) each partition prunes locally — a row is
+    * locally dominated iff some earlier row in (x desc, y desc) order
+    * has a lexicographically greater (y, x), the struct-max running
+    * window makes that one comparison — then (2) the same test runs
+    * globally over the SURVIVORS, a set that is typically O(skyline),
+    * orders of magnitude smaller than the input (worst case — fully
+    * anti-correlated dims — every row survives and the final pass
+    * degenerates to a sorted single task; the local pass keeps the
+    * common case linear). Equal (x, y) duplicates dominate nothing and
+    * are all kept, per the standard definition. */
+  private[warehouse] def skyline2d(df: DataFrame, x: String, y: String): DataFrame = {
+    def prune(in: DataFrame, parts: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(parts: _*)
+        .orderBy(col(x).desc, col(y).desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      in.withColumn("_m", max(struct(col(y), col(x))).over(w))
+        .filter(col("_m").isNull || !(col("_m") > struct(col(y), col(x))))
+        .drop("_m")
+    }
+    val local = prune(df.withColumn("_pid", spark_partition_id()),
+      Seq(col("_pid"))).drop("_pid")
+    prune(local, Seq.empty)
+  }
+
   def moreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- the skyline operator: customers not outclassed on BOTH total
+    //    spend and recency — the "best customers" frontier a CRM pulls.
+    //    Oracle is the O(n²) NOT EXISTS definition; the Spark plan is the
+    //    two-pass local-prune + survivor-skyline above. SkylineSpec pins
+    //    duplicates, anti-correlated worst cases, and brute-force
+    //    equivalence on random frames.
+    "q145_skyline" -> { (s, d) =>
+      val c = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(sum(cents(col("o_totalprice"))).as("spend"),
+          max(col("o_orderdate")).as("last_dt"))
+      skyline2d(c, "spend", "last_dt")
+        .select(col("cust"), col("spend"), col("last_dt").cast("date").as("last_order"))
+        .orderBy(col("spend").desc, col("cust"))
+    },
+
+    // -- RFM segmentation: every customer scored 1..5 on recency,
+    //    frequency, and monetary value by GLOBAL quintile, then the cell
+    //    histogram. All three quintiles ride the two-pass range-
+    //    partitioned NTILE (Scale.withGlobalNtile) — the scale-safe form
+    //    round 1 established for q16 — with the customer key as the
+    //    deterministic tie-break. 125 output cells regardless of input
+    //    size.
+    "q146_rfm" -> { (s, d) =>
+      val c = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(max(col("o_orderdate")).as("last_dt"),
+          count(lit(1)).as("freq"),
+          sum(cents(col("o_totalprice"))).as("spend"))
+      val scored = Seq(
+        (Seq(col("last_dt"), col("cust")), "r"),
+        (Seq(col("freq"), col("cust")), "f"),
+        (Seq(col("spend"), col("cust")), "m"))
+        .foldLeft(c) { case (df, (sort, out)) =>
+          Scale.withGlobalNtile(df, sort, 5, out)
+        }
+      scored.groupBy(col("r").cast("long").as("r"),
+          col("f").cast("long").as("f"), col("m").cast("long").as("m"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("r"), col("f"), col("m"))
+    },
+
+    // -- grouped simple linear regression (slope of price on quantity per
+    //    brand) from EXACT integer moments in DECIMAL(38,0) — the q82/q129
+    //    discipline: no streaming float covariance (partition-order
+    //    dependent), no BIGINT overflow (n·Σxy clears 9.2e18 past sf0.1).
+    //    The slope is ONE IEEE division of two exactly-computed integers,
+    //    bit-stable across engines and cluster layouts.
+    "q149_regression" -> { (s, d) =>
+      val dec = "decimal(38,0)"
+      val x = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          col("l_quantity").cast("long").as("q"),
+          cents(col("l_extendedprice")).as("c"))
+      x.groupBy(col("brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("q").cast(dec)).as("sx"),
+          sum(col("c").cast(dec)).as("sy"),
+          sum(col("q").cast(dec) * col("q").cast(dec)).as("sxx"),
+          sum(col("q").cast(dec) * col("c").cast(dec)).as("sxy"))
+        .select(col("brand"), col("n"),
+          ((col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("slope_cents_per_unit"))
+        .orderBy(col("brand"))
+    },
+
     // -- §2.4: ordered string aggregation (listagg) — deterministic via
     //    explicit WITHIN GROUP ordering on a unique key.
     "q67_listagg" -> { (s, d) =>
@@ -329,6 +423,61 @@ object StatsQueries {
         |  QUANTILE_CONT(l_quantity, 0.75) AS q75,
         |  MAX(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_qty_cents
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // The O(n²) textbook definition — the two-pass distributed plan must
+    // reproduce it exactly.
+    "q145_skyline" ->
+      """WITH c AS (
+        |  SELECT o_custkey AS cust,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT)
+        |      AS spend,
+        |    MAX(o_orderdate) AS last_dt
+        |  FROM orders GROUP BY 1)
+        |SELECT cust, spend, CAST(last_dt AS DATE) AS last_order
+        |FROM c a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM c b
+        |  WHERE b.spend >= a.spend AND b.last_dt >= a.last_dt
+        |    AND (b.spend > a.spend OR b.last_dt > a.last_dt))
+        |ORDER BY spend DESC, cust""".stripMargin,
+
+    "q146_rfm" ->
+      """WITH c AS (
+        |  SELECT o_custkey AS cust, MAX(o_orderdate) AS last_dt,
+        |    COUNT(*) AS freq,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT)
+        |      AS spend
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT cust,
+        |    NTILE(5) OVER (ORDER BY last_dt, cust) AS r,
+        |    NTILE(5) OVER (ORDER BY freq, cust) AS f,
+        |    NTILE(5) OVER (ORDER BY spend, cust) AS m
+        |  FROM c)
+        |SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+        |  CAST(m AS BIGINT) AS m, COUNT(*) AS n_customers
+        |FROM s GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin,
+
+    // HUGEINT on the DuckDB side ≡ DECIMAL(38,0) on the Spark side; the
+    // slope divides two exactly-computed integers, so the doubles match
+    // bit-for-bit.
+    "q149_regression" ->
+      """WITH x AS (
+        |  SELECT p_brand AS brand, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT) AS c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (
+        |  SELECT brand, COUNT(*) AS n,
+        |    CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(q AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS sxy
+        |  FROM x GROUP BY 1)
+        |SELECT brand, n,
+        |  CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+        |    / CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+        |    AS slope_cents_per_unit
+        |FROM m ORDER BY brand""".stripMargin,
 
     // Same counting-selection recurrence; `//` floor ≡ Spark `div`
     // truncation on the non-negative domain, and the (lo+hi)/2 double is
