@@ -139,6 +139,32 @@ object CdcQueries {
       sequenceGaps(Tables.events(s, d)
         .filter(col("event_type") =!= "error")
         .select(col("event_id").as("id")))
+    },
+
+    // -- point-in-time (AS OF event time) join against the Type-2
+    //    dimension: every purchase picks the account-state version whose
+    //    [valid_from, valid_to) interval covers the purchase timestamp —
+    //    THE correctness test for any SCD2 history (a fact must never see
+    //    a future version). Both sides shuffle once on the user key; the
+    //    validity predicate evaluates inside the joined partition against
+    //    a per-key version list that is bounded by the key's change
+    //    count, so there is no range-join blowup. Purchases before any
+    //    state version survive the left join as 'none'.
+    "q148_pit_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("ts_s", date_trunc("second", col("ts")))
+      val dim = Scd.type2(ev.filter(col("event_type") =!= "purchase"),
+        col("user_id"), col("event_type"), col("ts_s"), col("event_id"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_s"), cents(col("value")).as("c"))
+      facts.join(dim,
+          facts("user_id") === dim("key") &&
+            dim("valid_from") <= facts("ts_s") &&
+            (dim("valid_to").isNull || facts("ts_s") < dim("valid_to")),
+          "left")
+        .groupBy(coalesce(col("state"), lit("none")).as("state_at_purchase"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("c")).as("total_cents"))
+        .orderBy(col("state_at_purchase"))
     }
   )
 
@@ -231,6 +257,32 @@ object CdcQueries {
         |    AS total_cents
         |FROM orders
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q148_pit_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, date_trunc('second', ts) AS ts_s,
+        |    event_id, value
+        |  FROM events),
+        |st AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+        |chg AS (
+        |  SELECT user_id, event_type, ts_s, event_id,
+        |    LAG(event_type) OVER w AS prev, ROW_NUMBER() OVER w AS rn
+        |  FROM st WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |runs AS (
+        |  SELECT user_id, event_type AS state, ts_s AS valid_from,
+        |    LEAD(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+        |      AS valid_to
+        |  FROM chg WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |p AS (
+        |  SELECT user_id, ts_s,
+        |    CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS c
+        |  FROM ev WHERE event_type = 'purchase')
+        |SELECT coalesce(r.state, 'none') AS state_at_purchase,
+        |  COUNT(*) AS n_purchases, CAST(SUM(p.c) AS BIGINT) AS total_cents
+        |FROM p LEFT JOIN runs r
+        |  ON p.user_id = r.user_id AND r.valid_from <= p.ts_s
+        |  AND (r.valid_to IS NULL OR p.ts_s < r.valid_to)
+        |GROUP BY 1 ORDER BY state_at_purchase""".stripMargin,
 
     "q143_sequence_gaps" ->
       """WITH ok AS (

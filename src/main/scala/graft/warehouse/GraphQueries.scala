@@ -87,6 +87,46 @@ object GraphQueries {
       .limit(25)
   }
 
+  /** k-core decomposition by iterative peeling: drop every vertex of
+    * degree < k, repeat until stable — the standard community/spam
+    * filter (a vertex survives iff it has k neighbors that also
+    * survive). Each round is one degree aggregate + two LeftSemi joins
+    * on the (shrinking) edge list; the frame is eagerly
+    * localCheckpoint-ed per round because every round references it
+    * THREE times (the q118 componentsStars lesson — multi-reference
+    * rounds grow the plan exponentially without truncation). The loop
+    * stops at the true fixpoint — peeling is monotone decreasing, so an
+    * unchanged edge COUNT proves an unchanged edge SET — with a
+    * `maxRounds` cap the generated oracle unrolls to; degeneracy-order
+    * peeling (bucket queues) is the single-machine trick, round-
+    * synchronous peeling is its distributed form and converges in the
+    * same worst-case O(V) rounds, ~10 here. */
+  def kCore(e: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
+    var edges = e.select(col("u"), col("v")).localCheckpoint(true)
+    var n = edges.count()
+    var round = 0
+    var done = n == 0
+    while (!done && round < maxRounds) {
+      val deg = edges.select(col("u").as("p")).unionAll(edges.select(col("v").as("p")))
+        .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("p"))
+      val next = edges
+        .join(deg.withColumnRenamed("p", "u"), Seq("u"), "left_semi")
+        .join(deg.withColumnRenamed("p", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val m = next.count()
+      done = m == n
+      n = m
+      edges = next
+      round += 1
+    }
+    edges.select(col("u").as("p")).unionAll(edges.select(col("v").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("core_degree"))
+      .select(col("p").as("part_id"), col("core_degree"))
+      .orderBy(col("part_id"))
+  }
+
   /** Re-orient a canonical (u < v) edge list from each edge's
     * lower-DEGREE endpoint, ties broken by id — i.e. from the minimum
     * endpoint under the total order (degree, id). Output columns (s, t).
@@ -159,6 +199,8 @@ object GraphQueries {
     "q108_degree_dist" -> { (s, d) => degreeDistribution(edges(s, d)) },
 
     "q138_pagerank" -> { (s, d) => pageRank(edges(s, d)) },
+
+    "q150_kcore" -> { (s, d) => kCore(edges(s, d), k = 3) },
 
     // -- association-rule mining face: top co-purchased pairs by LIFT =
     //    P(A,B) / (P(A)·P(B)) over order baskets. Pair and item supports
@@ -242,6 +284,29 @@ object GraphQueries {
         |SELECT v AS part_id, CAST(r AS BIGINT) AS rank_fp
         |FROM pr WHERE it = 5
         |ORDER BY rank_fp DESC, part_id LIMIT 25""".stripMargin,
+
+    // 12 unrolled peel rounds (the loop's maxRounds), MATERIALIZED so
+    // the chained CTE references don't inline exponentially; fixpoint is
+    // reached by round ~9 at verify scale, so the fixed unroll and the
+    // fixpoint loop agree exactly.
+    "q150_kcore" -> {
+      val k = 3
+      val rounds = 12
+      val steps = (0 until rounds).map { i =>
+        s"""d$i AS MATERIALIZED (
+          |  SELECT p FROM (SELECT u AS p FROM e$i UNION ALL SELECT v FROM e$i)
+          |  GROUP BY p HAVING COUNT(*) >= $k),
+          |e${i + 1} AS MATERIALIZED (
+          |  SELECT u, v FROM e$i
+          |  WHERE u IN (SELECT p FROM d$i) AND v IN (SELECT p FROM d$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+        |  $edgesSql),
+        |$steps
+        |SELECT p AS part_id, COUNT(*) AS core_degree
+        |FROM (SELECT u AS p FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+        |GROUP BY p ORDER BY part_id""".stripMargin
+    },
 
     "q112_basket_lift" ->
       s"""WITH li AS (

@@ -59,6 +59,24 @@ class GraphSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1)) == ((d, 0L)))
   }
 
+  test("k-core: peeling cascades through chains, keeps cycles and cliques") {
+    def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+      GraphQueries.kCore(edges.toDF("u", "v"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4: every vertex sits in the 3-core with degree 3
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    assert(core(k4, 3) == (1L to 4L).map(_ -> 3L).toMap)
+    // a cycle is its own 2-core; a chain peels away COMPLETELY — the
+    // cascade (endpoints fall, exposing new endpoints) needs the loop
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    assert(core(cyc, 2) == (1L to 4L).map(_ -> 2L).toMap)
+    val chain = (1L to 9L).map(i => (i, i + 1))
+    assert(core(chain, 2) == Map.empty)
+    // K4 with a pendant tail: tail peels, clique survives untouched
+    val tailed = k4 ++ Seq((4L, 10L), (10L, 11L))
+    assert(core(tailed, 3) == (1L to 4L).map(_ -> 3L).toMap)
+  }
+
   test("pagerank: symmetric cycle gives every vertex the identical rank") {
     // 6-cycle: every vertex has degree 2 and an isomorphic neighborhood,
     // so the integer recurrence must produce one shared rank value.
