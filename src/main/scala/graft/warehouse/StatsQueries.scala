@@ -176,6 +176,53 @@ object StatsQueries {
         .orderBy(col("r"), col("f"), col("m"))
     },
 
+    // -- rolling median (7-row trailing frame) of per-day revenue: the
+    //    robust smoother a monitoring dashboard runs. The frame is
+    //    BOUNDED (≤ 7 values), so collecting it per row is O(1) state —
+    //    sort_array + middle-element interpolation reproduces
+    //    quantile_cont(0.5) exactly ((lo+hi)/2 is IEEE-exact on cent
+    //    integers). Growing frames at partition heads interpolate over
+    //    fewer rows, matching SQL window semantics.
+    "q151_rolling_median" -> { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("pri"), col("o_orderdate").as("d"))
+        .agg(sum(cents(col("o_totalprice"))).as("tot"))
+      val w = Window.partitionBy(col("pri")).orderBy(col("d")).rowsBetween(-6, 0)
+      daily
+        .withColumn("arr", sort_array(collect_list(col("tot")).over(w)))
+        .withColumn("med7", expr(
+          """CASE WHEN size(arr) % 2 = 1
+            |  THEN CAST(element_at(arr, CAST((size(arr) + 1) div 2 AS INT)) AS DOUBLE)
+            |  ELSE (CAST(element_at(arr, CAST(size(arr) div 2 AS INT)) AS DOUBLE)
+            |      + CAST(element_at(arr, CAST(size(arr) div 2 + 1 AS INT)) AS DOUBLE)) / 2
+            |END""".stripMargin))
+        .select(col("pri"), col("d").cast("date").as("d"), col("tot"), col("med7"))
+        .orderBy(col("pri"), col("d"))
+    },
+
+    // -- robust outlier detection by median/MAD — the q129 k-sigma dual
+    //    that a heavy-tailed metric needs (mean and variance are
+    //    themselves dragged by the outliers; the median and the median
+    //    absolute deviation are not). Two percentile passes (value, then
+    //    |value − median|) and one broadcast join back; the flag
+    //    comparison is the identical single multiply in both engines.
+    //    The buffered `percentile` here is the q122 face; q140's
+    //    counting-selection is the declared 100 TB path for both passes.
+    "q152_mad_outliers" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("pri"), cents(col("o_totalprice")).as("c"))
+      val med = o.groupBy(col("pri")).agg(expr("percentile(c, 0.5)").as("med"))
+      val dev = o.join(broadcast(med), Seq("pri"))
+        .withColumn("ad", abs(col("c") - col("med")))
+      val mad = dev.groupBy(col("pri")).agg(expr("percentile(ad, 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("pri"))
+        .groupBy(col("pri"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ad") > lit(1.5) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("pri"))
+    },
+
     // -- grouped simple linear regression (slope of price on quantity per
     //    brand) from EXACT integer moments in DECIMAL(38,0) — the q82/q129
     //    discipline: no streaming float covariance (partition-order
@@ -457,6 +504,31 @@ object StatsQueries {
         |SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
         |  CAST(m AS BIGINT) AS m, COUNT(*) AS n_customers
         |FROM s GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin,
+
+    "q151_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS pri, o_orderdate AS d,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT)
+        |      AS tot
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT pri, CAST(d AS DATE) AS d, tot,
+        |  quantile_cont(tot, 0.5) OVER (PARTITION BY pri ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+        |FROM daily ORDER BY pri, d""".stripMargin,
+
+    "q152_mad_outliers" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS c
+        |  FROM orders),
+        |m AS (SELECT pri, quantile_cont(c, 0.5) AS med FROM o GROUP BY 1),
+        |dev AS (SELECT o.pri, abs(c - med) AS ad FROM o JOIN m USING (pri)),
+        |md AS (SELECT pri, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT dev.pri, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN ad > 1.5 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev JOIN md ON dev.pri = md.pri
+        |GROUP BY 1 ORDER BY dev.pri""".stripMargin,
 
     // HUGEINT on the DuckDB side ≡ DECIMAL(38,0) on the Spark side; the
     // slope divides two exactly-computed integers, so the doubles match
