@@ -211,6 +211,50 @@ object EventQueries {
     //    collect, the bounds ride the plan). Timestamps leave as epoch
     //    seconds (BIGINT) — hour-trunc is coarser than the ns-vs-µs
     //    boundary so both engines agree.
+    // -- sequential pattern counts: which event follows which, across
+    //    every user timeline — the transition matrix behind session
+    //    modeling and next-action prediction. One lead window on the
+    //    user key (the timeline is already co-partitioned), one
+    //    map-side-combined count on the 25-cell transition space.
+    "q155_event_sequences" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("a"),
+          date_trunc("second", col("ts")).as("t"), col("event_id"))
+        .withColumn("b", lead(col("a"), 1).over(w))
+        .filter(col("b").isNotNull)
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(15)
+    },
+
+    // -- sliding-window distinct: 24-hour rolling distinct users, per
+    //    hour. COUNT(DISTINCT) cannot ride a window frame, and a
+    //    spine×activity range join fans every activity hour into every
+    //    covered target hour ANYWAY — so do that fan-out map-side as an
+    //    explode (each (user, hour) row emits its 24 covered target
+    //    hours; a bounded ×24 multiplier, no join), semi-join against
+    //    the observed-hour spine (tiny, broadcast), and count distinct
+    //    users per target hour in one shuffle. At 100 TB this is the
+    //    standard rolling-DAU plan; the sketch alternative (q141's
+    //    mergeable HLL per hour, unioned over 24 buckets) trades
+    //    exactness for a 24× smaller shuffle and is one substitution
+    //    away.
+    "q156_sliding_distinct" -> { (s, d) =>
+      val uh = Tables.events(s, d)
+        .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+        .distinct()
+      val hours = uh.select(col("h")).distinct()
+      uh.select(col("user_id"),
+          explode(sequence(col("h"), col("h") + expr("interval 23 hours"),
+            expr("interval 1 hour"))).as("h"))
+        .join(broadcast(hours), Seq("h"), "left_semi")
+        .groupBy(col("h"))
+        .agg(countDistinct(col("user_id")).as("dau_24h"))
+        .select(unix_timestamp(col("h")).as("hour_epoch"), col("dau_24h"))
+        .orderBy(col("hour_epoch"))
+    },
+
     // -- time-weighted average (TWAP): each reading holds until the next
     //    one, so its weight is the interval length. Sums are EXACT
     //    integers (cents × whole seconds); the average is ONE IEEE
@@ -387,6 +431,27 @@ object EventQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_cents
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q155_event_sequences" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, date_trunc('second', ts) AS t, event_id
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_type AS a,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS b
+        |  FROM e)
+        |SELECT a, b, COUNT(*) AS n
+        |FROM s WHERE b IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 15""".stripMargin,
+
+    "q156_sliding_distinct" ->
+      """WITH uh AS (
+        |  SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events),
+        |hours AS (SELECT DISTINCT h FROM uh)
+        |SELECT CAST(EPOCH(hours.h) AS BIGINT) AS hour_epoch,
+        |  COUNT(DISTINCT uh.user_id) AS dau_24h
+        |FROM hours JOIN uh ON uh.h <= hours.h AND uh.h > hours.h - INTERVAL 24 HOUR
+        |GROUP BY 1 ORDER BY hour_epoch""".stripMargin,
 
     "q142_twap" ->
       """WITH e AS (

@@ -12,6 +12,50 @@ import graft.util.Exact.cents
 object ExtrasQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- accumulating-snapshot fact: one row per order carrying its
+    //    lifecycle milestones (order date → first/last ship), rolled up
+    //    to lag totals per priority. The milestone pass is one
+    //    map-side-combined min/max aggregate on the natural join key; lag
+    //    arithmetic is exact day integers; the average is one IEEE
+    //    division. This is the Kimball accumulating-snapshot pattern the
+    //    reference's warehouse target would model fulfillment with.
+    "q153_fulfillment" -> { (s, d) =>
+      val f = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority").as("pri"),
+          col("o_orderdate"))
+        .agg(min(col("l_shipdate")).as("first_ship"),
+          max(col("l_shipdate")).as("last_ship"))
+      f.groupBy(col("pri"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(datediff(col("first_ship"), col("o_orderdate")))
+            .as("first_lag_days_total"),
+          sum(datediff(col("last_ship"), col("o_orderdate")))
+            .as("last_lag_days_total"),
+          (sum(datediff(col("first_ship"), col("o_orderdate"))).cast("double") /
+            count(lit(1)).cast("double")).as("avg_first_lag_days"))
+        .orderBy(col("pri"))
+    },
+
+    // -- percent-of-parent in the geography hierarchy: each nation's
+    //    share of its region's revenue — ratio_to_report, the window
+    //    aggregate every BI rollup leans on. The share is one IEEE
+    //    division of exact cent integers; the parent total rides a
+    //    region-partitioned window over the (tiny) nation-level
+    //    aggregate, never the fact table.
+    "q154_revenue_share" -> { (s, d) =>
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(sum(cents(col("o_totalprice"))).as("cents"))
+      rev.withColumn("share",
+          col("cents").cast("double") /
+            sum(col("cents")).over(Window.partitionBy(col("region"))).cast("double"))
+        .orderBy(col("region"), col("nation"))
+    },
+
     // -- A4: HLL++ approximate distinct. Sketch estimates are
     //    engine-specific, so the oracle-gated output carries only
     //    engine-independent invariants: the exact distinct counts plus
@@ -143,6 +187,35 @@ object ExtrasQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q153_fulfillment" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_orderpriority AS pri, o_orderdate AS od,
+        |    MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT pri, COUNT(*) AS n_orders,
+        |  CAST(SUM(DATEDIFF('day', od, first_ship)) AS BIGINT)
+        |    AS first_lag_days_total,
+        |  CAST(SUM(DATEDIFF('day', od, last_ship)) AS BIGINT)
+        |    AS last_lag_days_total,
+        |  CAST(SUM(DATEDIFF('day', od, first_ship)) AS DOUBLE) / COUNT(*)
+        |    AS avg_first_lag_days
+        |FROM f GROUP BY 1 ORDER BY pri""".stripMargin,
+
+    "q154_revenue_share" ->
+      """WITH rev AS (
+        |  SELECT r_name AS region, n_name AS nation,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT region, nation, cents,
+        |  CAST(cents AS DOUBLE)
+        |    / CAST(SUM(cents) OVER (PARTITION BY region) AS DOUBLE) AS share
+        |FROM rev ORDER BY region, nation""".stripMargin,
+
     "q49_approx_distinct" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,
