@@ -141,6 +141,31 @@ object CdcQueries {
         .select(col("event_id").as("id")))
     },
 
+    // -- table checksum reconciliation: per-key-range sums of a PORTABLE
+    //    row hash (TextFunctions.portableHash48 over a canonical '|'
+    //    serialization) — how a CDC operator proves source and target
+    //    agree WITHOUT shipping rows (the DMS-validation / pt-table-
+    //    checksum pattern; reference boundary: DMS's own validation-only
+    //    task). A mismatched bucket pinpoints the divergent key range for
+    //    a targeted re-sync; the whole comparison is N_buckets numbers.
+    //    One map-side hash projection + one bounded-cardinality
+    //    aggregate; 48-bit hashes keep 1000-row bucket sums 4 orders of
+    //    magnitude inside BIGINT.
+    "q158_table_checksum" -> { (s, d) =>
+      val rowRepr = concat_ws("|",
+        col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"),
+        col("o_orderstatus"),
+        cents(col("o_totalprice")).cast("string"),
+        col("o_orderdate").cast("date").cast("string"))
+      Tables.orders(s, d)
+        .select(expr("o_orderkey div 1000").as("bucket"),
+          graft.text.TextFunctions.portableHash48(rowRepr).as("h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+        .orderBy(col("bucket"))
+    },
+
     // -- point-in-time (AS OF event time) join against the Type-2
     //    dimension: every purchase picks the account-state version whose
     //    [valid_from, valid_to) interval covers the purchase timestamp —
@@ -257,6 +282,19 @@ object CdcQueries {
         |    AS total_cents
         |FROM orders
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q158_table_checksum" ->
+      """WITH r AS (
+        |  SELECT o_orderkey // 1000 AS bucket,
+        |    md5_number_lower(
+        |      CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+        |      || '|' || o_orderstatus || '|' ||
+        |      CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS VARCHAR)
+        |      || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+        |    ) % 281474976710656 AS h
+        |  FROM orders)
+        |SELECT bucket, COUNT(*) AS n_rows, CAST(SUM(h) AS BIGINT) AS checksum
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q148_pit_join" ->
       """WITH ev AS (

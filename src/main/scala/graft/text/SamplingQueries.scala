@@ -28,6 +28,23 @@ object SamplingQueries {
         .orderBy(col("lang"))
     },
 
+    // -- systematic (every k-th) sampling in a global key order — the
+    //    deterministic eval-split a pipeline re-derives identically on
+    //    every run. Position comes from the two-pass range-partitioned
+    //    numbering (Scale.withGlobalRowNumber), NEVER a bare global
+    //    window; the 1-in-100 filter then prunes map-side. Unlike
+    //    hash-based splits (q121) this guarantees EXACTLY evenly-spaced
+    //    coverage of the key order — the property systematic sampling
+    //    exists for.
+    "q157_systematic_sample" -> { (s, d) =>
+      graft.warehouse.Scale.withGlobalRowNumber(
+          Tables.orders(s, d).select(col("o_orderkey")),
+          Seq(col("o_orderkey")), "rn")
+        .filter(col("rn") % 100 === 1)
+        .select(col("o_orderkey"), col("rn"))
+        .orderBy(col("rn"))
+    },
+
     // -- weighted source mixture: per-source systematic rates (1-in-2 for
     //    even sources, 1-in-5 for odd) — the "mix corpora at fixed
     //    proportions" op, as one declarative filter.
@@ -226,6 +243,12 @@ object SamplingQueries {
         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn <= 50
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q157_systematic_sample" ->
+      """WITH n AS (
+        |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderkey, rn FROM n WHERE rn % 100 = 1 ORDER BY rn""".stripMargin,
 
     "q64_source_mixture" ->
       """SELECT source, COUNT(*) AS n_kept
