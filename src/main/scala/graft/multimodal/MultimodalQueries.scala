@@ -40,6 +40,33 @@ object MultimodalQueries {
           element_at(col("features"), 5).as("n_bytes_feat"),
           element_at(col("features"), 1).as("bin0"))
         .orderBy(col("media_id"))
+    },
+
+    // -- frame-level dedup: hash every sampled frame window and measure
+    //    per-source redundancy — the media analog of q40's exact document
+    //    dedup (near-identical clips share frame hashes even when the
+    //    container bytes differ). Frames never shuffle: the hash is a
+    //    per-row projection over the explode, and only (source, 16-byte
+    //    hash) pairs reach the distinct aggregate. The testdata corpus is
+    //    pure ASCII, so the oracle replays the byte windows as character
+    //    substrings — byte-offset parity holds by construction and the
+    //    md5s match exactly.
+    "q160_frame_dedup" -> { (s, d) =>
+      val media = Multimodal.asMediaTable(
+          Tables.documents(s, d), col("doc_id"), col("text"), "text/plain")
+        .join(Tables.documents(s, d).select(col("doc_id").as("media_id"),
+          col("source")), Seq("media_id"))
+      media
+        .withColumn("frame", explode(Multimodal.frameSample(
+          col("media"), frameBytes = 64, stride = 48, maxFrames = 8)))
+        .select(col("source"), md5(col("frame")).as("fh"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("fh")).as("n_distinct_frames"))
+        .withColumn("dup_ratio",
+          lit(1.0) - col("n_distinct_frames").cast("double") /
+            col("n_frames").cast("double"))
+        .orderBy(col("source"))
     }
   )
 
@@ -51,6 +78,18 @@ object MultimodalQueries {
         |  CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE) AS n_bytes_feat,
         |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[\x00-\x3F]', '', 'g')) AS DOUBLE) AS bin0
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q160_frame_dedup" ->
+      """WITH f AS (
+        |  SELECT source, UNNEST([SUBSTRING(text, i*48 + 1, 64)
+        |    FOR i IN RANGE(0, 8)]) AS fr
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_frames,
+        |  COUNT(DISTINCT MD5(fr)) AS n_distinct_frames,
+        |  1.0 - CAST(COUNT(DISTINCT MD5(fr)) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+        |FROM f WHERE LENGTH(fr) > 0
+        |GROUP BY 1 ORDER BY source""".stripMargin,
 
     "q44_multimodal_binary" ->
       """SELECT doc_id AS media_id, 'text/plain' AS format,

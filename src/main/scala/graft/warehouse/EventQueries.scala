@@ -255,6 +255,35 @@ object EventQueries {
         .orderBy(col("hour_epoch"))
     },
 
+    // -- the SKETCH face of q156: one HLL per hour (mergeable, a few KB),
+    //    each hour's sketch fanned to the 24 windows it covers, unioned
+    //    per target hour — the rolling-distinct plan whose shuffle is
+    //    24 × N_hours SKETCHES instead of 24 × user-hour ROWS. At 100 TB
+    //    this is the only tractable form; here the estimate is gated
+    //    against the exact count (same ±5% integer band as q141). The
+    //    exact side reuses q156's explode plan.
+    "q159_hll_sliding" -> { (s, d) =>
+      val uh = Tables.events(s, d)
+        .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+        .distinct()
+      val hours = uh.select(col("h")).distinct()
+      def fan(df: DataFrame) = df
+        .select(col("*"), explode(sequence(col("h"), col("h") + expr("interval 23 hours"),
+          expr("interval 1 hour"))).as("th"))
+        .drop("h").withColumnRenamed("th", "h")
+        .join(broadcast(hours), Seq("h"), "left_semi")
+      val exact = fan(uh).groupBy(col("h"))
+        .agg(countDistinct(col("user_id")).as("dau_24h"))
+      val est = fan(uh.groupBy(col("h")).agg(hll_sketch_agg(col("user_id")).as("sk")))
+        .groupBy(col("h"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      exact.join(est, Seq("h"))
+        .select(unix_timestamp(col("h")).as("hour_epoch"), col("dau_24h"),
+          (abs(col("est") - col("dau_24h")) * 100 <= col("dau_24h") * 5)
+            .as("est_within_5pct"))
+        .orderBy(col("hour_epoch"))
+    },
+
     // -- time-weighted average (TWAP): each reading holds until the next
     //    one, so its weight is the interval length. Sums are EXACT
     //    integers (cents × whole seconds); the average is ONE IEEE
@@ -431,6 +460,16 @@ object EventQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_cents
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q159_hll_sliding" ->
+      """WITH uh AS (
+        |  SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events),
+        |hours AS (SELECT DISTINCT h FROM uh)
+        |SELECT CAST(EPOCH(hours.h) AS BIGINT) AS hour_epoch,
+        |  COUNT(DISTINCT uh.user_id) AS dau_24h,
+        |  TRUE AS est_within_5pct
+        |FROM hours JOIN uh ON uh.h <= hours.h AND uh.h > hours.h - INTERVAL 24 HOUR
+        |GROUP BY 1 ORDER BY hour_epoch""".stripMargin,
 
     "q155_event_sequences" ->
       """WITH e AS (
