@@ -255,6 +255,50 @@ object EventQueries {
         .orderBy(col("hour_epoch"))
     },
 
+    // -- conversion-lag distribution: seconds from first view to the
+    //    first LATER purchase, summarized as p50/p90 — how long the
+    //    funnel takes, not just how many finish it (q72's counts). Two
+    //    user-keyed min aggregates + one join on the same key; the
+    //    global percentile runs over the CONVERTED-USER set (one lag per
+    //    converter) via the buffered `percentile`; q140's counting-
+    //    selection is the declared form if that set is ever huge.
+    "q161_conversion_lag" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("t"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+      val p = e.filter(col("event_type") === "purchase").join(v, Seq("user_id"))
+        .filter(col("t") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("t")).as("t2"), first(col("t1")).as("t1"))
+      p.select((unix_timestamp(col("t2")) - unix_timestamp(col("t1"))).as("lag_s"))
+        .agg(count(lit(1)).as("n_converted"),
+          expr("percentile(lag_s, 0.5)").as("p50_lag_s"),
+          expr("percentile(lag_s, 0.9)").as("p90_lag_s"))
+    },
+
+    // -- cart/browse abandonment: views with NO purchase by the same user
+    //    inside the following 24 hours, per day. The forward-looking
+    //    "next purchase" is a min over the FOLLOWING rows-frame on the
+    //    user timeline — the mirror of q144's backward last-touch, again
+    //    needing no join because user partitions carry both event kinds.
+    "q162_abandonment" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("t"), col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      e.withColumn("next_purchase",
+          min(when(col("event_type") === "purchase", col("t"))).over(w))
+        .filter(col("event_type") === "view")
+        .groupBy(col("t").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_views"),
+          sum(when(col("next_purchase").isNull ||
+              unix_timestamp(col("next_purchase")) - unix_timestamp(col("t")) > 86400,
+            1L).otherwise(0L)).as("n_abandoned"))
+        .orderBy(col("day"))
+    },
+
     // -- the SKETCH face of q156: one HLL per hour (mergeable, a few KB),
     //    each hour's sketch fanned to the 24 windows it covers, unioned
     //    per target hour — the rolling-distinct plan whose shuffle is
@@ -460,6 +504,40 @@ object EventQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_cents
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q161_conversion_lag" ->
+      """WITH v AS (
+        |  SELECT user_id, min(date_trunc('second', ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(date_trunc('second', e.ts)) AS t2
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND date_trunc('second', e.ts) > v.t1
+        |  GROUP BY 1),
+        |lg AS (
+        |  SELECT CAST(epoch(t2) AS BIGINT) - CAST(epoch(v.t1) AS BIGINT) AS lag_s
+        |  FROM p JOIN v USING (user_id))
+        |SELECT COUNT(*) AS n_converted,
+        |  quantile_cont(lag_s, 0.5) AS p50_lag_s,
+        |  quantile_cont(lag_s, 0.9) AS p90_lag_s
+        |FROM lg""".stripMargin,
+
+    "q162_abandonment" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, date_trunc('second', ts) AS t, event_id
+        |  FROM events),
+        |w AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN t END)
+        |    OVER (PARTITION BY user_id ORDER BY t, event_id
+        |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS next_purchase
+        |  FROM e)
+        |SELECT CAST(t AS DATE) AS day, COUNT(*) AS n_views,
+        |  CAST(SUM(CASE WHEN next_purchase IS NULL
+        |      OR CAST(epoch(next_purchase) AS BIGINT) - CAST(epoch(t) AS BIGINT) > 86400
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
+        |FROM w WHERE event_type = 'view'
+        |GROUP BY 1 ORDER BY day""".stripMargin,
 
     "q159_hll_sliding" ->
       """WITH uh AS (

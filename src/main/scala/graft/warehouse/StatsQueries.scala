@@ -223,6 +223,35 @@ object StatsQueries {
         .orderBy(col("pri"))
     },
 
+    // -- lag-1 autocorrelation of the daily revenue series — is
+    //    yesterday's number informative about today's? q82's exact-
+    //    moment discipline on a self-lagged series: the lag window rides
+    //    the DAILY aggregate (bounded by the calendar domain, not row
+    //    count), moments accumulate in DECIMAL(38,0), and the final
+    //    statistic is division + one sqrt — IEEE-754 requires sqrt
+    //    correctly rounded (unlike ln/pow), so the doubles match
+    //    bit-for-bit across engines.
+    "q163_autocorr" -> { (s, d) =>
+      val dec = "decimal(38,0)"
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("dt"))
+        .agg(sum(cents(col("o_totalprice"))).as("tot"))
+      val w = Window.orderBy(col("dt"))
+      val pairs = daily
+        .select(col("tot").as("y"), lag(col("tot"), 1).over(w).as("x"))
+        .filter(col("x").isNotNull)
+      val m = pairs.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"))
+      m.select(col("n"),
+        ((col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n").cast(dec) * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("autocorr_lag1"))
+    },
+
     // -- grouped simple linear regression (slope of price on quantity per
     //    brand) from EXACT integer moments in DECIMAL(38,0) — the q82/q129
     //    discipline: no streaming float covariance (partition-order
@@ -529,6 +558,29 @@ object StatsQueries {
         |    AS n_outliers
         |FROM dev JOIN md ON dev.pri = md.pri
         |GROUP BY 1 ORDER BY dev.pri""".stripMargin,
+
+    "q163_autocorr" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS dt,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT)
+        |      AS tot
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT tot AS y, LAG(tot) OVER (ORDER BY dt) AS x FROM daily),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+        |  FROM pairs WHERE x IS NOT NULL)
+        |SELECT n,
+        |  CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+        |         * CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE))
+        |    AS autocorr_lag1
+        |FROM m""".stripMargin,
 
     // HUGEINT on the DuckDB side ≡ DECIMAL(38,0) on the Spark side; the
     // slope divides two exactly-computed integers, so the doubles match
