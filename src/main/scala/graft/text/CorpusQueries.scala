@@ -233,6 +233,27 @@ object CorpusQueries {
         .orderBy(col("doc_id"), col("rank"))
     },
 
+    // -- n-gram novelty scoring: what fraction of a document's distinct
+    //    3-shingles appears in NO earlier document (by id order) — the
+    //    dedup-aware curation signal that separates "new content" from
+    //    "remix of the corpus so far", one step softer than the q41/q45
+    //    pair pipelines. Plan: one shingle-keyed min-aggregate finds each
+    //    shingle's first document, a join back on the same shingle key
+    //    tags every occurrence, and a doc-keyed count finishes — no
+    //    pairs, no quadratic face, ratios are one IEEE division.
+    "q164_novelty" -> { (s, d) =>
+      val sh = Dedup.shingleRows(Tables.documents(s, d),
+        col("doc_id"), col("text"), 3).distinct()
+      val firsts = sh.groupBy(col("sh")).agg(min(col("id")).as("first_doc"))
+      sh.join(firsts, Seq("sh"))
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_shingles").cast("double"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- language-model count tables: bigram frequency PLUS the
     //    Kneser-Ney continuation count (how many DISTINCT left contexts
     //    each word follows — the numerator of the KN lower-order
@@ -492,6 +513,24 @@ object CorpusQueries {
         |SELECT doc_id, term, tf, df, score, rank
         |FROM ranked WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    "q164_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, LIST_DISTINCT([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |    FOR i IN RANGE(1, GREATEST(LEN(toks) - 1, 1))]) AS shs
+        |  FROM t),
+        |x AS (SELECT doc_id, UNNEST(shs) AS sh FROM sh),
+        |firsts AS (SELECT sh, MIN(doc_id) AS first_doc FROM x GROUP BY 1)
+        |SELECT x.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN f.first_doc = x.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(SUM(CASE WHEN f.first_doc = x.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS novelty
+        |FROM x JOIN firsts f ON x.sh = f.sh
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q147_kn_counts" ->
       """WITH t AS (

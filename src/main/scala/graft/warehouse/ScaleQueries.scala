@@ -46,7 +46,60 @@ object ScaleQueries {
       dir
     })
 
+  // Bucketed copies of orders/lineitem (8 buckets on the order key,
+  // bucket-sorted) — like the Z-order copy, a LAYOUT written once per
+  // (session, source): every subsequent join or aggregation on the order
+  // key runs exchange-free, which is the entire economics of bucketing
+  // at 100 TB (pay the shuffle once at write time, never per query).
+  // Warmed in Bench outside the timed window alongside the IVF index,
+  // Z-order layout, and dedup ledger.
+  private val bucketCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  private[graft] def bucketedPair(s: SparkSession, d: String): (String, String) =
+    bucketCache.computeIfAbsent((s, d), { case (s2, d2) =>
+      // table identifiers: letters/digits/underscore only (no dots)
+      val key = d2.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      val (to, tl) = (s"graft_bk_orders_$key", s"graft_bk_lineitem_$key")
+      // a PREVIOUS JVM may have left the managed location behind with no
+      // catalog entry in this session — saveAsTable(Overwrite) then fails
+      // LOCATION_ALREADY_EXISTS, so clear both catalog row and location
+      // (FS-neutral: the warehouse dir is wherever the deployment put it)
+      val wh = new org.apache.hadoop.fs.Path(
+        s2.conf.get("spark.sql.warehouse.dir"))
+      val hc = graft.util.Hfs.conf(s2)
+      Seq(to, tl).foreach { t =>
+        s2.sql(s"DROP TABLE IF EXISTS $t")
+        graft.util.Hfs.delete(new org.apache.hadoop.fs.Path(wh, t), hc)
+      }
+      Scale.writeBucketed(
+        Tables.orders(s2, d2).select(col("o_orderkey"), col("o_orderstatus")),
+        to, "o_orderkey", buckets = 8)
+      Scale.writeBucketed(
+        Tables.lineitem(s2, d2).select(
+          col("l_orderkey").as("o_orderkey"),
+          graft.util.Exact.cents(col("l_extendedprice")).as("price_cents")),
+        tl, "o_orderkey", buckets = 8)
+      (to, tl)
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- co-located join through the bucketed layout: both sides are
+    //    bucket-hashed and bucket-sorted on the order key, so the
+    //    sort-merge join (forced by the merge hint — at test scale the
+    //    optimizer would otherwise broadcast) needs NO Exchange and NO
+    //    per-query sort on either side; ScaleSpec pins the exchange-free
+    //    plan, this query pins the RESULT through the oracle against a
+    //    plain join of the raw tables.
+    "q165_bucketed_join" -> { (s, d) =>
+      val (to, tl) = bucketedPair(s, d)
+      s.table(tl).hint("merge")
+        .join(s.table(to).hint("merge"), Seq("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("revenue_cents"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // -- Z-order pruning, oracle-gated face: the corner box "lowest
     //    quarter of BOTH key ranges" holds ~1/16 of the rows and maps to
     //    a contiguous low-z range, so it must touch at most a quarter of
@@ -81,6 +134,13 @@ object ScaleQueries {
     * and confinement — are a generated constant and a literal-TRUE
     * guarantee (violating either fails the hash compare). */
   def oracleSql: Map[String, String] = Map(
+    "q165_bucketed_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
     "q74_zorder_prune" ->
       s"""SELECT
          |  (SELECT COUNT(*) FROM lineitem
