@@ -127,6 +127,47 @@ object GraphQueries {
       .orderBy(col("part_id"))
   }
 
+  /** Multi-source BFS hop distances: the `nSeeds` lowest-id vertices are
+    * distance 0; every vertex within `maxHops` hops gets its minimum hop
+    * count. Unreached vertices are absent (distance = ∞). The
+    * reachability/geodesic face of the graph suite — k-hop neighborhood
+    * expansion is the candidate-generation step of graph-based
+    * recommendation and influence audits.
+    *
+    * Plan: the directed adjacency list is built once, hash-partitioned
+    * on `src`, and persisted; each round LeftSemi-probes it with the
+    * O(frontier) new-vertex set, distincts the neighbor set, and
+    * anti-joins the O(V) visited table — per-round shuffle is frontier +
+    * labels, never the O(E) edge side (q75/q138 discipline). Rounds are
+    * bounded by `maxHops`, and each round's frame is eagerly
+    * localCheckpoint-ed so plan growth stays O(1) (the q118 lesson).
+    * Frontier BFS beats the recursive-CTE form the oracle replays
+    * precisely because the anti-join stops re-expanding visited
+    * vertices — the CTE enumerates every ≤maxHops path, exponential on
+    * dense graphs; the frontier form is O(E) total per hop level. */
+  def bfsHops(e: DataFrame, nSeeds: Int = 3, maxHops: Int = 3): DataFrame = {
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src")).persist()
+    val seeds = adj.select(col("src").as("v")).distinct()
+      .orderBy(col("v")).limit(nSeeds)
+    var dist = seeds.select(col("v"), lit(0L).as("hops")).localCheckpoint(true)
+    var frontier = dist.select(col("v"))
+    (1 to maxHops).foreach { h =>
+      val next = adj
+        .join(frontier.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+        .select(col("dst").as("v")).distinct()
+        .join(dist, Seq("v"), "left_anti")
+        .select(col("v"), lit(h.toLong).as("hops"))
+        .localCheckpoint(true)
+      dist = dist.unionAll(next).localCheckpoint(true)
+      frontier = next.select(col("v"))
+    }
+    adj.unpersist()
+    dist.select(col("v").as("part_id"), col("hops"))
+      .orderBy(col("hops"), col("part_id"))
+  }
+
   /** Re-orient a canonical (u < v) edge list from each edge's
     * lower-DEGREE endpoint, ties broken by id — i.e. from the minimum
     * endpoint under the total order (degree, id). Output columns (s, t).
@@ -201,6 +242,8 @@ object GraphQueries {
     "q138_pagerank" -> { (s, d) => pageRank(edges(s, d)) },
 
     "q150_kcore" -> { (s, d) => kCore(edges(s, d), k = 3) },
+
+    "q167_bfs_hops" -> { (s, d) => bfsHops(edges(s, d)) },
 
     // -- association-rule mining face: top co-purchased pairs by LIFT =
     //    P(A,B) / (P(A)·P(B)) over order baskets. Pair and item supports
@@ -307,6 +350,23 @@ object GraphQueries {
         |FROM (SELECT u AS p FROM e$rounds UNION ALL SELECT v FROM e$rounds)
         |GROUP BY p ORDER BY part_id""".stripMargin
     },
+
+    // q167: recursive CTE with UNION (not UNION ALL) so (v, hops) pairs
+    // dedup across iterations — bounds the fixpoint at V·(maxHops+1)
+    // rows where path enumeration would be exponential.
+    "q167_bfs_hops" ->
+      s"""WITH RECURSIVE e AS (
+        |  $edgesSql),
+        |adj AS (SELECT u AS src, v AS dst FROM e
+        |        UNION ALL SELECT v AS src, u AS dst FROM e),
+        |seeds AS (SELECT src AS v FROM adj GROUP BY 1 ORDER BY v LIMIT 3),
+        |bfs(v, hops) AS (
+        |  SELECT v, CAST(0 AS BIGINT) FROM seeds
+        |  UNION
+        |  SELECT adj.dst, bfs.hops + 1 FROM bfs JOIN adj ON adj.src = bfs.v
+        |  WHERE bfs.hops < 3)
+        |SELECT v AS part_id, MIN(hops) AS hops FROM bfs
+        |GROUP BY v ORDER BY hops, part_id""".stripMargin,
 
     "q112_basket_lift" ->
       s"""WITH li AS (

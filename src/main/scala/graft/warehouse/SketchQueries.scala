@@ -110,6 +110,38 @@ object SketchQueries {
         .map { case (t, n, est) => (t, n, est >= n) }
         .toDF("event_type", "exact_n", "est_ge_exact")
         .orderBy(col("event_type"))
+    },
+
+    // -- KMV (k-minimum-values) distinct sketch: hash every key with the
+    //    PORTABLE 48-bit hash (TextFunctions.portableHash48 ≡ DuckDB
+    //    md5_number_lower % 2^48, the q121 equivalence), keep the k
+    //    smallest distinct hash values, estimate distinct = (k−1)·2^48
+    //    divided by the k-th minimum. Unlike HLL (q49/q141), every step
+    //    is engine-deterministic, so the oracle reproduces the ESTIMATE
+    //    bit-for-bit — not just an error band. Mergeability at 100 TB:
+    //    "k smallest hashes" is associative — each partition ships its
+    //    local k-minima (TakeOrdered, map-side), the merge sees only
+    //    k·n_partitions rows, and shard sketches union by merging
+    //    sorted k-lists — the same re-aggregation story as q141's HLL
+    //    union but with a deterministic estimator. The ±3/√k relative
+    //    error band (37.5% at k=64) is additionally pinned as an exact
+    //    integer cross-multiply.
+    "q166_kmv_distinct" -> { (s, d) =>
+      val k = 64
+      val li = Tables.lineitem(s, d)
+      val h = li.select(graft.text.TextFunctions
+          .portableHash48(col("l_orderkey").cast("string")).as("hv"))
+        .distinct()
+      val kth = h.orderBy(col("hv")).limit(k)
+        .agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth_min_hash"))
+      val exact = li.agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+      kth.crossJoin(exact) // 1-row × 1-row
+        .withColumn("kmv_estimate",
+          expr(s"((${k - 1} * 281474976710656) div kth_min_hash)"))
+        .select(col("exact_distinct"), col("k_used"), col("kth_min_hash"),
+          col("kmv_estimate"),
+          (abs(col("kmv_estimate") - col("exact_distinct")) * 1000 <=
+            col("exact_distinct") * 375).as("est_within_band"))
     }
   )
 
@@ -136,5 +168,23 @@ object SketchQueries {
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1 ORDER BY region""".stripMargin)
+        |GROUP BY 1 ORDER BY region""".stripMargin,
+
+    // q166: the estimate itself is oracle-exact — the hash, the k-th
+    // minimum, and the integer division are all portable.
+    "q166_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT
+        |    CAST(md5_number_lower(CAST(l_orderkey AS VARCHAR))
+        |         % 281474976710656 AS BIGINT) AS hv
+        |  FROM lineitem),
+        |kth AS (
+        |  SELECT COUNT(*) AS k_used, MAX(hv) AS kth_min_hash
+        |  FROM (SELECT hv FROM h ORDER BY hv LIMIT 64)),
+        |ex AS (SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct FROM lineitem)
+        |SELECT exact_distinct, k_used, kth_min_hash,
+        |  CAST((63 * 281474976710656) // kth_min_hash AS BIGINT) AS kmv_estimate,
+        |  abs((63 * 281474976710656) // kth_min_hash - exact_distinct) * 1000
+        |    <= exact_distinct * 375 AS est_within_band
+        |FROM kth, ex""".stripMargin)
 }

@@ -37,6 +37,20 @@ class GraphSpec extends AnyFunSuite {
     assert(counts(two) == ((6L, 2L)))
   }
 
+  test("bfs hops: chain distances, hop cap, and unreachable components") {
+    // chain 1-2-3-4-5-6 plus a disconnected edge 100-101; seeds = the 3
+    // lowest vertices {1,2,3}. 4 is 1 hop (from 3), 5 is 2, 6 is 3; the
+    // far component is never reached.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (100L, 101L))
+    val got = GraphQueries.bfsHops(chain.toDF("u", "v"), nSeeds = 3, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L, 6L -> 3L))
+    // tighter cap drops the tail but changes nothing else
+    val capped = GraphQueries.bfsHops(chain.toDF("u", "v"), nSeeds = 3, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
   test("degree distribution: star = one hub of degree n, n leaves of 1") {
     val dist = GraphQueries.degreeDistribution(
         Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("u", "v"))
