@@ -1,6 +1,7 @@
 package graft.warehouse
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.util.Tables
@@ -275,6 +276,43 @@ object GraphQueries {
         .select(col("u"), col("v"), col("n_ab"), col("n_a"), col("n_b"), col("lift"))
         .orderBy(col("lift").desc, col("u"), col("v"))
         .limit(25)
+    },
+
+    // -- item-item collaborative filtering: top-3 nearest neighbors per
+    //    part by co-occurrence COSINE n_ab/√(n_a·n_b) — the "customers
+    //    also bought" rollup, and the per-item window-ranked face next
+    //    to q112's global lift top-25. The cosine is √ then ÷ of exact
+    //    integers, both correctly-rounded IEEE ops, so scores are
+    //    engine-bit-identical and the (cosine DESC, id) rank is total.
+    //    Plan: the order-width-bounded pair table mirrored to both
+    //    directions, two vertex-keyed count joins, then a row_number
+    //    window on part_id — a high-cardinality partition key, never a
+    //    global sort. At 100 TB the fan-out per item is its neighbor
+    //    count in the THRESHOLDED pair list, already bounded by the
+    //    same support floor the graph queries share.
+    "q169_item_neighbors" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= MinCoOccurrence)
+      val items = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
+      val sym = pairs.select(col("u").as("i"), col("v").as("j"), col("n_ab"))
+        .unionAll(pairs.select(col("v").as("i"), col("u").as("j"), col("n_ab")))
+      val scored = sym
+        .join(items.select(col("l_partkey").as("i"), col("n_i").as("n_a")), Seq("i"))
+        .join(items.select(col("l_partkey").as("j"), col("n_i").as("n_b")), Seq("j"))
+        .withColumn("cosine",
+          col("n_ab").cast("double") / sqrt((col("n_a") * col("n_b")).cast("double")))
+      val w = Window.partitionBy(col("i")).orderBy(col("cosine").desc, col("j"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("i").as("part_id"), col("rk"), col("j").as("neighbor_id"),
+          col("n_ab").as("co_count"), col("cosine"))
+        .orderBy(col("part_id"), col("rk"))
     }
   )
 
@@ -386,6 +424,32 @@ object GraphQueries {
         |JOIN items ia ON ia.l_partkey = u
         |JOIN items ib ON ib.l_partkey = v
         |CROSS JOIN baskets
-        |ORDER BY lift DESC, u, v LIMIT 25""".stripMargin
+        |ORDER BY lift DESC, u, v LIMIT 25""".stripMargin,
+
+    "q169_item_neighbors" ->
+      s"""WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n_ab
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinCoOccurrence),
+        |items AS (
+        |  SELECT l_partkey, COUNT(*) AS n_i FROM li GROUP BY 1),
+        |sym AS (
+        |  SELECT u AS i, v AS j, n_ab FROM pairs
+        |  UNION ALL SELECT v AS i, u AS j, n_ab FROM pairs),
+        |scored AS (
+        |  SELECT i, j, n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+        |    CAST(n_ab AS DOUBLE) / sqrt(CAST(ia.n_i * ib.n_i AS DOUBLE)) AS cosine
+        |  FROM sym
+        |  JOIN items ia ON ia.l_partkey = i
+        |  JOIN items ib ON ib.l_partkey = j),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY i ORDER BY cosine DESC, j) AS rk
+        |  FROM scored)
+        |SELECT i AS part_id, rk, j AS neighbor_id, n_ab AS co_count, cosine
+        |FROM rk WHERE rk <= 3
+        |ORDER BY part_id, rk""".stripMargin
   )
 }

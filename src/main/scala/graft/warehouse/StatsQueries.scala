@@ -428,6 +428,31 @@ object StatsQueries {
           (col("n") * 1000L > col("total")).as("heavy"))
         .orderBy(col("n").desc, col("l_suppkey"))
         .limit(20)
+    },
+
+    // -- weekday seasonal decomposition: daily revenue vs its weekday
+    //    mean — the simplest seasonal profile a forecasting pipeline
+    //    subtracts before trend/anomaly work. The residual flag
+    //    |day − mean| > 20% · mean is an EXACT integer cross-multiply
+    //    (|day·n − S|·5 > S after clearing the division by n), so the
+    //    gate never rides float rounding; the mean itself is ONE IEEE
+    //    division, engine-bit-stable. Plan: one map-side-combined daily
+    //    rollup (the only table-sized shuffle), then a 7-row weekday
+    //    profile broadcast back onto the daily frame.
+    "q168_seasonality" -> { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("day_cents"))
+        .withColumn("weekday", dayofweek(col("day")).cast("long"))
+      val prof = daily.groupBy(col("weekday"))
+        .agg(sum(col("day_cents")).as("wd_cents"), count(lit(1)).as("wd_days"))
+      daily.join(broadcast(prof), Seq("weekday"))
+        .select(col("day"), col("weekday"), col("day_cents"),
+          (col("wd_cents").cast("double") / col("wd_days").cast("double"))
+            .as("wd_mean_cents"),
+          (abs(col("day_cents") * col("wd_days") - col("wd_cents")) * 5 >
+            col("wd_cents")).as("is_outlier"))
+        .orderBy(col("day"))
     }
   )
 
@@ -657,6 +682,24 @@ object StatsQueries {
         |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
         |  n * 1000 > total AS heavy
         |FROM c, t
-        |ORDER BY n DESC, l_suppkey LIMIT 20""".stripMargin
+        |ORDER BY n DESC, l_suppkey LIMIT 20""".stripMargin,
+
+    // q168: DuckDB dayofweek is 0=Sunday, Spark is 1=Sunday — shift by 1.
+    "q168_seasonality" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS day_cents
+        |  FROM orders GROUP BY 1),
+        |wd AS (SELECT *, CAST(dayofweek(day) + 1 AS BIGINT) AS weekday FROM daily),
+        |prof AS (
+        |  SELECT weekday, CAST(SUM(day_cents) AS BIGINT) AS wd_cents,
+        |    COUNT(*) AS wd_days
+        |  FROM wd GROUP BY 1)
+        |SELECT day, weekday, day_cents,
+        |  CAST(wd_cents AS DOUBLE) / CAST(wd_days AS DOUBLE) AS wd_mean_cents,
+        |  abs(day_cents * wd_days - wd_cents) * 5 > wd_cents AS is_outlier
+        |FROM wd JOIN prof USING (weekday)
+        |ORDER BY day""".stripMargin
   )
 }
