@@ -313,6 +313,35 @@ object CorpusQueries {
     //    head — bounded rows).
     "q115_inverted_index" -> { (s, d) =>
       invertedIndex(Tables.documents(s, d), MinDf, PostingCap)
+    },
+
+    // -- corpus overlap matrix: source×source 3-gram Jaccard — the
+    //    provenance-level dual of q124's per-document containment, the
+    //    report that decides which SOURCES to drop or down-weight before
+    //    mixing a training corpus. Collapsing shingles to the (source,
+    //    shingle) level FIRST bounds the intersection join's fan-out per
+    //    shingle key at n_sources² (here ≤ 20², at any corpus size) —
+    //    the class-collapse discipline of the dedup stack, which makes
+    //    a shingle-keyed self-join safe where a doc-level one would be
+    //    quadratic in the corpus. Set sizes are exact; the Jaccard is
+    //    ONE IEEE division of exact integers.
+    "q171_source_overlap" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.shingleRows(docs, col("doc_id"), col("text"), 3,
+          Seq("src" -> col("source")))
+        .select(col("src"), col("sh")).distinct()
+      val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.src") < col("b.src"))
+        .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("src").as("src_a"), col("n").as("n_a")), Seq("src_a"))
+        .join(sizes.select(col("src").as("src_b"), col("n").as("n_b")), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("inter"),
+          (col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
     }
   )
 
@@ -573,6 +602,27 @@ object CorpusQueries {
         |SELECT dfc.term, dfc.df, p.postings
         |FROM dfc JOIN p ON dfc.term = p.term
         |WHERE dfc.df >= $MinDf
-        |ORDER BY dfc.term""".stripMargin
+        |ORDER BY dfc.term""".stripMargin,
+
+    "q171_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT source, [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |    FOR i IN RANGE(1, GREATEST(LEN(toks) - 1, 1))] AS shs
+        |  FROM t),
+        |x AS (SELECT DISTINCT source, UNNEST(shs) AS sh FROM sh),
+        |sz AS (SELECT source, COUNT(*) AS n FROM x GROUP BY 1),
+        |i AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+        |  FROM x a JOIN x b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, inter,
+        |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+        |FROM i
+        |JOIN sz sa ON sa.source = src_a
+        |JOIN sz sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin
   )
 }

@@ -120,6 +120,38 @@ object QualityQueries {
         .select(col("seg"), col("n").as("n_orders"),
           col("n_out_15"), col("n_out_17"))
         .orderBy(col("seg"))
+    },
+
+    // -- record linkage (the Fellegi–Sunter shape): candidate pairs from
+    //    a BLOCKING key, an integer agreement score over the remaining
+    //    fields, then a match threshold — the entity-resolution pass a
+    //    warehouse runs before trusting "distinct customers". Blocking
+    //    on (nation, segment) keeps pair generation quadratic only per
+    //    block; at 100 TB a hot block gets the q115 salted-cap guard
+    //    (cap per (block, hash(id)%S) then re-cap), and the q131
+    //    PassJoin segment filter is the lossless upgrade when a string
+    //    field drives the score. Agreement weights are exact-integer
+    //    tiers (balance within $10: +4, within $100: +2, same sign: +1),
+    //    so the score — and the ≥3 match gate — never touches a float.
+    "q170_linkage_score" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          graft.util.Exact.cents(col("c_acctbal")).as("bal"))
+      c.as("a").join(c.as("b"),
+          col("a.c_nationkey") === col("b.c_nationkey") &&
+            col("a.c_mktsegment") === col("b.c_mktsegment") &&
+            col("a.c_custkey") < col("b.c_custkey"))
+        .select(
+          col("a.c_custkey").as("cust_a"), col("b.c_custkey").as("cust_b"),
+          abs(col("a.bal") - col("b.bal")).as("bal_diff_cents"),
+          ((col("a.bal") >= 0) === (col("b.bal") >= 0)).as("sgn"))
+        .withColumn("score",
+          when(col("bal_diff_cents") <= 1000L, 4L).otherwise(0L) +
+            when(col("bal_diff_cents") <= 10000L, 2L).otherwise(0L) +
+            when(col("sgn"), 1L).otherwise(0L))
+        .filter(col("score") >= 3)
+        .select(col("cust_a"), col("cust_b"), col("bal_diff_cents"), col("score"))
+        .orderBy(col("cust_a"), col("cust_b"))
     }
   )
 
@@ -183,6 +215,28 @@ object QualityQueries {
         |SELECT seg, CAST(n AS BIGINT) AS n_orders,
         |  CAST(SUM(CASE WHEN 4*dev2 > 9*var_n2 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_15,
         |  CAST(SUM(CASE WHEN 100*dev2 > 289*var_n2 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_17
-        |FROM fl GROUP BY seg, n ORDER BY seg""".stripMargin
+        |FROM fl GROUP BY seg, n ORDER BY seg""".stripMargin,
+
+    "q170_linkage_score" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+        |  FROM customer),
+        |p AS (
+        |  SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+        |    abs(a.bal - b.bal) AS bal_diff_cents,
+        |    (a.bal >= 0) = (b.bal >= 0) AS sgn
+        |  FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_mktsegment = b.c_mktsegment
+        |    AND a.c_custkey < b.c_custkey),
+        |sc AS (
+        |  SELECT cust_a, cust_b, bal_diff_cents,
+        |    CAST((CASE WHEN bal_diff_cents <= 1000 THEN 4 ELSE 0 END)
+        |      + (CASE WHEN bal_diff_cents <= 10000 THEN 2 ELSE 0 END)
+        |      + (CASE WHEN sgn THEN 1 ELSE 0 END) AS BIGINT) AS score
+        |  FROM p)
+        |SELECT cust_a, cust_b, bal_diff_cents, score
+        |FROM sc WHERE score >= 3
+        |ORDER BY cust_a, cust_b""".stripMargin
   )
 }
