@@ -152,6 +152,34 @@ object QualityQueries {
         .filter(col("score") >= 3)
         .select(col("cust_a"), col("cust_b"), col("bal_diff_cents"), col("score"))
         .orderBy(col("cust_a"), col("cust_b"))
+    },
+
+    // -- Benford first-digit audit: the forensic-accounting screen for
+    //    fabricated or truncated numeric columns. Observed first-digit
+    //    shares in exact integer permille (n·1000 div total) against the
+    //    Benford expectation (a 9-row constant table — log-free, the
+    //    permilles are literals), deviation flagged at >50‰. TPC-H
+    //    prices are uniform-ish so they SHOULD deviate — the audit
+    //    reports that honestly; the operator is the screen, not the
+    //    verdict. One map-side-combined digit rollup; everything after
+    //    is a 9-row frame.
+    "q174_benford" -> { (s, d) =>
+      val benford = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+      val exp = benford.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
+        when(col("digit") === (i + 1), lit(p)).otherwise(acc)
+      }
+      val digits = Tables.orders(s, d)
+        .select(substring(graft.util.Exact.cents(col("o_totalprice"))
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val total = digits.agg(sum(col("n")).as("total"))
+      digits.crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          expr("(n * 1000) div total").as("obs_permille"),
+          exp.as("benford_permille"))
+        .withColumn("deviates",
+          abs(col("obs_permille") - col("benford_permille")) > 50)
+        .orderBy(col("digit"))
     }
   )
 
@@ -237,6 +265,22 @@ object QualityQueries {
         |  FROM p)
         |SELECT cust_a, cust_b, bal_diff_cents, score
         |FROM sc WHERE score >= 3
-        |ORDER BY cust_a, cust_b""".stripMargin
+        |ORDER BY cust_a, cust_b""".stripMargin,
+
+    "q174_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(SUBSTR(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g),
+        |b(digit, benford_permille) AS (VALUES
+        |  (1, CAST(301 AS BIGINT)), (2, 176), (3, 125), (4, 97), (5, 79),
+        |  (6, 67), (7, 58), (8, 51), (9, 46))
+        |SELECT g.digit, g.n, (g.n * 1000) // total AS obs_permille,
+        |  b.benford_permille,
+        |  abs((g.n * 1000) // total - b.benford_permille) > 50 AS deviates
+        |FROM g JOIN b ON b.digit = g.digit CROSS JOIN t
+        |ORDER BY g.digit""".stripMargin
   )
 }

@@ -453,6 +453,57 @@ object StatsQueries {
           (abs(col("day_cents") * col("wd_days") - col("wd_cents")) * 5 >
             col("wd_cents")).as("is_outlier"))
         .orderBy(col("day"))
+    },
+
+    // -- decile gains table: customers ranked by lifetime spend, cut
+    //    into globally-numbered deciles, with cumulative revenue share —
+    //    the model-eval / marketing report behind "top 10% of customers
+    //    drive X% of revenue". The decile cut runs through
+    //    Scale.withGlobalNtile (two-pass range-partitioned numbering,
+    //    q16/q140 discipline — never a bare global NTILE window); the
+    //    cumulative window then rides a TEN-row aggregated frame, where
+    //    a single partition is the point, not a bottleneck. Shares are
+    //    one IEEE division of exact cents.
+    "q172_decile_gains" -> { (s, d) =>
+      val sp = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("spend"))
+      val dec = Scale.withGlobalNtile(sp,
+          Seq(col("spend").desc, col("o_custkey")), 10, "decile")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("spend")).as("decile_cents"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val total = dec.agg(sum(col("decile_cents")).as("total_cents"))
+      dec.withColumn("cum_cents", sum(col("decile_cents")).over(w))
+        .crossJoin(broadcast(total))
+        .select(col("decile"), col("n_customers"), col("decile_cents"),
+          col("cum_cents"),
+          (col("cum_cents").cast("double") / col("total_cents").cast("double"))
+            .as("cum_share"))
+        .orderBy(col("decile"))
+    },
+
+    // -- Gini coefficient of customer spend: revenue concentration in
+    //    ONE number, G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over spends
+    //    sorted ascending — the audit behind the q172 gains table. The
+    //    rank i comes from the two-pass range-partitioned global
+    //    numbering (never a bare global window); every sum is an exact
+    //    BIGINT (Σ i·x ~ n²·x̄ — the decimal(38,0) widening is the
+    //    declared upgrade past ~1e18, q129's pattern); the final G is
+    //    one division of exact integers, identical in both engines.
+    "q173_gini" -> { (s, d) =>
+      val sp = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("spend"))
+      Scale.withGlobalRowNumber(sp, Seq(col("spend"), col("o_custkey")), "rn")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("spend")).as("total_cents"),
+          sum(col("spend") * col("rn")).as("s1"))
+        .select(col("n_customers"), col("total_cents"),
+          ((col("s1") * 2 - (col("n_customers") + 1) * col("total_cents"))
+            .cast("double") /
+            (col("n_customers") * col("total_cents")).cast("double")).as("gini"))
     }
   )
 
@@ -700,6 +751,49 @@ object StatsQueries {
         |  CAST(wd_cents AS DOUBLE) / CAST(wd_days AS DOUBLE) AS wd_mean_cents,
         |  abs(day_cents * wd_days - wd_cents) * 5 > wd_cents AS is_outlier
         |FROM wd JOIN prof USING (weekday)
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+
+    "q172_decile_gains" ->
+      """WITH sp AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS spend
+        |  FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT *, CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey)
+        |    AS BIGINT) AS decile
+        |  FROM sp),
+        |g AS (
+        |  SELECT decile, COUNT(*) AS n_customers,
+        |    CAST(SUM(spend) AS BIGINT) AS decile_cents
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(decile_cents) AS BIGINT) AS total_cents FROM g)
+        |SELECT decile, n_customers, decile_cents,
+        |  CAST(SUM(decile_cents) OVER (ORDER BY decile
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+        |  CAST(SUM(decile_cents) OVER (ORDER BY decile
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(total_cents AS DOUBLE)
+        |    AS cum_share
+        |FROM g, t ORDER BY decile""".stripMargin,
+
+    "q173_gini" ->
+      """WITH sp AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS spend
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT spend,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS BIGINT) AS rn
+        |  FROM sp),
+        |a AS (
+        |  SELECT COUNT(*) AS n_customers,
+        |    CAST(SUM(spend) AS BIGINT) AS total_cents,
+        |    CAST(SUM(spend * rn) AS BIGINT) AS s1
+        |  FROM r)
+        |SELECT n_customers, total_cents,
+        |  CAST(2 * s1 - (n_customers + 1) * total_cents AS DOUBLE)
+        |    / CAST(n_customers * total_cents AS DOUBLE) AS gini
+        |FROM a""".stripMargin
   )
 }
