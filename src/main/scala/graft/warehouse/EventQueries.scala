@@ -255,6 +255,29 @@ object EventQueries {
         .orderBy(col("hour_epoch"))
     },
 
+    // -- A/B experiment readout on a DETERMINISTIC hash assignment:
+    //    variant = portableHash48(user_id) mod 2 — the same stable-
+    //    bucketing primitive as q121's train/val/test split, which is
+    //    what real experimentation systems use so a user's arm never
+    //    changes between sessions or engines. Assignment is a pure
+    //    projection (no shuffle, no assignment table to join);
+    //    conversion rolls up on the user key; the readout is two rows.
+    //    Rates are exact integer permille — significance testing on top
+    //    is one more map over these four integers.
+    "q176_ab_assign" -> { (s, d) =>
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("variant",
+          when(graft.text.TextFunctions.portableHash48(col("user_id").cast("string"))
+            % 2 === 0, "A").otherwise("B"))
+      users.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
+        .withColumn("conv_permille", expr("(n_converted * 1000) div n_users"))
+        .orderBy(col("variant"))
+    },
+
     // -- conversion-lag distribution: seconds from first view to the
     //    first LATER purchase, summarized as p50/p90 — how long the
     //    funnel takes, not just how many finish it (q72's counts). Two
@@ -504,6 +527,21 @@ object EventQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_cents
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q176_ab_assign" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY 1),
+        |v AS (
+        |  SELECT CASE WHEN md5_number_lower(CAST(user_id AS VARCHAR))
+        |      % 281474976710656 % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    converted
+        |  FROM u)
+        |SELECT variant, COUNT(*) AS n_users,
+        |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+        |  (CAST(SUM(converted) AS BIGINT) * 1000) // COUNT(*) AS conv_permille
+        |FROM v GROUP BY 1 ORDER BY variant""".stripMargin,
 
     "q161_conversion_lag" ->
       """WITH v AS (

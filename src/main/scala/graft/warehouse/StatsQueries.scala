@@ -504,6 +504,34 @@ object StatsQueries {
           ((col("s1") * 2 - (col("n_customers") + 1) * col("total_cents"))
             .cast("double") /
             (col("n_customers") * col("total_cents")).cast("double")).as("gini"))
+    },
+
+    // -- interval concurrency (sweep line): each lineitem is "open" from
+    //    its order date until it ships — [o_orderdate, l_shipdate) —
+    //    and the question is each supplier's PEAK simultaneously-open
+    //    line count, the capacity-planning number behind backlog SLAs.
+    //    The sweep is +1/−1 deltas collapsed per (supplier, day), then a
+    //    running sum along each supplier's own timeline — a
+    //    high-cardinality partitioned window, never a global sort; the
+    //    half-open interval makes same-day ship cancel same-day open
+    //    BEFORE the peak is read, exactly the [s, r) semantics. This is
+    //    the sweep-line dual of q24's range JOIN: measuring overlap
+    //    instead of joining on it.
+    "q175_open_concurrency" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"), col("o_orderdate").cast("date").as("od"),
+          col("l_shipdate").cast("date").as("sd"))
+      val deltas = li.select(col("l_suppkey"), col("od").as("day"), lit(1L).as("delta"))
+        .unionAll(li.select(col("l_suppkey"), col("sd").as("day"), lit(-1L).as("delta")))
+        .groupBy(col("l_suppkey"), col("day"))
+        .agg(sum(col("delta")).as("net"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("active", sum(col("net")).over(w))
+        .groupBy(col("l_suppkey"))
+        .agg(max(col("active")).as("max_open"))
+        .orderBy(col("l_suppkey"))
     }
   )
 
@@ -794,6 +822,25 @@ object StatsQueries {
         |SELECT n_customers, total_cents,
         |  CAST(2 * s1 - (n_customers + 1) * total_cents AS DOUBLE)
         |    / CAST(n_customers * total_cents AS DOUBLE) AS gini
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    "q175_open_concurrency" ->
+      """WITH li AS (
+        |  SELECT l_suppkey, CAST(o_orderdate AS DATE) AS od,
+        |    CAST(l_shipdate AS DATE) AS sd
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deltas AS (
+        |  SELECT l_suppkey, day, CAST(SUM(delta) AS BIGINT) AS net FROM (
+        |    SELECT l_suppkey, od AS day, 1 AS delta FROM li
+        |    UNION ALL
+        |    SELECT l_suppkey, sd AS day, -1 AS delta FROM li)
+        |  GROUP BY 1, 2),
+        |run AS (
+        |  SELECT l_suppkey,
+        |    SUM(net) OVER (PARTITION BY l_suppkey ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS active
+        |  FROM deltas)
+        |SELECT l_suppkey, CAST(MAX(active) AS BIGINT) AS max_open
+        |FROM run GROUP BY 1 ORDER BY l_suppkey""".stripMargin
   )
 }
