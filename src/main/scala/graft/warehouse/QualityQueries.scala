@@ -180,6 +180,34 @@ object QualityQueries {
         .withColumn("deviates",
           abs(col("obs_permille") - col("benford_permille")) > 50)
         .orderBy(col("digit"))
+    },
+
+    // -- contingency-table independence screen: nation × market-segment
+    //    observed counts vs the independence expectation e = r·c/T —
+    //    the correlation audit for categorical columns (a skewed cell
+    //    here means a biased join key or a selection leak). The expected
+    //    value is ONE IEEE division; the ±20% deviation flag clears that
+    //    division first — 5·|o·T − r·c| > r·c — so the gate is exact
+    //    integers. One map-side cell rollup, margins re-aggregated FROM
+    //    the cells (no second table scan), broadcast back; 125 rows.
+    "q178_contingency" -> { (s, d) =>
+      val cells = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy(col("c_nationkey")).agg(sum(col("o")).as("r"))
+      val cols = cells.groupBy(col("c_mktsegment")).agg(sum(col("o")).as("c"))
+      val tot = cells.agg(sum(col("o")).as("t"))
+      cells
+        .join(broadcast(rows), Seq("c_nationkey"))
+        .join(broadcast(cols), Seq("c_mktsegment"))
+        .crossJoin(broadcast(tot))
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_mktsegment").as("segment"), col("o"),
+          ((col("r") * col("c")).cast("double") / col("t").cast("double"))
+            .as("expected"),
+          (abs(col("o") * col("t") - col("r") * col("c")) * 5 >
+            col("r") * col("c")).as("deviates"))
+        .orderBy(col("nationkey"), col("segment"))
     }
   )
 
@@ -281,6 +309,23 @@ object QualityQueries {
         |  b.benford_permille,
         |  abs((g.n * 1000) // total - b.benford_permille) > 50 AS deviates
         |FROM g JOIN b ON b.digit = g.digit CROSS JOIN t
-        |ORDER BY g.digit""".stripMargin
+        |ORDER BY g.digit""".stripMargin,
+
+    "q178_contingency" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS o
+        |  FROM customer GROUP BY 1, 2),
+        |r AS (SELECT c_nationkey, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |c AS (SELECT c_mktsegment, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS t FROM cells)
+        |SELECT CAST(cells.c_nationkey AS BIGINT) AS nationkey,
+        |  cells.c_mktsegment AS segment, cells.o,
+        |  CAST(r.r * c.c AS DOUBLE) / CAST(t.t AS DOUBLE) AS expected,
+        |  abs(cells.o * t.t - r.r * c.c) * 5 > r.r * c.c AS deviates
+        |FROM cells
+        |JOIN r ON r.c_nationkey = cells.c_nationkey
+        |JOIN c ON c.c_mktsegment = cells.c_mktsegment
+        |CROSS JOIN t
+        |ORDER BY nationkey, segment""".stripMargin
   )
 }

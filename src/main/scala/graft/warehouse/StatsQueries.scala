@@ -532,6 +532,38 @@ object StatsQueries {
         .groupBy(col("l_suppkey"))
         .agg(max(col("active")).as("max_open"))
         .orderBy(col("l_suppkey"))
+    },
+
+    // -- distribution drift: total-variation distance between the early
+    //    (<1998) and late price-bin histograms — the drift monitor a
+    //    feature pipeline runs between training and serving windows.
+    //    PSI needs a log; TV = ½·Σ|p₁ᵢ − p₂ᵢ| doesn't, so the WHOLE
+    //    check stays in exact integers once cleared of denominators:
+    //    Σ|n₁ᵢ·N₂ − n₂ᵢ·N₁| scaled by 500 div N₁·N₂ gives permille TV
+    //    (the cross-product widens to decimal(38,0) past ~1e9 rows per
+    //    side — q129's declared upgrade). One map-side (period, bin)
+    //    rollup; everything after is a ~dozen-row frame.
+    "q177_drift_tv" -> { (s, d) =>
+      val binCents = 5000000L // $50k bins
+      val h = Tables.orders(s, d)
+        .select(
+          (year(col("o_orderdate")) < 1998).as("early"),
+          cents(col("o_totalprice")).as("c"))
+        .select(col("early"), expr(s"c div $binCents").as("bin"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("early"), 1L).otherwise(0L)).as("n_early"),
+          sum(when(!col("early"), 1L).otherwise(0L)).as("n_late"))
+      val tot = h.agg(sum(col("n_early")).as("tot_early"),
+        sum(col("n_late")).as("tot_late"))
+      val terms = h.crossJoin(broadcast(tot))
+        .withColumn("diff_term",
+          abs(col("n_early") * col("tot_late") - col("n_late") * col("tot_early")))
+      val tv = terms.agg(
+        expr("(500 * sum(diff_term)) div (max(tot_early) * max(tot_late))").as("tv_permille"))
+      terms.crossJoin(broadcast(tv))
+        .select(col("bin"), col("n_early"), col("n_late"), col("diff_term"),
+          col("tv_permille"))
+        .orderBy(col("bin"))
     }
   )
 
@@ -841,6 +873,31 @@ object StatsQueries {
         |      ROWS UNBOUNDED PRECEDING) AS active
         |  FROM deltas)
         |SELECT l_suppkey, CAST(MAX(active) AS BIGINT) AS max_open
-        |FROM run GROUP BY 1 ORDER BY l_suppkey""".stripMargin
+        |FROM run GROUP BY 1 ORDER BY l_suppkey""".stripMargin,
+
+    "q177_drift_tv" ->
+      """WITH h AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      // 5000000 AS bin,
+        |    CAST(SUM(CASE WHEN year(o_orderdate) < 1998 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_early,
+        |    CAST(SUM(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_late
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(n_early) AS BIGINT) AS tot_early,
+        |    CAST(SUM(n_late) AS BIGINT) AS tot_late
+        |  FROM h),
+        |terms AS (
+        |  SELECT bin, n_early, n_late,
+        |    abs(n_early * tot_late - n_late * tot_early) AS diff_term,
+        |    tot_early, tot_late
+        |  FROM h, t),
+        |tv AS (
+        |  SELECT CAST((500 * SUM(diff_term)) // (MAX(tot_early) * MAX(tot_late))
+        |    AS BIGINT) AS tv_permille
+        |  FROM terms)
+        |SELECT bin, n_early, n_late, diff_term, tv_permille
+        |FROM terms, tv ORDER BY bin""".stripMargin
   )
 }
