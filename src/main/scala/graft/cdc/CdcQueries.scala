@@ -175,6 +175,46 @@ object CdcQueries {
     //    a per-key version list that is bounded by the key's change
     //    count, so there is no range-join blowup. Purchases before any
     //    state version survive the left join as 'none'.
+    // -- segment-hash reconciliation (Merkle localization): q158 builds
+    //    ONE table's segment checksums; this op diffs two replicas'
+    //    checksum vectors to localize divergence to O(segment) rows
+    //    without shipping either table — the anti-entropy step a CDC
+    //    validation pass runs after apply (the reference validates
+    //    COUNT(*) parity only; segment hashes additionally bound the
+    //    re-read to the diverged buckets). The "replica" here is the
+    //    base table with two injected faults — one delete, one in-place
+    //    update — so exactly two buckets must diverge, one by count and
+    //    one by checksum alone (the count-equal case is precisely what
+    //    COUNT(*) reconciliation cannot see). Checksums are SUMs of
+    //    portable 48-bit row hashes: order-independent, map-side
+    //    combinable, and bounded by rows·2^48 (decimal widening is the
+    //    declared upgrade past ~30k rows per bucket).
+    "q179_merkle_diff" -> { (s, d) =>
+      def sums(df: DataFrame, n: String, c: String): DataFrame = {
+        val rowRepr = concat_ws("|",
+          col("o_orderkey").cast("string"),
+          col("o_custkey").cast("string"),
+          cents(col("o_totalprice")).cast("string"))
+        df.select(expr("o_orderkey div 1000").as("bucket"),
+            graft.text.TextFunctions.portableHash48(rowRepr).as("h"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as(n), sum(col("h")).as(c))
+      }
+      val base = Tables.orders(s, d)
+      val replica = base
+        .filter(col("o_orderkey") =!= 4242)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") === 100, col("o_totalprice") + lit(0.01))
+            .otherwise(col("o_totalprice")))
+      sums(base, "n_base", "cs_base")
+        .join(sums(replica, "n_replica", "cs_replica"), Seq("bucket"), "full_outer")
+        .select(col("bucket"), col("n_base"), col("n_replica"),
+          (coalesce(col("n_base"), lit(-1L)) =!= coalesce(col("n_replica"), lit(-1L)) ||
+            coalesce(col("cs_base"), lit(-1L)) =!= coalesce(col("cs_replica"), lit(-1L)))
+            .as("diverged"))
+        .orderBy(col("bucket"))
+    },
+
     "q148_pit_join" -> { (s, d) =>
       val ev = Tables.events(s, d)
         .withColumn("ts_s", date_trunc("second", col("ts")))
@@ -295,6 +335,35 @@ object CdcQueries {
         |  FROM orders)
         |SELECT bucket, COUNT(*) AS n_rows, CAST(SUM(h) AS BIGINT) AS checksum
         |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q179_merkle_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |replica AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey = 100 THEN cents + 1 ELSE cents END AS cents
+        |  FROM base WHERE o_orderkey <> 4242),
+        |hb AS (
+        |  SELECT o_orderkey // 1000 AS bucket, COUNT(*) AS n_base,
+        |    CAST(SUM(md5_number_lower(
+        |      CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+        |      || '|' || CAST(cents AS VARCHAR)) % 281474976710656) AS BIGINT)
+        |      AS cs_base
+        |  FROM base GROUP BY 1),
+        |hr AS (
+        |  SELECT o_orderkey // 1000 AS bucket, COUNT(*) AS n_replica,
+        |    CAST(SUM(md5_number_lower(
+        |      CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+        |      || '|' || CAST(cents AS VARCHAR)) % 281474976710656) AS BIGINT)
+        |      AS cs_replica
+        |  FROM replica GROUP BY 1)
+        |SELECT COALESCE(hb.bucket, hr.bucket) AS bucket, n_base, n_replica,
+        |  (COALESCE(n_base, -1) <> COALESCE(n_replica, -1)
+        |   OR COALESCE(cs_base, -1) <> COALESCE(cs_replica, -1)) AS diverged
+        |FROM hb FULL OUTER JOIN hr ON hb.bucket = hr.bucket
+        |ORDER BY bucket""".stripMargin,
 
     "q148_pit_join" ->
       """WITH ev AS (

@@ -77,6 +77,34 @@ object WindowQueries {
         .select(col("c_custkey"), col("c_mktsegment"),
           col("wealth_quartile"), col("seg_rank"))
         .orderBy(col("c_custkey"))
+    },
+
+    // -- trending leaderboard: top-5 parts by weekly revenue, each
+    //    carrying last week's rank and the delta — the rank-CHANGE
+    //    composition (rank, then as-of self-join on the previous
+    //    period) behind every "movers" report. The weekly rank window
+    //    partitions by week: its per-partition size is bounded by the
+    //    PART CATALOG, not the fact table — the fact rows collapse in
+    //    the (week, part) rollup first — so the single-task-per-week
+    //    sort is dimension-sized at any SF (and the q12 top-k window
+    //    pattern applies if the catalog itself ever needs sharding).
+    //    prev_rank is NULL for new entrants; delta = prev − current
+    //    (positive = climbing).
+    "q180_trending_rank" -> { (s, d) =>
+      val wk = Tables.lineitem(s, d)
+        .groupBy(date_trunc("week", col("l_shipdate")).cast("date").as("week"),
+          col("l_partkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("rev_cents"))
+      val w = Window.partitionBy(col("week"))
+        .orderBy(col("rev_cents").desc, col("l_partkey"))
+      val ranked = wk.withColumn("rk", row_number().over(w).cast("long"))
+      val prev = ranked.select(date_add(col("week"), 7).as("week"),
+        col("l_partkey"), col("rk").as("prev_rank"))
+      ranked.filter(col("rk") <= 5)
+        .join(prev, Seq("week", "l_partkey"), "left_outer")
+        .select(col("week"), col("rk"), col("l_partkey"), col("rev_cents"),
+          col("prev_rank"), (col("prev_rank") - col("rk")).as("delta"))
+        .orderBy(col("week"), col("rk"))
     }
   )
 
@@ -106,6 +134,25 @@ object WindowQueries {
       """SELECT c_custkey, c_mktsegment,
         |  NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS wealth_quartile,
         |  DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS seg_rank
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q180_trending_rank" ->
+      """WITH wk AS (
+        |  SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week, l_partkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY week
+        |    ORDER BY rev_cents DESC, l_partkey) AS rk
+        |  FROM wk),
+        |prev AS (
+        |  SELECT week + 7 AS week, l_partkey, rk AS prev_rank FROM ranked)
+        |SELECT r.week, r.rk, r.l_partkey, r.rev_cents, p.prev_rank,
+        |  p.prev_rank - r.rk AS delta
+        |FROM ranked r LEFT JOIN prev p
+        |  ON p.week = r.week AND p.l_partkey = r.l_partkey
+        |WHERE r.rk <= 5
+        |ORDER BY r.week, r.rk""".stripMargin
   )
 }
