@@ -342,6 +342,61 @@ object CorpusQueries {
           (col("inter").cast("double") /
             (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
         .orderBy(col("src_a"), col("src_b"))
+    },
+
+    // -- greedy max-coverage selection (the facility-location heuristic):
+    //    pick K documents, each round taking the doc covering the most
+    //    still-uncovered 3-gram shingles — the classic diverse-subset
+    //    selector for training-data curation (submodular, so greedy is a
+    //    (1−1/e)-approximation). Each round is one anti-join against the
+    //    covered set (sh-keyed, O(remaining)), one map-side gain count,
+    //    and a 1-ROW argmax to the driver — bounded metadata, the q112
+    //    scalar pattern, never a data collect. The covered set is
+    //    localCheckpoint-ed per round (q118 lesson). K is small and
+    //    fixed; the oracle unrolls the same K steps.
+    "q181_greedy_coverage" -> { (s, d) =>
+      import s.implicits._
+      val k = 5
+      val sh = Dedup.shingleRows(Tables.documents(s, d),
+          col("doc_id"), col("text"), 3)
+        .select(col("id"), col("sh")).distinct()
+        .persist()
+      var covered = sh.select(col("sh")).limit(0).localCheckpoint(true)
+      val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      (1 to k).foreach { r =>
+        val gains = sh.join(covered, Seq("sh"), "left_anti")
+          .groupBy(col("id")).agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("id")).limit(1).head()
+        val (doc, gain) = (gains.getLong(0), gains.getLong(1))
+        picks += ((r.toLong, doc, gain))
+        covered = covered
+          .unionAll(sh.filter(col("id") === doc).select(col("sh")))
+          .distinct().localCheckpoint(true)
+      }
+      sh.unpersist()
+      picks.toSeq.toDF("round", "doc_id", "gain").orderBy(col("round"))
+    },
+
+    // -- positional phrase search: docs containing the exact phrase
+    //    "fast merge" via POSITION-aware postings — the adjacency join
+    //    (t₁ at p, t₂ at p+1, same doc) a positional inverted index
+    //    answers; q115's index is the doc-level variant, this is the
+    //    phrase-level one. Both term filters push into the posting
+    //    generation (only the two query terms' postings survive the
+    //    scan), and the join keys on (doc, pos) — selectivity is the
+    //    PHRASE's, never the corpus's. Hit counts are per-doc phrase
+    //    occurrences.
+    "q183_phrase_search" -> { (s, d) =>
+      val pos = Dedup.shingleRowsPos(Tables.documents(s, d),
+        col("doc_id"), col("text"), 1)
+      val t1 = pos.filter(col("sh") === "fast")
+        .select(col("id"), col("pos"))
+      val t2 = pos.filter(col("sh") === "merge")
+        .select(col("id").as("id2"), col("pos").as("pos2"))
+      t1.join(t2, col("id") === col("id2") && col("pos2") === col("pos") + 1)
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -603,6 +658,58 @@ object CorpusQueries {
         |FROM dfc JOIN p ON dfc.term = p.term
         |WHERE dfc.df >= $MinDf
         |ORDER BY dfc.term""".stripMargin,
+
+    // q181: the greedy loop unrolled to K literal steps (the q150
+    // pattern) — each step re-derives the uncovered set from x and the
+    // accumulated covered CTE, so the oracle replays the exact argmax
+    // sequence including ties (broken by doc_id).
+    "q181_greedy_coverage" -> {
+      val k = 5
+      val steps = (2 to k).map { i =>
+        val prevCov = if (i == 2) "" else s" UNION SELECT sh FROM c${i - 2}"
+        s"""c${i - 1} AS MATERIALIZED (
+          |  SELECT DISTINCT sh FROM x
+          |  WHERE doc_id = (SELECT doc_id FROM g${i - 1})$prevCov),
+          |u$i AS MATERIALIZED (
+          |  SELECT x.doc_id, x.sh FROM x
+          |  WHERE NOT EXISTS (SELECT 1 FROM c${i - 1} WHERE c${i - 1}.sh = x.sh)),
+          |g$i AS (SELECT doc_id, COUNT(*) AS gain FROM u$i GROUP BY 1
+          |  ORDER BY gain DESC, doc_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val rounds = (1 to k).map { i =>
+        s"SELECT CAST($i AS BIGINT) AS round, doc_id, gain FROM g$i"
+      }.mkString("\nUNION ALL ")
+      s"""WITH t AS (
+        |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks
+        |  FROM documents),
+        |s0 AS (
+        |  SELECT doc_id, [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |    FOR i IN RANGE(1, GREATEST(LEN(toks) - 1, 1))] AS shs
+        |  FROM t),
+        |x AS MATERIALIZED (SELECT DISTINCT doc_id, UNNEST(shs) AS sh FROM s0),
+        |g1 AS (SELECT doc_id, COUNT(*) AS gain FROM x GROUP BY 1
+        |  ORDER BY gain DESC, doc_id LIMIT 1),
+        |$steps
+        |$rounds
+        |ORDER BY round""".stripMargin
+    },
+
+    // q183: the oracle counts 'fast merge' occurrences per doc through
+    // the multiplicity-preserving bigram comprehension (same expansion
+    // as q83's vocab bigrams) — position-join and bigram-count are the
+    // same number by construction.
+    "q183_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(LIST_FILTER(
+        |      [toks[i] || ' ' || toks[i+1] FOR i IN RANGE(1, GREATEST(LEN(toks), 1))],
+        |      x -> x = 'fast merge')) AS BIGINT) AS n_hits
+        |  FROM t)
+        |SELECT doc_id, n_hits FROM h WHERE n_hits > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q171_source_overlap" ->
       """WITH t AS (

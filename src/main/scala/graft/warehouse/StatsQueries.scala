@@ -564,6 +564,24 @@ object StatsQueries {
         .select(col("bin"), col("n_early"), col("n_late"), col("diff_term"),
           col("tv_permille"))
         .orderBy(col("bin"))
+    },
+
+    // -- equi-DEPTH histogram: 8 buckets of (near-)equal row count with
+    //    their value bounds — the optimizer-statistics dual of q105's
+    //    equi-WIDTH bins, robust to skew because bucket boundaries adapt
+    //    to the distribution. The bucket cut is the two-pass range-
+    //    partitioned global NTILE (q16 discipline); bounds and counts
+    //    then roll up map-side on the 8-valued bucket key. Everything is
+    //    exact integers.
+    "q182_equidepth" -> { (s, d) =>
+      Scale.withGlobalNtile(
+          Tables.orders(s, d).select(col("o_orderkey"),
+            cents(col("o_totalprice")).as("c")),
+          Seq(col("c"), col("o_orderkey")), 8, "bucket")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("c")).as("lo_cents"),
+          max(col("c")).as("hi_cents"))
+        .orderBy(col("bucket"))
     }
   )
 
@@ -898,6 +916,17 @@ object StatsQueries {
         |    AS BIGINT) AS tv_permille
         |  FROM terms)
         |SELECT bin, n_early, n_late, diff_term, tv_permille
-        |FROM terms, tv ORDER BY bin""".stripMargin
+        |FROM terms, tv ORDER BY bin""".stripMargin,
+
+    "q182_equidepth" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |b AS (
+        |  SELECT c, CAST(ntile(8) OVER (ORDER BY c, o_orderkey) AS BIGINT) AS bucket
+        |  FROM o)
+        |SELECT bucket, COUNT(*) AS n, MIN(c) AS lo_cents, MAX(c) AS hi_cents
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }
