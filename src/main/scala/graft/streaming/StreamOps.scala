@@ -212,6 +212,56 @@ object StreamOps {
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  final case class QuotaState(windowStart: Long, n: Long)
+  final case class Admitted(user_id: Long, ts: java.sql.Timestamp,
+      admitted: Boolean, n_in_window: Long)
+
+  /** Per-key quota enforcement at ingest: each user may admit at most
+    * `maxPerWindow` events per tumbling `windowSeconds` window; excess
+    * events are emitted FLAGGED rather than dropped, so the caller
+    * chooses between filtering (rate limiting) and auditing (abuse
+    * reports) from one stream. The state per key is two longs — the
+    * current window and its admit count — overwritten when the window
+    * rolls and evicted by event-time timeout once the watermark passes
+    * the window end, so state size is O(active keys), never O(history).
+    * Within a micro-batch rows are processed in event-time order, which
+    * keeps the admit sequence deterministic for a given batch plan
+    * (cross-batch stragglers count against whichever window is current
+    * when they arrive — the same weaker-but-bounded contract as
+    * [[dedupWithinWatermark]]). */
+  def quotaEnforce(events: Dataset[Evt], maxPerWindow: Int = 3,
+      windowSeconds: Long = 3600, delay: String = "10 minutes")(
+      implicit enc1: org.apache.spark.sql.Encoder[QuotaState],
+      enc2: org.apache.spark.sql.Encoder[Admitted],
+      enc3: org.apache.spark.sql.Encoder[Long]): Dataset[Admitted] = {
+
+    def fn(userId: Long, rows: Iterator[Evt],
+        state: GroupState[QuotaState]): Iterator[Admitted] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val out = rows.toSeq.sortBy(_.ts.getTime).map { e =>
+        val sec = e.ts.getTime / 1000
+        val w = sec - (sec % windowSeconds)
+        val s = state.getOption.filter(_.windowStart == w)
+          .getOrElse(QuotaState(w, 0))
+        val n = s.n + 1
+        state.update(QuotaState(w, n))
+        Admitted(userId, e.ts, n <= maxPerWindow, n)
+      }
+      state.getOption.foreach { s =>
+        val target = (s.windowStart + windowSeconds) * 1000
+        state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
+    }
+
+    import org.apache.spark.sql.Encoders
+    events
+      .withWatermark("ts", delay)
+      .as(Encoders.product[Evt])
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** J8: stream-stream join — purchases correlated with the same user's
     * clicks in the preceding hour. Watermarks bound both join-state sides. */
   def purchaseClickJoin(events: DataFrame, delay: String = "10 minutes"): DataFrame = {

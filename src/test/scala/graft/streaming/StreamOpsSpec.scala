@@ -108,6 +108,30 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows.contains((7L, 2, 4.0)))
   }
 
+  test("quota enforcement: first K per window admitted, window rolls reset the count") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val out = StreamOps.quotaEnforce(ms.toDS(), maxPerWindow = 3, windowSeconds = 3600)
+    val q = out.toDF().writeStream.format("memory").queryName("quota")
+      .outputMode("append").start()
+    // five events for user 1 inside one hour, two for user 2
+    ms.addData((1 to 5).map(i => Evt(1, t(i), "click", 1.0)) ++
+      Seq(Evt(2, t(1), "click", 1.0), Evt(2, t(2), "click", 1.0)): _*)
+    q.processAllAvailable()
+    // next hour: user 1's quota resets
+    ms.addData(Evt(1, t(61), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("quota").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getBoolean(2), r.getLong(3)))
+    val u1h0 = rows.filter(r => r._1 == 1L && r._2.getTime < t(60).getTime)
+    assert(u1h0.count(_._3) == 3 && u1h0.count(!_._3) == 2)
+    assert(u1h0.filter(!_._3).map(_._4).sorted.toSeq == Seq(4L, 5L))
+    assert(rows.filter(_._1 == 2L).forall(_._3)) // under quota
+    val reset = rows.find(r => r._1 == 1L && r._2 == t(61)).get
+    assert(reset._3 && reset._4 == 1L) // fresh window, count restarts
+  }
+
   test("T10 modern: transformWithState sessionizer matches the fMGWS one") {
     implicit val ctx = spark.sqlContext
     // transformWithState needs a column-family-capable state store
