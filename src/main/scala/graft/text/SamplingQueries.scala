@@ -216,6 +216,34 @@ object SamplingQueries {
           (col("base") + when(col("rk") <= col("lo"), 1L).otherwise(0L))
             .as("alloc_docs"))
         .orderBy(col("source"))
+    },
+
+    // -- nucleus (top-p) selection per source: keep each source's
+    //    largest documents until 90% of its character mass is covered —
+    //    the mass-based head selector (the sampling dual of q103's
+    //    count-based domain cap) that trims the long tail of tiny docs
+    //    without a per-source count budget. The inclusion rule is
+    //    "keep while the mass BEFORE this doc is under p·total", so the
+    //    crossing doc is kept — and it clears the division: keep iff
+    //    (cum − len)·10 < total·9, exact integers. One window per
+    //    source key (high cardinality at corpus scale), one broadcast
+    //    totals join; output is the per-source keep summary.
+    "q185_nucleus_select" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("total"))
+      docs.withColumn("cum", sum(col("n_chars")).over(w))
+        .join(broadcast(tot), Seq("source"))
+        .withColumn("keep", (col("cum") - col("n_chars")) * 10 < col("total") * 9)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"),
+          max(col("total")).as("total_chars"))
+        .orderBy(col("source"))
     }
   )
 
@@ -357,6 +385,21 @@ object SamplingQueries {
          |SELECT source, CAST(n AS BIGINT) AS n_docs,
          |  CAST(base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
          |    AS alloc_docs
-         |FROM r, l ORDER BY source""".stripMargin
+         |FROM r, l ORDER BY source""".stripMargin,
+
+    "q185_nucleus_select" ->
+      """WITH c AS (
+        |  SELECT source, doc_id, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(n_chars) OVER (PARTITION BY source) AS total
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN (cum - n_chars) * 10 < total * 9 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN (cum - n_chars) * 10 < total * 9 THEN n_chars
+        |    ELSE 0 END) AS BIGINT) AS kept_chars,
+        |  CAST(MAX(total) AS BIGINT) AS total_chars
+        |FROM c GROUP BY 1 ORDER BY source""".stripMargin
   )
 }

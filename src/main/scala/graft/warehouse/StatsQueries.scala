@@ -582,6 +582,39 @@ object StatsQueries {
         .agg(count(lit(1)).as("n"), min(col("c")).as("lo_cents"),
           max(col("c")).as("hi_cents"))
         .orderBy(col("bucket"))
+    },
+
+    // -- pairwise correlation MATRIX over (quantity, price, discount) —
+    //    q82's exact-moment machinery widened to every pair in ONE scan:
+    //    a single map-side-combined aggregate carries all sums, squares,
+    //    and cross-products as exact integers, and the three Pearson
+    //    coefficients are computed from that one 1-row frame (so adding
+    //    a variable costs O(vars) more sums, never another scan). Same
+    //    bit-stability argument as q82: integer partials are order-
+    //    independent, the float epilogue is a fixed expression tree.
+    "q184_corr_matrix" -> { (s, d) =>
+      def D(c: String) = col(c).cast("double")
+      def corr(n: String, sa: String, sb: String, sab: String,
+          saa: String, sbb: String) =
+        (D(n) * D(sab) - D(sa) * D(sb)) /
+          (sqrt(D(n) * D(saa) - D(sa) * D(sa)) *
+            sqrt(D(n) * D(sbb) - D(sb) * D(sb)))
+      val m = Tables.lineitem(s, d)
+        .select(cents(col("l_quantity")).as("x"),
+          floor(col("l_extendedprice")).cast("long").as("y"),
+          cents(col("l_discount")).as("z"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("z") * col("z")).as("szz"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("z")).as("sxz"), sum(col("y") * col("z")).as("syz"))
+      m.select(lit("qty").as("var_a"), lit("price").as("var_b"), col("n"),
+          corr("n", "sx", "sy", "sxy", "sxx", "syy").as("pearson"))
+        .unionAll(m.select(lit("qty").as("var_a"), lit("discount").as("var_b"),
+          col("n"), corr("n", "sx", "sz", "sxz", "sxx", "szz").as("pearson")))
+        .unionAll(m.select(lit("price").as("var_a"), lit("discount").as("var_b"),
+          col("n"), corr("n", "sy", "sz", "syz", "syy", "szz").as("pearson")))
+        .orderBy(col("var_a"), col("var_b"))
     }
   )
 
@@ -927,6 +960,39 @@ object StatsQueries {
         |  SELECT c, CAST(ntile(8) OVER (ORDER BY c, o_orderkey) AS BIGINT) AS bucket
         |  FROM o)
         |SELECT bucket, COUNT(*) AS n, MIN(c) AS lo_cents, MAX(c) AS hi_cents
-        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q184_corr_matrix" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(FLOOR(l_extendedprice) AS BIGINT) AS y,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS z
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(z) AS BIGINT) AS sz,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+        |    CAST(SUM(z*z) AS BIGINT) AS szz, CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x*z) AS BIGINT) AS sxz, CAST(SUM(y*z) AS BIGINT) AS syz
+        |  FROM v)
+        |SELECT 'qty' AS var_a, 'price' AS var_b, n,
+        |  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+        |  AS pearson FROM m
+        |UNION ALL
+        |SELECT 'qty', 'discount', n,
+        |  (CAST(n AS DOUBLE)*CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sz AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE)*CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)*CAST(sz AS DOUBLE)))
+        |  FROM m
+        |UNION ALL
+        |SELECT 'price', 'discount', n,
+        |  (CAST(n AS DOUBLE)*CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sz AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE)*CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)*CAST(sz AS DOUBLE)))
+        |  FROM m
+        |ORDER BY var_a, var_b""".stripMargin
   )
 }
