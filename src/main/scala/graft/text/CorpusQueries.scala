@@ -27,6 +27,15 @@ object CorpusQueries {
   private[text] val ContamThreshold = 5
   private[text] val EvalSource = "src0"
 
+  // q188/q189 configuration — shared by the Spark queries and the SQL
+  // oracles (same pattern as the q77 constants above).
+  private[text] val GopherStop =
+    Seq("the", "and", "of", "a", "to", "is", "in", "with")
+  private[text] val GopherMinWords = 10L
+  private[text] val GopherMaxWords = 1000L
+  private[text] val DsirBuckets = 256L
+  private[text] val DsirTarget = "src0"
+
   /** Benchmark-decontamination ledger: for every train document, the
     * number of its distinct n-gram shingles that appear anywhere in the
     * eval slice, and a contamination flag at `threshold`.
@@ -397,8 +406,103 @@ object CorpusQueries {
         .groupBy(col("id").as("doc_id"))
         .agg(count(lit(1)).as("n_hits"))
         .orderBy(col("doc_id"))
+    },
+
+    // -- Gopher quality rules (Rae et al. 2021 §A1.1): the published
+    //    per-document filter battery every web-scale corpus passes
+    //    before training — word-count bounds, mean-word-length bounds,
+    //    ≥2 stopwords, ≥80% alphabetic words, symbol-to-word ratio.
+    //    Every gate is cleared-division exact integers (3n ≤ chars ≤ 10n
+    //    instead of a float mean; 5·alpha ≥ 4·n instead of 0.8), so the
+    //    verdict never touches libm. Pure per-row projections — one scan,
+    //    no shuffle before the output sort, embarrassingly parallel at
+    //    any corpus size. Word-count bounds are scaled to this corpus's
+    //    ~50-word docs (production Gopher uses 50..100,000).
+    "q188_gopher_quality" -> { (s, d) =>
+      gopherFlags(Tables.documents(s, d), col("doc_id"), col("text"),
+          GopherMinWords, GopherMaxWords)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // -- DSIR-shaped importance selection (Xie et al. 2023): score each
+    //    background document by hashed-unigram affinity to a target
+    //    slice. The published weight is Σ log(p_target(b)/p_raw(b)) over
+    //    the doc's hashed features; here each bucket contributes its
+    //    cleared-division SIGN (+1 if n_t·B > n_b·T, −1 if <, 0 tie) so
+    //    the score — and the selection gate — is exact integers (the
+    //    real-valued log-ratio is a rank refinement of the same per-
+    //    bucket comparison). Scale shape: ONE token explode into a
+    //    per-(doc, bucket) rollup; corpus-level bucket counts re-
+    //    aggregate FROM that rollup (no second scan), and the ≤256-row
+    //    leaning table broadcasts back — never a second pass over text.
+    "q189_dsir_select" -> { (s, d) =>
+      dsirSelect(Tables.documents(s, d), col("doc_id"), col("text"),
+          col("source") === DsirTarget, DsirBuckets)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** Gopher quality-rule battery (Rae et al. 2021 §A1.1) per document:
+    * word-count bounds, mean-word-length 3..10, ≥2 stopwords, ≥80%
+    * alphabetic words, symbol-to-word ratio ≤ 0.1 — every gate in
+    * cleared-division exact integers. Pure per-row projections. */
+  def gopherFlags(docs: DataFrame, id: Column, text: Column,
+      minWords: Long, maxWords: Long): DataFrame = {
+    val toks = TextFunctions.tokens(text)
+    docs
+      .select(id.as("id"),
+        size(toks).cast("long").as("n_words"),
+        length(regexp_replace(lower(trim(text)), "\\s+", "")).cast("long")
+          .as("n_chars"),
+        size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        (length(text) - length(regexp_replace(text, "[#…]", ""))).cast("long")
+          .as("n_symbols"),
+        TextFunctions.wordHits(text, GopherStop).cast("long").as("n_stopwords"))
+      .select(col("id"), col("n_words"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("wordcount_ok"),
+        (col("n_chars") >= col("n_words") * 3 &&
+          col("n_chars") <= col("n_words") * 10).as("meanlen_ok"),
+        (col("n_stopwords") >= 2L).as("stopword_ok"),
+        (col("n_alpha") * 5 >= col("n_words") * 4).as("alpha_ok"),
+        (col("n_symbols") * 10 <= col("n_words")).as("symbol_ok"))
+      .withColumn("passes",
+        col("wordcount_ok") && col("meanlen_ok") && col("stopword_ok") &&
+          col("alpha_ok") && col("symbol_ok"))
+  }
+
+  /** DSIR-shaped importance selection (Xie et al. 2023): per-bucket
+    * hashed-unigram leaning sign (+1 target / −1 background / 0 tie by
+    * the cleared-division comparison n_t·B vs n_b·T), summed over each
+    * BACKGROUND document's tokens. One explode into a (doc, bucket)
+    * rollup; corpus bucket counts re-aggregate from that rollup; the
+    * ≤`buckets`-row leaning table broadcasts back. */
+  def dsirSelect(docs: DataFrame, id: Column, text: Column,
+      isTarget: Column, buckets: Long): DataFrame = {
+    val db = docs
+      .select(id.as("id"), isTarget.as("is_target"),
+        explode(TextFunctions.tokens(text)).as("tok"))
+      .select(col("id"), col("is_target"),
+        pmod(TextFunctions.portableHash48(col("tok")), lit(buckets)).as("b"))
+      .groupBy(col("id"), col("is_target"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val counts = db.groupBy(col("b")).agg(
+      sum(when(col("is_target"), col("c")).otherwise(0L)).as("nt"),
+      sum(when(!col("is_target"), col("c")).otherwise(0L)).as("nb"))
+    val tot = counts.agg(sum(col("nt")).as("t_tot"), sum(col("nb")).as("b_tot"))
+    val lean = counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        when(col("nt") * col("b_tot") > col("nb") * col("t_tot"), 1L)
+          .when(col("nt") * col("b_tot") < col("nb") * col("t_tot"), -1L)
+          .otherwise(0L).as("lean"))
+    db.filter(!col("is_target"))
+      .join(broadcast(lean), Seq("b"))
+      .groupBy(col("id"))
+      .agg(sum(col("c") * col("lean")).as("score"))
+      .withColumn("selected", col("score") > 0)
+  }
 
   /** Inverted-index build over a `(doc_id, text)` corpus: term → document
     * frequency (over ALL docs) + sorted posting list capped at the
@@ -730,6 +834,70 @@ object CorpusQueries {
         |FROM i
         |JOIN sz sa ON sa.source = src_a
         |JOIN sz sb ON sb.source = src_b
-        |ORDER BY src_a, src_b""".stripMargin
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    "q188_gopher_quality" -> {
+      val stopCase = GopherStop.map(w =>
+        s"(CASE WHEN CONTAINS(padded, ' $w ') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    ' ' || LOWER(TRIM(text)) || ' ' AS padded,
+         |    STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks,
+         |    LEN(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', '', 'g')) AS nc,
+         |    LEN(text) - LEN(REGEXP_REPLACE(text, '[#…]', '', 'g')) AS ns
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(LEN(toks) AS BIGINT) AS n_words,
+         |    CAST(nc AS BIGINT) AS n_chars,
+         |    CAST(LEN(LIST_FILTER(toks, x -> REGEXP_MATCHES(x, '[a-z]')))
+         |      AS BIGINT) AS n_alpha,
+         |    CAST(ns AS BIGINT) AS n_symbols,
+         |    CAST($stopCase AS BIGINT) AS n_stop
+         |  FROM t)
+         |SELECT doc_id, n_words,
+         |  n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+         |    AS wordcount_ok,
+         |  n_chars >= n_words * 3 AND n_chars <= n_words * 10 AS meanlen_ok,
+         |  n_stop >= 2 AS stopword_ok,
+         |  n_alpha * 5 >= n_words * 4 AS alpha_ok,
+         |  n_symbols * 10 <= n_words AS symbol_ok,
+         |  (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords)
+         |    AND (n_chars >= n_words * 3 AND n_chars <= n_words * 10)
+         |    AND n_stop >= 2 AND n_alpha * 5 >= n_words * 4
+         |    AND n_symbols * 10 <= n_words AS passes
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    "q189_dsir_select" ->
+      s"""WITH db AS (
+         |  SELECT doc_id, source,
+         |    CAST(md5_number_lower(tok) % 281474976710656 % $DsirBuckets
+         |      AS BIGINT) AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, source,
+         |      UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS tok
+         |    FROM documents)
+         |  GROUP BY 1, 2, 3),
+         |counts AS (
+         |  SELECT b,
+         |    CAST(SUM(CASE WHEN source = '$DsirTarget' THEN c ELSE 0 END)
+         |      AS BIGINT) AS nt,
+         |    CAST(SUM(CASE WHEN source <> '$DsirTarget' THEN c ELSE 0 END)
+         |      AS BIGINT) AS nb
+         |  FROM db GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS t_tot,
+         |    CAST(SUM(nb) AS BIGINT) AS b_tot FROM counts),
+         |lean AS (
+         |  SELECT b, CASE WHEN nt * b_tot > nb * t_tot THEN 1
+         |    WHEN nt * b_tot < nb * t_tot THEN -1 ELSE 0 END AS lean
+         |  FROM counts CROSS JOIN tot)
+         |SELECT db.doc_id,
+         |  CAST(SUM(db.c * lean.lean) AS BIGINT) AS score,
+         |  SUM(db.c * lean.lean) > 0 AS selected
+         |FROM db JOIN lean ON db.b = lean.b
+         |WHERE db.source <> '$DsirTarget'
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -208,8 +208,64 @@ object QualityQueries {
           (abs(col("o") * col("t") - col("r") * col("c")) * 5 >
             col("r") * col("c")).as("deviates"))
         .orderBy(col("nationkey"), col("segment"))
+    },
+
+    // -- k-anonymity audit (Sweeney 2002): group sizes over the quasi-
+    //    identifier tuple (nation, segment, $2000 balance band) — any
+    //    group under k is re-identifiable and must be suppressed or
+    //    generalized before the table leaves the privacy boundary. The
+    //    whole audit is ONE map-side-combined rollup (same cost as a
+    //    count(*) per group at any scale); the band is an exact-integer
+    //    floor division on cents (negative-safe — BOTH Spark `div` and
+    //    DuckDB's integer `//` truncate toward zero, so the identical
+    //    correction term appears on both sides).
+    "q186_kanonymity" -> { (s, d) =>
+      val bandCents = 200000L // $2000 generalization bands
+      val qi = Tables.customer(s, d)
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_mktsegment").as("segment"),
+          graft.util.Exact.cents(col("c_acctbal")).as("bal"))
+        .select(col("nationkey"), col("segment"),
+          expr(s"(bal div $bandCents) - " +
+            s"(CASE WHEN bal % $bandCents < 0 THEN 1 ELSE 0 END)")
+            .as("bal_band"))
+      kAnonymity(qi, Seq("nationkey", "segment", "bal_band"), k = 5L)
+        .orderBy(col("nationkey"), col("segment"), col("bal_band"))
+    },
+
+    // -- l-diversity audit (Machanavalli et al. 2007): k-anonymity's
+    //    complement — a large QI group still leaks if every member
+    //    shares the sensitive value, so each (nation, segment) group
+    //    must carry ≥ l DISTINCT sensitive values (order priority here).
+    //    One fact⋈dim join keyed on the customer key, then a single
+    //    rollup with an exact distinct — Catalyst plans the multi-
+    //    distinct via Expand, still one scan of the join output.
+    "q187_ldiversity" -> { (s, d) =>
+      val joined = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_mktsegment").as("segment"), col("o_orderpriority"))
+      lDiversity(joined, Seq("nationkey", "segment"), "o_orderpriority", l = 3L)
+        .withColumnRenamed("n_sensitive", "n_priorities")
+        .orderBy(col("nationkey"), col("segment"))
     }
   )
+
+  /** k-anonymity group audit: size of every quasi-identifier group and
+    * the `n >= k` flag. One map-side-combined rollup at any scale. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k_anonymous", col("n") >= k)
+
+  /** l-diversity group audit: rows + exact distinct sensitive values per
+    * quasi-identifier group and the `distinct >= l` flag. */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitive: String,
+      l: Long): DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitive)).as("n_sensitive"))
+      .withColumn("l_diverse", col("n_sensitive") >= l)
 
   def oracleSql: Map[String, String] = Map(
     "q113_profile" -> {
@@ -326,6 +382,30 @@ object QualityQueries {
         |JOIN r ON r.c_nationkey = cells.c_nationkey
         |JOIN c ON c.c_mktsegment = cells.c_mktsegment
         |CROSS JOIN t
+        |ORDER BY nationkey, segment""".stripMargin,
+
+    "q186_kanonymity" ->
+      """WITH q AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |    c_mktsegment AS segment,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+        |  FROM customer)
+        |SELECT nationkey, segment,
+        |  (bal // 200000) - (CASE WHEN bal % 200000 < 0 THEN 1 ELSE 0 END)
+        |    AS bal_band,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  COUNT(*) >= 5 AS k_anonymous
+        |FROM q GROUP BY 1, 2, 3
+        |ORDER BY nationkey, segment, bal_band""".stripMargin,
+
+    "q187_ldiversity" ->
+      """SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+        |  c.c_mktsegment AS segment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  COUNT(DISTINCT o.o_orderpriority) AS n_priorities,
+        |  COUNT(DISTINCT o.o_orderpriority) >= 3 AS l_diverse
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2
         |ORDER BY nationkey, segment""".stripMargin
   )
 }

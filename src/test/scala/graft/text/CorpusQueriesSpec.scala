@@ -162,4 +162,69 @@ class CorpusQueriesSpec extends AnyFunSuite {
       }
     }
   }
+
+  // --- Gopher quality rules (q188) -----------------------------------
+
+  test("gopher flags: each rule fails on its crafted violator and only there") {
+    val good = "the quick brown fox and the lazy dog walk home with great joy"
+    val docs = Seq(
+      (1L, good),                                        // passes all
+      (2L, "the and"),                                   // too few words
+      (3L, "a a a a a a a a a a the and"),               // mean word len < 3
+      (4L, ("the and " + Seq.fill(10)("pneumonoultramicroscopics").mkString(" "))),
+      // ^ mean word len > 10
+      (5L, "1 2 3 4 5 6 7 8 9 0 11 22 the and"),         // <80% alphabetic
+      (6L, good + " # # #"),                             // symbol ratio > 0.1
+      (7L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+      // ^ zero stopwords
+    ).toDF("doc_id", "text")
+    val got = CorpusQueries.gopherFlags(docs, col("doc_id"), col("text"),
+        minWords = 10L, maxWords = 1000L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))))
+      .toMap
+    // (wordcount, meanlen, stopword, alpha, symbol, passes)
+    assert(got(1L) == ((true, true, true, true, true, true)))
+    assert(got(2L)._1 == false && got(2L)._6 == false)
+    assert(got(3L)._2 == false && got(3L)._6 == false)
+    assert(got(4L)._2 == false && got(4L)._6 == false)
+    assert(got(5L)._4 == false && got(5L)._6 == false)
+    assert(got(6L)._5 == false && got(6L)._6 == false)
+    assert(got(7L)._3 == false && got(7L)._6 == false)
+  }
+
+  // --- DSIR importance selection (q189) ------------------------------
+
+  test("dsir: background docs sharing target vocab are selected, others not") {
+    // target slice speaks 'alpha beta gamma'; background doc 10 copies it,
+    // doc 11 speaks disjoint vocab. With every token count symmetric, the
+    // leaning sign is exactly vocabulary membership.
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta gamma", true),
+      (2L, "alpha beta gamma alpha beta gamma", true),
+      (10L, "alpha beta gamma alpha beta gamma", false),
+      (11L, "omega psi chi omega psi chi", false)
+    ).toDF("doc_id", "text", "is_t")
+    val got = CorpusQueries.dsirSelect(docs, col("doc_id"), col("text"),
+        col("is_t"), buckets = 256L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got.keySet == Set(10L, 11L)) // target docs are not scored
+    assert(got(10L)._1 > 0 && got(10L)._2)   // target-leaning vocab
+    assert(got(11L)._1 < 0 && !got(11L)._2)  // background-only vocab
+  }
+
+  test("dsir: a tied bucket contributes zero") {
+    // 'tie' appears equally (per corpus share) in target and background
+    // when totals are equal — sign is 0, so a doc of only ties scores 0.
+    val docs = Seq(
+      (1L, "tie tie tie", true),
+      (10L, "tie tie tie", false)
+    ).toDF("doc_id", "text", "is_t")
+    val got = CorpusQueries.dsirSelect(docs, col("doc_id"), col("text"),
+        col("is_t"), buckets = 256L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) == 0L)
+  }
 }
