@@ -441,8 +441,51 @@ object CorpusQueries {
           col("source") === DsirTarget, DsirBuckets)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    },
+
+    // -- URL canonicalization dedup: the normalization web-crawl dedup
+    //    runs BEFORE any content hashing (lowercase scheme+host, strip
+    //    the default port, drop tracking params, sort the query string,
+    //    drop the fragment). The corpus carries no URLs, so the query
+    //    PLANTS a deterministic messy URL per doc (the q78 PII
+    //    precedent: host/path from doc_id mod classes, a doc-unique
+    //    utm_ param and fragment that canonicalization must remove) —
+    //    500 raw URLs genuinely collapse to the 35 host×path classes.
+    //    Pure per-row string ops + one canonical-key window whose
+    //    partitions are dup-group-sized, never corpus-sized.
+    "q190_url_canonical" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val url = concat(lit("HTTPS://WWW.Example"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".COM:443/Path"), (col("doc_id") % 5).cast("string"),
+        lit("/?utm_source=x"), col("doc_id").cast("string"),
+        lit("&b=2&a=1#frag"), col("doc_id").cast("string"))
+      val canon = urlCanonicalize(url)
+      val w = Window.partitionBy(col("canonical_url"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), canon.as("canonical_url"))
+        .select(col("doc_id"), col("canonical_url"),
+          count(lit(1)).over(w).as("n_dups"),
+          (col("doc_id") === min(col("doc_id")).over(w)).as("is_canonical"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** Crawl-style URL canonicalization: lowercase scheme and host, strip
+    * the default `:443` port, normalize an empty path to `/`, drop
+    * `utm_*` tracking params, sort the remaining query params, drop the
+    * fragment. Codegen'd regexp/array built-ins only. */
+  def urlCanonicalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1))
+    val path = regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val q2 = array_join(array_sort(filter(split(query, "&"),
+      x => x =!= "" && !x.startsWith("utm_"))), "&")
+    concat(scheme, lit("://"), regexp_replace(hostport, ":443$", ""),
+      when(path === "", "/").otherwise(path),
+      when(q2 === "", "").otherwise(concat(lit("?"), q2)))
+  }
 
   /** Gopher quality-rule battery (Rae et al. 2021 §A1.1) per document:
     * word-count bounds, mean-word-length 3..10, ≥2 stopwords, ≥80%
@@ -898,6 +941,35 @@ object CorpusQueries {
          |  SUM(db.c * lean.lean) > 0 AS selected
          |FROM db JOIN lean ON db.b = lean.b
          |WHERE db.source <> '$DsirTarget'
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q190_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.COM:443/Path' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '/?utm_source=x' || CAST(doc_id AS VARCHAR)
+        |      || '&b=2&a=1#frag' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    LOWER(REGEXP_EXTRACT(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    LOWER(REGEXP_EXTRACT(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+        |    REGEXP_EXTRACT(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |    REGEXP_EXTRACT(url, '\?([^#]*)', 1) AS query
+        |  FROM u),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || REGEXP_REPLACE(hostport, ':443$', '')
+        |      || CASE WHEN path = '' THEN '/' ELSE path END
+        |      || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canonical_url
+        |  FROM (SELECT *, ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
+        |      STRING_SPLIT(query, '&'),
+        |      x -> x <> '' AND NOT STARTS_WITH(x, 'utm_'))), '&') AS q2
+        |    FROM parts))
+        |SELECT doc_id, canonical_url,
+        |  CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_dups,
+        |  doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url) AS is_canonical
+        |FROM canon ORDER BY doc_id""".stripMargin
   )
 }

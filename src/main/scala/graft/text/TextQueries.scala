@@ -325,6 +325,42 @@ object TextQueries {
         .orderBy(col("n_pairs").desc, col("source_lo"), col("source_hi"))
     },
 
+    // -- tokenizer fertility by language: BPE tokens per whitespace
+    //    word — the per-language tokenizer-efficiency readout every
+    //    multilingual vocab decision reads (a high-fertility language
+    //    pays more sequence length per word). Native BPE kernel per
+    //    row, one 5-row rollup; fertility is a single IEEE division of
+    //    two exact BIGINTs. Oracle replays the merge loop from the same
+    //    merges table (the q37 recursive CTE).
+    "q191_token_fertility" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          graft.text.TextFunctions.bpeTokenCount(col("text")).as("bpe"),
+          graft.text.TextFunctions.tokenCount(col("text")).cast("long")
+            .as("words"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("bpe")).as("bpe_tokens"),
+          sum(col("words")).as("ws_words"))
+        .withColumn("fertility",
+          col("bpe_tokens").cast("double") / col("ws_words").cast("double"))
+        .orderBy(col("lang"))
+    },
+
+    // -- duplicate-cluster size distribution: how many components of
+    //    each size the ledger holds (and the doc mass they bind) — the
+    //    one-page shape-of-duplication report read before choosing
+    //    dedup aggressiveness. Probes the session-memoized
+    //    [[dedupLedger]]; the ledger already carries comp_size, so the
+    //    whole query is a distinct + two tiny rollups.
+    "q192_cluster_sizes" -> { (s, d) =>
+      dedupLedger(s, d).ledger
+        .select(col("comp"), col("comp_size")).distinct()
+        .groupBy(col("comp_size")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("comp_size"), col("n_clusters"),
+          (col("comp_size") * col("n_clusters")).as("n_docs"))
+        .orderBy(col("comp_size"))
+    },
+
     // -- SimHash near-dup pairs (no oracle: xxhash64). Radius 6/64 bits —
     //    the near-duplicate regime; wider radii on same-domain corpora
     //    degenerate into quadratic almost-everything-matches output.
@@ -688,6 +724,43 @@ object TextQueries {
          |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
          |  doc_id = comp AS is_canonical
          |FROM ledger ORDER BY doc_id""".stripMargin,
+
+    // The same closure rolled up twice: comp sizes, then the size
+    // histogram. Singleton docs enter via the LEFT-JOIN ledger, so the
+    // distribution covers the WHOLE corpus (sizes sum to the doc count).
+    "q192_cluster_sizes" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+         |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+         |ledger AS (
+         |  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
+         |cs AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS comp_size
+         |  FROM ledger GROUP BY 1)
+         |SELECT comp_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(comp_size * COUNT(*) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Fertility = BPE merge-loop replay (q37's recursive CTE) per doc,
+    // rolled up by language; the ratio is ONE IEEE division of two
+    // exact BIGINT sums.
+    "q191_token_fertility" ->
+      s"""WITH RECURSIVE $bpeCtes
+         |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(COALESCE(b.n_bpe, 0)) AS BIGINT) AS bpe_tokens,
+         |  CAST(SUM(LEN(STRING_SPLIT_REGEX(LOWER(TRIM(d.text)), '\\s+')))
+         |    AS BIGINT) AS ws_words,
+         |  CAST(SUM(COALESCE(b.n_bpe, 0)) AS DOUBLE)
+         |    / CAST(SUM(LEN(STRING_SPLIT_REGEX(LOWER(TRIM(d.text)), '\\s+')))
+         |        AS DOUBLE) AS fertility
+         |FROM documents d LEFT JOIN bpecnt b ON d.doc_id = b.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Same closure; canonical = max n_chars, ties to the lowest doc_id
     // (MIN over the max-achieving members — equivalent to the struct-max).

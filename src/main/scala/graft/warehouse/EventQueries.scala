@@ -416,6 +416,32 @@ object EventQueries {
         .select(col("user_id"), unix_timestamp(col("slot")).as("slot_epoch"),
           col("value_ffill"))
         .orderBy(col("user_id"), col("slot_epoch"))
+    },
+
+    // -- burst detection: hours where an event type runs >3× its own
+    //    trailing-24 h hourly baseline — the ops alert behind abuse /
+    //    incident monitoring. The baseline is a RANGE frame on epoch
+    //    seconds ([-24 h, -1 h]) so hour GAPS are handled exactly (a
+    //    ROWS frame would silently stretch the window across them); the
+    //    3× gate clears the mean's division (n·hours > 3·sum), so the
+    //    flag is exact integers. Cost: one hourly rollup (map-side
+    //    combined), one per-type window over at most hours-in-range
+    //    rows — both bounded by time, not by event volume.
+    "q193_burst_detect" -> { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour_epoch"))
+        .rangeBetween(-86400L, -3600L)
+      hourly
+        .select(col("event_type"), col("hour_epoch"), col("n"),
+          coalesce(sum(col("n")).over(w), lit(0L)).as("baseline_n"),
+          count(col("n")).over(w).as("baseline_hours"))
+        .withColumn("burst",
+          col("baseline_hours") > 0 &&
+            col("n") * col("baseline_hours") > col("baseline_n") * 3)
+        .orderBy(col("event_type"), col("hour_epoch"))
     }
   )
 
@@ -663,6 +689,22 @@ object EventQueries {
         |  LAST_VALUE(slot_value IGNORE NULLS) OVER (PARTITION BY user_id
         |    ORDER BY slot ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS value_ffill
-        |FROM j ORDER BY user_id, slot_epoch""".stripMargin
+        |FROM j ORDER BY user_id, slot_epoch""".stripMargin,
+
+    "q193_burst_detect" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, hour_epoch, n,
+        |    CAST(COALESCE(SUM(n) OVER w, 0) AS BIGINT) AS baseline_n,
+        |    CAST(COUNT(n) OVER w AS BIGINT) AS baseline_hours
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
+        |    RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING))
+        |SELECT event_type, hour_epoch, n, baseline_n, baseline_hours,
+        |  baseline_hours > 0 AND n * baseline_hours > baseline_n * 3 AS burst
+        |FROM b ORDER BY event_type, hour_epoch""".stripMargin
   )
 }

@@ -227,4 +227,22 @@ class CorpusQueriesSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got(10L) == 0L)
   }
+
+  // --- URL canonicalization (q190) -----------------------------------
+
+  test("url canonicalize: port, params, fragment, case, empty path") {
+    val urls = Seq(
+      (1L, "HTTPS://Host.COM:443"),                    // empty path -> '/'
+      (2L, "https://host.com/a?utm_source=x&utm_b=y"), // all params tracking
+      (3L, "http://HOST.com/A/B?z=1&a=2#frag"),        // sort, drop fragment
+      (4L, "https://host.com:8443/x?b=1&a=1")          // non-default port kept
+    ).toDF("id", "u")
+    val got = urls
+      .select(col("id"), CorpusQueries.urlCanonicalize(col("u")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "https://host.com/")
+    assert(got(2L) == "https://host.com/a") // no dangling '?'
+    assert(got(3L) == "http://host.com/A/B?a=2&z=1") // path case preserved
+    assert(got(4L) == "https://host.com:8443/x?a=1&b=1")
+  }
 }
