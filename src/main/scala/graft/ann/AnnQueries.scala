@@ -153,6 +153,72 @@ object AnnQueries {
           Tables.embeddings(s, d), col("vec_id"), col("embedding"),
           nBands = 4, planesPerBand = 4, dim = 64, threshold = 0.25)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // -- k-NN label vote (the data-labeling / label-propagation face of
+    //    the search stack): the first 10 vectors are unlabeled queries,
+    //    the rest the labeled corpus; each query takes the majority
+    //    label of its 5 nearest neighbors by INTEGER quantized L2
+    //    (q100's code space — engine-bit-stable ranking). The per-query
+    //    top-5 is the mergeable TopKByValue Aggregator, NOT a per-query
+    //    window — the shuffle carries 5 rows per query per map task, so
+    //    a corpus-sized candidate list never funnels through one sort
+    //    task (the q115 lesson applied to search). Tie-break: higher
+    //    vote count, then lower label; neighbor ties by lower id.
+    "q194_knn_classify" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val base = e.filter(col("vec_id") >= 10)
+      val (mins, maxs) = Similarity.quantRanges(base, col("embedding"))
+      val topk = udaf(new graft.functions.TopKByValue(5))
+      val qc = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          col("label").cast("long").as("true_label"),
+          Similarity.quantCodes(col("embedding"), mins, maxs).as("qcodes"))
+      val bc = base.select(col("vec_id").as("nn_id"),
+        Similarity.quantCodes(col("embedding"), mins, maxs).as("codes"))
+      val qdist = aggregate(
+        zip_with(col("codes"), col("qcodes"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+      val top5 = bc
+        .crossJoin(broadcast(qc.select(col("query_id"), col("qcodes"))))
+        .select(col("query_id"), col("nn_id"), qdist.as("qdist"))
+        .groupBy(col("query_id"))
+        .agg(topk((-col("qdist")).cast("double"), col("nn_id")).as("top"))
+        .select(col("query_id"), explode(col("top.keys")).as("nn_id"))
+      val votes = e
+        .select(col("vec_id").as("nn_id"), col("label").cast("long").as("label"))
+        .join(broadcast(top5), Seq("nn_id"))
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("n_votes"))
+      votes.groupBy(col("query_id"))
+        .agg(max(struct(col("n_votes"), (-col("label")).as("neg"))).as("b"))
+        .select(col("query_id"), (-col("b.neg")).as("pred_label"),
+          col("b.n_votes").as("n_votes"))
+        .join(broadcast(qc.select(col("query_id"), col("true_label"))),
+          Seq("query_id"))
+        .orderBy(col("query_id"))
+    },
+
+    // -- class prototypes (nearest-class-mean classification, clustering
+    //    seeds, drift baselines): per-(label, dimension) mean of the
+    //    quantized codes — exact BIGINT sums with ONE IEEE division per
+    //    cell, so the prototype table is engine-reproducible where a
+    //    float-sum mean would be order-dependent. One posexplode into a
+    //    (label × dim)-bounded map-side-combined rollup: the shuffle
+    //    never exceeds labels·dims rows per map task at ANY corpus size.
+    "q195_label_centroids" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val (mins, maxs) = Similarity.quantRanges(e, col("embedding"))
+      e.select(col("label").cast("long").as("label"),
+          posexplode(Similarity.quantCodes(col("embedding"), mins, maxs))
+            .as(Seq("dim0", "code")))
+        .select(col("label"), (col("dim0") + 1).cast("long").as("dim"),
+          col("code"))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("code")).as("sum_code"))
+        .withColumn("mean_code",
+          col("sum_code").cast("double") / col("n").cast("double"))
+        .orderBy(col("label"), col("dim"))
     }
   )
 
@@ -243,6 +309,60 @@ object AnnQueries {
         |WHERE LIST_DOT_PRODUCT(a_v, b_v)
         |    / (SQRT(LIST_DOT_PRODUCT(a_v, a_v)) * SQRT(LIST_DOT_PRODUCT(b_v, b_v))) >= 0.25
         |ORDER BY a_id, b_id""".stripMargin
-    }
+    },
+
+    // q100's quantization CTE (ranges over the labeled corpus), then
+    // exhaustive integer-L2 top-5 per query + majority vote.
+    "q194_knn_classify" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |dims AS (
+        |  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+        |  FROM e, (SELECT UNNEST(RANGE(1, 65)) AS i)
+        |  WHERE vec_id >= 10 GROUP BY i),
+        |codes AS (
+        |  SELECT e.vec_id, d.i, CASE WHEN d.mx = d.mn THEN 0
+        |    ELSE CAST(FLOOR((e.v[d.i] - d.mn) * 254.0 / (d.mx - d.mn) + 0.5) AS BIGINT) END AS code
+        |  FROM e, dims d),
+        |dist AS (
+        |  SELECT q.vec_id AS query_id, b.vec_id AS nn_id,
+        |    CAST(SUM((b.code - q.code) * (b.code - q.code)) AS BIGINT) AS qdist
+        |  FROM codes b JOIN codes q ON b.i = q.i
+        |  WHERE q.vec_id < 10 AND b.vec_id >= 10
+        |  GROUP BY 1, 2),
+        |top5 AS (SELECT query_id, nn_id FROM (
+        |  SELECT query_id, nn_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdist, nn_id) AS rn
+        |  FROM dist) WHERE rn <= 5),
+        |votes AS (
+        |  SELECT t.query_id, CAST(e.label AS BIGINT) AS label,
+        |    CAST(COUNT(*) AS BIGINT) AS n_votes
+        |  FROM top5 t JOIN e ON e.vec_id = t.nn_id GROUP BY 1, 2),
+        |pred AS (SELECT query_id, label AS pred_label, n_votes FROM (
+        |  SELECT query_id, label, n_votes,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY n_votes DESC, label) AS rn
+        |  FROM votes) WHERE rn = 1)
+        |SELECT p.query_id, p.pred_label, p.n_votes,
+        |  CAST(e.label AS BIGINT) AS true_label
+        |FROM pred p JOIN e ON e.vec_id = p.query_id
+        |ORDER BY p.query_id""".stripMargin,
+
+    // Same CTE with ranges over the WHOLE table, rolled up per
+    // (label, dim) cell.
+    "q195_label_centroids" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |dims AS (
+        |  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+        |  FROM e, (SELECT UNNEST(RANGE(1, 65)) AS i)
+        |  GROUP BY i),
+        |codes AS (
+        |  SELECT e.label, d.i, CASE WHEN d.mx = d.mn THEN 0
+        |    ELSE CAST(FLOOR((e.v[d.i] - d.mn) * 254.0 / (d.mx - d.mn) + 0.5) AS BIGINT) END AS code
+        |  FROM e, dims d)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(code) AS BIGINT) AS sum_code,
+        |  CAST(SUM(code) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_code
+        |FROM codes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -287,20 +287,27 @@ object Similarity {
   def quantCode(x: Double, mn: Double, mx: Double): Long =
     if (mx == mn) 0L else math.floor((x - mn) * 254.0 / (mx - mn) + 0.5).toLong
 
+  /** Column form of [[quantCode]]: the array of 0..254 integer codes
+    * for `vec` under the given per-dimension ranges (broadcast as array
+    * literals — no shuffle, no driver round-trip per row). */
+  def quantCodes(vec: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    val mnA = typedlit(mins)
+    val mxA = typedlit(maxs)
+    transform(vec, (x, i) => {
+      val mn = element_at(mnA, i + 1)
+      val mx = element_at(mxA, i + 1)
+      when(mx === mn, lit(0L)).otherwise(
+        floor((x.cast("double") - mn) * lit(254.0) / (mx - mn) + lit(0.5)))
+    })
+  }
+
   def quantizedTopK(
       embs: DataFrame, id: Column, vec: Column,
       queryVec: Seq[Double], mins: Seq[Double], maxs: Seq[Double],
       k: Int): DataFrame = {
     val qCodes = queryVec.zipWithIndex.map { case (x, i) =>
       quantCode(x, mins(i), maxs(i)) }
-    val mnA = typedlit(mins)
-    val mxA = typedlit(maxs)
-    val codes = transform(vec, (x, i) => {
-      val mn = element_at(mnA, i + 1)
-      val mx = element_at(mxA, i + 1)
-      when(mx === mn, lit(0L)).otherwise(
-        floor((x.cast("double") - mn) * lit(254.0) / (mx - mn) + lit(0.5)))
-    })
+    val codes = quantCodes(vec, mins, maxs)
     val qdist = aggregate(
       zip_with(codes, typedlit(qCodes), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, v) => acc + v)
