@@ -67,8 +67,63 @@ object MultimodalQueries {
           lit(1.0) - col("n_distinct_frames").cast("double") /
             col("n_frames").cast("double"))
         .orderBy(col("source"))
+    },
+
+    // -- perceptual-hash (aHash) dedup: the average-hash recipe — pool
+    //    the payload into 48 blocks, one bit per block = block mean >
+    //    global mean — on the stub modality (ASCII-normalized text
+    //    bytes standing in for pixels, the resizeStub pooling
+    //    boundaries). Every bit is a cleared-division integer compare
+    //    (s_blk·L > S·l_blk), so the 48-bit hash is engine-bit-exact;
+    //    48 bits keeps it positive in a signed BIGINT (the
+    //    portableHash48 lesson). Shape: one (doc, block) map-side
+    //    rollup + one doc rollup — per-doc work linear in payload,
+    //    bucket-join dedup identical to exact-dedup's (q39/q40), but
+    //    robust to small payload edits the way a cryptographic hash is
+    //    not. md5-equality is q160's frame gate; THIS is the perceptual
+    //    gate a real image pipeline uses.
+    "q197_ahash_dedup" -> { (s, d) =>
+      val hashes = aHash48(Tables.documents(s, d), col("doc_id"), col("text"))
+      val sizes = hashes.groupBy(col("ahash"))
+        .agg(count(lit(1)).as("n_bucket"), min(col("id")).as("canon"))
+      hashes.join(sizes, Seq("ahash"))
+        .select(col("id").as("doc_id"), col("ahash"), col("n_bucket"),
+          (col("id") === col("canon")).as("is_canonical"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** 48-bit average-hash of an ASCII-normalized payload: pool into 48
+    * blocks (the resizeStub boundaries), bit = block mean > global mean
+    * via the cleared-division compare s_blk·L > S·l_blk — all exact
+    * integers. Robust to small payload edits (MultimodalSpec pins an
+    * edited copy hashing identically while md5 diverges). Returns
+    * `(id, ahash)`; docs whose normalized payload is empty are dropped. */
+  def aHash48(df: DataFrame, id: org.apache.spark.sql.Column,
+      payload: org.apache.spark.sql.Column): DataFrame = {
+    val norm = regexp_replace(lower(trim(payload)), "[^a-z0-9 ]", "")
+    val chars = filter(split(norm, ""), c => c =!= "")
+    df.select(id.as("id"), chars.as("cs"))
+      .withColumn("n", size(col("cs")))
+      .filter(col("n") >= 1)
+      .select(col("id"), col("n"), posexplode(col("cs")).as(Seq("p", "c")))
+      .select(col("id"), col("n"),
+        expr("(p * 48) div n").as("blk"), ascii(col("c")).as("code"))
+      .groupBy(col("id"), col("blk"))
+      .agg(sum(col("code")).as("s"), count(lit(1)).as("l"))
+      // per-doc totals ride a ≤48-row window partition — bounded by the
+      // block count, never by payload or corpus size
+      .withColumn("s_tot", sum(col("s")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+      .withColumn("l_tot", sum(col("l")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+      .withColumn("bit",
+        when(col("s") * col("l_tot") > col("s_tot") * col("l"), 1L)
+          .otherwise(0L))
+      .groupBy(col("id"))
+      .agg(sum(col("bit") *
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(blk AS INT))")).as("ahash"))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q48_multimodal_features" ->
@@ -78,6 +133,37 @@ object MultimodalQueries {
         |  CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE) AS n_bytes_feat,
         |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[\x00-\x3F]', '', 'g')) AS DOUBLE) AS bin0
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q197_ahash_dedup" ->
+      """WITH nrm AS (
+        |  SELECT doc_id,
+        |    REGEXP_REPLACE(LOWER(TRIM(text)), '[^a-z0-9 ]', '', 'g') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, LEN(t) AS n, UNNEST(RANGE(1, LEN(t) + 1)) AS p, t
+        |  FROM nrm WHERE LEN(t) >= 1),
+        |ch AS (
+        |  SELECT doc_id, ((p - 1) * 48) // n AS blk,
+        |    ORD(SUBSTRING(t, p, 1)) AS code
+        |  FROM pos),
+        |blks AS (
+        |  SELECT doc_id, blk, CAST(SUM(code) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS l
+        |  FROM ch GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT doc_id, CAST(SUM(s) AS BIGINT) AS st,
+        |    CAST(SUM(l) AS BIGINT) AS lt
+        |  FROM blks GROUP BY 1),
+        |h AS (
+        |  SELECT b.doc_id,
+        |    CAST(SUM(CASE WHEN b.s * t.lt > t.st * b.l THEN 1 ELSE 0 END
+        |      * (CAST(1 AS BIGINT) << CAST(b.blk AS INT))) AS BIGINT) AS ahash
+        |  FROM blks b JOIN tot t ON b.doc_id = t.doc_id
+        |  GROUP BY 1)
+        |SELECT doc_id, ahash,
+        |  CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_bucket,
+        |  doc_id = MIN(doc_id) OVER (PARTITION BY ahash) AS is_canonical
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q160_frame_dedup" ->
       """WITH f AS (

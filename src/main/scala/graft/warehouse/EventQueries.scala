@@ -442,6 +442,34 @@ object EventQueries {
           col("baseline_hours") > 0 &&
             col("n") * col("baseline_hours") > col("baseline_n") * 3)
         .orderBy(col("event_type"), col("hour_epoch"))
+    },
+
+    // -- out-of-orderness / lateness profile: how far events arrive
+    //    behind their own timeline's high-water mark, in 10-minute
+    //    bands — the histogram that CHOOSES a streaming watermark delay
+    //    (T6): the band covering ~p99 is the delay that drops ~1% of
+    //    events. The synthetic feed is generated in timestamp order (no
+    //    disorder to measure), so the query PLANTS a deterministic
+    //    arrival permutation — arrival = portableHash48(event_id), the
+    //    q78 planted-structure precedent — and measures lateness against
+    //    the per-user running max(ts) in THAT order. The window rides
+    //    the user key and the rollup is map-side combined — nothing
+    //    global, no single-partition sort.
+    "q196_lateness_profile" -> { (s, d) =>
+      val arrival =
+        graft.text.TextFunctions.portableHash48(col("event_id").cast("string"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("arrival"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), arrival.as("arrival"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("es"))
+        .withColumn("late_s", max(col("es")).over(w) - col("es"))
+        .select(expr("late_s div 600").as("band"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("band"), (col("band") * 600).as("band_lo_s"), col("n"))
+        .orderBy(col("band"))
     }
   )
 
@@ -705,6 +733,22 @@ object EventQueries {
         |    RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING))
         |SELECT event_type, hour_epoch, n, baseline_n, baseline_hours,
         |  baseline_hours > 0 AND n * baseline_hours > baseline_n * 3 AS burst
-        |FROM b ORDER BY event_type, hour_epoch""".stripMargin
+        |FROM b ORDER BY event_type, hour_epoch""".stripMargin,
+
+    "q196_lateness_profile" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(md5_number_lower(CAST(event_id AS VARCHAR))
+        |      % 281474976710656 AS BIGINT) AS arrival,
+        |    CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es
+        |  FROM events),
+        |l AS (
+        |  SELECT (MAX(es) OVER (PARTITION BY user_id ORDER BY arrival, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - es) AS late_s
+        |  FROM e)
+        |SELECT late_s // 600 AS band,
+        |  (late_s // 600) * 600 AS band_lo_s,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM l GROUP BY 1, 2 ORDER BY band""".stripMargin
   )
 }

@@ -58,4 +58,21 @@ class MultimodalSpec extends AnyFunSuite {
     val f = Multimodal.decodeStub(Array[Byte](0x00, 0x40, 0x80.toByte, 0xC0.toByte))
     assert(f.toSeq == Seq(1.0, 1.0, 1.0, 1.0, 4.0))
   }
+
+  test("aHash48: perceptually stable under a small edit, md5 is not") {
+    import org.apache.spark.sql.functions.{col, md5, lit}
+    // strong block structure: low-byte half then high-byte half
+    val base = "a" * 480 + "z" * 480
+    val edited = "a" * 240 + "b" + "a" * 239 + "z" * 480 // 1 char changed
+    val uniform = ("az" * 480).take(960)                 // flat block means
+    val df = Seq((1L, base), (2L, edited), (3L, uniform)).toDF("id0", "t")
+    val h = MultimodalQueries.aHash48(df, col("id0"), col("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))   // the edit does not move any block across the mean
+    assert(h(1L) != h(3L))   // different structure -> different hash
+    assert(h(3L) == 0L)      // no block strictly above a flat mean
+    val md = df.select(col("id0"), md5(col("t")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(md(1L) != md(2L)) // the cryptographic gate separates the pair
+  }
 }
