@@ -212,6 +212,10 @@ object StreamOps {
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  final case class BurstState(open: Map[Long, Long], history: Seq[(Long, Long)])
+  final case class BurstAlert(event_type: String, hour_epoch: Long, n: Long,
+    baseline_n: Long, baseline_hours: Long, burst: Boolean)
+
   final case class QuotaState(windowStart: Long, n: Long)
   final case class Admitted(user_id: Long, ts: java.sql.Timestamp,
       admitted: Boolean, n_in_window: Long)
@@ -259,6 +263,58 @@ object StreamOps {
       .withWatermark("ts", delay)
       .as(Encoders.product[Evt])
       .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming burst detection — q193's batch semantics as a stateful
+    * stream: per event type, an hour finalizes once the watermark passes
+    * its end and is flagged when its count runs > `factor`× the mean of
+    * the preceding ≤24 finalized hours (the division cleared:
+    * n·hours > bn·factor — exact integers, batch-parity with q193's
+    * gate). State per key is the OPEN hour counts plus a ≤24-entry
+    * finalized history — bounded regardless of event volume; stragglers
+    * for an already-finalized hour are dropped (the quotaEnforce
+    * straggler contract — the watermark is the completeness promise).
+    * Hours finalize via event-time timeout even if the key goes quiet. */
+  def burstDetect(events: Dataset[Evt], factor: Long = 3,
+      delay: String = "10 minutes")(
+      implicit enc1: org.apache.spark.sql.Encoder[BurstState],
+      enc2: org.apache.spark.sql.Encoder[BurstAlert],
+      enc3: org.apache.spark.sql.Encoder[String]): Dataset[BurstAlert] = {
+
+    def fn(eventType: String, rows: Iterator[Evt],
+        state: GroupState[BurstState]): Iterator[BurstAlert] = {
+      val s = state.getOption.getOrElse(BurstState(Map.empty, Seq.empty))
+      val wmSec = state.getCurrentWatermarkMs() / 1000
+      var open = s.open
+      rows.foreach { e =>
+        val h = e.ts.getTime / 1000 / 3600 * 3600
+        if (h + 3600 > wmSec) // not already finalized
+          open = open.updated(h, open.getOrElse(h, 0L) + 1L)
+      }
+      val (done, still) = open.partition { case (h, _) => h + 3600 <= wmSec }
+      var hist = s.history
+      val out = done.toSeq.sortBy(_._1).map { case (h, n) =>
+        val base = hist.filter { case (bh, _) => bh >= h - 86400 && bh < h }
+        val bn = base.map(_._2).sum
+        val bh = base.size.toLong
+        hist = (hist :+ ((h, n))).filter(_._1 >= h - 82800)
+        BurstAlert(eventType, h, n, bn, bh, bh > 0 && n * bh > bn * factor)
+      }
+      state.update(BurstState(still, hist))
+      if (still.nonEmpty) {
+        val target = (still.keys.min + 3600) * 1000
+        state.setTimeoutTimestamp(
+          math.max(target, state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
+    }
+
+    import org.apache.spark.sql.Encoders
+    events
+      .withWatermark("ts", delay)
+      .as(Encoders.product[Evt])
+      .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 

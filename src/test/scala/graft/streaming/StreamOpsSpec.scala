@@ -132,6 +132,35 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(reset._3 && reset._4 == 1L) // fresh window, count restarts
   }
 
+  test("streaming burst: hours finalize at the watermark, >3x trailing mean flags") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val out = StreamOps.burstDetect(ms.toDS(), factor = 3, delay = "0 seconds")
+    val q = out.toDF().writeStream.format("memory").queryName("burst")
+      .outputMode("append").start()
+    // click: 1 event/hour for 6 hours, then 5 in hour 6 (the burst);
+    // view: steady 1/hour for 7 hours (key isolation)
+    ms.addData(((0 to 5).map(k => Evt(1, t(60L * k), "click", 1.0)) ++
+      (1 to 5).map(i => Evt(i.toLong, t(360), "click", 1.0)) ++
+      (0 to 6).map(k => Evt(9, t(60L * k), "view", 1.0))): _*)
+    q.processAllAvailable()
+    ms.addData(Evt(1, t(480), "click", 1.0)) // watermark -> t(360)
+    q.processAllAvailable()
+    ms.addData(Evt(1, t(481), "click", 1.0)) // watermark -> t(480)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("burst").collect().map(r => (r.getString(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    val clicks = rows.filter(_._1 == "click").sortBy(_._2)
+    assert(clicks.length == 7) // h0..h6 finalized; the sentinel hour stays open
+    assert(clicks.head._5 == 0L && !clicks.head._6) // no baseline, no flag
+    assert(clicks.slice(1, 6).forall(!_._6))        // steady hours stay quiet
+    assert(clicks.last._3 == 5L && clicks.last._4 == 6L &&
+      clicks.last._5 == 6L && clicks.last._6)       // 5 > 3 * (6/6)
+    val views = rows.filter(_._1 == "view")
+    assert(views.length == 7 && views.forall(!_._6)) // steady key untouched
+  }
+
   test("T10 modern: transformWithState sessionizer matches the fMGWS one") {
     implicit val ctx = spark.sqlContext
     // transformWithState needs a column-family-capable state store
