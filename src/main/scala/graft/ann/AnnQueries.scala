@@ -199,6 +199,41 @@ object AnnQueries {
         .orderBy(col("query_id"))
     },
 
+    // -- hard-negative mining (contrastive-training data prep): for each
+    //    labeled query, the NEAREST corpus vector carrying a DIFFERENT
+    //    label — the negative that actually moves a contrastive loss.
+    //    Same integer code space and mergeable top-k path as q194 (k=1),
+    //    with the label-mismatch filter applied BEFORE the aggregate so
+    //    the per-query state is one row. Distance comes back exactly as
+    //    the negated stored value (integer-valued doubles ≤ 254²·64 are
+    //    exact), so the output is BIGINT end-to-end.
+    "q198_hard_negatives" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val base = e.filter(col("vec_id") >= 10)
+      val (mins, maxs) = Similarity.quantRanges(base, col("embedding"))
+      val top1 = udaf(new graft.functions.TopKByValue(1))
+      val qc = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          col("label").cast("long").as("true_label"),
+          Similarity.quantCodes(col("embedding"), mins, maxs).as("qcodes"))
+      val bc = base.select(col("vec_id").as("nn_id"),
+        col("label").cast("long").as("nn_label"),
+        Similarity.quantCodes(col("embedding"), mins, maxs).as("codes"))
+      val qdist = aggregate(
+        zip_with(col("codes"), col("qcodes"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+      bc.crossJoin(broadcast(qc))
+        .filter(col("nn_label") =!= col("true_label"))
+        .select(col("query_id"), col("true_label"), col("nn_id"),
+          qdist.as("qdist"))
+        .groupBy(col("query_id"), col("true_label"))
+        .agg(top1((-col("qdist")).cast("double"), col("nn_id")).as("top"))
+        .select(col("query_id"), col("true_label"),
+          element_at(col("top.keys"), 1).as("neg_id"),
+          (-element_at(col("top.vals"), 1)).cast("long").as("neg_qdist"))
+        .orderBy(col("query_id"))
+    },
+
     // -- class prototypes (nearest-class-mean classification, clustering
     //    seeds, drift baselines): per-(label, dimension) mean of the
     //    quantized codes — exact BIGINT sums with ONE IEEE division per
@@ -346,6 +381,29 @@ object AnnQueries {
         |  CAST(e.label AS BIGINT) AS true_label
         |FROM pred p JOIN e ON e.vec_id = p.query_id
         |ORDER BY p.query_id""".stripMargin,
+
+    // q194's CTE with the label-mismatch filter and rn = 1.
+    "q198_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |dims AS (
+        |  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+        |  FROM e, (SELECT UNNEST(RANGE(1, 65)) AS i)
+        |  WHERE vec_id >= 10 GROUP BY i),
+        |codes AS (
+        |  SELECT e.vec_id, e.label, d.i, CASE WHEN d.mx = d.mn THEN 0
+        |    ELSE CAST(FLOOR((e.v[d.i] - d.mn) * 254.0 / (d.mx - d.mn) + 0.5) AS BIGINT) END AS code
+        |  FROM e, dims d),
+        |dist AS (
+        |  SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS true_label,
+        |    b.vec_id AS nn_id,
+        |    CAST(SUM((b.code - q.code) * (b.code - q.code)) AS BIGINT) AS qdist
+        |  FROM codes b JOIN codes q ON b.i = q.i
+        |  WHERE q.vec_id < 10 AND b.vec_id >= 10 AND b.label <> q.label
+        |  GROUP BY 1, 2, 3)
+        |SELECT query_id, true_label, nn_id AS neg_id, qdist AS neg_qdist
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY qdist, nn_id) AS rn FROM dist)
+        |WHERE rn = 1 ORDER BY query_id""".stripMargin,
 
     // Same CTE with ranges over the WHOLE table, rolled up per
     // (label, dim) cell.

@@ -8,8 +8,16 @@ import graft.util.{Exact, Tables}
 /** Second TPC-H wave — the remaining classic shapes expressible on the
   * testdata star schema (no `partsupp`, no ship/commit/receipt-date triple,
   * so Q2/Q11/Q21 run as adapted faces that keep the PLAN shape under test
-  * and swap the missing columns for available ones; Q9/Q12/Q16/Q20 have no
-  * faithful adaptation and stay out of scope).
+  * and swap the missing columns for available ones). Round 7 extends the
+  * same treatment to the last five: Q4/Q9/Q12/Q16/Q20 run as DECLARED
+  * adapted faces — each keeps its classic plan shape (the thing the suite
+  * exists to pin) with the missing column swapped for a stated stand-in:
+  * Q4's commit<receipt predicate → "shipped >30 days after order";
+  * Q9's ps_supplycost → p_retailprice unit cost; Q12's ship modes →
+  * l_returnflag classes; Q16's partsupp → distinct lineitem
+  * (part, supplier) pairs and the complaint exclusion → a balance
+  * threshold; Q20's availqty>½·shipped → a dominant-supplier share test
+  * (2·q_sp > q_p) over the same nested-aggregate semi-join chain.
   *
   * These queries exist to pin the warehouse surface the reference's
   * Redshift serves (README.md:3): multi-way joins with dims broadcast,
@@ -271,6 +279,121 @@ object TpchMoreQueries {
         .filter(col("value_e4") * col("n_parts") * 10L > col("total_e4") * 15L)
         .select(col("l_partkey"), col("value_e4"))
         .orderBy(col("value_e4").desc, col("l_partkey"))
+    },
+
+    // -- Q4 shape (order priority checking): a date-windowed orders scan
+    //    EXISTS-joined to lineitem, rolled up by priority. Stand-in
+    //    predicate: shipped >30 days after the order date (no commit/
+    //    receipt dates in the testdata). Catalyst plans the EXISTS as a
+    //    left-semi hash join with the window filter pushed to the
+    //    orders scan — the exact classic Q4 plan.
+    "q199_tpch_q4" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // -- Q9 shape (product type profit): the widest TPC-H join tree —
+    //    part-filtered lineitem × supplier-nation × orders, profit by
+    //    nation and order year. Stand-in cost: p_retailprice per unit
+    //    (no ps_supplycost). Both dims broadcast; profit stays exact:
+    //    netE4 (1e-4 units) minus cost_cents·qty_cents (also 1e-4).
+    "q200_tpch_q9" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).filter(col("p_name").contains("widget"))
+        .select(col("p_partkey"),
+          Exact.cents(col("p_retailprice")).as("cost_cents"))
+      val sn = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(Exact.netE4(li("l_extendedprice"), li("l_discount")) -
+          col("cost_cents") * Exact.cents(col("l_quantity"))).as("profit_e4"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // -- Q12 shape (shipping modes and order priority): one fact join +
+    //    conditional aggregation into high/low priority line counts.
+    //    Stand-in mode dimension: l_returnflag (no l_shipmode).
+    "q201_tpch_q12" -> { (s, d) =>
+      val hi = Seq("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin(hi: _*), 0L).otherwise(1L))
+            .as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // -- Q16 shape (parts/supplier relationship): supplier counts per
+    //    part attribute triple, minus an excluded supplier set, sorted
+    //    by count. Stand-ins: partsupp → DISTINCT lineitem (part, supp)
+    //    pairs; the complaint-supplier exclusion → balance < $500 (the
+    //    testdata carries no comment column). Anti join + broadcast part
+    //    dim + multi-distinct rollup — the classic Q16 plan.
+    "q202_tpch_q16" -> { (s, d) =>
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val excl = Tables.supplier(s, d)
+        .filter(Exact.cents(col("s_acctbal")) < 50000L).select(col("s_suppkey"))
+      val p = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size").cast("long").as("p_size"))
+      ps.join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    // -- Q20 shape (potential part promotion): the nested-aggregate
+    //    semi-join chain — an aggregate subquery derives a per-(supp,
+    //    part) threshold, qualifying suppliers semi-join up to the
+    //    nation-scoped supplier list. Stand-in for availqty > ½·shipped:
+    //    the DOMINANT-supplier test 2·q_sp > q_p on 1997 volumes of the
+    //    name-filtered parts (all quantities exact cents; the ½ is
+    //    cleared to integers).
+    "q203_tpch_q20" -> { (s, d) =>
+      val parts = Tables.part(s, d).filter(col("p_name").contains("bolt"))
+        .select(col("p_partkey"))
+      val sp = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(Exact.cents(col("l_quantity"))).as("q_sp"))
+      val pp = sp.groupBy(col("l_partkey")).agg(sum(col("q_sp")).as("q_p"))
+      val dominant = sp.join(pp, Seq("l_partkey"))
+        .filter(col("q_sp") * 2 > col("q_p"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name") === "NATION_1")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), Exact.cents(col("s_acctbal")).as("acctbal_cents"))
+        .orderBy(col("s_name"))
     }
   )
 
@@ -421,6 +544,76 @@ object TpchMoreQueries {
         |FROM per_part
         |WHERE value_e4 * (SELECT COUNT(*) FROM per_part) * 10
         |      > (SELECT CAST(SUM(value_e4) AS BIGINT) FROM per_part) * 15
-        |ORDER BY value_e4 DESC, l_partkey""".stripMargin
+        |ORDER BY value_e4 DESC, l_partkey""".stripMargin,
+
+    "q199_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q200_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |  ) AS BIGINT) AS profit_e4
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q201_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q202_tpch_q16" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ex AS (SELECT s_suppkey FROM supplier
+        |  WHERE CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) < 50000)
+        |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND NOT EXISTS (SELECT 1 FROM ex WHERE s_suppkey = l_suppkey)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q203_tpch_q20" ->
+      """WITH sp AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS q_sp
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%bolt%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |pp AS (SELECT l_partkey, CAST(SUM(q_sp) AS BIGINT) AS q_p
+        |  FROM sp GROUP BY 1),
+        |dom AS (SELECT DISTINCT l_suppkey FROM sp
+        |  JOIN pp USING (l_partkey) WHERE q_sp * 2 > q_p)
+        |SELECT s_name,
+        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1'
+        |  AND EXISTS (SELECT 1 FROM dom WHERE dom.l_suppkey = s_suppkey)
+        |ORDER BY s_name""".stripMargin
   )
 }
