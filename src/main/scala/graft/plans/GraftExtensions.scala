@@ -1,0 +1,12 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Global registration hook: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  * plans [[AsOfJoinNode]] in every session without touching application
+  * code. `AsOf.join` also self-registers per session, so the extension is
+  * only needed when plans are built some other way (e.g. deserialized). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+}
