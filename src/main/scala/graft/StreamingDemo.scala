@@ -15,11 +15,12 @@ import graft.streaming.StreamOps
   */
 object StreamingDemo {
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; for streaming reads the nanosAsLong flag types `ts` as a
-    * long, rebuilt here at micros (same convention as Tables.events). */
+  /** events.parquet carries a naive `timestamp[us]`; declare `ts` directly
+    * as (session-zoned) TimestampType — under the contract's UTC session
+    * zone the stored microseconds are read verbatim (same convention as
+    * Tables.events). */
   private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -29,7 +30,6 @@ object StreamingDemo {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -40,7 +40,6 @@ object StreamingDemo {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
     def runToMemory(df: org.apache.spark.sql.DataFrame, name: String): Long = {
       val q = df.writeStream.format("memory").queryName(name)

@@ -142,7 +142,12 @@ final case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lProj = UnsafeProjection.create(Seq(lKeyExpr, lTimeExpr), lOut)
       val rProj = UnsafeProjection.create(Seq(rKeyExpr, rTimeExpr), rOut)
-      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // Bind against NULLABLE right attributes: unmatched left rows read
+      // the all-null pad row, and a BoundReference built from the child's
+      // original non-nullable attribute would skip the null check and
+      // materialize primitive zeros instead of nulls.
+      val resultProj =
+        UnsafeProjection.create(outAttrs, lOut ++ rOut.map(_.withNullability(true)))
       val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)

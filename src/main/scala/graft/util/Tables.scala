@@ -38,18 +38,22 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 
-  /** `events` is written with nanosecond Parquet timestamps, which Spark 4
-    * refuses to read natively (PARQUET_TYPE_ILLEGAL). We read them as raw
-    * nanos via the legacy flag and rebuild `ts` at microsecond precision
-    * with exact integer division (`div`, not double division — ns-since-epoch
-    * exceeds double's 53-bit mantissa). DuckDB keeps full nanos, so
-    * oracle-facing queries must only use `ts` through `date_trunc('second')`
-    * or coarser, and must order by `event_id` (globally monotonic with ts)
-    * rather than by `ts` itself.
+  /** `events.ts` lands as a naive Parquet `timestamp[us]`, which Spark 4
+    * infers as TIMESTAMP_NTZ. The rest of the library (and the streaming
+    * surface, watermarks included) speaks session-zoned TimestampType, so
+    * normalize here with a cast — under the contract's UTC session zone the
+    * internal microsecond value is unchanged, and DuckDB's naive TIMESTAMP
+    * reads the identical integers, so both engines agree to the microsecond.
+    * (Earlier testdata generations wrote ns-precision epoch longs instead;
+    * this loader is the single seam that absorbed that change.) Queries
+    * still order by `event_id` (globally monotonic with ts) by convention —
+    * ts ties would otherwise make result order engine-dependent.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }

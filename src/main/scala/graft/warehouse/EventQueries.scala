@@ -89,6 +89,26 @@ object EventQueries {
         .orderBy(col("event_id"))
     },
 
+    // -- J6 (custom-plan face): the SAME as-of semantics as q25, planned
+    //    through the whole-operator Catalyst path (AsOfJoinNode →
+    //    AsOfJoinStrategy → AsOfJoinExec): each side shuffles once on
+    //    user_id, sorts within partitions, and a single streaming merge
+    //    pass holds exactly one buffered right row — no union, no window
+    //    state, k right payload columns at no extra passes. Shares q25's
+    //    window-rewrite oracle: two physical plans, one answer.
+    "q204_asof_exec" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"))
+      graft.plans.AsOf.join(purchases, clicks, key = "user_id",
+          leftTime = "event_id", rightTime = "event_id",
+          rightTimeAs = "last_click_id")
+        .select(col("event_id"), col("user_id"), col("last_click_id"))
+        .orderBy(col("event_id"))
+    },
+
     // -- A7: collect_list rebuilt deterministically — array_sort over
     //    (event_id, type) structs, then project the type. This is how the
     //    reference's asks/bids arrays (§2.7) are reassembled from rows.
@@ -508,6 +528,17 @@ object EventQueries {
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
 
     "q25_asof_join" ->
+      """SELECT event_id, user_id, last_click_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    MAX(CASE WHEN event_type = 'click' THEN event_id END) OVER (
+        |      PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+        |  FROM events) WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    // Same oracle as q25 on purpose: q204 is the custom-exec face of the
+    // identical as-of semantics (two physical plans, one answer).
+    "q204_asof_exec" ->
       """SELECT event_id, user_id, last_click_id FROM (
         |  SELECT event_id, user_id, event_type,
         |    MAX(CASE WHEN event_type = 'click' THEN event_id END) OVER (

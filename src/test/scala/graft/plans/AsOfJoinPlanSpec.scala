@@ -106,11 +106,12 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     val out = AsOf.join(l, r, "k", "t", "t", "rt")
     assert(out.count() == n)
     // spot-check one row against a per-row predicate computed the slow way:
-    // the match for (k=3, t=2000) is the largest r.t = 40*id with id%7==3
-    // and 40*id <= 2000 → id=45? 45%7=3, t=1800. So payload 45.
-    val row = out.filter(col("k") === 3 && col("t") === 2000).head()
-    assert(row.getAs[Long]("payload") == 45L)
-    assert(row.getAs[Long]("rt") == 1800L)
+    // left row t=2000 has k = 2000 % 7 = 5; its match is the largest
+    // r.t = 40*id with id%7==5 and 40*id <= 2000 → id ∈ {5,12,...,47},
+    // largest 47 → t=1880, payload 47.
+    val row = out.filter(col("k") === 5 && col("t") === 2000).head()
+    assert(row.getAs[Long]("payload") == 47L)
+    assert(row.getAs[Long]("rt") == 1880L)
   }
 
   test("missing column names fail fast") {
