@@ -200,11 +200,15 @@ final case class AsOfJoinExec(
 /** DataFrame-level entry point (and per-session strategy registration). */
 object AsOf {
 
-  /** Adds [[AsOfJoinStrategy]] to the session's planner once. */
+  /** Adds [[AsOfJoinStrategy]] + the [[AsOfRules]] optimizer rules to the
+    * session once (filter pushdown / column pruning through the custom
+    * node — without them it is an optimization barrier). */
   def register(spark: SparkSession): Unit = synchronized {
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
     if (!exp.extraStrategies.contains(AsOfJoinStrategy))
       exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+    if (!exp.extraOptimizations.exists(AsOfRules.all.contains))
+      exp.extraOptimizations = exp.extraOptimizations ++ AsOfRules.all
   }
 
   /** As-of joins `right` onto `left`: both sides must carry `key`; the

@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.expressions.PredicateHelper
+
+/** Optimizer rules for [[AsOfJoinNode]] — the builder prompt's
+  * `Rule[LogicalPlan]` tier.
+  *
+  * Catalyst's own PushDownPredicates / ColumnPruning only understand the
+  * built-in node types; a custom logical node is an optimization barrier —
+  * filters written above an as-of join would run post-merge and every
+  * child column would survive to the key shuffle. At 100 TB both matter:
+  * a pushed filter reaches the parquet scan (row-group skipping +
+  * PushedFilters) and pruning narrows the rows the two exchanges carry.
+  * These rules restore exactly the rewrites that are semantics-preserving
+  * for this operator, and compose with the built-in batches (registered
+  * via `injectOptimizerRule` / `experimental.extraOptimizations`, so the
+  * standard rules then carry the pushed residue all the way down).
+  */
+object AsOfRules {
+
+  /** Push deterministic predicates that reference only LEFT columns below
+    * the join. Sound because the as-of join is left-outer row-preserving:
+    * exactly one output row per left row, left columns unchanged — so a
+    * left-only predicate selects the same rows above or below the node.
+    * Right-side predicates do NOT commute (they would also drop the
+    * null-extended rows a failed match produces) and stay put.
+    */
+  object PushFilterThroughAsOf extends Rule[LogicalPlan] with PredicateHelper {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case f @ Filter(cond, a: AsOfJoinNode) =>
+        val (push, keep) = splitConjunctivePredicates(cond)
+          .partition(p => p.deterministic && p.references.subsetOf(a.left.outputSet))
+        if (push.isEmpty) f
+        else {
+          val pushed = a.copy(left = Filter(push.reduce(And), a.left))
+          keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+        }
+    }
+  }
+
+  /** Narrow both children to the columns a parent Project actually uses
+    * (plus the join's own key/time expressions). The node's `output` is
+    * derived from its children, so pruned children narrow the operator's
+    * schema in lockstep; the standard ColumnPruning/PhysicalOperation
+    * machinery then folds the inserted Projects into the scans
+    * (ReadSchema shrinks). Without this, an events-wide right side drags
+    * its full payload through the exchange for a two-column probe.
+    */
+  object PruneAsOfColumns extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case p @ Project(_, a: AsOfJoinNode) =>
+        val needed = AttributeSet(p.expressions.flatMap(_.references)) ++
+          a.leftKey.references ++ a.leftTime.references ++
+          a.rightKey.references ++ a.rightTime.references
+        val keepL = a.left.output.filter(needed.contains)
+        val keepR = a.right.output.filter(needed.contains)
+        if (keepL.size == a.left.output.size && keepR.size == a.right.output.size) p
+        else {
+          def narrowed(child: LogicalPlan, keep: Seq[NamedExpression]) =
+            if (keep.size == child.output.size) child else Project(keep, child)
+          p.copy(child = a.copy(
+            left = narrowed(a.left, keepL), right = narrowed(a.right, keepR)))
+        }
+    }
+  }
+
+  val all: Seq[Rule[LogicalPlan]] = Seq(PushFilterThroughAsOf, PruneAsOfColumns)
+}

@@ -7,6 +7,11 @@ import org.apache.spark.sql.SparkSessionExtensions
   * code. `AsOf.join` also self-registers per session, so the extension is
   * only needed when plans are built some other way (e.g. deserialized). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // Inside the operator-optimization fixed point: the pushed filter /
+    // inserted Projects immediately compose with the built-in
+    // PushDownPredicates + ColumnPruning passes.
+    AsOfRules.all.foreach(r => ext.injectOptimizerRule(_ => r))
+  }
 }

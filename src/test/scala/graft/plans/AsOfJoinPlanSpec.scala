@@ -119,4 +119,60 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
       AsOf.join(trades, quotes, "sym", "tt", "no_such_col", "x")
     }
   }
+
+  // -- AsOfRules: the custom node must not be an optimization barrier.
+
+  test("left-only filters push below the node and reach the parquet scan") {
+    val d = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$d/events.parquet")
+    val l = ev.select(col("event_id"), col("user_id"))
+    val r = ev.select(col("user_id"), col("event_id"))
+    val joined = AsOf.join(l, r, "user_id", "event_id", "event_id", "rid")
+      .filter(col("event_id") < 500)
+    val opt = joined.queryExecution.optimizedPlan
+    // the Filter no longer sits above the custom node...
+    val topFilter = opt.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.child.isInstanceOf[AsOfJoinNode] => f }
+    assert(topFilter.isEmpty, s"filter not pushed:\n$opt")
+    // ...and the LEFT scan received it as a data filter
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedFilters") && phys.contains("LessThan(event_id,500)"),
+      s"scan missed the pushed filter:\n$phys")
+    // semantics unchanged vs filtering before the join
+    val want = AsOf.join(l.filter(col("event_id") < 500), r,
+      "user_id", "event_id", "event_id", "rid")
+    assert(joined.exceptAll(want).isEmpty && want.exceptAll(joined).isEmpty)
+  }
+
+  test("right-side filters do NOT push (null-extension semantics)") {
+    val out = AsOf.join(trades, quotes, "sym", "tt", "qt", "quote_time")
+      .filter(col("px") > 2.0)  // right payload: must run post-join
+    val opt = out.queryExecution.optimizedPlan
+    assert(opt.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.child.isInstanceOf[AsOfJoinNode] => f }.nonEmpty)
+    // matches-only survive: unmatched (null px) rows are dropped by the filter
+    assert(out.count() == 4)  // a@20→2.5, a@25→2.5, a@1000→3.0, b@16→9.0
+  }
+
+  test("projection prunes unused payload columns out of both scans") {
+    val d = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$d/events.parquet")
+    val l = ev.select(col("event_id"), col("user_id"), col("props"))
+    val r = ev.select(col("user_id"), col("event_id"), col("value"), col("props"))
+    val joined = AsOf.join(l, r.withColumnRenamed("props", "rprops"),
+        "user_id", "event_id", "event_id", "rid")
+      .select(col("event_id"), col("user_id"), col("rid"), col("value"))
+    val node = joined.queryExecution.optimizedPlan.collectFirst {
+      case a: AsOfJoinNode => a }.get
+    val childCols = (node.left.output ++ node.right.output).map(_.name).toSet
+    assert(!childCols.contains("props") && !childCols.contains("rprops"),
+      s"payload not pruned: $childCols")
+    // pruning reached the scans: neither side reads the props column
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(!phys.contains("props"), s"scan still reads props:\n$phys")
+    assert(joined.count() ==
+      spark.read.parquet(s"$d/events.parquet").count())
+  }
 }
