@@ -216,6 +216,11 @@ object StreamOps {
   final case class BurstAlert(event_type: String, hour_epoch: Long, n: Long,
     baseline_n: Long, baseline_hours: Long, burst: Boolean)
 
+  final case class HourSketch(hour: Long, users: Map[Long, Long], decs: Long)
+  final case class LeadState(hours: Seq[HourSketch])
+  final case class LeaderRow(event_type: String, hour_epoch: Long, rank: Int,
+    user_id: Long, count_lo: Long, count_hi: Long)
+
   final case class QuotaState(windowStart: Long, n: Long)
   final case class Admitted(user_id: Long, ts: java.sql.Timestamp,
       admitted: Boolean, n_in_window: Long)
@@ -306,6 +311,74 @@ object StreamOps {
         val target = (still.keys.min + 3600) * 1000
         state.setTimeoutTimestamp(
           math.max(target, state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
+    }
+
+    import org.apache.spark.sql.Encoders
+    events
+      .withWatermark("ts", delay)
+      .as(Encoders.product[Evt])
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming per-hour top-k leaderboard with BOUNDED state: per event
+    * type, who were the k most active users in each hour, emitted once
+    * the watermark finalizes the hour (burstDetect's finalization
+    * contract — stragglers drop, event-time timers close quiet keys).
+    *
+    * The scale problem this solves: exact per-hour counts need
+    * O(distinct users per open hour) state, which at 100 TB is the whole
+    * user table per key. Instead each open hour keeps a Misra–Gries
+    * summary of `counters` slots: hit → increment; miss with a free
+    * slot → insert at 1; miss when full → decrement ALL slots (zeros
+    * evicted) and absorb the arrival, incrementing the sketch's
+    * decrement count d. Classic MG guarantees: stored ≤ true ≤ stored+d,
+    * d ≤ n/(counters+1), and every user with true count > n/(counters+1)
+    * still holds a slot — so the emitted top-k is exact whenever the
+    * k-th/(k+1)-th true-count gap exceeds d (the spec pins both the
+    * exact regime and the bounds under forced eviction). Emitted rows
+    * carry [count_lo, count_hi] so downstream sees the uncertainty.
+    * State per key is O(open hours × counters) regardless of volume. */
+  def leaderboard(events: Dataset[Evt], k: Int = 3, counters: Int = 64,
+      delay: String = "10 minutes")(
+      implicit enc1: org.apache.spark.sql.Encoder[LeadState],
+      enc2: org.apache.spark.sql.Encoder[LeaderRow],
+      enc3: org.apache.spark.sql.Encoder[String]): Dataset[LeaderRow] = {
+
+    def mgAdd(sk: HourSketch, user: Long): HourSketch =
+      sk.users.get(user) match {
+        case Some(c) => sk.copy(users = sk.users.updated(user, c + 1))
+        case None if sk.users.size < counters =>
+          sk.copy(users = sk.users.updated(user, 1L))
+        case None =>
+          val dec = sk.users.collect { case (u, c) if c > 1 => (u, c - 1) }
+          HourSketch(sk.hour, dec, sk.decs + 1)
+      }
+
+    def fn(eventType: String, rows: Iterator[Evt],
+        state: GroupState[LeadState]): Iterator[LeaderRow] = {
+      val wmSec = state.getCurrentWatermarkMs() / 1000
+      var hours = state.getOption
+        .map(_.hours.map(h => h.hour -> h).toMap).getOrElse(Map.empty[Long, HourSketch])
+      rows.foreach { e =>
+        val h = e.ts.getTime / 1000 / 3600 * 3600
+        if (h + 3600 > wmSec) // already-finalized hours: straggler, drop
+          hours = hours.updated(h,
+            mgAdd(hours.getOrElse(h, HourSketch(h, Map.empty, 0L)), e.user_id))
+      }
+      val (done, still) = hours.partition { case (h, _) => h + 3600 <= wmSec }
+      val out = done.toSeq.sortBy(_._1).flatMap { case (h, sk) =>
+        sk.users.toSeq.sortBy { case (u, c) => (-c, u) }.take(k).zipWithIndex
+          .map { case ((u, c), i) =>
+            LeaderRow(eventType, h, i + 1, u, c, c + sk.decs) }
+      }
+      if (still.isEmpty) state.remove()
+      else {
+        state.update(LeadState(still.values.toSeq))
+        state.setTimeoutTimestamp(math.max(
+          (still.keys.min + 3600) * 1000, state.getCurrentWatermarkMs() + 1))
       }
       out.iterator
     }

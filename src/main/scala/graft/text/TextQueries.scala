@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.util.Tables
@@ -234,6 +234,46 @@ object TextQueries {
     //    pipeline runs once per corpus as declared table maintenance.
     "q75_dedup_components" -> { (s, d) =>
       dedupLedger(s, d).ledger.orderBy(col("doc_id"))
+    },
+
+    // -- LEAKAGE-SAFE train/val/test split: a plain hash split (q121)
+    //    scatters near-duplicate documents across splits, so eval
+    //    examples have train-set twins — memorization reads as quality.
+    //    Hashing the COMPONENT id instead assigns every connected
+    //    near-dup group to one split by construction (split is a pure
+    //    function of comp). Probes the memoized ledger; the only work
+    //    at query time is one projection — at 100 TB this is a
+    //    map-only pass over the maintained ledger table, no shuffle.
+    "q205_leakage_safe_split" -> { (s, d) =>
+      val b = pmod(
+        TextFunctions.portableHash48(col("comp").cast("string")), lit(100L))
+      dedupLedger(s, d).ledger
+        .select(col("doc_id"), col("comp"),
+          when(b < 90, "train").when(b < 95, "val").otherwise("test")
+            .as("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -- LEAKAGE AUDIT: how bad is the naive split? For every near-dup
+    //    pair, band BOTH endpoints with q121's per-doc hash law and
+    //    count pairs whose endpoints land in different splits — the
+    //    train/eval twins a naive split would create, broken down by
+    //    (min, max) split pair. Probes the memoized pair table; the
+    //    audit itself is one projection + one small rollup.
+    "q206_split_leakage_audit" -> { (s, d) =>
+      def splitOf(c: Column): Column = {
+        val b = pmod(TextFunctions.portableHash48(c.cast("string")), lit(100L))
+        when(b < 90, "train").when(b < 95, "val").otherwise("test")
+      }
+      dedupLedger(s, d).pairs
+        .select(splitOf(col("a_id")).as("sa"), splitOf(col("b_id")).as("sb"))
+        .select(least(col("sa"), col("sb")).as("split_lo"),
+          greatest(col("sa"), col("sb")).as("split_hi"))
+        .groupBy(col("split_lo"), col("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("split_lo") =!= col("split_hi"), 1L).otherwise(0L))
+            .as("n_leaking"))
+        .orderBy(col("split_lo"), col("split_hi"))
     },
 
     // -- INCREMENTAL ledger maintenance: the corpus is split into a base
@@ -676,6 +716,50 @@ object TextQueries {
          |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
          |  doc_id = comp AS is_canonical
          |FROM ledger ORDER BY doc_id""".stripMargin,
+
+    // q75's closure + q121's md5 split law, keyed on the component id:
+    // same recursive-CTE components, then the split band is a pure
+    // function of comp — the leakage-safety property is definitional in
+    // both engines.
+    "q205_leakage_safe_split" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+         |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+         |ledger AS (
+         |  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id)
+         |SELECT doc_id, comp,
+         |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, comp,
+         |    (md5_number_lower(CAST(comp AS VARCHAR)) % 281474976710656) % 100 AS b
+         |  FROM ledger)
+         |ORDER BY doc_id""".stripMargin,
+
+    // The pair CTE banded with q121's md5 law on each endpoint; a pair
+    // "leaks" when its endpoints band into different splits.
+    "q206_split_leakage_audit" ->
+      s"""WITH $minhashPairsCtes,
+         |banded AS (
+         |  SELECT
+         |    CASE WHEN ba < 90 THEN 'train' WHEN ba < 95 THEN 'val'
+         |         ELSE 'test' END AS sa,
+         |    CASE WHEN bb < 90 THEN 'train' WHEN bb < 95 THEN 'val'
+         |         ELSE 'test' END AS sb
+         |  FROM (SELECT
+         |      (md5_number_lower(CAST(a_id AS VARCHAR)) % 281474976710656) % 100 AS ba,
+         |      (md5_number_lower(CAST(b_id AS VARCHAR)) % 281474976710656) % 100 AS bb
+         |    FROM pairs))
+         |SELECT LEAST(sa, sb) AS split_lo, GREATEST(sa, sb) AS split_hi,
+         |  COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking
+         |FROM banded GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin,
 
     // q41's shingle CTE with overlap-coefficient semantics; the hashed
     // long sets on the Spark side intersect identically to the string

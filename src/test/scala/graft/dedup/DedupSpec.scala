@@ -441,4 +441,35 @@ class DedupSpec extends AnyFunSuite {
     val capped = shared(hashKeys = true, maxOcc = 2)
     assert(!capped.exists(s => s._3 == 0L && s._1 == 1L && s._2 == 2L && s._5 == 6L))
   }
+
+  test("leakage-safe split: a dup component never straddles splits where the naive doc-id split does") {
+    // one 40-copy near-dup component spread over scattered ids, plus
+    // isolated docs — the q205 law: split = hash(comp), not hash(doc_id)
+    val ids = (0 until 40).map(i => i * 37L + 5L)
+    val corpus = (ids.map(id => (id, base)) ++
+      Seq((2000L, unrelated), (3000L, "tiny doc"))).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(corpus, col("doc_id"), col("text"),
+      threshold = 0.5, bands = 16, maxBucketSize = 1000000)
+    val lbl = Dedup.components(pairs, col("a_id"), col("b_id"))
+    val ledger = corpus
+      .join(lbl.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+    def band(c: org.apache.spark.sql.Column) =
+      pmod(TextFunctions.portableHash48(c.cast("string")), lit(100L))
+    def toSplit(b: org.apache.spark.sql.Column) =
+      when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    val assigned = ledger.select(col("doc_id"), col("comp"),
+      toSplit(band(col("comp"))).as("safe"), toSplit(band(col("doc_id"))).as("naive"))
+    // the whole dup component got ONE safe split...
+    val safeSplits = assigned.filter(col("comp") === ids.min)
+      .select("safe").distinct().collect()
+    assert(safeSplits.length == 1)
+    // ...while the naive per-doc hash provably scatters it (40 ids across
+    // a 90/5/5 split: all-same-band probability < 0.9^39)
+    val naiveSplits = assigned.filter(col("comp") === ids.min)
+      .select("naive").distinct().collect()
+    assert(naiveSplits.length > 1, "fixture ids all hashed to one band; pick different ids")
+    // isolated docs are their own component and still get assigned
+    assert(assigned.filter(col("doc_id") === 2000L).count() == 1)
+  }
 }

@@ -161,6 +161,59 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(views.length == 7 && views.forall(!_._6)) // steady key untouched
   }
 
+  test("streaming leaderboard: exact top-k when slots suffice; quiet key finalizes by timer") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val out = StreamOps.leaderboard(ms.toDS(), k = 3, counters = 64, delay = "0 seconds")
+    val q = out.toDF().writeStream.format("memory").queryName("leaders")
+      .outputMode("append").start()
+    // hour 0 for "click": u1 x5, u2 x3, u3 x1, u4 x1
+    ms.addData(((0 to 4).map(i => Evt(1, t(i.toLong), "click", 1.0)) ++
+      (0 to 2).map(i => Evt(2, t(i.toLong), "click", 1.0)) ++
+      Seq(Evt(3, t(3), "click", 1.0), Evt(4, t(4), "click", 1.0))): _*)
+    q.processAllAvailable()
+    // watermark rides DIFFERENT-type sentinels: the click key's hour must
+    // close via its event-time timer, not via new click rows
+    ms.addData(Evt(9, t(50), "view", 1.0))
+    q.processAllAvailable()
+    ms.addData(Evt(9, t(51), "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val hour0 = 1700000000L - 800L // t(0) truncated to its hour start
+    val rows = spark.table("leaders").collect().map(r => (r.getString(0),
+      r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val clicks = rows.filter(_._1 == "click").sortBy(_._3)
+    // exact counts (no evictions): lo == hi; rank-3 tie broken by user id
+    assert(clicks.toSeq == Seq(
+      ("click", hour0, 1, 1L, 5L, 5L),
+      ("click", hour0, 2, 2L, 3L, 3L),
+      ("click", hour0, 3, 3L, 1L, 1L)))
+  }
+
+  test("streaming leaderboard: Misra-Gries eviction keeps the heavy hitter with honest bounds") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val out = StreamOps.leaderboard(ms.toDS(), k = 3, counters = 2, delay = "0 seconds")
+    val q = out.toDF().writeStream.format("memory").queryName("leaders_mg")
+      .outputMode("append").start()
+    // u1 x4 + u2 + u3 through 2 slots: every arrival order of this batch
+    // converges to sketch {u1 -> 3}, one decrement round
+    ms.addData((Seq.fill(4)(Evt(1, t(0), "click", 1.0)) ++
+      Seq(Evt(2, t(1), "click", 1.0), Evt(3, t(2), "click", 1.0))): _*)
+    q.processAllAvailable()
+    ms.addData(Evt(9, t(50), "click", 1.0))
+    q.processAllAvailable()
+    ms.addData(Evt(9, t(51), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val hour0 = 1700000000L - 800L
+    val rows = spark.table("leaders_mg").collect().map(r => (r.getString(0),
+      r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .filter(_._2 == hour0)
+    // only the heavy hitter survives; true count 4 inside [lo, hi]
+    assert(rows.toSeq == Seq(("click", hour0, 1, 1L, 3L, 4L)))
+  }
+
   test("T10 modern: transformWithState sessionizer matches the fMGWS one") {
     implicit val ctx = spark.sqlContext
     // transformWithState needs a column-family-capable state store
