@@ -38,6 +38,22 @@ object AsOfRules {
           val pushed = a.copy(left = Filter(push.reduce(And), a.left))
           keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
         }
+      // The interval join is INNER (matched pairs only), so single-side
+      // deterministic predicates commute into EITHER child.
+      case f @ Filter(cond, j: IntervalJoinNode) =>
+        val split = splitConjunctivePredicates(cond)
+        val lPush = split.filter(p =>
+          p.deterministic && p.references.subsetOf(j.left.outputSet))
+        val rPush = split.filter(p =>
+          p.deterministic && p.references.subsetOf(j.right.outputSet) && !lPush.contains(p))
+        val keep = split.filterNot(p => lPush.contains(p) || rPush.contains(p))
+        if (lPush.isEmpty && rPush.isEmpty) f
+        else {
+          val newL = lPush.reduceOption(And).map(Filter(_, j.left)).getOrElse(j.left)
+          val newR = rPush.reduceOption(And).map(Filter(_, j.right)).getOrElse(j.right)
+          val pushed = j.copy(left = newL, right = newR)
+          keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+        }
     }
   }
 
@@ -49,6 +65,9 @@ object AsOfRules {
     * (ReadSchema shrinks). Without this, an events-wide right side drags
     * its full payload through the exchange for a two-column probe.
     */
+  private def narrowed(child: LogicalPlan, keep: Seq[NamedExpression]) =
+    if (keep.size == child.output.size) child else Project(keep, child)
+
   object PruneAsOfColumns extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
       case p @ Project(_, a: AsOfJoinNode) =>
@@ -58,12 +77,17 @@ object AsOfRules {
         val keepL = a.left.output.filter(needed.contains)
         val keepR = a.right.output.filter(needed.contains)
         if (keepL.size == a.left.output.size && keepR.size == a.right.output.size) p
-        else {
-          def narrowed(child: LogicalPlan, keep: Seq[NamedExpression]) =
-            if (keep.size == child.output.size) child else Project(keep, child)
-          p.copy(child = a.copy(
-            left = narrowed(a.left, keepL), right = narrowed(a.right, keepR)))
-        }
+        else p.copy(child = a.copy(
+          left = narrowed(a.left, keepL), right = narrowed(a.right, keepR)))
+      case p @ Project(_, j: IntervalJoinNode) =>
+        val needed = AttributeSet(p.expressions.flatMap(_.references)) ++
+          j.leftKey.references ++ j.rightKey.references ++
+          j.start.references ++ j.end.references ++ j.point.references
+        val keepL = j.left.output.filter(needed.contains)
+        val keepR = j.right.output.filter(needed.contains)
+        if (keepL.size == j.left.output.size && keepR.size == j.right.output.size) p
+        else p.copy(child = j.copy(
+          left = narrowed(j.left, keepL), right = narrowed(j.right, keepR)))
     }
   }
 

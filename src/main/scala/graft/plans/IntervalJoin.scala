@@ -1,0 +1,214 @@
+package graft.plans
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.functions.col
+
+/** Whole-operator point-in-interval join: every (key, point) right row
+  * matched with every same-key left interval where `start <= point < end`.
+  *
+  * Why a custom operator: open-source Spark has no range-join strategy —
+  * an inequality-only or equi+inequality join plans as SortMergeJoin on
+  * the key with the range residual as a POST-JOIN filter, which
+  * materializes the full per-key cross product before filtering (or, with
+  * no equi key, BroadcastNestedLoop). For interval workloads the per-key
+  * cross product is exactly the blowup a sweep line avoids: both sides
+  * shuffle ONCE on the key (declared via `requiredChildDistribution`, so
+  * AQE plans/reuses the exchanges like a sort-merge join's), sort within
+  * partitions ((key, start) / (key, point) via `requiredChildOrdering`),
+  * and a single merge pass maintains the ACTIVE interval set — intervals
+  * whose start is at or before the current point, evicted the moment
+  * their end passes it. Cost is O(n_l + n_r + matches), and peak memory
+  * per task is the maximum number of CONCURRENT intervals per key (the
+  * sweep-line bound, same as q175's batch concurrency query), not the
+  * per-key interval count.
+  *
+  * Semantics: INNER — only matched (interval, point) pairs emit. NULL
+  * keys, starts, ends, or points never match. Empty intervals
+  * (end <= start) can never satisfy start <= p < end and emit nothing.
+  * Output rows follow right (point) sort order within a partition;
+  * matches for one point emit in interval arrival (start) order.
+  */
+final case class IntervalJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    start: Expression,
+    end: Expression,
+    point: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[IntervalJoinNode]] as [[IntervalJoinExec]]. */
+object IntervalJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case IntervalJoinNode(l, r, lk, rk, s, e, p) =>
+      IntervalJoinExec(planLater(l), planLater(r), lk, rk, s, e, p) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Co-partitioned sweep-line interval join (see [[IntervalJoinNode]]). */
+final case class IntervalJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    start: Expression,
+    end: Expression,
+    point: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(start, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(point, Ascending)))
+
+  override def outputPartitioning: Partitioning = right.outputPartitioning
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "peakActive" -> SQLMetrics.createMetric(sparkContext, "peak active intervals"))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): IntervalJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long  => l
+    case i: Int   => i.toLong
+    case s: Short => s.toLong
+    case b: Byte  => b.toLong
+    case other => throw new IllegalArgumentException(
+      s"interval bounds must be integral/timestamp/date, got value $other")
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val peakActive = longMetric("peakActive")
+    val keyType = leftKey.dataType
+    val lOut = left.output
+    val rOut = right.output
+    val (lk, rk, st, en, pt) = (leftKey, rightKey, start, end, point)
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lProj = UnsafeProjection.create(Seq(lk, st, en), lOut)
+      val rProj = UnsafeProjection.create(Seq(rk, pt), rOut)
+      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+      val joined = new JoinedRow
+      val lBuf = lIter.buffered
+      // Active set: same-key intervals with start <= current point, kept
+      // as (full row copy, end). Rows are snapped out of the child's
+      // reused buffers (the AsOfJoinExec lesson). prevKT remembers the
+      // previous right (key, point) to clear actives across key changes.
+      val active = new ArrayBuffer[(InternalRow, Long)]
+      var prevKT: InternalRow = null
+      var peak = 0L
+      rIter.flatMap { rRow =>
+        val rkRow = rProj(rRow)
+        if (rkRow.isNullAt(0) || rkRow.isNullAt(1)) Iterator.empty
+        else {
+          val rKey = rkRow.get(0, keyType)
+          val p = asLong(rkRow.get(1, pt.dataType))
+          if (prevKT == null || keyOrd.compare(prevKT.get(0, keyType), rKey) != 0) {
+            active.clear()
+            prevKT = rkRow.copy()
+          }
+          // Consume left intervals up to (rKey, p): earlier keys are
+          // obsolete (points ascend by key), same-key starts <= p join
+          // the active set.
+          var advance = true
+          while (advance && lBuf.hasNext) {
+            val lkRow = lProj(lBuf.head)
+            if (lkRow.isNullAt(0) || lkRow.isNullAt(1) || lkRow.isNullAt(2)) {
+              lBuf.next(); ()
+            } else {
+              val cmp = keyOrd.compare(lkRow.get(0, keyType), rKey)
+              if (cmp < 0) { lBuf.next(); () }
+              else if (cmp == 0 && asLong(lkRow.get(1, st.dataType)) <= p) {
+                val row = lBuf.next().copy()
+                val e = asLong(lProj(row).get(2, en.dataType))
+                if (e > p) active += ((row, e)) // already expired ends never revive
+              } else advance = false
+            }
+          }
+          // Evict closed intervals, emit the rest (start <= p < end).
+          var i = 0
+          while (i < active.length) {
+            if (active(i)._2 <= p) active.remove(i) else i += 1
+          }
+          if (active.length > peak) { peak = active.length; peakActive.set(peak) }
+          numOutputRows += active.length
+          // Lazy per-pull projection: the projection's output row is
+          // reused, so matches must NOT be materialized eagerly. The
+          // snapshot of left-row refs is safe — flatMap exhausts this
+          // inner iterator before the next right row mutates `active`,
+          // and `rRow` stays current for the same reason.
+          val snapshot = active.map(_._1).toArray
+          snapshot.iterator.map(lRow => resultProj(joined(lRow, rRow)))
+        }
+      }
+    }
+  }
+}
+
+/** DataFrame-level entry point (and per-session strategy registration). */
+object Interval {
+
+  /** Registers [[IntervalJoinStrategy]] once per session (shares the
+    * AsOf registration path so both custom operators plan together). */
+  def register(spark: SparkSession): Unit = synchronized {
+    AsOf.register(spark)
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(IntervalJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ IntervalJoinStrategy
+  }
+
+  /** Joins each `points` row onto every same-`key` `intervals` row with
+    * `startCol <= pointCol < endCol`. Both sides must carry `key`; the
+    * interval side's columns keep their names (disambiguate beforehand,
+    * like any join). Bounds must share an integral/timestamp/date type
+    * family (compared on the internal integer value). */
+  def join(
+      intervals: DataFrame,
+      points: DataFrame,
+      key: String,
+      startCol: String,
+      endCol: String,
+      pointCol: String): DataFrame = {
+    val spark = intervals.sparkSession
+    register(spark)
+    val p2 = points.select(points.columns.map {
+      case c if c == key => col(c).as("__iv_key")
+      case c             => col(c).as(c)
+    }.toIndexedSeq: _*)
+    val lp = intervals.queryExecution.analyzed
+    val rp = p2.queryExecution.analyzed
+    def attr(pl: LogicalPlan, n: String): AttributeReference =
+      pl.output.collectFirst { case a: AttributeReference if a.name == n => a }
+        .getOrElse(throw new IllegalArgumentException(s"column $n not found"))
+    val node = IntervalJoinNode(lp, rp,
+      attr(lp, key), attr(rp, "__iv_key"),
+      attr(lp, startCol), attr(lp, endCol), attr(rp, pointCol))
+    GraftPlanBridge.ofRows(spark, node).drop("__iv_key")
+  }
+}

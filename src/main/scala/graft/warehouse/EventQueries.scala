@@ -109,6 +109,63 @@ object EventQueries {
         .orderBy(col("event_id"))
     },
 
+    // -- Batch twin of StreamOps.leaderboard (the q193/burstDetect
+    //    pairing): per (hour, event_type), the top-3 users by event
+    //    count, rank ties broken by user id. One partial-agg shuffle on
+    //    (hour, type, user) then a per-(hour, type) window over the
+    //    ALREADY-AGGREGATED counts — the window input is one row per
+    //    active user per hour, not one per event, so the sort is over
+    //    the reduced set. The streaming face bounds this further with
+    //    the Misra-Gries sketch; batch can afford exactness.
+    "q207_hourly_topk" -> { (s, d) =>
+      val counts = Tables.events(s, d)
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("hour_epoch"), col("event_type"))
+        .orderBy(col("n").desc, col("user_id"))
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("hour_epoch"), col("event_type"), col("rank").cast("long").as("rank"),
+          col("user_id"), col("n"))
+        .orderBy(col("hour_epoch"), col("event_type"), col("rank"))
+    },
+
+    // -- Composition face: purchase→session attribution through the
+    //    custom interval exec. Session windows [first, last+gap) come
+    //    from the q31 gap-island construction (lag + cumulative breaks),
+    //    purchases are the points. Scale story: the window, the
+    //    per-session aggregate, AND the interval join's left side all
+    //    require only user_id clustering — hashpartitioning(user_id)
+    //    satisfies ClusteredDistribution(user_id, sid) (subset rule), so
+    //    the whole left chain rides ONE exchange; the plan has exactly
+    //    two (one per scan). Same-user sessions are disjoint by
+    //    construction (next start > prev last + gap), so each purchase
+    //    attributes to at most one session.
+    "q209_session_attribution" -> { (s, d) =>
+      val gap = 1800L
+      val ev = Tables.events(s, d)
+        .withColumn("es", unix_timestamp(date_trunc("second", col("ts"))))
+      val acts = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("es"))
+      val wo = Window.partitionBy(col("user_id")).orderBy(col("es"))
+      val sess = acts
+        .withColumn("brk",
+          when(col("es") - lag(col("es"), 1).over(wo) > gap, 1L)
+            .when(lag(col("es"), 1).over(wo).isNull, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("es")).as("ws"), (max(col("es")) + gap).as("we"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("es").as("pe"), col("event_id"))
+      graft.plans.Interval.join(sess.select(col("user_id"), col("ws"), col("we")),
+          purchases, key = "user_id", startCol = "ws", endCol = "we",
+          pointCol = "pe")
+        .select(col("event_id"), col("user_id"), col("ws").as("session_start_epoch"))
+        .orderBy(col("event_id"))
+    },
+
     // -- A7: collect_list rebuilt deterministically — array_sort over
     //    (event_id, type) structs, then project the type. This is how the
     //    reference's asks/bids arrays (§2.7) are reassembled from rows.
@@ -545,6 +602,43 @@ object EventQueries {
         |      PARTITION BY user_id ORDER BY event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
         |  FROM events) WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q207_hourly_topk" ->
+      """SELECT hour_epoch, event_type, rank, user_id, n FROM (
+        |  SELECT hour_epoch, event_type, user_id, n,
+        |    ROW_NUMBER() OVER (PARTITION BY hour_epoch, event_type
+        |      ORDER BY n DESC, user_id) AS rank
+        |  FROM (
+        |    SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch,
+        |      event_type, user_id, COUNT(*) AS n
+        |    FROM events GROUP BY 1, 2, 3))
+        |WHERE rank <= 3
+        |ORDER BY hour_epoch, event_type, rank""".stripMargin,
+
+    "q209_session_attribution" ->
+      """WITH acts AS (
+        |  SELECT user_id, CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es
+        |  FROM events WHERE event_type <> 'purchase'),
+        |lagd AS (
+        |  SELECT user_id, es,
+        |    CASE WHEN LAG(es) OVER w IS NULL THEN 1
+        |         WHEN es - LAG(es) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM acts WINDOW w AS (PARTITION BY user_id ORDER BY es)),
+        |sess AS (
+        |  SELECT user_id, es, SUM(brk) OVER (PARTITION BY user_id ORDER BY es
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM lagd),
+        |ivs AS (
+        |  SELECT user_id, sid, MIN(es) AS ws, MAX(es) + 1800 AS we
+        |  FROM sess GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS pe,
+        |    event_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, i.ws AS session_start_epoch
+        |FROM p JOIN ivs i ON p.user_id = i.user_id
+        |  AND p.pe >= i.ws AND p.pe < i.we
         |ORDER BY event_id""".stripMargin,
 
     "q28_collect_list" ->

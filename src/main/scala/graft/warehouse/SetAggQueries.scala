@@ -71,6 +71,33 @@ object SetAggQueries {
         .orderBy(col("band"))
     },
 
+    // -- J5 (custom-plan face): KEYED interval join through the
+    //    sweep-line exec (IntervalJoinNode → IntervalJoinExec) — repeat
+    //    orders landing within 7 days of a prior order by the same
+    //    customer. Spark's own planner turns equi+range predicates into
+    //    a SortMergeJoin whose range half is a POST-JOIN filter (the
+    //    per-customer cross product materializes first); the custom exec
+    //    shuffles each side once on o_custkey and sweeps the sorted
+    //    partitions with an active-interval buffer bounded by per-key
+    //    interval CONCURRENCY, not interval count. Rolled up per
+    //    customer so the oracle output stays small and stable.
+    "q208_interval_join" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val intervals = o.select(col("o_custkey"),
+        col("o_orderdate").as("win_start"),
+        expr("o_orderdate + INTERVAL 7 DAYS").as("win_end"),
+        col("o_orderkey").as("prior_orderkey"))
+      val points = o.select(col("o_custkey"),
+        col("o_orderdate").as("pdate"), col("o_orderkey"))
+      graft.plans.Interval.join(intervals, points,
+          key = "o_custkey", startCol = "win_start", endCol = "win_end",
+          pointCol = "pdate")
+        .filter(col("prior_orderkey") =!= col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_rapid_pairs"))
+        .orderBy(col("o_custkey"))
+    },
+
     // -- A5: full cube over status × priority.
     "q26_cube" -> { (s, d) =>
       Tables.orders(s, d)
@@ -134,6 +161,16 @@ object SetAggQueries {
         |             (250000, 1000000000, 'large')) AS bands(lo, hi, band)
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+
+    // Plain equi+range self-join: the declarative definition the
+    // sweep-line exec must reproduce exactly.
+    "q208_interval_join" ->
+      """SELECT a.o_custkey AS o_custkey, COUNT(*) AS n_rapid_pairs
+        |FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+        |  AND b.o_orderdate >= a.o_orderdate
+        |  AND b.o_orderdate < a.o_orderdate + INTERVAL 7 DAY
+        |  AND a.o_orderkey <> b.o_orderkey
+        |GROUP BY 1 ORDER BY o_custkey""".stripMargin,
 
     "q26_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
