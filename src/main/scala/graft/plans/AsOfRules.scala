@@ -38,22 +38,33 @@ object AsOfRules {
           val pushed = a.copy(left = Filter(push.reduce(And), a.left))
           keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
         }
-      // The interval join is INNER (matched pairs only), so single-side
-      // deterministic predicates commute into EITHER child.
+      // The interval and overlap joins are INNER (matched pairs only),
+      // so single-side deterministic predicates commute into EITHER
+      // child.
       case f @ Filter(cond, j: IntervalJoinNode) =>
-        val split = splitConjunctivePredicates(cond)
-        val lPush = split.filter(p =>
-          p.deterministic && p.references.subsetOf(j.left.outputSet))
-        val rPush = split.filter(p =>
-          p.deterministic && p.references.subsetOf(j.right.outputSet) && !lPush.contains(p))
-        val keep = split.filterNot(p => lPush.contains(p) || rPush.contains(p))
-        if (lPush.isEmpty && rPush.isEmpty) f
-        else {
-          val newL = lPush.reduceOption(And).map(Filter(_, j.left)).getOrElse(j.left)
-          val newR = rPush.reduceOption(And).map(Filter(_, j.right)).getOrElse(j.right)
-          val pushed = j.copy(left = newL, right = newR)
-          keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
-        }
+        pushInner(f, cond, j.left, j.right,
+          (l, r) => j.copy(left = l, right = r))
+      case f @ Filter(cond, j: OverlapJoinNode) =>
+        pushInner(f, cond, j.left, j.right,
+          (l, r) => j.copy(left = l, right = r))
+    }
+
+    private def pushInner(f: Filter, cond: org.apache.spark.sql.catalyst.expressions.Expression,
+        left: LogicalPlan, right: LogicalPlan,
+        rebuild: (LogicalPlan, LogicalPlan) => LogicalPlan): LogicalPlan = {
+      val split = splitConjunctivePredicates(cond)
+      val lPush = split.filter(p =>
+        p.deterministic && p.references.subsetOf(left.outputSet))
+      val rPush = split.filter(p =>
+        p.deterministic && p.references.subsetOf(right.outputSet) && !lPush.contains(p))
+      val keep = split.filterNot(p => lPush.contains(p) || rPush.contains(p))
+      if (lPush.isEmpty && rPush.isEmpty) f
+      else {
+        val newL = lPush.reduceOption(And).map(Filter(_, left)).getOrElse(left)
+        val newR = rPush.reduceOption(And).map(Filter(_, right)).getOrElse(right)
+        val pushed = rebuild(newL, newR)
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
     }
   }
 
@@ -83,6 +94,16 @@ object AsOfRules {
         val needed = AttributeSet(p.expressions.flatMap(_.references)) ++
           j.leftKey.references ++ j.rightKey.references ++
           j.start.references ++ j.end.references ++ j.point.references
+        val keepL = j.left.output.filter(needed.contains)
+        val keepR = j.right.output.filter(needed.contains)
+        if (keepL.size == j.left.output.size && keepR.size == j.right.output.size) p
+        else p.copy(child = j.copy(
+          left = narrowed(j.left, keepL), right = narrowed(j.right, keepR)))
+      case p @ Project(_, j: OverlapJoinNode) =>
+        val needed = AttributeSet(p.expressions.flatMap(_.references)) ++
+          j.leftKey.references ++ j.rightKey.references ++
+          j.leftStart.references ++ j.leftEnd.references ++
+          j.rightStart.references ++ j.rightEnd.references
         val keepL = j.left.output.filter(needed.contains)
         val keepR = j.right.output.filter(needed.contains)
         if (keepL.size == j.left.output.size && keepR.size == j.right.output.size) p

@@ -166,6 +166,40 @@ object EventQueries {
         .orderBy(col("event_id"))
     },
 
+    // -- Overlap-join face: CONCURRENT sessions across activity kinds —
+    //    for each user, every (click-session, view-session) pair whose
+    //    [first, last+gap) windows intersect (was the user browsing and
+    //    clicking at once?). Same gap-island construction as q209 per
+    //    event type, then the keyed sweep-line OVERLAP exec: one
+    //    exchange per side, active sets bounded by per-user session
+    //    CONCURRENCY, each qualifying pair emitted exactly once — never
+    //    the per-user session cross product a SortMergeJoin+filter
+    //    materializes.
+    "q210_overlap_sessions" -> { (s, d) =>
+      val gap = 1800L
+      val ev = Tables.events(s, d)
+        .withColumn("es", unix_timestamp(date_trunc("second", col("ts"))))
+      def sessions(tpe: String, sName: String, eName: String) = {
+        val wo = Window.partitionBy(col("user_id")).orderBy(col("es"))
+        ev.filter(col("event_type") === tpe)
+          .select(col("user_id"), col("es"))
+          .withColumn("brk",
+            when(col("es") - lag(col("es"), 1).over(wo) > gap, 1L)
+              .when(lag(col("es"), 1).over(wo).isNull, 1L).otherwise(0L))
+          .withColumn("sid", sum(col("brk")).over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("es")).as(sName), (max(col("es")) + gap).as(eName))
+          .drop("sid")
+      }
+      val clicks = sessions("click", "cs", "ce")
+      val views = sessions("view", "vs", "ve")
+      graft.plans.Overlap.join(clicks, views, "user_id", "cs", "ce", "vs", "ve")
+        .select(col("user_id"), col("cs").as("click_start_epoch"),
+          col("vs").as("view_start_epoch"))
+        .orderBy(col("user_id"), col("click_start_epoch"), col("view_start_epoch"))
+    },
+
     // -- A7: collect_list rebuilt deterministically — array_sort over
     //    (event_id, type) structs, then project the type. This is how the
     //    reference's asks/bids arrays (§2.7) are reassembled from rows.
@@ -640,6 +674,28 @@ object EventQueries {
         |FROM p JOIN ivs i ON p.user_id = i.user_id
         |  AND p.pe >= i.ws AND p.pe < i.we
         |ORDER BY event_id""".stripMargin,
+
+    "q210_overlap_sessions" ->
+      """WITH sessed AS (
+        |  SELECT user_id, event_type, es,
+        |    SUM(brk) OVER (PARTITION BY user_id, event_type ORDER BY es
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM (
+        |    SELECT user_id, event_type, es,
+        |      CASE WHEN LAG(es) OVER w IS NULL THEN 1
+        |           WHEN es - LAG(es) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |    FROM (SELECT user_id, event_type,
+        |        CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es
+        |      FROM events WHERE event_type IN ('click', 'view'))
+        |    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY es))),
+        |ivs AS (
+        |  SELECT user_id, event_type, MIN(es) AS ws, MAX(es) + 1800 AS we
+        |  FROM sessed GROUP BY user_id, event_type, sid)
+        |SELECT c.user_id, c.ws AS click_start_epoch, v.ws AS view_start_epoch
+        |FROM ivs c JOIN ivs v ON c.user_id = v.user_id
+        |  AND c.event_type = 'click' AND v.event_type = 'view'
+        |  AND c.ws < v.we AND v.ws < c.we
+        |ORDER BY c.user_id, click_start_epoch, view_start_epoch""".stripMargin,
 
     "q28_collect_list" ->
       """SELECT user_id, STRING_AGG(event_type, ',' ORDER BY event_id) AS types
