@@ -166,6 +166,25 @@ object EventQueries {
         .orderBy(col("event_id"))
     },
 
+    // -- Tolerance face of the custom as-of exec: last click within 100
+    //    EVENTS (id distance, the exec's native integer unit — unlike
+    //    q53's wall-clock tolerance, id distance maps EXACTLY onto the
+    //    oracle's window arithmetic because event_id is unique, so tie
+    //    order cannot diverge between engines). Same merge plan as
+    //    q204 plus the O(1) staleness check on the held row.
+    "q211_asof_tolerance_exec" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"))
+      graft.plans.AsOf.join(purchases, clicks, key = "user_id",
+          leftTime = "event_id", rightTime = "event_id",
+          rightTimeAs = "click_within_100", toleranceLong = Some(100L))
+        .select(col("event_id"), col("user_id"), col("click_within_100"))
+        .orderBy(col("event_id"))
+    },
+
     // -- Overlap-join face: CONCURRENT sessions across activity kinds —
     //    for each user, every (click-session, view-session) pair whose
     //    [first, last+gap) windows intersect (was the user browsing and
@@ -673,6 +692,18 @@ object EventQueries {
         |SELECT p.event_id, p.user_id, i.ws AS session_start_epoch
         |FROM p JOIN ivs i ON p.user_id = i.user_id
         |  AND p.pe >= i.ws AND p.pe < i.we
+        |ORDER BY event_id""".stripMargin,
+
+    "q211_asof_tolerance_exec" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id - last_click_id <= 100 THEN last_click_id END
+        |    AS click_within_100
+        |FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    MAX(CASE WHEN event_type = 'click' THEN event_id END) OVER (
+        |      PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+        |  FROM events) WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
 
     "q210_overlap_sessions" ->
