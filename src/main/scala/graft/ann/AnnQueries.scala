@@ -155,6 +155,28 @@ object AnnQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // -- SemDeDup-style SEMANTIC dedup ledger: q102's banded sign-LSH
+    //    near-dup pairs clustered into connected components (min-label,
+    //    the q75 machinery on the embedding id space) and rolled into
+    //    the keep/drop ledger — the embedding-side twin of the text
+    //    dedup ledger. At 100 TB this is the same blocking-based plan:
+    //    banded candidate generation (never all-pairs), pair-bounded
+    //    verify, O(V)-label component rounds.
+    "q212_semantic_dedup" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val pairs = Dedup.lshNearDups(e, col("vec_id"), col("embedding"),
+        nBands = 4, planesPerBand = 4, dim = 64, threshold = 0.25)
+      val lbl = Dedup.components(pairs, col("a_id"), col("b_id"))
+      val full = e.select(col("vec_id"))
+        .join(lbl.select(col("id").as("vec_id"), col("comp")), Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("comp"))
+      val sizes = full.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+      full.join(sizes, Seq("comp"))
+        .select(col("vec_id"), col("comp"), col("comp_size"),
+          (col("vec_id") === col("comp")).as("is_canonical"))
+        .orderBy(col("vec_id"))
+    },
+
     // -- k-NN label vote (the data-labeling / label-propagation face of
     //    the search stack): the first 10 vectors are unlabeled queries,
     //    the rest the labeled corpus; each query takes the majority
@@ -269,6 +291,34 @@ object AnnQueries {
       |FROM embeddings, q WHERE vec_id <> 0
       |ORDER BY cosine DESC, nn_id LIMIT 10""".stripMargin
 
+  /** q102/q212's shared generated-constants pair CTE: the SAME
+    * deterministic hyperplanes as `Similarity.planes`, banded sign
+    * buckets, candidate join, cosine verify — ending in a `vpairs`
+    * (a_id, b_id, cosine) CTE both oracles build on. */
+  private lazy val lshPairsCtes: String = {
+    val pls = Similarity.planes(4 * 4, 64)
+    def bucketSql(b: Int): String = (0 until 4).map { j =>
+      s"(CASE WHEN LIST_DOT_PRODUCT(v, [${pls(b * 4 + j).mkString(", ")}]) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("\n    + ")
+    val bandsSql = (0 until 4).map { b =>
+      s"SELECT vec_id, v, $b AS band, ${bucketSql(b)} AS bucket FROM e"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |k AS (
+      |  $bandsSql),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS a_id, c.vec_id AS b_id, a.v AS a_v, c.v AS b_v
+      |  FROM k a JOIN k c ON a.band = c.band AND a.bucket = c.bucket
+      |    AND a.vec_id < c.vec_id),
+      |vpairs AS (
+      |  SELECT a_id, b_id,
+      |    LIST_DOT_PRODUCT(a_v, b_v)
+      |      / (SQRT(LIST_DOT_PRODUCT(a_v, a_v)) * SQRT(LIST_DOT_PRODUCT(b_v, b_v))) AS cosine
+      |  FROM cand
+      |  WHERE LIST_DOT_PRODUCT(a_v, b_v)
+      |      / (SQRT(LIST_DOT_PRODUCT(a_v, a_v)) * SQRT(LIST_DOT_PRODUCT(b_v, b_v))) >= 0.25)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q42_ann_bruteforce" -> exactTopKSql,
     // all-probe configs are exhaustive, hence share the exact-top-k oracle
@@ -322,29 +372,30 @@ object AnnQueries {
         |FROM codes c JOIN qc ON c.i = qc.i
         |GROUP BY c.vec_id ORDER BY qdist ASC, nn_id LIMIT 10""".stripMargin,
 
-    "q102_lsh_neardup" -> {
-      val pls = Similarity.planes(4 * 4, 64)
-      def bucketSql(b: Int): String = (0 until 4).map { j =>
-        s"(CASE WHEN LIST_DOT_PRODUCT(v, [${pls(b * 4 + j).mkString(", ")}]) >= 0 THEN ${1 << j} ELSE 0 END)"
-      }.mkString("\n    + ")
-      val bandsSql = (0 until 4).map { b =>
-        s"SELECT vec_id, v, $b AS band, ${bucketSql(b)} AS bucket FROM e"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |k AS (
-        |  $bandsSql),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS a_id, c.vec_id AS b_id, a.v AS a_v, c.v AS b_v
-        |  FROM k a JOIN k c ON a.band = c.band AND a.bucket = c.bucket
-        |    AND a.vec_id < c.vec_id)
-        |SELECT a_id, b_id,
-        |  LIST_DOT_PRODUCT(a_v, b_v)
-        |    / (SQRT(LIST_DOT_PRODUCT(a_v, a_v)) * SQRT(LIST_DOT_PRODUCT(b_v, b_v))) AS cosine
-        |FROM cand
-        |WHERE LIST_DOT_PRODUCT(a_v, b_v)
-        |    / (SQRT(LIST_DOT_PRODUCT(a_v, a_v)) * SQRT(LIST_DOT_PRODUCT(b_v, b_v))) >= 0.25
-        |ORDER BY a_id, b_id""".stripMargin
-    },
+    "q102_lsh_neardup" ->
+      s"""WITH $lshPairsCtes
+        |SELECT a_id, b_id, cosine FROM vpairs
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // q102's pair CTE + the q75 recursive min-label closure, on the
+    // EMBEDDING id space: the SemDeDup-style semantic dedup ledger.
+    "q212_semantic_dedup" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM vpairs
+        |  UNION ALL SELECT b_id AS src, a_id AS dst FROM vpairs),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.src, r.lab FROM edges e2 JOIN reach r ON e2.dst = r.id),
+        |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+        |ledger AS (
+        |  SELECT em.vec_id, COALESCE(l.comp, em.vec_id) AS comp
+        |  FROM embeddings em LEFT JOIN lbl l ON em.vec_id = l.id)
+        |SELECT vec_id, comp,
+        |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
+        |  vec_id = comp AS is_canonical
+        |FROM ledger ORDER BY vec_id""".stripMargin,
 
     // q100's quantization CTE (ranges over the labeled corpus), then
     // exhaustive integer-L2 top-5 per query + majority vote.
