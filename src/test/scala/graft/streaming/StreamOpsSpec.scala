@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
@@ -212,6 +214,43 @@ class StreamOpsSpec extends AnyFunSuite {
       .filter(_._2 == hour0)
     // only the heavy hitter survives; true count 4 inside [lo, hi]
     assert(rows.toSeq == Seq(("click", hour0, 1, 1L, 3L, 4L)))
+  }
+
+  test("streaming leaderboard ≡ batch q207 on finalized hours (replayed events table)") {
+    implicit val ctx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val evts = graft.util.Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[Evt].collect().toSeq
+    val maxTs = evts.map(_.ts.getTime).max
+    val ms = MemoryStream[Evt]
+    // counters >> distinct users/hour -> the MG sketch is exact (lo == hi)
+    val out = StreamOps.leaderboard(ms.toDS(), k = 3, counters = 4096,
+      delay = "0 seconds")
+    val q = out.toDF().writeStream.format("memory").queryName("leaders_parity")
+      .outputMode("append").start()
+    ms.addData(evts: _*)
+    q.processAllAvailable()
+    // two far-future sentinels: watermark lags a batch, so the second
+    // push moves it past every real hour; quiet keys close via timers
+    ms.addData(Evt(0, new Timestamp(maxTs + 86400000L), "sentinel", 0.0))
+    q.processAllAvailable()
+    ms.addData(Evt(0, new Timestamp(maxTs + 86500000L), "sentinel", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streaming = spark.table("leaders_parity")
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("hour_epoch"), col("event_type"), col("rank").cast("long"),
+        col("user_id"), col("count_lo"), col("count_hi"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // exact regime: certainty interval collapses
+    assert(streaming.forall(x => x._5 == x._6))
+    val batch = graft.warehouse.EventQueries.queries("q207_hourly_topk")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(4))).toSet
+    assert(streaming == batch,
+      s"missing=${(batch -- streaming).take(5)} extra=${(streaming -- batch).take(5)}")
   }
 
   test("T10 modern: transformWithState sessionizer matches the fMGWS one") {
