@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   * only needed when plans are built some other way (e.g. deserialized). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // The whole custom-plan family: as-of, point-in-interval, overlap.
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => IntervalJoinStrategy)
+    ext.injectPlannerStrategy(_ => OverlapJoinStrategy)
     // Inside the operator-optimization fixed point: the pushed filter /
     // inserted Projects immediately compose with the built-in
     // PushDownPredicates + ColumnPruning passes.
