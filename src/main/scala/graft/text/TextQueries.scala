@@ -254,6 +254,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // -- APPLY the ledger: the compacted corpus itself — canonical
+    //    survivors only, with their source and size, plus how many
+    //    copies each survivor absorbed. The step every dedup pipeline
+    //    ends with; a LeftSemi-shaped probe of the maintained ledger
+    //    (broadcast at this scale, hash join on doc_id at 100 TB).
+    "q213_canonical_corpus" -> { (s, d) =>
+      val led = dedupLedger(s, d).ledger
+      Tables.documents(s, d)
+        .join(led.filter(col("is_canonical"))
+          .select(col("doc_id"), col("comp_size")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("comp_size").as("copies_absorbed"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- LEAKAGE AUDIT: how bad is the naive split? For every near-dup
     //    pair, band BOTH endpoints with q121's per-doc hash law and
     //    count pairs whose endpoints land in different splits — the
@@ -716,6 +731,30 @@ object TextQueries {
          |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
          |  doc_id = comp AS is_canonical
          |FROM ledger ORDER BY doc_id""".stripMargin,
+
+    // q75's closure filtered to component minima, joined back to the
+    // document dims — the compacted corpus the ledger exists to produce.
+    "q213_canonical_corpus" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+         |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+         |ledger AS (
+         |  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
+         |sized AS (
+         |  SELECT doc_id, comp,
+         |    CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size
+         |  FROM ledger)
+         |SELECT d.doc_id, d.source, d.n_chars, s.comp_size AS copies_absorbed
+         |FROM documents d JOIN sized s ON d.doc_id = s.doc_id
+         |WHERE s.doc_id = s.comp
+         |ORDER BY d.doc_id""".stripMargin,
 
     // q75's closure + q121's md5 split law, keyed on the component id:
     // same recursive-CTE components, then the split band is a pure
