@@ -22,7 +22,7 @@ object PerfProbe {
     time("warmup")(docs.count())
     time("q57 winnow (native kernel)") {
       graft.dedup.Dedup.winnowNearDups(docs, col("doc_id"), col("text"),
-        minShared = 3, maxBucketSize = 1000000).count()
+        minShared = 3, maxBucketSize = Int.MaxValue).count()
     }
     time("q41 ngram jaccard (doc_id<500)") {
       graft.dedup.Dedup.ngramJaccardPairs(

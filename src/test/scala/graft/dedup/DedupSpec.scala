@@ -337,6 +337,26 @@ class DedupSpec extends AnyFunSuite {
     assert(!delta.exists(p => p._1 == 1L && p._2 == 2L)) // old-old excluded
   }
 
+  test("minhashNearDupsDeltaFromSigs ≡ the in-place delta (maintained store path)") {
+    val corpus = docs // ids 1..5; mark 3..5 as the delta
+    // the maintained signature store: built slice-by-slice, as a
+    // production ledger would persist it at the previous refresh
+    val oldSigs = Dedup.minhashSigSets(
+      corpus.filter(col("doc_id") < 3L), col("doc_id"), col("text"))
+    val newSigs = Dedup.minhashSigSets(
+      corpus.filter(col("doc_id") >= 3L), col("doc_id"), col("text"))
+    val fromStore = Dedup.minhashNearDupsDeltaFromSigs(oldSigs, newSigs,
+        threshold = 0.5, bands = 16, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inPlace = Dedup.minhashNearDupsDelta(
+        corpus.withColumn("is_new", col("doc_id") >= 3L),
+        col("doc_id"), col("text"), col("is_new"),
+        threshold = 0.5, bands = 16, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromStore == inPlace)
+    assert(fromStore.nonEmpty)
+  }
+
   test("components: idempotent — relabeling the labeled graph is a fixpoint") {
     val edges = Seq((5L, 9L), (9L, 2L), (7L, 8L)).toDF("a", "b")
     val first = Dedup.components(edges, col("a"), col("b"))
