@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.util.Checkpoints.CutOps
+
 /** Similarity search over embedding columns (`Array[Float]`).
   *
   * Two tiers:
@@ -81,10 +83,10 @@ object Similarity {
       // frames would re-run the whole lineage once per frame (each Lloyd
       // stage references the previous stage's plan). Non-reliable
       // checkpoint — see the winnowNearDups materialize note.
-      if (materialize) centroids = centroids.localCheckpoint(true)
+      if (materialize) centroids = centroids.cutLineage()
       assigned = assign(data, centroids)
     }
-    if (materialize) assigned = assigned.localCheckpoint(true)
+    if (materialize) assigned = assigned.cutLineage()
     IvfIndex(centroids, assigned)
   }
 
@@ -434,7 +436,7 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("cell")))),
         s => s.getField("cell")).as("codes"))
-    val codes = if (materialize) codesLazy.localCheckpoint(true) else codesLazy
+    val codes = if (materialize) codesLazy.cutLineage() else codesLazy
     PqIndex(m, subDim, codebooks, codes)
   }
 

@@ -3,6 +3,8 @@ package graft.cdc
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.util.Checkpoints.CutOps
+
 /** Materialized-aggregate maintenance from a change feed — the signed-
   * weight generalization q106 promises ("updates/deletes generalize by
   * signed ±1 weights on the same combine"), made real against the merge
@@ -54,7 +56,7 @@ object IncrementalAgg {
       case Seq(a, b) =>
         state = applyDelta(state,
           Apply.changesBetween(spark, tableDir, a, b), key, value)
-          .localCheckpoint(true)
+          .cutLineage()
       case _ => ()
     }
     state

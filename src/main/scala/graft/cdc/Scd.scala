@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.util.Checkpoints.CutOps
+
 /** Slowly-changing-dimension history building from a change feed.
   *
   * The reference lands every change event as an append row and leaves the
@@ -126,9 +128,85 @@ object Scd {
       case Seq(a, b) =>
         history = type2Apply(history,
           Apply.changesBetween(spark, tableDir, a, b), key, state, b)
-          .localCheckpoint(true)
+          .cutLineage()
       case _ => () // single-commit table: the seed IS the history
     }
     history
+  }
+
+  /** One INCREMENTAL as-of enrichment step: fold a batch of newly
+    * arrived/updated quote rows into an existing enrichment table —
+    * the streaming face of the as-of join (plans.AsOfJoin), maintained
+    * without batch recompute (round-7 verdict #6).
+    *
+    * `enriched` is the maintained state, one row per transaction:
+    * (txn_id, key, t, q_time, q_state) where (q_time, q_state) is the
+    * latest quote at-or-before `t` seen SO FAR (nulls = no match yet).
+    * `quotes` is the batch: rows whose `qKey`/`qTime`/`qState` columns
+    * name the quote's as-of key, time and payload.
+    *
+    * The fold: per transaction, the best candidate IN THE BATCH is the
+    * max-(q_time, q_state) struct among quotes with q_time <= t — one
+    * key-join against the batch (delta-sized work: only transactions
+    * whose key appears in the batch join anything) and one map-side-
+    * combinable struct-max — then the stored match is replaced when the
+    * candidate is at-or-after it (`>=`, so a re-delivered quote with the
+    * SAME time — an UPDATE to the matched quote's state — wins). This
+    * reproduces the batch as-of exactly for APPEND/UPDATE quote feeds
+    * where (key, q_time) identifies a quote and updates only change its
+    * state: the standard market-data contract. Retractions (deleting the
+    * currently-matched quote outright) need the full quote history back
+    * and are out of scope — rebuild via the batch join for those.
+    * Duplicate (key, q_time) quotes with DIFFERENT states tie-break by
+    * max state in both this fold and nowhere in the batch exec (which
+    * keeps an arbitrary one) — keep (key, q_time) unique for parity. */
+  def asOfApply(enriched: DataFrame, quotes: DataFrame,
+      qKey: Column, qTime: Column, qState: Column): DataFrame = {
+    val q = quotes.select(qKey.as("key"), qTime.as("_nqt"), qState.as("_nqs"))
+    val best = enriched.select(col("txn_id"), col("key"), col("t"))
+      .join(q, Seq("key"))
+      .filter(col("_nqt") <= col("t"))
+      .groupBy(col("txn_id"))
+      .agg(max(struct(col("_nqt").as("qt"), col("_nqs").as("qs"))).as("_b"))
+      .select(col("txn_id"), col("_b.qt").as("_nqt"), col("_b.qs").as("_nqs"))
+    val upd = col("_nqt").isNotNull &&
+      (col("q_time").isNull || col("q_time") <= col("_nqt"))
+    enriched.join(best, Seq("txn_id"), "left")
+      .select(col("txn_id"), col("key"), col("t"),
+        when(upd, col("_nqt")).otherwise(col("q_time")).as("q_time"),
+        when(upd, col("_nqs")).otherwise(col("q_state")).as("q_state"))
+  }
+
+  /** Maintain the as-of enrichment across a merge table's WHOLE commit
+    * range by folding [[asOfApply]] over consecutive change windows —
+    * the [[type2FromMergeTable]] pattern for the as-of join: late-
+    * arriving quotes re-enrich exactly the transactions they affect,
+    * and the final state is bit-identical to `AsOf.join(txns, quotes)`
+    * over the table's final snapshot (CaptureApplySpec pins ≥3-commit
+    * parity, late arrivals and in-place updates included). The first
+    * commit's snapshot seeds the state; each later window folds only
+    * that window's `insert` change rows (see [[asOfApply]] for why
+    * deletes are out of contract). Per-window cost is O(batch × touched
+    * transactions), never a recompute over all quotes; the same fold is
+    * the `foreachBatch` body when the feed arrives as a stream. */
+  def asOfFromMergeTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, txns: DataFrame, txnId: Column, txnKey: Column,
+      txnTime: Column, qKey: Column, qTime: Column, qState: Column): DataFrame = {
+    val cs = Apply.commits(spark, tableDir).sorted
+    require(cs.nonEmpty, s"$tableDir has no commits")
+    val first = Apply.readMergeTableAt(spark, tableDir, cs.head)
+    val stateType = first.select(qState).schema.head.dataType
+    val timeType = first.select(qTime).schema.head.dataType
+    val seed = txns.select(txnId.as("txn_id"), txnKey.as("key"), txnTime.as("t"),
+      lit(null).cast(timeType).as("q_time"), lit(null).cast(stateType).as("q_state"))
+    var enriched = asOfApply(seed, first, qKey, qTime, qState).cutLineage()
+    cs.sliding(2).foreach {
+      case Seq(a, b) =>
+        val ins = Apply.changesBetween(spark, tableDir, a, b)
+          .filter(col("_change_type") === "insert")
+        enriched = asOfApply(enriched, ins, qKey, qTime, qState).cutLineage()
+      case _ => () // single-commit table: the seeded fold IS the state
+    }
+    enriched
   }
 }

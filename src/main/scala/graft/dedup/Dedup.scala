@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.TextFunctions._
+import graft.util.Checkpoints.CutOps
 
 /** Deduplication engines for training-data pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine.
@@ -109,20 +110,23 @@ object Dedup {
     *
     * `materialize = true` (default at call sites): the class table is
     * persisted (it has several downstream consumers), the result is
-    * eagerly evaluated via non-reliable `localCheckpoint`, and the class
-    * cache is released before returning — nothing leaks past the call.
-    * Losing an executor after construction fails downstream reads instead
-    * of recomputing, so long-lived cluster jobs on preemptible nodes
-    * should pass `materialize = false`: fully lazy AND unpersisted — the
-    * class sub-plan is simply re-evaluated per consumer (round-5 ADVICE:
-    * the previous unconditional persist leaked a cached DataFrame for the
-    * session lifetime on every lazy call). */
+    * eagerly evaluated via [[graft.util.Checkpoints.cut]] (local by
+    * default; durable under the opt-in reliable-checkpoint flag), and the
+    * class cache is released before returning — nothing leaks past the
+    * call. In default mode, losing an executor after construction fails
+    * downstream reads instead of recomputing, so long-lived cluster jobs
+    * on preemptible nodes should either enable
+    * `spark.graft.reliableCheckpoints` or pass `materialize = false`:
+    * fully lazy AND unpersisted — the class sub-plan is simply
+    * re-evaluated per consumer (round-5 ADVICE: the previous
+    * unconditional persist leaked a cached DataFrame for the session
+    * lifetime on every lazy call). */
   private def classPipeline(classesLazy: DataFrame, materialize: Boolean)(
       build: DataFrame => DataFrame): DataFrame =
     if (!materialize) build(classesLazy)
     else {
       val classes = classesLazy.persist()
-      val out = build(classes).localCheckpoint(true)
+      val out = build(classes).cutLineage()
       classes.unpersist(false)
       out
     }
@@ -468,7 +472,7 @@ object Dedup {
     val r = k / bands
     // only the DELTA store is materialized here (bucket side + verify
     // joins reference it); the old store is the caller's maintained state
-    val nw = if (materialize) newSigs.localCheckpoint(true) else newSigs
+    val nw = if (materialize) newSigs.cutLineage() else newSigs
     val agg = oldSigs.withColumn("is_new", lit(false))
       .unionByName(nw.withColumn("is_new", lit(true)))
     val keyed = capBuckets(
@@ -507,7 +511,7 @@ object Dedup {
     val flagged = docs.select(id.as("id"), text.as("text"), isNew.as("is_new"))
     val oldLazy = minhashSigSets(flagged.filter(!col("is_new")),
       col("id"), col("text"), shingleWidth, k)
-    val old = if (materialize) oldLazy.localCheckpoint(true) else oldLazy
+    val old = if (materialize) oldLazy.cutLineage() else oldLazy
     val nw = minhashSigSets(flagged.filter(col("is_new")),
       col("id"), col("text"), shingleWidth, k)
     minhashNearDupsDeltaFromSigs(old, nw, threshold, k, bands,
@@ -543,7 +547,7 @@ object Dedup {
       .agg(sort_array(collect_set(xxhash64(col("sh")))).as("sh"))
     // both join sides reference the set table — materialize it once
     // (explode+window+agg otherwise run twice), as in the sibling pipelines
-    val sets = if (materialize) setsLazy.localCheckpoint(true) else setsLazy
+    val sets = if (materialize) setsLazy.cutLineage() else setsLazy
     val a = sets.select(col("id").as("a_id"), col("blk"), col("sh").as("a_sh"))
     val b = sets.select(col("id").as("b_id"), col("blk"), col("sh").as("b_sh"))
     a.join(b, Seq("blk"))
@@ -573,7 +577,7 @@ object Dedup {
         carry = Seq("blk" -> block))
       .groupBy(col("id"), col("blk"))
       .agg(sort_array(collect_set(xxhash64(col("sh")))).as("sh"))
-    val sets = if (materialize) setsLazy.localCheckpoint(true) else setsLazy
+    val sets = if (materialize) setsLazy.cutLineage() else setsLazy
     val a = sets.select(col("id").as("a_id"), col("blk"), col("sh").as("a_sh"))
     val b = sets.select(col("id").as("b_id"), col("blk"), col("sh").as("b_sh"))
     a.join(b, Seq("blk"))
@@ -649,7 +653,7 @@ object Dedup {
         // so the ceil rides SQL `div` (operands positive -> floor)
         col("len") - expr(s"(len * $tauNum + $tauDen - 1) div $tauDen") + 1)
     // referenced three times (prefix explode + both verify sides)
-    val sets = if (materialize) setsLazy.localCheckpoint(true) else setsLazy
+    val sets = if (materialize) setsLazy.cutLineage() else setsLazy
     val prefixes = sets
       .select(col("id"), col("len"),
         posexplode(col("by_rarity")).as(Seq("pos", "h")))
@@ -852,10 +856,12 @@ object Dedup {
     * labels are `persist`ed and the superseded round unpersisted as soon
     * as the next is materialized. Plan depth (analysis cost + recompute-
     * on-block-loss) is cut every `checkpointInterval` rounds by an eager
-    * localCheckpoint — those anchors are pinned until session end (no
-    * public API frees a checkpoint), but there are at most
-    * rounds/interval of them and a near-clique dedup graph converges
-    * before the first. */
+    * [[graft.util.Checkpoints.cut]] (executor-local by default; set
+    * `spark.graft.reliableCheckpoints` + a checkpoint dir for the
+    * durable, executor-loss-surviving variant on long cluster runs) —
+    * local anchors are pinned until session end (no public API frees
+    * one), but there are at most rounds/interval of them and a
+    * near-clique dedup graph converges before the first. */
   def components(edges: DataFrame, a: Column, b: Column,
       checkpointInterval: Int = 10): DataFrame = {
     require(checkpointInterval >= 1,
@@ -883,7 +889,7 @@ object Dedup {
       round += 1
       val nextPlan = componentsRound(closed, labels)
       val next =
-        if (round % checkpointInterval == 0) nextPlan.localCheckpoint(true)
+        if (round % checkpointInterval == 0) nextPlan.cutLineage()
         else nextPlan.persist()
       changed = next.filter(col("comp") < col("_old")).count() // materializes
       cur.unpersist(false) // superseded round: blocks freed immediately
@@ -892,7 +898,7 @@ object Dedup {
     }
     // truncate the returned lineage so the loop state can be released;
     // the caller owns the one surviving checkpoint
-    val out = labels.localCheckpoint(true)
+    val out = labels.cutLineage()
     cur.unpersist(false)
     closed.unpersist(false)
     out
@@ -929,7 +935,7 @@ object Dedup {
     * unbounded. */
   def componentsStars(edges: DataFrame, a: Column, b: Column): DataFrame = {
     var e = edges.select(least(a, b).as("u"), greatest(a, b).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      .filter(col("u") =!= col("v")).distinct().cutLineage()
     var eCount = e.count()
     var done = eCount == 0L
     while (!done) {
@@ -950,7 +956,7 @@ object Dedup {
         .filter(col("u") =!= col("v"))                // dst == m: that IS m
         .unionByName(mins2.select(col("m").as("u"), col("src").as("v")))
         .distinct()
-      val next = ss.localCheckpoint(true) // mandatory per-round lineage cut
+      val next = ss.cutLineage() // mandatory per-round lineage cut
       val nextCount = next.count()
       done = nextCount == eCount && next.exceptAll(e).isEmpty
       e = next
@@ -962,7 +968,7 @@ object Dedup {
         e.select(col("u").as("comp")).distinct()
           .select(col("comp").as("id"), col("comp")))
       .distinct()
-      .localCheckpoint(true)
+      .cutLineage()
   }
 
   /** One min-label round: join the closed neighborhood to the current
@@ -1036,7 +1042,7 @@ object Dedup {
       .select(col("lab_a"), col("lab_b"))
       .filter(col("lab_a") =!= col("lab_b"))
       .distinct()
-    val e = if (materialize) eLazy.localCheckpoint(true) else eLazy
+    val e = if (materialize) eLazy.cutLineage() else eLazy
     val meta = components(e, col("lab_a"), col("lab_b"))
       .select(col("id").as("m_id"), col("comp").as("m_comp"))
     base

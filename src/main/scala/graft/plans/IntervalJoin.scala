@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, PartitioningCollection}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
@@ -82,11 +82,23 @@ final case class IntervalJoinExec(
     Seq(SortOrder(leftKey, Ascending), SortOrder(start, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(point, Ascending)))
 
-  override def outputPartitioning: Partitioning = right.outputPartitioning
+  /** INNER equi-key join: every output row satisfies leftKey = rightKey,
+    * so BOTH children's clusterings describe the output — advertise the
+    * pair (the SortMergeJoinExec pattern) and a downstream consumer
+    * clustering on EITHER key (e.g. a groupBy on the left key after the
+    * API projects the right copy away) reuses the exchange instead of
+    * re-shuffling. (Round-7 ADVICE: advertising only the right side's
+    * internal key made the claim unexploitable.) */
+  override def outputPartitioning: Partitioning =
+    PartitioningCollection(Seq(left.outputPartitioning, right.outputPartitioning))
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
-    "peakActive" -> SQLMetrics.createMetric(sparkContext, "peak active intervals"))
+    // per-task value is a max, and the driver aggregates SQL metrics by
+    // SUM — so the displayed total is the sum of per-partition peaks
+    // (an upper bound on any single task's working set), named so
+    "peakActive" -> SQLMetrics.createMetric(sparkContext,
+      "sum of per-partition peak active intervals"))
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): IntervalJoinExec =

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, PartitioningCollection}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
@@ -88,9 +88,16 @@ final case class OverlapJoinExec(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftStart, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightStart, Ascending)))
 
+  /** INNER equi-key join — both children's clusterings hold on the
+    * output; see the IntervalJoinExec note. */
+  override def outputPartitioning: Partitioning =
+    PartitioningCollection(Seq(left.outputPartitioning, right.outputPartitioning))
+
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
-    "peakActive" -> SQLMetrics.createMetric(sparkContext, "peak active intervals (both sides)"))
+    // driver aggregates by SUM over per-task peaks — named accordingly
+    "peakActive" -> SQLMetrics.createMetric(sparkContext,
+      "sum of per-partition peak active intervals (both sides)"))
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): OverlapJoinExec =

@@ -333,8 +333,10 @@ object StreamOps {
     * user table per key. Instead each open hour keeps a Misra–Gries
     * summary of `counters` slots: hit → increment; miss with a free
     * slot → insert at 1; miss when full → decrement ALL slots (zeros
-    * evicted) and absorb the arrival, incrementing the sketch's
-    * decrement count d. Classic MG guarantees: stored ≤ true ≤ stored+d,
+    * evicted) with the arrival conceptually CANCELLED against that
+    * decrement round — the arriving user is not inserted — and the
+    * sketch's decrement count d incremented (classic Misra–Gries).
+    * Guarantees: stored ≤ true ≤ stored+d,
     * d ≤ n/(counters+1), and every user with true count > n/(counters+1)
     * still holds a slot — so the emitted top-k is exact whenever the
     * k-th/(k+1)-th true-count gap exceeds d (the spec pins both the

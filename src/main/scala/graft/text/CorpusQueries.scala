@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
+import graft.util.Checkpoints.CutOps
 import graft.util.Tables
 
 /** Corpus-hygiene operators for training-data pipelines: benchmark
@@ -370,7 +371,7 @@ object CorpusQueries {
           col("doc_id"), col("text"), 3)
         .select(col("id"), col("sh")).distinct()
         .persist()
-      var covered = sh.select(col("sh")).limit(0).localCheckpoint(true)
+      var covered = sh.select(col("sh")).limit(0).cutLineage()
       val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
       (1 to k).foreach { r =>
         val gains = sh.join(covered, Seq("sh"), "left_anti")
@@ -380,7 +381,7 @@ object CorpusQueries {
         picks += ((r.toLong, doc, gain))
         covered = covered
           .unionAll(sh.filter(col("id") === doc).select(col("sh")))
-          .distinct().localCheckpoint(true)
+          .distinct().cutLineage()
       }
       sh.unpersist()
       picks.toSeq.toDF("round", "doc_id", "gain").orderBy(col("round"))

@@ -53,7 +53,16 @@ object Tables {
     val raw = load(spark, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.TimestampType => raw
-      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case other =>
+        // fail fast: a blanket cast would read e.g. a legacy ns-epoch
+        // LongType as SECONDS and silently produce wrong timestamps
+        // (round-7 ADVICE) — stale testdata must be regenerated, not
+        // absorbed wrongly
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other (expected TIMESTAMP or " +
+            "TIMESTAMP_NTZ); regenerate the testdata")
     }
   }
 }

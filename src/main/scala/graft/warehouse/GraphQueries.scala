@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.util.Checkpoints.CutOps
 import graft.util.Tables
 
 /** Graph analytics over the co-purchase graph — the third graph face
@@ -34,17 +35,44 @@ object GraphQueries {
   /** Co-occurrence threshold shared with the generated oracle SQL. */
   private val MinCoOccurrence = 2
 
-  /** Canonical (u < v) thresholded co-purchase edge list. */
-  private def edges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= MinCoOccurrence)
-      .select(col("u"), col("v"))
+  /** Per-basket co-occurrence pair counts (u < v, n_ab) with a BASKET-
+    * SIZE GUARD: the self-join emits C(width, 2) pairs per basket —
+    * quadratic in basket width — so one degenerate mega-basket (a
+    * crawler cart, a default/test order id, a bulk-import artifact)
+    * fans out a million-item basket into 5·10¹¹ pairs and a single
+    * straggler task at 100 TB. Baskets wider than `maxBasketSize` are
+    * EXCLUDED up front (one count aggregate + a LeftSemi — the
+    * Dedup.capBuckets pattern; round-7 verdict #4), which also bounds
+    * the guard's own cost. `Int.MaxValue` disables the guard AND its
+    * count shuffle — the oracle-parity configuration (TPC-H baskets are
+    * ≤ ~13 wide, so capped ≡ uncapped there; GraphSpec pins the
+    * mega-basket adversary on the capped face). */
+  private[graft] def basketPairs(
+      items: DataFrame, orderCol: String, itemCol: String,
+      maxBasketSize: Int = Int.MaxValue): DataFrame = {
+    val guarded =
+      if (maxBasketSize == Int.MaxValue) items
+      else {
+        val ok = items.groupBy(col(orderCol))
+          .agg(count(lit(1)).as("_bsz"))
+          .filter(col("_bsz") <= maxBasketSize)
+          .select(col(orderCol))
+        items.join(ok, Seq(orderCol), "left_semi")
+      }
+    guarded.as("a").join(guarded.as("b"),
+        col(s"a.$orderCol") === col(s"b.$orderCol") &&
+          col(s"a.$itemCol") < col(s"b.$itemCol"))
+      .groupBy(col(s"a.$itemCol").as("u"), col(s"b.$itemCol").as("v"))
+      .agg(count(lit(1)).as("n_ab"))
   }
+
+  /** Canonical (u < v) thresholded co-purchase edge list. */
+  private def edges(s: SparkSession, d: String): DataFrame =
+    basketPairs(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey")
+      .filter(col("n_ab") >= MinCoOccurrence)
+      .select(col("u"), col("v"))
 
   /** Fixed-point PageRank over an undirected canonical (u < v) edge
     * list — ranks in units of 1e-12 (`Scale`), damping 0.85, `iters`
@@ -59,7 +87,7 @@ object GraphQueries {
     * the O(V) rank table into that layout (same discipline as q75's
     * components — the O(E) side never re-shuffles), aggregates
     * `r div deg` contributions map-side-combined on `dst`, and applies
-    * the damping affine in integers. Per-round eager localCheckpoint
+    * the damping affine in integers. Per-round eager Checkpoints.cut (local by default, reliable via spark.graft.reliableCheckpoints)
     * keeps the logical plan O(1) across rounds. An undirected graph has
     * no dangling vertices (every endpoint has degree ≥ 1), so the
     * rank mass lost to truncation is the only leak — bounded by V per
@@ -80,7 +108,7 @@ object GraphQueries {
       ranks = adj.join(ranks.withColumnRenamed("v", "src"), Seq("src"))
         .groupBy(col("dst").as("v"))
         .agg((lit(base) + expr("(85 * sum(r div deg)) div 100")).as("r"))
-        .localCheckpoint(true)
+        .cutLineage()
     }
     adj.unpersist()
     ranks.select(col("v").as("part_id"), col("r").as("rank_fp"))
@@ -93,7 +121,7 @@ object GraphQueries {
     * filter (a vertex survives iff it has k neighbors that also
     * survive). Each round is one degree aggregate + two LeftSemi joins
     * on the (shrinking) edge list; the frame is eagerly
-    * localCheckpoint-ed per round because every round references it
+    * lineage-cut per round (Checkpoints.cut) because every round references it
     * THREE times (the q118 componentsStars lesson — multi-reference
     * rounds grow the plan exponentially without truncation). The loop
     * stops at the true fixpoint — peeling is monotone decreasing, so an
@@ -103,7 +131,7 @@ object GraphQueries {
     * synchronous peeling is its distributed form and converges in the
     * same worst-case O(V) rounds, ~10 here. */
   def kCore(e: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
-    var edges = e.select(col("u"), col("v")).localCheckpoint(true)
+    var edges = e.select(col("u"), col("v")).cutLineage()
     var n = edges.count()
     var round = 0
     var done = n == 0
@@ -115,7 +143,7 @@ object GraphQueries {
         .join(deg.withColumnRenamed("p", "u"), Seq("u"), "left_semi")
         .join(deg.withColumnRenamed("p", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint(true)
+        .cutLineage()
       val m = next.count()
       done = m == n
       n = m
@@ -141,7 +169,7 @@ object GraphQueries {
     * anti-joins the O(V) visited table — per-round shuffle is frontier +
     * labels, never the O(E) edge side (q75/q138 discipline). Rounds are
     * bounded by `maxHops`, and each round's frame is eagerly
-    * localCheckpoint-ed so plan growth stays O(1) (the q118 lesson).
+    * lineage-cut (Checkpoints.cut) so plan growth stays O(1) (the q118 lesson).
     * Frontier BFS beats the recursive-CTE form the oracle replays
     * precisely because the anti-join stops re-expanding visited
     * vertices — the CTE enumerates every ≤maxHops path, exponential on
@@ -152,7 +180,7 @@ object GraphQueries {
       .repartition(col("src")).persist()
     val seeds = adj.select(col("src").as("v")).distinct()
       .orderBy(col("v")).limit(nSeeds)
-    var dist = seeds.select(col("v"), lit(0L).as("hops")).localCheckpoint(true)
+    var dist = seeds.select(col("v"), lit(0L).as("hops")).cutLineage()
     var frontier = dist.select(col("v"))
     (1 to maxHops).foreach { h =>
       val next = adj
@@ -160,8 +188,8 @@ object GraphQueries {
         .select(col("dst").as("v")).distinct()
         .join(dist, Seq("v"), "left_anti")
         .select(col("v"), lit(h.toLong).as("hops"))
-        .localCheckpoint(true)
-      dist = dist.unionAll(next).localCheckpoint(true)
+        .cutLineage()
+      dist = dist.unionAll(next).cutLineage()
       frontier = next.select(col("v"))
     }
     adj.unpersist()
@@ -257,11 +285,9 @@ object GraphQueries {
     "q112_basket_lift" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .agg(count(lit(1)).as("n_ab"))
+      // guard disabled at oracle parity (basketPairs doc): TPC-H baskets
+      // are order-width-bounded, so capped ≡ uncapped here
+      val pairs = basketPairs(li, "l_orderkey", "l_partkey")
         .filter(col("n_ab") >= MinCoOccurrence)
       val items = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
       val baskets = li.select(col("l_orderkey")).distinct()
@@ -293,11 +319,7 @@ object GraphQueries {
     "q169_item_neighbors" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .agg(count(lit(1)).as("n_ab"))
+      val pairs = basketPairs(li, "l_orderkey", "l_partkey")
         .filter(col("n_ab") >= MinCoOccurrence)
       val items = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
       val sym = pairs.select(col("u").as("i"), col("v").as("j"), col("n_ab"))

@@ -387,6 +387,54 @@ class CaptureApplySpec extends AnyFunSuite {
     assert(norm(batch) == inc)
   }
 
+  test("incremental as-of enrichment from the change feed ≡ batch as-of join " +
+      "(late arrivals and in-place updates included)") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("merge-asof") + "/t"
+    val ms = MemoryStream[Env]
+    val q = Apply.startMerge(ms.toDF(), table, tmp("ck-asof"), "id", "ts",
+      afterSchema,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"),
+      gcGraceMs = Long.MaxValue)
+    // quote identity = sym+time (id), as-of key = ticker, state = price
+    def quote(op: String, sym: String, t: Long, px: Double, c: Long) =
+      Env(op, s"$sym$t", After(s"$sym$t", sym, px), ts(c))
+    // c1: A@10 = 1.0, B@40 = 4.0
+    ms.addData(quote("INSERT", "A", 10, 1.0, 100), quote("INSERT", "B", 40, 4.0, 100))
+    q.processAllAvailable()
+    // c2: a LATER quote A@20 = 2.0 — re-enriches only txns with t >= 20
+    ms.addData(quote("INSERT", "A", 20, 2.0, 200))
+    q.processAllAvailable()
+    // c3: a LATE-ARRIVING quote A@12 = 1.5 (affects only the txn whose
+    // match it betters) + an in-place UPDATE of A@20's state to 2.5
+    ms.addData(quote("INSERT", "A", 12, 1.5, 300), quote("MODIFY", "A", 20, 2.5, 300))
+    q.processAllAvailable()
+    q.stop()
+
+    val txns = Seq((1L, "A", 5L), (2L, "A", 15L), (3L, "A", 25L), (4L, "B", 50L))
+      .toDF("txn_id", "sym", "t")
+    val qTime = expr("CAST(substring(id, 2) AS LONG)")
+    val inc = Scd.asOfFromMergeTable(spark, table, txns, col("txn_id"),
+      col("sym"), col("t"), col("ticker"), qTime, col("price"))
+    def key(r: org.apache.spark.sql.Row, tCol: String, sCol: String) =
+      (r.getAs[Long]("txn_id"),
+        if (r.isNullAt(r.fieldIndex(tCol))) -1L else r.getAs[Long](tCol),
+        if (r.isNullAt(r.fieldIndex(sCol))) -1.0 else r.getAs[Double](sCol))
+    val got = inc.collect().map(key(_, "q_time", "q_state")).toSet
+    assert(got == Set(
+      (1L, -1L, -1.0),   // t=5: before every quote — no match
+      (2L, 12L, 1.5),    // the late arrival wins over A@10
+      (3L, 20L, 2.5),    // the updated state of the matched quote
+      (4L, 40L, 4.0)))
+    // batch parity: the custom as-of exec over the FINAL snapshot
+    val cs = Apply.commits(spark, table).sorted
+    assert(cs.size == 3)
+    val finalQuotes = Apply.readMergeTableAt(spark, table, cs.last)
+      .select(col("ticker").as("sym"), qTime.as("qt"), col("price"))
+    val batch = graft.plans.AsOf.join(txns, finalQuotes, "sym", "t", "qt", "q_time")
+    assert(batch.collect().map(key(_, "q_time", "price")).toSet == got)
+  }
+
   test("incremental aggregate maintenance ≡ groupBy of the live snapshot") {
     implicit val sqlCtx = spark.sqlContext
     val table = tmp("merge-iagg") + "/t"

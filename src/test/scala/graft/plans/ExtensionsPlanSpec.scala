@@ -61,4 +61,75 @@ class ExtensionsPlanSpec extends AnyFunSuite {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  // ---- strategy choice: custom sweep vs native (AsOfRules.ChooseRangeJoinImpl) ----
+
+  private def ivData = {
+    import spark.implicits._
+    (Seq(("a", 0L, 10L, "i1"), ("a", 5L, 15L, "i2"), ("b", 0L, 4L, "i3"))
+       .toDF("k", "s", "e", "tag"),
+     Seq(("a", 4L), ("a", 12L), ("b", 9L)).toDF("k", "p"))
+  }
+
+  private def expected = Set(("a", 4L, "i1"), ("a", 12L, "i2"))
+
+  private def resultSet(df: org.apache.spark.sql.DataFrame) =
+    df.select(org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.col("p"),
+        org.apache.spark.sql.functions.col("tag"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+
+  test("rangeJoin.impl=native rewrites to Join + range filter with identical results") {
+    val (ivs, pts) = ivData
+    spark.conf.set(AsOfRules.RangeJoinImplKey, "native")
+    try {
+      val df = Interval.join(ivs, pts, "k", "s", "e", "p")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("IntervalJoinExec"), s"custom exec should be rewritten:\n$plan")
+      assert(plan.contains("Join"), plan)
+      assert(resultSet(df) == expected)
+    } finally spark.conf.unset(AsOfRules.RangeJoinImplKey)
+    // and the default keeps the custom exec, with the same answer
+    val sweep = Interval.join(ivs, pts, "k", "s", "e", "p")
+    assert(sweep.queryExecution.executedPlan.toString.contains("IntervalJoin"))
+    assert(resultSet(sweep) == expected)
+  }
+
+  test("rangeJoin.impl=auto: native under the broadcast threshold, sweep when stats are large") {
+    val (ivs, pts) = ivData
+    spark.conf.set(AsOfRules.RangeJoinImplKey, "auto")
+    try {
+      // tiny local relations sit far under the default 10 MB threshold
+      val small = Interval.join(ivs, pts, "k", "s", "e", "p")
+      assert(!small.queryExecution.executedPlan.toString.contains("IntervalJoinExec"))
+      assert(resultSet(small) == expected)
+      // threshold disabled → nothing qualifies as "bounded": keep the
+      // skew-proof sweep exec
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val big = Interval.join(ivs, pts, "k", "s", "e", "p")
+        assert(big.queryExecution.executedPlan.toString.contains("IntervalJoin"))
+        assert(resultSet(big) == expected)
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally spark.conf.unset(AsOfRules.RangeJoinImplKey)
+  }
+
+  test("rangeJoin.impl=native also rewrites the overlap join, same pairs") {
+    import spark.implicits._
+    val l = Seq(("k", 0L, 10L, "L1"), ("k", 20L, 30L, "L2")).toDF("k", "s", "e", "ltag")
+    val r = Seq(("k", 5L, 25L, "R1")).toDF("k", "rs", "re", "rtag")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(org.apache.spark.sql.functions.col("ltag"),
+          org.apache.spark.sql.functions.col("rtag"))
+        .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    val sweep = Overlap.join(l, r, "k", "s", "e", "rs", "re")
+    assert(sweep.queryExecution.executedPlan.toString.contains("OverlapJoin"))
+    spark.conf.set(AsOfRules.RangeJoinImplKey, "native")
+    try {
+      val native = Overlap.join(l, r, "k", "s", "e", "rs", "re")
+      assert(!native.queryExecution.executedPlan.toString.contains("OverlapJoinExec"))
+      assert(pairs(native) == pairs(sweep))
+      assert(pairs(native) == Set(("L1", "R1"), ("L2", "R1")))
+    } finally spark.conf.unset(AsOfRules.RangeJoinImplKey)
+  }
 }

@@ -52,6 +52,22 @@ class IntervalJoinPlanSpec extends AnyFunSuite {
     assert("(?s)Sort \\[".r.findAllIn(plan).size >= 2)
   }
 
+  test("downstream groupBy on the surviving key reuses the join's exchange") {
+    // outputPartitioning advertises BOTH children's clusterings
+    // (PartitioningCollection, round-7 ADVICE): an aggregation keyed on
+    // the LEFT key — the one the API keeps after dropping __iv_key —
+    // must not add a third exchange on top of the join's two.
+    val agg = Interval.join(intervals, points, "k", "s", "e", "p")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("IntervalJoin"))
+    assert("(?s)Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"expected exactly the join's two exchanges:\n$plan")
+    // and the result is still right
+    val got = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 4L, "b" -> 1L))
+  }
+
   test("filters push into BOTH children of the inner join") {
     val joined = Interval.join(intervals, points, "k", "s", "e", "p")
       .filter(col("tag") =!= "i2" && col("p") < 50)

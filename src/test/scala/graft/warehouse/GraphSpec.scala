@@ -18,6 +18,28 @@ class GraphSpec extends AnyFunSuite {
     (r.getLong(0), r.getLong(1))
   }
 
+  test("basketPairs mega-basket adversary: the guard excludes the degenerate basket, " +
+      "and capped ≡ uncapped when every basket fits") {
+    // 3 honest 2-item baskets + one degenerate 200-item mega-basket
+    // (a crawler cart / default order id): C(200,2) = 19 900 pairs from
+    // one key — the quadratic straggler the guard exists for.
+    val honest = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 12L), (3L, 13L))
+    val mega = (1L to 200L).map(i => (999L, 1000L + i))
+    val items = (honest ++ mega).toDF("basket", "item")
+    val capped = GraphQueries.basketPairs(items, "basket", "item", maxBasketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // only the honest pairs survive; (10,11) co-occurs twice
+    assert(capped == Set((10L, 11L, 2L), (12L, 13L, 1L)))
+    // with the cap comfortably above every basket width, the guard is a
+    // no-op: identical to the disabled-guard (oracle parity) face
+    val uncapped = GraphQueries.basketPairs(items, "basket", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wideCap = GraphQueries.basketPairs(items, "basket", "item", maxBasketSize = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(wideCap == uncapped)
+    assert(uncapped.size == capped.size + 200 * 199 / 2)
+  }
+
   test("triangles: K4 has 4, K3 has 1") {
     assert(counts(Seq((1L, 2L), (1L, 3L), (2L, 3L))) == ((3L, 1L)))
     val k4 = for {
