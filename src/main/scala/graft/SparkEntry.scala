@@ -35,6 +35,7 @@ object SparkEntry {
       cdc.CdcQueries.queries ++
       text.TextQueries.queries ++
       text.CorpusQueries.queries ++
+      text.LmQueries.queries ++
       text.SamplingQueries.queries ++
       ann.AnnQueries.queries ++
       multimodal.MultimodalQueries.queries
@@ -59,6 +60,7 @@ object SparkEntry {
       cdc.CdcQueries.oracleSql ++
       text.TextQueries.oracleSql ++
       text.CorpusQueries.oracleSql ++
+      text.LmQueries.oracleSql ++
       text.SamplingQueries.oracleSql ++
       ann.AnnQueries.oracleSql ++
       multimodal.MultimodalQueries.oracleSql

@@ -1,0 +1,401 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.util.Checkpoints.CutOps
+import graft.util.Tables
+
+/** Language-model-adjacent corpus operators: exact repeated-substring
+  * SCRUBBING (the removal face of q87's span detection), BM25 retrieval
+  * over the corpus, integer-exact n-gram LM affinity scoring, and real
+  * BPE merge-rule TRAINING (the learning loop [[TextFunctions.bpeTokenCount]]
+  * only applies).
+  *
+  * The reference stages raw text into a queryable warehouse
+  * (reference README.md:3, glue_jobs/); a training-data warehouse needs
+  * retrieval and tokenizer/LM preparation over that same corpus. All
+  * column logic is codegen'd built-ins — zero UDFs — and every pipeline
+  * shuffles on one key per stage (window string, term, doc id), never
+  * on pairs, so each survives a 100 TB corpus unchanged.
+  *
+  * Determinism conventions (shared with q99/q147):
+  *   - no libm calls: BM25's IDF is the log-free rational surrogate
+  *     (N − df + ½)/(df + ½) — per-term a monotone transform of the
+  *     Robertson idf, and floor(log₂ n) is computed EXACTLY as
+  *     length(bin(n)) − 1, so every score either is an exact integer or
+  *     is built from IEEE *,/,+ over exact integers in a FIXED
+  *     evaluation order (sorted-list fold) — bit-reproducible across
+  *     engines, runs, and cluster sizes.
+  */
+object LmQueries {
+
+  /** q214 window width — q87's SpanN, shared so the scrub and the span
+    * report describe the same duplication structure. */
+  private[text] val ScrubN = CorpusQueries.SpanN
+
+  /** q215 query terms + BM25 shape constants (k1=1.2, b=0.75 are the
+    * standard Robertson defaults; they appear inline as exact literal
+    * fragments of the shared score expression below). */
+  private[text] val Bm25Terms = Seq("fast", "merge", "table")
+  private[text] val Bm25TopK = 10
+
+  /** q217 merge-round count (production tokenizers run tens of
+    * thousands of rounds over the same vocab-sized loop). */
+  private[text] val BpeRounds = 6
+
+  /** Separator between symbols inside a word's working string. Tokens
+    * are whitespace-split words, so U+001F cannot occur in a symbol. */
+  private[text] val SymSep = "\u001f"
+
+  // ------------------------------------------------------------------
+  // q214: exact repeated-substring scrub (Lee et al. 2022, ExactSubstr)
+  // ------------------------------------------------------------------
+
+  /** Remove duplicated passages, keeping the FIRST occurrence: a token
+    * is scrubbed iff some length-`n` window covering it also occurs in
+    * an EARLIER document (min doc id over the window's occurrences).
+    * The corpus keeps exactly one copy of every repeated passage — the
+    * semantics of Lee et al. 2022's ExactSubstr dedup, which whole-
+    * document dedup (q40/q45) cannot express.
+    *
+    * Plan: positioned windows → window-keyed min(id) aggregate → join
+    * back on the window key (reuses the aggregate's exchange) → explode
+    * each scrubbable window into its ≤ n covered positions → distinct →
+    * one anti join on (id, pos) against the token table → per-doc
+    * ordered rebuild. Every stage keys on window, (id,pos) or id —
+    * never pairs; the ×n position fan-out is a bounded constant.
+    *
+    * Output: (id, n_tokens, n_removed, scrubbed_text) for every input
+    * document (fully-duplicated docs surface with scrubbed_text = '').
+    */
+  def substringScrub(docs: DataFrame, id: Column, text: Column,
+      n: Int = ScrubN): DataFrame = {
+    val base = docs.select(id.as("id"), text.as("text"))
+    val toks = base.select(col("id"),
+      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+    val sh = Dedup.shingleRowsPos(base, col("id"), col("text"), n)
+    val firsts = sh.groupBy(col("sh")).agg(min(col("id")).as("first_doc"))
+    val covered = sh.join(firsts, Seq("sh"))
+      .filter(col("id") > col("first_doc"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("pos"), col("tok")))).as("kv"))
+      .select(col("id"), col("n_kept"),
+        expr("array_join(transform(kv, x -> x.tok), ' ')").as("scrubbed_text"))
+    toks.groupBy(col("id")).agg(count(lit(1)).as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
+  }
+
+  // ------------------------------------------------------------------
+  // q215: BM25 retrieval
+  // ------------------------------------------------------------------
+
+  /** BM25 top-k for a bag-of-words query. Standard shape (k1=1.2,
+    * b=0.75) with the log-free rational IDF (see object scaladoc) —
+    * per-term: idf(df) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+    *
+    * The per-document sum of per-term doubles is the one place IEEE
+    * addition order could diverge between engines/runs, so terms are
+    * folded in SORTED term order over a collected ≤|query|-element
+    * array — `aggregate(ss, 0.0, +)` — making the score a pure function
+    * of the data (0.0+x ≡ x for the positive scores here, so the fold
+    * equals DuckDB's init-less list_reduce bit-for-bit).
+    *
+    * Plan: the term filter pushes into the scan; tf shuffles on
+    * (doc, term), df re-uses tf grouped by term and broadcasts (≤|query|
+    * rows), doc lengths shuffle on id, corpus totals are a 1-row
+    * broadcast; final ranking is TakeOrderedAndProject — no global sort.
+    */
+  def bm25(docs: DataFrame, id: Column, text: Column,
+      terms: Seq[String] = Bm25Terms, topK: Int = Bm25TopK): DataFrame = {
+    val toks = docs.select(id.as("id"),
+      explode(TextFunctions.tokens(text)).as("term"))
+    val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val tot = dl.agg(sum(col("dl")).as("t_toks"), count(lit(1)).as("n_docs"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nD = col("n_docs").cast("double"); val tD = col("t_toks").cast("double")
+    val tfD = col("tf").cast("double"); val dfD = col("df").cast("double")
+    val dlD = col("dl").cast("double")
+    val idf = (lit(2.0) * nD - lit(2.0) * dfD + lit(1.0)) /
+      (lit(2.0) * dfD + lit(1.0))
+    val tfPart = (lit(2.2) * tfD) /
+      (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (dlD * nD) / tD))
+    tf.join(broadcast(df), Seq("term"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(tot))
+      .select(col("id"), col("term"), (idf * tfPart).as("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms"),
+        array_sort(collect_list(struct(col("term"), col("s")))).as("ss"))
+      .select(col("id"), col("n_terms"),
+        expr("aggregate(ss, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.s)")
+          .as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+
+  // ------------------------------------------------------------------
+  // q216: integer-exact bigram LM affinity ("how predictable is this
+  // document under the corpus's own bigram statistics")
+  // ------------------------------------------------------------------
+
+  /** Per-document LM affinity from corpus bigram counts, on an exact
+    * integer log scale: each bigram occurrence contributes
+    * floor(log₂ corpus_count(bigram)) = length(bin(count)) − 1 bits —
+    * the magnitude of its corpus evidence. sum_bits/n_bigrams is the
+    * (negated, shifted) per-token cross-entropy surrogate a perplexity
+    * quality filter thresholds on: boilerplate scores high, rare/noisy
+    * text scores low. Counts and bit-sums are exact integers; the one
+    * IEEE division at the end is engine-reproducible.
+    *
+    * Plan: one multiplicity-preserving bigram explode feeds BOTH the
+    * corpus count table (bigram-keyed, map-side combined) and the
+    * per-doc occurrence list; the join back rides the bigram key, the
+    * final rollup rides the doc id. Docs with <2 tokens score 0/null-
+    * free via the left join. */
+  def lmBits(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val bg = Dedup.shingleRows(docs.select(id.as("id"), text.as("text")),
+      col("id"), col("text"), 2)
+    val counts = bg.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+    val bits = bg.join(counts, Seq("sh"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(length(bin(col("c"))) - lit(1)).cast("long").as("sum_bits"))
+    docs.select(id.as("id")).join(bits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0L,
+          col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)).as("avg_bits"))
+  }
+
+  // ------------------------------------------------------------------
+  // q217: BPE merge-rule training (Sennrich et al. 2016)
+  // ------------------------------------------------------------------
+
+  /** Learn the first `rounds` BPE merge rules from the corpus — the
+    * training loop whose OUTPUT table [[graft.functions.BpeTokenCount]]
+    * applies. Sennrich's key trick makes this scale-free: the corpus is
+    * collapsed ONCE into a (word, count) vocabulary (one corpus-scale
+    * map-side-combined groupBy); every merge round then runs over the
+    * vocab-sized table only — at 100 TB the corpus pass is the same
+    * token explode every other text operator pays, and the K-round loop
+    * never touches the corpus again.
+    *
+    * Each word's working state is its symbol sequence joined by U+001F.
+    * A round is: split → adjacent-pair explode → count-weighted pair
+    * aggregate → 1-ROW argmax to the driver (bounded scalar, the q181
+    * pattern; ties break (count desc, left, right) so training is
+    * deterministic) → merge via literal `replace` of "l␟r" with "lr",
+    * whose left-to-right non-overlapping semantics IS greedy BPE
+    * merging ("a a a" + rule a+a → "aa a", never "a aa"). The vocab
+    * lineage is cut per round ([[graft.util.Checkpoints]]) so the plan
+    * stays O(1) across rounds.
+    *
+    * Output: (round, left_sym, right_sym, n) — the learned merge table
+    * with each rule's support at the time it was chosen. */
+  def bpeTrain(docs: DataFrame, id: Column, text: Column,
+      rounds: Int = BpeRounds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = docs.select(explode(TextFunctions.tokens(text)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    var words = wc.select(
+        expr(s"array_join(transform(sequence(1, length(tok)), " +
+          s"i -> substring(tok, i, 1)), '$SymSep')").as("w"),
+        col("cnt"))
+      .cutLineage()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var k = 1
+    var exhausted = false
+    while (k <= rounds && !exhausted) {
+      val top = words
+        .select(col("cnt"), split(col("w"), SymSep).as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS l,
+            |              element_at(syms, i + 1) AS r))""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // vocab fully merged before K rounds
+      else {
+        val (l, r, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k.toLong, l, r, n))
+        words = words.select(
+            expr(s"replace(w, '$l$SymSep$r', '$l$r')").as("w"), col("cnt"))
+          .cutLineage()
+        k += 1
+      }
+    }
+    merges.toSeq.toDF("round", "left_sym", "right_sym", "n")
+      .orderBy(col("round"))
+  }
+
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- exact repeated-substring scrub: the corpus after cutting every
+    //    duplicated >= ScrubN-token passage down to its first occurrence.
+    "q214_substring_scrub" -> { (s, d) =>
+      substringScrub(Tables.documents(s, d), col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // -- BM25 retrieval for a fixed bag-of-words query.
+    "q215_bm25" -> { (s, d) =>
+      bm25(Tables.documents(s, d), col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+    },
+
+    // -- integer-exact bigram LM affinity scoring.
+    "q216_lm_bits" -> { (s, d) =>
+      lmBits(Tables.documents(s, d), col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // -- BPE merge-rule training (first BpeRounds rules + support).
+    "q217_bpe_train" -> { (s, d) =>
+      bpeTrain(Tables.documents(s, d), col("doc_id"), col("text"))
+    }
+  )
+
+  private val Tok = "STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')"
+
+  def oracleSql: Map[String, String] = Map(
+    // Same closure as the Spark plan: windows -> first_doc -> covered
+    // positions (RANGE fan-out, DISTINCT) -> anti join -> ordered
+    // STRING_AGG rebuild; LEFT JOIN restores fully-scrubbed docs.
+    "q214_substring_scrub" -> {
+      val n = ScrubN
+      s"""WITH t AS (
+         |  SELECT doc_id, $Tok AS toks FROM documents),
+         |tok AS (
+         |  SELECT doc_id, i AS pos, toks[i+1] AS tok
+         |  FROM t, UNNEST(RANGE(0, LEN(toks))) r(i)),
+         |pos AS (
+         |  SELECT doc_id, i, ARRAY_TO_STRING(toks[i+1:i+$n], ' ') AS sh
+         |  FROM t, UNNEST(RANGE(0, GREATEST(LEN(toks) - ${n - 1}, 0))) r(i)),
+         |firsts AS (SELECT sh, MIN(doc_id) AS first_doc FROM pos GROUP BY 1),
+         |cov AS (
+         |  SELECT DISTINCT p.doc_id, p.i + d AS pos
+         |  FROM pos p JOIN firsts f USING (sh), UNNEST(RANGE(0, $n)) r(d)
+         |  WHERE p.doc_id > f.first_doc),
+         |kept AS (
+         |  SELECT tok.doc_id, tok.pos, tok.tok
+         |  FROM tok ANTI JOIN cov
+         |    ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |    STRING_AGG(tok, ' ' ORDER BY pos) AS scrubbed
+         |  FROM kept GROUP BY 1),
+         |nt AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens FROM t)
+         |SELECT nt.doc_id, nt.n_tokens,
+         |  nt.n_tokens - COALESCE(agg.n_kept, 0) AS n_removed,
+         |  COALESCE(agg.scrubbed, '') AS scrubbed_text
+         |FROM nt LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // Identical IEEE expression tree (all operands cast to DOUBLE, same
+    // literals, same associativity) and the identical fold order:
+    // LIST(s ORDER BY term) + init-less list_reduce == Spark's
+    // aggregate(sorted, 0.0, +) because 0.0 + x == x for x > 0.
+    "q215_bm25" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, UNNEST($Tok) AS term FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+         |tot AS (SELECT SUM(dl) AS t_toks, COUNT(*) AS n_docs FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM t
+         |  WHERE term IN ($termList) GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |s AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ((2.0 * CAST(n_docs AS DOUBLE) - 2.0 * CAST(df AS DOUBLE) + 1.0)
+         |      / (2.0 * CAST(df AS DOUBLE) + 1.0))
+         |    * ((2.2 * CAST(tf AS DOUBLE))
+         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+         |        + 0.75 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+         |          / CAST(t_toks AS DOUBLE)))) AS s
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot)
+         |SELECT doc_id, COUNT(*) AS n_terms,
+         |  LIST_REDUCE(LIST(s ORDER BY term), (x, y) -> x + y) AS score
+         |FROM s GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+    },
+
+    // floor(log2 n) = LENGTH(BIN(n)) - 1 in both engines — exact.
+    "q216_lm_bits" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $Tok AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS sh
+         |  FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks), 1))) r(i)),
+         |c AS (SELECT sh, COUNT(*) AS c FROM bg GROUP BY 1),
+         |b AS (
+         |  SELECT doc_id, COUNT(*) AS n_bigrams,
+         |    CAST(SUM(LENGTH(BIN(c.c)) - 1) AS BIGINT) AS sum_bits
+         |  FROM bg JOIN c USING (sh) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(b.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(b.sum_bits, 0) AS sum_bits,
+         |  CASE WHEN COALESCE(b.n_bigrams, 0) > 0
+         |    THEN CAST(b.sum_bits AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
+         |    ELSE 0.0 END AS avg_bits
+         |FROM documents d LEFT JOIN b USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // The K-round loop unrolled to literal CTE steps (the q181
+    // precedent): pair counts -> argmax (n DESC, l, r) -> REPLACE-based
+    // greedy merge, whose left-to-right non-overlap semantics matches
+    // Spark's replace exactly.
+    "q217_bpe_train" -> {
+      val steps = (1 to BpeRounds).map { k =>
+        s"""p$k AS (
+           |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS n
+           |  FROM (SELECT STRING_SPLIT(w, CHR(31)) AS syms, cnt FROM w${k - 1}),
+           |    UNNEST(RANGE(1, GREATEST(LEN(syms), 1))) t(i)
+           |  GROUP BY 1, 2),
+           |g$k AS MATERIALIZED (
+           |  SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+           |w$k AS MATERIALIZED (
+           |  SELECT REPLACE(w, g.l || CHR(31) || g.r, g.l || g.r) AS w, cnt
+           |  FROM w${k - 1}, g$k g)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to BpeRounds).map { k =>
+        s"SELECT CAST($k AS BIGINT) AS round, l AS left_sym, r AS right_sym, n FROM g$k"
+      }.mkString("\nUNION ALL ")
+      s"""WITH t AS (
+         |  SELECT UNNEST($Tok) AS tok FROM documents),
+         |wc AS (SELECT tok, COUNT(*) AS cnt FROM t WHERE tok <> '' GROUP BY 1),
+         |w0 AS MATERIALIZED (
+         |  SELECT ARRAY_TO_STRING(
+         |    [SUBSTR(tok, i, 1) FOR i IN RANGE(1, LEN(tok) + 1)], CHR(31)) AS w,
+         |    cnt
+         |  FROM wc),
+         |$steps
+         |$out
+         |ORDER BY round""".stripMargin
+    }
+  )
+}
