@@ -260,9 +260,15 @@ object Dedup {
       .select(col("a_id"), col("a_nm"), col("blk"), col("a_len"), col("seg_i"),
         expr("substring(a_nm, s0 + 1, s1 - s0)").as("seg"))
     // index side: substrings matching any probe length within ±k, any
-    // segment index, any ±k start offset (bounded constant per row)
+    // segment index, at start offsets satisfying the LOSSLESS alignment
+    // bound |off| + |off + dl| <= k (for the pigeonhole's unedited
+    // segment, edits before it >= |net shift| = |off| and edits after it
+    // >= |shift at the segment end| = |off + dl|, and they sum to <= k)
+    // — 39 combos instead of the naive (2k+1)²(k+1) = 75 at k=2, with
+    // provably identical candidate recall.
     val combos = for {
       dl <- -k to k; i <- 0 until nSeg; off <- -k to k
+      if math.abs(off) + math.abs(off + dl) <= k
     } yield struct(lit(dl).as("dl"), lit(i).as("seg_i"), lit(off).as("off"))
     val index = base.select(col("rid").as("b_id"), col("nm").as("b_nm"),
         col("blk"), col("len").as("b_len"),
@@ -279,8 +285,10 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_nm"), col("b_nm"))
       .distinct()
-      .withColumn("dist", levenshtein(col("a_nm"), col("b_nm")).cast("long"))
-      .filter(col("dist") <= k)
+      // threshold form: O(k·len) banded DP with early exit (-1 past k)
+      // instead of the full O(len²) matrix — exact for dist <= k.
+      .withColumn("dist", levenshtein(col("a_nm"), col("b_nm"), k).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("a_id"), col("b_id"),
         col("a_nm").as("a_name"), col("b_nm").as("b_name"), col("dist"))
   }

@@ -79,7 +79,8 @@ object Maintenance {
     "ivfIndex"        -> ((s, d) => graft.ann.AnnQueries.ivfIndex(s, d)),
     "pqIndex"         -> ((s, d) => graft.ann.AnnQueries.pqIndex(s, d)),
     "zorderLayout"    -> ((s, d) => graft.warehouse.ScaleQueries.zorderLayout(s, d)),
-    "bucketedPair"    -> ((s, d) => graft.warehouse.ScaleQueries.bucketedPair(s, d))
+    "bucketedPair"    -> ((s, d) => graft.warehouse.ScaleQueries.bucketedPair(s, d)),
+    "coPurchasePairs" -> ((s, d) => graft.warehouse.GraphQueries.coPurchasePairs(s, d))
   )
 
   /** Build every registered state for (session, dir); returns the names

