@@ -47,6 +47,17 @@ object AnnQueries {
         m = 16, ksub = 64, materialize = true)
     }
 
+  /** The q218 composite IVF-PQ index (the FAISS IVFPQ shape — coarse
+    * cells + residual PQ codes), memoized like [[ivfIndex]]/[[pqIndex]]
+    * through the Maintenance registry: train once, probe forever; Bench
+    * warms it outside the timed window. */
+  def ivfPqIndex(s: SparkSession, d: String): Similarity.IvfPqIndex =
+    Maintenance.getOrBuild("ivfPqIndex", s, d) {
+      val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      Similarity.buildIvfPq(embs, col("vec_id"), col("embedding"),
+        nCells = 8, m = 16, ksub = 64, materialize = true)
+    }
+
   /** q212's semantic dedup ledger, memoized per (session, table) like
     * [[ivfIndex]] and `TextQueries.dedupLedger` (the pairs+components
     * build is table maintenance refreshed with the corpus; Bench warms
@@ -161,6 +172,49 @@ object AnnQueries {
       import s2.implicits._
       Seq((exactIds.head, pqIds.contains(exactIds.head), recall >= 5))
         .toDF("exact_l2_top1", "pq_hit_top10", "recall_ok")
+    },
+
+    // -- composite IVF-PQ (the production FAISS IVFPQ shape): coarse
+    //    cells prune the scan, residual PQ codes compress what remains.
+    //    Gate flags, all deterministic (RNG-free training, tie-broken
+    //    ranks; the q137/q49 invariant pattern): the exact-L2 top-1 must
+    //    surface in the PRUNED nprobe=2 ADC top-10 (the cell ranking
+    //    finds the right cells), all-probe recall@10 >= 5 (residual
+    //    quantization quality), and the pruned probe must scan < 60% of
+    //    the corpus (the pruning actually prunes — with 8 balanced-ish
+    //    cells, 2 probed cells hold ~25%). AnnSpec pins the degenerate
+    //    all-sampled/all-probed config where IVF-PQ ADC == exact L2.
+    "q218_ann_ivfpq" -> { (s, d) =>
+      val corpus = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      val qlit = typedlit(qv)
+      val exact = corpus.select(col("vec_id"),
+          (Similarity.dot(col("embedding"), col("embedding"))
+            - lit(2) * Similarity.dot(col("embedding"), qlit)
+            + Similarity.dot(qlit, qlit)).as("d2"))
+        .orderBy(col("d2").asc, col("vec_id"))
+        .limit(10)
+      val exactIds = exact.collect().map(_.getLong(0)).toSeq
+      val idx = ivfPqIndex(s, d)
+      val pruned = Similarity.ivfPqSearchAdc(idx, qv, k = 10, nprobe = 2)
+        .collect().map(_.getLong(0)).toSeq
+      val allProbe = Similarity.ivfPqSearchAdc(idx, qv, k = 10, nprobe = 8)
+        .collect().map(_.getLong(0)).toSeq
+      val recall = allProbe.count(exactIds.toSet)
+      // bounded metadata scalars: per-cell code counts (nCells rows) vs
+      // the corpus count — the pruning-statistics fetch, never row data
+      val cellSizes = idx.codes.groupBy(col("cell")).count().collect()
+        .map(r => r.getAs[Number](0).intValue() -> r.getLong(1)).toMap
+      val nCorpus = cellSizes.values.sum
+      val prunedScan = Similarity
+        .probeCellsFor(idx, qv, nprobe = 2).map(c => cellSizes.getOrElse(c, 0L)).sum
+      val s2 = s
+      import s2.implicits._
+      Seq((exactIds.head, pruned.contains(exactIds.head), recall >= 5,
+          prunedScan * 5 < nCorpus * 3))
+        .toDF("exact_l2_top1", "pruned_hit_top10", "recall_ok",
+          "pruned_scan_ok")
     },
 
     // -- SemDeDup-style embedding near-dup at scale: blocked by BANDED
@@ -353,6 +407,21 @@ object AnnQueries {
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT (SELECT vec_id FROM d ORDER BY d2, vec_id LIMIT 1) AS exact_l2_top1,
         |  TRUE AS pq_hit_top10, TRUE AS recall_ok""".stripMargin,
+
+    // Same invariant pattern for the composite index: the exact-L2 top-1
+    // is recomputed; the three quality/pruning flags are deterministic
+    // claims the engine must make true.
+    "q218_ann_ivfpq" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |d AS (
+        |  SELECT vec_id,
+        |    LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])
+        |      - 2 * LIST_DOT_PRODUCT(embedding::DOUBLE[], qv)
+        |      + LIST_DOT_PRODUCT(qv, qv) AS d2
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT (SELECT vec_id FROM d ORDER BY d2, vec_id LIMIT 1) AS exact_l2_top1,
+        |  TRUE AS pruned_hit_top10, TRUE AS recall_ok,
+        |  TRUE AS pruned_scan_ok""".stripMargin,
 
     "q47_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v

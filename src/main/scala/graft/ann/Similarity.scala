@@ -516,4 +516,105 @@ object Similarity {
       .orderBy(col("cosine").desc, col("nn_id"))
       .limit(k)
   }
+
+  /** Composite IVF-PQ index (the FAISS `IVFPQ` shape; Jégou et al. 2011
+    * §IV): the coarse quantizer assigns every vector to a cell, and PQ
+    * encodes the RESIDUAL v − centroid(cell) — residuals concentrate
+    * near zero, so the same code budget quantizes them with far less
+    * error than raw vectors. `cells` is the driver-held coarse centroid
+    * table (nCells × dim — bounded metadata, the dtab pattern);
+    * `codes` is the only per-row state: (vid, cell, codes). */
+  final case class IvfPqIndex(
+      cells: IndexedSeq[(Int, Array[Double])],
+      pq: PqIndex,
+      codes: DataFrame)
+
+  /** Build an IVF-PQ index by composing [[buildIvf]] (coarse cells) with
+    * [[buildPq]] trained on the residual table. One broadcast join
+    * computes residuals (`zip_with` subtraction — centroids stay float,
+    * so the residual table feeds PQ training unchanged); the PQ code
+    * table joins the cell id back on the vid key it was grouped by. At
+    * 100 TB the costs are exactly the two component builds plus one
+    * vid-keyed join — no new corpus-scale stage. */
+  def buildIvfPq(embs: DataFrame, id: Column, vec: Column,
+      nCells: Int, m: Int, ksub: Int,
+      materialize: Boolean = false): IvfPqIndex = {
+    val ivf = buildIvf(embs, id, vec, nCells, iterations = 1,
+      materialize = materialize)
+    val resid = ivf.assigned.join(broadcast(ivf.centroids), Seq("cell"))
+      .select(col("vid"), col("cell"),
+        zip_with(col("v"), col("c"), (x, y) => x - y).as("rv"))
+    val pq = buildPq(resid, col("vid"), col("rv"), m, ksub,
+      materialize = materialize)
+    val codes0 = pq.codes
+      .join(resid.select(col("vid"), col("cell")), Seq("vid"))
+    val codes = if (materialize) codes0.cutLineage() else codes0
+    // bounded driver fetch: nCells centroid rows (the dtab pattern)
+    val cells = ivf.centroids.collect().map { r =>
+      (r.getAs[Number]("cell").intValue(),
+        r.getSeq[Float](r.fieldIndex("c")).map(_.toDouble).toArray)
+    }.sortBy(_._1).toIndexedSeq
+    IvfPqIndex(cells, pq, codes)
+  }
+
+  /** IVF-ADC top-k: rank cells by the SAME cosine the assignment used
+    * (driver-side over the bounded centroid table), keep the best
+    * `nprobe`, then ADC with a PER-CELL lookup table computed from the
+    * residual query q − centroid(cell) — ‖v − q‖² = ‖r − (q − c)‖² for
+    * v = c + r, so residual ADC approximates exact L2 to the query.
+    * The nprobe·m·ksub distance table broadcasts; the cell filter
+    * prunes the code scan to the probed cells BEFORE the explode, which
+    * is the entire IVF point: query cost scales with the probed share
+    * of the corpus, not the corpus. */
+  /** The `nprobe` cells an IVF-PQ query would scan, ranked by the SAME
+    * cosine the coarse assignment used (driver-side over the bounded
+    * centroid table; deterministic ties by cell id). Public so callers
+    * can report pruning statistics without re-deriving the ranking. */
+  def probeCellsFor(index: IvfPqIndex, queryVec: Seq[Double],
+      nprobe: Int): Seq[Int] = {
+    val q = queryVec.toArray
+    def cosSim(c: Array[Double]): Double = {
+      var dp = 0.0; var nc = 0.0; var nq = 0.0; var i = 0
+      while (i < c.length) { dp += q(i) * c(i); nc += c(i) * c(i); nq += q(i) * q(i); i += 1 }
+      dp / (math.sqrt(nc) * math.sqrt(nq))
+    }
+    index.cells
+      .map { case (cell, c) => (cell, cosSim(c)) }
+      .sortBy { case (cell, sim) => (-sim, cell) }
+      .take(nprobe)
+      .map(_._1)
+  }
+
+  def ivfPqSearchAdc(index: IvfPqIndex, queryVec: Seq[Double], k: Int,
+      nprobe: Int): DataFrame = {
+    val spark = index.codes.sparkSession
+    val q = queryVec.toArray
+    require(q.length == index.pq.m * index.pq.subDim,
+      s"query dim ${q.length} != ${index.pq.m} * ${index.pq.subDim}")
+    val probedIds = probeCellsFor(index, queryVec, nprobe).toSet
+    val probed = index.cells.filter { case (cell, _) => probedIds(cell) }
+    val dtabRows = for {
+      (cell, c) <- probed
+      sub <- 0 until index.pq.m
+      (cb, code) <- index.pq.codebooks(sub).zipWithIndex
+    } yield {
+      var s = 0.0; var j = 0
+      while (j < index.pq.subDim) {
+        val i = sub * index.pq.subDim + j
+        val d = (q(i) - c(i)) - cb(j); s += d * d; j += 1
+      }
+      (cell, sub, code, s)
+    }
+    import spark.implicits._
+    val dtab = dtabRows.toDF("cell", "sub", "code", "qd2")
+    index.codes
+      .filter(col("cell").isin(probed.map(_._1): _*))
+      .select(col("vid").as("nn_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(dtab), Seq("cell", "sub", "code"))
+      .groupBy(col("nn_id"))
+      .agg(sum(col("qd2")).as("adc_d2"))
+      .orderBy(col("adc_d2").asc, col("nn_id"))
+      .limit(k)
+  }
 }

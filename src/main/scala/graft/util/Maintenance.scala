@@ -78,6 +78,7 @@ object Maintenance {
     "semanticLedger"  -> ((s, d) => graft.ann.AnnQueries.semanticLedger(s, d)),
     "ivfIndex"        -> ((s, d) => graft.ann.AnnQueries.ivfIndex(s, d)),
     "pqIndex"         -> ((s, d) => graft.ann.AnnQueries.pqIndex(s, d)),
+    "ivfPqIndex"      -> ((s, d) => graft.ann.AnnQueries.ivfPqIndex(s, d)),
     "zorderLayout"    -> ((s, d) => graft.warehouse.ScaleQueries.zorderLayout(s, d)),
     "bucketedPair"    -> ((s, d) => graft.warehouse.ScaleQueries.bucketedPair(s, d)),
     "coPurchasePairs" -> ((s, d) => graft.warehouse.GraphQueries.coPurchasePairs(s, d))
