@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -211,6 +211,42 @@ object StreamOps {
       delay: String = "10 minutes"): DataFrame =
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(idCols)
+
+  /** Streaming decontamination at ingest — the stream-static face of
+    * q77's `CorpusQueries.contaminationLedger`: every arriving document
+    * is scored against the eval-suite shingle table BEFORE it lands in
+    * the training corpus, the gate a continuously-fed corpus needs (a
+    * batch sweep only catches leakage after the fact).
+    *
+    * Designed to need NO state store: shingling is the stateless HOF
+    * [[graft.text.TextFunctions.shingles]] (a single projection — no
+    * window, no explode on the stream side), and instead of explode →
+    * stream-static join → re-aggregate (a stateful per-doc aggregation,
+    * append-unsupported without an event-time window), the distinct
+    * eval shingles collapse to ONE static row that broadcasts, and the
+    * per-document hit count is `array_intersect` INSIDE the row. An eval suite is KBs–MBs against
+    * a 100 TB stream — the same small-side contract the batch ledger
+    * declares — so the operator stays a pure per-row projection:
+    * append-mode, embarrassingly parallel at any ingest rate, identical
+    * counts to the batch ledger (StreamOpsSpec pins the parity).
+    *
+    * Output per document: (id, n_shared_ngrams, is_contaminated). */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, id: Column,
+      text: Column, evalText: Column, n: Int = 3,
+      threshold: Int = 5): DataFrame = {
+    import graft.text.TextFunctions.shingles
+    val evalSh = evalDocs
+      .select(explode(shingles(evalText, n)).as("sh"))
+      .distinct()
+      .agg(collect_list(col("sh")).as("eval_sh"))
+    docs
+      .select(id.as("id"), shingles(text, n).as("shs"))
+      .crossJoin(broadcast(evalSh))
+      .select(col("id"),
+        size(array_intersect(col("shs"), col("eval_sh"))).cast("long")
+          .as("n_shared_ngrams"))
+      .withColumn("is_contaminated", col("n_shared_ngrams") >= threshold)
+  }
 
   final case class BurstState(open: Map[Long, Long], history: Seq[(Long, Long)])
   final case class BurstAlert(event_type: String, hour_epoch: Long, n: Long,

@@ -492,4 +492,40 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(day0("click") == ((2L, 3.0)))
     assert(day0("purchase") == ((1L, 5.0)))
   }
+
+  test("streaming decontamination matches the batch contamination ledger") {
+    implicit val ctx = spark.sqlContext
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    val evalDocs = Seq(evalText).toDF("text")
+    val train = Seq(
+      (2L, evalText),                                          // full leak
+      (3L, "alpha beta gamma delta epsilon omega psi chi phi"), // partial
+      (4L, "one two three four five six seven eight nine ten"), // disjoint
+      (5L, "a b")                                               // < n tokens
+    )
+    // batch reference from q77's ledger (same n/threshold)
+    val ledgerDocs = ((1L, evalText, true) +: train.map { case (i, tx) => (i, tx, false) })
+      .toDF("doc_id", "text", "is_eval")
+    val expect = graft.text.CorpusQueries.contaminationLedger(
+        ledgerDocs, col("doc_id"), col("text"), col("is_eval"),
+        n = 3, threshold = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // streaming ingest of the same train docs, two micro-batches
+    val ms = MemoryStream[(Long, String)]
+    val out = StreamOps.decontaminate(
+      ms.toDF().toDF("doc_id", "text"), evalDocs,
+      col("doc_id"), col("text"), col("text"), n = 3, threshold = 5)
+    val q = out.writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    ms.addData(train.take(2): _*)
+    q.processAllAvailable()
+    ms.addData(train.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("decon")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == expect)
+    assert(got(2L)._2 && !got(3L)._2 && got(4L) == ((0L, false)))
+    assert(got(5L) == ((0L, false))) // sub-shingle doc scores 0, not null
+  }
 }
