@@ -364,6 +364,14 @@ object CorpusQueries {
     //    scalar pattern, never a data collect. The covered set is
     //    localCheckpoint-ed per round (q118 lesson). K is small and
     //    fixed; the oracle unrolls the same K steps.
+    //
+    //    Scale note: `covered` is bounded by K docs' distinct shingles —
+    //    broadcast it, so the per-round anti join is a broadcast-hash
+    //    probe over the cached shingle table instead of re-shuffling the
+    //    corpus-sized side every round. Local-mode wall time is
+    //    unchanged (job-launch + the per-round groupBy dominate at
+    //    sf0.1), but at 100 TB the corpus side never moves — only the
+    //    groupBy's map-side-combined per-doc partials do.
     "q181_greedy_coverage" -> { (s, d) =>
       import s.implicits._
       val k = 5
@@ -374,7 +382,7 @@ object CorpusQueries {
       var covered = sh.select(col("sh")).limit(0).cutLineage()
       val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
       (1 to k).foreach { r =>
-        val gains = sh.join(covered, Seq("sh"), "left_anti")
+        val gains = sh.join(broadcast(covered), Seq("sh"), "left_anti")
           .groupBy(col("id")).agg(count(lit(1)).as("gain"))
           .orderBy(col("gain").desc, col("id")).limit(1).head()
         val (doc, gain) = (gains.getLong(0), gains.getLong(1))

@@ -22,6 +22,14 @@ import graft.dedup.Dedup
   */
 object TextQueries {
 
+  // q219 configuration — shared by the Spark query and the SQL oracle
+  // (the q77/q87 shared-constant pattern). The per-source whitespace-
+  // token budget is sized so the cut genuinely fires on this corpus
+  // (~25 docs × ~50 tokens per source); the salt re-deals the manifest
+  // order per build, the q104 epoch-shuffle convention.
+  private[text] val BuildBudgetPerSource = 600L
+  private[text] val BuildSalt = "build0:"
+
   /** Session-memoized dedup ledger — the declared-table-maintenance face
     * of the pairs→components pipeline, same pattern as
     * `AnnQueries.ivfIndex` and the q74 Z-ordered layout: the MinHash
@@ -270,6 +278,47 @@ object TextQueries {
           .select(col("doc_id"), col("comp_size")), Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("comp_size").as("copies_absorbed"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -- FLAGSHIP COMPOSITION: the whole corpus-build pipeline in one
+    //    query — Gopher quality gate (q188) ∧ dedup-ledger canonical
+    //    (q75/q213) ∧ not contaminated (q77), then a deterministic
+    //    md5 epoch-shuffle order (q104) and a per-source token budget
+    //    (q84's running-sum cut) produce the training manifest. This is
+    //    the query a user actually ships: every stage is an operator
+    //    the suite gates individually, and the composition is ONE plan
+    //    — the quality/contamination gates are projections+joins on the
+    //    doc_id key, the ledger probe rides maintained state, and the
+    //    budget window partitions by source. At 100 TB nothing here
+    //    adds a stage beyond its component queries; Catalyst fuses the
+    //    three gates into the same doc_id-keyed join tree.
+    "q219_corpus_build" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val gq = CorpusQueries.gopherFlags(docs, col("doc_id"), col("text"),
+          CorpusQueries.GopherMinWords, CorpusQueries.GopherMaxWords)
+        .select(col("id").as("doc_id"), col("passes"))
+      val contam = CorpusQueries.contaminationLedger(docs, col("doc_id"),
+          col("text"), col("source") === CorpusQueries.EvalSource)
+        .select(col("id").as("doc_id"), col("is_contaminated"))
+      val led = dedupLedger(s, d).ledger
+        .select(col("doc_id"), col("is_canonical"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
+      docs
+        .filter(col("source") =!= CorpusQueries.EvalSource)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .join(gq, Seq("doc_id"))
+        .join(contam, Seq("doc_id"))
+        .join(led, Seq("doc_id"))
+        .filter(col("passes") && !col("is_contaminated") && col("is_canonical"))
+        .withColumn("skey",
+          md5(concat(lit(BuildSalt), col("doc_id").cast("string"))))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= lit(BuildBudgetPerSource))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"))
         .orderBy(col("doc_id"))
     },
 
@@ -763,6 +812,77 @@ object TextQueries {
          |FROM documents d JOIN sized s ON d.doc_id = s.doc_id
          |WHERE s.doc_id = s.comp
          |ORDER BY d.doc_id""".stripMargin,
+
+    // The flagship composition replayed stage by stage: the q75
+    // recursive-CTE closure gives canonicals, the q188 cleared-division
+    // gates give quality, the q77 shingle join gives contamination, and
+    // the q84/q104 window cuts the budget in md5-shuffle order.
+    "q219_corpus_build" -> {
+      val stopCase = CorpusQueries.GopherStop.map(w =>
+        s"(CASE WHEN CONTAINS(padded, ' $w ') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+         |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+         |canon AS (
+         |  SELECT d.doc_id FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
+         |  WHERE COALESCE(l.comp, d.doc_id) = d.doc_id),
+         |g0 AS (
+         |  SELECT doc_id,
+         |    ' ' || LOWER(TRIM(text)) || ' ' AS padded,
+         |    STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks,
+         |    LEN(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', '', 'g')) AS nc,
+         |    LEN(text) - LEN(REGEXP_REPLACE(text, '[#…]', '', 'g')) AS ns
+         |  FROM documents),
+         |gpass AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS nw, nc, ns,
+         |      CAST(LEN(LIST_FILTER(toks, x -> REGEXP_MATCHES(x, '[a-z]')))
+         |        AS BIGINT) AS na,
+         |      $stopCase AS nstop
+         |    FROM g0)
+         |  WHERE nw BETWEEN ${CorpusQueries.GopherMinWords}
+         |      AND ${CorpusQueries.GopherMaxWords}
+         |    AND nc >= nw * 3 AND nc <= nw * 10 AND nstop >= 2
+         |    AND na * 5 >= nw * 4 AND ns * 10 <= nw),
+         |csh AS (
+         |  SELECT doc_id, source, UNNEST(LIST_DISTINCT([
+         |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |      FOR i IN RANGE(1, GREATEST(LEN(toks) - 1, 1))])) AS sh
+         |  FROM (SELECT doc_id, source,
+         |      STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks
+         |    FROM documents)),
+         |ev AS (SELECT DISTINCT sh FROM csh
+         |  WHERE source = '${CorpusQueries.EvalSource}'),
+         |contam AS (
+         |  SELECT t.doc_id FROM csh t JOIN ev ON t.sh = ev.sh
+         |  WHERE t.source <> '${CorpusQueries.EvalSource}'
+         |  GROUP BY 1 HAVING COUNT(*) >= ${CorpusQueries.ContamThreshold}),
+         |kept AS (
+         |  SELECT d.doc_id, d.source,
+         |    CAST(LEN(STRING_SPLIT_REGEX(LOWER(TRIM(d.text)), '\\s+'))
+         |      AS BIGINT) AS n_tokens,
+         |    MD5('$BuildSalt' || CAST(d.doc_id AS VARCHAR)) AS skey
+         |  FROM documents d
+         |  JOIN gpass USING (doc_id)
+         |  JOIN canon USING (doc_id)
+         |  WHERE d.source <> '${CorpusQueries.EvalSource}'
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY skey, doc_id) AS BIGINT) AS cum_tokens
+         |  FROM kept)
+         |SELECT doc_id, source, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= $BuildBudgetPerSource
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // q75's closure + q121's md5 split law, keyed on the component id:
     // same recursive-CTE components, then the split band is a pure
