@@ -238,14 +238,74 @@ object LmQueries {
         val (l, r, n) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((k.toLong, l, r, n))
+        // column-form replace: the learned symbols are data, never
+        // spliced into SQL text (same left-to-right non-overlap greedy)
         words = words.select(
-            expr(s"replace(w, '$l$SymSep$r', '$l$r')").as("w"), col("cnt"))
+            replace(col("w"), lit(s"$l$SymSep$r"), lit(s"$l$r")).as("w"),
+            col("cnt"))
           .cutLineage()
         k += 1
       }
     }
     merges.toSeq.toDF("round", "left_sym", "right_sym", "n")
       .orderBy(col("round"))
+  }
+
+  // ------------------------------------------------------------------
+  // q221: BPE round trip — encode the corpus with the LEARNED merges
+  // ------------------------------------------------------------------
+
+  /** Apply [[bpeTrain]]'s learned rules back to the corpus and report
+    * per-source tokenizer statistics — the round trip that closes the
+    * tokenizer lifecycle (q37/q84 apply a FIXED merges table; this
+    * applies the one just trained on this corpus, the production
+    * train-then-retokenize flow).
+    *
+    * Sennrich's vocab trick again bounds the work: the corpus collapses
+    * to per-source (word, count) rows, the DISTINCT-word table is
+    * encoded ONCE (K sequential literal `replace` column ops — encoding
+    * from char-split in rank order reproduces training's final state
+    * exactly, because both are the same replace chain), and the join
+    * back rides the word key. The merges themselves are K rows of
+    * driver-side metadata (the q181 bounded-scalar pattern) — never
+    * corpus data.
+    *
+    * Output per source: word/char/BPE-token totals, how many word
+    * occurrences collapsed to a SINGLE unit (the in-vocabulary rate's
+    * complement is the OOV pressure), and chars-per-token — the
+    * compression ratio a tokenizer is graded on (one IEEE division of
+    * exact integers). */
+  def bpeEncodeStats(docs: DataFrame, text: Column, source: Column,
+      rounds: Int = BpeRounds): DataFrame = {
+    val learned = bpeTrain(docs, lit(0L), text, rounds)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val wcSrc = docs.select(source.as("source"),
+        explode(TextFunctions.tokens(text)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val enc0 = wcSrc.select(col("tok")).distinct()
+      .withColumn("w", expr(s"array_join(transform(sequence(1, " +
+        s"length(tok)), i -> substring(tok, i, 1)), '$SymSep')"))
+    val encoded = learned.foldLeft(enc0) { case (df, (l, r)) =>
+      df.withColumn("w",
+        replace(col("w"), lit(s"$l$SymSep$r"), lit(s"$l$r")))
+    }
+      .select(col("tok"),
+        (length(col("w")) - length(replace(col("w"), lit(SymSep), lit("")))
+          + 1).cast("long").as("n_units"))
+    wcSrc.join(encoded, Seq("tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(length(col("tok")).cast("long") * col("cnt")).as("n_chars"),
+        sum(col("n_units") * col("cnt")).as("n_bpe_tokens"),
+        sum(when(col("n_units") === 1L, col("cnt")).otherwise(0L))
+          .as("n_single_unit"))
+      .select(col("source"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"), col("n_single_unit"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+          .as("chars_per_token"))
+      .orderBy(col("source"))
   }
 
   // ------------------------------------------------------------------
@@ -275,6 +335,12 @@ object LmQueries {
     // -- BPE merge-rule training (first BpeRounds rules + support).
     "q217_bpe_train" -> { (s, d) =>
       bpeTrain(Tables.documents(s, d), col("doc_id"), col("text"))
+    },
+
+    // -- BPE round trip: the learned rules applied back to the corpus,
+    //    per-source compression / single-unit statistics.
+    "q221_bpe_encode" -> { (s, d) =>
+      bpeEncodeStats(Tables.documents(s, d), col("text"), col("source"))
     }
   )
 
@@ -370,32 +436,75 @@ object LmQueries {
     // greedy merge, whose left-to-right non-overlap semantics matches
     // Spark's replace exactly.
     "q217_bpe_train" -> {
-      val steps = (1 to BpeRounds).map { k =>
-        s"""p$k AS (
-           |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS n
-           |  FROM (SELECT STRING_SPLIT(w, CHR(31)) AS syms, cnt FROM w${k - 1}),
-           |    UNNEST(RANGE(1, GREATEST(LEN(syms), 1))) t(i)
-           |  GROUP BY 1, 2),
-           |g$k AS MATERIALIZED (
-           |  SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
-           |w$k AS MATERIALIZED (
-           |  SELECT REPLACE(w, g.l || CHR(31) || g.r, g.l || g.r) AS w, cnt
-           |  FROM w${k - 1}, g$k g)""".stripMargin
-      }.mkString(",\n")
       val out = (1 to BpeRounds).map { k =>
         s"SELECT CAST($k AS BIGINT) AS round, l AS left_sym, r AS right_sym, n FROM g$k"
       }.mkString("\nUNION ALL ")
-      s"""WITH t AS (
-         |  SELECT UNNEST($Tok) AS tok FROM documents),
-         |wc AS (SELECT tok, COUNT(*) AS cnt FROM t WHERE tok <> '' GROUP BY 1),
-         |w0 AS MATERIALIZED (
-         |  SELECT ARRAY_TO_STRING(
-         |    [SUBSTR(tok, i, 1) FOR i IN RANGE(1, LEN(tok) + 1)], CHR(31)) AS w,
-         |    cnt
-         |  FROM wc),
-         |$steps
+      s"""WITH $bpeTrainCtes
          |$out
          |ORDER BY round""".stripMargin
+    },
+
+    // Training replayed via the shared CTE chain, then every DISTINCT
+    // word re-encoded from its char split through the SAME g1..gK
+    // replace chain (encoding in rank order reproduces training's final
+    // state — both are the identical replace sequence), and the
+    // per-source rollup rides the word key.
+    "q221_bpe_encode" -> {
+      val enc = (1 to BpeRounds).map { k =>
+        s"""e$k AS (
+           |  SELECT tok, REPLACE(w, g.l || CHR(31) || g.r, g.l || g.r) AS w
+           |  FROM e${k - 1}, g$k g)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $bpeTrainCtes,
+         |ts AS (SELECT source, UNNEST($Tok) AS tok FROM documents),
+         |wcs AS (SELECT source, tok, COUNT(*) AS cnt FROM ts
+         |  WHERE tok <> '' GROUP BY 1, 2),
+         |e0 AS (
+         |  SELECT DISTINCT tok, ARRAY_TO_STRING(
+         |    [SUBSTR(tok, i, 1) FOR i IN RANGE(1, LEN(tok) + 1)], CHR(31)) AS w
+         |  FROM wcs),
+         |$enc,
+         |u AS (
+         |  SELECT tok,
+         |    CAST(LEN(w) - LEN(REPLACE(w, CHR(31), '')) + 1 AS BIGINT) AS n_units
+         |  FROM e$BpeRounds)
+         |SELECT source,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_words,
+         |  CAST(SUM(LEN(tok) * cnt) AS BIGINT) AS n_chars,
+         |  CAST(SUM(n_units * cnt) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(SUM(CASE WHEN n_units = 1 THEN cnt ELSE 0 END) AS BIGINT)
+         |    AS n_single_unit,
+         |  CAST(SUM(LEN(tok) * cnt) AS DOUBLE) / CAST(SUM(n_units * cnt) AS DOUBLE)
+         |    AS chars_per_token
+         |FROM wcs JOIN u USING (tok)
+         |GROUP BY source ORDER BY source""".stripMargin
     }
   )
+
+  /** The BPE training loop as a reusable CTE chain: t/wc/w0 plus K
+    * rounds of p_k (pair counts) → g_k (argmax rule) → w_k (merged
+    * vocab). q217 reads the g_k's; q221 appends an encode chain. */
+  private def bpeTrainCtes: String = {
+    val steps = (1 to BpeRounds).map { k =>
+      s"""p$k AS (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM (SELECT STRING_SPLIT(w, CHR(31)) AS syms, cnt FROM w${k - 1}),
+         |    UNNEST(RANGE(1, GREATEST(LEN(syms), 1))) t(i)
+         |  GROUP BY 1, 2),
+         |g$k AS MATERIALIZED (
+         |  SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT REPLACE(w, g.l || CHR(31) || g.r, g.l || g.r) AS w, cnt
+         |  FROM w${k - 1}, g$k g)""".stripMargin
+    }.mkString(",\n")
+    s"""t AS (
+       |  SELECT UNNEST($Tok) AS tok FROM documents),
+       |wc AS (SELECT tok, COUNT(*) AS cnt FROM t WHERE tok <> '' GROUP BY 1),
+       |w0 AS MATERIALIZED (
+       |  SELECT ARRAY_TO_STRING(
+       |    [SUBSTR(tok, i, 1) FOR i IN RANGE(1, LEN(tok) + 1)], CHR(31)) AS w,
+       |    cnt
+       |  FROM wc),
+       |$steps""".stripMargin
+  }
 }

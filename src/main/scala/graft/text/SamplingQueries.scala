@@ -244,6 +244,42 @@ object SamplingQueries {
           sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"),
           max(col("total")).as("total_chars"))
         .orderBy(col("source"))
+    },
+
+    // -- weighted stride-scheduled mixture order: the TRAINING-ORDER
+    //    interleave that q84/q123 only allocate. Each source gets a
+    //    stream position key (2·rank − 1)/(2·w) — stride scheduling's
+    //    midpoint rule — so a source holding fraction w/Σw of the token
+    //    mass occupies that fraction of every PREFIX of the training
+    //    order, not just of the whole corpus (the property epoch-level
+    //    concatenation + shuffle only delivers in expectation; a
+    //    curriculum or early-stopped run sees the declared mixture at
+    //    every step). Within a source the order is the q104 salted-md5
+    //    permutation. All keys are exact integers until ONE IEEE
+    //    division; cross-source ties break (source, doc_id). The global
+    //    numbering is the two-pass range-partitioned form — never a
+    //    single-task window; the per-source rank window partitions by
+    //    source (the q103 discussion covers a mega-source).
+    "q220_stride_mixture" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      val tw = toks.groupBy(col("source")).agg(sum(col("n_tok")).as("w"))
+      val wr = Window.partitionBy(col("source"))
+        .orderBy(col("skey"), col("doc_id"))
+      val keyed = toks
+        .withColumn("skey",
+          md5(concat(lit(MixSalt), col("doc_id").cast("string"))))
+        .withColumn("src_rank", row_number().over(wr).cast("long"))
+        .join(broadcast(tw), Seq("source"))
+        .withColumn("stride_key",
+          (col("src_rank") * 2 - 1).cast("double") /
+            (col("w") * 2).cast("double"))
+      graft.warehouse.Scale.withGlobalRowNumber(keyed,
+          Seq(col("stride_key"), col("source"), col("doc_id")), "global_pos")
+        .select(col("doc_id"), col("source"), col("src_rank"),
+          col("global_pos"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -255,6 +291,11 @@ object SamplingQueries {
 
   /** q104's epoch salt — a new salt is a new permutation. */
   private val EpochSalt = "epoch1:"
+
+  /** q220's within-source shuffle salt — a new salt re-deals every
+    * source's internal order while the stride interleave (a pure
+    * function of rank and weight) is unchanged. */
+  private val MixSalt = "mix0:"
 
   /** Context length for q76 — shared with the generated oracle SQL. */
   private val SeqPackLen = 512
@@ -400,6 +441,32 @@ object SamplingQueries {
         |  CAST(SUM(CASE WHEN (cum - n_chars) * 10 < total * 9 THEN n_chars
         |    ELSE 0 END) AS BIGINT) AS kept_chars,
         |  CAST(MAX(total) AS BIGINT) AS total_chars
-        |FROM c GROUP BY 1 ORDER BY source""".stripMargin
+        |FROM c GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Same exact-integer stride keys and the identical single IEEE
+    // division; the global numbering's (stride_key, source, doc_id)
+    // total order makes ROW_NUMBER deterministic in both engines.
+    "q220_stride_mixture" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS BIGINT)
+         |      AS n_tok
+         |  FROM documents),
+         |w AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS w
+         |  FROM t GROUP BY 1),
+         |r AS (
+         |  SELECT doc_id, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY MD5('$MixSalt' || CAST(doc_id AS VARCHAR)), doc_id)
+         |      AS BIGINT) AS src_rank
+         |  FROM t),
+         |k AS (
+         |  SELECT r.doc_id, r.source, r.src_rank,
+         |    CAST(2 * r.src_rank - 1 AS DOUBLE) / CAST(2 * w.w AS DOUBLE) AS sk
+         |  FROM r JOIN w USING (source))
+         |SELECT doc_id, source, src_rank,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY sk, source, doc_id) AS BIGINT)
+         |    AS global_pos
+         |FROM k ORDER BY doc_id""".stripMargin
   )
 }
