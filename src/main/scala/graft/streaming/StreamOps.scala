@@ -233,19 +233,108 @@ object StreamOps {
     * Output per document: (id, n_shared_ngrams, is_contaminated). */
   def decontaminate(docs: DataFrame, evalDocs: DataFrame, id: Column,
       text: Column, evalText: Column, n: Int = 3,
-      threshold: Int = 5): DataFrame = {
+      threshold: Int = 5, keep: Seq[(String, Column)] = Nil): DataFrame = {
     import graft.text.TextFunctions.shingles
     val evalSh = evalDocs
       .select(explode(shingles(evalText, n)).as("sh"))
       .distinct()
       .agg(collect_list(col("sh")).as("eval_sh"))
     docs
-      .select(id.as("id"), shingles(text, n).as("shs"))
+      .select(Seq(id.as("id"), shingles(text, n).as("shs"))
+        ++ keep.map { case (nm, c) => c.as(nm) }: _*)
       .crossJoin(broadcast(evalSh))
-      .select(col("id"),
+      .select(Seq(col("id"),
         size(array_intersect(col("shs"), col("eval_sh"))).cast("long")
           .as("n_shared_ngrams"))
+        ++ keep.map { case (nm, _) => col(nm) }: _*)
       .withColumn("is_contaminated", col("n_shared_ngrams") >= threshold)
+  }
+
+  final case class BudgetState(cum: Long)
+  final case class DocTok(doc_id: Long, ts: java.sql.Timestamp,
+      source: String, n_tokens: Long)
+  final case class CorpusAdmit(doc_id: Long, source: String, n_tokens: Long,
+      cum_tokens: Long, admitted: Boolean)
+
+  /** Streaming corpus build at ingest — the q219 flagship's streaming
+    * face: every arriving document passes the Gopher quality gate, the
+    * eval-suite decontamination screen, exact dedup within the
+    * watermark, and a cumulative per-source token budget, all in ONE
+    * continuous query. A batch corpus build (q219) sweeps the corpus
+    * after the fact; this admits or flags each document AS IT LANDS,
+    * which is what a continuously-fed training corpus needs.
+    *
+    * Stage contract, in order:
+    *   1. quality — [[graft.text.CorpusQueries.gopherFlags]], a pure
+    *      projection (stateless, embarrassingly parallel);
+    *   2. decontamination — [[decontaminate]]'s broadcast eval-shingle
+    *      row (stateless stream-static);
+    *   3. exact dedup — `dropDuplicatesWithinWatermark` on the
+    *      [[graft.text.TextFunctions.fingerprint]] key (state bounded
+    *      by the delay; a duplicate arriving later than the delay is
+    *      upstream retention's problem — the dedupWithinWatermark
+    *      contract);
+    *   4. budget — flatMapGroupsWithState keyed by SOURCE: state is one
+    *      long (cumulative admitted-stream tokens), rows fold in
+    *      event-time order within each batch, and over-budget documents
+    *      are emitted FLAGGED rather than dropped (the quotaEnforce
+    *      audit pattern). NoTimeout: a corpus budget never expires —
+    *      state is O(#sources), the one stateful stage whose state does
+    *      not grow with volume.
+    *
+    * Batch-stream parity is weaker than q219's in exactly two declared
+    * ways: dedup keeps the FIRST ARRIVAL (q219's ledger keeps the min
+    * doc_id), and the budget folds in arrival order (q219 cuts in
+    * salted-shuffle order) — both are the honest streaming contract,
+    * and StreamOpsSpec pins the replay equivalence under those rules.
+    *
+    * Cross-batch straggler caveat: rows sort by event time WITHIN a
+    * micro-batch; a straggler folding in a later batch charges the
+    * budget at its arrival position (same contract as quotaEnforce). */
+  def corpusBuildStream(docs: DataFrame, evalDocs: DataFrame,
+      budgetPerSource: Long, minWords: Long = 5L, maxWords: Long = 5000L,
+      contamN: Int = 3, contamThreshold: Int = 5,
+      delay: String = "10 minutes"): Dataset[CorpusAdmit] = {
+    import graft.text.{CorpusQueries, TextFunctions}
+    val keep = Seq("ts" -> col("ts"), "source" -> col("source"),
+      "text" -> col("text"))
+    val quality = CorpusQueries
+      .gopherFlags(docs, col("doc_id"), col("text"), minWords, maxWords, keep)
+      .filter(col("passes"))
+    val clean = decontaminate(quality, evalDocs, col("id"), col("text"),
+        col("text"), contamN, contamThreshold, keep)
+      .filter(!col("is_contaminated"))
+    val deduped = clean
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("id").as("doc_id"), col("ts"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+
+    def fn(source: String, rows: Iterator[DocTok],
+        state: GroupState[BudgetState]): Iterator[CorpusAdmit] = {
+      var cum = state.getOption.map(_.cum).getOrElse(0L)
+      val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).map { r =>
+        cum += r.n_tokens
+        CorpusAdmit(r.doc_id, source, r.n_tokens, cum,
+          cum <= budgetPerSource)
+      }
+      state.update(BudgetState(cum))
+      out.iterator
+    }
+    import org.apache.spark.sql.Encoders
+    implicit val encIn: org.apache.spark.sql.Encoder[DocTok] =
+      Encoders.product[DocTok]
+    implicit val encState: org.apache.spark.sql.Encoder[BudgetState] =
+      Encoders.product[BudgetState]
+    implicit val encOut: org.apache.spark.sql.Encoder[CorpusAdmit] =
+      Encoders.product[CorpusAdmit]
+    implicit val encKey: org.apache.spark.sql.Encoder[String] =
+      Encoders.STRING
+    deduped
+      .as[DocTok]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
   final case class BurstState(open: Map[Long, Long], history: Seq[(Long, Long)])

@@ -501,10 +501,11 @@ object CorpusQueries {
     * alphabetic words, symbol-to-word ratio ≤ 0.1 — every gate in
     * cleared-division exact integers. Pure per-row projections. */
   def gopherFlags(docs: DataFrame, id: Column, text: Column,
-      minWords: Long, maxWords: Long): DataFrame = {
+      minWords: Long, maxWords: Long,
+      keep: Seq[(String, Column)] = Nil): DataFrame = {
     val toks = TextFunctions.tokens(text)
     docs
-      .select(id.as("id"),
+      .select(Seq(id.as("id"),
         size(toks).cast("long").as("n_words"),
         length(regexp_replace(lower(trim(text)), "\\s+", "")).cast("long")
           .as("n_chars"),
@@ -512,7 +513,8 @@ object CorpusQueries {
         (length(text) - length(regexp_replace(text, "[#…]", ""))).cast("long")
           .as("n_symbols"),
         TextFunctions.wordHits(text, GopherStop).cast("long").as("n_stopwords"))
-      .select(col("id"), col("n_words"),
+        ++ keep.map { case (n, c) => c.as(n) }: _*)
+      .select(Seq(col("id"), col("n_words"),
         (col("n_words") >= minWords && col("n_words") <= maxWords)
           .as("wordcount_ok"),
         (col("n_chars") >= col("n_words") * 3 &&
@@ -520,6 +522,7 @@ object CorpusQueries {
         (col("n_stopwords") >= 2L).as("stopword_ok"),
         (col("n_alpha") * 5 >= col("n_words") * 4).as("alpha_ok"),
         (col("n_symbols") * 10 <= col("n_words")).as("symbol_ok"))
+        ++ keep.map { case (n, _) => col(n) }: _*)
       .withColumn("passes",
         col("wordcount_ok") && col("meanlen_ok") && col("stopword_ok") &&
           col("alpha_ok") && col("symbol_ok"))

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, row_number, sum}
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
@@ -527,5 +527,71 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == expect)
     assert(got(2L)._2 && !got(3L)._2 && got(4L) == ((0L, false)))
     assert(got(5L) == ((0L, false))) // sub-shingle doc scores 0, not null
+  }
+
+  test("streaming corpus build: quality, decontamination, dedup and budget compose; batch replay parity") {
+    implicit val ctx = spark.sqlContext
+    val evalText = "evaluation benchmark question with the answer key inside the box"
+    val evalDocs = Seq(evalText).toDF("text")
+    val d1 = "the quick brown fox jumps over a lazy sleeping dog"
+    val d5 = "a calm river flows in the green quiet valley today"
+    val d6 = "the old ship sails to the cold north sea port"
+    val d7 = "with warm wind the kite rises over the small town"
+    val batch1 = Seq(
+      (1L, t(0), "s1", d1),
+      (2L, t(1), "s1", "too short here"),    // quality gate drops
+      (3L, t(2), "s1", evalText))            // contamination screen drops
+    val batch2 = Seq(
+      (4L, t(3), "s1", "  The QUICK brown fox jumps over a lazy sleeping dog  "), // dup of d1 after normalization
+      (5L, t(4), "s1", d5))
+    val batch3 = Seq(
+      (6L, t(5), "s1", d6),                  // cum 30 > 25: flagged
+      (7L, t(6), "s2", d7))                  // other source: own budget
+    val ms = MemoryStream[(Long, Timestamp, String, String)]
+    val out = StreamOps.corpusBuildStream(
+      ms.toDF().toDF("doc_id", "ts", "source", "text"), evalDocs,
+      budgetPerSource = 25L, minWords = 5L, maxWords = 50L)
+    val q = out.writeStream.format("memory").queryName("corpus_build")
+      .outputMode("append").start()
+    ms.addData(batch1: _*); q.processAllAvailable()
+    ms.addData(batch2: _*); q.processAllAvailable()
+    ms.addData(batch3: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("corpus_build").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(got == Set(
+      (1L, "s1", 10L, 10L, true),
+      (5L, "s1", 10L, 20L, true),
+      (6L, "s1", 10L, 30L, false),
+      (7L, "s2", 10L, 10L, true)))
+
+    // batch replay under the SAME streaming contract (first-arrival
+    // dedup, event-time budget fold): quality + decontaminate + min-ts
+    // fingerprint dedup + per-source running sum.
+    import org.apache.spark.sql.expressions.Window
+    val all = (batch1 ++ batch2 ++ batch3).toDF("doc_id", "ts", "source", "text")
+    val keep = Seq("ts" -> col("ts"), "source" -> col("source"),
+      "text" -> col("text"))
+    val qual = graft.text.CorpusQueries.gopherFlags(
+        all, col("doc_id"), col("text"), 5L, 50L, keep)
+      .filter(col("passes"))
+    val clean = StreamOps.decontaminate(qual, evalDocs, col("id"),
+        col("text"), col("text"), 3, 5, keep)
+      .filter(!col("is_contaminated"))
+      .withColumn("fp", graft.text.TextFunctions.fingerprint(col("text")))
+    val wFp = Window.partitionBy(col("fp")).orderBy(col("ts"), col("id"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("ts"), col("id"))
+    val replay = clean
+      .withColumn("arr", row_number().over(wFp)).filter(col("arr") === 1)
+      .withColumn("n_tokens",
+        graft.text.TextFunctions.tokenCount(col("text")).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wSrc))
+      .select(col("id"), col("source"), col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= 25L).as("admitted"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(replay == got)
   }
 }
