@@ -293,6 +293,84 @@ object GraphQueries {
       .agg(count(lit(1)).as("n_parts"))
       .orderBy(col("degree"))
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007),
+    * made deterministic: every vertex starts labeled with its own id;
+    * each round, every vertex adopts the label MOST FREQUENT among its
+    * neighbours PLUS ITSELF (the self-vote damps the label-swap
+    * oscillation plain synchronous LPA exhibits on bipartite motifs —
+    * e.g. a single edge flips labels forever without it), ties broken
+    * by smallest label; `iters` fixed rounds (asynchronous LPA
+    * converges faster but is order-dependent — the synchronous
+    * fixed-round form is the one two engines can replay bit-
+    * identically, the q138 determinism convention).
+    *
+    * Plan: the directed adjacency is built once, hash-partitioned on
+    * `src`, persisted; each round shuffles ONLY the O(V) label table
+    * into that layout (q75/q138 discipline), counts (dst, label) votes
+    * map-side-combined, and takes the per-vertex argmax as ONE
+    * `max(struct(c, -label))` aggregate — max c, then min label, no
+    * window. Per-round Checkpoints.cut keeps the plan O(1).
+    *
+    * Unlike min-label components (q75), LPA finds DENSE groups: a
+    * bridge edge between two cliques does not merge them, because votes
+    * across the bridge are outnumbered by votes within each clique. */
+  def labelPropagation(e: DataFrame, iters: Int = 3): DataFrame = {
+    val de = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src")).persist()
+    var labels = de.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab")).cutLineage()
+    (1 to iters).foreach { _ =>
+      labels = de
+        .join(labels.select(col("id").as("src"), col("lab")), Seq("src"))
+        .select(col("dst"), col("lab"))
+        .unionAll(labels.select(col("id").as("dst"), col("lab")))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("lab")).as("neg"))).as("m"))
+        .select(col("dst").as("id"), (-col("m.neg")).as("lab"))
+        .cutLineage()
+    }
+    de.unpersist()
+    labels.select(col("id").as("part_id"), col("lab").as("community"))
+      .orderBy(col("part_id"))
+  }
+
+  /** Degree assortativity of the co-purchase graph: Pearson correlation
+    * of endpoint degrees over the DIRECTED edge list (each undirected
+    * edge counted both ways — the standard Newman 2002 formulation, and
+    * symmetric so Sx = Sy). All five moment sums are exact BIGINTs (one
+    * map-side-combined aggregate over the degree-annotated edges, the
+    * q82 exact-moment discipline); the correlation is a fixed tree of
+    * correctly-rounded IEEE ops over those integers, so both engines
+    * produce the identical double. BIGINT headroom: n·Sxx ≤ E²·d_max²
+    * — fine to ~10⁹ edges; past that the q129 DECIMAL(38,0) widening
+    * applies. A positive value means hub parts co-purchase with other
+    * hubs (catalog core); negative means hubs pair with leaves. */
+  def degreeAssortativity(e: DataFrame): DataFrame = {
+    val de = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = de.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val sums = de
+      .join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), Seq("dst"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+    // zero degree variance (a regular graph) leaves r undefined — emit
+    // NaN explicitly rather than trip ANSI mode's 0/0 error
+    val denom =
+      sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+        sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+    sums.select(col("n").as("n_directed_edges"),
+      when(denom === 0.0, lit(Double.NaN))
+        .otherwise(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") / denom)
+        .as("assortativity"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_triangles" -> { (s, d) => triangleCount(edges(s, d)) },
 
@@ -303,6 +381,16 @@ object GraphQueries {
     "q150_kcore" -> { (s, d) => kCore(maintainedEdges(s, d), k = 3) },
 
     "q167_bfs_hops" -> { (s, d) => bfsHops(maintainedEdges(s, d)) },
+
+    // -- community detection over the maintained co-purchase graph.
+    "q222_label_prop" -> { (s, d) =>
+      labelPropagation(maintainedEdges(s, d))
+    },
+
+    // -- degree assortativity (graph-health scalar) over the same graph.
+    "q223_assortativity" -> { (s, d) =>
+      degreeAssortativity(maintainedEdges(s, d))
+    },
 
     // -- association-rule mining face: top co-purchased pairs by LIFT =
     //    P(A,B) / (P(A)·P(B)) over order baskets. Pair and item supports
@@ -440,6 +528,56 @@ object GraphQueries {
         |FROM (SELECT u AS p FROM e$rounds UNION ALL SELECT v FROM e$rounds)
         |GROUP BY p ORDER BY part_id""".stripMargin
     },
+
+    // The K synchronous LPA rounds unrolled (the q150 pattern); the
+    // per-vertex argmax is the same (c DESC, lab) order Spark's
+    // max(struct(c, -lab)) computes.
+    "q222_label_prop" -> {
+      val iters = 3
+      val steps = (1 to iters).map { k =>
+        s"""s$k AS (
+          |  SELECT dst, lab, COUNT(*) AS c FROM (
+          |    SELECT de.dst, l.lab FROM de JOIN l${k - 1} l ON de.src = l.id
+          |    UNION ALL SELECT id AS dst, lab FROM l${k - 1})
+          |  GROUP BY 1, 2),
+          |l$k AS MATERIALIZED (
+          |  SELECT dst AS id, lab FROM (
+          |    SELECT dst, lab,
+          |      ROW_NUMBER() OVER (PARTITION BY dst ORDER BY c DESC, lab) AS rk
+          |    FROM s$k) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+        |  $edgesSql),
+        |de AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+        |l0 AS (SELECT DISTINCT src AS id, src AS lab FROM de),
+        |$steps
+        |SELECT id AS part_id, CAST(lab AS BIGINT) AS community
+        |FROM l$iters ORDER BY part_id""".stripMargin
+    },
+
+    // Identical exact-integer moment sums and the identical fixed IEEE
+    // expression tree (CAST each operand, same associativity).
+    "q223_assortativity" ->
+      s"""WITH e AS (
+        |  $edgesSql),
+        |de AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT src AS p, COUNT(*) AS deg FROM de GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(dx.deg) AS BIGINT) AS sx,
+        |    CAST(SUM(dy.deg) AS BIGINT) AS sy,
+        |    CAST(SUM(dx.deg * dx.deg) AS BIGINT) AS sxx,
+        |    CAST(SUM(dy.deg * dy.deg) AS BIGINT) AS syy,
+        |    CAST(SUM(dx.deg * dy.deg) AS BIGINT) AS sxy
+        |  FROM de JOIN deg dx ON de.src = dx.p JOIN deg dy ON de.dst = dy.p)
+        |SELECT n AS n_directed_edges,
+        |  CASE WHEN SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |            SQRT(CAST(n * syy - sy * sy AS DOUBLE)) = 0.0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |       SQRT(CAST(n * syy - sy * sy AS DOUBLE))) END AS assortativity
+        |FROM s""".stripMargin,
 
     // q167: recursive CTE with UNION (not UNION ALL) so (v, hops) pairs
     // dedup across iterations — bounds the fixpoint at V·(maxHops+1)

@@ -170,4 +170,48 @@ class GraphSpec extends AnyFunSuite {
     // second access returns the same cached instance (build-once)
     assert(GraphQueries.coPurchasePairs(spark, d) eq maintained)
   }
+
+  test("label propagation: bridged cliques stay two communities; components would merge them") {
+    // two K4s joined by one bridge edge (4—5): intra-clique votes
+    // outnumber the bridge vote, so LPA keeps the cliques separate
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4b = Seq((5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L))
+    val edges = (k4a ++ k4b :+ ((4L, 5L))).toDF("u", "v")
+    val lp = GraphQueries.labelPropagation(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp.filter(_._1 <= 4L).values.toSet.size == 1)
+    assert(lp.filter(_._1 >= 5L).values.toSet.size == 1)
+    assert(lp(1L) != lp(8L)) // the bridge does NOT merge the cliques
+    // min-label components DO merge them — the semantic LPA adds
+    val comps = graft.dedup.Dedup.components(edges, col("u"), col("v"))
+      .collect().map(r => r.getLong(1)).toSet
+    assert(comps.size == 1)
+  }
+
+  test("label propagation: two isolated edges each keep the smaller endpoint's label") {
+    val lp = GraphQueries.labelPropagation(
+        Seq((10L, 20L), (30L, 40L)).toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the self-vote at work: without it a 2-cycle flips labels every
+    // round (synchronous LPA's classic oscillation); with it, round 1
+    // is a 1-1 tie at each endpoint, min-label wins, and the state is
+    // stable ever after
+    assert(lp == Map(10L -> 10L, 20L -> 10L, 30L -> 30L, 40L -> 30L))
+  }
+
+  test("assortativity: star is perfectly disassortative, K4 + pendant sits between") {
+    val star = GraphQueries.degreeAssortativity(
+      (2L to 6L).map(v => (1L, v)).toDF("u", "v")).head()
+    assert(math.abs(star.getDouble(1) + 1.0) < 1e-12) // hub-leaf only: r = -1
+    // a clique alone has zero degree variance (r undefined -> NaN)
+    val k4 = GraphQueries.degreeAssortativity(
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+        .toDF("u", "v")).head()
+    assert(k4.getDouble(1).isNaN)
+    // clique + pendant vertex: mixed degrees, negative but > -1
+    val pend = GraphQueries.degreeAssortativity(
+      (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+        :+ ((4L, 5L))).toDF("u", "v")).head()
+    assert(pend.getDouble(1) < 0.0 && pend.getDouble(1) > -1.0)
+  }
 }
