@@ -322,6 +322,51 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // -- the flagship's FUNNEL AUDIT: every train doc classified by its
+    //    first failing gate (quality → contaminated → duplicate →
+    //    over_budget → kept), rolled up per source — the observability
+    //    report a corpus operator reads before touching gate thresholds.
+    //    Same joins as q219 (Catalyst shares the doc_id-keyed tree);
+    //    the budget column arrives by a LEFT join from the gated subset
+    //    so gate-failing docs classify by their own branch, and the
+    //    when-chain's priority matches the oracle's CASE exactly.
+    "q224_build_report" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val gq = CorpusQueries.gopherFlags(docs, col("doc_id"), col("text"),
+          CorpusQueries.GopherMinWords, CorpusQueries.GopherMaxWords)
+        .select(col("id").as("doc_id"), col("passes"))
+      val contam = CorpusQueries.contaminationLedger(docs, col("doc_id"),
+          col("text"), col("source") === CorpusQueries.EvalSource)
+        .select(col("id").as("doc_id"), col("is_contaminated"))
+      val led = dedupLedger(s, d).ledger
+        .select(col("doc_id"), col("is_canonical"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
+      val base = docs
+        .filter(col("source") =!= CorpusQueries.EvalSource)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .join(gq, Seq("doc_id"))
+        .join(contam, Seq("doc_id"))
+        .join(led, Seq("doc_id"))
+      val budget = base
+        .filter(col("passes") && !col("is_contaminated") && col("is_canonical"))
+        .withColumn("skey",
+          md5(concat(lit(BuildSalt), col("doc_id").cast("string"))))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("cum_tokens"))
+      base.join(budget, Seq("doc_id"), "left")
+        .select(col("source"),
+          when(!col("passes"), "quality")
+            .when(col("is_contaminated"), "contaminated")
+            .when(!col("is_canonical"), "duplicate")
+            .when(col("cum_tokens") > lit(BuildBudgetPerSource), "over_budget")
+            .otherwise("kept").as("reason"))
+        .groupBy(col("source"), col("reason"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("reason"))
+    },
+
     // -- LEAKAGE AUDIT: how bad is the naive split? For every near-dup
     //    pair, band BOTH endpoints with q121's per-doc hash law and
     //    count pairs whose endpoints land in different splits — the
@@ -625,6 +670,76 @@ object TextQueries {
       |  WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
       |      / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.5)""".stripMargin
 
+  /** Shared CTE chain for the corpus-build flagship (q219) and its
+    * funnel audit (q224): the q75 component closure (`canon`), the q188
+    * quality gates (`gpass`), the q77 contamination screen (`contam`),
+    * and the budget running sum over the fully-gated docs (`c`). One
+    * builder so the manifest and its audit can never drift onto
+    * different gate definitions. Requires WITH RECURSIVE. */
+  private def corpusBuildCtes: String = {
+    val stopCase = CorpusQueries.GopherStop.map(w =>
+      s"(CASE WHEN CONTAINS(padded, ' $w ') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""$minhashPairsCtes,
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+       |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+       |canon AS (
+       |  SELECT d.doc_id FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
+       |  WHERE COALESCE(l.comp, d.doc_id) = d.doc_id),
+       |g0 AS (
+       |  SELECT doc_id,
+       |    ' ' || LOWER(TRIM(text)) || ' ' AS padded,
+       |    STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks,
+       |    LEN(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', '', 'g')) AS nc,
+       |    LEN(text) - LEN(REGEXP_REPLACE(text, '[#…]', '', 'g')) AS ns
+       |  FROM documents),
+       |gpass AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS nw, nc, ns,
+       |      CAST(LEN(LIST_FILTER(toks, x -> REGEXP_MATCHES(x, '[a-z]')))
+       |        AS BIGINT) AS na,
+       |      $stopCase AS nstop
+       |    FROM g0)
+       |  WHERE nw BETWEEN ${CorpusQueries.GopherMinWords}
+       |      AND ${CorpusQueries.GopherMaxWords}
+       |    AND nc >= nw * 3 AND nc <= nw * 10 AND nstop >= 2
+       |    AND na * 5 >= nw * 4 AND ns * 10 <= nw),
+       |csh AS (
+       |  SELECT doc_id, source, UNNEST(LIST_DISTINCT([
+       |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |      FOR i IN RANGE(1, GREATEST(LEN(toks) - 1, 1))])) AS sh
+       |  FROM (SELECT doc_id, source,
+       |      STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks
+       |    FROM documents)),
+       |ev AS (SELECT DISTINCT sh FROM csh
+       |  WHERE source = '${CorpusQueries.EvalSource}'),
+       |contam AS (
+       |  SELECT t.doc_id FROM csh t JOIN ev ON t.sh = ev.sh
+       |  WHERE t.source <> '${CorpusQueries.EvalSource}'
+       |  GROUP BY 1 HAVING COUNT(*) >= ${CorpusQueries.ContamThreshold}),
+       |kept AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(LEN(STRING_SPLIT_REGEX(LOWER(TRIM(d.text)), '\\s+'))
+       |      AS BIGINT) AS n_tokens,
+       |    MD5('$BuildSalt' || CAST(d.doc_id AS VARCHAR)) AS skey
+       |  FROM documents d
+       |  JOIN gpass USING (doc_id)
+       |  JOIN canon USING (doc_id)
+       |  WHERE d.source <> '${CorpusQueries.EvalSource}'
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY skey, doc_id) AS BIGINT) AS cum_tokens
+       |  FROM kept)""".stripMargin
+  }
+
   /** DuckDB recomputation of the native BPE token count
     * ([[graft.functions.BpeUtil]]) — generated from the SAME merges table
     * the kernel compiles in (the q57 shared-constant pattern). The kernel
@@ -817,72 +932,33 @@ object TextQueries {
     // recursive-CTE closure gives canonicals, the q188 cleared-division
     // gates give quality, the q77 shingle join gives contamination, and
     // the q84/q104 window cuts the budget in md5-shuffle order.
-    "q219_corpus_build" -> {
-      val stopCase = CorpusQueries.GopherStop.map(w =>
-        s"(CASE WHEN CONTAINS(padded, ' $w ') THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH RECURSIVE $minhashPairsCtes,
-         |edges AS (
-         |  SELECT a_id AS src, b_id AS dst FROM pairs
-         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
-         |reach(id, lab) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
-         |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
-         |canon AS (
-         |  SELECT d.doc_id FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
-         |  WHERE COALESCE(l.comp, d.doc_id) = d.doc_id),
-         |g0 AS (
-         |  SELECT doc_id,
-         |    ' ' || LOWER(TRIM(text)) || ' ' AS padded,
-         |    STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks,
-         |    LEN(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', '', 'g')) AS nc,
-         |    LEN(text) - LEN(REGEXP_REPLACE(text, '[#…]', '', 'g')) AS ns
-         |  FROM documents),
-         |gpass AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS nw, nc, ns,
-         |      CAST(LEN(LIST_FILTER(toks, x -> REGEXP_MATCHES(x, '[a-z]')))
-         |        AS BIGINT) AS na,
-         |      $stopCase AS nstop
-         |    FROM g0)
-         |  WHERE nw BETWEEN ${CorpusQueries.GopherMinWords}
-         |      AND ${CorpusQueries.GopherMaxWords}
-         |    AND nc >= nw * 3 AND nc <= nw * 10 AND nstop >= 2
-         |    AND na * 5 >= nw * 4 AND ns * 10 <= nw),
-         |csh AS (
-         |  SELECT doc_id, source, UNNEST(LIST_DISTINCT([
-         |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-         |      FOR i IN RANGE(1, GREATEST(LEN(toks) - 1, 1))])) AS sh
-         |  FROM (SELECT doc_id, source,
-         |      STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks
-         |    FROM documents)),
-         |ev AS (SELECT DISTINCT sh FROM csh
-         |  WHERE source = '${CorpusQueries.EvalSource}'),
-         |contam AS (
-         |  SELECT t.doc_id FROM csh t JOIN ev ON t.sh = ev.sh
-         |  WHERE t.source <> '${CorpusQueries.EvalSource}'
-         |  GROUP BY 1 HAVING COUNT(*) >= ${CorpusQueries.ContamThreshold}),
-         |kept AS (
-         |  SELECT d.doc_id, d.source,
-         |    CAST(LEN(STRING_SPLIT_REGEX(LOWER(TRIM(d.text)), '\\s+'))
-         |      AS BIGINT) AS n_tokens,
-         |    MD5('$BuildSalt' || CAST(d.doc_id AS VARCHAR)) AS skey
-         |  FROM documents d
-         |  JOIN gpass USING (doc_id)
-         |  JOIN canon USING (doc_id)
-         |  WHERE d.source <> '${CorpusQueries.EvalSource}'
-         |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
-         |c AS (
-         |  SELECT doc_id, source, n_tokens,
-         |    CAST(SUM(n_tokens) OVER (PARTITION BY source
-         |      ORDER BY skey, doc_id) AS BIGINT) AS cum_tokens
-         |  FROM kept)
+    "q219_corpus_build" ->
+      s"""WITH RECURSIVE $corpusBuildCtes
          |SELECT doc_id, source, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= $BuildBudgetPerSource
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
+
+    // The flagship's funnel audit on the same CTE chain: each train doc
+    // classified by its FIRST failing gate (the same priority order the
+    // Spark when-chain applies).
+    "q224_build_report" ->
+      s"""WITH RECURSIVE $corpusBuildCtes,
+         |r AS (
+         |  SELECT d.source,
+         |    CASE
+         |      WHEN g.doc_id IS NULL THEN 'quality'
+         |      WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+         |      WHEN cn.doc_id IS NULL THEN 'duplicate'
+         |      WHEN cc.cum_tokens > $BuildBudgetPerSource THEN 'over_budget'
+         |      ELSE 'kept' END AS reason
+         |  FROM documents d
+         |  LEFT JOIN gpass g ON g.doc_id = d.doc_id
+         |  LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+         |  LEFT JOIN canon cn ON cn.doc_id = d.doc_id
+         |  LEFT JOIN c cc ON cc.doc_id = d.doc_id
+         |  WHERE d.source <> '${CorpusQueries.EvalSource}')
+         |SELECT source, reason, COUNT(*) AS n_docs
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q75's closure + q121's md5 split law, keyed on the component id:
     // same recursive-CTE components, then the split band is a pure
