@@ -341,6 +341,40 @@ object LmQueries {
     //    per-source compression / single-unit statistics.
     "q221_bpe_encode" -> { (s, d) =>
       bpeEncodeStats(Tables.documents(s, d), col("text"), col("source"))
+    },
+
+    // -- CCNet-style perplexity bucketing (Wenzek et al. 2020): each
+    //    source's docs ranked by the q216 LM-affinity signal (higher =
+    //    more predictable under the corpus's own bigram statistics) and
+    //    cut into head/middle/tail TERCILES — the bucketing CCNet uses
+    //    to keep head+middle and drop the tail. Ranking rides one
+    //    per-source window (avg_bits DESC, doc_id ties — the double is
+    //    a pure function of exact integers, so rank order is engine-
+    //    stable); the tercile cut clears the division (rank·3 vs n).
+    "q225_ppl_buckets" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val bits = lmBits(docs, col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+      val scored = docs.select(col("doc_id"), col("source"))
+        .join(bits, Seq("doc_id"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("avg_bits").desc, col("doc_id"))
+      val wn = Window.partitionBy(col("source"))
+      scored
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .select(col("source"),
+          when(col("rnk") * 3 <= col("n"), "head")
+            .when(col("rnk") * 3 <= col("n") * 2, "middle")
+            .otherwise("tail").as("bucket"),
+          col("n_bigrams"), col("avg_bits"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("n_bigrams"),
+          min(col("avg_bits")).as("min_bits"),
+          max(col("avg_bits")).as("max_bits"))
+        .orderBy(col("source"), col("bucket"))
     }
   )
 
@@ -412,24 +446,28 @@ object LmQueries {
 
     // floor(log2 n) = LENGTH(BIN(n)) - 1 in both engines — exact.
     "q216_lm_bits" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, $Tok AS toks FROM documents),
-         |bg AS (
-         |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS sh
-         |  FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks), 1))) r(i)),
-         |c AS (SELECT sh, COUNT(*) AS c FROM bg GROUP BY 1),
-         |b AS (
-         |  SELECT doc_id, COUNT(*) AS n_bigrams,
-         |    CAST(SUM(LENGTH(BIN(c.c)) - 1) AS BIGINT) AS sum_bits
-         |  FROM bg JOIN c USING (sh) GROUP BY 1)
-         |SELECT d.doc_id,
-         |  COALESCE(b.n_bigrams, 0) AS n_bigrams,
-         |  COALESCE(b.sum_bits, 0) AS sum_bits,
-         |  CASE WHEN COALESCE(b.n_bigrams, 0) > 0
-         |    THEN CAST(b.sum_bits AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
-         |    ELSE 0.0 END AS avg_bits
-         |FROM documents d LEFT JOIN b USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+      s"""WITH $lmBitsCtes
+         |SELECT doc_id, n_bigrams, sum_bits, avg_bits
+         |FROM bits ORDER BY doc_id""".stripMargin,
+
+    // CCNet-style terciles over the q216 signal: per-source ranking by
+    // avg_bits DESC (doc_id ties), cleared-division tercile cuts.
+    "q225_ppl_buckets" ->
+      s"""WITH $lmBitsCtes,
+         |rk AS (
+         |  SELECT d.source, b.avg_bits, b.n_bigrams,
+         |    ROW_NUMBER() OVER (PARTITION BY d.source
+         |      ORDER BY b.avg_bits DESC, d.doc_id) AS rnk,
+         |    COUNT(*) OVER (PARTITION BY d.source) AS n
+         |  FROM documents d JOIN bits b USING (doc_id))
+         |SELECT source,
+         |  CASE WHEN rnk * 3 <= n THEN 'head'
+         |       WHEN rnk * 3 <= 2 * n THEN 'middle'
+         |       ELSE 'tail' END AS bucket,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+         |  MIN(avg_bits) AS min_bits, MAX(avg_bits) AS max_bits
+         |FROM rk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // The K-round loop unrolled to literal CTE steps (the q181
     // precedent): pair counts -> argmax (n DESC, l, r) -> REPLACE-based
@@ -480,6 +518,30 @@ object LmQueries {
          |GROUP BY source ORDER BY source""".stripMargin
     }
   )
+
+  /** q216's per-document LM-affinity as a reusable CTE chain ending in
+    * `bits`(doc_id, n_bigrams, sum_bits, avg_bits) — consumed by the
+    * q216 oracle directly and by q225's bucketing on top, so signal and
+    * buckets can never drift. */
+  private def lmBitsCtes: String =
+    s"""t AS (
+       |  SELECT doc_id, $Tok AS toks FROM documents),
+       |bg AS (
+       |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS sh
+       |  FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks), 1))) r(i)),
+       |c AS (SELECT sh, COUNT(*) AS c FROM bg GROUP BY 1),
+       |b AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    CAST(SUM(LENGTH(BIN(c.c)) - 1) AS BIGINT) AS sum_bits
+       |  FROM bg JOIN c USING (sh) GROUP BY 1),
+       |bits AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(b.n_bigrams, 0) AS n_bigrams,
+       |    COALESCE(b.sum_bits, 0) AS sum_bits,
+       |    CASE WHEN COALESCE(b.n_bigrams, 0) > 0
+       |      THEN CAST(b.sum_bits AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
+       |      ELSE 0.0 END AS avg_bits
+       |  FROM documents d LEFT JOIN b USING (doc_id))""".stripMargin
 
   /** The BPE training loop as a reusable CTE chain: t/wc/w0 plus K
     * rounds of p_k (pair counts) → g_k (argmax rule) → w_k (merged
