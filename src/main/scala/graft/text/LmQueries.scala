@@ -146,6 +146,72 @@ object LmQueries {
   }
 
   // ------------------------------------------------------------------
+  // q226: more-like-this — TF-IDF cosine retrieval for an anchor doc
+  // ------------------------------------------------------------------
+
+  /** Top-k documents most similar to the ANCHOR doc (the corpus's
+    * minimum id — a data-derived fixture, the q117 convention) by the
+    * document-to-document face of retrieval (q215's BM25 is bag-of-
+    * words-to-document; the embedding ANN family is dense): "more like
+    * this" over the same inverted-posting machinery.
+    *
+    * Weights are the q99 log-free convention w(t,d) = tf · (N/df), each
+    * a pure function of exact integers. Every float SUM (the shared-
+    * term dot product and both norms) is the sorted-term fold —
+    * `aggregate(array_sort(...), 0.0, +)` ≡ DuckDB's init-less ordered
+    * LIST_REDUCE for positive addends — so scores are bit-reproducible.
+    *
+    * Plan: the anchor's weighted vector is ≤doc-length rows and
+    * BROADCASTS into the posting join, so only documents sharing a term
+    * with the anchor are ever scored (posting selectivity, never a
+    * corpus scan per query); norms come from one doc-keyed fold over
+    * the same tf table; the ranking is TakeOrderedAndProject. */
+  def moreLikeThis(docs: DataFrame, id: Column, text: Column,
+      topK: Int = 10): DataFrame = {
+    val toks = docs.select(id.as("id"),
+      explode(TextFunctions.tokens(text)).as("term"))
+    val tf = toks.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(id.as("id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val weighted = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("id"), col("term"),
+        (col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+          .as("w"))
+    val norms = weighted
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("term"), (col("w") * col("w"))
+        .as("ww")))).as("ws"))
+      .select(col("id"),
+        sqrt(expr("aggregate(ws, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.ww)"))
+          .as("norm"))
+    val anchor = docs.select(id.as("aid")).agg(min(col("aid")).as("aid"))
+      .join(weighted.select(col("id").as("aid"), col("term"),
+        col("w").as("wa")), Seq("aid"))
+    val shared = weighted
+      .join(broadcast(anchor), Seq("term"))
+      .filter(col("id") =!= col("aid"))
+      .groupBy(col("id"), col("aid"))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        array_sort(collect_list(struct(col("term"), (col("w") * col("wa"))
+          .as("p")))).as("ps"))
+      .select(col("id"), col("aid"), col("n_shared_terms"),
+        expr("aggregate(ps, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.p)")
+          .as("num"))
+    shared
+      .join(norms, Seq("id"))
+      .join(norms.select(col("id").as("aid"), col("norm").as("anorm")),
+        Seq("aid"))
+      .select(col("aid").as("anchor_id"), col("id"), col("n_shared_terms"),
+        (col("num") / (col("norm") * col("anorm"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(topK)
+  }
+
+  // ------------------------------------------------------------------
   // q216: integer-exact bigram LM affinity ("how predictable is this
   // document under the corpus's own bigram statistics")
   // ------------------------------------------------------------------
@@ -343,6 +409,12 @@ object LmQueries {
       bpeEncodeStats(Tables.documents(s, d), col("text"), col("source"))
     },
 
+    // -- more-like-this: TF-IDF cosine top-k for the min-id anchor doc.
+    "q226_more_like_this" -> { (s, d) =>
+      moreLikeThis(Tables.documents(s, d), col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // -- CCNet-style perplexity bucketing (Wenzek et al. 2020): each
     //    source's docs ranked by the q216 LM-affinity signal (higher =
     //    more predictable under the corpus's own bigram statistics) and
@@ -449,6 +521,41 @@ object LmQueries {
       s"""WITH $lmBitsCtes
          |SELECT doc_id, n_bigrams, sum_bits, avg_bits
          |FROM bits ORDER BY doc_id""".stripMargin,
+
+    // Identical weight expression tree, identical sorted-term folds for
+    // dot product and both norms (init-less ordered LIST_REDUCE ≡
+    // aggregate(sorted, 0.0, +) for the positive addends here).
+    "q226_more_like_this" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, UNNEST($Tok) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+         |wt AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+         |      AS w
+         |  FROM tf JOIN df USING (term) CROSS JOIN nd),
+         |nr AS (
+         |  SELECT doc_id,
+         |    SQRT(LIST_REDUCE(LIST(w * w ORDER BY term), (x, y) -> x + y))
+         |      AS norm
+         |  FROM wt GROUP BY doc_id),
+         |a AS (SELECT MIN(doc_id) AS aid FROM documents),
+         |aw AS (SELECT wt.term, wt.w AS wa FROM wt, a WHERE wt.doc_id = a.aid),
+         |sh AS (
+         |  SELECT wt.doc_id, COUNT(*) AS n_shared_terms,
+         |    LIST_REDUCE(LIST(wt.w * aw.wa ORDER BY wt.term), (x, y) -> x + y)
+         |      AS num
+         |  FROM wt JOIN aw USING (term), a WHERE wt.doc_id <> a.aid
+         |  GROUP BY 1)
+         |SELECT a.aid AS anchor_id, sh.doc_id, sh.n_shared_terms,
+         |  sh.num / (nr.norm * an.norm) AS cosine
+         |FROM sh
+         |CROSS JOIN a
+         |JOIN nr ON nr.doc_id = sh.doc_id
+         |JOIN nr AS an ON an.doc_id = a.aid
+         |ORDER BY cosine DESC, sh.doc_id LIMIT 10""".stripMargin,
 
     // CCNet-style terciles over the q216 signal: per-source ranking by
     // avg_bits DESC (doc_id ties), cleared-division tercile cuts.
