@@ -113,6 +113,20 @@ object AnnQueries {
         queryVec(s, d), k = 10, probeHamming = 8)
     },
 
+    // -- MMR diversified reranking over the exact top-30: each of the
+    //    10 picks maximizes λ·rel − (1−λ)·max-sim-to-picked — the
+    //    near-dup-suppressing result diversification a retrieval
+    //    pipeline runs after the raw top-N. Stage 1 is the only
+    //    corpus-scale work (TakeOrdered, no shuffle); the greedy loop
+    //    is k 1-row argmaxes over the bounded candidate set (the q181
+    //    pattern). The oracle unrolls the identical 10 rounds.
+    "q230_mmr_rerank" -> { (s, d) =>
+      Similarity.mmrRerank(
+        Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+        col("vec_id"), col("embedding"),
+        queryVec(s, d), k = MmrK, nCandidates = MmrN, lambda = MmrLambda)
+    },
+
     // -- embedding-cosine near-dup pairs, blocked by label (bounded
     //    subset; at scale the block key comes from LSH buckets).
     "q47_embedding_neardup" -> { (s, d) =>
@@ -350,6 +364,49 @@ object AnnQueries {
   private val cosSql =
     "LIST_DOT_PRODUCT(%s, %s) / (SQRT(LIST_DOT_PRODUCT(%s, %s)) * SQRT(LIST_DOT_PRODUCT(%s, %s)))"
 
+  /** q230's constants, shared with the generated oracle. The diversity
+    * weight is interpolated from the SAME Scala double (1.0 − λ =
+    * 0.30000000000000004, not the decimal 0.3) so both engines multiply
+    * by the identical bit pattern. */
+  private val MmrK = 10
+  private val MmrN = 30
+  private val MmrLambda = 0.7
+
+  /** The q230 oracle: candidate CTE (exact top-N) + the K greedy rounds
+    * unrolled (the q150 pattern), each an argmax on the same fixed IEEE
+    * score tree Spark evaluates, accumulating the selected set. */
+  private lazy val mmrSql: String = {
+    val mu = 1.0 - MmrLambda
+    def cos(a: String, b: String) = cosSql.format(a, b, a, a, b, b)
+    // every p/s step MATERIALIZED: p_k references s_{k-1} twice and s_k a
+    // third time, so un-materialized CTE inlining is 3^K copies of the
+    // candidate scan (the q150 unroll lesson)
+    val rounds = (2 to MmrK).map { r =>
+      s"""p$r AS MATERIALIZED (
+        |  SELECT CAST($r AS BIGINT) AS pick, c.vec_id, c.v, c.rel,
+        |    $MmrLambda * c.rel - $mu * MAX(${cos("c.v", "s.v")}) AS mmr
+        |  FROM cand c, s${r - 1} s
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s${r - 1})
+        |  GROUP BY c.vec_id, c.v, c.rel
+        |  ORDER BY mmr DESC, c.vec_id LIMIT 1),
+        |s$r AS MATERIALIZED (
+        |  SELECT * FROM s${r - 1} UNION ALL SELECT * FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      |cand AS MATERIALIZED (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    ${cos("embedding::DOUBLE[]", "qv")} AS rel
+      |  FROM embeddings, q WHERE vec_id <> 0
+      |  ORDER BY rel DESC, vec_id LIMIT $MmrN),
+      |p1 AS MATERIALIZED (
+      |  SELECT CAST(1 AS BIGINT) AS pick, vec_id, v, rel,
+      |    $MmrLambda * rel - $mu * 0.0 AS mmr
+      |  FROM cand ORDER BY mmr DESC, vec_id LIMIT 1),
+      |s1 AS MATERIALIZED (SELECT * FROM p1),
+      |$rounds
+      |SELECT pick, vec_id AS nn_id, rel, mmr FROM s$MmrK ORDER BY pick""".stripMargin
+  }
+
   private val exactTopKSql =
     """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
       |SELECT vec_id AS nn_id,
@@ -392,6 +449,7 @@ object AnnQueries {
     // all-probe configs are exhaustive, hence share the exact-top-k oracle
     "q43_ann_ivf" -> exactTopKSql,
     "q66_ann_lsh" -> exactTopKSql,
+    "q230_mmr_rerank" -> mmrSql,
 
     // Exact-L2 top-1 recomputed with the identical op order
     // (a·a − 2·a·q + q·q, left-to-right); the PQ quality flags are the

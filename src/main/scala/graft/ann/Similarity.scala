@@ -48,6 +48,65 @@ object Similarity {
       .orderBy(col("cosine").desc, col("nn_id"))
       .limit(k)
 
+  /** Maximal-marginal-relevance reranking (Carbonell & Goldstein 1998):
+    * greedily pick `k` results where each pick maximizes
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked — the
+    * diversity-aware retrieval every dense-retrieval data pipeline runs
+    * after the raw top-N (near-duplicate passages otherwise fill the
+    * whole result page / training batch).
+    *
+    * Plan shape: stage 1 is the only corpus-scale work — the exact
+    * top-`nCandidates` by cosine (TakeOrderedAndProject, no shuffle of
+    * the table; swap in the IVF/LSH probe at 100 TB). Stage 2 is the
+    * greedy loop over the BOUNDED candidate set: each round joins the
+    * candidates against the ≤k-row broadcast selected set, takes the
+    * per-candidate max similarity, and pulls ONE argmax row to the
+    * driver (the q181 greedy-coverage pattern — bounded metadata, never
+    * a data collect). k·N cosines total.
+    *
+    * Determinism: every cosine is the same left-to-right double fold as
+    * [[bruteForceTopK]] (VecDot ≡ DuckDB LIST_DOT_PRODUCT on DOUBLE[]),
+    * MAX is order-free, and the score is one fixed IEEE expression tree
+    * `λ·rel − (1−λ)·maxSim` (round 1 uses maxSim = 0.0 — so the first
+    * pick is the relevance argmax, scored on the same tree), so the
+    * oracle unrolls the identical k rounds. Ties break to the lower id. */
+  def mmrRerank(
+      embs: DataFrame, id: Column, vec: Column,
+      query: DataFrame, k: Int, nCandidates: Int,
+      lambda: Double): DataFrame = {
+    import embs.sparkSession.implicits._
+    val cand = embs.select(id.as("nn_id"), vec.as("v"))
+      .crossJoin(broadcast(query))
+      .withColumn("rel", cosine(col("v"), col("q")))
+      .select(col("nn_id"), col("v"), col("rel"))
+      .orderBy(col("rel").desc, col("nn_id"))
+      .limit(nCandidates)
+      .persist()
+    cand.count()
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Double)]()
+    var selected = Seq.empty[(Long, Seq[Float])]
+    (1 to k).foreach { r =>
+      val remaining = if (selected.isEmpty) cand
+        else cand.filter(!col("nn_id").isin(selected.map(_._1): _*))
+      val scored = if (selected.isEmpty)
+        remaining.withColumn("max_sim", lit(0.0))
+      else remaining
+        .crossJoin(broadcast(selected.toDF("sid", "sv")))
+        .groupBy(col("nn_id"), col("v"), col("rel"))
+        .agg(max(cosine(col("v"), col("sv"))).as("max_sim"))
+      val top = scored
+        .withColumn("mmr",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("max_sim"))
+        .orderBy(col("mmr").desc, col("nn_id"))
+        .limit(1).head()
+      picks += ((r.toLong, top.getLong(0), top.getDouble(2),
+        top.getAs[Double]("mmr")))
+      selected = selected :+ ((top.getLong(0), top.getSeq[Float](1)))
+    }
+    cand.unpersist()
+    picks.toSeq.toDF("pick", "nn_id", "rel", "mmr").orderBy(col("pick"))
+  }
+
   /** IVF index state: centroid table + cell-assigned vectors. */
   final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
 

@@ -126,6 +126,32 @@ object CdcQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // -- incremental COUNT(DISTINCT) maintenance: the distinct face of
+    //    the materialized-view family (q106 sums; this one's support bag
+    //    is the state DISTINCT needs because a delete only decrements
+    //    the count when the last live copy goes — Gupta–Mumick counting,
+    //    see cdc.IncrementalDistinct). Base = pre-cut events folded to
+    //    the (key, value, m) bag; delta = the newer append feed at +1
+    //    weights; one bag-fold + one rollup answers per-user distinct
+    //    event types WITHOUT rescanning the base fact — at 100 TB the
+    //    fold is |Δ| + matching-bag rows shuffled into the bag's
+    //    (key, value) hash layout. The oracle recomputes from scratch:
+    //    incremental ≡ full is the maintenance invariant; the signed
+    //    (delete) path is pinned by IncrementalDistinctSpec.
+    "q229_incremental_distinct" -> { (s, d) =>
+      val cut = lit("2024-01-20").cast("timestamp")
+      val ev = Tables.events(s, d)
+      val base = IncrementalDistinct.seed(
+        ev.filter(col("ts") < cut), col("user_id"), col("event_type"))
+      val delta = ev.filter(!(col("ts") < cut) || col("ts").isNull)
+        .withColumn("_change_type", lit("insert"))
+      val bag = IncrementalDistinct.applyDelta(base, delta,
+        col("user_id"), col("event_type"))
+      IncrementalDistinct.distinctCounts(bag)
+        .select(col("key").as("user_id"), col("n_distinct"), col("n_rows"))
+        .orderBy(col("user_id"))
+    },
+
     // -- sequence-gap audit: find every missing id range in the
     //    successfully-processed stream (here: non-error events over the
     //    dense event_id sequence — each gap is a dropped/poisoned batch a
@@ -322,6 +348,11 @@ object CdcQueries {
         |    AS total_cents
         |FROM orders
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q229_incremental_distinct" ->
+      """SELECT user_id, COUNT(DISTINCT event_type) AS n_distinct,
+        |  COUNT(*) AS n_rows
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q158_table_checksum" ->
       """WITH r AS (

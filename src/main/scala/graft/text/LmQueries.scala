@@ -35,6 +35,10 @@ object LmQueries {
     * report describe the same duplication structure. */
   private[text] val ScrubN = CorpusQueries.SpanN
 
+  /** q232's collocation support floor — shared with the generated
+    * oracle SQL. */
+  private val PmiMinCount = 5
+
   /** q215 query terms + BM25 shape constants (k1=1.2, b=0.75 are the
     * standard Robertson defaults; they appear inline as exact literal
     * fragments of the shared score expression below). */
@@ -385,6 +389,75 @@ object LmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // -- vocabulary growth curve (Heaps' law audit): the corpus in
+    //    ingestion order cut into 10 NTILE buckets; each bucket reports
+    //    how many NEVER-SEEN-BEFORE word types it contributes and the
+    //    cumulative vocabulary size — the curve that decides tokenizer
+    //    vocab budgets and flags corpus drift (a late bucket suddenly
+    //    minting new types = new domain or encoding rot). "First seen
+    //    in bucket b" = MIN(bucket) per type — one type-keyed aggregate,
+    //    never a sequential scan; the bucket assignment rides the
+    //    two-pass distributed NTILE (Scale.withGlobalNtile, no
+    //    single-task global window). The final cumulative sum is a
+    //    window over EXACTLY 10 rows — bounded, not corpus-scale.
+    "q231_vocab_growth" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = graft.warehouse.Scale.withGlobalNtile(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        Seq(col("doc_id")), 10, "bucket")
+      val toks = b.select(col("bucket"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      val firsts = toks.groupBy(col("term"))
+        .agg(min(col("bucket")).as("fb"))
+      val newWords = firsts.groupBy(col("fb"))
+        .agg(count(lit(1)).as("nw"))
+      val nDocs = b.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+      val w = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      nDocs.join(newWords, col("bucket") === col("fb"), "left")
+        .select(col("bucket"), col("n_docs"),
+          coalesce(col("nw"), lit(0L)).as("new_words"))
+        .withColumn("vocab_size", sum(col("new_words")).over(w))
+        .orderBy(col("bucket"))
+    },
+
+    // -- PMI collocation extraction: top adjacent word pairs by
+    //    pointwise mutual information — the multi-word-expression miner
+    //    (tokenizer merge candidates, stop-phrase lists, NER gazetteer
+    //    seeds) beside q83's raw bigram counts. PMI = log of the ratio
+    //    p(x,y)/(p(x)p(y)); log is monotone (the q99 convention), so the
+    //    op ranks by the RATIO n_xy·N₁²/(N₂·n_x·n_y) — exact integer
+    //    counts, ONE fixed IEEE expression tree, engine-bit-stable. The
+    //    support floor (n_xy ≥ PmiMinCount) applies BEFORE the unigram
+    //    joins, so only surviving pairs join; the pair aggregate rides
+    //    the single bigram key, the unigram joins ride the term key, the
+    //    two totals broadcast as one row each — no corpus-scale sort
+    //    before the final top-20.
+    "q232_pmi_collocations" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bg = Dedup.shingleRows(docs, col("doc_id"), col("text"), 2)
+      val ug = Dedup.shingleRows(docs, col("doc_id"), col("text"), 1)
+      val uc = ug.groupBy(col("sh").as("w")).agg(count(lit(1)).as("c"))
+      val totals = ug.agg(count(lit(1)).as("n1"))
+        .crossJoin(bg.agg(count(lit(1)).as("n2")))
+      val pc = bg.groupBy(col("sh")).agg(count(lit(1)).as("n_xy"))
+        .filter(col("n_xy") >= PmiMinCount)
+        .select(split(col("sh"), " ").getItem(0).as("x"),
+          split(col("sh"), " ").getItem(1).as("y"), col("n_xy"))
+      pc.join(uc.select(col("w").as("x"), col("c").as("n_x")), Seq("x"))
+        .join(uc.select(col("w").as("y"), col("c").as("n_y")), Seq("y"))
+        .crossJoin(broadcast(totals))
+        .withColumn("pmi_ratio",
+          (col("n_xy").cast("double") * col("n1").cast("double") *
+            col("n1").cast("double")) /
+          (col("n2").cast("double") * col("n_x").cast("double") *
+            col("n_y").cast("double")))
+        .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+          col("pmi_ratio"))
+        .orderBy(col("pmi_ratio").desc, col("x"), col("y"))
+        .limit(20)
+    },
+
     // -- BM25 retrieval for a fixed bag-of-words query.
     "q215_bm25" -> { (s, d) =>
       bm25(Tables.documents(s, d), col("doc_id"), col("text"))
@@ -453,6 +526,46 @@ object LmQueries {
   private val Tok = "STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')"
 
   def oracleSql: Map[String, String] = Map(
+    // Adjacent pairs from the same token arrays, same support floor,
+    // same single-division IEEE tree (both engines left-associate the
+    // double products), same (ratio DESC, x, y) tie order.
+    "q232_pmi_collocations" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $Tok AS toks FROM documents),
+         |bg AS (
+         |  SELECT toks[i+1] AS x, toks[i+2] AS y
+         |  FROM t, UNNEST(RANGE(0, GREATEST(LEN(toks) - 1, 0))) r(i)),
+         |u AS (SELECT UNNEST(toks) AS w FROM t),
+         |uc AS (SELECT w, COUNT(*) AS c FROM u GROUP BY 1),
+         |n1 AS (SELECT COUNT(*) AS n1 FROM u),
+         |n2 AS (SELECT COUNT(*) AS n2 FROM bg),
+         |pc AS (
+         |  SELECT x, y, COUNT(*) AS n_xy FROM bg
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $PmiMinCount)
+         |SELECT pc.x, pc.y, n_xy, ux.c AS n_x, uy.c AS n_y,
+         |  (CAST(n_xy AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE))
+         |    / (CAST(n2 AS DOUBLE) * CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE))
+         |    AS pmi_ratio
+         |FROM pc JOIN uc ux ON pc.x = ux.w JOIN uc uy ON pc.y = uy.w, n1, n2
+         |ORDER BY pmi_ratio DESC, pc.x, pc.y LIMIT 20""".stripMargin,
+
+    // NTILE over doc_id order (standard SQL semantics ≡ withGlobalNtile),
+    // MIN(bucket) per type, LEFT JOIN + bounded 10-row cumulative window.
+    "q231_vocab_growth" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, NTILE(10) OVER (ORDER BY doc_id) AS bucket, text
+         |  FROM documents),
+         |tok AS (
+         |  SELECT bucket, UNNEST($Tok) AS term FROM b),
+         |f AS (SELECT term, MIN(bucket) AS fb FROM tok GROUP BY 1),
+         |nw AS (SELECT fb AS bucket, COUNT(*) AS new_words FROM f GROUP BY 1),
+         |nd AS (SELECT bucket, COUNT(*) AS n_docs FROM b GROUP BY 1)
+         |SELECT nd.bucket, n_docs, COALESCE(new_words, 0) AS new_words,
+         |  CAST(SUM(COALESCE(new_words, 0))
+         |    OVER (ORDER BY nd.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS vocab_size
+         |FROM nd LEFT JOIN nw USING (bucket)
+         |ORDER BY nd.bucket""".stripMargin,
     // Same closure as the Spark plan: windows -> first_doc -> covered
     // positions (RANGE fan-out, DISTINCT) -> anti join -> ordered
     // STRING_AGG rebuild; LEFT JOIN restores fully-scrubbed docs.

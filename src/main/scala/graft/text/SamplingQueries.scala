@@ -45,6 +45,38 @@ object SamplingQueries {
         .orderBy(col("rn"))
     },
 
+    // -- PPS (probability-proportional-to-size) systematic sampling: n
+    //    deterministic draws where each document's selection count is
+    //    proportional to its weight (chars here; tokens in production) —
+    //    the weighted companion to q157's uniform 1-in-k. The classic
+    //    survey-sampling estimator (Madow's systematic PPS): lay every
+    //    document's weight end-to-end along the salted-hash order (the
+    //    q104 permutation, so adjacent grid hits are independent of
+    //    ingestion order), then take the n grid points j·W/n. A document
+    //    is drawn floor(cum·n/W) − floor(cum_prev·n/W) times — EXACTLY n
+    //    total draws by telescoping, zero-weight docs never drawn, and a
+    //    document heavier than W/n is drawn multiple times (certainty
+    //    sampling), all in exact BIGINT arithmetic (`div` ≡ `//` on
+    //    non-negatives; cum·n stays under 2^63 up to ~10^17 total weight
+    //    at n=40 — cast the product to DECIMAL(38,0) past that).
+    //    Plan: the cumulative weight rides the TWO-PASS range-partitioned
+    //    running sum (never a single-task global window); the total is a
+    //    1-row broadcast; selection is then a map-side filter.
+    "q228_pps_sample" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          md5(concat(lit(PpsSalt), col("doc_id").cast("string"))).as("skey"))
+      val cum = graft.warehouse.Scale.withGlobalRunningSum(
+        docs, Seq(col("skey")), col("n_chars"), "cum")
+      val tot = docs.agg(sum(col("n_chars")).as("tot"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("n_picks",
+          expr(s"(cum * $PpsDraws) div tot - ((cum - n_chars) * $PpsDraws) div tot"))
+        .filter(col("n_picks") >= 1)
+        .select(col("doc_id"), col("n_chars"), col("n_picks"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- weighted source mixture: per-source systematic rates (1-in-2 for
     //    even sources, 1-in-5 for odd) — the "mix corpora at fixed
     //    proportions" op, as one declarative filter.
@@ -297,6 +329,11 @@ object SamplingQueries {
     * function of rank and weight) is unchanged. */
   private val MixSalt = "mix0:"
 
+  /** q228's draw count and hash salt — shared with the generated oracle
+    * SQL. A new salt is a new systematic pass over a fresh permutation. */
+  private val PpsDraws = 40
+  private val PpsSalt = "pps1:"
+
   /** Context length for q76 — shared with the generated oracle SQL. */
   private val SeqPackLen = 512
 
@@ -318,6 +355,28 @@ object SamplingQueries {
         |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn
         |  FROM orders)
         |SELECT o_orderkey, rn FROM n WHERE rn % 100 = 1 ORDER BY rn""".stripMargin,
+
+    // Same salted order, same running sum, same floor arithmetic — the
+    // window form is safe in DuckDB (single node); Spark uses the
+    // two-pass range-partitioned sum instead.
+    "q228_pps_sample" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    MD5('$PpsSalt' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_chars,
+        |    SUM(n_chars) OVER (ORDER BY skey ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t),
+        |w AS (SELECT SUM(n_chars) AS tot FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_chars,
+        |    (cum * $PpsDraws) // tot - ((cum - n_chars) * $PpsDraws) // tot
+        |      AS n_picks
+        |  FROM c, w)
+        |SELECT doc_id, n_chars, CAST(n_picks AS BIGINT) AS n_picks
+        |FROM p WHERE n_picks >= 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q64_source_mixture" ->
       """SELECT source, COUNT(*) AS n_kept

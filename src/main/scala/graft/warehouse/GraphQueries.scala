@@ -146,6 +146,60 @@ object GraphQueries {
       .limit(25)
   }
 
+  /** Personalized PageRank (random walk with restart) from the `nSeeds`
+    * lowest-id vertices — the seeded variant of [[pageRank]] and the
+    * data-selection workhorse: "rank everything by proximity to THIS
+    * slice" (seed-expansion community detection, related-item retrieval,
+    * DSIR-style target-affinity over a graph instead of n-grams). Global
+    * PageRank teleports uniformly; PPR teleports ONLY to the seed set,
+    * so rank mass decays with distance from the seeds and the top-k is a
+    * locality-weighted neighborhood, not the global hub list.
+    *
+    * Same exact-integer recurrence discipline as [[pageRank]] (scale
+    * 1e12, truncating `div` ≡ DuckDB `//` on the non-negative domain,
+    * damping 85/100) so the oracle replays it bit-for-bit in a recursive
+    * CTE. Iteration state is the FULL O(V) rank table — zero-rank rows
+    * included — because the recurrence re-derives every vertex's rank
+    * from its in-neighbors each round (a seed with no ranked neighbor
+    * must still re-emit its restart mass, and the oracle's single
+    * working-table reference can't anti-join the dropped rows back).
+    * Per-round shuffle is O(V) ranks into the persisted, src-partitioned
+    * O(E) adjacency — the q75/q138 discipline; the restart mass rides a
+    * broadcast IN-filter over the tiny seed list, never a join.
+    *
+    * The walk restarts from a UNIFORM distribution over the seeds
+    * (mass scale/nSeeds each); non-seeds start at zero. */
+  def personalizedPageRank(e: DataFrame, nSeeds: Int = 5, iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    val de = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = de.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adj = de.join(deg, Seq("src")).repartition(col("src")).persist()
+    val verts = adj.select(col("src").as("v"))
+    // bounded driver-side metadata: nSeeds ids (the bfsHops pattern)
+    val seedIds = verts.distinct().orderBy(col("v")).limit(nSeeds)
+      .collect().map(_.getLong(0)).toSeq
+    val restart = scale / seedIds.length
+    val base = 15L * restart / 100L
+    var ranks = verts.distinct()
+      .select(col("v"),
+        when(col("v").isin(seedIds: _*), lit(restart)).otherwise(lit(0L)).as("r"))
+    (1 to iters).foreach { _ =>
+      ranks = adj.join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(expr("(85 * sum(r div deg)) div 100").as("c"))
+        .select(col("dst").as("v"),
+          (when(col("dst").isin(seedIds: _*), lit(base)).otherwise(lit(0L)) +
+            col("c")).as("r"))
+        .cutLineage()
+    }
+    adj.unpersist()
+    ranks.filter(col("r") > 0)
+      .select(col("v").as("part_id"), col("r").as("ppr_fp"))
+      .orderBy(col("ppr_fp").desc, col("part_id"))
+      .limit(25)
+  }
+
   /** k-core decomposition by iterative peeling: drop every vertex of
     * degree < k, repeat until stable — the standard community/spam
     * filter (a vertex survives iff it has k neighbors that also
@@ -371,12 +425,54 @@ object GraphQueries {
         .as("assortativity"))
   }
 
+  /** Newman modularity of the [[labelPropagation]] communities — the
+    * standard "was the community detection worth it" scalar (Q > 0.3 ≈
+    * real structure; Q ≈ 0 ≈ random). For a partition C of an
+    * undirected graph with m edges, Q = Σ_c [ l_c/m − (D_c/(2m))² ]
+    * (l_c intra-community edges, D_c degree mass of c). Summing those
+    * per-community doubles would make the result depend on addition
+    * order, so the sum is CLEARED to one exact-integer ratio first:
+    *
+    *   Q = (4m·Σl_c − ΣD_c²) / (4m²)
+    *
+    * — both sides exact BIGINTs (headroom to ~10⁹ edges; past that the
+    * q129 DECIMAL(38,0) widening applies), ONE IEEE division, engine-
+    * bit-stable. Plan: the labeling is the q222 fixpoint; intra-edges =
+    * the edge list joined to labels on each endpoint (two vertex-keyed
+    * joins); degree mass = one label-keyed aggregate; the three 1-row
+    * totals broadcast-combine (the q112 scalar pattern). */
+  def modularity(e: DataFrame, iters: Int = 3): DataFrame = {
+    val labels = labelPropagation(e, iters)
+      .select(col("part_id").as("id"), col("community").as("lab"))
+    val intra = e
+      .join(labels.select(col("id").as("u"), col("lab").as("lu")), Seq("u"))
+      .join(labels.select(col("id").as("v"), col("lab").as("lv")), Seq("v"))
+      .filter(col("lu") === col("lv"))
+      .agg(count(lit(1)).as("ie"))
+    val de = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = de.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val degc = deg.join(labels.select(col("id").as("src"), col("lab")), Seq("src"))
+      .groupBy(col("lab")).agg(sum(col("deg")).as("dsum"))
+    val stats = degc.agg(count(lit(1)).as("n_communities"),
+      sum(col("dsum") * col("dsum")).as("sq"))
+    val m = e.agg(count(lit(1)).as("m"))
+    stats.crossJoin(broadcast(intra)).crossJoin(broadcast(m))
+      .select(col("n_communities"), col("m").as("n_edges"),
+        col("ie").as("intra_edges"),
+        ((lit(4L) * col("m") * col("ie") - col("sq")).cast("double") /
+          (lit(4L) * col("m") * col("m")).cast("double")).as("modularity"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_triangles" -> { (s, d) => triangleCount(edges(s, d)) },
 
     "q108_degree_dist" -> { (s, d) => degreeDistribution(maintainedEdges(s, d)) },
 
     "q138_pagerank" -> { (s, d) => pageRank(maintainedEdges(s, d)) },
+
+    // -- seeded proximity ranking over the same maintained graph.
+    "q227_ppr" -> { (s, d) => personalizedPageRank(maintainedEdges(s, d)) },
 
     "q150_kcore" -> { (s, d) => kCore(maintainedEdges(s, d), k = 3) },
 
@@ -385,6 +481,11 @@ object GraphQueries {
     // -- community detection over the maintained co-purchase graph.
     "q222_label_prop" -> { (s, d) =>
       labelPropagation(maintainedEdges(s, d))
+    },
+
+    // -- modularity of the q222 communities (partition-quality scalar).
+    "q234_modularity" -> { (s, d) =>
+      modularity(maintainedEdges(s, d))
     },
 
     // -- degree assortativity (graph-health scalar) over the same graph.
@@ -463,6 +564,31 @@ object GraphQueries {
       |    AND a.l_partkey < b.l_partkey
       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinCoOccurrence""".stripMargin
 
+  /** The K synchronous LPA rounds unrolled (the q150 pattern; the
+    * per-vertex argmax is the same (c DESC, lab) order Spark's
+    * max(struct(c, −lab)) computes) — shared by q222 and q234 so the
+    * labeling the modularity scores can never drift from the labeling
+    * q222 gates. Produces CTEs e, de, l0..l`iters` (no leading WITH). */
+  private def lpaCtes(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""s$k AS (
+        |  SELECT dst, lab, COUNT(*) AS c FROM (
+        |    SELECT de.dst, l.lab FROM de JOIN l${k - 1} l ON de.src = l.id
+        |    UNION ALL SELECT id AS dst, lab FROM l${k - 1})
+        |  GROUP BY 1, 2),
+        |l$k AS MATERIALIZED (
+        |  SELECT dst AS id, lab FROM (
+        |    SELECT dst, lab,
+        |      ROW_NUMBER() OVER (PARTITION BY dst ORDER BY c DESC, lab) AS rk
+        |    FROM s$k) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (
+      |  $edgesSql),
+      |de AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+      |l0 AS (SELECT DISTINCT src AS id, src AS lab FROM de),
+      |$steps""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q107_triangles" ->
       s"""WITH e AS (
@@ -506,6 +632,37 @@ object GraphQueries {
         |FROM pr WHERE it = 5
         |ORDER BY rank_fp DESC, part_id LIMIT 25""".stripMargin,
 
+    // q138's recursive replay with the seeded teleport: restart mass
+    // only on the 5 lowest-id vertices, zero elsewhere; identical
+    // integer recurrence (`//` floor ≡ Spark `div` on non-negatives).
+    "q227_ppr" ->
+      s"""WITH RECURSIVE
+        |e AS (
+        |  $edgesSql),
+        |de AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT src AS v, COUNT(*) AS deg FROM de GROUP BY 1),
+        |seeds AS (SELECT v FROM deg ORDER BY v LIMIT 5),
+        |ns AS (SELECT COUNT(*) AS k FROM seeds),
+        |pr AS (
+        |  SELECT d.v,
+        |    CASE WHEN d.v IN (SELECT v FROM seeds)
+        |         THEN 1000000000000 // ns.k ELSE 0 END AS r,
+        |    0 AS it
+        |  FROM deg d, ns
+        |  UNION ALL
+        |  SELECT de.dst AS v,
+        |    CASE WHEN de.dst IN (SELECT v FROM seeds)
+        |         THEN (15 * (1000000000000 // (SELECT k FROM ns))) // 100
+        |         ELSE 0 END
+        |      + (85 * SUM(p.r // dg.deg)) // 100 AS r,
+        |    p.it + 1 AS it
+        |  FROM pr p JOIN de ON de.src = p.v JOIN deg dg ON dg.v = p.v
+        |  WHERE p.it < 5
+        |  GROUP BY de.dst, p.it)
+        |SELECT v AS part_id, CAST(r AS BIGINT) AS ppr_fp
+        |FROM pr WHERE it = 5 AND r > 0
+        |ORDER BY ppr_fp DESC, part_id LIMIT 25""".stripMargin,
+
     // 12 unrolled peel rounds (the loop's maxRounds), MATERIALIZED so
     // the chained CTE references don't inline exponentially; fixpoint is
     // reached by round ~9 at verify scale, so the fixed unroll and the
@@ -532,28 +689,33 @@ object GraphQueries {
     // The K synchronous LPA rounds unrolled (the q150 pattern); the
     // per-vertex argmax is the same (c DESC, lab) order Spark's
     // max(struct(c, -lab)) computes.
-    "q222_label_prop" -> {
-      val iters = 3
-      val steps = (1 to iters).map { k =>
-        s"""s$k AS (
-          |  SELECT dst, lab, COUNT(*) AS c FROM (
-          |    SELECT de.dst, l.lab FROM de JOIN l${k - 1} l ON de.src = l.id
-          |    UNION ALL SELECT id AS dst, lab FROM l${k - 1})
-          |  GROUP BY 1, 2),
-          |l$k AS MATERIALIZED (
-          |  SELECT dst AS id, lab FROM (
-          |    SELECT dst, lab,
-          |      ROW_NUMBER() OVER (PARTITION BY dst ORDER BY c DESC, lab) AS rk
-          |    FROM s$k) WHERE rk = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (
-        |  $edgesSql),
-        |de AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
-        |l0 AS (SELECT DISTINCT src AS id, src AS lab FROM de),
-        |$steps
+    "q222_label_prop" ->
+      s"""WITH ${lpaCtes(3)}
         |SELECT id AS part_id, CAST(lab AS BIGINT) AS community
-        |FROM l$iters ORDER BY part_id""".stripMargin
-    },
+        |FROM l3 ORDER BY part_id""".stripMargin,
+
+    // Shared LPA CTE chain (no drift vs q222), then the cleared-integer
+    // modularity ratio: Q = (4m·Σl_c − ΣD_c²) / (4m²) — the one IEEE
+    // division both engines compute on identical BIGINTs.
+    "q234_modularity" ->
+      s"""WITH ${lpaCtes(3)},
+        |deg AS (SELECT src AS p, COUNT(*) AS deg FROM de GROUP BY 1),
+        |intra AS (
+        |  SELECT COUNT(*) AS ie FROM e
+        |  JOIN l3 a ON e.u = a.id JOIN l3 b ON e.v = b.id
+        |  WHERE a.lab = b.lab),
+        |degc AS (
+        |  SELECT l.lab, CAST(SUM(dg.deg) AS BIGINT) AS dsum
+        |  FROM deg dg JOIN l3 l ON dg.p = l.id GROUP BY 1),
+        |st AS (
+        |  SELECT COUNT(*) AS n_communities,
+        |    CAST(SUM(dsum * dsum) AS BIGINT) AS sq
+        |  FROM degc),
+        |mm AS (SELECT COUNT(*) AS m FROM e)
+        |SELECT n_communities, mm.m AS n_edges, ie AS intra_edges,
+        |  CAST(4 * mm.m * ie - sq AS DOUBLE) /
+        |    CAST(4 * mm.m * mm.m AS DOUBLE) AS modularity
+        |FROM st, mm, intra""".stripMargin,
 
     // Identical exact-integer moment sums and the identical fixed IEEE
     // expression tree (CAST each operand, same associativity).

@@ -22,6 +22,11 @@ object ScaleQueries {
     * engines). */
   private val ZFiles = 32
 
+  /** q233's shard counts (before/after the capacity add) — shared with
+    * the generated oracle SQL. */
+  private val RdvFrom = 8
+  private val RdvTo = 9
+
   // The clustered copy is written once per (session, table) — it is a
   // LAYOUT, not a query result; rewriting it on every probe would time
   // the writer, not the clustering (same memo reasoning as the IVF index
@@ -94,6 +99,45 @@ object ScaleQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // -- rendezvous (highest-random-weight) sharding vs modulo, the
+    //    rebalancing audit: grow the shard count 8 → 9 and count the
+    //    rows that MOVE. Rendezvous assigns each doc to
+    //    argmax_s h(doc, s) — adding shard 9 only captures docs whose
+    //    new hash wins, so ~1/9 of rows move (the consistent-hashing
+    //    minimal-disruption property); doc_id % k remaps ~8/9 of the
+    //    table. This is the difference between a 1× and an 8× re-shuffle
+    //    when a 100 TB layout adds capacity — the audit quantifies it
+    //    on real data. h is the portable 48-bit md5 (q121's engine-
+    //    parity hash); the per-doc argmax is one max(struct) aggregate
+    //    over a bounded k-way fan-out (never a window); tie-break
+    //    (h, then s) is total. The oracle replays both assignments.
+    "q233_rendezvous_shards" -> { (s, d) =>
+      import graft.text.TextFunctions.portableHash48
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      def rdv(k: Int, out: String): DataFrame =
+        docs.select(col("doc_id"),
+            explode(sequence(lit(0), lit(k - 1))).as("s"))
+          .withColumn("h", portableHash48(concat(
+            col("doc_id").cast("string"), lit(":"), col("s").cast("string"))))
+          .groupBy(col("doc_id"))
+          .agg(max(struct(col("h"), col("s"))).as("m"))
+          .select(col("doc_id"), col("m.s").as(out))
+      val r = rdv(RdvFrom, "s_from").join(rdv(RdvTo, "s_to"), Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("s_from") =!= col("s_to"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .select(lit("rendezvous").as("scheme"), col("n_docs"), col("n_moved"))
+      val mod = docs
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") % RdvFrom =!= col("doc_id") % RdvTo, 1L)
+            .otherwise(0L)).as("n_moved"))
+        .select(lit("modulo").as("scheme"), col("n_docs"), col("n_moved"))
+      mod.unionByName(r)
+        .withColumn("moved_frac",
+          col("n_moved").cast("double") / col("n_docs").cast("double"))
+        .orderBy(col("scheme"))
+    },
+
     // -- Z-order pruning, oracle-gated face: the corner box "lowest
     //    quarter of BOTH key ranges" holds ~1/16 of the rows and maps to
     //    a contiguous low-z range, so it must touch at most a quarter of
@@ -128,6 +172,41 @@ object ScaleQueries {
     * and confinement — are a generated constant and a literal-TRUE
     * guarantee (violating either fails the hash compare). */
   def oracleSql: Map[String, String] = Map(
+    // Same portable 48-bit hash, same (h, s) tie order (ROW_NUMBER h
+    // DESC, s DESC ≡ Spark max(struct(h, s))), same modulo baseline.
+    "q233_rendezvous_shards" ->
+      s"""WITH x AS (
+        |  SELECT doc_id, s,
+        |    md5_number_lower(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(s AS VARCHAR)) % 281474976710656 AS h
+        |  FROM documents, UNNEST(RANGE(0, $RdvTo)) t(s)),
+        |a8 AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC)
+        |        AS rk
+        |    FROM x WHERE s < $RdvFrom) WHERE rk = 1),
+        |a9 AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC)
+        |        AS rk
+        |    FROM x) WHERE rk = 1),
+        |r AS (
+        |  SELECT 'rendezvous' AS scheme, COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN a8.s <> a9.s THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_moved
+        |  FROM a8 JOIN a9 USING (doc_id)),
+        |m AS (
+        |  SELECT 'modulo' AS scheme, COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN doc_id % $RdvFrom <> doc_id % $RdvTo
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+        |  FROM documents)
+        |SELECT scheme, n_docs, n_moved,
+        |  CAST(n_moved AS DOUBLE) / CAST(n_docs AS DOUBLE) AS moved_frac
+        |FROM (SELECT * FROM m UNION ALL SELECT * FROM r)
+        |ORDER BY scheme""".stripMargin,
+
     "q165_bucketed_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT)

@@ -256,6 +256,36 @@ class AnnSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("MMR: first pick is the relevance argmax, a clone of it is demoted " +
+      "below a diverse runner-up, and picks never repeat") {
+    import spark.implicits._
+    // query along +x. v1 = top match but OFF-axis (if the top match
+    // aligned with the query, λ=0.7 could never demote its clone:
+    // any alternative's sim-to-pick-1 ≈ its own relevance and
+    // 0.7r − 0.3r < 0.7 − 0.3 for r < 1). v2 = near-clone of v1,
+    // v3 = mirrored across the query axis (similar rel, low sim to
+    // v1), v4 = orthogonal filler.
+    val q = Seq(Tuple1(Seq(1.0f, 0.0f, 0.0f))).toDF("q")
+    val vecs = Seq(
+      (1L, Seq(0.8f, 0.6f, 0.0f)), //  rel 0.800
+      (2L, Seq(0.799f, 0.6f, 0.0f)), //  rel 0.7996, sim to v1 ≈ 1
+      (3L, Seq(0.79f, -0.613f, 0.0f)), // rel 0.7901, sim to v1 ≈ 0.264
+      (4L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val picks = Similarity.mmrRerank(vecs, col("vec_id"), col("embedding"),
+        q, k = 3, nCandidates = 4, lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(picks.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // pick 1 = raw top relevance; pick 2 must SKIP the clone (vec 2,
+    // cosine ≈ 1 to pick 1) for the diverse vec 3
+    assert(picks(0)._2 == 1L)
+    assert(picks(1)._2 == 3L)
+    assert(picks.map(_._2).distinct.length == 3)
+    // pure relevance order WOULD have taken the clone second
+    val rel = Similarity.bruteForceTopK(vecs, col("vec_id"), col("embedding"),
+      q, 2).collect().map(_.getLong(0)).toSeq
+    assert(rel == Seq(1L, 2L))
+  }
+
   test("IVF-PQ: pruned probe scans a strict subset of cells") {
     val idx = Similarity.buildIvfPq(embs, col("vec_id"), col("embedding"),
       nCells = 8, m = 16, ksub = 32)

@@ -1,0 +1,64 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class IncrementalDistinctSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def chg(rows: (String, String, String)*): DataFrame =
+    rows.toDF("k", "v", "_change_type")
+
+  private def recompute(live: Seq[(String, String)]) =
+    live.groupBy(_._1).view.mapValues { vs =>
+      (vs.map(_._2).distinct.size.toLong, vs.size.toLong)
+    }.toMap
+
+  private def collectCounts(bag: DataFrame) =
+    IncrementalDistinct.distinctCounts(bag).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("incremental distinct equals from-scratch recompute; a delete only " +
+      "decrements when the LAST live copy goes") {
+    // u1 sees 'click' twice — the case where naive per-window distinct
+    // arithmetic breaks on the first delete
+    var live = Seq(("u1", "click"), ("u1", "click"), ("u1", "buy"),
+      ("u2", "view"))
+    var bag = IncrementalDistinct.seed(live.toDF("k", "v"),
+      col("k"), col("v"))
+    assert(collectCounts(bag) == recompute(live))
+
+    // delete ONE of u1's two clicks: n_distinct must NOT drop
+    bag = IncrementalDistinct.applyDelta(bag,
+      chg(("u1", "click", "delete")), col("k"), col("v"))
+    live = live.diff(Seq(("u1", "click")))
+    assert(collectCounts(bag) == recompute(live))
+    assert(collectCounts(bag)("u1") == ((2L, 2L)))
+
+    // delete the LAST click: now it drops
+    bag = IncrementalDistinct.applyDelta(bag,
+      chg(("u1", "click", "delete")), col("k"), col("v"))
+    live = live.diff(Seq(("u1", "click")))
+    assert(collectCounts(bag)("u1") == ((1L, 1L)))
+
+    // an update (delete+insert) plus a brand-new key in one window
+    bag = IncrementalDistinct.applyDelta(bag,
+      chg(("u2", "view", "delete"), ("u2", "buy", "insert"),
+        ("u3", "view", "insert")), col("k"), col("v"))
+    live = live.diff(Seq(("u2", "view"))) ++ Seq(("u2", "buy"), ("u3", "view"))
+    assert(collectCounts(bag) == recompute(live))
+
+    // deleting a key's only row removes the key entirely, and the bag
+    // carries no zero-multiplicity residue
+    bag = IncrementalDistinct.applyDelta(bag,
+      chg(("u3", "view", "delete")), col("k"), col("v"))
+    live = live.diff(Seq(("u3", "view")))
+    assert(collectCounts(bag) == recompute(live))
+    assert(!collectCounts(bag).contains("u3"))
+    assert(bag.filter(col("m") <= 0).isEmpty)
+  }
+}

@@ -58,4 +58,27 @@ class SamplingQueriesSpec extends AnyFunSuite {
     val nDocs = graft.util.Tables.documents(spark, d).count()
     assert(rows.length.toLong == nDocs)
   }
+
+  // --- q228: PPS systematic sampling ----------------------------------
+
+  test("pps sample: exactly n draws by telescoping, weights bound multiplicity") {
+    val d = "/root/testdata/sf0.001"
+    val picks = SamplingQueries.queries("q228_pps_sample")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // telescoping: Σ n_picks = floor(W·n/W) − floor(0) = n, always
+    assert(picks.map(_._3).sum == 40L)
+    assert(picks.forall(_._3 >= 1L))
+    // a doc can only be drawn ⌈w·n/W⌉ times; with w ≪ W/n that is 1 —
+    // verify the certainty-sampling bound row by row
+    val w = graft.util.Tables.documents(spark, d)
+      .agg(sum(col("n_chars"))).head().getLong(0)
+    picks.foreach { case (id, chars, n) =>
+      val maxDraws = (chars * 40L) / w + 1L
+      assert(n <= maxDraws, s"doc $id drawn $n > $maxDraws times")
+    }
+    // deterministic: a rerun selects the identical multiset
+    val again = SamplingQueries.queries("q228_pps_sample")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(picks.toSeq == again.toSeq)
+  }
 }

@@ -214,4 +214,48 @@ class GraphSpec extends AnyFunSuite {
         :+ ((4L, 5L))).toDF("u", "v")).head()
     assert(pend.getDouble(1) < 0.0 && pend.getDouble(1) > -1.0)
   }
+
+  test("modularity: two disjoint K4s score exactly 0.5; one K4 scores 0") {
+    // LPA trivially labels each clique one community. Two K4s: m = 12,
+    // Σl_c = 12, D_c = 12 each → Q = (4·12·12 − 288)/(4·144) = 0.5 —
+    // exact in the cleared-integer form, so assert equality, not a band.
+    def k4(off: Long) = for {
+      i <- 0L to 3L; j <- (i + 1) to 3L
+    } yield (off + i, off + j)
+    val two = GraphQueries.modularity((k4(1) ++ k4(10)).toDF("u", "v")).head()
+    assert(two.getLong(0) == 2L) // n_communities
+    assert(two.getLong(1) == 12L && two.getLong(2) == 12L)
+    assert(two.getDouble(3) == 0.5)
+    // a single community scores exactly 0: Q = (4m² − (2m)²)/(4m²)
+    val one = GraphQueries.modularity(k4(1).toDF("u", "v")).head()
+    assert(one.getLong(0) == 1L && one.getDouble(3) == 0.0)
+  }
+
+  test("ppr: rank mass stays in the seed component and decays with distance") {
+    // path 1-2-3-4-5-6 plus a disconnected edge 10-11; seed = vertex 1
+    val e = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)) :+
+      ((10L, 11L))).toDF("u", "v")
+    val r = GraphQueries.personalizedPageRank(e, nSeeds = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // nothing teleports to the 10-11 component, so it never gains mass
+    assert(!r.contains(10L) && !r.contains(11L))
+    // proximity ordering along the path: 1-hop > 3-hop > 5-hop
+    assert(r(2L) > r(4L) && r(4L) > r(6L))
+    // rank concentrates at the seed's 1-hop neighborhood (on a path the
+    // degree-1 seed hands most mass to its neighbor each round, so the
+    // top slot alternates between seed and neighbor — both are ≥ every
+    // farther vertex)
+    assert(r.values.max == math.max(r(1L), r(2L)))
+    assert(math.min(r(1L), r(2L)) >= r(3L))
+  }
+
+  test("ppr with every vertex seeded ≡ global pagerank (same recurrence)") {
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 5L))
+      .toDF("u", "v")
+    val ppr = GraphQueries.personalizedPageRank(e, nSeeds = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toSet
+    val pr = GraphQueries.pageRank(e)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toSet
+    assert(ppr == pr)
+  }
 }
