@@ -25,17 +25,23 @@ object IncrementalAgg {
   /** Fold one [[Apply.changesBetween]] window into the aggregate state.
     * `state`: (key, n, tot). `changes`: CDF rows with `_change_type`.
     * `value` must be an exact-integer measure (cents) — IEEE addition
-    * would drift between the incremental and recomputed paths. */
+    * would drift between the incremental and recomputed paths.
+    *
+    * BROADCAST-MERGE fold ([[IvmFold.mergeCounts]]), not union +
+    * re-aggregate: the union form re-shuffles the whole base-sized agg
+    * table every commit; the merge streams the state through broadcast
+    * probes of the |Δ|-sized delta partials — only the delta aggregate
+    * itself shuffles (rationale and measurements: IvmFold scaladoc /
+    * graft.IvmProbe). */
   def applyDelta(state: DataFrame, changes: DataFrame, key: Column,
       value: Column): DataFrame = {
     val w = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
     val delta = changes
       .select(key.as("key"), w.as("w"), value.as("v"))
       .groupBy(col("key"))
-      .agg(sum(col("w")).as("n"), sum(col("w") * col("v")).as("tot"))
-    state.unionByName(delta)
-      .groupBy(col("key"))
-      .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"))
+      .agg(sum(col("w")).as("dn"), sum(col("w") * col("v")).as("dtot"))
+    IvmFold.mergeCounts(state, delta, Seq("key"),
+        Seq("n" -> "dn", "tot" -> "dtot"))
       .filter(col("n") > 0)
   }
 

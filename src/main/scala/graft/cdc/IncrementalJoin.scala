@@ -63,13 +63,22 @@ object IncrementalJoin {
       l.join(r.withColumnRenamed("m", "mb"), Seq("key"))
         .select(col("key"), col("av"), col("bv"),
           (col("m") * col("mb")).as("m"))
-    val dM = cross(dA, st.b)
-      .unionByName(cross(st.a, dB))
-      .unionByName(cross(dA, dB))
+    // The delta sides broadcast: a change window is micro-batch sized
+    // by contract, so ΔA⋈B / A⋈ΔB are broadcast-hash probes of the
+    // cached state — the base bags never shuffle for the join either.
+    // (For a giant backfill window, drop the hint and let AQE pick.)
+    val dM = cross(broadcast(dA), st.b)
+      .unionByName(cross(st.a, broadcast(dB)))
+      .unionByName(cross(dA, broadcast(dB)))
+    // BROADCAST-MERGE fold (IvmFold.mergeCounts), not union +
+    // re-aggregate: the union form re-shuffles each base-sized bag
+    // every commit; the merge streams the bags through broadcast
+    // probes of the delta — only the delta's own aggregate shuffles
+    // (rationale and measurements: IvmFold scaladoc / graft.IvmProbe).
     def fold(state: DataFrame, delta: DataFrame, cols: Seq[String]): DataFrame =
-      state.unionByName(delta)
-        .groupBy(cols.map(col): _*)
-        .agg(sum(col("m")).as("m"))
+      IvmFold.mergeCounts(state,
+          delta.groupBy(cols.map(col): _*).agg(sum(col("m")).as("dm")),
+          cols, Seq("m" -> "dm"))
         .filter(col("m") > 0L)
     State(
       fold(st.a, dA, Seq("key", "av")).cutLineage(),

@@ -61,4 +61,40 @@ class IncrementalDistinctSpec extends AnyFunSuite {
     assert(!collectCounts(bag).contains("u3"))
     assert(bag.filter(col("m") <= 0).isEmpty)
   }
+
+  test("the fold shuffles only delta-sized data: a 2-row window against a " +
+      "100k-pair bag moves a handful of records, never the bag") {
+    // the scale claim behind the broadcast-merge fold (IvmFold): the
+    // union + re-aggregate form it replaced shuffled the WHOLE bag per
+    // commit. Assert on actual shuffle-write task metrics, not plan
+    // strings — robust to AQE/broadcast-reuse plan shapes.
+    val shuffled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffled.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    // 21 coprime to 5000 and lcm(5000, 21) > 100000: every (k, v) pair
+    // occurs exactly once, so the bag holds 100k live pairs at m = 1
+    val bag = IncrementalDistinct.seed(
+        spark.range(100000L)
+          .select(concat(lit("k"), (col("id") % 5000L)).as("k"),
+            concat(lit("v"), (col("id") % 21L)).as("v")),
+        col("k"), col("v"))
+      .localCheckpoint(true)
+    assert(bag.count() == 100000L)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // (k2, v2) is live at m = 1 (id ≡ 2 mod 5000 ⇒ v ≡ 2 mod 20), so
+      // the delete drops it; the insert adds one fresh pair — net 0
+      val n = IncrementalDistinct.applyDelta(bag,
+        chg(("k1", "zz", "insert"), ("k2", "v2", "delete")),
+        col("k"), col("v")).count()
+      assert(n == 100000L)
+      Thread.sleep(1000) // listener events are async
+      assert(shuffled.get() < 1000L,
+        s"fold shuffled ${shuffled.get()} records - base-sized, not delta-sized")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
