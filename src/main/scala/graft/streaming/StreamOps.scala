@@ -350,6 +350,48 @@ object StreamOps {
   final case class Admitted(user_id: Long, ts: java.sql.Timestamp,
       admitted: Boolean, n_in_window: Long)
 
+  final case class Chg(user_id: Long, ts: java.sql.Timestamp,
+      value: String, op: String)
+  final case class BagState(m: Map[String, Long])
+  final case class DistinctCount(user_id: Long, n_distinct: Long, n_rows: Long)
+
+  /** Streaming COUNT(DISTINCT) maintenance — q229's Gupta–Mumick
+    * support bag ([[graft.cdc.IncrementalDistinct]]) as a stateful
+    * stream over a change feed (op = insert | delete; an update is its
+    * delete+insert pair). State per key is the value→multiplicity map —
+    * the same footprint the batch bag carries for that key, bounded by
+    * the key's live distinct values, never its event history. Each
+    * micro-batch emits the key's refreshed (n_distinct, n_rows) row —
+    * the streaming materialized view.
+    *
+    * Parity contract (StreamOpsSpec pins it): for a WELL-FORMED feed
+    * (every delete matches a live row — the CDC producer contract),
+    * the final counts equal the batch fold of the same windows; rows
+    * fold in event-time order within a batch, and a delete that finds
+    * no live copy is forgotten, exactly like the batch bag's m > 0
+    * filter. NoTimeout: view state lives as long as the key — the one
+    * stateful op here whose state is the product, not a cache. */
+  def distinctMaintain(changes: Dataset[Chg])(
+      implicit enc1: org.apache.spark.sql.Encoder[BagState],
+      enc2: org.apache.spark.sql.Encoder[DistinctCount],
+      enc3: org.apache.spark.sql.Encoder[Long]): Dataset[DistinctCount] = {
+
+    def fn(user: Long, rows: Iterator[Chg],
+        state: GroupState[BagState]): Iterator[DistinctCount] = {
+      var m = state.getOption.map(_.m).getOrElse(Map.empty[String, Long])
+      rows.toSeq.sortBy(_.ts.getTime).foreach { c =>
+        val d = if (c.op == "insert") 1L else -1L
+        val nm = m.getOrElse(c.value, 0L) + d
+        m = if (nm > 0) m.updated(c.value, nm) else m - c.value
+      }
+      if (m.isEmpty) state.remove() else state.update(BagState(m))
+      Iterator.single(DistinctCount(user, m.size.toLong, m.values.sum))
+    }
+
+    changes.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Per-key quota enforcement at ingest: each user may admit at most
     * `maxPerWindow` events per tumbling `windowSeconds` window; excess
     * events are emitted FLAGGED rather than dropped, so the caller

@@ -39,6 +39,10 @@ object LmQueries {
     * oracle SQL. */
   private val PmiMinCount = 5
 
+  /** q236's train/eval cut: hash buckets < cut train, rest eval (the
+    * q121 portable-hash split convention) — shared with the oracle. */
+  private val BpeSplitCut = 80
+
   /** q215 query terms + BM25 shape constants (k1=1.2, b=0.75 are the
     * standard Robertson defaults; they appear inline as exact literal
     * fragments of the shared score expression below). */
@@ -378,6 +382,58 @@ object LmQueries {
       .orderBy(col("source"))
   }
 
+  /** Tokenizer generalization audit (q236): train the BPE merges on the
+    * TRAIN split ONLY, then encode BOTH splits with the learned rules
+    * and compare — the held-out eval every tokenizer ships with. BPE
+    * has no hard OOV (unseen words fall back to character units), so
+    * the generalization signals are (a) chars-per-token on eval vs
+    * train (compression transfer), (b) the single-unit rate (words the
+    * vocab failed to merge at all), and (c) `n_unseen_words` — eval
+    * tokens whose TYPE never occurs in the train split (the would-be
+    * OOV set a closed-vocab tokenizer drops).
+    *
+    * Plan: training rides the Sennrich vocab collapse on the train
+    * slice; encoding collapses both splits to DISTINCT words once and
+    * replays the K-round replace chain (q221); the unseen flag is one
+    * left join against the train vocabulary on the word key. */
+  def bpeGeneralization(docs: DataFrame, text: Column, split: Column,
+      rounds: Int = BpeRounds): DataFrame = {
+    val learned = bpeTrain(docs.filter(split === "train"), lit(0L), text, rounds)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val wcs = docs.select(split.as("split"),
+        explode(TextFunctions.tokens(text)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("split"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val trainVocab = wcs.filter(col("split") === "train")
+      .select(col("tok"), lit(true).as("in_train")).distinct()
+    val enc0 = wcs.select(col("tok")).distinct()
+      .withColumn("w", expr(s"array_join(transform(sequence(1, " +
+        s"length(tok)), i -> substring(tok, i, 1)), '$SymSep')"))
+    val encoded = learned.foldLeft(enc0) { case (df, (l, r)) =>
+      df.withColumn("w",
+        replace(col("w"), lit(s"$l$SymSep$r"), lit(s"$l$r")))
+    }
+      .select(col("tok"),
+        (length(col("w")) - length(replace(col("w"), lit(SymSep), lit("")))
+          + 1).cast("long").as("n_units"))
+    wcs.join(encoded, Seq("tok"))
+      .join(trainVocab, Seq("tok"), "left")
+      .groupBy(col("split"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(length(col("tok")).cast("long") * col("cnt")).as("n_chars"),
+        sum(col("n_units") * col("cnt")).as("n_bpe_tokens"),
+        sum(when(col("n_units") === 1L, col("cnt")).otherwise(0L))
+          .as("n_single_unit"),
+        sum(when(col("in_train").isNull, col("cnt")).otherwise(0L))
+          .as("n_unseen_words"))
+      .select(col("split"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"), col("n_single_unit"), col("n_unseen_words"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+          .as("chars_per_token"))
+      .orderBy(col("split"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -458,6 +514,15 @@ object LmQueries {
         .limit(20)
     },
 
+    // -- tokenizer generalization: BPE trained on the hash-split TRAIN
+    //    slice, compression + unseen-word rates measured on both splits.
+    "q236_bpe_oov" -> { (s, d) =>
+      val b = pmod(TextFunctions.portableHash48(col("doc_id").cast("string")),
+        lit(100L))
+      bpeGeneralization(Tables.documents(s, d), col("text"),
+        when(b < BpeSplitCut, "train").otherwise("eval"))
+    },
+
     // -- BM25 retrieval for a fixed bag-of-words query.
     "q215_bm25" -> { (s, d) =>
       bm25(Tables.documents(s, d), col("doc_id"), col("text"))
@@ -526,6 +591,52 @@ object LmQueries {
   private val Tok = "STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')"
 
   def oracleSql: Map[String, String] = Map(
+    // Training replayed from the TRAIN-slice relation through the
+    // parameterized CTE generator, both splits re-encoded through the
+    // learned g1..gK replace chain (the q221 pattern), unseen flag via
+    // a train-vocabulary left join.
+    "q236_bpe_oov" -> {
+      val hashB =
+        "(md5_number_lower(CAST(doc_id AS VARCHAR)) % 281474976710656) % 100"
+      val trainRel =
+        s"(SELECT text FROM documents WHERE $hashB < $BpeSplitCut) tr"
+      val enc = (1 to BpeRounds).map { k =>
+        s"""e$k AS (
+           |  SELECT tok, REPLACE(w, g.l || CHR(31) || g.r, g.l || g.r) AS w
+           |  FROM e${k - 1}, g$k g)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${bpeTrainCtesFrom(trainRel)},
+         |ts AS (
+         |  SELECT CASE WHEN $hashB < $BpeSplitCut THEN 'train' ELSE 'eval' END
+         |    AS split, UNNEST($Tok) AS tok
+         |  FROM documents),
+         |wcs AS (SELECT split, tok, COUNT(*) AS cnt FROM ts
+         |  WHERE tok <> '' GROUP BY 1, 2),
+         |tv AS (SELECT DISTINCT tok, TRUE AS in_train FROM wcs
+         |  WHERE split = 'train'),
+         |e0 AS (
+         |  SELECT DISTINCT tok, ARRAY_TO_STRING(
+         |    [SUBSTR(tok, i, 1) FOR i IN RANGE(1, LEN(tok) + 1)], CHR(31)) AS w
+         |  FROM wcs),
+         |$enc,
+         |u AS (
+         |  SELECT tok,
+         |    CAST(LEN(w) - LEN(REPLACE(w, CHR(31), '')) + 1 AS BIGINT) AS n_units
+         |  FROM e$BpeRounds)
+         |SELECT split,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_words,
+         |  CAST(SUM(LEN(tok) * cnt) AS BIGINT) AS n_chars,
+         |  CAST(SUM(n_units * cnt) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(SUM(CASE WHEN n_units = 1 THEN cnt ELSE 0 END) AS BIGINT)
+         |    AS n_single_unit,
+         |  CAST(SUM(CASE WHEN in_train IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+         |    AS n_unseen_words,
+         |  CAST(SUM(LEN(tok) * cnt) AS DOUBLE) / CAST(SUM(n_units * cnt) AS DOUBLE)
+         |    AS chars_per_token
+         |FROM wcs JOIN u USING (tok) LEFT JOIN tv USING (tok)
+         |GROUP BY split ORDER BY split""".stripMargin
+    },
+
     // Adjacent pairs from the same token arrays, same support floor,
     // same single-division IEEE tree (both engines left-associate the
     // double products), same (ratio DESC, x, y) tie order.
@@ -766,7 +877,12 @@ object LmQueries {
   /** The BPE training loop as a reusable CTE chain: t/wc/w0 plus K
     * rounds of p_k (pair counts) → g_k (argmax rule) → w_k (merged
     * vocab). q217 reads the g_k's; q221 appends an encode chain. */
-  private def bpeTrainCtes: String = {
+  private def bpeTrainCtes: String = bpeTrainCtesFrom("documents")
+
+  /** Parameterized over the training relation (a table name or aliased
+    * subquery) so q236 can train on the TRAIN split only while q217/
+    * q221 keep training on the full corpus. */
+  private def bpeTrainCtesFrom(rel: String): String = {
     val steps = (1 to BpeRounds).map { k =>
       s"""p$k AS (
          |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS n
@@ -780,7 +896,7 @@ object LmQueries {
          |  FROM w${k - 1}, g$k g)""".stripMargin
     }.mkString(",\n")
     s"""t AS (
-       |  SELECT UNNEST($Tok) AS tok FROM documents),
+       |  SELECT UNNEST($Tok) AS tok FROM $rel),
        |wc AS (SELECT tok, COUNT(*) AS cnt FROM t WHERE tok <> '' GROUP BY 1),
        |w0 AS MATERIALIZED (
        |  SELECT ARRAY_TO_STRING(

@@ -439,6 +439,57 @@ object StatsQueries {
     //    division, engine-bit-stable. Plan: one map-side-combined daily
     //    rollup (the only table-sized shuffle), then a 7-row weekday
     //    profile broadcast back onto the daily frame.
+    // -- Kaplan–Meier retention survival: S(day) = Π_{i ≤ day}
+    //    (1 − churned_i / at_risk_i) over the event window — the
+    //    censoring-correct retention curve (q73's cohort grid reports
+    //    raw activity; KM is the estimator product analytics actually
+    //    quote, because users still active at the window's end are
+    //    CENSORED, not churned). Churn day = a user's last active day;
+    //    last-day users are censored. Determinism: each daily hazard is
+    //    one fixed IEEE tree over exact counts, and the running product
+    //    folds in DAY ORDER via a sorted-list aggregate — Spark's
+    //    aggregate(…, 1.0, *) ≡ DuckDB's init-less LIST_REDUCE because
+    //    1.0·x ≡ x for finite non-negative x (the q215 convention).
+    //    Plan: two user-keyed aggregates, then everything lives on the
+    //    bounded day spine (~30 rows — the window and the list fold are
+    //    bounded, not corpus-scale); the bounds row broadcasts.
+    "q235_survival_km" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("dt"))
+      val bounds = ev.agg(min(col("dt")).as("d0"), max(col("dt")).as("dmax"))
+      val users = ev.crossJoin(broadcast(bounds))
+        .select(col("user_id"), datediff(col("dt"), col("d0")).as("day"),
+          datediff(col("dmax"), col("d0")).as("maxday"))
+        .groupBy(col("user_id"), col("maxday"))
+        .agg(max(col("day")).as("last_day"))
+      val total = users.agg(count(lit(1)).as("nt"))
+      val ends = users.groupBy(col("last_day").as("day"))
+        .agg(count(lit(1)).as("ne"))
+      val deaths = users.filter(col("last_day") < col("maxday"))
+        .groupBy(col("last_day").as("day")).agg(count(lit(1)).as("nd"))
+      val spine = bounds
+        .select(explode(sequence(lit(0), datediff(col("dmax"), col("d0"))))
+          .as("day"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine
+        .join(ends, Seq("day"), "left")
+        .join(deaths, Seq("day"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("day"), col("nt"),
+          coalesce(col("ne"), lit(0L)).as("ne"),
+          coalesce(col("nd"), lit(0L)).as("n_churned"))
+        .withColumn("n_risk",
+          col("nt") - sum(col("ne")).over(w) + col("ne"))
+        .withColumn("fct", lit(1.0) -
+          col("n_churned").cast("double") / col("n_risk").cast("double"))
+        .withColumn("survival",
+          aggregate(collect_list(col("fct")).over(w), lit(1.0), _ * _))
+        .select(col("day").cast("long").as("day"), col("n_risk"),
+          col("n_churned"), col("survival"))
+        .orderBy(col("day"))
+    },
+
     "q168_seasonality" -> { (s, d) =>
       val daily = Tables.orders(s, d)
         .groupBy(col("o_orderdate").cast("date").as("day"))
@@ -847,8 +898,41 @@ object StatsQueries {
         |ORDER BY n DESC, l_suppkey LIMIT 20""".stripMargin,
 
     // q168: DuckDB dayofweek is 0=Sunday, Spark is 1=Sunday — shift by 1.
+    // Same churn/censor split, same bounded day spine, same hazard tree
+    // and day-ordered product fold (init-less LIST_REDUCE ≡ 1.0-seeded
+    // aggregate for non-negative factors).
+    "q235_survival_km" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS dt FROM events),
+        |b AS (SELECT MIN(dt) AS d0, MAX(dt) AS dmax FROM ev),
+        |u AS (
+        |  SELECT user_id, MAX(dt - d0) AS last_day, MAX(dmax - d0) AS maxday
+        |  FROM ev, b GROUP BY user_id),
+        |tot AS (SELECT COUNT(*) AS nt FROM u),
+        |spine AS (
+        |  SELECT UNNEST(RANGE(0, (SELECT MAX(maxday) FROM u) + 1)) AS day),
+        |ends AS (SELECT last_day AS day, COUNT(*) AS ne FROM u GROUP BY 1),
+        |deaths AS (
+        |  SELECT last_day AS day, COUNT(*) AS nd FROM u
+        |  WHERE last_day < maxday GROUP BY 1),
+        |f AS (
+        |  SELECT s.day,
+        |    nt - CAST(SUM(COALESCE(e.ne, 0)) OVER
+        |      (ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      + COALESCE(e.ne, 0) AS n_risk,
+        |    COALESCE(d.nd, 0) AS n_churned
+        |  FROM spine s
+        |  LEFT JOIN ends e USING (day) LEFT JOIN deaths d USING (day), tot),
+        |g AS (
+        |  SELECT day, n_risk, n_churned,
+        |    1.0 - CAST(n_churned AS DOUBLE) / CAST(n_risk AS DOUBLE) AS fct
+        |  FROM f)
+        |SELECT day, n_risk, n_churned,
+        |  LIST_REDUCE(LIST(fct) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING),
+        |    (x, y) -> x * y) AS survival
+        |FROM g ORDER BY day""".stripMargin,
+
     "q168_seasonality" ->
-      """WITH daily AS (
+"""WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
         |      AS BIGINT) AS day_cents

@@ -594,4 +594,46 @@ class StreamOpsSpec extends AnyFunSuite {
         r.getBoolean(4))).toSet
     assert(replay == got)
   }
+
+  test("streaming distinct maintenance ≡ batch support-bag fold across " +
+      "three change windows with deletes and updates") {
+    import graft.streaming.StreamOps.Chg
+    implicit val ctx = spark.sqlContext
+    val b1 = Seq(Chg(1L, t(0), "click", "insert"), Chg(1L, t(1), "click", "insert"),
+      Chg(1L, t(2), "buy", "insert"), Chg(2L, t(3), "view", "insert"))
+    val b2 = Seq(Chg(1L, t(4), "click", "delete"), // one of two: count holds
+      Chg(2L, t(5), "view", "delete"), Chg(2L, t(6), "buy", "insert")) // update
+    val b3 = Seq(Chg(1L, t(7), "click", "delete"), // last copy: count drops
+      Chg(3L, t(8), "view", "insert"))
+    val ms = MemoryStream[Chg]
+    val out = StreamOps.distinctMaintain(ms.toDS())
+    val q = out.writeStream.format("memory").queryName("distinct_maintain")
+      .outputMode("append").start()
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable()
+    ms.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("distinct_maintain").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // per-batch emissions, computed by hand: the first delete of u1's
+    // doubled 'click' must NOT drop n_distinct (the Gupta-Mumick case)
+    assert(got == Set(
+      (1L, 2L, 3L), (2L, 1L, 1L), // batch 1
+      (1L, 2L, 2L),               // batch 2 (u2 re-emits (1,1))
+      (1L, 1L, 1L), (3L, 1L, 1L)  // batch 3
+    ))
+    // batch replay through cdc.IncrementalDistinct over the same windows
+    import graft.cdc.IncrementalDistinct
+    var bag = IncrementalDistinct.seed(
+      Seq.empty[(Long, String)].toDF("k", "v"), col("k"), col("v"))
+    Seq(b1, b2, b3).foreach { b =>
+      val chg = b.map(c => (c.user_id, c.value, c.op))
+        .toDF("k", "v", "_change_type")
+      bag = IncrementalDistinct.applyDelta(bag, chg, col("k"), col("v"))
+    }
+    val batchFinal = IncrementalDistinct.distinctCounts(bag).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the stream's final emission per key equals the batch fold
+    assert(batchFinal == Set((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)))
+  }
 }
