@@ -81,7 +81,8 @@ object Maintenance {
     "ivfPqIndex"      -> ((s, d) => graft.ann.AnnQueries.ivfPqIndex(s, d)),
     "zorderLayout"    -> ((s, d) => graft.warehouse.ScaleQueries.zorderLayout(s, d)),
     "bucketedPair"    -> ((s, d) => graft.warehouse.ScaleQueries.bucketedPair(s, d)),
-    "coPurchasePairs" -> ((s, d) => graft.warehouse.GraphQueries.coPurchasePairs(s, d))
+    "coPurchasePairs" -> ((s, d) => graft.warehouse.GraphQueries.coPurchasePairs(s, d)),
+    "lpaLabels"       -> ((s, d) => graft.warehouse.GraphQueries.lpaLabels(s, d))
   )
 
   /** Build every registered state for (session, dir); returns the names

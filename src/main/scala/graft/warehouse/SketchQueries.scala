@@ -1,6 +1,6 @@
 package graft.warehouse
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.util.Tables
@@ -126,6 +126,42 @@ object SketchQueries {
     //    union but with a deterministic estimator. The ±3/√k relative
     //    error band (37.5% at k=64) is additionally pinned as an exact
     //    integer cross-multiply.
+    // -- pre-flight join-size estimation by coordinated key sampling:
+    //    keep only keys whose portable hash lands in 1 of SampleRate
+    //    residue classes — the SAME keys survive on BOTH sides, so the
+    //    sample join preserves key matching and
+    //    E[|sample join|·rate] = |A ⋈ B| (each key's full fA·fB
+    //    contribution is kept with probability 1/rate; the classic
+    //    coordinated/bottom-k sketch for join planning). At 100 TB the
+    //    estimator is the point: a 1/64-of-keys join answers "can I
+    //    afford this shuffle / should I salt this key" BEFORE the full
+    //    join runs; the exact side here is the oracle-parity face that
+    //    scores the estimator on real data. Deterministic hash → both
+    //    engines replay sampling AND estimate bit-for-bit; ratio is one
+    //    IEEE division.
+    "q237_join_estimate" -> { (s, d) =>
+      def keep(k: Column): Column =
+        pmod(graft.text.TextFunctions.portableHash48(k.cast("string")),
+          lit(JoinSampleRate)) === 0
+      def pair(name: String, a: DataFrame, ak: String,
+          b: DataFrame, bk: String): DataFrame = {
+        val exact = a.join(b, col(ak) === col(bk))
+          .agg(count(lit(1)).as("n_exact"))
+        val est = a.filter(keep(col(ak)))
+          .join(b.filter(keep(col(bk))), col(ak) === col(bk))
+          .agg((count(lit(1)) * JoinSampleRate).as("n_est"))
+        exact.crossJoin(est)
+          .select(lit(name).as("join_pair"), col("n_exact"), col("n_est"),
+            (col("n_est").cast("double") / col("n_exact").cast("double"))
+              .as("ratio"))
+      }
+      pair("customer_orders", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey")
+        .unionByName(pair("orders_lineitem", Tables.lineitem(s, d),
+          "l_orderkey", Tables.orders(s, d), "o_orderkey"))
+        .orderBy(col("join_pair"))
+    },
+
     "q166_kmv_distinct" -> { (s, d) =>
       val k = 64
       val li = Tables.lineitem(s, d)
@@ -150,7 +186,31 @@ object SketchQueries {
     * guarantee columns (Bloom admits no false negatives; Count-Min only
     * overestimates) — a violated guarantee fails the hash compare.
     */
+  /** q237's key-sampling rate — shared with the generated oracle. */
+  private val JoinSampleRate = 64L
+
   def oracleSql: Map[String, String] = Map(
+    // Same portable-hash residue sampling, same ×rate scale-up, same
+    // one-division ratio — the estimate itself replays exactly.
+    "q237_join_estimate" -> {
+      def keepSql(k: String) =
+        s"(md5_number_lower(CAST($k AS VARCHAR)) % 281474976710656) % $JoinSampleRate = 0"
+      def pairSql(name: String, a: String, ak: String, b: String, bk: String) =
+        s"""SELECT '$name' AS join_pair,
+           |  (SELECT COUNT(*) FROM $a JOIN $b ON $ak = $bk) AS n_exact,
+           |  (SELECT COUNT(*) * $JoinSampleRate
+           |   FROM (SELECT $ak FROM $a WHERE ${keepSql(ak)}) sa
+           |   JOIN (SELECT $bk FROM $b WHERE ${keepSql(bk)}) sb ON $ak = $bk)
+           |    AS n_est""".stripMargin
+      s"""SELECT join_pair, n_exact, n_est,
+        |  CAST(n_est AS DOUBLE) / CAST(n_exact AS DOUBLE) AS ratio
+        |FROM (
+        |  ${pairSql("customer_orders", "orders", "o_custkey", "customer", "c_custkey")}
+        |  UNION ALL
+        |  ${pairSql("orders_lineitem", "lineitem", "l_orderkey", "orders", "o_orderkey")})
+        |ORDER BY join_pair""".stripMargin
+    },
+
     "q70_bloom_semi_join" ->
       """SELECT
         |  (SELECT COUNT(*) FROM lineitem

@@ -222,12 +222,14 @@ class GraphSpec extends AnyFunSuite {
     def k4(off: Long) = for {
       i <- 0L to 3L; j <- (i + 1) to 3L
     } yield (off + i, off + j)
-    val two = GraphQueries.modularity((k4(1) ++ k4(10)).toDF("u", "v")).head()
+    val e2 = (k4(1) ++ k4(10)).toDF("u", "v")
+    val two = GraphQueries.modularity(e2, GraphQueries.labelPropagation(e2)).head()
     assert(two.getLong(0) == 2L) // n_communities
     assert(two.getLong(1) == 12L && two.getLong(2) == 12L)
     assert(two.getDouble(3) == 0.5)
     // a single community scores exactly 0: Q = (4m² − (2m)²)/(4m²)
-    val one = GraphQueries.modularity(k4(1).toDF("u", "v")).head()
+    val e1 = k4(1).toDF("u", "v")
+    val one = GraphQueries.modularity(e1, GraphQueries.labelPropagation(e1)).head()
     assert(one.getLong(0) == 1L && one.getDouble(3) == 0.0)
   }
 
