@@ -104,6 +104,45 @@ object GraphQueries {
   private def maintainedEdges(s: SparkSession, d: String): DataFrame =
     coPurchasePairs(s, d).select(col("u"), col("v"))
 
+  /** Fold a window of NEW basket items into the maintained co-purchase
+    * pair-count state — IVM for the graph SUBSTRATE itself (the edge
+    * table every graph query probes is refreshed state; rebuilding it
+    * per commit re-pairs every basket). A new line in an existing
+    * basket creates pairs with that basket's OLD lines and with other
+    * new lines — the bilinear expansion again, restricted to inserts:
+    *
+    *   Δpairs = base ⋈ Δ (same basket, item ≠ item) ∪ C(Δ, 2)
+    *
+    * Both joins are Δ-sized on one side (the base side probes only the
+    * touched baskets — at scale a basket-keyed lookup, here a
+    * broadcast of the window's baskets would ride the same contract);
+    * the count fold is the broadcast-merge [[graft.cdc.IvmFold]], so
+    * the base-sized pair state never shuffles. State keeps ALL counts
+    * (a pair at 1 must be able to cross the threshold later); readers
+    * apply the `MinCoOccurrence` floor at probe time. Line-level
+    * multiplicities match [[basketPairs]] exactly: equal items never
+    * pair, cross-slice multiplicity = lines_u × lines_v. */
+  def edgeDeltaFold(state: DataFrame, baseItems: DataFrame,
+      deltaItems: DataFrame, orderCol: String, itemCol: String): DataFrame = {
+    val bd = baseItems.as("a")
+      .join(broadcast(deltaItems.select(col(orderCol)).distinct()), Seq(orderCol),
+        "left_semi")
+      .as("a")
+      .join(deltaItems.as("b"),
+        col(s"a.$orderCol") === col(s"b.$orderCol") &&
+          col(s"a.$itemCol") =!= col(s"b.$itemCol"))
+      .select(least(col(s"a.$itemCol"), col(s"b.$itemCol")).as("u"),
+        greatest(col(s"a.$itemCol"), col(s"b.$itemCol")).as("v"))
+    val dd = deltaItems.as("a").join(deltaItems.as("b"),
+        col(s"a.$orderCol") === col(s"b.$orderCol") &&
+          col(s"a.$itemCol") < col(s"b.$itemCol"))
+      .select(col(s"a.$itemCol").as("u"), col(s"b.$itemCol").as("v"))
+    val delta = bd.unionAll(dd)
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("dn"))
+    graft.cdc.IvmFold.mergeCounts(state, delta, Seq("u", "v"),
+      Seq("n_ab" -> "dn"))
+  }
+
   /** MAINTAINED LPA community labeling over the maintained graph — the
     * coPurchasePairs pattern one level up: community assignments are
     * refreshed state next to the edge table (every downstream report —
@@ -498,6 +537,26 @@ object GraphQueries {
       labelPropagation(maintainedEdges(s, d))
     },
 
+    // -- incremental maintenance of the co-purchase pair counts: the
+    //    first 3 lines of every order are the base state, later lines
+    //    arrive as the append window — a WITHIN-order split, so the
+    //    base ⋈ Δ cross-pair half of the bilinear expansion does real
+    //    work. The oracle rebuilds the thresholded edge list from
+    //    scratch: incremental ≡ full is the maintenance invariant
+    //    (the q106/q229 pattern, now for the graph substrate).
+    "q239_incremental_edges" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      val base = li.filter(col("l_linenumber") <= 3)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val delta = li.filter(col("l_linenumber") > 3)
+        .select(col("l_orderkey"), col("l_partkey"))
+      edgeDeltaFold(basketPairs(base, "l_orderkey", "l_partkey"),
+          base, delta, "l_orderkey", "l_partkey")
+        .filter(col("n_ab") >= MinCoOccurrence)
+        .orderBy(col("u"), col("v"))
+    },
+
     // -- modularity of the q222 communities (partition-quality scalar),
     //    probing the MAINTAINED labeling (community assignments are
     //    refreshed state, like the edge table itself).
@@ -648,6 +707,15 @@ object GraphQueries {
         |SELECT v AS part_id, CAST(r AS BIGINT) AS rank_fp
         |FROM pr WHERE it = 5
         |ORDER BY rank_fp DESC, part_id LIMIT 25""".stripMargin,
+
+    // The full-rebuild pair counts — incremental ≡ rebuild is the gate.
+    "q239_incremental_edges" ->
+      s"""SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n_ab
+        |FROM lineitem a
+        |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING COUNT(*) >= $MinCoOccurrence
+        |ORDER BY u, v""".stripMargin,
 
     // q138's recursive replay with the seeded teleport: restart mass
     // only on the 5 lowest-id vertices, zero elsewhere; identical

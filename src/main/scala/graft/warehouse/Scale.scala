@@ -38,6 +38,37 @@ object Scale {
     saltedL.join(saltedR, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** PARTIAL salting — [[saltedJoin]] applied only where it pays. Full
+    * salting replicates the entire build side `salts`× even when one
+    * key in a million is hot; partial salting measures the skewed
+    * side's key frequencies (one map-side-combined count — the same
+    * statistic AQE's skew mitigation reads from shuffle files), routes
+    * the few keys above `hotThreshold` through the salted join, and
+    * lets everything else take the plain path. The hot-key list is
+    * bounded by |skewed| / hotThreshold — driver-trivial — and
+    * broadcasts into four semi/anti routing probes, so routing adds no
+    * shuffle of either table.
+    *
+    * Relationship to AQE (documented, not hidden): AQE's runtime skew
+    * split covers plain sort-merge joins and needs no help; partial
+    * salting is for the cases AQE cannot re-split — when the join
+    * output must stay co-partitioned for a downstream aggregate on the
+    * same key, stream–stream joins, and engines/paths with AQE off.
+    * Results are identical to a plain inner join for ANY threshold
+    * (ScaleSpec pins both routing regimes). */
+  def skewJoin(skewed: DataFrame, other: DataFrame, key: String,
+      salts: Int = 16, hotThreshold: Long = 1000000L): DataFrame = {
+    val hot = broadcast(
+      skewed.groupBy(col(key)).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > hotThreshold).select(col(key)))
+    val hotPart = saltedJoin(
+      skewed.join(hot, Seq(key), "left_semi"),
+      other.join(hot, Seq(key), "left_semi"), key, salts)
+    val coldPart = skewed.join(hot, Seq(key), "left_anti")
+      .join(other.join(hot, Seq(key), "left_anti"), Seq(key))
+    hotPart.unionByName(coldPart)
+  }
+
   /** Distributed global row number: `Window.orderBy(...)` with no
     * partitionBy funnels EVERY row through one task — correct at test
     * scale, dead at 100 TB (round-1 verdict on q16). This is the two-pass

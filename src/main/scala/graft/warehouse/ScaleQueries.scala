@@ -138,6 +138,26 @@ object ScaleQueries {
         .orderBy(col("scheme"))
     },
 
+    // -- partial-salting skew join, oracle-gated face: route keys above
+    //    the hot threshold through the salted path, the rest plain, and
+    //    aggregate the joined result — the oracle computes the same
+    //    aggregate from a plain SQL join, so routing ∪ salting ∪ union
+    //    must be EXACTLY join-equivalent (q65 gates full salting; this
+    //    gates the routing split). The 2k threshold makes a handful of
+    //    real TPC-H order keys route hot while the tail routes cold —
+    //    both regimes exercised on real data. SkewProbe carries the A/B
+    //    numbers (plain vs salted vs partial × skew × build-side size).
+    "q240_skew_join" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("k"), graft.util.Exact.cents(col("l_extendedprice")).as("cents"))
+      val or = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      Scale.skewJoin(li, or, "k", salts = 8, hotThreshold = 4L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("revenue_cents"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // -- Z-order pruning, oracle-gated face: the corner box "lowest
     //    quarter of BOTH key ranges" holds ~1/16 of the rows and maps to
     //    a contiguous low-z range, so it must touch at most a quarter of
@@ -206,6 +226,13 @@ object ScaleQueries {
         |  CAST(n_moved AS DOUBLE) / CAST(n_docs AS DOUBLE) AS moved_frac
         |FROM (SELECT * FROM m UNION ALL SELECT * FROM r)
         |ORDER BY scheme""".stripMargin,
+
+    "q240_skew_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q165_bucketed_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_items,

@@ -215,6 +215,28 @@ class GraphSpec extends AnyFunSuite {
     assert(pend.getDouble(1) < 0.0 && pend.getDouble(1) > -1.0)
   }
 
+  test("edge delta fold: line-level multiplicities, equal items never pair, " +
+      "empty window is a no-op") {
+    // base lines [10, 11, 10], delta lines [11, 12] in one basket.
+    // Full rebuild: (10,11) = 2x2 = 4, (10,12) = 2x1 = 2, (11,12) = 2x1 = 2
+    val base = Seq((1L, 10L), (1L, 11L), (1L, 10L)).toDF("basket", "item")
+    val delta = Seq((1L, 11L), (1L, 12L)).toDF("basket", "item")
+    val state = GraphQueries.basketPairs(base, "basket", "item")
+    val folded = GraphQueries.edgeDeltaFold(state, base, delta, "basket", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(folded == Set((10L, 11L, 4L), (10L, 12L, 2L), (11L, 12L, 2L)))
+    // and it equals the from-scratch rebuild of base ∪ delta
+    val rebuild = GraphQueries.basketPairs(base.unionAll(delta), "basket", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(folded == rebuild)
+    // empty window: state unchanged
+    val noop = GraphQueries.edgeDeltaFold(state, base, delta.limit(0),
+        "basket", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(noop == state.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("modularity: two disjoint K4s score exactly 0.5; one K4 scores 0") {
     // LPA trivially labels each clique one community. Two K4s: m = 12,
     // Σl_c = 12, D_c = 12 each → Q = (4·12·12 − 288)/(4·144) = 0.5 —

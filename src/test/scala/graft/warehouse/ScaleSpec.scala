@@ -60,6 +60,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(spread == 8)
   }
 
+  test("partial-salting skew join equals plain join in both routing regimes") {
+    // one hot key (5k rows) + a uniform tail; dim has hot, cold and
+    // unmatched keys
+    val skewed = spark.range(6000).select(
+      when(col("id") < 5000, lit(42L)).otherwise(col("id") % 10).as("k"),
+      col("id").as("payload"))
+    val dim = (Seq((42L, "hot")) ++ (0L to 10L).map(i => (i, s"c$i")))
+      .toDF("k", "attr")
+    val plain = skewed.join(dim, "k")
+      .select(col("k"), col("payload"), col("attr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    def runAt(threshold: Long) = Scale.skewJoin(skewed, dim, "k",
+        salts = 8, hotThreshold = threshold)
+      .select(col("k"), col("payload"), col("attr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // threshold 1000: key 42 routes hot, the tail routes cold
+    assert(runAt(1000L) == plain)
+    // threshold above every count: everything routes cold (plain path)
+    assert(runAt(1000000L) == plain)
+  }
+
   test("distributed global row number == single-partition window formulation") {
     import org.apache.spark.sql.expressions.Window
     // values with heavy ties; (v, id) is the total order
