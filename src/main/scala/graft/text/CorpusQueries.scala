@@ -462,6 +462,37 @@ object CorpusQueries {
     //    500 raw URLs genuinely collapse to the 35 host×path classes.
     //    Pure per-row string ops + one canonical-key window whose
     //    partitions are dup-group-sized, never corpus-sized.
+    // -- log/document template mining (the Drain-family shape): a token
+    //    is STABLE when ≥90% of docs contain it (cleared division:
+    //    10·df ≥ 9·N — scale-free, no float threshold); each document's
+    //    template keeps stable tokens in position and masks the rest as
+    //    '<*>'; identical templates group. The ops face of the text
+    //    stack — log-stream triage, boilerplate families, format-drift
+    //    detection. One posexplode feeds the doc-frequency aggregate
+    //    and the per-doc rebuild (the q214 ordered-rebuild idiom: sort
+    //    a (pos, token) struct list, never a window over the corpus);
+    //    the doc count broadcasts as one row.
+    "q241_log_templates" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tok = Dedup.shingleRowsPos(docs, col("doc_id"), col("text"), 1)
+      val dfreq = tok.select(col("id"), col("sh")).distinct()
+        .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("nd"))
+      val tpl = tok.join(dfreq, Seq("sh"))
+        .crossJoin(broadcast(n))
+        .select(col("id"), col("pos"),
+          when(col("df") * 10 >= col("nd") * 9, col("sh"))
+            .otherwise(lit("<*>")).as("t"))
+        .groupBy(col("id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("t")))).as("kv"))
+        .select(col("id"),
+          expr("array_join(transform(kv, x -> x.t), ' ')").as("template"))
+      tpl.groupBy(col("template"))
+        .agg(count(lit(1)).as("n_docs"), min(col("id")).as("example_doc"))
+        .orderBy(col("n_docs").desc, col("template"))
+        .limit(20)
+    },
+
     "q190_url_canonical" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val url = concat(lit("HTTPS://WWW.Example"),
@@ -955,8 +986,27 @@ object CorpusQueries {
          |WHERE db.source <> '$DsirTarget'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Same 90% stability gate (cleared), same position-ordered rebuild
+    // via STRING_AGG ORDER BY pos, same (n_docs DESC, template) order.
+    "q241_log_templates" ->
+      """WITH t AS (
+        |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i AS pos, toks[i+1] AS tok
+        |  FROM t, UNNEST(RANGE(0, LEN(toks))) r(i)),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS nd FROM documents),
+        |tpl AS (
+        |  SELECT doc_id,
+        |    STRING_AGG(CASE WHEN df * 10 >= nd * 9 THEN tok ELSE '<*>' END,
+        |      ' ' ORDER BY pos) AS template
+        |  FROM tok JOIN df USING (tok), nd GROUP BY doc_id)
+        |SELECT template, COUNT(*) AS n_docs, MIN(doc_id) AS example_doc
+        |FROM tpl GROUP BY 1 ORDER BY n_docs DESC, template LIMIT 20""".stripMargin,
+
     "q190_url_canonical" ->
-      """WITH u AS (
+"""WITH u AS (
         |  SELECT doc_id,
         |    'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR)
         |      || '.COM:443/Path' || CAST(doc_id % 5 AS VARCHAR)

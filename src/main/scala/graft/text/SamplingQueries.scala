@@ -250,6 +250,40 @@ object SamplingQueries {
         .orderBy(col("source"))
     },
 
+    // -- Neyman (optimal) allocation: q123 splits a sample budget by
+    //    stratum SIZE; Neyman allocation splits it by N_h·σ_h — more
+    //    budget to high-variance strata, the minimum-variance design
+    //    for a stratified mean (Neyman 1934). N_h·σ_h reduces to
+    //    √(n_h·Q_h − S_h²) over the exact integer moments (the q82
+    //    discipline), so the only IEEE steps are one correctly-rounded
+    //    √ per stratum, the source-ORDERED weight-sum fold (the q215
+    //    convention), and the shared floor/fraction arithmetic both
+    //    engines replay bit-for-bit. Largest-remainder integerization
+    //    as in q123; the ranking window rides the ≤n_sources row frame.
+    "q242_neyman_alloc" -> { (s, d) =>
+      val c = Tables.documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sm"),
+          sum(col("n_chars") * col("n_chars")).as("q"))
+      val w = c.select(col("source"), col("n"),
+        sqrt((col("n") * col("q") - col("sm") * col("sm")).cast("double"))
+          .as("w"))
+      val sw = w.agg(aggregate(
+        array_sort(collect_list(struct(col("source"), col("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("sw"))
+      val b = w.crossJoin(broadcast(sw))
+        .withColumn("base", floor(lit(AllocBudget) * col("w") / col("sw")))
+        .withColumn("frac", lit(AllocBudget) * col("w") / col("sw") -
+          floor(lit(AllocBudget) * col("w") / col("sw")))
+      val lo = b.agg((lit(AllocBudget.toLong) - sum(col("base"))).as("lo"))
+      val wR = Window.orderBy(col("frac").desc, col("source"))
+      b.withColumn("rk", row_number().over(wR))
+        .crossJoin(broadcast(lo))
+        .select(col("source"), col("n").as("n_docs"),
+          (col("base") + when(col("rk") <= col("lo"), 1L).otherwise(0L))
+            .as("alloc_docs"))
+        .orderBy(col("source"))
+    },
+
     // -- nucleus (top-p) selection per source: keep each source's
     //    largest documents until 90% of its character mass is covered —
     //    the mass-based head selector (the sampling dual of q103's
@@ -355,6 +389,35 @@ object SamplingQueries {
         |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn
         |  FROM orders)
         |SELECT o_orderkey, rn FROM n WHERE rn % 100 = 1 ORDER BY rn""".stripMargin,
+
+    // Same exact moments, same √, same source-ordered weight fold
+    // (init-less LIST_REDUCE ≡ 0.0-seeded aggregate for non-negative
+    // weights), same floor/fraction largest-remainder arithmetic.
+    "q242_neyman_alloc" ->
+      s"""WITH c AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sm,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS q
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT source, n, SQRT(CAST(n * q - sm * sm AS DOUBLE)) AS w
+        |  FROM c),
+        |sw AS (
+        |  SELECT LIST_REDUCE(LIST(w ORDER BY source), (x, y) -> x + y) AS sw
+        |  FROM w),
+        |b AS (
+        |  SELECT source, n,
+        |    CAST(FLOOR($AllocBudget * w / sw) AS BIGINT) AS base,
+        |    $AllocBudget * w / sw - FLOOR($AllocBudget * w / sw) AS frac
+        |  FROM w, sw),
+        |lo AS (SELECT $AllocBudget - CAST(SUM(base) AS BIGINT) AS lo FROM b),
+        |r AS (
+        |  SELECT source, n, base, frac,
+        |    ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rk
+        |  FROM b)
+        |SELECT source, n AS n_docs,
+        |  base + CASE WHEN rk <= lo THEN 1 ELSE 0 END AS alloc_docs
+        |FROM r, lo ORDER BY source""".stripMargin,
 
     // Same salted order, same running sum, same floor arithmetic — the
     // window form is safe in DuckDB (single node); Spark uses the
