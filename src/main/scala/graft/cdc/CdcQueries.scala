@@ -126,6 +126,30 @@ object CdcQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // -- maintained top-k leaderboard: the per-customer spend aggregate
+    //    kept current through the REAL [[IncrementalAgg.applyDelta]]
+    //    broadcast-merge fold (q106 gates the partial-combine algebra
+    //    with inline partials; this gates the production fold path),
+    //    then TakeOrdered derives the top-10 from the maintained state
+    //    — a leaderboard that never rescans the fact. Oracle = full
+    //    recompute: incremental ≡ full, ranked.
+    "q238_incremental_topk" -> { (s, d) =>
+      val cut = lit("2000-01-01").cast("timestamp")
+      val or = Tables.orders(s, d)
+      val state = or.filter(col("o_orderdate") < cut)
+        .select(col("o_custkey").as("key"), cents(col("o_totalprice")).as("v"))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("tot"))
+      val delta = or.filter(!(col("o_orderdate") < cut) ||
+          col("o_orderdate").isNull)
+        .withColumn("_change_type", lit("insert"))
+      IncrementalAgg.applyDelta(state, delta,
+          col("o_custkey"), cents(col("o_totalprice")))
+        .orderBy(col("tot").desc, col("key")).limit(10)
+        .select(col("key").as("o_custkey"), col("n").as("n_orders"),
+          col("tot").as("spend_cents"))
+    },
+
     // -- incremental COUNT(DISTINCT) maintenance: the distinct face of
     //    the materialized-view family (q106 sums; this one's support bag
     //    is the state DISTINCT needs because a delete only decrements
@@ -348,6 +372,13 @@ object CdcQueries {
         |    AS total_cents
         |FROM orders
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q238_incremental_topk" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT)
+        |    AS spend_cents
+        |FROM orders GROUP BY 1
+        |ORDER BY spend_cents DESC, o_custkey LIMIT 10""".stripMargin,
 
     "q229_incremental_distinct" ->
       """SELECT user_id, COUNT(DISTINCT event_type) AS n_distinct,
