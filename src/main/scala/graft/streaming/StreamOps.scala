@@ -350,6 +350,96 @@ object StreamOps {
   final case class Admitted(user_id: Long, ts: java.sql.Timestamp,
       admitted: Boolean, n_in_window: Long)
 
+  final case class SigRow(doc_id: Long, ts: java.sql.Timestamp,
+      sig: Seq[Long], band: Int, bucket: Int)
+  final case class BucketDocs(docs: Seq[(Long, Seq[Long])])
+  final case class NearDupHit(a_id: Long, b_id: Long,
+      ts: java.sql.Timestamp, sim: Double)
+
+  /** Streaming near-duplicate DETECTION — the MinHash-LSH dedup stack
+    * (q45) at ingest: each arriving document gets its per-row MinHash
+    * signature and banded LSH bucket keys (the SAME deterministic
+    * permutation family and banding as the batch pipeline —
+    * `TextFunctions.minhashSignature` / `lshBandKeys`, pure row
+    * expressions, no shuffle before the state stage); each (band,
+    * bucket) key holds the signatures of its recent members, and an
+    * arrival emits a hit against every stored member whose SIGNATURE
+    * AGREEMENT fraction ≥ `threshold`. Multi-band double-fires are
+    * suppressed INSIDE the operator: both signatures are in hand, so
+    * each group emits a pair only when its OWN band is the pair's
+    * first component-equal band — exactly one group owns any pair, no
+    * second stateful stage (a chained pair-key dedup trips Spark's
+    * global-watermark correctness checker), and bucket-hash collisions
+    * without component equality are filtered for free.
+    *
+    * Declared weaker contract vs batch q45 (the dedupWithinWatermark
+    * pattern): similarity is the SIGNATURE-estimated Jaccard (state
+    * keeps 16 longs per doc, never shingle sets), detection reaches
+    * only members still in state (per-bucket cap `maxBucket` — the
+    * batch hot-bucket cap — and event-time retention `retainMs` past a
+    * bucket's last arrival, so state is bounded by live buckets × cap
+    * regardless of stream length), and within a batch rows fold in
+    * event-time order. StreamOpsSpec pins hits ≡ the batch pairing of
+    * the same signature scheme across batches, and that multi-band
+    * collisions emit ONE pair. */
+  def nearDupDetect(docs: DataFrame, threshold: Double = 0.7, k: Int = 16,
+      bands: Int = 4, maxBucket: Int = 50,
+      delay: String = "10 minutes",
+      retainMs: Long = 10L * 60L * 1000L): Dataset[NearDupHit] = {
+    import org.apache.spark.sql.Encoders
+    import graft.text.TextFunctions
+    val sigs = docs.select(col("doc_id"), col("ts"),
+        TextFunctions.minhashSignature(
+          TextFunctions.shingles(col("text"), 3), k).as("sig"))
+      .withColumn("bk", TextFunctions.lshBandKeys(col("sig"), k, bands))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        posexplode(col("bk")).as(Seq("band", "bucket")))
+      .withWatermark("ts", delay)
+
+    val rPerBand = k / bands
+    def firstMatchBand(a: Seq[Long], b: Seq[Long]): Option[Int] =
+      (0 until bands).find { bi =>
+        a.slice(bi * rPerBand, bi * rPerBand + rPerBand) ==
+          b.slice(bi * rPerBand, bi * rPerBand + rPerBand)
+      }
+
+    def fn(key: (Int, Int), rows: Iterator[SigRow],
+        state: GroupState[BucketDocs]): Iterator[NearDupHit] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var ds = state.getOption.map(_.docs).getOrElse(Seq.empty)
+      val out = scala.collection.mutable.ArrayBuffer[NearDupHit]()
+      val ordered = rows.toSeq.sortBy(row => (row.ts.getTime, row.doc_id))
+      ordered.foreach { row =>
+        ds.foreach { case (oid, osig) =>
+          if (oid != row.doc_id) {
+            val eq = osig.zip(row.sig).count { case (a, b) => a == b }
+            val sim = eq.toDouble / k.toDouble
+            if (sim >= threshold &&
+                firstMatchBand(osig, row.sig).contains(key._1))
+              out += NearDupHit(math.min(oid, row.doc_id),
+                math.max(oid, row.doc_id), row.ts, sim)
+          }
+        }
+        if (ds.size < maxBucket && !ds.exists(_._1 == row.doc_id))
+          ds = ds :+ ((row.doc_id, row.sig))
+      }
+      state.update(BucketDocs(ds))
+      // retention anchored to the bucket's latest EVENT time (the
+      // quotaEnforce pattern — a first-batch watermark of 0 would
+      // otherwise schedule the timeout in 1970 and evict fresh state),
+      // clamped above the watermark as the API requires
+      state.setTimeoutTimestamp(math.max(ordered.last.ts.getTime + retainMs,
+        state.getCurrentWatermarkMs() + 1))
+      out.iterator
+    }
+
+    sigs.as(Encoders.product[SigRow])
+      .groupByKey(r => (r.band, r.bucket))(Encoders.product[(Int, Int)])
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)(
+        Encoders.product[BucketDocs], Encoders.product[NearDupHit])
+  }
+
   final case class Chg(user_id: Long, ts: java.sql.Timestamp,
       value: String, op: String)
   final case class BagState(m: Map[String, Long])

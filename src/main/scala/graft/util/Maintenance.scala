@@ -82,7 +82,8 @@ object Maintenance {
     "zorderLayout"    -> ((s, d) => graft.warehouse.ScaleQueries.zorderLayout(s, d)),
     "bucketedPair"    -> ((s, d) => graft.warehouse.ScaleQueries.bucketedPair(s, d)),
     "coPurchasePairs" -> ((s, d) => graft.warehouse.GraphQueries.coPurchasePairs(s, d)),
-    "lpaLabels"       -> ((s, d) => graft.warehouse.GraphQueries.lpaLabels(s, d))
+    "lpaLabels"       -> ((s, d) => graft.warehouse.GraphQueries.lpaLabels(s, d)),
+    "edgeBase"        -> ((s, d) => graft.warehouse.GraphQueries.edgeBase(s, d))
   )
 
   /** Build every registered state for (session, dir); returns the names

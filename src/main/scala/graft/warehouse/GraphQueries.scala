@@ -143,6 +143,21 @@ object GraphQueries {
       Seq("n_ab" -> "dn"))
   }
 
+  /** q239's maintained base: the pre-window line items and their pair
+    * counts, both persisted (the q130 incrementalBase pattern — the
+    * previous refresh's state "on disk"; the timed q239 line measures
+    * the INCREMENTAL fold against it, which is the operator's claim). */
+  final case class EdgeBase(items: DataFrame, pairs: DataFrame)
+
+  private[graft] def edgeBase(s: SparkSession, d: String): EdgeBase =
+    graft.util.Maintenance.getOrBuild("edgeBase", s, d) {
+      val items = Tables.lineitem(s, d).filter(col("l_linenumber") <= 3)
+        .select(col("l_orderkey"), col("l_partkey")).persist()
+      val pairs = basketPairs(items, "l_orderkey", "l_partkey").persist()
+      items.count(); pairs.count() // materialize (warmAll runs untimed)
+      EdgeBase(items, pairs)
+    }
+
   /** MAINTAINED LPA community labeling over the maintained graph — the
     * coPurchasePairs pattern one level up: community assignments are
     * refreshed state next to the edge table (every downstream report —
@@ -541,18 +556,17 @@ object GraphQueries {
     //    first 3 lines of every order are the base state, later lines
     //    arrive as the append window — a WITHIN-order split, so the
     //    base ⋈ Δ cross-pair half of the bilinear expansion does real
-    //    work. The oracle rebuilds the thresholded edge list from
-    //    scratch: incremental ≡ full is the maintenance invariant
-    //    (the q106/q229 pattern, now for the graph substrate).
+    //    work. The base items + pair state are MAINTAINED (memoized,
+    //    Bench-warmed — the q130 standard: the timed line measures the
+    //    INCREMENTAL fold, not a disguised rebuild); the oracle
+    //    rebuilds the thresholded edge list from scratch:
+    //    incremental ≡ full is the maintenance invariant.
     "q239_incremental_edges" -> { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
-      val base = li.filter(col("l_linenumber") <= 3)
+      val b = edgeBase(s, d)
+      val delta = Tables.lineitem(s, d)
+        .filter(col("l_linenumber") > 3)
         .select(col("l_orderkey"), col("l_partkey"))
-      val delta = li.filter(col("l_linenumber") > 3)
-        .select(col("l_orderkey"), col("l_partkey"))
-      edgeDeltaFold(basketPairs(base, "l_orderkey", "l_partkey"),
-          base, delta, "l_orderkey", "l_partkey")
+      edgeDeltaFold(b.pairs, b.items, delta, "l_orderkey", "l_partkey")
         .filter(col("n_ab") >= MinCoOccurrence)
         .orderBy(col("u"), col("v"))
     },

@@ -595,6 +595,52 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(replay == got)
   }
 
+  test("streaming near-dup detection ≡ batch LSH pairing of the same " +
+      "signature scheme; multi-band collisions emit one pair") {
+    implicit val ctx = spark.sqlContext
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, t(0), a),
+      (2L, t(2), a.replace("upsilon", "omega")), // near-clone of d1
+      (3L, t(3), "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen"), // unrelated
+      (4L, t(5), a)) // exact copy of d1
+    // batch reference: same signatures, same banding, same threshold
+    import graft.text.TextFunctions
+    val ref = docs.toDF("doc_id", "ts", "text")
+      .select(col("doc_id"),
+        TextFunctions.minhashSignature(
+          TextFunctions.shingles(col("text"), 3), 16).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val expected = (for {
+      (ai, asig) <- ref; (bi, bsig) <- ref if ai < bi
+      shared = (0 until 4).exists(b =>
+        asig.slice(b * 4, b * 4 + 4) == bsig.slice(b * 4, b * 4 + 4))
+      sim = asig.zip(bsig).count { case (x, y) => x == y } / 16.0
+      if shared && sim >= 0.7
+    } yield (ai, bi)).toSet
+    // the exact copy MUST pair with its original; the unrelated doc not
+    assert(expected.contains((1L, 4L)))
+    assert(!expected.exists { case (x, y) => x == 3L || y == 3L })
+
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamOps.nearDupDetect(
+      ms.toDF().toDF("doc_id", "ts", "text"), threshold = 0.7)
+    val q = out.writeStream.format("memory").queryName("near_dup")
+      .outputMode("append").start()
+    ms.addData(docs(0)); q.processAllAvailable()
+    ms.addData(docs(1), docs(2)); q.processAllAvailable()
+    ms.addData(docs(3)); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("near_dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // one emission per pair, even when several bands collide (the
+    // identical d1/d4 signatures share ALL four band buckets)
+    assert(rows.length == rows.toSet.size)
+    assert(rows.toSet == expected)
+  }
+
   test("streaming distinct maintenance ≡ batch support-bag fold across " +
       "three change windows with deletes and updates") {
     import graft.streaming.StreamOps.Chg

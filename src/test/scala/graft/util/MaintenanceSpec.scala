@@ -77,7 +77,7 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(names.distinct == names)
     assert(names.toSet == Set("dedupLedger", "incrementalBase", "semanticLedger",
       "ivfIndex", "pqIndex", "ivfPqIndex", "zorderLayout", "bucketedPair",
-      "coPurchasePairs", "lpaLabels"))
+      "coPurchasePairs", "lpaLabels", "edgeBase"))
     val report = Maintenance.inspect(spark, "/tmp/spec_uncovered")
     assert(report.map(_.name).toSet == names.toSet)
     assert(report.forall(!_.built))
