@@ -113,6 +113,23 @@ object AnnQueries {
         queryVec(s, d), k = 10, probeHamming = 8)
     },
 
+    // -- incremental IVF ingestion through the oracle gate: build on
+    //    80% of the corpus, INSERT the remaining 20% against the frozen
+    //    centroids (Similarity.ivfInsert — the FAISS `add` write path),
+    //    then probe ALL cells: provably exhaustive over base + delta,
+    //    so the exact top-k oracle verifies the insertion reached every
+    //    vector. AnnSpec covers the pruned-probe behavior (an inserted
+    //    vector is immediately retrievable from its own cell).
+    "q243_ann_ivf_incremental" -> { (s, d) =>
+      val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val idx = Similarity.buildIvf(
+        embs.filter(col("vec_id") % 5 =!= 0),
+        col("vec_id"), col("embedding"), nCentroids = 8, iterations = 1)
+      val grown = Similarity.ivfInsert(idx,
+        embs.filter(col("vec_id") % 5 === 0), col("vec_id"), col("embedding"))
+      Similarity.ivfSearch(grown, queryVec(s, d), k = 10, nprobe = 8)
+    },
+
     // -- MMR diversified reranking over the exact top-30: each of the
     //    10 picks maximizes λ·rel − (1−λ)·max-sim-to-picked — the
     //    near-dup-suppressing result diversification a retrieval
@@ -449,6 +466,8 @@ object AnnQueries {
     // all-probe configs are exhaustive, hence share the exact-top-k oracle
     "q43_ann_ivf" -> exactTopKSql,
     "q66_ann_lsh" -> exactTopKSql,
+    // all-probe over base + inserted delta is exhaustive as well
+    "q243_ann_ivf_incremental" -> exactTopKSql,
     "q230_mmr_rerank" -> mmrSql,
 
     // Exact-L2 top-1 recomputed with the identical op order

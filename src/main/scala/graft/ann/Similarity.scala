@@ -224,6 +224,25 @@ object Similarity {
         first(col("v")).as("v"))
       .select(col("vid"), col("v"), col("best.cell").as("cell"))
 
+  /** Incremental index maintenance: assign NEW vectors to the EXISTING
+    * centroids and append them to the cell table — index INGESTION
+    * without a rebuild, the production write path of every IVF
+    * deployment (FAISS `add`): centroids stay frozen so old assignments
+    * never move (a re-trained coarse quantizer would invalidate every
+    * stored cell id), and the per-ingest cost is one broadcast-argmin
+    * pass over the delta — never the corpus. Centroid refresh remains a
+    * declared periodic maintenance job ([[buildIvf]]), exactly as in
+    * production systems; drift between refreshes costs recall, not
+    * correctness (probed cells still contain what assignment put
+    * there). q243 gates the grown index end-to-end: an all-probe search
+    * over base + inserted delta is provably exhaustive, so the exact
+    * top-k oracle verifies that insertion reached every vector. */
+  def ivfInsert(index: IvfIndex, newVecs: DataFrame, id: Column,
+      vec: Column): IvfIndex =
+    IvfIndex(index.centroids,
+      index.assigned.unionByName(
+        assign(newVecs.select(id.as("vid"), vec.as("v")), index.centroids)))
+
   /** Per-cell elementwise mean (posexplode → groupBy(cell, dim) → avg →
     * reassemble). Fully distributed; no vector ever reaches the driver. */
   private def recomputeCentroids(assigned: DataFrame): DataFrame =

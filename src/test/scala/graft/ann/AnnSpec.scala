@@ -256,6 +256,26 @@ class AnnSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("IVF insert: counts add up, centroids frozen, an inserted vector is " +
+      "immediately retrievable from its own cell") {
+    val base = embs.filter(col("vec_id") % 5 =!= 0)
+    val delta = embs.filter(col("vec_id") % 5 === 0)
+    val idx = Similarity.buildIvf(base, col("vec_id"), col("embedding"),
+      nCentroids = 8, iterations = 1)
+    val grown = Similarity.ivfInsert(idx, delta, col("vec_id"), col("embedding"))
+    assert(grown.assigned.count() == base.count() + delta.count())
+    // centroids are the SAME table — frozen, old cell ids stay valid
+    assert(grown.centroids.collect().map(_.toString).sorted.toSeq ==
+      idx.centroids.collect().map(_.toString).sorted.toSeq)
+    // self-query: an inserted vector's nearest neighbor is itself, and
+    // nprobe=1 suffices (its own cell is the query's best cell)
+    val someDelta = delta.orderBy(col("vec_id")).limit(1)
+    val q = someDelta.select(col("embedding").as("q"))
+    val top = Similarity.ivfSearch(grown, q, k = 1, nprobe = 1).head()
+    assert(top.getLong(0) == someDelta.head().getLong(0))
+    assert(top.getDouble(1) > 0.99999)
+  }
+
   test("MMR: first pick is the relevance argmax, a clone of it is demoted " +
       "below a diverse runner-up, and picks never repeat") {
     import spark.implicits._
