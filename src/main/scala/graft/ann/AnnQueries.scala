@@ -262,6 +262,28 @@ object AnnQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // -- incremental maintenance of the q102 pair ledger: 80% of the
+    //    vectors are the existing ledger's corpus, the rest arrive as
+    //    the ingest window; old pairs (base-only recompute stands in
+    //    for the stored ledger) union the DELTA pairs — every pair
+    //    touching a new vector, generated with NO old×old candidate
+    //    work (Dedup.lshNearDupsDelta). Oracle = the full-corpus q102
+    //    pair set: incremental ≡ full is the q130-class maintenance
+    //    invariant, now for the embedding ledger — closing the set:
+    //    text ledger (q130), graph substrate (q239), IVF index (q243),
+    //    semantic ledger (q244) are all incrementally maintainable.
+    "q244_lsh_ledger_delta" -> { (s, d) =>
+      val embs = Tables.embeddings(s, d)
+      val base = embs.filter(col("vec_id") % 5 =!= 0)
+      val delta = embs.filter(col("vec_id") % 5 === 0)
+      Dedup.lshNearDups(base, col("vec_id"), col("embedding"),
+          nBands = 4, planesPerBand = 4, dim = 64, threshold = 0.25)
+        .unionByName(Dedup.lshNearDupsDelta(base, delta,
+          col("vec_id"), col("embedding"),
+          nBands = 4, planesPerBand = 4, dim = 64, threshold = 0.25))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // -- SemDeDup-style SEMANTIC dedup ledger: q102's banded sign-LSH
     //    near-dup pairs clustered into connected components (min-label,
     //    the q75 machinery on the embedding id space) and rolled into
@@ -533,6 +555,12 @@ object AnnQueries {
         |GROUP BY c.vec_id ORDER BY qdist ASC, nn_id LIMIT 10""".stripMargin,
 
     "q102_lsh_neardup" ->
+      s"""WITH $lshPairsCtes
+        |SELECT a_id, b_id, cosine FROM vpairs
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // incremental ≡ full recompute: the maintenance invariant
+    "q244_lsh_ledger_delta" ->
       s"""WITH $lshPairsCtes
         |SELECT a_id, b_id, cosine FROM vpairs
         |ORDER BY a_id, b_id""".stripMargin,

@@ -1105,4 +1105,40 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
+
+  /** DELTA pairs for the embedding (sign-LSH) ledger — the
+    * [[minhashNearDupsDeltaFromSigs]] pattern on the embedding side:
+    * every ≥ `threshold` pair that TOUCHES a new vector, generated
+    * without any old×old candidate work. New-side band keys join
+    * against the combined key table, so only buckets containing a new
+    * vector produce join work; the hyperplanes are the SAME
+    * deterministic [[graft.ann.Similarity.planes]] family as
+    * [[lshNearDups]], so union with the EXISTING pair ledger
+    * reproduces the full-corpus pair set exactly (the q130-class
+    * maintenance invariant, gated by q244). New–new pairs arrive in
+    * both orientations from the all×new join and collapse through the
+    * canonical least/greatest normalization. */
+  def lshNearDupsDelta(
+      oldEmbs: DataFrame, newEmbs: DataFrame, id: Column, vec: Column,
+      nBands: Int, planesPerBand: Int, dim: Int,
+      threshold: Double): DataFrame = {
+    val o = oldEmbs.select(id.as("id"), vec.as("v"))
+    val n = newEmbs.select(id.as("id"), vec.as("v"))
+    val all = o.unionByName(n)
+    def keys(df: DataFrame): DataFrame = df.select(col("id"),
+      explode(graft.ann.Similarity.bandKeys(col("v"), nBands, planesPerBand, dim))
+        .as("bk"))
+    val pairs = keys(all).select(col("id").as("x_id"), col("bk"))
+      .join(keys(n).select(col("id").as("y_id"), col("bk")), Seq("bk"))
+      .filter(col("x_id") =!= col("y_id"))
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"))
+      .distinct()
+    pairs
+      .join(all.select(col("id").as("a_id"), col("v").as("a_v")), Seq("a_id"))
+      .join(all.select(col("id").as("b_id"), col("v").as("b_v")), Seq("b_id"))
+      .withColumn("cosine", graft.ann.Similarity.cosine(col("a_v"), col("b_v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
 }

@@ -492,4 +492,24 @@ class DedupSpec extends AnyFunSuite {
     // isolated docs are their own component and still get assigned
     assert(assigned.filter(col("doc_id") === 2000L).count() == 1)
   }
+
+  test("lsh delta pairs touch only new vectors; base pairs ∪ delta ≡ full recompute") {
+    val embs = graft.util.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val baseE = embs.filter(col("vec_id") % 5 =!= 0)
+    val deltaE = embs.filter(col("vec_id") % 5 === 0)
+    def pset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pset(Dedup.lshNearDups(embs, col("vec_id"), col("embedding"),
+      4, 4, 64, 0.25))
+    val basePairs = pset(Dedup.lshNearDups(baseE, col("vec_id"), col("embedding"),
+      4, 4, 64, 0.25))
+    val delta = pset(Dedup.lshNearDupsDelta(baseE, deltaE,
+      col("vec_id"), col("embedding"), 4, 4, 64, 0.25))
+    val newIds = deltaE.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    // every delta pair involves at least one newly-ingested vector
+    assert(delta.forall { case (a, b) => newIds(a) || newIds(b) })
+    // and the maintenance invariant: stored ledger + delta = full rebuild
+    assert((basePairs ++ delta) == full)
+    assert(delta.nonEmpty && basePairs.nonEmpty)
+  }
 }
