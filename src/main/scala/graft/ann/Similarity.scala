@@ -491,11 +491,27 @@ object Similarity {
       }
       cents.toIndexedSeq
     }
-    val cbRows = for {
-      sub <- 0 until m; (c, cell) <- codebooks(sub).zipWithIndex
-    } yield (sub, cell, c.toSeq)
+    val codesLazy = pqEncode(data,
+      codebookFrame(spark, m, codebooks), subDim)
+    val codes = if (materialize) codesLazy.cutLineage() else codesLazy
+    PqIndex(m, subDim, codebooks, codes)
+  }
+
+  /** The driver-held codebooks as a broadcastable (sub, cell, c) frame. */
+  private def codebookFrame(spark: org.apache.spark.sql.SparkSession,
+      m: Int, codebooks: Seq[IndexedSeq[Array[Double]]]): DataFrame = {
     import spark.implicits._
-    val cb = cbRows.toDF("sub", "cell", "c")
+    (for {
+      sub <- 0 until m; (c, cell) <- codebooks(sub).zipWithIndex
+    } yield (sub, cell, c.toSeq)).toDF("sub", "cell", "c")
+  }
+
+  /** Encode vectors against fixed codebooks: subvector assembly +
+    * per-subspace argmin over the broadcast codeword table — the
+    * distributed PQ encode step, shared by [[buildPq]] and
+    * [[pqInsert]]. */
+  private def pqEncode(data: DataFrame, cb: DataFrame,
+      subDim: Int): DataFrame = {
     val subs = data
       .select(col("vid"), posexplode(col("v")).as(Seq("d", "x")))
       .withColumn("sub", expr(s"d div $subDim"))
@@ -503,7 +519,7 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("d"), col("x")))),
         s => s.getField("x").cast("double")).as("sv"))
-    val codesLazy = subs.join(broadcast(cb), Seq("sub"))
+    subs.join(broadcast(cb), Seq("sub"))
       .withColumn("d2",
         dot(col("sv"), col("sv")) - lit(2) * dot(col("sv"), col("c")) +
           dot(col("c"), col("c")))
@@ -514,8 +530,25 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("cell")))),
         s => s.getField("cell")).as("codes"))
-    val codes = if (materialize) codesLazy.cutLineage() else codesLazy
-    PqIndex(m, subDim, codebooks, codes)
+  }
+
+  /** Incremental PQ ingestion — [[ivfInsert]]'s twin for the code
+    * index: encode NEW vectors against the FROZEN codebooks (one
+    * broadcast-argmin pass over the delta — the codeword table is the
+    * same driver-held m × ksub metadata ADC broadcasts at query time)
+    * and append their codes. Old codes never change; codebook refresh
+    * stays a declared periodic [[buildPq]] maintenance job, drift
+    * costing quantization error on the NEW vectors only (they are
+    * encoded with codewords trained before they existed) — recall, not
+    * correctness. AnnSpec pins frozen codebooks, count addition,
+    * re-encode determinism, and that base vectors' ADC scores are
+    * bit-identical before and after an insert. */
+  def pqInsert(index: PqIndex, newVecs: DataFrame, id: Column,
+      vec: Column): PqIndex = {
+    val spark = newVecs.sparkSession
+    val newCodes = pqEncode(newVecs.select(id.as("vid"), vec.as("v")),
+      codebookFrame(spark, index.m, index.codebooks), index.subDim)
+    index.copy(codes = index.codes.unionByName(newCodes))
   }
 
   /** Asymmetric-distance (ADC) top-k over a PQ index: the query stays

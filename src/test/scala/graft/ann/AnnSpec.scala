@@ -276,6 +276,32 @@ class AnnSpec extends AnyFunSuite {
     assert(top.getDouble(1) > 0.99999)
   }
 
+  test("PQ insert: frozen codebooks, deterministic re-encode, base ADC " +
+      "scores bit-identical before and after") {
+    val baseE = embs.filter(col("vec_id") % 5 =!= 0)
+    val deltaE = embs.filter(col("vec_id") % 5 === 0)
+    val idx = Similarity.buildPq(baseE, col("vec_id"), col("embedding"),
+      m = 8, ksub = 16, materialize = true)
+    val grown = Similarity.pqInsert(idx, deltaE, col("vec_id"), col("embedding"))
+    assert(grown.codes.count() == baseE.count() + deltaE.count())
+    // codebooks are the SAME driver-held object — frozen
+    assert(grown.codebooks eq idx.codebooks)
+    // re-inserting is deterministic: identical codes both times
+    val again = Similarity.pqInsert(idx, deltaE, col("vec_id"), col("embedding"))
+    def codeMap(p: Similarity.PqIndex) = p.codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(codeMap(grown) == codeMap(again))
+    // base vectors' ADC scores are unchanged by the insert (same codes,
+    // same codebooks, same lookup table)
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble).toSeq
+    val before = Similarity.pqSearchAdc(idx, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val after = Similarity.pqSearchAdc(grown, q, k = baseE.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    before.foreach { case (id, s) => assert(after(id) == s) }
+  }
+
   test("MMR: first pick is the relevance argmax, a clone of it is demoted " +
       "below a diverse runner-up, and picks never repeat") {
     import spark.implicits._
