@@ -39,12 +39,15 @@ object DriftProbe {
         .localCheckpoint(true)
     }
     def recall(idx: Similarity.IvfIndex, corpus: org.apache.spark.sql.DataFrame): Double = {
+      // search with k+1 and filter the self-match AFTER (round-8 advice:
+      // filtering a k=10 result leaves only 9 candidates whenever the
+      // query's own id lands in the pruned top-10, capping recall at 0.9)
       val scores = queries.map { case (qid, q) =>
         val exact = Similarity.bruteForceTopK(
             corpus.filter(col("vec_id") =!= qid), col("vec_id"),
             col("embedding"), q, 10)
           .collect().map(_.getLong(0)).toSet
-        val got = Similarity.ivfSearch(idx, q, k = 10, nprobe = 4)
+        val got = Similarity.ivfSearch(idx, q, k = 11, nprobe = 4)
           .filter(col("nn_id") =!= qid)
           .collect().map(_.getLong(0)).take(10).toSet
         (exact intersect got).size.toDouble / 10.0

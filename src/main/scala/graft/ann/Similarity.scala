@@ -236,12 +236,19 @@ object Similarity {
     * correctness (probed cells still contain what assignment put
     * there). q243 gates the grown index end-to-end: an all-probe search
     * over base + inserted delta is provably exhaustive, so the exact
-    * top-k oracle verifies that insertion reached every vector. */
+    * top-k oracle verifies that insertion reached every vector.
+    *
+    * `materialize` cuts the unioned table's lineage (the buildIvf
+    * switch, same eager non-reliable trade documented there) — chained
+    * ingests across many commits otherwise accumulate an unbounded lazy
+    * plan (round-8 advice; repeated-fold callers like DriftProbe). */
   def ivfInsert(index: IvfIndex, newVecs: DataFrame, id: Column,
-      vec: Column): IvfIndex =
+      vec: Column, materialize: Boolean = false): IvfIndex = {
+    val grown = index.assigned.unionByName(
+      assign(newVecs.select(id.as("vid"), vec.as("v")), index.centroids))
     IvfIndex(index.centroids,
-      index.assigned.unionByName(
-        assign(newVecs.select(id.as("vid"), vec.as("v")), index.centroids)))
+      if (materialize) grown.cutLineage() else grown)
+  }
 
   /** Per-cell elementwise mean (posexplode → groupBy(cell, dim) → avg →
     * reassemble). Fully distributed; no vector ever reaches the driver. */
@@ -542,13 +549,15 @@ object Similarity {
     * encoded with codewords trained before they existed) — recall, not
     * correctness. AnnSpec pins frozen codebooks, count addition,
     * re-encode determinism, and that base vectors' ADC scores are
-    * bit-identical before and after an insert. */
+    * bit-identical before and after an insert. `materialize` cuts the
+    * unioned code table's lineage — the [[ivfInsert]] switch. */
   def pqInsert(index: PqIndex, newVecs: DataFrame, id: Column,
-      vec: Column): PqIndex = {
+      vec: Column, materialize: Boolean = false): PqIndex = {
     val spark = newVecs.sparkSession
     val newCodes = pqEncode(newVecs.select(id.as("vid"), vec.as("v")),
       codebookFrame(spark, index.m, index.codebooks), index.subDim)
-    index.copy(codes = index.codes.unionByName(newCodes))
+    val grown = index.codes.unionByName(newCodes)
+    index.copy(codes = if (materialize) grown.cutLineage() else grown)
   }
 
   /** Asymmetric-distance (ADC) top-k over a PQ index: the query stays

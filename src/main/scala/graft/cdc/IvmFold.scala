@@ -39,6 +39,14 @@ import org.apache.spark.sql.functions._
   * Callers filter the liveness predicate (m > 0 / n > 0) AFTER the
   * merge — the merge itself is sign-agnostic.
   *
+  * Key equality is NULL-SAFE (`<=>`): a null-keyed delta row merges with
+  * the null-keyed state row exactly as the union + re-aggregate fold
+  * would group them (SQL GROUP BY treats nulls as one group). Round-8
+  * advice: plain `=` keys routed every null-keyed delta row to `fresh`,
+  * silently duplicating an existing null-keyed state row. Null-safe
+  * equality still plans as a broadcast-hash join (the null just becomes
+  * a hashable key value), so the shuffle story is unchanged.
+  *
   * @param keys     join key column names (present in both inputs)
   * @param counters (stateCol, deltaCol) pairs summed as
   *                 coalesce(state, 0) + coalesce(delta, 0); the output
@@ -47,16 +55,24 @@ import org.apache.spark.sql.functions._
 object IvmFold {
   def mergeCounts(state: DataFrame, delta: DataFrame, keys: Seq[String],
       counters: Seq[(String, String)]): DataFrame = {
-    val keyCols = keys.map(col)
+    val st = state.alias("ivm_st")
+    val dl = delta.alias("ivm_dl")
+    def cond(l: String, r: String) =
+      keys.map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
+    val stKeys = keys.map(k => col(s"ivm_st.$k").as(k))
     val summed = counters.map { case (s, d) =>
-      (coalesce(col(s), lit(0L)) + coalesce(col(d), lit(0L))).as(s)
+      (coalesce(col(s"ivm_st.$s"), lit(0L)) +
+        coalesce(col(s"ivm_dl.$d"), lit(0L))).as(s)
     }
-    val updated = state.join(broadcast(delta), keys, "left")
-      .select(keyCols ++ summed: _*)
-    val hit = state.join(broadcast(delta), keys, "left_semi")
-      .select(keyCols: _*)
-    val fresh = delta.join(broadcast(hit), keys, "left_anti")
-      .select(keyCols ++ counters.map { case (s, d) => col(d).as(s) }: _*)
+    val updated = st.join(broadcast(dl), cond("ivm_st", "ivm_dl"), "left")
+      .select(stKeys ++ summed: _*)
+    val hit = st.join(broadcast(dl), cond("ivm_st", "ivm_dl"), "left_semi")
+      .select(stKeys: _*)
+    val d2 = delta.alias("ivm_d2")
+    val fresh = d2.join(broadcast(hit.alias("ivm_ht")),
+        cond("ivm_d2", "ivm_ht"), "left_anti")
+      .select(keys.map(k => col(s"ivm_d2.$k").as(k)) ++
+        counters.map { case (s, d) => col(s"ivm_d2.$d").as(s) }: _*)
     updated.unionByName(fresh)
   }
 }

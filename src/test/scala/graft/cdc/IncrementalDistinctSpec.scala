@@ -62,6 +62,25 @@ class IncrementalDistinctSpec extends AnyFunSuite {
     assert(bag.filter(col("m") <= 0).isEmpty)
   }
 
+  test("null keys merge, not duplicate: the fold's key equality is null-safe " +
+      "like the GROUP BY it maintains") {
+    // round-8 advice: plain `=` keys never match null, so a null-keyed
+    // delta row landed in `fresh` and DUPLICATED the null-keyed state
+    // row. SQL GROUP BY puts all nulls in one group; the fold must too.
+    val state = Seq((Some("a"), 2L, 20L), (None, 3L, 30L))
+      .toDF("key", "n", "tot")
+    val delta = Seq((Some("a"), 1L, 5L), (None, 1L, 7L), (Some("b"), 1L, 1L))
+      .toDF("key", "dn", "dtot")
+    val merged = IvmFold.mergeCounts(state, delta, Seq("key"),
+        Seq("n" -> "dn", "tot" -> "dtot"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(merged == Set(
+      (Some("a"), 3L, 25L),
+      (None, 4L, 37L),      // ONE null-keyed row, counters summed
+      (Some("b"), 1L, 1L)))
+  }
+
   test("the fold shuffles only delta-sized data: a 2-row window against a " +
       "100k-pair bag moves a handful of records, never the bag") {
     // the scale claim behind the broadcast-merge fold (IvmFold): the
