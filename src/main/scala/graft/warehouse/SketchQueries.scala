@@ -162,6 +162,33 @@ object SketchQueries {
         .orderBy(col("join_pair"))
     },
 
+    // -- PRODUCTION profile of the join-size estimator (round-8 verdict:
+    //    q237 is the oracle-parity EVIDENCE face — it runs the exact join
+    //    to score the estimate, which at 100 TB costs more than the join
+    //    it predicts). This face runs ONLY the sampled estimate: two
+    //    1/64-of-keys joins (the same coordinated portable-hash residue
+    //    sampling), never the full fact⋈fact — the pre-flight "can I
+    //    afford this shuffle / should I salt" answer at ~1/64 of the
+    //    join's cost. Deterministic hash → the oracle replays sampling
+    //    and scale-up bit-for-bit, so the estimate itself is exact-gated
+    //    without any exact-side recompute in either engine.
+    "q245_join_estimate_prod" -> { (s, d) =>
+      def keep(k: Column): Column =
+        pmod(graft.text.TextFunctions.portableHash48(k.cast("string")),
+          lit(JoinSampleRate)) === 0
+      def estOnly(name: String, a: DataFrame, ak: String,
+          b: DataFrame, bk: String): DataFrame =
+        a.filter(keep(col(ak)))
+          .join(b.filter(keep(col(bk))), col(ak) === col(bk))
+          .agg((count(lit(1)) * JoinSampleRate).as("n_est"))
+          .select(lit(name).as("join_pair"), col("n_est"))
+      estOnly("customer_orders", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey")
+        .unionByName(estOnly("orders_lineitem", Tables.lineitem(s, d),
+          "l_orderkey", Tables.orders(s, d), "o_orderkey"))
+        .orderBy(col("join_pair"))
+    },
+
     "q166_kmv_distinct" -> { (s, d) =>
       val k = 64
       val li = Tables.lineitem(s, d)
@@ -208,6 +235,23 @@ object SketchQueries {
         |  ${pairSql("customer_orders", "orders", "o_custkey", "customer", "c_custkey")}
         |  UNION ALL
         |  ${pairSql("orders_lineitem", "lineitem", "l_orderkey", "orders", "o_orderkey")})
+        |ORDER BY join_pair""".stripMargin
+    },
+
+    // Production face: the SAME sampled estimate, no exact side anywhere.
+    "q245_join_estimate_prod" -> {
+      def keepSql(k: String) =
+        s"(md5_number_lower(CAST($k AS VARCHAR)) % 281474976710656) % $JoinSampleRate = 0"
+      def estSql(name: String, a: String, ak: String, b: String, bk: String) =
+        s"""SELECT '$name' AS join_pair,
+           |  CAST((SELECT COUNT(*) * $JoinSampleRate
+           |   FROM (SELECT $ak FROM $a WHERE ${keepSql(ak)}) sa
+           |   JOIN (SELECT $bk FROM $b WHERE ${keepSql(bk)}) sb ON $ak = $bk)
+           |    AS BIGINT) AS n_est""".stripMargin
+      s"""SELECT join_pair, n_est FROM (
+        |  ${estSql("customer_orders", "orders", "o_custkey", "customer", "c_custkey")}
+        |  UNION ALL
+        |  ${estSql("orders_lineitem", "lineitem", "l_orderkey", "orders", "o_orderkey")})
         |ORDER BY join_pair""".stripMargin
     },
 
