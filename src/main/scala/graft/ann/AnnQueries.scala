@@ -34,18 +34,59 @@ object AnnQueries {
   def ivfIndex(s: SparkSession, d: String): Similarity.IvfIndex =
     Maintenance.getOrBuild("ivfIndex", s, d) {
       val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
-      Similarity.buildIvf(embs, col("vec_id"), col("embedding"),
+      val idx = Similarity.buildIvf(embs, col("vec_id"), col("embedding"),
         nCentroids = 8, iterations = 1, materialize = true)
+      // refresh-policy denominator: the materialized assignment count is
+      // the one pass ivfIngest's doubling ratio is measured against
+      Maintenance.noteBaseSize("ivfIndex", s, d, idx.assigned.count())
+      idx
     }
+
+  /** Ingest new vectors into the MAINTAINED IVF index under the measured
+    * refresh policy (graft.DriftProbe / SURVEY §9.9: frozen-quantizer
+    * recall plateaus ~0.10 below a rebuild from +100% growth onward, so
+    * the default is "rebuild after the corpus doubles"). Below the
+    * threshold the grown index — one broadcast-argmin pass over the
+    * delta, lineage cut — REPLACES the memo in place; at the threshold
+    * the memo invalidates and the NEXT [[ivfIndex]] call re-trains from
+    * the current corpus files. Returns (grown index, whether the policy
+    * fired). Correctness is never at stake either way (probed cells
+    * always contain what assignment stored — the q243 gate); the policy
+    * trades one rebuild for the measured recall plateau. */
+  def ivfIngest(s: SparkSession, d: String, newVecs: DataFrame)
+      : (Similarity.IvfIndex, Boolean) = {
+    val grown = Similarity.ivfInsert(ivfIndex(s, d), newVecs,
+      col("vec_id"), col("embedding"), materialize = true)
+    val refreshed = Maintenance.noteInserted("ivfIndex", s, d,
+      newVecs.count())
+    if (!refreshed) Maintenance.update("ivfIndex", s, d)(grown)
+    (grown, refreshed)
+  }
 
   /** The q137 PQ index, memoized like [[ivfIndex]] (train once, probe
     * forever; Bench warms it through the Maintenance registry). */
   def pqIndex(s: SparkSession, d: String): Similarity.PqIndex =
     Maintenance.getOrBuild("pqIndex", s, d) {
       val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
-      Similarity.buildPq(embs, col("vec_id"), col("embedding"),
+      val idx = Similarity.buildPq(embs, col("vec_id"), col("embedding"),
         m = 16, ksub = 64, materialize = true)
+      Maintenance.noteBaseSize("pqIndex", s, d, idx.codes.count())
+      idx
     }
+
+  /** [[ivfIngest]]'s twin for the PQ code index: encode against the
+    * frozen codebooks, replace the memo below the doubling threshold,
+    * invalidate at it (codebook drift costs quantization error on the
+    * NEW vectors only — same recall-not-correctness trade). */
+  def pqIngest(s: SparkSession, d: String, newVecs: DataFrame)
+      : (Similarity.PqIndex, Boolean) = {
+    val grown = Similarity.pqInsert(pqIndex(s, d), newVecs,
+      col("vec_id"), col("embedding"), materialize = true)
+    val refreshed = Maintenance.noteInserted("pqIndex", s, d,
+      newVecs.count())
+    if (!refreshed) Maintenance.update("pqIndex", s, d)(grown)
+    (grown, refreshed)
+  }
 
   /** The q218 composite IVF-PQ index (the FAISS IVFPQ shape — coarse
     * cells + residual PQ codes), memoized like [[ivfIndex]]/[[pqIndex]]
@@ -54,8 +95,13 @@ object AnnQueries {
   def ivfPqIndex(s: SparkSession, d: String): Similarity.IvfPqIndex =
     Maintenance.getOrBuild("ivfPqIndex", s, d) {
       val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
-      Similarity.buildIvfPq(embs, col("vec_id"), col("embedding"),
+      val idx = Similarity.buildIvfPq(embs, col("vec_id"), col("embedding"),
         nCells = 8, m = 16, ksub = 64, materialize = true)
+      // no insert face yet (composing ivfInsert + residual pqInsert is a
+      // declared follow-on) — noting the base size wires the same
+      // doubling policy in for when one lands
+      Maintenance.noteBaseSize("ivfPqIndex", s, d, idx.codes.count())
+      idx
     }
 
   /** q212's semantic dedup ledger, memoized per (session, table) like

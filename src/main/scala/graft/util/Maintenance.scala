@@ -42,6 +42,52 @@ object Maintenance {
       build: => T): T =
     store.computeIfAbsent((name, s, dir), _ => build).asInstanceOf[T]
 
+  /** Replace a maintained state in place — the INGESTION write path: a
+    * grown index supersedes the memo without a rebuild (ivfIngest /
+    * pqIngest). No-op semantics match put: the next accessor sees the
+    * new value. */
+  def update[T <: AnyRef](name: String, s: SparkSession, dir: String)(
+      value: T): T = {
+    store.put((name, s, dir), value)
+    value
+  }
+
+  // ---- ingestion growth tracking (the DriftProbe refresh policy) ----
+
+  final case class Growth(base: Long, inserted: Long)
+  private val growth = new ConcurrentHashMap[(String, SparkSession, String), Growth]()
+
+  /** Record the base cardinality of a maintained state at build time —
+    * the denominator of the refresh policy. Resets the inserted counter
+    * (a rebuild starts a fresh growth window). */
+  def noteBaseSize(name: String, s: SparkSession, dir: String, n: Long): Unit =
+    growth.put((name, s, dir), Growth(n, 0L))
+
+  /** Record `delta` rows ingested into a maintained state and apply the
+    * MEASURED refresh policy (graft.DriftProbe / SURVEY §9.9: frozen-
+    * quantizer recall plateaus ~0.10 below a rebuild from +100% growth
+    * onward — so "rebuild after the corpus doubles" is the default):
+    * once base + inserted ≥ growthFactor × base, the entry is
+    * [[invalidate]]d so the NEXT accessor call re-trains from current
+    * files, and the growth window resets. Returns whether the policy
+    * fired. States that never [[noteBaseSize]]d are never auto-refreshed
+    * (base 0 — ingestion-only callers opt out). */
+  def noteInserted(name: String, s: SparkSession, dir: String, delta: Long,
+      growthFactor: Double = 2.0): Boolean = {
+    val key = (name, s, dir)
+    val g = growth.compute(key, (_, old) =>
+      if (old == null) Growth(0L, delta)
+      else old.copy(inserted = old.inserted + delta))
+    val fire = g.base > 0 &&
+      (g.base + g.inserted).toDouble >= g.base.toDouble * growthFactor
+    if (fire) invalidate(name, s, dir)
+    fire
+  }
+
+  /** Observability for the refresh policy: current (base, inserted). */
+  def growthOf(name: String, s: SparkSession, dir: String): Option[Growth] =
+    Option(growth.get((name, s, dir)))
+
   /** Every Dataset reachable through a stored value — the value itself,
     * or a field of a case class / tuple (IvfIndex, DedupLedger, IncBase). */
   private def frames(v: Any): Seq[org.apache.spark.sql.Dataset[_]] = v match {
@@ -55,6 +101,7 @@ object Maintenance {
     * the in-place-regeneration refresh path. */
   def invalidate(name: String, s: SparkSession, dir: String): Boolean = {
     val v = store.remove((name, s, dir))
+    growth.remove((name, s, dir)) // a rebuild re-notes its base size
     if (v != null) frames(v).foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
     v != null
   }

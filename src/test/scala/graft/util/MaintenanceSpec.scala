@@ -83,6 +83,45 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(report.forall(!_.built))
   }
 
+  test("ingestion refresh policy: the memo grows in place below 2x and " +
+      "invalidates at the doubling threshold; rebuild restores base") {
+    val d = "/root/testdata/sf0.001"
+    import graft.ann.AnnQueries
+    Maintenance.invalidate("ivfIndex", spark, d) // clean slate
+    val base = AnnQueries.ivfIndex(spark, d).assigned.count()
+    assert(Maintenance.growthOf("ivfIndex", spark, d).contains(
+      Maintenance.Growth(base, 0L)))
+    // ingest ~60% of base (shifted ids so nothing collides): UNDER the
+    // doubling threshold -> the grown index replaces the memo in place
+    def shifted(n: Long, off: Long) =
+      Tables.embeddings(spark, d).filter(col("vec_id") =!= 0)
+        .limit(n.toInt)
+        .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+    val d1 = base * 6 / 10
+    val (grown1, fired1) = AnnQueries.ivfIngest(spark, d, shifted(d1, 100000L))
+    assert(!fired1, "60% growth must not trigger the rebuild policy")
+    assert(grown1.assigned.count() == base + d1)
+    assert(AnnQueries.ivfIndex(spark, d).assigned.count() == base + d1,
+      "the memo must hold the GROWN index (in-place update)")
+    assert(Maintenance.growthOf("ivfIndex", spark, d).contains(
+      Maintenance.Growth(base, d1)))
+    // an ingested vector is retrievable from the grown index BETWEEN
+    // refreshes (correctness never at stake — the q243 contract); probed
+    // before the policy fires, which unpersists the superseded frames
+    assert(grown1.assigned.filter(col("vid") > 100000L).count() == d1)
+    // second ingest crosses base + inserted >= 2x base: policy fires,
+    // memo invalidates, the NEXT accessor call re-trains from files
+    val d2 = base - d1 // exactly reaches the doubling threshold
+    val (_, fired2) = AnnQueries.ivfIngest(spark, d, shifted(d2, 200000L))
+    assert(fired2, "reaching 2x base must trigger the rebuild policy")
+    assert(!Maintenance.inspect(spark, d).find(_.name == "ivfIndex").get.built)
+    val rebuilt = AnnQueries.ivfIndex(spark, d)
+    assert(rebuilt.assigned.count() == base,
+      "rebuild re-trains from the corpus files (shifted ids were external)")
+    assert(Maintenance.growthOf("ivfIndex", spark, d).contains(
+      Maintenance.Growth(base, 0L)), "rebuild opens a fresh growth window")
+  }
+
   test("q130's incremental fold over the registry state equals a full recompute") {
     val d = "/root/testdata/sf0.001"
     val inc = TextQueries.queries("q130_incremental_components")(spark, d)
