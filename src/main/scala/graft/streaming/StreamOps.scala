@@ -440,6 +440,94 @@ object StreamOps {
         Encoders.product[BucketDocs], Encoders.product[NearDupHit])
   }
 
+  final case class SigEntry(doc_id: Long, sig: Seq[Long])
+
+  /** The [[nearDupDetect]] logic as a Spark 4 StatefulProcessor — the
+    * CLUSTER-SCALE state layer (round-8 verdict #1): transformWithState
+    * requires the RocksDB state store provider, whose spill-to-disk
+    * column families are the difference between working and OOM at
+    * 100 TB ingest, and its per-bucket members live in a ListState whose
+    * TTL evicts STALE MEMBERS INDIVIDUALLY (the store's native
+    * processing-time TTL — no timer bookkeeping, no whole-bucket drop on
+    * timeout like the fMGWS form's event-time timeout; an old member
+    * expires even while new arrivals keep its bucket hot, which is the
+    * tighter retention contract). Pair emission, signature similarity,
+    * first-matching-band ownership, the per-bucket cap and in-batch
+    * event-time ordering are IDENTICAL to [[nearDupDetect]] —
+    * StreamOpsSpec pins both faces against the same batch pairing. */
+  class NearDupProcessor(threshold: Double, k: Int, bands: Int,
+      maxBucket: Int, stateTtl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Int), SigRow, NearDupHit] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var members: ListState[SigEntry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[SigEntry](
+        "members", E.product[SigEntry],
+        stateTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: (Int, Int), rows: Iterator[SigRow],
+        timerValues: TimerValues): Iterator[NearDupHit] = {
+      val rPerBand = k / bands
+      def firstMatchBand(a: Seq[Long], b: Seq[Long]): Option[Int] =
+        (0 until bands).find { bi =>
+          a.slice(bi * rPerBand, bi * rPerBand + rPerBand) ==
+            b.slice(bi * rPerBand, bi * rPerBand + rPerBand)
+        }
+      // bounded materialization: the cap guards this list, never volume
+      var ds = members.get().map(e => (e.doc_id, e.sig)).toSeq
+      val out = scala.collection.mutable.ArrayBuffer[NearDupHit]()
+      rows.toSeq.sortBy(row => (row.ts.getTime, row.doc_id)).foreach { row =>
+        ds.foreach { case (oid, osig) =>
+          if (oid != row.doc_id) {
+            val eq = osig.zip(row.sig).count { case (a, b) => a == b }
+            val sim = eq.toDouble / k.toDouble
+            if (sim >= threshold &&
+                firstMatchBand(osig, row.sig).contains(key._1))
+              out += NearDupHit(math.min(oid, row.doc_id),
+                math.max(oid, row.doc_id), row.ts, sim)
+          }
+        }
+        if (ds.size < maxBucket && !ds.exists(_._1 == row.doc_id)) {
+          ds = ds :+ ((row.doc_id, row.sig))
+          members.appendValue(SigEntry(row.doc_id, row.sig))
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** [[nearDupDetect]] on the transformWithState/RocksDB state layer —
+    * see [[NearDupProcessor]] for what changes (member-level TTL
+    * retention) and what is pinned identical. `stateTtl` enables
+    * processing-time TTL on the bucket members (a TimeMode.ProcessingTime
+    * query never self-terminates — tests drive it by polling committed
+    * offsets, the sessionizeTws TTL pattern); None keeps state until the
+    * cap, TimeMode.None. */
+  def nearDupDetectTws(docs: DataFrame, threshold: Double = 0.7, k: Int = 16,
+      bands: Int = 4, maxBucket: Int = 50,
+      stateTtl: Option[java.time.Duration] = None): Dataset[NearDupHit] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import org.apache.spark.sql.{Encoders => E}
+    import graft.text.TextFunctions
+    val sigs = docs.select(col("doc_id"), col("ts"),
+        TextFunctions.minhashSignature(
+          TextFunctions.shingles(col("text"), 3), k).as("sig"))
+      .withColumn("bk", TextFunctions.lshBandKeys(col("sig"), k, bands))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        posexplode(col("bk")).as(Seq("band", "bucket")))
+    implicit val hitEnc: org.apache.spark.sql.Encoder[NearDupHit] =
+      E.product[NearDupHit]
+    sigs.as(E.product[SigRow])
+      .groupByKey(r => (r.band, r.bucket))(E.product[(Int, Int)])
+      .transformWithState(
+        new NearDupProcessor(threshold, k, bands, maxBucket, stateTtl),
+        if (stateTtl.nonEmpty) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
   final case class Chg(user_id: Long, ts: java.sql.Timestamp,
       value: String, op: String)
   final case class BagState(m: Map[String, Long])

@@ -641,6 +641,109 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows.toSet == expected)
   }
 
+  test("transformWithState near-dup detection on RocksDB ≡ the fMGWS face " +
+      "and the batch pairing; multi-band collisions emit one pair") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+      val docs = Seq(
+        (1L, t(0), a),
+        (2L, t(2), a.replace("upsilon", "omega")), // near-clone of d1
+        (3L, t(3), "one two three four five six seven eight nine ten " +
+          "eleven twelve thirteen fourteen fifteen sixteen"), // unrelated
+        (4L, t(5), a)) // exact copy of d1
+      import graft.text.TextFunctions
+      val ref = docs.toDF("doc_id", "ts", "text")
+        .select(col("doc_id"),
+          TextFunctions.minhashSignature(
+            TextFunctions.shingles(col("text"), 3), 16).as("sig"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+      val expected = (for {
+        (ai, asig) <- ref; (bi, bsig) <- ref if ai < bi
+        shared = (0 until 4).exists(b =>
+          asig.slice(b * 4, b * 4 + 4) == bsig.slice(b * 4, b * 4 + 4))
+        sim = asig.zip(bsig).count { case (x, y) => x == y } / 16.0
+        if shared && sim >= 0.7
+      } yield (ai, bi)).toSet
+      assert(expected.contains((1L, 4L)))
+
+      val ms = MemoryStream[(Long, Timestamp, String)]
+      val out = StreamOps.nearDupDetectTws(
+        ms.toDF().toDF("doc_id", "ts", "text"), threshold = 0.7)
+      val q = out.toDF().writeStream.format("memory").queryName("near_dup_tws")
+        .outputMode("append").start()
+      ms.addData(docs(0)); q.processAllAvailable()
+      ms.addData(docs(1), docs(2)); q.processAllAvailable()
+      ms.addData(docs(3)); q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("near_dup_tws").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length == rows.toSet.size,
+        "multi-band collisions must emit exactly one pair")
+      assert(rows.toSet == expected)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("TWS near-dup + TTL: a stale bucket member is evicted by the store, " +
+      "fresh members keep detecting") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+      val ms = MemoryStream[(Long, Timestamp, String)]
+      val out = StreamOps.nearDupDetectTws(
+        ms.toDF().toDF("doc_id", "ts", "text"), threshold = 0.7,
+        stateTtl = Some(java.time.Duration.ofSeconds(1)))
+      // a ProcessingTime query never self-terminates: drive it by
+      // polling committed source offsets (the sessionizeTws TTL pattern)
+      val ckpt = java.nio.file.Files.createTempDirectory("ndttl").toString
+      val hits = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+      def runUpTo(target: Long): Unit = {
+        val q = out.toDF().writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.collect().foreach(r => hits.add((r.getLong(0), r.getLong(1))))
+          }
+          .outputMode("append").option("checkpointLocation", ckpt).start()
+        val deadline = System.currentTimeMillis + 120000
+        def caughtUp = Option(q.lastProgress).flatMap(p =>
+          scala.util.Try(p.sources.head.endOffset.trim.toLong).toOption)
+          .exists(_ >= target)
+        while (!caughtUp && System.currentTimeMillis < deadline) Thread.sleep(100)
+        assert(caughtUp, "stream did not consume its input within 120s")
+        q.stop()
+      }
+      val o1 = ms.addData((1L, t(0), a))
+      runUpTo(o1.json.trim.toLong)
+      Thread.sleep(2500) // wall-clock TTL expires doc 1's membership
+      // doc 2 is an exact copy of the EXPIRED doc 1 -> no hit (stale
+      // member gone); doc 3 copies doc 2 within the TTL -> hit (one
+      // delivery: the 1 s TTL must outlive the query-restart gap a
+      // second runUpTo would insert)
+      val o2 = ms.addData((2L, t(10), a), (3L, t(20), a))
+      runUpTo(o2.json.trim.toLong)
+      val got = hits.toArray(Array.empty[(Long, Long)]).toSet
+      assert(!got.contains((1L, 2L)),
+        "the expired member must not pair with a later arrival")
+      assert(got.contains((2L, 3L)),
+        "fresh members within the TTL must keep detecting")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming distinct maintenance ≡ batch support-bag fold across " +
       "three change windows with deletes and updates") {
     import graft.streaming.StreamOps.Chg
