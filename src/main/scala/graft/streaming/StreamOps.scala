@@ -291,10 +291,13 @@ object StreamOps {
     * Cross-batch straggler caveat: rows sort by event time WITHIN a
     * micro-batch; a straggler folding in a later batch charges the
     * budget at its arrival position (same contract as quotaEnforce). */
-  def corpusBuildStream(docs: DataFrame, evalDocs: DataFrame,
-      budgetPerSource: Long, minWords: Long = 5L, maxWords: Long = 5000L,
-      contamN: Int = 3, contamThreshold: Int = 5,
-      delay: String = "10 minutes"): Dataset[CorpusAdmit] = {
+  /** Stages 1–3 of the streaming corpus build (quality → decontaminate →
+    * exact dedup within the watermark), shared by [[corpusBuildStream]]
+    * and the near-dup-gated [[corpusBuildStreamNd]]. Keeps `text` so the
+    * near-dup face can derive signatures. */
+  private def corpusGate(docs: DataFrame, evalDocs: DataFrame,
+      minWords: Long, maxWords: Long, contamN: Int, contamThreshold: Int,
+      delay: String): DataFrame = {
     import graft.text.{CorpusQueries, TextFunctions}
     val keep = Seq("ts" -> col("ts"), "source" -> col("source"),
       "text" -> col("text"))
@@ -304,11 +307,21 @@ object StreamOps {
     val clean = decontaminate(quality, evalDocs, col("id"), col("text"),
         col("text"), contamN, contamThreshold, keep)
       .filter(!col("is_contaminated"))
-    val deduped = clean
+    clean
       .withColumn("fp", TextFunctions.fingerprint(col("text")))
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("fp")
-      .select(col("id").as("doc_id"), col("ts"), col("source"),
+      .select(col("id").as("doc_id"), col("ts"), col("source"), col("text"))
+  }
+
+  def corpusBuildStream(docs: DataFrame, evalDocs: DataFrame,
+      budgetPerSource: Long, minWords: Long = 5L, maxWords: Long = 5000L,
+      contamN: Int = 3, contamThreshold: Int = 5,
+      delay: String = "10 minutes"): Dataset[CorpusAdmit] = {
+    import graft.text.TextFunctions
+    val deduped = corpusGate(docs, evalDocs, minWords, maxWords,
+        contamN, contamThreshold, delay)
+      .select(col("doc_id"), col("ts"), col("source"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
 
     def fn(source: String, rows: Iterator[DocTok],
@@ -333,6 +346,131 @@ object StreamOps {
       Encoders.STRING
     deduped
       .as[DocTok]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  final case class GateRow(doc_id: Long, ts: java.sql.Timestamp,
+      source: String, n_tokens: Long, sig: Seq[Long], band: Int, bucket: Int)
+  final case class GateVote(doc_id: Long, ts: java.sql.Timestamp,
+      source: String, n_tokens: Long, dup_here: Boolean)
+  final case class CorpusAdmitNd(doc_id: Long, source: String, n_tokens: Long,
+      cum_tokens: Long, admitted: Boolean, near_dup: Boolean)
+
+  /** Per-bucket near-dup VOTE — the [[NearDupProcessor]] scheme recast
+    * for ADMISSION instead of pair reporting: each (band, bucket) group
+    * emits every arriving doc row with `dup_here` = "a similar EARLIER
+    * arrival is a live member of this bucket". No band-ownership dedup —
+    * a doc's `bands` votes are OR-reduced downstream, which is how
+    * multi-band recall survives keyed state (a pair may collide in band
+    * 2 only; band 2's vote carries it). Every doc is stored regardless
+    * of its own dup status (groups are independent — no cross-band
+    * coordination exists to suppress storage; the batch-replay contract
+    * mirrors this). */
+  class NearDupVoteProcessor(threshold: Double, k: Int, maxBucket: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Int), GateRow, GateVote] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var members: ListState[SigEntry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[SigEntry](
+        "gate_members", E.product[SigEntry], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Int), rows: Iterator[GateRow],
+        timerValues: TimerValues): Iterator[GateVote] = {
+      var ds = members.get().map(e => (e.doc_id, e.sig)).toSeq
+      val out = scala.collection.mutable.ArrayBuffer[GateVote]()
+      rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { row =>
+        val dup = ds.exists { case (oid, osig) =>
+          oid != row.doc_id &&
+            osig.zip(row.sig).count { case (a, b) => a == b }.toDouble / k >=
+              threshold
+        }
+        out += GateVote(row.doc_id, row.ts, row.source, row.n_tokens, dup)
+        if (ds.size < maxBucket && !ds.exists(_._1 == row.doc_id)) {
+          ds = ds :+ ((row.doc_id, row.sig))
+          members.appendValue(SigEntry(row.doc_id, row.sig))
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** [[corpusBuildStream]] with a NEAR-duplicate gate chained between
+    * exact dedup and the budget fold (round-8 verdict #6): the same
+    * MinHash-LSH signature scheme as [[nearDupDetect]], run as a
+    * transformWithState vote stage keyed by (band, bucket) — requires
+    * the RocksDB provider — whose per-doc votes are OR-reduced inside
+    * the source-keyed budget fold (a doc's `bands` vote rows ride the
+    * same micro-batch, so the reduction is batch-local and exact).
+    *
+    * Declared first-arrival contract, on top of corpusBuildStream's:
+    * a doc is `near_dup` iff some EARLIER-ARRIVED doc (by event time,
+    * then id) shares a band bucket with it at signature agreement ≥
+    * `ndThreshold`. Near-dup docs are emitted FLAGGED and do NOT charge
+    * the budget (they never enter the corpus; the quotaEnforce
+    * audit-not-drop pattern). Detection reaches only members still in
+    * state (per-bucket cap `maxBucket`), and a flagged doc still BLOCKS
+    * later similar docs — suppressing its membership would need
+    * cross-band coordination no keyed state store offers; the batch
+    * replay in StreamOpsSpec pins exactly this contract. */
+  def corpusBuildStreamNd(docs: DataFrame, evalDocs: DataFrame,
+      budgetPerSource: Long, minWords: Long = 5L, maxWords: Long = 5000L,
+      contamN: Int = 3, contamThreshold: Int = 5,
+      delay: String = "10 minutes", ndThreshold: Double = 0.7,
+      k: Int = 16, bands: Int = 4,
+      maxBucket: Int = 50): Dataset[CorpusAdmitNd] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import org.apache.spark.sql.{Encoders => E}
+    import graft.text.TextFunctions
+    val gated = corpusGate(docs, evalDocs, minWords, maxWords,
+        contamN, contamThreshold, delay)
+      .select(col("doc_id"), col("ts"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.minhashSignature(
+          TextFunctions.shingles(col("text"), 3), k).as("sig"))
+      .withColumn("bk", TextFunctions.lshBandKeys(col("sig"), k, bands))
+      .select(col("doc_id"), col("ts"), col("source"), col("n_tokens"),
+        col("sig"), posexplode(col("bk")).as(Seq("band", "bucket")))
+    implicit val voteEnc: org.apache.spark.sql.Encoder[GateVote] =
+      E.product[GateVote]
+    // the eventTimeColumnName overload re-declares `ts` as the output's
+    // event time so the downstream stateful budget fold is plannable
+    // after this stateful stage (Spark 4 chained-stateful contract)
+    val votes = gated.as(E.product[GateRow])
+      .groupByKey(r => (r.band, r.bucket))(E.product[(Int, Int)])
+      .transformWithState(
+        new NearDupVoteProcessor(ndThreshold, k, maxBucket),
+        "ts", OutputMode.Append())
+
+    def fn(source: String, rows: Iterator[GateVote],
+        state: GroupState[BudgetState]): Iterator[CorpusAdmitNd] = {
+      var cum = state.getOption.map(_.cum).getOrElse(0L)
+      val out = rows.toSeq
+        .groupBy(_.doc_id).toSeq
+        .map { case (id, votes) =>
+          (id, votes.head, votes.exists(_.dup_here)) }
+        .sortBy { case (id, v, _) => (v.ts.getTime, id) }
+        .map { case (id, v, dup) =>
+          if (dup) CorpusAdmitNd(id, source, v.n_tokens, cum,
+            admitted = false, near_dup = true)
+          else {
+            cum += v.n_tokens
+            CorpusAdmitNd(id, source, v.n_tokens, cum,
+              cum <= budgetPerSource, near_dup = false)
+          }
+        }
+      state.update(BudgetState(cum))
+      out.iterator
+    }
+    implicit val admitEnc: org.apache.spark.sql.Encoder[CorpusAdmitNd] =
+      E.product[CorpusAdmitNd]
+    implicit val stEnc: org.apache.spark.sql.Encoder[BudgetState] =
+      E.product[BudgetState]
+    implicit val keyEnc: org.apache.spark.sql.Encoder[String] = E.STRING
+    votes
       .groupByKey(_.source)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }

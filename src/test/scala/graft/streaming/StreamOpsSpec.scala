@@ -641,6 +641,104 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows.toSet == expected)
   }
 
+  test("near-dup-gated streaming corpus build: flagged dups block later " +
+      "similars but never charge the budget; batch replay parity") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evalText = "evaluation benchmark question with the answer key inside the box"
+      val evalDocs = Seq(evalText).toDF("text")
+      // 20 tokens, >= 2 distinct Gopher stopwords ("the", "a") so the
+      // quality gate admits it (the Greek-letter corpus used by the
+      // detection tests has none and Gopher drops it)
+      val a = "the quick brown fox jumps over a lazy dog while bright " +
+        "stars shine above the quiet sleeping village at night"
+      val aNd = a.replace("village", "hamlet") // NEAR-dup of a, not exact
+      val d6 = "the old ship sails to the cold north sea port"
+      val d7 = "with warm wind the kite rises over the small town"
+      val d8 = "a calm river flows in the green quiet valley today"
+      val batch1 = Seq(
+        (1L, t(0), "s1", a),
+        (2L, t(1), "s1", "too short here"), // quality gate drops
+        (3L, t(2), "s1", evalText))         // contamination screen drops
+      val batch2 = Seq(
+        (4L, t(3), "s1", "  " + a.toUpperCase + "  "), // EXACT dup: dedup drops
+        (5L, t(4), "s1", aNd))              // near-dup: flagged, no charge
+      val batch3 = Seq(
+        (6L, t(5), "s1", d6),               // cum 30 <= 35: admitted
+        (7L, t(6), "s1", d7),               // cum 40 > 35: over budget
+        (8L, t(7), "s2", d8))               // other source: own budget
+      val ms = MemoryStream[(Long, Timestamp, String, String)]
+      val out = StreamOps.corpusBuildStreamNd(
+        ms.toDF().toDF("doc_id", "ts", "source", "text"), evalDocs,
+        budgetPerSource = 35L, minWords = 5L, maxWords = 50L)
+      val q = out.toDF().writeStream.format("memory").queryName("corpus_nd")
+        .outputMode("append").start()
+      ms.addData(batch1: _*); q.processAllAvailable()
+      ms.addData(batch2: _*); q.processAllAvailable()
+      ms.addData(batch3: _*); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("corpus_nd").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4), r.getBoolean(5))).toSet
+      assert(got == Set(
+        (1L, "s1", 20L, 20L, true, false),
+        (5L, "s1", 20L, 20L, false, true),  // flagged; cum UNCHANGED
+        (6L, "s1", 10L, 30L, true, false),  // budget never saw doc 5
+        (7L, "s1", 10L, 40L, false, false), // over budget, not a dup
+        (8L, "s2", 10L, 10L, true, false)))
+
+      // independent batch replay of the declared contract: gate stages,
+      // then "near_dup iff an earlier (ts, id) arrival shares a band
+      // bucket at signature agreement >= threshold", then the budget
+      // fold over non-dup docs in (ts, id) order per source.
+      import org.apache.spark.sql.expressions.Window
+      import graft.text.TextFunctions
+      val all = (batch1 ++ batch2 ++ batch3).toDF("doc_id", "ts", "source", "text")
+      val keep = Seq("ts" -> col("ts"), "source" -> col("source"),
+        "text" -> col("text"))
+      val qual = graft.text.CorpusQueries.gopherFlags(
+          all, col("doc_id"), col("text"), 5L, 50L, keep)
+        .filter(col("passes"))
+      val clean = StreamOps.decontaminate(qual, evalDocs, col("id"),
+          col("text"), col("text"), 3, 5, keep)
+        .filter(!col("is_contaminated"))
+        .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      val wFp = Window.partitionBy(col("fp")).orderBy(col("ts"), col("id"))
+      val survivors = clean
+        .withColumn("arr", row_number().over(wFp)).filter(col("arr") === 1)
+        .select(col("id"), col("ts"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextFunctions.minhashSignature(
+            TextFunctions.shingles(col("text"), 3), 16).as("sig"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
+          r.getLong(3), r.getSeq[Long](4)))
+        .sortBy { case (id, ts, _, _, _) => (ts.getTime, id) }
+      def similar(x: Seq[Long], y: Seq[Long]): Boolean =
+        (0 until 4).exists(b => x.slice(b * 4, b * 4 + 4) == y.slice(b * 4, b * 4 + 4)) &&
+          x.zip(y).count { case (p, q2) => p == q2 } / 16.0 >= 0.7
+      val cums = scala.collection.mutable.Map.empty[String, Long]
+      val replay = survivors.zipWithIndex.map { case ((id, _, src, nt, sig), i) =>
+        val dup = survivors.take(i).exists { case (_, _, _, _, osig) =>
+          similar(osig, sig) }
+        if (dup) (id, src, nt, cums.getOrElse(src, 0L), false, true)
+        else {
+          val c = cums.getOrElse(src, 0L) + nt
+          cums(src) = c
+          (id, src, nt, c, c <= 35L, false)
+        }
+      }.toSet
+      assert(replay == got)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState near-dup detection on RocksDB ≡ the fMGWS face " +
       "and the batch pairing; multi-band collisions emit one pair") {
     implicit val ctx = spark.sqlContext
