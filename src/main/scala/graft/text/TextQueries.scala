@@ -294,31 +294,38 @@ object TextQueries {
     //    adds a stage beyond its component queries; Catalyst fuses the
     //    three gates into the same doc_id-keyed join tree.
     "q219_corpus_build" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val gq = CorpusQueries.gopherFlags(docs, col("doc_id"), col("text"),
-          CorpusQueries.GopherMinWords, CorpusQueries.GopherMaxWords)
-        .select(col("id").as("doc_id"), col("passes"))
-      val contam = CorpusQueries.contaminationLedger(docs, col("doc_id"),
-          col("text"), col("source") === CorpusQueries.EvalSource)
-        .select(col("id").as("doc_id"), col("is_contaminated"))
-      val led = dedupLedger(s, d).ledger
-        .select(col("doc_id"), col("is_canonical"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
-      docs
-        .filter(col("source") =!= CorpusQueries.EvalSource)
-        .select(col("doc_id"), col("source"),
-          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
-        .join(gq, Seq("doc_id"))
-        .join(contam, Seq("doc_id"))
-        .join(led, Seq("doc_id"))
-        .filter(col("passes") && !col("is_contaminated") && col("is_canonical"))
-        .withColumn("skey",
-          md5(concat(lit(BuildSalt), col("doc_id").cast("string"))))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-        .filter(col("cum_tokens") <= lit(BuildBudgetPerSource))
+      corpusManifest(s, d).orderBy(col("doc_id"))
+    },
+
+    // -- the flagship manifest in STRIDE-SCHEDULED training order
+    //    (round-8 verdict #7): the identical gated, budgeted doc set as
+    //    q219 (one shared builder — the manifest variants can never
+    //    drift onto different gate definitions), but the global order
+    //    is q220's stride interleave instead of the salted shuffle:
+    //    each source's r-th kept doc lands at position key
+    //    (2r−1)/(2·w_src) with w_src = the source's KEPT token mass, so
+    //    every PREFIX of the training order carries each source's
+    //    declared share — the property a curriculum or early-stopped
+    //    run needs and epoch-shuffle only delivers in expectation.
+    //    Within a source the order stays the salted (skey) permutation
+    //    (the rank rides cum_tokens, strictly increasing in skey
+    //    order). One IEEE division; the global numbering is the
+    //    two-pass range-partitioned form — never a single-task window.
+    "q246_corpus_build_stride" -> { (s, d) =>
+      val m = corpusManifest(s, d)
+      val tw = m.groupBy(col("source")).agg(sum(col("n_tokens")).as("w"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("cum_tokens"), col("doc_id"))
+      val keyed = m
+        .withColumn("src_rank", row_number().over(wr).cast("long"))
+        .join(broadcast(tw), Seq("source"))
+        .withColumn("stride_key",
+          (col("src_rank") * 2 - 1).cast("double") /
+            (col("w") * 2).cast("double"))
+      graft.warehouse.Scale.withGlobalRowNumber(keyed,
+          Seq(col("stride_key"), col("source"), col("doc_id")), "global_pos")
         .select(col("doc_id"), col("source"), col("n_tokens"),
-          col("cum_tokens"))
+          col("cum_tokens"), col("global_pos"))
         .orderBy(col("doc_id"))
     },
 
@@ -670,6 +677,39 @@ object TextQueries {
       |  WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
       |      / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.5)""".stripMargin
 
+  /** The flagship manifest — q219's gated, budgeted doc set BEFORE its
+    * presentation order: Gopher quality ∧ canonical ∧ not contaminated,
+    * salted-shuffle budget cut per source. Shared by q219 (doc_id
+    * order) and q246 (stride-scheduled training order) so the ordering
+    * variants are provably over the same corpus. */
+  private def corpusManifest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val gq = CorpusQueries.gopherFlags(docs, col("doc_id"), col("text"),
+        CorpusQueries.GopherMinWords, CorpusQueries.GopherMaxWords)
+      .select(col("id").as("doc_id"), col("passes"))
+    val contam = CorpusQueries.contaminationLedger(docs, col("doc_id"),
+        col("text"), col("source") === CorpusQueries.EvalSource)
+      .select(col("id").as("doc_id"), col("is_contaminated"))
+    val led = dedupLedger(s, d).ledger
+      .select(col("doc_id"), col("is_canonical"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
+    docs
+      .filter(col("source") =!= CorpusQueries.EvalSource)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .join(gq, Seq("doc_id"))
+      .join(contam, Seq("doc_id"))
+      .join(led, Seq("doc_id"))
+      .filter(col("passes") && !col("is_contaminated") && col("is_canonical"))
+      .withColumn("skey",
+        md5(concat(lit(BuildSalt), col("doc_id").cast("string"))))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= lit(BuildBudgetPerSource))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
   /** Shared CTE chain for the corpus-build flagship (q219) and its
     * funnel audit (q224): the q75 component closure (`canon`), the q188
     * quality gates (`gpass`), the q77 contamination screen (`contam`),
@@ -937,6 +977,31 @@ object TextQueries {
          |SELECT doc_id, source, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= $BuildBudgetPerSource
          |ORDER BY doc_id""".stripMargin,
+
+    // The same manifest CTE chain, presented in q220's stride order:
+    // per-source rank rides cum_tokens (strictly increasing in the skey
+    // permutation), the weight is the source's kept token mass, and the
+    // position key is the midpoint rule's single IEEE division.
+    "q246_corpus_build_stride" ->
+      s"""WITH RECURSIVE $corpusBuildCtes,
+         |m AS (
+         |  SELECT doc_id, source, n_tokens, cum_tokens
+         |  FROM c WHERE cum_tokens <= $BuildBudgetPerSource),
+         |tw AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS w
+         |  FROM m GROUP BY 1),
+         |rk AS (
+         |  SELECT m.*, CAST(ROW_NUMBER() OVER (PARTITION BY m.source
+         |      ORDER BY m.cum_tokens, m.doc_id) AS BIGINT) AS src_rank,
+         |    tw.w
+         |  FROM m JOIN tw USING (source)),
+         |sk AS (
+         |  SELECT doc_id, source, n_tokens, cum_tokens,
+         |    CAST(2 * src_rank - 1 AS DOUBLE) / CAST(2 * w AS DOUBLE) AS skp
+         |  FROM rk)
+         |SELECT doc_id, source, n_tokens, cum_tokens,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY skp, source, doc_id) AS BIGINT)
+         |    AS global_pos
+         |FROM sk ORDER BY doc_id""".stripMargin,
 
     // The flagship's funnel audit on the same CTE chain: each train doc
     // classified by its FIRST failing gate (the same priority order the
