@@ -97,12 +97,22 @@ object AnnQueries {
       val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
       val idx = Similarity.buildIvfPq(embs, col("vec_id"), col("embedding"),
         nCells = 8, m = 16, ksub = 64, materialize = true)
-      // no insert face yet (composing ivfInsert + residual pqInsert is a
-      // declared follow-on) — noting the base size wires the same
-      // doubling policy in for when one lands
       Maintenance.noteBaseSize("ivfPqIndex", s, d, idx.codes.count())
       idx
     }
+
+  /** [[ivfIngest]]'s composite-index face: coarse-assign + residual
+    * PQ-encode against the frozen quantizers ([[Similarity.ivfPqInsert]]),
+    * memo replaced below the doubling threshold, invalidated at it. */
+  def ivfPqIngest(s: SparkSession, d: String, newVecs: DataFrame)
+      : (Similarity.IvfPqIndex, Boolean) = {
+    val grown = Similarity.ivfPqInsert(ivfPqIndex(s, d), newVecs,
+      col("vec_id"), col("embedding"), materialize = true)
+    val refreshed = Maintenance.noteInserted("ivfPqIndex", s, d,
+      newVecs.count())
+    if (!refreshed) Maintenance.update("ivfPqIndex", s, d)(grown)
+    (grown, refreshed)
+  }
 
   /** q212's semantic dedup ledger, memoized per (session, table) like
     * [[ivfIndex]] and `TextQueries.dedupLedger` (the pairs+components
@@ -292,6 +302,43 @@ object AnnQueries {
           prunedScan * 5 < nCorpus * 3))
         .toDF("exact_l2_top1", "pruned_hit_top10", "recall_ok",
           "pruned_scan_ok")
+    },
+
+    // -- incremental IVF-PQ ingestion through the oracle gate (q243's
+    //    pattern on the composite index): build on 80% of the corpus,
+    //    INSERT the remaining 20% against the FROZEN coarse cells and
+    //    codebooks (Similarity.ivfPqInsert — FAISS IndexIVFPQ.add),
+    //    then check the grown index end to end. n_codes is exact-gated
+    //    against the corpus count (insertion reached every vector —
+    //    the q243 exhaustiveness argument, here as an integer the
+    //    oracle recomputes); exact_l2_top1 is oracle-recomputed; the
+    //    all-probe recall and code-dimension flags are the q218
+    //    invariant pattern.
+    "q247_ann_ivfpq_incremental" -> { (s, d) =>
+      val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      val qlit = typedlit(qv)
+      val idx = Similarity.buildIvfPq(
+        embs.filter(col("vec_id") % 5 =!= 0),
+        col("vec_id"), col("embedding"), nCells = 8, m = 16, ksub = 64)
+      val grown = Similarity.ivfPqInsert(idx,
+        embs.filter(col("vec_id") % 5 === 0), col("vec_id"), col("embedding"))
+      val exactIds = embs.select(col("vec_id"),
+          (Similarity.dot(col("embedding"), col("embedding"))
+            - lit(2) * Similarity.dot(col("embedding"), qlit)
+            + Similarity.dot(qlit, qlit)).as("d2"))
+        .orderBy(col("d2").asc, col("vec_id"))
+        .limit(10)
+        .collect().map(_.getLong(0)).toSeq
+      val allProbe = Similarity.ivfPqSearchAdc(grown, qv, k = 10, nprobe = 8)
+        .collect().map(_.getLong(0)).toSeq
+      val nCodes = grown.codes.count()
+      val s2 = s
+      import s2.implicits._
+      Seq((exactIds.head, nCodes, allProbe.contains(exactIds.head),
+          allProbe.count(exactIds.toSet) >= 5))
+        .toDF("exact_l2_top1", "n_codes", "allprobe_hit_top10", "recall_ok")
     },
 
     // -- SemDeDup-style embedding near-dup at scale: blocked by BANDED
@@ -567,6 +614,21 @@ object AnnQueries {
         |SELECT (SELECT vec_id FROM d ORDER BY d2, vec_id LIMIT 1) AS exact_l2_top1,
         |  TRUE AS pruned_hit_top10, TRUE AS recall_ok,
         |  TRUE AS pruned_scan_ok""".stripMargin,
+
+    // The grown composite index: top-1 and the code-table count are
+    // exact-gated (COUNT(*) pins that insertion reached every vector);
+    // the recall faces are the q218 invariant flags.
+    "q247_ann_ivfpq_incremental" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |d AS (
+        |  SELECT vec_id,
+        |    LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])
+        |      - 2 * LIST_DOT_PRODUCT(embedding::DOUBLE[], qv)
+        |      + LIST_DOT_PRODUCT(qv, qv) AS d2
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT (SELECT vec_id FROM d ORDER BY d2, vec_id LIMIT 1) AS exact_l2_top1,
+        |  (SELECT COUNT(*) FROM embeddings WHERE vec_id <> 0) AS n_codes,
+        |  TRUE AS allprobe_hit_top10, TRUE AS recall_ok""".stripMargin,
 
     "q47_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v

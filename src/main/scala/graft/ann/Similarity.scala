@@ -677,6 +677,43 @@ object Similarity {
     IvfPqIndex(cells, pq, codes)
   }
 
+  /** Incremental IVF-PQ ingestion — [[ivfInsert]] composed with
+    * [[pqInsert]] for the residual index (FAISS `IndexIVFPQ.add`):
+    * coarse-assign NEW vectors against the FROZEN cells (reconstructed
+    * at their original float precision, so assignment distances are
+    * bit-identical to build time), PQ-encode their residuals against
+    * the FROZEN codebooks, and append to both code tables. One
+    * broadcast-argmin + one broadcast-encode pass over the delta —
+    * never the corpus. Drift costs the same recall-not-correctness
+    * trade as the component inserts; the refresh policy is the
+    * Maintenance doubling rule (AnnQueries.ivfPqIngest). */
+  def ivfPqInsert(index: IvfPqIndex, newVecs: DataFrame, id: Column,
+      vec: Column, materialize: Boolean = false): IvfPqIndex = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    // cells were collected from the float centroid table — the
+    // double→float round-trip restores the exact build-time values
+    val cellsDf = index.cells
+      .map { case (cell, c) => (cell, c.map(_.toFloat).toSeq) }
+      .toDF("cell", "c")
+    val assigned = assign(newVecs.select(id.as("vid"), vec.as("v")), cellsDf)
+    val resid = assigned.join(broadcast(cellsDf), Seq("cell"))
+      .select(col("vid"), col("cell"),
+        zip_with(col("v"), col("c"), (x, y) => x - y).as("rv"))
+    val newPqCodes = pqEncode(
+      resid.select(col("vid"), col("rv").as("v")),
+      codebookFrame(spark, index.pq.m, index.pq.codebooks), index.pq.subDim)
+    val newCodes = newPqCodes
+      .join(resid.select(col("vid"), col("cell")), Seq("vid"))
+    val grownCodes = index.codes.unionByName(newCodes)
+    val grownPqCodes = index.pq.codes.unionByName(newPqCodes)
+    IvfPqIndex(
+      index.cells,
+      index.pq.copy(codes =
+        if (materialize) grownPqCodes.cutLineage() else grownPqCodes),
+      if (materialize) grownCodes.cutLineage() else grownCodes)
+  }
+
   /** IVF-ADC top-k: rank cells by the SAME cosine the assignment used
     * (driver-side over the bounded centroid table), keep the best
     * `nprobe`, then ADC with a PER-CELL lookup table computed from the

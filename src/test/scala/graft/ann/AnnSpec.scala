@@ -302,6 +302,45 @@ class AnnSpec extends AnyFunSuite {
     before.foreach { case (id, s) => assert(after(id) == s) }
   }
 
+  test("IVF-PQ insert: frozen cells and codebooks, counts add, deterministic " +
+      "re-encode, base ADC scores bit-identical before and after") {
+    val baseE = embs.filter(col("vec_id") % 5 =!= 0)
+    val deltaE = embs.filter(col("vec_id") % 5 === 0)
+    val idx = Similarity.buildIvfPq(baseE, col("vec_id"), col("embedding"),
+      nCells = 4, m = 8, ksub = 16, materialize = true)
+    val grown = Similarity.ivfPqInsert(idx, deltaE, col("vec_id"), col("embedding"))
+    assert(grown.codes.count() == baseE.count() + deltaE.count())
+    assert(grown.pq.codes.count() == baseE.count() + deltaE.count())
+    // both quantizer levels are the SAME driver-held objects — frozen
+    assert(grown.cells eq idx.cells)
+    assert(grown.pq.codebooks eq idx.pq.codebooks)
+    // re-inserting is deterministic: identical (cell, codes) both times
+    val again = Similarity.ivfPqInsert(idx, deltaE, col("vec_id"), col("embedding"))
+    def codeMap(p: Similarity.IvfPqIndex) = p.codes.collect()
+      .map(r => r.getLong(r.fieldIndex("vid")) ->
+        ((r.getAs[Number](r.fieldIndex("cell")).intValue(),
+          r.getSeq[Int](r.fieldIndex("codes")).toSeq))).toMap
+    assert(codeMap(grown) == codeMap(again))
+    // an inserted vector is retrievable from the grown index's probed
+    // cells (all-probe: provably exhaustive over base + delta)
+    val insertedId = deltaE.select(col("vec_id")).orderBy(col("vec_id"))
+      .head().getLong(0)
+    val iq = deltaE.filter(col("vec_id") === insertedId)
+      .head().getSeq[Float](1).map(_.toDouble).toSeq
+    val hits = Similarity.ivfPqSearchAdc(grown, iq, k = 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.contains(insertedId))
+    // base vectors' ADC scores are unchanged by the insert
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble).toSeq
+    val before = Similarity.ivfPqSearchAdc(idx, q, k = 5, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val after = Similarity.ivfPqSearchAdc(grown, q, k = baseE.count().toInt,
+        nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    before.foreach { case (id, s) => assert(after(id) == s) }
+  }
+
   test("MMR: first pick is the relevance argmax, a clone of it is demoted " +
       "below a diverse runner-up, and picks never repeat") {
     import spark.implicits._
