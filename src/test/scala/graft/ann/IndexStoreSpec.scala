@@ -1,0 +1,75 @@
+package graft.ann
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.util.Tables
+
+/** The persisted-index format: generation dirs + atomic manifest-pointer
+  * commit (the Apply discipline applied to index maintenance), loaded
+  * search parity, partition-pruned probes, retention, and fail-loud
+  * manifest parsing.
+  */
+class IndexStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private def embs = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0)
+  private def query = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+    .select(col("embedding").as("q"))
+
+  private def topIds(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("save -> load round trip: loaded search ≡ in-memory search; " +
+      "pruned probe ≡ join probe and plans partition filters") {
+    val dir = Files.createTempDirectory("ivfstore").toString
+    val idx = Similarity.buildIvf(embs, col("vec_id"), col("embedding"),
+      nCentroids = 4, iterations = 1, materialize = true)
+    val gen = IndexStore.saveIvf(idx, dir)
+    assert(gen == 0L)
+    val (loaded, meta) = IndexStore.loadIvf(spark, dir)
+    assert(meta.gen == 0L && meta.baseRows == embs.count())
+    val mem = topIds(Similarity.ivfSearch(idx, query, k = 5, nprobe = 2))
+    val disk = topIds(Similarity.ivfSearch(loaded, query, k = 5, nprobe = 2))
+    assert(disk == mem)
+    val pruned = IndexStore.searchPruned(loaded, query, k = 5, nprobe = 2)
+    assert(topIds(pruned) == mem)
+    // the layout's point: the probe is a STATIC partition prune — the
+    // scan carries PartitionFilters on cell, no full-table read
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"probe does not partition-prune:\n${plan.take(1500)}")
+  }
+
+  test("refresh publishes a new generation atomically; retention keeps " +
+      "the grace window then GCs; a stale-format dir is refused") {
+    val dir = Files.createTempDirectory("ivfstore2").toString
+    val base = embs.filter(col("vec_id") % 5 =!= 0)
+    val idx0 = Similarity.buildIvf(base, col("vec_id"), col("embedding"),
+      nCentroids = 4, iterations = 1, materialize = true)
+    assert(IndexStore.saveIvf(idx0, dir, retainGens = 2) == 0L)
+    // the doubling-policy rebuild: full-corpus re-train, republish
+    val idx1 = Similarity.buildIvf(embs, col("vec_id"), col("embedding"),
+      nCentroids = 4, iterations = 1, materialize = true)
+    assert(IndexStore.saveIvf(idx1, dir, retainGens = 2) == 1L)
+    val (loaded1, meta1) = IndexStore.loadIvf(spark, dir)
+    assert(meta1.gen == 1L && loaded1.assigned.count() == embs.count())
+    // grace window: gen 0 survives the gen-1 flip (a reader holding the
+    // old pointer keeps scanning intact files)
+    assert(new java.io.File(s"$dir/gen=0").exists())
+    // a third publish ages gen 0 out (retainGens = 2 keeps 1 and 2)
+    assert(IndexStore.saveIvf(idx1, dir, retainGens = 2) == 2L)
+    assert(!new java.io.File(s"$dir/gen=0").exists())
+    assert(new java.io.File(s"$dir/gen=1").exists())
+    // fail-loud manifest contract
+    val garbled = Files.createTempDirectory("ivfstore3").toString
+    Files.writeString(java.nio.file.Paths.get(garbled, "_graft_index_meta.json"),
+      """{"whatever": 1}""")
+    val e = intercept[RuntimeException](IndexStore.loadIvf(spark, garbled))
+    assert(e.getMessage.contains("unparseable index manifest"))
+  }
+}
