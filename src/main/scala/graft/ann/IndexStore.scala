@@ -1,7 +1,7 @@
 package graft.ann
 
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.util.Hfs
@@ -40,17 +40,20 @@ object IndexStore {
   private val MetaName = "_graft_index_meta.json"
   private val Format = "graft-ivf-v1"
 
-  final case class Meta(format: String, gen: Long, baseRows: Long)
+  /** `rows` = vectors in this generation; `baseRows` = rows at the last
+    * RE-TRAIN — the denominator of the doubling refresh policy (a grown
+    * publish carries its base forward; a rebuild resets base = rows). */
+  final case class Meta(format: String, gen: Long, rows: Long, baseRows: Long)
 
   private val MetaRe =
-    """\{"format": "([^"]+)", "gen": ([0-9]+), "baseRows": ([0-9]+)\}""".r
+    """\{"format": "([^"]+)", "gen": ([0-9]+), "rows": ([0-9]+), "baseRows": ([0-9]+)\}""".r
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] = {
     val p = new HPath(new HPath(dir), MetaName)
     val hc = Hfs.conf(spark)
     if (!Hfs.exists(p, hc)) None
     else Hfs.readString(p, hc).trim match {
-      case MetaRe(f, g, n) => Some(Meta(f, g.toLong, n.toLong))
+      case MetaRe(f, g, n, b) => Some(Meta(f, g.toLong, n.toLong, b.toLong))
       case other => sys.error(
         s"unparseable index manifest at $p: '${other.take(120)}' " +
           "(refusing to guess — the pointer is the commit)")
@@ -61,9 +64,12 @@ object IndexStore {
     * pointer. Returns the committed generation id. `retainGens` ≥ 1:
     * how many generations stay on disk after the flip (readers that
     * loaded an older meta keep working until their generation ages
-    * out — the deferred-GC grace window). */
+    * out — the deferred-GC grace window). `carryBaseRows`: a GROWN
+    * publish passes the previous base so the doubling denominator
+    * survives the commit; omitted = this publish IS a (re)train, base
+    * resets to the row count. */
   def saveIvf(index: Similarity.IvfIndex, dir: String,
-      retainGens: Int = 2): Long = {
+      retainGens: Int = 2, carryBaseRows: Option[Long] = None): Long = {
     require(retainGens >= 1, s"retainGens must be >= 1, got $retainGens")
     val spark = index.assigned.sparkSession
     val hc = Hfs.conf(spark)
@@ -79,7 +85,8 @@ object IndexStore {
     val n = index.assigned.count()
     // 2. the commit: one atomic pointer PUT
     Hfs.writeStringAtomic(new HPath(new HPath(dir), MetaName),
-      s"""{"format": "$Format", "gen": $gen, "baseRows": $n}""", hc)
+      s"""{"format": "$Format", "gen": $gen, "rows": $n, """ +
+        s""""baseRows": ${carryBaseRows.getOrElse(n)}}""", hc)
     // 3. deferred GC — only generations beyond the retention window,
     //    only after the flip (non-live under both old and new pointers)
     val cutoff = gen - (retainGens - 1)
@@ -113,6 +120,65 @@ object IndexStore {
     * scan touches only the probed cells' files. Result ≡
     * [[Similarity.ivfSearch]] on the same index (same cells, same
     * cosine, same ties). */
+  /** Fold ONE batch of vectors into the persisted index — the complete
+    * maintenance step a continuous ingest runs per micro-batch, built
+    * from the round's three pieces: frozen-quantizer insert (one
+    * broadcast-argmin pass over the batch, [[Similarity.ivfInsert]]),
+    * the measured "rebuild after doubling" policy (DriftProbe / SURVEY
+    * §9.9 — rows ≥ growthFactor × baseRows re-trains from the assigned
+    * table, which HOLDS every vector, so no external corpus is needed),
+    * and the manifest-pointer commit (each fold publishes a generation
+    * external readers follow without sharing a session). First batch
+    * seeds gen 0 by training. Returns (generation, rebuilt?). Empty
+    * batches are a no-op (foreachBatch delivers them). */
+  def ivfMaintainBatch(batch: DataFrame, id: Column, vec: Column,
+      dir: String, nCentroids: Int, growthFactor: Double = 2.0,
+      retainGens: Int = 2): Option[(Long, Boolean)] = {
+    val spark = batch.sparkSession
+    val vecs = batch.select(id.as("vid"), vec.as("v"))
+    if (vecs.isEmpty) return None
+    readMeta(spark, dir) match {
+      case None =>
+        val seeded = Similarity.buildIvf(vecs, col("vid"), col("v"),
+          nCentroids, iterations = 1, materialize = true)
+        Some((saveIvf(seeded, dir, retainGens), true))
+      case Some(m) =>
+        val (idx, _) = loadIvf(spark, dir)
+        val grown = Similarity.ivfInsert(idx, vecs, col("vid"), col("v"),
+          materialize = true)
+        val n = grown.assigned.count()
+        if (n.toDouble >= m.baseRows.toDouble * growthFactor) {
+          val retrained = Similarity.buildIvf(
+            grown.assigned.select(col("vid"), col("v")),
+            col("vid"), col("v"), nCentroids, iterations = 1,
+            materialize = true)
+          Some((saveIvf(retrained, dir, retainGens), true))
+        } else
+          Some((saveIvf(grown, dir, retainGens,
+            carryBaseRows = Some(m.baseRows)), false))
+    }
+  }
+
+  /** Continuous index maintenance: start a streaming query folding
+    * `vecs` (a STREAMING DataFrame with the id/vec columns) into the
+    * persisted index at `dir`, one [[ivfMaintainBatch]] per micro-batch.
+    * Exactly-once via the checkpoint: a replayed batch re-publishes a
+    * generation with identical content (the fold is deterministic), so
+    * readers never observe a torn index either way. */
+  def ivfMaintainStream(vecs: DataFrame, id: Column, vec: Column,
+      dir: String, checkpoint: String, nCentroids: Int,
+      growthFactor: Double = 2.0, retainGens: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        ivfMaintainBatch(df, id, vec, dir, nCentroids, growthFactor,
+          retainGens)
+        ()
+      }
+      .start()
+
   def searchPruned(index: Similarity.IvfIndex, query: DataFrame, k: Int,
       nprobe: Int = 2): DataFrame = {
     import Similarity.cosine

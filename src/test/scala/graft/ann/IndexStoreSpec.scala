@@ -72,4 +72,67 @@ class IndexStoreSpec extends AnyFunSuite {
     val e = intercept[RuntimeException](IndexStore.loadIvf(spark, garbled))
     assert(e.getMessage.contains("unparseable index manifest"))
   }
+
+  test("maintenance fold: first batch seeds, growth publishes grown " +
+      "generations carrying the base, doubling re-trains and resets it") {
+    val dir = Files.createTempDirectory("ivfmaint").toString
+    def slice(lo: Long, hi: Long) =
+      embs.filter(col("vec_id") > lo && col("vec_id") <= hi)
+    // seed: 20 vectors -> gen 0 is a training publish
+    val r1 = IndexStore.ivfMaintainBatch(slice(0, 20), col("vec_id"),
+      col("embedding"), dir, nCentroids = 4)
+    assert(r1.contains((0L, true)))
+    val (_, m1) = IndexStore.loadIvf(spark, dir)
+    assert(m1.rows == 20L && m1.baseRows == 20L)
+    // +10 (30 < 2x20): frozen-insert publish, base carried forward
+    val r2 = IndexStore.ivfMaintainBatch(slice(20, 30), col("vec_id"),
+      col("embedding"), dir, nCentroids = 4)
+    assert(r2.contains((1L, false)))
+    val (idx2, m2) = IndexStore.loadIvf(spark, dir)
+    assert(m2.rows == 30L && m2.baseRows == 20L)
+    assert(idx2.assigned.count() == 30L)
+    // +15 (45 >= 2x20): the doubling policy re-trains from the assigned
+    // table itself and resets the growth window
+    val r3 = IndexStore.ivfMaintainBatch(slice(30, 45), col("vec_id"),
+      col("embedding"), dir, nCentroids = 4)
+    assert(r3.contains((2L, true)))
+    val (idx3, m3) = IndexStore.loadIvf(spark, dir)
+    assert(m3.rows == 45L && m3.baseRows == 45L)
+    // every ingested vector is probe-reachable after the refresh
+    assert(idx3.assigned.select(col("vid")).distinct().count() == 45L)
+    // empty batch: no-op, no generation burned
+    assert(IndexStore.ivfMaintainBatch(slice(0, 0), col("vec_id"),
+      col("embedding"), dir, nCentroids = 4).isEmpty)
+    assert(IndexStore.loadIvf(spark, dir)._2.gen == 2L)
+  }
+
+  test("streaming maintenance: micro-batches fold into published " +
+      "generations; a loaded reader searches the grown index") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("ivfmaintstream").toString
+    val ckpt = Files.createTempDirectory("ivfmaintckpt").toString
+    val rows = embs.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = IndexStore.ivfMaintainStream(
+      ms.toDF().toDF("vec_id", "embedding"), col("vec_id"), col("embedding"),
+      dir, ckpt, nCentroids = 4)
+    try {
+      ms.addData(rows.take(20).toSeq: _*)
+      q.processAllAvailable()
+      assert(IndexStore.loadIvf(spark, dir)._2.rows == 20L)
+      ms.addData(rows.slice(20, 25).toSeq: _*)
+      q.processAllAvailable()
+      val (idx, meta) = IndexStore.loadIvf(spark, dir)
+      assert(meta.rows == 25L && meta.baseRows == 20L)
+      // a just-ingested vector is retrievable through the PERSISTED index
+      val target = rows(22)
+      val got = IndexStore.searchPruned(idx,
+        Seq(Tuple1(target._2)).toDF("q"), k = 3, nprobe = 4)
+        .collect().map(_.getLong(0))
+      assert(got.contains(target._1))
+    } finally q.stop()
+  }
 }
