@@ -179,6 +179,103 @@ object IndexStore {
       }
       .start()
 
+  // ---- the composite (IVF-PQ) index, persisted ----
+
+  private val PqMetaName = "_graft_ivfpq_meta.json"
+  private val PqFormat = "graft-ivfpq-v1"
+
+  private val PqMetaRe =
+    ("""\{"format": "([^"]+)", "gen": ([0-9]+), "rows": ([0-9]+), """ +
+      """"m": ([0-9]+), "subDim": ([0-9]+)\}""").r
+
+  final case class PqMeta(format: String, gen: Long, rows: Long,
+      m: Int, subDim: Int)
+
+  private def readPqMeta(spark: SparkSession, dir: String): Option[PqMeta] = {
+    val p = new HPath(new HPath(dir), PqMetaName)
+    val hc = Hfs.conf(spark)
+    if (!Hfs.exists(p, hc)) None
+    else Hfs.readString(p, hc).trim match {
+      case PqMetaRe(f, g, n, m, sd) =>
+        Some(PqMeta(f, g.toLong, n.toLong, m.toInt, sd.toInt))
+      case other => sys.error(
+        s"unparseable ivfpq manifest at $p: '${other.take(120)}' " +
+          "(refusing to guess — the pointer is the commit)")
+    }
+  }
+
+  /** Persist the COMPOSITE index — the one a 100 TB deployment actually
+    * stores (codes are ~4·subDim× smaller than vectors): coarse cells
+    * and per-subspace codebooks land as bounded parquet metadata tables
+    * (nCells and m·ksub rows), the per-row codes table partitions by
+    * cell so [[adcSearchPruned]] gets the same static-pruning I/O cut
+    * [[searchPruned]] measures. Same generation + atomic-pointer +
+    * deferred-GC discipline as [[saveIvf]]. */
+  def saveIvfPq(index: Similarity.IvfPqIndex, dir: String,
+      retainGens: Int = 2): Long = {
+    require(retainGens >= 1, s"retainGens must be >= 1, got $retainGens")
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val hc = Hfs.conf(spark)
+    val prev = readPqMeta(spark, dir)
+    prev.foreach(m => require(m.format == PqFormat,
+      s"$dir holds a '${m.format}' index; refusing to overwrite with $PqFormat"))
+    val gen = prev.map(_.gen + 1).getOrElse(0L)
+    index.cells.map { case (cell, c) => (cell, c.toSeq) }
+      .toDF("cell", "c").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/gen=$gen/cells")
+    (for {
+      sub <- 0 until index.pq.m
+      (c, code) <- index.pq.codebooks(sub).zipWithIndex
+    } yield (sub, code, c.toSeq)).toDF("sub", "code", "c").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/gen=$gen/codebooks")
+    index.codes.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/gen=$gen/codes")
+    val n = index.codes.count()
+    Hfs.writeStringAtomic(new HPath(new HPath(dir), PqMetaName),
+      s"""{"format": "$PqFormat", "gen": $gen, "rows": $n, """ +
+        s""""m": ${index.pq.m}, "subDim": ${index.pq.subDim}}""", hc)
+    val cutoff = gen - (retainGens - 1)
+    Hfs.list(new HPath(dir), hc).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("gen=") && name.stripPrefix("gen=").toLong < cutoff)
+        Hfs.delete(st.getPath, hc)
+    }
+    gen
+  }
+
+  /** Load the current composite generation: the two quantizer tables
+    * come back as bounded driver metadata (the dtab pattern), the codes
+    * table as the partitioned scan. The embedded PqIndex's own codes
+    * frame is the cell-less projection, so pqSearchAdc also works.
+    *
+    * No pruned-search variant is needed here:
+    * [[Similarity.ivfPqSearchAdc]] already filters `cell IN (probed)`
+    * before the explode, and over THIS layout that predicate is a
+    * static partition filter — the probed-share file skipping comes
+    * free (IndexStoreSpec pins the PartitionFilters plan). */
+  def loadIvfPq(spark: SparkSession, dir: String)
+      : (Similarity.IvfPqIndex, PqMeta) = {
+    val m = readPqMeta(spark, dir).getOrElse(
+      sys.error(s"no committed index at $dir (missing $PqMetaName)"))
+    require(m.format == PqFormat, s"$dir holds '${m.format}', expected $PqFormat")
+    val cells = spark.read.parquet(s"$dir/gen=${m.gen}/cells")
+      .collect().map(r => (r.getAs[Number](0).intValue(),
+        r.getSeq[Double](1).toArray)).sortBy(_._1).toIndexedSeq
+    val cbRows = spark.read.parquet(s"$dir/gen=${m.gen}/codebooks")
+      .collect().map(r => (r.getAs[Number](0).intValue(),
+        r.getAs[Number](1).intValue(), r.getSeq[Double](2).toArray))
+    val codebooks = (0 until m.m).map { sub =>
+      cbRows.filter(_._1 == sub).sortBy(_._2).map(_._3).toIndexedSeq
+    }
+    val codes = spark.read.parquet(s"$dir/gen=${m.gen}/codes")
+      .select(col("vid"), col("codes"), col("cell"))
+    (Similarity.IvfPqIndex(cells,
+      Similarity.PqIndex(m.m, m.subDim, codebooks,
+        codes.select(col("vid"), col("codes"))),
+      codes), m)
+  }
+
   def searchPruned(index: Similarity.IvfIndex, query: DataFrame, k: Int,
       nprobe: Int = 2): DataFrame = {
     import Similarity.cosine

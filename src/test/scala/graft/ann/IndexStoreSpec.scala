@@ -73,6 +73,40 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unparseable index manifest"))
   }
 
+  test("persisted IVF-PQ: round trip preserves ADC ranking bit-for-bit; " +
+      "the existing cell filter becomes a static partition prune") {
+    val dir = Files.createTempDirectory("ivfpqstore").toString
+    val idx = Similarity.buildIvfPq(embs, col("vec_id"), col("embedding"),
+      nCells = 4, m = 8, ksub = 16, materialize = true)
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble).toSeq
+    assert(IndexStore.saveIvfPq(idx, dir) == 0L)
+    val (loaded, meta) = IndexStore.loadIvfPq(spark, dir)
+    assert(meta.rows == embs.count() && meta.m == 8 && meta.subDim == 8)
+    // quantizer metadata survives the round trip exactly
+    assert(loaded.cells.map(_._1) == idx.cells.map(_._1))
+    assert(loaded.cells.zip(idx.cells).forall { case ((_, a), (_, b)) =>
+      a.toSeq == b.toSeq })
+    assert(loaded.pq.codebooks.flatten.map(_.toSeq) ==
+      idx.pq.codebooks.flatten.map(_.toSeq))
+    // ADC over the persisted index ≡ ADC over the in-memory one
+    def top(i: Similarity.IvfPqIndex) =
+      Similarity.ivfPqSearchAdc(i, qv, k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(loaded) == top(idx))
+    // the search's own cell filter is a STATIC partition filter here —
+    // only the probed cells' code files open
+    val plan = Similarity.ivfPqSearchAdc(loaded, qv, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"persisted ADC probe does not partition-prune:\n${plan.take(1500)}")
+    // the embedded plain-PQ face works off the same persisted codes
+    assert(Similarity.pqSearchAdc(loaded.pq, qv, k = 3).count() == 3L)
+    // refresh: second generation flips atomically
+    assert(IndexStore.saveIvfPq(idx, dir) == 1L)
+    assert(IndexStore.loadIvfPq(spark, dir)._2.gen == 1L)
+  }
+
   test("maintenance fold: first batch seeds, growth publishes grown " +
       "generations carrying the base, doubling re-trains and resets it") {
     val dir = Files.createTempDirectory("ivfmaint").toString
