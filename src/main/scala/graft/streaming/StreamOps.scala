@@ -666,6 +666,98 @@ object StreamOps {
         OutputMode.Append())
   }
 
+  final case class EmbRow(vec_id: Long, ts: java.sql.Timestamp,
+      v: Seq[Float], buckets: Seq[Int], band: Int, bucket: Int)
+  final case class EmbEntry(vec_id: Long, v: Seq[Float], buckets: Seq[Int])
+  final case class EmbNearDupHit(a_id: Long, b_id: Long,
+      ts: java.sql.Timestamp, cosine: Double)
+
+  /** [[nearDupDetectTws]]'s EMBEDDING-SPACE twin — the q102/q244
+    * sign-LSH near-dup stack (Dedup.lshNearDups) at ingest: each
+    * arriving vector gets its banded hyperplane buckets (the SAME
+    * deterministic [[graft.ann.Similarity.planes]] family — bandKeys is
+    * a pure projection), each (band, bucket) group holds recent
+    * members' vectors, and an arrival emits a hit against every stored
+    * member with EXACT cosine ≥ `threshold` (the verify is exact here —
+    * state carries the vectors, unlike the minhash face's
+    * signature-estimated similarity). Multi-band double-fires suppress
+    * by first-matching-band ownership over the carried bucket arrays
+    * (array index = band, bandKeys is band-ascending). The in-processor
+    * cosine replays VecDot's exact op order — per-component double
+    * upcast, left-to-right folds, dp/(√na·√nb) — so threshold decisions
+    * match the batch operator bit-for-bit. Same RocksDB/ListState/TTL
+    * state contract as [[NearDupProcessor]]. */
+  class EmbNearDupProcessor(threshold: Double, maxBucket: Int,
+      stateTtl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Int), EmbRow, EmbNearDupHit] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var members: ListState[EmbEntry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[EmbEntry](
+        "emb_members", E.product[EmbEntry],
+        stateTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dp += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override def handleInputRows(key: (Int, Int), rows: Iterator[EmbRow],
+        timerValues: TimerValues): Iterator[EmbNearDupHit] = {
+      var ds = members.get().map(e => (e.vec_id, e.v, e.buckets)).toSeq
+      val out = scala.collection.mutable.ArrayBuffer[EmbNearDupHit]()
+      rows.toSeq.sortBy(r => (r.ts.getTime, r.vec_id)).foreach { row =>
+        ds.foreach { case (oid, ov, obks) =>
+          if (oid != row.vec_id) {
+            val cos = cosine(ov, row.v)
+            val owner = obks.indices
+              .find(i => obks(i) == row.buckets(i)).contains(key._1)
+            if (cos >= threshold && owner)
+              out += EmbNearDupHit(math.min(oid, row.vec_id),
+                math.max(oid, row.vec_id), row.ts, cos)
+          }
+        }
+        if (ds.size < maxBucket && !ds.exists(_._1 == row.vec_id)) {
+          ds = ds :+ ((row.vec_id, row.v, row.buckets))
+          members.appendValue(EmbEntry(row.vec_id, row.v, row.buckets))
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming embedding near-dup detection entry point — columns
+    * (vec_id, ts, embedding). Defaults mirror the q102 batch config. */
+  def embNearDupDetectTws(embs: DataFrame, threshold: Double = 0.25,
+      nBands: Int = 4, planesPerBand: Int = 4, dim: Int = 64,
+      maxBucket: Int = 50,
+      stateTtl: Option[java.time.Duration] = None): Dataset[EmbNearDupHit] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import org.apache.spark.sql.{Encoders => E}
+    val keyed = embs
+      .select(col("vec_id"), col("ts"), col("embedding").as("v"))
+      .withColumn("buckets", transform(
+        graft.ann.Similarity.bandKeys(col("v"), nBands, planesPerBand, dim),
+        s => s.getField("bucket")))
+      .select(col("vec_id"), col("ts"), col("v"), col("buckets"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
+    implicit val hitEnc: org.apache.spark.sql.Encoder[EmbNearDupHit] =
+      E.product[EmbNearDupHit]
+    keyed.as(E.product[EmbRow])
+      .groupByKey(r => (r.band, r.bucket))(E.product[(Int, Int)])
+      .transformWithState(
+        new EmbNearDupProcessor(threshold, maxBucket, stateTtl),
+        if (stateTtl.nonEmpty) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
   final case class Chg(user_id: Long, ts: java.sql.Timestamp,
       value: String, op: String)
   final case class BagState(m: Map[String, Long])

@@ -842,6 +842,47 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding near-dup detection ≡ batch sign-LSH pairing (exact " +
+      "cosine verify); one emission per pair under multi-band collisions") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // real embeddings, q102's batch config as ground truth
+      val e = graft.util.Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .filter(col("vec_id") > 0 && col("vec_id") <= 30)
+      val expected = graft.dedup.Dedup.lshNearDups(e, col("vec_id"),
+          col("embedding"), nBands = 4, planesPerBand = 4, dim = 64,
+          threshold = 0.25)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(expected.nonEmpty, "fixture must contain near-dup pairs")
+      val rows = e.select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1)
+        .zipWithIndex.map { case ((id, v), i) => (id, t(i.toLong), v) }
+      val ms = MemoryStream[(Long, Timestamp, Seq[Float])]
+      val out = StreamOps.embNearDupDetectTws(
+        ms.toDF().toDF("vec_id", "ts", "embedding"))
+      val q = out.toDF().writeStream.format("memory").queryName("emb_near_dup")
+        .outputMode("append").start()
+      ms.addData(rows.take(10).toSeq: _*); q.processAllAvailable()
+      ms.addData(rows.slice(10, 20).toSeq: _*); q.processAllAvailable()
+      ms.addData(rows.drop(20).toSeq: _*); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("emb_near_dup").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size,
+        "multi-band collisions must emit exactly one pair")
+      assert(got.toSet == expected,
+        s"missing=${(expected -- got.toSet).take(5)} extra=${(got.toSet -- expected).take(5)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming distinct maintenance ≡ batch support-bag fold across " +
       "three change windows with deletes and updates") {
     import graft.streaming.StreamOps.Chg
