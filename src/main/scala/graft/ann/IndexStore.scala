@@ -42,18 +42,25 @@ object IndexStore {
 
   /** `rows` = vectors in this generation; `baseRows` = rows at the last
     * RE-TRAIN — the denominator of the doubling refresh policy (a grown
-    * publish carries its base forward; a rebuild resets base = rows). */
-  final case class Meta(format: String, gen: Long, rows: Long, baseRows: Long)
+    * publish carries its base forward; a rebuild resets base = rows).
+    * `batch` = the streaming batch id whose fold produced this
+    * generation (−1 for non-streaming publishes) — the idempotent-
+    * foreachBatch ledger: a crash-replayed batch id ≤ `batch` is a
+    * no-op instead of a double insert. */
+  final case class Meta(format: String, gen: Long, rows: Long,
+      baseRows: Long, batch: Long)
 
   private val MetaRe =
-    """\{"format": "([^"]+)", "gen": ([0-9]+), "rows": ([0-9]+), "baseRows": ([0-9]+)\}""".r
+    ("""\{"format": "([^"]+)", "gen": ([0-9]+), "rows": ([0-9]+), """ +
+      """"baseRows": ([0-9]+), "batch": (-?[0-9]+)\}""").r
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] = {
     val p = new HPath(new HPath(dir), MetaName)
     val hc = Hfs.conf(spark)
     if (!Hfs.exists(p, hc)) None
     else Hfs.readString(p, hc).trim match {
-      case MetaRe(f, g, n, b) => Some(Meta(f, g.toLong, n.toLong, b.toLong))
+      case MetaRe(f, g, n, b, bt) =>
+        Some(Meta(f, g.toLong, n.toLong, b.toLong, bt.toLong))
       case other => sys.error(
         s"unparseable index manifest at $p: '${other.take(120)}' " +
           "(refusing to guess — the pointer is the commit)")
@@ -69,7 +76,8 @@ object IndexStore {
     * survives the commit; omitted = this publish IS a (re)train, base
     * resets to the row count. */
   def saveIvf(index: Similarity.IvfIndex, dir: String,
-      retainGens: Int = 2, carryBaseRows: Option[Long] = None): Long = {
+      retainGens: Int = 2, carryBaseRows: Option[Long] = None,
+      batchId: Long = -1L): Long = {
     require(retainGens >= 1, s"retainGens must be >= 1, got $retainGens")
     val spark = index.assigned.sparkSession
     val hc = Hfs.conf(spark)
@@ -82,11 +90,13 @@ object IndexStore {
       .parquet(s"$dir/gen=$gen/centroids")
     index.assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/gen=$gen/assigned")
-    val n = index.assigned.count()
+    // count the rows that were WRITTEN (a plain re-count of the input
+    // frame would re-run its whole lineage when unmaterialized)
+    val n = spark.read.parquet(s"$dir/gen=$gen/assigned").count()
     // 2. the commit: one atomic pointer PUT
     Hfs.writeStringAtomic(new HPath(new HPath(dir), MetaName),
       s"""{"format": "$Format", "gen": $gen, "rows": $n, """ +
-        s""""baseRows": ${carryBaseRows.getOrElse(n)}}""", hc)
+        s""""baseRows": ${carryBaseRows.getOrElse(n)}, "batch": $batchId}""", hc)
     // 3. deferred GC — only generations beyond the retention window,
     //    only after the flip (non-live under both old and new pointers)
     val cutoff = gen - (retainGens - 1)
@@ -130,10 +140,17 @@ object IndexStore {
     * and the manifest-pointer commit (each fold publishes a generation
     * external readers follow without sharing a session). First batch
     * seeds gen 0 by training. Returns (generation, rebuilt?). Empty
-    * batches are a no-op (foreachBatch delivers them). */
+    * batches are a no-op (foreachBatch delivers them), and so is a
+    * batch id ≤ the manifest's recorded `batch` — the idempotent-
+    * foreachBatch ledger that makes the stream EXACTLY-ONCE: after a
+    * crash between publish and checkpoint commit, the replayed batch
+    * would otherwise re-insert its vectors (the fold is NOT naturally
+    * idempotent — ivfInsert appends). A manual (batchId = −1) fold
+    * resets the ledger — do not interleave manual folds into a
+    * streaming-maintained index while its query is live. */
   def ivfMaintainBatch(batch: DataFrame, id: Column, vec: Column,
       dir: String, nCentroids: Int, growthFactor: Double = 2.0,
-      retainGens: Int = 2): Option[(Long, Boolean)] = {
+      retainGens: Int = 2, batchId: Long = -1L): Option[(Long, Boolean)] = {
     val spark = batch.sparkSession
     val vecs = batch.select(id.as("vid"), vec.as("v"))
     if (vecs.isEmpty) return None
@@ -141,7 +158,9 @@ object IndexStore {
       case None =>
         val seeded = Similarity.buildIvf(vecs, col("vid"), col("v"),
           nCentroids, iterations = 1, materialize = true)
-        Some((saveIvf(seeded, dir, retainGens), true))
+        Some((saveIvf(seeded, dir, retainGens, batchId = batchId), true))
+      case Some(m) if batchId >= 0 && batchId <= m.batch =>
+        None // crash replay of an already-folded batch: no-op
       case Some(m) =>
         val (idx, _) = loadIvf(spark, dir)
         val grown = Similarity.ivfInsert(idx, vecs, col("vid"), col("v"),
@@ -152,19 +171,20 @@ object IndexStore {
             grown.assigned.select(col("vid"), col("v")),
             col("vid"), col("v"), nCentroids, iterations = 1,
             materialize = true)
-          Some((saveIvf(retrained, dir, retainGens), true))
+          Some((saveIvf(retrained, dir, retainGens, batchId = batchId), true))
         } else
           Some((saveIvf(grown, dir, retainGens,
-            carryBaseRows = Some(m.baseRows)), false))
+            carryBaseRows = Some(m.baseRows), batchId = batchId), false))
     }
   }
 
   /** Continuous index maintenance: start a streaming query folding
     * `vecs` (a STREAMING DataFrame with the id/vec columns) into the
     * persisted index at `dir`, one [[ivfMaintainBatch]] per micro-batch.
-    * Exactly-once via the checkpoint: a replayed batch re-publishes a
-    * generation with identical content (the fold is deterministic), so
-    * readers never observe a torn index either way. */
+    * Exactly-once: the manifest records each fold's batch id, so a
+    * batch replayed after a crash between publish and checkpoint commit
+    * is recognized and skipped instead of double-inserting its vectors
+    * (the standard idempotent-foreachBatch ledger). */
   def ivfMaintainStream(vecs: DataFrame, id: Column, vec: Column,
       dir: String, checkpoint: String, nCentroids: Int,
       growthFactor: Double = 2.0, retainGens: Int = 2)
@@ -172,9 +192,9 @@ object IndexStore {
     vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (df: DataFrame, _: Long) =>
+      .foreachBatch { (df: DataFrame, bid: Long) =>
         ivfMaintainBatch(df, id, vec, dir, nCentroids, growthFactor,
-          retainGens)
+          retainGens, batchId = bid)
         ()
       }
       .start()
@@ -231,7 +251,8 @@ object IndexStore {
       .write.mode("overwrite").parquet(s"$dir/gen=$gen/codebooks")
     index.codes.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/gen=$gen/codes")
-    val n = index.codes.count()
+    // count what was written, not the (possibly lazy) input frame
+    val n = spark.read.parquet(s"$dir/gen=$gen/codes").count()
     Hfs.writeStringAtomic(new HPath(new HPath(dir), PqMetaName),
       s"""{"format": "$PqFormat", "gen": $gen, "rows": $n, """ +
         s""""m": ${index.pq.m}, "subDim": ${index.pq.subDim}}""", hc)

@@ -138,6 +138,20 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(IndexStore.ivfMaintainBatch(slice(0, 0), col("vec_id"),
       col("embedding"), dir, nCentroids = 4).isEmpty)
     assert(IndexStore.loadIvf(spark, dir)._2.gen == 2L)
+    // exactly-once ledger: a batch id folds once; its crash replay is a
+    // no-op (NOT a double insert — ivfInsert appends), the next id folds
+    val r4 = IndexStore.ivfMaintainBatch(slice(45, 50), col("vec_id"),
+      col("embedding"), dir, nCentroids = 4, batchId = 7L)
+    assert(r4.contains((3L, false)))
+    assert(IndexStore.loadIvf(spark, dir)._2.rows == 50L)
+    assert(IndexStore.ivfMaintainBatch(slice(45, 50), col("vec_id"),
+      col("embedding"), dir, nCentroids = 4, batchId = 7L).isEmpty,
+      "replaying a folded batch id must be a no-op")
+    assert(IndexStore.loadIvf(spark, dir)._2.rows == 50L,
+      "a replay must not double-insert")
+    assert(IndexStore.ivfMaintainBatch(slice(50, 52), col("vec_id"),
+      col("embedding"), dir, nCentroids = 4, batchId = 8L).nonEmpty)
+    assert(IndexStore.loadIvf(spark, dir)._2.rows == 52L)
   }
 
   test("streaming maintenance: micro-batches fold into published " +
