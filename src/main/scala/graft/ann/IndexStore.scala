@@ -1,10 +1,9 @@
 package graft.ann
 
-import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.util.Hfs
+import graft.util.Generations
 
 /** Version-stamped PERSISTED index format (SURVEY §9.10 follow-on): a
   * refreshed IVF index publishes to a directory through the same
@@ -21,7 +20,8 @@ import graft.util.Hfs
   * }}}
   *
   * A new generation's data dirs are invisible until the one-object
-  * atomic meta flip ([[Hfs.writeStringAtomic]] — the object-store PUT);
+  * atomic meta flip ([[graft.util.Generations.commit]] — the
+  * object-store PUT);
   * superseded generations are deleted only AFTER the flip and only
   * beyond a retention window, so a reader holding the previous meta
   * keeps scanning intact files (the Apply deferred-GC contract).
@@ -54,18 +54,14 @@ object IndexStore {
     ("""\{"format": "([^"]+)", "gen": ([0-9]+), "rows": ([0-9]+), """ +
       """"baseRows": ([0-9]+), "batch": (-?[0-9]+)\}""").r
 
-  private def readMeta(spark: SparkSession, dir: String): Option[Meta] = {
-    val p = new HPath(new HPath(dir), MetaName)
-    val hc = Hfs.conf(spark)
-    if (!Hfs.exists(p, hc)) None
-    else Hfs.readString(p, hc).trim match {
+  private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
+    Generations.readPointer(spark, dir, MetaName).map {
       case MetaRe(f, g, n, b, bt) =>
-        Some(Meta(f, g.toLong, n.toLong, b.toLong, bt.toLong))
+        Meta(f, g.toLong, n.toLong, b.toLong, bt.toLong)
       case other => sys.error(
-        s"unparseable index manifest at $p: '${other.take(120)}' " +
+        s"unparseable index manifest at $dir/$MetaName: '${other.take(120)}' " +
           "(refusing to guess — the pointer is the commit)")
     }
-  }
 
   /** Publish `index` to `dir` as the next generation and flip the
     * pointer. Returns the committed generation id. `retainGens` ≥ 1:
@@ -80,7 +76,6 @@ object IndexStore {
       batchId: Long = -1L): Long = {
     require(retainGens >= 1, s"retainGens must be >= 1, got $retainGens")
     val spark = index.assigned.sparkSession
-    val hc = Hfs.conf(spark)
     val prev = readMeta(spark, dir)
     prev.foreach(m => require(m.format == Format,
       s"$dir holds a '${m.format}' index; refusing to overwrite with $Format"))
@@ -93,18 +88,11 @@ object IndexStore {
     // count the rows that were WRITTEN (a plain re-count of the input
     // frame would re-run its whole lineage when unmaterialized)
     val n = spark.read.parquet(s"$dir/gen=$gen/assigned").count()
-    // 2. the commit: one atomic pointer PUT
-    Hfs.writeStringAtomic(new HPath(new HPath(dir), MetaName),
+    // 2. the commit: one atomic pointer PUT; 3. deferred GC after it
+    Generations.commit(spark, dir, MetaName,
       s"""{"format": "$Format", "gen": $gen, "rows": $n, """ +
-        s""""baseRows": ${carryBaseRows.getOrElse(n)}, "batch": $batchId}""", hc)
-    // 3. deferred GC — only generations beyond the retention window,
-    //    only after the flip (non-live under both old and new pointers)
-    val cutoff = gen - (retainGens - 1)
-    Hfs.list(new HPath(dir), hc).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("gen=") && name.stripPrefix("gen=").toLong < cutoff)
-        Hfs.delete(st.getPath, hc)
-    }
+        s""""baseRows": ${carryBaseRows.getOrElse(n)}, "batch": $batchId}""")
+    Generations.gc(spark, dir, gen - (retainGens - 1))
     gen
   }
 
@@ -123,13 +111,6 @@ object IndexStore {
     (Similarity.IvfIndex(centroids, assigned), m)
   }
 
-  /** IVF probe over a PERSISTED index via static partition pruning: the
-    * cell ranking is centroid-table-sized driver metadata (the
-    * ivfSearchAuto fetch pattern), and the resulting `cell IN (...)`
-    * filter prunes whole partition directories at planning time — the
-    * scan touches only the probed cells' files. Result ≡
-    * [[Similarity.ivfSearch]] on the same index (same cells, same
-    * cosine, same ties). */
   /** Fold ONE batch of vectors into the persisted index — the complete
     * maintenance step a continuous ingest runs per micro-batch, built
     * from the round's three pieces: frozen-quantizer insert (one
@@ -211,18 +192,14 @@ object IndexStore {
   final case class PqMeta(format: String, gen: Long, rows: Long,
       m: Int, subDim: Int)
 
-  private def readPqMeta(spark: SparkSession, dir: String): Option[PqMeta] = {
-    val p = new HPath(new HPath(dir), PqMetaName)
-    val hc = Hfs.conf(spark)
-    if (!Hfs.exists(p, hc)) None
-    else Hfs.readString(p, hc).trim match {
+  private def readPqMeta(spark: SparkSession, dir: String): Option[PqMeta] =
+    Generations.readPointer(spark, dir, PqMetaName).map {
       case PqMetaRe(f, g, n, m, sd) =>
-        Some(PqMeta(f, g.toLong, n.toLong, m.toInt, sd.toInt))
+        PqMeta(f, g.toLong, n.toLong, m.toInt, sd.toInt)
       case other => sys.error(
-        s"unparseable ivfpq manifest at $p: '${other.take(120)}' " +
+        s"unparseable ivfpq manifest at $dir/$PqMetaName: '${other.take(120)}' " +
           "(refusing to guess — the pointer is the commit)")
     }
-  }
 
   /** Persist the COMPOSITE index — the one a 100 TB deployment actually
     * stores (codes are ~4·subDim× smaller than vectors): coarse cells
@@ -236,7 +213,6 @@ object IndexStore {
     require(retainGens >= 1, s"retainGens must be >= 1, got $retainGens")
     val spark = index.codes.sparkSession
     import spark.implicits._
-    val hc = Hfs.conf(spark)
     val prev = readPqMeta(spark, dir)
     prev.foreach(m => require(m.format == PqFormat,
       s"$dir holds a '${m.format}' index; refusing to overwrite with $PqFormat"))
@@ -253,15 +229,10 @@ object IndexStore {
       .parquet(s"$dir/gen=$gen/codes")
     // count what was written, not the (possibly lazy) input frame
     val n = spark.read.parquet(s"$dir/gen=$gen/codes").count()
-    Hfs.writeStringAtomic(new HPath(new HPath(dir), PqMetaName),
+    Generations.commit(spark, dir, PqMetaName,
       s"""{"format": "$PqFormat", "gen": $gen, "rows": $n, """ +
-        s""""m": ${index.pq.m}, "subDim": ${index.pq.subDim}}""", hc)
-    val cutoff = gen - (retainGens - 1)
-    Hfs.list(new HPath(dir), hc).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("gen=") && name.stripPrefix("gen=").toLong < cutoff)
-        Hfs.delete(st.getPath, hc)
-    }
+        s""""m": ${index.pq.m}, "subDim": ${index.pq.subDim}}""")
+    Generations.gc(spark, dir, gen - (retainGens - 1))
     gen
   }
 
@@ -297,6 +268,13 @@ object IndexStore {
       codes), m)
   }
 
+  /** IVF probe over a PERSISTED index via static partition pruning: the
+    * cell ranking is centroid-table-sized driver metadata (the
+    * ivfSearchAuto fetch pattern), and the resulting `cell IN (...)`
+    * filter prunes whole partition directories at planning time — the
+    * scan touches only the probed cells' files. Result ≡
+    * [[Similarity.ivfSearch]] on the same index (same cells, same
+    * cosine, same ties). */
   def searchPruned(index: Similarity.IvfIndex, query: DataFrame, k: Int,
       nprobe: Int = 2): DataFrame = {
     import Similarity.cosine

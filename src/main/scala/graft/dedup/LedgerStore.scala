@@ -1,10 +1,9 @@
 package graft.dedup
 
-import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.util.Hfs
+import graft.util.Generations
 
 /** Persisted TEXT DEDUP LEDGER with incremental maintenance — the
   * [[graft.ann.IndexStore]] discipline applied to the repo's most-probed
@@ -45,36 +44,26 @@ object LedgerStore {
       """"batch": (-?[0-9]+), "thresholdPerMille": ([0-9]+), """ +
       """"k": ([0-9]+), "bands": ([0-9]+)\}""").r
 
-  private def readMeta(spark: SparkSession, dir: String): Option[Meta] = {
-    val p = new HPath(new HPath(dir), MetaName)
-    val hc = Hfs.conf(spark)
-    if (!Hfs.exists(p, hc)) None
-    else Hfs.readString(p, hc).trim match {
+  private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
+    Generations.readPointer(spark, dir, MetaName).map {
       case MetaRe(f, g, n, b, t, k, bd) =>
-        Some(Meta(f, g.toLong, n.toLong, b.toLong, t.toInt, k.toInt, bd.toInt))
+        Meta(f, g.toLong, n.toLong, b.toLong, t.toInt, k.toInt, bd.toInt)
       case other => sys.error(
-        s"unparseable ledger manifest at $p: '${other.take(120)}' " +
+        s"unparseable ledger manifest at $dir/$MetaName: '${other.take(120)}' " +
           "(refusing to guess — the pointer is the commit)")
     }
-  }
 
   private def publish(spark: SparkSession, dir: String, labels: DataFrame,
       sigs: DataFrame, meta: Meta, retainGens: Int): Long = {
-    val hc = Hfs.conf(spark)
     labels.write.mode("overwrite").parquet(s"$dir/gen=${meta.gen}/labels")
     sigs.write.mode("overwrite").parquet(s"$dir/gen=${meta.gen}/sigs")
     val n = spark.read.parquet(s"$dir/gen=${meta.gen}/labels").count()
-    Hfs.writeStringAtomic(new HPath(new HPath(dir), MetaName),
+    Generations.commit(spark, dir, MetaName,
       s"""{"format": "$Format", "gen": ${meta.gen}, "rows": $n, """ +
         s""""batch": ${meta.batch}, """ +
         s""""thresholdPerMille": ${meta.thresholdPerMille}, """ +
-        s""""k": ${meta.k}, "bands": ${meta.bands}}""", hc)
-    val cutoff = meta.gen - (retainGens - 1)
-    Hfs.list(new HPath(dir), hc).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("gen=") && name.stripPrefix("gen=").toLong < cutoff)
-        Hfs.delete(st.getPath, hc)
-    }
+        s""""k": ${meta.k}, "bands": ${meta.bands}}""")
+    Generations.gc(spark, dir, meta.gen - (retainGens - 1))
     meta.gen
   }
 

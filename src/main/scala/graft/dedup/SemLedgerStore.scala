@@ -1,0 +1,143 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Generations
+
+/** Persisted SEMANTIC (embedding) dedup ledger — [[LedgerStore]]'s twin
+  * for the q102/q212/q244 sign-LSH pipeline, completing the set: every
+  * maintained substrate in the repo (text ledger, IVF/IVF-PQ indexes,
+  * semantic ledger) now has a generation-stamped on-disk face with
+  * incremental folds. State per generation: the vectors (the banded
+  * hyperplane keys are a pure recomputable projection — cheaper to
+  * re-derive than to store), the PAIR LEDGER, and the canonical
+  * labeling. A batch of new vectors folds in via
+  * [[Dedup.lshNearDupsDelta]] — only buckets containing a new vector
+  * produce candidate work, no old×old — then label contraction
+  * ([[Dedup.componentsIncremental]]). The fold config (bands, planes
+  * per band, dim, threshold‰) freezes in the manifest at seed time; the
+  * streaming face is exactly-once via the batch-id ledger.
+  * SemLedgerStoreSpec pins the q244 invariant across generations on
+  * disk: stored pairs ∪ labels ≡ a full recompute.
+  *
+  * Layout:
+  * {{{
+  *   dir/_graft_semledger_meta.json
+  *   dir/gen=G/vecs/     <- parquet (id, v)
+  *   dir/gen=G/pairs/    <- parquet (a_id, b_id, cosine)
+  *   dir/gen=G/labels/   <- parquet (id, comp)
+  * }}}
+  */
+object SemLedgerStore {
+
+  private val MetaName = "_graft_semledger_meta.json"
+  private val Format = "graft-semdedup-v1"
+
+  final case class Meta(format: String, gen: Long, rows: Long, batch: Long,
+      thresholdPerMille: Int, nBands: Int, planesPerBand: Int, dim: Int)
+
+  private val MetaRe =
+    ("""\{"format": "([^"]+)", "gen": ([0-9]+), "rows": ([0-9]+), """ +
+      """"batch": (-?[0-9]+), "thresholdPerMille": (-?[0-9]+), """ +
+      """"nBands": ([0-9]+), "planesPerBand": ([0-9]+), "dim": ([0-9]+)\}""").r
+
+  private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
+    Generations.readPointer(spark, dir, MetaName).map {
+      case MetaRe(f, g, n, b, t, nb, ppb, d) =>
+        Meta(f, g.toLong, n.toLong, b.toLong, t.toInt, nb.toInt,
+          ppb.toInt, d.toInt)
+      case other => sys.error(
+        s"unparseable semantic-ledger manifest at $dir/$MetaName: " +
+          s"'${other.take(120)}' (refusing to guess — the pointer is the commit)")
+    }
+
+  private def publish(spark: SparkSession, dir: String, vecs: DataFrame,
+      pairs: DataFrame, labels: DataFrame, meta: Meta,
+      retainGens: Int): Long = {
+    vecs.write.mode("overwrite").parquet(s"$dir/gen=${meta.gen}/vecs")
+    pairs.write.mode("overwrite").parquet(s"$dir/gen=${meta.gen}/pairs")
+    labels.write.mode("overwrite").parquet(s"$dir/gen=${meta.gen}/labels")
+    val n = spark.read.parquet(s"$dir/gen=${meta.gen}/vecs").count()
+    Generations.commit(spark, dir, MetaName,
+      s"""{"format": "$Format", "gen": ${meta.gen}, "rows": $n, """ +
+        s""""batch": ${meta.batch}, """ +
+        s""""thresholdPerMille": ${meta.thresholdPerMille}, """ +
+        s""""nBands": ${meta.nBands}, """ +
+        s""""planesPerBand": ${meta.planesPerBand}, "dim": ${meta.dim}}""")
+    Generations.gc(spark, dir, meta.gen - (retainGens - 1))
+    meta.gen
+  }
+
+  /** Load the current generation: (vectors, pair ledger, labels, meta). */
+  def load(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, Meta) = {
+    val m = readMeta(spark, dir).getOrElse(
+      sys.error(s"no committed semantic ledger at $dir (missing $MetaName)"))
+    require(m.format == Format, s"$dir holds '${m.format}', expected $Format")
+    (spark.read.parquet(s"$dir/gen=${m.gen}/vecs"),
+      spark.read.parquet(s"$dir/gen=${m.gen}/pairs"),
+      spark.read.parquet(s"$dir/gen=${m.gen}/labels"), m)
+  }
+
+  /** Fold one batch of NEW vectors (id, embedding) into the persisted
+    * ledger; first batch seeds and freezes the config. Empty batches
+    * and crash-replayed batch ids are no-ops. */
+  def maintainBatch(batch: DataFrame, id: Column, vec: Column,
+      dir: String, threshold: Double = 0.25, nBands: Int = 4,
+      planesPerBand: Int = 4, dim: Int = 64, retainGens: Int = 2,
+      batchId: Long = -1L): Option[Long] = {
+    val spark = batch.sparkSession
+    val vecs = batch.select(id.as("id"), vec.as("v")).localCheckpoint(true)
+    if (vecs.isEmpty) return None
+    val perMille = math.round(threshold * 1000).toInt
+    readMeta(spark, dir) match {
+      case None =>
+        val pairs = Dedup.lshNearDupsDelta(vecs.limit(0), vecs,
+          col("id"), col("v"), nBands, planesPerBand, dim, threshold)
+        val labels = Dedup.componentsIncremental(
+          vecs.select(col("id"), col("id").as("comp")).limit(0),
+          vecs, col("id"), pairs, col("a_id"), col("b_id"))
+        Some(publish(spark, dir, vecs, pairs, labels,
+          Meta(Format, 0L, 0L, batchId, perMille, nBands, planesPerBand,
+            dim), retainGens))
+      case Some(m) if batchId >= 0 && batchId <= m.batch =>
+        None // crash replay of an already-folded batch
+      case Some(m) =>
+        require(m.thresholdPerMille == perMille && m.nBands == nBands &&
+            m.planesPerBand == planesPerBand && m.dim == dim,
+          s"semantic ledger at $dir was seeded with " +
+            s"(${m.thresholdPerMille}‰, ${m.nBands}×${m.planesPerBand}, " +
+            s"dim ${m.dim}); refusing a mismatched fold — one ledger, " +
+            "one hyperplane family")
+        val (oldVecs, oldPairs, oldLabels, _) = load(spark, dir)
+        val deltaPairs = Dedup.lshNearDupsDelta(oldVecs, vecs,
+          col("id"), col("v"), nBands, planesPerBand, dim, threshold)
+          .localCheckpoint(true)
+        val allIds = oldLabels.select(col("id"))
+          .unionByName(vecs.select(col("id")))
+        val newLabels = Dedup.componentsIncremental(
+          oldLabels, allIds, col("id"), deltaPairs,
+          col("a_id"), col("b_id"))
+        Some(publish(spark, dir, oldVecs.unionByName(vecs),
+          oldPairs.unionByName(deltaPairs), newLabels,
+          m.copy(gen = m.gen + 1, batch = batchId), retainGens))
+    }
+  }
+
+  /** Continuous semantic-ledger maintenance: one fold per micro-batch
+    * of arriving vectors, exactly-once via the batch-id ledger. */
+  def maintainStream(vecs: DataFrame, id: Column, vec: Column,
+      dir: String, checkpoint: String, threshold: Double = 0.25,
+      nBands: Int = 4, planesPerBand: Int = 4, dim: Int = 64,
+      retainGens: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        maintainBatch(df, id, vec, dir, threshold, nBands, planesPerBand,
+          dim, retainGens, batchId = bid)
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,44 @@
+package graft.util
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+
+/** Shared plumbing for GENERATION-STAMPED persisted state (the
+  * manifest-pointer commit discipline of [[graft.cdc.Apply]], reused by
+  * `ann/IndexStore` and `dedup/LedgerStore` and `dedup/SemLedgerStore`):
+  * one small pointer object is the commit — readers see fully-old or
+  * fully-new — new-generation data dirs are invisible until the flip,
+  * and superseded generations are deleted only after it and beyond a
+  * retention window. Each store keeps its own meta SCHEMA (and its
+  * fail-loud parse); this helper owns only the pointer I/O and the GC
+  * sweep, so the commit discipline cannot drift between stores.
+  */
+object Generations {
+
+  /** The raw pointer body, if a committed generation exists. */
+  def readPointer(spark: SparkSession, dir: String,
+      metaName: String): Option[String] = {
+    val p = new HPath(new HPath(dir), metaName)
+    val hc = Hfs.conf(spark)
+    if (Hfs.exists(p, hc)) Some(Hfs.readString(p, hc).trim) else None
+  }
+
+  /** The commit: one atomic pointer PUT. */
+  def commit(spark: SparkSession, dir: String, metaName: String,
+      body: String): Unit =
+    Hfs.writeStringAtomic(new HPath(new HPath(dir), metaName), body,
+      Hfs.conf(spark))
+
+  /** Deferred GC: drop `gen=` dirs strictly below `cutoffGen` — callers
+    * compute the cutoff from their retention window AFTER the flip, so
+    * removed generations are non-live under both old and new pointers. */
+  def gc(spark: SparkSession, dir: String, cutoffGen: Long): Unit = {
+    val hc = Hfs.conf(spark)
+    Hfs.list(new HPath(dir), hc).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("gen=") &&
+          name.stripPrefix("gen=").toLong < cutoffGen)
+        Hfs.delete(st.getPath, hc)
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft.dedup
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.util.Tables
+
+/** The persisted semantic ledger: the q244 maintenance invariant across
+  * generations on disk (stored pairs AND labels ≡ full recompute),
+  * exactly-once folds, frozen hyperplane config.
+  */
+class SemLedgerStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private def embs = Tables.embeddings(spark, sf)
+    .filter(col("vec_id") > 0)
+    .select(col("vec_id"), col("embedding"))
+
+  private def fullState(upTo: Long): (Set[(Long, Long)], Map[Long, Long]) = {
+    val e = embs.filter(col("vec_id") <= upTo)
+    val pairs = Dedup.lshNearDups(e, col("vec_id"), col("embedding"),
+      nBands = 4, planesPerBand = 4, dim = 64, threshold = 0.25)
+    val lbl = Dedup.components(pairs, col("a_id"), col("b_id"))
+    val full = e
+      .join(lbl.select(col("id").as("vec_id"), col("comp")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("comp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet, full)
+  }
+
+  private def stored(dir: String): (Set[(Long, Long)], Map[Long, Long]) = {
+    val (_, pairs, labels, _) = SemLedgerStore.load(spark, dir)
+    (pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
+  test("folds maintain the q244 invariant on disk: stored pairs and " +
+      "labels ≡ full recompute after every generation") {
+    val dir = Files.createTempDirectory("semledger").toString
+    def slice(lo: Long, hi: Long) =
+      embs.filter(col("vec_id") > lo && col("vec_id") <= hi)
+    assert(SemLedgerStore.maintainBatch(slice(0, 250), col("vec_id"),
+      col("embedding"), dir, batchId = 0L).contains(0L))
+    val (p1, l1) = stored(dir)
+    val (fp1, fl1) = fullState(250L)
+    assert(p1 == fp1 && l1 == fl1)
+    assert(SemLedgerStore.maintainBatch(slice(250, 499), col("vec_id"),
+      col("embedding"), dir, batchId = 1L).contains(1L))
+    val (p2, l2) = stored(dir)
+    val (fp2, fl2) = fullState(499L)
+    assert(p2 == fp2, s"pair drift: extra=${(p2 -- fp2).take(5)} " +
+      s"missing=${(fp2 -- p2).take(5)}")
+    assert(l2 == fl2)
+    assert(SemLedgerStore.load(spark, dir)._4.rows == embs.count())
+    // replay no-op + frozen config refusal
+    assert(SemLedgerStore.maintainBatch(slice(250, 499), col("vec_id"),
+      col("embedding"), dir, batchId = 1L).isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      SemLedgerStore.maintainBatch(slice(0, 5), col("vec_id"),
+        col("embedding"), dir, threshold = 0.5, batchId = 2L)
+    }
+    assert(e.getMessage.contains("one hyperplane family"))
+  }
+}
