@@ -73,6 +73,26 @@ object TextQueries {
       IncBase(cut, lbl, sigs)
     }
 
+  /** The q248 PERSISTED ledger store, SEEDED with the base slice — a
+    * session-ephemeral temp dir registered as maintenance state (the
+    * incrementalBase twin on disk: seeding builds the base slice's
+    * signatures + labeling and publishes gen 0; Bench warms it outside
+    * the timed window and says so). q248 then folds the delta slice
+    * through the DISK path — the first invocation pays the fold and
+    * publishes gen 1; later invocations hit the batch-id replay no-op
+    * and measure the PROBE of the folded generation, the q75-pattern
+    * steady-state cost. */
+  private[graft] def ledgerStoreDir(s: SparkSession, d: String): String =
+    Maintenance.getOrBuild("ledgerStoreSeed", s, d) {
+      val docs = Tables.documents(s, d)
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+      val dir = java.nio.file.Files.createTempDirectory("graftledger").toString
+      graft.dedup.LedgerStore.maintainBatch(
+        docs.filter(col("doc_id") < cut), col("doc_id"), col("text"),
+        dir, batchId = 0L)
+      dir
+    }
+
   def dedupLedger(s: SparkSession, d: String): DedupLedger =
     Maintenance.getOrBuild("dedupLedger", s, d) {
       val docs = Tables.documents(s, d)
@@ -421,6 +441,35 @@ object TextQueries {
       lbl.join(sizes, Seq("comp"))
         .select(col("id").as("doc_id"), col("comp"), col("comp_size"),
           (col("id") === col("comp")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -- the q130 fold THROUGH THE PERSISTED STORE (dedup/LedgerStore):
+    //    seed a generation-stamped on-disk ledger from the base slice
+    //    (labels + signature store as parquet, manifest-pointer commit),
+    //    fold the delta slice through the DISK path — stored sigs read
+    //    back, delta-only shingling, label contraction, a new generation
+    //    published — then emit the loaded labels. The oracle is the
+    //    identical full recompute as q130: incremental-THROUGH-PARQUET ≡
+    //    full, which gates serialization, the manifest protocol, and the
+    //    fold in one face (LedgerStoreSpec pins the multi-generation and
+    //    streaming variants). The seed rides [[ledgerStoreDir]]'s
+    //    maintenance memo; the fold publishes once (batch-id 1 — later
+    //    invocations are the replay no-op and measure the probe of the
+    //    folded generation, the q130/q75 steady-state convention).
+    "q248_ledger_store_fold" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+      val dir = ledgerStoreDir(s, d)
+      graft.dedup.LedgerStore.maintainBatch(
+        docs.filter(!(col("doc_id") < cut)), col("doc_id"), col("text"),
+        dir, batchId = 1L)
+      val lbl = graft.dedup.LedgerStore.load(s, dir)._1
+        .select(col("id").as("doc_id"), col("comp"))
+      val sizes = lbl.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+      lbl.join(sizes, Seq("comp"))
+        .select(col("doc_id"), col("comp"), col("comp_size"),
+          (col("doc_id") === col("comp")).as("is_canonical"))
         .orderBy(col("doc_id"))
     },
 
@@ -1118,6 +1167,26 @@ object TextQueries {
     // delta-touching pairs into the base labeling. Incremental ≡ full is
     // precisely the claim under test.
     "q130_incremental_components" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+         |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+         |ledger AS (
+         |  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id)
+         |SELECT doc_id, comp,
+         |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
+         |  doc_id = comp AS is_canonical
+         |FROM ledger ORDER BY doc_id""".stripMargin,
+
+    // The identical full recompute as q130: the persisted fold must land
+    // on exactly the same labeling.
+    "q248_ledger_store_fold" ->
       s"""WITH RECURSIVE $minhashPairsCtes,
          |edges AS (
          |  SELECT a_id AS src, b_id AS dst FROM pairs

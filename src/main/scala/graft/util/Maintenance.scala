@@ -122,6 +122,7 @@ object Maintenance {
   lazy val registered: Seq[(String, (SparkSession, String) => Any)] = Seq(
     "dedupLedger"     -> ((s, d) => graft.text.TextQueries.dedupLedger(s, d)),
     "incrementalBase" -> ((s, d) => graft.text.TextQueries.incrementalBase(s, d)),
+    "ledgerStoreSeed" -> ((s, d) => graft.text.TextQueries.ledgerStoreDir(s, d)),
     "semanticLedger"  -> ((s, d) => graft.ann.AnnQueries.semanticLedger(s, d)),
     "ivfIndex"        -> ((s, d) => graft.ann.AnnQueries.ivfIndex(s, d)),
     "pqIndex"         -> ((s, d) => graft.ann.AnnQueries.pqIndex(s, d)),

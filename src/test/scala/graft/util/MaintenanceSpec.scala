@@ -76,8 +76,8 @@ class MaintenanceSpec extends AnyFunSuite {
     val names = Maintenance.registered.map(_._1)
     assert(names.distinct == names)
     assert(names.toSet == Set("dedupLedger", "incrementalBase", "semanticLedger",
-      "ivfIndex", "pqIndex", "ivfPqIndex", "zorderLayout", "bucketedPair",
-      "coPurchasePairs", "lpaLabels", "edgeBase"))
+      "ledgerStoreSeed", "ivfIndex", "pqIndex", "ivfPqIndex", "zorderLayout",
+      "bucketedPair", "coPurchasePairs", "lpaLabels", "edgeBase"))
     val report = Maintenance.inspect(spark, "/tmp/spec_uncovered")
     assert(report.map(_.name).toSet == names.toSet)
     assert(report.forall(!_.built))
