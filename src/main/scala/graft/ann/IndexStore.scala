@@ -209,7 +209,8 @@ object IndexStore {
     * [[searchPruned]] measures. Same generation + atomic-pointer +
     * deferred-GC discipline as [[saveIvf]]. */
   def saveIvfPq(index: Similarity.IvfPqIndex, dir: String,
-      retainGens: Int = 2): Long = {
+      retainGens: Int = 2,
+      sideTables: Seq[(String, DataFrame)] = Nil): Long = {
     require(retainGens >= 1, s"retainGens must be >= 1, got $retainGens")
     val spark = index.codes.sparkSession
     import spark.implicits._
@@ -227,6 +228,11 @@ object IndexStore {
       .write.mode("overwrite").parquet(s"$dir/gen=$gen/codebooks")
     index.codes.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/gen=$gen/codes")
+    // side tables (e.g. the maintenance loop's raw vectors) land INSIDE
+    // the generation BEFORE the pointer commit — a crash between them
+    // cannot publish a generation missing its tables
+    sideTables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/gen=$gen/$name") }
     // count what was written, not the (possibly lazy) input frame
     val n = spark.read.parquet(s"$dir/gen=$gen/codes").count()
     Generations.commit(spark, dir, PqMetaName,
@@ -267,6 +273,90 @@ object IndexStore {
         codes.select(col("vid"), col("codes"))),
       codes), m)
   }
+
+  /** [[ivfMaintainBatch]]'s composite-index twin: fold one batch into
+    * the persisted IVF-PQ index — frozen-quantizer coarse-assign +
+    * residual encode ([[Similarity.ivfPqInsert]]), the doubling-policy
+    * re-train ([[Similarity.buildIvfPq]] needs the RAW vectors, which
+    * PQ codes cannot reconstruct, so this store keeps a vecs table
+    * alongside the codes — the honest cost of a retrainable compressed
+    * index; a deployment that accepts frozen-forever quantizers can
+    * drop it), and a generation publish per fold with the exactly-once
+    * batch-id ledger. rows/baseRows ride a sidecar meta (the PqMeta
+    * format stays reader-compatible): `_graft_ivfpq_maint.json`. */
+  def ivfPqMaintainBatch(batch: DataFrame, id: Column, vec: Column,
+      dir: String, nCells: Int, m: Int, ksub: Int,
+      growthFactor: Double = 2.0, retainGens: Int = 2,
+      batchId: Long = -1L): Option[(Long, Boolean)] = {
+    val spark = batch.sparkSession
+    val vecs = batch.select(id.as("vid"), vec.as("v")).localCheckpoint(true)
+    if (vecs.isEmpty) return None
+    readMaint(spark, dir) match {
+      case Some(mm) if batchId >= 0 && batchId <= mm.batch =>
+        None // crash replay of an already-folded batch
+      case None =>
+        val seeded = Similarity.buildIvfPq(vecs, col("vid"), col("v"),
+          nCells, m, ksub, materialize = true)
+        val gen = saveIvfPq(seeded, dir, retainGens,
+          sideTables = Seq("vecs" -> vecs))
+        writeMaint(spark, dir, vecs.count(), vecs.count(), batchId)
+        Some((gen, true))
+      case Some(mm) =>
+        val (idx, pm) = loadIvfPq(spark, dir)
+        val oldVecs = spark.read.parquet(s"$dir/gen=${pm.gen}/vecs")
+          .localCheckpoint(true) // survives its generation's GC
+        val allVecs = oldVecs.unionByName(vecs)
+        val n = mm.rows + vecs.count()
+        if (n.toDouble >= mm.baseRows.toDouble * growthFactor) {
+          val retrained = Similarity.buildIvfPq(allVecs,
+            col("vid"), col("v"), nCells, m, ksub, materialize = true)
+          val gen = saveIvfPq(retrained, dir, retainGens,
+            sideTables = Seq("vecs" -> allVecs))
+          writeMaint(spark, dir, n, n, batchId)
+          Some((gen, true))
+        } else {
+          val grown = Similarity.ivfPqInsert(idx, vecs,
+            col("vid"), col("v"), materialize = true)
+          val gen = saveIvfPq(grown, dir, retainGens,
+            sideTables = Seq("vecs" -> allVecs))
+          writeMaint(spark, dir, n, mm.baseRows, batchId)
+          Some((gen, false))
+        }
+    }
+  }
+
+  private val MaintName = "_graft_ivfpq_maint.json"
+  final case class MaintMeta(rows: Long, baseRows: Long, batch: Long)
+  private val MaintRe =
+    """\{"rows": ([0-9]+), "baseRows": ([0-9]+), "batch": (-?[0-9]+)\}""".r
+
+  private def readMaint(spark: SparkSession, dir: String): Option[MaintMeta] =
+    Generations.readPointer(spark, dir, MaintName).map {
+      case MaintRe(n, b, bt) => MaintMeta(n.toLong, b.toLong, bt.toLong)
+      case other => sys.error(
+        s"unparseable maintenance sidecar at $dir/$MaintName: '${other.take(120)}'")
+    }
+
+  private def writeMaint(spark: SparkSession, dir: String, rows: Long,
+      baseRows: Long, batchId: Long): Unit =
+    Generations.commit(spark, dir, MaintName,
+      s"""{"rows": $rows, "baseRows": $baseRows, "batch": $batchId}""")
+
+  /** Continuous composite-index maintenance — [[ivfMaintainStream]]'s
+    * IVF-PQ twin, exactly-once via the sidecar's batch-id ledger. */
+  def ivfPqMaintainStream(vecs: DataFrame, id: Column, vec: Column,
+      dir: String, checkpoint: String, nCells: Int, m: Int, ksub: Int,
+      growthFactor: Double = 2.0, retainGens: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        ivfPqMaintainBatch(df, id, vec, dir, nCells, m, ksub,
+          growthFactor, retainGens, batchId = bid)
+        ()
+      }
+      .start()
 
   /** IVF probe over a PERSISTED index via static partition pruning: the
     * cell ranking is centroid-table-sized driver metadata (the

@@ -154,6 +154,41 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(IndexStore.loadIvf(spark, dir)._2.rows == 52L)
   }
 
+  test("composite maintenance fold: seed, frozen-quantizer growth, " +
+      "doubling re-train from the kept vectors; replays are no-ops") {
+    val dir = Files.createTempDirectory("ivfpqmaint").toString
+    def slice(lo: Long, hi: Long) =
+      embs.filter(col("vec_id") > lo && col("vec_id") <= hi)
+    val r1 = IndexStore.ivfPqMaintainBatch(slice(0, 100), col("vec_id"),
+      col("embedding"), dir, nCells = 4, m = 8, ksub = 16, batchId = 0L)
+    assert(r1.contains((0L, true)))
+    // +40 (140 < 200): frozen insert — cells and codebooks unchanged
+    val (idx0, _) = IndexStore.loadIvfPq(spark, dir)
+    val r2 = IndexStore.ivfPqMaintainBatch(slice(100, 140), col("vec_id"),
+      col("embedding"), dir, nCells = 4, m = 8, ksub = 16, batchId = 1L)
+    assert(r2.contains((1L, false)))
+    val (idx1, m1) = IndexStore.loadIvfPq(spark, dir)
+    assert(m1.rows == 140L)
+    assert(idx1.cells.zip(idx0.cells).forall { case ((_, a), (_, b)) =>
+      a.toSeq == b.toSeq }, "a grown publish must keep the cells frozen")
+    // replay no-op
+    assert(IndexStore.ivfPqMaintainBatch(slice(100, 140), col("vec_id"),
+      col("embedding"), dir, nCells = 4, m = 8, ksub = 16,
+      batchId = 1L).isEmpty)
+    // +70 (210 >= 200): re-train from the kept raw vectors
+    val r3 = IndexStore.ivfPqMaintainBatch(slice(140, 210), col("vec_id"),
+      col("embedding"), dir, nCells = 4, m = 8, ksub = 16, batchId = 2L)
+    assert(r3.contains((2L, true)))
+    val (idx2, m2) = IndexStore.loadIvfPq(spark, dir)
+    assert(m2.rows == 210L)
+    assert(idx2.codes.count() == 210L)
+    // a vector from every era is probe-reachable post-retrain
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble).toSeq
+    assert(Similarity.ivfPqSearchAdc(idx2, qv, k = 210, nprobe = 4)
+      .count() == 210L)
+  }
+
   test("streaming maintenance: micro-batches fold into published " +
       "generations; a loaded reader searches the grown index") {
     implicit val ctx = spark.sqlContext
