@@ -31,15 +31,32 @@ object AnnQueries {
     * the assignment (id, vector, cell — same order of size as the input).
     * Round 8: memoized through [[graft.util.Maintenance]], the unified
     * warm/invalidate/inspect registry for all such state. */
+  /** Session conf key: when set to a committed [[IndexStore]] dir, the
+    * session's [[ivfIndex]] memo HYDRATES from the persisted store
+    * instead of training — a warm session and a cold external reader
+    * then share ONE refresh lineage, and the store's `baseRows` seeds
+    * the doubling policy so in-session [[ivfIngest]]s count against the
+    * persisted base. Opt-in and explicit: setting it declares "this
+    * session's IVF index IS that store" (the caller owns the claim that
+    * the store was built from this corpus). */
+  val IvfStoreConf = "spark.graft.ivfIndex.store"
+
   def ivfIndex(s: SparkSession, d: String): Similarity.IvfIndex =
     Maintenance.getOrBuild("ivfIndex", s, d) {
-      val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
-      val idx = Similarity.buildIvf(embs, col("vec_id"), col("embedding"),
-        nCentroids = 8, iterations = 1, materialize = true)
-      // refresh-policy denominator: the materialized assignment count is
-      // the one pass ivfIngest's doubling ratio is measured against
-      Maintenance.noteBaseSize("ivfIndex", s, d, idx.assigned.count())
-      idx
+      s.conf.getOption(IvfStoreConf) match {
+        case Some(storeDir) =>
+          val (idx, meta) = IndexStore.loadIvf(s, storeDir)
+          Maintenance.noteBaseSize("ivfIndex", s, d, meta.baseRows)
+          idx
+        case None =>
+          val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+          val idx = Similarity.buildIvf(embs, col("vec_id"), col("embedding"),
+            nCentroids = 8, iterations = 1, materialize = true)
+          // refresh-policy denominator: the materialized assignment count
+          // is the pass ivfIngest's doubling ratio is measured against
+          Maintenance.noteBaseSize("ivfIndex", s, d, idx.assigned.count())
+          idx
+      }
     }
 
   /** Ingest new vectors into the MAINTAINED IVF index under the measured

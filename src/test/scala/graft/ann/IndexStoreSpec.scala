@@ -154,6 +154,38 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(IndexStore.loadIvf(spark, dir)._2.rows == 52L)
   }
 
+  test("session memo hydrates from a persisted store: one refresh " +
+      "lineage, growth policy seeded from the manifest's base") {
+    import graft.util.Maintenance
+    val dir = Files.createTempDirectory("ivfhydrate").toString
+    // publish a store whose content IS this corpus's index
+    val idx = Similarity.buildIvf(embs, col("vec_id"), col("embedding"),
+      nCentroids = 4, iterations = 1, materialize = true)
+    IndexStore.saveIvf(idx, dir)
+    val prev = spark.conf.getOption(AnnQueries.IvfStoreConf)
+    spark.conf.set(AnnQueries.IvfStoreConf, dir)
+    try {
+      Maintenance.invalidate("ivfIndex", spark, sf)
+      val hydrated = AnnQueries.ivfIndex(spark, sf)
+      // the memo is the persisted generation, not a fresh training run:
+      // centroid table matches the saved one exactly
+      val saved = idx.centroids.collect()
+        .map(r => (r.getAs[Number](0).intValue(), r.getSeq[Float](1))).toSet
+      val got = hydrated.centroids.collect()
+        .map(r => (r.getAs[Number](0).intValue(), r.getSeq[Float](1))).toSet
+      assert(got == saved)
+      // the doubling policy counts against the PERSISTED base
+      assert(Maintenance.growthOf("ivfIndex", spark, sf).contains(
+        Maintenance.Growth(embs.count(), 0L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(AnnQueries.IvfStoreConf, v)
+        case None => spark.conf.unset(AnnQueries.IvfStoreConf)
+      }
+      Maintenance.invalidate("ivfIndex", spark, sf) // next user re-trains
+    }
+  }
+
   test("composite maintenance fold: seed, frozen-quantizer growth, " +
       "doubling re-train from the kept vectors; replays are no-ops") {
     val dir = Files.createTempDirectory("ivfpqmaint").toString
