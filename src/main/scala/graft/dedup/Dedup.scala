@@ -575,6 +575,78 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Band-bucket POSTING table for a signature store — the production
+    * layout the [[minhashNearDupsDeltaFromSigs]] scaladoc declares
+    * ("keep the bucket posting table partitioned by bucket, making even
+    * that scan incremental"), made materializable: one row per
+    * (document, band) with the band's bucket key and its PARTITION
+    * PREFIX `bp = pmod(bucket, prefixes)`. Raw bucket values are
+    * hash-cardinality (millions of tiny partitions — a broken layout);
+    * the prefix folds them into `prefixes` partition dirs, and because
+    * bp is a pure function of bucket, EVERY member of a bucket lives in
+    * one prefix — so a delta fold that touches a set of buckets reads
+    * exactly the matching prefix partitions and bucket-size caps stay
+    * exact on the pruned subset. */
+  def minhashPostings(sigs: DataFrame, k: Int = 16, bands: Int = 8,
+      prefixes: Int = 64): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide k (got k=$k, bands=$bands)")
+    val r = k / bands
+    sigs.select(col("id"),
+        explode(array((0 until bands).map { b =>
+          hash(struct(lit(b) +: (0 until r).map(i => col(s"sig_${b * r + i}")): _*))
+        }: _*)).as("bucket"))
+      .withColumn("bp", pmod(col("bucket"), lit(prefixes)))
+  }
+
+  /** [[minhashNearDupsDeltaFromSigs]] against a MAINTAINED POSTING
+    * TABLE (partitioned by `bp` on disk — LedgerStore writes it): the
+    * delta's band keys are computed fresh, their DISTINCT PREFIXES are
+    * a bounded driver fetch (≤ `prefixes` ints), and the old side reads
+    * ONLY the matching prefix partitions — the base-sized "narrow scan
+    * of the cached store for bucket keys" becomes partition-pruned file
+    * reads whose volume tracks the delta's bucket spread, not the
+    * corpus. Old-side VERIFICATION sets join from the sig store by id —
+    * only bucket-mates of the delta survive to that join. Identical
+    * output to the FromSigs form (same keys, same caps on the touched
+    * buckets — untouched buckets produce no candidates — same
+    * JaccardSorted verify); LedgerStoreSpec pins the equality through
+    * the on-disk fold. */
+  def minhashNearDupsDeltaFromPostings(
+      oldPostings: DataFrame, oldSigs: DataFrame, newSigs: DataFrame,
+      threshold: Double, k: Int = 16, bands: Int = 8,
+      maxBucketSize: Int = 1000, prefixes: Int = 64,
+      materialize: Boolean = true): DataFrame = {
+    val nw = if (materialize) newSigs.cutLineage() else newSigs
+    val newKeys = minhashPostings(nw, k, bands, prefixes)
+    // bounded driver metadata: at most `prefixes` distinct values
+    val touched = newKeys.select(col("bp")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val oldKeys = oldPostings.filter(col("bp").isin(touched: _*))
+      .select(col("id"), col("bucket")).withColumn("is_new", lit(false))
+    val keyed = capBuckets(
+      oldKeys.unionByName(newKeys.select(col("id"), col("bucket"))
+        .withColumn("is_new", lit(true))),
+      maxBucketSize)
+    val newSide = keyed.filter(col("is_new"))
+      .select(col("id").as("n_id"), col("bucket"))
+    val anySide = keyed.select(col("id").as("o_id"), col("bucket"))
+    val cands = newSide.join(anySide, Seq("bucket"))
+      .filter(col("n_id") =!= col("o_id"))
+      .select(least(col("n_id"), col("o_id")).as("a_id"),
+        greatest(col("n_id"), col("o_id")).as("b_id"))
+      .distinct()
+    val sets = oldSigs.select(col("id"), col("vset"))
+      .unionByName(nw.select(col("id"), col("vset")))
+    cands
+      .join(sets.select(col("id").as("a_id"), col("vset").as("a_sh")), Seq("a_id"))
+      .join(sets.select(col("id").as("b_id"), col("vset").as("b_sh")), Seq("b_id"))
+      .withColumn("jaccard",
+        graft.functions.JaccardSorted.jaccard_sorted(col("a_sh"), col("b_sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   /** [[minhashNearDupsDeltaFromSigs]] with both signature stores built in
     * place from a flagged document table — the one-shot face (specs, ad
     * hoc runs). Steady-state ingest should maintain the old store and

@@ -24,7 +24,15 @@ import graft.util.Generations
   *   dir/_graft_ledger_meta.json  <- the pointer (+ frozen fold config)
   *   dir/gen=G/labels/            <- parquet (id, comp)
   *   dir/gen=G/sigs/              <- parquet (id, vset, sig_0..sig_{k-1})
+  *   dir/gen=G/postings/          <- parquet (bucket, id), PARTITIONED BY bp
   * }}}
+  *
+  * The postings table is the production fold layout
+  * ([[Dedup.minhashPostings]]): a delta fold reads ONLY the partition
+  * prefixes its bucket keys touch (a bounded driver fetch of ≤
+  * `prefixes` ints drives static partition pruning) instead of
+  * re-deriving band keys from a full signature-store scan — the scan
+  * volume tracks the delta's bucket spread, not the corpus.
   *
   * The fold config (threshold‰, k, bands) freezes at seed time and rides
   * the manifest: a ledger is only meaningful under ONE signature family,
@@ -37,32 +45,37 @@ object LedgerStore {
   private val Format = "graft-dedup-v1"
 
   final case class Meta(format: String, gen: Long, rows: Long, batch: Long,
-      thresholdPerMille: Int, k: Int, bands: Int)
+      thresholdPerMille: Int, k: Int, bands: Int, prefixes: Int)
 
   private val MetaRe =
     ("""\{"format": "([^"]+)", "gen": ([0-9]+), "rows": ([0-9]+), """ +
       """"batch": (-?[0-9]+), "thresholdPerMille": ([0-9]+), """ +
-      """"k": ([0-9]+), "bands": ([0-9]+)\}""").r
+      """"k": ([0-9]+), "bands": ([0-9]+), "prefixes": ([0-9]+)\}""").r
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
     Generations.readPointer(spark, dir, MetaName).map {
-      case MetaRe(f, g, n, b, t, k, bd) =>
-        Meta(f, g.toLong, n.toLong, b.toLong, t.toInt, k.toInt, bd.toInt)
+      case MetaRe(f, g, n, b, t, k, bd, px) =>
+        Meta(f, g.toLong, n.toLong, b.toLong, t.toInt, k.toInt, bd.toInt,
+          px.toInt)
       case other => sys.error(
         s"unparseable ledger manifest at $dir/$MetaName: '${other.take(120)}' " +
           "(refusing to guess — the pointer is the commit)")
     }
 
   private def publish(spark: SparkSession, dir: String, labels: DataFrame,
-      sigs: DataFrame, meta: Meta, retainGens: Int): Long = {
+      sigs: DataFrame, postings: DataFrame, meta: Meta,
+      retainGens: Int): Long = {
     labels.write.mode("overwrite").parquet(s"$dir/gen=${meta.gen}/labels")
     sigs.write.mode("overwrite").parquet(s"$dir/gen=${meta.gen}/sigs")
+    postings.write.mode("overwrite").partitionBy("bp")
+      .parquet(s"$dir/gen=${meta.gen}/postings")
     val n = spark.read.parquet(s"$dir/gen=${meta.gen}/labels").count()
     Generations.commit(spark, dir, MetaName,
       s"""{"format": "$Format", "gen": ${meta.gen}, "rows": $n, """ +
         s""""batch": ${meta.batch}, """ +
         s""""thresholdPerMille": ${meta.thresholdPerMille}, """ +
-        s""""k": ${meta.k}, "bands": ${meta.bands}}""")
+        s""""k": ${meta.k}, "bands": ${meta.bands}, """ +
+        s""""prefixes": ${meta.prefixes}}""")
     Generations.gc(spark, dir, meta.gen - (retainGens - 1))
     meta.gen
   }
@@ -86,7 +99,8 @@ object LedgerStore {
     * capped production profile composes by passing the cap through. */
   def maintainBatch(batch: DataFrame, id: Column, text: Column,
       dir: String, threshold: Double = 0.5, k: Int = 16, bands: Int = 16,
-      retainGens: Int = 2, batchId: Long = -1L): Option[Long] = {
+      prefixes: Int = 64, retainGens: Int = 2,
+      batchId: Long = -1L): Option[Long] = {
     val spark = batch.sparkSession
     val docs = batch.select(id.as("doc_id"), text.as("text"))
     if (docs.isEmpty) return None
@@ -104,25 +118,35 @@ object LedgerStore {
             col("doc_id").as("comp")).limit(0),
           docs, col("doc_id"), pairs, col("a_id"), col("b_id"))
         Some(publish(spark, dir, labels, sigs,
-          Meta(Format, 0L, 0L, batchId, perMille, k, bands), retainGens))
+          Dedup.minhashPostings(sigs, k, bands, prefixes),
+          Meta(Format, 0L, 0L, batchId, perMille, k, bands, prefixes),
+          retainGens))
       case Some(m) if batchId >= 0 && batchId <= m.batch =>
         None // crash replay of an already-folded batch
       case Some(m) =>
-        require(m.thresholdPerMille == perMille && m.k == k && m.bands == bands,
+        require(m.thresholdPerMille == perMille && m.k == k &&
+            m.bands == bands && m.prefixes == prefixes,
           s"ledger at $dir was seeded with (threshold=${m.thresholdPerMille}" +
-            s"‰, k=${m.k}, bands=${m.bands}); refusing a mismatched fold " +
-            s"($perMille‰, $k, $bands) — one ledger, one signature family")
+            s"‰, k=${m.k}, bands=${m.bands}, prefixes=${m.prefixes}); " +
+            s"refusing a mismatched fold ($perMille‰, $k, $bands, " +
+            s"$prefixes) — one ledger, one signature family")
         val (labels, sigs, _) = load(spark, dir)
+        val postings = spark.read.parquet(s"$dir/gen=${m.gen}/postings")
         val deltaSigs = Dedup.minhashSigSets(docs, col("doc_id"), col("text"),
           k = k).localCheckpoint(true)
-        val deltaPairs = Dedup.minhashNearDupsDeltaFromSigs(
-          sigs, deltaSigs, threshold, k, bands,
-          maxBucketSize = Int.MaxValue)
+        // the production fold: the old side reads only the delta's
+        // touched prefix partitions of the posting table
+        val deltaPairs = Dedup.minhashNearDupsDeltaFromPostings(
+          postings, sigs, deltaSigs, threshold, k, bands,
+          maxBucketSize = Int.MaxValue, prefixes = prefixes)
         val allIds = labels.select(col("id"))
           .unionByName(docs.select(col("doc_id").as("id")))
         val newLabels = Dedup.componentsIncremental(
           labels, allIds, col("id"), deltaPairs, col("a_id"), col("b_id"))
         Some(publish(spark, dir, newLabels, sigs.unionByName(deltaSigs),
+          postings.select(col("bucket"), col("id"), col("bp")).unionByName(
+            Dedup.minhashPostings(deltaSigs, k, bands, prefixes)
+              .select(col("bucket"), col("id"), col("bp"))),
           m.copy(gen = m.gen + 1, batch = batchId), retainGens))
     }
   }
@@ -133,14 +157,14 @@ object LedgerStore {
     * [[load]] without sharing the session. */
   def maintainStream(docs: DataFrame, id: Column, text: Column,
       dir: String, checkpoint: String, threshold: Double = 0.5,
-      k: Int = 16, bands: Int = 16, retainGens: Int = 2)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      k: Int = 16, bands: Int = 16, prefixes: Int = 64,
+      retainGens: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, bid: Long) =>
-        maintainBatch(df, id, text, dir, threshold, k, bands, retainGens,
-          batchId = bid)
+        maintainBatch(df, id, text, dir, threshold, k, bands, prefixes,
+          retainGens, batchId = bid)
         ()
       }
       .start()

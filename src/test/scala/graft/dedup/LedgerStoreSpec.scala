@@ -70,6 +70,31 @@ class LedgerStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("one ledger, one signature family"))
   }
 
+  test("postings fold path: identical pairs to the FromSigs form, and " +
+      "the old side plans a partition-pruned posting scan") {
+    val dir = Files.createTempDirectory("ledgerpost").toString
+    LedgerStore.maintainBatch(docs.filter(col("doc_id") <= 400),
+      col("doc_id"), col("text"), dir, batchId = 0L)
+    val (_, sigs, m) = LedgerStore.load(spark, dir)
+    val postings = spark.read.parquet(s"$dir/gen=${m.gen}/postings")
+    val deltaSigs = Dedup.minhashSigSets(
+      docs.filter(col("doc_id") > 400), col("doc_id"), col("text"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaPostings = Dedup.minhashNearDupsDeltaFromPostings(
+      postings, sigs, deltaSigs, threshold = 0.5, bands = 16,
+      maxBucketSize = Int.MaxValue, prefixes = m.prefixes)
+    val viaSigs = Dedup.minhashNearDupsDeltaFromSigs(
+      sigs, deltaSigs, threshold = 0.5, bands = 16,
+      maxBucketSize = Int.MaxValue)
+    assert(norm(viaPostings) == norm(viaSigs))
+    // the layout's point: the old side is a static partition prune of
+    // the posting table, not a full signature-store scan
+    val plan = viaPostings.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bp".r.findFirstIn(plan).isDefined,
+      s"posting scan not partition-pruned:\n${plan.take(1500)}")
+  }
+
   test("streaming maintenance: the ledger follows the arriving corpus; " +
       "a loaded reader sees the full-recompute labeling") {
     implicit val ctx = spark.sqlContext
