@@ -205,9 +205,10 @@ object IndexStore {
     * stores (codes are ~4·subDim× smaller than vectors): coarse cells
     * and per-subspace codebooks land as bounded parquet metadata tables
     * (nCells and m·ksub rows), the per-row codes table partitions by
-    * cell so [[adcSearchPruned]] gets the same static-pruning I/O cut
-    * [[searchPruned]] measures. Same generation + atomic-pointer +
-    * deferred-GC discipline as [[saveIvf]]. */
+    * cell so [[Similarity.ivfPqSearchAdc]]'s existing cell filter gets
+    * the same static-pruning I/O cut [[searchPruned]] measures. Same
+    * generation + atomic-pointer + deferred-GC discipline as
+    * [[saveIvf]]. */
   def saveIvfPq(index: Similarity.IvfPqIndex, dir: String,
       retainGens: Int = 2,
       sideTables: Seq[(String, DataFrame)] = Nil): Long = {
