@@ -19,20 +19,33 @@ import graft.util.Generations
   * IndexStore contract). LedgerStoreSpec pins the q130 invariant across
   * the store: folded labels ≡ a full recompute over all documents.
   *
-  * Layout:
+  * Layout (v2 — slice-appended stores):
   * {{{
-  *   dir/_graft_ledger_meta.json  <- the pointer (+ frozen fold config)
+  *   dir/_graft_ledger_meta.json  <- the pointer (+ frozen fold config
+  *                                   + the live slice count)
+  *   dir/sigs/slice=B/            <- parquet (id, vset, sig_0..sig_{k-1})
+  *   dir/postings/slice=B/bp=P/   <- parquet (bucket, id)
   *   dir/gen=G/labels/            <- parquet (id, comp)
-  *   dir/gen=G/sigs/              <- parquet (id, vset, sig_0..sig_{k-1})
-  *   dir/gen=G/postings/          <- parquet (bucket, id), PARTITIONED BY bp
   * }}}
   *
-  * The postings table is the production fold layout
+  * The signature and posting stores are APPEND-ONLY IMMUTABLE SLICES —
+  * one per fold, written before the pointer commit; the manifest's
+  * `slices` count is what makes them live (a crashed fold's orphan
+  * slice is invisible: readers prune `slice < slices`). A fold
+  * therefore WRITES only its delta slice plus the labels, instead of
+  * rewriting the whole signature/posting store into every generation —
+  * at 100 TB that is the difference between delta-sized maintenance
+  * I/O and a full-store copy per micro-batch. The labels table is the
+  * one full rewrite per fold (2 longs/doc): a contraction can relabel
+  * ANY old document, so the labeling is inherently global state.
+  *
+  * The postings tree is the production fold layout
   * ([[Dedup.minhashPostings]]): a delta fold reads ONLY the partition
   * prefixes its bucket keys touch (a bounded driver fetch of ≤
-  * `prefixes` ints drives static partition pruning) instead of
-  * re-deriving band keys from a full signature-store scan — the scan
-  * volume tracks the delta's bucket spread, not the corpus.
+  * `prefixes` ints drives static partition pruning on `bp`, composing
+  * with the `slice` liveness prune) instead of re-deriving band keys
+  * from a full signature-store scan — the scan volume tracks the
+  * delta's bucket spread, not the corpus.
   *
   * The fold config (threshold‰, k, bands) freezes at seed time and rides
   * the manifest: a ledger is only meaningful under ONE signature family,
@@ -42,52 +55,73 @@ import graft.util.Generations
 object LedgerStore {
 
   private val MetaName = "_graft_ledger_meta.json"
-  private val Format = "graft-dedup-v1"
+  private val Format = "graft-dedup-v2"
 
   final case class Meta(format: String, gen: Long, rows: Long, batch: Long,
-      thresholdPerMille: Int, k: Int, bands: Int, prefixes: Int)
+      thresholdPerMille: Int, k: Int, bands: Int, prefixes: Int,
+      slices: Long)
 
   private val MetaRe =
     ("""\{"format": "([^"]+)", "gen": ([0-9]+), "rows": ([0-9]+), """ +
       """"batch": (-?[0-9]+), "thresholdPerMille": ([0-9]+), """ +
-      """"k": ([0-9]+), "bands": ([0-9]+), "prefixes": ([0-9]+)\}""").r
+      """"k": ([0-9]+), "bands": ([0-9]+), "prefixes": ([0-9]+), """ +
+      """"slices": ([0-9]+)\}""").r
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
     Generations.readPointer(spark, dir, MetaName).map {
-      case MetaRe(f, g, n, b, t, k, bd, px) =>
+      case MetaRe(f, g, n, b, t, k, bd, px, sl) =>
         Meta(f, g.toLong, n.toLong, b.toLong, t.toInt, k.toInt, bd.toInt,
-          px.toInt)
+          px.toInt, sl.toLong)
       case other => sys.error(
         s"unparseable ledger manifest at $dir/$MetaName: '${other.take(120)}' " +
           "(refusing to guess — the pointer is the commit)")
     }
 
+  /** The LIVE signature store: slices below the manifest's count,
+    * liveness pruned on the `slice` partition column. */
+  private def liveSigs(spark: SparkSession, dir: String, m: Meta): DataFrame =
+    spark.read.parquet(s"$dir/sigs")
+      .filter(col("slice") < m.slices).drop("slice")
+
+  private def livePostings(spark: SparkSession, dir: String,
+      m: Meta): DataFrame =
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("slice") < m.slices).drop("slice")
+
+  /** Write ONE fold's outputs: the delta slice (sigs + bp-partitioned
+    * postings — immutable, appended under `slice=<meta.slices-1>`), the
+    * new FULL labels generation, then the pointer commit that makes all
+    * of it live at once; deferred GC on label generations only (slices
+    * are the store). */
   private def publish(spark: SparkSession, dir: String, labels: DataFrame,
-      sigs: DataFrame, postings: DataFrame, meta: Meta,
+      deltaSigs: DataFrame, deltaPostings: DataFrame, meta: Meta,
       retainGens: Int): Long = {
+    val sliceId = meta.slices - 1
+    deltaSigs.write.mode("overwrite")
+      .parquet(s"$dir/sigs/slice=$sliceId")
+    deltaPostings.write.mode("overwrite").partitionBy("bp")
+      .parquet(s"$dir/postings/slice=$sliceId")
     labels.write.mode("overwrite").parquet(s"$dir/gen=${meta.gen}/labels")
-    sigs.write.mode("overwrite").parquet(s"$dir/gen=${meta.gen}/sigs")
-    postings.write.mode("overwrite").partitionBy("bp")
-      .parquet(s"$dir/gen=${meta.gen}/postings")
     val n = spark.read.parquet(s"$dir/gen=${meta.gen}/labels").count()
     Generations.commit(spark, dir, MetaName,
       s"""{"format": "$Format", "gen": ${meta.gen}, "rows": $n, """ +
         s""""batch": ${meta.batch}, """ +
         s""""thresholdPerMille": ${meta.thresholdPerMille}, """ +
         s""""k": ${meta.k}, "bands": ${meta.bands}, """ +
-        s""""prefixes": ${meta.prefixes}}""")
+        s""""prefixes": ${meta.prefixes}, "slices": ${meta.slices}}""")
     Generations.gc(spark, dir, meta.gen - (retainGens - 1))
     meta.gen
   }
 
-  /** Load the current generation: (labels (id, comp), signature store,
-    * meta). Probe-ready — `labels` is the q75-shaped ledger face. */
+  /** Load the current state: (labels (id, comp), LIVE signature store
+    * — the slice union, liveness-pruned — and meta). Probe-ready —
+    * `labels` is the q75-shaped ledger face. */
   def load(spark: SparkSession, dir: String): (DataFrame, DataFrame, Meta) = {
     val m = readMeta(spark, dir).getOrElse(
       sys.error(s"no committed ledger at $dir (missing $MetaName)"))
     require(m.format == Format, s"$dir holds '${m.format}', expected $Format")
     (spark.read.parquet(s"$dir/gen=${m.gen}/labels"),
-      spark.read.parquet(s"$dir/gen=${m.gen}/sigs"), m)
+      liveSigs(spark, dir, m), m)
   }
 
   /** Fold one batch of NEW documents (id, text) into the persisted
@@ -118,8 +152,10 @@ object LedgerStore {
             col("doc_id").as("comp")).limit(0),
           docs, col("doc_id"), pairs, col("a_id"), col("b_id"))
         Some(publish(spark, dir, labels, sigs,
-          Dedup.minhashPostings(sigs, k, bands, prefixes),
-          Meta(Format, 0L, 0L, batchId, perMille, k, bands, prefixes),
+          Dedup.minhashPostings(sigs, k, bands, prefixes)
+            .select(col("bucket"), col("id"), col("bp")),
+          Meta(Format, 0L, 0L, batchId, perMille, k, bands, prefixes,
+            slices = 1L),
           retainGens))
       case Some(m) if batchId >= 0 && batchId <= m.batch =>
         None // crash replay of an already-folded batch
@@ -131,11 +167,11 @@ object LedgerStore {
             s"refusing a mismatched fold ($perMille‰, $k, $bands, " +
             s"$prefixes) — one ledger, one signature family")
         val (labels, sigs, _) = load(spark, dir)
-        val postings = spark.read.parquet(s"$dir/gen=${m.gen}/postings")
+        val postings = livePostings(spark, dir, m)
         val deltaSigs = Dedup.minhashSigSets(docs, col("doc_id"), col("text"),
           k = k).localCheckpoint(true)
         // the production fold: the old side reads only the delta's
-        // touched prefix partitions of the posting table
+        // touched prefix partitions of the LIVE posting slices
         val deltaPairs = Dedup.minhashNearDupsDeltaFromPostings(
           postings, sigs, deltaSigs, threshold, k, bands,
           maxBucketSize = Int.MaxValue, prefixes = prefixes)
@@ -143,11 +179,12 @@ object LedgerStore {
           .unionByName(docs.select(col("doc_id").as("id")))
         val newLabels = Dedup.componentsIncremental(
           labels, allIds, col("id"), deltaPairs, col("a_id"), col("b_id"))
-        Some(publish(spark, dir, newLabels, sigs.unionByName(deltaSigs),
-          postings.select(col("bucket"), col("id"), col("bp")).unionByName(
-            Dedup.minhashPostings(deltaSigs, k, bands, prefixes)
-              .select(col("bucket"), col("id"), col("bp"))),
-          m.copy(gen = m.gen + 1, batch = batchId), retainGens))
+        // writes: ONLY the delta slice + the labels — the stores append
+        Some(publish(spark, dir, newLabels, deltaSigs,
+          Dedup.minhashPostings(deltaSigs, k, bands, prefixes)
+            .select(col("bucket"), col("id"), col("bp")),
+          m.copy(gen = m.gen + 1, batch = batchId, slices = m.slices + 1),
+          retainGens))
     }
   }
 

@@ -76,7 +76,9 @@ class LedgerStoreSpec extends AnyFunSuite {
     LedgerStore.maintainBatch(docs.filter(col("doc_id") <= 400),
       col("doc_id"), col("text"), dir, batchId = 0L)
     val (_, sigs, m) = LedgerStore.load(spark, dir)
-    val postings = spark.read.parquet(s"$dir/gen=${m.gen}/postings")
+    // the live posting slices, as a fold reads them
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("slice") < m.slices).drop("slice")
     val deltaSigs = Dedup.minhashSigSets(
       docs.filter(col("doc_id") > 400), col("doc_id"), col("text"))
     def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
