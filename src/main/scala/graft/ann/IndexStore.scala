@@ -128,7 +128,16 @@ object IndexStore {
     * would otherwise re-insert its vectors (the fold is NOT naturally
     * idempotent — ivfInsert appends). A manual (batchId = −1) fold
     * resets the ledger — do not interleave manual folds into a
-    * streaming-maintained index while its query is live. */
+    * streaming-maintained index while its query is live.
+    *
+    * Declared I/O trade: each fold REWRITES the full assigned table
+    * into its generation (unlike LedgerStore v2's slice-appended
+    * stores) — the per-cell layout would support slice-appending
+    * between re-trains (cell assignments are frozen), but a re-train
+    * reassigns everything and resets the slice space, so the layout
+    * needs a slice EPOCH; sketched as the follow-on, not built. At
+    * micro-batch cadence prefer larger fold intervals or the
+    * LedgerStore pattern. */
   def ivfMaintainBatch(batch: DataFrame, id: Column, vec: Column,
       dir: String, nCentroids: Int, growthFactor: Double = 2.0,
       retainGens: Int = 2, batchId: Long = -1L): Option[(Long, Boolean)] = {

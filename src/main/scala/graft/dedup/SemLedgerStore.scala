@@ -9,10 +9,10 @@ import graft.util.Generations
   * for the q102/q212/q244 sign-LSH pipeline, completing the set: every
   * maintained substrate in the repo (text ledger, IVF/IVF-PQ indexes,
   * semantic ledger) now has a generation-stamped on-disk face with
-  * incremental folds. State per generation: the vectors (the banded
-  * hyperplane keys are a pure recomputable projection — cheaper to
-  * re-derive than to store), the PAIR LEDGER, and the canonical
-  * labeling. A batch of new vectors folds in via
+  * incremental folds. State: the vectors (the banded hyperplane keys
+  * are a pure recomputable projection — cheaper to re-derive than to
+  * store), the PAIR LEDGER, and the canonical labeling. A batch of new
+  * vectors folds in via
   * [[Dedup.lshNearDupsDelta]] — only buckets containing a new vector
   * produce candidate work, no old×old — then label contraction
   * ([[Dedup.componentsIncremental]]). The fold config (bands, planes
@@ -21,62 +21,76 @@ import graft.util.Generations
   * SemLedgerStoreSpec pins the q244 invariant across generations on
   * disk: stored pairs ∪ labels ≡ a full recompute.
   *
-  * Layout:
+  * Layout (v2 — slice-appended stores, the [[LedgerStore]] discipline):
   * {{{
-  *   dir/_graft_semledger_meta.json
-  *   dir/gen=G/vecs/     <- parquet (id, v)
-  *   dir/gen=G/pairs/    <- parquet (a_id, b_id, cosine)
-  *   dir/gen=G/labels/   <- parquet (id, comp)
+  *   dir/_graft_semledger_meta.json   <- pointer + config + live slice count
+  *   dir/vecs/slice=B/    <- parquet (id, v)          (immutable, per fold)
+  *   dir/pairs/slice=B/   <- parquet (a_id, b_id, cosine)   (immutable)
+  *   dir/gen=G/labels/    <- parquet (id, comp)   (full rewrite per fold)
   * }}}
+  * A fold writes only its delta slices + the labels; the manifest's
+  * slice count is the liveness boundary (orphan slices from a crashed
+  * fold are invisible). Labels are the one inherently global rewrite —
+  * a contraction can relabel any old vector.
   */
 object SemLedgerStore {
 
   private val MetaName = "_graft_semledger_meta.json"
-  private val Format = "graft-semdedup-v1"
+  private val Format = "graft-semdedup-v2"
 
   final case class Meta(format: String, gen: Long, rows: Long, batch: Long,
-      thresholdPerMille: Int, nBands: Int, planesPerBand: Int, dim: Int)
+      thresholdPerMille: Int, nBands: Int, planesPerBand: Int, dim: Int,
+      slices: Long)
 
   private val MetaRe =
     ("""\{"format": "([^"]+)", "gen": ([0-9]+), "rows": ([0-9]+), """ +
       """"batch": (-?[0-9]+), "thresholdPerMille": (-?[0-9]+), """ +
-      """"nBands": ([0-9]+), "planesPerBand": ([0-9]+), "dim": ([0-9]+)\}""").r
+      """"nBands": ([0-9]+), "planesPerBand": ([0-9]+), "dim": ([0-9]+), """ +
+      """"slices": ([0-9]+)\}""").r
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
     Generations.readPointer(spark, dir, MetaName).map {
-      case MetaRe(f, g, n, b, t, nb, ppb, d) =>
+      case MetaRe(f, g, n, b, t, nb, ppb, d, sl) =>
         Meta(f, g.toLong, n.toLong, b.toLong, t.toInt, nb.toInt,
-          ppb.toInt, d.toInt)
+          ppb.toInt, d.toInt, sl.toLong)
       case other => sys.error(
         s"unparseable semantic-ledger manifest at $dir/$MetaName: " +
           s"'${other.take(120)}' (refusing to guess — the pointer is the commit)")
     }
 
-  private def publish(spark: SparkSession, dir: String, vecs: DataFrame,
-      pairs: DataFrame, labels: DataFrame, meta: Meta,
+  private def liveSlices(spark: SparkSession, dir: String, sub: String,
+      m: Meta): DataFrame =
+    spark.read.parquet(s"$dir/$sub")
+      .filter(col("slice") < m.slices).drop("slice")
+
+  private def publish(spark: SparkSession, dir: String, deltaVecs: DataFrame,
+      deltaPairs: DataFrame, labels: DataFrame, meta: Meta,
       retainGens: Int): Long = {
-    vecs.write.mode("overwrite").parquet(s"$dir/gen=${meta.gen}/vecs")
-    pairs.write.mode("overwrite").parquet(s"$dir/gen=${meta.gen}/pairs")
+    val sliceId = meta.slices - 1
+    deltaVecs.write.mode("overwrite").parquet(s"$dir/vecs/slice=$sliceId")
+    deltaPairs.write.mode("overwrite").parquet(s"$dir/pairs/slice=$sliceId")
     labels.write.mode("overwrite").parquet(s"$dir/gen=${meta.gen}/labels")
-    val n = spark.read.parquet(s"$dir/gen=${meta.gen}/vecs").count()
+    val n = spark.read.parquet(s"$dir/gen=${meta.gen}/labels").count()
     Generations.commit(spark, dir, MetaName,
       s"""{"format": "$Format", "gen": ${meta.gen}, "rows": $n, """ +
         s""""batch": ${meta.batch}, """ +
         s""""thresholdPerMille": ${meta.thresholdPerMille}, """ +
         s""""nBands": ${meta.nBands}, """ +
-        s""""planesPerBand": ${meta.planesPerBand}, "dim": ${meta.dim}}""")
+        s""""planesPerBand": ${meta.planesPerBand}, "dim": ${meta.dim}, """ +
+        s""""slices": ${meta.slices}}""")
     Generations.gc(spark, dir, meta.gen - (retainGens - 1))
     meta.gen
   }
 
-  /** Load the current generation: (vectors, pair ledger, labels, meta). */
+  /** Load the current state: (LIVE vectors, LIVE pair ledger — slice
+    * unions, liveness-pruned — current labels, meta). */
   def load(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, Meta) = {
     val m = readMeta(spark, dir).getOrElse(
       sys.error(s"no committed semantic ledger at $dir (missing $MetaName)"))
     require(m.format == Format, s"$dir holds '${m.format}', expected $Format")
-    (spark.read.parquet(s"$dir/gen=${m.gen}/vecs"),
-      spark.read.parquet(s"$dir/gen=${m.gen}/pairs"),
+    (liveSlices(spark, dir, "vecs", m),
+      liveSlices(spark, dir, "pairs", m),
       spark.read.parquet(s"$dir/gen=${m.gen}/labels"), m)
   }
 
@@ -100,7 +114,7 @@ object SemLedgerStore {
           vecs, col("id"), pairs, col("a_id"), col("b_id"))
         Some(publish(spark, dir, vecs, pairs, labels,
           Meta(Format, 0L, 0L, batchId, perMille, nBands, planesPerBand,
-            dim), retainGens))
+            dim, slices = 1L), retainGens))
       case Some(m) if batchId >= 0 && batchId <= m.batch =>
         None // crash replay of an already-folded batch
       case Some(m) =>
@@ -110,7 +124,7 @@ object SemLedgerStore {
             s"(${m.thresholdPerMille}‰, ${m.nBands}×${m.planesPerBand}, " +
             s"dim ${m.dim}); refusing a mismatched fold — one ledger, " +
             "one hyperplane family")
-        val (oldVecs, oldPairs, oldLabels, _) = load(spark, dir)
+        val (oldVecs, _, oldLabels, _) = load(spark, dir)
         val deltaPairs = Dedup.lshNearDupsDelta(oldVecs, vecs,
           col("id"), col("v"), nBands, planesPerBand, dim, threshold)
           .localCheckpoint(true)
@@ -119,9 +133,10 @@ object SemLedgerStore {
         val newLabels = Dedup.componentsIncremental(
           oldLabels, allIds, col("id"), deltaPairs,
           col("a_id"), col("b_id"))
-        Some(publish(spark, dir, oldVecs.unionByName(vecs),
-          oldPairs.unionByName(deltaPairs), newLabels,
-          m.copy(gen = m.gen + 1, batch = batchId), retainGens))
+        // writes: ONLY the delta slices + the labels — the stores append
+        Some(publish(spark, dir, vecs, deltaPairs, newLabels,
+          m.copy(gen = m.gen + 1, batch = batchId, slices = m.slices + 1),
+          retainGens))
     }
   }
 
