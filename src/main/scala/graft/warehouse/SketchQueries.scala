@@ -171,7 +171,12 @@ object SketchQueries {
     //    afford this shuffle / should I salt" answer at ~1/64 of the
     //    join's cost. Deterministic hash → the oracle replays sampling
     //    and scale-up bit-for-bit, so the estimate itself is exact-gated
-    //    without any exact-side recompute in either engine.
+    //    without any exact-side recompute in either engine. The md5-
+    //    based portable hash is the ORACLE-replayable face and dominates
+    //    the local line (both sides hash every key); the coordinated-
+    //    sampling property needs only a uniform deterministic hash, so a
+    //    production profile would swap in xxhash64 — same plan, cheaper
+    //    kernel, no cross-engine replay.
     "q245_join_estimate_prod" -> { (s, d) =>
       def keep(k: Column): Column =
         pmod(graft.text.TextFunctions.portableHash48(k.cast("string")),
