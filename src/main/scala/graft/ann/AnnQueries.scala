@@ -71,14 +71,31 @@ object AnnQueries {
     * always contain what assignment stored — the q243 gate); the policy
     * trades one rebuild for the measured recall plateau. */
   def ivfIngest(s: SparkSession, d: String, newVecs: DataFrame)
-      : (Similarity.IvfIndex, Boolean) = {
-    val grown = Similarity.ivfInsert(ivfIndex(s, d), newVecs,
-      col("vec_id"), col("embedding"), materialize = true)
-    val refreshed = Maintenance.noteInserted("ivfIndex", s, d,
-      newVecs.count())
-    if (!refreshed) Maintenance.update("ivfIndex", s, d)(grown)
-    (grown, refreshed)
-  }
+      : (Similarity.IvfIndex, Boolean) =
+    Maintenance.withWriteLock("ivfIndex", s, d) {
+      val grown = Similarity.ivfInsert(ivfIndex(s, d), newVecs,
+        col("vec_id"), col("embedding"), materialize = true)
+      val refreshed = Maintenance.noteInserted("ivfIndex", s, d,
+        newVecs.count())
+      if (!refreshed) Maintenance.update("ivfIndex", s, d)(grown)
+      else s.conf.getOption(IvfStoreConf).foreach { storeDir =>
+        // store-hydrated mode (round-9 advice): invalidation alone would
+        // REHYDRATE the same stale persisted generation and silently drop
+        // every in-session ingest — so the policy fire PUBLISHES the
+        // re-train back to the store first. The grown assignment holds
+        // every vector (base + all ingests), so the rebuild needs no
+        // external corpus (the ivfMaintainBatch re-train path); the next
+        // ivfIndex() then hydrates the NEW generation, and external
+        // readers advance with this session — one refresh lineage.
+        val retrained = Similarity.buildIvf(
+          grown.assigned.select(col("vid"), col("v")),
+          col("vid"), col("v"),
+          nCentroids = grown.centroids.count().toInt,
+          iterations = 1, materialize = true)
+        IndexStore.saveIvf(retrained, storeDir)
+      }
+      (grown, refreshed)
+    }
 
   /** The q137 PQ index, memoized like [[ivfIndex]] (train once, probe
     * forever; Bench warms it through the Maintenance registry). */
@@ -96,14 +113,15 @@ object AnnQueries {
     * invalidate at it (codebook drift costs quantization error on the
     * NEW vectors only — same recall-not-correctness trade). */
   def pqIngest(s: SparkSession, d: String, newVecs: DataFrame)
-      : (Similarity.PqIndex, Boolean) = {
-    val grown = Similarity.pqInsert(pqIndex(s, d), newVecs,
-      col("vec_id"), col("embedding"), materialize = true)
-    val refreshed = Maintenance.noteInserted("pqIndex", s, d,
-      newVecs.count())
-    if (!refreshed) Maintenance.update("pqIndex", s, d)(grown)
-    (grown, refreshed)
-  }
+      : (Similarity.PqIndex, Boolean) =
+    Maintenance.withWriteLock("pqIndex", s, d) {
+      val grown = Similarity.pqInsert(pqIndex(s, d), newVecs,
+        col("vec_id"), col("embedding"), materialize = true)
+      val refreshed = Maintenance.noteInserted("pqIndex", s, d,
+        newVecs.count())
+      if (!refreshed) Maintenance.update("pqIndex", s, d)(grown)
+      (grown, refreshed)
+    }
 
   /** The q218 composite IVF-PQ index (the FAISS IVFPQ shape — coarse
     * cells + residual PQ codes), memoized like [[ivfIndex]]/[[pqIndex]]
@@ -122,14 +140,49 @@ object AnnQueries {
     * PQ-encode against the frozen quantizers ([[Similarity.ivfPqInsert]]),
     * memo replaced below the doubling threshold, invalidated at it. */
   def ivfPqIngest(s: SparkSession, d: String, newVecs: DataFrame)
-      : (Similarity.IvfPqIndex, Boolean) = {
-    val grown = Similarity.ivfPqInsert(ivfPqIndex(s, d), newVecs,
-      col("vec_id"), col("embedding"), materialize = true)
-    val refreshed = Maintenance.noteInserted("ivfPqIndex", s, d,
-      newVecs.count())
-    if (!refreshed) Maintenance.update("ivfPqIndex", s, d)(grown)
-    (grown, refreshed)
-  }
+      : (Similarity.IvfPqIndex, Boolean) =
+    Maintenance.withWriteLock("ivfPqIndex", s, d) {
+      val grown = Similarity.ivfPqInsert(ivfPqIndex(s, d), newVecs,
+        col("vec_id"), col("embedding"), materialize = true)
+      val refreshed = Maintenance.noteInserted("ivfPqIndex", s, d,
+        newVecs.count())
+      if (!refreshed) Maintenance.update("ivfPqIndex", s, d)(grown)
+      (grown, refreshed)
+    }
+
+  /** q247's 80% base composite index as MAINTAINED STATE (round-9
+    * verdict #1: the timed q247 line was dominated by re-training this
+    * base on every run — "the timed line measures the incremental fold,
+    * not a disguised rebuild" is the repo's own q130/q239 standard).
+    * The memo is the `incrementalBase`/`edgeBase` precedent applied to
+    * the composite index: built once per (session, corpus), warmed by
+    * Bench outside the timed window, so q247 measures what it claims —
+    * `ivfPqInsert` of the 20% delta + the searches. Same quantizer
+    * sizing as [[ivfPqIndex]] (m=16/ksub=64 — the recall flags need it). */
+  def ivfPqBase(s: SparkSession, d: String): Similarity.IvfPqIndex =
+    Maintenance.getOrBuild("ivfPqBase", s, d) {
+      val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val idx = Similarity.buildIvfPq(
+        embs.filter(col("vec_id") % 5 =!= 0),
+        col("vec_id"), col("embedding"), nCells = 8, m = 16, ksub = 64,
+        materialize = true)
+      Maintenance.noteBaseSize("ivfPqBase", s, d, idx.codes.count())
+      idx
+    }
+
+  /** The PERSISTED IVF-PQ store for this corpus — q249's substrate (the
+    * `ledgerStoreDir` pattern on the ANN side): publish the full-corpus
+    * composite index through [[IndexStore.saveIvfPq]] once per
+    * (session, corpus), return the committed dir. The q249 gate then
+    * searches the LOADED generation, so the oracle exercises the disk
+    * path end to end — codes partitioned by cell, quantizer tables as
+    * bounded metadata, the manifest-pointer commit. */
+  private[graft] def ivfPqStoreDir(s: SparkSession, d: String): String =
+    Maintenance.getOrBuild("ivfPqStoreSeed", s, d) {
+      val dir = java.nio.file.Files.createTempDirectory("graftivfpq").toString
+      IndexStore.saveIvfPq(ivfPqIndex(s, d), dir)
+      dir
+    }
 
   /** q212's semantic dedup ledger, memoized per (session, table) like
     * [[ivfIndex]] and `TextQueries.dedupLedger` (the pairs+components
@@ -336,15 +389,12 @@ object AnnQueries {
       val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
       val qlit = typedlit(qv)
-      // q218's codebook sizing (m=16/ksub=64 — the recall flags need it;
-      // m=8/ksub=32 measured recall@10 = 1/10 at sf0.1) but MATERIALIZED:
-      // this face re-trains its 80% base every run, and without the
-      // lineage cut each downstream action (count, search) re-runs the
-      // whole encode — measured 2× the build cost back
-      val idx = Similarity.buildIvfPq(
-        embs.filter(col("vec_id") % 5 =!= 0),
-        col("vec_id"), col("embedding"), nCells = 8, m = 16, ksub = 64,
-        materialize = true)
+      // the 80% base rides the [[ivfPqBase]] maintenance memo (round-9
+      // verdict #1): built once, Bench-warmed, so the timed line below
+      // is the operator's actual claim — frozen-quantizer insert of the
+      // 20% delta + the searches, NO training stage (AnnSpec pins the
+      // memo identity across calls)
+      val idx = ivfPqBase(s, d)
       val grown = Similarity.ivfPqInsert(idx,
         embs.filter(col("vec_id") % 5 === 0), col("vec_id"), col("embedding"),
         materialize = true)
@@ -367,6 +417,45 @@ object AnnQueries {
       Seq((exactIds.head, nCodes, allProbe.contains(exactIds.head),
           allProbe.count(exactIds.toSet) >= 3))
         .toDF("exact_l2_top1", "n_codes", "allprobe_hit_top10", "recall_ok")
+    },
+
+    // -- the q218 gate THROUGH THE PERSISTED STORE (the q248 pattern on
+    //    the ANN side, round-9 verdict #6): the full-corpus composite
+    //    index is published to an [[IndexStore]] generation once
+    //    ([[ivfPqStoreDir]], maintenance memo), and the timed query
+    //    searches the LOADED index — quantizer tables hydrated from
+    //    bounded parquet metadata, codes scanned through the
+    //    cell-partitioned layout where the probe's cell filter is a
+    //    STATIC partition prune (IndexStoreSpec pins the
+    //    PartitionFilters on the loaded probe). n_rows is exact-gated
+    //    against the corpus
+    //    count (the manifest's row count survived the round trip); the
+    //    search flags are q218's invariant pattern — IndexStoreSpec pins
+    //    the loaded ADC ranking ≡ the in-memory one bit-for-bit, so they
+    //    hold iff q218's do.
+    "q249_ann_ivfpq_store" -> { (s, d) =>
+      val dir = ivfPqStoreDir(s, d)
+      val (idx, meta) = IndexStore.loadIvfPq(s, dir)
+      val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      val qlit = typedlit(qv)
+      val exactIds = embs.select(col("vec_id"),
+          (Similarity.dot(col("embedding"), col("embedding"))
+            - lit(2) * Similarity.dot(col("embedding"), qlit)
+            + Similarity.dot(qlit, qlit)).as("d2"))
+        .orderBy(col("d2").asc, col("vec_id"))
+        .limit(10)
+        .collect().map(_.getLong(0)).toSeq
+      val pruned = Similarity.ivfPqSearchAdc(idx, qv, k = 10, nprobe = 2)
+        .collect().map(_.getLong(0)).toSeq
+      val allProbe = Similarity.ivfPqSearchAdc(idx, qv, k = 10, nprobe = 8)
+        .collect().map(_.getLong(0)).toSeq
+      val s2 = s
+      import s2.implicits._
+      Seq((exactIds.head, meta.rows, pruned.contains(exactIds.head),
+          allProbe.count(exactIds.toSet) >= 5))
+        .toDF("exact_l2_top1", "n_rows", "pruned_hit_top10", "recall_ok")
     },
 
     // -- SemDeDup-style embedding near-dup at scale: blocked by BANDED
@@ -657,6 +746,21 @@ object AnnQueries {
         |SELECT (SELECT vec_id FROM d ORDER BY d2, vec_id LIMIT 1) AS exact_l2_top1,
         |  (SELECT COUNT(*) FROM embeddings WHERE vec_id <> 0) AS n_codes,
         |  TRUE AS allprobe_hit_top10, TRUE AS recall_ok""".stripMargin,
+
+    // The persisted-store gate: top-1 and the manifest row count are
+    // exact-gated; the search flags are q218's invariant pattern over
+    // the loaded (bit-identical — IndexStoreSpec) index.
+    "q249_ann_ivfpq_store" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |d AS (
+        |  SELECT vec_id,
+        |    LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])
+        |      - 2 * LIST_DOT_PRODUCT(embedding::DOUBLE[], qv)
+        |      + LIST_DOT_PRODUCT(qv, qv) AS d2
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT (SELECT vec_id FROM d ORDER BY d2, vec_id LIMIT 1) AS exact_l2_top1,
+        |  (SELECT COUNT(*) FROM embeddings WHERE vec_id <> 0) AS n_rows,
+        |  TRUE AS pruned_hit_top10, TRUE AS recall_ok""".stripMargin,
 
     "q47_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v

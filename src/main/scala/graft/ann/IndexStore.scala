@@ -192,19 +192,28 @@ object IndexStore {
   // ---- the composite (IVF-PQ) index, persisted ----
 
   private val PqMetaName = "_graft_ivfpq_meta.json"
-  private val PqFormat = "graft-ivfpq-v1"
+  private val PqFormat = "graft-ivfpq-v2"
 
   private val PqMetaRe =
     ("""\{"format": "([^"]+)", "gen": ([0-9]+), "rows": ([0-9]+), """ +
-      """"m": ([0-9]+), "subDim": ([0-9]+)\}""").r
+      """"m": ([0-9]+), "subDim": ([0-9]+), "baseRows": ([0-9]+), """ +
+      """"batch": (-?[0-9]+)\}""").r
 
+  /** v2 (round 10): `baseRows` (the doubling-policy denominator) and
+    * `batch` (the exactly-once streaming ledger) moved INTO the manifest
+    * from the v1 sidecar `_graft_ivfpq_maint.json` — the sidecar was
+    * committed AFTER the data pointer flipped, so a crash between the
+    * two PUTs left a new generation live against a stale batch id and
+    * the replayed batch double-inserted its vectors. One pointer, one
+    * atomic PUT, data + ledger indivisible (the [[Meta]] contract the
+    * plain-IVF store always had). */
   final case class PqMeta(format: String, gen: Long, rows: Long,
-      m: Int, subDim: Int)
+      m: Int, subDim: Int, baseRows: Long, batch: Long)
 
   private def readPqMeta(spark: SparkSession, dir: String): Option[PqMeta] =
     Generations.readPointer(spark, dir, PqMetaName).map {
-      case PqMetaRe(f, g, n, m, sd) =>
-        PqMeta(f, g.toLong, n.toLong, m.toInt, sd.toInt)
+      case PqMetaRe(f, g, n, m, sd, b, bt) =>
+        PqMeta(f, g.toLong, n.toLong, m.toInt, sd.toInt, b.toLong, bt.toLong)
       case other => sys.error(
         s"unparseable ivfpq manifest at $dir/$PqMetaName: '${other.take(120)}' " +
           "(refusing to guess — the pointer is the commit)")
@@ -220,7 +229,8 @@ object IndexStore {
     * [[saveIvf]]. */
   def saveIvfPq(index: Similarity.IvfPqIndex, dir: String,
       retainGens: Int = 2,
-      sideTables: Seq[(String, DataFrame)] = Nil): Long = {
+      sideTables: Seq[(String, DataFrame)] = Nil,
+      carryBaseRows: Option[Long] = None, batchId: Long = -1L): Long = {
     require(retainGens >= 1, s"retainGens must be >= 1, got $retainGens")
     val spark = index.codes.sparkSession
     import spark.implicits._
@@ -247,7 +257,8 @@ object IndexStore {
     val n = spark.read.parquet(s"$dir/gen=$gen/codes").count()
     Generations.commit(spark, dir, PqMetaName,
       s"""{"format": "$PqFormat", "gen": $gen, "rows": $n, """ +
-        s""""m": ${index.pq.m}, "subDim": ${index.pq.subDim}}""")
+        s""""m": ${index.pq.m}, "subDim": ${index.pq.subDim}, """ +
+        s""""baseRows": ${carryBaseRows.getOrElse(n)}, "batch": $batchId}""")
     Generations.gc(spark, dir, gen - (retainGens - 1))
     gen
   }
@@ -292,8 +303,11 @@ object IndexStore {
     * alongside the codes — the honest cost of a retrainable compressed
     * index; a deployment that accepts frozen-forever quantizers can
     * drop it), and a generation publish per fold with the exactly-once
-    * batch-id ledger. rows/baseRows ride a sidecar meta (the PqMeta
-    * format stays reader-compatible): `_graft_ivfpq_maint.json`. */
+    * batch-id ledger. Since v2 the ledger (rows/baseRows/batch) rides
+    * IN the manifest, so one atomic pointer PUT commits data and
+    * ledger together — a crash can never publish a generation whose
+    * recorded batch id lags its data (the double-insert window the v1
+    * sidecar had). */
   def ivfPqMaintainBatch(batch: DataFrame, id: Column, vec: Column,
       dir: String, nCells: Int, m: Int, ksub: Int,
       growthFactor: Double = 2.0, retainGens: Int = 2,
@@ -301,59 +315,40 @@ object IndexStore {
     val spark = batch.sparkSession
     val vecs = batch.select(id.as("vid"), vec.as("v")).localCheckpoint(true)
     if (vecs.isEmpty) return None
-    readMaint(spark, dir) match {
-      case Some(mm) if batchId >= 0 && batchId <= mm.batch =>
+    readPqMeta(spark, dir) match {
+      case Some(pm) if batchId >= 0 && batchId <= pm.batch =>
         None // crash replay of an already-folded batch
       case None =>
         val seeded = Similarity.buildIvfPq(vecs, col("vid"), col("v"),
           nCells, m, ksub, materialize = true)
         val gen = saveIvfPq(seeded, dir, retainGens,
-          sideTables = Seq("vecs" -> vecs))
-        writeMaint(spark, dir, vecs.count(), vecs.count(), batchId)
+          sideTables = Seq("vecs" -> vecs), batchId = batchId)
         Some((gen, true))
-      case Some(mm) =>
-        val (idx, pm) = loadIvfPq(spark, dir)
+      case Some(pm) =>
+        val (idx, _) = loadIvfPq(spark, dir)
         val oldVecs = spark.read.parquet(s"$dir/gen=${pm.gen}/vecs")
           .localCheckpoint(true) // survives its generation's GC
         val allVecs = oldVecs.unionByName(vecs)
-        val n = mm.rows + vecs.count()
-        if (n.toDouble >= mm.baseRows.toDouble * growthFactor) {
+        val n = pm.rows + vecs.count()
+        if (n.toDouble >= pm.baseRows.toDouble * growthFactor) {
           val retrained = Similarity.buildIvfPq(allVecs,
             col("vid"), col("v"), nCells, m, ksub, materialize = true)
           val gen = saveIvfPq(retrained, dir, retainGens,
-            sideTables = Seq("vecs" -> allVecs))
-          writeMaint(spark, dir, n, n, batchId)
+            sideTables = Seq("vecs" -> allVecs), batchId = batchId)
           Some((gen, true))
         } else {
           val grown = Similarity.ivfPqInsert(idx, vecs,
             col("vid"), col("v"), materialize = true)
           val gen = saveIvfPq(grown, dir, retainGens,
-            sideTables = Seq("vecs" -> allVecs))
-          writeMaint(spark, dir, n, mm.baseRows, batchId)
+            sideTables = Seq("vecs" -> allVecs),
+            carryBaseRows = Some(pm.baseRows), batchId = batchId)
           Some((gen, false))
         }
     }
   }
 
-  private val MaintName = "_graft_ivfpq_maint.json"
-  final case class MaintMeta(rows: Long, baseRows: Long, batch: Long)
-  private val MaintRe =
-    """\{"rows": ([0-9]+), "baseRows": ([0-9]+), "batch": (-?[0-9]+)\}""".r
-
-  private def readMaint(spark: SparkSession, dir: String): Option[MaintMeta] =
-    Generations.readPointer(spark, dir, MaintName).map {
-      case MaintRe(n, b, bt) => MaintMeta(n.toLong, b.toLong, bt.toLong)
-      case other => sys.error(
-        s"unparseable maintenance sidecar at $dir/$MaintName: '${other.take(120)}'")
-    }
-
-  private def writeMaint(spark: SparkSession, dir: String, rows: Long,
-      baseRows: Long, batchId: Long): Unit =
-    Generations.commit(spark, dir, MaintName,
-      s"""{"rows": $rows, "baseRows": $baseRows, "batch": $batchId}""")
-
   /** Continuous composite-index maintenance — [[ivfMaintainStream]]'s
-    * IVF-PQ twin, exactly-once via the sidecar's batch-id ledger. */
+    * IVF-PQ twin, exactly-once via the manifest's batch-id ledger. */
   def ivfPqMaintainStream(vecs: DataFrame, id: Column, vec: Column,
       dir: String, checkpoint: String, nCells: Int, m: Int, ksub: Int,
       growthFactor: Double = 2.0, retainGens: Int = 2)

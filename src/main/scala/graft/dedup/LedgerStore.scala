@@ -19,10 +19,10 @@ import graft.util.Generations
   * IndexStore contract). LedgerStoreSpec pins the q130 invariant across
   * the store: folded labels ≡ a full recompute over all documents.
   *
-  * Layout (v2 — slice-appended stores):
+  * Layout (v3 — slice-appended stores with a compactable window):
   * {{{
   *   dir/_graft_ledger_meta.json  <- the pointer (+ frozen fold config
-  *                                   + the live slice count)
+  *                                   + the live slice window)
   *   dir/sigs/slice=B/            <- parquet (id, vset, sig_0..sig_{k-1})
   *   dir/postings/slice=B/bp=P/   <- parquet (bucket, id)
   *   dir/gen=G/labels/            <- parquet (id, comp)
@@ -30,14 +30,18 @@ import graft.util.Generations
   *
   * The signature and posting stores are APPEND-ONLY IMMUTABLE SLICES —
   * one per fold, written before the pointer commit; the manifest's
-  * `slices` count is what makes them live (a crashed fold's orphan
-  * slice is invisible: readers prune `slice < slices`). A fold
-  * therefore WRITES only its delta slice plus the labels, instead of
-  * rewriting the whole signature/posting store into every generation —
-  * at 100 TB that is the difference between delta-sized maintenance
-  * I/O and a full-store copy per micro-batch. The labels table is the
-  * one full rewrite per fold (2 longs/doc): a contraction can relabel
-  * ANY old document, so the labeling is inherently global state.
+  * slice window `[sliceBase, slices)` is what makes them live (a
+  * crashed fold's orphan slice is invisible: readers prune to the
+  * window). A fold therefore WRITES only its delta slice plus the
+  * labels, instead of rewriting the whole signature/posting store into
+  * every generation — at 100 TB that is the difference between
+  * delta-sized maintenance I/O and a full-store copy per micro-batch.
+  * At streaming cadence the window still accretes one slice per fold,
+  * so [[compact]] periodically rewrites it into one merged slice
+  * (advancing `sliceBase` atomically) and [[vacuumSlices]] retires the
+  * superseded dirs after a grace window. The labels table is the one
+  * full rewrite per fold (2 longs/doc): a contraction can relabel ANY
+  * old document, so the labeling is inherently global state.
   *
   * The postings tree is the production fold layout
   * ([[Dedup.minhashPostings]]): a delta fold reads ONLY the partition
@@ -55,38 +59,60 @@ import graft.util.Generations
 object LedgerStore {
 
   private val MetaName = "_graft_ledger_meta.json"
-  private val Format = "graft-dedup-v2"
+  private val Format = "graft-dedup-v3"
 
+  /** v3 (round 10): `sliceBase` — the live slice window's lower bound.
+    * [[compact]] rewrites the live slices `[sliceBase, slices)` into one
+    * merged slice and advances the base past them in a single pointer
+    * commit, so long-running [[maintainStream]] folds no longer grow an
+    * unbounded slice/partition-dir population that every `liveSigs`
+    * union must open (the round-9 "thousands of slices per day" gap).
+    * Retired slices stay on disk for readers holding the pre-compact
+    * pointer until an explicit [[vacuumSlices]] — the Apply
+    * compact-then-deferred-GC contract. */
   final case class Meta(format: String, gen: Long, rows: Long, batch: Long,
       thresholdPerMille: Int, k: Int, bands: Int, prefixes: Int,
-      slices: Long)
+      maxBucket: Int, sliceBase: Long, slices: Long)
 
   private val MetaRe =
     ("""\{"format": "([^"]+)", "gen": ([0-9]+), "rows": ([0-9]+), """ +
       """"batch": (-?[0-9]+), "thresholdPerMille": ([0-9]+), """ +
       """"k": ([0-9]+), "bands": ([0-9]+), "prefixes": ([0-9]+), """ +
-      """"slices": ([0-9]+)\}""").r
+      """"maxBucket": ([0-9]+), """ +
+      """"sliceBase": ([0-9]+), "slices": ([0-9]+)\}""").r
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
     Generations.readPointer(spark, dir, MetaName).map {
-      case MetaRe(f, g, n, b, t, k, bd, px, sl) =>
+      case MetaRe(f, g, n, b, t, k, bd, px, mb, sb, sl) =>
         Meta(f, g.toLong, n.toLong, b.toLong, t.toInt, k.toInt, bd.toInt,
-          px.toInt, sl.toLong)
+          px.toInt, mb.toInt, sb.toLong, sl.toLong)
       case other => sys.error(
         s"unparseable ledger manifest at $dir/$MetaName: '${other.take(120)}' " +
           "(refusing to guess — the pointer is the commit)")
     }
 
-  /** The LIVE signature store: slices below the manifest's count,
-    * liveness pruned on the `slice` partition column. */
+  private def commitMeta(spark: SparkSession, dir: String, m: Meta): Unit =
+    Generations.commit(spark, dir, MetaName,
+      s"""{"format": "$Format", "gen": ${m.gen}, "rows": ${m.rows}, """ +
+        s""""batch": ${m.batch}, """ +
+        s""""thresholdPerMille": ${m.thresholdPerMille}, """ +
+        s""""k": ${m.k}, "bands": ${m.bands}, """ +
+        s""""prefixes": ${m.prefixes}, "maxBucket": ${m.maxBucket}, """ +
+        s""""sliceBase": ${m.sliceBase}, """ +
+        s""""slices": ${m.slices}}""")
+
+  /** The LIVE signature store: the manifest's slice window, pruned on
+    * the `slice` partition column. */
   private def liveSigs(spark: SparkSession, dir: String, m: Meta): DataFrame =
     spark.read.parquet(s"$dir/sigs")
-      .filter(col("slice") < m.slices).drop("slice")
+      .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
+      .drop("slice")
 
   private def livePostings(spark: SparkSession, dir: String,
       m: Meta): DataFrame =
     spark.read.parquet(s"$dir/postings")
-      .filter(col("slice") < m.slices).drop("slice")
+      .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
+      .drop("slice")
 
   /** Write ONE fold's outputs: the delta slice (sigs + bp-partitioned
     * postings — immutable, appended under `slice=<meta.slices-1>`), the
@@ -103,15 +129,45 @@ object LedgerStore {
       .parquet(s"$dir/postings/slice=$sliceId")
     labels.write.mode("overwrite").parquet(s"$dir/gen=${meta.gen}/labels")
     val n = spark.read.parquet(s"$dir/gen=${meta.gen}/labels").count()
-    Generations.commit(spark, dir, MetaName,
-      s"""{"format": "$Format", "gen": ${meta.gen}, "rows": $n, """ +
-        s""""batch": ${meta.batch}, """ +
-        s""""thresholdPerMille": ${meta.thresholdPerMille}, """ +
-        s""""k": ${meta.k}, "bands": ${meta.bands}, """ +
-        s""""prefixes": ${meta.prefixes}, "slices": ${meta.slices}}""")
+    commitMeta(spark, dir, meta.copy(rows = n))
     Generations.gc(spark, dir, meta.gen - (retainGens - 1))
     meta.gen
   }
+
+  /** OPTIMIZE for the slice stores (round-9 verdict #2, the
+    * [[graft.cdc.Apply.compact]] analog): rewrite the live slice window
+    * into ONE merged slice per store and advance `sliceBase` past the
+    * old slices through the same atomic pointer commit — labels, batch
+    * ledger, and fold config ride along unchanged, so replay safety and
+    * data identity are preserved (LedgerStoreSpec pins both). Readers
+    * holding the pre-compact pointer keep scanning their intact slices
+    * until [[vacuumSlices]]; a crash before the commit leaves an orphan
+    * merged slice that is invisible (outside every committed window) and
+    * gets overwritten by the next compact. Returns the merged slice id,
+    * or None when the window already holds ≤ 1 slice. */
+  def compact(spark: SparkSession, dir: String): Option[Long] = {
+    readMeta(spark, dir) match {
+      case Some(m) if m.slices - m.sliceBase > 1 =>
+        val merged = m.slices
+        liveSigs(spark, dir, m).write.mode("overwrite")
+          .parquet(s"$dir/sigs/slice=$merged")
+        livePostings(spark, dir, m).write.mode("overwrite").partitionBy("bp")
+          .parquet(s"$dir/postings/slice=$merged")
+        commitMeta(spark, dir,
+          m.copy(sliceBase = merged, slices = merged + 1))
+        Some(merged)
+      case _ => None
+    }
+  }
+
+  /** Deferred slice GC: delete slice dirs strictly below the CURRENT
+    * manifest's `sliceBase` — non-live under the current and every later
+    * pointer. Run after a grace window once pre-compact readers have
+    * moved on (the Apply deferred-GC contract). Returns dirs removed. */
+  def vacuumSlices(spark: SparkSession, dir: String): Int =
+    readMeta(spark, dir).map { m =>
+      Generations.gcSlices(spark, dir, Seq("sigs", "postings"), m.sliceBase)
+    }.getOrElse(0)
 
   /** Load the current state: (labels (id, comp), LIVE signature store
     * — the slice union, liveness-pruned — and meta). Probe-ready —
@@ -128,13 +184,19 @@ object LedgerStore {
     * ledger. First batch seeds (freezing the fold config in the
     * manifest); later batches pay DELTA-SIZED work only. Empty batches
     * and crash-replayed batch ids are no-ops. Returns the published
-    * generation. Caps are disabled (maxBucketSize = MaxValue) — the
-    * ledger's invariant is exact equality with a full recompute; a
-    * capped production profile composes by passing the cap through. */
+    * generation. `maxBucketSize` is the hot-bucket candidate cap
+    * (round-9 verdict #5: production corpora need it on the persisted
+    * path too — an adversarial boilerplate bucket otherwise makes one
+    * fold quadratic). The default keeps the oracle profile (no cap —
+    * the q248 invariant is exact equality with a full recompute); the
+    * cap FREEZES in the manifest like the signature family, because a
+    * ledger folded under varying caps has no single recompute it is
+    * equivalent to. LedgerStoreSpec pins capped-on-disk ≡
+    * capped-in-memory on a hot-bucket fixture. */
   def maintainBatch(batch: DataFrame, id: Column, text: Column,
       dir: String, threshold: Double = 0.5, k: Int = 16, bands: Int = 16,
       prefixes: Int = 64, retainGens: Int = 2,
-      batchId: Long = -1L): Option[Long] = {
+      batchId: Long = -1L, maxBucketSize: Int = Int.MaxValue): Option[Long] = {
     val spark = batch.sparkSession
     val docs = batch.select(id.as("doc_id"), text.as("text"))
     if (docs.isEmpty) return None
@@ -145,7 +207,7 @@ object LedgerStore {
           k = k).localCheckpoint(true)
         val pairs = Dedup.minhashNearDupsDeltaFromSigs(
           sigs.limit(0), sigs, threshold, k, bands,
-          maxBucketSize = Int.MaxValue)
+          maxBucketSize = maxBucketSize)
         val labels = Dedup.componentsIncremental(
           // empty base labeling: every doc starts as its own component
           docs.select(col("doc_id").as("id"),
@@ -155,17 +217,19 @@ object LedgerStore {
           Dedup.minhashPostings(sigs, k, bands, prefixes)
             .select(col("bucket"), col("id"), col("bp")),
           Meta(Format, 0L, 0L, batchId, perMille, k, bands, prefixes,
-            slices = 1L),
+            maxBucket = maxBucketSize, sliceBase = 0L, slices = 1L),
           retainGens))
       case Some(m) if batchId >= 0 && batchId <= m.batch =>
         None // crash replay of an already-folded batch
       case Some(m) =>
         require(m.thresholdPerMille == perMille && m.k == k &&
-            m.bands == bands && m.prefixes == prefixes,
+            m.bands == bands && m.prefixes == prefixes &&
+            m.maxBucket == maxBucketSize,
           s"ledger at $dir was seeded with (threshold=${m.thresholdPerMille}" +
-            s"‰, k=${m.k}, bands=${m.bands}, prefixes=${m.prefixes}); " +
+            s"‰, k=${m.k}, bands=${m.bands}, prefixes=${m.prefixes}, " +
+            s"maxBucket=${m.maxBucket}); " +
             s"refusing a mismatched fold ($perMille‰, $k, $bands, " +
-            s"$prefixes) — one ledger, one signature family")
+            s"$prefixes, $maxBucketSize) — one ledger, one signature family")
         val (labels, sigs, _) = load(spark, dir)
         val postings = livePostings(spark, dir, m)
         val deltaSigs = Dedup.minhashSigSets(docs, col("doc_id"), col("text"),
@@ -174,7 +238,7 @@ object LedgerStore {
         // touched prefix partitions of the LIVE posting slices
         val deltaPairs = Dedup.minhashNearDupsDeltaFromPostings(
           postings, sigs, deltaSigs, threshold, k, bands,
-          maxBucketSize = Int.MaxValue, prefixes = prefixes)
+          maxBucketSize = maxBucketSize, prefixes = prefixes)
         val allIds = labels.select(col("id"))
           .unionByName(docs.select(col("doc_id").as("id")))
         val newLabels = Dedup.componentsIncremental(
@@ -195,13 +259,14 @@ object LedgerStore {
   def maintainStream(docs: DataFrame, id: Column, text: Column,
       dir: String, checkpoint: String, threshold: Double = 0.5,
       k: Int = 16, bands: Int = 16, prefixes: Int = 64,
-      retainGens: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+      retainGens: Int = 2, maxBucketSize: Int = Int.MaxValue)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, bid: Long) =>
         maintainBatch(df, id, text, dir, threshold, k, bands, prefixes,
-          retainGens, batchId = bid)
+          retainGens, batchId = bid, maxBucketSize = maxBucketSize)
         ()
       }
       .start()

@@ -36,32 +36,44 @@ import graft.util.Generations
 object SemLedgerStore {
 
   private val MetaName = "_graft_semledger_meta.json"
-  private val Format = "graft-semdedup-v2"
+  private val Format = "graft-semdedup-v3"
 
+  /** v3: `sliceBase` — the live slice window's lower bound; see
+    * [[LedgerStore.Meta]] (the text twin) for the compaction contract. */
   final case class Meta(format: String, gen: Long, rows: Long, batch: Long,
       thresholdPerMille: Int, nBands: Int, planesPerBand: Int, dim: Int,
-      slices: Long)
+      sliceBase: Long, slices: Long)
 
   private val MetaRe =
     ("""\{"format": "([^"]+)", "gen": ([0-9]+), "rows": ([0-9]+), """ +
       """"batch": (-?[0-9]+), "thresholdPerMille": (-?[0-9]+), """ +
       """"nBands": ([0-9]+), "planesPerBand": ([0-9]+), "dim": ([0-9]+), """ +
-      """"slices": ([0-9]+)\}""").r
+      """"sliceBase": ([0-9]+), "slices": ([0-9]+)\}""").r
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
     Generations.readPointer(spark, dir, MetaName).map {
-      case MetaRe(f, g, n, b, t, nb, ppb, d, sl) =>
+      case MetaRe(f, g, n, b, t, nb, ppb, d, sb, sl) =>
         Meta(f, g.toLong, n.toLong, b.toLong, t.toInt, nb.toInt,
-          ppb.toInt, d.toInt, sl.toLong)
+          ppb.toInt, d.toInt, sb.toLong, sl.toLong)
       case other => sys.error(
         s"unparseable semantic-ledger manifest at $dir/$MetaName: " +
           s"'${other.take(120)}' (refusing to guess — the pointer is the commit)")
     }
 
+  private def commitMeta(spark: SparkSession, dir: String, m: Meta): Unit =
+    Generations.commit(spark, dir, MetaName,
+      s"""{"format": "$Format", "gen": ${m.gen}, "rows": ${m.rows}, """ +
+        s""""batch": ${m.batch}, """ +
+        s""""thresholdPerMille": ${m.thresholdPerMille}, """ +
+        s""""nBands": ${m.nBands}, """ +
+        s""""planesPerBand": ${m.planesPerBand}, "dim": ${m.dim}, """ +
+        s""""sliceBase": ${m.sliceBase}, "slices": ${m.slices}}""")
+
   private def liveSlices(spark: SparkSession, dir: String, sub: String,
       m: Meta): DataFrame =
     spark.read.parquet(s"$dir/$sub")
-      .filter(col("slice") < m.slices).drop("slice")
+      .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
+      .drop("slice")
 
   private def publish(spark: SparkSession, dir: String, deltaVecs: DataFrame,
       deltaPairs: DataFrame, labels: DataFrame, meta: Meta,
@@ -71,16 +83,37 @@ object SemLedgerStore {
     deltaPairs.write.mode("overwrite").parquet(s"$dir/pairs/slice=$sliceId")
     labels.write.mode("overwrite").parquet(s"$dir/gen=${meta.gen}/labels")
     val n = spark.read.parquet(s"$dir/gen=${meta.gen}/labels").count()
-    Generations.commit(spark, dir, MetaName,
-      s"""{"format": "$Format", "gen": ${meta.gen}, "rows": $n, """ +
-        s""""batch": ${meta.batch}, """ +
-        s""""thresholdPerMille": ${meta.thresholdPerMille}, """ +
-        s""""nBands": ${meta.nBands}, """ +
-        s""""planesPerBand": ${meta.planesPerBand}, "dim": ${meta.dim}, """ +
-        s""""slices": ${meta.slices}}""")
+    commitMeta(spark, dir, meta.copy(rows = n))
     Generations.gc(spark, dir, meta.gen - (retainGens - 1))
     meta.gen
   }
+
+  /** [[LedgerStore.compact]]'s embedding twin: merge the live slice
+    * window of both stores into one slice each and advance `sliceBase`
+    * in a single atomic pointer commit — labels, batch ledger, and fold
+    * config unchanged; superseded slices stay for pre-compact readers
+    * until [[vacuumSlices]]. Returns the merged slice id, or None when
+    * the window already holds ≤ 1 slice. */
+  def compact(spark: SparkSession, dir: String): Option[Long] =
+    readMeta(spark, dir) match {
+      case Some(m) if m.slices - m.sliceBase > 1 =>
+        val merged = m.slices
+        liveSlices(spark, dir, "vecs", m).write.mode("overwrite")
+          .parquet(s"$dir/vecs/slice=$merged")
+        liveSlices(spark, dir, "pairs", m).write.mode("overwrite")
+          .parquet(s"$dir/pairs/slice=$merged")
+        commitMeta(spark, dir,
+          m.copy(sliceBase = merged, slices = merged + 1))
+        Some(merged)
+      case _ => None
+    }
+
+  /** Deferred slice GC below the current `sliceBase` — run after a
+    * grace window (the Apply deferred-GC contract). */
+  def vacuumSlices(spark: SparkSession, dir: String): Int =
+    readMeta(spark, dir).map { m =>
+      Generations.gcSlices(spark, dir, Seq("vecs", "pairs"), m.sliceBase)
+    }.getOrElse(0)
 
   /** Load the current state: (LIVE vectors, LIVE pair ledger — slice
     * unions, liveness-pruned — current labels, meta). */
@@ -114,7 +147,7 @@ object SemLedgerStore {
           vecs, col("id"), pairs, col("a_id"), col("b_id"))
         Some(publish(spark, dir, vecs, pairs, labels,
           Meta(Format, 0L, 0L, batchId, perMille, nBands, planesPerBand,
-            dim, slices = 1L), retainGens))
+            dim, sliceBase = 0L, slices = 1L), retainGens))
       case Some(m) if batchId >= 0 && batchId <= m.batch =>
         None // crash replay of an already-folded batch
       case Some(m) =>

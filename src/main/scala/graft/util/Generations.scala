@@ -41,4 +41,22 @@ object Generations {
         Hfs.delete(st.getPath, hc)
     }
   }
+
+  /** [[gc]]'s analog for the APPEND-ONLY SLICE stores (LedgerStore /
+    * SemLedgerStore v3): under each `dir/<sub>`, drop `slice=` dirs
+    * strictly below `cutoff` — slices a compaction's pointer commit
+    * already moved the live window past, so they are non-live under the
+    * current and every later pointer. Returns dirs removed. */
+  def gcSlices(spark: SparkSession, dir: String, subs: Seq[String],
+      cutoff: Long): Int = {
+    val hc = Hfs.conf(spark)
+    subs.map { sub =>
+      Hfs.list(new HPath(s"$dir/$sub"), hc).count { st =>
+        val name = st.getPath.getName
+        name.startsWith("slice=") &&
+          name.stripPrefix("slice=").toLong < cutoff && {
+            Hfs.delete(st.getPath, hc); true }
+      }
+    }.sum
+  }
 }

@@ -52,6 +52,21 @@ object Maintenance {
     value
   }
 
+  private val writeLocks = new ConcurrentHashMap[(String, SparkSession, String), Object]()
+
+  /** Serialize a read-modify-write on one maintained state (round-9
+    * advice: two CONCURRENT ingests each read the same base, each union
+    * only their own delta, and the last [[update]] wins — the loser's
+    * vectors vanish from the memo while the growth counter counts both).
+    * The ingest write paths run under this per-(name, session, dir)
+    * monitor; plain readers ([[getOrBuild]]) stay lock-free — a reader
+    * racing an ingest sees the old or the new memo, both coherent. */
+  def withWriteLock[T](name: String, s: SparkSession, dir: String)(
+      body: => T): T = {
+    val lock = writeLocks.computeIfAbsent((name, s, dir), _ => new Object)
+    lock.synchronized(body)
+  }
+
   // ---- ingestion growth tracking (the DriftProbe refresh policy) ----
 
   final case class Growth(base: Long, inserted: Long)
@@ -127,6 +142,8 @@ object Maintenance {
     "ivfIndex"        -> ((s, d) => graft.ann.AnnQueries.ivfIndex(s, d)),
     "pqIndex"         -> ((s, d) => graft.ann.AnnQueries.pqIndex(s, d)),
     "ivfPqIndex"      -> ((s, d) => graft.ann.AnnQueries.ivfPqIndex(s, d)),
+    "ivfPqBase"       -> ((s, d) => graft.ann.AnnQueries.ivfPqBase(s, d)),
+    "ivfPqStoreSeed"  -> ((s, d) => graft.ann.AnnQueries.ivfPqStoreDir(s, d)),
     "zorderLayout"    -> ((s, d) => graft.warehouse.ScaleQueries.zorderLayout(s, d)),
     "bucketedPair"    -> ((s, d) => graft.warehouse.ScaleQueries.bucketedPair(s, d)),
     "coPurchasePairs" -> ((s, d) => graft.warehouse.GraphQueries.coPurchasePairs(s, d)),

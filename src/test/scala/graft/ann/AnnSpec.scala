@@ -402,4 +402,25 @@ class AnnSpec extends AnyFunSuite {
       s"${pruned.keySet.count(Similarity.ivfPqSearchAdc(idx, qv, k = 10, nprobe = 8)
         .collect().map(_.getLong(0)).toSet)}/10, scanned $scanned/$total")
   }
+
+  test("q247's base is maintained state: ivfPqBase memoizes (one build " +
+      "per session+corpus) and the timed path trains nothing") {
+    import graft.util.Maintenance
+    Maintenance.invalidate("ivfPqBase", spark, sf)
+    val base1 = AnnQueries.ivfPqBase(spark, sf)
+    val base2 = AnnQueries.ivfPqBase(spark, sf)
+    // reference identity: the second call returned the memo, not a
+    // rebuild — so q247's timed line starts from prebuilt state
+    assert(base1 eq base2)
+    // what the timed line DOES run — ivfPqInsert — keeps every quantizer
+    // frozen: identical cells and codebooks, i.e. no training stage
+    val delta = embs.filter(col("vec_id") % 5 === 0)
+    val grown = Similarity.ivfPqInsert(base1, delta,
+      col("vec_id"), col("embedding"))
+    assert(grown.cells.zip(base1.cells).forall { case ((ci, a), (cj, b)) =>
+      ci == cj && a.toSeq == b.toSeq })
+    assert(grown.pq.codebooks.flatten.map(_.toSeq) ==
+      base1.pq.codebooks.flatten.map(_.toSeq))
+    assert(grown.codes.count() == base1.codes.count() + delta.count())
+  }
 }

@@ -186,6 +186,45 @@ class IndexStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("store-hydrated ingest: a doubling-policy fire PUBLISHES the " +
+      "re-train back to the store — in-session ingests are never lost " +
+      "to a stale rehydrate") {
+    import graft.util.Maintenance
+    val dir = Files.createTempDirectory("ivffire").toString
+    val base = embs.filter(col("vec_id") > 0 && col("vec_id") <= 20)
+    val idx = Similarity.buildIvf(base, col("vec_id"), col("embedding"),
+      nCentroids = 4, iterations = 1, materialize = true)
+    IndexStore.saveIvf(idx, dir) // baseRows = 20
+    val prev = spark.conf.getOption(AnnQueries.IvfStoreConf)
+    spark.conf.set(AnnQueries.IvfStoreConf, dir)
+    try {
+      Maintenance.invalidate("ivfIndex", spark, sf)
+      AnnQueries.ivfIndex(spark, sf) // hydrate gen 0, base 20
+      // +25 doubles the base (45 >= 2×20): the policy fires, and in
+      // store-hydrated mode the re-train must land IN the store — the
+      // round-9 advice scenario was the next ivfIndex() rehydrating the
+      // stale gen 0 and silently dropping these 25 vectors
+      val delta = embs.filter(col("vec_id") > 20 && col("vec_id") <= 45)
+      val (_, fired) = AnnQueries.ivfIngest(spark, sf, delta)
+      assert(fired, "45 >= 2x20 must fire the doubling policy")
+      val (_, meta) = IndexStore.loadIvf(spark, dir)
+      assert(meta.gen == 1L && meta.rows == 45L && meta.baseRows == 45L,
+        "the fire must publish a re-trained generation to the store")
+      // the rehydrated memo is the NEW generation: every ingested vector
+      // is in its assignment
+      val rehydrated = AnnQueries.ivfIndex(spark, sf)
+      assert(rehydrated.assigned.count() == 45L)
+      assert(Maintenance.growthOf("ivfIndex", spark, sf).contains(
+        Maintenance.Growth(45L, 0L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(AnnQueries.IvfStoreConf, v)
+        case None => spark.conf.unset(AnnQueries.IvfStoreConf)
+      }
+      Maintenance.invalidate("ivfIndex", spark, sf)
+    }
+  }
+
   test("composite maintenance fold: seed, frozen-quantizer growth, " +
       "doubling re-train from the kept vectors; replays are no-ops") {
     val dir = Files.createTempDirectory("ivfpqmaint").toString
@@ -201,6 +240,12 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(r2.contains((1L, false)))
     val (idx1, m1) = IndexStore.loadIvfPq(spark, dir)
     assert(m1.rows == 140L)
+    // v2: the exactly-once ledger rides IN the manifest (one atomic PUT
+    // commits data + batch id together — no sidecar, no crash window
+    // between the data flip and the ledger write)
+    assert(m1.batch == 1L && m1.baseRows == 100L)
+    assert(!new java.io.File(s"$dir/_graft_ivfpq_maint.json").exists(),
+      "the v1 sidecar ledger must not exist — the manifest IS the ledger")
     assert(idx1.cells.zip(idx0.cells).forall { case ((_, a), (_, b)) =>
       a.toSeq == b.toSeq }, "a grown publish must keep the cells frozen")
     // replay no-op
@@ -213,6 +258,8 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(r3.contains((2L, true)))
     val (idx2, m2) = IndexStore.loadIvfPq(spark, dir)
     assert(m2.rows == 210L)
+    assert(m2.batch == 2L && m2.baseRows == 210L,
+      "a re-train resets the doubling base in the same atomic commit")
     assert(idx2.codes.count() == 210L)
     // a vector from every era is probe-reachable post-retrain
     val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)

@@ -97,6 +97,106 @@ class LedgerStoreSpec extends AnyFunSuite {
       s"posting scan not partition-pruned:\n${plan.take(1500)}")
   }
 
+  test("compact: the live slice window merges into one slice — data " +
+      "identity, batch-ledger replay safety, pre-compact slices " +
+      "readable until vacuum, post-compact folds keep the invariant") {
+    val dir = Files.createTempDirectory("ledgercompact").toString
+    def slice(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+    LedgerStore.maintainBatch(slice(0, 150), col("doc_id"), col("text"),
+      dir, batchId = 0L)
+    LedgerStore.maintainBatch(slice(150, 300), col("doc_id"), col("text"),
+      dir, batchId = 1L)
+    LedgerStore.maintainBatch(slice(300, 400), col("doc_id"), col("text"),
+      dir, batchId = 2L)
+    val before = storedLabels(dir)
+    val (_, sigsBefore, mBefore) = LedgerStore.load(spark, dir)
+    val nSigs = sigsBefore.count()
+    assert(mBefore.sliceBase == 0L && mBefore.slices == 3L)
+    // compact: 3 live slices -> 1 merged, window advances atomically
+    assert(LedgerStore.compact(spark, dir).contains(3L))
+    val (_, sigsAfter, mAfter) = LedgerStore.load(spark, dir)
+    assert(mAfter.sliceBase == 3L && mAfter.slices == 4L)
+    // data identity across the compact
+    assert(storedLabels(dir) == before)
+    assert(sigsAfter.count() == nSigs)
+    // replay safety: the batch ledger rode the compact commit — a crash
+    // replay of the last folded batch is still a no-op
+    assert(mAfter.batch == 2L)
+    assert(LedgerStore.maintainBatch(slice(300, 400), col("doc_id"),
+      col("text"), dir, batchId = 2L).isEmpty)
+    // grace window: superseded slices stay for pre-compact readers
+    assert(new java.io.File(s"$dir/sigs/slice=0").exists())
+    // a 1-slice window has nothing to merge
+    assert(LedgerStore.compact(spark, dir).isEmpty)
+    // a post-compact fold appends past the merged slice; the q130
+    // invariant holds through the compacted store
+    assert(LedgerStore.maintainBatch(slice(400, 2000), col("doc_id"),
+      col("text"), dir, batchId = 3L).contains(3L))
+    assert(LedgerStore.load(spark, dir)._3.slices == 5L)
+    assert(storedLabels(dir) == fullLabels(Long.MaxValue))
+    // vacuum retires every slice below the live base, store still loads
+    val removed = LedgerStore.vacuumSlices(spark, dir)
+    assert(removed == 6, s"expected slices 0,1,2 gone from both stores, got $removed")
+    assert(!new java.io.File(s"$dir/sigs/slice=0").exists())
+    assert(new java.io.File(s"$dir/sigs/slice=3").exists())
+    assert(storedLabels(dir) == fullLabels(Long.MaxValue))
+  }
+
+  test("capped production profile: the hot-bucket cap threads through " +
+      "the disk fold and equals the capped in-memory incremental path") {
+    import spark.implicits._
+    val cap = 8
+    // hot-bucket fixture: 30 identical docs share every band bucket
+    // (bucket size 30 > cap), plus unique docs that dedup normally
+    val hotText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val baseDf = ((1L to 10L).map(i =>
+        (i, s"unique base document number $i carries words w${i * 7} w${i * 13} w${i * 29}")) ++
+      (11L to 40L).map(i => (i, hotText)))
+      .toDF("doc_id", "text")
+    val deltaDf = ((41L to 45L).map(i => (i, hotText)) ++
+      (46L to 50L).map(i =>
+        (i, s"unique delta document number $i carries words w${i * 7} w${i * 13} w${i * 29}")))
+      .toDF("doc_id", "text")
+    // the capped IN-MEMORY incremental path (the q130 machinery)
+    val baseSigs = Dedup.minhashSigSets(baseDf, col("doc_id"), col("text"),
+      k = 16).localCheckpoint(true)
+    val pairs0 = Dedup.minhashNearDupsDeltaFromSigs(baseSigs.limit(0),
+      baseSigs, 0.5, 16, 16, maxBucketSize = cap)
+    val labels0 = Dedup.componentsIncremental(
+      baseDf.select(col("doc_id").as("id"), col("doc_id").as("comp")).limit(0),
+      baseDf, col("doc_id"), pairs0, col("a_id"), col("b_id"))
+      .localCheckpoint(true)
+    val deltaSigs = Dedup.minhashSigSets(deltaDf, col("doc_id"), col("text"),
+      k = 16)
+    val pairs1 = Dedup.minhashNearDupsDeltaFromSigs(baseSigs, deltaSigs,
+      0.5, 16, 16, maxBucketSize = cap)
+    val memLabels = Dedup.componentsIncremental(labels0,
+      labels0.select(col("id"))
+        .unionByName(deltaDf.select(col("doc_id").as("id"))),
+      col("id"), pairs1, col("a_id"), col("b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the capped DISK fold (round-9 verdict #5: the cap must reach the
+    // persisted path — before round 10 maintainBatch pinned MaxValue)
+    val dir = Files.createTempDirectory("ledgercap").toString
+    assert(LedgerStore.maintainBatch(baseDf, col("doc_id"), col("text"),
+      dir, batchId = 0L, maxBucketSize = cap).contains(0L))
+    assert(LedgerStore.maintainBatch(deltaDf, col("doc_id"), col("text"),
+      dir, batchId = 1L, maxBucketSize = cap).contains(1L))
+    assert(storedLabels(dir) == memLabels,
+      "capped-on-disk must equal capped-in-memory")
+    // the cap BINDS on this fixture: the 35-member hot bucket is
+    // dropped, so the boilerplate docs stay singletons (uncapped they
+    // would all contract into one component)
+    assert(memLabels(11L) == 11L && memLabels(41L) == 41L)
+    // and the frozen-config contract covers the cap
+    val e = intercept[IllegalArgumentException] {
+      LedgerStore.maintainBatch(deltaDf, col("doc_id"), col("text"),
+        dir, batchId = 2L, maxBucketSize = 9)
+    }
+    assert(e.getMessage.contains("one ledger, one signature family"))
+  }
+
   test("streaming maintenance: the ledger follows the arriving corpus; " +
       "a loaded reader sees the full-recompute labeling") {
     implicit val ctx = spark.sqlContext

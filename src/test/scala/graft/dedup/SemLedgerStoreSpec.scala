@@ -66,4 +66,35 @@ class SemLedgerStoreSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("one hyperplane family"))
   }
+
+  test("compact: slice window merges, pairs/labels identical, replay " +
+      "ledger preserved, vacuum retires superseded slices") {
+    val dir = Files.createTempDirectory("semledgercompact").toString
+    def slice(lo: Long, hi: Long) =
+      embs.filter(col("vec_id") > lo && col("vec_id") <= hi)
+    SemLedgerStore.maintainBatch(slice(0, 200), col("vec_id"),
+      col("embedding"), dir, batchId = 0L)
+    SemLedgerStore.maintainBatch(slice(200, 350), col("vec_id"),
+      col("embedding"), dir, batchId = 1L)
+    SemLedgerStore.maintainBatch(slice(350, 499), col("vec_id"),
+      col("embedding"), dir, batchId = 2L)
+    val (beforePairs, beforeLabels) = stored(dir)
+    val nVecs = SemLedgerStore.load(spark, dir)._1.count()
+    assert(SemLedgerStore.load(spark, dir)._4.slices == 3L)
+    assert(SemLedgerStore.compact(spark, dir).contains(3L))
+    val m = SemLedgerStore.load(spark, dir)._4
+    assert(m.sliceBase == 3L && m.slices == 4L && m.batch == 2L)
+    val (afterPairs, afterLabels) = stored(dir)
+    assert(afterPairs == beforePairs && afterLabels == beforeLabels)
+    assert(SemLedgerStore.load(spark, dir)._1.count() == nVecs)
+    // replay of the last folded batch stays a no-op through the compact
+    assert(SemLedgerStore.maintainBatch(slice(350, 499), col("vec_id"),
+      col("embedding"), dir, batchId = 2L).isEmpty)
+    // superseded slices stay until vacuum; vacuum removes them cleanly
+    assert(new java.io.File(s"$dir/vecs/slice=0").exists())
+    assert(SemLedgerStore.vacuumSlices(spark, dir) == 6)
+    assert(!new java.io.File(s"$dir/vecs/slice=0").exists())
+    val (vp, vl) = stored(dir)
+    assert(vp == beforePairs && vl == beforeLabels)
+  }
 }
