@@ -52,6 +52,34 @@ object IndexProbe {
         Similarity.ivfSearch(loaded, query, k = 10, nprobe = 2).collect()
       }
     }
+
+    // --- fold WRITE volume (round-10 v2 slice-append): a frozen-insert
+    // fold should write ~delta-sized output, not a corpus rewrite ---
+    val wBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val wRecs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val wListener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        wBytes.addAndGet(sc.stageInfo.taskMetrics.outputMetrics.bytesWritten)
+        wRecs.addAndGet(sc.stageInfo.taskMetrics.outputMetrics.recordsWritten)
+      }
+    }
+    def measureW(label: String)(f: => Unit): Unit = {
+      wBytes.set(0); wRecs.set(0)
+      spark.sparkContext.addSparkListener(wListener)
+      try { f; Thread.sleep(1000) }
+      finally spark.sparkContext.removeSparkListener(wListener)
+      println(f"INDEXPROBE $label%-28s bytesWritten=${wBytes.get()}%9d recordsWritten=${wRecs.get()}%7d")
+    }
+    val mDir = java.nio.file.Files.createTempDirectory("indexprobe-maint").toString
+    measureW("seed fold (train, 90%)") {
+      IndexStore.ivfMaintainBatch(embs.filter(col("vec_id") % 10 =!= 0),
+        col("vec_id"), col("embedding"), mDir, nCentroids = 16, batchId = 0L)
+    }
+    measureW("insert fold (10% delta slice)") {
+      IndexStore.ivfMaintainBatch(embs.filter(col("vec_id") % 10 === 0),
+        col("vec_id"), col("embedding"), mDir, nCentroids = 16, batchId = 1L)
+    }
     spark.stop()
   }
 }

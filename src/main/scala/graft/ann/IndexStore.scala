@@ -12,11 +12,15 @@ import graft.util.Generations
   * policy rebuild) can hand a new index to running readers without any
   * shared session, and a crashed writer leaves readers untouched.
   *
-  * Layout:
+  * Layout (v2 — a generation is a re-train EPOCH; frozen-insert folds
+  * append slices inside it instead of rewriting the table):
   * {{{
-  *   dir/_graft_index_meta.json   <- {"format", "gen", "baseRows"}  (the pointer)
-  *   dir/gen=G/centroids/         <- parquet (cell, c)
-  *   dir/gen=G/assigned/          <- parquet (vid, v), PARTITIONED BY cell
+  *   dir/_graft_index_meta.json      <- the pointer (gen, rows, baseRows,
+  *                                      batch, slices)
+  *   dir/gen=G/centroids/            <- parquet (cell, c)
+  *   dir/gen=G/assigned/slice=S/     <- parquet (vid, v), PARTITIONED BY
+  *                                      cell; slice 0 = the train, S>0 =
+  *                                      one frozen-insert fold each
   * }}}
   *
   * A new generation's data dirs are invisible until the one-object
@@ -38,7 +42,7 @@ import graft.util.Generations
 object IndexStore {
 
   private val MetaName = "_graft_index_meta.json"
-  private val Format = "graft-ivf-v1"
+  private val Format = "graft-ivf-v2"
 
   /** `rows` = vectors in this generation; `baseRows` = rows at the last
     * RE-TRAIN — the denominator of the doubling refresh policy (a grown
@@ -46,22 +50,40 @@ object IndexStore {
     * `batch` = the streaming batch id whose fold produced this
     * generation (−1 for non-streaming publishes) — the idempotent-
     * foreachBatch ledger: a crash-replayed batch id ≤ `batch` is a
-    * no-op instead of a double insert. */
+    * no-op instead of a double insert.
+    *
+    * v2 (round 10): `slices` — the live slice count of the generation's
+    * assigned store. A generation is the re-train EPOCH the round-9
+    * verdict sketched (#3): its centroids are frozen, so a
+    * frozen-insert fold APPENDS one delta slice
+    * (`gen=G/assigned/slice=S`, still cell-partitioned inside) and
+    * bumps `slices` in the same pointer commit — delta-sized write I/O
+    * — while only a doubling re-train opens a new generation and
+    * resets the slice space (reassignment invalidates every stored
+    * cell id, so the old slices cannot be reused). A crashed fold's
+    * orphan slice is outside the committed count and invisible. */
   final case class Meta(format: String, gen: Long, rows: Long,
-      baseRows: Long, batch: Long)
+      baseRows: Long, batch: Long, slices: Long)
 
   private val MetaRe =
     ("""\{"format": "([^"]+)", "gen": ([0-9]+), "rows": ([0-9]+), """ +
-      """"baseRows": ([0-9]+), "batch": (-?[0-9]+)\}""").r
+      """"baseRows": ([0-9]+), "batch": (-?[0-9]+), """ +
+      """"slices": ([0-9]+)\}""").r
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
     Generations.readPointer(spark, dir, MetaName).map {
-      case MetaRe(f, g, n, b, bt) =>
-        Meta(f, g.toLong, n.toLong, b.toLong, bt.toLong)
+      case MetaRe(f, g, n, b, bt, sl) =>
+        Meta(f, g.toLong, n.toLong, b.toLong, bt.toLong, sl.toLong)
       case other => sys.error(
         s"unparseable index manifest at $dir/$MetaName: '${other.take(120)}' " +
           "(refusing to guess — the pointer is the commit)")
     }
+
+  private def commitMeta(spark: SparkSession, dir: String, m: Meta): Unit =
+    Generations.commit(spark, dir, MetaName,
+      s"""{"format": "$Format", "gen": ${m.gen}, "rows": ${m.rows}, """ +
+        s""""baseRows": ${m.baseRows}, "batch": ${m.batch}, """ +
+        s""""slices": ${m.slices}}""")
 
   /** Publish `index` to `dir` as the next generation and flip the
     * pointer. Returns the committed generation id. `retainGens` ≥ 1:
@@ -80,18 +102,19 @@ object IndexStore {
     prev.foreach(m => require(m.format == Format,
       s"$dir holds a '${m.format}' index; refusing to overwrite with $Format"))
     val gen = prev.map(_.gen + 1).getOrElse(0L)
-    // 1. write the new generation's data — invisible, nothing points at it
+    // 1. write the new generation's data — invisible, nothing points at
+    // it. The assigned store lands as the epoch's slice 0; later
+    // frozen-insert folds append slice 1, 2, … without touching it.
     index.centroids.write.mode("overwrite")
       .parquet(s"$dir/gen=$gen/centroids")
     index.assigned.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/gen=$gen/assigned")
+      .parquet(s"$dir/gen=$gen/assigned/slice=0")
     // count the rows that were WRITTEN (a plain re-count of the input
     // frame would re-run its whole lineage when unmaterialized)
     val n = spark.read.parquet(s"$dir/gen=$gen/assigned").count()
     // 2. the commit: one atomic pointer PUT; 3. deferred GC after it
-    Generations.commit(spark, dir, MetaName,
-      s"""{"format": "$Format", "gen": $gen, "rows": $n, """ +
-        s""""baseRows": ${carryBaseRows.getOrElse(n)}, "batch": $batchId}""")
+    commitMeta(spark, dir,
+      Meta(Format, gen, n, carryBaseRows.getOrElse(n), batchId, slices = 1L))
     Generations.gc(spark, dir, gen - (retainGens - 1))
     gen
   }
@@ -106,7 +129,12 @@ object IndexStore {
       sys.error(s"no committed index at $dir (missing $MetaName)"))
     require(m.format == Format, s"$dir holds '${m.format}', expected $Format")
     val centroids = spark.read.parquet(s"$dir/gen=${m.gen}/centroids")
+    // liveness prune on the slice partition column (an orphan slice from
+    // a crashed fold is outside the committed count); `slice` and `cell`
+    // are BOTH partition dirs, so a probe's cell filter still plans the
+    // static PartitionFilters prune the layout exists for
     val assigned = spark.read.parquet(s"$dir/gen=${m.gen}/assigned")
+      .filter(col("slice") < m.slices)
       .select(col("vid"), col("v"), col("cell"))
     (Similarity.IvfIndex(centroids, assigned), m)
   }
@@ -118,26 +146,26 @@ object IndexStore {
     * the measured "rebuild after doubling" policy (DriftProbe / SURVEY
     * §9.9 — rows ≥ growthFactor × baseRows re-trains from the assigned
     * table, which HOLDS every vector, so no external corpus is needed),
-    * and the manifest-pointer commit (each fold publishes a generation
-    * external readers follow without sharing a session). First batch
-    * seeds gen 0 by training. Returns (generation, rebuilt?). Empty
-    * batches are a no-op (foreachBatch delivers them), and so is a
-    * batch id ≤ the manifest's recorded `batch` — the idempotent-
-    * foreachBatch ledger that makes the stream EXACTLY-ONCE: after a
-    * crash between publish and checkpoint commit, the replayed batch
-    * would otherwise re-insert its vectors (the fold is NOT naturally
-    * idempotent — ivfInsert appends). A manual (batchId = −1) fold
-    * resets the ledger — do not interleave manual folds into a
-    * streaming-maintained index while its query is live.
+    * and the manifest-pointer commit. First batch seeds gen 0 by
+    * training. Returns (generation, rebuilt?). Empty batches are a
+    * no-op (foreachBatch delivers them), and so is a batch id ≤ the
+    * manifest's recorded `batch` — the idempotent-foreachBatch ledger
+    * that makes the stream EXACTLY-ONCE: after a crash between publish
+    * and checkpoint commit, the replayed batch would otherwise
+    * re-insert its vectors (the fold is NOT naturally idempotent). A
+    * manual (batchId = −1) fold resets the ledger — do not interleave
+    * manual folds into a streaming-maintained index while its query is
+    * live.
     *
-    * Declared I/O trade: each fold REWRITES the full assigned table
-    * into its generation (unlike LedgerStore v2's slice-appended
-    * stores) — the per-cell layout would support slice-appending
-    * between re-trains (cell assignments are frozen), but a re-train
-    * reassigns everything and resets the slice space, so the layout
-    * needs a slice EPOCH; sketched as the follow-on, not built. At
-    * micro-batch cadence prefer larger fold intervals or the
-    * LedgerStore pattern. */
+    * v2 fold I/O (round-9 verdict #3, closing the declared trade): a
+    * frozen-insert fold writes ONLY its delta's assigned rows as the
+    * generation's next slice ([[Similarity.assignDelta]] — one
+    * broadcast-argmin pass, cell-partitioned files) and bumps `slices`
+    * in the pointer commit — the generation dir is otherwise untouched,
+    * so fold write volume tracks the delta (IndexProbe measures it).
+    * Only the doubling re-train rewrites: it reassigns every vector,
+    * which invalidates the old slices wholesale, so it opens a fresh
+    * generation with slice 0 (the epoch reset). */
   def ivfMaintainBatch(batch: DataFrame, id: Column, vec: Column,
       dir: String, nCentroids: Int, growthFactor: Double = 2.0,
       retainGens: Int = 2, batchId: Long = -1L): Option[(Long, Boolean)] = {
@@ -153,18 +181,30 @@ object IndexStore {
         None // crash replay of an already-folded batch: no-op
       case Some(m) =>
         val (idx, _) = loadIvf(spark, dir)
-        val grown = Similarity.ivfInsert(idx, vecs, col("vid"), col("v"),
-          materialize = true)
-        val n = grown.assigned.count()
+        // delta-sized write: assign the batch against the frozen
+        // centroids and append it as the generation's next slice —
+        // invisible until the pointer commit bumps the count
+        Similarity.assignDelta(idx, vecs, col("vid"), col("v"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$dir/gen=${m.gen}/assigned/slice=${m.slices}")
+        val dn = spark.read
+          .parquet(s"$dir/gen=${m.gen}/assigned/slice=${m.slices}").count()
+        val n = m.rows + dn
         if (n.toDouble >= m.baseRows.toDouble * growthFactor) {
-          val retrained = Similarity.buildIvf(
-            grown.assigned.select(col("vid"), col("v")),
-            col("vid"), col("v"), nCentroids, iterations = 1,
-            materialize = true)
+          // doubling re-train: read every slice INCLUDING the just-
+          // written (still-uncommitted) one directly, retrain, publish a
+          // fresh generation; the orphan slice dies with its gen's GC
+          val all = spark.read.parquet(s"$dir/gen=${m.gen}/assigned")
+            .filter(col("slice") <= m.slices)
+            .select(col("vid"), col("v"))
+          val retrained = Similarity.buildIvf(all, col("vid"), col("v"),
+            nCentroids, iterations = 1, materialize = true)
           Some((saveIvf(retrained, dir, retainGens, batchId = batchId), true))
-        } else
-          Some((saveIvf(grown, dir, retainGens,
-            carryBaseRows = Some(m.baseRows), batchId = batchId), false))
+        } else {
+          commitMeta(spark, dir,
+            m.copy(rows = n, batch = batchId, slices = m.slices + 1))
+          Some((m.gen, false))
+        }
     }
   }
 

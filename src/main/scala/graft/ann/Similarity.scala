@@ -250,6 +250,15 @@ object Similarity {
       if (materialize) grown.cutLineage() else grown)
   }
 
+  /** [[ivfInsert]]'s broadcast-argmin pass over the DELTA ALONE — no
+    * base union: the slice-appending persisted fold
+    * ([[IndexStore.ivfMaintainBatch]]) writes exactly these rows, so a
+    * micro-batch's write volume tracks the delta, not the corpus.
+    * Returns (vid, v, cell) with the index's frozen centroids. */
+  def assignDelta(index: IvfIndex, newVecs: DataFrame, id: Column,
+      vec: Column): DataFrame =
+    assign(newVecs.select(id.as("vid"), vec.as("v")), index.centroids)
+
   /** Per-cell elementwise mean (posexplode → groupBy(cell, dim) → avg →
     * reassemble). Fully distributed; no vector ever reaches the driver. */
   private def recomputeCentroids(assigned: DataFrame): DataFrame =

@@ -112,37 +112,42 @@ class IndexStoreSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("ivfmaint").toString
     def slice(lo: Long, hi: Long) =
       embs.filter(col("vec_id") > lo && col("vec_id") <= hi)
-    // seed: 20 vectors -> gen 0 is a training publish
+    // seed: 20 vectors -> gen 0 is a training publish (slice 0)
     val r1 = IndexStore.ivfMaintainBatch(slice(0, 20), col("vec_id"),
       col("embedding"), dir, nCentroids = 4)
     assert(r1.contains((0L, true)))
     val (_, m1) = IndexStore.loadIvf(spark, dir)
-    assert(m1.rows == 20L && m1.baseRows == 20L)
-    // +10 (30 < 2x20): frozen-insert publish, base carried forward
+    assert(m1.rows == 20L && m1.baseRows == 20L && m1.slices == 1L)
+    // +10 (30 < 2x20): frozen-insert fold APPENDS a slice to gen 0 —
+    // no new generation, no rewrite of the existing assigned files
     val r2 = IndexStore.ivfMaintainBatch(slice(20, 30), col("vec_id"),
       col("embedding"), dir, nCentroids = 4)
-    assert(r2.contains((1L, false)))
+    assert(r2.contains((0L, false)))
     val (idx2, m2) = IndexStore.loadIvf(spark, dir)
-    assert(m2.rows == 30L && m2.baseRows == 20L)
+    assert(m2.gen == 0L && m2.rows == 30L && m2.baseRows == 20L &&
+      m2.slices == 2L)
     assert(idx2.assigned.count() == 30L)
-    // +15 (45 >= 2x20): the doubling policy re-trains from the assigned
-    // table itself and resets the growth window
+    assert(new java.io.File(s"$dir/gen=0/assigned/slice=1").exists(),
+      "the fold must land as a delta slice inside the generation")
+    // +15 (45 >= 2x20): the doubling policy re-trains from the slices
+    // (incl. the fold's own) and opens a fresh generation — the epoch
+    // reset; growth window restarts
     val r3 = IndexStore.ivfMaintainBatch(slice(30, 45), col("vec_id"),
       col("embedding"), dir, nCentroids = 4)
-    assert(r3.contains((2L, true)))
+    assert(r3.contains((1L, true)))
     val (idx3, m3) = IndexStore.loadIvf(spark, dir)
-    assert(m3.rows == 45L && m3.baseRows == 45L)
+    assert(m3.rows == 45L && m3.baseRows == 45L && m3.slices == 1L)
     // every ingested vector is probe-reachable after the refresh
     assert(idx3.assigned.select(col("vid")).distinct().count() == 45L)
     // empty batch: no-op, no generation burned
     assert(IndexStore.ivfMaintainBatch(slice(0, 0), col("vec_id"),
       col("embedding"), dir, nCentroids = 4).isEmpty)
-    assert(IndexStore.loadIvf(spark, dir)._2.gen == 2L)
+    assert(IndexStore.loadIvf(spark, dir)._2.gen == 1L)
     // exactly-once ledger: a batch id folds once; its crash replay is a
-    // no-op (NOT a double insert — ivfInsert appends), the next id folds
+    // no-op (NOT a double insert — the fold appends), the next id folds
     val r4 = IndexStore.ivfMaintainBatch(slice(45, 50), col("vec_id"),
       col("embedding"), dir, nCentroids = 4, batchId = 7L)
-    assert(r4.contains((3L, false)))
+    assert(r4.contains((1L, false)))
     assert(IndexStore.loadIvf(spark, dir)._2.rows == 50L)
     assert(IndexStore.ivfMaintainBatch(slice(45, 50), col("vec_id"),
       col("embedding"), dir, nCentroids = 4, batchId = 7L).isEmpty,
@@ -151,7 +156,8 @@ class IndexStoreSpec extends AnyFunSuite {
       "a replay must not double-insert")
     assert(IndexStore.ivfMaintainBatch(slice(50, 52), col("vec_id"),
       col("embedding"), dir, nCentroids = 4, batchId = 8L).nonEmpty)
-    assert(IndexStore.loadIvf(spark, dir)._2.rows == 52L)
+    val mEnd = IndexStore.loadIvf(spark, dir)._2
+    assert(mEnd.rows == 52L && mEnd.slices == 3L)
   }
 
   test("session memo hydrates from a persisted store: one refresh " +
