@@ -274,11 +274,15 @@ object Dedup {
   /** The candidate-generation stage of [[editDistancePairs]] — segment
     * equi-join + distinct, names and packed frequency signatures
     * attached — exposed so the verify cost can be probed separately
-    * (graft.FuzzyProbe) and alternative verifies composed. */
+    * (graft.FuzzyProbe) and alternative verifies composed. This PROBE
+    * face is the only caller that wants the signatures (the pigeonhole
+    * pre-filter was a measured negative result), so only it pays them
+    * (`withSigs` — round-9 advice: the production path was carrying two
+    * dead BIGINTs of compute and shuffle width). */
   def editDistanceCandidates(
       rows: DataFrame, id: Column, name: Column, block: Column,
       k: Int): DataFrame =
-    editDistanceCandidatesRaw(rows, id, name, block, k)
+    editDistanceCandidatesRaw(rows, id, name, block, k, withSigs = true)
       .select(col("a_id"), col("b_id"), col("a_nm"), col("b_nm"),
         col("a_sig"), col("b_sig"))
       .distinct()
@@ -286,25 +290,35 @@ object Dedup {
   /** [[editDistanceCandidates]] BEFORE the distinct: one row per
     * matching (pair, segment-combo) — a pair found by several segment
     * alignments repeats. Probe-facing (graft.FuzzyProbe measures where
-    * the dedup is cheapest). */
+    * the dedup is cheapest). `withSigs` attaches the packed char-
+    * frequency signatures for pigeonhole experiments; the production
+    * verify path ([[editDistancePairs]]) leaves them off — narrower
+    * candidate rows through the segment join and no dead signature
+    * compute on the scan. */
   def editDistanceCandidatesRaw(
       rows: DataFrame, id: Column, name: Column, block: Column,
-      k: Int): DataFrame = {
+      k: Int, withSigs: Boolean = false): DataFrame = {
     require(k >= 1 && k <= 4, s"segment filter sized for k in [1,4], got $k")
     val nSeg = k + 1
-    val base = rows.select(id.as("rid"), name.as("nm"), block.as("blk"),
-      length(name).as("len"), charFreqSig(name).as("sig"))
+    val base0 = rows.select(id.as("rid"), name.as("nm"), block.as("blk"),
+      length(name).as("len"))
+    val base = if (withSigs) base0.withColumn("sig", charFreqSig(col("nm")))
+      else base0
+    def sigAs(alias: String): Seq[Column] =
+      if (withSigs) Seq(col("sig").as(alias)) else Nil
+    def sigCol(alias: String): Seq[Column] =
+      if (withSigs) Seq(col(alias)) else Nil
     // probe side: even split into k+1 segments; start_i = i*len div nSeg
-    val probes = base.select(col("rid").as("a_id"), col("nm").as("a_nm"),
-        col("sig").as("a_sig"),
+    val probes = base.select(Seq(col("rid").as("a_id"), col("nm").as("a_nm")) ++
+        sigAs("a_sig") ++ Seq(
         col("blk"), col("len").as("a_len"),
-        explode(array((0 until nSeg).map(lit): _*)).as("seg_i"))
+        explode(array((0 until nSeg).map(lit): _*)).as("seg_i")): _*)
       .withColumn("s0", expr(s"(seg_i * a_len) div $nSeg"))
       .withColumn("s1", expr(s"((seg_i + 1) * a_len) div $nSeg"))
       .filter(col("s1") > col("s0")) // empty segments carry no signal
-      .select(col("a_id"), col("a_nm"), col("a_sig"), col("blk"),
-        col("a_len"), col("seg_i"),
-        expr("substring(a_nm, s0 + 1, s1 - s0)").as("seg"))
+      .select(Seq(col("a_id"), col("a_nm")) ++ sigCol("a_sig") ++ Seq(
+        col("blk"), col("a_len"), col("seg_i"),
+        expr("substring(a_nm, s0 + 1, s1 - s0)").as("seg")): _*)
     // index side: substrings matching any probe length within ±k, any
     // segment index, at start offsets satisfying the LOSSLESS alignment
     // bound |off| + |off + dl| <= k (for the pigeonhole's unedited
@@ -316,23 +330,23 @@ object Dedup {
       dl <- -k to k; i <- 0 until nSeg; off <- -k to k
       if math.abs(off) + math.abs(off + dl) <= k
     } yield struct(lit(dl).as("dl"), lit(i).as("seg_i"), lit(off).as("off"))
-    val index = base.select(col("rid").as("b_id"), col("nm").as("b_nm"),
-        col("sig").as("b_sig"),
+    val index = base.select(Seq(col("rid").as("b_id"), col("nm").as("b_nm")) ++
+        sigAs("b_sig") ++ Seq(
         col("blk"), col("len").as("b_len"),
-        explode(array(combos: _*)).as("c"))
+        explode(array(combos: _*)).as("c")): _*)
       .withColumn("a_len", col("b_len") + col("c.dl"))
       .withColumn("seg_i", col("c.seg_i"))
       .withColumn("s0", expr(s"(seg_i * a_len) div $nSeg + c.off"))
       .withColumn("s1", expr(s"((seg_i + 1) * a_len) div $nSeg + c.off"))
       .filter(col("a_len") >= 1 && col("s1") > col("s0") &&
         col("s0") >= 0 && col("s1") <= col("b_len"))
-      .select(col("b_id"), col("b_nm"), col("b_sig"), col("blk"),
-        col("a_len"), col("seg_i"),
-        expr("substring(b_nm, s0 + 1, s1 - s0)").as("seg"))
+      .select(Seq(col("b_id"), col("b_nm")) ++ sigCol("b_sig") ++ Seq(
+        col("blk"), col("a_len"), col("seg_i"),
+        expr("substring(b_nm, s0 + 1, s1 - s0)").as("seg")): _*)
     probes.join(index, Seq("blk", "a_len", "seg_i", "seg"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_nm"), col("b_nm"),
-        col("a_sig"), col("b_sig"))
+      .select(Seq(col("a_id"), col("b_id"), col("a_nm"), col("b_nm")) ++
+        sigCol("a_sig") ++ sigCol("b_sig"): _*)
   }
 
   /** VERIFY-FIRST dedup order (round-9, FuzzyProbe-measured): the

@@ -448,9 +448,14 @@ object StreamOps {
     def fn(source: String, rows: Iterator[GateVote],
         state: GroupState[BudgetState]): Iterator[CorpusAdmitNd] = {
       var cum = state.getOption.map(_.cum).getOrElse(0L)
+      // vote rows collapse under (doc_id, ts) — one group per DOCUMENT
+      // (round-9 advice: a bare doc_id groupBy merged two distinct docs
+      // sharing an id in the same micro-batch, silently dropping one
+      // row and never charging its tokens; corpusBuildStream emits one
+      // row per surviving input row, and so does this fold now)
       val out = rows.toSeq
-        .groupBy(_.doc_id).toSeq
-        .map { case (id, votes) =>
+        .groupBy(r => (r.doc_id, r.ts)).toSeq
+        .map { case ((id, _), votes) =>
           (id, votes.head, votes.exists(_.dup_here)) }
         .sortBy { case (id, v, _) => (v.ts.getTime, id) }
         .map { case (id, v, dup) =>

@@ -194,6 +194,35 @@ object SketchQueries {
         .orderBy(col("join_pair"))
     },
 
+    // -- q245's PRODUCTION KERNEL (round-9 verdict #4): the identical
+    //    1/64 coordinated residue sampling with Spark's codegen'd
+    //    xxhash64 on the RAW key in place of the md5-based portable
+    //    hash (which q245's own scaladoc documents as its dominating
+    //    local cost — both sides md5 every key through a string cast).
+    //    Coordination needs only ONE deterministic uniform hash shared
+    //    by both sides — cross-engine replay is the only thing md5
+    //    buys, so this face is SPEC-pinned instead of oracle-gated
+    //    (DuckDB has no xxhash64): SketchSpec proves the surviving key
+    //    sets are identical on both sides (the coordination property),
+    //    that the estimate tracks the exact join size on real data,
+    //    and the plan stays estimate-only. The driver records the
+    //    rows-only check for this one face by design.
+    "q250_join_estimate_xxhash" -> { (s, d) =>
+      def keep(k: Column): Column =
+        pmod(xxhash64(k), lit(JoinSampleRate)) === 0
+      def estOnly(name: String, a: DataFrame, ak: String,
+          b: DataFrame, bk: String): DataFrame =
+        a.filter(keep(col(ak)))
+          .join(b.filter(keep(col(bk))), col(ak) === col(bk))
+          .agg((count(lit(1)) * JoinSampleRate).as("n_est"))
+          .select(lit(name).as("join_pair"), col("n_est"))
+      estOnly("customer_orders", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey")
+        .unionByName(estOnly("orders_lineitem", Tables.lineitem(s, d),
+          "l_orderkey", Tables.orders(s, d), "o_orderkey"))
+        .orderBy(col("join_pair"))
+    },
+
     "q166_kmv_distinct" -> { (s, d) =>
       val k = 64
       val li = Tables.lineitem(s, d)

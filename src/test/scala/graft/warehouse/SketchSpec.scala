@@ -53,4 +53,53 @@ class SketchSpec extends AnyFunSuite {
     val gated = SketchQueries.queries("q71_count_min")(spark, sf).collect()
     assert(gated.length == rows.length && gated.forall(_.getBoolean(2)))
   }
+
+  test("xxhash64 join estimator (q250): coordinated sampling — identical " +
+      "surviving key sets both sides — estimate tracks the exact join, " +
+      "plan is estimate-only") {
+    import org.apache.spark.sql.functions._
+    import graft.util.Tables
+    val rate = 64L
+    def keep(k: org.apache.spark.sql.Column) =
+      pmod(xxhash64(k), lit(rate)) === 0
+    // COORDINATION: the filter is a pure function of the key value, so
+    // the same key survives (or not) on both sides — surviving key SETS
+    // over the shared domain are identical
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val lhsKeys = o.filter(keep(col("o_custkey")))
+      .select(col("o_custkey").as("k")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val rhsKeys = c.filter(keep(col("c_custkey")))
+      .select(col("c_custkey").as("k")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val sharedDomain = o.select(col("o_custkey").as("k")).distinct()
+      .join(c.select(col("c_custkey").as("k")).distinct(), Seq("k"))
+      .collect().map(_.getLong(0)).toSet
+    assert((lhsKeys intersect sharedDomain) == (rhsKeys intersect sharedDomain),
+      "coordinated sampling must keep the SAME keys on both sides")
+    assert(lhsKeys.nonEmpty, "the 1/64 residue class must be non-empty here")
+    // ESTIMATE QUALITY on real data: deterministic hash → a fixed band
+    // is stable. Both pairs stay within 3x of the exact size at sf0.001
+    // (key-frequency-weighted sampling variance; the md5 face q237 shows
+    // the same order of spread and is oracle-scored).
+    val est = SketchQueries.queries("q250_join_estimate_xxhash")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Map(
+      "customer_orders" ->
+        o.join(c, col("o_custkey") === col("c_custkey")).count(),
+      "orders_lineitem" ->
+        Tables.lineitem(spark, sf)
+          .join(o, col("l_orderkey") === col("o_orderkey")).count())
+    exact.foreach { case (pair, ex) =>
+      val e = est(pair)
+      assert(e * 3 >= ex && e <= ex * 3,
+        s"$pair: xx estimate $e vs exact $ex outside the 3x band")
+    }
+    // PLAN: estimate-only — no un-sampled fact-to-fact join anywhere
+    // (every scan feeds through the residue filter before the join)
+    val plan = SketchQueries.queries("q250_join_estimate_xxhash")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"), "the sampling filter must be present")
+  }
 }
