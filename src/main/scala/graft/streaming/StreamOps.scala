@@ -763,6 +763,130 @@ object StreamOps {
         OutputMode.Append())
   }
 
+  final case class EmbGateRow(vec_id: Long, ts: java.sql.Timestamp,
+      source: String, v: Seq[Float], band: Int, bucket: Int)
+  final case class EmbGateVote(vec_id: Long, ts: java.sql.Timestamp,
+      source: String, dup_here: Boolean)
+  final case class EmbVecEntry(vec_id: Long, v: Seq[Float])
+  final case class EmbCorpusAdmit(vec_id: Long, source: String,
+      cum_vecs: Long, admitted: Boolean, near_dup: Boolean)
+
+  /** [[NearDupVoteProcessor]]'s embedding twin: each (band, bucket)
+    * group emits every arriving vector with `dup_here` = "an
+    * EARLIER-arrived vector is a live member of this bucket at EXACT
+    * cosine ≥ threshold" (the verify is exact — state carries vectors,
+    * the [[EmbNearDupProcessor]] contract). No band-ownership dedup:
+    * the per-vector votes are OR-reduced in the downstream budget fold.
+    * Every vector is stored regardless of its own dup status, up to the
+    * per-bucket cap. */
+  class EmbVoteProcessor(threshold: Double, maxBucket: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Int), EmbGateRow, EmbGateVote] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var members: ListState[EmbVecEntry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[EmbVecEntry](
+        "emb_gate_members", E.product[EmbVecEntry], TTLConfig.NONE)
+
+    private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dp += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override def handleInputRows(key: (Int, Int), rows: Iterator[EmbGateRow],
+        timerValues: TimerValues): Iterator[EmbGateVote] = {
+      var ds = members.get().map(e => (e.vec_id, e.v)).toSeq
+      val out = scala.collection.mutable.ArrayBuffer[EmbGateVote]()
+      rows.toSeq.sortBy(r => (r.ts.getTime, r.vec_id)).foreach { row =>
+        val dup = ds.exists { case (oid, ov) =>
+          oid != row.vec_id && cosine(ov, row.v) >= threshold }
+        out += EmbGateVote(row.vec_id, row.ts, row.source, dup)
+        if (ds.size < maxBucket && !ds.exists(_._1 == row.vec_id)) {
+          ds = ds :+ ((row.vec_id, row.v))
+          members.appendValue(EmbVecEntry(row.vec_id, row.v))
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming EMBEDDING corpus build (round-9 verdict #8, closing the
+    * set: [[corpusBuildStreamNd]] gates text near-dups at ingest; this
+    * is its embedding twin): every arriving vector — columns (vec_id,
+    * ts, source, embedding) — passes the banded sign-LSH semantic
+    * near-dup gate (the q102/q212 scheme as an [[EmbVoteProcessor]]
+    * vote stage on RocksDB) and a cumulative per-source VECTOR budget.
+    * Semantic near-dups are emitted FLAGGED and never charge the budget
+    * (they don't enter the corpus — the SemDeDup admission face of the
+    * quotaEnforce audit-not-drop pattern).
+    *
+    * First-arrival contract, mirroring corpusBuildStreamNd's: a vector
+    * is `near_dup` iff some EARLIER-arrived vector (event time, then
+    * id) shares a band bucket with it at exact cosine ≥ `threshold`;
+    * detection reaches only members still in state (per-bucket cap),
+    * and a flagged vector still BLOCKS later similars. The budget
+    * folds non-dup vectors in (ts, id) order per source. StreamOpsSpec
+    * pins batch-replay parity under exactly these rules. */
+  def embCorpusBuildStream(embs: DataFrame, budgetPerSource: Long,
+      threshold: Double = 0.25, nBands: Int = 4, planesPerBand: Int = 4,
+      dim: Int = 64, maxBucket: Int = 50,
+      delay: String = "10 minutes"): Dataset[EmbCorpusAdmit] = {
+    import org.apache.spark.sql.{Encoders => E}
+    val keyed = embs
+      .select(col("vec_id"), col("ts"), col("source"),
+        col("embedding").as("v"))
+      .withWatermark("ts", delay)
+      .withColumn("buckets", transform(
+        graft.ann.Similarity.bandKeys(col("v"), nBands, planesPerBand, dim),
+        s => s.getField("bucket")))
+      .select(col("vec_id"), col("ts"), col("source"), col("v"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
+    implicit val voteEnc: org.apache.spark.sql.Encoder[EmbGateVote] =
+      E.product[EmbGateVote]
+    // the eventTimeColumnName overload re-declares `ts` so the stateful
+    // budget fold is plannable after this stateful stage (the Spark 4
+    // chained-stateful contract corpusBuildStreamNd documents)
+    val votes = keyed.as(E.product[EmbGateRow])
+      .groupByKey(r => (r.band, r.bucket))(E.product[(Int, Int)])
+      .transformWithState(new EmbVoteProcessor(threshold, maxBucket),
+        "ts", OutputMode.Append())
+
+    def fn(source: String, rows: Iterator[EmbGateVote],
+        state: GroupState[BudgetState]): Iterator[EmbCorpusAdmit] = {
+      var cum = state.getOption.map(_.cum).getOrElse(0L)
+      val out = rows.toSeq
+        .groupBy(r => (r.vec_id, r.ts)).toSeq // one group per VECTOR
+        .map { case ((id, _), votes) =>
+          (id, votes.head, votes.exists(_.dup_here)) }
+        .sortBy { case (id, v, _) => (v.ts.getTime, id) }
+        .map { case (id, v, dup) =>
+          if (dup) EmbCorpusAdmit(id, source, cum,
+            admitted = false, near_dup = true)
+          else {
+            cum += 1
+            EmbCorpusAdmit(id, source, cum,
+              cum <= budgetPerSource, near_dup = false)
+          }
+        }
+      state.update(BudgetState(cum))
+      out.iterator
+    }
+    implicit val admitEnc: org.apache.spark.sql.Encoder[EmbCorpusAdmit] =
+      E.product[EmbCorpusAdmit]
+    implicit val stEnc: org.apache.spark.sql.Encoder[BudgetState] =
+      E.product[BudgetState]
+    implicit val keyEnc: org.apache.spark.sql.Encoder[String] = E.STRING
+    votes.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   final case class Chg(user_id: Long, ts: java.sql.Timestamp,
       value: String, op: String)
   final case class BagState(m: Map[String, Long])

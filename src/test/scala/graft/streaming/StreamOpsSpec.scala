@@ -883,6 +883,81 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming embedding corpus build: semantic near-dups flagged and " +
+      "never charged; per-source vector budget; batch replay parity") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // basis-vector fixture: e(i) ⊥ e(j) (cosine 0 < 0.25 — never a
+      // semantic dup no matter the buckets), while e(1, 2f) is e(1)'s
+      // exact direction (cosine 1, identical sign buckets in all bands)
+      def e(i: Int, scale: Float = 1f): Seq[Float] =
+        Seq.tabulate(64)(j => if (j == i) scale else 0f)
+      val batch1 = Seq((1L, t(0), "s1", e(1)), (2L, t(1), "s1", e(1, 2f)))
+      val batch2 = Seq((3L, t(2), "s1", e(2)), (4L, t(3), "s1", e(3)))
+      val batch3 = Seq((5L, t(4), "s1", e(4)), (6L, t(5), "s2", e(5)))
+      val ms = MemoryStream[(Long, Timestamp, String, Seq[Float])]
+      val out = StreamOps.embCorpusBuildStream(
+        ms.toDF().toDF("vec_id", "ts", "source", "embedding"),
+        budgetPerSource = 3L)
+      val q = out.toDF().writeStream.format("memory").queryName("emb_corpus")
+        .outputMode("append").start()
+      ms.addData(batch1: _*); q.processAllAvailable()
+      ms.addData(batch2: _*); q.processAllAvailable()
+      ms.addData(batch3: _*); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("emb_corpus").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getBoolean(3), r.getBoolean(4))).toSet
+      assert(got == Set(
+        (1L, "s1", 1L, true, false),
+        (2L, "s1", 1L, false, true),  // clone: flagged, cum UNCHANGED
+        (3L, "s1", 2L, true, false),  // budget never saw vec 2
+        (4L, "s1", 3L, true, false),
+        (5L, "s1", 4L, false, false), // over budget, not a dup
+        (6L, "s2", 1L, true, false))) // other source: own budget
+
+      // independent batch replay of the declared first-arrival contract:
+      // near_dup iff an earlier (ts, id) arrival shares a band bucket at
+      // exact cosine >= threshold; budget folds non-dups in (ts, id)
+      // order per source
+      val all = (batch1 ++ batch2 ++ batch3)
+        .sortBy { case (id, ts, _, _) => (ts.getTime, id) }
+      val bks = all.toDF("vec_id", "ts", "source", "embedding")
+        .select(col("vec_id"), org.apache.spark.sql.functions.transform(
+          graft.ann.Similarity.bandKeys(col("embedding"), 4, 4, 64),
+          s => s.getField("bucket")).as("bks"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dp += x * y; na += x * x; nb += y * y; i += 1
+        }
+        dp / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val cums = scala.collection.mutable.Map.empty[String, Long]
+      val replay = all.zipWithIndex.map { case ((id, _, src, v), i) =>
+        val dup = all.take(i).exists { case (oid, _, _, ov) =>
+          bks(oid).zip(bks(id)).exists { case (x, y) => x == y } &&
+            cos(ov, v) >= 0.25 }
+        if (dup) (id, src, cums.getOrElse(src, 0L), false, true)
+        else {
+          val c = cums.getOrElse(src, 0L) + 1
+          cums(src) = c
+          (id, src, c, c <= 3L, false)
+        }
+      }.toSet
+      assert(replay == got)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming distinct maintenance ≡ batch support-bag fold across " +
       "three change windows with deletes and updates") {
     import graft.streaming.StreamOps.Chg
