@@ -184,6 +184,20 @@ object AnnQueries {
       dir
     }
 
+  /** The PERSISTED semantic ledger seeded with the 80% base slice —
+    * q252's substrate (the `ledgerStoreDir` pattern on the embedding
+    * side; q244 gates the in-memory delta fold, q252 gates the fold
+    * THROUGH PARQUET plus the compaction verb). */
+  private[graft] def semStoreDir(s: SparkSession, d: String): String =
+    Maintenance.getOrBuild("semStoreSeed", s, d) {
+      val e = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graftsemledger").toString
+      graft.dedup.SemLedgerStore.maintainBatch(
+        e.filter(col("vec_id") % 5 =!= 0), col("vec_id"), col("embedding"),
+        dir, batchId = 0L)
+      dir
+    }
+
   /** q212's semantic dedup ledger, memoized per (session, table) like
     * [[ivfIndex]] and `TextQueries.dedupLedger` (the pairs+components
     * build is table maintenance refreshed with the corpus; Bench warms
@@ -508,6 +522,30 @@ object AnnQueries {
       semanticLedger(s, d).orderBy(col("vec_id"))
     },
 
+    // -- q248/q251's EMBEDDING twin: the semantic ledger maintained
+    //    THROUGH PARQUET — seed on 80% of the vectors (semStoreDir
+    //    memo), fold the 20% delta via the disk path (stored vectors
+    //    read back, delta-only bucket work, label contraction, a
+    //    generation published; replay no-op on repeat), COMPACT the
+    //    slice window (must be invisible), and emit the loaded ledger.
+    //    Oracle = q212's full-corpus recursive-closure recompute:
+    //    incremental-through-parquet-then-compacted ≡ full.
+    "q252_semledger_store_fold" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val dir = semStoreDir(s, d)
+      graft.dedup.SemLedgerStore.maintainBatch(
+        e.filter(col("vec_id") % 5 === 0), col("vec_id"), col("embedding"),
+        dir, batchId = 1L)
+      graft.dedup.SemLedgerStore.compact(s, dir)
+      val lbl = graft.dedup.SemLedgerStore.load(s, dir)._3
+        .select(col("id").as("vec_id"), col("comp"))
+      val sizes = lbl.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+      lbl.join(sizes, Seq("comp"))
+        .select(col("vec_id"), col("comp"), col("comp_size"),
+          (col("vec_id") === col("comp")).as("is_canonical"))
+        .orderBy(col("vec_id"))
+    },
+
     // -- k-NN label vote (the data-labeling / label-propagation face of
     //    the search stack): the first 10 vectors are unlabeled queries,
     //    the rest the labeled corpus; each query takes the majority
@@ -804,6 +842,26 @@ object AnnQueries {
       s"""WITH $lshPairsCtes
         |SELECT a_id, b_id, cosine FROM vpairs
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // The disk fold + compact must land on the identical full-corpus
+    // closure as the in-memory ledger.
+    "q252_semledger_store_fold" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM vpairs
+        |  UNION ALL SELECT b_id AS src, a_id AS dst FROM vpairs),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.src, r.lab FROM edges e2 JOIN reach r ON e2.dst = r.id),
+        |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+        |ledger AS (
+        |  SELECT em.vec_id, COALESCE(l.comp, em.vec_id) AS comp
+        |  FROM embeddings em LEFT JOIN lbl l ON em.vec_id = l.id)
+        |SELECT vec_id, comp,
+        |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
+        |  vec_id = comp AS is_canonical
+        |FROM ledger ORDER BY vec_id""".stripMargin,
 
     // q102's pair CTE + the q75 recursive min-label closure, on the
     // EMBEDDING id space: the SemDeDup-style semantic dedup ledger.

@@ -49,6 +49,21 @@ object LmQueries {
   private[text] val Bm25Terms = Seq("fast", "merge", "table")
   private[text] val Bm25TopK = 10
 
+  /** The q254 PERSISTED postings store, seeded with the 80% base slice
+    * — the [[graft.text.TextQueries.ledgerStoreDir]] pattern for the
+    * retrieval index (built once per session+corpus, Bench-warmed; the
+    * q254 timed line measures the delta fold + the stored-postings
+    * query, the steady-state cost of a maintained index). */
+  private[graft] def postingsStoreDir(s: SparkSession, d: String): String =
+    graft.util.Maintenance.getOrBuild("postingsStoreSeed", s, d) {
+      val docs = Tables.documents(s, d)
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+      val dir = java.nio.file.Files.createTempDirectory("graftpostings").toString
+      PostingsStore.maintainBatch(docs.filter(col("doc_id") < cut),
+        col("doc_id"), col("text"), dir, batchId = 0L)
+      dir
+    }
+
   /** q217 merge-round count (production tokenizers run tens of
     * thousands of rounds over the same vocab-sized loop). */
   private[text] val BpeRounds = 6
@@ -529,6 +544,30 @@ object LmQueries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // -- q215 served FROM THE PERSISTED INVERTED INDEX (round 10 —
+    //    the retrieval stack's q248): the store seeds on 80% of the
+    //    corpus ([[postingsStoreDir]] memo), this query folds the 20%
+    //    delta through the disk path (delta-only tokenization, slice
+    //    append, corpus stats + ledger in one atomic commit; replay
+    //    no-op on repeat), COMPACTS the slice window, and answers the
+    //    q215 query from the stored postings — term filter as a static
+    //    partition prune on the term-prefix layout, N/avgdl from the
+    //    manifest. Oracle = q215's full-corpus recompute: stored
+    //    postings tokenize each doc once with the identical tokenizer
+    //    and fold scores in the identical sorted-term order, so
+    //    incremental-through-parquet ≡ full, bit-for-bit.
+    "q254_bm25_store" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+      val dir = postingsStoreDir(s, d)
+      PostingsStore.maintainBatch(
+        docs.filter(!(col("doc_id") < cut)), col("doc_id"), col("text"),
+        dir, batchId = 1L)
+      PostingsStore.compact(s, dir)
+      PostingsStore.bm25Query(s, dir, Bm25Terms, Bm25TopK)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // -- integer-exact bigram LM affinity scoring.
     "q216_lm_bits" -> { (s, d) =>
       lmBits(Tables.documents(s, d), col("doc_id"), col("text"))
@@ -716,6 +755,33 @@ object LmQueries {
     // LIST(s ORDER BY term) + init-less list_reduce == Spark's
     // aggregate(sorted, 0.0, +) because 0.0 + x == x for x > 0.
     "q215_bm25" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, UNNEST($Tok) AS term FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+         |tot AS (SELECT SUM(dl) AS t_toks, COUNT(*) AS n_docs FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM t
+         |  WHERE term IN ($termList) GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |s AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ((2.0 * CAST(n_docs AS DOUBLE) - 2.0 * CAST(df AS DOUBLE) + 1.0)
+         |      / (2.0 * CAST(df AS DOUBLE) + 1.0))
+         |    * ((2.2 * CAST(tf AS DOUBLE))
+         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+         |        + 0.75 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+         |          / CAST(t_toks AS DOUBLE)))) AS s
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot)
+         |SELECT doc_id, COUNT(*) AS n_terms,
+         |  LIST_REDUCE(LIST(s ORDER BY term), (x, y) -> x + y) AS score
+         |FROM s GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+    },
+
+    // The store-served query must land on the identical full-corpus
+    // recompute — same tokenizer, same stats, same fold order.
+    "q254_bm25_store" -> {
       val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
       s"""WITH t AS (
          |  SELECT doc_id, UNNEST($Tok) AS term FROM documents),

@@ -1,0 +1,207 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Generations
+
+/** Persisted INVERTED INDEX with incremental maintenance — the retrieval
+  * stack's disk face, completing the set of maintained substrates (text
+  * dedup ledger → [[graft.dedup.LedgerStore]], semantic ledger →
+  * [[graft.dedup.SemLedgerStore]], ANN indexes →
+  * [[graft.ann.IndexStore]]; BM25 → here). q215's `LmQueries.bm25`
+  * recomputes tokenization and postings from the corpus every run; a
+  * production retrieval deployment tokenizes each document ONCE, at
+  * ingest, and serves every query from the stored postings. This store
+  * is that shape, under the repo's shared commit discipline:
+  *
+  * Layout (the LedgerStore v3 slice-window pattern):
+  * {{{
+  *   dir/_graft_postings_meta.json  <- pointer (+ corpus stats + window)
+  *   dir/postings/slice=S/tp=P/     <- parquet (term, id, tf)
+  *   dir/doclen/slice=S/            <- parquet (id, dl)
+  * }}}
+  *
+  * A fold tokenizes ONLY its delta batch ([[TextFunctions.tokens]] — the
+  * exact q215 tokenizer, so stored postings replay the recompute
+  * bit-for-bit), appends one immutable slice per store, and commits the
+  * updated corpus statistics (`nDocs`, `totTokens` — BM25's N and avgdl
+  * numerator) in the same atomic pointer PUT as the slice count: stats
+  * and postings can never disagree. Replays are no-ops via the batch-id
+  * ledger; [[compact]]/[[vacuumSlices]] bound the slice population.
+  *
+  * The postings partition by `tp` — a term-hash prefix — so a query's
+  * term filter becomes a STATIC partition prune: [[bm25Query]] computes
+  * its ≤|terms| prefix values driver-side and opens only those
+  * partitions of the live slices, never the whole index (the
+  * IndexStore.searchPruned / LedgerStore bucket-prefix pattern on the
+  * term axis). `tp` is internal layout only and never crosses an oracle.
+  *
+  * Contract (shared with LedgerStore): each document folds exactly once
+  * — delta batches are disjoint; a doc re-folded under a new batch id
+  * would double its postings (upstream dedup owns identity, as in every
+  * warehouse ingest path here).
+  */
+object PostingsStore {
+
+  private val MetaName = "_graft_postings_meta.json"
+  private val Format = "graft-postings-v1"
+
+  final case class Meta(format: String, batch: Long, nDocs: Long,
+      totTokens: Long, prefixes: Int, sliceBase: Long, slices: Long)
+
+  private val MetaRe =
+    ("""\{"format": "([^"]+)", "batch": (-?[0-9]+), "nDocs": ([0-9]+), """ +
+      """"totTokens": ([0-9]+), "prefixes": ([0-9]+), """ +
+      """"sliceBase": ([0-9]+), "slices": ([0-9]+)\}""").r
+
+  private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
+    Generations.readPointer(spark, dir, MetaName).map {
+      case MetaRe(f, b, nd, tt, px, sb, sl) =>
+        Meta(f, b.toLong, nd.toLong, tt.toLong, px.toInt, sb.toLong, sl.toLong)
+      case other => sys.error(
+        s"unparseable postings manifest at $dir/$MetaName: '${other.take(120)}' " +
+          "(refusing to guess — the pointer is the commit)")
+    }
+
+  private def commitMeta(spark: SparkSession, dir: String, m: Meta): Unit =
+    Generations.commit(spark, dir, MetaName,
+      s"""{"format": "$Format", "batch": ${m.batch}, "nDocs": ${m.nDocs}, """ +
+        s""""totTokens": ${m.totTokens}, "prefixes": ${m.prefixes}, """ +
+        s""""sliceBase": ${m.sliceBase}, "slices": ${m.slices}}""")
+
+  /** Term-prefix partition key: a pure function of the term (every
+    * posting of a term lives in ONE prefix — the minhashPostings `bp`
+    * argument applied to terms). Internal layout only. */
+  private def tp(term: Column, prefixes: Int): Column =
+    pmod(xxhash64(term), lit(prefixes.toLong)).cast("int")
+
+  private def live(spark: SparkSession, dir: String, sub: String,
+      m: Meta): DataFrame =
+    spark.read.parquet(s"$dir/$sub")
+      .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
+      .drop("slice")
+
+  /** The current manifest, for callers composing their own scoring. */
+  def meta(spark: SparkSession, dir: String): Option[Meta] =
+    readMeta(spark, dir)
+
+  /** Fold one batch of NEW documents (id, text) into the store: delta
+    * tokenization only, one appended slice per table, corpus stats and
+    * batch ledger in the same atomic commit. Returns the slice id, None
+    * for empty batches and crash replays. */
+  def maintainBatch(batch: DataFrame, id: Column, text: Column,
+      dir: String, prefixes: Int = 64, batchId: Long = -1L): Option[Long] = {
+    val spark = batch.sparkSession
+    val docs = batch.select(id.as("id"), text.as("text"))
+    if (docs.isEmpty) return None
+    val prev = readMeta(spark, dir)
+    prev match {
+      case Some(m) if batchId >= 0 && batchId <= m.batch => return None
+      case Some(m) => require(m.prefixes == prefixes,
+        s"postings store at $dir was seeded with prefixes=${m.prefixes}; " +
+          s"refusing a mismatched fold ($prefixes) — one store, one layout")
+      case None => ()
+    }
+    val m = prev.getOrElse(
+      Meta(Format, -1L, 0L, 0L, prefixes, sliceBase = 0L, slices = 0L))
+    val toks = docs.select(col("id"),
+      explode(TextFunctions.tokens(col("text"))).as("term"))
+    val sliceId = m.slices
+    toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("tp", tp(col("term"), prefixes))
+      .write.mode("overwrite").partitionBy("tp")
+      .parquet(s"$dir/postings/slice=$sliceId")
+    toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/doclen/slice=$sliceId")
+    // stats from what was WRITTEN (not the possibly-lazy input), then
+    // the one atomic commit carrying stats + ledger + window together
+    val stats = spark.read.parquet(s"$dir/doclen/slice=$sliceId")
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    commitMeta(spark, dir, m.copy(batch = batchId,
+      nDocs = m.nDocs + stats.getLong(0),
+      totTokens = m.totTokens + stats.getLong(1),
+      slices = sliceId + 1))
+    Some(sliceId)
+  }
+
+  /** Continuous maintenance: one fold per micro-batch of arriving
+    * documents, exactly-once via the manifest's batch-id ledger. */
+  def maintainStream(docs: DataFrame, id: Column, text: Column,
+      dir: String, checkpoint: String, prefixes: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        maintainBatch(df, id, text, dir, prefixes, batchId = bid)
+        ()
+      }
+      .start()
+
+  /** [[graft.dedup.LedgerStore.compact]]'s retrieval twin: merge the
+    * live slice window into one slice per table, advance the window in
+    * one atomic commit (stats and ledger unchanged). */
+  def compact(spark: SparkSession, dir: String): Option[Long] =
+    readMeta(spark, dir) match {
+      case Some(m) if m.slices - m.sliceBase > 1 =>
+        val merged = m.slices
+        live(spark, dir, "postings", m).write.mode("overwrite")
+          .partitionBy("tp").parquet(s"$dir/postings/slice=$merged")
+        live(spark, dir, "doclen", m).write.mode("overwrite")
+          .parquet(s"$dir/doclen/slice=$merged")
+        commitMeta(spark, dir, m.copy(sliceBase = merged, slices = merged + 1))
+        Some(merged)
+      case _ => None
+    }
+
+  /** Deferred slice GC below the current window base. */
+  def vacuumSlices(spark: SparkSession, dir: String): Int =
+    readMeta(spark, dir).map { m =>
+      Generations.gcSlices(spark, dir, Seq("postings", "doclen"), m.sliceBase)
+    }.getOrElse(0)
+
+  /** BM25 top-k served FROM THE STORE — [[LmQueries.bm25]]'s formula
+    * (same rational IDF, same k1/b literals, same sorted-term IEEE
+    * fold) with N and total tokens read from the manifest instead of a
+    * corpus pass, and the term filter landing as a static partition
+    * prune on `tp` (the ≤|terms| prefix values are computed driver-side
+    * — bounded metadata). Scores are bit-identical to the full
+    * recompute because every input number is: tf/df/dl from the stored
+    * postings (each doc tokenized once, by the same tokenizer), N and
+    * Σdl from the incrementally-maintained stats. */
+  def bm25Query(spark: SparkSession, dir: String,
+      terms: Seq[String], topK: Int): DataFrame = {
+    val m = readMeta(spark, dir).getOrElse(
+      sys.error(s"no committed postings store at $dir (missing $MetaName)"))
+    import spark.implicits._
+    // ≤|terms| prefix values: driver-side bounded metadata, evaluated
+    // through the SAME tp expression the writer used
+    val tps = terms.toDF("term").select(tp(col("term"), m.prefixes).as("tp"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    val tf = live(spark, dir, "postings", m)
+      .filter(col("tp").isin(tps.map(Integer.valueOf): _*) &&
+        col("term").isin(terms: _*))
+      .select(col("id"), col("term"), col("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = live(spark, dir, "doclen", m).select(col("id"), col("dl"))
+    val nD = lit(m.nDocs).cast("double"); val tD = lit(m.totTokens).cast("double")
+    val tfD = col("tf").cast("double"); val dfD = col("df").cast("double")
+    val dlD = col("dl").cast("double")
+    val idf = (lit(2.0) * nD - lit(2.0) * dfD + lit(1.0)) /
+      (lit(2.0) * dfD + lit(1.0))
+    val tfPart = (lit(2.2) * tfD) /
+      (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (dlD * nD) / tD))
+    tf.join(broadcast(df), Seq("term"))
+      .join(dl, Seq("id"))
+      .select(col("id"), col("term"), (idf * tfPart).as("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms"),
+        array_sort(collect_list(struct(col("term"), col("s")))).as("ss"))
+      .select(col("id"), col("n_terms"),
+        expr("aggregate(ss, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.s)")
+          .as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+}

@@ -284,6 +284,41 @@ object SamplingQueries {
         .orderBy(col("source"))
     },
 
+    // -- TEMPERATURE-scaled source mixture (the multilingual-training
+    //    reweighting: p_s ∝ n_s^(1/T) — T=1 is q123's proportional
+    //    split, T→∞ is q84's uniform quota; T=2 here, the common
+    //    small-source upsampling point, because x^(1/2) is the one
+    //    fractional power BOTH engines evaluate correctly-rounded
+    //    (IEEE sqrt) — general T would ride pow(), whose last-bit
+    //    behavior is libm-specific and not oracle-safe). The weight
+    //    normalization folds in source order (the q215/q242
+    //    convention), the integerization is the shared
+    //    largest-remainder arithmetic, and everything after the corpus
+    //    count runs on the #sources-sized table. mix_weight is the
+    //    normalized sampling probability a data loader consumes.
+    "q253_temperature_mixture" -> { (s, d) =>
+      val c = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val w = c.select(col("source"), col("n"),
+        sqrt(col("n").cast("double")).as("w"))
+      val sw = w.agg(aggregate(
+        array_sort(collect_list(struct(col("source"), col("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("sw"))
+      val b = w.crossJoin(broadcast(sw))
+        .withColumn("mix_weight", col("w") / col("sw"))
+        .withColumn("base", floor(lit(AllocBudget) * col("w") / col("sw")))
+        .withColumn("frac", lit(AllocBudget) * col("w") / col("sw") -
+          floor(lit(AllocBudget) * col("w") / col("sw")))
+      val lo = b.agg((lit(AllocBudget.toLong) - sum(col("base"))).as("lo"))
+      val wR = Window.orderBy(col("frac").desc, col("source"))
+      b.withColumn("rk", row_number().over(wR))
+        .crossJoin(broadcast(lo))
+        .select(col("source"), col("n").as("n_docs"), col("mix_weight"),
+          (col("base") + when(col("rk") <= col("lo"), 1L).otherwise(0L))
+            .as("alloc_docs"))
+        .orderBy(col("source"))
+    },
+
     // -- nucleus (top-p) selection per source: keep each source's
     //    largest documents until 90% of its character mass is covered —
     //    the mass-based head selector (the sampling dual of q103's
@@ -416,6 +451,30 @@ object SamplingQueries {
         |    ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rk
         |  FROM b)
         |SELECT source, n AS n_docs,
+        |  base + CASE WHEN rk <= lo THEN 1 ELSE 0 END AS alloc_docs
+        |FROM r, lo ORDER BY source""".stripMargin,
+
+    // Same sqrt weights, same source-ordered fold, same floor/remainder
+    // arithmetic — the estimate replays bit-for-bit.
+    "q253_temperature_mixture" ->
+      s"""WITH c AS (
+        |  SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT source, n, SQRT(CAST(n AS DOUBLE)) AS w FROM c),
+        |sw AS (
+        |  SELECT LIST_REDUCE(LIST(w ORDER BY source), (x, y) -> x + y) AS sw
+        |  FROM w),
+        |b AS (
+        |  SELECT source, n, w / sw AS mix_weight,
+        |    CAST(FLOOR($AllocBudget * w / sw) AS BIGINT) AS base,
+        |    $AllocBudget * w / sw - FLOOR($AllocBudget * w / sw) AS frac
+        |  FROM w, sw),
+        |lo AS (SELECT $AllocBudget - CAST(SUM(base) AS BIGINT) AS lo FROM b),
+        |r AS (
+        |  SELECT source, n, mix_weight, base, frac,
+        |    ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rk
+        |  FROM b)
+        |SELECT source, n AS n_docs, mix_weight,
         |  base + CASE WHEN rk <= lo THEN 1 ELSE 0 END AS alloc_docs
         |FROM r, lo ORDER BY source""".stripMargin,
 

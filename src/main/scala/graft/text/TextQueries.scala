@@ -473,6 +473,34 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // -- the q248 probe THROUGH A COMPACTED STORE (round 10): fold the
+    //    delta slice (replay no-op when q248 already folded it — shared
+    //    ledgerStoreDir state, order-independent), COMPACT the live
+    //    slice window into one merged slice (the OPTIMIZE verb —
+    //    LedgerStore.compact advances the window atomically; a
+    //    ≤1-slice window is a no-op, so repeat invocations are
+    //    idempotent), then emit the loaded labels. The oracle is again
+    //    q130's full recompute: compaction must be INVISIBLE to every
+    //    reader — same labels, same signature store content — which
+    //    this gate proves through parquet on the real corpus, on top of
+    //    LedgerStoreSpec's fixture-level identity/replay/vacuum pins.
+    "q251_ledger_store_compact" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+      val dir = ledgerStoreDir(s, d)
+      graft.dedup.LedgerStore.maintainBatch(
+        docs.filter(!(col("doc_id") < cut)), col("doc_id"), col("text"),
+        dir, batchId = 1L)
+      graft.dedup.LedgerStore.compact(s, dir)
+      val lbl = graft.dedup.LedgerStore.load(s, dir)._1
+        .select(col("id").as("doc_id"), col("comp"))
+      val sizes = lbl.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+      lbl.join(sizes, Seq("comp"))
+        .select(col("doc_id"), col("comp"), col("comp_size"),
+          (col("doc_id") === col("comp")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- the SAME ledger clustered by the alternating small-star/large-
     //    star rewrite (Dedup.componentsStars) — the diameter-proof
     //    algorithm proves itself against the identical recursive-CTE
@@ -1187,6 +1215,26 @@ object TextQueries {
     // The identical full recompute as q130: the persisted fold must land
     // on exactly the same labeling.
     "q248_ledger_store_fold" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+         |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+         |ledger AS (
+         |  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id)
+         |SELECT doc_id, comp,
+         |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
+         |  doc_id = comp AS is_canonical
+         |FROM ledger ORDER BY doc_id""".stripMargin,
+
+    // Compaction must be invisible: the compacted store still lands on
+    // the identical full-recompute labeling.
+    "q251_ledger_store_compact" ->
       s"""WITH RECURSIVE $minhashPairsCtes,
          |edges AS (
          |  SELECT a_id AS src, b_id AS dst FROM pairs

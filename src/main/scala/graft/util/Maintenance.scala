@@ -144,6 +144,8 @@ object Maintenance {
     "ivfPqIndex"      -> ((s, d) => graft.ann.AnnQueries.ivfPqIndex(s, d)),
     "ivfPqBase"       -> ((s, d) => graft.ann.AnnQueries.ivfPqBase(s, d)),
     "ivfPqStoreSeed"  -> ((s, d) => graft.ann.AnnQueries.ivfPqStoreDir(s, d)),
+    "semStoreSeed"    -> ((s, d) => graft.ann.AnnQueries.semStoreDir(s, d)),
+    "postingsStoreSeed" -> ((s, d) => graft.text.LmQueries.postingsStoreDir(s, d)),
     "zorderLayout"    -> ((s, d) => graft.warehouse.ScaleQueries.zorderLayout(s, d)),
     "bucketedPair"    -> ((s, d) => graft.warehouse.ScaleQueries.bucketedPair(s, d)),
     "coPurchasePairs" -> ((s, d) => graft.warehouse.GraphQueries.coPurchasePairs(s, d)),

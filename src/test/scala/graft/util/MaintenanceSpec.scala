@@ -76,7 +76,8 @@ class MaintenanceSpec extends AnyFunSuite {
     val names = Maintenance.registered.map(_._1)
     assert(names.distinct == names)
     assert(names.toSet == Set("dedupLedger", "incrementalBase", "semanticLedger",
-      "ledgerStoreSeed", "ivfIndex", "pqIndex", "ivfPqIndex", "zorderLayout",
+      "ledgerStoreSeed", "ivfIndex", "pqIndex", "ivfPqIndex", "ivfPqBase",
+      "ivfPqStoreSeed", "semStoreSeed", "postingsStoreSeed", "zorderLayout",
       "bucketedPair", "coPurchasePairs", "lpaLabels", "edgeBase"))
     val report = Maintenance.inspect(spark, "/tmp/spec_uncovered")
     assert(report.map(_.name).toSet == names.toSet)
