@@ -108,8 +108,15 @@ object PostingsStore {
     val toks = docs.select(col("id"),
       explode(TextFunctions.tokens(col("text"))).as("term"))
     val sliceId = m.slices
+    // postings land TERM-SORTED inside each prefix partition: parquet
+    // row-group min/max stats on `term` then make the query's term
+    // filter skip row groups within the pruned partitions too (the
+    // Z-order lesson applied to the term axis — at sf0.1 each partition
+    // is one row group and this is moot; at 100 TB it is the difference
+    // between reading a prefix's whole postings and its query terms')
     toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("tp", tp(col("term"), prefixes))
+      .repartition(col("tp")).sortWithinPartitions(col("tp"), col("term"))
       .write.mode("overwrite").partitionBy("tp")
       .parquet(s"$dir/postings/slice=$sliceId")
     toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
@@ -146,7 +153,9 @@ object PostingsStore {
     readMeta(spark, dir) match {
       case Some(m) if m.slices - m.sliceBase > 1 =>
         val merged = m.slices
-        live(spark, dir, "postings", m).write.mode("overwrite")
+        live(spark, dir, "postings", m)
+          .repartition(col("tp")).sortWithinPartitions(col("tp"), col("term"))
+          .write.mode("overwrite")
           .partitionBy("tp").parquet(s"$dir/postings/slice=$merged")
         live(spark, dir, "doclen", m).write.mode("overwrite")
           .parquet(s"$dir/doclen/slice=$merged")
