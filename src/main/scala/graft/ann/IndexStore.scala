@@ -16,7 +16,7 @@ import graft.util.Generations
   * append slices inside it instead of rewriting the table):
   * {{{
   *   dir/_graft_index_meta.json      <- the pointer (gen, rows, baseRows,
-  *                                      batch, slices)
+  *                                      batch, sliceBase, slices)
   *   dir/gen=G/centroids/            <- parquet (cell, c)
   *   dir/gen=G/assigned/slice=S/     <- parquet (vid, v), PARTITIONED BY
   *                                      cell; slice 0 = the train, S>0 =
@@ -63,17 +63,17 @@ object IndexStore {
     * cell id, so the old slices cannot be reused). A crashed fold's
     * orphan slice is outside the committed count and invisible. */
   final case class Meta(format: String, gen: Long, rows: Long,
-      baseRows: Long, batch: Long, slices: Long)
+      baseRows: Long, batch: Long, sliceBase: Long, slices: Long)
 
   private val MetaRe =
     ("""\{"format": "([^"]+)", "gen": ([0-9]+), "rows": ([0-9]+), """ +
       """"baseRows": ([0-9]+), "batch": (-?[0-9]+), """ +
-      """"slices": ([0-9]+)\}""").r
+      """"sliceBase": ([0-9]+), "slices": ([0-9]+)\}""").r
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
     Generations.readPointer(spark, dir, MetaName).map {
-      case MetaRe(f, g, n, b, bt, sl) =>
-        Meta(f, g.toLong, n.toLong, b.toLong, bt.toLong, sl.toLong)
+      case MetaRe(f, g, n, b, bt, sb, sl) =>
+        Meta(f, g.toLong, n.toLong, b.toLong, bt.toLong, sb.toLong, sl.toLong)
       case other => sys.error(
         s"unparseable index manifest at $dir/$MetaName: '${other.take(120)}' " +
           "(refusing to guess — the pointer is the commit)")
@@ -83,7 +83,7 @@ object IndexStore {
     Generations.commit(spark, dir, MetaName,
       s"""{"format": "$Format", "gen": ${m.gen}, "rows": ${m.rows}, """ +
         s""""baseRows": ${m.baseRows}, "batch": ${m.batch}, """ +
-        s""""slices": ${m.slices}}""")
+        s""""sliceBase": ${m.sliceBase}, "slices": ${m.slices}}""")
 
   /** Publish `index` to `dir` as the next generation and flip the
     * pointer. Returns the committed generation id. `retainGens` ≥ 1:
@@ -114,7 +114,8 @@ object IndexStore {
     val n = spark.read.parquet(s"$dir/gen=$gen/assigned").count()
     // 2. the commit: one atomic pointer PUT; 3. deferred GC after it
     commitMeta(spark, dir,
-      Meta(Format, gen, n, carryBaseRows.getOrElse(n), batchId, slices = 1L))
+      Meta(Format, gen, n, carryBaseRows.getOrElse(n), batchId,
+        sliceBase = 0L, slices = 1L))
     Generations.gc(spark, dir, gen - (retainGens - 1))
     gen
   }
@@ -134,7 +135,7 @@ object IndexStore {
     // are BOTH partition dirs, so a probe's cell filter still plans the
     // static PartitionFilters prune the layout exists for
     val assigned = spark.read.parquet(s"$dir/gen=${m.gen}/assigned")
-      .filter(col("slice") < m.slices)
+      .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
       .select(col("vid"), col("v"), col("cell"))
     (Similarity.IvfIndex(centroids, assigned), m)
   }
@@ -195,7 +196,7 @@ object IndexStore {
           // written (still-uncommitted) one directly, retrain, publish a
           // fresh generation; the orphan slice dies with its gen's GC
           val all = spark.read.parquet(s"$dir/gen=${m.gen}/assigned")
-            .filter(col("slice") <= m.slices)
+            .filter(col("slice") >= m.sliceBase && col("slice") <= m.slices)
             .select(col("vid"), col("v"))
           val retrained = Similarity.buildIvf(all, col("vid"), col("v"),
             nCentroids, iterations = 1, materialize = true)
@@ -207,6 +208,37 @@ object IndexStore {
         }
     }
   }
+
+  /** OPTIMIZE for the maintained generation's assigned-slice window
+    * (the [[graft.dedup.LedgerStore.compact]] verb on the index side):
+    * merge the live slices into ONE cell-partitioned slice and advance
+    * `sliceBase` in the same atomic pointer commit — rows, base, and
+    * the batch ledger ride along unchanged, so replay safety and
+    * search results are preserved (IndexStoreSpec pins both).
+    * Superseded slices stay for pre-compact readers until
+    * [[vacuumAssignedSlices]]. A re-train makes this moot (it opens a
+    * fresh generation at slice 0); compact serves the long-lived
+    * below-threshold index that folds forever without doubling. */
+  def compactAssigned(spark: SparkSession, dir: String): Option[Long] =
+    readMeta(spark, dir) match {
+      case Some(m) if m.slices - m.sliceBase > 1 =>
+        val merged = m.slices
+        val (idx, _) = loadIvf(spark, dir)
+        idx.assigned.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$dir/gen=${m.gen}/assigned/slice=$merged")
+        commitMeta(spark, dir, m.copy(sliceBase = merged, slices = merged + 1))
+        Some(merged)
+      case _ => None
+    }
+
+  /** Deferred slice GC below the current window base (current
+    * generation only — old generations die whole via [[saveIvf]]'s
+    * retention GC). */
+  def vacuumAssignedSlices(spark: SparkSession, dir: String): Int =
+    readMeta(spark, dir).map { m =>
+      Generations.gcSlices(spark, dir, Seq(s"gen=${m.gen}/assigned"),
+        m.sliceBase)
+    }.getOrElse(0)
 
   /** Continuous index maintenance: start a streaming query folding
     * `vecs` (a STREAMING DataFrame with the id/vec columns) into the

@@ -158,6 +158,24 @@ class IndexStoreSpec extends AnyFunSuite {
       col("embedding"), dir, nCentroids = 4, batchId = 8L).nonEmpty)
     val mEnd = IndexStore.loadIvf(spark, dir)._2
     assert(mEnd.rows == 52L && mEnd.slices == 3L)
+    // compact: the 3-slice window merges into one; search identical,
+    // stats + batch ledger preserved, replay still a no-op; vacuum
+    // retires the superseded slices
+    def top5 = IndexStore.searchPruned(IndexStore.loadIvf(spark, dir)._1,
+      query, k = 5, nprobe = 4).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = top5
+    assert(IndexStore.compactAssigned(spark, dir).contains(3L))
+    val mC = IndexStore.loadIvf(spark, dir)._2
+    assert(mC.sliceBase == 3L && mC.slices == 4L && mC.rows == 52L &&
+      mC.batch == 8L && mC.baseRows == mEnd.baseRows)
+    assert(top5 == before)
+    assert(IndexStore.ivfMaintainBatch(slice(50, 52), col("vec_id"),
+      col("embedding"), dir, nCentroids = 4, batchId = 8L).isEmpty,
+      "replay must stay a no-op through the compact")
+    assert(IndexStore.compactAssigned(spark, dir).isEmpty)
+    assert(IndexStore.vacuumAssignedSlices(spark, dir) == 3)
+    assert(IndexStore.loadIvf(spark, dir)._1.assigned.count() == 52L)
+    assert(top5 == before)
   }
 
   test("session memo hydrates from a persisted store: one refresh " +
