@@ -212,6 +212,31 @@ object CorpusQueries {
         .limit(20)
     },
 
+    // -- distinct-n DIVERSITY (Li et al. 2016's generation-diversity
+    //    metric applied as a corpus diagnostic): per source and n ∈
+    //    {1,2,3}, the share of DISTINCT n-grams among all n-gram
+    //    occurrences — a template-heavy or boilerplate-dominated source
+    //    scores low before any pair-level dedup runs (the cheap
+    //    screening pass ahead of q45's pipeline). Plan: three
+    //    shingle-row passes (window-lead construction, codegen'd), each
+    //    a map-side-combined groupBy(source) with a COUNT DISTINCT —
+    //    Spark's two-phase distinct aggregation, no pairs, no global
+    //    sort; the union is #sources×3 rows.
+    "q255_ngram_diversity" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      (1 to 3).map { n =>
+        Dedup.shingleRows(docs, col("doc_id"), col("text"), n,
+            carry = Seq("source" -> col("source")))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_grams"),
+            countDistinct(col("sh")).as("n_distinct"))
+          .select(col("source"), lit(n.toLong).as("n"), col("n_grams"),
+            col("n_distinct"),
+            (col("n_distinct").cast("double") / col("n_grams").cast("double"))
+              .as("distinct_ratio"))
+      }.reduce(_ unionByName _).orderBy(col("source"), col("n"))
+    },
+
     // -- per-document keyword extraction: top-3 terms by TF-IDF. The IDF
     //    is the RAW inverse document frequency N/df (log-free: ln() is
     //    libm-dependent and not bit-stable across engines; the ranking it
@@ -769,6 +794,27 @@ object CorpusQueries {
         |  FROM t)
         |SELECT bigram, COUNT(*) AS n FROM bg
         |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    // Same window-lead n-gram positions (1..L-n+1), same counts, one
+    // IEEE division — the q83/q164 comprehension per n.
+    "q255_ngram_diversity" ->
+      """WITH t AS (
+        |  SELECT source, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, 1 AS n, UNNEST(toks) AS g FROM t
+        |  UNION ALL
+        |  SELECT source, 2 AS n, UNNEST([toks[i] || ' ' || toks[i+1]
+        |    FOR i IN RANGE(1, GREATEST(LEN(toks), 1))]) AS g FROM t
+        |  UNION ALL
+        |  SELECT source, 3 AS n, UNNEST([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |    FOR i IN RANGE(1, GREATEST(LEN(toks) - 1, 1))]) AS g FROM t)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+        |  CAST(COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS distinct_ratio
+        |FROM a GROUP BY 1, 2 ORDER BY source, n""".stripMargin,
 
     "q99_tfidf_terms" ->
       """WITH t AS (
