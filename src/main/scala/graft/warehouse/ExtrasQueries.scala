@@ -183,6 +183,40 @@ object ExtrasQueries {
       graft.dedup.Dedup.editDistancePairs(p, col("p_partkey"), col("p_name"),
           col("p_brand"), k = 2)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // -- entity resolution END-TO-END — the golden-record composition
+    //    (blocking → fuzzy pairs → components → survivorship) every MDM
+    //    / record-linkage pipeline ships as one unit: q131's lossless
+    //    PassJoin pairs contract into clusters (the q75 min-label
+    //    machinery on the part id space; singletons keep their own id),
+    //    and each cluster rolls up to ONE surviving record under
+    //    explicit, deterministic survivorship rules — canonical id =
+    //    min key, name = the longest (ties by name — the
+    //    keep-the-substance rule q119 uses), price = max exact cents.
+    //    Plan: pair generation is the linear segment filter (never
+    //    per-block quadratic), components are O(V)-label rounds, the
+    //    rollup is one map-side-combined groupBy(comp) — struct-max
+    //    aggregates, no per-cluster window.
+    "q256_golden_record" -> { (s, d) =>
+      val p = Tables.part(s, d)
+      val pairs = graft.dedup.Dedup.editDistancePairs(p, col("p_partkey"),
+        col("p_name"), col("p_brand"), k = 2)
+      val lbl = graft.dedup.Dedup.components(pairs, col("a_id"), col("b_id"))
+      val full = p
+        .join(lbl.select(col("id").as("p_partkey"), col("comp")),
+          Seq("p_partkey"), "left")
+        .select(col("p_partkey"),
+          coalesce(col("comp"), col("p_partkey")).as("comp"),
+          col("p_name"), graft.util.Exact.cents(col("p_retailprice"))
+            .as("price_cents"))
+      full.groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("p_partkey")).as("canonical_id"),
+          max(struct(length(col("p_name")).as("l"), col("p_name").as("nm")))
+            .getField("nm").as("longest_name"),
+          max(col("price_cents")).as("max_price_cents"))
+        .orderBy(col("comp"))
     }
   )
 
@@ -294,6 +328,43 @@ object ExtrasQueries {
         |  ON a.p_partkey < b.p_partkey AND a.p_brand = b.p_brand
         | AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
         |WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 2
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // q131's all-pairs recomputation + the q75 recursive min-label
+    // closure + the identical survivorship rules; the longest-name
+    // window replays Spark's struct-max ((length, name) max, binary
+    // collation both sides).
+    "q256_golden_record" ->
+      """WITH RECURSIVE p2 AS (
+        |  SELECT a.p_partkey AS a_id, b.p_partkey AS b_id
+        |  FROM part a JOIN part b
+        |    ON a.p_partkey < b.p_partkey AND a.p_brand = b.p_brand
+        |   AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
+        |  WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 2),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM p2
+        |  UNION ALL SELECT b_id AS src, a_id AS dst FROM p2),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+        |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+        |f AS (
+        |  SELECT p.p_partkey, COALESCE(l.comp, p.p_partkey) AS comp,
+        |    p.p_name,
+        |    CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS price_cents
+        |  FROM part p LEFT JOIN lbl l ON p.p_partkey = l.id),
+        |ranked AS (
+        |  SELECT comp, p_name,
+        |    ROW_NUMBER() OVER (PARTITION BY comp
+        |      ORDER BY LENGTH(p_name) DESC, p_name DESC) AS rk
+        |  FROM f)
+        |SELECT f.comp, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  MIN(f.p_partkey) AS canonical_id,
+        |  MIN(r.p_name) AS longest_name,
+        |  MAX(f.price_cents) AS max_price_cents
+        |FROM f JOIN ranked r ON f.comp = r.comp AND r.rk = 1
+        |GROUP BY f.comp ORDER BY f.comp""".stripMargin
   )
 }
