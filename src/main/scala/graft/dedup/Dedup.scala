@@ -375,6 +375,80 @@ object Dedup {
       .agg(first(col("a_nm")).as("a_name"), first(col("b_nm")).as("b_name"),
         first(col("dist")).as("dist"))
 
+  /** DELTA edit-distance pairs: every pair within `k` that TOUCHES a
+    * new record, with NO old×old candidate work — the
+    * [[minhashNearDupsDelta]] maintenance contract for the record-
+    * linkage family. One role assignment suffices: the PassJoin
+    * pigeonhole holds with EITHER record as the probe (if ed(a,b) ≤ k,
+    * some even segment of the probe is unedited and appears in the
+    * other string within the alignment bound — the same theorem the
+    * full form relies on when it keeps only the probe-id < index-id
+    * orientation), so new-as-probe × all-as-index reaches every pair
+    * containing a new record, including new×new. Join work is
+    * delta-bounded (every candidate includes a new probe); the old
+    * side pays one linear substring-generation pass — the same "narrow
+    * scan of the maintained store" cost shape as the signature-store
+    * delta, with the same production fix available (persist the
+    * substring index, prune by segment key). Union with the EXISTING
+    * pair set reproduces [[editDistancePairs]] over the full table
+    * exactly (DedupSpec + the q257 gate). */
+  def editDistancePairsDelta(
+      oldRows: DataFrame, newRows: DataFrame, id: Column, name: Column,
+      block: Column, k: Int): DataFrame = {
+    val o = oldRows.select(id.as("rid"), name.as("nm"), block.as("blk"))
+    val n = newRows.select(id.as("rid"), name.as("nm"), block.as("blk"))
+    editDistanceCandidatesRawSides(n, o.unionByName(n), k)
+      .withColumn("dist", levenshtein(col("a_nm"), col("b_nm"), k).cast("long"))
+      .filter(col("dist") >= 0)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(first(col("a_nm")).as("a_name"), first(col("b_nm")).as("b_name"),
+        first(col("dist")).as("dist"))
+  }
+
+  /** [[editDistanceCandidatesRaw]] with DISTINCT probe and index
+    * relations (both pre-shaped to (rid, nm, blk)): probe segments from
+    * `probeRows`, substring index from `indexRows`. Pair orientation
+    * stays canonical (a_id < b_id over the pooled ids), so candidates
+    * from the two delta role assignments union cleanly. */
+  private def editDistanceCandidatesRawSides(
+      probeRows: DataFrame, indexRows: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 4, s"segment filter sized for k in [1,4], got $k")
+    val nSeg = k + 1
+    val probes = probeRows
+      .select(col("rid").as("p_id"), col("nm").as("p_nm"),
+        col("blk"), length(col("nm")).as("a_len"),
+        explode(array((0 until nSeg).map(lit): _*)).as("seg_i"))
+      .withColumn("s0", expr(s"(seg_i * a_len) div $nSeg"))
+      .withColumn("s1", expr(s"((seg_i + 1) * a_len) div $nSeg"))
+      .filter(col("s1") > col("s0"))
+      .select(col("p_id"), col("p_nm"), col("blk"), col("a_len"),
+        col("seg_i"), expr("substring(p_nm, s0 + 1, s1 - s0)").as("seg"))
+    val combos = for {
+      dl <- -k to k; i <- 0 until nSeg; off <- -k to k
+      if math.abs(off) + math.abs(off + dl) <= k
+    } yield struct(lit(dl).as("dl"), lit(i).as("seg_i"), lit(off).as("off"))
+    val index = indexRows
+      .select(col("rid").as("i_id"), col("nm").as("i_nm"),
+        col("blk"), length(col("nm")).as("b_len"),
+        explode(array(combos: _*)).as("c"))
+      .withColumn("a_len", col("b_len") + col("c.dl"))
+      .withColumn("seg_i", col("c.seg_i"))
+      .withColumn("s0", expr(s"(seg_i * a_len) div $nSeg + c.off"))
+      .withColumn("s1", expr(s"((seg_i + 1) * a_len) div $nSeg + c.off"))
+      .filter(col("a_len") >= 1 && col("s1") > col("s0") &&
+        col("s0") >= 0 && col("s1") <= col("b_len"))
+      .select(col("i_id"), col("i_nm"), col("blk"), col("a_len"),
+        col("seg_i"), expr("substring(i_nm, s0 + 1, s1 - s0)").as("seg"))
+    probes.join(index, Seq("blk", "a_len", "seg_i", "seg"))
+      .filter(col("p_id") =!= col("i_id"))
+      .select(least(col("p_id"), col("i_id")).as("a_id"),
+        greatest(col("p_id"), col("i_id")).as("b_id"),
+        when(col("p_id") < col("i_id"), col("p_nm")).otherwise(col("i_nm"))
+          .as("a_nm"),
+        when(col("p_id") < col("i_id"), col("i_nm")).otherwise(col("p_nm"))
+          .as("b_nm"))
+  }
+
   /** PAIR-ALIGNED maximal shared substrings — the cross-width extension
     * of [[repeatedSpans]] (round-6 verdict #8). repeatedSpans proves
     * every window of a span repeats SOMEWHERE; this operator proves the

@@ -185,6 +185,27 @@ object ExtrasQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // -- incremental maintenance of the q131 linkage pair set (the
+    //    q130/q244 invariant for the record-linkage family): 80% of the
+    //    parts are the existing ledger's corpus, the rest arrive as the
+    //    ingest window; stored pairs (base-only recompute stands in for
+    //    the persisted ledger) union the DELTA pairs — every pair
+    //    touching a new record, generated with NO old×old candidate
+    //    work (Dedup.editDistancePairsDelta — new-as-probe suffices:
+    //    the PassJoin pigeonhole holds with either record as probe).
+    //    Oracle = the full-corpus q131 recomputation: incremental ≡
+    //    full.
+    "q257_fuzzy_match_delta" -> { (s, d) =>
+      val p = Tables.part(s, d)
+      val base = p.filter(col("p_partkey") % 5 =!= 0)
+      val delta = p.filter(col("p_partkey") % 5 === 0)
+      graft.dedup.Dedup.editDistancePairs(base, col("p_partkey"),
+          col("p_name"), col("p_brand"), k = 2)
+        .unionByName(graft.dedup.Dedup.editDistancePairsDelta(base, delta,
+          col("p_partkey"), col("p_name"), col("p_brand"), k = 2))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // -- entity resolution END-TO-END — the golden-record composition
     //    (blocking → fuzzy pairs → components → survivorship) every MDM
     //    / record-linkage pipeline ships as one unit: q131's lossless
@@ -321,6 +342,17 @@ object ExtrasQueries {
         |ORDER BY source, metric""".stripMargin,
 
     "q131_fuzzy_match" ->
+      """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+        |  a.p_name AS a_name, b.p_name AS b_name,
+        |  CAST(LEVENSHTEIN(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_partkey < b.p_partkey AND a.p_brand = b.p_brand
+        | AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
+        |WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 2
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // incremental ≡ full: the identical all-pairs recomputation.
+    "q257_fuzzy_match_delta" ->
       """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
         |  a.p_name AS a_name, b.p_name AS b_name,
         |  CAST(LEVENSHTEIN(a.p_name, b.p_name) AS BIGINT) AS dist

@@ -512,4 +512,27 @@ class DedupSpec extends AnyFunSuite {
     assert((basePairs ++ delta) == full)
     assert(delta.nonEmpty && basePairs.nonEmpty)
   }
+
+  test("edit-distance delta pairs touch only new records; base ∪ delta " +
+      "≡ full recompute (one probe role suffices)") {
+    val p = graft.util.Tables.part(spark, "/root/testdata/sf0.001")
+    val base = p.filter(col("p_partkey") % 5 =!= 0)
+    val delta = p.filter(col("p_partkey") % 5 === 0)
+    def pset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    val full = pset(Dedup.editDistancePairs(p, col("p_partkey"),
+      col("p_name"), col("p_brand"), k = 2))
+    val basePairs = pset(Dedup.editDistancePairs(base, col("p_partkey"),
+      col("p_name"), col("p_brand"), k = 2))
+    val dp = pset(Dedup.editDistancePairsDelta(base, delta,
+      col("p_partkey"), col("p_name"), col("p_brand"), k = 2))
+    val newIds = delta.select(col("p_partkey")).collect()
+      .map(_.getLong(0)).toSet
+    assert(dp.forall { case (a, b, _) => newIds(a) || newIds(b) },
+      "delta pairs must all touch a new record — no old×old leakage")
+    assert((basePairs ++ dp) == full,
+      s"missing=${(full -- basePairs -- dp).take(5)} " +
+        s"extra=${((basePairs ++ dp) -- full).take(5)}")
+    assert(dp.nonEmpty && basePairs.nonEmpty)
+  }
 }
