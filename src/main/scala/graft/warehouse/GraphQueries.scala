@@ -123,6 +123,16 @@ object GraphQueries {
     * multiplicities match [[basketPairs]] exactly: equal items never
     * pair, cross-slice multiplicity = lines_u × lines_v. */
   def edgeDeltaFold(state: DataFrame, baseItems: DataFrame,
+      deltaItems: DataFrame, orderCol: String, itemCol: String): DataFrame =
+    graft.cdc.IvmFold.mergeCounts(state,
+      edgeDelta(baseItems, deltaItems, orderCol, itemCol),
+      Seq("u", "v"), Seq("n_ab" -> "dn"))
+
+  /** The Δ-pair COUNTS alone — [[edgeDeltaFold]]'s bilinear expansion
+    * (base ⋈ Δ on touched baskets ∪ C(Δ, 2)) without the merge, so a
+    * DELTA-STORE layout ([[GraphStore]]) can append it as an immutable
+    * slice instead of rewriting the merged state per fold. */
+  private[warehouse] def edgeDelta(baseItems: DataFrame,
       deltaItems: DataFrame, orderCol: String, itemCol: String): DataFrame = {
     val bd = baseItems.as("a")
       .join(broadcast(deltaItems.select(col(orderCol)).distinct()), Seq(orderCol),
@@ -137,10 +147,8 @@ object GraphQueries {
         col(s"a.$orderCol") === col(s"b.$orderCol") &&
           col(s"a.$itemCol") < col(s"b.$itemCol"))
       .select(col(s"a.$itemCol").as("u"), col(s"b.$itemCol").as("v"))
-    val delta = bd.unionAll(dd)
+    bd.unionAll(dd)
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("dn"))
-    graft.cdc.IvmFold.mergeCounts(state, delta, Seq("u", "v"),
-      Seq("n_ab" -> "dn"))
   }
 
   /** q239's maintained base: the pre-window line items and their pair
@@ -156,6 +164,20 @@ object GraphQueries {
       val pairs = basketPairs(items, "l_orderkey", "l_partkey").persist()
       items.count(); pairs.count() // materialize (warmAll runs untimed)
       EdgeBase(items, pairs)
+    }
+
+  /** The q258 PERSISTED graph store, seeded with the pre-window lines
+    * (the ledgerStoreDir pattern for the edge substrate; q239 gates the
+    * in-memory fold, q258 gates the fold THROUGH PARQUET plus the
+    * delta-store compaction). */
+  private[graft] def graphStoreDir(s: SparkSession, d: String): String =
+    graft.util.Maintenance.getOrBuild("graphStoreSeed", s, d) {
+      val dir = java.nio.file.Files.createTempDirectory("graftgraph").toString
+      GraphStore.maintainBatch(
+        Tables.lineitem(s, d).filter(col("l_linenumber") <= 3)
+          .select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey"), col("l_partkey"), dir, batchId = 0L)
+      dir
     }
 
   /** MAINTAINED LPA community labeling over the maintained graph — the
@@ -571,6 +593,26 @@ object GraphQueries {
         .orderBy(col("u"), col("v"))
     },
 
+    // -- q239 THROUGH THE PERSISTED DELTA-STORE (round 10 — the graph
+    //    substrate's q248): the store seeds on the pre-window lines
+    //    ([[graphStoreDir]] memo), this query folds the window through
+    //    the disk path (Δ-pair slice + items slice, one atomic commit;
+    //    replay no-op on repeat), COMPACTS the window into a
+    //    pre-aggregated slice, and reads the merged thresholded edge
+    //    list. Oracle = q239's full rebuild: incremental-through-
+    //    parquet-then-compacted ≡ full.
+    "q258_graph_store_fold" -> { (s, d) =>
+      val dir = graphStoreDir(s, d)
+      GraphStore.maintainBatch(
+        Tables.lineitem(s, d).filter(col("l_linenumber") > 3)
+          .select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey"), col("l_partkey"), dir, batchId = 1L)
+      GraphStore.compact(s, dir)
+      GraphStore.load(s, dir)._2
+        .filter(col("n_ab") >= MinCoOccurrence)
+        .orderBy(col("u"), col("v"))
+    },
+
     // -- modularity of the q222 communities (partition-quality scalar),
     //    probing the MAINTAINED labeling (community assignments are
     //    refreshed state, like the edge table itself).
@@ -724,6 +766,15 @@ object GraphQueries {
 
     // The full-rebuild pair counts — incremental ≡ rebuild is the gate.
     "q239_incremental_edges" ->
+      s"""SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n_ab
+        |FROM lineitem a
+        |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING COUNT(*) >= $MinCoOccurrence
+        |ORDER BY u, v""".stripMargin,
+
+    // The same full rebuild: the disk fold + compact must be invisible.
+    "q258_graph_store_fold" ->
       s"""SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n_ab
         |FROM lineitem a
         |JOIN lineitem b ON a.l_orderkey = b.l_orderkey

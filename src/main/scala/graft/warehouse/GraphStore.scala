@@ -1,0 +1,145 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Generations
+
+/** Persisted GRAPH SUBSTRATE with incremental maintenance — the disk
+  * face of q239's maintained co-purchase edge state, completing the
+  * maintained-substrate set on the graph side (text ledger →
+  * [[graft.dedup.LedgerStore]], semantic ledger → SemLedgerStore, ANN →
+  * IndexStore, retrieval → [[graft.text.PostingsStore]]; the edge table
+  * every graph-analytics query probes → here).
+  *
+  * Layout — a DELTA-STORE (LSM-shaped): pair COUNTS are a merge, not an
+  * append, so a fold persists only its Δ-counts slice and readers merge
+  * at load; [[compact]] folds the window into one pre-aggregated slice.
+  * {{{
+  *   dir/_graft_graph_meta.json  <- pointer (batch ledger + slice window)
+  *   dir/items/slice=S/          <- parquet (ord, item)   (the fold's lines)
+  *   dir/pairs/slice=S/          <- parquet (u, v, dn)    (the fold's Δ-counts)
+  * }}}
+  *
+  * A fold runs the bilinear expansion ([[GraphQueries.edgeDelta]]:
+  * base ⋈ Δ restricted to touched baskets ∪ C(Δ, 2)) against the LIVE
+  * items store and appends both slices before one atomic pointer
+  * commit; write volume tracks the delta. Readers apply the
+  * co-occurrence threshold at probe time (state keeps all counts — a
+  * pair at 1 must be able to cross the floor later). Replays are no-ops
+  * via the batch-id ledger. Contract: a line item folds exactly once
+  * (disjoint delta batches — the LedgerStore/PostingsStore identity
+  * rule).
+  */
+object GraphStore {
+
+  private val MetaName = "_graft_graph_meta.json"
+  private val Format = "graft-graph-v1"
+
+  final case class Meta(format: String, batch: Long, sliceBase: Long,
+      slices: Long)
+
+  private val MetaRe =
+    ("""\{"format": "([^"]+)", "batch": (-?[0-9]+), """ +
+      """"sliceBase": ([0-9]+), "slices": ([0-9]+)\}""").r
+
+  private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
+    Generations.readPointer(spark, dir, MetaName).map {
+      case MetaRe(f, b, sb, sl) => Meta(f, b.toLong, sb.toLong, sl.toLong)
+      case other => sys.error(
+        s"unparseable graph manifest at $dir/$MetaName: '${other.take(120)}' " +
+          "(refusing to guess — the pointer is the commit)")
+    }
+
+  private def commitMeta(spark: SparkSession, dir: String, m: Meta): Unit =
+    Generations.commit(spark, dir, MetaName,
+      s"""{"format": "$Format", "batch": ${m.batch}, """ +
+        s""""sliceBase": ${m.sliceBase}, "slices": ${m.slices}}""")
+
+  private def live(spark: SparkSession, dir: String, sub: String,
+      m: Meta): DataFrame =
+    spark.read.parquet(s"$dir/$sub")
+      .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
+      .drop("slice")
+
+  def meta(spark: SparkSession, dir: String): Option[Meta] =
+    readMeta(spark, dir)
+
+  /** Fold one batch of NEW basket lines (ord, item) into the store:
+    * Δ-pair expansion against the live items, two appended slices, one
+    * atomic commit. Empty batches and crash replays are no-ops. */
+  def maintainBatch(batch: DataFrame, ord: Column, item: Column,
+      dir: String, batchId: Long = -1L): Option[Long] = {
+    val spark = batch.sparkSession
+    val items = batch.select(ord.as("ord"), item.as("item"))
+    if (items.isEmpty) return None
+    val prev = readMeta(spark, dir)
+    prev match {
+      case Some(m) if batchId >= 0 && batchId <= m.batch => return None
+      case _ => ()
+    }
+    val m = prev.getOrElse(Meta(Format, -1L, sliceBase = 0L, slices = 0L))
+    val baseItems =
+      if (m.slices == m.sliceBase)
+        items.limit(0) // seed: no live items yet
+      else live(spark, dir, "items", m)
+    val sliceId = m.slices
+    GraphQueries.edgeDelta(baseItems, items, "ord", "item")
+      .write.mode("overwrite").parquet(s"$dir/pairs/slice=$sliceId")
+    items.write.mode("overwrite").parquet(s"$dir/items/slice=$sliceId")
+    commitMeta(spark, dir, m.copy(batch = batchId, slices = sliceId + 1))
+    Some(sliceId)
+  }
+
+  /** Continuous substrate maintenance: one fold per micro-batch,
+    * exactly-once via the manifest's batch-id ledger. */
+  def maintainStream(lines: DataFrame, ord: Column, item: Column,
+      dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    lines.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        maintainBatch(df, ord, item, dir, batchId = bid)
+        ()
+      }
+      .start()
+
+  /** Load the current state: (live items, MERGED pair counts (u, v,
+    * n_ab) — the Δ-slices aggregated; the read-side merge is the
+    * delta-store trade [[compact]] amortizes). Readers apply their
+    * co-occurrence floor on n_ab. */
+  def load(spark: SparkSession, dir: String): (DataFrame, DataFrame, Meta) = {
+    val m = readMeta(spark, dir).getOrElse(
+      sys.error(s"no committed graph store at $dir (missing $MetaName)"))
+    require(m.format == Format, s"$dir holds '${m.format}', expected $Format")
+    (live(spark, dir, "items", m),
+      live(spark, dir, "pairs", m)
+        .groupBy(col("u"), col("v")).agg(sum(col("dn")).as("n_ab")), m)
+  }
+
+  /** Merge the live window into ONE slice per store — the pair slice
+    * lands PRE-AGGREGATED, so post-compact loads skip the read-side
+    * merge for everything up to the compaction point. Atomic window
+    * advance; ledger unchanged; superseded slices stay until
+    * [[vacuumSlices]]. */
+  def compact(spark: SparkSession, dir: String): Option[Long] =
+    readMeta(spark, dir) match {
+      case Some(m) if m.slices - m.sliceBase > 1 =>
+        val merged = m.slices
+        live(spark, dir, "pairs", m)
+          .groupBy(col("u"), col("v")).agg(sum(col("dn")).as("dn"))
+          .write.mode("overwrite").parquet(s"$dir/pairs/slice=$merged")
+        live(spark, dir, "items", m).write.mode("overwrite")
+          .parquet(s"$dir/items/slice=$merged")
+        commitMeta(spark, dir, m.copy(sliceBase = merged, slices = merged + 1))
+        Some(merged)
+      case _ => None
+    }
+
+  /** Deferred slice GC below the current window base. */
+  def vacuumSlices(spark: SparkSession, dir: String): Int =
+    readMeta(spark, dir).map { m =>
+      Generations.gcSlices(spark, dir, Seq("items", "pairs"), m.sliceBase)
+    }.getOrElse(0)
+}

@@ -77,7 +77,7 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(names.distinct == names)
     assert(names.toSet == Set("dedupLedger", "incrementalBase", "semanticLedger",
       "ledgerStoreSeed", "ivfIndex", "pqIndex", "ivfPqIndex", "ivfPqBase",
-      "ivfPqStoreSeed", "semStoreSeed", "postingsStoreSeed", "zorderLayout",
+      "ivfPqStoreSeed", "semStoreSeed", "postingsStoreSeed", "graphStoreSeed", "zorderLayout",
       "bucketedPair", "coPurchasePairs", "lpaLabels", "edgeBase"))
     val report = Maintenance.inspect(spark, "/tmp/spec_uncovered")
     assert(report.map(_.name).toSet == names.toSet)

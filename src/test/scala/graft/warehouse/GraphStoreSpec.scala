@@ -1,0 +1,99 @@
+package graft.warehouse
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.util.Tables
+
+/** The persisted graph substrate (delta-store): folded pair counts ≡ the
+  * full basket-pair rebuild, exactly-once folds, compaction identity
+  * (pre-aggregated slice), vacuum, and the streaming face.
+  */
+class GraphStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private def lines = Tables.lineitem(spark, sf)
+    .select(col("l_orderkey").as("ord"), col("l_partkey").as("item"),
+      col("l_linenumber").cast("long").as("ln"))
+
+  /** Full line-level rebuild over the folded slices (no threshold). */
+  private def fullPairs(pred: org.apache.spark.sql.Column): Map[(Long, Long), Long] =
+    lines.filter(pred).as("a")
+      .join(lines.filter(pred).as("b"),
+        col("a.ord") === col("b.ord") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("u"), col("b.item").as("v"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  private def storedPairs(dir: String): Map[(Long, Long), Long] =
+    GraphStore.load(spark, dir)._2.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("folds maintain rebuild parity; replays are no-ops; compact is " +
+      "invisible and pre-aggregates; vacuum retires slices") {
+    val dir = Files.createTempDirectory("graphstore").toString
+    assert(GraphStore.maintainBatch(lines.filter(col("ln") === 1),
+      col("ord"), col("item"), dir, batchId = 0L).contains(0L))
+    assert(storedPairs(dir) == fullPairs(col("ln") === 1))
+    assert(GraphStore.maintainBatch(lines.filter(col("ln") === 2),
+      col("ord"), col("item"), dir, batchId = 1L).contains(1L))
+    assert(storedPairs(dir) == fullPairs(col("ln") <= 2))
+    assert(GraphStore.maintainBatch(lines.filter(col("ln") > 2),
+      col("ord"), col("item"), dir, batchId = 2L).contains(2L))
+    val full = fullPairs(lit(true))
+    assert(storedPairs(dir) == full)
+    // replay no-op
+    assert(GraphStore.maintainBatch(lines.filter(col("ln") > 2),
+      col("ord"), col("item"), dir, batchId = 2L).isEmpty)
+    assert(storedPairs(dir) == full)
+    // compact: window [0,3) -> one pre-aggregated slice; data identical
+    val mB = GraphStore.meta(spark, dir).get
+    assert(mB.sliceBase == 0L && mB.slices == 3L)
+    assert(GraphStore.compact(spark, dir).contains(3L))
+    val mA = GraphStore.meta(spark, dir).get
+    assert(mA.sliceBase == 3L && mA.slices == 4L && mA.batch == 2L)
+    assert(storedPairs(dir) == full)
+    // the merged pair slice is PRE-aggregated: one row per (u, v)
+    val slice3 = spark.read.parquet(s"$dir/pairs/slice=3")
+    assert(slice3.count() == slice3.select(col("u"), col("v")).distinct().count())
+    // replay stays a no-op through the compact; 1-slice window no-ops
+    assert(GraphStore.maintainBatch(lines.filter(col("ln") > 2),
+      col("ord"), col("item"), dir, batchId = 2L).isEmpty)
+    assert(GraphStore.compact(spark, dir).isEmpty)
+    // vacuum retires slices 0..2 from both stores
+    assert(new java.io.File(s"$dir/pairs/slice=0").exists())
+    assert(GraphStore.vacuumSlices(spark, dir) == 6)
+    assert(!new java.io.File(s"$dir/pairs/slice=0").exists())
+    assert(storedPairs(dir) == full)
+    // a post-compact fold still folds correctly (items store intact)
+    // — re-fold an already-known slice under a NEW batch id would
+    // double-count by the disjointness contract, so fold nothing here;
+    // instead assert the live items survived the compact
+    assert(GraphStore.load(spark, dir)._1.count() == lines.count())
+  }
+
+  test("streaming maintenance: the substrate follows the arriving lines") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graphstream").toString
+    val ckpt = Files.createTempDirectory("graphckpt").toString
+    val rows = lines.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ms = MemoryStream[(Long, Long, Long)]
+    val q = GraphStore.maintainStream(
+      ms.toDF().toDF("ord", "item", "ln"), col("ord"), col("item"),
+      dir, ckpt)
+    try {
+      ms.addData(rows.filter(_._3 <= 2).toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(rows.filter(_._3 > 2).toSeq: _*)
+      q.processAllAvailable()
+      assert(storedPairs(dir) == fullPairs(lit(true)))
+    } finally q.stop()
+  }
+}
