@@ -607,12 +607,20 @@ object Apply {
 
   /** Read a [[startMerge]] table through its manifest. Listing the tree
     * instead would also surface generations that were written but never
-    * committed (a crashed batch) — the manifest IS the table. */
+    * committed (a crashed batch) — the manifest IS the table.
+    *
+    * `mergeSchema`: after a SCHEMA-EVOLVED restart (round 10 — see the
+    * evolution spec) touched buckets carry the widened schema while
+    * untouched buckets keep their pre-evolution files; the default
+    * single-file schema sample would silently DROP the new column
+    * whenever it sampled an old bucket. Footer-level merge is metadata
+    * I/O only. */
   def readMergeTable(spark: SparkSession, tableDir: String): DataFrame = {
     val dirs = bucketDirs(spark, tableDir)
     require(dirs.nonEmpty,
       s"$tableDir has no committed buckets (missing or empty manifest)")
-    spark.read.parquet(dirs.values.map(_.toString).toSeq: _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(dirs.values.map(_.toString).toSeq: _*)
   }
 
   private def addVersion(schema: StructType,

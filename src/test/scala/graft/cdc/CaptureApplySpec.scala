@@ -136,6 +136,49 @@ class CaptureApplySpec extends AnyFunSuite {
     assert(byId == Map("a" -> 10.0, "c" -> 3.0)) // b deleted, a upserted
   }
 
+  test("schema evolution on merge restart: a widened payload reads old " +
+      "generations as null, upserts carry the new column, and the table " +
+      "read merges mixed-schema buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("merge-evolve") + "/t"
+    // phase 1: the v1 writer lands several keys (spread across buckets)
+    val ms1 = MemoryStream[Env]
+    val q1 = Apply.startMerge(ms1.toDF(), table, tmp("ck-ev1"),
+      keyCol = "id", versionCol = "ts", schema = afterSchema)
+    ms1.addData(
+      env("INSERT", "a", 1.0).copy(ts = ts(100)),
+      env("INSERT", "b1", 2.0).copy(ts = ts(100)),
+      env("INSERT", "b2", 3.0).copy(ts = ts(100)),
+      env("INSERT", "b3", 4.0).copy(ts = ts(100)))
+    q1.processAllAvailable(); q1.stop()
+    // phase 2: upstream ALTER adds `region` — restart the writer with
+    // the widened schema (a fixed-schema streaming query cannot widen
+    // in place; evolution-on-restart is the declared contract)
+    val afterSchema2 = Seq(Env2("INSERT", "x",
+        After2("x", "tick", 1.0, "eu"), ts(1)))
+      .toDF().schema("after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val ms2 = MemoryStream[Env2]
+    val q2 = Apply.startMerge(ms2.toDF(), table, tmp("ck-ev2"),
+      keyCol = "id", versionCol = "ts", schema = afterSchema2)
+    ms2.addData(
+      Env2("MODIFY", "a", After2("a", "tick", 10.0, "eu"), ts(200)),
+      Env2("INSERT", "d", After2("d", "tick", 5.0, "us"), ts(200)))
+    q2.processAllAvailable(); q2.stop()
+    // the merged table: evolved rows carry region, pre-evolution rows
+    // read it as null — even though untouched buckets still hold v1
+    // files (mergeSchema on the manifest read; before round 10 the
+    // single-file schema sample could silently DROP the new column)
+    val landed = Apply.readMergeTable(spark, table)
+    assert(landed.columns.contains("region"),
+      "the widened column must survive the mixed-schema table read")
+    val rows = landed.collect().map(r => r.getAs[String]("id") ->
+      (r.getAs[Double]("price"), Option(r.getAs[String]("region")))).toMap
+    assert(rows == Map(
+      "a" -> (10.0, Some("eu")), "d" -> (5.0, Some("us")),
+      "b1" -> (2.0, None), "b2" -> (3.0, None), "b3" -> (4.0, None)))
+  }
+
   test("partition-scoped merge: a batch leaves untouched buckets byte-identical") {
     implicit val sqlCtx = spark.sqlContext
     val table = tmp("merge-buckets") + "/t"

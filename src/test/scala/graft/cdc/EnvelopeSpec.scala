@@ -7,6 +7,10 @@ import graft.TestSpark
 
 case class After(id: String, ticker: String, price: Double)
 case class Env(op: String, key: String, after: After, ts: java.sql.Timestamp)
+/** The WIDENED payload for the schema-evolution spec: upstream added
+  * `region` mid-stream (the classic additive ALTER). */
+case class After2(id: String, ticker: String, price: Double, region: String)
+case class Env2(op: String, key: String, after: After2, ts: java.sql.Timestamp)
 
 class EnvelopeSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
