@@ -316,6 +316,72 @@ object Apply {
     }
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN sweep — the compliance DELETE every
+    * warehouse needs next to MERGE/COMPACT/RESTORE (Delta `DELETE` +
+    * `VACUUM` in one verb): physically rewrite every bucket containing
+    * one of `keys`, dropping their rows, and commit through the same
+    * manifest protocol. Only TOUCHED buckets rewrite (the keys bucket
+    * by the table's own hash — ≤ nBuckets driver ints decide the scope);
+    * untouched buckets keep their files byte-identical. Returns the
+    * number of rows removed.
+    *
+    * Compliance semantics, stated honestly: the purge is LOGICALLY
+    * immediate (no current reader sees the rows after the commit) but
+    * PHYSICALLY complete only when the superseded generations leave the
+    * grace-windowed retirement ledger — pass `gcGraceMs = 0` to delete
+    * them in the same call. Archived history snapshots that referenced
+    * the purged generations then fail loudly on [[restore]] (the
+    * fail-closed contract) instead of resurrecting purged data. */
+  def purgeKeys(spark: SparkSession, tableDir: String, keys: DataFrame,
+      keyCol: String, gcGraceMs: Long = DefaultGcGraceMs): Long = {
+    import org.apache.spark.sql.functions._
+    val hc = graft.util.Hfs.conf(spark)
+    val root = new HPath(tableDir)
+    val m = readMeta(root, hc).getOrElse(
+      sys.error(s"$tableDir is not a merge table (no $MetaName)"))
+    if (m.layout != LayoutV2)
+      sys.error(s"$tableDir has unknown layout '${m.layout}': refusing to purge")
+    val bucketOf = (c: org.apache.spark.sql.Column) =>
+      pmod(xxhash64(c), lit(m.nBuckets)).cast("int")
+    // the keys must carry the TABLE's key type: the bucket hash is
+    // type-sensitive (xxhash64 of 5L ≠ of "5"), same as the merge path
+    val keyed = keys.select(col(keyCol).as("_purge_key"))
+      .distinct()
+      .withColumn("_b", bucketOf(col("_purge_key")))
+    // bounded driver metadata: at most nBuckets distinct ints
+    val touched = keyed.select(col("_b")).distinct()
+      .collect().map(_.getInt(0)).toSet intersect m.buckets.keySet
+    if (touched.isEmpty) return 0L
+    val current = touched.toSeq.sorted.map { b =>
+      spark.read.parquet(new HPath(root, s"gen=${m.buckets(b)}/_bucket=$b").toString)
+        .withColumn("_bucket", lit(b))
+    }.reduce(_.unionByName(_))
+    val nBefore = current.count()
+    val remaining = current.join(
+      keyed.select(col("_purge_key")),
+      col(keyCol) === col("_purge_key"), "left_anti")
+    val gen = (rootGenNumbers(root, hc) ++ m.buckets.values ++ Seq(-1L)).max + 1
+    val genDir = new HPath(root, s"gen=$gen")
+    remaining.write.partitionBy("_bucket").mode("overwrite")
+      .parquet(genDir.toString)
+    // a touched bucket whose rows all purged has no output dir and
+    // drops out of the manifest (the merge-batch convention)
+    val written = graft.util.Hfs.list(genDir, hc)
+      .filter(_.getPath.getName.startsWith("_bucket="))
+      .map(_.getPath.getName.stripPrefix("_bucket=").toInt).toSet
+    val nAfter =
+      if (written.isEmpty) 0L
+      else spark.read.parquet(genDir.toString).count()
+    val newGens = (m.buckets -- touched) ++
+      touched.filter(written).map(_ -> gen)
+    val live = newGens.toSeq.map { case (b, g) => (g, b) }.toSet
+    val (keep, drop) = splitRetired(root, live, m.retired, gcGraceMs, hc)
+    writeManifest(root, m.nBuckets, newGens, keep, m.commitId + 1, hc,
+      archive = true)
+    gcDirs(root, drop, hc)
+    nBefore - nAfter
+  }
+
   /** RESTORE a committed snapshot as the NEW current state — the table
     * format's RESTORE verb (Delta `RESTORE TABLE ... TO VERSION AS OF`):
     * a METADATA-ONLY commit whose bucket map is the archived snapshot's.

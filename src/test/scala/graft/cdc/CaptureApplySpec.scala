@@ -179,6 +179,39 @@ class CaptureApplySpec extends AnyFunSuite {
       "b1" -> (2.0, None), "b2" -> (3.0, None), "b3" -> (4.0, None)))
   }
 
+  test("purgeKeys: physical right-to-be-forgotten sweep — touched " +
+      "buckets rewrite, untouched keep their generation, gcGraceMs=0 " +
+      "destroys superseded files and pre-purge restore fails closed") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("merge-purge") + "/t"
+    val ms = MemoryStream[Env]
+    val q = Apply.startMerge(ms.toDF(), table, tmp("ck-purge"),
+      keyCol = "id", versionCol = "ts", schema = afterSchema)
+    ms.addData((1 to 8).map(i =>
+      env("INSERT", s"k$i", i.toDouble).copy(ts = ts(100))): _*)
+    q.processAllAvailable(); q.stop()
+    val preCommit = Apply.commits(spark, table).max
+    val before = Apply.readMergeTable(spark, table)
+    assert(before.count() == 8)
+    // purge two subjects with ZERO grace: compliance-complete in one call
+    val purged = Apply.purgeKeys(spark, table,
+      Seq("k2", "k5").toDF("id"), "id", gcGraceMs = 0L)
+    assert(purged == 2L)
+    val after = Apply.readMergeTable(spark, table)
+    assert(after.count() == 6)
+    assert(!after.collect().map(_.getAs[String]("id")).toSet("k2"))
+    // purging absent keys is a no-op that reports zero
+    assert(Apply.purgeKeys(spark, table,
+      Seq("nope").toDF("id"), "id", gcGraceMs = 0L) == 0L)
+    // fail-closed history: the pre-purge snapshot's generations were
+    // destroyed by the zero-grace purge, so restoring it fails loudly
+    // instead of resurrecting purged rows
+    val e = intercept[IllegalArgumentException] {
+      Apply.restore(spark, table, preCommit)
+    }
+    assert(e.getMessage.contains("no longer restorable"))
+  }
+
   test("partition-scoped merge: a batch leaves untouched buckets byte-identical") {
     implicit val sqlCtx = spark.sqlContext
     val table = tmp("merge-buckets") + "/t"
