@@ -101,18 +101,40 @@ object LedgerStore {
         s""""sliceBase": ${m.sliceBase}, """ +
         s""""slices": ${m.slices}}""")
 
+  /** Tombstoned doc ids (the [[purgeDocs]] ledger): slices in the live
+    * window; empty when no purge ever ran OR every tombstone slice has
+    * been vacuumed (the dir then exists but holds no slice dirs —
+    * schema inference would fail on it). */
+  private def livePurged(spark: SparkSession, dir: String,
+      m: Meta): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/purged")
+    val hc = graft.util.Hfs.conf(spark)
+    val hasSlices = graft.util.Hfs.exists(p, hc) &&
+      graft.util.Hfs.list(p, hc).exists(_.getPath.getName.startsWith("slice="))
+    if (hasSlices)
+      spark.read.parquet(s"$dir/purged")
+        .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
+        .select(col("id"))
+    else {
+      import spark.implicits._
+      Seq.empty[Long].toDF("id")
+    }
+  }
+
   /** The LIVE signature store: the manifest's slice window, pruned on
-    * the `slice` partition column. */
+    * the `slice` partition column, minus tombstoned docs. */
   private def liveSigs(spark: SparkSession, dir: String, m: Meta): DataFrame =
     spark.read.parquet(s"$dir/sigs")
       .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
       .drop("slice")
+      .join(livePurged(spark, dir, m), Seq("id"), "left_anti")
 
   private def livePostings(spark: SparkSession, dir: String,
       m: Meta): DataFrame =
     spark.read.parquet(s"$dir/postings")
       .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
       .drop("slice")
+      .join(livePurged(spark, dir, m), Seq("id"), "left_anti")
 
   /** Write ONE fold's outputs: the delta slice (sigs + bp-partitioned
     * postings — immutable, appended under `slice=<meta.slices-1>`), the
@@ -166,8 +188,79 @@ object LedgerStore {
     * moved on (the Apply deferred-GC contract). Returns dirs removed. */
   def vacuumSlices(spark: SparkSession, dir: String): Int =
     readMeta(spark, dir).map { m =>
-      Generations.gcSlices(spark, dir, Seq("sigs", "postings"), m.sliceBase)
+      Generations.gcSlices(spark, dir, Seq("sigs", "postings", "purged"),
+        m.sliceBase)
     }.getOrElse(0)
+
+  /** DECREMENTAL ledger maintenance — delete documents from the
+    * persisted dedup state (the [[graft.cdc.Apply.purgeKeys]]
+    * right-to-be-forgotten verb for the LLM-pipeline substrate; round
+    * 10). Deletion is the hard direction of IVM for a components
+    * labeling: removing a doc can SPLIT its component, so the affected
+    * components relabel from their remaining members' stored signatures
+    * — delta-sized work (pairs among the affected members only; every
+    * other component is untouched, because components are closed under
+    * the pair relation, so no cross-component pair can appear).
+    * EXACTNESS CAVEAT: that closure argument needs the UNCAPPED profile
+    * (`maxBucket = Int.MaxValue`, the oracle default); under a
+    * hot-bucket cap a dropped cross-component pair could exist, and the
+    * decremental relabel is the same best-effort the capped forward
+    * fold already is.
+    *
+    * Mechanics: the purged ids land as a TOMBSTONE slice
+    * (`purged/slice=S` — the sig/posting slices stay immutable; every
+    * live read anti-joins the tombstones), the relabeled labels publish
+    * as the next generation, and one atomic pointer commit makes both
+    * visible. Later folds cannot pair against purged docs (their
+    * postings are tombstone-filtered). PHYSICAL removal lands at
+    * [[compact]]: the merged slice is written from the tombstone-
+    * filtered live view, and the superseded tombstones fall out of the
+    * window with the old slices ([[vacuumSlices]] then deletes the
+    * bytes). Purging ids that are absent (or already purged) is a
+    * no-op. Returns the published generation. */
+  def purgeDocs(spark: SparkSession, dir: String, docIds: DataFrame,
+      retainGens: Int = 2): Option[Long] = {
+    val m = readMeta(spark, dir).getOrElse(
+      sys.error(s"no committed ledger at $dir (missing $MetaName)"))
+    val labels = spark.read.parquet(s"$dir/gen=${m.gen}/labels")
+    val targets = docIds.select(docIds.columns.head)
+      .toDF("id").distinct()
+      .join(labels.select(col("id")), Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    if (targets.isEmpty) return None
+    // affected components and their REMAINING members
+    val comps = labels.join(targets, Seq("id"), "left_semi")
+      .select(col("comp")).distinct()
+    val members = labels.join(comps, Seq("comp"), "left_semi")
+      .join(targets, Seq("id"), "left_anti")
+      .select(col("id"))
+    // relabel the affected members from their stored signatures: pairs
+    // among the members (the FromSigs form with an empty old side is
+    // exactly "all pairs within"), then min-label components
+    val sigsM = liveSigs(spark, dir, m)
+      .join(members, Seq("id"), "left_semi").localCheckpoint(true)
+    val pairs = Dedup.minhashNearDupsDeltaFromSigs(
+      sigsM.limit(0), sigsM,
+      m.thresholdPerMille / 1000.0, m.k, m.bands,
+      maxBucketSize = m.maxBucket)
+    val lbl = Dedup.components(pairs, col("a_id"), col("b_id"))
+    val relabeled = members
+      .join(lbl.select(col("id"), col("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    val newLabels = labels.join(comps, Seq("comp"), "left_anti")
+      .select(col("id"), col("comp"))
+      .unionByName(relabeled)
+    // tombstone slice + labels generation + one atomic commit
+    val sliceId = m.slices
+    targets.write.mode("overwrite").parquet(s"$dir/purged/slice=$sliceId")
+    val gen = m.gen + 1
+    newLabels.write.mode("overwrite").parquet(s"$dir/gen=$gen/labels")
+    val n = spark.read.parquet(s"$dir/gen=$gen/labels").count()
+    commitMeta(spark, dir,
+      m.copy(gen = gen, rows = n, slices = sliceId + 1))
+    Generations.gc(spark, dir, gen - (retainGens - 1))
+    Some(gen)
+  }
 
   /** Load the current state: (labels (id, comp), LIVE signature store
     * — the slice union, liveness-pruned — and meta). Probe-ready —

@@ -197,6 +197,60 @@ class LedgerStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("one ledger, one signature family"))
   }
 
+  test("purgeDocs: decremental maintenance — affected components " +
+      "relabel from stored signatures, tombstones block later folds, " +
+      "compact makes the removal physical") {
+    val dir = Files.createTempDirectory("ledgerpurge").toString
+    def slice(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+    def fullRemaining(upTo: Long, gone: Set[Long]): Map[Long, Long] = {
+      val d = docs.filter(col("doc_id") <= upTo &&
+        !col("doc_id").isin(gone.toSeq.map(java.lang.Long.valueOf): _*))
+      val pairs = Dedup.minhashNearDups(d, col("doc_id"), col("text"),
+        threshold = 0.5, bands = 16, maxBucketSize = Int.MaxValue)
+      val lbl = Dedup.components(pairs, col("a_id"), col("b_id"))
+      d.join(lbl.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    LedgerStore.maintainBatch(slice(0, 300), col("doc_id"), col("text"),
+      dir, batchId = 0L)
+    // pick a member of a MULTI-doc component (deletion must relabel its
+    // survivors) and a singleton (trivial path)
+    val byComp = storedLabels(dir).groupBy(_._2)
+    val multi = byComp.values.find(_.size >= 2)
+      .getOrElse(fail("fixture needs a multi-doc component")).keys.toSeq.sorted
+    val singleton = byComp.values.find(_.size == 1).get.keys.head
+    val gone = Set(multi.head, singleton)
+    import spark.implicits._
+    assert(LedgerStore.purgeDocs(spark, dir,
+      gone.toSeq.toDF("doc_id")).nonEmpty)
+    assert(storedLabels(dir) == fullRemaining(300L, gone),
+      "post-purge labels must equal the full recompute on remaining docs")
+    // purging already-purged / absent ids: no-op, no generation burned
+    val genAfter = LedgerStore.load(spark, dir)._3.gen
+    assert(LedgerStore.purgeDocs(spark, dir,
+      (gone + 999999L).toSeq.toDF("doc_id")).isEmpty)
+    assert(LedgerStore.load(spark, dir)._3.gen == genAfter)
+    // later folds cannot pair against tombstoned docs: the invariant
+    // holds for (all folded docs) MINUS the purged set
+    LedgerStore.maintainBatch(slice(300, 2000), col("doc_id"), col("text"),
+      dir, batchId = 1L)
+    assert(storedLabels(dir) == fullRemaining(Long.MaxValue, gone))
+    // compact: identity for readers; PHYSICAL removal — the merged sigs
+    // slice no longer contains the purged ids even on a raw read
+    assert(LedgerStore.compact(spark, dir).nonEmpty)
+    assert(storedLabels(dir) == fullRemaining(Long.MaxValue, gone))
+    val m = LedgerStore.load(spark, dir)._3
+    val rawIds = spark.read.parquet(s"$dir/sigs")
+      .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(gone.forall(!rawIds(_)),
+      "compact must rewrite the store without the purged rows")
+    LedgerStore.vacuumSlices(spark, dir)
+    assert(storedLabels(dir) == fullRemaining(Long.MaxValue, gone))
+  }
+
   test("streaming maintenance: the ledger follows the arriving corpus; " +
       "a loaded reader sees the full-recompute labeling") {
     implicit val ctx = spark.sqlContext
