@@ -75,6 +75,38 @@ object SemLedgerStore {
       .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
       .drop("slice")
 
+  /** Tombstoned vec ids (the [[purgeVecs]] ledger) — empty when no
+    * purge ran or every tombstone slice was vacuumed. */
+  private def livePurged(spark: SparkSession, dir: String,
+      m: Meta): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/purged")
+    val hc = graft.util.Hfs.conf(spark)
+    val hasSlices = graft.util.Hfs.exists(p, hc) &&
+      graft.util.Hfs.list(p, hc).exists(_.getPath.getName.startsWith("slice="))
+    if (hasSlices)
+      spark.read.parquet(s"$dir/purged")
+        .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
+        .select(col("id"))
+    else {
+      import spark.implicits._
+      Seq.empty[Long].toDF("id")
+    }
+  }
+
+  /** The live vectors minus tombstones. */
+  private def liveVecs(spark: SparkSession, dir: String, m: Meta): DataFrame =
+    liveSlices(spark, dir, "vecs", m)
+      .join(livePurged(spark, dir, m), Seq("id"), "left_anti")
+
+  /** The live pair ledger minus every pair touching a tombstoned id. */
+  private def livePairs(spark: SparkSession, dir: String, m: Meta): DataFrame = {
+    val purged = livePurged(spark, dir, m)
+    liveSlices(spark, dir, "pairs", m)
+      .join(purged.select(col("id").as("a_id")), Seq("a_id"), "left_anti")
+      .join(purged.select(col("id").as("b_id")), Seq("b_id"), "left_anti")
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
   private def publish(spark: SparkSession, dir: String, deltaVecs: DataFrame,
       deltaPairs: DataFrame, labels: DataFrame, meta: Meta,
       retainGens: Int): Long = {
@@ -98,9 +130,12 @@ object SemLedgerStore {
     readMeta(spark, dir) match {
       case Some(m) if m.slices - m.sliceBase > 1 =>
         val merged = m.slices
-        liveSlices(spark, dir, "vecs", m).write.mode("overwrite")
+        // merged slices are written from the TOMBSTONE-FILTERED views:
+        // purged rows leave the store physically, and the superseded
+        // tombstone slices fall out of the window with the old slices
+        liveVecs(spark, dir, m).write.mode("overwrite")
           .parquet(s"$dir/vecs/slice=$merged")
-        liveSlices(spark, dir, "pairs", m).write.mode("overwrite")
+        livePairs(spark, dir, m).write.mode("overwrite")
           .parquet(s"$dir/pairs/slice=$merged")
         commitMeta(spark, dir,
           m.copy(sliceBase = merged, slices = merged + 1))
@@ -112,19 +147,66 @@ object SemLedgerStore {
     * grace window (the Apply deferred-GC contract). */
   def vacuumSlices(spark: SparkSession, dir: String): Int =
     readMeta(spark, dir).map { m =>
-      Generations.gcSlices(spark, dir, Seq("vecs", "pairs"), m.sliceBase)
+      Generations.gcSlices(spark, dir, Seq("vecs", "pairs", "purged"),
+        m.sliceBase)
     }.getOrElse(0)
 
   /** Load the current state: (LIVE vectors, LIVE pair ledger — slice
-    * unions, liveness-pruned — current labels, meta). */
+    * unions, liveness-pruned, tombstone-filtered — current labels,
+    * meta). */
   def load(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, Meta) = {
     val m = readMeta(spark, dir).getOrElse(
       sys.error(s"no committed semantic ledger at $dir (missing $MetaName)"))
     require(m.format == Format, s"$dir holds '${m.format}', expected $Format")
-    (liveSlices(spark, dir, "vecs", m),
-      liveSlices(spark, dir, "pairs", m),
+    (liveVecs(spark, dir, m),
+      livePairs(spark, dir, m),
       spark.read.parquet(s"$dir/gen=${m.gen}/labels"), m)
+  }
+
+  /** [[LedgerStore.purgeDocs]]'s embedding twin — decremental semantic-
+    * ledger maintenance: affected components relabel from their
+    * remaining members' STORED VECTORS (the banded sign-LSH pipeline
+    * restricted to the members — exact under the same pair-closure
+    * argument, the ledger's uncapped profile), purged ids land as a
+    * tombstone slice filtering every live read (vectors AND pairs —
+    * later folds cannot pair against purged vectors), [[compact]] makes
+    * the removal physical. No-op for absent/already-purged ids. */
+  def purgeVecs(spark: SparkSession, dir: String, vecIds: DataFrame,
+      retainGens: Int = 2): Option[Long] = {
+    val m = readMeta(spark, dir).getOrElse(
+      sys.error(s"no committed semantic ledger at $dir (missing $MetaName)"))
+    val labels = spark.read.parquet(s"$dir/gen=${m.gen}/labels")
+    val targets = vecIds.select(vecIds.columns.head)
+      .toDF("id").distinct()
+      .join(labels.select(col("id")), Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    if (targets.isEmpty) return None
+    val comps = labels.join(targets, Seq("id"), "left_semi")
+      .select(col("comp")).distinct()
+    val members = labels.join(comps, Seq("comp"), "left_semi")
+      .join(targets, Seq("id"), "left_anti")
+      .select(col("id"))
+    val vecsM = liveVecs(spark, dir, m)
+      .join(members, Seq("id"), "left_semi").localCheckpoint(true)
+    val pairsM = Dedup.lshNearDups(vecsM, col("id"), col("v"),
+      m.nBands, m.planesPerBand, m.dim, m.thresholdPerMille / 1000.0)
+    val lbl = Dedup.components(pairsM, col("a_id"), col("b_id"))
+    val relabeled = members
+      .join(lbl.select(col("id"), col("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    val newLabels = labels.join(comps, Seq("comp"), "left_anti")
+      .select(col("id"), col("comp"))
+      .unionByName(relabeled)
+    val sliceId = m.slices
+    targets.write.mode("overwrite").parquet(s"$dir/purged/slice=$sliceId")
+    val gen = m.gen + 1
+    newLabels.write.mode("overwrite").parquet(s"$dir/gen=$gen/labels")
+    val n = spark.read.parquet(s"$dir/gen=$gen/labels").count()
+    commitMeta(spark, dir,
+      m.copy(gen = gen, rows = n, slices = sliceId + 1))
+    Generations.gc(spark, dir, gen - (retainGens - 1))
+    Some(gen)
   }
 
   /** Fold one batch of NEW vectors (id, embedding) into the persisted

@@ -67,6 +67,55 @@ class SemLedgerStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("one hyperplane family"))
   }
 
+  test("purgeVecs: decremental semantic maintenance — affected " +
+      "components relabel from stored vectors, pair reads exclude " +
+      "tombstones, compact makes removal physical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("semledgerpurge").toString
+    def slice(lo: Long, hi: Long) =
+      embs.filter(col("vec_id") > lo && col("vec_id") <= hi)
+    def fullRemaining(gone: Set[Long]): (Set[(Long, Long)], Map[Long, Long]) = {
+      val e = embs.filter(!col("vec_id").isin(gone.toSeq.map(java.lang.Long.valueOf): _*))
+      val pairs = Dedup.lshNearDups(e, col("vec_id"), col("embedding"),
+        nBands = 4, planesPerBand = 4, dim = 64, threshold = 0.25)
+      val lbl = Dedup.components(pairs, col("a_id"), col("b_id"))
+      val full = e
+        .join(lbl.select(col("id").as("vec_id"), col("comp")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("comp"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet, full)
+    }
+    SemLedgerStore.maintainBatch(slice(0, 499), col("vec_id"),
+      col("embedding"), dir, batchId = 0L)
+    val byComp = stored(dir)._2.groupBy(_._2)
+    val multi = byComp.values.find(_.size >= 2)
+      .getOrElse(fail("fixture needs a multi-vec component")).keys.toSeq.sorted
+    val singleton = byComp.values.find(_.size == 1).get.keys.head
+    val gone = Set(multi.head, singleton)
+    assert(SemLedgerStore.purgeVecs(spark, dir,
+      gone.toSeq.toDF("vec_id")).nonEmpty)
+    val (fp, fl) = fullRemaining(gone)
+    val (sp, sl) = stored(dir)
+    assert(sp == fp, "stored pairs must exclude every pair touching a tombstone")
+    assert(sl == fl, "post-purge labels must equal the recompute on remaining")
+    // no-op re-purge
+    assert(SemLedgerStore.purgeVecs(spark, dir,
+      (gone + 999999L).toSeq.toDF("vec_id")).isEmpty)
+    // compact: identity + physical removal (the tombstone slice counts
+    // toward the window, so a purge alone makes the store compactable)
+    assert(SemLedgerStore.compact(spark, dir).nonEmpty)
+    val m = SemLedgerStore.load(spark, dir)._4
+    val raw = spark.read.parquet(s"$dir/vecs")
+      .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(gone.forall(!raw(_)),
+      "compact must rewrite the store without the purged vectors")
+    SemLedgerStore.vacuumSlices(spark, dir)
+    val (_, slAfter) = stored(dir)
+    assert(gone.forall(!slAfter.contains(_)))
+  }
+
   test("compact: slice window merges, pairs/labels identical, replay " +
       "ledger preserved, vacuum retires superseded slices") {
     val dir = Files.createTempDirectory("semledgercompact").toString

@@ -77,7 +77,8 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(names.distinct == names)
     assert(names.toSet == Set("dedupLedger", "incrementalBase", "semanticLedger",
       "ledgerStoreSeed", "ivfIndex", "pqIndex", "ivfPqIndex", "ivfPqBase",
-      "ivfPqStoreSeed", "semStoreSeed", "postingsStoreSeed", "graphStoreSeed", "zorderLayout",
+      "ivfPqStoreSeed", "semStoreSeed", "postingsStoreSeed", "graphStoreSeed",
+      "linkageLedger", "zorderLayout",
       "bucketedPair", "coPurchasePairs", "lpaLabels", "edgeBase"))
     val report = Maintenance.inspect(spark, "/tmp/spec_uncovered")
     assert(report.map(_.name).toSet == names.toSet)
