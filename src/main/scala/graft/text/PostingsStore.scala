@@ -81,6 +81,25 @@ object PostingsStore {
     spark.read.parquet(s"$dir/$sub")
       .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
       .drop("slice")
+      .join(livePurged(spark, dir, m), Seq("id"), "left_anti")
+
+  /** Tombstoned doc ids (the [[purgeDocs]] ledger) — empty when no
+    * purge ran or every tombstone slice was vacuumed. */
+  private def livePurged(spark: SparkSession, dir: String,
+      m: Meta): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/purged")
+    val hc = graft.util.Hfs.conf(spark)
+    val hasSlices = graft.util.Hfs.exists(p, hc) &&
+      graft.util.Hfs.list(p, hc).exists(_.getPath.getName.startsWith("slice="))
+    if (hasSlices)
+      spark.read.parquet(s"$dir/purged")
+        .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
+        .select(col("id"))
+    else {
+      import spark.implicits._
+      Seq.empty[Long].toDF("id")
+    }
+  }
 
   /** The current manifest, for callers composing their own scoring. */
   def meta(spark: SparkSession, dir: String): Option[Meta] =
@@ -167,8 +186,42 @@ object PostingsStore {
   /** Deferred slice GC below the current window base. */
   def vacuumSlices(spark: SparkSession, dir: String): Int =
     readMeta(spark, dir).map { m =>
-      Generations.gcSlices(spark, dir, Seq("postings", "doclen"), m.sliceBase)
+      Generations.gcSlices(spark, dir, Seq("postings", "doclen", "purged"),
+        m.sliceBase)
     }.getOrElse(0)
+
+  /** DECREMENTAL index maintenance — delete documents from the
+    * persisted inverted index (the purge verb on the retrieval
+    * substrate): purged ids land as a tombstone slice filtering every
+    * live read, and the corpus statistics DECREMENT in the same atomic
+    * commit — BM25's N and Σdl stay exact, so post-purge
+    * [[bm25Query]] still replays the full recompute over the remaining
+    * corpus bit-for-bit (df re-derives from the filtered postings; the
+    * spec pins it). [[compact]] makes the removal physical. No-op for
+    * absent/already-purged ids. Returns (docs removed, tokens removed). */
+  def purgeDocs(spark: SparkSession, dir: String,
+      docIds: DataFrame): Option[(Long, Long)] = {
+    val m = readMeta(spark, dir).getOrElse(
+      sys.error(s"no committed postings store at $dir (missing $MetaName)"))
+    val targets = docIds.select(docIds.columns.head)
+      .toDF("id").distinct()
+      .join(live(spark, dir, "doclen", m).select(col("id")),
+        Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    if (targets.isEmpty) return None
+    // the purged docs' stats, from the store itself — the decrement the
+    // manifest commit carries
+    val gone = live(spark, dir, "doclen", m)
+      .join(targets, Seq("id"), "left_semi")
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    val (nd, nt) = (gone.getLong(0), gone.getLong(1))
+    val sliceId = m.slices
+    targets.write.mode("overwrite").parquet(s"$dir/purged/slice=$sliceId")
+    commitMeta(spark, dir, m.copy(
+      nDocs = m.nDocs - nd, totTokens = m.totTokens - nt,
+      slices = sliceId + 1))
+    Some((nd, nt))
+  }
 
   /** BM25 top-k served FROM THE STORE — [[LmQueries.bm25]]'s formula
     * (same rational IDF, same k1/b literals, same sorted-term IEEE

@@ -62,6 +62,28 @@ object GraphStore {
       .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
       .drop("slice")
 
+  /** Tombstoned basket ids (the [[purgeOrders]] ledger). */
+  private def livePurgedOrds(spark: SparkSession, dir: String,
+      m: Meta): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/purged")
+    val hc = graft.util.Hfs.conf(spark)
+    val hasSlices = graft.util.Hfs.exists(p, hc) &&
+      graft.util.Hfs.list(p, hc).exists(_.getPath.getName.startsWith("slice="))
+    if (hasSlices)
+      spark.read.parquet(s"$dir/purged")
+        .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
+        .select(col("ord"))
+    else {
+      import spark.implicits._
+      Seq.empty[Long].toDF("ord")
+    }
+  }
+
+  /** The live basket lines minus tombstoned baskets. */
+  private def liveItems(spark: SparkSession, dir: String, m: Meta): DataFrame =
+    live(spark, dir, "items", m)
+      .join(livePurgedOrds(spark, dir, m), Seq("ord"), "left_anti")
+
   def meta(spark: SparkSession, dir: String): Option[Meta] =
     readMeta(spark, dir)
 
@@ -82,7 +104,7 @@ object GraphStore {
     val baseItems =
       if (m.slices == m.sliceBase)
         items.limit(0) // seed: no live items yet
-      else live(spark, dir, "items", m)
+      else liveItems(spark, dir, m)
     val sliceId = m.slices
     GraphQueries.edgeDelta(baseItems, items, "ord", "item")
       .write.mode("overwrite").parquet(s"$dir/pairs/slice=$sliceId")
@@ -113,9 +135,10 @@ object GraphStore {
     val m = readMeta(spark, dir).getOrElse(
       sys.error(s"no committed graph store at $dir (missing $MetaName)"))
     require(m.format == Format, s"$dir holds '${m.format}', expected $Format")
-    (live(spark, dir, "items", m),
+    (liveItems(spark, dir, m),
       live(spark, dir, "pairs", m)
-        .groupBy(col("u"), col("v")).agg(sum(col("dn")).as("n_ab")), m)
+        .groupBy(col("u"), col("v")).agg(sum(col("dn")).as("n_ab"))
+        .filter(col("n_ab") =!= 0L), m)
   }
 
   /** Merge the live window into ONE slice per store — the pair slice
@@ -129,8 +152,9 @@ object GraphStore {
         val merged = m.slices
         live(spark, dir, "pairs", m)
           .groupBy(col("u"), col("v")).agg(sum(col("dn")).as("dn"))
+          .filter(col("dn") =!= 0L)
           .write.mode("overwrite").parquet(s"$dir/pairs/slice=$merged")
-        live(spark, dir, "items", m).write.mode("overwrite")
+        liveItems(spark, dir, m).write.mode("overwrite")
           .parquet(s"$dir/items/slice=$merged")
         commitMeta(spark, dir, m.copy(sliceBase = merged, slices = merged + 1))
         Some(merged)
@@ -140,6 +164,38 @@ object GraphStore {
   /** Deferred slice GC below the current window base. */
   def vacuumSlices(spark: SparkSession, dir: String): Int =
     readMeta(spark, dir).map { m =>
-      Generations.gcSlices(spark, dir, Seq("items", "pairs"), m.sliceBase)
+      Generations.gcSlices(spark, dir, Seq("items", "pairs", "purged"),
+        m.sliceBase)
     }.getOrElse(0)
+
+  /** DECREMENTAL substrate maintenance — remove whole BASKETS (the
+    * user-data purge unit: every pair lives within one basket, so a
+    * basket's removal is self-contained). The delta-store makes the
+    * decrement natural: one NEGATIVE Δ-count slice — exactly the purged
+    * baskets' internal pair multiset, recomputed from the stored lines
+    * — cancels their contributions in the read-side merge (zeroed pairs
+    * drop at load), and the basket ids land as a tombstone slice
+    * filtering the items reads, so later folds cannot pair against
+    * purged lines. [[compact]] then makes the removal physical (the
+    * pre-aggregated merge excludes zeros and the tombstoned lines).
+    * No-op for absent/already-purged baskets. Returns the slice id. */
+  def purgeOrders(spark: SparkSession, dir: String,
+      ords: DataFrame): Option[Long] = {
+    val m = readMeta(spark, dir).getOrElse(
+      sys.error(s"no committed graph store at $dir (missing $MetaName)"))
+    val targets = ords.select(ords.columns.head).toDF("ord").distinct()
+      .join(liveItems(spark, dir, m).select(col("ord")), Seq("ord"),
+        "left_semi")
+      .localCheckpoint(true)
+    if (targets.isEmpty) return None
+    val goneLines = liveItems(spark, dir, m)
+      .join(targets, Seq("ord"), "left_semi").localCheckpoint(true)
+    val sliceId = m.slices
+    GraphQueries.edgeDelta(goneLines.limit(0), goneLines, "ord", "item")
+      .select(col("u"), col("v"), (-col("dn")).as("dn"))
+      .write.mode("overwrite").parquet(s"$dir/pairs/slice=$sliceId")
+    targets.write.mode("overwrite").parquet(s"$dir/purged/slice=$sliceId")
+    commitMeta(spark, dir, m.copy(slices = sliceId + 1))
+    Some(sliceId)
+  }
 }

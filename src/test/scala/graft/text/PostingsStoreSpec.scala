@@ -99,6 +99,48 @@ class PostingsStoreSpec extends AnyFunSuite {
     assert(storeTop(dir) == before)
   }
 
+  test("purgeDocs: corpus stats decrement in the same commit; the " +
+      "post-purge query equals the recompute on remaining docs; " +
+      "compact makes removal physical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("postingspurge").toString
+    PostingsStore.maintainBatch(docs, col("doc_id"), col("text"), dir,
+      batchId = 0L)
+    // purge two docs that are IN the current top-10, so the scores and
+    // the stats both must move
+    val gone = storeTop(dir).take(2).map(_._1).toSet
+    val dlGone = docs
+      .filter(col("doc_id").isin(gone.toSeq.map(java.lang.Long.valueOf): _*))
+      .select(graft.text.TextFunctions.tokenCount(col("text")).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    val mBefore = PostingsStore.meta(spark, dir).get
+    assert(PostingsStore.purgeDocs(spark, dir,
+      gone.toSeq.toDF("doc_id")).contains((2L, dlGone)))
+    val mAfter = PostingsStore.meta(spark, dir).get
+    assert(mAfter.nDocs == mBefore.nDocs - 2 &&
+      mAfter.totTokens == mBefore.totTokens - dlGone)
+    // BM25 over the store ≡ the full recompute on the remaining corpus
+    val remaining = docs.filter(
+      !col("doc_id").isin(gone.toSeq.map(java.lang.Long.valueOf): _*))
+    val expect = LmQueries.bm25(remaining, col("doc_id"), col("text"),
+        terms, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(storeTop(dir) == expect)
+    // no-op re-purge
+    assert(PostingsStore.purgeDocs(spark, dir,
+      (gone + 999999L).toSeq.toDF("doc_id")).isEmpty)
+    // compact: physical removal, query unchanged
+    assert(PostingsStore.compact(spark, dir).nonEmpty)
+    val m = PostingsStore.meta(spark, dir).get
+    val raw = spark.read.parquet(s"$dir/doclen")
+      .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(gone.forall(!raw(_)),
+      "compact must rewrite the store without the purged docs")
+    PostingsStore.vacuumSlices(spark, dir)
+    assert(storeTop(dir) == expect)
+  }
+
   test("streaming maintenance: the index follows the arriving corpus") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._

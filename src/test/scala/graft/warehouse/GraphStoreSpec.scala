@@ -76,6 +76,43 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(GraphStore.load(spark, dir)._1.count() == lines.count())
   }
 
+  test("purgeOrders: negative delta slices cancel the purged baskets' " +
+      "pairs exactly; later folds skip tombstoned baskets; compact " +
+      "makes the removal physical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graphpurge").toString
+    // fold in two batches so a purged basket's pairs SPAN slices
+    GraphStore.maintainBatch(lines.filter(col("ln") <= 2),
+      col("ord"), col("item"), dir, batchId = 0L)
+    GraphStore.maintainBatch(lines.filter(col("ln") > 2),
+      col("ord"), col("item"), dir, batchId = 1L)
+    // purge the two widest baskets (guaranteed cross-slice pairs)
+    val gone = lines.groupBy(col("ord")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ord")).limit(2)
+      .collect().map(_.getLong(0)).toSet
+    assert(GraphStore.purgeOrders(spark, dir,
+      gone.toSeq.toDF("ord")).nonEmpty)
+    val expect = fullPairs(!col("ord").isin(gone.toSeq.map(java.lang.Long.valueOf): _*))
+    assert(storedPairs(dir) == expect,
+      "the negative delta must cancel the purged baskets' pairs exactly")
+    assert(GraphStore.load(spark, dir)._1
+      .filter(col("ord").isin(gone.toSeq.map(java.lang.Long.valueOf): _*))
+      .count() == 0L, "tombstoned baskets must leave the items face")
+    // no-op re-purge
+    assert(GraphStore.purgeOrders(spark, dir,
+      (gone + 999999L).toSeq.toDF("ord")).isEmpty)
+    // compact: physical — the merged slices carry neither the purged
+    // lines nor any zeroed pair row
+    assert(GraphStore.compact(spark, dir).nonEmpty)
+    val m = GraphStore.meta(spark, dir).get
+    val rawOrds = spark.read.parquet(s"$dir/items")
+      .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
+      .select(col("ord")).distinct().collect().map(_.getLong(0)).toSet
+    assert(gone.forall(!rawOrds(_)))
+    GraphStore.vacuumSlices(spark, dir)
+    assert(storedPairs(dir) == expect)
+  }
+
   test("streaming maintenance: the substrate follows the arriving lines") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
