@@ -125,6 +125,25 @@ object IndexStore {
     * partition-pruned scan path the layout exists for. Also returns the
     * meta so a maintenance caller can seed the growth policy
     * (`Maintenance.noteBaseSize(..., meta.baseRows)`). */
+  /** Tombstoned vector ids of the CURRENT generation (the [[purgeVectors]]
+    * ledger) — tombstones live inside the gen dir, so a re-train (which
+    * trains from the filtered view) sheds them with the old generation. */
+  private def livePurged(spark: SparkSession, dir: String,
+      m: Meta): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/gen=${m.gen}/purged")
+    val hc = graft.util.Hfs.conf(spark)
+    val hasSlices = graft.util.Hfs.exists(p, hc) &&
+      graft.util.Hfs.list(p, hc).exists(_.getPath.getName.startsWith("slice="))
+    if (hasSlices)
+      spark.read.parquet(s"$dir/gen=${m.gen}/purged")
+        .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
+        .select(col("vid"))
+    else {
+      import spark.implicits._
+      Seq.empty[Long].toDF("vid")
+    }
+  }
+
   def loadIvf(spark: SparkSession, dir: String): (Similarity.IvfIndex, Meta) = {
     val m = readMeta(spark, dir).getOrElse(
       sys.error(s"no committed index at $dir (missing $MetaName)"))
@@ -137,7 +156,34 @@ object IndexStore {
     val assigned = spark.read.parquet(s"$dir/gen=${m.gen}/assigned")
       .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
       .select(col("vid"), col("v"), col("cell"))
+      .join(livePurged(spark, dir, m), Seq("vid"), "left_anti")
+      .select(col("vid"), col("v"), col("cell"))
     (Similarity.IvfIndex(centroids, assigned), m)
+  }
+
+  /** DECREMENTAL index maintenance — remove vectors from the persisted
+    * IVF index (the purge verb on the ANN substrate; search over the
+    * remaining vectors is trivially exact — no cross-row semantics to
+    * repair, unlike the dedup ledgers). Purged ids land as a tombstone
+    * slice INSIDE the current generation (a re-train sheds them with
+    * it); `rows` decrements in the same atomic commit so the doubling
+    * denominator stays honest; [[compactAssigned]] makes the removal
+    * physical. No-op for absent ids. Returns vectors removed. */
+  def purgeVectors(spark: SparkSession, dir: String,
+      vecIds: DataFrame): Long = {
+    val m = readMeta(spark, dir).getOrElse(
+      sys.error(s"no committed index at $dir (missing $MetaName)"))
+    val (idx, _) = loadIvf(spark, dir)
+    val targets = vecIds.select(vecIds.columns.head).toDF("vid").distinct()
+      .join(idx.assigned.select(col("vid")), Seq("vid"), "left_semi")
+      .localCheckpoint(true)
+    val n = targets.count()
+    if (n == 0L) return 0L
+    val sliceId = m.slices
+    targets.write.mode("overwrite")
+      .parquet(s"$dir/gen=${m.gen}/purged/slice=$sliceId")
+    commitMeta(spark, dir, m.copy(rows = m.rows - n, slices = sliceId + 1))
+    n
   }
 
   /** Fold ONE batch of vectors into the persisted index — the complete
@@ -193,10 +239,14 @@ object IndexStore {
         val n = m.rows + dn
         if (n.toDouble >= m.baseRows.toDouble * growthFactor) {
           // doubling re-train: read every slice INCLUDING the just-
-          // written (still-uncommitted) one directly, retrain, publish a
-          // fresh generation; the orphan slice dies with its gen's GC
+          // written (still-uncommitted) one directly (minus tombstones —
+          // purged vectors must not re-enter through a re-train),
+          // retrain, publish a fresh generation; the orphan slice dies
+          // with its gen's GC
           val all = spark.read.parquet(s"$dir/gen=${m.gen}/assigned")
             .filter(col("slice") >= m.sliceBase && col("slice") <= m.slices)
+            .select(col("vid"), col("v"))
+            .join(livePurged(spark, dir, m), Seq("vid"), "left_anti")
             .select(col("vid"), col("v"))
           val retrained = Similarity.buildIvf(all, col("vid"), col("v"),
             nCentroids, iterations = 1, materialize = true)
@@ -236,8 +286,8 @@ object IndexStore {
     * retention GC). */
   def vacuumAssignedSlices(spark: SparkSession, dir: String): Int =
     readMeta(spark, dir).map { m =>
-      Generations.gcSlices(spark, dir, Seq(s"gen=${m.gen}/assigned"),
-        m.sliceBase)
+      Generations.gcSlices(spark, dir,
+        Seq(s"gen=${m.gen}/assigned", s"gen=${m.gen}/purged"), m.sliceBase)
     }.getOrElse(0)
 
   /** Continuous index maintenance: start a streaming query folding

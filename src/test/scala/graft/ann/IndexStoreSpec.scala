@@ -178,6 +178,41 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(top5 == before)
   }
 
+  test("purgeVectors: tombstones filter the loaded index, later folds, " +
+      "and the doubling re-train; compact makes removal physical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ivfpurge").toString
+    def slice(lo: Long, hi: Long) =
+      embs.filter(col("vec_id") > lo && col("vec_id") <= hi)
+    IndexStore.ivfMaintainBatch(slice(0, 30), col("vec_id"),
+      col("embedding"), dir, nCentroids = 4, batchId = 0L)
+    val gone = Set(3L, 7L, 11L)
+    assert(IndexStore.purgeVectors(spark, dir,
+      gone.toSeq.toDF("vec_id")) == 3L)
+    val (idx1, m1) = IndexStore.loadIvf(spark, dir)
+    assert(m1.rows == 27L, "rows must decrement in the purge commit")
+    assert(idx1.assigned.filter(col("vid").isin(
+      gone.toSeq.map(java.lang.Long.valueOf): _*)).count() == 0L)
+    // absent ids: no-op
+    assert(IndexStore.purgeVectors(spark, dir,
+      Seq(999L).toDF("vec_id")) == 0L)
+    // a later frozen-insert fold keeps excluding the tombstones
+    IndexStore.ivfMaintainBatch(slice(30, 40), col("vec_id"),
+      col("embedding"), dir, nCentroids = 4, batchId = 1L)
+    val (idx2, m2) = IndexStore.loadIvf(spark, dir)
+    assert(m2.rows == 37L && idx2.assigned.count() == 37L)
+    // the doubling re-train (37 + 23 = 60 >= 2x30) must NOT resurrect
+    // them
+    val r = IndexStore.ivfMaintainBatch(slice(40, 63), col("vec_id"),
+      col("embedding"), dir, nCentroids = 4, batchId = 2L)
+    assert(r.exists(_._2), "this fold must trigger the re-train")
+    val (idx3, m3) = IndexStore.loadIvf(spark, dir)
+    assert(m3.rows == 60L && idx3.assigned.count() == 60L)
+    assert(idx3.assigned.filter(col("vid").isin(
+      gone.toSeq.map(java.lang.Long.valueOf): _*)).count() == 0L,
+      "a re-train must not resurrect purged vectors")
+  }
+
   test("session memo hydrates from a persisted store: one refresh " +
       "lineage, growth policy seeded from the manifest's base") {
     import graft.util.Maintenance
