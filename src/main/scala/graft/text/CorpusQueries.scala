@@ -212,6 +212,51 @@ object CorpusQueries {
         .limit(20)
     },
 
+    // -- T5-style SPAN-CORRUPTION masks (Raffel et al. 2020's denoising
+    //    objective, as the deterministic DATA-PREP face: the mask
+    //    schedule must be reproducible across engines/runs, so trigger
+    //    positions come from the portable hash — position i opens a
+    //    3-token span iff H48(doc_id:i) ≡ 0 (mod 8), giving ~3/8
+    //    expected corruption before overlap merging). Overlapping and
+    //    adjacent spans merge (gaps-and-islands on the covered
+    //    positions — exactly the sentinel-token semantics, where runs
+    //    collapse to one mask token each); outputs per doc: token
+    //    count, masked-token count, and the merged span count a
+    //    sentinel-vocabulary sizing needs. Plan: one posexplode, the
+    //    hash filter, a ≤3-wide sequence explode, a per-doc distinct,
+    //    and one doc-partitioned islands window — no pairs, no global
+    //    sort.
+    "q259_span_corruption" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"))
+      val nTok = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+      val triggers = toks.filter(
+        pmod(TextFunctions.portableHash48(
+          concat(col("doc_id").cast("string"), lit(":"),
+            col("pos").cast("string"))), lit(8L)) === 0)
+      val covered = triggers
+        .join(nTok, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          explode(sequence(col("pos"),
+            least(col("pos") + 2, col("n_tokens")))).as("mpos"))
+        .select(col("doc_id"), col("n_tokens"), col("mpos"))
+        .distinct()
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("mpos"))
+      val spans = covered
+        .withColumn("grp", col("mpos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("n_tokens"))
+        .agg(count(lit(1)).as("n_masked"),
+          countDistinct(col("grp")).as("n_spans"))
+      nTok.join(spans.drop("n_tokens"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- distinct-n DIVERSITY (Li et al. 2016's generation-diversity
     //    metric applied as a corpus diagnostic): per source and n ∈
     //    {1,2,3}, the share of DISTINCT n-grams among all n-gram
@@ -794,6 +839,38 @@ object CorpusQueries {
         |  FROM t)
         |SELECT bigram, COUNT(*) AS n FROM bg
         |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    // Same portable-hash trigger rule (md5 low-48 % 8), same 3-token
+    // spans clipped at the doc end, same distinct coverage, same
+    // gaps-and-islands merge — exact integers end to end.
+    "q259_span_corruption" ->
+      """WITH t AS (
+        |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, LEN(toks) AS n_tokens FROM t),
+        |pos AS (
+        |  SELECT doc_id, n_tokens, UNNEST(RANGE(1, n_tokens + 1)) AS i
+        |  FROM n),
+        |trig AS (
+        |  SELECT doc_id, n_tokens, i FROM pos
+        |  WHERE (md5_number_lower(CAST(doc_id AS VARCHAR) || ':'
+        |      || CAST(i AS VARCHAR)) % 281474976710656) % 8 = 0),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, n_tokens,
+        |    UNNEST(RANGE(i, LEAST(i + 2, n_tokens) + 1)) AS mpos
+        |  FROM trig),
+        |sp AS (
+        |  SELECT doc_id, COUNT(*) AS n_masked,
+        |    COUNT(DISTINCT mpos - rn) AS n_spans
+        |  FROM (SELECT doc_id, mpos,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY mpos) AS rn
+        |    FROM cov)
+        |  GROUP BY 1)
+        |SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(sp.n_masked, 0) AS BIGINT) AS n_masked,
+        |  CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans
+        |FROM n LEFT JOIN sp ON n.doc_id = sp.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
 
     // Same window-lead n-gram positions (1..L-n+1), same counts, one
     // IEEE division — the q83/q164 comprehension per n.
