@@ -148,6 +148,7 @@ object Maintenance {
     "postingsStoreSeed" -> ((s, d) => graft.text.LmQueries.postingsStoreDir(s, d)),
     "graphStoreSeed"  -> ((s, d) => graft.warehouse.GraphQueries.graphStoreDir(s, d)),
     "linkageLedger"   -> ((s, d) => graft.warehouse.ExtrasQueries.linkageLedger(s, d)),
+    "linkageBase"     -> ((s, d) => graft.warehouse.ExtrasQueries.linkageBase(s, d)),
     "zorderLayout"    -> ((s, d) => graft.warehouse.ScaleQueries.zorderLayout(s, d)),
     "bucketedPair"    -> ((s, d) => graft.warehouse.ScaleQueries.bucketedPair(s, d)),
     "coPurchasePairs" -> ((s, d) => graft.warehouse.GraphQueries.coPurchasePairs(s, d)),
