@@ -34,18 +34,27 @@ import graft.util.Generations
 object GraphStore {
 
   private val MetaName = "_graft_graph_meta.json"
-  private val Format = "graft-graph-v1"
+  private val Format = "graft-graph-v2"
 
-  final case class Meta(format: String, batch: Long, sliceBase: Long,
-      slices: Long)
+  /** v2: `prefixes` — the basket-hash partition fan of the items store
+    * (`items/slice=S/op=P`, op = hash(ord) mod prefixes; frozen at seed
+    * like every store layout constant). A fold's base-side read prunes
+    * to its delta's touched prefixes — the LedgerStore bucket-prefix
+    * trick on the basket axis — so the "base side probes only the
+    * touched baskets" claim is static partition pruning, not a
+    * corpus-wide scan followed by a semi-join. */
+  final case class Meta(format: String, batch: Long, prefixes: Int,
+      sliceBase: Long, slices: Long)
 
   private val MetaRe =
     ("""\{"format": "([^"]+)", "batch": (-?[0-9]+), """ +
+      """"prefixes": ([0-9]+), """ +
       """"sliceBase": ([0-9]+), "slices": ([0-9]+)\}""").r
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
     Generations.readPointer(spark, dir, MetaName).map {
-      case MetaRe(f, b, sb, sl) => Meta(f, b.toLong, sb.toLong, sl.toLong)
+      case MetaRe(f, b, px, sb, sl) =>
+        Meta(f, b.toLong, px.toInt, sb.toLong, sl.toLong)
       case other => sys.error(
         s"unparseable graph manifest at $dir/$MetaName: '${other.take(120)}' " +
           "(refusing to guess — the pointer is the commit)")
@@ -54,7 +63,12 @@ object GraphStore {
   private def commitMeta(spark: SparkSession, dir: String, m: Meta): Unit =
     Generations.commit(spark, dir, MetaName,
       s"""{"format": "$Format", "batch": ${m.batch}, """ +
+        s""""prefixes": ${m.prefixes}, """ +
         s""""sliceBase": ${m.sliceBase}, "slices": ${m.slices}}""")
+
+  /** Basket-hash partition key: pure function of the basket id. */
+  private def opOf(ord: Column, prefixes: Int): Column =
+    pmod(xxhash64(ord), lit(prefixes.toLong)).cast("int")
 
   private def live(spark: SparkSession, dir: String, sub: String,
       m: Meta): DataFrame =
@@ -83,6 +97,25 @@ object GraphStore {
   private def liveItems(spark: SparkSession, dir: String, m: Meta): DataFrame =
     live(spark, dir, "items", m)
       .join(livePurgedOrds(spark, dir, m), Seq("ord"), "left_anti")
+      .select(col("ord"), col("item"))
+
+  /** The fold's BASE-side read, pruned to the prefixes a delta's
+    * baskets touch (≤ `prefixes` driver ints — bounded metadata): every
+    * line of a basket lives in ONE `op` partition, so the prune is
+    * lossless and the scan volume tracks the delta's basket spread, not
+    * the corpus (GraphStoreSpec pins the PartitionFilters plan). */
+  private[warehouse] def baseItemsFor(spark: SparkSession, dir: String,
+      deltaOrds: DataFrame): DataFrame = {
+    val m = readMeta(spark, dir).getOrElse(
+      sys.error(s"no committed graph store at $dir (missing $MetaName)"))
+    val ops = deltaOrds.select(
+        opOf(col(deltaOrds.columns.head), m.prefixes).as("op"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    live(spark, dir, "items", m)
+      .filter(col("op").isin(ops.map(Integer.valueOf): _*))
+      .join(livePurgedOrds(spark, dir, m), Seq("ord"), "left_anti")
+      .select(col("ord"), col("item"))
+  }
 
   def meta(spark: SparkSession, dir: String): Option[Meta] =
     readMeta(spark, dir)
@@ -91,24 +124,31 @@ object GraphStore {
     * Δ-pair expansion against the live items, two appended slices, one
     * atomic commit. Empty batches and crash replays are no-ops. */
   def maintainBatch(batch: DataFrame, ord: Column, item: Column,
-      dir: String, batchId: Long = -1L): Option[Long] = {
+      dir: String, batchId: Long = -1L,
+      prefixes: Int = 64): Option[Long] = {
     val spark = batch.sparkSession
     val items = batch.select(ord.as("ord"), item.as("item"))
     if (items.isEmpty) return None
     val prev = readMeta(spark, dir)
     prev match {
       case Some(m) if batchId >= 0 && batchId <= m.batch => return None
-      case _ => ()
+      case Some(m) => require(m.prefixes == prefixes,
+        s"graph store at $dir was seeded with prefixes=${m.prefixes}; " +
+          s"refusing a mismatched fold ($prefixes) — one store, one layout")
+      case None => ()
     }
-    val m = prev.getOrElse(Meta(Format, -1L, sliceBase = 0L, slices = 0L))
+    val m = prev.getOrElse(
+      Meta(Format, -1L, prefixes, sliceBase = 0L, slices = 0L))
     val baseItems =
       if (m.slices == m.sliceBase)
         items.limit(0) // seed: no live items yet
-      else liveItems(spark, dir, m)
+      else baseItemsFor(spark, dir, items.select(col("ord")))
     val sliceId = m.slices
     GraphQueries.edgeDelta(baseItems, items, "ord", "item")
       .write.mode("overwrite").parquet(s"$dir/pairs/slice=$sliceId")
-    items.write.mode("overwrite").parquet(s"$dir/items/slice=$sliceId")
+    items.withColumn("op", opOf(col("ord"), prefixes))
+      .write.mode("overwrite").partitionBy("op")
+      .parquet(s"$dir/items/slice=$sliceId")
     commitMeta(spark, dir, m.copy(batch = batchId, slices = sliceId + 1))
     Some(sliceId)
   }
@@ -154,7 +194,9 @@ object GraphStore {
           .groupBy(col("u"), col("v")).agg(sum(col("dn")).as("dn"))
           .filter(col("dn") =!= 0L)
           .write.mode("overwrite").parquet(s"$dir/pairs/slice=$merged")
-        liveItems(spark, dir, m).write.mode("overwrite")
+        liveItems(spark, dir, m)
+          .withColumn("op", opOf(col("ord"), m.prefixes))
+          .write.mode("overwrite").partitionBy("op")
           .parquet(s"$dir/items/slice=$merged")
         commitMeta(spark, dir, m.copy(sliceBase = merged, slices = merged + 1))
         Some(merged)
@@ -188,7 +230,8 @@ object GraphStore {
         "left_semi")
       .localCheckpoint(true)
     if (targets.isEmpty) return None
-    val goneLines = liveItems(spark, dir, m)
+    // pruned read: the purged baskets' prefixes only
+    val goneLines = baseItemsFor(spark, dir, targets)
       .join(targets, Seq("ord"), "left_semi").localCheckpoint(true)
     val sliceId = m.slices
     GraphQueries.edgeDelta(goneLines.limit(0), goneLines, "ord", "item")

@@ -76,6 +76,25 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(GraphStore.load(spark, dir)._1.count() == lines.count())
   }
 
+  test("the fold's base-side read is a static partition prune on the " +
+      "basket-hash prefixes the delta touches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graphprune").toString
+    GraphStore.maintainBatch(lines.filter(col("ln") <= 2),
+      col("ord"), col("item"), dir, batchId = 0L)
+    val deltaOrds = lines.filter(col("ln") > 2)
+      .select(col("ord")).limit(20).distinct()
+    val pruned = GraphStore.baseItemsFor(spark, dir, deltaOrds)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*op".r.findFirstIn(plan).isDefined,
+      s"base-items read not partition-pruned on op:\n${plan.take(1500)}")
+    // the prune is lossless for the touched baskets: every base line of
+    // those baskets survives it
+    val expect = lines.filter(col("ln") <= 2)
+      .join(deltaOrds, Seq("ord"), "left_semi").count()
+    assert(pruned.join(deltaOrds, Seq("ord"), "left_semi").count() == expect)
+  }
+
   test("purgeOrders: negative delta slices cancel the purged baskets' " +
       "pairs exactly; later folds skip tombstoned baskets; compact " +
       "makes the removal physical") {
