@@ -332,21 +332,7 @@ object TextQueries {
     //    order). One IEEE division; the global numbering is the
     //    two-pass range-partitioned form — never a single-task window.
     "q246_corpus_build_stride" -> { (s, d) =>
-      val m = corpusManifest(s, d)
-      val tw = m.groupBy(col("source")).agg(sum(col("n_tokens")).as("w"))
-      val wr = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("cum_tokens"), col("doc_id"))
-      val keyed = m
-        .withColumn("src_rank", row_number().over(wr).cast("long"))
-        .join(broadcast(tw), Seq("source"))
-        .withColumn("stride_key",
-          (col("src_rank") * 2 - 1).cast("double") /
-            (col("w") * 2).cast("double"))
-      graft.warehouse.Scale.withGlobalRowNumber(keyed,
-          Seq(col("stride_key"), col("source"), col("doc_id")), "global_pos")
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          col("cum_tokens"), col("global_pos"))
-        .orderBy(col("doc_id"))
+      strideManifest(s, d).orderBy(col("doc_id"))
     },
 
     // -- the flagship's FUNNEL AUDIT: every train doc classified by its
@@ -785,6 +771,71 @@ object TextQueries {
       .filter(col("cum_tokens") <= lit(BuildBudgetPerSource))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("cum_tokens"))
+  }
+
+  /** The q246 stride-ordered manifest (doc_id, source, n_tokens,
+    * cum_tokens, global_pos) — extracted so [[writeShards]] can
+    * materialize the SAME training order the gate verifies. */
+  private def strideManifest(s: SparkSession, d: String): DataFrame = {
+    val m = corpusManifest(s, d)
+    val tw = m.groupBy(col("source")).agg(sum(col("n_tokens")).as("w"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("cum_tokens"), col("doc_id"))
+    val keyed = m
+      .withColumn("src_rank", row_number().over(wr).cast("long"))
+      .join(broadcast(tw), Seq("source"))
+      .withColumn("stride_key",
+        (col("src_rank") * 2 - 1).cast("double") /
+          (col("w") * 2).cast("double"))
+    graft.warehouse.Scale.withGlobalRowNumber(keyed,
+        Seq(col("stride_key"), col("source"), col("doc_id")), "global_pos")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("global_pos"))
+  }
+
+  /** LAST-MILE EXPORT — materialize the flagship corpus into PACKED
+    * TRAINING SHARDS on disk: the stride-ordered manifest (q246's exact
+    * order, one shared builder) gets its global running token sum (the
+    * q76 packing arithmetic, two-pass range-partitioned — no
+    * single-task window), each document takes the pack where it STARTS
+    * (`(cum − n) div seqLen`, q76's first_pack), packs group into
+    * shards, and the shard files land `partitionBy(shard)` with rows
+    * sorted by `global_pos` — a data loader streams shard k's rows in
+    * training order with one partition read. The tiny stats manifest
+    * (`_graft_shards_meta.json`) commits AFTER the data through the
+    * shared atomic-pointer helper: readers treat it as the export's
+    * commit point (no manifest → no export), the store discipline
+    * applied to the pipeline's OUTPUT. Returns (docs, tokens, shards).
+    * ShardExportSpec pins order round-trip, totals, and determinism. */
+  def writeShards(s: SparkSession, d: String, outDir: String,
+      seqLen: Long = 512L, packsPerShard: Long = 64L): (Long, Long, Long) = {
+    require(seqLen >= 1 && packsPerShard >= 1,
+      s"seqLen and packsPerShard must be >= 1 (got $seqLen, $packsPerShard)")
+    val packed = graft.warehouse.Scale.withGlobalRunningSum(
+        strideManifest(s, d), Seq(col("global_pos")), col("n_tokens"),
+        "cum_global")
+      .withColumn("pack_id", expr(s"(cum_global - n_tokens) div $seqLen"))
+      .withColumn("shard", expr(s"pack_id div $packsPerShard"))
+    packed
+      .join(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("global_pos"), col("pack_id"), col("text"), col("shard"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("global_pos"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outDir/shards")
+    // stats from the WRITTEN data; the pointer commit makes them live
+    val st = s.read.parquet(s"$outDir/shards")
+      .agg(count(lit(1)), coalesce(sum(col("n_tokens")), lit(0L)),
+        countDistinct(col("shard"))).head()
+    val (nDocs, nToks, nShards) =
+      (st.getLong(0), st.getLong(1), st.getLong(2))
+    graft.util.Generations.commit(s, outDir, "_graft_shards_meta.json",
+      s"""{"format": "graft-shards-v1", "docs": $nDocs, """ +
+        s""""tokens": $nToks, "shards": $nShards, "seqLen": $seqLen, """ +
+        s""""packsPerShard": $packsPerShard}""")
+    (nDocs, nToks, nShards)
   }
 
   /** Shared CTE chain for the corpus-build flagship (q219) and its
