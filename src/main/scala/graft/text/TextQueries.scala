@@ -838,6 +838,20 @@ object TextQueries {
     (nDocs, nToks, nShards)
   }
 
+  /** Read a [[writeShards]] export THROUGH its commit manifest — no
+    * manifest, no export (a crashed writer's partial shard tree is
+    * invisible, the store-reader discipline): returns the shard rows
+    * ordered by `global_pos` within each shard partition. Loaders
+    * stream one shard's partition in training order. */
+  def readShards(s: SparkSession, outDir: String): DataFrame = {
+    val meta = graft.util.Generations.readPointer(s, outDir,
+      "_graft_shards_meta.json").getOrElse(sys.error(
+        s"no committed shard export at $outDir (missing _graft_shards_meta.json)"))
+    require(meta.contains("\"format\": \"graft-shards-v1\""),
+      s"$outDir holds an unknown shard format: ${meta.take(120)}")
+    s.read.parquet(s"$outDir/shards")
+  }
+
   /** Shared CTE chain for the corpus-build flagship (q219) and its
     * funnel audit (q224): the q75 component closure (`canon`), the q188
     * quality gates (`gpass`), the q77 contamination screen (`contam`),

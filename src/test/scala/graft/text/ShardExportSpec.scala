@@ -56,5 +56,15 @@ class ShardExportSpec extends AnyFunSuite {
       .orderBy(col("global_pos"))
       .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
     assert(back2 == back.map(_.getLong(0)).toSeq)
+    // the reader face goes through the commit manifest — and refuses a
+    // dir with data but no commit (a crashed writer's partial tree)
+    assert(TextQueries.readShards(spark, out).count() == nDocs)
+    val partial = Files.createTempDirectory("shards3").toString
+    spark.read.parquet(s"$out/shards").write
+      .parquet(s"$partial/shards") // data, no manifest
+    val e = intercept[RuntimeException] {
+      TextQueries.readShards(spark, partial)
+    }
+    assert(e.getMessage.contains("no committed shard export"))
   }
 }
