@@ -335,6 +335,28 @@ object TextQueries {
       strideManifest(s, d).orderBy(col("doc_id"))
     },
 
+    // -- the EXPORT audited through the oracle (the q248 pattern on the
+    //    pipeline's OUTPUT): the flagship corpus is materialized into
+    //    packed training shards ONCE at maintenance time
+    //    ([[shardExportDir]] memo → [[writeShards]]), and the gate reads
+    //    the COMMITTED FILES back ([[readShards]] — manifest-gated) and
+    //    rolls them up per shard. The oracle replays the entire chain in
+    //    SQL — gates, budget, stride order, global running token sum,
+    //    first-pack assignment, shard grouping — so a drifted write
+    //    path, a lost row, or a misassigned pack all hash-fail. The
+    //    per-shard totals are what a training-job scheduler reads to
+    //    balance loader work.
+    "q260_shard_audit" -> { (s, d) =>
+      readShards(s, shardExportDir(s, d))
+        .select(col("shard").cast("long").as("shard"),
+          col("n_tokens"), col("global_pos"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          min(col("global_pos")).as("first_pos"),
+          max(col("global_pos")).as("last_pos"))
+        .orderBy(col("shard"))
+    },
+
     // -- the flagship's FUNNEL AUDIT: every train doc classified by its
     //    first failing gate (quality → contaminated → duplicate →
     //    over_budget → kept), rolled up per source — the observability
@@ -838,6 +860,21 @@ object TextQueries {
     (nDocs, nToks, nShards)
   }
 
+  /** q260's export config — shared with the generated oracle. */
+  private val ShardSeqLen = 256L
+  private val ShardPacksPer = 4L
+
+  /** The q260 SHARD EXPORT, materialized once per (session, corpus)
+    * (the ledgerStoreDir pattern for the output side): [[writeShards]]
+    * runs at maintenance time, and the gate reads the COMMITTED files. */
+  private[graft] def shardExportDir(s: SparkSession, d: String): String =
+    graft.util.Maintenance.getOrBuild("shardExportSeed", s, d) {
+      val dir = java.nio.file.Files.createTempDirectory("graftshards").toString
+      writeShards(s, d, dir, seqLen = ShardSeqLen,
+        packsPerShard = ShardPacksPer)
+      dir
+    }
+
   /** Read a [[writeShards]] export THROUGH its commit manifest — no
     * manifest, no export (a crashed writer's partial shard tree is
     * invisible, the store-reader discipline): returns the shard rows
@@ -1144,6 +1181,45 @@ object TextQueries {
          |  CAST(ROW_NUMBER() OVER (ORDER BY skp, source, doc_id) AS BIGINT)
          |    AS global_pos
          |FROM sk ORDER BY doc_id""".stripMargin,
+
+    // The export replayed end to end: stride order, global running
+    // token sum (distinct global_pos ⇒ the RANGE default frame equals
+    // ROWS), first-pack division, shard grouping — all exact integers
+    // after the one stride-key division q246 already pins.
+    "q260_shard_audit" ->
+      s"""WITH RECURSIVE $corpusBuildCtes,
+         |m AS (
+         |  SELECT doc_id, source, n_tokens, cum_tokens
+         |  FROM c WHERE cum_tokens <= $BuildBudgetPerSource),
+         |tw AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS w
+         |  FROM m GROUP BY 1),
+         |rk AS (
+         |  SELECT m.*, CAST(ROW_NUMBER() OVER (PARTITION BY m.source
+         |      ORDER BY m.cum_tokens, m.doc_id) AS BIGINT) AS src_rank,
+         |    tw.w
+         |  FROM m JOIN tw USING (source)),
+         |sk AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(2 * src_rank - 1 AS DOUBLE) / CAST(2 * w AS DOUBLE) AS skp
+         |  FROM rk),
+         |g AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY skp, source, doc_id) AS BIGINT)
+         |      AS global_pos
+         |  FROM sk),
+         |p AS (
+         |  SELECT doc_id, n_tokens, global_pos,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY global_pos) AS BIGINT) AS cumg
+         |  FROM g),
+         |shx AS (
+         |  SELECT doc_id, n_tokens, global_pos,
+         |    ((cumg - n_tokens) // $ShardSeqLen) // $ShardPacksPer AS shard
+         |  FROM p)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  MIN(global_pos) AS first_pos, MAX(global_pos) AS last_pos
+         |FROM shx GROUP BY 1 ORDER BY shard""".stripMargin,
 
     // The flagship's funnel audit on the same CTE chain: each train doc
     // classified by its FIRST failing gate (the same priority order the

@@ -149,6 +149,7 @@ object Maintenance {
     "graphStoreSeed"  -> ((s, d) => graft.warehouse.GraphQueries.graphStoreDir(s, d)),
     "linkageLedger"   -> ((s, d) => graft.warehouse.ExtrasQueries.linkageLedger(s, d)),
     "linkageBase"     -> ((s, d) => graft.warehouse.ExtrasQueries.linkageBase(s, d)),
+    "shardExportSeed" -> ((s, d) => graft.text.TextQueries.shardExportDir(s, d)),
     "zorderLayout"    -> ((s, d) => graft.warehouse.ScaleQueries.zorderLayout(s, d)),
     "bucketedPair"    -> ((s, d) => graft.warehouse.ScaleQueries.bucketedPair(s, d)),
     "coPurchasePairs" -> ((s, d) => graft.warehouse.GraphQueries.coPurchasePairs(s, d)),
