@@ -180,6 +180,11 @@ object IndexStore {
     val n = targets.count()
     if (n == 0L) return 0L
     val sliceId = m.slices
+    // claim the id: a crashed fold's orphan assigned slice here must not
+    // become live when this commit advances the window — its vectors
+    // would enter every probe while `rows` never counted them, and the
+    // fold's replay would re-insert at S+1 (round-10 ADVICE)
+    Generations.claimSlice(spark, dir, Seq(s"gen=${m.gen}/assigned"), sliceId)
     targets.write.mode("overwrite")
       .parquet(s"$dir/gen=${m.gen}/purged/slice=$sliceId")
     commitMeta(spark, dir, m.copy(rows = m.rows - n, slices = sliceId + 1))
@@ -228,10 +233,21 @@ object IndexStore {
         None // crash replay of an already-folded batch: no-op
       case Some(m) =>
         val (idx, _) = loadIvf(spark, dir)
+        // TOMBSTONE SCREEN (round-10 ADVICE): a purged vid stays purged
+        // until a re-train or compact sheds its tombstone — re-inserting
+        // it would bump `rows` while the tombstone hides the vector from
+        // every probe, permanently skewing the doubling denominator
+        val screened = vecs.join(livePurged(spark, dir, m),
+          Seq("vid"), "left_anti")
+        if (screened.isEmpty) return None
+        // claim the id: a crashed purge's orphan tombstone slice here
+        // must not become live under this fold's commit
+        Generations.claimSlice(spark, dir, Seq(s"gen=${m.gen}/purged"),
+          m.slices)
         // delta-sized write: assign the batch against the frozen
         // centroids and append it as the generation's next slice —
         // invisible until the pointer commit bumps the count
-        Similarity.assignDelta(idx, vecs, col("vid"), col("v"))
+        Similarity.assignDelta(idx, screened, col("vid"), col("v"))
           .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$dir/gen=${m.gen}/assigned/slice=${m.slices}")
         val dn = spark.read
@@ -273,6 +289,8 @@ object IndexStore {
     readMeta(spark, dir) match {
       case Some(m) if m.slices - m.sliceBase > 1 =>
         val merged = m.slices
+        Generations.claimSlice(spark, dir, Seq(s"gen=${m.gen}/purged"),
+          merged)
         val (idx, _) = loadIvf(spark, dir)
         idx.assigned.write.mode("overwrite").partitionBy("cell")
           .parquet(s"$dir/gen=${m.gen}/assigned/slice=$merged")

@@ -290,12 +290,17 @@ object Apply {
     if (m.layout != LayoutV2)
       sys.error(s"$tableDir has unknown layout '${m.layout}': refusing to compact")
     if (m.buckets.nonEmpty) {
-      // read each live bucket THROUGH the manifest (the bucket id is not
-      // stored in the files, so it is re-tagged from the manifest entry)
-      val all = m.buckets.toSeq.sortBy(_._1).map { case (b, g) =>
-        spark.read.parquet(new HPath(root, s"gen=$g/_bucket=$b").toString)
-          .withColumn("_bucket", lit(b))
-      }.reduce(_.unionByName(_))
+      // read every live bucket THROUGH the manifest in ONE scan:
+      // `mergeSchema` because a schema-evolved table legitimately holds
+      // buckets with differing schemas (the per-bucket inferred-schema
+      // unionByName threw AnalysisException across the evolution boundary
+      // — round-10 ADVICE), and `basePath` so partition discovery
+      // re-tags `gen` and `_bucket` from the directory names
+      val all = spark.read
+        .option("mergeSchema", "true").option("basePath", root.toString)
+        .parquet(m.buckets.toSeq.sortBy(_._1).map { case (b, g) =>
+          new HPath(root, s"gen=$g/_bucket=$b").toString }: _*)
+        .drop("gen")
       val gen = (rootGenNumbers(root, hc) ++ m.buckets.values ++ Seq(-1L)).max + 1
       val genDir = new HPath(root, s"gen=$gen")
       all.repartitionByRange(m.nBuckets, col("_bucket"))
@@ -352,10 +357,15 @@ object Apply {
     val touched = keyed.select(col("_b")).distinct()
       .collect().map(_.getInt(0)).toSet intersect m.buckets.keySet
     if (touched.isEmpty) return 0L
-    val current = touched.toSeq.sorted.map { b =>
-      spark.read.parquet(new HPath(root, s"gen=${m.buckets(b)}/_bucket=$b").toString)
-        .withColumn("_bucket", lit(b))
-    }.reduce(_.unionByName(_))
+    // one mergeSchema scan over the touched buckets (a purge touching a
+    // pre-evolution and a post-evolution bucket must still work — the
+    // compliance delete cannot wait for every bucket to rewrite);
+    // basePath partition discovery re-tags `_bucket` from the dir names
+    val current = spark.read
+      .option("mergeSchema", "true").option("basePath", root.toString)
+      .parquet(touched.toSeq.sorted.map(b =>
+        new HPath(root, s"gen=${m.buckets(b)}/_bucket=$b").toString): _*)
+      .drop("gen")
     val nBefore = current.count()
     val remaining = current.join(
       keyed.select(col("_purge_key")),

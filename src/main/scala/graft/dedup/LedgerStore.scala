@@ -145,6 +145,10 @@ object LedgerStore {
       deltaSigs: DataFrame, deltaPostings: DataFrame, meta: Meta,
       retainGens: Int): Long = {
     val sliceId = meta.slices - 1
+    // claim the id: a crashed PURGE may have left an orphan tombstone
+    // slice here, which this fold's commit would otherwise make live
+    // (round-10 ADVICE — the claimSlice contract)
+    Generations.claimSlice(spark, dir, Seq("purged"), sliceId)
     deltaSigs.write.mode("overwrite")
       .parquet(s"$dir/sigs/slice=$sliceId")
     deltaPostings.write.mode("overwrite").partitionBy("bp")
@@ -171,6 +175,7 @@ object LedgerStore {
     readMeta(spark, dir) match {
       case Some(m) if m.slices - m.sliceBase > 1 =>
         val merged = m.slices
+        Generations.claimSlice(spark, dir, Seq("purged"), merged)
         liveSigs(spark, dir, m).write.mode("overwrite")
           .parquet(s"$dir/sigs/slice=$merged")
         livePostings(spark, dir, m).write.mode("overwrite").partitionBy("bp")
@@ -250,8 +255,11 @@ object LedgerStore {
     val newLabels = labels.join(comps, Seq("comp"), "left_anti")
       .select(col("id"), col("comp"))
       .unionByName(relabeled)
-    // tombstone slice + labels generation + one atomic commit
+    // tombstone slice + labels generation + one atomic commit. Claim the
+    // id first: a crashed fold's orphan data slices here must not become
+    // live when this commit advances the window.
     val sliceId = m.slices
+    Generations.claimSlice(spark, dir, Seq("sigs", "postings"), sliceId)
     targets.write.mode("overwrite").parquet(s"$dir/purged/slice=$sliceId")
     val gen = m.gen + 1
     newLabels.write.mode("overwrite").parquet(s"$dir/gen=$gen/labels")
@@ -325,15 +333,23 @@ object LedgerStore {
             s"$prefixes, $maxBucketSize) — one ledger, one signature family")
         val (labels, sigs, _) = load(spark, dir)
         val postings = livePostings(spark, dir, m)
-        val deltaSigs = Dedup.minhashSigSets(docs, col("doc_id"), col("text"),
-          k = k).localCheckpoint(true)
+        // TOMBSTONE SCREEN (round-10 ADVICE): a purged id stays purged
+        // until compact+vacuum physically drop its tombstone — re-folding
+        // it would re-enter the labels table while the tombstone hides
+        // its signature from every pairing read.
+        val screened = docs.join(
+          livePurged(spark, dir, m).select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        if (screened.isEmpty) return None
+        val deltaSigs = Dedup.minhashSigSets(screened, col("doc_id"),
+          col("text"), k = k).localCheckpoint(true)
         // the production fold: the old side reads only the delta's
         // touched prefix partitions of the LIVE posting slices
         val deltaPairs = Dedup.minhashNearDupsDeltaFromPostings(
           postings, sigs, deltaSigs, threshold, k, bands,
           maxBucketSize = maxBucketSize, prefixes = prefixes)
         val allIds = labels.select(col("id"))
-          .unionByName(docs.select(col("doc_id").as("id")))
+          .unionByName(screened.select(col("doc_id").as("id")))
         val newLabels = Dedup.componentsIncremental(
           labels, allIds, col("id"), deltaPairs, col("a_id"), col("b_id"))
         // writes: ONLY the delta slice + the labels — the stores append

@@ -111,6 +111,9 @@ object SemLedgerStore {
       deltaPairs: DataFrame, labels: DataFrame, meta: Meta,
       retainGens: Int): Long = {
     val sliceId = meta.slices - 1
+    // claim the id: a crashed purge's orphan tombstone slice here must
+    // not become live under this fold's commit (round-10 ADVICE)
+    Generations.claimSlice(spark, dir, Seq("purged"), sliceId)
     deltaVecs.write.mode("overwrite").parquet(s"$dir/vecs/slice=$sliceId")
     deltaPairs.write.mode("overwrite").parquet(s"$dir/pairs/slice=$sliceId")
     labels.write.mode("overwrite").parquet(s"$dir/gen=${meta.gen}/labels")
@@ -130,6 +133,7 @@ object SemLedgerStore {
     readMeta(spark, dir) match {
       case Some(m) if m.slices - m.sliceBase > 1 =>
         val merged = m.slices
+        Generations.claimSlice(spark, dir, Seq("purged"), merged)
         // merged slices are written from the TOMBSTONE-FILTERED views:
         // purged rows leave the store physically, and the superseded
         // tombstone slices fall out of the window with the old slices
@@ -199,6 +203,9 @@ object SemLedgerStore {
       .select(col("id"), col("comp"))
       .unionByName(relabeled)
     val sliceId = m.slices
+    // claim the id: a crashed fold's orphan data slices must not become
+    // live when this commit advances the window
+    Generations.claimSlice(spark, dir, Seq("vecs", "pairs"), sliceId)
     targets.write.mode("overwrite").parquet(s"$dir/purged/slice=$sliceId")
     val gen = m.gen + 1
     newLabels.write.mode("overwrite").parquet(s"$dir/gen=$gen/labels")
@@ -240,16 +247,22 @@ object SemLedgerStore {
             s"dim ${m.dim}); refusing a mismatched fold — one ledger, " +
             "one hyperplane family")
         val (oldVecs, _, oldLabels, _) = load(spark, dir)
-        val deltaPairs = Dedup.lshNearDupsDelta(oldVecs, vecs,
+        // TOMBSTONE SCREEN (round-10 ADVICE): purged ids stay purged
+        // until compact+vacuum; re-folding one would re-enter the labels
+        // while the tombstone hides its vector from every pairing read
+        val screened = vecs.join(livePurged(spark, dir, m),
+          Seq("id"), "left_anti").localCheckpoint(true)
+        if (screened.isEmpty) return None
+        val deltaPairs = Dedup.lshNearDupsDelta(oldVecs, screened,
           col("id"), col("v"), nBands, planesPerBand, dim, threshold)
           .localCheckpoint(true)
         val allIds = oldLabels.select(col("id"))
-          .unionByName(vecs.select(col("id")))
+          .unionByName(screened.select(col("id")))
         val newLabels = Dedup.componentsIncremental(
           oldLabels, allIds, col("id"), deltaPairs,
           col("a_id"), col("b_id"))
         // writes: ONLY the delta slices + the labels — the stores append
-        Some(publish(spark, dir, vecs, deltaPairs, newLabels,
+        Some(publish(spark, dir, screened, deltaPairs, newLabels,
           m.copy(gen = m.gen + 1, batch = batchId, slices = m.slices + 1),
           retainGens))
     }

@@ -124,9 +124,20 @@ object PostingsStore {
     }
     val m = prev.getOrElse(
       Meta(Format, -1L, 0L, 0L, prefixes, sliceBase = 0L, slices = 0L))
-    val toks = docs.select(col("id"),
+    // TOMBSTONE SCREEN (round-10 ADVICE): a purged id stays purged until
+    // a compact physically removes its tombstone — re-folding it would
+    // increment nDocs/totTokens while the still-live tombstone hides its
+    // postings from every read, permanently skewing BM25's N/avgdl. The
+    // delete-then-reingest flow is: purge → compact → vacuum → re-fold.
+    val screened = prev.fold(docs)(m0 =>
+      docs.join(livePurged(spark, dir, m0), Seq("id"), "left_anti"))
+    if (prev.isDefined && screened.isEmpty) return None
+    val toks = screened.select(col("id"),
       explode(TextFunctions.tokens(col("text"))).as("term"))
     val sliceId = m.slices
+    // claim the id: a crashed PURGE may have left an orphan tombstone
+    // slice here, which this commit would otherwise make live
+    Generations.claimSlice(spark, dir, Seq("purged"), sliceId)
     // postings land TERM-SORTED inside each prefix partition: parquet
     // row-group min/max stats on `term` then make the query's term
     // filter skip row groups within the pruned partitions too (the
@@ -172,6 +183,7 @@ object PostingsStore {
     readMeta(spark, dir) match {
       case Some(m) if m.slices - m.sliceBase > 1 =>
         val merged = m.slices
+        Generations.claimSlice(spark, dir, Seq("purged"), merged)
         live(spark, dir, "postings", m)
           .repartition(col("tp")).sortWithinPartitions(col("tp"), col("term"))
           .write.mode("overwrite")
@@ -216,6 +228,10 @@ object PostingsStore {
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
     val (nd, nt) = (gone.getLong(0), gone.getLong(1))
     val sliceId = m.slices
+    // claim the id: a crashed FOLD may have left orphan data slices here;
+    // advancing the window without deleting them would make their rows
+    // live (uncounted by the stats) and break the replay's overwrite
+    Generations.claimSlice(spark, dir, Seq("postings", "doclen"), sliceId)
     targets.write.mode("overwrite").parquet(s"$dir/purged/slice=$sliceId")
     commitMeta(spark, dir, m.copy(
       nDocs = m.nDocs - nd, totTokens = m.totTokens - nt,

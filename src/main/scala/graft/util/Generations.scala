@@ -42,6 +42,26 @@ object Generations {
     }
   }
 
+  /** CLAIM a slice id before the pointer commit that will advance the
+    * live window past it: delete any dirs a CRASHED operation left at
+    * `dir/<sub>/slice=<sliceId>` for subs this operation does not itself
+    * overwrite. Without the claim, an orphan data slice from a fold that
+    * died between its data write and its pointer commit would silently
+    * become LIVE when a sibling verb (purge, compact) allocates the same
+    * slice id and commits `slices = S+1` — its rows would enter every
+    * read while the manifest stats never counted them, and the crashed
+    * batch's replay would then re-fold at S+1, double-inserting it
+    * (round-10 ADVICE). Writers that `mode("overwrite")` a sub at the
+    * claimed id need no claim for that sub — overwrite is the claim. */
+  def claimSlice(spark: SparkSession, dir: String, subs: Seq[String],
+      sliceId: Long): Unit = {
+    val hc = Hfs.conf(spark)
+    subs.foreach { sub =>
+      val p = new HPath(s"$dir/$sub/slice=$sliceId")
+      if (Hfs.exists(p, hc)) Hfs.delete(p, hc)
+    }
+  }
+
   /** [[gc]]'s analog for the APPEND-ONLY SLICE stores (LedgerStore /
     * SemLedgerStore v3): under each `dir/<sub>`, drop `slice=` dirs
     * strictly below `cutoff` — slices a compaction's pointer commit

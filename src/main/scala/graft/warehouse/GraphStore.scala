@@ -139,14 +139,24 @@ object GraphStore {
     }
     val m = prev.getOrElse(
       Meta(Format, -1L, prefixes, sliceBase = 0L, slices = 0L))
+    // TOMBSTONE SCREEN (round-10 ADVICE): a purged basket stays purged
+    // until compact+vacuum; re-folding its lines would add pair counts
+    // while the tombstone hides the lines from every items read, so the
+    // merged counts would disagree with the live lines.
+    val screened = prev.fold(items)(m0 =>
+      items.join(livePurgedOrds(spark, dir, m0), Seq("ord"), "left_anti"))
+    if (prev.isDefined && screened.isEmpty) return None
     val baseItems =
       if (m.slices == m.sliceBase)
         items.limit(0) // seed: no live items yet
-      else baseItemsFor(spark, dir, items.select(col("ord")))
+      else baseItemsFor(spark, dir, screened.select(col("ord")))
     val sliceId = m.slices
-    GraphQueries.edgeDelta(baseItems, items, "ord", "item")
+    // claim the id: a crashed purge's orphan tombstone slice here must
+    // not become live under this fold's commit
+    Generations.claimSlice(spark, dir, Seq("purged"), sliceId)
+    GraphQueries.edgeDelta(baseItems, screened, "ord", "item")
       .write.mode("overwrite").parquet(s"$dir/pairs/slice=$sliceId")
-    items.withColumn("op", opOf(col("ord"), prefixes))
+    screened.withColumn("op", opOf(col("ord"), prefixes))
       .write.mode("overwrite").partitionBy("op")
       .parquet(s"$dir/items/slice=$sliceId")
     commitMeta(spark, dir, m.copy(batch = batchId, slices = sliceId + 1))
@@ -154,15 +164,19 @@ object GraphStore {
   }
 
   /** Continuous substrate maintenance: one fold per micro-batch,
-    * exactly-once via the manifest's batch-id ledger. */
+    * exactly-once via the manifest's batch-id ledger. `prefixes` must
+    * match the store's seeded fan (forwarded to every fold — round-10
+    * ADVICE: the hard-coded default killed streams over stores seeded
+    * with any other fan). */
   def maintainStream(lines: DataFrame, ord: Column, item: Column,
-      dir: String, checkpoint: String)
+      dir: String, checkpoint: String, prefixes: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery =
     lines.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, bid: Long) =>
-        maintainBatch(df, ord, item, dir, batchId = bid)
+        maintainBatch(df, ord, item, dir, batchId = bid,
+          prefixes = prefixes)
         ()
       }
       .start()
@@ -190,6 +204,7 @@ object GraphStore {
     readMeta(spark, dir) match {
       case Some(m) if m.slices - m.sliceBase > 1 =>
         val merged = m.slices
+        Generations.claimSlice(spark, dir, Seq("purged"), merged)
         live(spark, dir, "pairs", m)
           .groupBy(col("u"), col("v")).agg(sum(col("dn")).as("dn"))
           .filter(col("dn") =!= 0L)
@@ -234,6 +249,10 @@ object GraphStore {
     val goneLines = baseItemsFor(spark, dir, targets)
       .join(targets, Seq("ord"), "left_semi").localCheckpoint(true)
     val sliceId = m.slices
+    // claim the id: a crashed fold's orphan items slice must not become
+    // live when this commit advances the window (pairs is overwritten
+    // below — overwrite is the claim)
+    Generations.claimSlice(spark, dir, Seq("items"), sliceId)
     GraphQueries.edgeDelta(goneLines.limit(0), goneLines, "ord", "item")
       .select(col("u"), col("v"), (-col("dn")).as("dn"))
       .write.mode("overwrite").parquet(s"$dir/pairs/slice=$sliceId")
