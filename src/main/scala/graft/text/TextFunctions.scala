@@ -87,9 +87,11 @@ object TextFunctions {
   /** 64-bit token hash reproducible in any engine that has md5: the
     * little-endian integer of md5-digest bytes 9–16 (identical to DuckDB's
     * `md5_number_lower`, up to int64 wraparound — the BIT PATTERN is what
-    * downstream SimHash consumes, and that matches exactly). Built from
-    * eight 2-hex-char byte parses; conv/substring/shift are all codegen'd
-    * built-ins. Slower than xxhash64 (one md5 per distinct token) — used
+    * downstream SimHash consumes, and that matches exactly). Since round
+    * 11 a native codegen'd expression ([[graft.functions.Md5Low]]): one
+    * digest pass per row, no hex materialization or per-byte string
+    * parses (Md5LowSpec pins bit-equality with the composed form).
+    * Still slower than xxhash64 (one md5 per distinct token) — used
     * where cross-engine reproducibility matters more than raw hash speed.
     *
     * Deliberately NOT the cheaper base-257 polynomial that the winnowing
@@ -100,12 +102,8 @@ object TextFunctions {
     * exploded 57k → 4.7M at sf0.1. Winnowing only needs ORDER agreement
     * within one hash family, so the polynomial is fine there; SimHash
     * needs uniformity, which md5 provides. */
-  def portableTokenHash(tok: Column): Column = {
-    val hex = md5(tok)
-    (0 until 8).map { i =>
-      shiftleft(conv(substring(hex, 17 + 2 * i, 2), 16, 10).cast("long"), 8 * i)
-    }.reduce(_ + _)
-  }
+  def portableTokenHash(tok: Column): Column =
+    graft.functions.Md5Low.low64(tok)
 
   /** 48-bit md5-derived row hash: little-endian bytes 8..13 of the
     * digest — the lower 48 bits of the same value DuckDB's
@@ -116,12 +114,8 @@ object TextFunctions {
     * 2^64 mod k ≠ 0 breaks modulo-bucket parity). Used for
     * deterministic, engine-portable bucket assignment (splits,
     * sharding). */
-  def portableHash48(s: Column): Column = {
-    val hex = md5(s)
-    (0 until 6).map { i =>
-      shiftleft(conv(substring(hex, 17 + 2 * i, 2), 16, 10).cast("long"), 8 * i)
-    }.reduce(_ + _)
-  }
+  def portableHash48(s: Column): Column =
+    graft.functions.Md5Low.low48(s)
 
   /** Distinct n-token shingles (n consecutive tokens joined by space);
     * empty array when the document is shorter than n tokens. */
