@@ -62,28 +62,38 @@ object IndexStore {
     * resets the slice space (reassignment invalidates every stored
     * cell id, so the old slices cannot be reused). A crashed fold's
     * orphan slice is outside the committed count and invisible. */
+  /** Since round 11 every meta also carries `commit` — the monotone
+    * snapshot id behind [[loadIvfAt]]/[[commits]] time travel (the
+    * [[graft.dedup.LedgerStore]] protocol). */
   final case class Meta(format: String, gen: Long, rows: Long,
-      baseRows: Long, batch: Long, sliceBase: Long, slices: Long)
+      baseRows: Long, batch: Long, sliceBase: Long, slices: Long,
+      commit: Long)
 
   private val MetaRe =
     ("""\{"format": "([^"]+)", "gen": ([0-9]+), "rows": ([0-9]+), """ +
       """"baseRows": ([0-9]+), "batch": (-?[0-9]+), """ +
-      """"sliceBase": ([0-9]+), "slices": ([0-9]+)\}""").r
+      """"sliceBase": ([0-9]+), "slices": ([0-9]+), """ +
+      """"commit": ([0-9]+)\}""").r
+
+  private def parseMeta(dir: String, body: String): Meta = body match {
+    case MetaRe(f, g, n, b, bt, sb, sl, c) =>
+      Meta(f, g.toLong, n.toLong, b.toLong, bt.toLong, sb.toLong,
+        sl.toLong, c.toLong)
+    case other => sys.error(
+      s"unparseable index manifest at $dir: '${other.take(120)}' " +
+        "(refusing to guess — the pointer is the commit)")
+  }
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
-    Generations.readPointer(spark, dir, MetaName).map {
-      case MetaRe(f, g, n, b, bt, sb, sl) =>
-        Meta(f, g.toLong, n.toLong, b.toLong, bt.toLong, sb.toLong, sl.toLong)
-      case other => sys.error(
-        s"unparseable index manifest at $dir/$MetaName: '${other.take(120)}' " +
-          "(refusing to guess — the pointer is the commit)")
-    }
+    Generations.readPointer(spark, dir, MetaName).map(parseMeta(dir, _))
 
   private def commitMeta(spark: SparkSession, dir: String, m: Meta): Unit =
-    Generations.commit(spark, dir, MetaName,
+    Generations.commitArchived(spark, dir, MetaName,
       s"""{"format": "$Format", "gen": ${m.gen}, "rows": ${m.rows}, """ +
         s""""baseRows": ${m.baseRows}, "batch": ${m.batch}, """ +
-        s""""sliceBase": ${m.sliceBase}, "slices": ${m.slices}}""")
+        s""""sliceBase": ${m.sliceBase}, "slices": ${m.slices}, """ +
+        s""""commit": ${m.commit}}""",
+      m.commit)
 
   /** Publish `index` to `dir` as the next generation and flip the
     * pointer. Returns the committed generation id. `retainGens` ≥ 1:
@@ -98,6 +108,10 @@ object IndexStore {
       batchId: Long = -1L): Long = {
     require(retainGens >= 1, s"retainGens must be >= 1, got $retainGens")
     val spark = index.assigned.sparkSession
+    // publish/fold/purge/compact serialize on the per-(store, dir)
+    // monitor (round-11 verdict #5 — reentrant for the fold's internal
+    // publish); cross-process stays single-writer by contract
+    graft.util.Maintenance.withWriteLock("IndexStore", spark, dir) {
     val prev = readMeta(spark, dir)
     prev.foreach(m => require(m.format == Format,
       s"$dir holds a '${m.format}' index; refusing to overwrite with $Format"))
@@ -115,9 +129,11 @@ object IndexStore {
     // 2. the commit: one atomic pointer PUT; 3. deferred GC after it
     commitMeta(spark, dir,
       Meta(Format, gen, n, carryBaseRows.getOrElse(n), batchId,
-        sliceBase = 0L, slices = 1L))
+        sliceBase = 0L, slices = 1L,
+        commit = prev.map(_.commit + 1).getOrElse(0L)))
     Generations.gc(spark, dir, gen - (retainGens - 1))
     gen
+    }
   }
 
   /** Load the CURRENT generation. The returned index is probe-ready
@@ -144,9 +160,13 @@ object IndexStore {
     }
   }
 
-  def loadIvf(spark: SparkSession, dir: String): (Similarity.IvfIndex, Meta) = {
-    val m = readMeta(spark, dir).getOrElse(
-      sys.error(s"no committed index at $dir (missing $MetaName)"))
+  def loadIvf(spark: SparkSession, dir: String): (Similarity.IvfIndex, Meta) =
+    loadIvfOn(spark, dir,
+      readMeta(spark, dir).getOrElse(
+        sys.error(s"no committed index at $dir (missing $MetaName)")))
+
+  private def loadIvfOn(spark: SparkSession, dir: String,
+      m: Meta): (Similarity.IvfIndex, Meta) = {
     require(m.format == Format, s"$dir holds '${m.format}', expected $Format")
     val centroids = spark.read.parquet(s"$dir/gen=${m.gen}/centroids")
     // liveness prune on the slice partition column (an orphan slice from
@@ -161,6 +181,42 @@ object IndexStore {
     (Similarity.IvfIndex(centroids, assigned), m)
   }
 
+  /** The current manifest, for callers pinning snapshots
+    * ([[graft.util.PipelineLedger]]) without loading the frames. */
+  def meta(spark: SparkSession, dir: String): Option[Meta] =
+    readMeta(spark, dir)
+
+  /** Committed snapshot ids available for [[loadIvfAt]], ascending. */
+  def commits(spark: SparkSession, dir: String): Seq[Long] =
+    Generations.listCommits(spark, dir)
+
+  /** The archived manifest of snapshot `commit`. */
+  def metaAt(spark: SparkSession, dir: String, commit: Long): Meta =
+    parseMeta(s"$dir@$commit",
+      Generations.readPointerAt(spark, dir, commit).getOrElse(sys.error(
+        s"$dir has no committed snapshot $commit " +
+          s"(available: ${commits(spark, dir).mkString(", ")})")))
+
+  /** TIME-TRAVEL [[loadIvf]] — the index AS OF a committed snapshot id
+    * (a pre-purge snapshot still probes the purged vectors while its
+    * slices survive; a pre-re-train snapshot probes the OLD epoch while
+    * its generation survives retention). Fails loudly once the
+    * snapshot's generation or slice dirs are gone — the fail-closed
+    * [[graft.cdc.Apply.readMergeTableAt]] contract. */
+  def loadIvfAt(spark: SparkSession, dir: String,
+      commit: Long): (Similarity.IvfIndex, Meta) = {
+    val m = metaAt(spark, dir, commit)
+    require(graft.util.Hfs.exists(
+        new org.apache.hadoop.fs.Path(s"$dir/gen=${m.gen}"),
+        graft.util.Hfs.conf(spark)),
+      s"snapshot $commit of $dir is no longer readable: gen=${m.gen} " +
+        "was dropped by generation retention (raise retainGens to keep it)")
+    Generations.requireSlicesReadable(spark, dir,
+      Seq(s"gen=${m.gen}/assigned", s"gen=${m.gen}/purged"),
+      m.sliceBase, m.slices, s"snapshot $commit")
+    loadIvfOn(spark, dir, m)
+  }
+
   /** DECREMENTAL index maintenance — remove vectors from the persisted
     * IVF index (the purge verb on the ANN substrate; search over the
     * remaining vectors is trivially exact — no cross-row semantics to
@@ -171,6 +227,7 @@ object IndexStore {
     * physical. No-op for absent ids. Returns vectors removed. */
   def purgeVectors(spark: SparkSession, dir: String,
       vecIds: DataFrame): Long = {
+    graft.util.Maintenance.withWriteLock("IndexStore", spark, dir) {
     val m = readMeta(spark, dir).getOrElse(
       sys.error(s"no committed index at $dir (missing $MetaName)"))
     val (idx, _) = loadIvf(spark, dir)
@@ -187,8 +244,10 @@ object IndexStore {
     Generations.claimSlice(spark, dir, Seq(s"gen=${m.gen}/assigned"), sliceId)
     targets.write.mode("overwrite")
       .parquet(s"$dir/gen=${m.gen}/purged/slice=$sliceId")
-    commitMeta(spark, dir, m.copy(rows = m.rows - n, slices = sliceId + 1))
+    commitMeta(spark, dir, m.copy(rows = m.rows - n, slices = sliceId + 1,
+      commit = m.commit + 1))
     n
+    }
   }
 
   /** Fold ONE batch of vectors into the persisted index — the complete
@@ -222,6 +281,7 @@ object IndexStore {
       dir: String, nCentroids: Int, growthFactor: Double = 2.0,
       retainGens: Int = 2, batchId: Long = -1L): Option[(Long, Boolean)] = {
     val spark = batch.sparkSession
+    graft.util.Maintenance.withWriteLock("IndexStore", spark, dir) {
     val vecs = batch.select(id.as("vid"), vec.as("v"))
     if (vecs.isEmpty) return None
     readMeta(spark, dir) match {
@@ -269,9 +329,11 @@ object IndexStore {
           Some((saveIvf(retrained, dir, retainGens, batchId = batchId), true))
         } else {
           commitMeta(spark, dir,
-            m.copy(rows = n, batch = batchId, slices = m.slices + 1))
+            m.copy(rows = n, batch = batchId, slices = m.slices + 1,
+              commit = m.commit + 1))
           Some((m.gen, false))
         }
+    }
     }
   }
 
@@ -286,6 +348,7 @@ object IndexStore {
     * fresh generation at slice 0); compact serves the long-lived
     * below-threshold index that folds forever without doubling. */
   def compactAssigned(spark: SparkSession, dir: String): Option[Long] =
+    graft.util.Maintenance.withWriteLock("IndexStore", spark, dir) {
     readMeta(spark, dir) match {
       case Some(m) if m.slices - m.sliceBase > 1 =>
         val merged = m.slices
@@ -294,9 +357,11 @@ object IndexStore {
         val (idx, _) = loadIvf(spark, dir)
         idx.assigned.write.mode("overwrite").partitionBy("cell")
           .parquet(s"$dir/gen=${m.gen}/assigned/slice=$merged")
-        commitMeta(spark, dir, m.copy(sliceBase = merged, slices = merged + 1))
+        commitMeta(spark, dir, m.copy(sliceBase = merged,
+          slices = merged + 1, commit = m.commit + 1))
         Some(merged)
       case _ => None
+    }
     }
 
   /** Deferred slice GC below the current window base (current
@@ -374,6 +439,7 @@ object IndexStore {
     require(retainGens >= 1, s"retainGens must be >= 1, got $retainGens")
     val spark = index.codes.sparkSession
     import spark.implicits._
+    graft.util.Maintenance.withWriteLock("IndexStore", spark, dir) {
     val prev = readPqMeta(spark, dir)
     prev.foreach(m => require(m.format == PqFormat,
       s"$dir holds a '${m.format}' index; refusing to overwrite with $PqFormat"))
@@ -401,6 +467,7 @@ object IndexStore {
         s""""baseRows": ${carryBaseRows.getOrElse(n)}, "batch": $batchId}""")
     Generations.gc(spark, dir, gen - (retainGens - 1))
     gen
+    }
   }
 
   /** Load the current composite generation: the two quantizer tables
@@ -453,6 +520,7 @@ object IndexStore {
       growthFactor: Double = 2.0, retainGens: Int = 2,
       batchId: Long = -1L): Option[(Long, Boolean)] = {
     val spark = batch.sparkSession
+    graft.util.Maintenance.withWriteLock("IndexStore", spark, dir) {
     val vecs = batch.select(id.as("vid"), vec.as("v")).localCheckpoint(true)
     if (vecs.isEmpty) return None
     readPqMeta(spark, dir) match {
@@ -484,6 +552,7 @@ object IndexStore {
             carryBaseRows = Some(pm.baseRows), batchId = batchId)
           Some((gen, false))
         }
+    }
     }
   }
 

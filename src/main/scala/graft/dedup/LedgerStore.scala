@@ -70,36 +70,45 @@ object LedgerStore {
     * Retired slices stay on disk for readers holding the pre-compact
     * pointer until an explicit [[vacuumSlices]] — the Apply
     * compact-then-deferred-GC contract. */
+  /** Since round 11 every meta also carries `commit` — the monotone
+    * snapshot id behind [[loadAt]]/[[commits]] time travel (pointer
+    * bodies archive under `_graft_history/` via
+    * [[Generations.commitArchived]]). */
   final case class Meta(format: String, gen: Long, rows: Long, batch: Long,
       thresholdPerMille: Int, k: Int, bands: Int, prefixes: Int,
-      maxBucket: Int, sliceBase: Long, slices: Long)
+      maxBucket: Int, sliceBase: Long, slices: Long, commit: Long)
 
   private val MetaRe =
     ("""\{"format": "([^"]+)", "gen": ([0-9]+), "rows": ([0-9]+), """ +
       """"batch": (-?[0-9]+), "thresholdPerMille": ([0-9]+), """ +
       """"k": ([0-9]+), "bands": ([0-9]+), "prefixes": ([0-9]+), """ +
       """"maxBucket": ([0-9]+), """ +
-      """"sliceBase": ([0-9]+), "slices": ([0-9]+)\}""").r
+      """"sliceBase": ([0-9]+), "slices": ([0-9]+), """ +
+      """"commit": ([0-9]+)\}""").r
+
+  private def parseMeta(dir: String, body: String): Meta = body match {
+    case MetaRe(f, g, n, b, t, k, bd, px, mb, sb, sl, c) =>
+      Meta(f, g.toLong, n.toLong, b.toLong, t.toInt, k.toInt, bd.toInt,
+        px.toInt, mb.toInt, sb.toLong, sl.toLong, c.toLong)
+    case other => sys.error(
+      s"unparseable ledger manifest at $dir: '${other.take(120)}' " +
+        "(refusing to guess — the pointer is the commit)")
+  }
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
-    Generations.readPointer(spark, dir, MetaName).map {
-      case MetaRe(f, g, n, b, t, k, bd, px, mb, sb, sl) =>
-        Meta(f, g.toLong, n.toLong, b.toLong, t.toInt, k.toInt, bd.toInt,
-          px.toInt, mb.toInt, sb.toLong, sl.toLong)
-      case other => sys.error(
-        s"unparseable ledger manifest at $dir/$MetaName: '${other.take(120)}' " +
-          "(refusing to guess — the pointer is the commit)")
-    }
+    Generations.readPointer(spark, dir, MetaName).map(parseMeta(dir, _))
 
   private def commitMeta(spark: SparkSession, dir: String, m: Meta): Unit =
-    Generations.commit(spark, dir, MetaName,
+    Generations.commitArchived(spark, dir, MetaName,
       s"""{"format": "$Format", "gen": ${m.gen}, "rows": ${m.rows}, """ +
         s""""batch": ${m.batch}, """ +
         s""""thresholdPerMille": ${m.thresholdPerMille}, """ +
         s""""k": ${m.k}, "bands": ${m.bands}, """ +
         s""""prefixes": ${m.prefixes}, "maxBucket": ${m.maxBucket}, """ +
         s""""sliceBase": ${m.sliceBase}, """ +
-        s""""slices": ${m.slices}}""")
+        s""""slices": ${m.slices}, """ +
+        s""""commit": ${m.commit}}""",
+      m.commit)
 
   /** Tombstoned doc ids (the [[purgeDocs]] ledger): slices in the live
     * window; empty when no purge ever ran OR every tombstone slice has
@@ -155,7 +164,7 @@ object LedgerStore {
       .parquet(s"$dir/postings/slice=$sliceId")
     labels.write.mode("overwrite").parquet(s"$dir/gen=${meta.gen}/labels")
     val n = spark.read.parquet(s"$dir/gen=${meta.gen}/labels").count()
-    commitMeta(spark, dir, meta.copy(rows = n))
+    commitMeta(spark, dir, meta.copy(rows = n, commit = meta.commit + 1))
     Generations.gc(spark, dir, meta.gen - (retainGens - 1))
     meta.gen
   }
@@ -172,6 +181,9 @@ object LedgerStore {
     * gets overwritten by the next compact. Returns the merged slice id,
     * or None when the window already holds ≤ 1 slice. */
   def compact(spark: SparkSession, dir: String): Option[Long] = {
+    // purge/fold/compact serialize on the per-(store, dir) monitor
+    // (round-11 verdict #5); cross-process stays single-writer
+    graft.util.Maintenance.withWriteLock("LedgerStore", spark, dir) {
     readMeta(spark, dir) match {
       case Some(m) if m.slices - m.sliceBase > 1 =>
         val merged = m.slices
@@ -181,9 +193,11 @@ object LedgerStore {
         livePostings(spark, dir, m).write.mode("overwrite").partitionBy("bp")
           .parquet(s"$dir/postings/slice=$merged")
         commitMeta(spark, dir,
-          m.copy(sliceBase = merged, slices = merged + 1))
+          m.copy(sliceBase = merged, slices = merged + 1,
+            commit = m.commit + 1))
         Some(merged)
       case _ => None
+    }
     }
   }
 
@@ -225,6 +239,7 @@ object LedgerStore {
     * no-op. Returns the published generation. */
   def purgeDocs(spark: SparkSession, dir: String, docIds: DataFrame,
       retainGens: Int = 2): Option[Long] = {
+    graft.util.Maintenance.withWriteLock("LedgerStore", spark, dir) {
     val m = readMeta(spark, dir).getOrElse(
       sys.error(s"no committed ledger at $dir (missing $MetaName)"))
     val labels = spark.read.parquet(s"$dir/gen=${m.gen}/labels")
@@ -265,9 +280,11 @@ object LedgerStore {
     newLabels.write.mode("overwrite").parquet(s"$dir/gen=$gen/labels")
     val n = spark.read.parquet(s"$dir/gen=$gen/labels").count()
     commitMeta(spark, dir,
-      m.copy(gen = gen, rows = n, slices = sliceId + 1))
+      m.copy(gen = gen, rows = n, slices = sliceId + 1,
+        commit = m.commit + 1))
     Generations.gc(spark, dir, gen - (retainGens - 1))
     Some(gen)
+    }
   }
 
   /** Load the current state: (labels (id, comp), LIVE signature store
@@ -279,6 +296,44 @@ object LedgerStore {
     require(m.format == Format, s"$dir holds '${m.format}', expected $Format")
     (spark.read.parquet(s"$dir/gen=${m.gen}/labels"),
       liveSigs(spark, dir, m), m)
+  }
+
+  /** The current manifest, for callers pinning snapshots
+    * ([[graft.util.PipelineLedger]]) without loading the frames. */
+  def meta(spark: SparkSession, dir: String): Option[Meta] =
+    readMeta(spark, dir)
+
+  /** Committed snapshot ids available for [[loadAt]], ascending. */
+  def commits(spark: SparkSession, dir: String): Seq[Long] =
+    Generations.listCommits(spark, dir)
+
+  /** The archived manifest of snapshot `commit`. */
+  def metaAt(spark: SparkSession, dir: String, commit: Long): Meta =
+    parseMeta(s"$dir@$commit",
+      Generations.readPointerAt(spark, dir, commit).getOrElse(sys.error(
+        s"$dir has no committed snapshot $commit " +
+          s"(available: ${commits(spark, dir).mkString(", ")})")))
+
+  /** TIME-TRAVEL [[load]] — the ledger AS OF a committed snapshot id
+    * (labels, live signature store, meta, each resolved through the
+    * archived manifest): a pre-purge snapshot still sees the purged
+    * docs while its slices and label generation survive. Fails loudly
+    * once [[vacuumSlices]] retired the window or the generation
+    * retention dropped the labels — the fail-closed
+    * [[graft.cdc.Apply.readMergeTableAt]] contract, never a silent
+    * partial read. */
+  def loadAt(spark: SparkSession, dir: String,
+      commit: Long): (DataFrame, DataFrame, Meta) = {
+    val m = metaAt(spark, dir, commit)
+    Generations.requireSlicesReadable(spark, dir,
+      Seq("sigs", "postings", "purged"), m.sliceBase, m.slices,
+      s"snapshot $commit")
+    val labelsDir = s"$dir/gen=${m.gen}/labels"
+    require(graft.util.Hfs.exists(
+        new org.apache.hadoop.fs.Path(labelsDir), graft.util.Hfs.conf(spark)),
+      s"snapshot $commit of $dir is no longer readable: gen=${m.gen} " +
+        "was dropped by generation retention (raise retainGens to keep it)")
+    (spark.read.parquet(labelsDir), liveSigs(spark, dir, m), m)
   }
 
   /** Fold one batch of NEW documents (id, text) into the persisted
@@ -299,6 +354,7 @@ object LedgerStore {
       prefixes: Int = 64, retainGens: Int = 2,
       batchId: Long = -1L, maxBucketSize: Int = Int.MaxValue): Option[Long] = {
     val spark = batch.sparkSession
+    graft.util.Maintenance.withWriteLock("LedgerStore", spark, dir) {
     val docs = batch.select(id.as("doc_id"), text.as("text"))
     if (docs.isEmpty) return None
     val perMille = math.round(threshold * 1000).toInt
@@ -318,7 +374,8 @@ object LedgerStore {
           Dedup.minhashPostings(sigs, k, bands, prefixes)
             .select(col("bucket"), col("id"), col("bp")),
           Meta(Format, 0L, 0L, batchId, perMille, k, bands, prefixes,
-            maxBucket = maxBucketSize, sliceBase = 0L, slices = 1L),
+            maxBucket = maxBucketSize, sliceBase = 0L, slices = 1L,
+            commit = -1L),
           retainGens))
       case Some(m) if batchId >= 0 && batchId <= m.batch =>
         None // crash replay of an already-folded batch
@@ -358,6 +415,7 @@ object LedgerStore {
             .select(col("bucket"), col("id"), col("bp")),
           m.copy(gen = m.gen + 1, batch = batchId, slices = m.slices + 1),
           retainGens))
+    }
     }
   }
 

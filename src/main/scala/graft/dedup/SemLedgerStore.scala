@@ -40,34 +40,42 @@ object SemLedgerStore {
 
   /** v3: `sliceBase` — the live slice window's lower bound; see
     * [[LedgerStore.Meta]] (the text twin) for the compaction contract. */
+  /** Since round 11 every meta also carries `commit` — the monotone
+    * snapshot id behind [[loadAt]]/[[commits]] time travel (the
+    * [[LedgerStore]] protocol). */
   final case class Meta(format: String, gen: Long, rows: Long, batch: Long,
       thresholdPerMille: Int, nBands: Int, planesPerBand: Int, dim: Int,
-      sliceBase: Long, slices: Long)
+      sliceBase: Long, slices: Long, commit: Long)
 
   private val MetaRe =
     ("""\{"format": "([^"]+)", "gen": ([0-9]+), "rows": ([0-9]+), """ +
       """"batch": (-?[0-9]+), "thresholdPerMille": (-?[0-9]+), """ +
       """"nBands": ([0-9]+), "planesPerBand": ([0-9]+), "dim": ([0-9]+), """ +
-      """"sliceBase": ([0-9]+), "slices": ([0-9]+)\}""").r
+      """"sliceBase": ([0-9]+), "slices": ([0-9]+), """ +
+      """"commit": ([0-9]+)\}""").r
+
+  private def parseMeta(dir: String, body: String): Meta = body match {
+    case MetaRe(f, g, n, b, t, nb, ppb, d, sb, sl, c) =>
+      Meta(f, g.toLong, n.toLong, b.toLong, t.toInt, nb.toInt,
+        ppb.toInt, d.toInt, sb.toLong, sl.toLong, c.toLong)
+    case other => sys.error(
+      s"unparseable semantic-ledger manifest at $dir: " +
+        s"'${other.take(120)}' (refusing to guess — the pointer is the commit)")
+  }
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
-    Generations.readPointer(spark, dir, MetaName).map {
-      case MetaRe(f, g, n, b, t, nb, ppb, d, sb, sl) =>
-        Meta(f, g.toLong, n.toLong, b.toLong, t.toInt, nb.toInt,
-          ppb.toInt, d.toInt, sb.toLong, sl.toLong)
-      case other => sys.error(
-        s"unparseable semantic-ledger manifest at $dir/$MetaName: " +
-          s"'${other.take(120)}' (refusing to guess — the pointer is the commit)")
-    }
+    Generations.readPointer(spark, dir, MetaName).map(parseMeta(dir, _))
 
   private def commitMeta(spark: SparkSession, dir: String, m: Meta): Unit =
-    Generations.commit(spark, dir, MetaName,
+    Generations.commitArchived(spark, dir, MetaName,
       s"""{"format": "$Format", "gen": ${m.gen}, "rows": ${m.rows}, """ +
         s""""batch": ${m.batch}, """ +
         s""""thresholdPerMille": ${m.thresholdPerMille}, """ +
         s""""nBands": ${m.nBands}, """ +
         s""""planesPerBand": ${m.planesPerBand}, "dim": ${m.dim}, """ +
-        s""""sliceBase": ${m.sliceBase}, "slices": ${m.slices}}""")
+        s""""sliceBase": ${m.sliceBase}, "slices": ${m.slices}, """ +
+        s""""commit": ${m.commit}}""",
+      m.commit)
 
   private def liveSlices(spark: SparkSession, dir: String, sub: String,
       m: Meta): DataFrame =
@@ -118,7 +126,7 @@ object SemLedgerStore {
     deltaPairs.write.mode("overwrite").parquet(s"$dir/pairs/slice=$sliceId")
     labels.write.mode("overwrite").parquet(s"$dir/gen=${meta.gen}/labels")
     val n = spark.read.parquet(s"$dir/gen=${meta.gen}/labels").count()
-    commitMeta(spark, dir, meta.copy(rows = n))
+    commitMeta(spark, dir, meta.copy(rows = n, commit = meta.commit + 1))
     Generations.gc(spark, dir, meta.gen - (retainGens - 1))
     meta.gen
   }
@@ -130,6 +138,9 @@ object SemLedgerStore {
     * until [[vacuumSlices]]. Returns the merged slice id, or None when
     * the window already holds ≤ 1 slice. */
   def compact(spark: SparkSession, dir: String): Option[Long] =
+    // purge/fold/compact serialize on the per-(store, dir) monitor
+    // (round-11 verdict #5); cross-process stays single-writer
+    graft.util.Maintenance.withWriteLock("SemLedgerStore", spark, dir) {
     readMeta(spark, dir) match {
       case Some(m) if m.slices - m.sliceBase > 1 =>
         val merged = m.slices
@@ -142,9 +153,11 @@ object SemLedgerStore {
         livePairs(spark, dir, m).write.mode("overwrite")
           .parquet(s"$dir/pairs/slice=$merged")
         commitMeta(spark, dir,
-          m.copy(sliceBase = merged, slices = merged + 1))
+          m.copy(sliceBase = merged, slices = merged + 1,
+            commit = m.commit + 1))
         Some(merged)
       case _ => None
+    }
     }
 
   /** Deferred slice GC below the current `sliceBase` — run after a
@@ -168,6 +181,40 @@ object SemLedgerStore {
       spark.read.parquet(s"$dir/gen=${m.gen}/labels"), m)
   }
 
+  /** The current manifest, for callers pinning snapshots
+    * ([[graft.util.PipelineLedger]]) without loading the frames. */
+  def meta(spark: SparkSession, dir: String): Option[Meta] =
+    readMeta(spark, dir)
+
+  /** Committed snapshot ids available for [[loadAt]], ascending. */
+  def commits(spark: SparkSession, dir: String): Seq[Long] =
+    Generations.listCommits(spark, dir)
+
+  /** The archived manifest of snapshot `commit`. */
+  def metaAt(spark: SparkSession, dir: String, commit: Long): Meta =
+    parseMeta(s"$dir@$commit",
+      Generations.readPointerAt(spark, dir, commit).getOrElse(sys.error(
+        s"$dir has no committed snapshot $commit " +
+          s"(available: ${commits(spark, dir).mkString(", ")})")))
+
+  /** TIME-TRAVEL [[load]] — the semantic ledger AS OF a committed
+    * snapshot id; fails loudly once vacuum/generation retention dropped
+    * the snapshot's dirs (the [[LedgerStore.loadAt]] contract). */
+  def loadAt(spark: SparkSession, dir: String, commit: Long)
+      : (DataFrame, DataFrame, DataFrame, Meta) = {
+    val m = metaAt(spark, dir, commit)
+    Generations.requireSlicesReadable(spark, dir,
+      Seq("vecs", "pairs", "purged"), m.sliceBase, m.slices,
+      s"snapshot $commit")
+    val labelsDir = s"$dir/gen=${m.gen}/labels"
+    require(graft.util.Hfs.exists(
+        new org.apache.hadoop.fs.Path(labelsDir), graft.util.Hfs.conf(spark)),
+      s"snapshot $commit of $dir is no longer readable: gen=${m.gen} " +
+        "was dropped by generation retention (raise retainGens to keep it)")
+    (liveVecs(spark, dir, m), livePairs(spark, dir, m),
+      spark.read.parquet(labelsDir), m)
+  }
+
   /** [[LedgerStore.purgeDocs]]'s embedding twin — decremental semantic-
     * ledger maintenance: affected components relabel from their
     * remaining members' STORED VECTORS (the banded sign-LSH pipeline
@@ -178,6 +225,7 @@ object SemLedgerStore {
     * the removal physical. No-op for absent/already-purged ids. */
   def purgeVecs(spark: SparkSession, dir: String, vecIds: DataFrame,
       retainGens: Int = 2): Option[Long] = {
+    graft.util.Maintenance.withWriteLock("SemLedgerStore", spark, dir) {
     val m = readMeta(spark, dir).getOrElse(
       sys.error(s"no committed semantic ledger at $dir (missing $MetaName)"))
     val labels = spark.read.parquet(s"$dir/gen=${m.gen}/labels")
@@ -211,9 +259,11 @@ object SemLedgerStore {
     newLabels.write.mode("overwrite").parquet(s"$dir/gen=$gen/labels")
     val n = spark.read.parquet(s"$dir/gen=$gen/labels").count()
     commitMeta(spark, dir,
-      m.copy(gen = gen, rows = n, slices = sliceId + 1))
+      m.copy(gen = gen, rows = n, slices = sliceId + 1,
+        commit = m.commit + 1))
     Generations.gc(spark, dir, gen - (retainGens - 1))
     Some(gen)
+    }
   }
 
   /** Fold one batch of NEW vectors (id, embedding) into the persisted
@@ -224,6 +274,7 @@ object SemLedgerStore {
       planesPerBand: Int = 4, dim: Int = 64, retainGens: Int = 2,
       batchId: Long = -1L): Option[Long] = {
     val spark = batch.sparkSession
+    graft.util.Maintenance.withWriteLock("SemLedgerStore", spark, dir) {
     val vecs = batch.select(id.as("id"), vec.as("v")).localCheckpoint(true)
     if (vecs.isEmpty) return None
     val perMille = math.round(threshold * 1000).toInt
@@ -236,7 +287,7 @@ object SemLedgerStore {
           vecs, col("id"), pairs, col("a_id"), col("b_id"))
         Some(publish(spark, dir, vecs, pairs, labels,
           Meta(Format, 0L, 0L, batchId, perMille, nBands, planesPerBand,
-            dim, sliceBase = 0L, slices = 1L), retainGens))
+            dim, sliceBase = 0L, slices = 1L, commit = -1L), retainGens))
       case Some(m) if batchId >= 0 && batchId <= m.batch =>
         None // crash replay of an already-folded batch
       case Some(m) =>
@@ -265,6 +316,7 @@ object SemLedgerStore {
         Some(publish(spark, dir, screened, deltaPairs, newLabels,
           m.copy(gen = m.gen + 1, batch = batchId, slices = m.slices + 1),
           retainGens))
+    }
     }
   }
 

@@ -297,10 +297,10 @@ object StreamOps {
     * near-dup face can derive signatures. */
   private def corpusGate(docs: DataFrame, evalDocs: DataFrame,
       minWords: Long, maxWords: Long, contamN: Int, contamThreshold: Int,
-      delay: String): DataFrame = {
+      delay: String, carry: Seq[String] = Nil): DataFrame = {
     import graft.text.{CorpusQueries, TextFunctions}
     val keep = Seq("ts" -> col("ts"), "source" -> col("source"),
-      "text" -> col("text"))
+      "text" -> col("text")) ++ carry.map(c => c -> col(c))
     val quality = CorpusQueries
       .gopherFlags(docs, col("doc_id"), col("text"), minWords, maxWords, keep)
       .filter(col("passes"))
@@ -311,7 +311,8 @@ object StreamOps {
       .withColumn("fp", TextFunctions.fingerprint(col("text")))
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("fp")
-      .select(col("id").as("doc_id"), col("ts"), col("source"), col("text"))
+      .select(col("id").as("doc_id") +: col("ts") +: col("source") +:
+        col("text") +: carry.map(col): _*)
   }
 
   def corpusBuildStream(docs: DataFrame, evalDocs: DataFrame,
@@ -478,6 +479,99 @@ object StreamOps {
     votes
       .groupByKey(_.source)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** The FLAGSHIP streaming corpus build with BOTH dedup gates (round-11
+    * verdict #7): [[corpusBuildStreamNd]]'s text near-dup vote stage AND
+    * [[embCorpusBuildStream]]'s embedding (semantic) near-dup vote stage
+    * applied to ONE arriving stream of (doc_id, ts, source, text,
+    * embedding) rows — quality → decontaminate → exact-fingerprint dedup
+    * → two parallel banded vote stages over the same gated stream (text
+    * MinHash-LSH buckets; sign-LSH embedding buckets — each a
+    * transformWithState keyed by (band, bucket), re-declaring `ts` per
+    * the Spark 4 chained-stateful contract) → one per-source token
+    * budget fold over the UNION of both vote streams. A document is
+    * near-dup (excluded, tokens never charged) if EITHER gate votes dup;
+    * within a batch rows fold in event-time order, so admission order is
+    * stable (StreamOpsSpec pins batch-replay parity with both gates
+    * applied).
+    *
+    * Embedding votes carry `n_tokens = -1` as a sentinel; the collapse
+    * takes each document's token count from its text votes (max over
+    * the group). Input rows must carry a non-null `embedding`. */
+  def corpusBuildStreamFull(docs: DataFrame, evalDocs: DataFrame,
+      budgetPerSource: Long, minWords: Long = 5L, maxWords: Long = 5000L,
+      contamN: Int = 3, contamThreshold: Int = 5,
+      delay: String = "10 minutes", ndThreshold: Double = 0.7,
+      k: Int = 16, bands: Int = 4, maxBucket: Int = 50,
+      embThreshold: Double = 0.25, embBands: Int = 4, embPlanes: Int = 4,
+      dim: Int = 64): Dataset[CorpusAdmitNd] = {
+    import org.apache.spark.sql.{Encoders => E}
+    import graft.text.TextFunctions
+    val gated = corpusGate(docs, evalDocs, minWords, maxWords,
+        contamN, contamThreshold, delay, carry = Seq("embedding"))
+      .select(col("doc_id"), col("ts"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.minhashSignature(
+          TextFunctions.shingles(col("text"), 3), k).as("sig"),
+        col("embedding").as("v"))
+    implicit val voteEnc: org.apache.spark.sql.Encoder[GateVote] =
+      E.product[GateVote]
+    implicit val embVoteEnc: org.apache.spark.sql.Encoder[EmbGateVote] =
+      E.product[EmbGateVote]
+    // branch 1: text near-dup votes (the corpusBuildStreamNd stage)
+    val textVotes = gated
+      .withColumn("bk", TextFunctions.lshBandKeys(col("sig"), k, bands))
+      .select(col("doc_id"), col("ts"), col("source"), col("n_tokens"),
+        col("sig"), posexplode(col("bk")).as(Seq("band", "bucket")))
+      .as(E.product[GateRow])
+      .groupByKey(r => (r.band, r.bucket))(E.product[(Int, Int)])
+      .transformWithState(
+        new NearDupVoteProcessor(ndThreshold, k, maxBucket),
+        "ts", OutputMode.Append())
+    // branch 2: embedding near-dup votes (the embCorpusBuildStream
+    // stage) over the SAME gated stream, re-keyed by sign-LSH buckets
+    val embVotes = gated
+      .withColumn("buckets", transform(
+        graft.ann.Similarity.bandKeys(col("v"), embBands, embPlanes, dim),
+        s => s.getField("bucket")))
+      .select(col("doc_id").as("vec_id"), col("ts"), col("source"),
+        col("v"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .as(E.product[EmbGateRow])
+      .groupByKey(r => (r.band, r.bucket))(E.product[(Int, Int)])
+      .transformWithState(new EmbVoteProcessor(embThreshold, maxBucket),
+        "ts", OutputMode.Append())
+      .map(v => GateVote(v.vec_id, v.ts, v.source, -1L, v.dup_here))
+    val votes = textVotes.union(embVotes)
+
+    def fn(source: String, rows: Iterator[GateVote],
+        state: GroupState[BudgetState]): Iterator[CorpusAdmitNd] = {
+      var cum = state.getOption.map(_.cum).getOrElse(0L)
+      val out = rows.toSeq
+        .groupBy(r => (r.doc_id, r.ts)).toSeq // one group per DOCUMENT
+        .map { case ((id, ts), vs) =>
+          (id, ts, vs.map(_.n_tokens).max, vs.exists(_.dup_here)) }
+        .sortBy { case (id, ts, _, _) => (ts.getTime, id) }
+        .map { case (id, _, nt, dup) =>
+          if (dup) CorpusAdmitNd(id, source, nt, cum,
+            admitted = false, near_dup = true)
+          else {
+            cum += nt
+            CorpusAdmitNd(id, source, nt, cum,
+              cum <= budgetPerSource, near_dup = false)
+          }
+        }
+      state.update(BudgetState(cum))
+      out.iterator
+    }
+    implicit val admitEnc: org.apache.spark.sql.Encoder[CorpusAdmitNd] =
+      E.product[CorpusAdmitNd]
+    implicit val stEnc: org.apache.spark.sql.Encoder[BudgetState] =
+      E.product[BudgetState]
+    implicit val keyEnc: org.apache.spark.sql.Encoder[String] = E.STRING
+    votes.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
   }
 
   final case class BurstState(open: Map[Long, Long], history: Seq[(Long, Long)])

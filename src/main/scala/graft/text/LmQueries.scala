@@ -568,6 +568,31 @@ object LmQueries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // -- TIME-TRAVEL retrieval (round 11 — the store-history verb the
+    //    merge table has had since round 6, now on the postings
+    //    substrate): the q254 store folds the 20% delta and compacts,
+    //    then this query answers BM25 AS OF the SEED commit (commit 0,
+    //    the 90% corpus) through the archived manifest — stats and
+    //    slice window exactly as committed then, even though the
+    //    CURRENT pointer has since folded and compacted past it.
+    //    Oracle = the full BM25 recompute restricted to the seed corpus
+    //    (doc_id < cut): snapshot-read ≡ as-it-was recompute,
+    //    bit-for-bit. Fail-closed retention (read-after-vacuum errors)
+    //    is pinned by TimeTravelSpec.
+    "q261_bm25_asof" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+      val dir = postingsStoreDir(s, d)
+      // move the store past the seed (idempotent on replay: the batch
+      // ledger skips the fold; a ≤1-slice window skips the compact)
+      PostingsStore.maintainBatch(
+        docs.filter(!(col("doc_id") < cut)), col("doc_id"), col("text"),
+        dir, batchId = 1L)
+      PostingsStore.compact(s, dir)
+      PostingsStore.bm25QueryAt(s, dir, commit = 0L, Bm25Terms, Bm25TopK)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // -- integer-exact bigram LM affinity scoring.
     "q216_lm_bits" -> { (s, d) =>
       lmBits(Tables.documents(s, d), col("doc_id"), col("text"))
@@ -785,6 +810,39 @@ object LmQueries {
       val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
       s"""WITH t AS (
          |  SELECT doc_id, UNNEST($Tok) AS term FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+         |tot AS (SELECT SUM(dl) AS t_toks, COUNT(*) AS n_docs FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM t
+         |  WHERE term IN ($termList) GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |s AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ((2.0 * CAST(n_docs AS DOUBLE) - 2.0 * CAST(df AS DOUBLE) + 1.0)
+         |      / (2.0 * CAST(df AS DOUBLE) + 1.0))
+         |    * ((2.2 * CAST(tf AS DOUBLE))
+         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+         |        + 0.75 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+         |          / CAST(t_toks AS DOUBLE)))) AS s
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot)
+         |SELECT doc_id, COUNT(*) AS n_terms,
+         |  LIST_REDUCE(LIST(s ORDER BY term), (x, y) -> x + y) AS score
+         |FROM s GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+    },
+
+    // The snapshot read must land on the recompute over the corpus AS
+    // IT WAS at the seed commit — the q254 replay restricted to
+    // doc_id < cut ((MAX*9)//10: DuckDB floor-div ≡ Scala truncating
+    // division on the positive ids).
+    "q261_bm25_asof" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH cut AS (
+         |  SELECT (MAX(doc_id) * 9) // 10 AS c FROM documents),
+         |seed AS (
+         |  SELECT doc_id, text FROM documents, cut WHERE doc_id < c),
+         |t AS (
+         |  SELECT doc_id, UNNEST($Tok) AS term FROM seed),
          |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
          |tot AS (SELECT SUM(dl) AS t_toks, COUNT(*) AS n_docs FROM dl),
          |tf AS (

@@ -47,28 +47,40 @@ object PostingsStore {
   private val MetaName = "_graft_postings_meta.json"
   private val Format = "graft-postings-v1"
 
+  /** v2 (round 11): `commit` — the monotone snapshot id. Every pointer
+    * flip archives its body under `_graft_history/commit-<id>.json`
+    * (the [[graft.cdc.Apply]] time-travel protocol via
+    * [[Generations.commitArchived]]), so [[bm25QueryAt]] can answer
+    * from any still-readable past snapshot. */
   final case class Meta(format: String, batch: Long, nDocs: Long,
-      totTokens: Long, prefixes: Int, sliceBase: Long, slices: Long)
+      totTokens: Long, prefixes: Int, sliceBase: Long, slices: Long,
+      commit: Long)
 
   private val MetaRe =
     ("""\{"format": "([^"]+)", "batch": (-?[0-9]+), "nDocs": ([0-9]+), """ +
       """"totTokens": ([0-9]+), "prefixes": ([0-9]+), """ +
-      """"sliceBase": ([0-9]+), "slices": ([0-9]+)\}""").r
+      """"sliceBase": ([0-9]+), "slices": ([0-9]+), """ +
+      """"commit": ([0-9]+)\}""").r
+
+  private def parseMeta(dir: String, body: String): Meta = body match {
+    case MetaRe(f, b, nd, tt, px, sb, sl, c) =>
+      Meta(f, b.toLong, nd.toLong, tt.toLong, px.toInt, sb.toLong,
+        sl.toLong, c.toLong)
+    case other => sys.error(
+      s"unparseable postings manifest at $dir: '${other.take(120)}' " +
+        "(refusing to guess — the pointer is the commit)")
+  }
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
-    Generations.readPointer(spark, dir, MetaName).map {
-      case MetaRe(f, b, nd, tt, px, sb, sl) =>
-        Meta(f, b.toLong, nd.toLong, tt.toLong, px.toInt, sb.toLong, sl.toLong)
-      case other => sys.error(
-        s"unparseable postings manifest at $dir/$MetaName: '${other.take(120)}' " +
-          "(refusing to guess — the pointer is the commit)")
-    }
+    Generations.readPointer(spark, dir, MetaName).map(parseMeta(dir, _))
 
   private def commitMeta(spark: SparkSession, dir: String, m: Meta): Unit =
-    Generations.commit(spark, dir, MetaName,
+    Generations.commitArchived(spark, dir, MetaName,
       s"""{"format": "$Format", "batch": ${m.batch}, "nDocs": ${m.nDocs}, """ +
         s""""totTokens": ${m.totTokens}, "prefixes": ${m.prefixes}, """ +
-        s""""sliceBase": ${m.sliceBase}, "slices": ${m.slices}}""")
+        s""""sliceBase": ${m.sliceBase}, "slices": ${m.slices}, """ +
+        s""""commit": ${m.commit}}""",
+      m.commit)
 
   /** Term-prefix partition key: a pure function of the term (every
     * posting of a term lives in ONE prefix — the minhashPostings `bp`
@@ -112,6 +124,11 @@ object PostingsStore {
   def maintainBatch(batch: DataFrame, id: Column, text: Column,
       dir: String, prefixes: Int = 64, batchId: Long = -1L): Option[Long] = {
     val spark = batch.sparkSession
+    // purge/fold/compact all read-modify-write the pointer: serialize
+    // in-process writers on the per-(store, dir) monitor (round-11
+    // verdict #5 — a purge racing a fold could claim the fold's slice
+    // id mid-write; cross-process remains single-writer by contract)
+    graft.util.Maintenance.withWriteLock("PostingsStore", spark, dir) {
     val docs = batch.select(id.as("id"), text.as("text"))
     if (docs.isEmpty) return None
     val prev = readMeta(spark, dir)
@@ -123,7 +140,8 @@ object PostingsStore {
       case None => ()
     }
     val m = prev.getOrElse(
-      Meta(Format, -1L, 0L, 0L, prefixes, sliceBase = 0L, slices = 0L))
+      Meta(Format, -1L, 0L, 0L, prefixes, sliceBase = 0L, slices = 0L,
+        commit = -1L))
     // TOMBSTONE SCREEN (round-10 ADVICE): a purged id stays purged until
     // a compact physically removes its tombstone — re-folding it would
     // increment nDocs/totTokens while the still-live tombstone hides its
@@ -158,8 +176,9 @@ object PostingsStore {
     commitMeta(spark, dir, m.copy(batch = batchId,
       nDocs = m.nDocs + stats.getLong(0),
       totTokens = m.totTokens + stats.getLong(1),
-      slices = sliceId + 1))
+      slices = sliceId + 1, commit = m.commit + 1))
     Some(sliceId)
+    }
   }
 
   /** Continuous maintenance: one fold per micro-batch of arriving
@@ -180,6 +199,7 @@ object PostingsStore {
     * live slice window into one slice per table, advance the window in
     * one atomic commit (stats and ledger unchanged). */
   def compact(spark: SparkSession, dir: String): Option[Long] =
+    graft.util.Maintenance.withWriteLock("PostingsStore", spark, dir) {
     readMeta(spark, dir) match {
       case Some(m) if m.slices - m.sliceBase > 1 =>
         val merged = m.slices
@@ -190,9 +210,11 @@ object PostingsStore {
           .partitionBy("tp").parquet(s"$dir/postings/slice=$merged")
         live(spark, dir, "doclen", m).write.mode("overwrite")
           .parquet(s"$dir/doclen/slice=$merged")
-        commitMeta(spark, dir, m.copy(sliceBase = merged, slices = merged + 1))
+        commitMeta(spark, dir, m.copy(sliceBase = merged,
+          slices = merged + 1, commit = m.commit + 1))
         Some(merged)
       case _ => None
+    }
     }
 
   /** Deferred slice GC below the current window base. */
@@ -213,6 +235,7 @@ object PostingsStore {
     * absent/already-purged ids. Returns (docs removed, tokens removed). */
   def purgeDocs(spark: SparkSession, dir: String,
       docIds: DataFrame): Option[(Long, Long)] = {
+    graft.util.Maintenance.withWriteLock("PostingsStore", spark, dir) {
     val m = readMeta(spark, dir).getOrElse(
       sys.error(s"no committed postings store at $dir (missing $MetaName)"))
     val targets = docIds.select(docIds.columns.head)
@@ -235,8 +258,9 @@ object PostingsStore {
     targets.write.mode("overwrite").parquet(s"$dir/purged/slice=$sliceId")
     commitMeta(spark, dir, m.copy(
       nDocs = m.nDocs - nd, totTokens = m.totTokens - nt,
-      slices = sliceId + 1))
+      slices = sliceId + 1, commit = m.commit + 1))
     Some((nd, nt))
+    }
   }
 
   /** BM25 top-k served FROM THE STORE — [[LmQueries.bm25]]'s formula
@@ -249,9 +273,43 @@ object PostingsStore {
     * postings (each doc tokenized once, by the same tokenizer), N and
     * Σdl from the incrementally-maintained stats. */
   def bm25Query(spark: SparkSession, dir: String,
+      terms: Seq[String], topK: Int): DataFrame =
+    bm25On(spark, dir,
+      readMeta(spark, dir).getOrElse(sys.error(
+        s"no committed postings store at $dir (missing $MetaName)")),
+      terms, topK)
+
+  /** Committed snapshot ids available for [[bm25QueryAt]], ascending. */
+  def commits(spark: SparkSession, dir: String): Seq[Long] =
+    Generations.listCommits(spark, dir)
+
+  /** The archived manifest of snapshot `commit`. */
+  def metaAt(spark: SparkSession, dir: String, commit: Long): Meta =
+    parseMeta(s"$dir@$commit",
+      Generations.readPointerAt(spark, dir, commit).getOrElse(sys.error(
+        s"$dir has no committed snapshot $commit " +
+          s"(available: ${commits(spark, dir).mkString(", ")})")))
+
+  /** TIME-TRAVEL BM25 — [[bm25Query]] AS OF a committed snapshot id:
+    * resolves through the archived manifest exactly like the current
+    * read resolves through the pointer, so the answer replays the
+    * recompute over the corpus AS IT WAS at that commit (stats from the
+    * archived manifest, postings from its slice window — pre-purge
+    * snapshots still see the purged docs while their slices survive).
+    * Readable only until [[vacuumSlices]] retires the window's dirs;
+    * afterwards this fails loudly (the fail-closed
+    * [[graft.cdc.Apply.readMergeTableAt]] retention contract). */
+  def bm25QueryAt(spark: SparkSession, dir: String, commit: Long,
       terms: Seq[String], topK: Int): DataFrame = {
-    val m = readMeta(spark, dir).getOrElse(
-      sys.error(s"no committed postings store at $dir (missing $MetaName)"))
+    val m = metaAt(spark, dir, commit)
+    Generations.requireSlicesReadable(spark, dir,
+      Seq("postings", "doclen", "purged"), m.sliceBase, m.slices,
+      s"snapshot $commit")
+    bm25On(spark, dir, m, terms, topK)
+  }
+
+  private def bm25On(spark: SparkSession, dir: String, m: Meta,
+      terms: Seq[String], topK: Int): DataFrame = {
     import spark.implicits._
     // ≤|terms| prefix values: driver-side bounded metadata, evaluated
     // through the SAME tp expression the writer used

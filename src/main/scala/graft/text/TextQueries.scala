@@ -93,6 +93,34 @@ object TextQueries {
       dir
     }
 
+  /** The q262 CROSS-SUBSTRATE PIPELINE (round-11 verdict #1): a
+    * [[graft.util.PipelineLedger]] set over its OWN ledger + postings
+    * stores (separate from the q248/q254 seeds — q262 diverges its
+    * stores with a post-commit purge, which must not disturb the other
+    * gates), seeded with the 90% base as batch 0 through one
+    * `refreshAll` commit. Bench warms it outside the timed window. */
+  private[graft] def pipelineStores(dir: String): Seq[graft.util.PipelineLedger.Store] = Seq(
+    graft.util.PipelineLedger.Store("ledger",
+      (df, bid) => { graft.dedup.LedgerStore.maintainBatch(df,
+        col("doc_id"), col("text"), s"$dir/ledger", batchId = bid); () },
+      s => graft.dedup.LedgerStore.meta(s, s"$dir/ledger")
+        .map(_.commit).getOrElse(-1L)),
+    graft.util.PipelineLedger.Store("postings",
+      (df, bid) => { PostingsStore.maintainBatch(df, col("doc_id"),
+        col("text"), s"$dir/postings", batchId = bid); () },
+      s => PostingsStore.meta(s, s"$dir/postings")
+        .map(_.commit).getOrElse(-1L)))
+
+  private[graft] def pipelineDir(s: SparkSession, d: String): String =
+    Maintenance.getOrBuild("pipelineSeed", s, d) {
+      val docs = Tables.documents(s, d)
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+      val dir = java.nio.file.Files.createTempDirectory("graftpipe").toString
+      graft.util.PipelineLedger.refreshAll(s, dir,
+        docs.filter(col("doc_id") < cut), 0L, pipelineStores(dir))
+      dir
+    }
+
   def dedupLedger(s: SparkSession, d: String): DedupLedger =
     Maintenance.getOrBuild("dedupLedger", s, d) {
       val docs = Tables.documents(s, d)
@@ -507,6 +535,46 @@ object TextQueries {
         .select(col("doc_id"), col("comp"), col("comp_size"),
           (col("doc_id") === col("comp")).as("is_canonical"))
         .orderBy(col("doc_id"))
+    },
+
+    // -- the CONSISTENT-SET read (round-11 verdict #1, the q248 + q254
+    //    gates composed): one corpus batch refreshes the dedup ledger
+    //    AND the BM25 postings through PipelineLedger.refreshAll — a
+    //    single set commit pinning both stores' snapshots — then the
+    //    stores are DIVERGED outside the pipeline (a direct purge of
+    //    the min doc, bumping both pointers past the pins), and the
+    //    query reads THROUGH THE SET: BM25 top-k at the pinned postings
+    //    commit joined with each hit's dedup component at the pinned
+    //    ledger commit. Oracle = full-corpus recompute of both faces
+    //    (the purged doc included): it matches ONLY if the read
+    //    resolves through the pinned set — current-pointer reads would
+    //    miss the purged doc and shift every BM25 score (N and avgdl
+    //    change) — so set atomicity, isolation, and both stores'
+    //    replay-exactness gate in one face. Replays are no-ops at every
+    //    level (pipeline batch ledger, store batch ledgers, purge of
+    //    already-purged ids).
+    "q262_pipeline_set" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+      val dir = pipelineDir(s, d)
+      graft.util.PipelineLedger.refreshAll(s, dir,
+        docs.filter(!(col("doc_id") < cut)), 1L, pipelineStores(dir))
+      val set = graft.util.PipelineLedger.readSet(s, dir)
+      // diverge both stores PAST the pins (idempotent: re-purging an
+      // already-purged id is a no-op in both stores)
+      val victim = docs.agg(min(col("doc_id"))).head.getLong(0)
+      PostingsStore.purgeDocs(s, s"$dir/postings", Seq(victim).toDF("id"))
+      graft.dedup.LedgerStore.purgeDocs(s, s"$dir/ledger",
+        Seq(victim).toDF("id"))
+      val bm = PostingsStore.bm25QueryAt(s, s"$dir/postings",
+        set.stores("postings"), LmQueries.Bm25Terms, LmQueries.Bm25TopK)
+      val lbl = graft.dedup.LedgerStore.loadAt(s, s"$dir/ledger",
+        set.stores("ledger"))._1
+      bm.join(lbl, Seq("id"))
+        .select(col("id").as("doc_id"), col("n_terms"), col("score"),
+          col("comp"))
+        .orderBy(col("score").desc, col("doc_id"))
     },
 
     // -- the SAME ledger clustered by the alternating small-star/large-
@@ -1372,6 +1440,52 @@ object TextQueries {
          |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
          |  doc_id = comp AS is_canonical
          |FROM ledger ORDER BY doc_id""".stripMargin,
+
+    // The set-pinned read must land on the FULL-corpus recompute of
+    // both faces (post-set store divergence invisible): q254's BM25
+    // replay joined with q248's components replay.
+    "q262_pipeline_set" -> {
+      val termList = LmQueries.Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+         |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+         |ledger AS (
+         |  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
+         |t AS (
+         |  SELECT doc_id,
+         |    UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS term
+         |  FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+         |tot AS (SELECT SUM(dl) AS t_toks, COUNT(*) AS n_docs FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM t
+         |  WHERE term IN ($termList) GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ((2.0 * CAST(n_docs AS DOUBLE) - 2.0 * CAST(df AS DOUBLE) + 1.0)
+         |      / (2.0 * CAST(df AS DOUBLE) + 1.0))
+         |    * ((2.2 * CAST(tf AS DOUBLE))
+         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+         |        + 0.75 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+         |          / CAST(t_toks AS DOUBLE)))) AS s
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot),
+         |bm AS (
+         |  SELECT doc_id, COUNT(*) AS n_terms,
+         |    LIST_REDUCE(LIST(s ORDER BY term), (x, y) -> x + y) AS score
+         |  FROM sc GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id LIMIT ${LmQueries.Bm25TopK})
+         |SELECT bm.doc_id, n_terms, score, comp
+         |FROM bm JOIN ledger USING (doc_id)
+         |ORDER BY score DESC, doc_id""".stripMargin
+    },
 
     // Compaction must be invisible: the compacted store still lands on
     // the identical full-recompute labeling.

@@ -29,6 +29,67 @@ object Generations {
     Hfs.writeStringAtomic(new HPath(new HPath(dir), metaName), body,
       Hfs.conf(spark))
 
+  private val HistoryDir = "_graft_history"
+  private val HistoryRe = "commit-([0-9]+)\\.json".r
+
+  /** The commit WITH a time-travel archive (the [[graft.cdc.Apply]]
+    * history protocol, shared by the slice stores since round 11): the
+    * same pointer body is first written to the immutable
+    * `_graft_history/commit-<id>.json`, then the current pointer flips.
+    * A crash between the two leaves a history entry that never became
+    * current; the operation's replay re-commits under the SAME id
+    * (stores carry `commit` in their meta, so the replay computes
+    * prev.commit + 1 again) and overwrites it — history only ever
+    * describes committed states. History files are a few hundred bytes
+    * each and are never GC'd; a snapshot stays READABLE only while its
+    * data dirs survive compaction's vacuum / generation retention —
+    * store `loadAt` faces fail loudly afterwards (the fail-closed
+    * retention trade every manifest-pointer format makes). */
+  def commitArchived(spark: SparkSession, dir: String, metaName: String,
+      body: String, commitId: Long): Unit = {
+    val hc = Hfs.conf(spark)
+    Hfs.writeStringAtomic(
+      new HPath(s"$dir/$HistoryDir/commit-$commitId.json"), body, hc)
+    Hfs.writeStringAtomic(new HPath(new HPath(dir), metaName), body, hc)
+  }
+
+  /** Committed snapshot ids available for time travel, ascending. */
+  def listCommits(spark: SparkSession, dir: String): Seq[Long] =
+    Hfs.list(new HPath(s"$dir/$HistoryDir"), Hfs.conf(spark))
+      .toSeq.map(_.getPath.getName)
+      .collect { case HistoryRe(id) => id.toLong }.sorted
+
+  /** The archived pointer body of snapshot `commitId`, if archived. */
+  def readPointerAt(spark: SparkSession, dir: String,
+      commitId: Long): Option[String] = {
+    val p = new HPath(s"$dir/$HistoryDir/commit-$commitId.json")
+    val hc = Hfs.conf(spark)
+    if (Hfs.exists(p, hc)) Some(Hfs.readString(p, hc).trim) else None
+  }
+
+  /** Fail-closed readability check for an ARCHIVED slice window: every
+    * slice id in [sliceBase, slices) must still exist under at least one
+    * sub (each committed id was written by exactly one op, which wrote
+    * ≥ 1 subdir; [[gcSlices]] removes an id from every sub at once, so
+    * an id absent everywhere was vacuumed). Errors loudly instead of
+    * silently reading a partial snapshot — the [[graft.cdc.Apply]]
+    * restore/readMergeTableAt contract. */
+  def requireSlicesReadable(spark: SparkSession, dir: String,
+      subs: Seq[String], sliceBase: Long, slices: Long,
+      what: String): Unit = {
+    val hc = Hfs.conf(spark)
+    val present: Set[Long] = subs.flatMap { sub =>
+      Hfs.list(new HPath(s"$dir/$sub"), hc).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith("slice="))
+        .map(_.stripPrefix("slice=").toLong)
+    }.toSet
+    val gone = (sliceBase until slices).filterNot(present)
+    require(gone.isEmpty,
+      s"$what of $dir is no longer readable: slice ${gone.head} was " +
+        "vacuumed (delay vacuumSlices to retain history)")
+  }
+
   /** Deferred GC: drop `gen=` dirs strictly below `cutoffGen` — callers
     * compute the cutoff from their retention window AFTER the flip, so
     * removed generations are non-live under both old and new pointers. */

@@ -150,6 +150,7 @@ object Maintenance {
     "linkageLedger"   -> ((s, d) => graft.warehouse.ExtrasQueries.linkageLedger(s, d)),
     "linkageBase"     -> ((s, d) => graft.warehouse.ExtrasQueries.linkageBase(s, d)),
     "shardExportSeed" -> ((s, d) => graft.text.TextQueries.shardExportDir(s, d)),
+    "pipelineSeed"    -> ((s, d) => graft.text.TextQueries.pipelineDir(s, d)),
     "zorderLayout"    -> ((s, d) => graft.warehouse.ScaleQueries.zorderLayout(s, d)),
     "bucketedPair"    -> ((s, d) => graft.warehouse.ScaleQueries.bucketedPair(s, d)),
     "coPurchasePairs" -> ((s, d) => graft.warehouse.GraphQueries.coPurchasePairs(s, d)),

@@ -43,28 +43,36 @@ object GraphStore {
     * trick on the basket axis — so the "base side probes only the
     * touched baskets" claim is static partition pruning, not a
     * corpus-wide scan followed by a semi-join. */
+  /** Since round 11 every meta also carries `commit` — the monotone
+    * snapshot id behind [[loadAt]]/[[commits]] time travel (the
+    * [[graft.dedup.LedgerStore]] protocol). */
   final case class Meta(format: String, batch: Long, prefixes: Int,
-      sliceBase: Long, slices: Long)
+      sliceBase: Long, slices: Long, commit: Long)
 
   private val MetaRe =
     ("""\{"format": "([^"]+)", "batch": (-?[0-9]+), """ +
       """"prefixes": ([0-9]+), """ +
-      """"sliceBase": ([0-9]+), "slices": ([0-9]+)\}""").r
+      """"sliceBase": ([0-9]+), "slices": ([0-9]+), """ +
+      """"commit": ([0-9]+)\}""").r
+
+  private def parseMeta(dir: String, body: String): Meta = body match {
+    case MetaRe(f, b, px, sb, sl, c) =>
+      Meta(f, b.toLong, px.toInt, sb.toLong, sl.toLong, c.toLong)
+    case other => sys.error(
+      s"unparseable graph manifest at $dir: '${other.take(120)}' " +
+        "(refusing to guess — the pointer is the commit)")
+  }
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
-    Generations.readPointer(spark, dir, MetaName).map {
-      case MetaRe(f, b, px, sb, sl) =>
-        Meta(f, b.toLong, px.toInt, sb.toLong, sl.toLong)
-      case other => sys.error(
-        s"unparseable graph manifest at $dir/$MetaName: '${other.take(120)}' " +
-          "(refusing to guess — the pointer is the commit)")
-    }
+    Generations.readPointer(spark, dir, MetaName).map(parseMeta(dir, _))
 
   private def commitMeta(spark: SparkSession, dir: String, m: Meta): Unit =
-    Generations.commit(spark, dir, MetaName,
+    Generations.commitArchived(spark, dir, MetaName,
       s"""{"format": "$Format", "batch": ${m.batch}, """ +
         s""""prefixes": ${m.prefixes}, """ +
-        s""""sliceBase": ${m.sliceBase}, "slices": ${m.slices}}""")
+        s""""sliceBase": ${m.sliceBase}, "slices": ${m.slices}, """ +
+        s""""commit": ${m.commit}}""",
+      m.commit)
 
   /** Basket-hash partition key: pure function of the basket id. */
   private def opOf(ord: Column, prefixes: Int): Column =
@@ -127,6 +135,9 @@ object GraphStore {
       dir: String, batchId: Long = -1L,
       prefixes: Int = 64): Option[Long] = {
     val spark = batch.sparkSession
+    // purge/fold/compact serialize on the per-(store, dir) monitor
+    // (round-11 verdict #5); cross-process stays single-writer
+    graft.util.Maintenance.withWriteLock("GraphStore", spark, dir) {
     val items = batch.select(ord.as("ord"), item.as("item"))
     if (items.isEmpty) return None
     val prev = readMeta(spark, dir)
@@ -138,7 +149,8 @@ object GraphStore {
       case None => ()
     }
     val m = prev.getOrElse(
-      Meta(Format, -1L, prefixes, sliceBase = 0L, slices = 0L))
+      Meta(Format, -1L, prefixes, sliceBase = 0L, slices = 0L,
+        commit = -1L))
     // TOMBSTONE SCREEN (round-10 ADVICE): a purged basket stays purged
     // until compact+vacuum; re-folding its lines would add pair counts
     // while the tombstone hides the lines from every items read, so the
@@ -159,8 +171,10 @@ object GraphStore {
     screened.withColumn("op", opOf(col("ord"), prefixes))
       .write.mode("overwrite").partitionBy("op")
       .parquet(s"$dir/items/slice=$sliceId")
-    commitMeta(spark, dir, m.copy(batch = batchId, slices = sliceId + 1))
+    commitMeta(spark, dir, m.copy(batch = batchId, slices = sliceId + 1,
+      commit = m.commit + 1))
     Some(sliceId)
+    }
   }
 
   /** Continuous substrate maintenance: one fold per micro-batch,
@@ -195,12 +209,42 @@ object GraphStore {
         .filter(col("n_ab") =!= 0L), m)
   }
 
+  /** Committed snapshot ids available for [[loadAt]], ascending. */
+  def commits(spark: SparkSession, dir: String): Seq[Long] =
+    Generations.listCommits(spark, dir)
+
+  /** The archived manifest of snapshot `commit`. */
+  def metaAt(spark: SparkSession, dir: String, commit: Long): Meta =
+    parseMeta(s"$dir@$commit",
+      Generations.readPointerAt(spark, dir, commit).getOrElse(sys.error(
+        s"$dir has no committed snapshot $commit " +
+          s"(available: ${commits(spark, dir).mkString(", ")})")))
+
+  /** TIME-TRAVEL [[load]] — the graph substrate AS OF a committed
+    * snapshot id (items and merged pair counts resolved through the
+    * archived manifest's slice window): a pre-purge snapshot still sees
+    * the purged baskets while its slices survive. Fails loudly once
+    * [[vacuumSlices]] retired the window — the fail-closed
+    * [[graft.cdc.Apply.readMergeTableAt]] contract. */
+  def loadAt(spark: SparkSession, dir: String,
+      commit: Long): (DataFrame, DataFrame, Meta) = {
+    val m = metaAt(spark, dir, commit)
+    Generations.requireSlicesReadable(spark, dir,
+      Seq("items", "pairs", "purged"), m.sliceBase, m.slices,
+      s"snapshot $commit")
+    (liveItems(spark, dir, m),
+      live(spark, dir, "pairs", m)
+        .groupBy(col("u"), col("v")).agg(sum(col("dn")).as("n_ab"))
+        .filter(col("n_ab") =!= 0L), m)
+  }
+
   /** Merge the live window into ONE slice per store — the pair slice
     * lands PRE-AGGREGATED, so post-compact loads skip the read-side
     * merge for everything up to the compaction point. Atomic window
     * advance; ledger unchanged; superseded slices stay until
     * [[vacuumSlices]]. */
   def compact(spark: SparkSession, dir: String): Option[Long] =
+    graft.util.Maintenance.withWriteLock("GraphStore", spark, dir) {
     readMeta(spark, dir) match {
       case Some(m) if m.slices - m.sliceBase > 1 =>
         val merged = m.slices
@@ -213,9 +257,11 @@ object GraphStore {
           .withColumn("op", opOf(col("ord"), m.prefixes))
           .write.mode("overwrite").partitionBy("op")
           .parquet(s"$dir/items/slice=$merged")
-        commitMeta(spark, dir, m.copy(sliceBase = merged, slices = merged + 1))
+        commitMeta(spark, dir, m.copy(sliceBase = merged,
+          slices = merged + 1, commit = m.commit + 1))
         Some(merged)
       case _ => None
+    }
     }
 
   /** Deferred slice GC below the current window base. */
@@ -238,6 +284,7 @@ object GraphStore {
     * No-op for absent/already-purged baskets. Returns the slice id. */
   def purgeOrders(spark: SparkSession, dir: String,
       ords: DataFrame): Option[Long] = {
+    graft.util.Maintenance.withWriteLock("GraphStore", spark, dir) {
     val m = readMeta(spark, dir).getOrElse(
       sys.error(s"no committed graph store at $dir (missing $MetaName)"))
     val targets = ords.select(ords.columns.head).toDF("ord").distinct()
@@ -257,7 +304,9 @@ object GraphStore {
       .select(col("u"), col("v"), (-col("dn")).as("dn"))
       .write.mode("overwrite").parquet(s"$dir/pairs/slice=$sliceId")
     targets.write.mode("overwrite").parquet(s"$dir/purged/slice=$sliceId")
-    commitMeta(spark, dir, m.copy(slices = sliceId + 1))
+    commitMeta(spark, dir, m.copy(slices = sliceId + 1,
+      commit = m.commit + 1))
     Some(sliceId)
+    }
   }
 }

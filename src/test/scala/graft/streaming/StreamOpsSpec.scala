@@ -999,4 +999,120 @@ class StreamOpsSpec extends AnyFunSuite {
     // the stream's final emission per key equals the batch fold
     assert(batchFinal == Set((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)))
   }
+
+  test("flagship corpus build with BOTH gates: a text near-dup AND an " +
+      "embedding near-dup are each flagged without charging the budget; " +
+      "batch replay parity, order-stable") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evalText = "evaluation benchmark question with the answer key inside the box"
+      val evalDocs = Seq(evalText).toDF("text")
+      val a = "the quick brown fox jumps over a lazy dog while bright " +
+        "stars shine above the quiet sleeping village at night"
+      val aNd = a.replace("village", "hamlet") // text NEAR-dup of a
+      val d6 = "the old ship sails to the cold north sea port"
+      val d7 = "with warm wind the kite rises over the small town"
+      val d8 = "a calm river flows in the green quiet valley today"
+      // embeddings: e(0) reused by doc 6 (cosine 1 — semantic dup of
+      // doc 1 despite unrelated text); every other doc gets its own
+      // one-hot axis (pairwise cosine 0 < 0.25 — no accidental votes)
+      def e(axis: Int): Seq[Float] =
+        Seq.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
+      val rows = Seq(
+        (1L, t(0), "s1", a, e(0)),
+        (2L, t(1), "s1", "too short here", e(10)), // quality drop
+        (3L, t(2), "s1", evalText, e(11)),         // contamination drop
+        (4L, t(3), "s1", "  " + a.toUpperCase + "  ", e(12)), // exact dup
+        (5L, t(4), "s1", aNd, e(13)),              // TEXT near-dup
+        (6L, t(5), "s1", d6, e(0)),                // EMBEDDING near-dup
+        (7L, t(6), "s1", d7, e(14)),               // admitted: 6 not charged
+        (8L, t(7), "s2", d8, e(15)))               // own source budget
+      val ms = MemoryStream[(Long, Timestamp, String, String, Seq[Float])]
+      val out = StreamOps.corpusBuildStreamFull(
+        ms.toDF().toDF("doc_id", "ts", "source", "text", "embedding"),
+        evalDocs, budgetPerSource = 35L, minWords = 5L, maxWords = 50L)
+      val q = out.toDF().writeStream.format("memory").queryName("corpus_full")
+        .outputMode("append").start()
+      ms.addData(rows.take(3): _*); q.processAllAvailable()
+      ms.addData(rows.slice(3, 5): _*); q.processAllAvailable()
+      ms.addData(rows.drop(5): _*); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("corpus_full").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4), r.getBoolean(5))).toSet
+      assert(got == Set(
+        (1L, "s1", 20L, 20L, true, false),
+        (5L, "s1", 20L, 20L, false, true), // text gate; cum UNCHANGED
+        (6L, "s1", 10L, 20L, false, true), // EMB gate; cum UNCHANGED
+        (7L, "s1", 10L, 30L, true, false), // within budget: 6 never charged
+        (8L, "s2", 10L, 10L, true, false)))
+
+      // independent batch replay with BOTH gate contracts: near_dup iff
+      // an earlier (ts, id) survivor is text-similar (shared MinHash
+      // band + signature agreement >= 0.7) OR embedding-similar (shared
+      // sign-LSH band bucket + exact cosine >= 0.25); then the budget
+      // fold over non-dup docs in (ts, id) order per source.
+      import org.apache.spark.sql.expressions.Window
+      import graft.text.TextFunctions
+      val all = rows.toDF("doc_id", "ts", "source", "text", "embedding")
+      val keep = Seq("ts" -> col("ts"), "source" -> col("source"),
+        "text" -> col("text"), "embedding" -> col("embedding"))
+      val qual = graft.text.CorpusQueries.gopherFlags(
+          all, col("doc_id"), col("text"), 5L, 50L, keep)
+        .filter(col("passes"))
+      val clean = StreamOps.decontaminate(qual, evalDocs, col("id"),
+          col("text"), col("text"), 3, 5, keep)
+        .filter(!col("is_contaminated"))
+        .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      val wFp = Window.partitionBy(col("fp")).orderBy(col("ts"), col("id"))
+      val survivors = clean
+        .withColumn("arr", row_number().over(wFp)).filter(col("arr") === 1)
+        .select(col("id"), col("ts"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextFunctions.minhashSignature(
+            TextFunctions.shingles(col("text"), 3), 16).as("sig"),
+          org.apache.spark.sql.functions.transform(
+            graft.ann.Similarity.bandKeys(col("embedding"), 4, 4, 64),
+            s => s.getField("bucket")).as("ebuckets"),
+          col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
+          r.getLong(3), r.getSeq[Long](4), r.getSeq[Int](5),
+          r.getSeq[Float](6)))
+        .sortBy { case (id, ts, _, _, _, _, _) => (ts.getTime, id) }
+      def textSim(x: Seq[Long], y: Seq[Long]): Boolean =
+        (0 until 4).exists(b =>
+          x.slice(b * 4, b * 4 + 4) == y.slice(b * 4, b * 4 + 4)) &&
+          x.zip(y).count { case (p, q2) => p == q2 } / 16.0 >= 0.7
+      def embSim(bx: Seq[Int], by: Seq[Int],
+          vx: Seq[Float], vy: Seq[Float]): Boolean = {
+        val shared = bx.zip(by).exists { case (p, q2) => p == q2 }
+        val dp = vx.zip(vy).map { case (p, q2) => p.toDouble * q2 }.sum
+        val nx = math.sqrt(vx.map(p => p.toDouble * p).sum)
+        val ny = math.sqrt(vy.map(p => p.toDouble * p).sum)
+        shared && dp / (nx * ny) >= 0.25
+      }
+      val cums = scala.collection.mutable.Map.empty[String, Long]
+      val replay = survivors.zipWithIndex.map {
+        case ((id, _, src, nt, sig, eb, v), i) =>
+          val dup = survivors.take(i).exists {
+            case (_, _, _, _, osig, oeb, ov) =>
+              textSim(osig, sig) || embSim(oeb, eb, ov, v) }
+          if (dup) (id, src, nt, cums.getOrElse(src, 0L), false, true)
+          else {
+            val c = cums.getOrElse(src, 0L) + nt
+            cums(src) = c
+            (id, src, nt, c, c <= 35L, false)
+          }
+      }.toSet
+      assert(replay == got)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -78,8 +78,9 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(names.toSet == Set("dedupLedger", "incrementalBase", "semanticLedger",
       "ledgerStoreSeed", "ivfIndex", "pqIndex", "ivfPqIndex", "ivfPqBase",
       "ivfPqStoreSeed", "semStoreSeed", "postingsStoreSeed", "graphStoreSeed",
-      "linkageLedger", "linkageBase", "shardExportSeed", "zorderLayout",
-      "bucketedPair", "coPurchasePairs", "lpaLabels", "edgeBase"))
+      "linkageLedger", "linkageBase", "shardExportSeed", "pipelineSeed",
+      "zorderLayout", "bucketedPair", "coPurchasePairs", "lpaLabels",
+      "edgeBase"))
     val report = Maintenance.inspect(spark, "/tmp/spec_uncovered")
     assert(report.map(_.name).toSet == names.toSet)
     assert(report.forall(!_.built))
