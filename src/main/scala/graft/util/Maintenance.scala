@@ -145,6 +145,7 @@ object Maintenance {
     "ivfPqBase"       -> ((s, d) => graft.ann.AnnQueries.ivfPqBase(s, d)),
     "ivfPqStoreSeed"  -> ((s, d) => graft.ann.AnnQueries.ivfPqStoreDir(s, d)),
     "semStoreSeed"    -> ((s, d) => graft.ann.AnnQueries.semStoreDir(s, d)),
+    "semDecontamSeed" -> ((s, d) => graft.ann.AnnQueries.semDecontamDir(s, d)),
     "postingsStoreSeed" -> ((s, d) => graft.text.LmQueries.postingsStoreDir(s, d)),
     "graphStoreSeed"  -> ((s, d) => graft.warehouse.GraphQueries.graphStoreDir(s, d)),
     "linkageLedger"   -> ((s, d) => graft.warehouse.ExtrasQueries.linkageLedger(s, d)),

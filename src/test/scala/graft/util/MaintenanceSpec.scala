@@ -77,7 +77,8 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(names.distinct == names)
     assert(names.toSet == Set("dedupLedger", "incrementalBase", "semanticLedger",
       "ledgerStoreSeed", "ivfIndex", "pqIndex", "ivfPqIndex", "ivfPqBase",
-      "ivfPqStoreSeed", "semStoreSeed", "postingsStoreSeed", "graphStoreSeed",
+      "ivfPqStoreSeed", "semStoreSeed", "semDecontamSeed",
+      "postingsStoreSeed", "graphStoreSeed",
       "linkageLedger", "linkageBase", "shardExportSeed", "pipelineSeed",
       "zorderLayout", "bucketedPair", "coPurchasePairs", "lpaLabels",
       "edgeBase"))
