@@ -10,6 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 import graft.dedup.LedgerStore
 import graft.text.{LmQueries, PostingsStore}
+import graft.warehouse.GraphStore
 
 /** The cross-substrate atomic refresh (round-11 verdict #1): one batch
   * ledger committing every store's snapshot as a SET. Pinned here:
@@ -33,6 +34,10 @@ class PipelineLedgerSpec extends AnyFunSuite {
     .filter(col("doc_id") > 0).select(col("doc_id"), col("text"))
   private val terms = Seq("fast", "merge", "table")
 
+  /** Three HETEROGENEOUS substrates off one document batch — each fold
+    * projects what it needs (the graph store derives token
+    * co-occurrence lines), exactly the reference's one-stream→many-sink
+    * fan-out shape with the set commit it lacked. */
   private def stores(pipeDir: String): Seq[PipelineLedger.Store] = Seq(
     PipelineLedger.Store("ledger",
       (df, bid) => { LedgerStore.maintainBatch(df, col("doc_id"),
@@ -43,7 +48,22 @@ class PipelineLedgerSpec extends AnyFunSuite {
       (df, bid) => { PostingsStore.maintainBatch(df, col("doc_id"),
         col("text"), s"$pipeDir/postings", batchId = bid); () },
       s => PostingsStore.meta(s, s"$pipeDir/postings").map(_.commit)
+        .getOrElse(-1L)),
+    PipelineLedger.Store("graph",
+      (df, bid) => { GraphStore.maintainBatch(
+        df.select(col("doc_id").as("ord"),
+          explode(graft.text.TextFunctions.tokens(col("text")))
+            .as("tok"))
+          .select(col("ord"), xxhash64(col("tok")).as("item"))
+          .distinct(),
+        col("ord"), col("item"), s"$pipeDir/graph", batchId = bid); () },
+      s => GraphStore.meta(s, s"$pipeDir/graph").map(_.commit)
         .getOrElse(-1L)))
+
+  private def docTokenLines(df: org.apache.spark.sql.DataFrame): Long =
+    df.select(col("doc_id"),
+        explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok"))).distinct().count()
 
   private def top(df: DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
@@ -61,10 +81,11 @@ class PipelineLedgerSpec extends AnyFunSuite {
     assert(PipelineLedger.refreshAll(spark, dir, slice(0, 300), 0L, ss)
       .contains(0L))
     val set0 = PipelineLedger.readSet(spark, dir)
-    assert(set0.batch == 0L && set0.stores.keySet == Set("ledger", "postings"))
+    assert(set0.batch == 0L &&
+      set0.stores.keySet == Set("ledger", "postings", "graph"))
 
     // CRASH SIMULATION for batch 1: postings folds, then the process
-    // dies — ledger never sees the batch, the set never commits
+    // dies — ledger and graph never see the batch, the set never commits
     PostingsStore.maintainBatch(slice(300, 450), col("doc_id"),
       col("text"), s"$dir/postings", batchId = 1L)
 
@@ -77,6 +98,8 @@ class PipelineLedgerSpec extends AnyFunSuite {
       setMid.stores("postings"), terms, 10)) == bm25Full(slice(0, 300)))
     assert(LedgerStore.loadAt(spark, s"$dir/ledger",
       setMid.stores("ledger"))._1.count() == slice(0, 300).count())
+    assert(GraphStore.loadAt(spark, s"$dir/graph",
+      setMid.stores("graph"))._1.count() == docTokenLines(slice(0, 300)))
 
     // all-replayed: the rerun folds ledger, skips postings (its own
     // batch ledger), and commits the set once
@@ -89,6 +112,8 @@ class PipelineLedgerSpec extends AnyFunSuite {
       == slice(0, 450).count())
     assert(LedgerStore.loadAt(spark, s"$dir/ledger",
       set1.stores("ledger"))._1.count() == slice(0, 450).count())
+    assert(GraphStore.loadAt(spark, s"$dir/graph",
+      set1.stores("graph"))._1.count() == docTokenLines(slice(0, 450)))
     assert(top(PostingsStore.bm25QueryAt(spark, s"$dir/postings",
       set1.stores("postings"), terms, 10)) == bm25Full(slice(0, 450)))
 
