@@ -565,12 +565,40 @@ object TextQueries {
       // already-purged id is a no-op in both stores)
       val victim = docs.agg(min(col("doc_id"))).head.getLong(0)
       PostingsStore.purgeDocs(s, s"$dir/postings", Seq(victim).toDF("id"))
+      // retainGens=3 keeps the SEED generation alive through this purge
+      // (gens 0..2): q264 reads the archived batch-0 SET, whose ledger
+      // pin references gen 0 — order-independent across q262/q264 runs
       graft.dedup.LedgerStore.purgeDocs(s, s"$dir/ledger",
-        Seq(victim).toDF("id"))
+        Seq(victim).toDF("id"), retainGens = 3)
       val bm = PostingsStore.bm25QueryAt(s, s"$dir/postings",
         set.stores("postings"), LmQueries.Bm25Terms, LmQueries.Bm25TopK)
       val lbl = graft.dedup.LedgerStore.loadAt(s, s"$dir/ledger",
         set.stores("ledger"))._1
+      bm.join(lbl, Seq("id"))
+        .select(col("id").as("doc_id"), col("n_terms"), col("score"),
+          col("comp"))
+        .orderBy(col("score").desc, col("doc_id"))
+    },
+
+    // -- SET-LEVEL TIME TRAVEL (q262 ∘ q261): the archived BATCH-0 set
+    //    manifest resolves every store to its SEED snapshot — BM25 and
+    //    dedup components both over the 90% base, exactly as committed,
+    //    even though the current set is at batch 1 and both stores have
+    //    since folded, compacted-as-needed, and been purge-diverged.
+    //    Oracle = the full recompute of both faces RESTRICTED to the
+    //    seed corpus (doc_id < cut): the archived set read must land on
+    //    the corpus as it was, bit-for-bit.
+    "q264_pipeline_asof" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+      val dir = pipelineDir(s, d)
+      graft.util.PipelineLedger.refreshAll(s, dir,
+        docs.filter(!(col("doc_id") < cut)), 1L, pipelineStores(dir))
+      val set0 = graft.util.PipelineLedger.readSetAt(s, dir, 0L)
+      val bm = PostingsStore.bm25QueryAt(s, s"$dir/postings",
+        set0.stores("postings"), LmQueries.Bm25Terms, LmQueries.Bm25TopK)
+      val lbl = graft.dedup.LedgerStore.loadAt(s, s"$dir/ledger",
+        set0.stores("ledger"))._1
       bm.join(lbl, Seq("id"))
         .select(col("id").as("doc_id"), col("n_terms"), col("score"),
           col("comp"))
@@ -814,14 +842,17 @@ object TextQueries {
     * q45 oracle directly and by the q75 oracle as the edge list its
     * recursive component closure runs over, so the two gates can never
     * drift onto different pair sets. */
-  private val minhashPairsCtes: String =
-    """sh AS (
+  /** The q75/q130/q248 pair CTEs parameterized by a corpus predicate —
+    * "TRUE" is the full-corpus form; q264 restricts to the seed slice
+    * (the snapshot-read oracle recomputes over the corpus AS IT WAS). */
+  private def minhashPairsCtesWhere(pred: String): String =
+    s"""sh AS (
       |  SELECT doc_id, LIST_DISTINCT([
       |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       |      FOR i IN RANGE(1, GREATEST(LEN(toks) - 1, 1))]) AS sh
       |  FROM (SELECT doc_id,
-      |      STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
-      |    FROM documents)),
+      |      STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks
+      |    FROM documents WHERE $pred)),
       |pairs AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       |    CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
@@ -829,6 +860,8 @@ object TextQueries {
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |  WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
       |      / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.5)""".stripMargin
+
+  private val minhashPairsCtes: String = minhashPairsCtesWhere("TRUE")
 
   /** The flagship manifest — q219's gated, budgeted doc set BEFORE its
     * presentation order: Gopher quality ∧ canonical ∧ not contaminated,
@@ -1462,6 +1495,54 @@ object TextQueries {
          |  SELECT doc_id,
          |    UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS term
          |  FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+         |tot AS (SELECT SUM(dl) AS t_toks, COUNT(*) AS n_docs FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM t
+         |  WHERE term IN ($termList) GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ((2.0 * CAST(n_docs AS DOUBLE) - 2.0 * CAST(df AS DOUBLE) + 1.0)
+         |      / (2.0 * CAST(df AS DOUBLE) + 1.0))
+         |    * ((2.2 * CAST(tf AS DOUBLE))
+         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+         |        + 0.75 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+         |          / CAST(t_toks AS DOUBLE)))) AS s
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot),
+         |bm AS (
+         |  SELECT doc_id, COUNT(*) AS n_terms,
+         |    LIST_REDUCE(LIST(s ORDER BY term), (x, y) -> x + y) AS score
+         |  FROM sc GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id LIMIT ${LmQueries.Bm25TopK})
+         |SELECT bm.doc_id, n_terms, score, comp
+         |FROM bm JOIN ledger USING (doc_id)
+         |ORDER BY score DESC, doc_id""".stripMargin
+    },
+
+    // The archived batch-0 SET must land on the recompute of both faces
+    // over the SEED corpus only ((MAX*9)//10 — DuckDB floor-div ≡ the
+    // Scala truncating division on positive ids).
+    "q264_pipeline_asof" -> {
+      val termList = LmQueries.Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val seedPred = "doc_id < (SELECT (MAX(doc_id) * 9) // 10 FROM documents)"
+      s"""WITH RECURSIVE ${minhashPairsCtesWhere(seedPred)},
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+         |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+         |seed AS (SELECT doc_id, text FROM documents WHERE $seedPred),
+         |ledger AS (
+         |  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp
+         |  FROM seed d LEFT JOIN lbl l ON d.doc_id = l.id),
+         |t AS (
+         |  SELECT doc_id,
+         |    UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS term
+         |  FROM seed),
          |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
          |tot AS (SELECT SUM(dl) AS t_toks, COUNT(*) AS n_docs FROM dl),
          |tf AS (
