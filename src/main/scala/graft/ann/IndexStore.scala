@@ -402,7 +402,7 @@ object IndexStore {
   private val PqMetaRe =
     ("""\{"format": "([^"]+)", "gen": ([0-9]+), "rows": ([0-9]+), """ +
       """"m": ([0-9]+), "subDim": ([0-9]+), "baseRows": ([0-9]+), """ +
-      """"batch": (-?[0-9]+)\}""").r
+      """"batch": (-?[0-9]+), "commit": ([0-9]+)\}""").r
 
   /** v2 (round 10): `baseRows` (the doubling-policy denominator) and
     * `batch` (the exactly-once streaming ledger) moved INTO the manifest
@@ -412,17 +412,23 @@ object IndexStore {
     * the replayed batch double-inserted its vectors. One pointer, one
     * atomic PUT, data + ledger indivisible (the [[Meta]] contract the
     * plain-IVF store always had). */
+  /** Since round 11 the PQ manifest also carries `commit` — the
+    * monotone snapshot id behind [[loadIvfPqAt]]/[[pqCommits]] (the
+    * [[Meta]] protocol on the composite side). */
   final case class PqMeta(format: String, gen: Long, rows: Long,
-      m: Int, subDim: Int, baseRows: Long, batch: Long)
+      m: Int, subDim: Int, baseRows: Long, batch: Long, commit: Long)
+
+  private def parsePqMeta(dir: String, body: String): PqMeta = body match {
+    case PqMetaRe(f, g, n, m, sd, b, bt, c) =>
+      PqMeta(f, g.toLong, n.toLong, m.toInt, sd.toInt, b.toLong,
+        bt.toLong, c.toLong)
+    case other => sys.error(
+      s"unparseable ivfpq manifest at $dir: '${other.take(120)}' " +
+        "(refusing to guess — the pointer is the commit)")
+  }
 
   private def readPqMeta(spark: SparkSession, dir: String): Option[PqMeta] =
-    Generations.readPointer(spark, dir, PqMetaName).map {
-      case PqMetaRe(f, g, n, m, sd, b, bt) =>
-        PqMeta(f, g.toLong, n.toLong, m.toInt, sd.toInt, b.toLong, bt.toLong)
-      case other => sys.error(
-        s"unparseable ivfpq manifest at $dir/$PqMetaName: '${other.take(120)}' " +
-          "(refusing to guess — the pointer is the commit)")
-    }
+    Generations.readPointer(spark, dir, PqMetaName).map(parsePqMeta(dir, _))
 
   /** Persist the COMPOSITE index — the one a 100 TB deployment actually
     * stores (codes are ~4·subDim× smaller than vectors): coarse cells
@@ -461,10 +467,13 @@ object IndexStore {
       df.write.mode("overwrite").parquet(s"$dir/gen=$gen/$name") }
     // count what was written, not the (possibly lazy) input frame
     val n = spark.read.parquet(s"$dir/gen=$gen/codes").count()
-    Generations.commit(spark, dir, PqMetaName,
+    val commit = prev.map(_.commit + 1).getOrElse(0L)
+    Generations.commitArchived(spark, dir, PqMetaName,
       s"""{"format": "$PqFormat", "gen": $gen, "rows": $n, """ +
         s""""m": ${index.pq.m}, "subDim": ${index.pq.subDim}, """ +
-        s""""baseRows": ${carryBaseRows.getOrElse(n)}, "batch": $batchId}""")
+        s""""baseRows": ${carryBaseRows.getOrElse(n)}, """ +
+        s""""batch": $batchId, "commit": $commit}""",
+      commit)
     Generations.gc(spark, dir, gen - (retainGens - 1))
     gen
     }
@@ -481,9 +490,40 @@ object IndexStore {
     * static partition filter — the probed-share file skipping comes
     * free (IndexStoreSpec pins the PartitionFilters plan). */
   def loadIvfPq(spark: SparkSession, dir: String)
-      : (Similarity.IvfPqIndex, PqMeta) = {
-    val m = readPqMeta(spark, dir).getOrElse(
-      sys.error(s"no committed index at $dir (missing $PqMetaName)"))
+      : (Similarity.IvfPqIndex, PqMeta) =
+    loadIvfPqOn(spark, dir,
+      readPqMeta(spark, dir).getOrElse(
+        sys.error(s"no committed index at $dir (missing $PqMetaName)")))
+
+  /** Committed composite-index snapshot ids, ascending. */
+  def pqCommits(spark: SparkSession, dir: String): Seq[Long] =
+    Generations.listCommits(spark, dir)
+
+  /** The archived PQ manifest of snapshot `commit`. */
+  def pqMetaAt(spark: SparkSession, dir: String, commit: Long): PqMeta =
+    parsePqMeta(s"$dir@$commit",
+      Generations.readPointerAt(spark, dir, commit).getOrElse(sys.error(
+        s"$dir has no committed snapshot $commit " +
+          s"(available: ${pqCommits(spark, dir).mkString(", ")})")))
+
+  /** TIME-TRAVEL [[loadIvfPq]] — the composite index AS OF a committed
+    * snapshot id; fails loudly once generation retention dropped the
+    * snapshot's dirs (the [[loadIvfAt]] contract on the PQ side —
+    * completing the matrix: every persisted substrate in the repo is
+    * snapshot-readable). */
+  def loadIvfPqAt(spark: SparkSession, dir: String,
+      commit: Long): (Similarity.IvfPqIndex, PqMeta) = {
+    val m = pqMetaAt(spark, dir, commit)
+    require(graft.util.Hfs.exists(
+        new org.apache.hadoop.fs.Path(s"$dir/gen=${m.gen}"),
+        graft.util.Hfs.conf(spark)),
+      s"snapshot $commit of $dir is no longer readable: gen=${m.gen} " +
+        "was dropped by generation retention (raise retainGens to keep it)")
+    loadIvfPqOn(spark, dir, m)
+  }
+
+  private def loadIvfPqOn(spark: SparkSession, dir: String,
+      m: PqMeta): (Similarity.IvfPqIndex, PqMeta) = {
     require(m.format == PqFormat, s"$dir holds '${m.format}', expected $PqFormat")
     val cells = spark.read.parquet(s"$dir/gen=${m.gen}/cells")
       .collect().map(r => (r.getAs[Number](0).intValue(),

@@ -158,4 +158,34 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(IndexStore.loadIvf(spark, dir)._1.assigned.count()
       == vecs.filter(col("vid") < 260).count())
   }
+
+  test("ivf-pq: loadIvfPqAt reads the composite index as of a past " +
+      "commit; retention-dropped generations fail loudly") {
+    val dir = Files.createTempDirectory("ttivfpq").toString
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("vid"), col("embedding").as("v"))
+    IndexStore.ivfPqMaintainBatch(vecs.filter(col("vid") < 200),
+      col("vid"), col("v"), dir, nCells = 4, m = 8, ksub = 16,
+      batchId = 0L) // commit 0, gen 0
+    IndexStore.ivfPqMaintainBatch(
+      vecs.filter(col("vid") >= 200 && col("vid") < 230),
+      col("vid"), col("v"), dir, nCells = 4, m = 8, ksub = 16,
+      batchId = 1L) // commit 1, gen 1 (below doubling: frozen insert)
+    assert(IndexStore.pqCommits(spark, dir) == Seq(0L, 1L))
+    val (idx0, m0) = IndexStore.loadIvfPqAt(spark, dir, 0L)
+    assert(m0.gen == 0L &&
+      idx0.codes.count() == vecs.filter(col("vid") < 200).count(),
+      "snapshot 0 must hold exactly the seed codes")
+    // a third fold's retention GC (retainGens=2 keeps gens {1,2})
+    // drops gen 0 — its snapshot fails loudly
+    IndexStore.ivfPqMaintainBatch(
+      vecs.filter(col("vid") >= 230 && col("vid") < 260),
+      col("vid"), col("v"), dir, nCells = 4, m = 8, ksub = 16,
+      batchId = 2L) // commit 2, gen 2
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.loadIvfPqAt(spark, dir, 0L)
+    }
+    assert(e.getMessage.contains("generation retention"))
+    assert(IndexStore.loadIvfPqAt(spark, dir, 1L)._2.gen == 1L)
+  }
 }
