@@ -77,4 +77,35 @@ class PlanInvariantsSpec extends AnyFunSuite {
         s"$q lost its windowed numbering stage:\n${plan.take(500)}")
     }
   }
+
+  test("q261/q264 snapshot reads keep the term-prefix partition prune: " +
+      "time travel must not cost the static pruning the layout exists for") {
+    // the archived-manifest path resolves a different window but the
+    // SAME tp-partitioned layout — if the prune stops planning, every
+    // as-of query reads the whole index instead of its terms' prefixes
+    graft.SparkEntry.queries("q261_bm25_asof")(spark, d).collect()
+    val dir = graft.text.TextQueries.pipelineDir(spark, d)
+    val plan = graft.text.PostingsStore.bm25QueryAt(spark,
+        s"$dir/postings",
+        graft.util.PipelineLedger.readSet(spark, dir).stores("postings"),
+        Seq("fast", "merge", "table"), 10)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*tp".r.findFirstIn(plan).isDefined,
+      s"snapshot postings scan not partition-pruned on tp:\n${plan.take(1500)}")
+  }
+
+  test("q263's decontamination probe is a bucket equi-join, never " +
+      "all-pairs: no cartesian/nested-loop stage in the plan") {
+    // the SemDeDup plan pointed at the eval axis: candidates come from
+    // a shared-bucket equality join; a cartesian train x eval product
+    // would be the 100 TB scale-killer this blocking exists to avoid
+    val plan = graft.SparkEntry.queries("q263_sem_decontaminate")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q263 plans an all-pairs stage:\n${plan.take(2000)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"q263 lost its bucket equi-join:\n${plan.take(500)}")
+  }
 }
