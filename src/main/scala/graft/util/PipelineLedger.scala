@@ -112,6 +112,11 @@ object PipelineLedger {
     require(stores.nonEmpty, "refreshAll needs at least one store")
     require(stores.map(_.name).distinct.size == stores.size,
       s"duplicate store names: ${stores.map(_.name).mkString(", ")}")
+    // in-process writers serialize on the per-(pipeline, dir) monitor,
+    // matching the store verbs' discipline (two interleaved refreshes
+    // would race the set pointer's read-modify-write); cross-process
+    // stays single-writer by contract
+    Maintenance.withWriteLock("PipelineLedger", spark, dir) {
     val prev = readMeta(spark, dir)
     prev.foreach(m => require(m.format == Format,
       s"$dir holds '${m.format}', expected $Format"))
@@ -124,6 +129,7 @@ object PipelineLedger {
     Generations.commitArchived(spark, dir, MetaName,
       body(Meta(Format, batchId, commit, pins)), commit)
     Some(commit)
+    }
   }
 
   /** The current consistent SET: each store's pinned snapshot id as of
