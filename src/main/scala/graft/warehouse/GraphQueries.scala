@@ -613,6 +613,27 @@ object GraphQueries {
         .orderBy(col("u"), col("v"))
     },
 
+    // -- TIME-TRAVEL on the graph substrate (q258 ∘ q261's pattern):
+    //    after the store has folded the post-window lines and
+    //    compacted, read the thresholded edge list AS OF the SEED
+    //    commit through the archived manifest — the co-occurrence
+    //    counts exactly as committed then. Oracle = the full rebuild
+    //    restricted to the seed lines (l_linenumber <= 3): snapshot
+    //    read ≡ as-it-was recompute. Fail-closed retention is pinned
+    //    by TimeTravelSpec; fold/compact replays are no-ops, so this
+    //    is order-independent with q258.
+    "q265_graph_asof" -> { (s, d) =>
+      val dir = graphStoreDir(s, d)
+      GraphStore.maintainBatch(
+        Tables.lineitem(s, d).filter(col("l_linenumber") > 3)
+          .select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey"), col("l_partkey"), dir, batchId = 1L)
+      GraphStore.compact(s, dir)
+      GraphStore.loadAt(s, dir, 0L)._2
+        .filter(col("n_ab") >= MinCoOccurrence)
+        .orderBy(col("u"), col("v"))
+    },
+
     // -- modularity of the q222 communities (partition-quality scalar),
     //    probing the MAINTAINED labeling (community assignments are
     //    refreshed state, like the edge table itself).
@@ -779,6 +800,17 @@ object GraphQueries {
         |FROM lineitem a
         |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
         |  AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING COUNT(*) >= $MinCoOccurrence
+        |ORDER BY u, v""".stripMargin,
+
+    // The snapshot read must land on the rebuild over the SEED lines
+    // only — the corpus as it was at commit 0.
+    "q265_graph_asof" ->
+      s"""SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n_ab
+        |FROM lineitem a
+        |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        |WHERE a.l_linenumber <= 3 AND b.l_linenumber <= 3
         |GROUP BY 1, 2 HAVING COUNT(*) >= $MinCoOccurrence
         |ORDER BY u, v""".stripMargin,
 
