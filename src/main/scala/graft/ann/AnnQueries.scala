@@ -527,6 +527,28 @@ object AnnQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // -- TIME-TRAVEL on the semantic ledger (q252 ∘ q261's pattern):
+    //    after the store folded the delta and compacted, read the
+    //    keep/drop ledger AS OF the SEED commit through the archived
+    //    manifest. Oracle = q212's recursive-closure recompute
+    //    restricted to the seed vectors: snapshot read ≡ as-it-was
+    //    recompute. Order-independent with q252 (replay no-ops).
+    "q266_semledger_asof" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val dir = semStoreDir(s, d)
+      graft.dedup.SemLedgerStore.maintainBatch(
+        e.filter(col("vec_id") % 5 === 0), col("vec_id"), col("embedding"),
+        dir, batchId = 1L)
+      graft.dedup.SemLedgerStore.compact(s, dir)
+      val lbl = graft.dedup.SemLedgerStore.loadAt(s, dir, 0L)._3
+        .select(col("id").as("vec_id"), col("comp"))
+      val sizes = lbl.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+      lbl.join(sizes, Seq("comp"))
+        .select(col("vec_id"), col("comp"), col("comp_size"),
+          (col("vec_id") === col("comp")).as("is_canonical"))
+        .orderBy(col("vec_id"))
+    },
+
     // -- SEMANTIC DECONTAMINATION (round-11 verdict #6): q77 screens
     //    train docs that overlap eval TEXT; this is the embedding-space
     //    gate — a train doc is contaminated when its VECTOR is close to
@@ -770,8 +792,11 @@ object AnnQueries {
   /** q102/q212's shared generated-constants pair CTE: the SAME
     * deterministic hyperplanes as `Similarity.planes`, banded sign
     * buckets, candidate join, cosine verify — ending in a `vpairs`
-    * (a_id, b_id, cosine) CTE both oracles build on. */
-  private lazy val lshPairsCtes: String = {
+    * (a_id, b_id, cosine) CTE both oracles build on. `pred` restricts
+    * the vector universe ("TRUE" = full corpus; q266 restricts to the
+    * seed slice — the snapshot oracle recomputes over the corpus AS IT
+    * WAS). */
+  private def lshPairsCtesWhere(pred: String): String = {
     val pls = Similarity.planes(4 * 4, 64)
     def bucketSql(b: Int): String = (0 until 4).map { j =>
       s"(CASE WHEN LIST_DOT_PRODUCT(v, [${pls(b * 4 + j).mkString(", ")}]) >= 0 THEN ${1 << j} ELSE 0 END)"
@@ -779,7 +804,8 @@ object AnnQueries {
     val bandsSql = (0 until 4).map { b =>
       s"SELECT vec_id, v, $b AS band, ${bucketSql(b)} AS bucket FROM e"
     }.mkString("\n  UNION ALL\n  ")
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE $pred),
       |k AS (
       |  $bandsSql),
       |cand AS (
@@ -794,6 +820,8 @@ object AnnQueries {
       |  WHERE LIST_DOT_PRODUCT(a_v, b_v)
       |      / (SQRT(LIST_DOT_PRODUCT(a_v, a_v)) * SQRT(LIST_DOT_PRODUCT(b_v, b_v))) >= 0.25)""".stripMargin
   }
+
+  private lazy val lshPairsCtes: String = lshPairsCtesWhere("TRUE")
 
   def oracleSql: Map[String, String] = Map(
     "q42_ann_bruteforce" -> exactTopKSql,
@@ -922,6 +950,27 @@ object AnnQueries {
         |ledger AS (
         |  SELECT em.vec_id, COALESCE(l.comp, em.vec_id) AS comp
         |  FROM embeddings em LEFT JOIN lbl l ON em.vec_id = l.id)
+        |SELECT vec_id, comp,
+        |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
+        |  vec_id = comp AS is_canonical
+        |FROM ledger ORDER BY vec_id""".stripMargin,
+
+    // The snapshot ledger must land on the closure recompute over the
+    // SEED vectors only — the corpus as it was at commit 0.
+    "q266_semledger_asof" ->
+      s"""WITH RECURSIVE ${lshPairsCtesWhere("vec_id % 5 <> 0")},
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM vpairs
+        |  UNION ALL SELECT b_id AS src, a_id AS dst FROM vpairs),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.src, r.lab FROM edges e2 JOIN reach r ON e2.dst = r.id),
+        |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+        |ledger AS (
+        |  SELECT em.vec_id, COALESCE(l.comp, em.vec_id) AS comp
+        |  FROM embeddings em LEFT JOIN lbl l ON em.vec_id = l.id
+        |  WHERE em.vec_id % 5 <> 0)
         |SELECT vec_id, comp,
         |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
         |  vec_id = comp AS is_canonical
