@@ -580,6 +580,31 @@ object TextQueries {
         .orderBy(col("score").desc, col("doc_id"))
     },
 
+    // -- TIME-TRAVEL on the text dedup ledger (the q248 store's as-of
+    //    face): after the delta fold and compact, read the canonical
+    //    labeling AS OF the SEED commit through the archived manifest.
+    //    Oracle = the q248 closure recompute restricted to the seed
+    //    corpus: snapshot read ≡ as-it-was recompute.
+    //    Order-independent with q248/q251 (replay no-ops). retainGens=3
+    //    on the fold keeps the seed generation through this round's
+    //    folds in either order.
+    "q267_ledger_asof" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+      val dir = ledgerStoreDir(s, d)
+      graft.dedup.LedgerStore.maintainBatch(
+        docs.filter(!(col("doc_id") < cut)), col("doc_id"), col("text"),
+        dir, batchId = 1L, retainGens = 3)
+      graft.dedup.LedgerStore.compact(s, dir)
+      val lbl = graft.dedup.LedgerStore.loadAt(s, dir, 0L)._1
+        .select(col("id").as("doc_id"), col("comp"))
+      val sizes = lbl.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+      lbl.join(sizes, Seq("comp"))
+        .select(col("doc_id"), col("comp"), col("comp_size"),
+          (col("doc_id") === col("comp")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- SET-LEVEL TIME TRAVEL (q262 ∘ q261): the archived BATCH-0 set
     //    manifest resolves every store to its SEED snapshot — BM25 and
     //    dedup components both over the 90% base, exactly as committed,
@@ -1518,6 +1543,29 @@ object TextQueries {
          |SELECT bm.doc_id, n_terms, score, comp
          |FROM bm JOIN ledger USING (doc_id)
          |ORDER BY score DESC, doc_id""".stripMargin
+    },
+
+    // The snapshot labeling must land on the closure recompute over the
+    // SEED corpus only — the ledger as it was at commit 0.
+    "q267_ledger_asof" -> {
+      val seedPred = "doc_id < (SELECT (MAX(doc_id) * 9) // 10 FROM documents)"
+      s"""WITH RECURSIVE ${minhashPairsCtesWhere(seedPred)},
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+         |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+         |ledger AS (
+         |  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
+         |  WHERE $seedPred)
+         |SELECT doc_id, comp,
+         |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
+         |  doc_id = comp AS is_canonical
+         |FROM ledger ORDER BY doc_id""".stripMargin
     },
 
     // The archived batch-0 SET must land on the recompute of both faces
