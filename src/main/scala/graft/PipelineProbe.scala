@@ -35,17 +35,11 @@ object PipelineProbe {
     val base = docs.filter(col("doc_id") < cut)
     val delta = docs.filter(!(col("doc_id") < cut))
 
-    def stores(dir: String): Seq[PipelineLedger.Store] = Seq(
-      PipelineLedger.Store("ledger",
-        (df, bid) => { LedgerStore.maintainBatch(df, col("doc_id"),
-          col("text"), s"$dir/ledger", batchId = bid); () },
-        s => LedgerStore.meta(s, s"$dir/ledger").map(_.commit)
-          .getOrElse(-1L)),
-      PipelineLedger.Store("postings",
-        (df, bid) => { PostingsStore.maintainBatch(df, col("doc_id"),
-          col("text"), s"$dir/postings", batchId = bid); () },
-        s => PostingsStore.meta(s, s"$dir/postings").map(_.commit)
-          .getOrElse(-1L)))
+    // the q262/q264 store set — shared so the probe measures exactly
+    // what the gates exercise (round-11 review: a drifting copy here
+    // would silently measure a different set)
+    def stores(dir: String): Seq[PipelineLedger.Store] =
+      graft.text.TextQueries.pipelineStores(dir)
 
     // both arms seed on the base OUTSIDE the measured window
     val rawDir = java.nio.file.Files.createTempDirectory("pipeprobe-raw").toString

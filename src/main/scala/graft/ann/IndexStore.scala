@@ -42,7 +42,7 @@ import graft.util.Generations
 object IndexStore {
 
   private val MetaName = "_graft_index_meta.json"
-  private val Format = "graft-ivf-v2"
+  private val Format = "graft-ivf-v3" // v3 (round 11): + commit id / history archive
 
   /** `rows` = vectors in this generation; `baseRows` = rows at the last
     * RE-TRAIN — the denominator of the doubling refresh policy (a grown
@@ -397,7 +397,7 @@ object IndexStore {
   // ---- the composite (IVF-PQ) index, persisted ----
 
   private val PqMetaName = "_graft_ivfpq_meta.json"
-  private val PqFormat = "graft-ivfpq-v2"
+  private val PqFormat = "graft-ivfpq-v3" // v3 (round 11): + commit id / history archive
 
   private val PqMetaRe =
     ("""\{"format": "([^"]+)", "gen": ([0-9]+), "rows": ([0-9]+), """ +

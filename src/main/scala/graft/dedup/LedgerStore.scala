@@ -59,7 +59,7 @@ import graft.util.Generations
 object LedgerStore {
 
   private val MetaName = "_graft_ledger_meta.json"
-  private val Format = "graft-dedup-v3"
+  private val Format = "graft-dedup-v4" // v4 (round 11): + commit id / history archive
 
   /** v3 (round 10): `sliceBase` — the live slice window's lower bound.
     * [[compact]] rewrites the live slices `[sliceBase, slices)` into one

@@ -36,7 +36,7 @@ import graft.util.Generations
 object SemLedgerStore {
 
   private val MetaName = "_graft_semledger_meta.json"
-  private val Format = "graft-semdedup-v3"
+  private val Format = "graft-semdedup-v4" // v4 (round 11): + commit id / history archive
 
   /** v3: `sliceBase` — the live slice window's lower bound; see
     * [[LedgerStore.Meta]] (the text twin) for the compaction contract. */

@@ -423,8 +423,6 @@ object StreamOps {
       delay: String = "10 minutes", ndThreshold: Double = 0.7,
       k: Int = 16, bands: Int = 4,
       maxBucket: Int = 50): Dataset[CorpusAdmitNd] = {
-    import org.apache.spark.sql.streaming.TimeMode
-    import org.apache.spark.sql.{Encoders => E}
     import graft.text.TextFunctions
     val gated = corpusGate(docs, evalDocs, minWords, maxWords,
         contamN, contamThreshold, delay)
@@ -432,39 +430,64 @@ object StreamOps {
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextFunctions.minhashSignature(
           TextFunctions.shingles(col("text"), 3), k).as("sig"))
+    budgetFoldNd(
+      textNearDupVotes(gated, ndThreshold, k, bands, maxBucket),
+      budgetPerSource)
+  }
+
+  /** The text near-dup VOTE stage shared by [[corpusBuildStreamNd]] and
+    * [[corpusBuildStreamFull]] (round-11 review: a hand-copy of this
+    * pipeline in each entry point would silently diverge): banded
+    * MinHash keys → per-(band, bucket) transformWithState votes. Input
+    * needs (doc_id, ts, source, n_tokens, sig); extra columns pass
+    * through untouched. The eventTimeColumnName overload re-declares
+    * `ts` as the output's event time so a downstream stateful fold is
+    * plannable after this stateful stage (Spark 4 chained-stateful
+    * contract). */
+  private def textNearDupVotes(gated: DataFrame, ndThreshold: Double,
+      k: Int, bands: Int, maxBucket: Int): Dataset[GateVote] = {
+    import org.apache.spark.sql.{Encoders => E}
+    import graft.text.TextFunctions
+    implicit val voteEnc: org.apache.spark.sql.Encoder[GateVote] =
+      E.product[GateVote]
+    gated
       .withColumn("bk", TextFunctions.lshBandKeys(col("sig"), k, bands))
       .select(col("doc_id"), col("ts"), col("source"), col("n_tokens"),
         col("sig"), posexplode(col("bk")).as(Seq("band", "bucket")))
-    implicit val voteEnc: org.apache.spark.sql.Encoder[GateVote] =
-      E.product[GateVote]
-    // the eventTimeColumnName overload re-declares `ts` as the output's
-    // event time so the downstream stateful budget fold is plannable
-    // after this stateful stage (Spark 4 chained-stateful contract)
-    val votes = gated.as(E.product[GateRow])
+      .as(E.product[GateRow])
       .groupByKey(r => (r.band, r.bucket))(E.product[(Int, Int)])
       .transformWithState(
         new NearDupVoteProcessor(ndThreshold, k, maxBucket),
         "ts", OutputMode.Append())
+  }
 
+  /** The per-source token-budget fold shared by [[corpusBuildStreamNd]]
+    * and [[corpusBuildStreamFull]]: vote rows collapse under (doc_id,
+    * ts) — one group per DOCUMENT (round-9 advice: a bare doc_id
+    * groupBy merged two distinct docs sharing an id in the same
+    * micro-batch, silently dropping one row and never charging its
+    * tokens). A document's token count is the MAX over its votes (all
+    * text votes carry the true count; embedding votes carry the −1
+    * sentinel, so max recovers the count in both topologies); a
+    * document is near-dup — excluded, never charged — if ANY vote says
+    * so. Within a batch rows fold in event-time order. */
+  private def budgetFoldNd(votes: Dataset[GateVote],
+      budgetPerSource: Long): Dataset[CorpusAdmitNd] = {
+    import org.apache.spark.sql.{Encoders => E}
     def fn(source: String, rows: Iterator[GateVote],
         state: GroupState[BudgetState]): Iterator[CorpusAdmitNd] = {
       var cum = state.getOption.map(_.cum).getOrElse(0L)
-      // vote rows collapse under (doc_id, ts) — one group per DOCUMENT
-      // (round-9 advice: a bare doc_id groupBy merged two distinct docs
-      // sharing an id in the same micro-batch, silently dropping one
-      // row and never charging its tokens; corpusBuildStream emits one
-      // row per surviving input row, and so does this fold now)
       val out = rows.toSeq
         .groupBy(r => (r.doc_id, r.ts)).toSeq
-        .map { case ((id, _), votes) =>
-          (id, votes.head, votes.exists(_.dup_here)) }
-        .sortBy { case (id, v, _) => (v.ts.getTime, id) }
-        .map { case (id, v, dup) =>
-          if (dup) CorpusAdmitNd(id, source, v.n_tokens, cum,
+        .map { case ((id, ts), vs) =>
+          (id, ts, vs.map(_.n_tokens).max, vs.exists(_.dup_here)) }
+        .sortBy { case (id, ts, _, _) => (ts.getTime, id) }
+        .map { case (id, _, nt, dup) =>
+          if (dup) CorpusAdmitNd(id, source, nt, cum,
             admitted = false, near_dup = true)
           else {
-            cum += v.n_tokens
-            CorpusAdmitNd(id, source, v.n_tokens, cum,
+            cum += nt
+            CorpusAdmitNd(id, source, nt, cum,
               cum <= budgetPerSource, near_dup = false)
           }
         }
@@ -519,18 +542,14 @@ object StreamOps {
       E.product[GateVote]
     implicit val embVoteEnc: org.apache.spark.sql.Encoder[EmbGateVote] =
       E.product[EmbGateVote]
-    // branch 1: text near-dup votes (the corpusBuildStreamNd stage)
-    val textVotes = gated
-      .withColumn("bk", TextFunctions.lshBandKeys(col("sig"), k, bands))
-      .select(col("doc_id"), col("ts"), col("source"), col("n_tokens"),
-        col("sig"), posexplode(col("bk")).as(Seq("band", "bucket")))
-      .as(E.product[GateRow])
-      .groupByKey(r => (r.band, r.bucket))(E.product[(Int, Int)])
-      .transformWithState(
-        new NearDupVoteProcessor(ndThreshold, k, maxBucket),
-        "ts", OutputMode.Append())
+    // branch 1: text near-dup votes (the shared corpusBuildStreamNd
+    // stage — the extra `v` column passes through untouched)
+    val textVotes = textNearDupVotes(gated, ndThreshold, k, bands,
+      maxBucket)
     // branch 2: embedding near-dup votes (the embCorpusBuildStream
-    // stage) over the SAME gated stream, re-keyed by sign-LSH buckets
+    // stage) over the SAME gated stream, re-keyed by sign-LSH buckets;
+    // −1 tokens is the sentinel the shared budget fold's max-collapse
+    // resolves against the text votes' true count
     val embVotes = gated
       .withColumn("buckets", transform(
         graft.ann.Similarity.bandKeys(col("v"), embBands, embPlanes, dim),
@@ -542,36 +561,7 @@ object StreamOps {
       .transformWithState(new EmbVoteProcessor(embThreshold, maxBucket),
         "ts", OutputMode.Append())
       .map(v => GateVote(v.vec_id, v.ts, v.source, -1L, v.dup_here))
-    val votes = textVotes.union(embVotes)
-
-    def fn(source: String, rows: Iterator[GateVote],
-        state: GroupState[BudgetState]): Iterator[CorpusAdmitNd] = {
-      var cum = state.getOption.map(_.cum).getOrElse(0L)
-      val out = rows.toSeq
-        .groupBy(r => (r.doc_id, r.ts)).toSeq // one group per DOCUMENT
-        .map { case ((id, ts), vs) =>
-          (id, ts, vs.map(_.n_tokens).max, vs.exists(_.dup_here)) }
-        .sortBy { case (id, ts, _, _) => (ts.getTime, id) }
-        .map { case (id, _, nt, dup) =>
-          if (dup) CorpusAdmitNd(id, source, nt, cum,
-            admitted = false, near_dup = true)
-          else {
-            cum += nt
-            CorpusAdmitNd(id, source, nt, cum,
-              cum <= budgetPerSource, near_dup = false)
-          }
-        }
-      state.update(BudgetState(cum))
-      out.iterator
-    }
-    implicit val admitEnc: org.apache.spark.sql.Encoder[CorpusAdmitNd] =
-      E.product[CorpusAdmitNd]
-    implicit val stEnc: org.apache.spark.sql.Encoder[BudgetState] =
-      E.product[BudgetState]
-    implicit val keyEnc: org.apache.spark.sql.Encoder[String] = E.STRING
-    votes.groupByKey(_.source)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(fn)
+    budgetFoldNd(textVotes.union(embVotes), budgetPerSource)
   }
 
   final case class BurstState(open: Map[Long, Long], history: Seq[(Long, Long)])

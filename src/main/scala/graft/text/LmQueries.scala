@@ -654,6 +654,43 @@ object LmQueries {
 
   private val Tok = "STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')"
 
+  /** The BM25 scoring CTE chain (t/dl/tot/tf/df/sc/bm) over `documents
+    * WHERE pred`, ending in `bm` (doc_id, n_terms, score — the top-K
+    * rows in score order). ONE generator behind every oracle that
+    * replays the scoring (q215/q254/q261 here, q262/q264 in TextQueries
+    * — round-11 review: five hand-copies of the formula would silently
+    * diverge). */
+  private[text] def bm25OracleCtes(pred: String): String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""t AS (
+       |  SELECT doc_id, UNNEST($Tok) AS term FROM documents WHERE $pred),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+       |tot AS (SELECT SUM(dl) AS t_toks, COUNT(*) AS n_docs FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM t
+       |  WHERE term IN ($termList) GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ((2.0 * CAST(n_docs AS DOUBLE) - 2.0 * CAST(df AS DOUBLE) + 1.0)
+       |      / (2.0 * CAST(df AS DOUBLE) + 1.0))
+       |    * ((2.2 * CAST(tf AS DOUBLE))
+       |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+       |        + 0.75 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+       |          / CAST(t_toks AS DOUBLE)))) AS s
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot),
+       |bm AS (
+       |  SELECT doc_id, COUNT(*) AS n_terms,
+       |    LIST_REDUCE(LIST(s ORDER BY term), (x, y) -> x + y) AS score
+       |  FROM sc GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id LIMIT $Bm25TopK)""".stripMargin
+  }
+
+  /** The q261/q264/q267 seed-corpus predicate, DuckDB form ((MAX*9)//10
+    * floor-div ≡ the Scala truncating division on positive ids). */
+  private[text] val SeedPredSql =
+    "doc_id < (SELECT (MAX(doc_id) * 9) // 10 FROM documents)"
+
   def oracleSql: Map[String, String] = Map(
     // Training replayed from the TRAIN-slice relation through the
     // parameterized CTE generator, both splits re-encoded through the
@@ -779,90 +816,26 @@ object LmQueries {
     // literals, same associativity) and the identical fold order:
     // LIST(s ORDER BY term) + init-less list_reduce == Spark's
     // aggregate(sorted, 0.0, +) because 0.0 + x == x for x > 0.
-    "q215_bm25" -> {
-      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""WITH t AS (
-         |  SELECT doc_id, UNNEST($Tok) AS term FROM documents),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
-         |tot AS (SELECT SUM(dl) AS t_toks, COUNT(*) AS n_docs FROM dl),
-         |tf AS (
-         |  SELECT doc_id, term, COUNT(*) AS tf FROM t
-         |  WHERE term IN ($termList) GROUP BY 1, 2),
-         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-         |s AS (
-         |  SELECT tf.doc_id, tf.term,
-         |    ((2.0 * CAST(n_docs AS DOUBLE) - 2.0 * CAST(df AS DOUBLE) + 1.0)
-         |      / (2.0 * CAST(df AS DOUBLE) + 1.0))
-         |    * ((2.2 * CAST(tf AS DOUBLE))
-         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25
-         |        + 0.75 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
-         |          / CAST(t_toks AS DOUBLE)))) AS s
-         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot)
-         |SELECT doc_id, COUNT(*) AS n_terms,
-         |  LIST_REDUCE(LIST(s ORDER BY term), (x, y) -> x + y) AS score
-         |FROM s GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
-    },
+    "q215_bm25" ->
+      s"""WITH ${bm25OracleCtes("TRUE")}
+         |SELECT doc_id, n_terms, score FROM bm
+         |ORDER BY score DESC, doc_id""".stripMargin,
 
     // The store-served query must land on the identical full-corpus
     // recompute — same tokenizer, same stats, same fold order.
-    "q254_bm25_store" -> {
-      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""WITH t AS (
-         |  SELECT doc_id, UNNEST($Tok) AS term FROM documents),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
-         |tot AS (SELECT SUM(dl) AS t_toks, COUNT(*) AS n_docs FROM dl),
-         |tf AS (
-         |  SELECT doc_id, term, COUNT(*) AS tf FROM t
-         |  WHERE term IN ($termList) GROUP BY 1, 2),
-         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-         |s AS (
-         |  SELECT tf.doc_id, tf.term,
-         |    ((2.0 * CAST(n_docs AS DOUBLE) - 2.0 * CAST(df AS DOUBLE) + 1.0)
-         |      / (2.0 * CAST(df AS DOUBLE) + 1.0))
-         |    * ((2.2 * CAST(tf AS DOUBLE))
-         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25
-         |        + 0.75 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
-         |          / CAST(t_toks AS DOUBLE)))) AS s
-         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot)
-         |SELECT doc_id, COUNT(*) AS n_terms,
-         |  LIST_REDUCE(LIST(s ORDER BY term), (x, y) -> x + y) AS score
-         |FROM s GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
-    },
+    "q254_bm25_store" ->
+      s"""WITH ${bm25OracleCtes("TRUE")}
+         |SELECT doc_id, n_terms, score FROM bm
+         |ORDER BY score DESC, doc_id""".stripMargin,
 
     // The snapshot read must land on the recompute over the corpus AS
     // IT WAS at the seed commit — the q254 replay restricted to
     // doc_id < cut ((MAX*9)//10: DuckDB floor-div ≡ Scala truncating
     // division on the positive ids).
-    "q261_bm25_asof" -> {
-      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""WITH cut AS (
-         |  SELECT (MAX(doc_id) * 9) // 10 AS c FROM documents),
-         |seed AS (
-         |  SELECT doc_id, text FROM documents, cut WHERE doc_id < c),
-         |t AS (
-         |  SELECT doc_id, UNNEST($Tok) AS term FROM seed),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
-         |tot AS (SELECT SUM(dl) AS t_toks, COUNT(*) AS n_docs FROM dl),
-         |tf AS (
-         |  SELECT doc_id, term, COUNT(*) AS tf FROM t
-         |  WHERE term IN ($termList) GROUP BY 1, 2),
-         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-         |s AS (
-         |  SELECT tf.doc_id, tf.term,
-         |    ((2.0 * CAST(n_docs AS DOUBLE) - 2.0 * CAST(df AS DOUBLE) + 1.0)
-         |      / (2.0 * CAST(df AS DOUBLE) + 1.0))
-         |    * ((2.2 * CAST(tf AS DOUBLE))
-         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25
-         |        + 0.75 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
-         |          / CAST(t_toks AS DOUBLE)))) AS s
-         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot)
-         |SELECT doc_id, COUNT(*) AS n_terms,
-         |  LIST_REDUCE(LIST(s ORDER BY term), (x, y) -> x + y) AS score
-         |FROM s GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
-    },
+    "q261_bm25_asof" ->
+      s"""WITH ${bm25OracleCtes(SeedPredSql)}
+         |SELECT doc_id, n_terms, score FROM bm
+         |ORDER BY score DESC, doc_id""".stripMargin,
 
     // floor(log2 n) = LENGTH(BIN(n)) - 1 in both engines — exact.
     "q216_lm_bits" ->

@@ -45,7 +45,7 @@ import graft.util.Generations
 object PostingsStore {
 
   private val MetaName = "_graft_postings_meta.json"
-  private val Format = "graft-postings-v1"
+  private val Format = "graft-postings-v2" // v2 (round 11): + commit id / history archive
 
   /** v2 (round 11): `commit` — the monotone snapshot id. Every pointer
     * flip archives its body under `_graft_history/commit-<id>.json`

@@ -1502,9 +1502,8 @@ object TextQueries {
     // The set-pinned read must land on the FULL-corpus recompute of
     // both faces (post-set store divergence invisible): q254's BM25
     // replay joined with q248's components replay.
-    "q262_pipeline_set" -> {
-      val termList = LmQueries.Bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""WITH RECURSIVE $minhashPairsCtes,
+    "q262_pipeline_set" ->
+      s"""WITH RECURSIVE ${minhashPairsCtesWhere("TRUE")},
          |edges AS (
          |  SELECT a_id AS src, b_id AS dst FROM pairs
          |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
@@ -1516,40 +1515,15 @@ object TextQueries {
          |ledger AS (
          |  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp
          |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
-         |t AS (
-         |  SELECT doc_id,
-         |    UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS term
-         |  FROM documents),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
-         |tot AS (SELECT SUM(dl) AS t_toks, COUNT(*) AS n_docs FROM dl),
-         |tf AS (
-         |  SELECT doc_id, term, COUNT(*) AS tf FROM t
-         |  WHERE term IN ($termList) GROUP BY 1, 2),
-         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-         |sc AS (
-         |  SELECT tf.doc_id, tf.term,
-         |    ((2.0 * CAST(n_docs AS DOUBLE) - 2.0 * CAST(df AS DOUBLE) + 1.0)
-         |      / (2.0 * CAST(df AS DOUBLE) + 1.0))
-         |    * ((2.2 * CAST(tf AS DOUBLE))
-         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25
-         |        + 0.75 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
-         |          / CAST(t_toks AS DOUBLE)))) AS s
-         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot),
-         |bm AS (
-         |  SELECT doc_id, COUNT(*) AS n_terms,
-         |    LIST_REDUCE(LIST(s ORDER BY term), (x, y) -> x + y) AS score
-         |  FROM sc GROUP BY doc_id
-         |  ORDER BY score DESC, doc_id LIMIT ${LmQueries.Bm25TopK})
+         |${LmQueries.bm25OracleCtes("TRUE")}
          |SELECT bm.doc_id, n_terms, score, comp
          |FROM bm JOIN ledger USING (doc_id)
-         |ORDER BY score DESC, doc_id""".stripMargin
-    },
+         |ORDER BY score DESC, doc_id""".stripMargin,
 
     // The snapshot labeling must land on the closure recompute over the
     // SEED corpus only — the ledger as it was at commit 0.
-    "q267_ledger_asof" -> {
-      val seedPred = "doc_id < (SELECT (MAX(doc_id) * 9) // 10 FROM documents)"
-      s"""WITH RECURSIVE ${minhashPairsCtesWhere(seedPred)},
+    "q267_ledger_asof" ->
+      s"""WITH RECURSIVE ${minhashPairsCtesWhere(LmQueries.SeedPredSql)},
          |edges AS (
          |  SELECT a_id AS src, b_id AS dst FROM pairs
          |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
@@ -1561,20 +1535,17 @@ object TextQueries {
          |ledger AS (
          |  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp
          |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
-         |  WHERE $seedPred)
+         |  WHERE ${LmQueries.SeedPredSql})
          |SELECT doc_id, comp,
          |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
          |  doc_id = comp AS is_canonical
-         |FROM ledger ORDER BY doc_id""".stripMargin
-    },
+         |FROM ledger ORDER BY doc_id""".stripMargin,
 
     // The archived batch-0 SET must land on the recompute of both faces
     // over the SEED corpus only ((MAX*9)//10 — DuckDB floor-div ≡ the
     // Scala truncating division on positive ids).
-    "q264_pipeline_asof" -> {
-      val termList = LmQueries.Bm25Terms.map(t => s"'$t'").mkString(", ")
-      val seedPred = "doc_id < (SELECT (MAX(doc_id) * 9) // 10 FROM documents)"
-      s"""WITH RECURSIVE ${minhashPairsCtesWhere(seedPred)},
+    "q264_pipeline_asof" ->
+      s"""WITH RECURSIVE ${minhashPairsCtesWhere(LmQueries.SeedPredSql)},
          |edges AS (
          |  SELECT a_id AS src, b_id AS dst FROM pairs
          |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
@@ -1583,38 +1554,14 @@ object TextQueries {
          |  UNION
          |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
          |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
-         |seed AS (SELECT doc_id, text FROM documents WHERE $seedPred),
          |ledger AS (
          |  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp
-         |  FROM seed d LEFT JOIN lbl l ON d.doc_id = l.id),
-         |t AS (
-         |  SELECT doc_id,
-         |    UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS term
-         |  FROM seed),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
-         |tot AS (SELECT SUM(dl) AS t_toks, COUNT(*) AS n_docs FROM dl),
-         |tf AS (
-         |  SELECT doc_id, term, COUNT(*) AS tf FROM t
-         |  WHERE term IN ($termList) GROUP BY 1, 2),
-         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-         |sc AS (
-         |  SELECT tf.doc_id, tf.term,
-         |    ((2.0 * CAST(n_docs AS DOUBLE) - 2.0 * CAST(df AS DOUBLE) + 1.0)
-         |      / (2.0 * CAST(df AS DOUBLE) + 1.0))
-         |    * ((2.2 * CAST(tf AS DOUBLE))
-         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25
-         |        + 0.75 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
-         |          / CAST(t_toks AS DOUBLE)))) AS s
-         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot),
-         |bm AS (
-         |  SELECT doc_id, COUNT(*) AS n_terms,
-         |    LIST_REDUCE(LIST(s ORDER BY term), (x, y) -> x + y) AS score
-         |  FROM sc GROUP BY doc_id
-         |  ORDER BY score DESC, doc_id LIMIT ${LmQueries.Bm25TopK})
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
+         |  WHERE ${LmQueries.SeedPredSql}),
+         |${LmQueries.bm25OracleCtes(LmQueries.SeedPredSql)}
          |SELECT bm.doc_id, n_terms, score, comp
          |FROM bm JOIN ledger USING (doc_id)
-         |ORDER BY score DESC, doc_id""".stripMargin
-    },
+         |ORDER BY score DESC, doc_id""".stripMargin,
 
     // Compaction must be invisible: the compacted store still lands on
     // the identical full-recompute labeling.

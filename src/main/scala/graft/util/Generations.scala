@@ -67,17 +67,37 @@ object Generations {
     if (Hfs.exists(p, hc)) Some(Hfs.readString(p, hc).trim) else None
   }
 
+  private val VacuumIntentName = "_graft_vacuum_intent.json"
+  private val VacuumIntentRe = """\{"cutoff": ([0-9]+)\}""".r
+
   /** Fail-closed readability check for an ARCHIVED slice window: every
     * slice id in [sliceBase, slices) must still exist under at least one
     * sub (each committed id was written by exactly one op, which wrote
-    * ≥ 1 subdir; [[gcSlices]] removes an id from every sub at once, so
-    * an id absent everywhere was vacuumed). Errors loudly instead of
-    * silently reading a partial snapshot — the [[graft.cdc.Apply]]
+    * ≥ 1 subdir), AND no crashed vacuum may have partially removed the
+    * window — [[gcSlices]] records its cutoff in an intent marker before
+    * deleting and clears it after, so a crash mid-sweep leaves the
+    * marker and every snapshot reaching below the cutoff fails loudly
+    * here instead of silently reading a half-deleted slice (round-11
+    * review: the presence check alone could pass an id deleted from one
+    * sub but not yet another). Errors loudly instead of silently
+    * reading a partial snapshot — the [[graft.cdc.Apply]]
     * restore/readMergeTableAt contract. */
   def requireSlicesReadable(spark: SparkSession, dir: String,
       subs: Seq[String], sliceBase: Long, slices: Long,
       what: String): Unit = {
     val hc = Hfs.conf(spark)
+    val intent = new HPath(s"$dir/$VacuumIntentName")
+    if (Hfs.exists(intent, hc)) {
+      val cutoff = Hfs.readString(intent, hc).trim match {
+        case VacuumIntentRe(c) => c.toLong
+        case other => sys.error(
+          s"unparseable vacuum intent at $intent: '${other.take(80)}'")
+      }
+      require(sliceBase >= cutoff,
+        s"$what of $dir is no longer readable: a vacuum up to slice " +
+          s"$cutoff is in progress or crashed mid-sweep (re-run " +
+          "vacuumSlices to finish it)")
+    }
     val present: Set[Long] = subs.flatMap { sub =>
       Hfs.list(new HPath(s"$dir/$sub"), hc).toSeq
         .map(_.getPath.getName)
@@ -127,17 +147,35 @@ object Generations {
     * SemLedgerStore v3): under each `dir/<sub>`, drop `slice=` dirs
     * strictly below `cutoff` — slices a compaction's pointer commit
     * already moved the live window past, so they are non-live under the
-    * current and every later pointer. Returns dirs removed. */
+    * current and every later pointer. Returns dirs removed.
+    *
+    * Crash safety (round-11 review): an intent marker carrying the
+    * cutoff is written BEFORE any delete and cleared after the sweep,
+    * and deletion proceeds slice-id-major (every sub's dir for one id,
+    * then the next id) — a crash mid-sweep therefore leaves the marker
+    * in place, and [[requireSlicesReadable]] fails any snapshot
+    * reaching below the recorded cutoff loudly instead of letting it
+    * read a slice deleted from some subs but not others. Re-running
+    * the vacuum finishes the sweep and clears the marker. Live reads
+    * are unaffected: the cutoff is the CURRENT sliceBase, so every
+    * committed window from here on starts at or above it. */
   def gcSlices(spark: SparkSession, dir: String, subs: Seq[String],
       cutoff: Long): Int = {
     val hc = Hfs.conf(spark)
-    subs.map { sub =>
-      Hfs.list(new HPath(s"$dir/$sub"), hc).count { st =>
-        val name = st.getPath.getName
-        name.startsWith("slice=") &&
-          name.stripPrefix("slice=").toLong < cutoff && {
-            Hfs.delete(st.getPath, hc); true }
-      }
+    val doomed: Seq[(Long, HPath)] = subs.flatMap { sub =>
+      Hfs.list(new HPath(s"$dir/$sub"), hc).toSeq
+        .filter(_.getPath.getName.startsWith("slice="))
+        .map(st => (st.getPath.getName.stripPrefix("slice=").toLong,
+          st.getPath))
+        .filter(_._1 < cutoff)
+    }
+    if (doomed.isEmpty) return 0
+    val intent = new HPath(s"$dir/$VacuumIntentName")
+    Hfs.writeStringAtomic(intent, s"""{"cutoff": $cutoff}""", hc)
+    val n = doomed.sortBy(_._1).map { case (_, p) =>
+      Hfs.delete(p, hc); 1
     }.sum
+    Hfs.delete(intent, hc)
+    n
   }
 }

@@ -52,18 +52,26 @@ object Maintenance {
     value
   }
 
-  private val writeLocks = new ConcurrentHashMap[(String, SparkSession, String), Object]()
+  private val writeLocks = new ConcurrentHashMap[(String, String), Object]()
 
   /** Serialize a read-modify-write on one maintained state (round-9
     * advice: two CONCURRENT ingests each read the same base, each union
     * only their own delta, and the last [[update]] wins — the loser's
     * vectors vanish from the memo while the growth counter counts both).
-    * The ingest write paths run under this per-(name, session, dir)
-    * monitor; plain readers ([[getOrBuild]]) stay lock-free — a reader
-    * racing an ingest sees the old or the new memo, both coherent. */
+    * The ingest and store write paths run under this monitor; plain
+    * readers ([[getOrBuild]]) stay lock-free — a reader racing an
+    * ingest sees the old or the new memo, both coherent.
+    *
+    * Keyed by (name, dir) ONLY — deliberately NOT the session (round-11
+    * review): Structured Streaming runs foreachBatch under a CLONED
+    * session, so a session-keyed monitor would let a streaming fold and
+    * a user-session purge on the same store dir interleave — exactly
+    * the purge-vs-fold race the store verbs take this lock to prevent.
+    * The session parameter stays in the signature for call-site
+    * uniformity with the memo map (which IS session-keyed). */
   def withWriteLock[T](name: String, s: SparkSession, dir: String)(
       body: => T): T = {
-    val lock = writeLocks.computeIfAbsent((name, s, dir), _ => new Object)
+    val lock = writeLocks.computeIfAbsent((name, dir), _ => new Object)
     lock.synchronized(body)
   }
 

@@ -34,7 +34,7 @@ import graft.util.Generations
 object GraphStore {
 
   private val MetaName = "_graft_graph_meta.json"
-  private val Format = "graft-graph-v2"
+  private val Format = "graft-graph-v3" // v3 (round 11): + commit id / history archive
 
   /** v2: `prefixes` — the basket-hash partition fan of the items store
     * (`items/slice=S/op=P`, op = hash(ord) mod prefixes; frozen at seed

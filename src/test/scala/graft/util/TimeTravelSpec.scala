@@ -77,6 +77,37 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no committed snapshot 99"))
   }
 
+  test("a crashed vacuum fails snapshot reads loudly via the intent " +
+      "marker; finishing the vacuum clears it") {
+    val dir = Files.createTempDirectory("ttvacuumcrash").toString
+    def slice(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+    PostingsStore.maintainBatch(slice(0, 200), col("doc_id"), col("text"),
+      dir, batchId = 0L) // commit 0
+    PostingsStore.maintainBatch(slice(200, 400), col("doc_id"),
+      col("text"), dir, batchId = 1L) // commit 1
+    PostingsStore.compact(spark, dir)  // commit 2, window [2,3)
+    // simulate gcSlices dying mid-sweep: the intent marker is on disk
+    // (cutoff = the current sliceBase) but some old slices survive
+    Hfs.writeStringAtomic(
+      new org.apache.hadoop.fs.Path(s"$dir/_graft_vacuum_intent.json"),
+      """{"cutoff": 2}""", Hfs.conf(spark))
+    val e = intercept[IllegalArgumentException] {
+      PostingsStore.bm25QueryAt(spark, dir, 0L, terms, 10).collect()
+    }
+    assert(e.getMessage.contains("crashed mid-sweep"))
+    // the CURRENT read is unaffected (its window starts at the cutoff)
+    assert(PostingsStore.bm25Query(spark, dir, terms, 10).count() > 0)
+    // re-running the vacuum finishes the sweep and clears the marker;
+    // old snapshots now fail with the normal vacuumed message
+    PostingsStore.vacuumSlices(spark, dir)
+    assert(!new java.io.File(s"$dir/_graft_vacuum_intent.json").exists())
+    val e2 = intercept[IllegalArgumentException] {
+      PostingsStore.bm25QueryAt(spark, dir, 0L, terms, 10).collect()
+    }
+    assert(e2.getMessage.contains("no longer readable"))
+  }
+
   test("ledger: loadAt returns the exact past labeling; generation " +
       "retention makes old snapshots fail loudly") {
     val dir = Files.createTempDirectory("ttledger").toString
