@@ -92,7 +92,31 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibrationS,"queries":$qs,"errors":$errs,"n_queries":${timings.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
-    println(line)
+    // Round-12 fix: every BENCH_r*.json through r11 has `parsed: null` —
+    // the driver machine-reads only the LAST ~2000 chars of stdout, and
+    // the full per-query line (8.5 KB at 267 queries) always overflowed
+    // that window, truncating the JSON mid-object. stdout therefore gets
+    // ONE compact line (headline-query subset, 3-decimal timings, well
+    // under 2000 chars, printed after spark.stop() so nothing follows
+    // it); the full per-query map lives in bench_out.json, which is
+    // committed every round.
+    val headline = Seq(
+      "q01_agg_group", "q04_join_fact", "q15_order_limit_topk",
+      "q30_tumbling_window", "q42_ann_bruteforce", "q43_ann_ivf",
+      "q45_minhash_lsh", "q46_simhash", "q55_tpch_q3", "q74_zorder_prune",
+      "q76_sequence_pack", "q88_tpch_q18", "q118_components_stars",
+      "q130_incremental_components", "q131_fuzzy_match", "q138_pagerank",
+      "q165_bucketed_join", "q219_corpus_build", "q254_bm25_store",
+      "q262_pipeline_set")
+    val compactQs = headline.flatMap(k => timings.get(k).map(v =>
+      f""""$k":$v%.3f""")).mkString("{", ",", "}")
+    val compactErrs = errors.take(3)
+      .map { case (k, v) => s"\"$k\":\"${v.take(40)}\"" }
+      .mkString("{", ",", "}")
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration_s":$calibrationS%.3f,"queries":$compactQs,"n_queries":${timings.size},"n_errors":${errors.size},"errors":$compactErrs,"sf":"$sfDir","full":"$outPath"}"""
     spark.stop()
+    println(compact)
+    System.out.flush()
   }
 }

@@ -80,8 +80,7 @@ object IndexStore {
       Meta(f, g.toLong, n.toLong, b.toLong, bt.toLong, sb.toLong,
         sl.toLong, c.toLong)
     case other => sys.error(
-      s"unparseable index manifest at $dir: '${other.take(120)}' " +
-        "(refusing to guess — the pointer is the commit)")
+      Generations.unparseableMsg(s"$dir (index manifest)", other, Format))
   }
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
@@ -188,12 +187,12 @@ object IndexStore {
 
   /** Committed snapshot ids available for [[loadIvfAt]], ascending. */
   def commits(spark: SparkSession, dir: String): Seq[Long] =
-    Generations.listCommits(spark, dir)
+    Generations.listCommits(spark, dir, MetaName)
 
   /** The archived manifest of snapshot `commit`. */
   def metaAt(spark: SparkSession, dir: String, commit: Long): Meta =
     parseMeta(s"$dir@$commit",
-      Generations.readPointerAt(spark, dir, commit).getOrElse(sys.error(
+      Generations.readPointerAt(spark, dir, MetaName, commit).getOrElse(sys.error(
         s"$dir has no committed snapshot $commit " +
           s"(available: ${commits(spark, dir).mkString(", ")})")))
 
@@ -249,6 +248,33 @@ object IndexStore {
     n
     }
   }
+  /** ADVICE r11: a ledgered batch the tombstone screen (or the batch
+    * itself) left EMPTY must still record its batch id — returning
+    * without a commit leaves the batch unledgered, so after maintenance
+    * drops the tombstones, a streaming replay of that batch would
+    * re-fold and resurrect the purged vectors. A no-op pointer bump
+    * (batch advanced, data untouched) keeps the replay guard
+    * `batchId <= m.batch` suppressing the re-fold. */
+  private def recordEmptyBatch(spark: SparkSession, dir: String,
+      prev: Option[Meta], batchId: Long): Unit =
+    prev.foreach { m =>
+      if (batchId >= 0 && batchId > m.batch)
+        commitMeta(spark, dir, m.copy(batch = batchId, commit = m.commit + 1))
+    }
+
+  /** [[recordEmptyBatch]]'s composite-side twin. */
+  private def recordEmptyPqBatch(spark: SparkSession, dir: String,
+      prev: Option[PqMeta], batchId: Long): Unit =
+    prev.foreach { pm =>
+      if (batchId >= 0 && batchId > pm.batch)
+        Generations.commitArchived(spark, dir, PqMetaName,
+          s"""{"format": "$PqFormat", "gen": ${pm.gen}, "rows": ${pm.rows}, """ +
+            s""""m": ${pm.m}, "subDim": ${pm.subDim}, """ +
+            s""""baseRows": ${pm.baseRows}, """ +
+            s""""batch": $batchId, "commit": ${pm.commit + 1}}""",
+          pm.commit + 1)
+    }
+
 
   /** Fold ONE batch of vectors into the persisted index — the complete
     * maintenance step a continuous ingest runs per micro-batch, built
@@ -283,7 +309,7 @@ object IndexStore {
     val spark = batch.sparkSession
     graft.util.Maintenance.withWriteLock("IndexStore", spark, dir) {
     val vecs = batch.select(id.as("vid"), vec.as("v"))
-    if (vecs.isEmpty) return None
+    if (vecs.isEmpty) { recordEmptyBatch(spark, dir, readMeta(spark, dir), batchId); return None }
     readMeta(spark, dir) match {
       case None =>
         val seeded = Similarity.buildIvf(vecs, col("vid"), col("v"),
@@ -299,7 +325,7 @@ object IndexStore {
         // every probe, permanently skewing the doubling denominator
         val screened = vecs.join(livePurged(spark, dir, m),
           Seq("vid"), "left_anti")
-        if (screened.isEmpty) return None
+        if (screened.isEmpty) { recordEmptyBatch(spark, dir, Some(m), batchId); return None }
         // claim the id: a crashed purge's orphan tombstone slice here
         // must not become live under this fold's commit
         Generations.claimSlice(spark, dir, Seq(s"gen=${m.gen}/purged"),
@@ -423,8 +449,7 @@ object IndexStore {
       PqMeta(f, g.toLong, n.toLong, m.toInt, sd.toInt, b.toLong,
         bt.toLong, c.toLong)
     case other => sys.error(
-      s"unparseable ivfpq manifest at $dir: '${other.take(120)}' " +
-        "(refusing to guess — the pointer is the commit)")
+      Generations.unparseableMsg(s"$dir (ivfpq manifest)", other, PqFormat))
   }
 
   private def readPqMeta(spark: SparkSession, dir: String): Option[PqMeta] =
@@ -497,12 +522,12 @@ object IndexStore {
 
   /** Committed composite-index snapshot ids, ascending. */
   def pqCommits(spark: SparkSession, dir: String): Seq[Long] =
-    Generations.listCommits(spark, dir)
+    Generations.listCommits(spark, dir, PqMetaName)
 
   /** The archived PQ manifest of snapshot `commit`. */
   def pqMetaAt(spark: SparkSession, dir: String, commit: Long): PqMeta =
     parsePqMeta(s"$dir@$commit",
-      Generations.readPointerAt(spark, dir, commit).getOrElse(sys.error(
+      Generations.readPointerAt(spark, dir, PqMetaName, commit).getOrElse(sys.error(
         s"$dir has no committed snapshot $commit " +
           s"(available: ${pqCommits(spark, dir).mkString(", ")})")))
 
@@ -562,7 +587,7 @@ object IndexStore {
     val spark = batch.sparkSession
     graft.util.Maintenance.withWriteLock("IndexStore", spark, dir) {
     val vecs = batch.select(id.as("vid"), vec.as("v")).localCheckpoint(true)
-    if (vecs.isEmpty) return None
+    if (vecs.isEmpty) { recordEmptyPqBatch(spark, dir, readPqMeta(spark, dir), batchId); return None }
     readPqMeta(spark, dir) match {
       case Some(pm) if batchId >= 0 && batchId <= pm.batch =>
         None // crash replay of an already-folded batch
@@ -637,4 +662,18 @@ object IndexStore {
       .orderBy(col("cosine").desc, col("nn_id"))
       .limit(k)
   }
+
+  /** The committed snapshot id produced by LEDGERED batch `batchId` —
+    * the pin a cross-store set manifest records (ADVICE r11). −1 when
+    * the store has no committed state at all. */
+  def commitForBatch(spark: SparkSession, dir: String,
+      batchId: Long): Long =
+    if (readMeta(spark, dir).isEmpty) -1L
+    else Generations.foldCommitForBatch(spark, dir, MetaName, batchId)
+
+  /** [[commitForBatch]]'s composite-index twin. */
+  def pqCommitForBatch(spark: SparkSession, dir: String,
+      batchId: Long): Long =
+    if (readPqMeta(spark, dir).isEmpty) -1L
+    else Generations.foldCommitForBatch(spark, dir, PqMetaName, batchId)
 }

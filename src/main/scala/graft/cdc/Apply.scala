@@ -630,22 +630,43 @@ object Apply {
     * the retirement grace window (or an explicit [[vacuum]]) superseded
     * generations are deleted and this fails loudly, the same retention
     * trade every manifest-pointer table format makes. */
-  def readMergeTableAt(spark: SparkSession, tableDir: String, commit: Long): DataFrame = {
+  def readMergeTableAt(spark: SparkSession, tableDir: String, commit: Long): DataFrame =
+    spark.read.parquet(snapshotBucketDirs(spark, tableDir, Some(commit)): _*)
+
+  /** The concrete bucket data dirs of a committed snapshot — the path
+    * set behind [[readMergeTable]] (commit = None, the current
+    * manifest) and [[readMergeTableAt]] (an archived one). Public for
+    * the DataSource V2 catalog face ([[graft.sources.GraftTables]]):
+    * the manifest does snapshot selection, the returned paths feed a
+    * stock parquet table so every Spark SQL reader gets the same
+    * pointer-committed view. Fail-closed on GC'd generations. */
+  def snapshotBucketDirs(spark: SparkSession, tableDir: String,
+      commit: Option[Long]): Seq[String] = {
     val hc = graft.util.Hfs.conf(spark)
     val root = new HPath(tableDir)
-    val hp = historyPath(root, commit)
-    require(graft.util.Hfs.exists(hp, hc),
-      s"$tableDir has no committed snapshot $commit " +
-        s"(available: ${commits(spark, tableDir).mkString(", ")})")
-    val m = parseMeta(graft.util.Hfs.readString(hp, hc))
-    val dirs = m.buckets.toSeq.sortBy(_._1)
-      .map { case (b, g) => new HPath(root, s"gen=$g/_bucket=$b") }
-    require(dirs.nonEmpty, s"snapshot $commit of $tableDir has no buckets")
+    val dirs = commit match {
+      case None =>
+        val ds = bucketDirs(spark, tableDir).toSeq.sortBy(_._1).map(_._2)
+        require(ds.nonEmpty,
+          s"$tableDir has no committed buckets (missing or empty manifest)")
+        ds
+      case Some(c) =>
+        val hp = historyPath(root, c)
+        require(graft.util.Hfs.exists(hp, hc),
+          s"$tableDir has no committed snapshot $c " +
+            s"(available: ${commits(spark, tableDir).mkString(", ")})")
+        val m = parseMeta(graft.util.Hfs.readString(hp, hc))
+        val ds = m.buckets.toSeq.sortBy(_._1)
+          .map { case (b, g) => new HPath(root, s"gen=$g/_bucket=$b") }
+        require(ds.nonEmpty, s"snapshot $c of $tableDir has no buckets")
+        ds
+    }
     val gone = dirs.filterNot(d => graft.util.Hfs.exists(d, hc))
     require(gone.isEmpty,
-      s"snapshot $commit of $tableDir is no longer readable: ${gone.head} " +
-        "was garbage-collected (raise gcGraceMs / delay vacuum to retain history)")
-    spark.read.parquet(dirs.map(_.toString): _*)
+      s"snapshot ${commit.getOrElse("current")} of $tableDir is no longer " +
+        s"readable: ${gone.head} was garbage-collected (raise gcGraceMs / " +
+        "delay vacuum to retain history)")
+    dirs.map(_.toString)
   }
 
   /** Change-data-feed between two committed snapshots — the Delta CDF

@@ -91,8 +91,7 @@ object LedgerStore {
       Meta(f, g.toLong, n.toLong, b.toLong, t.toInt, k.toInt, bd.toInt,
         px.toInt, mb.toInt, sb.toLong, sl.toLong, c.toLong)
     case other => sys.error(
-      s"unparseable ledger manifest at $dir: '${other.take(120)}' " +
-        "(refusing to guess — the pointer is the commit)")
+      Generations.unparseableMsg(s"$dir (ledger manifest)", other, Format))
   }
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
@@ -305,12 +304,12 @@ object LedgerStore {
 
   /** Committed snapshot ids available for [[loadAt]], ascending. */
   def commits(spark: SparkSession, dir: String): Seq[Long] =
-    Generations.listCommits(spark, dir)
+    Generations.listCommits(spark, dir, MetaName)
 
   /** The archived manifest of snapshot `commit`. */
   def metaAt(spark: SparkSession, dir: String, commit: Long): Meta =
     parseMeta(s"$dir@$commit",
-      Generations.readPointerAt(spark, dir, commit).getOrElse(sys.error(
+      Generations.readPointerAt(spark, dir, MetaName, commit).getOrElse(sys.error(
         s"$dir has no committed snapshot $commit " +
           s"(available: ${commits(spark, dir).mkString(", ")})")))
 
@@ -336,6 +335,21 @@ object LedgerStore {
     (spark.read.parquet(labelsDir), liveSigs(spark, dir, m), m)
   }
 
+  /** ADVICE r11: a ledgered batch the tombstone screen (or the batch
+    * itself) left EMPTY must still record its batch id — returning
+    * without a commit leaves the batch unledgered, so after a
+    * compact+vacuum drops the tombstones, a streaming replay of that
+    * batch (restart before the checkpoint committed) would re-fold and
+    * resurrect the purged docs. A no-op pointer bump (batch advanced,
+    * data untouched) keeps the replay guard `batchId <= m.batch`
+    * suppressing the re-fold. */
+  private def recordEmptyBatch(spark: SparkSession, dir: String,
+      prev: Option[Meta], batchId: Long): Unit =
+    prev.foreach { m =>
+      if (batchId >= 0 && batchId > m.batch)
+        commitMeta(spark, dir, m.copy(batch = batchId, commit = m.commit + 1))
+    }
+
   /** Fold one batch of NEW documents (id, text) into the persisted
     * ledger. First batch seeds (freezing the fold config in the
     * manifest); later batches pay DELTA-SIZED work only. Empty batches
@@ -356,7 +370,7 @@ object LedgerStore {
     val spark = batch.sparkSession
     graft.util.Maintenance.withWriteLock("LedgerStore", spark, dir) {
     val docs = batch.select(id.as("doc_id"), text.as("text"))
-    if (docs.isEmpty) return None
+    if (docs.isEmpty) { recordEmptyBatch(spark, dir, readMeta(spark, dir), batchId); return None }
     val perMille = math.round(threshold * 1000).toInt
     readMeta(spark, dir) match {
       case None =>
@@ -397,7 +411,7 @@ object LedgerStore {
         val screened = docs.join(
           livePurged(spark, dir, m).select(col("id").as("doc_id")),
           Seq("doc_id"), "left_anti")
-        if (screened.isEmpty) return None
+        if (screened.isEmpty) { recordEmptyBatch(spark, dir, Some(m), batchId); return None }
         val deltaSigs = Dedup.minhashSigSets(screened, col("doc_id"),
           col("text"), k = k).localCheckpoint(true)
         // the production fold: the old side reads only the delta's
@@ -437,4 +451,34 @@ object LedgerStore {
         ()
       }
       .start()
+
+  /** The committed snapshot id produced by LEDGERED batch `batchId` —
+    * the pin a cross-store set manifest records (ADVICE r11: the
+    * store's CURRENT commit can be later than the batch's fold commit
+    * when a compact/purge ran since — pinning current would claim "as
+    * of batch B" while naming a post-maintenance state). −1 when the
+    * store has no committed state at all (an empty seed batch). */
+  def commitForBatch(spark: SparkSession, dir: String,
+      batchId: Long): Long =
+    if (readMeta(spark, dir).isEmpty) -1L
+    else Generations.foldCommitForBatch(spark, dir, MetaName, batchId)
+
+  /** The labels table's data dir for a committed snapshot (commit =
+    * None → current) — the path behind [[load]]/[[loadAt]]'s first
+    * frame, public for the DataSource V2 catalog face
+    * ([[graft.sources.GraftTables]]). Fail-closed once generation
+    * retention dropped the snapshot's gen dir. */
+  def labelsDir(spark: SparkSession, dir: String,
+      commit: Option[Long]): String = {
+    val m = commit.map(metaAt(spark, dir, _)).orElse(readMeta(spark, dir))
+      .getOrElse(sys.error(s"no committed ledger at $dir"))
+    require(m.format == Format, Generations.unparseableMsg(dir,
+      s"""{"format": "${m.format}"}""", Format))
+    val p = s"$dir/gen=${m.gen}/labels"
+    require(graft.util.Hfs.exists(new org.apache.hadoop.fs.Path(p),
+        graft.util.Hfs.conf(spark)),
+      s"snapshot ${commit.getOrElse("current")} of $dir is no longer " +
+        s"readable: $p was dropped by generation retention")
+    p
+  }
 }

@@ -59,8 +59,8 @@ object SemLedgerStore {
       Meta(f, g.toLong, n.toLong, b.toLong, t.toInt, nb.toInt,
         ppb.toInt, d.toInt, sb.toLong, sl.toLong, c.toLong)
     case other => sys.error(
-      s"unparseable semantic-ledger manifest at $dir: " +
-        s"'${other.take(120)}' (refusing to guess — the pointer is the commit)")
+      Generations.unparseableMsg(s"$dir (semantic-ledger manifest)", other,
+        Format))
   }
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
@@ -188,12 +188,12 @@ object SemLedgerStore {
 
   /** Committed snapshot ids available for [[loadAt]], ascending. */
   def commits(spark: SparkSession, dir: String): Seq[Long] =
-    Generations.listCommits(spark, dir)
+    Generations.listCommits(spark, dir, MetaName)
 
   /** The archived manifest of snapshot `commit`. */
   def metaAt(spark: SparkSession, dir: String, commit: Long): Meta =
     parseMeta(s"$dir@$commit",
-      Generations.readPointerAt(spark, dir, commit).getOrElse(sys.error(
+      Generations.readPointerAt(spark, dir, MetaName, commit).getOrElse(sys.error(
         s"$dir has no committed snapshot $commit " +
           s"(available: ${commits(spark, dir).mkString(", ")})")))
 
@@ -266,6 +266,21 @@ object SemLedgerStore {
     }
   }
 
+  /** ADVICE r11: a ledgered batch the tombstone screen (or the batch
+    * itself) left EMPTY must still record its batch id — returning
+    * without a commit leaves the batch unledgered, so after a
+    * compact+vacuum drops the tombstones, a streaming replay of that
+    * batch (restart before the checkpoint committed) would re-fold and
+    * resurrect the purged docs. A no-op pointer bump (batch advanced,
+    * data untouched) keeps the replay guard `batchId <= m.batch`
+    * suppressing the re-fold. */
+  private def recordEmptyBatch(spark: SparkSession, dir: String,
+      prev: Option[Meta], batchId: Long): Unit =
+    prev.foreach { m =>
+      if (batchId >= 0 && batchId > m.batch)
+        commitMeta(spark, dir, m.copy(batch = batchId, commit = m.commit + 1))
+    }
+
   /** Fold one batch of NEW vectors (id, embedding) into the persisted
     * ledger; first batch seeds and freezes the config. Empty batches
     * and crash-replayed batch ids are no-ops. */
@@ -276,7 +291,7 @@ object SemLedgerStore {
     val spark = batch.sparkSession
     graft.util.Maintenance.withWriteLock("SemLedgerStore", spark, dir) {
     val vecs = batch.select(id.as("id"), vec.as("v")).localCheckpoint(true)
-    if (vecs.isEmpty) return None
+    if (vecs.isEmpty) { recordEmptyBatch(spark, dir, readMeta(spark, dir), batchId); return None }
     val perMille = math.round(threshold * 1000).toInt
     readMeta(spark, dir) match {
       case None =>
@@ -303,7 +318,7 @@ object SemLedgerStore {
         // while the tombstone hides its vector from every pairing read
         val screened = vecs.join(livePurged(spark, dir, m),
           Seq("id"), "left_anti").localCheckpoint(true)
-        if (screened.isEmpty) return None
+        if (screened.isEmpty) { recordEmptyBatch(spark, dir, Some(m), batchId); return None }
         val deltaPairs = Dedup.lshNearDupsDelta(oldVecs, screened,
           col("id"), col("v"), nBands, planesPerBand, dim, threshold)
           .localCheckpoint(true)
@@ -335,4 +350,15 @@ object SemLedgerStore {
         ()
       }
       .start()
+
+  /** The committed snapshot id produced by LEDGERED batch `batchId` —
+    * the pin a cross-store set manifest records (ADVICE r11: the
+    * store's CURRENT commit can be later than the batch's fold commit
+    * when a compact/purge ran since — pinning current would claim "as
+    * of batch B" while naming a post-maintenance state). −1 when the
+    * store has no committed state at all (an empty seed batch). */
+  def commitForBatch(spark: SparkSession, dir: String,
+      batchId: Long): Long =
+    if (readMeta(spark, dir).isEmpty) -1L
+    else Generations.foldCommitForBatch(spark, dir, MetaName, batchId)
 }

@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 CATALOG FACE for the persisted substrates (round-11
+  * verdict #3): until now the merge table and the slice stores were
+  * readable only through library calls (`Apply.readMergeTable`,
+  * `LedgerStore.load`, `PostingsStore.bm25Query`) — but the reference's
+  * warehouse tables are plain SQL-visible tables
+  * (`source/configure_redshift_for_dynamodb_cdc_lambda/handler.py:22-31`
+  * creates them with DDL for any Redshift client to query), so ours
+  * should be consumable by any Spark SQL user too:
+  *
+  * {{{
+  *   spark.read.format("graft")
+  *     .option("path", tableDir)          // the store directory
+  *     .option("table", "merge")          // which surface (below)
+  *     .option("commit", "3")             // optional: time travel
+  *     .load()
+  *   // or SQL: CREATE TABLE t USING graft OPTIONS (path '...', ...)
+  * }}}
+  *
+  * Surfaces (`table` option):
+  *  - `merge` (default) — the [[graft.cdc.Apply]] merge table: the
+  *    manifest's live bucket generations (mergeSchema on, so a
+  *    schema-evolved table reads whole).
+  *  - `ledger.labels` — [[graft.dedup.LedgerStore]] component labels of
+  *    the selected generation (the fold output itself; no read-side
+  *    merge needed — labels rewrite per generation).
+  *  - `postings.postings` / `postings.doclen` / `postings.purged` —
+  *    [[graft.text.PostingsStore]] substrate tables: the snapshot's
+  *    live slice window as explicit paths. `slice` and `tp` stay
+  *    HIVE PARTITION COLUMNS (basePath), so a `WHERE tp = ...` prunes
+  *    statically — the same I/O cut `bm25Query` gets, now available to
+  *    raw SQL. Tombstone semantics are SQL-visible the way they are in
+  *    any warehouse: `... WHERE id NOT IN (SELECT id FROM purged)`.
+  *
+  * Design: this provider does MANIFEST RESOLUTION ONLY — the pointer
+  * (or the archived pointer under `_graft_history/`) names the
+  * snapshot's concrete data dirs, and the read itself is delegated to
+  * Spark's own parquet `FileTable`. Everything downstream (vectorized
+  * reading, filter pushdown, column pruning, partition pruning, AQE)
+  * is stock Catalyst — the store formats were DESIGNED as plain
+  * hive-partitioned parquet under a pointer commit precisely so the
+  * engine's native scan path would apply unchanged. A snapshot's path
+  * set is immutable (append-only slices, copy-on-write generations),
+  * so a table handed out here stays consistent regardless of
+  * concurrent folds — the Generations commit discipline, surfaced as
+  * SQL. Fail-closed like the library faces: a vacuumed window or a
+  * GC'd generation errors at resolution, never a silent partial read.
+  */
+class GraftTables extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  // schema comes from the resolved parquet footers, never from the user
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    resolve(options).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    resolve(new CaseInsensitiveStringMap(properties))
+
+  private def resolve(options: CaseInsensitiveStringMap): ParquetTable = {
+    val spark = SparkSession.active
+    val dir = Option(options.get("path")).getOrElse(
+      sys.error("format(\"graft\") requires option(\"path\", <store dir>)"))
+    val commit = Option(options.get("commit")).map(_.toLong)
+    val table = Option(options.get("table")).getOrElse("merge")
+    val (paths, extra) = table match {
+      case "merge" =>
+        (graft.cdc.Apply.snapshotBucketDirs(spark, dir, commit),
+          Map("mergeSchema" -> "true"))
+      case "ledger.labels" =>
+        (Seq(graft.dedup.LedgerStore.labelsDir(spark, dir, commit)),
+          Map.empty[String, String])
+      case s if s.startsWith("postings.") =>
+        val sub = s.stripPrefix("postings.")
+        val (dirs, base) =
+          graft.text.PostingsStore.sliceDirs(spark, dir, sub, commit)
+        require(dirs.nonEmpty,
+          s"$dir/$sub holds no live slices at " +
+            s"snapshot ${commit.getOrElse("current")}")
+        (dirs, Map("basePath" -> base))
+      case other => sys.error(
+        s"unknown graft table '$other' (supported: merge, ledger.labels, " +
+          "postings.postings, postings.doclen, postings.purged)")
+    }
+    val name = s"graft:$table@${commit.getOrElse("current")}:$dir"
+    ParquetTable(name, spark,
+      new CaseInsensitiveStringMap((options.asScala ++ extra).asJava),
+      paths, None, classOf[ParquetFileFormat])
+  }
+}

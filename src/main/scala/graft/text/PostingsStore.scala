@@ -67,8 +67,7 @@ object PostingsStore {
       Meta(f, b.toLong, nd.toLong, tt.toLong, px.toInt, sb.toLong,
         sl.toLong, c.toLong)
     case other => sys.error(
-      s"unparseable postings manifest at $dir: '${other.take(120)}' " +
-        "(refusing to guess — the pointer is the commit)")
+      Generations.unparseableMsg(s"$dir (postings manifest)", other, Format))
   }
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
@@ -117,6 +116,21 @@ object PostingsStore {
   def meta(spark: SparkSession, dir: String): Option[Meta] =
     readMeta(spark, dir)
 
+  /** ADVICE r11: a ledgered batch the tombstone screen (or the batch
+    * itself) left EMPTY must still record its batch id — returning
+    * without a commit leaves the batch unledgered, so after a
+    * compact+vacuum drops the tombstones, a streaming replay of that
+    * batch (restart before the checkpoint committed) would re-fold and
+    * resurrect the purged docs. A no-op pointer bump (batch advanced,
+    * data untouched) keeps the replay guard `batchId <= m.batch`
+    * suppressing the re-fold. */
+  private def recordEmptyBatch(spark: SparkSession, dir: String,
+      prev: Option[Meta], batchId: Long): Unit =
+    prev.foreach { m =>
+      if (batchId >= 0 && batchId > m.batch)
+        commitMeta(spark, dir, m.copy(batch = batchId, commit = m.commit + 1))
+    }
+
   /** Fold one batch of NEW documents (id, text) into the store: delta
     * tokenization only, one appended slice per table, corpus stats and
     * batch ledger in the same atomic commit. Returns the slice id, None
@@ -130,7 +144,7 @@ object PostingsStore {
     // id mid-write; cross-process remains single-writer by contract)
     graft.util.Maintenance.withWriteLock("PostingsStore", spark, dir) {
     val docs = batch.select(id.as("id"), text.as("text"))
-    if (docs.isEmpty) return None
+    if (docs.isEmpty) { recordEmptyBatch(spark, dir, readMeta(spark, dir), batchId); return None }
     val prev = readMeta(spark, dir)
     prev match {
       case Some(m) if batchId >= 0 && batchId <= m.batch => return None
@@ -149,7 +163,7 @@ object PostingsStore {
     // delete-then-reingest flow is: purge → compact → vacuum → re-fold.
     val screened = prev.fold(docs)(m0 =>
       docs.join(livePurged(spark, dir, m0), Seq("id"), "left_anti"))
-    if (prev.isDefined && screened.isEmpty) return None
+    if (prev.isDefined && screened.isEmpty) { recordEmptyBatch(spark, dir, prev, batchId); return None }
     val toks = screened.select(col("id"),
       explode(TextFunctions.tokens(col("text"))).as("term"))
     val sliceId = m.slices
@@ -281,12 +295,12 @@ object PostingsStore {
 
   /** Committed snapshot ids available for [[bm25QueryAt]], ascending. */
   def commits(spark: SparkSession, dir: String): Seq[Long] =
-    Generations.listCommits(spark, dir)
+    Generations.listCommits(spark, dir, MetaName)
 
   /** The archived manifest of snapshot `commit`. */
   def metaAt(spark: SparkSession, dir: String, commit: Long): Meta =
     parseMeta(s"$dir@$commit",
-      Generations.readPointerAt(spark, dir, commit).getOrElse(sys.error(
+      Generations.readPointerAt(spark, dir, MetaName, commit).getOrElse(sys.error(
         s"$dir has no committed snapshot $commit " +
           s"(available: ${commits(spark, dir).mkString(", ")})")))
 
@@ -339,5 +353,46 @@ object PostingsStore {
           .as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(topK)
+  }
+
+  /** The committed snapshot id produced by LEDGERED batch `batchId` —
+    * the pin a cross-store set manifest records (ADVICE r11: the
+    * store's CURRENT commit can be later than the batch's fold commit
+    * when a compact/purge ran since — pinning current would claim "as
+    * of batch B" while naming a post-maintenance state). −1 when the
+    * store has no committed state at all (an empty seed batch). */
+  def commitForBatch(spark: SparkSession, dir: String,
+      batchId: Long): Long =
+    if (readMeta(spark, dir).isEmpty) -1L
+    else Generations.foldCommitForBatch(spark, dir, MetaName, batchId)
+
+  /** The live slice data dirs of table `sub` ("postings" | "doclen" |
+    * "purged") for a committed snapshot (commit = None → current),
+    * plus the base path that keeps `slice`/`tp` as partition columns —
+    * public for the DataSource V2 catalog face
+    * ([[graft.sources.GraftTables]]): explicit slice paths make the
+    * snapshot window a STATIC property of the table (no slice filter
+    * to push), and the hive layout keeps `tp` prunable by Catalyst.
+    * Fail-closed via [[Generations.requireSlicesReadable]]. May return
+    * no dirs for "purged" (no purge ever ran). */
+  def sliceDirs(spark: SparkSession, dir: String, sub: String,
+      commit: Option[Long]): (Seq[String], String) = {
+    require(Set("postings", "doclen", "purged")(sub),
+      s"unknown postings-store table '$sub'")
+    val m = commit.map(metaAt(spark, dir, _)).orElse(readMeta(spark, dir))
+      .getOrElse(sys.error(s"no committed postings store at $dir"))
+    // every live slice id was written by exactly ONE op, so a given sub
+    // holds a SUBSET of the window's ids (a purge slice has only
+    // `purged/`, a fold slice only `postings/`+`doclen/`) — readability
+    // checks across all three, the per-sub path set keeps what exists
+    Generations.requireSlicesReadable(spark, dir,
+      Seq("postings", "doclen", "purged"), m.sliceBase, m.slices,
+      s"snapshot ${commit.getOrElse("current")}")
+    val hc = graft.util.Hfs.conf(spark)
+    val dirs = (m.sliceBase until m.slices)
+      .map(s => s"$dir/$sub/slice=$s")
+      .filter(p => graft.util.Hfs.exists(
+        new org.apache.hadoop.fs.Path(p), hc))
+    (dirs, s"$dir/$sub")
   }
 }

@@ -103,13 +103,12 @@ object TextQueries {
     graft.util.PipelineLedger.Store("ledger",
       (df, bid) => { graft.dedup.LedgerStore.maintainBatch(df,
         col("doc_id"), col("text"), s"$dir/ledger", batchId = bid); () },
-      s => graft.dedup.LedgerStore.meta(s, s"$dir/ledger")
-        .map(_.commit).getOrElse(-1L)),
+      (s, bid) => graft.dedup.LedgerStore.commitForBatch(
+        s, s"$dir/ledger", bid)),
     graft.util.PipelineLedger.Store("postings",
       (df, bid) => { PostingsStore.maintainBatch(df, col("doc_id"),
         col("text"), s"$dir/postings", batchId = bid); () },
-      s => PostingsStore.meta(s, s"$dir/postings")
-        .map(_.commit).getOrElse(-1L)))
+      (s, bid) => PostingsStore.commitForBatch(s, s"$dir/postings", bid)))
 
   private[graft] def pipelineDir(s: SparkSession, d: String): String =
     Maintenance.getOrBuild("pipelineSeed", s, d) {
@@ -869,7 +868,19 @@ object TextQueries {
     * drift onto different pair sets. */
   /** The q75/q130/q248 pair CTEs parameterized by a corpus predicate —
     * "TRUE" is the full-corpus form; q264 restricts to the seed slice
-    * (the snapshot-read oracle recomputes over the corpus AS IT WAS). */
+    * (the snapshot-read oracle recomputes over the corpus AS IT WAS).
+    *
+    * Round 12: the all-pairs `sh a JOIN sh b ON a.doc_id < b.doc_id`
+    * with per-pair LIST_INTERSECT took ~9 s per EVALUATION at sf0.01 in
+    * DuckDB — and `pairs` is referenced more than once downstream (the
+    * `edges` UNION), so DuckDB re-ran it; the ~15 oracles sharing this
+    * block dominated the driver's gate wall clock (~29 s each, VERDICT
+    * r11 #1). Rewritten as an EXACT inverted-index equivalence: explode
+    * the (already-distinct) shingle lists, equi-join on the shingle to
+    * count intersections (pairs sharing zero shingles have jaccard 0 <
+    * 0.5 — dropping them is lossless), |a ∪ b| = |a| + |b| − |a ∩ b|.
+    * Same integers, same double division, bit-identical jaccard —
+    * A/B-verified identical pair sets and values; 0.14 s vs 8.96 s. */
   private def minhashPairsCtesWhere(pred: String): String =
     s"""sh AS (
       |  SELECT doc_id, LIST_DISTINCT([
@@ -878,13 +889,20 @@ object TextQueries {
       |  FROM (SELECT doc_id,
       |      STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks
       |    FROM documents WHERE $pred)),
+      |shn AS (SELECT doc_id, LEN(sh) AS n FROM sh),
+      |shtok AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+      |shcand AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |  FROM shtok a JOIN shtok b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
       |pairs AS (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      |    CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
-      |      / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) AS jaccard
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |  WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
-      |      / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.5)""".stripMargin
+      |  SELECT a_id, b_id,
+      |    CAST(c.inter AS DOUBLE)
+      |      / CAST(na.n + nb.n - c.inter AS DOUBLE) AS jaccard
+      |  FROM shcand c JOIN shn na ON na.doc_id = c.a_id
+      |       JOIN shn nb ON nb.doc_id = c.b_id
+      |  WHERE CAST(c.inter AS DOUBLE)
+      |      / CAST(na.n + nb.n - c.inter AS DOUBLE) >= 0.5)""".stripMargin
 
   private val minhashPairsCtes: String = minhashPairsCtesWhere("TRUE")
 
@@ -1200,6 +1218,9 @@ object TextQueries {
     // prefixes), so the exhaustive recomputation is the exact answer the
     // operator must reproduce. The LEN >= 1 guards mirror Spark dropping
     // docs shorter than the shingle width.
+    // Round 12: same exact inverted-index equivalence as the shared
+    // pair CTEs — a surviving pair shares >= 1 shingle, so the LEN >= 1
+    // guards and the zero-overlap pairs are dropped losslessly.
     "q128_prefix_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, LIST_DISTINCT([
@@ -1207,14 +1228,20 @@ object TextQueries {
         |      FOR i IN RANGE(1, GREATEST(LEN(toks) - 1, 1))]) AS sh
         |  FROM (SELECT doc_id,
         |      STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
-        |    FROM documents))
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
-        |    / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE LEN(a.sh) >= 1 AND LEN(b.sh) >= 1
-        |  AND CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
-        |    / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.5
+        |    FROM documents)),
+        |shn AS (SELECT doc_id, LEN(sh) AS n FROM sh),
+        |shtok AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+        |shcand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM shtok a JOIN shtok b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |  CAST(c.inter AS DOUBLE)
+        |    / CAST(na.n + nb.n - c.inter AS DOUBLE) AS jaccard
+        |FROM shcand c JOIN shn na ON na.doc_id = c.a_id
+        |     JOIN shn nb ON nb.doc_id = c.b_id
+        |WHERE CAST(c.inter AS DOUBLE)
+        |    / CAST(na.n + nb.n - c.inter AS DOUBLE) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
 
     // All-pairs string-shingle Jaccard: the LSH candidate stage only

@@ -31,6 +31,17 @@ object Generations {
 
   private val HistoryDir = "_graft_history"
   private val HistoryRe = "commit-([0-9]+)\\.json".r
+  private val CommitFieldRe = """"commit": (-?[0-9]+)""".r
+  private val BatchFieldRe = """"batch": (-?[0-9]+)""".r
+
+  /** The `"commit"` field of the CURRENT pointer body — the committed-
+    * snapshot upper bound every history read validates against. All
+    * store manifests (v4 dedup / v3 sem / v3 ivf / v3 ivfpq / v2
+    * postings / v3 graph / v1 pipeline / the merge table) carry it. */
+  def currentCommitId(spark: SparkSession, dir: String,
+      metaName: String): Option[Long] =
+    readPointer(spark, dir, metaName).flatMap(b =>
+      CommitFieldRe.findFirstMatchIn(b).map(_.group(1).toLong))
 
   /** The commit WITH a time-travel archive (the [[graft.cdc.Apply]]
     * history protocol, shared by the slice stores since round 11): the
@@ -53,18 +64,89 @@ object Generations {
     Hfs.writeStringAtomic(new HPath(new HPath(dir), metaName), body, hc)
   }
 
-  /** Committed snapshot ids available for time travel, ascending. */
-  def listCommits(spark: SparkSession, dir: String): Seq[Long] =
+  /** Every `commit-N.json` under the history dir, ascending — including
+    * a possible orphan beyond the current pointer (a crash between the
+    * history write and the pointer flip). Internal: committed-only
+    * views go through [[listCommits]]. */
+  private def listArchived(spark: SparkSession, dir: String): Seq[Long] =
     Hfs.list(new HPath(s"$dir/$HistoryDir"), Hfs.conf(spark))
       .toSeq.map(_.getPath.getName)
       .collect { case HistoryRe(id) => id.toLong }.sorted
 
-  /** The archived pointer body of snapshot `commitId`, if archived. */
-  def readPointerAt(spark: SparkSession, dir: String,
+  /** Committed snapshot ids available for time travel, ascending.
+    *
+    * Round-12 fix (ADVICE r11): [[commitArchived]] writes the history
+    * entry BEFORE the pointer flip, so a crash between the two leaves
+    * an archived body describing a state that never committed; until
+    * the replay overwrites it under the same id, a raw directory
+    * listing would serve that uncommitted state as a committed
+    * snapshot. Committedness is therefore validated on read: only ids
+    * ≤ the CURRENT pointer's `"commit"` field are listed (the pointer
+    * is the commit; everything beyond it is an in-flight orphan). */
+  def listCommits(spark: SparkSession, dir: String,
+      metaName: String): Seq[Long] = {
+    val cap = currentCommitId(spark, dir, metaName).getOrElse(return Nil)
+    listArchived(spark, dir).filter(_ <= cap)
+  }
+
+  /** The archived pointer body of snapshot `commitId`, if COMMITTED —
+    * ids beyond the current pointer's commit are in-flight orphans
+    * (see [[listCommits]]) and read as absent. */
+  def readPointerAt(spark: SparkSession, dir: String, metaName: String,
       commitId: Long): Option[String] = {
+    val cap = currentCommitId(spark, dir, metaName).getOrElse(return None)
+    if (commitId > cap) return None
     val p = new HPath(s"$dir/$HistoryDir/commit-$commitId.json")
     val hc = Hfs.conf(spark)
     if (Hfs.exists(p, hc)) Some(Hfs.readString(p, hc).trim) else None
+  }
+
+  /** The commit id produced by the FOLD of ledgered batch `batchId` —
+    * the snapshot a cross-store set manifest must pin (ADVICE r11: on a
+    * crash replay, a store-level compact/purge may have run between the
+    * original fold and the replay, so the store's CURRENT commit can be
+    * later than the batch's fold commit; pinning current would claim
+    * "as of batch B" while naming a post-maintenance state). The fold
+    * commit is the FIRST committed snapshot whose `"batch"` equals
+    * `batchId` (every ledgered fold commits, including screened-empty
+    * no-op bumps; a miss means the store never folded this batch).
+    * History bodies are a few hundred bytes; the ascending scan exits
+    * at the first match, which for the common non-replay case is at or
+    * next to the current pointer. */
+  def foldCommitForBatch(spark: SparkSession, dir: String,
+      metaName: String, batchId: Long): Long = {
+    val commits = listCommits(spark, dir, metaName)
+    require(commits.nonEmpty, s"$dir has no committed snapshots")
+    def batchOf(c: Long): Long = {
+      val body = readPointerAt(spark, dir, metaName, c).getOrElse(
+        sys.error(s"$dir history entry commit-$c.json vanished mid-read"))
+      BatchFieldRe.findFirstMatchIn(body).map(_.group(1).toLong).getOrElse(
+        sys.error(s"$dir commit-$c.json carries no batch field: $body"))
+    }
+    commits.find(batchOf(_) == batchId).getOrElse(sys.error(
+      s"$dir has no commit for batch $batchId " +
+        s"(committed: ${commits.mkString(", ")}) — the store never " +
+        "folded this batch under a ledgered id"))
+  }
+
+  /** Diagnose an unparseable manifest body: a present-but-different
+    * `"format"` field is a VERSION MISMATCH (a store written by another
+    * build of this library), not corruption — say so (ADVICE r11: the
+    * v3→v4 format bumps made old stores fail with a corruption-shaped
+    * "unparseable" error). */
+  def unparseableMsg(where: String, body: String,
+      expected: String): String = {
+    val FormatRe = """"format": "([^"]+)"""".r
+    FormatRe.findFirstMatchIn(body).map(_.group(1)) match {
+      case Some(f) if f != expected =>
+        s"manifest version mismatch at $where: store holds format '$f', " +
+          s"this build expects '$expected' — rebuild the store (or read " +
+          "it with the build that wrote it); refusing to guess at a " +
+          "migration"
+      case _ =>
+        s"unparseable manifest at $where: '${body.take(120)}' " +
+          "(refusing to guess — the pointer is the commit)"
+    }
   }
 
   private val VacuumIntentName = "_graft_vacuum_intent.json"
@@ -169,8 +251,18 @@ object Generations {
           st.getPath))
         .filter(_._1 < cutoff)
     }
-    if (doomed.isEmpty) return 0
     val intent = new HPath(s"$dir/$VacuumIntentName")
+    if (doomed.isEmpty) {
+      // ADVICE r11 (medium): a vacuum that crashed AFTER deleting every
+      // doomed dir but BEFORE clearing its intent marker leaves the
+      // marker with nothing left to sweep — the old early return never
+      // cleared it, so requireSlicesReadable failed every pre-cutoff
+      // snapshot forever while promising "re-run vacuumSlices to
+      // finish", which was a no-op. An empty doomed set means the sweep
+      // is trivially complete: clear any stale marker before returning.
+      if (Hfs.exists(intent, hc)) Hfs.delete(intent, hc)
+      return 0
+    }
     Hfs.writeStringAtomic(intent, s"""{"cutoff": $cutoff}""", hc)
     val n = doomed.sortBy(_._1).map { case (_, p) =>
       Hfs.delete(p, hc); 1

@@ -55,11 +55,16 @@ object PipelineLedger {
 
   /** One maintained substrate in the set: `fold` must be the store's
     * replay-safe maintainBatch (keyed by the SHARED batch id — the
-    * store's own ledger makes crash replays no-ops), `currentCommit`
-    * its committed snapshot id (the value [[refreshAll]] pins). */
+    * store's own ledger makes crash replays no-ops), `pinCommit` the
+    * store's `commitForBatch` — the snapshot id its fold of THAT batch
+    * produced (ADVICE r11: reading the store's current commit after
+    * the fold pinned a post-maintenance state on crash replays where a
+    * store-level compact/purge ran between the original fold and the
+    * replay — the set manifest then claimed "as of batch B" while
+    * naming a later commit for some stores). */
   final case class Store(name: String,
       fold: (DataFrame, Long) => Unit,
-      currentCommit: SparkSession => Long)
+      pinCommit: (SparkSession, Long) => Long)
 
   final case class Meta(format: String, batch: Long, commit: Long,
       stores: Map[String, Long])
@@ -124,7 +129,10 @@ object PipelineLedger {
     // fold the set; each store's own batch ledger absorbs partial-crash
     // replays, so this sequence is idempotent under the shared batch id
     stores.foreach(_.fold(batch, batchId))
-    val pins = stores.map(s => s.name -> s.currentCommit(spark)).toMap
+    // pin each store's BATCH-EXACT fold commit, not its current commit
+    // (identical in the normal path; differs only on a crash replay
+    // that interleaved store-level maintenance — ADVICE r11)
+    val pins = stores.map(s => s.name -> s.pinCommit(spark, batchId)).toMap
     val commit = prev.map(_.commit + 1).getOrElse(0L)
     Generations.commitArchived(spark, dir, MetaName,
       body(Meta(Format, batchId, commit, pins)), commit)
@@ -141,12 +149,12 @@ object PipelineLedger {
 
   /** Committed set snapshot ids, ascending (set-level time travel). */
   def commits(spark: SparkSession, dir: String): Seq[Long] =
-    Generations.listCommits(spark, dir)
+    Generations.listCommits(spark, dir, MetaName)
 
   /** The archived set manifest of snapshot `commit`. */
   def readSetAt(spark: SparkSession, dir: String, commit: Long): Meta =
     parseMeta(s"$dir@$commit",
-      Generations.readPointerAt(spark, dir, commit).getOrElse(sys.error(
+      Generations.readPointerAt(spark, dir, MetaName, commit).getOrElse(sys.error(
         s"$dir has no committed set snapshot $commit " +
           s"(available: ${commits(spark, dir).mkString(", ")})")))
 

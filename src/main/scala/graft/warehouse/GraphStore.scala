@@ -59,8 +59,7 @@ object GraphStore {
     case MetaRe(f, b, px, sb, sl, c) =>
       Meta(f, b.toLong, px.toInt, sb.toLong, sl.toLong, c.toLong)
     case other => sys.error(
-      s"unparseable graph manifest at $dir: '${other.take(120)}' " +
-        "(refusing to guess — the pointer is the commit)")
+      Generations.unparseableMsg(s"$dir (graph manifest)", other, Format))
   }
 
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
@@ -128,6 +127,21 @@ object GraphStore {
   def meta(spark: SparkSession, dir: String): Option[Meta] =
     readMeta(spark, dir)
 
+  /** ADVICE r11: a ledgered batch the tombstone screen (or the batch
+    * itself) left EMPTY must still record its batch id — returning
+    * without a commit leaves the batch unledgered, so after a
+    * compact+vacuum drops the tombstones, a streaming replay of that
+    * batch (restart before the checkpoint committed) would re-fold and
+    * resurrect the purged docs. A no-op pointer bump (batch advanced,
+    * data untouched) keeps the replay guard `batchId <= m.batch`
+    * suppressing the re-fold. */
+  private def recordEmptyBatch(spark: SparkSession, dir: String,
+      prev: Option[Meta], batchId: Long): Unit =
+    prev.foreach { m =>
+      if (batchId >= 0 && batchId > m.batch)
+        commitMeta(spark, dir, m.copy(batch = batchId, commit = m.commit + 1))
+    }
+
   /** Fold one batch of NEW basket lines (ord, item) into the store:
     * Δ-pair expansion against the live items, two appended slices, one
     * atomic commit. Empty batches and crash replays are no-ops. */
@@ -139,7 +153,7 @@ object GraphStore {
     // (round-11 verdict #5); cross-process stays single-writer
     graft.util.Maintenance.withWriteLock("GraphStore", spark, dir) {
     val items = batch.select(ord.as("ord"), item.as("item"))
-    if (items.isEmpty) return None
+    if (items.isEmpty) { recordEmptyBatch(spark, dir, readMeta(spark, dir), batchId); return None }
     val prev = readMeta(spark, dir)
     prev match {
       case Some(m) if batchId >= 0 && batchId <= m.batch => return None
@@ -157,7 +171,7 @@ object GraphStore {
     // merged counts would disagree with the live lines.
     val screened = prev.fold(items)(m0 =>
       items.join(livePurgedOrds(spark, dir, m0), Seq("ord"), "left_anti"))
-    if (prev.isDefined && screened.isEmpty) return None
+    if (prev.isDefined && screened.isEmpty) { recordEmptyBatch(spark, dir, prev, batchId); return None }
     val baseItems =
       if (m.slices == m.sliceBase)
         items.limit(0) // seed: no live items yet
@@ -211,12 +225,12 @@ object GraphStore {
 
   /** Committed snapshot ids available for [[loadAt]], ascending. */
   def commits(spark: SparkSession, dir: String): Seq[Long] =
-    Generations.listCommits(spark, dir)
+    Generations.listCommits(spark, dir, MetaName)
 
   /** The archived manifest of snapshot `commit`. */
   def metaAt(spark: SparkSession, dir: String, commit: Long): Meta =
     parseMeta(s"$dir@$commit",
-      Generations.readPointerAt(spark, dir, commit).getOrElse(sys.error(
+      Generations.readPointerAt(spark, dir, MetaName, commit).getOrElse(sys.error(
         s"$dir has no committed snapshot $commit " +
           s"(available: ${commits(spark, dir).mkString(", ")})")))
 
@@ -309,4 +323,15 @@ object GraphStore {
     Some(sliceId)
     }
   }
+
+  /** The committed snapshot id produced by LEDGERED batch `batchId` —
+    * the pin a cross-store set manifest records (ADVICE r11: the
+    * store's CURRENT commit can be later than the batch's fold commit
+    * when a compact/purge ran since — pinning current would claim "as
+    * of batch B" while naming a post-maintenance state). −1 when the
+    * store has no committed state at all (an empty seed batch). */
+  def commitForBatch(spark: SparkSession, dir: String,
+      batchId: Long): Long =
+    if (readMeta(spark, dir).isEmpty) -1L
+    else Generations.foldCommitForBatch(spark, dir, MetaName, batchId)
 }

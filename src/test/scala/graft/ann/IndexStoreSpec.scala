@@ -70,7 +70,8 @@ class IndexStoreSpec extends AnyFunSuite {
     Files.writeString(java.nio.file.Paths.get(garbled, "_graft_index_meta.json"),
       """{"whatever": 1}""")
     val e = intercept[RuntimeException](IndexStore.loadIvf(spark, garbled))
-    assert(e.getMessage.contains("unparseable index manifest"))
+    assert(e.getMessage.contains("unparseable manifest") &&
+      e.getMessage.contains("index manifest"))
   }
 
   test("persisted IVF-PQ: round trip preserves ADC ranking bit-for-bit; " +

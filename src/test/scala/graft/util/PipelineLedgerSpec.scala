@@ -42,13 +42,12 @@ class PipelineLedgerSpec extends AnyFunSuite {
     PipelineLedger.Store("ledger",
       (df, bid) => { LedgerStore.maintainBatch(df, col("doc_id"),
         col("text"), s"$pipeDir/ledger", batchId = bid); () },
-      s => LedgerStore.meta(s, s"$pipeDir/ledger").map(_.commit)
-        .getOrElse(-1L)),
+      (s, bid) => LedgerStore.commitForBatch(s, s"$pipeDir/ledger", bid)),
     PipelineLedger.Store("postings",
       (df, bid) => { PostingsStore.maintainBatch(df, col("doc_id"),
         col("text"), s"$pipeDir/postings", batchId = bid); () },
-      s => PostingsStore.meta(s, s"$pipeDir/postings").map(_.commit)
-        .getOrElse(-1L)),
+      (s, bid) => PostingsStore.commitForBatch(
+        s, s"$pipeDir/postings", bid)),
     PipelineLedger.Store("graph",
       (df, bid) => { GraphStore.maintainBatch(
         df.select(col("doc_id").as("ord"),
@@ -57,8 +56,7 @@ class PipelineLedgerSpec extends AnyFunSuite {
           .select(col("ord"), xxhash64(col("tok")).as("item"))
           .distinct(),
         col("ord"), col("item"), s"$pipeDir/graph", batchId = bid); () },
-      s => GraphStore.meta(s, s"$pipeDir/graph").map(_.commit)
-        .getOrElse(-1L)))
+      (s, bid) => GraphStore.commitForBatch(s, s"$pipeDir/graph", bid)))
 
   private def docTokenLines(df: org.apache.spark.sql.DataFrame): Long =
     df.select(col("doc_id"),
@@ -162,5 +160,37 @@ class PipelineLedgerSpec extends AnyFunSuite {
       assert(LedgerStore.loadAt(spark, s"$dir/ledger",
         s1.stores("ledger"))._1.count() == docs.count())
     } finally q.stop()
+  }
+  test("ADVICE r11: a crash replay that interleaved store maintenance " +
+      "pins the BATCH's fold commit, not the post-maintenance commit") {
+    val dir = Files.createTempDirectory("pinpipe").toString
+    val ss = stores(dir)
+    def slice(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+    assert(PipelineLedger.refreshAll(spark, dir, slice(0, 300), 0L, ss)
+      .contains(0L))
+    // crash simulation for batch 1: postings folds, then the process
+    // dies before the other folds / the set commit
+    PostingsStore.maintainBatch(slice(300, 450), col("doc_id"),
+      col("text"), s"$dir/postings", batchId = 1L)
+    val foldCommit = PostingsStore.meta(spark, s"$dir/postings").get.commit
+    // crash recovery is mid-batch: a store-level compact runs BEFORE
+    // the replay (the docs only require maintenance "between batches",
+    // which a crash window violates by construction)
+    assert(PostingsStore.compact(spark, s"$dir/postings").nonEmpty)
+    val postCompact = PostingsStore.meta(spark, s"$dir/postings").get.commit
+    assert(postCompact == foldCommit + 1)
+    // the replay folds the other stores, skips postings, and commits
+    // the set — pinning postings' BATCH-1 fold commit, not the moved
+    // post-compact pointer (the old code pinned currentCommit here)
+    assert(PipelineLedger.refreshAll(spark, dir, slice(300, 450), 1L, ss)
+      .contains(1L))
+    val set1 = PipelineLedger.readSet(spark, dir)
+    assert(set1.stores("postings") == foldCommit,
+      s"set must pin the fold commit $foldCommit, " +
+        s"not the post-compact $postCompact")
+    // and the pinned snapshot resolves to exactly the batch-1 corpus
+    assert(top(PostingsStore.bm25QueryAt(spark, s"$dir/postings",
+      set1.stores("postings"), terms, 10)) == bm25Full(slice(0, 450)))
   }
 }

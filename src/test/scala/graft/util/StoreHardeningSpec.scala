@@ -101,7 +101,13 @@ class StoreHardeningSpec extends AnyFunSuite {
     assert(PostingsStore.maintainBatch(
       docs.filter(col("doc_id") === victim), col("doc_id"), col("text"),
       dir, batchId = 1L).isEmpty)
-    assert(PostingsStore.meta(spark, dir).get == mPurged)
+    // ADVICE r11: the screened-empty LEDGERED batch still records its
+    // batch id via a no-op pointer bump (data and stats untouched) —
+    // without it, a compact+vacuum that drops the tombstone followed by
+    // a streaming replay of batch 1 would re-fold and resurrect the
+    // purged doc (the replay guard needs batch >= 1 in the manifest)
+    assert(PostingsStore.meta(spark, dir).get ==
+      mPurged.copy(batch = 1L, commit = mPurged.commit + 1))
     // a MIXED batch folds only its non-purged docs
     PostingsStore.maintainBatch(slice(300, 400)
         .unionByName(docs.filter(col("doc_id") === victim)),
@@ -225,5 +231,124 @@ class StoreHardeningSpec extends AnyFunSuite {
     assert(compacted.count() == 8 && compacted.columns.contains("region"))
     val ids = compacted.collect().map(_.getAs[String]("id")).toSet
     assert(!ids("k1") && !ids("k9") && ids("k2") && ids("k10"))
+  }
+  // ---- round-12 hardening (ADVICE r11) ----
+
+  test("postings: end-to-end replay-resurrection guard — purge, " +
+      "screened-empty ledgered batch, compact+vacuum, then a replay of " +
+      "that batch stays a no-op (the purged doc never resurrects)") {
+    val dir = Files.createTempDirectory("resurrect").toString
+    def slice(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+    PostingsStore.maintainBatch(slice(0, 300), col("doc_id"), col("text"),
+      dir, batchId = 0L)
+    val victim = storeTop(dir).head._1
+    PostingsStore.purgeDocs(spark, dir, Seq(victim).toDF("doc_id"))
+    // ledgered batch 1 contains ONLY the purged doc → screened empty
+    assert(PostingsStore.maintainBatch(
+      docs.filter(col("doc_id") === victim), col("doc_id"), col("text"),
+      dir, batchId = 1L).isEmpty)
+    // maintenance physically retires the tombstone
+    PostingsStore.compact(spark, dir)
+    PostingsStore.vacuumSlices(spark, dir)
+    // streaming restart replays batch 1 (checkpoint hadn't committed):
+    // before the round-12 fix the batch was never ledgered, so this
+    // re-folded and RESURRECTED the purged doc
+    assert(PostingsStore.maintainBatch(
+      docs.filter(col("doc_id") === victim), col("doc_id"), col("text"),
+      dir, batchId = 1L).isEmpty,
+      "the replayed batch id must be suppressed by the no-op bump ledger")
+    val remaining = slice(0, 300).filter(col("doc_id") =!= victim)
+    assert(storeTop(dir) == fullTop(remaining))
+    assert(PostingsStore.meta(spark, dir).get.nDocs == remaining.count())
+  }
+
+  test("vacuum intent: a sweep that crashed after deleting everything " +
+      "but before clearing its marker is finished by a re-run that " +
+      "finds nothing to delete") {
+    val dir = Files.createTempDirectory("staleintent").toString
+    def slice(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+    PostingsStore.maintainBatch(slice(0, 200), col("doc_id"), col("text"),
+      dir, batchId = 0L)
+    PostingsStore.maintainBatch(slice(200, 400), col("doc_id"), col("text"),
+      dir, batchId = 1L)
+    PostingsStore.compact(spark, dir)
+    assert(PostingsStore.vacuumSlices(spark, dir) > 0)
+    // simulate the crash window: the sweep completed but the marker
+    // survived (write it back exactly as gcSlices would have)
+    val base = PostingsStore.meta(spark, dir).get.sliceBase
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_graft_vacuum_intent.json"),
+      s"""{"cutoff": $base}""")
+    // the LIVE window (sliceBase >= cutoff) still reads fine
+    assert(storeTop(dir) == fullTop(slice(0, 400)))
+    // the promised recovery: re-running the vacuum finds nothing doomed
+    // — before the round-12 fix it returned 0 WITHOUT clearing the
+    // marker, leaving every pre-cutoff snapshot failing forever
+    assert(PostingsStore.vacuumSlices(spark, dir) == 0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_graft_vacuum_intent.json")),
+      "a no-op re-run must clear the stale intent marker")
+    assert(storeTop(dir) == fullTop(slice(0, 400)))
+  }
+
+  test("history committedness: an orphan history entry beyond the " +
+      "current pointer (crash between archive write and pointer flip) " +
+      "is neither listed nor readable as a snapshot") {
+    val dir = Files.createTempDirectory("orphanhist").toString
+    PostingsStore.maintainBatch(
+      docs.filter(col("doc_id") <= 300), col("doc_id"), col("text"),
+      dir, batchId = 0L)
+    assert(PostingsStore.commits(spark, dir) == Seq(0L))
+    // forge the crash artifact: an archived body that never committed
+    val cur = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_graft_postings_meta.json"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_graft_history", "commit-7.json"),
+      cur.replace("\"commit\": 0", "\"commit\": 7"))
+    assert(PostingsStore.commits(spark, dir) == Seq(0L),
+      "an uncommitted orphan must not be listed as a snapshot")
+    val e = intercept[RuntimeException](
+      PostingsStore.bm25QueryAt(spark, dir, 7L, terms, 10))
+    assert(e.getMessage.contains("no committed snapshot"))
+  }
+
+  test("commitForBatch pins the batch's fold commit even after later " +
+      "maintenance moved the pointer; unknown batches fail loudly") {
+    val dir = Files.createTempDirectory("pinbatch").toString
+    def slice(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+    PostingsStore.maintainBatch(slice(0, 200), col("doc_id"), col("text"),
+      dir, batchId = 0L)
+    PostingsStore.maintainBatch(slice(200, 400), col("doc_id"), col("text"),
+      dir, batchId = 1L)
+    assert(PostingsStore.compact(spark, dir).nonEmpty) // commit 2
+    assert(PostingsStore.commitForBatch(spark, dir, 0L) == 0L)
+    assert(PostingsStore.commitForBatch(spark, dir, 1L) == 1L)
+    assert(PostingsStore.meta(spark, dir).get.commit == 2L)
+    val e = intercept[RuntimeException](
+      PostingsStore.commitForBatch(spark, dir, 5L))
+    assert(e.getMessage.contains("no commit for batch"))
+  }
+
+  test("a manifest from another format version reads as a VERSION " +
+      "MISMATCH, not as corruption") {
+    val dir = Files.createTempDirectory("vermismatch").toString
+    PostingsStore.maintainBatch(
+      docs.filter(col("doc_id") <= 200), col("doc_id"), col("text"),
+      dir, batchId = 0L)
+    // a v1-era manifest: same store, older format, no commit field
+    // (written through Hfs so the local-FS checksum sidecar follows)
+    Hfs.writeStringAtomic(
+      new org.apache.hadoop.fs.Path(dir, "_graft_postings_meta.json"),
+      """{"format": "graft-postings-v1", "batch": 0, "nDocs": 1, """ +
+        """"totTokens": 10, "prefixes": 64, "slices": 1}""",
+      Hfs.conf(spark))
+    val e = intercept[RuntimeException](PostingsStore.meta(spark, dir))
+    assert(e.getMessage.contains("version mismatch") &&
+      e.getMessage.contains("graft-postings-v1") &&
+      e.getMessage.contains("graft-postings-v2"),
+      s"got: ${e.getMessage}")
   }
 }

@@ -23,7 +23,7 @@ or not. Allowed output types: int64, float64, date, string, bool (and
 int32/timestamp variants never used by oracle-gated outputs are still
 rejected to keep both engines pinned).
 """
-import sys, os, json, glob
+import sys, os, json, glob, time
 from decimal import Decimal
 
 import duckdb
@@ -71,8 +71,13 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     n_pass = n_fail = n_noracle = 0
+    t_start = time.time()
+    timings = {}  # per-query oracle+compare seconds (round-12: the
+    # driver's r11 artifact came back empty, plausibly a time budget —
+    # record where the gate's wall clock actually goes)
     for res_dir in sorted(glob.glob(os.path.join(out_dir, "*/"))):
         name = os.path.basename(res_dir.rstrip("/"))
+        t_q = time.time()
         files = glob.glob(os.path.join(res_dir, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no parquet output")
@@ -108,7 +113,9 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
+            timings[name] = time.time() - t_q
             continue
+        timings[name] = time.time() - t_q
         sc, st, sr = rows_of(spark_tbl)
         dc, dt, dr = rows_of(duck_tbl)
         if sc != dc:
@@ -137,6 +144,16 @@ def main():
         else:
             print(f"PASS {name} ({len(sr)} rows)")
             n_pass += 1
+    wall = time.time() - t_start
+    top = sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    print(f"\n[gate] oracle wall {wall:.1f} s; slowest oracles:")
+    for k, v in top:
+        print(f"[gate]   {v:7.2f} s  {k}")
+    with open(os.path.join(out_dir, "oracle_timing.json"), "w") as f:
+        json.dump({"wall_s": round(wall, 1),
+                   "by_query_s": {k: round(v, 3) for k, v in
+                                  sorted(timings.items(),
+                                         key=lambda kv: -kv[1])}}, f)
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} no-oracle")
     sys.exit(1 if n_fail else 0)
 
