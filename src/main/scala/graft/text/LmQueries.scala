@@ -593,6 +593,50 @@ object LmQueries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // -- the postings substrate consumed through the DataSource V2
+    //    CATALOG FACE (round 12 — verdict #3): `format("graft")` hands
+    //    any Spark SQL reader the manifest-committed snapshot as a
+    //    stock parquet table, so per-term corpus statistics (document
+    //    frequency + collection tf) come out of plain groupBy SQL over
+    //    the stored postings — no library call in the read path. The
+    //    term filter is paired with the writer's own tp prefix-hash so
+    //    Catalyst prunes the term-prefix partitions statically (the
+    //    same I/O cut bm25Query gets; GraftTablesSpec pins the
+    //    PartitionFilters plan). No purge runs in this flow, so the
+    //    tombstone anti-join (… NOT IN (SELECT id FROM purged)) is
+    //    vacuous and omitted; its semantics are pinned by
+    //    StoreHardeningSpec. Oracle = DuckDB tokenizing the corpus
+    //    directly: the substrate's (term, id, tf) rows are exactly one
+    //    tokenization of each doc (the batch ledger folds each doc
+    //    once; slices partition the corpus), so SQL-over-the-store ≡
+    //    SQL-over-the-text.
+    "q268_dsv2_postings" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+      val dir = postingsStoreDir(s, d)
+      PostingsStore.maintainBatch(
+        docs.filter(!(col("doc_id") < cut)), col("doc_id"), col("text"),
+        dir, batchId = 1L)
+      PostingsStore.compact(s, dir)
+      val m = PostingsStore.meta(s, dir).getOrElse(
+        sys.error(s"no committed postings store at $dir"))
+      // the writer's tp expression, applied to the query terms driver-
+      // side (≤|terms| ints) — makes the term filter a STATIC partition
+      // prune instead of a full-postings scan
+      import s.implicits._
+      val tps = Bm25Terms.toDF("term")
+        .select(pmod(xxhash64(col("term")), lit(m.prefixes.toLong))
+          .cast("int")).collect().map(_.getInt(0)).distinct.toSeq
+      s.read.format("graft").option("path", dir)
+        .option("table", "postings.postings").load()
+        .filter(col("tp").isin(tps.map(Integer.valueOf): _*) &&
+          col("term").isin(Bm25Terms: _*))
+        .groupBy(col("term"))
+        .agg(countDistinct(col("id")).as("df"),
+          sum(col("tf")).as("coll_tf"))
+        .orderBy(col("term"))
+    },
+
     // -- integer-exact bigram LM affinity scoring.
     "q216_lm_bits" -> { (s, d) =>
       lmBits(Tables.documents(s, d), col("doc_id"), col("text"))
@@ -836,6 +880,16 @@ object LmQueries {
       s"""WITH ${bm25OracleCtes(SeedPredSql)}
          |SELECT doc_id, n_terms, score FROM bm
          |ORDER BY score DESC, doc_id""".stripMargin,
+
+    // SQL over the stored postings ≡ SQL over the text: each doc's
+    // (term, tf) rows appear exactly once across the slice window, so
+    // df = COUNT(DISTINCT doc) and coll_tf = SUM(tf) = occurrence count.
+    "q268_dsv2_postings" ->
+      s"""WITH t AS (SELECT doc_id, UNNEST($Tok) AS term FROM documents)
+         |SELECT term, COUNT(DISTINCT doc_id) AS df,
+         |  CAST(COUNT(*) AS BIGINT) AS coll_tf
+         |FROM t WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |GROUP BY term ORDER BY term""".stripMargin,
 
     // floor(log2 n) = LENGTH(BIN(n)) - 1 in both engines — exact.
     "q216_lm_bits" ->
