@@ -110,7 +110,7 @@ object IndexStore {
     // publish/fold/purge/compact serialize on the per-(store, dir)
     // monitor (round-11 verdict #5 — reentrant for the fold's internal
     // publish); cross-process stays single-writer by contract
-    graft.util.Maintenance.withWriteLock("IndexStore", spark, dir) {
+    graft.util.Maintenance.withLeasedWriteLock("IndexStore", spark, dir) {
     val prev = readMeta(spark, dir)
     prev.foreach(m => require(m.format == Format,
       s"$dir holds a '${m.format}' index; refusing to overwrite with $Format"))
@@ -189,6 +189,35 @@ object IndexStore {
   def commits(spark: SparkSession, dir: String): Seq[Long] =
     Generations.listCommits(spark, dir, MetaName)
 
+  /** The live slice data dirs of IVF table `sub` ("assigned" |
+    * "purged") for a committed snapshot (commit = None → current), plus
+    * the base path that keeps `slice`/`cell` as partition columns —
+    * public for the DataSource V2 catalog face
+    * ([[graft.sources.GraftTables]]): explicit slice paths pin the
+    * snapshot's live window (a crashed fold's orphan slice is outside
+    * it), and the hive layout keeps `cell` prunable by Catalyst — a
+    * probe's cell filter through raw SQL plans the same static
+    * PartitionFilters cut `searchPruned` gets. May return no dirs for
+    * "purged" (no purge ever ran). Fail-closed on a half-vacuumed
+    * window or a retention-dropped generation. */
+  def ivfDirs(spark: SparkSession, dir: String, sub: String,
+      commit: Option[Long]): (Seq[String], String) = {
+    require(Set("assigned", "purged")(sub), s"unknown ivf table '$sub'")
+    val m = commit.map(metaAt(spark, dir, _)).orElse(readMeta(spark, dir))
+      .getOrElse(sys.error(s"no committed index at $dir"))
+    require(m.format == Format, s"$dir holds '${m.format}', expected $Format")
+    Generations.requireSlicesReadable(spark, dir,
+      Seq(s"gen=${m.gen}/assigned", s"gen=${m.gen}/purged"),
+      m.sliceBase, m.slices, s"snapshot ${commit.getOrElse("current")}")
+    val hc = graft.util.Hfs.conf(spark)
+    val base = s"$dir/gen=${m.gen}/$sub"
+    val dirs = (m.sliceBase until m.slices)
+      .map(s => s"$base/slice=$s")
+      .filter(p => graft.util.Hfs.exists(
+        new org.apache.hadoop.fs.Path(p), hc))
+    (dirs, base)
+  }
+
   /** The archived manifest of snapshot `commit`. */
   def metaAt(spark: SparkSession, dir: String, commit: Long): Meta =
     parseMeta(s"$dir@$commit",
@@ -226,7 +255,7 @@ object IndexStore {
     * physical. No-op for absent ids. Returns vectors removed. */
   def purgeVectors(spark: SparkSession, dir: String,
       vecIds: DataFrame): Long = {
-    graft.util.Maintenance.withWriteLock("IndexStore", spark, dir) {
+    graft.util.Maintenance.withLeasedWriteLock("IndexStore", spark, dir) {
     val m = readMeta(spark, dir).getOrElse(
       sys.error(s"no committed index at $dir (missing $MetaName)"))
     val (idx, _) = loadIvf(spark, dir)
@@ -307,7 +336,7 @@ object IndexStore {
       dir: String, nCentroids: Int, growthFactor: Double = 2.0,
       retainGens: Int = 2, batchId: Long = -1L): Option[(Long, Boolean)] = {
     val spark = batch.sparkSession
-    graft.util.Maintenance.withWriteLock("IndexStore", spark, dir) {
+    graft.util.Maintenance.withLeasedWriteLock("IndexStore", spark, dir) {
     val vecs = batch.select(id.as("vid"), vec.as("v"))
     if (vecs.isEmpty) { recordEmptyBatch(spark, dir, readMeta(spark, dir), batchId); return None }
     readMeta(spark, dir) match {
@@ -374,7 +403,7 @@ object IndexStore {
     * fresh generation at slice 0); compact serves the long-lived
     * below-threshold index that folds forever without doubling. */
   def compactAssigned(spark: SparkSession, dir: String): Option[Long] =
-    graft.util.Maintenance.withWriteLock("IndexStore", spark, dir) {
+    graft.util.Maintenance.withLeasedWriteLock("IndexStore", spark, dir) {
     readMeta(spark, dir) match {
       case Some(m) if m.slices - m.sliceBase > 1 =>
         val merged = m.slices
@@ -470,7 +499,7 @@ object IndexStore {
     require(retainGens >= 1, s"retainGens must be >= 1, got $retainGens")
     val spark = index.codes.sparkSession
     import spark.implicits._
-    graft.util.Maintenance.withWriteLock("IndexStore", spark, dir) {
+    graft.util.Maintenance.withLeasedWriteLock("IndexStore", spark, dir) {
     val prev = readPqMeta(spark, dir)
     prev.foreach(m => require(m.format == PqFormat,
       s"$dir holds a '${m.format}' index; refusing to overwrite with $PqFormat"))
@@ -585,7 +614,7 @@ object IndexStore {
       growthFactor: Double = 2.0, retainGens: Int = 2,
       batchId: Long = -1L): Option[(Long, Boolean)] = {
     val spark = batch.sparkSession
-    graft.util.Maintenance.withWriteLock("IndexStore", spark, dir) {
+    graft.util.Maintenance.withLeasedWriteLock("IndexStore", spark, dir) {
     val vecs = batch.select(id.as("vid"), vec.as("v")).localCheckpoint(true)
     if (vecs.isEmpty) { recordEmptyPqBatch(spark, dir, readPqMeta(spark, dir), batchId); return None }
     readPqMeta(spark, dir) match {

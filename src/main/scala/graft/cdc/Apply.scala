@@ -152,6 +152,10 @@ object Apply {
         val spark = batch.sparkSession
         val hc = graft.util.Hfs.conf(spark)
         val root = new HPath(tableDir)
+        // one lease per micro-batch: meta read, fold, and pointer PUT
+        // all inside — a second process acquiring mid-batch fences this
+        // writer at writeManifest, loudly (verdict r11 #4)
+        graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
         // layout guard: refuse to merge into a table whose bucket layout
         // does not match this writer's configuration
         val rootList = graft.util.Hfs.list(root, hc)
@@ -243,6 +247,7 @@ object Apply {
           writeManifest(root, nBuckets, newGens, keep, commitId, hc, archive = true)
           gcDirs(root, drop, hc)
         }
+        } // withLeasedWriteLock
         ()
       }
       .start()
@@ -252,7 +257,8 @@ object Apply {
     * explicit entry point for reclaiming sooner (or, with the default
     * grace raised, at all). Safe only from the table's single writer or
     * while no writer is active. */
-  def vacuum(spark: SparkSession, tableDir: String, graceMs: Long = 0L): Unit = {
+  def vacuum(spark: SparkSession, tableDir: String, graceMs: Long = 0L): Unit =
+    graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
     val hc = graft.util.Hfs.conf(spark)
     val root = new HPath(tableDir)
     readMeta(root, hc).foreach { m =>
@@ -281,7 +287,8 @@ object Apply {
     * their dirs. Same single-writer caveat as [[vacuum]]: run from the
     * table's writer or while no writer is active. */
   def compact(spark: SparkSession, tableDir: String,
-      gcGraceMs: Long = DefaultGcGraceMs): Unit = {
+      gcGraceMs: Long = DefaultGcGraceMs): Unit =
+    graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
     import org.apache.spark.sql.functions._
     val hc = graft.util.Hfs.conf(spark)
     val root = new HPath(tableDir)
@@ -338,7 +345,8 @@ object Apply {
     * the purged generations then fail loudly on [[restore]] (the
     * fail-closed contract) instead of resurrecting purged data. */
   def purgeKeys(spark: SparkSession, tableDir: String, keys: DataFrame,
-      keyCol: String, gcGraceMs: Long = DefaultGcGraceMs): Long = {
+      keyCol: String, gcGraceMs: Long = DefaultGcGraceMs): Long =
+    graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
     import org.apache.spark.sql.functions._
     val hc = graft.util.Hfs.conf(spark)
     val root = new HPath(tableDir)
@@ -406,7 +414,8 @@ object Apply {
     * recomputation, so a pending deferred-GC no longer touches them.
     * Fails loudly if any restored generation dir was already GC'd. */
   def restore(spark: SparkSession, tableDir: String, commit: Long,
-      gcGraceMs: Long = DefaultGcGraceMs): Unit = {
+      gcGraceMs: Long = DefaultGcGraceMs): Unit =
+    graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
     val hc = graft.util.Hfs.conf(spark)
     val root = new HPath(tableDir)
     val cur = readMeta(root, hc).getOrElse(
@@ -576,6 +585,10 @@ object Apply {
       .mkString("[", ", ", "]")
     val json = s"""{"layout": "$LayoutV2", "nBuckets": $nBuckets, """ +
       s""""commit": $commitId, "buckets": $body, "retired": $ret}"""
+    // cross-process fencing: a writer another process superseded since
+    // its verb began fails loudly HERE instead of publishing a manifest
+    // computed from a stale read ([[graft.util.WriterLease]])
+    graft.util.WriterLease.checkHeld(root.toString, hc)
     if (archive)
       graft.util.Hfs.writeStringAtomic(historyPath(root, commitId), json, hc)
     graft.util.Hfs.writeStringAtomic(new HPath(root, MetaName), json, hc)

@@ -182,7 +182,7 @@ object LedgerStore {
   def compact(spark: SparkSession, dir: String): Option[Long] = {
     // purge/fold/compact serialize on the per-(store, dir) monitor
     // (round-11 verdict #5); cross-process stays single-writer
-    graft.util.Maintenance.withWriteLock("LedgerStore", spark, dir) {
+    graft.util.Maintenance.withLeasedWriteLock("LedgerStore", spark, dir) {
     readMeta(spark, dir) match {
       case Some(m) if m.slices - m.sliceBase > 1 =>
         val merged = m.slices
@@ -238,7 +238,7 @@ object LedgerStore {
     * no-op. Returns the published generation. */
   def purgeDocs(spark: SparkSession, dir: String, docIds: DataFrame,
       retainGens: Int = 2): Option[Long] = {
-    graft.util.Maintenance.withWriteLock("LedgerStore", spark, dir) {
+    graft.util.Maintenance.withLeasedWriteLock("LedgerStore", spark, dir) {
     val m = readMeta(spark, dir).getOrElse(
       sys.error(s"no committed ledger at $dir (missing $MetaName)"))
     val labels = spark.read.parquet(s"$dir/gen=${m.gen}/labels")
@@ -368,7 +368,7 @@ object LedgerStore {
       prefixes: Int = 64, retainGens: Int = 2,
       batchId: Long = -1L, maxBucketSize: Int = Int.MaxValue): Option[Long] = {
     val spark = batch.sparkSession
-    graft.util.Maintenance.withWriteLock("LedgerStore", spark, dir) {
+    graft.util.Maintenance.withLeasedWriteLock("LedgerStore", spark, dir) {
     val docs = batch.select(id.as("doc_id"), text.as("text"))
     if (docs.isEmpty) { recordEmptyBatch(spark, dir, readMeta(spark, dir), batchId); return None }
     val perMille = math.round(threshold * 1000).toInt

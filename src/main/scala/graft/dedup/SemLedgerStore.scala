@@ -140,7 +140,7 @@ object SemLedgerStore {
   def compact(spark: SparkSession, dir: String): Option[Long] =
     // purge/fold/compact serialize on the per-(store, dir) monitor
     // (round-11 verdict #5); cross-process stays single-writer
-    graft.util.Maintenance.withWriteLock("SemLedgerStore", spark, dir) {
+    graft.util.Maintenance.withLeasedWriteLock("SemLedgerStore", spark, dir) {
     readMeta(spark, dir) match {
       case Some(m) if m.slices - m.sliceBase > 1 =>
         val merged = m.slices
@@ -186,6 +186,25 @@ object SemLedgerStore {
   def meta(spark: SparkSession, dir: String): Option[Meta] =
     readMeta(spark, dir)
 
+  /** The labels table's data dir for a committed snapshot (commit =
+    * None → current) — the exact frame [[load]]/[[loadAt]] serve third
+    * (labels rewrite whole per fold/purge, so the gen dir needs no
+    * tombstone screen), public for the DataSource V2 catalog face
+    * ([[graft.sources.GraftTables]]). Fail-closed once generation
+    * retention dropped the snapshot's gen dir. */
+  def labelsDir(spark: SparkSession, dir: String,
+      commit: Option[Long]): String = {
+    val m = commit.map(metaAt(spark, dir, _)).orElse(readMeta(spark, dir))
+      .getOrElse(sys.error(s"no committed semantic ledger at $dir"))
+    require(m.format == Format, s"$dir holds '${m.format}', expected $Format")
+    val p = s"$dir/gen=${m.gen}/labels"
+    require(graft.util.Hfs.exists(new org.apache.hadoop.fs.Path(p),
+        graft.util.Hfs.conf(spark)),
+      s"snapshot ${commit.getOrElse("current")} of $dir is no longer " +
+        s"readable: gen=${m.gen} was dropped by generation retention")
+    p
+  }
+
   /** Committed snapshot ids available for [[loadAt]], ascending. */
   def commits(spark: SparkSession, dir: String): Seq[Long] =
     Generations.listCommits(spark, dir, MetaName)
@@ -225,7 +244,7 @@ object SemLedgerStore {
     * the removal physical. No-op for absent/already-purged ids. */
   def purgeVecs(spark: SparkSession, dir: String, vecIds: DataFrame,
       retainGens: Int = 2): Option[Long] = {
-    graft.util.Maintenance.withWriteLock("SemLedgerStore", spark, dir) {
+    graft.util.Maintenance.withLeasedWriteLock("SemLedgerStore", spark, dir) {
     val m = readMeta(spark, dir).getOrElse(
       sys.error(s"no committed semantic ledger at $dir (missing $MetaName)"))
     val labels = spark.read.parquet(s"$dir/gen=${m.gen}/labels")
@@ -289,7 +308,7 @@ object SemLedgerStore {
       planesPerBand: Int = 4, dim: Int = 64, retainGens: Int = 2,
       batchId: Long = -1L): Option[Long] = {
     val spark = batch.sparkSession
-    graft.util.Maintenance.withWriteLock("SemLedgerStore", spark, dir) {
+    graft.util.Maintenance.withLeasedWriteLock("SemLedgerStore", spark, dir) {
     val vecs = batch.select(id.as("id"), vec.as("v")).localCheckpoint(true)
     if (vecs.isEmpty) { recordEmptyBatch(spark, dir, readMeta(spark, dir), batchId); return None }
     val perMille = math.round(threshold * 1000).toInt

@@ -45,6 +45,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    statically — the same I/O cut `bm25Query` gets, now available to
   *    raw SQL. Tombstone semantics are SQL-visible the way they are in
   *    any warehouse: `... WHERE id NOT IN (SELECT id FROM purged)`.
+  *  - `sem.labels` — [[graft.dedup.SemLedgerStore]] component labels of
+  *    the selected generation (rewritten whole per fold/purge, like the
+  *    text ledger's).
+  *  - `ivf.assigned` / `ivf.purged` — [[graft.ann.IndexStore]] cell
+  *    assignments: `slice` and `cell` stay partition columns, so a
+  *    probe's `WHERE cell IN (...)` through raw SQL plans the same
+  *    static prune `searchPruned` gets.
+  *
+  * NOT exposed: stores whose queryable state is a MERGE computation,
+  * not a path set — [[graft.warehouse.GraphStore]] (Δ-count LSM slices
+  * sum to signed edge weights; a raw slice read would show un-merged
+  * positive/negative rows) and the ledgers' pair/sig slices (tombstone
+  * anti-joins are part of their read contract). Those stay library
+  * faces; their SNAPSHOTS are still SQL-reachable by materializing
+  * `load`'s frames, which is what the store queries gate.
   *
   * Design: this provider does MANIFEST RESOLUTION ONLY — the pointer
   * (or the archived pointer under `_graft_history/`) names the
@@ -95,9 +110,23 @@ class GraftTables extends TableProvider with DataSourceRegister {
           s"$dir/$sub holds no live slices at " +
             s"snapshot ${commit.getOrElse("current")}")
         (dirs, Map("basePath" -> base))
+      case "sem.labels" =>
+        (Seq(graft.dedup.SemLedgerStore.labelsDir(spark, dir, commit)),
+          Map.empty[String, String])
+      case s if s.startsWith("ivf.") =>
+        val sub = s.stripPrefix("ivf.")
+        val (dirs, base) =
+          graft.ann.IndexStore.ivfDirs(spark, dir, sub, commit)
+        require(dirs.nonEmpty,
+          s"$dir ivf/$sub holds no live slices at " +
+            s"snapshot ${commit.getOrElse("current")}")
+        // slice + cell stay hive partition columns: a cell filter in raw
+        // SQL plans the same static prune searchPruned gets
+        (dirs, Map("basePath" -> base))
       case other => sys.error(
         s"unknown graft table '$other' (supported: merge, ledger.labels, " +
-          "postings.postings, postings.doclen, postings.purged)")
+          "sem.labels, postings.postings, postings.doclen, " +
+          "postings.purged, ivf.assigned, ivf.purged)")
     }
     val name = s"graft:$table@${commit.getOrElse("current")}:$dir"
     ParquetTable(name, spark,

@@ -142,7 +142,7 @@ object PostingsStore {
     // in-process writers on the per-(store, dir) monitor (round-11
     // verdict #5 — a purge racing a fold could claim the fold's slice
     // id mid-write; cross-process remains single-writer by contract)
-    graft.util.Maintenance.withWriteLock("PostingsStore", spark, dir) {
+    graft.util.Maintenance.withLeasedWriteLock("PostingsStore", spark, dir) {
     val docs = batch.select(id.as("id"), text.as("text"))
     if (docs.isEmpty) { recordEmptyBatch(spark, dir, readMeta(spark, dir), batchId); return None }
     val prev = readMeta(spark, dir)
@@ -213,7 +213,7 @@ object PostingsStore {
     * live slice window into one slice per table, advance the window in
     * one atomic commit (stats and ledger unchanged). */
   def compact(spark: SparkSession, dir: String): Option[Long] =
-    graft.util.Maintenance.withWriteLock("PostingsStore", spark, dir) {
+    graft.util.Maintenance.withLeasedWriteLock("PostingsStore", spark, dir) {
     readMeta(spark, dir) match {
       case Some(m) if m.slices - m.sliceBase > 1 =>
         val merged = m.slices
@@ -249,7 +249,7 @@ object PostingsStore {
     * absent/already-purged ids. Returns (docs removed, tokens removed). */
   def purgeDocs(spark: SparkSession, dir: String,
       docIds: DataFrame): Option[(Long, Long)] = {
-    graft.util.Maintenance.withWriteLock("PostingsStore", spark, dir) {
+    graft.util.Maintenance.withLeasedWriteLock("PostingsStore", spark, dir) {
     val m = readMeta(spark, dir).getOrElse(
       sys.error(s"no committed postings store at $dir (missing $MetaName)"))
     val targets = docIds.select(docIds.columns.head)

@@ -23,11 +23,17 @@ object Generations {
     if (Hfs.exists(p, hc)) Some(Hfs.readString(p, hc).trim) else None
   }
 
-  /** The commit: one atomic pointer PUT. */
+  /** The commit: one atomic pointer PUT. If the calling verb holds a
+    * writer lease on `dir` ([[Maintenance.withLeasedWriteLock]]), it is
+    * re-validated first — a writer another process fenced since the
+    * verb began fails loudly HERE, before its stale-read manifest can
+    * erase the other process's commit ([[WriterLease]]). */
   def commit(spark: SparkSession, dir: String, metaName: String,
-      body: String): Unit =
+      body: String): Unit = {
+    WriterLease.checkHeld(spark, dir)
     Hfs.writeStringAtomic(new HPath(new HPath(dir), metaName), body,
       Hfs.conf(spark))
+  }
 
   private val HistoryDir = "_graft_history"
   private val HistoryRe = "commit-([0-9]+)\\.json".r
@@ -58,6 +64,7 @@ object Generations {
     * retention trade every manifest-pointer format makes). */
   def commitArchived(spark: SparkSession, dir: String, metaName: String,
       body: String, commitId: Long): Unit = {
+    WriterLease.checkHeld(spark, dir) // cross-process fencing, see [[commit]]
     val hc = Hfs.conf(spark)
     Hfs.writeStringAtomic(
       new HPath(s"$dir/$HistoryDir/commit-$commitId.json"), body, hc)

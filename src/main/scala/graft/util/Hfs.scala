@@ -66,5 +66,18 @@ object Hfs {
       .rename(tmp, p, Options.Rename.OVERWRITE)
   }
 
+  /** Create `p` with content, FAILING if it already exists — the
+    * claim primitive of [[WriterLease]]. On HDFS the no-overwrite
+    * create is enforced atomically server-side; on the local FS it is
+    * exists-check-then-create (the same residual window every plain-FS
+    * coordination scheme has — see the WriterLease scaladoc for why a
+    * lost claim still fails LOUDLY at check time rather than silently). */
+  def createExclusive(p: Path, body: String, c: Configuration): Unit = {
+    val f = fs(p, c)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
   def delete(p: Path, c: Configuration): Unit = { fs(p, c).delete(p, true); () }
 }

@@ -75,6 +75,28 @@ object Maintenance {
     lock.synchronized(body)
   }
 
+  /** [[withWriteLock]] plus a CROSS-PROCESS fencing lease on the store
+    * dir (round-11 verdict #4 — the JVM monitor cannot see a second
+    * process): the verb claims the next lease epoch on entry, and every
+    * pointer PUT inside `body` ([[Generations.commit]]/`commitArchived`,
+    * the merge table's meta write) re-validates it — a writer fenced by
+    * another process's acquisition fails LOUDLY before publishing a
+    * manifest computed from a stale read, instead of silently erasing
+    * the other writer's commit. Reentrant per thread (a nested verb on
+    * the same dir reuses the outer lease — one verb, one epoch). Used
+    * by every PERSISTED-store mutating verb; in-session memo guards
+    * (which may name a read-only data dir) stay on [[withWriteLock]] —
+    * the lease writes a `_graft_lease/` ledger under `dir`. */
+  def withLeasedWriteLock[T](name: String, s: SparkSession, dir: String)(
+      body: => T): T =
+    withWriteLock(name, s, dir) {
+      WriterLease.heldFor(dir) match {
+        case Some(_) => body // reentrant: the outer verb's epoch covers us
+        case None =>
+          WriterLease.holding(WriterLease.acquire(s, dir))(body)
+      }
+    }
+
   // ---- ingestion growth tracking (the DriftProbe refresh policy) ----
 
   final case class Growth(base: Long, inserted: Long)

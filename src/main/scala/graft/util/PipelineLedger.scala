@@ -121,7 +121,7 @@ object PipelineLedger {
     // matching the store verbs' discipline (two interleaved refreshes
     // would race the set pointer's read-modify-write); cross-process
     // stays single-writer by contract
-    Maintenance.withWriteLock("PipelineLedger", spark, dir) {
+    Maintenance.withLeasedWriteLock("PipelineLedger", spark, dir) {
     val prev = readMeta(spark, dir)
     prev.foreach(m => require(m.format == Format,
       s"$dir holds '${m.format}', expected $Format"))

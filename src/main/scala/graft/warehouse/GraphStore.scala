@@ -151,7 +151,7 @@ object GraphStore {
     val spark = batch.sparkSession
     // purge/fold/compact serialize on the per-(store, dir) monitor
     // (round-11 verdict #5); cross-process stays single-writer
-    graft.util.Maintenance.withWriteLock("GraphStore", spark, dir) {
+    graft.util.Maintenance.withLeasedWriteLock("GraphStore", spark, dir) {
     val items = batch.select(ord.as("ord"), item.as("item"))
     if (items.isEmpty) { recordEmptyBatch(spark, dir, readMeta(spark, dir), batchId); return None }
     val prev = readMeta(spark, dir)
@@ -258,7 +258,7 @@ object GraphStore {
     * advance; ledger unchanged; superseded slices stay until
     * [[vacuumSlices]]. */
   def compact(spark: SparkSession, dir: String): Option[Long] =
-    graft.util.Maintenance.withWriteLock("GraphStore", spark, dir) {
+    graft.util.Maintenance.withLeasedWriteLock("GraphStore", spark, dir) {
     readMeta(spark, dir) match {
       case Some(m) if m.slices - m.sliceBase > 1 =>
         val merged = m.slices
@@ -298,7 +298,7 @@ object GraphStore {
     * No-op for absent/already-purged baskets. Returns the slice id. */
   def purgeOrders(spark: SparkSession, dir: String,
       ords: DataFrame): Option[Long] = {
-    graft.util.Maintenance.withWriteLock("GraphStore", spark, dir) {
+    graft.util.Maintenance.withLeasedWriteLock("GraphStore", spark, dir) {
     val m = readMeta(spark, dir).getOrElse(
       sys.error(s"no committed graph store at $dir (missing $MetaName)"))
     val targets = ords.select(ords.columns.head).toDF("ord").distinct()

@@ -119,4 +119,40 @@ class GraftTablesSpec extends AnyFunSuite {
     assert(keysOf(at) ==
       keysOf(Apply.readMergeTableAt(spark, tdir, commit0)))
   }
+
+  test("semantic-ledger labels and IVF cell assignments via " +
+      "format(\"graft\"): library parity, and a cell filter on the " +
+      "assigned table prunes statically") {
+    val embs = graft.util.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+
+    val sdir = Files.createTempDirectory("dsv2sem").toString
+    graft.dedup.SemLedgerStore.maintainBatch(embs, col("vec_id"),
+      col("embedding"), sdir, batchId = 0L)
+    def lset(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("comp")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaSql = lset(spark.read.format("graft").option("path", sdir)
+      .option("table", "sem.labels").load())
+    assert(viaSql == lset(graft.dedup.SemLedgerStore.load(spark, sdir)._3)
+      && viaSql.nonEmpty)
+
+    val idir = Files.createTempDirectory("dsv2ivf").toString
+    graft.ann.IndexStore.ivfMaintainBatch(embs, col("vec_id"),
+      col("embedding"), idir, nCentroids = 4, batchId = 0L)
+    val assigned = spark.read.format("graft").option("path", idir)
+      .option("table", "ivf.assigned").load()
+    assert(assigned.count() ==
+      graft.ann.IndexStore.loadIvf(spark, idir)._1.assigned.count())
+    assert(Set("slice", "cell").subsetOf(assigned.columns.toSet))
+    val plan = assigned.filter(col("cell") === 1)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"cell filter does not partition-prune:\n${plan.take(1500)}")
+    // purged has no slices before any purge ran: fail-loud, not empty
+    val e = intercept[Exception](
+      spark.read.format("graft").option("path", idir)
+        .option("table", "ivf.purged").load())
+    assert(e.getMessage.contains("no live slices"))
+  }
 }
