@@ -16,5 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // inserted Projects immediately compose with the built-in
     // PushDownPredicates + ColumnPruning passes.
     AsOfRules.all.foreach(r => ext.injectOptimizerRule(_ => r))
+    // The native scalar kernels as SQL functions (graft_parse_money,
+    // graft_md5low48/64, graft_bpe_count, graft_vec_dot, graft_winnow)
+    // — the same Expressions the Column API builds, codegen included.
+    graft.functions.GraftFunctions.injectable.foreach(ext.injectFunction)
   }
 }

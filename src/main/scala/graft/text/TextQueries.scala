@@ -629,6 +629,34 @@ object TextQueries {
         .orderBy(col("score").desc, col("doc_id"))
     },
 
+    // -- the native kernels through their SQL FACES (round 12 — the
+    //    function-side twin of q268's catalog face): the query text is
+    //    pure spark.sql over a temp view, with the deterministic split
+    //    (graft_md5low48, the Md5Low codegen kernel) and the BPE token
+    //    count (graft_bpe_count, the native merge-loop kernel) both
+    //    resolved through the session FunctionRegistry
+    //    (functions.GraftFunctions — same Expressions the Column API
+    //    builds; GraftFunctionsSpec pins value parity and codegen).
+    //    Oracle = DuckDB's md5_number_lower split replay joined to the
+    //    recursive-CTE BPE recompute: a SQL-only user of the registered
+    //    functions lands on the engine-portable semantics exactly.
+    "q269_sql_kernels" -> { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("q269_docs")
+      s.sql(
+        """SELECT source, split, COUNT(*) AS n_docs,
+          |  CAST(SUM(graft_bpe_count(text)) AS BIGINT) AS bpe_tokens
+          |FROM (SELECT source, text,
+          |    CASE WHEN pmod(graft_md5low48(CAST(doc_id AS STRING)), 100) < 90
+          |           THEN 'train'
+          |         WHEN pmod(graft_md5low48(CAST(doc_id AS STRING)), 100) < 95
+          |           THEN 'val'
+          |         ELSE 'test' END AS split
+          |  FROM q269_docs)
+          |GROUP BY source, split
+          |ORDER BY source, split""".stripMargin)
+    },
+
     // -- the SAME ledger clustered by the alternating small-star/large-
     //    star rewrite (Dedup.componentsStars) — the diameter-proof
     //    algorithm proves itself against the identical recursive-CTE
@@ -1631,6 +1659,27 @@ object TextQueries {
          |SELECT comp_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
          |  CAST(comp_size * COUNT(*) AS BIGINT) AS n_docs
          |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The SQL-face split must land on the md5_number_lower replay (the
+    // q121 identity) and the SQL-face BPE count on the recursive-CTE
+    // merge-loop replay (the q37 identity) — registered functions are
+    // the same kernels, so the join of both identities gates the
+    // registration path end-to-end.
+    "q269_sql_kernels" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |a AS (
+         |  SELECT source, doc_id,
+         |    CASE WHEN (md5_number_lower(CAST(doc_id AS VARCHAR))
+         |        % 281474976710656) % 100 < 90 THEN 'train'
+         |      WHEN (md5_number_lower(CAST(doc_id AS VARCHAR))
+         |        % 281474976710656) % 100 < 95 THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT a.source, a.split, COUNT(*) AS n_docs,
+         |  CAST(SUM(COALESCE(b.n_bpe, 0)) AS BIGINT) AS bpe_tokens
+         |FROM a LEFT JOIN bpecnt b ON a.doc_id = b.doc_id
+         |GROUP BY a.source, a.split
+         |ORDER BY a.source, a.split""".stripMargin,
 
     // Fertility = BPE merge-loop replay (q37's recursive CTE) per doc,
     // rolled up by language; the ratio is ONE IEEE division of two
