@@ -95,7 +95,16 @@ class GraftTables extends TableProvider with DataSourceRegister {
       sys.error("format(\"graft\") requires option(\"path\", <store dir>)"))
     val commit = Option(options.get("commit")).map(_.toLong)
     val table = Option(options.get("table")).getOrElse("merge")
-    val (paths, extra) = table match {
+    val (paths, extra) = pathsOf(spark, dir, table, commit)
+    val name = s"graft:$table@${commit.getOrElse("current")}:$dir"
+    ParquetTable(name, spark,
+      new CaseInsensitiveStringMap((options.asScala ++ extra).asJava),
+      paths, None, classOf[ParquetFileFormat])
+  }
+
+  private def pathsOf(spark: SparkSession, dir: String, table: String,
+      commit: Option[Long]): (Seq[String], Map[String, String]) =
+    table match {
       case "merge" =>
         (graft.cdc.Apply.snapshotBucketDirs(spark, dir, commit),
           Map("mergeSchema" -> "true"))
@@ -123,14 +132,31 @@ class GraftTables extends TableProvider with DataSourceRegister {
         // slice + cell stay hive partition columns: a cell filter in raw
         // SQL plans the same static prune searchPruned gets
         (dirs, Map("basePath" -> base))
+      case s if s.startsWith("set:") =>
+        // SET-PINNED read (the q262/q264 composition as a catalog face):
+        // `path` names a [[graft.util.PipelineLedger]] SET dir, `commit`
+        // (if given) a SET snapshot; `set:<store>:<surface>` resolves the
+        // store's PINNED commit from the set manifest and delegates —
+        // one atomic manifest names every substrate's snapshot, so two
+        // set-pinned reads of different stores are mutually consistent.
+        val (storeName, surface) = s.stripPrefix("set:")
+          .split(":", 2) match {
+            case Array(a, b) if a.nonEmpty && b.nonEmpty => (a, b)
+            case _ => sys.error(
+              s"malformed set table '$s' — use set:<store>:<surface>, " +
+                "e.g. set:postings:postings.doclen")
+          }
+        val setMeta = commit
+          .map(graft.util.PipelineLedger.readSetAt(spark, dir, _))
+          .getOrElse(graft.util.PipelineLedger.readSet(spark, dir))
+        val pinned = setMeta.stores.getOrElse(storeName, sys.error(
+          s"set manifest at $dir pins no store named '$storeName' " +
+            s"(stores: ${setMeta.stores.keys.toSeq.sorted.mkString(", ")})"))
+        pathsOf(spark, s"$dir/$storeName", surface, Some(pinned))
       case other => sys.error(
         s"unknown graft table '$other' (supported: merge, ledger.labels, " +
           "sem.labels, postings.postings, postings.doclen, " +
-          "postings.purged, ivf.assigned, ivf.purged)")
+          "postings.purged, ivf.assigned, ivf.purged, " +
+          "set:<store>:<surface>)")
     }
-    val name = s"graft:$table@${commit.getOrElse("current")}:$dir"
-    ParquetTable(name, spark,
-      new CaseInsensitiveStringMap((options.asScala ++ extra).asJava),
-      paths, None, classOf[ParquetFileFormat])
-  }
 }

@@ -629,6 +629,30 @@ object TextQueries {
         .orderBy(col("score").desc, col("doc_id"))
     },
 
+    // -- SET-PINNED catalog read (round 12 — q264's composition through
+    //    the DataSource V2 face): `set:postings:postings.doclen` at SET
+    //    commit 0 resolves the postings store's SEED snapshot from the
+    //    archived set manifest — the doc-length substrate exactly as the
+    //    batch-0 atomic refresh committed it, via plain spark.read, even
+    //    though the current set is at batch 1 and the store has folded
+    //    past the pin. Oracle = the tokenizer replay RESTRICTED to the
+    //    seed corpus, rolled up by source: set-pinned-SQL ≡ as-it-was
+    //    recompute.
+    "q270_dsv2_set" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+      val dir = pipelineDir(s, d)
+      graft.util.PipelineLedger.refreshAll(s, dir,
+        docs.filter(!(col("doc_id") < cut)), 1L, pipelineStores(dir))
+      s.read.format("graft").option("path", dir)
+        .option("table", "set:postings:postings.doclen")
+        .option("commit", "0").load()
+        .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .orderBy(col("source"))
+    },
+
     // -- the native kernels through their SQL FACES (round 12 — the
     //    function-side twin of q268's catalog face): the query text is
     //    pure spark.sql over a temp view, with the deterministic split
@@ -1659,6 +1683,18 @@ object TextQueries {
          |SELECT comp_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
          |  CAST(comp_size * COUNT(*) AS BIGINT) AS n_docs
          |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The set-pinned doclen substrate is one tokenization of each seed
+    // doc (the batch ledger folds each doc once), so the set:…@0 read
+    // rolls up to the tokenizer replay over the seed corpus exactly.
+    "q270_dsv2_set" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS dl
+         |  FROM documents WHERE ${LmQueries.SeedPredSql})
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(dl) AS BIGINT) AS sum_dl
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     // The SQL-face split must land on the md5_number_lower replay (the
     // q121 identity) and the SQL-face BPE count on the recursive-CTE
