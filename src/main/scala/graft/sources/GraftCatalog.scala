@@ -1,0 +1,164 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Column, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.util.Generations
+
+/** IDENTIFIER-ADDRESSED catalog over the persisted substrates — the
+  * completion of the DSv2 face (round 12): [[GraftTables]] made the
+  * stores readable through `format("graft")` + options; this plugin
+  * makes them addressable the way the reference's warehouse tables are
+  * (plain names any SQL client can query —
+  * `source/configure_redshift_for_dynamodb_cdc_lambda/handler.py:22-31`
+  * registers them with DDL), including SQL-standard time travel:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft_cat",
+  *     classOf[graft.sources.GraftCatalog].getName)
+  *   // optional root: spark.sql.catalog.graft_cat.root = /data/stores
+  *   spark.sql("SELECT * FROM graft_cat.`/tmp/store`.postings.doclen")
+  *   spark.sql("... FROM graft_cat.mystore.merge VERSION AS OF 3")
+  *   spark.sql("... FROM graft_cat.mystore.ledger.labels " +
+  *     "TIMESTAMP AS OF '2026-08-15 12:00:00'")
+  * }}}
+  *
+  * Identifier shape: the FIRST part names the store directory — an
+  * absolute path (backtick-quoted) or a child of the configured
+  * `root` — and the remaining parts spell the [[GraftTables]] surface
+  * (`merge`, `ledger.labels`, `postings.postings`, `ivf.assigned`,
+  * `changes.postings.doclen`, …). A set-pinned read spells the q270
+  * `set:<store>:<surface>` surface as parts:
+  * `graft_cat.pipedir.set.postings.postings.doclen`.
+  *
+  * Time travel: `VERSION AS OF n` goes straight to snapshot `n` (the
+  * `option("commit", n)` path); `TIMESTAMP AS OF t` resolves to the
+  * LATEST commit whose `_graft_history/` archive entry was written at
+  * or before `t` ([[Generations.commitAtTimestamp]] — one rule for
+  * every store kind, because they share the archive protocol). Change
+  * feeds position by offset window, not snapshot, so they reject both.
+  *
+  * The catalog is READ-ONLY by design: every store's write path is a
+  * SEMANTIC fold (merge, dedup, postings, index maintenance) behind
+  * the writer lease and the batch ledger — a raw SQL INSERT has no
+  * meaning against them, and pretending otherwise would bypass
+  * exactly-once. Mutations stay library verbs; DDL throws loudly.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catName: String = "graft"
+  private var root: Option[String] = None
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    root = Option(options.get("root"))
+  }
+
+  override def name(): String = catName
+
+  private def dirOf(part: String): String =
+    if (part.startsWith("/") || part.contains(":/")) part
+    else root.map(r => s"$r/$part").getOrElse(sys.error(
+      s"catalog $catName has no root configured " +
+        s"(spark.sql.catalog.$catName.root) — name the store by " +
+        "absolute path: SELECT ... FROM " + catName + ".`/path/to/store`.<surface>"))
+
+  /** (store dir, surface) of an identifier: first part → directory,
+    * rest → the [[GraftTables]] surface (a leading `set` part maps to
+    * the `set:<store>:<surface>` spelling). */
+  private def parse(ident: Identifier): (String, String) = {
+    val raw = (ident.namespace() :+ ident.name()).toSeq
+    require(raw.length >= 2,
+      s"graft identifier needs <store>.<surface>, got ${ident}")
+    // the store part may be a path (dots intact); surface parts may be
+    // dotted spellings (`postings.doclen`) or separate identifier parts
+    val dir = dirOf(raw.head)
+    val rest = raw.tail.flatMap(_.split("\\."))
+    val table =
+      if (rest.head == "set") {
+        require(rest.length >= 3,
+          s"set-pinned identifier needs set.<store>.<surface>, got $ident")
+        s"set:${rest(1)}:${rest.drop(2).mkString(".")}"
+      } else rest.mkString(".")
+    (dir, table)
+  }
+
+  private def load(ident: Identifier, commit: Option[Long]): Table = {
+    val (dir, table) = parse(ident)
+    GraftTables.resolveTable(SparkSession.active, dir, table, commit,
+      CaseInsensitiveStringMap.empty())
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF <v>` — the snapshot id, exactly the provider's
+    * `option("commit", v)`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toLong))
+
+  /** `TIMESTAMP AS OF <t>` (micros since epoch): the latest snapshot
+    * committed at or before `t`, via the shared history archive. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val (dir, table) = parse(ident)
+    val spark = SparkSession.active
+    val tsMillis = timestamp / 1000L
+    val commit = Generations.commitAtTimestamp(spark, dir,
+      GraftTables.metaNameOf(table), tsMillis).getOrElse(sys.error(
+        s"$dir has no snapshot committed at or before " +
+          s"${new java.sql.Timestamp(tsMillis)} " +
+          "(the earliest archive entry is later)"))
+    GraftTables.resolveTable(spark, dir, table, Some(commit),
+      CaseInsensitiveStringMap.empty())
+  }
+
+  /** The surfaces a store directory exposes, probed by which manifests
+    * it holds — `SHOW TABLES IN graft_cat.<store>`. */
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    require(namespace.nonEmpty, "list needs a store: SHOW TABLES IN " +
+      s"$catName.<store dir>")
+    val spark = SparkSession.active
+    val dir = dirOf(namespace.head)
+    def has(meta: String): Boolean =
+      Generations.readPointer(spark, dir, meta).isDefined
+    val surfaces =
+      (if (has("_graft_table_meta.json")) Seq("merge") else Nil) ++
+      (if (has("_graft_ledger_meta.json")) Seq("ledger.labels") else Nil) ++
+      (if (has("_graft_semledger_meta.json")) Seq("sem.labels") else Nil) ++
+      (if (has("_graft_postings_meta.json"))
+        Seq("postings.postings", "postings.doclen", "postings.purged",
+          "changes.postings.postings", "changes.postings.doclen",
+          "changes.postings.purged") else Nil) ++
+      (if (has("_graft_index_meta.json"))
+        Seq("ivf.assigned", "ivf.purged") else Nil)
+    surfaces.map(Identifier.of(namespace, _)).toArray
+  }
+
+  private def readOnly(what: String): Nothing = sys.error(
+    s"the graft catalog is read-only: $what is not supported — store " +
+      "mutations are SEMANTIC folds behind the writer lease and the " +
+      "batch-id ledger (maintainBatch / startMerge / purge / compact); " +
+      "a raw DDL/DML verb would bypass exactly-once")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = readOnly("CREATE TABLE")
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = readOnly("CREATE TABLE")
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = readOnly("ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean =
+    readOnly("DROP TABLE")
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = readOnly("RENAME TABLE")
+}

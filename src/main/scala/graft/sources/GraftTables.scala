@@ -83,23 +83,62 @@ class GraftTables extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = false
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolve(options).schema
+    GraftTables.resolve(options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    resolve(new CaseInsensitiveStringMap(properties))
+    GraftTables.resolve(new CaseInsensitiveStringMap(properties))
+}
 
-  private def resolve(options: CaseInsensitiveStringMap): ParquetTable = {
+/** Resolution shared by the provider (`format("graft")`, option-
+  * addressed) and the CATALOG face ([[GraftCatalog]], identifier-
+  * addressed with `VERSION AS OF` / `TIMESTAMP AS OF`). */
+object GraftTables {
+
+  private[sources] def resolve(options: CaseInsensitiveStringMap): Table = {
     val spark = SparkSession.active
     val dir = Option(options.get("path")).getOrElse(
       sys.error("format(\"graft\") requires option(\"path\", <store dir>)"))
     val commit = Option(options.get("commit")).map(_.toLong)
     val table = Option(options.get("table")).getOrElse("merge")
-    val (paths, extra) = pathsOf(spark, dir, table, commit)
-    val name = s"graft:$table@${commit.getOrElse("current")}:$dir"
-    ParquetTable(name, spark,
-      new CaseInsensitiveStringMap((options.asScala ++ extra).asJava),
-      paths, None, classOf[ParquetFileFormat])
+    resolveTable(spark, dir, table, commit, options)
+  }
+
+  /** One store surface as a DSv2 [[Table]]: the snapshot surfaces
+    * delegate to the stock parquet `FileTable` over the manifest's
+    * resolved path set; the `changes.*` surfaces return the
+    * [[ChangeFeedTable]] (batch delta + micro-batch stream). */
+  def resolveTable(spark: SparkSession, dir: String, table: String,
+      commit: Option[Long], options: CaseInsensitiveStringMap): Table =
+    if (table.startsWith("changes.")) {
+      require(commit.isEmpty,
+        "change feeds position by sinceCommit/untilCommit (a window), " +
+          "not commit (a snapshot)")
+      val rest = table.stripPrefix("changes.")
+      require(rest.startsWith("postings."),
+        s"unknown change feed '$table' — the feed-bearing store is " +
+          "'postings' (changes.postings.{postings,doclen,purged})")
+      new ChangeFeedTable(spark, dir, rest.stripPrefix("postings."), options)
+    } else {
+      val (paths, extra) = pathsOf(spark, dir, table, commit)
+      val name = s"graft:$table@${commit.getOrElse("current")}:$dir"
+      ParquetTable(name, spark,
+        new CaseInsensitiveStringMap((options.asScala ++ extra).asJava),
+        paths, None, classOf[ParquetFileFormat])
+    }
+
+  /** The manifest file governing `table`'s snapshot history — the
+    * shared `_graft_history/` protocol makes TIMESTAMP AS OF one
+    * resolution path for every store kind ([[GraftCatalog]]). */
+  def metaNameOf(table: String): String = table match {
+    case "merge" => "_graft_table_meta.json"
+    case "ledger.labels" => "_graft_ledger_meta.json"
+    case "sem.labels" => "_graft_semledger_meta.json"
+    case s if s.startsWith("postings.") ||
+      s.startsWith("changes.postings.") => "_graft_postings_meta.json"
+    case s if s.startsWith("ivf.") => "_graft_index_meta.json"
+    case s if s.startsWith("set:") => "_graft_pipeline_meta.json"
+    case other => sys.error(s"unknown graft table '$other'")
   }
 
   private def pathsOf(spark: SparkSession, dir: String, table: String,
@@ -157,6 +196,6 @@ class GraftTables extends TableProvider with DataSourceRegister {
         s"unknown graft table '$other' (supported: merge, ledger.labels, " +
           "sem.labels, postings.postings, postings.doclen, " +
           "postings.purged, ivf.assigned, ivf.purged, " +
-          "set:<store>:<surface>)")
+          "set:<store>:<surface>, changes.postings.<sub>)")
     }
 }

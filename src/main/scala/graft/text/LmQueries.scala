@@ -637,6 +637,59 @@ object LmQueries {
         .orderBy(col("term"))
     },
 
+    // -- round 12: the q268 statistics through a PLAIN SQL IDENTIFIER
+    //    with SQL-standard time travel — the catalog face
+    //    ([[graft.sources.GraftCatalog]]). The query text names the
+    //    store the way the reference's Redshift clients name warehouse
+    //    tables, and `VERSION AS OF 0` resolves the SEED snapshot
+    //    through the shared history archive (the q261 as-of read, now
+    //    SQL-spelled). The writer's tp prefix values ride in as
+    //    literals, so the term filter still prunes the term-prefix
+    //    partitions statically. Oracle = DuckDB tokenizing the seed
+    //    corpus directly (doc_id < cut — the snapshot-0 window).
+    "q271_sql_catalog" -> { (s, d) =>
+      val dir = postingsStoreDir(s, d)
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      val m = PostingsStore.metaAt(s, dir, 0L)
+      import s.implicits._
+      val tps = Bm25Terms.toDF("term")
+        .select(pmod(xxhash64(col("term")), lit(m.prefixes.toLong))
+          .cast("int")).collect().map(_.getInt(0)).distinct.toSeq
+      s.sql(
+        s"""SELECT term, count(DISTINCT id) AS df, sum(tf) AS coll_tf
+           |FROM graft_cat.`$dir`.postings.postings VERSION AS OF 0
+           |WHERE tp IN (${tps.mkString(", ")})
+           |  AND term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+           |GROUP BY term ORDER BY term""".stripMargin)
+    },
+
+    // -- round 12: the CHANGE DATA FEED — the store's commits consumed
+    //    as a delta read ([[graft.sources.ChangeFeedTable]], the
+    //    CDC-OUT face of a CDC engine). The store seeds on the 90%
+    //    corpus (commit 0), folds the 10% delta (commit 1), compacts
+    //    (commit 2); `sinceCommit = 0` then emits EXACTLY the
+    //    delta fold's doclen rows — the compact is a physical rewrite,
+    //    not a change, and contributes nothing. Oracle = DuckDB
+    //    tokenizing the delta corpus directly: feed-read ≡ what
+    //    changed. The streaming face of the same resolution
+    //    (micro-batch per commit window, checkpointed offsets) is
+    //    pinned by ChangeFeedSpec.
+    "q272_change_feed" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+      val dir = postingsStoreDir(s, d)
+      PostingsStore.maintainBatch(
+        docs.filter(!(col("doc_id") < cut)), col("doc_id"), col("text"),
+        dir, batchId = 1L)
+      PostingsStore.compact(s, dir)
+      s.read.format("graft").option("path", dir)
+        .option("table", "changes.postings.doclen")
+        .option("sinceCommit", "0").load()
+        .select(col("id").as("doc_id"), col("dl"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- integer-exact bigram LM affinity scoring.
     "q216_lm_bits" -> { (s, d) =>
       lmBits(Tables.documents(s, d), col("doc_id"), col("text"))
@@ -890,6 +943,26 @@ object LmQueries {
          |  CAST(COUNT(*) AS BIGINT) AS coll_tf
          |FROM t WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
          |GROUP BY term ORDER BY term""".stripMargin,
+
+    // The catalog identifier's VERSION AS OF 0 must land on the seed
+    // corpus's own statistics — snapshot-read ≡ as-it-was recompute.
+    "q271_sql_catalog" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, UNNEST($Tok) AS term FROM documents
+         |  WHERE $SeedPredSql)
+         |SELECT term, COUNT(DISTINCT doc_id) AS df,
+         |  CAST(COUNT(*) AS BIGINT) AS coll_tf
+         |FROM t WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |GROUP BY term ORDER BY term""".stripMargin,
+
+    // The change feed since the seed commit must emit EXACTLY the delta
+    // corpus's doclen rows — the fold is the change; the compact is not.
+    "q272_change_feed" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, UNNEST($Tok) AS term FROM documents
+         |  WHERE NOT ($SeedPredSql))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // floor(log2 n) = LENGTH(BIN(n)) - 1 in both engines — exact.
     "q216_lm_bits" ->

@@ -366,6 +366,49 @@ object PostingsStore {
     if (readMeta(spark, dir).isEmpty) -1L
     else Generations.foldCommitForBatch(spark, dir, MetaName, batchId)
 
+  /** CHANGE-FEED resolution (round 12): the slice data dirs of table
+    * `sub` APPENDED by the commits in `(since, until]` — the store's
+    * CDC-out face, consumed by [[graft.sources.ChangeFeedTable]] both
+    * as a batch delta read and as micro-batch offsets of a streaming
+    * source. Commit classification is derivable from the archived
+    * manifests alone (no verb log needed):
+    *
+    *  - a COMPACT advanced `sliceBase` — its merged slice REWRITES
+    *    rows that already flowed through the feed, so it contributes
+    *    NOTHING (a physical reorganization is not a change);
+    *  - an empty-batch no-op bump added no slices — nothing;
+    *  - a FOLD appended postings+doclen slices (row additions), a
+    *    PURGE appended a purged slice (row deletions) — each commit's
+    *    new ids are `[slices(c-1), slices(c))`, and which sub a verb
+    *    wrote is exactly which sub's dir exists at that id.
+    *
+    * `since = -1` streams from genesis. Fail-closed like every
+    * snapshot read: the whole change window must still be readable
+    * (vacuum retires it loudly, never silently). */
+  def changeDirs(spark: SparkSession, dir: String, sub: String,
+      since: Long, until: Long): (Seq[String], String) = {
+    require(Set("postings", "doclen", "purged")(sub),
+      s"unknown postings-store table '$sub'")
+    require(since >= -1L && since <= until,
+      s"bad change window ($since, $until]")
+    if (since == until) return (Nil, s"$dir/$sub")
+    def metaOf(c: Long): Meta =
+      if (c < 0L) Meta(Format, -1L, 0L, 0L, 0, 0L, 0L, -1L)
+      else metaAt(spark, dir, c)
+    val loEnd = metaOf(since).slices
+    val hiEnd = metaOf(until).slices
+    Generations.requireSlicesReadable(spark, dir,
+      Seq("postings", "doclen", "purged"), loEnd, hiEnd,
+      s"change window ($since, $until]")
+    val hc = graft.util.Hfs.conf(spark)
+    val dirs = ((since + 1L) to until).flatMap { c =>
+      val prev = metaOf(c - 1); val m = metaOf(c)
+      if (m.sliceBase > prev.sliceBase) Nil // compact: rewrite, not change
+      else (prev.slices until m.slices).map(s => s"$dir/$sub/slice=$s")
+    }.filter(p => graft.util.Hfs.exists(new org.apache.hadoop.fs.Path(p), hc))
+    (dirs, s"$dir/$sub")
+  }
+
   /** The live slice data dirs of table `sub` ("postings" | "doclen" |
     * "purged") for a committed snapshot (commit = None → current),
     * plus the base path that keeps `slice`/`tp` as partition columns —

@@ -108,6 +108,21 @@ object Generations {
     if (Hfs.exists(p, hc)) Some(Hfs.readString(p, hc).trim) else None
   }
 
+  /** TIMESTAMP AS OF resolution: the latest committed snapshot whose
+    * history entry was written at or before `tsMillis` — the archive
+    * file's modification time IS the commit's wall-clock (the pointer
+    * flip follows within the same verb). None when every commit is
+    * later than the asked instant. Powers [[graft.sources.GraftCatalog]]'s
+    * `TIMESTAMP AS OF`; `VERSION AS OF` goes straight to the id. */
+  def commitAtTimestamp(spark: SparkSession, dir: String,
+      metaName: String, tsMillis: Long): Option[Long] = {
+    val hc = Hfs.conf(spark)
+    listCommits(spark, dir, metaName).filter { c =>
+      val p = new HPath(s"$dir/$HistoryDir/commit-$c.json")
+      Hfs.exists(p, hc) && Hfs.mtime(p, hc) <= tsMillis
+    }.lastOption
+  }
+
   /** The commit id produced by the FOLD of ledgered batch `batchId` —
     * the snapshot a cross-store set manifest must pin (ADVICE r11: on a
     * crash replay, a store-level compact/purge may have run between the

@@ -34,6 +34,11 @@ object Hfs {
 
   def mkdirs(dir: Path, c: Configuration): Unit = { fs(dir, c).mkdirs(dir); () }
 
+  /** Modification time of `p` in epoch millis (object stores report the
+    * PUT time — the commit instant for a manifest archive entry). */
+  def mtime(p: Path, c: Configuration): Long =
+    fs(p, c).getFileStatus(p).getModificationTime
+
   /** Create an empty marker file (no overwrite). */
   def touch(p: Path, c: Configuration): Unit = {
     fs(p, c).create(p, false).close()

@@ -1,0 +1,148 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.text.PostingsStore
+
+/** The CDC-OUT face (round 12): commits of the persisted postings
+  * store consumed as a change stream — folds emit additions, purges
+  * emit deletions, compacts (physical rewrites) emit NOTHING, and a
+  * restarted stream resumes exactly at its checkpointed commit offset.
+  * The engine's own substrates can now cascade the way the reference's
+  * pipeline cascades DynamoDB streams into the warehouse
+  * (`source/dynamodb_stream_to_kinesis_lambda/handler.py`). */
+class ChangeFeedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = graft.util.Tables.documents(spark, sf)
+    .filter(col("doc_id") > 0).select(col("doc_id"), col("text"))
+
+  private def feed(dir: String, sub: String, since: Long = -1L,
+      until: Option[Long] = None): DataFrame = {
+    val r = spark.read.format("graft").option("path", dir)
+      .option("table", s"changes.postings.$sub")
+      .option("sinceCommit", since.toString)
+    until.fold(r)(u => r.option("untilCommit", u.toString)).load()
+  }
+
+  test("batch delta face: folds emit additions, a purge emits its " +
+      "tombstones, a compact emits nothing, and the full window " +
+      "replays the event history") {
+    val dir = Files.createTempDirectory("cfbatch").toString
+    val seed = docs.filter(col("doc_id") <= 300)
+    val delta = docs.filter(col("doc_id") > 300)
+    PostingsStore.maintainBatch(seed, col("doc_id"), col("text"), dir,
+      batchId = 0L) // commit 0
+    PostingsStore.maintainBatch(delta, col("doc_id"), col("text"), dir,
+      batchId = 1L) // commit 1
+    import spark.implicits._
+    PostingsStore.purgeDocs(spark, dir,
+      Seq(5L, 10L).toDF("id")) // commit 2
+    PostingsStore.compact(spark, dir) // commit 3
+
+    def ids(df: DataFrame) =
+      df.select(col("id")).distinct().as[Long].collect().toSet
+
+    // (−1, 0]: the seed docs' doclen rows, exactly
+    assert(ids(feed(dir, "doclen", -1, Some(0))) ==
+      seed.select(col("doc_id")).as[Long].collect().toSet)
+    // (0, 1]: only the delta docs
+    assert(ids(feed(dir, "doclen", 0, Some(1))) ==
+      delta.select(col("doc_id")).as[Long].collect().toSet)
+    // (1, 2]: the purge's tombstones on the purged feed, no additions
+    assert(ids(feed(dir, "purged", 1, Some(2))) == Set(5L, 10L))
+    assert(feed(dir, "doclen", 1, Some(2)).isEmpty)
+    // (2, 3]: the compact — a rewrite, not a change
+    assert(feed(dir, "postings", 2, Some(3)).isEmpty &&
+      feed(dir, "purged", 2, Some(3)).isEmpty)
+    // full window = the event history: every fold's additions (the
+    // later-purged ids INCLUDED — their addition happened), plus both
+    // tombstones on the deletion feed
+    assert(ids(feed(dir, "doclen")) ==
+      docs.select(col("doc_id")).as[Long].collect().toSet)
+    assert(ids(feed(dir, "purged")) == Set(5L, 10L))
+    // the additions feed carries real postings rows
+    val p = feed(dir, "postings", -1, Some(1))
+    assert(Set("term", "id", "tf", "slice", "tp")
+      .subsetOf(p.columns.toSet))
+    assert(p.count() > 0)
+  }
+
+  test("streaming: one micro-batch per unseen commit window, " +
+      "exactly-once across restarts via checkpointed offsets; the " +
+      "purged feed is subscribable before any purge ran") {
+    val dir = Files.createTempDirectory("cfstream").toString
+    val ck = Files.createTempDirectory("cfck").toString
+    val ckPurged = Files.createTempDirectory("cfckp").toString
+    val seed = docs.filter(col("doc_id") <= 300)
+    val delta = docs.filter(col("doc_id") > 300)
+    PostingsStore.maintainBatch(seed, col("doc_id"), col("text"), dir,
+      batchId = 0L)
+
+    // the memory sink refuses checkpoint recovery; foreachBatch (the
+    // restart-capable sink every store maintenance stream uses) drains
+    // each run's micro-batches into a fresh buffer
+    def run(sub: String, checkpoint: String): Set[Long] = {
+      val got = new scala.collection.mutable.HashSet[Long]
+      val q = spark.readStream.format("graft").option("path", dir)
+        .option("table", s"changes.postings.$sub").load()
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val ids = df.select(col("id")).collect().map(_.getLong(0))
+          got.synchronized { got ++= ids }; ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+      got.synchronized(got.toSet)
+    }
+
+    // run 1: the seed flows
+    val seedIds = seed.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(run("doclen", ck) == seedIds)
+    // purged feed pre-purge: starts clean, sees nothing
+    assert(run("purged", ckPurged).isEmpty)
+
+    // fold the delta + purge, then RESTART both feeds from checkpoints
+    import spark.implicits._
+    PostingsStore.maintainBatch(delta, col("doc_id"), col("text"), dir,
+      batchId = 1L)
+    PostingsStore.purgeDocs(spark, dir, Seq(7L).toDF("id"))
+    val deltaIds = delta.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    // ONLY the unseen window flowed — nothing replayed, nothing skipped
+    assert(run("doclen", ck) == deltaIds)
+    assert(run("purged", ckPurged) == Set(7L))
+
+    // run 3 with no new commits: nothing flows
+    assert(run("doclen", ck).isEmpty)
+  }
+
+  test("a vacuumed change window fails loudly instead of silently " +
+      "skipping, and feeds reject snapshot options") {
+    val dir = Files.createTempDirectory("cfvac").toString
+    PostingsStore.maintainBatch(docs.filter(col("doc_id") <= 300),
+      col("doc_id"), col("text"), dir, batchId = 0L)
+    PostingsStore.maintainBatch(docs.filter(col("doc_id") > 300),
+      col("doc_id"), col("text"), dir, batchId = 1L)
+    PostingsStore.compact(spark, dir)
+    assert(PostingsStore.vacuumSlices(spark, dir) > 0)
+    val e = intercept[Exception](feed(dir, "doclen", -1, Some(1)).count())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("no longer readable")),
+      s"unexpected error: ${chain(e).mkString(" <- ")}")
+    val e2 = intercept[Exception](
+      spark.read.format("graft").option("path", dir)
+        .option("table", "changes.postings.doclen")
+        .option("commit", "1").load())
+    assert(e2.getMessage.contains("sinceCommit"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.text.PostingsStore
+
+/** The identifier-addressed catalog face (round 12): store surfaces as
+  * plain SQL names through `spark.sql.catalog.<name>`, with
+  * SQL-standard `VERSION AS OF` / `TIMESTAMP AS OF` resolving through
+  * the shared `_graft_history/` archive — the reference's
+  * SQL-visible-warehouse-table property, now on every substrate. */
+class GraftCatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = graft.util.Tables.documents(spark, sf)
+    .filter(col("doc_id") > 0).select(col("doc_id"), col("text"))
+
+  private lazy val catalogReady: Unit = spark.conf.set(
+    "spark.sql.catalog.graft_test", classOf[GraftCatalog].getName)
+
+  test("SQL identifiers resolve store surfaces; VERSION AS OF reads " +
+      "the archived snapshot; TIMESTAMP AS OF maps wall-clock to the " +
+      "latest commit at or before it") {
+    catalogReady
+    val dir = Files.createTempDirectory("graftcat").toString
+    PostingsStore.maintainBatch(docs.filter(col("doc_id") <= 300),
+      col("doc_id"), col("text"), dir, batchId = 0L)
+    // wall-clock gap so TIMESTAMP AS OF can land between the commits
+    val between = System.currentTimeMillis()
+    Thread.sleep(1100)
+    PostingsStore.maintainBatch(docs.filter(col("doc_id") > 300),
+      col("doc_id"), col("text"), dir, batchId = 1L)
+
+    // current: both folds visible, via dotted parts AND a quoted name
+    val cur = spark.sql(
+      s"SELECT count(*) AS n FROM graft_test.`$dir`.postings.doclen")
+      .head.getLong(0)
+    assert(cur == docs.count())
+    val curQuoted = spark.sql(
+      s"SELECT count(*) AS n FROM graft_test.`$dir`.`postings.doclen`")
+      .head.getLong(0)
+    assert(curQuoted == cur)
+
+    // VERSION AS OF 0 = the seed window only
+    val seedN = docs.filter(col("doc_id") <= 300).count()
+    val at0 = spark.sql("SELECT count(*) AS n FROM " +
+      s"graft_test.`$dir`.postings.doclen VERSION AS OF 0").head.getLong(0)
+    assert(at0 == seedN)
+
+    // TIMESTAMP AS OF between the commits = snapshot 0; before the
+    // first commit fails loudly
+    val atTs = spark.sql("SELECT count(*) AS n FROM " +
+      s"graft_test.`$dir`.postings.doclen TIMESTAMP AS OF " +
+      s"'${new java.sql.Timestamp(between)}'").head.getLong(0)
+    assert(atTs == seedN)
+    val e = intercept[Exception](spark.sql("SELECT * FROM " +
+      s"graft_test.`$dir`.postings.doclen TIMESTAMP AS OF " +
+      "'2001-01-01 00:00:00'").collect())
+    assert(e.getMessage.contains("no snapshot committed at or before") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("no snapshot committed at or before")))
+
+    // SHOW TABLES surfaces the store's tables
+    val shown = spark.sql(s"SHOW TABLES IN graft_test.`$dir`")
+      .select(col("tableName")).collect().map(_.getString(0)).toSet
+    assert(shown.contains("postings.doclen") &&
+      shown.contains("changes.postings.postings"))
+
+    // read-only: DDL fails loudly, with the why
+    val ddl = intercept[Exception](spark.sql(
+      s"DROP TABLE graft_test.`$dir`.postings.doclen"))
+    assert(ddl.getMessage.contains("read-only") ||
+      Option(ddl.getCause).exists(_.getMessage.contains("read-only")))
+  }
+
+  test("term stats via a catalog identifier equal the provider face " +
+      "(q268's read through format(\"graft\"))") {
+    catalogReady
+    val dir = Files.createTempDirectory("graftcat2").toString
+    PostingsStore.maintainBatch(docs, col("doc_id"), col("text"), dir,
+      batchId = 0L)
+    val viaCat = spark.sql(
+      s"""SELECT term, count(DISTINCT id) AS df, sum(tf) AS coll_tf
+         |FROM graft_test.`$dir`.postings.postings
+         |WHERE term IN ('fast', 'merge', 'table')
+         |GROUP BY term ORDER BY term""".stripMargin).collect()
+    val viaProvider = spark.read.format("graft").option("path", dir)
+      .option("table", "postings.postings").load()
+      .filter(col("term").isin("fast", "merge", "table"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("id")).as("df"), sum(col("tf")).as("coll_tf"))
+      .orderBy(col("term")).collect()
+    assert(viaCat.toSeq == viaProvider.toSeq && viaCat.nonEmpty)
+  }
+}
