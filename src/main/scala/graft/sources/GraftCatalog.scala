@@ -3,7 +3,8 @@ package graft.sources
 import java.util.{Map => JMap}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{Column, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Column, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -49,7 +50,7 @@ import graft.util.Generations
   * meaning against them, and pretending otherwise would bypass
   * exactly-once. Mutations stay library verbs; DDL throws loudly.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catName: String = "graft"
   private var root: Option[String] = None
@@ -138,6 +139,21 @@ class GraftCatalog extends TableCatalog {
         Seq("ivf.assigned", "ivf.purged") else Nil)
     surfaces.map(Identifier.of(namespace, _)).toArray
   }
+
+  /** SQL-callable maintenance ([[GraftProcedures]]):
+    * `CALL <cat>.system.compact(store => '...')`, `vacuum`, `commits` —
+    * operational verbs, not data DML, dispatched by probed store kind
+    * onto the same leased library verbs. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val ok = ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("system"))
+    require(ok, s"graft procedures live under $catName.system, got $ident")
+    GraftProcedures.load(ident.name(), dirOf)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.Names
+      .map(Identifier.of(Array("system"), _)).toArray
 
   private def readOnly(what: String): Nothing = sys.error(
     s"the graft catalog is read-only: $what is not supported — store " +

@@ -64,6 +64,22 @@ object LmQueries {
       dir
     }
 
+  /** q273's OWN postings store (two folds, never compacted at build) —
+    * isolated from [[postingsStoreDir]] because the q273 maintenance
+    * CALLs include a VACUUM, which would retire the slice windows the
+    * q261/q272 snapshot and change-feed reads depend on. */
+  private[graft] def procStoreDir(s: SparkSession, d: String): String =
+    graft.util.Maintenance.getOrBuild("procStoreSeed", s, d) {
+      val docs = Tables.documents(s, d)
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+      val dir = java.nio.file.Files.createTempDirectory("graftproc").toString
+      PostingsStore.maintainBatch(docs.filter(col("doc_id") < cut),
+        col("doc_id"), col("text"), dir, batchId = 0L)
+      PostingsStore.maintainBatch(docs.filter(!(col("doc_id") < cut)),
+        col("doc_id"), col("text"), dir, batchId = 1L)
+      dir
+    }
+
   /** q217 merge-round count (production tokenizers run tens of
     * thousands of rounds over the same vocab-sized loop). */
   private[text] val BpeRounds = 6
@@ -690,6 +706,32 @@ object LmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // -- round 12: SQL-CALLED MAINTENANCE ([[graft.sources
+    //    .GraftProcedures]]) — the operational verbs a warehouse DBA
+    //    schedules, through Spark 4's procedure face: COMPACT merges
+    //    the store's slice window, VACUUM physically retires the
+    //    pre-window slices, COMMITS reports the snapshot history (3:
+    //    two folds + the compact; reruns no-op — compact on a 1-slice
+    //    window and vacuum with nothing below the base both return
+    //    "nothing"). The gate then reads the substrate through the
+    //    catalog identifier: maintenance through SQL preserved every
+    //    row, bit-for-bit against the direct tokenization. Own store
+    //    ([[procStoreDir]]) — the vacuum here must not retire windows
+    //    q261/q272's snapshot reads depend on.
+    "q273_sql_maintenance" -> { (s, d) =>
+      val dir = procStoreDir(s, d)
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.sql(s"CALL graft_cat.system.compact(store => '$dir')").collect()
+      s.sql(s"CALL graft_cat.system.vacuum(store => '$dir')").collect()
+      val nCommits = s.sql(
+        s"CALL graft_cat.system.commits(store => '$dir')").count()
+      s.sql(
+        s"""SELECT id AS doc_id, dl, CAST($nCommits AS BIGINT) AS n_commits
+           |FROM graft_cat.`$dir`.postings.doclen
+           |ORDER BY doc_id""".stripMargin)
+    },
+
     // -- integer-exact bigram LM affinity scoring.
     "q216_lm_bits" -> { (s, d) =>
       lmBits(Tables.documents(s, d), col("doc_id"), col("text"))
@@ -962,6 +1004,14 @@ object LmQueries {
          |  SELECT doc_id, UNNEST($Tok) AS term FROM documents
          |  WHERE NOT ($SeedPredSql))
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // SQL-called compact+vacuum must preserve the substrate exactly;
+    // the history length (seed fold, delta fold, compact) is pinned.
+    "q273_sql_maintenance" ->
+      s"""WITH t AS (SELECT doc_id, UNNEST($Tok) AS term FROM documents)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl,
+         |  CAST(3 AS BIGINT) AS n_commits
          |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // floor(log2 n) = LENGTH(BIN(n)) - 1 in both engines — exact.

@@ -78,6 +78,59 @@ class GraftCatalogSpec extends AnyFunSuite {
       Option(ddl.getCause).exists(_.getMessage.contains("read-only")))
   }
 
+  test("CALL procedures: compact merges the slice window, vacuum " +
+      "retires pre-window slices, commits lists the history — all " +
+      "dispatched by probed store kind onto the leased library verbs") {
+    catalogReady
+    val dir = Files.createTempDirectory("graftproc").toString
+    PostingsStore.maintainBatch(docs.filter(col("doc_id") <= 300),
+      col("doc_id"), col("text"), dir, batchId = 0L)
+    PostingsStore.maintainBatch(docs.filter(col("doc_id") > 300),
+      col("doc_id"), col("text"), dir, batchId = 1L)
+    val before = docs.count()
+
+    val comp = spark.sql(
+      s"CALL graft_test.system.compact(store => '$dir')").collect()
+    assert(comp.length == 1 && comp.head.getString(0) == "postings" &&
+      comp.head.getString(1).contains("merged into slice"))
+    // idempotent: a 1-slice window has nothing to do
+    val again = spark.sql(
+      s"CALL graft_test.system.compact(store => '$dir')").collect()
+    assert(again.head.getString(1).contains("nothing to do"))
+
+    val vac = spark.sql(
+      s"CALL graft_test.system.vacuum(store => '$dir')").collect()
+    // 2 pre-window slices x the 2 subs a fold writes (postings, doclen)
+    assert(vac.head.getString(1).contains("4 slice dirs removed"))
+
+    // history: seed fold, delta fold, compact = commits 0..2, each with
+    // a wall-clock the TIMESTAMP AS OF face resolves through
+    val hist = spark.sql(
+      s"CALL graft_test.system.commits(store => '$dir')").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(hist.forall(_.getLong(1) > 0L) &&
+      hist.forall(_.getString(2) == "postings"))
+
+    // the SQL-called maintenance preserved the substrate
+    val after = spark.sql(
+      s"SELECT count(*) AS n FROM graft_test.`$dir`.postings.doclen")
+      .head.getLong(0)
+    assert(after == before)
+
+    // unknown procedure and unknown store fail loudly
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft_test.system.optimize(store => '$dir')"))
+    assert(e.getMessage.contains("unknown graft procedure") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("unknown graft procedure")))
+    val noStore = Files.createTempDirectory("graftempty").toString
+    val e2 = intercept[Exception](spark.sql(
+      s"CALL graft_test.system.compact(store => '$noStore')").collect())
+    assert(e2.getMessage.contains("no committed graft store") ||
+      Option(e2.getCause).exists(
+        _.getMessage.contains("no committed graft store")))
+  }
+
   test("term stats via a catalog identifier equal the provider face " +
       "(q268's read through format(\"graft\"))") {
     catalogReady

@@ -78,7 +78,7 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(names.toSet == Set("dedupLedger", "incrementalBase", "semanticLedger",
       "ledgerStoreSeed", "ivfIndex", "pqIndex", "ivfPqIndex", "ivfPqBase",
       "ivfPqStoreSeed", "semStoreSeed", "semDecontamSeed",
-      "postingsStoreSeed", "graphStoreSeed",
+      "postingsStoreSeed", "procStoreSeed", "graphStoreSeed",
       "linkageLedger", "linkageBase", "shardExportSeed", "pipelineSeed",
       "zorderLayout", "bucketedPair", "coPurchasePairs", "lpaLabels",
       "edgeBase"))
