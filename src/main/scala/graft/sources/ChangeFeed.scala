@@ -165,17 +165,25 @@ private[sources] final class ChangesStream(spark: SparkSession,
       .planInputPartitions()
   }
 
-  /** Factory over the sub's on-disk slices: parquet reader factories
-    * depend only on schemas and options, never on the planned paths,
-    * so one factory serves every window. With no slices yet (a
+  /** Factory built from ONE representative slice dir and memoized:
+    * parquet reader factories depend only on schemas and options,
+    * never on the planned paths, so one factory serves every window —
+    * and a store with thousands of slices pays one footer read, not a
+    * per-batch sweep (the schema equality every window must satisfy is
+    * asserted in [[ChangeFeed.parquetBatch]]). With no slices yet (a
     * pre-purge `purged` feed) every planned window is empty and the
-    * factory is never invoked — fail only on use. */
+    * factory is never invoked — fail only on use, and do NOT memoize,
+    * so the first real tombstone slice builds the real factory. */
+  @volatile private var cachedFactory: PartitionReaderFactory = null
+
   override def createReaderFactory(): PartitionReaderFactory = {
+    if (cachedFactory != null) return cachedFactory
     val own = ChangeFeed.existingSliceDirs(spark, dir, sub)
-    if (own.nonEmpty)
-      ChangeFeed.parquetBatch(spark, dir, sub, schema, own, s"$dir/$sub")
-        .createReaderFactory()
-    else {
+    if (own.nonEmpty) {
+      cachedFactory = ChangeFeed.parquetBatch(spark, dir, sub, schema,
+        own.take(1), s"$dir/$sub").createReaderFactory()
+      cachedFactory
+    } else {
       // capture only the string: a lambda over `this` would drag the
       // whole (non-serializable) stream into the task closure
       val where = s"$dir/$sub"
