@@ -13,10 +13,46 @@ import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.text.PostingsStore
+/** The store kinds a change feed can tail — each maps the shared
+  * commit/slice protocol onto its own manifest ([[graft.text
+  * .PostingsStore.changeDirs]], [[graft.warehouse.GraphStore
+  * .changeDirs]]). `purgedProxy` names the sub whose schema stands in
+  * for an empty `purged` feed (the store's id column is uniform across
+  * subs by construction, so the projection is exact). */
+private[sources] sealed trait FeedStore {
+  def storeName: String
+  def subs: Set[String]
+  def currentCommit(spark: SparkSession, dir: String): Long
+  def changeDirs(spark: SparkSession, dir: String, sub: String,
+      since: Long, until: Long): (Seq[String], String)
+  def purgedProxy: (String, Set[String])
+}
 
-/** CHANGE DATA FEED over the persisted postings store — the CDC-OUT
-  * face of a CDC engine (round 12). The reference's whole pipeline is
+private[sources] object PostingsFeed extends FeedStore {
+  val storeName = "postings"
+  val subs = Set("postings", "doclen", "purged")
+  def currentCommit(spark: SparkSession, dir: String): Long =
+    graft.text.PostingsStore.meta(spark, dir).map(_.commit).getOrElse(-1L)
+  def changeDirs(spark: SparkSession, dir: String, sub: String,
+      since: Long, until: Long): (Seq[String], String) =
+    graft.text.PostingsStore.changeDirs(spark, dir, sub, since, until)
+  val purgedProxy = ("doclen", Set("id", "slice"))
+}
+
+private[sources] object GraphFeed extends FeedStore {
+  val storeName = "graph"
+  val subs = Set("items", "pairs", "purged")
+  def currentCommit(spark: SparkSession, dir: String): Long =
+    graft.warehouse.GraphStore.meta(spark, dir).map(_.commit).getOrElse(-1L)
+  def changeDirs(spark: SparkSession, dir: String, sub: String,
+      since: Long, until: Long): (Seq[String], String) =
+    graft.warehouse.GraphStore.changeDirs(spark, dir, sub, since, until)
+  val purgedProxy = ("items", Set("ord", "slice"))
+}
+
+/** CHANGE DATA FEED over the persisted slice stores (postings + the
+  * graph delta-store) — the CDC-OUT face of a CDC engine (round 12).
+  * The reference's whole pipeline is
   * change capture INTO a warehouse
   * (`source/dynamodb_stream_to_kinesis_lambda/handler.py` emits change
   * events; DMS tails binlogs); the natural completion is the warehouse
@@ -35,11 +71,13 @@ import graft.text.PostingsStore
   *     .option("table", "changes.postings.postings").load()
   * }}}
   *
-  * Semantics ([[PostingsStore.changeDirs]]): a FOLD's appended slices
-  * are row ADDITIONS (`postings`/`doclen` feeds), a PURGE's tombstone
-  * slice is row DELETIONS (`purged` feed), and a COMPACT — a physical
-  * rewrite of rows that already flowed through the feed — emits
-  * NOTHING. Offsets are COMMIT IDS: the archived manifests make every
+  * Semantics ([[graft.util.Generations.changeSliceDirs]]): a FOLD's
+  * appended slices are row ADDITIONS, a PURGE's tombstone slice is row
+  * DELETIONS on the `purged` feed (and on the graph store's `pairs`
+  * feed its NEGATIVE Δ-counts — a genuinely differential stream:
+  * summing `dn` maintains exact edge weights), and a COMPACT — a
+  * physical rewrite of rows that already flowed through the feed —
+  * emits NOTHING. Offsets are COMMIT IDS: the archived manifests make every
   * `(start, end]` window a pure function of immutable history, so a
   * restarted stream replays exactly the uncommitted window and nothing
   * else (the store's own batch-id ledger discipline, mirrored on the
@@ -54,14 +92,16 @@ import graft.text.PostingsStore
   * pruning go through the snapshot surfaces (`table = postings.*`).
   */
 final class ChangeFeedTable(spark: SparkSession, dir: String,
-    sub: String, options: CaseInsensitiveStringMap)
+    store: FeedStore, sub: String, options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
 
-  require(Set("postings", "doclen", "purged")(sub),
-    s"unknown change feed 'changes.postings.$sub' " +
-      "(supported: changes.postings.{postings,doclen,purged})")
+  require(store.subs(sub),
+    s"unknown change feed 'changes.${store.storeName}.$sub' " +
+      s"(supported: changes.${store.storeName}." +
+      s"{${store.subs.toSeq.sorted.mkString(",")}})")
 
-  override def name(): String = s"graft:changes.postings.$sub:$dir"
+  override def name(): String =
+    s"graft:changes.${store.storeName}.$sub:$dir"
 
   /** The feed's row shape — the store format's slice schema, inferred
     * from slices ON DISK (not just the live window: a change read may
@@ -73,12 +113,13 @@ final class ChangeFeedTable(spark: SparkSession, dir: String,
     val own = ChangeFeed.existingSliceDirs(spark, dir, sub)
     if (own.nonEmpty) ChangeFeed.parquetSchema(spark, dir, sub, own)
     else if (sub == "purged") {
-      val dl = ChangeFeed.existingSliceDirs(spark, dir, "doclen")
-      require(dl.nonEmpty,
+      val (proxy, keep) = store.purgedProxy
+      val px = ChangeFeed.existingSliceDirs(spark, dir, proxy)
+      require(px.nonEmpty,
         s"$dir holds no slices at all — seed the store before " +
           "subscribing to its change feed")
-      StructType(ChangeFeed.parquetSchema(spark, dir, "doclen", dl)
-        .filter(f => f.name == "id" || f.name == "slice"))
+      StructType(ChangeFeed.parquetSchema(spark, dir, proxy, px)
+        .filter(f => keep(f.name)))
     } else sys.error(
       s"$dir/$sub holds no slices — seed the store before " +
         "subscribing to its change feed")
@@ -91,20 +132,20 @@ final class ChangeFeedTable(spark: SparkSession, dir: String,
       scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
     val since = Option(options.get("sinceCommit")).map(_.toLong).getOrElse(-1L)
     val until = Option(options.get("untilCommit")).map(_.toLong)
-    new ChangeFeedScanBuilder(spark, dir, sub, schema, since, until)
+    new ChangeFeedScanBuilder(spark, dir, store, sub, schema, since, until)
   }
 }
 
 private[sources] final class ChangeFeedScanBuilder(spark: SparkSession,
-    dir: String, sub: String, schema: StructType, since: Long,
-    until: Option[Long]) extends ScanBuilder {
+    dir: String, store: FeedStore, sub: String, schema: StructType,
+    since: Long, until: Option[Long]) extends ScanBuilder {
   override def build(): Scan =
-    new ChangeFeedScan(spark, dir, sub, schema, since, until)
+    new ChangeFeedScan(spark, dir, store, sub, schema, since, until)
 }
 
 private[sources] final class ChangeFeedScan(spark: SparkSession,
-    dir: String, sub: String, schema: StructType, since: Long,
-    until: Option[Long]) extends Scan {
+    dir: String, store: FeedStore, sub: String, schema: StructType,
+    since: Long, until: Option[Long]) extends Scan {
 
   override def readSchema(): StructType = schema
 
@@ -116,15 +157,15 @@ private[sources] final class ChangeFeedScan(spark: SparkSession,
   override def toBatch: Batch = {
     // default until = current; an explicit bad window still fails loudly
     val hi = until.getOrElse(
-      math.max(since, ChangeFeed.currentCommit(spark, dir)))
-    val (dirs, base) = PostingsStore.changeDirs(spark, dir, sub, since, hi)
+      math.max(since, store.currentCommit(spark, dir)))
+    val (dirs, base) = store.changeDirs(spark, dir, sub, since, hi)
     if (dirs.isEmpty) ChangeFeed.EmptyBatch
     else ChangeFeed.parquetBatch(spark, dir, sub, schema, dirs, base)
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
-    new ChangesStream(spark, dir, sub, schema, since)
+    new ChangesStream(spark, dir, store, sub, schema, since)
 }
 
 /** Commit-id offset: the checkpointed position of a [[ChangesStream]].
@@ -139,13 +180,13 @@ private[sources] final case class CommitOffset(commit: Long) extends Offset {
   * archived history makes every planned window replayable bit-for-bit
   * after a restart. */
 private[sources] final class ChangesStream(spark: SparkSession,
-    dir: String, sub: String, schema: StructType, since: Long)
-    extends MicroBatchStream {
+    dir: String, store: FeedStore, sub: String, schema: StructType,
+    since: Long) extends MicroBatchStream {
 
   override def initialOffset(): Offset = CommitOffset(since)
 
   override def latestOffset(): Offset =
-    CommitOffset(math.max(since, ChangeFeed.currentCommit(spark, dir)))
+    CommitOffset(math.max(since, store.currentCommit(spark, dir)))
 
   override def deserializeOffset(json: String): Offset = {
     val re = """\{"commit":(-?[0-9]+)\}""".r
@@ -159,7 +200,7 @@ private[sources] final class ChangesStream(spark: SparkSession,
       : Array[InputPartition] = {
     val lo = start.asInstanceOf[CommitOffset].commit
     val hi = end.asInstanceOf[CommitOffset].commit
-    val (dirs, base) = PostingsStore.changeDirs(spark, dir, sub, lo, hi)
+    val (dirs, base) = store.changeDirs(spark, dir, sub, lo, hi)
     if (dirs.isEmpty) Array.empty
     else ChangeFeed.parquetBatch(spark, dir, sub, schema, dirs, base)
       .planInputPartitions()
@@ -209,9 +250,6 @@ private[sources] object ChangeFeed {
     else graft.util.Hfs.list(p, hc).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("slice=")).map(_.toString).sorted
   }
-
-  def currentCommit(spark: SparkSession, dir: String): Long =
-    PostingsStore.meta(spark, dir).map(_.commit).getOrElse(-1L)
 
   private def opts(base: String): CaseInsensitiveStringMap =
     new CaseInsensitiveStringMap(Map("basePath" -> base).asJava)

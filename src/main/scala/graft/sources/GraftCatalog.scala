@@ -135,6 +135,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         Seq("postings.postings", "postings.doclen", "postings.purged",
           "changes.postings.postings", "changes.postings.doclen",
           "changes.postings.purged") else Nil) ++
+      (if (has("_graft_graph_meta.json"))
+        Seq("changes.graph.items", "changes.graph.pairs",
+          "changes.graph.purged") else Nil) ++
       (if (has("_graft_index_meta.json"))
         Seq("ivf.assigned", "ivf.purged") else Nil)
     surfaces.map(Identifier.of(namespace, _)).toArray

@@ -114,11 +114,16 @@ object GraftTables {
       require(commit.isEmpty,
         "change feeds position by sinceCommit/untilCommit (a window), " +
           "not commit (a snapshot)")
-      val rest = table.stripPrefix("changes.")
-      require(rest.startsWith("postings."),
-        s"unknown change feed '$table' — the feed-bearing store is " +
-          "'postings' (changes.postings.{postings,doclen,purged})")
-      new ChangeFeedTable(spark, dir, rest.stripPrefix("postings."), options)
+      table.stripPrefix("changes.").split("\\.", 2) match {
+        case Array("postings", sub) =>
+          new ChangeFeedTable(spark, dir, PostingsFeed, sub, options)
+        case Array("graph", sub) =>
+          new ChangeFeedTable(spark, dir, GraphFeed, sub, options)
+        case _ => sys.error(
+          s"unknown change feed '$table' — feed-bearing stores are " +
+            "'postings' (changes.postings.{postings,doclen,purged}) and " +
+            "'graph' (changes.graph.{items,pairs,purged})")
+      }
     } else {
       val (paths, extra) = pathsOf(spark, dir, table, commit)
       val name = s"graft:$table@${commit.getOrElse("current")}:$dir"
@@ -136,6 +141,7 @@ object GraftTables {
     case "sem.labels" => "_graft_semledger_meta.json"
     case s if s.startsWith("postings.") ||
       s.startsWith("changes.postings.") => "_graft_postings_meta.json"
+    case s if s.startsWith("changes.graph.") => "_graft_graph_meta.json"
     case s if s.startsWith("ivf.") => "_graft_index_meta.json"
     case s if s.startsWith("set:") => "_graft_pipeline_meta.json"
     case other => sys.error(s"unknown graft table '$other'")

@@ -389,24 +389,11 @@ object PostingsStore {
       since: Long, until: Long): (Seq[String], String) = {
     require(Set("postings", "doclen", "purged")(sub),
       s"unknown postings-store table '$sub'")
-    require(since >= -1L && since <= until,
-      s"bad change window ($since, $until]")
-    if (since == until) return (Nil, s"$dir/$sub")
-    def metaOf(c: Long): Meta =
-      if (c < 0L) Meta(Format, -1L, 0L, 0L, 0, 0L, 0L, -1L)
-      else metaAt(spark, dir, c)
-    val loEnd = metaOf(since).slices
-    val hiEnd = metaOf(until).slices
-    Generations.requireSlicesReadable(spark, dir,
-      Seq("postings", "doclen", "purged"), loEnd, hiEnd,
-      s"change window ($since, $until]")
-    val hc = graft.util.Hfs.conf(spark)
-    val dirs = ((since + 1L) to until).flatMap { c =>
-      val prev = metaOf(c - 1); val m = metaOf(c)
-      if (m.sliceBase > prev.sliceBase) Nil // compact: rewrite, not change
-      else (prev.slices until m.slices).map(s => s"$dir/$sub/slice=$s")
-    }.filter(p => graft.util.Hfs.exists(new org.apache.hadoop.fs.Path(p), hc))
-    (dirs, s"$dir/$sub")
+    Generations.changeSliceDirs(spark, dir, sub,
+      Seq("postings", "doclen", "purged"),
+      c => if (c < 0L) (0L, 0L) else {
+        val m = metaAt(spark, dir, c); (m.sliceBase, m.slices)
+      }, since, until)
   }
 
   /** The live slice data dirs of table `sub` ("postings" | "doclen" |

@@ -108,6 +108,37 @@ object Generations {
     if (Hfs.exists(p, hc)) Some(Hfs.readString(p, hc).trim) else None
   }
 
+  /** CHANGE-FEED window resolution shared by the slice stores
+    * ([[graft.text.PostingsStore.changeDirs]],
+    * [[graft.warehouse.GraphStore.changeDirs]]): the slice data dirs of
+    * `sub` APPENDED by the commits in `(since, until]`, classified from
+    * the archived manifests alone — `window(c)` returns commit `c`'s
+    * `(sliceBase, slices)` (and `(0, 0)` for the virtual pre-genesis
+    * commit −1). A commit that advanced `sliceBase` is a COMPACT — a
+    * physical rewrite of rows that already flowed, contributing
+    * nothing; a commit that added no slices is a no-op ledger bump;
+    * everything else appended genuine change slices, and which sub a
+    * verb wrote is exactly which sub's dir exists at that id.
+    * Fail-closed: the whole change window must still be readable. */
+  def changeSliceDirs(spark: SparkSession, dir: String, sub: String,
+      allSubs: Seq[String], window: Long => (Long, Long),
+      since: Long, until: Long): (Seq[String], String) = {
+    require(since >= -1L && since <= until,
+      s"bad change window ($since, $until]")
+    if (since == until) return (Nil, s"$dir/$sub")
+    requireSlicesReadable(spark, dir, allSubs,
+      window(since)._2, window(until)._2,
+      s"change window ($since, $until]")
+    val hc = Hfs.conf(spark)
+    val dirs = ((since + 1L) to until).flatMap { c =>
+      val (prevBase, prevSlices) = window(c - 1)
+      val (base, slices) = window(c)
+      if (base > prevBase) Nil // compact: rewrite, not change
+      else (prevSlices until slices).map(s => s"$dir/$sub/slice=$s")
+    }.filter(p => Hfs.exists(new HPath(p), hc))
+    (dirs, s"$dir/$sub")
+  }
+
   /** TIMESTAMP AS OF resolution: the latest committed snapshot whose
     * history entry was written at or before `tsMillis` — the archive
     * file's modification time IS the commit's wall-clock (the pointer

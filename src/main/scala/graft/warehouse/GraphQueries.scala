@@ -634,6 +634,31 @@ object GraphQueries {
         .orderBy(col("u"), col("v"))
     },
 
+    // -- round 12: the graph substrate's CHANGE DATA FEED
+    //    ([[graft.sources.ChangeFeedTable]] over
+    //    [[GraphStore.changeDirs]]) — a DIFFERENTIAL stream: the
+    //    delta-store's slices carry signed Δ-counts, so the feed since
+    //    the seed commit, SUMMED, is exactly the edge-weight change
+    //    the delta lines caused (base⋈Δ ∪ C(Δ,2)); the compact commit
+    //    (a physical pre-aggregation of already-flowed rows)
+    //    contributes nothing. Oracle = full pair counts MINUS
+    //    seed-only pair counts. Fold/compact replays are no-ops, so
+    //    this is order-independent with q258/q265.
+    "q274_graph_change_feed" -> { (s, d) =>
+      val dir = graphStoreDir(s, d)
+      GraphStore.maintainBatch(
+        Tables.lineitem(s, d).filter(col("l_linenumber") > 3)
+          .select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey"), col("l_partkey"), dir, batchId = 1L)
+      GraphStore.compact(s, dir)
+      s.read.format("graft").option("path", dir)
+        .option("table", "changes.graph.pairs")
+        .option("sinceCommit", "0").load()
+        .groupBy(col("u"), col("v")).agg(sum(col("dn")).as("dn"))
+        .filter(col("dn") =!= 0L)
+        .orderBy(col("u"), col("v"))
+    },
+
     // -- modularity of the q222 communities (partition-quality scalar),
     //    probing the MAINTAINED labeling (community assignments are
     //    refreshed state, like the edge table itself).
@@ -812,6 +837,26 @@ object GraphQueries {
         |  AND a.l_partkey < b.l_partkey
         |WHERE a.l_linenumber <= 3 AND b.l_linenumber <= 3
         |GROUP BY 1, 2 HAVING COUNT(*) >= $MinCoOccurrence
+        |ORDER BY u, v""".stripMargin,
+
+    // The differential feed summed must equal full-minus-seed pair
+    // counts — the fold's Δ slice is exactly the change its lines
+    // caused, and the compact contributes nothing.
+    "q274_graph_change_feed" ->
+      s"""WITH allp AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |seed AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_linenumber <= 3 AND b.l_linenumber <= 3
+        |  GROUP BY 1, 2)
+        |SELECT u, v, CAST(allp.n - COALESCE(seed.n, 0) AS BIGINT) AS dn
+        |FROM allp LEFT JOIN seed USING (u, v)
+        |WHERE allp.n - COALESCE(seed.n, 0) <> 0
         |ORDER BY u, v""".stripMargin,
 
     // q138's recursive replay with the seeded teleport: restart mass

@@ -324,6 +324,28 @@ object GraphStore {
     }
   }
 
+  /** CHANGE-FEED resolution (round 12 — the
+    * [[graft.text.PostingsStore.changeDirs]] analog on the graph
+    * substrate, consumed through `format("graft")` as
+    * `changes.graph.{pairs,items,purged}`): the slice dirs commits
+    * `(since, until]` appended. The delta-store layout makes the
+    * `pairs` feed DIFFERENTIAL in the differential-dataflow sense — a
+    * fold's slice carries positive Δ-counts, a purge's slice carries
+    * the NEGATIVE Δ-counts that cancel the purged baskets, so a
+    * downstream consumer maintains exact edge weights by summing `dn`
+    * over the feed; a compact (physical pre-aggregation of already-
+    * flowed rows) contributes nothing. */
+  def changeDirs(spark: SparkSession, dir: String, sub: String,
+      since: Long, until: Long): (Seq[String], String) = {
+    require(Set("items", "pairs", "purged")(sub),
+      s"unknown graph-store table '$sub'")
+    Generations.changeSliceDirs(spark, dir, sub,
+      Seq("items", "pairs", "purged"),
+      c => if (c < 0L) (0L, 0L) else {
+        val m = metaAt(spark, dir, c); (m.sliceBase, m.slices)
+      }, since, until)
+  }
+
   /** The committed snapshot id produced by LEDGERED batch `batchId` —
     * the pin a cross-store set manifest records (ADVICE r11: the
     * store's CURRENT commit can be later than the batch's fold commit

@@ -124,6 +124,49 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(run("doclen", ck).isEmpty)
   }
 
+  test("graph delta-store feed is DIFFERENTIAL: folds emit positive " +
+      "Δ-counts, a purge emits the cancelling negatives, a compact " +
+      "emits nothing — summing the feed reproduces the live state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cfgraph").toString
+    // baskets: 1 = (10, 20), 2 = (10, 20, 30); delta adds 40 to basket 1
+    val seed = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (2L, 30L))
+      .toDF("ord", "item")
+    graft.warehouse.GraphStore.maintainBatch(seed, col("ord"), col("item"),
+      dir, batchId = 0L, prefixes = 4) // commit 0
+    graft.warehouse.GraphStore.maintainBatch(
+      Seq((1L, 40L)).toDF("ord", "item"), col("ord"), col("item"),
+      dir, batchId = 1L, prefixes = 4) // commit 1: +(10,40) +(20,40)
+    graft.warehouse.GraphStore.purgeOrders(spark, dir,
+      Seq(2L).toDF("ord")) // commit 2: negative Δ for basket 2's pairs
+    graft.warehouse.GraphStore.compact(spark, dir) // commit 3: nothing
+
+    def pairsFeed(since: Long, until: Option[Long]) = {
+      val r = spark.read.format("graft").option("path", dir)
+        .option("table", "changes.graph.pairs")
+        .option("sinceCommit", since.toString)
+      until.fold(r)(u => r.option("untilCommit", u.toString)).load()
+    }
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("u"), col("v")).agg(sum(col("dn")).as("n"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        .toMap
+
+    // the fold window emits exactly the delta's new pairs
+    assert(sums(pairsFeed(0, Some(1))) ==
+      Map((10L, 40L) -> 1L, (20L, 40L) -> 1L))
+    // the purge window emits basket 2's pairs NEGATED
+    assert(sums(pairsFeed(1, Some(2))) ==
+      Map((10L, 20L) -> -1L, (10L, 30L) -> -1L, (20L, 30L) -> -1L))
+    // the compact window emits nothing
+    assert(pairsFeed(2, Some(3)).isEmpty)
+    // the whole feed summed ≡ the live merged state
+    val live = graft.warehouse.GraphStore.load(spark, dir)._2
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(sums(pairsFeed(-1, None)).filter(_._2 != 0L) == live)
+  }
+
   test("a vacuumed change window fails loudly instead of silently " +
       "skipping, and feeds reject snapshot options") {
     val dir = Files.createTempDirectory("cfvac").toString
