@@ -133,6 +133,12 @@ object Apply {
     * parquet files / bucket dirs sit at the table root (a pre-manifest
     * layout) — any of these would silently treat current rows as absent
     * and drop them from rewritten buckets.
+    *
+    * CDC-OUT (round 12): each batch also records its applied envelope
+    * rows as a CHANGE SLICE under `_changes/commit=N`, written before
+    * the pointer flip — the `changes.merge` feed ([[changeFeedDirs]],
+    * [[graft.sources.ChangeFeedTable]]) serves downstream consumers
+    * the table's own change stream without ever diffing snapshots.
     */
   def startMerge(
       envelopes: DataFrame,
@@ -244,6 +250,17 @@ object Apply {
           val prevRetired = meta.map(_.retired).getOrElse(Map.empty)
           val (keep, drop) = splitRetired(root, live, prevRetired, gcGraceMs, hc)
           val commitId = meta.map(_.commitId).getOrElse(0L) + 1
+          // CDC-OUT (round 12): the commit's CHANGE SLICE — the batch's
+          // applied envelope rows, latest per key, REMOVEs included
+          // (the table drops tombstones; the feed must not). Written
+          // BEFORE the pointer flips and keyed by the commit id, so a
+          // crashed batch's replay overwrites its own orphan (the
+          // replay recomputes the same id), and `changes.merge` readers
+          // ([[changeFeedDirs]]) see a slice only once its commit did.
+          Envelope.latestByKey(upserts, col("_key"), col("_version"),
+              tieBreak = Seq(col("op").desc))
+            .write.mode("overwrite")
+            .parquet(new HPath(root, s"$ChangesDirName/commit=$commitId").toString)
           writeManifest(root, nBuckets, newGens, keep, commitId, hc, archive = true)
           gcDirs(root, drop, hc)
         }
@@ -322,6 +339,10 @@ object Apply {
       val newGens: Map[Int, Long] = m.buckets.keysIterator.map(_ -> gen).toMap
       val live = newGens.toSeq.map { case (b, g) => (g, b) }.toSet
       val (keep, drop) = splitRetired(root, live, m.retired, gcGraceMs, hc)
+      // a compact is a physical rewrite, not a change: claim the commit
+      // id's change slice so a crashed merge batch's orphan cannot ride
+      // this commit into the feed
+      claimChanges(root, m.commitId + 1, hc)
       writeManifest(root, m.nBuckets, newGens, keep, m.commitId + 1, hc,
         archive = true)
       gcDirs(root, drop, hc)
@@ -394,6 +415,22 @@ object Apply {
       touched.filter(written).map(_ -> gen)
     val live = newGens.toSeq.map { case (b, g) => (g, b) }.toSet
     val (keep, drop) = splitRetired(root, live, m.retired, gcGraceMs, hc)
+    // CDC-OUT: the purge IS a batch of REMOVE events — without it a
+    // downstream cache fed by `changes.merge` would keep the purged
+    // rows forever (the compliance hole). Key + stored version ride;
+    // data columns are TYPED NULLS (the stream-REMOVE null-after-image
+    // convention, so the feed schema is uniform across producers).
+    val purgedRows = current.join(keyed.select(col("_purge_key")),
+      col(keyCol) === col("_purge_key"), "left_semi")
+    val afterFields = current.schema.fields
+      .filterNot(f => f.name == "_version" || f.name == "_bucket")
+    purgedRows.select(
+        lit(Envelope.Remove).as("op") +: col(keyCol).as("_key") +:
+          col("_version") +:
+          afterFields.toIndexedSeq.map(f =>
+            lit(null).cast(f.dataType).as(f.name)): _*)
+      .write.mode("overwrite")
+      .parquet(new HPath(root, s"$ChangesDirName/commit=${m.commitId + 1}").toString)
     writeManifest(root, m.nBuckets, newGens, keep, m.commitId + 1, hc,
       archive = true)
     gcDirs(root, drop, hc)
@@ -435,6 +472,8 @@ object Apply {
         "was garbage-collected (raise gcGraceMs / delay vacuum to retain history)")
     val live = snap.buckets.toSeq.map { case (b, g) => (g, b) }.toSet
     val (keep, drop) = splitRetired(root, live, cur.retired, gcGraceMs, hc)
+    // metadata-only commit: claim the change slice (see compact)
+    claimChanges(root, cur.commitId + 1, hc)
     writeManifest(root, snap.nBuckets, snap.buckets, keep, cur.commitId + 1, hc,
       archive = true)
     gcDirs(root, drop, hc)
@@ -574,6 +613,99 @@ object Apply {
     * never GC'd; a snapshot stays READABLE only while its generation
     * dirs survive the retirement grace window (Delta/Iceberg retention
     * semantics — [[readMergeTableAt]] fails loudly afterwards). */
+  private val ChangesDirName = "_changes"
+  private val ChangesCutoffRe = """\{"cutoff": ([0-9]+)\}""".r
+
+  private def claimChanges(root: HPath, commitId: Long, hc: HConf): Unit = {
+    val p = new HPath(root, s"$ChangesDirName/commit=$commitId")
+    if (graft.util.Hfs.exists(p, hc)) graft.util.Hfs.delete(p, hc)
+  }
+
+  /** The current commit id, −1 when no merge table exists — the
+    * `changes.merge` feed's offset axis ([[graft.sources.ChangeFeedTable]]). */
+  def currentCommit(spark: SparkSession, tableDir: String): Long =
+    readMeta(new HPath(tableDir), graft.util.Hfs.conf(spark))
+      .map(_.commitId).getOrElse(-1L)
+
+  /** CDC-OUT resolution: the CHANGE SLICES the commits in
+    * `(since, until]` wrote — each merge batch's applied envelope rows
+    * (latest per key, REMOVEs included) and each [[purgeKeys]]'s
+    * REMOVE events, written atomically with their commits; compact /
+    * restore / vacuum commits are physical or metadata operations and
+    * wrote none. Consumed through `format("graft")` as
+    * `table = changes.merge` — batch or streaming (the
+    * [[graft.text.PostingsStore.changeDirs]] contract on the warehouse
+    * table itself). Fail-closed: a window [[vacuumChanges]] retired
+    * errors at resolution, never a silent skip. */
+  def changeFeedDirs(spark: SparkSession, tableDir: String,
+      since: Long, until: Long): (Seq[String], String) = {
+    require(since >= -1L && since <= until,
+      s"bad change window ($since, $until]")
+    val hc = graft.util.Hfs.conf(spark)
+    val root = new HPath(tableDir)
+    val base = new HPath(root, ChangesDirName).toString
+    if (since == until) return (Nil, base)
+    val cur = readMeta(root, hc).map(_.commitId).getOrElse(sys.error(
+      s"$tableDir is not a merge table (no $MetaName)"))
+    require(until <= cur,
+      s"$tableDir has no commit $until (current: $cur)")
+    changesCutoff(root, hc).foreach { cutoff =>
+      require(since + 1 >= cutoff,
+        s"change window ($since, $until] of $tableDir is no longer " +
+          s"readable: vacuumChanges retired slices below commit $cutoff")
+    }
+    val dirs = ((since + 1L) to until)
+      .map(c => new HPath(root, s"$ChangesDirName/commit=$c").toString)
+      .filter(p => graft.util.Hfs.exists(new HPath(p), hc))
+    (dirs, base)
+  }
+
+  private def changesCutoff(root: HPath, hc: HConf): Option[Long] = {
+    val p = new HPath(root, s"$ChangesDirName/_graft_changes_cutoff.json")
+    if (!graft.util.Hfs.exists(p, hc)) None
+    else graft.util.Hfs.readString(p, hc).trim match {
+      case ChangesCutoffRe(c) => Some(c.toLong)
+      case other => sys.error(
+        s"unparseable changes cutoff at $p: '${other.take(80)}'")
+    }
+  }
+
+  /** Retention for the CDC-OUT slices: retire change dirs BELOW
+    * `belowCommit`. The cutoff marker is written BEFORE any delete and
+    * kept permanently, so a reader asking for a retired (or
+    * crash-partially-deleted) window fails loudly at
+    * [[changeFeedDirs]] instead of silently under-reporting changes.
+    * Returns dirs removed. */
+  def vacuumChanges(spark: SparkSession, tableDir: String,
+      belowCommit: Long): Int =
+    graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
+    val hc = graft.util.Hfs.conf(spark)
+    val root = new HPath(tableDir)
+    val prev = changesCutoff(root, hc).getOrElse(-1L)
+    val cutoff = math.max(prev, belowCommit)
+    graft.util.Hfs.writeStringAtomic(
+      new HPath(root, s"$ChangesDirName/_graft_changes_cutoff.json"),
+      s"""{"cutoff": $cutoff}""", hc)
+    graft.util.Hfs.list(new HPath(root, ChangesDirName), hc).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("commit=") && n.stripPrefix("commit=").toLong < cutoff
+      }
+      .map { st => graft.util.Hfs.delete(st.getPath, hc); 1 }.sum
+    }
+
+  /** Every change slice still on disk, ascending — schema substrate for
+    * the `changes.merge` feed. */
+  def changeSliceDirsOnDisk(spark: SparkSession,
+      tableDir: String): Seq[String] = {
+    val hc = graft.util.Hfs.conf(spark)
+    val p = new HPath(new HPath(tableDir), ChangesDirName)
+    graft.util.Hfs.list(p, hc).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("commit="))
+      .sortBy(_.getName.stripPrefix("commit=").toLong)
+      .map(_.toString)
+  }
+
   private def writeManifest(
       root: HPath, nBuckets: Int, gens: Map[Int, Long],
       retired: Map[(Long, Int), Long], commitId: Long, hc: HConf,

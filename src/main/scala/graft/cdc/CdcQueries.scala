@@ -19,6 +19,39 @@ object CdcQueries {
         .when(col("event_type") === "error", Envelope.Remove)
         .otherwise(Envelope.Modify))
 
+  /** q275's MERGE TABLE, fed from the events envelope stream in two
+    * file-streamed micro-batches (event_id ≤ cut → commit 1, rest →
+    * commit 2) — the real [[Apply.startMerge]] path end-to-end, so each
+    * commit recorded its CDC-OUT change slice at write time. Built once
+    * per (session, corpus); every q275 run is a pure read. */
+  private[graft] def mergeFeedDir(s: SparkSession, d: String): String =
+    graft.util.Maintenance.getOrBuild("mergeFeedSeed", s, d) {
+      val ev = Tables.events(s, d)
+      val cut = ev.agg(max(col("event_id"))).head.getLong(0) / 2
+      val env = asFeed(s, d).select(col("op"),
+        col("user_id").as("key"), col("event_id"),
+        when(col("op") === Envelope.Remove, lit(null))
+          .otherwise(struct(col("user_id"), col("event_type"),
+            col("value"))).as("after"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graftmergefeed").toString
+      val tableDir = s"$base/table"
+      val schema = env.schema("after").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      def mergeOnce(part: String, pred: org.apache.spark.sql.Column): Unit = {
+        val in = s"$base/in_$part"
+        env.filter(pred).write.parquet(in)
+        val q = Apply.startMerge(
+          s.readStream.schema(env.schema).parquet(in), tableDir,
+          checkpointDir = s"$base/ck_$part",
+          keyCol = "user_id", versionCol = "event_id", schema = schema)
+        q.processAllAvailable(); q.stop()
+      }
+      mergeOnce("seed", col("event_id") <= cut)  // commit 1
+      mergeOnce("delta", col("event_id") > cut)  // commit 2
+      tableDir
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- P1/T5: route the change feed — REMOVEs dropped, kept ops counted.
     //    Uses the production Envelope.route (raise-on-unknown included).
@@ -43,6 +76,28 @@ object CdcQueries {
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_type"),
           cents(col("value")).as("last_value_cents"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- round 12: the WAREHOUSE TABLE'S OWN CHANGE FEED
+    //    (`changes.merge` — [[Apply.changeFeedDirs]] through
+    //    [[graft.sources.ChangeFeedTable]]): each merge commit recorded
+    //    its applied envelope rows (latest per key, REMOVEs kept) as a
+    //    change slice atomically with the commit, so the feed since
+    //    commit 1 is EXACTLY the second micro-batch's effective
+    //    upserts — no snapshot diffing anywhere. Oracle = latest-per-
+    //    user over the delta half of the events feed, REMOVE rows with
+    //    null images (the envelope convention). The merge table builds
+    //    once ([[mergeFeedDir]]); this query is a pure feed read.
+    "q275_merge_change_feed" -> { (s, d) =>
+      val dir = mergeFeedDir(s, d)
+      s.read.format("graft").option("path", dir)
+        .option("table", "changes.merge")
+        .option("sinceCommit", "1").load()
+        .select(col("op"), col("_key").as("user_id"),
+          col("_version").as("version"),
+          col("event_type").as("last_type"),
+          cents(col("value")).as("value_cents"))
         .orderBy(col("user_id"))
     },
 
@@ -323,6 +378,26 @@ object CdcQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |    ORDER BY event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // The feed since commit 1 must equal the delta batch's effective
+    // upserts: latest event per user among event_id > cut, REMOVEs
+    // kept with null images.
+    "q275_merge_change_feed" ->
+      """WITH env AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    CASE WHEN event_type = 'signup' THEN 'INSERT'
+        |         WHEN event_type = 'error' THEN 'REMOVE'
+        |         ELSE 'MODIFY' END AS op
+        |  FROM events
+        |  WHERE event_id > (SELECT MAX(event_id) // 2 FROM events)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY event_id DESC) AS rn FROM env)
+        |SELECT op, user_id, event_id AS version,
+        |  CASE WHEN op = 'REMOVE' THEN NULL ELSE event_type END AS last_type,
+        |  CASE WHEN op = 'REMOVE' THEN NULL
+        |       ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |  END AS value_cents
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q34_reconcile_counts" ->
       """SELECT 'customer' AS tbl, COUNT(*) AS n FROM customer

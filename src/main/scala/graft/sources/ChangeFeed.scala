@@ -14,18 +14,36 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** The store kinds a change feed can tail — each maps the shared
-  * commit/slice protocol onto its own manifest ([[graft.text
-  * .PostingsStore.changeDirs]], [[graft.warehouse.GraphStore
-  * .changeDirs]]). `purgedProxy` names the sub whose schema stands in
-  * for an empty `purged` feed (the store's id column is uniform across
-  * subs by construction, so the projection is exact). */
+  * commit-window protocol onto its own manifest and on-disk layout:
+  * the slice stores ([[graft.text.PostingsStore.changeDirs]],
+  * [[graft.warehouse.GraphStore.changeDirs]], slices under
+  * `dir/<sub>/slice=N`) and the merge table
+  * ([[graft.cdc.Apply.changeFeedDirs]], write-time change slices under
+  * `dir/_changes/commit=N`). `emptySchema` covers feeds that are
+  * legitimately subscribable before their first slice exists (a
+  * pre-purge `purged` feed projects the store's id column from a
+  * sibling sub). */
 private[sources] sealed trait FeedStore {
   def storeName: String
   def subs: Set[String]
+  def basePath(dir: String, sub: String): String = s"$dir/$sub"
+  /** Extra parquet read options (the merge feed turns on mergeSchema —
+    * a schema-evolved table's change slices legitimately differ). */
+  def readOptions: Map[String, String] = Map.empty
   def currentCommit(spark: SparkSession, dir: String): Long
   def changeDirs(spark: SparkSession, dir: String, sub: String,
       since: Long, until: Long): (Seq[String], String)
-  def purgedProxy: (String, Set[String])
+  /** Every change slice of `sub` still on disk — schema substrate
+    * (full history, not just the live window). */
+  def existingDirs(spark: SparkSession, dir: String, sub: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(basePath(dir, sub))
+    val hc = graft.util.Hfs.conf(spark)
+    graft.util.Hfs.list(p, hc).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("slice=")).map(_.toString).sorted
+  }
+  def emptySchema(spark: SparkSession, dir: String, sub: String): StructType =
+    sys.error(s"$dir/$sub holds no slices — seed the store before " +
+      "subscribing to its change feed")
 }
 
 private[sources] object PostingsFeed extends FeedStore {
@@ -36,7 +54,10 @@ private[sources] object PostingsFeed extends FeedStore {
   def changeDirs(spark: SparkSession, dir: String, sub: String,
       since: Long, until: Long): (Seq[String], String) =
     graft.text.PostingsStore.changeDirs(spark, dir, sub, since, until)
-  val purgedProxy = ("doclen", Set("id", "slice"))
+  override def emptySchema(spark: SparkSession, dir: String,
+      sub: String): StructType =
+    ChangeFeed.purgedProxySchema(this, spark, dir, sub, "doclen",
+      Set("id", "slice"))
 }
 
 private[sources] object GraphFeed extends FeedStore {
@@ -47,12 +68,36 @@ private[sources] object GraphFeed extends FeedStore {
   def changeDirs(spark: SparkSession, dir: String, sub: String,
       since: Long, until: Long): (Seq[String], String) =
     graft.warehouse.GraphStore.changeDirs(spark, dir, sub, since, until)
-  val purgedProxy = ("items", Set("ord", "slice"))
+  override def emptySchema(spark: SparkSession, dir: String,
+      sub: String): StructType =
+    ChangeFeed.purgedProxySchema(this, spark, dir, sub, "items",
+      Set("ord", "slice"))
 }
 
-/** CHANGE DATA FEED over the persisted slice stores (postings + the
-  * graph delta-store) — the CDC-OUT face of a CDC engine (round 12).
-  * The reference's whole pipeline is
+/** The WAREHOUSE TABLE's own feed: every merge batch writes its
+  * applied envelope rows (op, _key, _version, after columns — latest
+  * per key, REMOVEs included) as a change slice atomically with its
+  * commit, and [[graft.cdc.Apply.purgeKeys]] writes its REMOVE events
+  * the same way — so the feed needs NO snapshot diffing, ever (the
+  * Delta-CDF design: the transaction that knows its changes records
+  * them). `commit` rides as a hive partition column. */
+private[sources] object MergeFeed extends FeedStore {
+  val storeName = "merge"
+  val subs = Set("feed")
+  override def basePath(dir: String, sub: String): String = s"$dir/_changes"
+  override val readOptions: Map[String, String] = Map("mergeSchema" -> "true")
+  def currentCommit(spark: SparkSession, dir: String): Long =
+    graft.cdc.Apply.currentCommit(spark, dir)
+  def changeDirs(spark: SparkSession, dir: String, sub: String,
+      since: Long, until: Long): (Seq[String], String) =
+    graft.cdc.Apply.changeFeedDirs(spark, dir, since, until)
+  override def existingDirs(spark: SparkSession, dir: String,
+      sub: String): Seq[String] =
+    graft.cdc.Apply.changeSliceDirsOnDisk(spark, dir)
+}
+
+/** CHANGE DATA FEED over the persisted substrates — the CDC-OUT face
+  * of a CDC engine (round 12). The reference's whole pipeline is
   * change capture INTO a warehouse
   * (`source/dynamodb_stream_to_kinesis_lambda/handler.py` emits change
   * events; DMS tails binlogs); the natural completion is the warehouse
@@ -68,29 +113,35 @@ private[sources] object GraphFeed extends FeedStore {
   *   // streaming: one micro-batch per unseen commit window,
   *   // exactly-once via checkpointed commit offsets
   *   spark.readStream.format("graft").option("path", dir)
-  *     .option("table", "changes.postings.postings").load()
+  *     .option("table", "changes.merge").load()
   * }}}
   *
-  * Semantics ([[graft.util.Generations.changeSliceDirs]]): a FOLD's
-  * appended slices are row ADDITIONS, a PURGE's tombstone slice is row
-  * DELETIONS on the `purged` feed (and on the graph store's `pairs`
-  * feed its NEGATIVE Δ-counts — a genuinely differential stream:
-  * summing `dn` maintains exact edge weights), and a COMPACT — a
-  * physical rewrite of rows that already flowed through the feed —
-  * emits NOTHING. Offsets are COMMIT IDS: the archived manifests make every
-  * `(start, end]` window a pure function of immutable history, so a
-  * restarted stream replays exactly the uncommitted window and nothing
-  * else (the store's own batch-id ledger discipline, mirrored on the
-  * read side). Vacuumed windows fail LOUDLY at resolution — a feed can
-  * lag at most as far as slice retention, never silently skip.
+  * Surfaces: `changes.postings.{postings,doclen,purged}`,
+  * `changes.graph.{items,pairs,purged}` (the graph's `pairs` feed is
+  * DIFFERENTIAL — signed Δ-counts; summing `dn` maintains exact edge
+  * weights, purges ride as negatives), and `changes.merge` (the
+  * warehouse table's applied upserts + REMOVEs, written at commit
+  * time — no diffing).
   *
-  * Reading delegates to Spark's parquet machinery (the
-  * [[GraftTables]] pattern): each window's slice dirs become a stock
-  * parquet batch, so the vectorized reader applies unchanged. The
-  * DELTA face claims no filter/column pushdown — deltas are the
-  * bounded small side by design; full-history analytical reads with
-  * pruning go through the snapshot surfaces (`table = postings.*`).
-  */
+  * Semantics ([[graft.util.Generations.changeSliceDirs]] /
+  * [[graft.cdc.Apply.changeFeedDirs]]): a FOLD's appended slices are
+  * row additions, a PURGE's slice its deletions, and a COMPACT /
+  * RESTORE / VACUUM — physical or metadata reorganizations of rows
+  * that already flowed — emit NOTHING. Offsets are COMMIT IDS: the
+  * archived manifests make every `(start, end]` window a pure function
+  * of immutable history, so a restarted stream replays exactly the
+  * uncommitted window and nothing else. Vacuumed/retired windows fail
+  * LOUDLY at resolution — a feed can lag at most as far as slice
+  * retention, never silently skip.
+  *
+  * Reading delegates to Spark's parquet machinery with the feed's
+  * schema PINNED as the user-specified schema (the table-level merged
+  * view), so every window — including pre-evolution merge slices —
+  * reads uniformly (absent columns null-fill) and one reader factory
+  * serves all batches. The DELTA face claims no filter/column
+  * pushdown — deltas are the bounded small side by design;
+  * full-history analytical reads with pruning go through the snapshot
+  * surfaces. */
 final class ChangeFeedTable(spark: SparkSession, dir: String,
     store: FeedStore, sub: String, options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
@@ -103,26 +154,13 @@ final class ChangeFeedTable(spark: SparkSession, dir: String,
   override def name(): String =
     s"graft:changes.${store.storeName}.$sub:$dir"
 
-  /** The feed's row shape — the store format's slice schema, inferred
-    * from slices ON DISK (not just the live window: a change read may
-    * reach slices a compact moved the window past). The `purged` feed
-    * is subscribable BEFORE any purge ran (the deletion-propagation
-    * consumer's natural start state): its slices hold exactly the
-    * store's id column, so the shape projects from `doclen`'s. */
+  /** The feed's row shape, inferred once over the slices ON DISK (not
+    * just the live window: a change read may reach slices a compact
+    * moved the window past) and pinned on every window batch. */
   override lazy val schema: StructType = {
-    val own = ChangeFeed.existingSliceDirs(spark, dir, sub)
-    if (own.nonEmpty) ChangeFeed.parquetSchema(spark, dir, sub, own)
-    else if (sub == "purged") {
-      val (proxy, keep) = store.purgedProxy
-      val px = ChangeFeed.existingSliceDirs(spark, dir, proxy)
-      require(px.nonEmpty,
-        s"$dir holds no slices at all — seed the store before " +
-          "subscribing to its change feed")
-      StructType(ChangeFeed.parquetSchema(spark, dir, proxy, px)
-        .filter(f => keep(f.name)))
-    } else sys.error(
-      s"$dir/$sub holds no slices — seed the store before " +
-        "subscribing to its change feed")
+    val own = store.existingDirs(spark, dir, sub)
+    if (own.nonEmpty) ChangeFeed.inferSchema(store, spark, dir, sub, own)
+    else store.emptySchema(spark, dir, sub)
   }
 
   override def capabilities(): JSet[TableCapability] =
@@ -150,7 +188,8 @@ private[sources] final class ChangeFeedScan(spark: SparkSession,
   override def readSchema(): StructType = schema
 
   override def description(): String =
-    s"graft change feed $dir/$sub (${since}, ${until.getOrElse("current")}]"
+    s"graft change feed ${store.storeName}.$sub $dir " +
+      s"(${since}, ${until.getOrElse("current")}]"
 
   /** Batch delta read: the rows commits `(since, until]` appended,
     * `until` defaulting to the current commit. */
@@ -160,7 +199,7 @@ private[sources] final class ChangeFeedScan(spark: SparkSession,
       math.max(since, store.currentCommit(spark, dir)))
     val (dirs, base) = store.changeDirs(spark, dir, sub, since, hi)
     if (dirs.isEmpty) ChangeFeed.EmptyBatch
-    else ChangeFeed.parquetBatch(spark, dir, sub, schema, dirs, base)
+    else ChangeFeed.parquetBatch(store, spark, schema, dirs, base)
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
@@ -175,7 +214,7 @@ private[sources] final case class CommitOffset(commit: Long) extends Offset {
 }
 
 /** The micro-batch stream: each batch is one `(start, end]` commit
-  * window resolved through [[PostingsStore.changeDirs]] and read as a
+  * window resolved through the store's change resolution and read as a
   * stock parquet batch. Offsets come from the manifest pointer; the
   * archived history makes every planned window replayable bit-for-bit
   * after a restart. */
@@ -202,32 +241,31 @@ private[sources] final class ChangesStream(spark: SparkSession,
     val hi = end.asInstanceOf[CommitOffset].commit
     val (dirs, base) = store.changeDirs(spark, dir, sub, lo, hi)
     if (dirs.isEmpty) Array.empty
-    else ChangeFeed.parquetBatch(spark, dir, sub, schema, dirs, base)
+    else ChangeFeed.parquetBatch(store, spark, schema, dirs, base)
       .planInputPartitions()
   }
 
   /** Factory built from ONE representative slice dir and memoized:
-    * parquet reader factories depend only on schemas and options,
-    * never on the planned paths, so one factory serves every window —
-    * and a store with thousands of slices pays one footer read, not a
-    * per-batch sweep (the schema equality every window must satisfy is
-    * asserted in [[ChangeFeed.parquetBatch]]). With no slices yet (a
-    * pre-purge `purged` feed) every planned window is empty and the
-    * factory is never invoked — fail only on use, and do NOT memoize,
-    * so the first real tombstone slice builds the real factory. */
+    * parquet reader factories depend only on schemas and options (the
+    * feed schema is pinned on every window), so one factory serves
+    * every batch — a store with thousands of slices pays one footer
+    * read, not a per-batch sweep. With no slices yet (a pre-purge
+    * `purged` feed) every planned window is empty and the factory is
+    * never invoked — fail only on use, and do NOT memoize, so the
+    * first real tombstone slice builds the real factory. */
   @volatile private var cachedFactory: PartitionReaderFactory = null
 
   override def createReaderFactory(): PartitionReaderFactory = {
     if (cachedFactory != null) return cachedFactory
-    val own = ChangeFeed.existingSliceDirs(spark, dir, sub)
+    val own = store.existingDirs(spark, dir, sub)
     if (own.nonEmpty) {
-      cachedFactory = ChangeFeed.parquetBatch(spark, dir, sub, schema,
-        own.take(1), s"$dir/$sub").createReaderFactory()
+      cachedFactory = ChangeFeed.parquetBatch(store, spark, schema,
+        own.take(1), store.basePath(dir, sub)).createReaderFactory()
       cachedFactory
     } else {
       // capture only the string: a lambda over `this` would drag the
       // whole (non-serializable) stream into the task closure
-      val where = s"$dir/$sub"
+      val where = store.basePath(dir, sub)
       (_: InputPartition) => sys.error(
         s"change feed $where planned a non-empty batch with no " +
           "slices on disk — this cannot happen")
@@ -240,37 +278,42 @@ private[sources] final class ChangesStream(spark: SparkSession,
 
 private[sources] object ChangeFeed {
 
-  /** Every `slice=` dir of `sub` still on disk — schema/factory
-    * substrate (full history, not just the live window). */
-  def existingSliceDirs(spark: SparkSession, dir: String,
-      sub: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-    val hc = graft.util.Hfs.conf(spark)
-    if (!graft.util.Hfs.exists(p, hc)) Nil
-    else graft.util.Hfs.list(p, hc).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("slice=")).map(_.toString).sorted
+  private def opts(store: FeedStore,
+      base: String): CaseInsensitiveStringMap =
+    new CaseInsensitiveStringMap(
+      (store.readOptions + ("basePath" -> base)).asJava)
+
+  def inferSchema(store: FeedStore, spark: SparkSession, dir: String,
+      sub: String, dirs: Seq[String]): StructType =
+    ParquetTable(s"graft:changes:schema:$dir/$sub", spark,
+      opts(store, store.basePath(dir, sub)), dirs, None,
+      classOf[ParquetFileFormat]).schema
+
+  /** The empty-feed schema of a `purged` sub, projected from a sibling
+    * the store always seeds — the store's id column is uniform across
+    * subs by construction, so the projection is exact. */
+  def purgedProxySchema(store: FeedStore, spark: SparkSession,
+      dir: String, sub: String, proxy: String,
+      keep: Set[String]): StructType = {
+    require(sub == "purged", s"no empty-feed schema for $sub")
+    val px = store.existingDirs(spark, dir, proxy)
+    require(px.nonEmpty,
+      s"$dir holds no slices at all — seed the store before " +
+        "subscribing to its change feed")
+    StructType(inferSchema(store, spark, dir, proxy, px)
+      .filter(f => keep(f.name)))
   }
 
-  private def opts(base: String): CaseInsensitiveStringMap =
-    new CaseInsensitiveStringMap(Map("basePath" -> base).asJava)
-
-  def parquetSchema(spark: SparkSession, dir: String, sub: String,
-      dirs: Seq[String]): StructType =
-    ParquetTable(s"graft:changes:schema:$dir/$sub", spark,
-      opts(s"$dir/$sub"), dirs, None, classOf[ParquetFileFormat]).schema
-
-  /** One window's slice dirs as a stock parquet [[Batch]]. The store
-    * format pins one writer shape per sub, so the inferred schema must
-    * equal the table's — asserted, because a mismatch would misalign
-    * the reader factory's columns with the plan's. */
-  def parquetBatch(spark: SparkSession, dir: String, sub: String,
+  /** One window's slice dirs as a stock parquet [[Batch]] with the
+    * feed's schema PINNED (user-specified), so every window reads the
+    * same shape — pre-evolution merge slices null-fill absent
+    * columns — and the memoized reader factory stays valid. */
+  def parquetBatch(store: FeedStore, spark: SparkSession,
       schema: StructType, dirs: Seq[String], base: String): Batch = {
-    val t = ParquetTable(s"graft:changes:$dir/$sub", spark, opts(base),
-      dirs, None, classOf[ParquetFileFormat])
-    require(t.schema == schema,
-      s"change window of $dir/$sub reads schema ${t.schema.simpleString}" +
-        s" but the feed's is ${schema.simpleString} — slice shapes drifted")
-    t.newScanBuilder(opts(base)).build().toBatch
+    val o = opts(store, base)
+    ParquetTable(s"graft:changes:$base", spark, o, dirs, Some(schema),
+      classOf[ParquetFileFormat])
+      .newScanBuilder(o).build().toBatch
   }
 
   /** A window no commit touched: zero partitions, a factory that is

@@ -128,7 +128,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     def has(meta: String): Boolean =
       Generations.readPointer(spark, dir, meta).isDefined
     val surfaces =
-      (if (has("_graft_table_meta.json")) Seq("merge") else Nil) ++
+      (if (has("_graft_table_meta.json"))
+        Seq("merge", "changes.merge") else Nil) ++
       (if (has("_graft_ledger_meta.json")) Seq("ledger.labels") else Nil) ++
       (if (has("_graft_semledger_meta.json")) Seq("sem.labels") else Nil) ++
       (if (has("_graft_postings_meta.json"))

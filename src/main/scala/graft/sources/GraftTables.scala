@@ -115,14 +115,16 @@ object GraftTables {
         "change feeds position by sinceCommit/untilCommit (a window), " +
           "not commit (a snapshot)")
       table.stripPrefix("changes.").split("\\.", 2) match {
+        case Array("merge") =>
+          new ChangeFeedTable(spark, dir, MergeFeed, "feed", options)
         case Array("postings", sub) =>
           new ChangeFeedTable(spark, dir, PostingsFeed, sub, options)
         case Array("graph", sub) =>
           new ChangeFeedTable(spark, dir, GraphFeed, sub, options)
         case _ => sys.error(
-          s"unknown change feed '$table' — feed-bearing stores are " +
-            "'postings' (changes.postings.{postings,doclen,purged}) and " +
-            "'graph' (changes.graph.{items,pairs,purged})")
+          s"unknown change feed '$table' — feed-bearing surfaces are " +
+            "changes.merge, changes.postings.{postings,doclen,purged} " +
+            "and changes.graph.{items,pairs,purged}")
       }
     } else {
       val (paths, extra) = pathsOf(spark, dir, table, commit)
@@ -136,7 +138,7 @@ object GraftTables {
     * shared `_graft_history/` protocol makes TIMESTAMP AS OF one
     * resolution path for every store kind ([[GraftCatalog]]). */
   def metaNameOf(table: String): String = table match {
-    case "merge" => "_graft_table_meta.json"
+    case "merge" | "changes.merge" => "_graft_table_meta.json"
     case "ledger.labels" => "_graft_ledger_meta.json"
     case "sem.labels" => "_graft_semledger_meta.json"
     case s if s.startsWith("postings.") ||

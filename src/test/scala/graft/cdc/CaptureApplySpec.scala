@@ -143,13 +143,15 @@ class CaptureApplySpec extends AnyFunSuite {
     val table = tmp("merge-evolve") + "/t"
     // phase 1: the v1 writer lands several keys (spread across buckets)
     val ms1 = MemoryStream[Env]
-    val q1 = Apply.startMerge(ms1.toDF(), table, tmp("ck-ev1"),
-      keyCol = "id", versionCol = "ts", schema = afterSchema)
+    // data BEFORE start: the default AvailableNow trigger snapshots
+    // available offsets at query start — adding afterwards races
     ms1.addData(
       env("INSERT", "a", 1.0).copy(ts = ts(100)),
       env("INSERT", "b1", 2.0).copy(ts = ts(100)),
       env("INSERT", "b2", 3.0).copy(ts = ts(100)),
       env("INSERT", "b3", 4.0).copy(ts = ts(100)))
+    val q1 = Apply.startMerge(ms1.toDF(), table, tmp("ck-ev1"),
+      keyCol = "id", versionCol = "ts", schema = afterSchema)
     q1.processAllAvailable(); q1.stop()
     // phase 2: upstream ALTER adds `region` — restart the writer with
     // the widened schema (a fixed-schema streaming query cannot widen
@@ -159,11 +161,11 @@ class CaptureApplySpec extends AnyFunSuite {
       .toDF().schema("after").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val ms2 = MemoryStream[Env2]
-    val q2 = Apply.startMerge(ms2.toDF(), table, tmp("ck-ev2"),
-      keyCol = "id", versionCol = "ts", schema = afterSchema2)
     ms2.addData(
       Env2("MODIFY", "a", After2("a", "tick", 10.0, "eu"), ts(200)),
       Env2("INSERT", "d", After2("d", "tick", 5.0, "us"), ts(200)))
+    val q2 = Apply.startMerge(ms2.toDF(), table, tmp("ck-ev2"),
+      keyCol = "id", versionCol = "ts", schema = afterSchema2)
     q2.processAllAvailable(); q2.stop()
     // the merged table: evolved rows carry region, pre-evolution rows
     // read it as null — even though untouched buckets still hold v1
@@ -185,10 +187,11 @@ class CaptureApplySpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val table = tmp("merge-purge") + "/t"
     val ms = MemoryStream[Env]
-    val q = Apply.startMerge(ms.toDF(), table, tmp("ck-purge"),
-      keyCol = "id", versionCol = "ts", schema = afterSchema)
+    // data BEFORE start (AvailableNow snapshots offsets at query start)
     ms.addData((1 to 8).map(i =>
       env("INSERT", s"k$i", i.toDouble).copy(ts = ts(100))): _*)
+    val q = Apply.startMerge(ms.toDF(), table, tmp("ck-purge"),
+      keyCol = "id", versionCol = "ts", schema = afterSchema)
     q.processAllAvailable(); q.stop()
     val preCommit = Apply.commits(spark, table).max
     val before = Apply.readMergeTable(spark, table)

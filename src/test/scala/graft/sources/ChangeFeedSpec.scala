@@ -6,7 +6,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
 import graft.TestSpark
+import graft.cdc.{After, Apply, Env}
 import graft.text.PostingsStore
 
 /** The CDC-OUT face (round 12): commits of the persisted postings
@@ -165,6 +168,95 @@ class ChangeFeedSpec extends AnyFunSuite {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
       .toMap
     assert(sums(pairsFeed(-1, None)).filter(_._2 != 0L) == live)
+  }
+
+  test("merge-table feed: each commit's change slice is the batch's " +
+      "applied envelope rows with REMOVEs kept; a purge emits typed-" +
+      "null REMOVE events; compact emits nothing; vacuumChanges " +
+      "retires windows loudly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("cfmerge").toString
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val schema = Seq(Env("INSERT", "x", After("x", "t", 1.0), ts(1)))
+      .toDF().schema("after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    def mergeOnce(envs: Seq[Env]): Unit = {
+      val ms = MemoryStream[Env]
+      // data BEFORE start (AvailableNow snapshots offsets at start)
+      ms.addData(envs: _*)
+      val q = Apply.startMerge(ms.toDF(), dir,
+        Files.createTempDirectory("cfmck").toString,
+        keyCol = "id", versionCol = "ts", schema = schema)
+      q.processAllAvailable(); q.stop()
+    }
+    // commit 1: k1..k3 inserted, k2 also REMOVEd at a later version
+    mergeOnce(Seq(
+      Env("INSERT", "k1", After("k1", "a", 1.0), ts(100)),
+      Env("INSERT", "k2", After("k2", "b", 2.0), ts(100)),
+      Env("REMOVE", "k2", null, ts(200)),
+      Env("INSERT", "k3", After("k3", "c", 3.0), ts(100))))
+    // commit 2: k1 modified
+    mergeOnce(Seq(Env("MODIFY", "k1", After("k1", "a2", 9.0), ts(300))))
+    // commit 3: compliance purge of k3 -> REMOVE event, null image
+    assert(Apply.purgeKeys(spark, dir, Seq("k3").toDF("id"), "id",
+      gcGraceMs = 0L) == 1L)
+    // commit 4: compact — a rewrite, not a change
+    Apply.compact(spark, dir, gcGraceMs = 0L)
+
+    def feed(since: Long, until: Option[Long]) = {
+      val r = spark.read.format("graft").option("path", dir)
+        .option("table", "changes.merge")
+        .option("sinceCommit", since.toString)
+      until.fold(r)(u => r.option("untilCommit", u.toString)).load()
+    }
+    // commit 1's slice: latest per key, the REMOVE kept (the table
+    // dropped k2; the feed must show it)
+    val c1 = feed(0, Some(1)).select(col("op"), col("_key"))
+      .collect().map(r => (r.getString(1), r.getString(0))).toSet
+    assert(c1 == Set("k1" -> "INSERT", "k2" -> "REMOVE", "k3" -> "INSERT"))
+    // commit 2's slice: just the modify
+    val c2 = feed(1, Some(2)).collect()
+    assert(c2.length == 1 && c2.head.getAs[String]("op") == "MODIFY" &&
+      c2.head.getAs[String]("ticker") == "a2")
+    // commit 3 (purge): REMOVE event, data columns typed-null
+    val c3 = feed(2, Some(3)).collect()
+    assert(c3.length == 1 && c3.head.getAs[String]("op") == "REMOVE" &&
+      c3.head.getAs[String]("_key") == "k3" &&
+      c3.head.isNullAt(c3.head.fieldIndex("ticker")))
+    // commit 4 (compact): nothing
+    assert(feed(3, Some(4)).isEmpty)
+    // commit column rides as a partition: consumers see provenance
+    assert(feed(-1, None).select(col("commit")).distinct().count() == 3)
+
+    // STREAMING the warehouse table's own feed, restart exactly-once
+    val ck = Files.createTempDirectory("cfmfeedck").toString
+    def run(): Set[(String, String)] = {
+      val got = new scala.collection.mutable.HashSet[(String, String)]
+      val q = spark.readStream.format("graft").option("path", dir)
+        .option("table", "changes.merge").load()
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.select(col("_key"), col("op")).collect()
+            .map(r => (r.getString(0), r.getString(1)))
+          got.synchronized { got ++= rows }; ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+      got.synchronized(got.toSet)
+    }
+    assert(run().count(_._2 == "REMOVE") == 2) // k2 (stream) + k3 (purge)
+    mergeOnce(Seq(Env("INSERT", "k9", After("k9", "z", 7.0), ts(400))))
+    assert(run() == Set("k9" -> "INSERT")) // only the unseen commit
+    assert(run().isEmpty)
+
+    // retention: retiring below commit 3 fails pre-cutoff windows loudly
+    assert(Apply.vacuumChanges(spark, dir, belowCommit = 3L) == 2)
+    val e = intercept[Exception](feed(0, Some(2)).count())
+    def chain2(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain2(t.getCause)
+    assert(chain2(e).exists(_.contains("vacuumChanges retired")))
+    // post-cutoff windows still read
+    assert(feed(2, None).count() == 2) // purge REMOVE + k9
   }
 
   test("a vacuumed change window fails loudly instead of silently " +

@@ -87,25 +87,26 @@ class GraftTablesSpec extends AnyFunSuite {
     val tdir = Files.createTempDirectory("dsv2merge").toString
     def ts(ms: Long) = new java.sql.Timestamp(ms)
     val ms = MemoryStream[Env]
+    // data BEFORE start (AvailableNow snapshots offsets at query start)
+    ms.addData((1 to 6).map(i =>
+      Env("INSERT", s"k$i", After(s"k$i", "t", i.toDouble), ts(100))): _*)
     val q = Apply.startMerge(ms.toDF(), tdir,
       Files.createTempDirectory("dsv2ck").toString,
       keyCol = "id", versionCol = "ts",
       schema = Seq(Env("INSERT", "x", After("x", "t", 1.0), ts(1))).toDF()
         .schema("after").dataType
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-    ms.addData((1 to 6).map(i =>
-      Env("INSERT", s"k$i", After(s"k$i", "t", i.toDouble), ts(100))): _*)
     q.processAllAvailable(); q.stop()
     // second commit through a fresh AvailableNow run (startMerge's
     // default trigger finishes after draining the first batch)
     val ms2 = MemoryStream[Env]
+    ms2.addData(Env("INSERT", "k7", After("k7", "t", 7.0), ts(200)))
     val q2 = Apply.startMerge(ms2.toDF(), tdir,
       Files.createTempDirectory("dsv2ck2").toString,
       keyCol = "id", versionCol = "ts",
       schema = Seq(Env("INSERT", "x", After("x", "t", 1.0), ts(1))).toDF()
         .schema("after").dataType
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-    ms2.addData(Env("INSERT", "k7", After("k7", "t", 7.0), ts(200)))
     q2.processAllAvailable(); q2.stop()
 
     def keysOf(df: org.apache.spark.sql.DataFrame) =

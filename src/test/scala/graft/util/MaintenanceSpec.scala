@@ -78,7 +78,8 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(names.toSet == Set("dedupLedger", "incrementalBase", "semanticLedger",
       "ledgerStoreSeed", "ivfIndex", "pqIndex", "ivfPqIndex", "ivfPqBase",
       "ivfPqStoreSeed", "semStoreSeed", "semDecontamSeed",
-      "postingsStoreSeed", "procStoreSeed", "graphStoreSeed",
+      "postingsStoreSeed", "procStoreSeed", "mergeFeedSeed",
+      "graphStoreSeed",
       "linkageLedger", "linkageBase", "shardExportSeed", "pipelineSeed",
       "zorderLayout", "bucketedPair", "coPurchasePairs", "lpaLabels",
       "edgeBase"))

@@ -193,26 +193,27 @@ class StoreHardeningSpec extends AnyFunSuite {
     val table = Files.createTempDirectory("purgeevolve").toString + "/t"
     // v1 writer: several keys across buckets
     val ms1 = MemoryStream[Env]
+    // data BEFORE start (AvailableNow snapshots offsets at query start)
+    ms1.addData((1 to 8).map(i =>
+      Env("INSERT", s"k$i", After(s"k$i", "t", i.toDouble), ts(100))): _*)
     val q1 = Apply.startMerge(ms1.toDF(), table,
       Files.createTempDirectory("ck-pe1").toString,
       keyCol = "id", versionCol = "ts",
       schema = Seq(Env("INSERT", "x", After("x", "t", 1.0), ts(1))).toDF()
         .schema("after").dataType
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-    ms1.addData((1 to 8).map(i =>
-      Env("INSERT", s"k$i", After(s"k$i", "t", i.toDouble), ts(100))): _*)
     q1.processAllAvailable(); q1.stop()
     // v2 writer: widened payload touches a subset of buckets
     val ms2 = MemoryStream[Env2]
+    ms2.addData(
+      Env2("INSERT", "k9", After2("k9", "t", 9.0, "eu"), ts(200)),
+      Env2("INSERT", "k10", After2("k10", "t", 10.0, "us"), ts(200)))
     val q2 = Apply.startMerge(ms2.toDF(), table,
       Files.createTempDirectory("ck-pe2").toString,
       keyCol = "id", versionCol = "ts",
       schema = Seq(Env2("INSERT", "x", After2("x", "t", 1.0, "eu"), ts(1)))
         .toDF().schema("after").dataType
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-    ms2.addData(
-      Env2("INSERT", "k9", After2("k9", "t", 9.0, "eu"), ts(200)),
-      Env2("INSERT", "k10", After2("k10", "t", 10.0, "us"), ts(200)))
     q2.processAllAvailable(); q2.stop()
     // purge keys that span pre- AND post-evolution buckets: before the
     // round-11 fix this threw AnalysisException on the schema mismatch
