@@ -44,7 +44,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    HIVE PARTITION COLUMNS (basePath), so a `WHERE tp = ...` prunes
   *    statically — the same I/O cut `bm25Query` gets, now available to
   *    raw SQL. Tombstone semantics are SQL-visible the way they are in
-  *    any warehouse: `... WHERE id NOT IN (SELECT id FROM purged)`.
+  *    any warehouse — v3 masks are SLICE-ORDERED (an upserted doc's
+  *    new copy sits above its own tombstone): `... r WHERE NOT EXISTS
+  *    (SELECT 1 FROM purged p WHERE p.id = r.id AND p.slice > r.slice)`.
   *  - `sem.labels` — [[graft.dedup.SemLedgerStore]] component labels of
   *    the selected generation (rewritten whole per fold/purge, like the
   *    text ledger's).

@@ -80,6 +80,20 @@ object LmQueries {
       dir
     }
 
+  /** q276's postings store, seeded on the 90% corpus — its own memo
+    * because the q276 UPSERT changes document contents (updates /
+    * deletes), which the q254/q261/q272 snapshot reads must never
+    * see. */
+  private[graft] def upsertStoreDir(s: SparkSession, d: String): String =
+    graft.util.Maintenance.getOrBuild("upsertStoreSeed", s, d) {
+      val docs = Tables.documents(s, d)
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+      val dir = java.nio.file.Files.createTempDirectory("graftupsert").toString
+      PostingsStore.maintainBatch(docs.filter(col("doc_id") < cut),
+        col("doc_id"), col("text"), dir, batchId = 0L)
+      dir
+    }
+
   /** q217 merge-round count (production tokenizers run tens of
     * thousands of rounds over the same vocab-sized loop). */
   private[text] val BpeRounds = 6
@@ -732,6 +746,39 @@ object LmQueries {
            |ORDER BY doc_id""".stripMargin)
     },
 
+    // -- round 12: UPDATE/DELETE maintenance on the inverted index —
+    //    [[PostingsStore.upsertBatch]], ONE atomic ledgered commit
+    //    that retires the live copies of incoming/removed ids (a
+    //    slice-ordered tombstone — the v3 mask), lands the new copies
+    //    above it, and adjusts N/Σdl by exactly −old +new. Every
+    //    %10==0 seed doc is UPDATED (text doubled), every %17==0
+    //    non-updated seed doc DELETED, the 10% delta ADDED — one
+    //    verb, one commit (replay no-op on repeat, so the timed line
+    //    measures upsert + masked read steady-state). Oracle = DuckDB
+    //    doclen over the simulated post-upsert corpus: the masked
+    //    store read ≡ the recompute, bit-for-bit. The cascade face —
+    //    the merge table's change feed DRIVING this verb exactly-once
+    //    (followMergeTable) — is pinned by PostingsUpsertSpec.
+    "q276_index_upsert" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+      val dir = upsertStoreDir(s, d)
+      val updated = docs
+        .filter(col("doc_id") < cut && col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text"))
+      val added = docs.filter(!(col("doc_id") < cut))
+        .select(col("doc_id"), col("text"))
+      val removes = docs.filter(col("doc_id") < cut &&
+          col("doc_id") % 17 === 0 && col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"))
+      PostingsStore.upsertBatch(updated.unionByName(added),
+        col("doc_id"), col("text"), removes, dir, batchId = 1L)
+      PostingsStore.docLengths(s, dir)
+        .select(col("id").as("doc_id"), col("dl"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- integer-exact bigram LM affinity scoring.
     "q216_lm_bits" -> { (s, d) =>
       lmBits(Tables.documents(s, d), col("doc_id"), col("text"))
@@ -1012,6 +1059,23 @@ object LmQueries {
       s"""WITH t AS (SELECT doc_id, UNNEST($Tok) AS term FROM documents)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl,
          |  CAST(3 AS BIGINT) AS n_commits
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The masked store read after the upsert must equal the recompute
+    // over the simulated post-upsert corpus (updated texts doubled,
+    // removed docs absent, delta docs present).
+    "q276_index_upsert" ->
+      s"""WITH cutv AS (
+         |  SELECT (MAX(doc_id) * 9) // 10 AS cut FROM documents),
+         |corp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id < cut AND doc_id % 10 = 0
+         |         THEN text || ' ' || text ELSE text END AS text
+         |  FROM documents CROSS JOIN cutv
+         |  WHERE NOT (doc_id < cut AND doc_id % 17 = 0
+         |    AND doc_id % 10 <> 0)),
+         |t AS (SELECT doc_id, UNNEST($Tok) AS term FROM corp)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
          |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // floor(log2 n) = LENGTH(BIN(n)) - 1 in both engines — exact.

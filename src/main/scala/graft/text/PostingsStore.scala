@@ -45,7 +45,16 @@ import graft.util.Generations
 object PostingsStore {
 
   private val MetaName = "_graft_postings_meta.json"
-  private val Format = "graft-postings-v2" // v2 (round 11): + commit id / history archive
+  // v2 (round 11): + commit id / history archive.
+  // v3 (round 12): tombstones are SLICE-ORDERED — a purged/slice=S row
+  // masks only data rows with slice < S, so [[upsertBatch]] can retire
+  // a document's old copy and land its new one in ONE atomic commit
+  // (UPDATE maintenance). For stores that never re-fold a purged id —
+  // everything v2 allowed — the semantics are identical (a purge's
+  // tombstone is always newer than every row it targets), but a v2
+  // build reading a v3 store would hide upserted rows, so the format
+  // is bumped and cross-build reads fail loudly.
+  private val Format = "graft-postings-v3"
 
   /** v2 (round 11): `commit` — the monotone snapshot id. Every pointer
     * flip archives its body under `_graft_history/commit-<id>.json`
@@ -87,15 +96,27 @@ object PostingsStore {
   private def tp(term: Column, prefixes: Int): Column =
     pmod(xxhash64(term), lit(prefixes.toLong)).cast("int")
 
+  /** Live rows of `sub` under manifest `m` with SLICE-ORDERED tombstone
+    * masking (v3): a tombstone at slice S masks a data row iff the
+    * row's slice is OLDER (`< S`) — still an id-equi join, the range
+    * term rides as a residual predicate. A [[purgeDocs]] tombstone is
+    * newer than every row it targets, so pure purge flows read exactly
+    * as v2; an [[upsertBatch]]'s re-landed copy (data slice above its
+    * own tombstone slice) stays visible. */
   private def live(spark: SparkSession, dir: String, sub: String,
-      m: Meta): DataFrame =
-    spark.read.parquet(s"$dir/$sub")
+      m: Meta): DataFrame = {
+    val rows = spark.read.parquet(s"$dir/$sub")
       .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
+    rows.as("r")
+      .join(livePurged(spark, dir, m).as("p"),
+        col("r.id") === col("p.id") && col("p._tomb") > col("r.slice"),
+        "left_anti")
       .drop("slice")
-      .join(livePurged(spark, dir, m), Seq("id"), "left_anti")
+  }
 
-  /** Tombstoned doc ids (the [[purgeDocs]] ledger) — empty when no
-    * purge ran or every tombstone slice was vacuumed. */
+  /** Tombstones (id, _tomb = the tombstone's slice id) — the
+    * [[purgeDocs]]/[[upsertBatch]] ledger; empty when no purge ran or
+    * every tombstone slice was vacuumed. */
   private def livePurged(spark: SparkSession, dir: String,
       m: Meta): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/purged")
@@ -105,16 +126,23 @@ object PostingsStore {
     if (hasSlices)
       spark.read.parquet(s"$dir/purged")
         .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
-        .select(col("id"))
+        .select(col("id"), col("slice").cast("long").as("_tomb"))
     else {
       import spark.implicits._
-      Seq.empty[Long].toDF("id")
+      Seq.empty[(Long, Long)].toDF("id", "_tomb")
     }
   }
 
   /** The current manifest, for callers composing their own scoring. */
   def meta(spark: SparkSession, dir: String): Option[Meta] =
     readMeta(spark, dir)
+
+  /** The live (id, dl) rows — the masked read face (consumers
+    * composing their own scoring, and the upsert/cascade specs). */
+  def docLengths(spark: SparkSession, dir: String): DataFrame =
+    live(spark, dir, "doclen",
+      readMeta(spark, dir).getOrElse(sys.error(
+        s"no committed postings store at $dir (missing $MetaName)")))
 
   /** ADVICE r11: a ledgered batch the tombstone screen (or the batch
     * itself) left EMPTY must still record its batch id — returning
@@ -160,7 +188,9 @@ object PostingsStore {
     // a compact physically removes its tombstone — re-folding it would
     // increment nDocs/totTokens while the still-live tombstone hides its
     // postings from every read, permanently skewing BM25's N/avgdl. The
-    // delete-then-reingest flow is: purge → compact → vacuum → re-fold.
+    // delete-then-reingest flow is: purge → compact → vacuum → re-fold —
+    // or ONE atomic [[upsertBatch]], the verb that retires the old copy
+    // itself (round 12) and therefore needs no screen.
     val screened = prev.fold(docs)(m0 =>
       docs.join(livePurged(spark, dir, m0), Seq("id"), "left_anti"))
     if (prev.isDefined && screened.isEmpty) { recordEmptyBatch(spark, dir, prev, batchId); return None }
@@ -194,6 +224,131 @@ object PostingsStore {
     Some(sliceId)
     }
   }
+
+  /** ATOMIC UPDATE/DELETE maintenance (round 12) — the verb a CDC
+    * consumer needs: one ledgered commit that (a) retires the CURRENT
+    * copy of every incoming or removed id (a tombstone slice — the v3
+    * slice-ordered mask), (b) lands the new copies as a data slice
+    * ABOVE the tombstones, and (c) adjusts the corpus statistics by
+    * exactly −old +new. Plain [[maintainBatch]] forbids re-folding
+    * (each doc folds once — its screen stands unchanged); updates go
+    * through HERE, where the verb itself retires the old copy so
+    * nothing double-counts. Atomicity is what makes the cascade
+    * exactly-once: purge-then-fold as two verbs would let a crash
+    * replay purge the re-folded copy (the fold's ledger suppresses the
+    * re-fold but purge has no ledger) — one commit, one replay guard.
+    *
+    * `upserts` holds the docs to (re)index, `removeIds` the ids to
+    * delete outright. Returns the data slice id (None for replays and
+    * fully-empty batches). */
+  def upsertBatch(upserts: DataFrame, id: Column, text: Column,
+      removeIds: DataFrame, dir: String, prefixes: Int = 64,
+      batchId: Long = -1L): Option[Long] = {
+    val spark = upserts.sparkSession
+    graft.util.Maintenance.withLeasedWriteLock("PostingsStore", spark, dir) {
+    val docs = upserts.select(id.as("id"), text.as("text"))
+      .localCheckpoint(true)
+    val rem = removeIds.select(removeIds.columns.head).toDF("id")
+      .distinct().localCheckpoint(true)
+    val prev = readMeta(spark, dir)
+    prev match {
+      case Some(m) if batchId >= 0 && batchId <= m.batch => return None
+      case Some(m) => require(m.prefixes == prefixes,
+        s"postings store at $dir was seeded with prefixes=${m.prefixes}; " +
+          s"refusing a mismatched upsert ($prefixes) — one store, one layout")
+      case None => ()
+    }
+    val m = prev.getOrElse(
+      Meta(Format, -1L, 0L, 0L, prefixes, sliceBase = 0L, slices = 0L,
+        commit = -1L))
+    if (docs.isEmpty && rem.isEmpty) {
+      recordEmptyBatch(spark, dir, prev, batchId); return None
+    }
+    // retire the LIVE copies of everything incoming or removed
+    val targets =
+      if (prev.isEmpty) rem.limit(0)
+      else docs.select(col("id")).unionByName(rem).distinct()
+        .join(live(spark, dir, "doclen", m).select(col("id")),
+          Seq("id"), "left_semi")
+        .localCheckpoint(true)
+    val gone =
+      if (prev.isEmpty) (0L, 0L)
+      else {
+        val g = live(spark, dir, "doclen", m)
+          .join(targets, Seq("id"), "left_semi")
+          .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+        (g.getLong(0), g.getLong(1))
+      }
+    // tombstone slice first (the mask covers only OLDER slices), then
+    // the data slice above it — ids only allocated for dirs written
+    var next = m.slices
+    if (!targets.isEmpty) {
+      Generations.claimSlice(spark, dir, Seq("postings", "doclen"), next)
+      targets.write.mode("overwrite").parquet(s"$dir/purged/slice=$next")
+      next += 1
+    }
+    val (newNd, newNt) =
+      if (docs.isEmpty) (0L, 0L)
+      else {
+        val dataSlice = next
+        Generations.claimSlice(spark, dir, Seq("purged"), dataSlice)
+        val toks = docs.select(col("id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+          .withColumn("tp", tp(col("term"), prefixes))
+          .repartition(col("tp")).sortWithinPartitions(col("tp"), col("term"))
+          .write.mode("overwrite").partitionBy("tp")
+          .parquet(s"$dir/postings/slice=$dataSlice")
+        toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+          .write.mode("overwrite").parquet(s"$dir/doclen/slice=$dataSlice")
+        next += 1
+        val s = spark.read.parquet(s"$dir/doclen/slice=$dataSlice")
+          .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+        (s.getLong(0), s.getLong(1))
+      }
+    if (next == m.slices) { // everything screened away: no-op bump
+      recordEmptyBatch(spark, dir, prev, batchId); return None
+    }
+    commitMeta(spark, dir, m.copy(batch = batchId,
+      nDocs = m.nDocs - gone._1 + newNd,
+      totTokens = m.totTokens - gone._2 + newNt,
+      slices = next, commit = m.commit + 1))
+    Some(next - 1)
+    }
+  }
+
+  /** The CASCADE: maintain this store FROM a merge table's
+    * `changes.merge` feed — the warehouse's CDC-OUT
+    * ([[graft.cdc.Apply.changeFeedDirs]]) driving the retrieval
+    * index, exactly-once END-TO-END: the feed replays uncommitted
+    * commit windows from its checkpoint, and [[upsertBatch]]'s ledger
+    * absorbs the replays. Each micro-batch reduces to the latest
+    * envelope per key (a batch may span several commits), then
+    * INSERT/MODIFY upsert and REMOVE delete — warehouse updates
+    * re-index atomically, warehouse purges propagate as index purges
+    * (the compliance path). `textOf` maps a feed row to the text to
+    * index. */
+  def followMergeTable(spark: SparkSession, mergeDir: String, dir: String,
+      checkpoint: String, textOf: Column, prefixes: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft").option("path", mergeDir)
+      .option("table", "changes.merge").load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        val latest = graft.cdc.Envelope.latestByKey(df,
+          col("_key"), col("_version"), tieBreak = Seq(col("op").desc))
+          .localCheckpoint(true)
+        upsertBatch(
+          latest.filter(col("op") =!= graft.cdc.Envelope.Remove)
+            .select(col("_key").as("id"), textOf.as("text")),
+          col("id"), col("text"),
+          latest.filter(col("op") === graft.cdc.Envelope.Remove)
+            .select(col("_key").as("id")),
+          dir, prefixes, batchId = bid)
+        ()
+      }
+      .start()
 
   /** Continuous maintenance: one fold per micro-batch of arriving
     * documents, exactly-once via the manifest's batch-id ledger. */

@@ -79,7 +79,7 @@ class MaintenanceSpec extends AnyFunSuite {
       "ledgerStoreSeed", "ivfIndex", "pqIndex", "ivfPqIndex", "ivfPqBase",
       "ivfPqStoreSeed", "semStoreSeed", "semDecontamSeed",
       "postingsStoreSeed", "procStoreSeed", "mergeFeedSeed",
-      "graphStoreSeed",
+      "upsertStoreSeed", "graphStoreSeed",
       "linkageLedger", "linkageBase", "shardExportSeed", "pipelineSeed",
       "zorderLayout", "bucketedPair", "coPurchasePairs", "lpaLabels",
       "edgeBase"))

@@ -349,7 +349,7 @@ class StoreHardeningSpec extends AnyFunSuite {
     val e = intercept[RuntimeException](PostingsStore.meta(spark, dir))
     assert(e.getMessage.contains("version mismatch") &&
       e.getMessage.contains("graft-postings-v1") &&
-      e.getMessage.contains("graft-postings-v2"),
+      e.getMessage.contains("graft-postings-v3"),
       s"got: ${e.getMessage}")
   }
 }
