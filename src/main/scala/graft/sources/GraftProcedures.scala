@@ -19,6 +19,9 @@ import graft.util.Generations
   *   CALL graft_cat.system.vacuum(store => '/path/to/store')
   *   SELECT * FROM ... -- unchanged; then inspect history:
   *   CALL graft_cat.system.commits(store => '/path/to/store')
+  *   -- merge tables also: snapshot rollback + feed retention
+  *   CALL graft_cat.system.restore(store => '/t', commit => 3)
+  *   CALL graft_cat.system.vacuum_changes(store => '/t', commit => 5)
   * }}}
   *
   * The STORE KIND is probed from the directory's manifest (exactly one
@@ -45,7 +48,8 @@ private[sources] object GraftProcedures {
     "graph" -> "_graft_graph_meta.json",
     "ivf" -> "_graft_index_meta.json")
 
-  val Names: Seq[String] = Seq("compact", "vacuum", "commits")
+  val Names: Seq[String] =
+    Seq("compact", "vacuum", "commits", "restore", "vacuum_changes")
 
   private def kindOf(spark: SparkSession, dir: String): (String, String) =
     Kinds.collectFirst {
@@ -92,7 +96,7 @@ private[sources] object GraftProcedures {
       case "commits" => new StoreProcedure(name, dirOf,
         new StructType().add("commit", LongType).add("committed_at_ms", LongType)
           .add("kind", StringType),
-        (spark, dir) => {
+        (spark, dir, _) => {
           val (kind, meta) = kindOf(spark, dir)
           val hc = graft.util.Hfs.conf(spark)
           Generations.listCommits(spark, dir, meta).map { c =>
@@ -102,10 +106,44 @@ private[sources] object GraftProcedures {
               UTF8String.fromString(kind)))
           }.toArray[InternalRow]
         })
+      // merge-table-only operational verbs: RESTORE (Delta `RESTORE
+      // TABLE ... TO VERSION AS OF` — a metadata-only commit whose
+      // bucket map is the archived snapshot's) and VACUUM_CHANGES (the
+      // CDC-OUT slice retention behind a permanent fail-loud cutoff).
+      case "restore" => new StoreProcedure("restore", dirOf,
+        new StructType().add("kind", StringType).add("detail", StringType),
+        (spark: SparkSession, dir: String, commit: Option[Long]) => {
+          val c = commit.getOrElse(sys.error(
+            "restore needs commit => <snapshot id>"))
+          requireKind(spark, dir, "merge", "restore")
+          graft.cdc.Apply.restore(spark, dir, c)
+          row2("merge", s"current state restored to snapshot $c " +
+            s"(committed as ${graft.cdc.Apply.currentCommit(spark, dir)})")
+        }, withCommit = true)
+      case "vacuum_changes" => new StoreProcedure("vacuum_changes", dirOf,
+        new StructType().add("kind", StringType).add("detail", StringType),
+        (spark, dir, commit) => {
+          val c = commit.getOrElse(sys.error(
+            "vacuum_changes needs commit => <retain-from commit id>"))
+          requireKind(spark, dir, "merge", "vacuum_changes")
+          val n = graft.cdc.Apply.vacuumChanges(spark, dir, c)
+          row2("merge", s"$n change slices below commit $c removed")
+        }, withCommit = true)
       case other => sys.error(
         s"unknown graft procedure '$other' (supported: " +
           s"${Names.mkString(", ")})")
     }
+
+  private def requireKind(spark: SparkSession, dir: String,
+      want: String, verb: String): Unit = {
+    val (kind, _) = kindOf(spark, dir)
+    require(kind == want,
+      s"$verb applies to $want tables; $dir holds a '$kind' store")
+  }
+
+  private def row2(kind: String, detail: String): Array[InternalRow] =
+    Array[InternalRow](new GenericInternalRow(Array[Any](
+      UTF8String.fromString(kind), UTF8String.fromString(detail))))
 
   private def sliceMsg(r: Option[Long]): String =
     r.fold("window already compact (nothing to do)")(s =>
@@ -115,36 +153,45 @@ private[sources] object GraftProcedures {
       run: (SparkSession, String) => (String, String)): UnboundProcedure =
     new StoreProcedure(name, dirOf,
       new StructType().add("kind", StringType).add("detail", StringType),
-      (spark, dir) => {
+      (spark, dir, _) => {
         val (kind, detail) = run(spark, dir)
-        Array[InternalRow](new GenericInternalRow(Array[Any](
-          UTF8String.fromString(kind), UTF8String.fromString(detail))))
+        row2(kind, detail)
       })
 
-  /** One store-directory-parameter procedure: bind validates the single
-    * `store` argument, call resolves the dir and runs the verb, rows
-    * come back through a driver-local scan (maintenance output is a
-    * handful of rows — never data-scaled). */
+  /** A store-directory procedure (plus an optional `commit` long for
+    * the snapshot-addressed verbs): bind validates the arguments, call
+    * resolves the dir and runs the verb, rows come back through a
+    * driver-local scan (maintenance output is a handful of rows —
+    * never data-scaled). */
   private final class StoreProcedure(procName: String,
       dirOf: String => String, out: StructType,
-      run: (SparkSession, String) => Array[InternalRow])
+      run: (SparkSession, String, Option[Long]) => Array[InternalRow],
+      withCommit: Boolean = false)
       extends UnboundProcedure with BoundProcedure {
 
     override def name(): String = procName
     override def description(): String =
-      s"graft store maintenance: $procName(store)"
+      s"graft store maintenance: $procName(store" +
+        (if (withCommit) ", commit)" else ")")
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
-    override def parameters(): Array[ProcedureParameter] =
-      Array(ProcedureParameter.in("store", StringType)
+    override def parameters(): Array[ProcedureParameter] = {
+      val store = ProcedureParameter.in("store", StringType)
         .comment("store directory (absolute, or relative to the catalog root)")
-        .build())
+        .build()
+      if (withCommit)
+        Array(store, ProcedureParameter.in("commit", LongType)
+          .comment("the snapshot / retention commit id").build())
+      else Array(store)
+    }
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val store = input.getUTF8String(0)
       require(store != null, s"$procName needs a store directory")
       val dir = dirOf(store.toString)
-      val rows = run(SparkSession.active, dir)
+      val commit =
+        if (withCommit && !input.isNullAt(1)) Some(input.getLong(1)) else None
+      val rows = run(SparkSession.active, dir, commit)
       java.util.List.of[Scan](new ResultScan(out, rows)).iterator()
     }
   }

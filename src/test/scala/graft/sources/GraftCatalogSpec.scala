@@ -131,6 +131,61 @@ class GraftCatalogSpec extends AnyFunSuite {
         _.getMessage.contains("no committed graft store")))
   }
 
+  test("CALL restore/vacuum_changes: merge-table operational verbs — " +
+      "restore reverts to an archived snapshot as a new commit, " +
+      "vacuum_changes retires feed slices behind a fail-loud cutoff, " +
+      "and both refuse non-merge stores") {
+    catalogReady
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.cdc.{After, Apply, Env}
+    val dir = Files.createTempDirectory("graftrestore").toString + "/t"
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val schema = Seq(Env("INSERT", "x", After("x", "t", 1.0), ts(1)))
+      .toDF().schema("after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    def mergeOnce(envs: Env*): Unit = {
+      val ms = MemoryStream[Env]
+      ms.addData(envs: _*)
+      val q = Apply.startMerge(ms.toDF(), dir,
+        Files.createTempDirectory("grck").toString,
+        keyCol = "id", versionCol = "ts", schema = schema)
+      q.processAllAvailable(); q.stop()
+    }
+    mergeOnce(Env("INSERT", "k1", After("k1", "t", 1.0), ts(100))) // commit 1
+    mergeOnce(Env("INSERT", "k2", After("k2", "t", 2.0), ts(200))) // commit 2
+
+    // restore to the one-row snapshot; the verb commits as 3
+    val r = spark.sql("CALL graft_test.system.restore(" +
+      s"store => '$dir', commit => 1)").collect()
+    assert(r.head.getString(1).contains("restored to snapshot 1") &&
+      r.head.getString(1).contains("committed as 3"))
+    assert(Apply.readMergeTable(spark, dir).count() == 1)
+
+    // feed retention through SQL: slices below commit 2 retire; the
+    // pre-cutoff window then fails loudly
+    val v = spark.sql("CALL graft_test.system.vacuum_changes(" +
+      s"store => '$dir', commit => 2)").collect()
+    assert(v.head.getString(1).contains("1 change slices below commit 2"))
+    val e = intercept[Exception](
+      spark.read.format("graft").option("path", dir)
+        .option("table", "changes.merge").option("sinceCommit", "0")
+        .option("untilCommit", "1").load().count())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("vacuumChanges retired")))
+
+    // kind guard: restore against a postings store fails loudly
+    val pdir = Files.createTempDirectory("graftrestorep").toString
+    PostingsStore.maintainBatch(docs, col("doc_id"), col("text"), pdir,
+      batchId = 0L)
+    val e2 = intercept[Exception](spark.sql(
+      s"CALL graft_test.system.restore(store => '$pdir', commit => 0)")
+      .collect())
+    assert(chain(e2).exists(_.contains("applies to merge tables")))
+  }
+
   test("term stats via a catalog identifier equal the provider face " +
       "(q268's read through format(\"graft\"))") {
     catalogReady
