@@ -307,6 +307,22 @@ object LedgerStore {
     Generations.listCommits(spark, dir, MetaName)
 
   /** The archived manifest of snapshot `commit`. */
+  /** CHANGE-FEED resolution (round 12 — `changes.ledger.{sigs,
+    * postings,purged}` through `format("graft")`): the slice dirs
+    * commits `(since, until]` appended — signature replication,
+    * bucket-posting replication, deletion propagation; compacts emit
+    * nothing; labels rewrite per generation and are not feed-able. */
+  def changeDirs(spark: SparkSession, dir: String, sub: String,
+      since: Long, until: Long): (Seq[String], String) = {
+    require(Set("sigs", "postings", "purged")(sub),
+      s"unknown ledger table '$sub'")
+    Generations.changeSliceDirs(spark, dir, sub,
+      Seq("sigs", "postings", "purged"),
+      c => if (c < 0L) (0L, 0L) else {
+        val m = metaAt(spark, dir, c); (m.sliceBase, m.slices)
+      }, since, until)
+  }
+
   def metaAt(spark: SparkSession, dir: String, commit: Long): Meta =
     parseMeta(s"$dir@$commit",
       Generations.readPointerAt(spark, dir, MetaName, commit).getOrElse(sys.error(

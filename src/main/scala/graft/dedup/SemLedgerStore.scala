@@ -210,6 +210,26 @@ object SemLedgerStore {
     Generations.listCommits(spark, dir, MetaName)
 
   /** The archived manifest of snapshot `commit`. */
+  /** CHANGE-FEED resolution (round 12 — consumed through
+    * `format("graft")` as `changes.sem.{vecs,pairs,purged}`): the
+    * slice dirs commits `(since, until]` appended. The `pairs` feed is
+    * the stream of NEWLY-DISCOVERED near-duplicate pairs per fold —
+    * what a downstream dedup consumer actually wants — `vecs` is
+    * embedding replication, `purged` deletion propagation; a compact
+    * (rewrite of rows already flowed) emits nothing. Labels are NOT
+    * feed-able: they rewrite per generation (a snapshot, not a delta).
+    */
+  def changeDirs(spark: SparkSession, dir: String, sub: String,
+      since: Long, until: Long): (Seq[String], String) = {
+    require(Set("vecs", "pairs", "purged")(sub),
+      s"unknown semantic-ledger table '$sub'")
+    Generations.changeSliceDirs(spark, dir, sub,
+      Seq("vecs", "pairs", "purged"),
+      c => if (c < 0L) (0L, 0L) else {
+        val m = metaAt(spark, dir, c); (m.sliceBase, m.slices)
+      }, since, until)
+  }
+
   def metaAt(spark: SparkSession, dir: String, commit: Long): Meta =
     parseMeta(s"$dir@$commit",
       Generations.readPointerAt(spark, dir, MetaName, commit).getOrElse(sys.error(

@@ -74,6 +74,34 @@ private[sources] object GraphFeed extends FeedStore {
       Set("ord", "slice"))
 }
 
+private[sources] object SemFeed extends FeedStore {
+  val storeName = "sem"
+  val subs = Set("vecs", "pairs", "purged")
+  def currentCommit(spark: SparkSession, dir: String): Long =
+    graft.dedup.SemLedgerStore.meta(spark, dir).map(_.commit).getOrElse(-1L)
+  def changeDirs(spark: SparkSession, dir: String, sub: String,
+      since: Long, until: Long): (Seq[String], String) =
+    graft.dedup.SemLedgerStore.changeDirs(spark, dir, sub, since, until)
+  override def emptySchema(spark: SparkSession, dir: String,
+      sub: String): StructType =
+    ChangeFeed.purgedProxySchema(this, spark, dir, sub, "vecs",
+      Set("id", "slice"))
+}
+
+private[sources] object LedgerFeed extends FeedStore {
+  val storeName = "ledger"
+  val subs = Set("sigs", "postings", "purged")
+  def currentCommit(spark: SparkSession, dir: String): Long =
+    graft.dedup.LedgerStore.meta(spark, dir).map(_.commit).getOrElse(-1L)
+  def changeDirs(spark: SparkSession, dir: String, sub: String,
+      since: Long, until: Long): (Seq[String], String) =
+    graft.dedup.LedgerStore.changeDirs(spark, dir, sub, since, until)
+  override def emptySchema(spark: SparkSession, dir: String,
+      sub: String): StructType =
+    ChangeFeed.purgedProxySchema(this, spark, dir, sub, "sigs",
+      Set("id", "slice"))
+}
+
 /** The WAREHOUSE TABLE's own feed: every merge batch writes its
   * applied envelope rows (op, _key, _version, after columns — latest
   * per key, REMOVEs included) as a change slice atomically with its

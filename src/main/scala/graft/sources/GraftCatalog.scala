@@ -130,8 +130,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val surfaces =
       (if (has("_graft_table_meta.json"))
         Seq("merge", "changes.merge") else Nil) ++
-      (if (has("_graft_ledger_meta.json")) Seq("ledger.labels") else Nil) ++
-      (if (has("_graft_semledger_meta.json")) Seq("sem.labels") else Nil) ++
+      (if (has("_graft_ledger_meta.json"))
+        Seq("ledger.labels", "changes.ledger.sigs",
+          "changes.ledger.postings", "changes.ledger.purged") else Nil) ++
+      (if (has("_graft_semledger_meta.json"))
+        Seq("sem.labels", "changes.sem.vecs", "changes.sem.pairs",
+          "changes.sem.purged") else Nil) ++
       (if (has("_graft_postings_meta.json"))
         Seq("postings.postings", "postings.doclen", "postings.purged",
           "changes.postings.postings", "changes.postings.doclen",

@@ -123,10 +123,16 @@ object GraftTables {
           new ChangeFeedTable(spark, dir, PostingsFeed, sub, options)
         case Array("graph", sub) =>
           new ChangeFeedTable(spark, dir, GraphFeed, sub, options)
+        case Array("sem", sub) =>
+          new ChangeFeedTable(spark, dir, SemFeed, sub, options)
+        case Array("ledger", sub) =>
+          new ChangeFeedTable(spark, dir, LedgerFeed, sub, options)
         case _ => sys.error(
           s"unknown change feed '$table' — feed-bearing surfaces are " +
-            "changes.merge, changes.postings.{postings,doclen,purged} " +
-            "and changes.graph.{items,pairs,purged}")
+            "changes.merge, changes.postings.{postings,doclen,purged}, " +
+            "changes.graph.{items,pairs,purged}, " +
+            "changes.sem.{vecs,pairs,purged} and " +
+            "changes.ledger.{sigs,postings,purged}")
       }
     } else {
       val (paths, extra) = pathsOf(spark, dir, table, commit)
@@ -142,7 +148,9 @@ object GraftTables {
   def metaNameOf(table: String): String = table match {
     case "merge" | "changes.merge" => "_graft_table_meta.json"
     case "ledger.labels" => "_graft_ledger_meta.json"
+    case s if s.startsWith("changes.ledger.") => "_graft_ledger_meta.json"
     case "sem.labels" => "_graft_semledger_meta.json"
+    case s if s.startsWith("changes.sem.") => "_graft_semledger_meta.json"
     case s if s.startsWith("postings.") ||
       s.startsWith("changes.postings.") => "_graft_postings_meta.json"
     case s if s.startsWith("changes.graph.") => "_graft_graph_meta.json"

@@ -170,6 +170,74 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(sums(pairsFeed(-1, None)).filter(_._2 != 0L) == live)
   }
 
+  test("semantic-ledger and text-ledger feeds: the pairs feed streams " +
+      "newly-discovered near-dup pairs per fold, sigs/vecs replicate " +
+      "the fold inputs, purges ride the purged feed, compacts emit " +
+      "nothing") {
+    import spark.implicits._
+    def anyFeed(dir: String, table: String, since: Long,
+        until: Option[Long]) = {
+      val r = spark.read.format("graft").option("path", dir)
+        .option("table", table).option("sinceCommit", since.toString)
+      until.fold(r)(u => r.option("untilCommit", u.toString)).load()
+    }
+    // semantic ledger over the real embeddings table, two folds
+    val embs = graft.util.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val sdir = Files.createTempDirectory("cfsem").toString
+    graft.dedup.SemLedgerStore.maintainBatch(
+      embs.filter(col("vec_id") % 2 === 0), col("vec_id"),
+      col("embedding"), sdir, batchId = 0L) // commit 0
+    graft.dedup.SemLedgerStore.maintainBatch(
+      embs.filter(col("vec_id") % 2 === 1), col("vec_id"),
+      col("embedding"), sdir, batchId = 1L) // commit 1
+    // vecs feed windows partition the corpus by fold
+    def vids(since: Long, until: Long) =
+      anyFeed(sdir, "changes.sem.vecs", since, Some(until))
+        .select(col("id")).as[Long].collect().toSet
+    assert(vids(-1, 0) == embs.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id")).as[Long].collect().toSet)
+    assert(vids(0, 1) == embs.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id")).as[Long].collect().toSet)
+    // the pairs feed is the discovery stream: window pairs are disjoint
+    // and their union is every pair ever found
+    val p1 = anyFeed(sdir, "changes.sem.pairs", -1, Some(0))
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p2 = anyFeed(sdir, "changes.sem.pairs", 0, Some(1))
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = anyFeed(sdir, "changes.sem.pairs", -1, None)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((p1 intersect p2).isEmpty && (p1 union p2) == all)
+    // purge + compact: deletions ride the purged feed, the compact
+    // window is silent
+    graft.dedup.SemLedgerStore.purgeVecs(spark, sdir,
+      Seq(2L).toDF("id")) // commit 2
+    graft.dedup.SemLedgerStore.compact(spark, sdir) // commit 3
+    assert(anyFeed(sdir, "changes.sem.purged", 1, Some(2))
+      .select(col("id")).as[Long].collect().toSet == Set(2L))
+    assert(anyFeed(sdir, "changes.sem.vecs", 2, Some(3)).isEmpty &&
+      anyFeed(sdir, "changes.sem.pairs", 2, Some(3)).isEmpty)
+
+    // text ledger: the sigs feed replicates each fold's signatures
+    val ldir = Files.createTempDirectory("cfledger").toString
+    graft.dedup.LedgerStore.maintainBatch(
+      docs.filter(col("doc_id") <= 300), col("doc_id"), col("text"),
+      ldir, batchId = 0L)
+    graft.dedup.LedgerStore.maintainBatch(
+      docs.filter(col("doc_id") > 300), col("doc_id"), col("text"),
+      ldir, batchId = 1L)
+    assert(anyFeed(ldir, "changes.ledger.sigs", 0, Some(1))
+      .select(col("id")).as[Long].collect().toSet ==
+      docs.filter(col("doc_id") > 300).select(col("doc_id"))
+        .as[Long].collect().toSet)
+    // and the bucket-posting feed stays bp-partitioned for consumers
+    assert(anyFeed(ldir, "changes.ledger.postings", -1, None)
+      .columns.contains("bp"))
+  }
+
   test("merge-table feed: each commit's change slice is the batch's " +
       "applied envelope rows with REMOVEs kept; a purge emits typed-" +
       "null REMOVE events; compact emits nothing; vacuumChanges " +
