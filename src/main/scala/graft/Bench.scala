@@ -108,13 +108,20 @@ object Bench {
       "q130_incremental_components", "q131_fuzzy_match", "q138_pagerank",
       "q165_bucketed_join", "q219_corpus_build", "q254_bm25_store",
       "q262_pipeline_set")
+    // machine-readable numbers format under Locale.ROOT: the f
+    // interpolator uses the JVM default locale, and a comma-decimal
+    // locale would emit "value":12,345 — invalid JSON, the exact
+    // parsed:null failure this line exists to prevent (round-12
+    // self-review)
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val compactQs = headline.flatMap(k => timings.get(k).map(v =>
-      f""""$k":$v%.3f""")).mkString("{", ",", "}")
+      s""""$k":${num(v)}""")).mkString("{", ",", "}")
     val compactErrs = errors.take(3)
       .map { case (k, v) => s"\"$k\":\"${v.take(40)}\"" }
       .mkString("{", ",", "}")
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration_s":$calibrationS%.3f,"queries":$compactQs,"n_queries":${timings.size},"n_errors":${errors.size},"errors":$compactErrs,"sf":"$sfDir","full":"$outPath"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","calibration_s":${num(calibrationS)},"queries":$compactQs,"n_queries":${timings.size},"n_errors":${errors.size},"errors":$compactErrs,"sf":"$sfDir","full":"$outPath"}"""
     spark.stop()
     println(compact)
     System.out.flush()

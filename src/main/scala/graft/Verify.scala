@@ -83,10 +83,15 @@ object Verify {
     pool.shutdown()
     val wall = (System.nanoTime() - t0) / 1e9
     import scala.jdk.CollectionConverters._
+    // Locale.ROOT for the machine-readable file: the f interpolator is
+    // locale-sensitive and a comma-decimal JVM locale would break the
+    // JSON (round-12 self-review)
+    def num(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val tline = timings.asScala.toSeq.sortBy(-_._2)
-      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      .map { case (k, v) => s""""$k":${num(v)}""" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_timing.json"),
-      f"""{"wall_s":$wall%.1f,"par":$par,"n":${timings.size()},"by_query_s":$tline}""")
+      s"""{"wall_s":${num(wall)},"par":$par,"n":${timings.size()},"by_query_s":$tline}""")
     System.err.println(f"[verify] DONE: ${timings.size()}/${todo.size} " +
       f"queries in $wall%.1f s (par=$par)")
     spark.stop()

@@ -213,14 +213,28 @@ object Apply {
           val cur = current
             .withColumn("op", lit(Envelope.Modify))
             .withColumn("_key", col(keyCol))
+            .withColumn("_src", lit("c"))
           // tie-break: on equal versions REMOVE outranks MODIFY outranks
-          // INSERT ('R' > 'M' > 'I'), so deletes win replays deterministically
-          val merged = Envelope.latestByKey(
-              cur.unionByName(upserts, allowMissingColumns = true),
-              col("_key"), col("_version"), tieBreak = Seq(col("op").desc))
+          // INSERT ('R' > 'M' > 'I'), so deletes win replays
+          // deterministically; on FULL (version, op) ties the stored row
+          // outranks the envelope ('c' < 'u'), so a replayed identical
+          // envelope neither rewrites nor re-emits anything.
+          // ONE fold feeds both consumers below — the table (winners
+          // minus tombstones) and the CDC-OUT slice (winners that CAME
+          // FROM THIS BATCH: a late envelope that lost to the stored
+          // version must not enter the feed, or a downstream cascade
+          // would apply a change the table itself rejected — round-12
+          // self-review). Eager checkpoint: both writes read it.
+          val won = Envelope.latestByKey(
+              cur.unionByName(upserts.withColumn("_src", lit("u")),
+                allowMissingColumns = true),
+              col("_key"), col("_version"),
+              tieBreak = Seq(col("op").desc, col("_src").asc))
+            .localCheckpoint(true)
+          val merged = won
             .filter(col("op") =!= Envelope.Remove) // tombstones drop out
             .withColumn("_bucket", bucketOf(col("_key")))
-            .drop("op", "_key")
+            .drop("op", "_key", "_src")
           // 1. write the new generation — one past the highest generation
           //    this table has ever seen (NOT the stream's batchId, which
           //    restarts at 0 under a fresh checkpoint and would collide
@@ -250,15 +264,16 @@ object Apply {
           val prevRetired = meta.map(_.retired).getOrElse(Map.empty)
           val (keep, drop) = splitRetired(root, live, prevRetired, gcGraceMs, hc)
           val commitId = meta.map(_.commitId).getOrElse(0L) + 1
-          // CDC-OUT (round 12): the commit's CHANGE SLICE — the batch's
-          // applied envelope rows, latest per key, REMOVEs included
-          // (the table drops tombstones; the feed must not). Written
-          // BEFORE the pointer flips and keyed by the commit id, so a
-          // crashed batch's replay overwrites its own orphan (the
-          // replay recomputes the same id), and `changes.merge` readers
-          // ([[changeFeedDirs]]) see a slice only once its commit did.
-          Envelope.latestByKey(upserts, col("_key"), col("_version"),
-              tieBreak = Seq(col("op").desc))
+          // CDC-OUT (round 12): the commit's CHANGE SLICE — the rows
+          // that WON the merge and came from this batch (REMOVEs
+          // included: the table drops tombstones, the feed must not;
+          // lost stale envelopes excluded: the table rejected them, so
+          // must the feed). Written BEFORE the pointer flips and keyed
+          // by the commit id, so a crashed batch's replay overwrites
+          // its own orphan (the replay recomputes the same id), and
+          // `changes.merge` readers ([[changeFeedDirs]]) see a slice
+          // only once its commit did.
+          won.filter(col("_src") === "u").drop("_src")
             .write.mode("overwrite")
             .parquet(new HPath(root, s"$ChangesDirName/commit=$commitId").toString)
           writeManifest(root, nBuckets, newGens, keep, commitId, hc, archive = true)
@@ -458,7 +473,9 @@ object Apply {
     val cur = readMeta(root, hc).getOrElse(
       sys.error(s"$tableDir is not a merge table (no $MetaName)"))
     val hp = historyPath(root, commit)
-    require(graft.util.Hfs.exists(hp, hc),
+    // committed-only (see [[commits]]): never promote a crashed
+    // commit's orphan archive entry to the current state
+    require(commit <= cur.commitId && graft.util.Hfs.exists(hp, hc),
       s"$tableDir has no committed snapshot $commit " +
         s"(available: ${commits(spark, tableDir).mkString(", ")})")
     val snap = parseMeta(graft.util.Hfs.readString(hp, hc))
@@ -732,23 +749,40 @@ object Apply {
   private def historyPath(root: HPath, commit: Long): HPath =
     new HPath(root, s"$HistoryDirName/commit-$commit.json")
 
-  /** Committed snapshot ids available for time travel, ascending. */
-  def commits(spark: SparkSession, tableDir: String): Seq[Long] =
+  /** Committed snapshot ids available for time travel, ascending.
+    *
+    * Round-12 self-review: [[writeManifest]] archives the history entry
+    * BEFORE the pointer flip, so a crash between the two leaves an
+    * entry describing a state that never committed — the orphan the
+    * round-12 Generations.listCommits fix screens for the slice
+    * stores. Same rule here: only ids ≤ the CURRENT pointer's commit
+    * are committed; everything beyond is an in-flight orphan the next
+    * commit will overwrite (ids are recomputed as prev+1), and must be
+    * neither listed, read, nor restorable. */
+  def commits(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val cap = currentCommit(spark, tableDir)
+    if (cap < 0L) return Nil
     graft.util.Hfs.list(
         new HPath(new HPath(tableDir), HistoryDirName), graft.util.Hfs.conf(spark))
       .toSeq.map(_.getPath.getName)
-      .collect { case HistoryRe(id) => id.toLong }.sorted
+      .collect { case HistoryRe(id) => id.toLong }.filter(_ <= cap).sorted
+  }
 
   /** Commit ids with the write time of their archived manifest —
-    * the timestamp axis for [[readMergeTableAsOf]]. */
-  def commitTimes(spark: SparkSession, tableDir: String): Seq[(Long, Long)] =
+    * the timestamp axis for [[readMergeTableAsOf]]. Committed-only
+    * (see [[commits]]). */
+  def commitTimes(spark: SparkSession, tableDir: String): Seq[(Long, Long)] = {
+    val cap = currentCommit(spark, tableDir)
+    if (cap < 0L) return Nil
     graft.util.Hfs.list(
         new HPath(new HPath(tableDir), HistoryDirName), graft.util.Hfs.conf(spark))
       .toSeq
       .flatMap(s => s.getPath.getName match {
-        case HistoryRe(id) => Some(id.toLong -> s.getModificationTime)
+        case HistoryRe(id) if id.toLong <= cap =>
+          Some(id.toLong -> s.getModificationTime)
         case _ => None
       }).sorted
+  }
 
   /** TIMESTAMP-AS-OF time travel: read the snapshot of the LATEST commit
     * whose history manifest was written at or before `tsMillis` — the
@@ -797,7 +831,10 @@ object Apply {
         ds
       case Some(c) =>
         val hp = historyPath(root, c)
-        require(graft.util.Hfs.exists(hp, hc),
+        // cap at the current pointer: an archive entry beyond it is a
+        // crashed commit's orphan, not a committed snapshot
+        require(c <= currentCommit(spark, tableDir) &&
+            graft.util.Hfs.exists(hp, hc),
           s"$tableDir has no committed snapshot $c " +
             s"(available: ${commits(spark, tableDir).mkString(", ")})")
         val m = parseMeta(graft.util.Hfs.readString(hp, hc))

@@ -163,9 +163,8 @@ object Generations {
     * commit is the FIRST committed snapshot whose `"batch"` equals
     * `batchId` (every ledgered fold commits, including screened-empty
     * no-op bumps; a miss means the store never folded this batch).
-    * History bodies are a few hundred bytes; the ascending scan exits
-    * at the first match, which for the common non-replay case is at or
-    * next to the current pointer. */
+    * History bodies are a few hundred bytes; the descending scan (see
+    * the body) reads only the commits at or after the fold. */
   def foldCommitForBatch(spark: SparkSession, dir: String,
       metaName: String, batchId: Long): Long = {
     val commits = listCommits(spark, dir, metaName)
@@ -176,10 +175,28 @@ object Generations {
       BatchFieldRe.findFirstMatchIn(body).map(_.group(1).toLong).getOrElse(
         sys.error(s"$dir commit-$c.json carries no batch field: $body"))
     }
-    commits.find(batchOf(_) == batchId).getOrElse(sys.error(
+    // batch ids are NONDECREASING across commits (the fold guard only
+    // moves the ledger forward; maintenance verbs copy it), so walk
+    // DESCENDING from the newest commit and stop once batch drops below
+    // the target — for the common case (pinning the batch just folded)
+    // that is O(maintenance ops since the fold), not O(total history)
+    // small-file reads per set refresh (round-12 self-review: the
+    // ascending scan read nearly every archive body, growing
+    // unboundedly with history). The run's OLDEST member is the fold.
+    var best = -1L
+    val it = commits.reverseIterator
+    var done = false
+    while (it.hasNext && !done) {
+      val c = it.next()
+      val b = batchOf(c)
+      if (b == batchId) best = c
+      else if (b < batchId) done = true
+    }
+    if (best >= 0L) best
+    else sys.error(
       s"$dir has no commit for batch $batchId " +
         s"(committed: ${commits.mkString(", ")}) — the store never " +
-        "folded this batch under a ledgered id"))
+        "folded this batch under a ledgered id")
   }
 
   /** Diagnose an unparseable manifest body: a present-but-different

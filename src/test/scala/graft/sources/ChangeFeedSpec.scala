@@ -325,6 +325,17 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(chain2(e).exists(_.contains("vacuumChanges retired")))
     // post-cutoff windows still read
     assert(feed(2, None).count() == 2) // purge REMOVE + k9
+
+    // a LATE envelope that loses the latest-by-version fold must not
+    // enter the feed: the table rejected it, so must the CDC-OUT
+    // (round-12 self-review) — and an identical replayed envelope
+    // (same version, same op) re-emits nothing either
+    mergeOnce(Seq(Env("MODIFY", "k1", After("k1", "stale", 0.0), ts(150))))
+    assert(feed(5, Some(6)).isEmpty)
+    assert(Apply.readMergeTable(spark, dir)
+      .filter(col("id") === "k1").head.getAs[String]("ticker") == "a2")
+    mergeOnce(Seq(Env("INSERT", "k9", After("k9", "z", 7.0), ts(400))))
+    assert(feed(6, Some(7)).isEmpty)
   }
 
   test("a vacuumed change window fails loudly instead of silently " +
