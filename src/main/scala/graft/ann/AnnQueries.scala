@@ -198,6 +198,19 @@ object AnnQueries {
       dir
     }
 
+  /** q277's EMBEDDING-REFRESH substrate: a full-corpus semantic ledger
+    * of its own — the q277 upsert changes vector contents (re-embeds /
+    * deletes), which the q252/q266 snapshot reads over
+    * [[semStoreDir]] must never see. */
+  private[graft] def semUpsertDir(s: SparkSession, d: String): String =
+    Maintenance.getOrBuild("semUpsertSeed", s, d) {
+      val e = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graftsemupsert").toString
+      graft.dedup.SemLedgerStore.maintainBatch(
+        e, col("vec_id"), col("embedding"), dir, batchId = 0L)
+      dir
+    }
+
   /** q263's decontamination substrate: a [[graft.dedup.SemLedgerStore]]
     * holding the TRAIN-side vectors (vec_id % 10 ≠ 0 — the eval slice
     * stays out by construction), seeded with the sub-cut base as batch
@@ -632,6 +645,38 @@ object AnnQueries {
         .orderBy(col("vec_id"))
     },
 
+    // -- round 12: EMBEDDING REFRESH — the canonical LLM-ops flow
+    //    (model upgrade → documents re-embed) as ONE atomic ledgered
+    //    commit on the semantic ledger ([[graft.dedup.SemLedgerStore
+    //    .upsertVecs]]): every %10==0 vector is RE-EMBEDDED (negated —
+    //    flips its sign-LSH buckets and its cosines, a real semantic
+    //    move both engines compute exactly), every %17==0 non-updated
+    //    vector DELETED; tombstone slice + new vec/pair slices above it
+    //    (the v5 slice-ordered mask) + purge-relabel ∘ fold-contraction
+    //    labels, one commit, replay no-op on repeat. Oracle = the
+    //    recursive-closure label recompute over the SIMULATED
+    //    post-refresh corpus: upsert ≡ full recompute, the q244/q252
+    //    maintenance invariant under UPDATE.
+    "q277_sem_upsert" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val dir = semUpsertDir(s, d)
+      val updated = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      val removes = e.filter(col("vec_id") % 17 === 0 &&
+          col("vec_id") % 10 =!= 0)
+        .select(col("vec_id"))
+      graft.dedup.SemLedgerStore.upsertVecs(updated, col("vec_id"),
+        col("embedding"), removes, dir, batchId = 1L)
+      val lbl = graft.dedup.SemLedgerStore.load(s, dir)._3
+        .select(col("id").as("vec_id"), col("comp"))
+      val sizes = lbl.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+      lbl.join(sizes, Seq("comp"))
+        .select(col("vec_id"), col("comp"), col("comp_size"),
+          (col("vec_id") === col("comp")).as("is_canonical"))
+        .orderBy(col("vec_id"))
+    },
+
     // -- k-NN label vote (the data-labeling / label-propagation face of
     //    the search stack): the first 10 vectors are unlabeled queries,
     //    the rest the labeled corpus; each query takes the majority
@@ -796,7 +841,15 @@ object AnnQueries {
     * the vector universe ("TRUE" = full corpus; q266 restricts to the
     * seed slice — the snapshot oracle recomputes over the corpus AS IT
     * WAS). */
-  private def lshPairsCtesWhere(pred: String): String = {
+  private def lshPairsCtesWhere(pred: String): String =
+    lshPairsCtesFromE(
+      s"""SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  WHERE $pred""".stripMargin)
+
+  /** The same pair CTEs over an ARBITRARY vector universe (`eSelect`
+    * must yield (vec_id, v DOUBLE[])) — q277's post-refresh corpus
+    * transforms vectors, not just filters rows. */
+  private def lshPairsCtesFromE(eSelect: String): String = {
     val pls = Similarity.planes(4 * 4, 64)
     def bucketSql(b: Int): String = (0 until 4).map { j =>
       s"(CASE WHEN LIST_DOT_PRODUCT(v, [${pls(b * 4 + j).mkString(", ")}]) >= 0 THEN ${1 << j} ELSE 0 END)"
@@ -804,8 +857,7 @@ object AnnQueries {
     val bandsSql = (0 until 4).map { b =>
       s"SELECT vec_id, v, $b AS band, ${bucketSql(b)} AS bucket FROM e"
     }.mkString("\n  UNION ALL\n  ")
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-      |  WHERE $pred),
+    s"""e AS ($eSelect),
       |k AS (
       |  $bandsSql),
       |cand AS (
@@ -971,6 +1023,34 @@ object AnnQueries {
         |  SELECT em.vec_id, COALESCE(l.comp, em.vec_id) AS comp
         |  FROM embeddings em LEFT JOIN lbl l ON em.vec_id = l.id
         |  WHERE em.vec_id % 5 <> 0)
+        |SELECT vec_id, comp,
+        |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
+        |  vec_id = comp AS is_canonical
+        |FROM ledger ORDER BY vec_id""".stripMargin,
+
+    // The refreshed ledger must land on the closure recompute over the
+    // SIMULATED post-refresh corpus: %10 vectors negated (re-embedded),
+    // %17 non-updated vectors absent — upsert ≡ full recompute.
+    "q277_sem_upsert" ->
+      s"""WITH RECURSIVE ${lshPairsCtesFromE(
+        """SELECT vec_id,
+          |    CASE WHEN vec_id % 10 = 0
+          |         THEN LIST_TRANSFORM(embedding::DOUBLE[], x -> -x)
+          |         ELSE embedding::DOUBLE[] END AS v
+          |  FROM embeddings
+          |  WHERE NOT (vec_id % 17 = 0 AND vec_id % 10 <> 0)""".stripMargin)},
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM vpairs
+        |  UNION ALL SELECT b_id AS src, a_id AS dst FROM vpairs),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.src, r.lab FROM edges e2 JOIN reach r ON e2.dst = r.id),
+        |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+        |ledger AS (
+        |  SELECT em.vec_id, COALESCE(l.comp, em.vec_id) AS comp
+        |  FROM embeddings em LEFT JOIN lbl l ON em.vec_id = l.id
+        |  WHERE NOT (em.vec_id % 17 = 0 AND em.vec_id % 10 <> 0))
         |SELECT vec_id, comp,
         |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
         |  vec_id = comp AS is_canonical

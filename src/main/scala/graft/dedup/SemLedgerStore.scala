@@ -36,7 +36,14 @@ import graft.util.Generations
 object SemLedgerStore {
 
   private val MetaName = "_graft_semledger_meta.json"
-  private val Format = "graft-semdedup-v4" // v4 (round 11): + commit id / history archive
+  // v4 (round 11): + commit id / history archive.
+  // v5 (round 12): SLICE-ORDERED tombstones — a purged/slice=S row
+  // masks only vec/pair rows with slice < S, so [[upsertVecs]] can
+  // retire a vector's old copy and land its re-embedded one in ONE
+  // atomic commit (the postings-v3 rule). Pure purge flows read
+  // identically (a purge's tombstone is always newer than the rows it
+  // targets); cross-build reads fail loudly as a version mismatch.
+  private val Format = "graft-semdedup-v5"
 
   /** v3: `sliceBase` — the live slice window's lower bound; see
     * [[LedgerStore.Meta]] (the text twin) for the compaction contract. */
@@ -77,14 +84,10 @@ object SemLedgerStore {
         s""""commit": ${m.commit}}""",
       m.commit)
 
-  private def liveSlices(spark: SparkSession, dir: String, sub: String,
-      m: Meta): DataFrame =
-    spark.read.parquet(s"$dir/$sub")
-      .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
-      .drop("slice")
 
-  /** Tombstoned vec ids (the [[purgeVecs]] ledger) — empty when no
-    * purge ran or every tombstone slice was vacuumed. */
+  /** Tombstones (id, _tomb = the tombstone's slice id) — the
+    * [[purgeVecs]]/[[upsertVecs]] ledger; empty when no purge ran or
+    * every tombstone slice was vacuumed. */
   private def livePurged(spark: SparkSession, dir: String,
       m: Meta): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/purged")
@@ -94,24 +97,40 @@ object SemLedgerStore {
     if (hasSlices)
       spark.read.parquet(s"$dir/purged")
         .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
-        .select(col("id"))
+        .select(col("id"), col("slice").cast("long").as("_tomb"))
     else {
       import spark.implicits._
-      Seq.empty[Long].toDF("id")
+      Seq.empty[(Long, Long)].toDF("id", "_tomb")
     }
   }
 
-  /** The live vectors minus tombstones. */
-  private def liveVecs(spark: SparkSession, dir: String, m: Meta): DataFrame =
-    liveSlices(spark, dir, "vecs", m)
-      .join(livePurged(spark, dir, m), Seq("id"), "left_anti")
+  /** The live vectors under the v5 SLICE-ORDERED mask: a tombstone at
+    * slice S masks only copies OLDER than it — an [[upsertVecs]]
+    * re-landed vector (data slice above its own tombstone) stays
+    * visible; pure purges read exactly as v4. */
+  private def liveVecs(spark: SparkSession, dir: String, m: Meta): DataFrame = {
+    val tomb = livePurged(spark, dir, m)
+      .select(col("id").as("_tid"), col("_tomb"))
+    spark.read.parquet(s"$dir/vecs")
+      .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
+      .join(tomb, col("id") === col("_tid") && col("_tomb") > col("slice"),
+        "left_anti")
+      .drop("slice")
+  }
 
-  /** The live pair ledger minus every pair touching a tombstoned id. */
+  /** The live pair ledger: a pair drops iff EITHER endpoint carries a
+    * tombstone newer than the pair's slice — old pairs of an updated
+    * vector (computed from the retired embedding) mask out, the upsert
+    * fold's new pairs (written above the tombstone) survive. */
   private def livePairs(spark: SparkSession, dir: String, m: Meta): DataFrame = {
-    val purged = livePurged(spark, dir, m)
-    liveSlices(spark, dir, "pairs", m)
-      .join(purged.select(col("id").as("a_id")), Seq("a_id"), "left_anti")
-      .join(purged.select(col("id").as("b_id")), Seq("b_id"), "left_anti")
+    val tomb = livePurged(spark, dir, m)
+      .select(col("id").as("_tid"), col("_tomb"))
+    spark.read.parquet(s"$dir/pairs")
+      .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
+      .join(tomb, col("a_id") === col("_tid") && col("_tomb") > col("slice"),
+        "left_anti")
+      .join(tomb, col("b_id") === col("_tid") && col("_tomb") > col("slice"),
+        "left_anti")
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
 
@@ -305,6 +324,102 @@ object SemLedgerStore {
     }
   }
 
+  /** EMBEDDING REFRESH (round 12) — the verb the canonical LLM-ops
+    * flow needs: after a model upgrade, documents re-embed, and the
+    * semantic ledger must retire each vector's OLD copy, land the NEW
+    * one, and re-derive the pair ledger + labels — atomically, in one
+    * ledgered commit ([[graft.text.PostingsStore.upsertBatch]]'s
+    * semantics on the embedding substrate). Purge-then-fold as two
+    * verbs would leave a crash window where a replay purges the
+    * re-landed copy (purge has no ledger); here one commit carries the
+    * tombstone slice, the new vec/pair slices ABOVE it (the v5
+    * slice-ordered mask keeps them visible), the relabeled components,
+    * and the batch ledger.
+    *
+    * Labels re-derive in two steps against the pre-commit state: the
+    * purge relabel ([[purgeVecs]]'s pair-closure recompute over the
+    * affected components minus the targets), then the incremental fold
+    * contraction over the new vectors' delta pairs — exact under the
+    * same closure argument both parent verbs carry. `removeIds` deletes
+    * outright; ids in both re-land (the upsert wins). Returns the new
+    * generation (None for replays / fully-empty batches). */
+  def upsertVecs(upserts: DataFrame, id: Column, vec: Column,
+      removeIds: DataFrame, dir: String, retainGens: Int = 2,
+      batchId: Long = -1L): Option[Long] = {
+    val spark = upserts.sparkSession
+    graft.util.Maintenance.withLeasedWriteLock("SemLedgerStore", spark, dir) {
+    val m = readMeta(spark, dir).getOrElse(sys.error(
+      s"no committed semantic ledger at $dir — upsertVecs updates an " +
+        "existing ledger; seed with maintainBatch first"))
+    if (batchId >= 0 && batchId <= m.batch) return None
+    val newVecs = upserts.select(id.as("id"), vec.as("v"))
+      .localCheckpoint(true)
+    val rem = removeIds.select(removeIds.columns.head).toDF("id")
+      .distinct().localCheckpoint(true)
+    if (newVecs.isEmpty && rem.isEmpty) {
+      recordEmptyBatch(spark, dir, Some(m), batchId); return None
+    }
+    val threshold = m.thresholdPerMille / 1000.0
+    val labels = spark.read.parquet(s"$dir/gen=${m.gen}/labels")
+    val targets = newVecs.select(col("id")).unionByName(rem).distinct()
+      .join(labels.select(col("id")), Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    // PURGE PHASE (computed against the pre-commit state): affected
+    // components relabel from their remaining members' stored vectors
+    val comps = labels.join(targets, Seq("id"), "left_semi")
+      .select(col("comp")).distinct()
+    val members = labels.join(comps, Seq("comp"), "left_semi")
+      .join(targets, Seq("id"), "left_anti")
+      .select(col("id"))
+    val vecsM = liveVecs(spark, dir, m)
+      .join(members, Seq("id"), "left_semi").localCheckpoint(true)
+    val pairsM = Dedup.lshNearDups(vecsM, col("id"), col("v"),
+      m.nBands, m.planesPerBand, m.dim, threshold)
+    val lblM = Dedup.components(pairsM, col("a_id"), col("b_id"))
+    val relabeled = members
+      .join(lblM.select(col("id"), col("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    val labelsAfterPurge = labels.join(comps, Seq("comp"), "left_anti")
+      .select(col("id"), col("comp"))
+      .unionByName(relabeled).localCheckpoint(true)
+    val vecsAfterPurge = liveVecs(spark, dir, m)
+      .join(targets, Seq("id"), "left_anti")
+    // FOLD PHASE: the new vectors pair against the post-purge corpus
+    val deltaPairs = Dedup.lshNearDupsDelta(vecsAfterPurge, newVecs,
+      col("id"), col("v"), m.nBands, m.planesPerBand, m.dim, threshold)
+      .localCheckpoint(true)
+    val allIds = labelsAfterPurge.select(col("id"))
+      .unionByName(newVecs.select(col("id"))).distinct()
+    val newLabels = Dedup.componentsIncremental(
+      labelsAfterPurge, allIds, col("id"), deltaPairs,
+      col("a_id"), col("b_id"))
+    // WRITES: tombstone slice first (the mask covers only OLDER
+    // slices), new vec/pair slices above it, labels, ONE commit
+    var next = m.slices
+    if (!targets.isEmpty) {
+      Generations.claimSlice(spark, dir, Seq("vecs", "pairs"), next)
+      targets.write.mode("overwrite").parquet(s"$dir/purged/slice=$next")
+      next += 1
+    }
+    if (!newVecs.isEmpty) {
+      Generations.claimSlice(spark, dir, Seq("purged"), next)
+      newVecs.write.mode("overwrite").parquet(s"$dir/vecs/slice=$next")
+      deltaPairs.write.mode("overwrite").parquet(s"$dir/pairs/slice=$next")
+      next += 1
+    }
+    if (next == m.slices) { // nothing live to retire, nothing to land
+      recordEmptyBatch(spark, dir, Some(m), batchId); return None
+    }
+    val gen = m.gen + 1
+    newLabels.write.mode("overwrite").parquet(s"$dir/gen=$gen/labels")
+    val n = spark.read.parquet(s"$dir/gen=$gen/labels").count()
+    commitMeta(spark, dir, m.copy(gen = gen, rows = n, batch = batchId,
+      slices = next, commit = m.commit + 1))
+    Generations.gc(spark, dir, gen - (retainGens - 1))
+    Some(gen)
+    }
+  }
+
   /** ADVICE r11: a ledgered batch the tombstone screen (or the batch
     * itself) left EMPTY must still record its batch id — returning
     * without a commit leaves the batch unledgered, so after a
@@ -355,7 +470,7 @@ object SemLedgerStore {
         // TOMBSTONE SCREEN (round-10 ADVICE): purged ids stay purged
         // until compact+vacuum; re-folding one would re-enter the labels
         // while the tombstone hides its vector from every pairing read
-        val screened = vecs.join(livePurged(spark, dir, m),
+        val screened = vecs.join(livePurged(spark, dir, m).select("id"),
           Seq("id"), "left_anti").localCheckpoint(true)
         if (screened.isEmpty) { recordEmptyBatch(spark, dir, Some(m), batchId); return None }
         val deltaPairs = Dedup.lshNearDupsDelta(oldVecs, screened,

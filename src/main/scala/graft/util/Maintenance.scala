@@ -175,6 +175,7 @@ object Maintenance {
     "ivfPqBase"       -> ((s, d) => graft.ann.AnnQueries.ivfPqBase(s, d)),
     "ivfPqStoreSeed"  -> ((s, d) => graft.ann.AnnQueries.ivfPqStoreDir(s, d)),
     "semStoreSeed"    -> ((s, d) => graft.ann.AnnQueries.semStoreDir(s, d)),
+    "semUpsertSeed"   -> ((s, d) => graft.ann.AnnQueries.semUpsertDir(s, d)),
     "semDecontamSeed" -> ((s, d) => graft.ann.AnnQueries.semDecontamDir(s, d)),
     "postingsStoreSeed" -> ((s, d) => graft.text.LmQueries.postingsStoreDir(s, d)),
     "procStoreSeed"   -> ((s, d) => graft.text.LmQueries.procStoreDir(s, d)),

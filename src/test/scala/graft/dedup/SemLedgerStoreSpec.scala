@@ -67,6 +67,55 @@ class SemLedgerStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("one hyperplane family"))
   }
 
+  test("upsertVecs (embedding refresh): updated vectors retire their " +
+      "old copies and re-pair atomically, deletes leave, stats and " +
+      "labels equal the full recompute over the refreshed corpus; " +
+      "replays are no-ops; compact preserves the state") {
+    val dir = Files.createTempDirectory("semupsert").toString
+    assert(SemLedgerStore.maintainBatch(embs, col("vec_id"),
+      col("embedding"), dir, batchId = 0L).contains(0L))
+
+    // refresh: %10 vectors re-embed (negated — flips buckets AND
+    // cosines), %17 non-updated vectors delete
+    val updated = embs.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    import spark.implicits._
+    val removes = embs.filter(col("vec_id") % 17 === 0 &&
+      col("vec_id") % 10 =!= 0).select(col("vec_id"))
+    assert(SemLedgerStore.upsertVecs(updated, col("vec_id"),
+      col("embedding"), removes, dir, batchId = 1L).nonEmpty)
+
+    // the simulated post-refresh corpus, recomputed from scratch
+    val corpus = embs.filter(!(col("vec_id") % 17 === 0 &&
+        col("vec_id") % 10 =!= 0))
+      .filter(col("vec_id") % 10 =!= 0)
+      .unionByName(updated)
+    val pairsFull = Dedup.lshNearDups(corpus, col("vec_id"),
+      col("embedding"), nBands = 4, planesPerBand = 4, dim = 64,
+      threshold = 0.25)
+    val lblFull = Dedup.components(pairsFull, col("a_id"), col("b_id"))
+    val expLabels = corpus
+      .join(lblFull.select(col("id").as("vec_id"), col("comp")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("comp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expPairs = pairsFull.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored(dir) == ((expPairs, expLabels)))
+    assert(SemLedgerStore.meta(spark, dir).get.rows == expLabels.size)
+
+    // replay of the upsert batch is a no-op
+    assert(SemLedgerStore.upsertVecs(updated, col("vec_id"),
+      col("embedding"), removes, dir, batchId = 1L).isEmpty)
+    assert(stored(dir) == ((expPairs, expLabels)))
+
+    // compact applies the masks physically; state identical after
+    assert(SemLedgerStore.compact(spark, dir).nonEmpty)
+    assert(SemLedgerStore.vacuumSlices(spark, dir) > 0)
+    assert(stored(dir) == ((expPairs, expLabels)))
+  }
+
   test("purgeVecs: decremental semantic maintenance — affected " +
       "components relabel from stored vectors, pair reads exclude " +
       "tombstones, compact makes removal physical") {

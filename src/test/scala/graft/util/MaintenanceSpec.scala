@@ -77,7 +77,7 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(names.distinct == names)
     assert(names.toSet == Set("dedupLedger", "incrementalBase", "semanticLedger",
       "ledgerStoreSeed", "ivfIndex", "pqIndex", "ivfPqIndex", "ivfPqBase",
-      "ivfPqStoreSeed", "semStoreSeed", "semDecontamSeed",
+      "ivfPqStoreSeed", "semStoreSeed", "semUpsertSeed", "semDecontamSeed",
       "postingsStoreSeed", "procStoreSeed", "mergeFeedSeed",
       "upsertStoreSeed", "graphStoreSeed",
       "linkageLedger", "linkageBase", "shardExportSeed", "pipelineSeed",
