@@ -59,7 +59,14 @@ import graft.util.Generations
 object LedgerStore {
 
   private val MetaName = "_graft_ledger_meta.json"
-  private val Format = "graft-dedup-v4" // v4 (round 11): + commit id / history archive
+  // v4 (round 11): + commit id / history archive.
+  // v5 (round 12): SLICE-ORDERED tombstones — a purged/slice=S row
+  // masks only sig/posting rows with slice < S, so [[upsertDocs]] can
+  // retire a document's old copy and land its re-ingested one in ONE
+  // atomic commit (the postings-v3 / semantic-v5 rule). Pure purge
+  // flows read identically; cross-build reads fail loudly as a
+  // version mismatch.
+  private val Format = "graft-dedup-v5"
 
   /** v3 (round 10): `sliceBase` — the live slice window's lower bound.
     * [[compact]] rewrites the live slices `[sliceBase, slices)` into one
@@ -122,27 +129,37 @@ object LedgerStore {
     if (hasSlices)
       spark.read.parquet(s"$dir/purged")
         .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
-        .select(col("id"))
+        .select(col("id"), col("slice").cast("long").as("_tomb"))
     else {
       import spark.implicits._
-      Seq.empty[Long].toDF("id")
+      Seq.empty[(Long, Long)].toDF("id", "_tomb")
     }
   }
 
-  /** The LIVE signature store: the manifest's slice window, pruned on
-    * the `slice` partition column, minus tombstoned docs. */
-  private def liveSigs(spark: SparkSession, dir: String, m: Meta): DataFrame =
+  /** The LIVE signature store under the v5 SLICE-ORDERED mask: a
+    * tombstone at slice S masks only copies OLDER than it — an
+    * [[upsertDocs]] re-landed signature (data slice above its own
+    * tombstone) stays visible; pure purges read exactly as v4. */
+  private def liveSigs(spark: SparkSession, dir: String, m: Meta): DataFrame = {
+    val tomb = livePurged(spark, dir, m)
+      .select(col("id").as("_tid"), col("_tomb"))
     spark.read.parquet(s"$dir/sigs")
       .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
+      .join(tomb, col("id") === col("_tid") && col("_tomb") > col("slice"),
+        "left_anti")
       .drop("slice")
-      .join(livePurged(spark, dir, m), Seq("id"), "left_anti")
+  }
 
   private def livePostings(spark: SparkSession, dir: String,
-      m: Meta): DataFrame =
+      m: Meta): DataFrame = {
+    val tomb = livePurged(spark, dir, m)
+      .select(col("id").as("_tid"), col("_tomb"))
     spark.read.parquet(s"$dir/postings")
       .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
+      .join(tomb, col("id") === col("_tid") && col("_tomb") > col("slice"),
+        "left_anti")
       .drop("slice")
-      .join(livePurged(spark, dir, m), Seq("id"), "left_anti")
+  }
 
   /** Write ONE fold's outputs: the delta slice (sigs + bp-partitioned
     * postings — immutable, appended under `slice=<meta.slices-1>`), the
@@ -281,6 +298,106 @@ object LedgerStore {
     commitMeta(spark, dir,
       m.copy(gen = gen, rows = n, slices = sliceId + 1,
         commit = m.commit + 1))
+    Generations.gc(spark, dir, gen - (retainGens - 1))
+    Some(gen)
+    }
+  }
+
+  /** DOCUMENT RE-INGEST (round 12) — [[graft.dedup.SemLedgerStore
+    * .upsertVecs]]'s text twin, completing the ledger side of the
+    * upsert matrix: a changed document retires its OLD signature, lands
+    * the NEW one, re-pairs against the post-purge corpus, and relabels
+    * affected components — atomically, in one ledgered commit (the v5
+    * slice-ordered mask keeps the re-landed copy visible above its own
+    * tombstone; purge-then-fold as two verbs would leave the crash
+    * window where a replay purges the re-landed copy). `removeIds`
+    * deletes outright; ids in both re-land. Exactness inherits
+    * [[purgeDocs]]'s closure caveat: the relabel is exact in the
+    * UNCAPPED profile. Returns the new generation (None for replays /
+    * fully-empty batches). */
+  def upsertDocs(upserts: DataFrame, id: Column, text: Column,
+      removeIds: DataFrame, dir: String, retainGens: Int = 2,
+      batchId: Long = -1L): Option[Long] = {
+    val spark = upserts.sparkSession
+    graft.util.Maintenance.withLeasedWriteLock("LedgerStore", spark, dir) {
+    val m = readMeta(spark, dir).getOrElse(sys.error(
+      s"no committed ledger at $dir — upsertDocs updates an existing " +
+        "ledger; seed with maintainBatch first"))
+    if (batchId >= 0 && batchId <= m.batch) return None
+    val docs = upserts.select(id.as("doc_id"), text.as("text"))
+      .localCheckpoint(true)
+    val rem = removeIds.select(removeIds.columns.head).toDF("id")
+      .distinct().localCheckpoint(true)
+    if (docs.isEmpty && rem.isEmpty) {
+      recordEmptyBatch(spark, dir, Some(m), batchId); return None
+    }
+    val threshold = m.thresholdPerMille / 1000.0
+    val labels = spark.read.parquet(s"$dir/gen=${m.gen}/labels")
+    val targets = docs.select(col("doc_id").as("id")).unionByName(rem)
+      .distinct()
+      .join(labels.select(col("id")), Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    // PURGE PHASE (against the pre-commit state): affected components
+    // relabel from their remaining members' stored signatures
+    val comps = labels.join(targets, Seq("id"), "left_semi")
+      .select(col("comp")).distinct()
+    val members = labels.join(comps, Seq("comp"), "left_semi")
+      .join(targets, Seq("id"), "left_anti")
+      .select(col("id"))
+    val sigsM = liveSigs(spark, dir, m)
+      .join(members, Seq("id"), "left_semi").localCheckpoint(true)
+    val pairsM = Dedup.minhashNearDupsDeltaFromSigs(
+      sigsM.limit(0), sigsM, threshold, m.k, m.bands,
+      maxBucketSize = m.maxBucket)
+    val lblM = Dedup.components(pairsM, col("a_id"), col("b_id"))
+    val relabeled = members
+      .join(lblM.select(col("id"), col("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    val labelsAfterPurge = labels.join(comps, Seq("comp"), "left_anti")
+      .select(col("id"), col("comp"))
+      .unionByName(relabeled).localCheckpoint(true)
+    val sigsAfterPurge = liveSigs(spark, dir, m)
+      .join(targets, Seq("id"), "left_anti")
+    val postingsAfterPurge = livePostings(spark, dir, m)
+      .join(targets, Seq("id"), "left_anti")
+    // FOLD PHASE: the new signatures pair against the post-purge corpus
+    // through the pruned posting path (the maintainBatch production fold)
+    val deltaSigs = Dedup.minhashSigSets(docs, col("doc_id"), col("text"),
+      k = m.k).localCheckpoint(true)
+    val deltaPairs = Dedup.minhashNearDupsDeltaFromPostings(
+      postingsAfterPurge, sigsAfterPurge, deltaSigs, threshold, m.k,
+      m.bands, maxBucketSize = m.maxBucket, prefixes = m.prefixes)
+      .localCheckpoint(true)
+    val allIds = labelsAfterPurge.select(col("id"))
+      .unionByName(docs.select(col("doc_id").as("id"))).distinct()
+    val newLabels = Dedup.componentsIncremental(
+      labelsAfterPurge, allIds, col("id"), deltaPairs,
+      col("a_id"), col("b_id"))
+    // WRITES: tombstone slice first (the mask covers only OLDER
+    // slices), sig/posting slices above it, labels, ONE commit
+    var next = m.slices
+    if (!targets.isEmpty) {
+      Generations.claimSlice(spark, dir, Seq("sigs", "postings"), next)
+      targets.write.mode("overwrite").parquet(s"$dir/purged/slice=$next")
+      next += 1
+    }
+    if (!docs.isEmpty) {
+      Generations.claimSlice(spark, dir, Seq("purged"), next)
+      deltaSigs.write.mode("overwrite").parquet(s"$dir/sigs/slice=$next")
+      Dedup.minhashPostings(deltaSigs, m.k, m.bands, m.prefixes)
+        .select(col("bucket"), col("id"), col("bp"))
+        .write.mode("overwrite").partitionBy("bp")
+        .parquet(s"$dir/postings/slice=$next")
+      next += 1
+    }
+    if (next == m.slices) { // nothing live to retire, nothing to land
+      recordEmptyBatch(spark, dir, Some(m), batchId); return None
+    }
+    val gen = m.gen + 1
+    newLabels.write.mode("overwrite").parquet(s"$dir/gen=$gen/labels")
+    val n = spark.read.parquet(s"$dir/gen=$gen/labels").count()
+    commitMeta(spark, dir, m.copy(gen = gen, rows = n, batch = batchId,
+      slices = next, commit = m.commit + 1))
     Generations.gc(spark, dir, gen - (retainGens - 1))
     Some(gen)
     }

@@ -82,6 +82,19 @@ object TextQueries {
     * publishes gen 1; later invocations hit the batch-id replay no-op
     * and measure the PROBE of the folded generation, the q75-pattern
     * steady-state cost. */
+  /** q278's RE-INGEST substrate: a full-corpus text ledger of its own —
+    * the q278 upsert changes document texts (re-ingests / deletes),
+    * which the q248/q251/q267 snapshot reads over [[ledgerStoreDir]]
+    * must never see. */
+  private[graft] def ledgerUpsertDir(s: SparkSession, d: String): String =
+    Maintenance.getOrBuild("ledgerUpsertSeed", s, d) {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graftledgerup").toString
+      graft.dedup.LedgerStore.maintainBatch(
+        docs, col("doc_id"), col("text"), dir, batchId = 0L)
+      dir
+    }
+
   private[graft] def ledgerStoreDir(s: SparkSession, d: String): String =
     Maintenance.getOrBuild("ledgerStoreSeed", s, d) {
       val docs = Tables.documents(s, d)
@@ -499,6 +512,39 @@ object TextQueries {
       graft.dedup.LedgerStore.maintainBatch(
         docs.filter(!(col("doc_id") < cut)), col("doc_id"), col("text"),
         dir, batchId = 1L)
+      val lbl = graft.dedup.LedgerStore.load(s, dir)._1
+        .select(col("id").as("doc_id"), col("comp"))
+      val sizes = lbl.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+      lbl.join(sizes, Seq("comp"))
+        .select(col("doc_id"), col("comp"), col("comp_size"),
+          (col("doc_id") === col("comp")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -- round 12: DOCUMENT RE-INGEST on the persisted dedup ledger —
+    //    [[graft.dedup.LedgerStore.upsertDocs]], the q277 embedding-
+    //    refresh verb's text twin, completing the upsert matrix's
+    //    ledger side: every %10==0 doc is RE-INGESTED with changed text
+    //    (doubled — shifts shingle sets and Jaccard denominators),
+    //    every %17==0 non-updated doc DELETED; one atomic ledgered
+    //    commit (tombstone slice + sig/posting slices above it under
+    //    the v5 slice-ordered mask + purge-relabel ∘ fold-contraction
+    //    labels; replay no-op on repeat). Oracle = the recursive-
+    //    closure label recompute over the SIMULATED post-re-ingest
+    //    corpus: upsert ≡ full recompute, the q130/q248 maintenance
+    //    invariant under UPDATE. Own store ([[ledgerUpsertDir]]) — the
+    //    text changes must not leak into q248/q251/q267's reads.
+    "q278_ledger_upsert" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dir = ledgerUpsertDir(s, d)
+      val updated = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text"))
+      val removes = docs.filter(col("doc_id") % 17 === 0 &&
+          col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"))
+      graft.dedup.LedgerStore.upsertDocs(updated, col("doc_id"),
+        col("text"), removes, dir, batchId = 1L)
       val lbl = graft.dedup.LedgerStore.load(s, dir)._1
         .select(col("id").as("doc_id"), col("comp"))
       val sizes = lbl.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
@@ -934,13 +980,20 @@ object TextQueries {
     * Same integers, same double division, bit-identical jaccard —
     * A/B-verified identical pair sets and values; 0.14 s vs 8.96 s. */
   private def minhashPairsCtesWhere(pred: String): String =
+    minhashPairsCtesFromCorpus(
+      s"SELECT doc_id, text FROM documents WHERE $pred")
+
+  /** The same exact-Jaccard pair CTEs over an ARBITRARY corpus
+    * (`corpusSql` must yield (doc_id, text)) — q278's post-re-ingest
+    * corpus transforms document texts, not just filters rows. */
+  private def minhashPairsCtesFromCorpus(corpusSql: String): String =
     s"""sh AS (
       |  SELECT doc_id, LIST_DISTINCT([
       |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       |      FOR i IN RANGE(1, GREATEST(LEN(toks) - 1, 1))]) AS sh
       |  FROM (SELECT doc_id,
       |      STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks
-      |    FROM documents WHERE $pred)),
+      |    FROM ($corpusSql))),
       |shn AS (SELECT doc_id, LEN(sh) AS n FROM sh),
       |shtok AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
       |shcand AS (
@@ -1573,6 +1626,33 @@ object TextQueries {
          |ledger AS (
          |  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp
          |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id)
+         |SELECT doc_id, comp,
+         |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
+         |  doc_id = comp AS is_canonical
+         |FROM ledger ORDER BY doc_id""".stripMargin,
+
+    // The re-ingested ledger must land on the closure recompute over
+    // the SIMULATED post-re-ingest corpus: %10 texts doubled, %17
+    // non-updated docs absent — upsert ≡ full recompute.
+    "q278_ledger_upsert" ->
+      s"""WITH RECURSIVE ${minhashPairsCtesFromCorpus(
+        """SELECT doc_id,
+          |    CASE WHEN doc_id % 10 = 0 THEN text || ' ' || text
+          |         ELSE text END AS text
+          |  FROM documents
+          |  WHERE NOT (doc_id % 17 = 0 AND doc_id % 10 <> 0)""".stripMargin)},
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+         |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+         |ledger AS (
+         |  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
+         |  WHERE NOT (d.doc_id % 17 = 0 AND d.doc_id % 10 <> 0))
          |SELECT doc_id, comp,
          |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
          |  doc_id = comp AS is_canonical

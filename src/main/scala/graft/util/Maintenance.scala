@@ -168,6 +168,7 @@ object Maintenance {
     "dedupLedger"     -> ((s, d) => graft.text.TextQueries.dedupLedger(s, d)),
     "incrementalBase" -> ((s, d) => graft.text.TextQueries.incrementalBase(s, d)),
     "ledgerStoreSeed" -> ((s, d) => graft.text.TextQueries.ledgerStoreDir(s, d)),
+    "ledgerUpsertSeed" -> ((s, d) => graft.text.TextQueries.ledgerUpsertDir(s, d)),
     "semanticLedger"  -> ((s, d) => graft.ann.AnnQueries.semanticLedger(s, d)),
     "ivfIndex"        -> ((s, d) => graft.ann.AnnQueries.ivfIndex(s, d)),
     "pqIndex"         -> ((s, d) => graft.ann.AnnQueries.pqIndex(s, d)),

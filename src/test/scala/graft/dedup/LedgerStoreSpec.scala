@@ -197,6 +197,63 @@ class LedgerStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("one ledger, one signature family"))
   }
 
+  test("upsertDocs (document re-ingest): changed texts retire their " +
+      "old signatures and re-pair atomically, deletes leave — labels " +
+      "equal the full recompute over the re-ingested corpus; replays " +
+      "are no-ops; compact preserves the state; plain re-folds of " +
+      "purged ids stay screened") {
+    val dir = Files.createTempDirectory("ledgerupsert").toString
+    assert(LedgerStore.maintainBatch(docs, col("doc_id"), col("text"),
+      dir, batchId = 0L).contains(0L))
+
+    val updated = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+    import spark.implicits._
+    val removes = docs.filter(col("doc_id") % 17 === 0 &&
+      col("doc_id") % 10 =!= 0).select(col("doc_id"))
+    assert(LedgerStore.upsertDocs(updated, col("doc_id"), col("text"),
+      removes, dir, batchId = 1L).nonEmpty)
+
+    // the simulated post-re-ingest corpus, recomputed from scratch
+    val corpus = docs.filter(!(col("doc_id") % 17 === 0 &&
+        col("doc_id") % 10 =!= 0))
+      .filter(col("doc_id") % 10 =!= 0)
+      .unionByName(updated)
+    val pairsFull = Dedup.minhashNearDups(corpus, col("doc_id"),
+      col("text"), threshold = 0.5, bands = 16,
+      maxBucketSize = Int.MaxValue)
+    val lblFull = Dedup.components(pairsFull, col("a_id"), col("b_id"))
+    val expect = corpus
+      .join(lblFull.select(col("id").as("doc_id"), col("comp")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(storedLabels(dir) == expect)
+    assert(LedgerStore.meta(spark, dir).get.rows == expect.size)
+
+    // replay of the upsert batch is a no-op
+    assert(LedgerStore.upsertDocs(updated, col("doc_id"), col("text"),
+      removes, dir, batchId = 1L).isEmpty)
+    assert(storedLabels(dir) == expect)
+
+    // compact applies the masks physically; state identical after
+    assert(LedgerStore.compact(spark, dir).nonEmpty)
+    assert(LedgerStore.vacuumSlices(spark, dir) > 0)
+    assert(storedLabels(dir) == expect)
+
+    // plain maintainBatch still screens a purged id; an upsert of the
+    // same id re-lands it
+    LedgerStore.purgeDocs(spark, dir, Seq(3L).toDF("id"))
+    LedgerStore.maintainBatch(docs.filter(col("doc_id") === 3L),
+      col("doc_id"), col("text"), dir, batchId = 5L)
+    assert(!storedLabels(dir).contains(3L))
+    LedgerStore.upsertDocs(docs.filter(col("doc_id") === 3L),
+      col("doc_id"), col("text"), Seq.empty[Long].toDF("id"), dir,
+      batchId = 6L)
+    assert(storedLabels(dir).contains(3L))
+  }
+
   test("purgeDocs: decremental maintenance — affected components " +
       "relabel from stored signatures, tombstones block later folds, " +
       "compact makes the removal physical") {

@@ -76,7 +76,8 @@ class MaintenanceSpec extends AnyFunSuite {
     val names = Maintenance.registered.map(_._1)
     assert(names.distinct == names)
     assert(names.toSet == Set("dedupLedger", "incrementalBase", "semanticLedger",
-      "ledgerStoreSeed", "ivfIndex", "pqIndex", "ivfPqIndex", "ivfPqBase",
+      "ledgerStoreSeed", "ledgerUpsertSeed",
+      "ivfIndex", "pqIndex", "ivfPqIndex", "ivfPqBase",
       "ivfPqStoreSeed", "semStoreSeed", "semUpsertSeed", "semDecontamSeed",
       "postingsStoreSeed", "procStoreSeed", "mergeFeedSeed",
       "upsertStoreSeed", "graphStoreSeed",
