@@ -211,6 +211,33 @@ object AnnQueries {
       dir
     }
 
+  /** q279's VECTOR-REFRESH substrate: a full-corpus persisted IVF index
+    * of its own — the q279 upsert changes vector contents (re-embeds /
+    * deletes / adds), which the hydration-shared [[ivfIndex]] memo and
+    * the other store gates must never see. Seeded via saveIvf (the
+    * q43/q245 sizing: 8 cells, one Lloyd pass). */
+  private[graft] def ivfUpsertDir(s: SparkSession, d: String): String =
+    Maintenance.getOrBuild("ivfUpsertSeed", s, d) {
+      val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val dir = java.nio.file.Files.createTempDirectory("graftivfupsert").toString
+      IndexStore.saveIvf(Similarity.buildIvf(embs, col("vec_id"),
+        col("embedding"), nCentroids = 8, iterations = 1,
+        materialize = true), dir, batchId = 0L)
+      dir
+    }
+
+  /** [[ivfUpsertDir]]'s composite twin — q280's substrate (own store:
+    * the q249 gate reads [[ivfPqStoreDir]] and must keep seeing the
+    * seed corpus). */
+  private[graft] def ivfPqUpsertDir(s: SparkSession, d: String): String =
+    Maintenance.getOrBuild("ivfPqUpsertSeed", s, d) {
+      val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val dir = java.nio.file.Files.createTempDirectory("graftivfpqupsert").toString
+      IndexStore.ivfPqMaintainBatch(embs, col("vec_id"), col("embedding"),
+        dir, nCells = 8, m = 16, ksub = 64, batchId = 0L)
+      dir
+    }
+
   /** q263's decontamination substrate: a [[graft.dedup.SemLedgerStore]]
     * holding the TRAIN-side vectors (vec_id % 10 ≠ 0 — the eval slice
     * stays out by construction), seeded with the sub-cut base as batch
@@ -677,6 +704,90 @@ object AnnQueries {
         .orderBy(col("vec_id"))
     },
 
+    // -- round 13: VECTOR REFRESH on the persisted IVF index — the last
+    //    cell of the upsert matrix (q276 postings / q277 semantic /
+    //    q278 text ledger). One atomic [[IndexStore.upsertVectors]]
+    //    commit: every %10 vector RE-EMBEDDED (negated — moves its cell
+    //    assignment and its cosines, both engines compute it exactly),
+    //    every %17 non-updated vector DELETED, every %9 vector's twin
+    //    ADDED under a fresh id (update+delete+add in one batch);
+    //    tombstone slice + re-assigned data slice above it (the v4
+    //    slice-ordered mask) + stats −old+new, one commit, replay no-op
+    //    on repeat (IndexStoreSpec). Probing ALL cells over the masked
+    //    store is provably exhaustive, so the search ≡ the exact cosine
+    //    top-k the oracle recomputes over the SIMULATED post-refresh
+    //    corpus, and n_rows pins the manifest stats to its COUNT(*).
+    "q279_ivf_upsert" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val dir = ivfUpsertDir(s, d)
+      val neg = transform(col("embedding"), x => -x)
+      val updated = e.filter(col("vec_id") % 10 === 0 && col("vec_id") =!= 0)
+        .select(col("vec_id"), neg.as("embedding"))
+      val added = e.filter(col("vec_id") % 9 === 0 && col("vec_id") =!= 0)
+        .select((col("vec_id") + lit(100000000L)).as("vec_id"),
+          neg.as("embedding"))
+      val removes = e.filter(col("vec_id") % 17 === 0 &&
+          col("vec_id") % 10 =!= 0)
+        .select(col("vec_id"))
+      IndexStore.upsertVectors(updated.unionByName(added), col("vec_id"),
+        col("embedding"), removes, dir, batchId = 1L)
+      val (idx, meta) = IndexStore.loadIvf(s, dir)
+      IndexStore.searchPruned(idx, queryVec(s, d), k = 10, nprobe = 8)
+        .withColumn("n_rows", lit(meta.rows))
+    },
+
+    // -- q279's composite twin: the same refresh batch through
+    //    [[IndexStore.upsertPqVectors]] — old codes retired, new vectors
+    //    encoded against the FROZEN cells/codebooks, raw-vecs side table
+    //    rewritten, one generation publish carrying data + stats +
+    //    ledger. n_codes is exact-gated against the post-refresh corpus
+    //    count; exact_l2_top1 is oracle-recomputed over that corpus; the
+    //    all-probe recall flag is the q247 drift-adjusted invariant
+    //    pattern (codes for the re-embedded vectors quantize against
+    //    codebooks trained before the refresh).
+    "q280_ivfpq_upsert" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val dir = ivfPqUpsertDir(s, d)
+      val neg = transform(col("embedding"), x => -x)
+      val updated = e.filter(col("vec_id") % 10 === 0 && col("vec_id") =!= 0)
+        .select(col("vec_id"), neg.as("embedding"))
+      val added = e.filter(col("vec_id") % 9 === 0 && col("vec_id") =!= 0)
+        .select((col("vec_id") + lit(100000000L)).as("vec_id"),
+          neg.as("embedding"))
+      val removes = e.filter(col("vec_id") % 17 === 0 &&
+          col("vec_id") % 10 =!= 0)
+        .select(col("vec_id"))
+      IndexStore.upsertPqVectors(updated.unionByName(added), col("vec_id"),
+        col("embedding"), removes, dir, batchId = 1L)
+      val (idx, meta) = IndexStore.loadIvfPq(s, dir)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      val qlit = typedlit(qv)
+      // the simulated post-refresh corpus, for the exact-L2 reference
+      val corpus = e.filter(col("vec_id") =!= 0 &&
+          !(col("vec_id") % 17 === 0 && col("vec_id") % 10 =!= 0))
+        .select(col("vec_id"),
+          when(col("vec_id") % 10 === 0, neg).otherwise(col("embedding"))
+            .as("embedding"))
+        .unionByName(e.filter(col("vec_id") % 9 === 0 && col("vec_id") =!= 0)
+          .select((col("vec_id") + lit(100000000L)).as("vec_id"),
+            neg.as("embedding")))
+      val exactIds = corpus.select(col("vec_id"),
+          (Similarity.dot(col("embedding"), col("embedding"))
+            - lit(2) * Similarity.dot(col("embedding"), qlit)
+            + Similarity.dot(qlit, qlit)).as("d2"))
+        .orderBy(col("d2").asc, col("vec_id"))
+        .limit(10)
+        .collect().map(_.getLong(0)).toSeq
+      val allProbe = Similarity.ivfPqSearchAdc(idx, qv, k = 10, nprobe = 8)
+        .collect().map(_.getLong(0)).toSeq
+      val s2 = s
+      import s2.implicits._
+      Seq((exactIds.head, meta.rows,
+          allProbe.count(exactIds.toSet) >= 3))
+        .toDF("exact_l2_top1", "n_codes", "recall_ok")
+    },
+
     // -- k-NN label vote (the data-labeling / label-propagation face of
     //    the search stack): the first 10 vectors are unlabeled queries,
     //    the rest the labeled corpus; each query takes the majority
@@ -875,6 +986,24 @@ object AnnQueries {
 
   private lazy val lshPairsCtes: String = lshPairsCtesWhere("TRUE")
 
+  /** q279/q280's SIMULATED post-refresh corpus as a `corpus (vec_id,
+    * v DOUBLE[])` CTE: %10 vectors negated in place (re-embedded), %17
+    * non-updated vectors absent (deleted), %9 twins added under fresh
+    * ids (float negation is exact, so cast-then-negate ≡ the engine's
+    * negate-then-cast bit for bit). */
+  private val postRefreshCorpusSql: String =
+    """corpus AS (
+      |  SELECT vec_id,
+      |    CASE WHEN vec_id % 10 = 0
+      |         THEN LIST_TRANSFORM(embedding::DOUBLE[], x -> -x)
+      |         ELSE embedding::DOUBLE[] END AS v
+      |  FROM embeddings
+      |  WHERE vec_id <> 0 AND NOT (vec_id % 17 = 0 AND vec_id % 10 <> 0)
+      |  UNION ALL
+      |  SELECT vec_id + 100000000 AS vec_id,
+      |    LIST_TRANSFORM(embedding::DOUBLE[], x -> -x) AS v
+      |  FROM embeddings WHERE vec_id % 9 = 0 AND vec_id <> 0)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q42_ann_bruteforce" -> exactTopKSql,
     // all-probe configs are exhaustive, hence share the exact-top-k oracle
@@ -1055,6 +1184,37 @@ object AnnQueries {
         |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
         |  vec_id = comp AS is_canonical
         |FROM ledger ORDER BY vec_id""".stripMargin,
+
+    // Full-probe over the refreshed store is exhaustive, so the masked
+    // search must land on the exact cosine top-k over the SIMULATED
+    // post-refresh corpus (%10 negated in place, %17 non-updated rows
+    // absent, %9 twins added under fresh ids); n_rows pins the
+    // manifest's −old+new stats to the corpus COUNT(*).
+    "q279_ivf_upsert" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |$postRefreshCorpusSql,
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM corpus)
+        |SELECT c.vec_id AS nn_id,
+        |  LIST_DOT_PRODUCT(c.v, qv)
+        |    / (SQRT(LIST_DOT_PRODUCT(c.v, c.v)) * SQRT(LIST_DOT_PRODUCT(qv, qv))) AS cosine,
+        |  n.n_rows
+        |FROM corpus c, q, n
+        |ORDER BY cosine DESC, nn_id LIMIT 10""".stripMargin,
+
+    // The composite twin: exact-L2 top-1 and the published code count
+    // recomputed over the post-refresh corpus; the recall face is the
+    // q247 drift-adjusted invariant flag.
+    "q280_ivfpq_upsert" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |$postRefreshCorpusSql,
+        |d AS (
+        |  SELECT vec_id,
+        |    LIST_DOT_PRODUCT(v, v) - 2 * LIST_DOT_PRODUCT(v, qv)
+        |      + LIST_DOT_PRODUCT(qv, qv) AS d2
+        |  FROM corpus, q)
+        |SELECT (SELECT vec_id FROM d ORDER BY d2, vec_id LIMIT 1) AS exact_l2_top1,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_codes,
+        |  TRUE AS recall_ok""".stripMargin,
 
     // The same generated-hyperplane banding + exact cosine, restricted
     // to train×eval crossings — the store-served gate must land on the

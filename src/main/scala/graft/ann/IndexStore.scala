@@ -42,7 +42,14 @@ import graft.util.Generations
 object IndexStore {
 
   private val MetaName = "_graft_index_meta.json"
-  private val Format = "graft-ivf-v3" // v3 (round 11): + commit id / history archive
+  // v3 (round 11): + commit id / history archive.
+  // v4 (round 13): SLICE-ORDERED tombstones — a purged/slice=S row masks
+  // only assigned rows with slice < S, so [[upsertVectors]] can retire a
+  // vector's old copy and land its refreshed one in ONE atomic commit
+  // (the postings-v3 / semledger-v5 rule). Pure purge flows read
+  // identically (a purge's tombstone is always newer than the rows it
+  // targets); a pre-round-13 dir fails loudly as a version mismatch.
+  private val Format = "graft-ivf-v4"
 
   /** `rows` = vectors in this generation; `baseRows` = rows at the last
     * RE-TRAIN — the denominator of the doubling refresh policy (a grown
@@ -140,9 +147,13 @@ object IndexStore {
     * partition-pruned scan path the layout exists for. Also returns the
     * meta so a maintenance caller can seed the growth policy
     * (`Maintenance.noteBaseSize(..., meta.baseRows)`). */
-  /** Tombstoned vector ids of the CURRENT generation (the [[purgeVectors]]
-    * ledger) — tombstones live inside the gen dir, so a re-train (which
-    * trains from the filtered view) sheds them with the old generation. */
+  /** Tombstones (vid, _tomb = the tombstone's slice id) of the CURRENT
+    * generation (the [[purgeVectors]]/[[upsertVectors]] ledger) —
+    * tombstones live inside the gen dir, so a re-train (which trains
+    * from the filtered view) sheds them with the old generation. Since
+    * v4 the slice id rides along: a tombstone masks only assigned rows
+    * in slices OLDER than it, so an upsert's re-landed copy (written
+    * above its own tombstone) stays visible. */
   private def livePurged(spark: SparkSession, dir: String,
       m: Meta): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/gen=${m.gen}/purged")
@@ -152,10 +163,10 @@ object IndexStore {
     if (hasSlices)
       spark.read.parquet(s"$dir/gen=${m.gen}/purged")
         .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
-        .select(col("vid"))
+        .select(col("vid"), col("slice").cast("long").as("_tomb"))
     else {
       import spark.implicits._
-      Seq.empty[Long].toDF("vid")
+      Seq.empty[(Long, Long)].toDF("vid", "_tomb")
     }
   }
 
@@ -171,11 +182,15 @@ object IndexStore {
     // liveness prune on the slice partition column (an orphan slice from
     // a crashed fold is outside the committed count); `slice` and `cell`
     // are BOTH partition dirs, so a probe's cell filter still plans the
-    // static PartitionFilters prune the layout exists for
+    // static PartitionFilters prune the layout exists for. v4 mask: a
+    // tombstone hides only OLDER slices — an upsert's re-landed copy
+    // (data slice above its own tombstone) stays visible.
+    val tomb = livePurged(spark, dir, m)
+      .select(col("vid").as("_tid"), col("_tomb"))
     val assigned = spark.read.parquet(s"$dir/gen=${m.gen}/assigned")
       .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
-      .select(col("vid"), col("v"), col("cell"))
-      .join(livePurged(spark, dir, m), Seq("vid"), "left_anti")
+      .join(tomb, col("vid") === col("_tid") && col("_tomb") > col("slice"),
+        "left_anti")
       .select(col("vid"), col("v"), col("cell"))
     (Similarity.IvfIndex(centroids, assigned), m)
   }
@@ -277,6 +292,91 @@ object IndexStore {
     n
     }
   }
+
+  /** VECTOR REFRESH (round 13) — the last cell of the upsert matrix
+    * ([[graft.text.PostingsStore.upsertBatch]] /
+    * [[graft.dedup.LedgerStore.upsertDocs]] /
+    * [[graft.dedup.SemLedgerStore.upsertVecs]] on the IVF index): after
+    * a model upgrade re-embeds documents, the index must retire each
+    * vector's OLD copy, land the NEW one (assigned against the FROZEN
+    * centroids — one broadcast-argmin pass over the delta), and adjust
+    * `rows` by exactly −old +new — atomically, in ONE ledgered commit.
+    * [[purgeVectors]]-then-[[ivfMaintainBatch]] as two verbs leaves a
+    * crash window: purge has no batch ledger, so a replay between the
+    * two commits purges the re-landed copy (or the fold's tombstone
+    * screen silently drops the re-insert). Here one commit carries the
+    * tombstone slice, the re-assigned data slice ABOVE it (the v4
+    * slice-ordered mask keeps it visible), the stats delta, and the
+    * batch id.
+    *
+    * `removeIds` deletes outright; ids in both re-land (the upsert
+    * wins). Previously-purged ids re-enter through an upsert (the verb
+    * sets the id's current state — unlike the plain fold, whose screen
+    * keeps purges sticky). The doubling re-train policy is NOT
+    * evaluated here — an upsert is a refresh, roughly row-neutral; the
+    * next [[ivfMaintainBatch]] fold checks the policy against the
+    * updated `rows`/`baseRows`. Returns the new commit id (None for
+    * replays / no-op batches). */
+  def upsertVectors(upserts: DataFrame, id: Column, vec: Column,
+      removeIds: DataFrame, dir: String, batchId: Long = -1L)
+      : Option[Long] = {
+    val spark = upserts.sparkSession
+    graft.util.Maintenance.withLeasedWriteLock("IndexStore", spark, dir) {
+    val m = readMeta(spark, dir).getOrElse(sys.error(
+      s"no committed index at $dir — upsertVectors updates an existing " +
+        "index; seed with saveIvf/ivfMaintainBatch first"))
+    if (batchId >= 0 && batchId <= m.batch) return None
+    // one live row per vid (ADVICE r12): exact duplicates collapse,
+    // conflicting re-embeddings fail loudly — two copies in one data
+    // slice would both sit above the tombstone and both probe
+    val newVecs = graft.util.Maintenance.requireUniqueUpserts(
+      upserts.select(id.as("vid"), vec.as("v")), "vid", "ivf-index")
+      .localCheckpoint(true)
+    // ids in both upserts and removeIds re-land (the upsert wins)
+    val rem = removeIds.select(removeIds.columns.head).toDF("vid")
+      .distinct()
+      .join(newVecs.select(col("vid")), Seq("vid"), "left_anti")
+      .localCheckpoint(true)
+    if (newVecs.isEmpty && rem.isEmpty) {
+      recordEmptyBatch(spark, dir, Some(m), batchId); return None
+    }
+    val (idx, _) = loadIvf(spark, dir)
+    // retire the LIVE copies of everything incoming or removed —
+    // absent/already-purged ids need no tombstone (their re-land, if
+    // any, is a plain insert above the existing mask)
+    val targets = newVecs.select(col("vid")).unionByName(rem)
+      .join(idx.assigned.select(col("vid")), Seq("vid"), "left_semi")
+      .localCheckpoint(true)
+    val nGone = targets.count()
+    // tombstone slice first (the mask covers only OLDER slices), then
+    // the re-assigned data slice above it — ids only claimed for dirs
+    // actually written (the crashed-sibling orphan rule)
+    var next = m.slices
+    if (nGone > 0L) {
+      Generations.claimSlice(spark, dir, Seq(s"gen=${m.gen}/assigned"), next)
+      targets.write.mode("overwrite")
+        .parquet(s"$dir/gen=${m.gen}/purged/slice=$next")
+      next += 1
+    }
+    var dn = 0L
+    if (!newVecs.isEmpty) {
+      Generations.claimSlice(spark, dir, Seq(s"gen=${m.gen}/purged"), next)
+      Similarity.assignDelta(idx, newVecs, col("vid"), col("v"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/gen=${m.gen}/assigned/slice=$next")
+      dn = spark.read
+        .parquet(s"$dir/gen=${m.gen}/assigned/slice=$next").count()
+      next += 1
+    }
+    if (next == m.slices) { // nothing live to retire, nothing to land
+      recordEmptyBatch(spark, dir, Some(m), batchId); return None
+    }
+    val commit = m.commit + 1
+    commitMeta(spark, dir, m.copy(rows = m.rows - nGone + dn,
+      batch = batchId, slices = next, commit = commit))
+    Some(commit)
+    }
+  }
   /** ADVICE r11: a ledgered batch the tombstone screen (or the batch
     * itself) left EMPTY must still record its batch id — returning
     * without a commit leaves the batch unledgered, so after maintenance
@@ -371,13 +471,17 @@ object IndexStore {
         if (n.toDouble >= m.baseRows.toDouble * growthFactor) {
           // doubling re-train: read every slice INCLUDING the just-
           // written (still-uncommitted) one directly (minus tombstones —
-          // purged vectors must not re-enter through a re-train),
+          // purged vectors must not re-enter through a re-train; the v4
+          // slice-ordered mask keeps upsert-re-landed copies in),
           // retrain, publish a fresh generation; the orphan slice dies
           // with its gen's GC
+          val tombR = livePurged(spark, dir, m)
+            .select(col("vid").as("_tid"), col("_tomb"))
           val all = spark.read.parquet(s"$dir/gen=${m.gen}/assigned")
             .filter(col("slice") >= m.sliceBase && col("slice") <= m.slices)
-            .select(col("vid"), col("v"))
-            .join(livePurged(spark, dir, m), Seq("vid"), "left_anti")
+            .join(tombR,
+              col("vid") === col("_tid") && col("_tomb") > col("slice"),
+              "left_anti")
             .select(col("vid"), col("v"))
           val retrained = Similarity.buildIvf(all, col("vid"), col("v"),
             nCentroids, iterations = 1, materialize = true)
@@ -647,6 +751,66 @@ object IndexStore {
           Some((gen, false))
         }
     }
+    }
+  }
+
+  /** [[upsertVectors]]'s composite-index twin — VECTOR REFRESH on the
+    * persisted IVF-PQ store: retire the old copies of incoming/removed
+    * ids, encode the new vectors against the FROZEN coarse cells and
+    * codebooks ([[Similarity.ivfPqInsert]] over the pruned index — one
+    * broadcast-assign + broadcast-encode pass over the delta), and
+    * publish — atomically by construction, because the PQ store
+    * publishes whole generations through one pointer PUT that carries
+    * data, stats (`rows` recounted from the written codes = −old +new),
+    * and the batch ledger together. The raw-vecs side table is rewritten
+    * minus the retired ids so a later doubling re-train trains on the
+    * post-refresh corpus. `removeIds` deletes outright; ids in both
+    * re-land (the upsert wins). No re-train here — the next
+    * [[ivfPqMaintainBatch]] fold checks the doubling policy. Returns the
+    * published generation (None for replays / no-op batches). */
+  def upsertPqVectors(upserts: DataFrame, id: Column, vec: Column,
+      removeIds: DataFrame, dir: String, retainGens: Int = 2,
+      batchId: Long = -1L): Option[Long] = {
+    val spark = upserts.sparkSession
+    graft.util.Maintenance.withLeasedWriteLock("IndexStore", spark, dir) {
+    val pm = readPqMeta(spark, dir).getOrElse(sys.error(
+      s"no committed index at $dir — upsertPqVectors updates an existing " +
+        "index; seed with saveIvfPq/ivfPqMaintainBatch first"))
+    if (batchId >= 0 && batchId <= pm.batch) return None
+    val newVecs = graft.util.Maintenance.requireUniqueUpserts(
+      upserts.select(id.as("vid"), vec.as("v")), "vid", "ivfpq-index")
+      .localCheckpoint(true)
+    // ids in both upserts and removeIds re-land (the upsert wins)
+    val rem = removeIds.select(removeIds.columns.head).toDF("vid")
+      .distinct()
+      .join(newVecs.select(col("vid")), Seq("vid"), "left_anti")
+      .localCheckpoint(true)
+    if (newVecs.isEmpty && rem.isEmpty) {
+      recordEmptyPqBatch(spark, dir, Some(pm), batchId); return None
+    }
+    // survives its generation's GC (and the new gen's publish)
+    val oldVecs = spark.read.parquet(s"$dir/gen=${pm.gen}/vecs")
+      .localCheckpoint(true)
+    val targets = newVecs.select(col("vid")).unionByName(rem)
+      .join(oldVecs.select(col("vid")), Seq("vid"), "left_semi")
+      .localCheckpoint(true)
+    if (newVecs.isEmpty && targets.isEmpty) { // removes of absent ids
+      recordEmptyPqBatch(spark, dir, Some(pm), batchId); return None
+    }
+    val (idx, _) = loadIvfPq(spark, dir)
+    val keptCodes = idx.codes.join(targets, Seq("vid"), "left_anti")
+    val pruned = Similarity.IvfPqIndex(idx.cells,
+      idx.pq.copy(codes = keptCodes.select(col("vid"), col("codes"))),
+      keptCodes)
+    val refreshed =
+      if (newVecs.isEmpty) pruned
+      else Similarity.ivfPqInsert(pruned, newVecs, col("vid"), col("v"),
+        materialize = true)
+    val allVecs = oldVecs.join(targets, Seq("vid"), "left_anti")
+      .unionByName(newVecs)
+    Some(saveIvfPq(refreshed, dir, retainGens,
+      sideTables = Seq("vecs" -> allVecs),
+      carryBaseRows = Some(pm.baseRows), batchId = batchId))
     }
   }
 

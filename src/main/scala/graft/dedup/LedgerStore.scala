@@ -324,10 +324,17 @@ object LedgerStore {
       s"no committed ledger at $dir — upsertDocs updates an existing " +
         "ledger; seed with maintainBatch first"))
     if (batchId >= 0 && batchId <= m.batch) return None
-    val docs = upserts.select(id.as("doc_id"), text.as("text"))
-      .localCheckpoint(true)
+    // one live row per id (ADVICE r12): exact duplicates collapse,
+    // conflicting re-ingests fail loudly — two copies in one sig slice
+    // would both sit above the tombstone and both stay visible
+    val docs = graft.util.Maintenance.requireUniqueUpserts(
+      upserts.select(id.as("doc_id"), text.as("text")), "doc_id",
+      "dedup-ledger").localCheckpoint(true)
+    // ids in both upserts and removeIds re-land (the upsert wins)
     val rem = removeIds.select(removeIds.columns.head).toDF("id")
-      .distinct().localCheckpoint(true)
+      .distinct()
+      .join(docs.select(col("doc_id").as("id")), Seq("id"), "left_anti")
+      .localCheckpoint(true)
     if (docs.isEmpty && rem.isEmpty) {
       recordEmptyBatch(spark, dir, Some(m), batchId); return None
     }

@@ -352,10 +352,19 @@ object SemLedgerStore {
       s"no committed semantic ledger at $dir — upsertVecs updates an " +
         "existing ledger; seed with maintainBatch first"))
     if (batchId >= 0 && batchId <= m.batch) return None
-    val newVecs = upserts.select(id.as("id"), vec.as("v"))
+    // one live row per id (ADVICE r12): exact duplicates collapse,
+    // conflicting re-embeddings fail loudly — two copies in one data
+    // slice would both sit above the tombstone and both stay visible
+    val newVecs = graft.util.Maintenance.requireUniqueUpserts(
+      upserts.select(id.as("id"), vec.as("v")), "id", "semantic-ledger")
       .localCheckpoint(true)
+    // an id in both upserts and removeIds re-lands (the upsert wins) —
+    // drop the overlap HERE so the contract is the verb's, not an
+    // accident of downstream set algebra
     val rem = removeIds.select(removeIds.columns.head).toDF("id")
-      .distinct().localCheckpoint(true)
+      .distinct()
+      .join(newVecs.select(col("id")), Seq("id"), "left_anti")
+      .localCheckpoint(true)
     if (newVecs.isEmpty && rem.isEmpty) {
       recordEmptyBatch(spark, dir, Some(m), batchId); return None
     }

@@ -127,7 +127,7 @@ private[sources] object MergeFeed extends FeedStore {
 /** CHANGE DATA FEED over the persisted substrates — the CDC-OUT face
   * of a CDC engine (round 12). The reference's whole pipeline is
   * change capture INTO a warehouse
-  * (`source/dynamodb_stream_to_kinesis_lambda/handler.py` emits change
+  * (`source/write_dynamodb_stream_to_s3_lambda/handler.py` emits change
   * events; DMS tails binlogs); the natural completion is the warehouse
   * emitting ITS OWN downstream change stream, so maintained substrates
   * can cascade (index replication, deletion propagation, cache
@@ -222,9 +222,14 @@ private[sources] final class ChangeFeedScan(spark: SparkSession,
   /** Batch delta read: the rows commits `(since, until]` appended,
     * `until` defaulting to the current commit. */
   override def toBatch: Batch = {
-    // default until = current; an explicit bad window still fails loudly
-    val hi = until.getOrElse(
-      math.max(since, store.currentCommit(spark, dir)))
+    val cur = store.currentCommit(spark, dir)
+    // fail-closed BOTH ways (ADVICE r12): the explicit-until path always
+    // rejected a future window, but a sinceCommit beyond the current
+    // commit (a typo'd offset) used to clamp to an empty batch silently
+    require(since <= cur,
+      s"sinceCommit $since is beyond the current commit $cur of $dir — " +
+        "a change window must start at or before the committed history")
+    val hi = until.getOrElse(cur)
     val (dirs, base) = store.changeDirs(spark, dir, sub, since, hi)
     if (dirs.isEmpty) ChangeFeed.EmptyBatch
     else ChangeFeed.parquetBatch(store, spark, schema, dirs, base)

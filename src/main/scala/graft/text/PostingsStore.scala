@@ -246,10 +246,18 @@ object PostingsStore {
       batchId: Long = -1L): Option[Long] = {
     val spark = upserts.sparkSession
     graft.util.Maintenance.withLeasedWriteLock("PostingsStore", spark, dir) {
-    val docs = upserts.select(id.as("id"), text.as("text"))
+    // one live row per id (ADVICE r12): exact duplicates collapse,
+    // conflicting re-indexes fail loudly — two copies in one data slice
+    // would both sit above the tombstone, stay visible, and double-count
+    // in nDocs/totTokens
+    val docs = graft.util.Maintenance.requireUniqueUpserts(
+      upserts.select(id.as("id"), text.as("text")), "id", "postings-store")
       .localCheckpoint(true)
+    // ids in both upserts and removeIds re-land (the upsert wins)
     val rem = removeIds.select(removeIds.columns.head).toDF("id")
-      .distinct().localCheckpoint(true)
+      .distinct()
+      .join(docs.select(col("id")), Seq("id"), "left_anti")
+      .localCheckpoint(true)
     val prev = readMeta(spark, dir)
     prev match {
       case Some(m) if batchId >= 0 && batchId <= m.batch => return None

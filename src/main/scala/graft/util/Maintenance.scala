@@ -2,7 +2,8 @@ package graft.util
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Unified registry for session-scoped MAINTENANCE STATE — artifacts that
   * are built once per (session, corpus path) and probed by many queries:
@@ -97,6 +98,30 @@ object Maintenance {
       }
     }
 
+  /** Normalize an UPSERT batch to ONE row per id (ADVICE r12): the
+    * slice-ordered tombstone mask retires only slices OLDER than the
+    * tombstone, so two same-id rows landing in one data slice would
+    * BOTH stay visible — double-counted in the store statistics and
+    * served twice by every read. Exact duplicate rows collapse silently
+    * (an at-least-once producer re-delivering the same payload is
+    * normal CDC traffic); CONFLICTING payloads for one id fail loudly —
+    * an upsert verb has no ordering column to pick a winner by, and an
+    * arbitrary pick would be nondeterministic across replays (callers
+    * with a version column pre-reduce to latest-per-key, the
+    * followMergeTable pattern). Cost: one distinct + one bounded agg
+    * over the DELTA — small by the feed design. */
+  def requireUniqueUpserts(batch: DataFrame, idCol: String,
+      what: String): DataFrame = {
+    val d = batch.distinct()
+    val dup = d.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select(col(idCol)).take(5)
+    require(dup.isEmpty,
+      s"$what upsert batch carries CONFLICTING rows for the same id " +
+        s"(e.g. ${dup.map(_.get(0)).mkString(", ")}) — reduce to one row " +
+        "per id (latest-per-key) before calling the verb")
+    d
+  }
+
   // ---- ingestion growth tracking (the DriftProbe refresh policy) ----
 
   final case class Growth(base: Long, inserted: Long)
@@ -177,6 +202,8 @@ object Maintenance {
     "ivfPqStoreSeed"  -> ((s, d) => graft.ann.AnnQueries.ivfPqStoreDir(s, d)),
     "semStoreSeed"    -> ((s, d) => graft.ann.AnnQueries.semStoreDir(s, d)),
     "semUpsertSeed"   -> ((s, d) => graft.ann.AnnQueries.semUpsertDir(s, d)),
+    "ivfUpsertSeed"   -> ((s, d) => graft.ann.AnnQueries.ivfUpsertDir(s, d)),
+    "ivfPqUpsertSeed" -> ((s, d) => graft.ann.AnnQueries.ivfPqUpsertDir(s, d)),
     "semDecontamSeed" -> ((s, d) => graft.ann.AnnQueries.semDecontamDir(s, d)),
     "postingsStoreSeed" -> ((s, d) => graft.text.LmQueries.postingsStoreDir(s, d)),
     "procStoreSeed"   -> ((s, d) => graft.text.LmQueries.procStoreDir(s, d)),

@@ -357,4 +357,174 @@ class IndexStoreSpec extends AnyFunSuite {
       assert(got.contains(target._1))
     } finally q.stop()
   }
+
+  test("upsertVectors: update+delete+add in ONE ledgered commit — " +
+      "stats -old+new, replay no-op, slice-ordered mask keeps the " +
+      "re-landed copy visible and a LATER purge still retires it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ivfupsert").toString
+    def slice(lo: Long, hi: Long) =
+      embs.filter(col("vec_id") > lo && col("vec_id") <= hi)
+    IndexStore.ivfMaintainBatch(slice(0, 30), col("vec_id"),
+      col("embedding"), dir, nCentroids = 4, batchId = 0L)
+    // the refresh batch: re-embed 3/7/11 (negate), delete 5/9, add 31/32
+    val neg = transform(col("embedding"), x => -x)
+    val updated = embs.filter(col("vec_id").isin(3L, 7L, 11L))
+      .select(col("vec_id"), neg.as("embedding"))
+    val added = embs.filter(col("vec_id").isin(31L, 32L))
+      .select(col("vec_id"), col("embedding"))
+    val r = IndexStore.upsertVectors(updated.unionByName(added),
+      col("vec_id"), col("embedding"),
+      Seq(5L, 9L).toDF("vec_id"), dir, batchId = 7L)
+    assert(r.nonEmpty, "a non-empty refresh must commit")
+    val (idx1, m1) = IndexStore.loadIvf(spark, dir)
+    assert(m1.rows == 30L, "rows = 30 - (3 retired + 2 deleted) + " +
+      "(3 re-landed + 2 added) — one atomic -old+new")
+    assert(m1.batch == 7L, "the batch ledger rides in the same commit")
+    assert(idx1.assigned.count() == 30L &&
+      idx1.assigned.select(col("vid")).distinct().count() == 30L,
+      "exactly one live copy per id — the tombstone must mask the OLD " +
+        "copy of a re-embedded id while its re-landed copy stays visible")
+    assert(idx1.assigned.filter(col("vid").isin(5L, 9L)).count() == 0L)
+    assert(idx1.assigned.filter(col("vid").isin(31L, 32L)).count() == 2L)
+    // the re-landed copy carries the NEW embedding (negated), not the old
+    val want = embs.filter(col("vec_id") === 3L)
+      .head().getSeq[Float](1).map(x => -x).toSeq
+    val got = idx1.assigned.filter(col("vid") === 3L)
+      .head().getAs[scala.collection.Seq[Float]]("v").toSeq
+    assert(got == want, "a re-embedded vector must probe with its NEW " +
+      "coordinates")
+    // exactly-once: the crash replay of the same batch id is a no-op
+    assert(IndexStore.upsertVectors(updated.unionByName(added),
+      col("vec_id"), col("embedding"),
+      Seq(5L, 9L).toDF("vec_id"), dir, batchId = 7L).isEmpty)
+    assert(IndexStore.loadIvf(spark, dir)._2.rows == 30L,
+      "a replay must not double-tombstone or double-insert")
+    // an id in BOTH upserts and removeIds re-lands (the upsert wins);
+    // a previously-deleted id re-enters through an upsert
+    val reEnter = embs.filter(col("vec_id").isin(5L, 11L))
+      .select(col("vec_id"), col("embedding"))
+    assert(IndexStore.upsertVectors(reEnter, col("vec_id"),
+      col("embedding"), Seq(11L).toDF("vec_id"), dir,
+      batchId = 8L).nonEmpty)
+    val (idx2, m2) = IndexStore.loadIvf(spark, dir)
+    assert(m2.rows == 31L && idx2.assigned.count() == 31L)
+    assert(idx2.assigned.filter(col("vid") === 5L).count() == 1L,
+      "an upsert sets the id's current state — a prior delete is not " +
+        "sticky through the verb")
+    assert(idx2.assigned.filter(col("vid") === 11L).count() == 1L,
+      "remove of an id also being upserted must not win")
+    // CONFLICTING same-id rows in one batch fail loudly; exact
+    // duplicates collapse (at-least-once redelivery)
+    val conflict = embs.filter(col("vec_id") === 4L)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(embs.filter(col("vec_id") === 4L)
+        .select(col("vec_id"), neg.as("embedding")))
+    val e = intercept[IllegalArgumentException](IndexStore.upsertVectors(
+      conflict, col("vec_id"), col("embedding"),
+      spark.emptyDataFrame.select(lit(0L).as("vec_id")).limit(0), dir,
+      batchId = 9L))
+    assert(e.getMessage.contains("CONFLICTING"))
+    val dup = embs.filter(col("vec_id") === 4L)
+      .select(col("vec_id"), neg.as("embedding"))
+    assert(IndexStore.upsertVectors(dup.unionByName(dup), col("vec_id"),
+      col("embedding"), Seq.empty[Long].toDF("vec_id"), dir,
+      batchId = 9L).nonEmpty)
+    assert(IndexStore.loadIvf(spark, dir)._1.assigned
+      .filter(col("vid") === 4L).count() == 1L)
+    // a LATER purge retires the re-landed copy (its tombstone is newer
+    // than the upsert's data slice)
+    assert(IndexStore.purgeVectors(spark, dir, Seq(3L).toDF("vec_id")) == 1L)
+    val (idx3, m3) = IndexStore.loadIvf(spark, dir)
+    assert(m3.rows == 30L &&
+      idx3.assigned.filter(col("vid") === 3L).count() == 0L)
+    // compact makes the mask physical; search and ledger preserved
+    def top5 = IndexStore.searchPruned(IndexStore.loadIvf(spark, dir)._1,
+      query, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = top5
+    assert(IndexStore.compactAssigned(spark, dir).nonEmpty)
+    val mC = IndexStore.loadIvf(spark, dir)._2
+    assert(mC.rows == 30L && mC.batch == 9L)
+    assert(top5 == before)
+    assert(IndexStore.loadIvf(spark, dir)._1.assigned
+      .filter(col("vid").isin(3L, 9L)).count() == 0L)
+    // the doubling re-train trains on the POST-REFRESH corpus: deleted
+    // ids stay gone, the re-embedded copy keeps its new coordinates
+    val r2 = IndexStore.ivfMaintainBatch(slice(32, 65), col("vec_id"),
+      col("embedding"), dir, nCentroids = 4, batchId = 10L)
+    assert(r2.exists(_._2), "this fold must trigger the re-train")
+    val (idx4, m4) = IndexStore.loadIvf(spark, dir)
+    assert(m4.rows == 63L && idx4.assigned.count() == 63L)
+    assert(idx4.assigned.filter(col("vid").isin(3L, 9L)).count() == 0L,
+      "a re-train must not resurrect deleted vectors")
+    val got4 = idx4.assigned.filter(col("vid") === 7L)
+      .head().getAs[scala.collection.Seq[Float]]("v").toSeq
+    val want7 = embs.filter(col("vec_id") === 7L)
+      .head().getSeq[Float](1).map(x => -x).toSeq
+    assert(got4 == want7,
+      "a re-train must carry the re-landed coordinates, not the old ones")
+  }
+
+  test("upsertPqVectors: the composite twin — one generation publish " +
+      "carries retired codes, frozen-quantizer re-encodes, the rewritten " +
+      "raw-vecs side table, and the batch ledger; replay no-op") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ivfpqupsert").toString
+    def slice(lo: Long, hi: Long) =
+      embs.filter(col("vec_id") > lo && col("vec_id") <= hi)
+    IndexStore.ivfPqMaintainBatch(slice(0, 100), col("vec_id"),
+      col("embedding"), dir, nCells = 4, m = 8, ksub = 16, batchId = 0L)
+    val (idx0, _) = IndexStore.loadIvfPq(spark, dir)
+    val neg = transform(col("embedding"), x => -x)
+    val updated = embs.filter(col("vec_id").isin(3L, 7L, 11L))
+      .select(col("vec_id"), neg.as("embedding"))
+    val added = embs.filter(col("vec_id").isin(101L, 102L))
+      .select(col("vec_id"), col("embedding"))
+    val r = IndexStore.upsertPqVectors(updated.unionByName(added),
+      col("vec_id"), col("embedding"),
+      Seq(5L, 9L).toDF("vec_id"), dir, batchId = 3L)
+    assert(r.nonEmpty)
+    val (idx1, m1) = IndexStore.loadIvfPq(spark, dir)
+    assert(m1.rows == 100L && m1.batch == 3L,
+      "rows = 100 - 5 retired + 5 landed, ledger in the same publish")
+    assert(m1.baseRows == 100L,
+      "an upsert is a refresh — the doubling base must carry, not reset")
+    assert(idx1.codes.count() == 100L &&
+      idx1.codes.select(col("vid")).distinct().count() == 100L)
+    assert(idx1.codes.filter(col("vid").isin(5L, 9L)).count() == 0L)
+    assert(idx1.codes.filter(col("vid").isin(101L, 102L)).count() == 2L)
+    // quantizers stay FROZEN across the refresh
+    assert(idx1.cells.zip(idx0.cells).forall { case ((_, a), (_, b)) =>
+      a.toSeq == b.toSeq })
+    assert(idx1.pq.codebooks.flatten.map(_.toSeq) ==
+      idx0.pq.codebooks.flatten.map(_.toSeq))
+    // the raw-vecs side table was rewritten to the post-refresh corpus,
+    // so a later doubling re-train trains on it
+    val vecs = spark.read.parquet(s"$dir/gen=${m1.gen}/vecs")
+    assert(vecs.count() == 100L &&
+      vecs.filter(col("vid").isin(5L, 9L)).count() == 0L)
+    val want = embs.filter(col("vec_id") === 3L)
+      .head().getSeq[Float](1).map(x => -x).toSeq
+    assert(vecs.filter(col("vid") === 3L)
+      .head().getAs[scala.collection.Seq[Float]]("v").toSeq == want)
+    // replay no-op; removes of only-absent ids are an empty ledgered batch
+    assert(IndexStore.upsertPqVectors(updated.unionByName(added),
+      col("vec_id"), col("embedding"),
+      Seq(5L, 9L).toDF("vec_id"), dir, batchId = 3L).isEmpty)
+    assert(IndexStore.loadIvfPq(spark, dir)._2.gen == m1.gen)
+    assert(IndexStore.upsertPqVectors(
+      updated.limit(0), col("vec_id"), col("embedding"),
+      Seq(999999L).toDF("vec_id"), dir, batchId = 4L).isEmpty)
+    assert(IndexStore.loadIvfPq(spark, dir)._2.batch == 4L,
+      "an empty batch still records its id — maintenance replays must " +
+        "stay no-ops")
+    // a refreshed vector probes at its NEW location: full-probe ADC over
+    // the store must rank id 3's re-encoded code by the negated vector
+    val qv3 = want.map(_.toDouble).toSeq
+    val top = Similarity.ivfPqSearchAdc(idx1, qv3, k = 5, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top.contains(3L),
+      "the re-encoded code must be reachable near its new coordinates")
+  }
 }

@@ -18,7 +18,7 @@ import graft.text.PostingsStore
   * restarted stream resumes exactly at its checkpointed commit offset.
   * The engine's own substrates can now cascade the way the reference's
   * pipeline cascades DynamoDB streams into the warehouse
-  * (`source/dynamodb_stream_to_kinesis_lambda/handler.py`). */
+  * (`source/write_dynamodb_stream_to_s3_lambda/handler.py`). */
 class ChangeFeedSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
