@@ -181,6 +181,10 @@ object Apply {
               s"$tableDir was written with nBuckets=${m.nBuckets}, " +
                 s"this writer is configured with nBuckets=$nBuckets: " +
                 "the bucket function is a lifetime invariant of the table")
+            m.keyCol.filter(_ != keyCol).foreach(k => sys.error(
+              s"$tableDir was written with keyCol=$k, this writer is " +
+                s"configured with keyCol=$keyCol: the merge key is a " +
+                "lifetime invariant of the table (it IS the bucket hash)"))
           case None =>
             if (rootList.exists(_.getPath.getName.startsWith("_bucket="))) sys.error(
               s"$tableDir has _bucket= directories but no $MetaName: " +
@@ -276,7 +280,8 @@ object Apply {
           won.filter(col("_src") === "u").drop("_src")
             .write.mode("overwrite")
             .parquet(new HPath(root, s"$ChangesDirName/commit=$commitId").toString)
-          writeManifest(root, nBuckets, newGens, keep, commitId, hc, archive = true)
+          writeManifest(root, nBuckets, newGens, keep, commitId, hc,
+            archive = true, keyCol = Some(keyCol))
           gcDirs(root, drop, hc)
         }
         } // withLeasedWriteLock
@@ -297,7 +302,8 @@ object Apply {
       val live = m.buckets.toSeq.map { case (b, g) => (g, b) }.toSet
       val (keep, drop) = splitRetired(root, live, m.retired, graceMs, hc)
       // same commit id: a vacuum changes the retired ledger, not the table
-      writeManifest(root, m.nBuckets, m.buckets, keep, m.commitId, hc, archive = false)
+      writeManifest(root, m.nBuckets, m.buckets, keep, m.commitId, hc,
+        archive = false, keyCol = m.keyCol)
       gcDirs(root, drop, hc)
     }
   }
@@ -359,7 +365,7 @@ object Apply {
       // this commit into the feed
       claimChanges(root, m.commitId + 1, hc)
       writeManifest(root, m.nBuckets, newGens, keep, m.commitId + 1, hc,
-        archive = true)
+        archive = true, keyCol = m.keyCol)
       gcDirs(root, drop, hc)
     }
   }
@@ -390,6 +396,9 @@ object Apply {
       sys.error(s"$tableDir is not a merge table (no $MetaName)"))
     if (m.layout != LayoutV2)
       sys.error(s"$tableDir has unknown layout '${m.layout}': refusing to purge")
+    m.keyCol.filter(_ != keyCol).foreach(k => sys.error(
+      s"$tableDir was written with keyCol=$k, this purge is keyed on " +
+        s"$keyCol: the merge key is a lifetime invariant of the table"))
     val bucketOf = (c: org.apache.spark.sql.Column) =>
       pmod(xxhash64(c), lit(m.nBuckets)).cast("int")
     // the keys must carry the TABLE's key type: the bucket hash is
@@ -447,7 +456,7 @@ object Apply {
       .write.mode("overwrite")
       .parquet(new HPath(root, s"$ChangesDirName/commit=${m.commitId + 1}").toString)
     writeManifest(root, m.nBuckets, newGens, keep, m.commitId + 1, hc,
-      archive = true)
+      archive = true, keyCol = Some(keyCol))
     gcDirs(root, drop, hc)
     nBefore - nAfter
   }
@@ -455,19 +464,33 @@ object Apply {
   /** RESTORE a committed snapshot as the NEW current state — the table
     * format's RESTORE verb (Delta `RESTORE TABLE ... TO VERSION AS OF`):
     * a METADATA-ONLY commit whose bucket map is the archived snapshot's.
-    * No data files move or rewrite; the commit is one manifest PUT, the
-    * same cost as any merge commit's publish step regardless of table
-    * size. History is preserved — the restore itself archives as commit
+    * No data files move or rewrite; the pointer flip is one manifest
+    * PUT. History is preserved — the restore itself archives as commit
     * N+1 — so a restore is undone by restoring the pre-restore commit.
     * Generations referenced by the pre-restore state but not by the
     * restored one become non-live and enter the grace-windowed
     * retirement ledger (normal supersession); generations the restored
     * snapshot references fall OUT of the ledger by the liveness
     * recomputation, so a pending deferred-GC no longer touches them.
-    * Fails loudly if any restored generation dir was already GC'd. */
+    * Fails loudly if any restored generation dir was already GC'd.
+    *
+    * CDC-OUT (ADVICE r12): a restore CHANGES LOGICAL TABLE STATE — rows
+    * reappear and disappear — so it writes the restored-vs-pre-restore
+    * row diff as its commit's change slice (Delta's RESTORE emits the
+    * state diff the same way): reinstated/changed rows as MODIFY events
+    * carrying the restored after-image, rows the restore removed as
+    * REMOVE events with typed-null after-images. Without this a
+    * `changes.merge` cascade ([[graft.text.PostingsStore
+    * .followMergeTable]]) would silently diverge from the table forever.
+    * Cost is two snapshot scans + one key-diff — the honest price of a
+    * verb that rewrites state wholesale; every other commit's slice
+    * stays O(delta). The diff needs the merge key, a manifest invariant
+    * since round 13; restoring a pre-upgrade table fails loudly until
+    * one merge/purge commit upgrades the manifest in place. */
   def restore(spark: SparkSession, tableDir: String, commit: Long,
       gcGraceMs: Long = DefaultGcGraceMs): Unit =
     graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
+    import org.apache.spark.sql.functions._
     val hc = graft.util.Hfs.conf(spark)
     val root = new HPath(tableDir)
     val cur = readMeta(root, hc).getOrElse(
@@ -487,12 +510,60 @@ object Apply {
     require(gone.isEmpty,
       s"snapshot $commit of $tableDir is no longer restorable: ${gone.head} " +
         "was garbage-collected (raise gcGraceMs / delay vacuum to retain history)")
+    val keyName = cur.keyCol.getOrElse(sys.error(
+      s"$tableDir has no keyCol in its manifest (written before the " +
+        "restore-emits-changes upgrade): a restore must record its state " +
+        "diff in the change feed, and the diff is keyed — run one " +
+        "merge/purge commit first to upgrade the manifest in place"))
+    // the state diff, computed BEFORE the pointer flips (both states
+    // must be readable): mergeSchema across evolution boundaries, then
+    // normalize both sides to the superset so full-row comparison and
+    // typed-null after-images are well-defined
+    def stateOf(m: TableMeta): Option[DataFrame] =
+      if (m.buckets.isEmpty) None // every row deleted: an empty state
+      else Some(spark.read
+        .option("mergeSchema", "true").option("basePath", root.toString)
+        .parquet(m.buckets.toSeq.sortBy(_._1).map { case (b, g) =>
+          new HPath(root, s"gen=$g/_bucket=$b").toString }: _*)
+        .drop("gen", "_bucket"))
+    (stateOf(cur), stateOf(snap)) match {
+      case (None, None) => // empty -> empty: no change, claim the id
+        claimChanges(root, cur.commitId + 1, hc)
+      case (preOpt, postOpt) =>
+        val someSchema = preOpt.getOrElse(postOpt.get).schema
+        def orEmpty(o: Option[DataFrame]) = o.getOrElse(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            someSchema))
+        val preR = orEmpty(preOpt)
+        val postR = orEmpty(postOpt)
+        val allFields = (preR.schema.fields ++ postR.schema.fields
+          .filterNot(f => preR.columns.contains(f.name))).toIndexedSeq
+        def norm(df: DataFrame): DataFrame = df.select(allFields.map(f =>
+          (if (df.columns.contains(f.name)) col(f.name)
+           else lit(null).cast(f.dataType)).as(f.name)): _*)
+        val pre = norm(preR)
+        val post = norm(postR)
+        // one row per key (table invariant), so the full-row except IS
+        // the per-key "reinstated or changed" set; removed keys anti-join
+        val afterFields = allFields.filterNot(_.name == "_version")
+        val upsertEvents = post.exceptAll(pre).select(
+          lit(Envelope.Modify).as("op") +: col(keyName).as("_key") +:
+            col("_version") +: afterFields.map(f => col(f.name)): _*)
+        val removeEvents = pre
+          .join(post.select(col(keyName)), Seq(keyName), "left_anti")
+          .select(
+            lit(Envelope.Remove).as("op") +: col(keyName).as("_key") +:
+              col("_version") +: afterFields.map(f =>
+                lit(null).cast(f.dataType).as(f.name)): _*)
+        upsertEvents.unionByName(removeEvents).write.mode("overwrite")
+          .parquet(new HPath(root,
+            s"$ChangesDirName/commit=${cur.commitId + 1}").toString)
+    }
     val live = snap.buckets.toSeq.map { case (b, g) => (g, b) }.toSet
     val (keep, drop) = splitRetired(root, live, cur.retired, gcGraceMs, hc)
-    // metadata-only commit: claim the change slice (see compact)
-    claimChanges(root, cur.commitId + 1, hc)
     writeManifest(root, snap.nBuckets, snap.buckets, keep, cur.commitId + 1, hc,
-      archive = true)
+      archive = true, keyCol = cur.keyCol)
     gcDirs(root, drop, hc)
   }
 
@@ -512,7 +583,14 @@ object Apply {
       nBuckets: Int,
       buckets: Map[Int, Long],           // bucket -> live generation
       retired: Map[(Long, Int), Long],   // (gen, bucket) -> retired-at ms
-      commitId: Long = 0L)               // monotonic snapshot id
+      commitId: Long = 0L,               // monotonic snapshot id
+      // the MERGE KEY column (round 13): like nBuckets, a lifetime
+      // invariant of the table — the bucket layout is xxhash64 of this
+      // column — persisted so key-scoped maintenance verbs ([[restore]]'s
+      // change-slice diff) need no out-of-band knowledge. None only on a
+      // manifest written before round 13; the next merge/purge commit
+      // upgrades it in place.
+      keyCol: Option[String] = None)
 
   /** Parse the manifest with a real JSON reader, scoped to the fields it
     * owns — the previous bare regex over the whole file would have
@@ -554,7 +632,12 @@ object Apply {
       case JNothing => 0L // pre-time-travel manifest
       case _ => fail("commit is not an integer")
     }
-    TableMeta(layout, n, buckets, retired, commit)
+    val keyCol = j \ "keyCol" match {
+      case JString(k) => Some(k)
+      case JNothing => None // pre-round-13 manifest
+      case _ => fail("keyCol is not a string")
+    }
+    TableMeta(layout, n, buckets, retired, commit, keyCol)
   }
 
   private def readMeta(root: HPath, hc: HConf): Option[TableMeta] = {
@@ -632,6 +715,34 @@ object Apply {
     * semantics — [[readMergeTableAt]] fails loudly afterwards). */
   private val ChangesDirName = "_changes"
   private val ChangesCutoffRe = """\{"cutoff": ([0-9]+)\}""".r
+  private val ChangesEnabledRe = """\{"enabled": ([0-9]+)\}""".r
+
+  /** Stamp, ONCE, the earliest commit whose changes are recorded: the
+    * earliest change slice already on disk (a table that has been
+    * writing slices keeps its full recorded range readable), or this
+    * commit when none predate (a pre-CDC-OUT table records from here
+    * on). Write-once: the marker never moves after the first stamp. */
+  private def stampChangesEnabled(root: HPath, commitId: Long,
+      hc: HConf): Unit = {
+    val p = new HPath(root, s"$ChangesDirName/_graft_changes_enabled.json")
+    if (graft.util.Hfs.exists(p, hc)) return
+    val existing = graft.util.Hfs.list(new HPath(root, ChangesDirName), hc)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("commit="))
+      .map(_.stripPrefix("commit=").toLong)
+    val enabled = (existing :+ commitId).min
+    graft.util.Hfs.writeStringAtomic(p, s"""{"enabled": $enabled}""", hc)
+  }
+
+  private def changesEnabled(root: HPath, hc: HConf): Option[Long] = {
+    val p = new HPath(root, s"$ChangesDirName/_graft_changes_enabled.json")
+    if (!graft.util.Hfs.exists(p, hc)) None
+    else graft.util.Hfs.readString(p, hc).trim match {
+      case ChangesEnabledRe(c) => Some(c.toLong)
+      case other => sys.error(
+        s"unparseable changes-enabled marker at $p: '${other.take(80)}'")
+    }
+  }
 
   private def claimChanges(root: HPath, commitId: Long, hc: HConf): Unit = {
     val p = new HPath(root, s"$ChangesDirName/commit=$commitId")
@@ -670,6 +781,20 @@ object Apply {
       require(since + 1 >= cutoff,
         s"change window ($since, $until] of $tableDir is no longer " +
           s"readable: vacuumChanges retired slices below commit $cutoff")
+    }
+    // fail-closed BOTH ways (ADVICE r12): a missing slice dir must mean
+    // "this commit wrote no logical change" (compact/vacuum), never
+    // "changes were not recorded". Real commits are >= 1, so a window
+    // is readable iff its first REAL commit is at or past the marker.
+    changesEnabled(root, hc) match {
+      case Some(e) => require(math.max(since + 1L, 1L) >= e,
+        s"change window ($since, $until] of $tableDir reaches below " +
+          s"commit $e, where its recorded changes begin — history before " +
+          "that predates CDC-OUT and was never captured")
+      case None => sys.error(
+        s"$tableDir has no changes-enabled marker: its commits predate " +
+          "CDC-OUT recording entirely — changes for this window were " +
+          "never captured (the next merge/purge commit stamps the marker)")
     }
     val dirs = ((since + 1L) to until)
       .map(c => new HPath(root, s"$ChangesDirName/commit=$c").toString)
@@ -726,18 +851,26 @@ object Apply {
   private def writeManifest(
       root: HPath, nBuckets: Int, gens: Map[Int, Long],
       retired: Map[(Long, Int), Long], commitId: Long, hc: HConf,
-      archive: Boolean): Unit = {
+      archive: Boolean, keyCol: Option[String]): Unit = {
     val body = gens.toSeq.sorted
       .map { case (b, g) => s""""$b": $g""" }.mkString("{", ", ", "}")
     val ret = retired.toSeq.sortBy(_._1)
       .map { case ((g, b), at) => s"""{"gen": $g, "bucket": $b, "at": $at}""" }
       .mkString("[", ", ", "]")
-    val json = s"""{"layout": "$LayoutV2", "nBuckets": $nBuckets, """ +
+    val key = keyCol.map(k => s""""keyCol": "$k", """).getOrElse("")
+    val json = s"""{"layout": "$LayoutV2", "nBuckets": $nBuckets, $key""" +
       s""""commit": $commitId, "buckets": $body, "retired": $ret}"""
     // cross-process fencing: a writer another process superseded since
     // its verb began fails loudly HERE instead of publishing a manifest
     // computed from a stale read ([[graft.util.WriterLease]])
     graft.util.WriterLease.checkHeld(root.toString, hc)
+    // CDC-OUT enabled marker (ADVICE r12): every REAL commit stamps,
+    // once, the earliest commit whose changes are recorded — the
+    // earliest slice on disk, or this commit if none predate. A feed
+    // window reaching below it fails loudly at [[changeFeedDirs]]
+    // instead of silently under-reporting a table whose merge history
+    // predates CDC-OUT.
+    if (archive) stampChangesEnabled(root, commitId, hc)
     if (archive)
       graft.util.Hfs.writeStringAtomic(historyPath(root, commitId), json, hc)
     graft.util.Hfs.writeStringAtomic(new HPath(root, MetaName), json, hc)

@@ -344,8 +344,14 @@ object PostingsStore {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, bid: Long) =>
+        // order by COMMIT first (the table's serialization axis), then
+        // _version: a batch window spanning a RESTORE carries reinstated
+        // rows whose user versions are OLDER than rows earlier commits
+        // upserted — the restore commit's state must still win (ADVICE
+        // r12: restores now emit their state diff into the feed)
         val latest = graft.cdc.Envelope.latestByKey(df,
-          col("_key"), col("_version"), tieBreak = Seq(col("op").desc))
+          col("_key"), struct(col("commit"), col("_version")),
+          tieBreak = Seq(col("op").desc))
           .localCheckpoint(true)
         upsertBatch(
           latest.filter(col("op") =!= graft.cdc.Envelope.Remove)

@@ -359,4 +359,110 @@ class ChangeFeedSpec extends AnyFunSuite {
         .option("commit", "1").load())
     assert(e2.getMessage.contains("sinceCommit"))
   }
+
+  test("restore emits its STATE DIFF into the merge feed (ADVICE r12): " +
+      "reinstated rows as MODIFY, removed rows as typed-null REMOVE, " +
+      "unchanged rows silent; the followMergeTable cascade converges " +
+      "through a restore; pre-CDC windows fail loudly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("cfrestore").toString
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val schema = Seq(Env("INSERT", "x", After("x", "t", 1.0), ts(1)))
+      .toDF().schema("after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    def mergeOnce(envs: Seq[Env]): Unit = {
+      val ms = MemoryStream[Env]
+      ms.addData(envs: _*)
+      val q = Apply.startMerge(ms.toDF(), dir,
+        Files.createTempDirectory("cfrck").toString,
+        keyCol = "id", versionCol = "ts", schema = schema)
+      q.processAllAvailable(); q.stop()
+    }
+    def mfeed(since: Long, until: Option[Long]) = {
+      val r = spark.read.format("graft").option("path", dir)
+        .option("table", "changes.merge")
+        .option("sinceCommit", since.toString)
+      until.fold(r)(u => r.option("untilCommit", u.toString)).load()
+    }
+    // commit 1: k1=a, k2=b; commit 2: k1 -> a2 (newer version), k3 added
+    mergeOnce(Seq(
+      Env("INSERT", "k1", After("k1", "a", 1.0), ts(100)),
+      Env("INSERT", "k2", After("k2", "b", 2.0), ts(100))))
+    mergeOnce(Seq(
+      Env("MODIFY", "k1", After("k1", "a2", 9.0), ts(300)),
+      Env("INSERT", "k3", After("k3", "c", 3.0), ts(300))))
+    // commit 3: RESTORE to commit 1 — k1 reinstated at its OLD image,
+    // k3 disappears, k2 untouched
+    Apply.restore(spark, dir, 1L)
+    val c3 = mfeed(2, Some(3))
+      .select(col("op"), col("_key"), col("ticker")).collect()
+      .map(r => (r.getString(1), r.getString(0), r.getString(2))).toSet
+    assert(c3 == Set(("k1", "MODIFY", "a"), ("k3", "REMOVE", null)),
+      s"restore diff slice read $c3")
+    // the restore's MODIFY carries the REINSTATED (older) version — a
+    // consumer ordering by commit first must still apply it
+    val v3 = mfeed(2, Some(3)).filter(col("_key") === "k1")
+      .head().getAs[java.sql.Timestamp]("_version")
+    assert(v3 == ts(100))
+
+    // CASCADE through the restore: one fresh follower consumes commits
+    // 1..3 in a single micro-batch window — commit-first ordering must
+    // land k1 at "a" (the restore's older-versioned image), k3 absent
+    val store = Files.createTempDirectory("cfrpost").toString
+    val fq = PostingsStore.followMergeTable(spark, dir, store,
+      Files.createTempDirectory("cfrfck").toString, textOf = col("ticker"))
+    fq.processAllAvailable(); fq.stop()
+    val m = PostingsStore.meta(spark, store).get
+    assert(m.nDocs == 2L, "the followed index must hold k1 and k2 only")
+    assert(PostingsStore.bm25Query(spark, store, Seq("a"), 5).count() == 1L,
+      "k1 must be indexed under its RESTORED text, not commit 2's")
+    assert(PostingsStore.bm25Query(spark, store, Seq("a2"), 5).isEmpty &&
+      PostingsStore.bm25Query(spark, store, Seq("c"), 5).isEmpty)
+
+    // a restore back to commit 2 un-does it — and emits the inverse diff
+    Apply.restore(spark, dir, 2L)
+    val c4 = mfeed(3, Some(4))
+      .select(col("op"), col("_key"), col("ticker")).collect()
+      .map(r => (r.getString(1), r.getString(0), r.getString(2))).toSet
+    assert(c4 == Set(("k1", "MODIFY", "a2"), ("k3", "MODIFY", "c")))
+
+    // fail-closed marker (ADVICE r12): a window reaching below the
+    // changes-enabled commit errors instead of under-reporting; a
+    // missing marker (pre-CDC table) errors on any read
+    val hc = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(dir,
+      "_changes/_graft_changes_enabled.json")
+    val fs = marker.getFileSystem(hc)
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val out = fs.create(marker, true)
+    out.write("""{"enabled": 2}""".getBytes("UTF-8")); out.close()
+    val e = intercept[Exception](mfeed(0, Some(2)).count())
+    assert(chain(e).exists(_.contains("recorded changes begin")),
+      s"unexpected: ${chain(e).mkString(" <- ")}")
+    assert(mfeed(1, Some(3)).count() == 4L) // at/above the marker: fine
+    fs.delete(marker, false)
+    val e2 = intercept[Exception](mfeed(1, Some(2)).count())
+    assert(chain(e2).exists(_.contains("no changes-enabled marker")),
+      s"unexpected: ${chain(e2).mkString(" <- ")}")
+    // the next commit re-stamps it at the earliest slice on disk
+    mergeOnce(Seq(Env("INSERT", "k7", After("k7", "q", 1.0), ts(500))))
+    assert(mfeed(0, None).count() > 0)
+
+    // restoring a table whose manifest predates the keyCol invariant
+    // fails loudly (the diff is keyed); the next merge upgraded it above
+    val metaP = new org.apache.hadoop.fs.Path(dir, "_graft_table_meta.json")
+    val body = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(metaP)),
+      "UTF-8")
+    assert(body.contains("\"keyCol\": \"id\""))
+    val stripped = body.replace("\"keyCol\": \"id\", ", "")
+    val o2 = fs.create(metaP, true)
+    o2.write(stripped.getBytes("UTF-8")); o2.close()
+    val e3 = intercept[Exception](Apply.restore(spark, dir, 2L))
+    assert(e3.getMessage.contains("no keyCol"))
+    val o3 = fs.create(metaP, true)
+    o3.write(body.getBytes("UTF-8")); o3.close()
+  }
 }

@@ -79,6 +79,7 @@ class MaintenanceSpec extends AnyFunSuite {
       "ledgerStoreSeed", "ledgerUpsertSeed",
       "ivfIndex", "pqIndex", "ivfPqIndex", "ivfPqBase",
       "ivfPqStoreSeed", "semStoreSeed", "semUpsertSeed", "semDecontamSeed",
+      "ivfUpsertSeed", "ivfPqUpsertSeed",
       "postingsStoreSeed", "procStoreSeed", "mergeFeedSeed",
       "upsertStoreSeed", "graphStoreSeed",
       "linkageLedger", "linkageBase", "shardExportSeed", "pipelineSeed",
