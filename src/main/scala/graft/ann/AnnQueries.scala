@@ -238,6 +238,96 @@ object AnnQueries {
       dir
     }
 
+  /** q281/q282's WAREHOUSE substrate: a merge table whose payload is
+    * the embedding corpus. Commit 1 = the base corpus (every vector,
+    * id ≠ 0) as INSERTs; commit 2 = THE REFRESH as warehouse CDC —
+    * MODIFY every %10 (re-embedded: negated), INSERT every %9's twin
+    * under a fresh id, REMOVE every %17 non-updated — the exact
+    * q279/q280 simulated post-refresh corpus, so the cascade gates
+    * share those oracles. Built through the REAL startMerge path
+    * (envelope fold, change slices at commit time). */
+  private[graft] def cascadeMergeDir(s: SparkSession, d: String): String =
+    Maintenance.getOrBuild("cascadeMergeSeed", s, d) {
+      val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val base = java.nio.file.Files
+        .createTempDirectory("graftcascade").toString
+      val tableDir = s"$base/table"
+      val neg = transform(col("embedding"), x => -x)
+      def envOf(df: org.apache.spark.sql.DataFrame, op: String, ver: Long,
+          emb: org.apache.spark.sql.Column) =
+        df.select(lit(op).as("op"), col("vec_id").as("key"),
+          lit(ver).as("ver"),
+          when(lit(op) === graft.cdc.Envelope.Remove, lit(null))
+            .otherwise(struct(col("vec_id"), emb.as("embedding")))
+            .as("after"))
+      val seed = envOf(e, graft.cdc.Envelope.Insert, 1L, col("embedding"))
+      val refresh = envOf(e.filter(col("vec_id") % 10 === 0),
+          graft.cdc.Envelope.Modify, 2L, neg)
+        .unionByName(envOf(
+          e.filter(col("vec_id") % 9 === 0)
+            .select((col("vec_id") + lit(100000000L)).as("vec_id"),
+              col("embedding")),
+          graft.cdc.Envelope.Insert, 2L, neg))
+        .unionByName(envOf(
+          e.filter(col("vec_id") % 17 === 0 && col("vec_id") % 10 =!= 0),
+          graft.cdc.Envelope.Remove, 2L, col("embedding")))
+      val schema = seed.schema("after").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      def mergeOnce(part: String,
+          env: org.apache.spark.sql.DataFrame): Unit = {
+        val in = s"$base/in_$part"
+        env.write.parquet(in)
+        val q = graft.cdc.Apply.startMerge(
+          s.readStream.schema(env.schema).parquet(in), tableDir,
+          checkpointDir = s"$base/ck_$part",
+          keyCol = "vec_id", versionCol = "ver", schema = schema)
+        q.processAllAvailable(); q.stop()
+      }
+      mergeOnce("seed", seed)       // commit 1
+      mergeOnce("refresh", refresh) // commit 2
+      base
+    }
+
+  /** q281's FOLLOWED semantic ledger: hydrated from the base corpus
+    * (= the warehouse's commit-1 state), then maintained by
+    * [[graft.dedup.SemLedgerStore.followMergeTable]] from `sinceCommit
+    * = 1` — only the refresh commit flows (the hydrate-from-snapshot,
+    * follow-from-its-commit production pattern). The re-embed hook is
+    * the stored embedding column (the warehouse carries the vectors
+    * here; a text warehouse would pass a model expression). */
+  private[graft] def semCascadeDir(s: SparkSession, d: String): String =
+    Maintenance.getOrBuild("semCascadeSeed", s, d) {
+      val mergeDir = s"${cascadeMergeDir(s, d)}/table"
+      val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val base = java.nio.file.Files
+        .createTempDirectory("graftsemcascade").toString
+      val dir = s"$base/ledger"
+      graft.dedup.SemLedgerStore.maintainBatch(
+        e, col("vec_id"), col("embedding"), dir)
+      val q = graft.dedup.SemLedgerStore.followMergeTable(s, mergeDir,
+        dir, s"$base/ck", embedOf = col("embedding"), sinceCommit = 1L)
+      q.processAllAvailable(); q.stop()
+      dir
+    }
+
+  /** q282's FOLLOWED IVF index — [[semCascadeDir]]'s search-side twin,
+    * built on [[IndexStore.upsertVectors]]'s one-commit atomicity. */
+  private[graft] def ivfCascadeDir(s: SparkSession, d: String): String =
+    Maintenance.getOrBuild("ivfCascadeSeed", s, d) {
+      val mergeDir = s"${cascadeMergeDir(s, d)}/table"
+      val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val base = java.nio.file.Files
+        .createTempDirectory("graftivfcascade").toString
+      val dir = s"$base/index"
+      IndexStore.saveIvf(Similarity.buildIvf(e, col("vec_id"),
+        col("embedding"), nCentroids = 8, iterations = 1,
+        materialize = true), dir)
+      val q = IndexStore.followMergeTable(s, mergeDir, dir, s"$base/ck",
+        embedOf = col("embedding"), sinceCommit = 1L)
+      q.processAllAvailable(); q.stop()
+      dir
+    }
+
   /** q263's decontamination substrate: a [[graft.dedup.SemLedgerStore]]
     * holding the TRAIN-side vectors (vec_id % 10 ≠ 0 — the eval slice
     * stays out by construction), seeded with the sub-cut base as batch
@@ -788,6 +878,41 @@ object AnnQueries {
         .toDF("exact_l2_top1", "n_codes", "recall_ok")
     },
 
+    // -- round 13: the WAREHOUSE→EMBEDDINGS CASCADE — the q279/q280
+    //    refresh flows as warehouse CDC (one merge commit of MODIFY/
+    //    INSERT/REMOVE envelopes through the real startMerge path), and
+    //    [[graft.dedup.SemLedgerStore.followMergeTable]] maintains the
+    //    semantic ledger FROM the table's `changes.merge` feed: updates
+    //    re-embed atomically (the upsertVecs one-commit verb), REMOVEs
+    //    propagate as ledger purges — the compliance-deletion path to
+    //    embeddings, exactly-once end-to-end. The followed ledger's
+    //    labeling must equal the full near-dup closure recomputed over
+    //    the simulated post-refresh corpus (the q277 oracle machinery
+    //    over the q279 corpus).
+    "q281_sem_cascade" -> { (s, d) =>
+      val dir = semCascadeDir(s, d)
+      val lbl = graft.dedup.SemLedgerStore.load(s, dir)._3
+        .select(col("id").as("vec_id"), col("comp"))
+      val sizes = lbl.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+      lbl.join(sizes, Seq("comp"))
+        .select(col("vec_id"), col("comp"), col("comp_size"),
+          (col("vec_id") === col("comp")).as("is_canonical"))
+        .orderBy(col("vec_id"))
+    },
+
+    // -- q281's search-side twin: [[IndexStore.followMergeTable]] keeps
+    //    the persisted IVF index in sync with the warehouse through the
+    //    same feed, on [[IndexStore.upsertVectors]]'s one-commit
+    //    atomicity. Full-probe over the followed store ≡ the exact
+    //    cosine top-k over the post-refresh corpus (the q279 oracle,
+    //    verbatim); n_rows pins the followed stats.
+    "q282_index_cascade" -> { (s, d) =>
+      val dir = ivfCascadeDir(s, d)
+      val (idx, meta) = IndexStore.loadIvf(s, dir)
+      IndexStore.searchPruned(idx, queryVec(s, d), k = 10, nprobe = 8)
+        .withColumn("n_rows", lit(meta.rows))
+    },
+
     // -- k-NN label vote (the data-labeling / label-propagation face of
     //    the search stack): the first 10 vectors are unlabeled queries,
     //    the rest the labeled corpus; each query takes the majority
@@ -991,9 +1116,8 @@ object AnnQueries {
     * non-updated vectors absent (deleted), %9 twins added under fresh
     * ids (float negation is exact, so cast-then-negate ≡ the engine's
     * negate-then-cast bit for bit). */
-  private val postRefreshCorpusSql: String =
-    """corpus AS (
-      |  SELECT vec_id,
+  private val postRefreshCorpusSelect: String =
+    """SELECT vec_id,
       |    CASE WHEN vec_id % 10 = 0
       |         THEN LIST_TRANSFORM(embedding::DOUBLE[], x -> -x)
       |         ELSE embedding::DOUBLE[] END AS v
@@ -1002,7 +1126,11 @@ object AnnQueries {
       |  UNION ALL
       |  SELECT vec_id + 100000000 AS vec_id,
       |    LIST_TRANSFORM(embedding::DOUBLE[], x -> -x) AS v
-      |  FROM embeddings WHERE vec_id % 9 = 0 AND vec_id <> 0)""".stripMargin
+      |  FROM embeddings WHERE vec_id % 9 = 0 AND vec_id <> 0""".stripMargin
+
+  private val postRefreshCorpusSql: String =
+    s"""corpus AS (
+      |  $postRefreshCorpusSelect)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q42_ann_bruteforce" -> exactTopKSql,
@@ -1215,6 +1343,41 @@ object AnnQueries {
         |SELECT (SELECT vec_id FROM d ORDER BY d2, vec_id LIMIT 1) AS exact_l2_top1,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_codes,
         |  TRUE AS recall_ok""".stripMargin,
+
+    // The followed ledger's labeling ≡ the full near-dup closure over
+    // the post-refresh corpus (q277's recursive machinery over q279's
+    // corpus — the refresh reached the ledger THROUGH the warehouse
+    // feed, so passing this pins the whole cascade).
+    "q281_sem_cascade" ->
+      s"""WITH RECURSIVE ${lshPairsCtesFromE(postRefreshCorpusSelect)},
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM vpairs
+        |  UNION ALL SELECT b_id AS src, a_id AS dst FROM vpairs),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.src, r.lab FROM edges e2 JOIN reach r ON e2.dst = r.id),
+        |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+        |ledger AS (
+        |  SELECT e.vec_id, COALESCE(l.comp, e.vec_id) AS comp
+        |  FROM e LEFT JOIN lbl l ON e.vec_id = l.id)
+        |SELECT vec_id, comp,
+        |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size,
+        |  vec_id = comp AS is_canonical
+        |FROM ledger ORDER BY vec_id""".stripMargin,
+
+    // The followed index serves the exact q279 search — the refresh
+    // reached it through the feed + the atomic upsert verb.
+    "q282_index_cascade" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |$postRefreshCorpusSql,
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM corpus)
+        |SELECT c.vec_id AS nn_id,
+        |  LIST_DOT_PRODUCT(c.v, qv)
+        |    / (SQRT(LIST_DOT_PRODUCT(c.v, c.v)) * SQRT(LIST_DOT_PRODUCT(qv, qv))) AS cosine,
+        |  n.n_rows
+        |FROM corpus c, q, n
+        |ORDER BY cosine DESC, nn_id LIMIT 10""".stripMargin,
 
     // The same generated-hyperplane banding + exact cosine, restricted
     // to train×eval crossings — the store-served gate must land on the

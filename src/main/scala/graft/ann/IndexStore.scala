@@ -377,6 +377,40 @@ object IndexStore {
     Some(commit)
     }
   }
+
+  /** The warehouse→ANN-INDEX cascade (round 13): maintain this
+    * persisted IVF index FROM a merge table's `changes.merge` feed,
+    * exactly-once end-to-end — built on [[upsertVectors]]'s one-commit
+    * atomicity, so a warehouse UPDATE re-embeds and re-assigns its
+    * vector with no purge-then-insert crash window, and warehouse
+    * REMOVEs / `purgeKeys` compliance deletions propagate as index
+    * tombstones. `embedOf` is the RE-EMBED HOOK (see
+    * [[graft.dedup.SemLedgerStore.followMergeTable]]). Ordering is by
+    * (commit, _version) so a RESTORE commit's reinstated rows win
+    * their window. */
+  def followMergeTable(spark: SparkSession, mergeDir: String, dir: String,
+      checkpoint: String, embedOf: Column, sinceCommit: Long = -1L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft").option("path", mergeDir)
+      .option("table", "changes.merge")
+      .option("sinceCommit", sinceCommit.toString).load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        val latest = graft.cdc.Envelope.latestByKey(df,
+          col("_key"), struct(col("commit"), col("_version")),
+          tieBreak = Seq(col("op").desc))
+          .localCheckpoint(true)
+        upsertVectors(
+          latest.filter(col("op") =!= graft.cdc.Envelope.Remove)
+            .select(col("_key").as("vid"), embedOf.as("v")),
+          col("vid"), col("v"),
+          latest.filter(col("op") === graft.cdc.Envelope.Remove)
+            .select(col("_key").as("vid")),
+          dir, batchId = bid)
+        ()
+      }
+      .start()
   /** ADVICE r11: a ledgered batch the tombstone screen (or the batch
     * itself) left EMPTY must still record its batch id — returning
     * without a commit leaves the batch unledgered, so after maintenance

@@ -429,6 +429,45 @@ object SemLedgerStore {
     }
   }
 
+  /** The warehouse→EMBEDDINGS cascade (round 13, completing the
+    * [[graft.text.PostingsStore.followMergeTable]] path beyond text):
+    * maintain this semantic ledger FROM a merge table's `changes.merge`
+    * feed, exactly-once end-to-end — the feed replays uncommitted commit
+    * windows from its checkpoint, and [[upsertVecs]]'s ledger absorbs
+    * the replays. Warehouse updates RE-EMBED and re-enter the near-dup
+    * closure atomically; warehouse REMOVEs and `purgeKeys` compliance
+    * deletions propagate as ledger purges — the deletion-propagation
+    * path to embeddings. `embedOf` is the RE-EMBED HOOK: a Column
+    * mapping a feed row to its `Array[Float]` vector (in production a
+    * model-serving expression/UDF over the document columns; tests and
+    * gates use a deterministic projection). Ordering is by (commit,
+    * _version) — the table's serialization axis first, so a RESTORE
+    * commit's reinstated rows win their window. */
+  def followMergeTable(spark: SparkSession, mergeDir: String, dir: String,
+      checkpoint: String, embedOf: Column, retainGens: Int = 2,
+      sinceCommit: Long = -1L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft").option("path", mergeDir)
+      .option("table", "changes.merge")
+      .option("sinceCommit", sinceCommit.toString).load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        val latest = graft.cdc.Envelope.latestByKey(df,
+          col("_key"), struct(col("commit"), col("_version")),
+          tieBreak = Seq(col("op").desc))
+          .localCheckpoint(true)
+        upsertVecs(
+          latest.filter(col("op") =!= graft.cdc.Envelope.Remove)
+            .select(col("_key").as("id"), embedOf.as("v")),
+          col("id"), col("v"),
+          latest.filter(col("op") === graft.cdc.Envelope.Remove)
+            .select(col("_key").as("id")),
+          dir, retainGens, batchId = bid)
+        ()
+      }
+      .start()
+
   /** ADVICE r11: a ledgered batch the tombstone screen (or the batch
     * itself) left EMPTY must still record its batch id — returning
     * without a commit leaves the batch unledgered, so after a

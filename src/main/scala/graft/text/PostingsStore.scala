@@ -337,10 +337,12 @@ object PostingsStore {
     * (the compliance path). `textOf` maps a feed row to the text to
     * index. */
   def followMergeTable(spark: SparkSession, mergeDir: String, dir: String,
-      checkpoint: String, textOf: Column, prefixes: Int = 64)
+      checkpoint: String, textOf: Column, prefixes: Int = 64,
+      sinceCommit: Long = -1L)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("graft").option("path", mergeDir)
-      .option("table", "changes.merge").load()
+      .option("table", "changes.merge")
+      .option("sinceCommit", sinceCommit.toString).load()
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, bid: Long) =>

@@ -204,6 +204,9 @@ object Maintenance {
     "semUpsertSeed"   -> ((s, d) => graft.ann.AnnQueries.semUpsertDir(s, d)),
     "ivfUpsertSeed"   -> ((s, d) => graft.ann.AnnQueries.ivfUpsertDir(s, d)),
     "ivfPqUpsertSeed" -> ((s, d) => graft.ann.AnnQueries.ivfPqUpsertDir(s, d)),
+    "cascadeMergeSeed" -> ((s, d) => graft.ann.AnnQueries.cascadeMergeDir(s, d)),
+    "semCascadeSeed"  -> ((s, d) => graft.ann.AnnQueries.semCascadeDir(s, d)),
+    "ivfCascadeSeed"  -> ((s, d) => graft.ann.AnnQueries.ivfCascadeDir(s, d)),
     "semDecontamSeed" -> ((s, d) => graft.ann.AnnQueries.semDecontamDir(s, d)),
     "postingsStoreSeed" -> ((s, d) => graft.text.LmQueries.postingsStoreDir(s, d)),
     "procStoreSeed"   -> ((s, d) => graft.text.LmQueries.procStoreDir(s, d)),

@@ -1,0 +1,152 @@
+package graft.ann
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.util.Tables
+
+/** The warehouse→embeddings cascade (round 13): the merge table's
+  * `changes.merge` feed driving the SEMANTIC LEDGER
+  * ([[graft.dedup.SemLedgerStore.followMergeTable]]) and the persisted
+  * IVF INDEX ([[IndexStore.followMergeTable]]) — completing the
+  * compliance-propagation path the text index got in round 12
+  * (PostingsUpsertSpec's cascade test is the template). Each cascade()
+  * call below is a RESTART: a fresh streaming query over the same
+  * checkpoint, so exactly-once across restarts is what every
+  * assertion exercises. */
+class CascadeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def embs = Tables.embeddings(spark, sf)
+    .filter(col("vec_id") =!= 0).select(col("vec_id"), col("embedding"))
+
+  /** One merge commit of embedding-payload envelopes through the real
+    * startMerge path (file-staged stream, AvailableNow). */
+  private def mergeOnce(base: String, part: String,
+      env: DataFrame): Unit = {
+    val in = s"$base/in_$part"
+    env.write.parquet(in)
+    val q = graft.cdc.Apply.startMerge(
+      spark.readStream.schema(env.schema).parquet(in), s"$base/table",
+      checkpointDir = s"$base/ck_$part",
+      keyCol = "vec_id", versionCol = "ver",
+      schema = env.schema("after").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    q.processAllAvailable(); q.stop()
+  }
+
+  private def envOf(df: DataFrame, op: String, ver: Long,
+      emb: org.apache.spark.sql.Column): DataFrame =
+    df.select(lit(op).as("op"), col("vec_id").as("key"),
+      lit(ver).as("ver"),
+      when(lit(op) === "REMOVE", lit(null))
+        .otherwise(struct(col("vec_id"), emb.as("embedding"))).as("after"))
+
+  private def slice(lo: Long, hi: Long) =
+    embs.filter(col("vec_id") > lo && col("vec_id") <= hi)
+
+  test("semantic-ledger follower: warehouse updates re-embed, REMOVEs " +
+      "and purgeKeys propagate as ledger purges, exactly-once across " +
+      "restarts; quiescent replays are no-ops") {
+    import graft.dedup.SemLedgerStore
+    val base = Files.createTempDirectory("semcascade").toString
+    val mergeDir = s"$base/table"; val dir = s"$base/ledger"
+    val ck = s"$base/fck"
+    val neg = transform(col("embedding"), x => -x)
+    // commit 1 = the base corpus; the ledger HYDRATES from the same
+    // snapshot, then follows from its commit (the production pattern)
+    mergeOnce(base, "seed", envOf(slice(0, 30), "INSERT", 1L,
+      col("embedding")))
+    SemLedgerStore.maintainBatch(slice(0, 30), col("vec_id"),
+      col("embedding"), dir)
+    def cascade(): Unit = {
+      val q = SemLedgerStore.followMergeTable(spark, mergeDir, dir, ck,
+        embedOf = col("embedding"), sinceCommit = 1L)
+      q.processAllAvailable(); q.stop()
+    }
+    cascade() // nothing past the hydration commit: a ledgered no-op
+    assert(SemLedgerStore.load(spark, dir)._1.count() == 30L)
+    // commit 2: vec 3 RE-EMBEDDED (negated), vec 5 REMOVEd, vec 31 added
+    mergeOnce(base, "refresh",
+      envOf(embs.filter(col("vec_id") === 3L), "MODIFY", 2L, neg)
+        .unionByName(envOf(embs.filter(col("vec_id") === 5L), "REMOVE",
+          2L, col("embedding")))
+        .unionByName(envOf(embs.filter(col("vec_id") === 31L), "INSERT",
+          2L, col("embedding"))))
+    cascade()
+    val (vecs, _, labels, m) = SemLedgerStore.load(spark, dir)
+    assert(vecs.count() == 30L && m.rows == 30L)
+    assert(vecs.filter(col("id") === 5L).count() == 0L)
+    assert(vecs.filter(col("id") === 31L).count() == 1L)
+    val want = embs.filter(col("vec_id") === 3L)
+      .head().getSeq[Float](1).map(x => -x).toSeq
+    assert(vecs.filter(col("id") === 3L)
+      .head().getAs[scala.collection.Seq[Float]]("v").toSeq == want,
+      "the followed ledger must hold the RE-EMBEDDED vector")
+    assert(labels.count() == 30L)
+    // commit 3: a compliance purge in the WAREHOUSE reaches the ledger
+    assert(graft.cdc.Apply.purgeKeys(spark, mergeDir,
+      Seq(7L).toDF("vec_id"), "vec_id", gcGraceMs = 0L) == 1L)
+    cascade()
+    val (vecs3, _, _, m3) = SemLedgerStore.load(spark, dir)
+    assert(m3.rows == 29L && vecs3.filter(col("id") === 7L).count() == 0L)
+    // quiescence: a restart with nothing new changes nothing
+    val before = SemLedgerStore.load(spark, dir)._4
+    cascade()
+    assert(SemLedgerStore.load(spark, dir)._4 == before)
+  }
+
+  test("IVF-index follower: the same feed keeps the persisted index in " +
+      "sync on upsertVectors' one-commit atomicity; restarts replay as " +
+      "no-ops") {
+    val base = Files.createTempDirectory("ivfcascade").toString
+    val mergeDir = s"$base/table"; val dir = s"$base/index"
+    val ck = s"$base/fck"
+    val neg = transform(col("embedding"), x => -x)
+    mergeOnce(base, "seed", envOf(slice(0, 30), "INSERT", 1L,
+      col("embedding")))
+    IndexStore.saveIvf(Similarity.buildIvf(slice(0, 30), col("vec_id"),
+      col("embedding"), nCentroids = 4, iterations = 1,
+      materialize = true), dir)
+    def cascade(): Unit = {
+      val q = IndexStore.followMergeTable(spark, mergeDir, dir, ck,
+        embedOf = col("embedding"), sinceCommit = 1L)
+      q.processAllAvailable(); q.stop()
+    }
+    cascade()
+    assert(IndexStore.loadIvf(spark, dir)._2.rows == 30L)
+    mergeOnce(base, "refresh",
+      envOf(embs.filter(col("vec_id") === 3L), "MODIFY", 2L, neg)
+        .unionByName(envOf(embs.filter(col("vec_id") === 5L), "REMOVE",
+          2L, col("embedding")))
+        .unionByName(envOf(embs.filter(col("vec_id") === 31L), "INSERT",
+          2L, col("embedding"))))
+    cascade()
+    val (idx, m) = IndexStore.loadIvf(spark, dir)
+    assert(m.rows == 30L && idx.assigned.count() == 30L)
+    assert(idx.assigned.filter(col("vid") === 5L).count() == 0L)
+    assert(idx.assigned.filter(col("vid") === 31L).count() == 1L)
+    val want = embs.filter(col("vec_id") === 3L)
+      .head().getSeq[Float](1).map(x => -x).toSeq
+    assert(idx.assigned.filter(col("vid") === 3L)
+      .head().getAs[scala.collection.Seq[Float]]("v").toSeq == want,
+      "the followed index must probe the re-embedded coordinates")
+    // warehouse purge -> index tombstone
+    assert(graft.cdc.Apply.purgeKeys(spark, mergeDir,
+      Seq(7L).toDF("vec_id"), "vec_id", gcGraceMs = 0L) == 1L)
+    cascade()
+    val (idx3, m3) = IndexStore.loadIvf(spark, dir)
+    assert(m3.rows == 29L &&
+      idx3.assigned.filter(col("vid") === 7L).count() == 0L)
+    // quiescence across a restart
+    val before = IndexStore.loadIvf(spark, dir)._2
+    cascade()
+    assert(IndexStore.loadIvf(spark, dir)._2 == before)
+  }
+}

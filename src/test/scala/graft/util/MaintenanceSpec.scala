@@ -80,6 +80,7 @@ class MaintenanceSpec extends AnyFunSuite {
       "ivfIndex", "pqIndex", "ivfPqIndex", "ivfPqBase",
       "ivfPqStoreSeed", "semStoreSeed", "semUpsertSeed", "semDecontamSeed",
       "ivfUpsertSeed", "ivfPqUpsertSeed",
+      "cascadeMergeSeed", "semCascadeSeed", "ivfCascadeSeed",
       "postingsStoreSeed", "procStoreSeed", "mergeFeedSeed",
       "upsertStoreSeed", "graphStoreSeed",
       "linkageLedger", "linkageBase", "shardExportSeed", "pipelineSeed",
