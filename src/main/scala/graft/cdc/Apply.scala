@@ -289,6 +289,52 @@ object Apply {
       }
       .start()
 
+  /** SQL WRITE FACE (round 13, verdict #6): one batch of rows upserted
+    * as ONE ledgered merge commit — the verb behind `INSERT INTO
+    * graft_cat.`<dir>`` ([[graft.sources.GraftTables]]'s V1 write
+    * fallback). Rows carry the table's read-face schema (data columns
+    * + `_version`); each becomes a MODIFY envelope keyed by the
+    * manifest's `keyCol` and versioned by `_version`, staged to a temp
+    * dir and folded through the REAL [[startMerge]] path — so the
+    * lease, the latest-per-key fold against stored rows, the change
+    * slice, and the pointer-archive commit all apply unchanged (a raw
+    * file append would bypass every one of them). Stale rows lose the
+    * version fold exactly like a late stream envelope. One-shot
+    * imperative semantics: each INSERT is its own commit with a
+    * throwaway checkpoint — SQL INSERT has no replay axis to be
+    * exactly-once against (streams use [[startMerge]] directly).
+    * DELETE stays a library/procedure verb ([[purgeKeys]]). */
+  def insertBatch(spark: SparkSession, tableDir: String,
+      rows: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val hc = graft.util.Hfs.conf(spark)
+    val m = readMeta(new HPath(tableDir), hc).getOrElse(sys.error(
+      s"$tableDir is not a merge table (no $MetaName) — INSERT writes " +
+        "into an existing table; seed with startMerge"))
+    val key = m.keyCol.getOrElse(sys.error(
+      s"$tableDir has no keyCol in its manifest (written before the " +
+        "keyCol-invariant upgrade): run one merge/purge commit to " +
+        "upgrade it before using the SQL write face"))
+    require(rows.columns.contains("_version"),
+      s"INSERT into $tableDir must supply the _version column — the " +
+        "merge fold is versioned (latest per key wins)")
+    require(rows.columns.contains(key),
+      s"INSERT into $tableDir must supply its key column '$key'")
+    val afterCols = rows.columns.filterNot(_ == "_version")
+    val env = rows.select(lit(Envelope.Modify).as("op"),
+      col(key).as("key"), col("_version"),
+      struct(afterCols.toIndexedSeq.map(col): _*).as("after"))
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-insert").toString
+    env.write.parquet(s"$stage/in")
+    val q = startMerge(
+      spark.readStream.schema(env.schema).parquet(s"$stage/in"),
+      tableDir, s"$stage/ck", keyCol = key, versionCol = "_version",
+      schema = env.schema("after").dataType.asInstanceOf[StructType],
+      nBuckets = m.nBuckets)
+    try { q.processAllAvailable() } finally q.stop()
+  }
+
   /** Reclaim retired (superseded/orphaned) generation dirs older than
     * `graceMs`. The per-commit GC uses the same ledger; this is the
     * explicit entry point for reclaiming sooner (or, with the default

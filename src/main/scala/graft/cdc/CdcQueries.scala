@@ -52,6 +52,45 @@ object CdcQueries {
       tableDir
     }
 
+  /** q283's merge table — the SQL WRITE FACE exercised end-to-end
+    * (round-13 verdict #6): commit 1 seeds the first event window
+    * through the real startMerge path; commit 2 is a plain
+    * `INSERT INTO <catalog>.<dir>.merge SELECT ...` — Spark's V1 write
+    * fallback hands the rows to [[Apply.insertBatch]], which stages
+    * them as MODIFY envelopes and folds ONE leased, ledgered,
+    * change-slice-emitting commit. A user whose latest event is in the
+    * SEED window exercises the versioned upsert: the INSERT's older
+    * rows lose the fold. */
+  private[graft] def sqlInsertDir(s: SparkSession, d: String): String =
+    graft.util.Maintenance.getOrBuild("sqlInsertSeed", s, d) {
+      val ev = Tables.events(s, d)
+      val cut = ev.agg(max(col("event_id"))).head.getLong(0) / 2
+      val base = java.nio.file.Files
+        .createTempDirectory("graftsqlins").toString
+      val tableDir = s"$base/table"
+      val env = ev.filter(col("event_id") <= cut).select(
+        lit(Envelope.Modify).as("op"), col("user_id").as("key"),
+        col("event_id"),
+        struct(col("user_id"), col("event_type"), col("value")).as("after"))
+      env.write.parquet(s"$base/in")
+      val q = Apply.startMerge(
+        s.readStream.schema(env.schema).parquet(s"$base/in"), tableDir,
+        checkpointDir = s"$base/ck",
+        keyCol = "user_id", versionCol = "event_id",
+        schema = env.schema("after").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      q.processAllAvailable(); q.stop() // commit 1
+      s.conf.set("spark.sql.catalog.graft_sql",
+        classOf[graft.sources.GraftCatalog].getName)
+      ev.filter(col("event_id") > cut)
+        .createOrReplaceTempView("graft_insert_delta")
+      s.sql(s"INSERT INTO graft_sql.`$tableDir`.merge " +
+        "(user_id, event_type, value, _version) " +
+        "SELECT user_id, event_type, value, event_id " +
+        "FROM graft_insert_delta") // commit 2
+      tableDir
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- P1/T5: route the change feed — REMOVEs dropped, kept ops counted.
     //    Uses the production Envelope.route (raise-on-unknown included).
@@ -98,6 +137,20 @@ object CdcQueries {
           col("_version").as("version"),
           col("event_type").as("last_type"),
           cents(col("value")).as("value_cents"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- round 13: the SQL WRITE FACE — half the corpus entered the
+    //    table through `INSERT INTO` (the DSv2 V1 fallback onto the
+    //    leased insertBatch fold), half through startMerge; the table
+    //    must read as the latest event per user over ALL events (q33's
+    //    oracle — the SQL path is an equal citizen of the fold).
+    "q283_sql_insert" -> { (s, d) =>
+      val dir = sqlInsertDir(s, d)
+      Apply.readMergeTable(s, dir)
+        .select(col("user_id"), col("_version").as("last_event_id"),
+          col("event_type").as("last_type"),
+          cents(col("value")).as("last_value_cents"))
         .orderBy(col("user_id"))
     },
 
@@ -373,6 +426,16 @@ object CdcQueries {
         |GROUP BY op ORDER BY op""".stripMargin,
 
     "q33_cdc_latest_state" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS last_value_cents
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // The table fed half by startMerge, half by SQL INSERT must equal
+    // the latest event per user over ALL events — q33's recompute; the
+    // SQL path is an equal citizen of the versioned fold.
+    "q283_sql_insert" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS last_value_cents
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id

@@ -211,6 +211,7 @@ object Maintenance {
     "postingsStoreSeed" -> ((s, d) => graft.text.LmQueries.postingsStoreDir(s, d)),
     "procStoreSeed"   -> ((s, d) => graft.text.LmQueries.procStoreDir(s, d)),
     "mergeFeedSeed"   -> ((s, d) => graft.cdc.CdcQueries.mergeFeedDir(s, d)),
+    "sqlInsertSeed"   -> ((s, d) => graft.cdc.CdcQueries.sqlInsertDir(s, d)),
     "upsertStoreSeed" -> ((s, d) => graft.text.LmQueries.upsertStoreDir(s, d)),
     "graphStoreSeed"  -> ((s, d) => graft.warehouse.GraphQueries.graphStoreDir(s, d)),
     "linkageLedger"   -> ((s, d) => graft.warehouse.ExtrasQueries.linkageLedger(s, d)),

@@ -205,4 +205,78 @@ class GraftCatalogSpec extends AnyFunSuite {
       .orderBy(col("term")).collect()
     assert(viaCat.toSeq == viaProvider.toSeq && viaCat.nonEmpty)
   }
+
+  test("SQL INSERT INTO the current merge surface lands ONE ledgered " +
+      "commit through the leased fold — versioned upsert, change slice " +
+      "included; slice surfaces and OVERWRITE stay loudly read-only") {
+    catalogReady
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.cdc.{After, Apply, Env}
+    val dir = Files.createTempDirectory("graftins").toString + "/t"
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val schema = Seq(Env("INSERT", "x", After("x", "t", 1.0), ts(1)))
+      .toDF().schema("after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val ms = MemoryStream[Env]
+    ms.addData(Env("INSERT", "k1", After("k1", "old", 1.0), ts(100)),
+      Env("INSERT", "k2", After("k2", "keep", 2.0), ts(500)))
+    val q = Apply.startMerge(ms.toDF(), dir,
+      Files.createTempDirectory("ginsck").toString,
+      keyCol = "id", versionCol = "ts", schema = schema)
+    q.processAllAvailable(); q.stop() // commit 1
+    assert(Apply.currentCommit(spark, dir) == 1L)
+
+    // one INSERT, three rows: a new key, a winning update, a STALE
+    // update (version below the stored row) — one commit for all
+    spark.sql(s"INSERT INTO graft_test.`$dir`.merge " +
+      "(id, ticker, price, _version) VALUES " +
+      "('k3', 'new', 3.0, TIMESTAMP '1970-01-01 00:00:01')," +
+      "('k1', 'upd', 9.0, TIMESTAMP '1970-01-01 00:00:01')," +
+      "('k2', 'stale', 0.0, TIMESTAMP '1970-01-01 00:00:00')")
+    assert(Apply.currentCommit(spark, dir) == 2L,
+      "one INSERT statement must be one ledgered commit")
+    val state = Apply.readMergeTable(spark, dir)
+      .select(col("id"), col("ticker")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(state == Set("k1" -> "upd", "k2" -> "keep", "k3" -> "new"),
+      s"versioned upsert must apply winners and reject the stale row: $state")
+    // the commit's change slice carries the APPLIED rows only — a
+    // cascade sees SQL inserts like any other commit
+    val slice = spark.read.format("graft").option("path", dir)
+      .option("table", "changes.merge").option("sinceCommit", "1")
+      .option("untilCommit", "2").load()
+      .select(col("_key"), col("op")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(slice == Set("k1" -> "MODIFY", "k3" -> "MODIFY"),
+      s"the stale k2 row lost the fold and must not enter the feed: $slice")
+    // SQL reads see the inserted state through the same identifier
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_test.`$dir`.merge")
+      .head.getLong(0) == 3L)
+
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    // slice surfaces refuse writes loudly (the stock FileTable would
+    // have appended raw parquet into the store)
+    val pdir = Files.createTempDirectory("graftinsp").toString
+    PostingsStore.maintainBatch(docs, col("doc_id"), col("text"), pdir,
+      batchId = 0L)
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO graft_test.`$pdir`.postings.doclen VALUES (1, 1, 0)"))
+    assert(chain(e).exists(m => m.contains("read-only") ||
+      m.contains("does not support")), chain(e).mkString(" <- "))
+    // INSERT OVERWRITE refuses: rewinds are restore/purge verbs
+    val e2 = intercept[Exception](spark.sql(
+      s"INSERT OVERWRITE graft_test.`$dir`.merge " +
+        "(id, ticker, price, _version) VALUES " +
+        "('k9', 'x', 1.0, TIMESTAMP '1970-01-01 00:00:02')"))
+    assert(chain(e2).exists(m => m.contains("INSERT OVERWRITE") ||
+      m.contains("does not support")), chain(e2).mkString(" <- "))
+    // the library verb guards its contract: _version is mandatory
+    val e3 = intercept[Exception](Apply.insertBatch(spark, dir,
+      Seq(("k9", "x", 1.0)).toDF("id", "ticker", "price")))
+    assert(e3.getMessage.contains("_version"))
+  }
 }

@@ -81,7 +81,7 @@ class MaintenanceSpec extends AnyFunSuite {
       "ivfPqStoreSeed", "semStoreSeed", "semUpsertSeed", "semDecontamSeed",
       "ivfUpsertSeed", "ivfPqUpsertSeed",
       "cascadeMergeSeed", "semCascadeSeed", "ivfCascadeSeed",
-      "postingsStoreSeed", "procStoreSeed", "mergeFeedSeed",
+      "postingsStoreSeed", "procStoreSeed", "mergeFeedSeed", "sqlInsertSeed",
       "upsertStoreSeed", "graphStoreSeed",
       "linkageLedger", "linkageBase", "shardExportSeed", "pipelineSeed",
       "zorderLayout", "bucketedPair", "coPurchasePairs", "lpaLabels",
