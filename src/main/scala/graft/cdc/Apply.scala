@@ -801,6 +801,13 @@ object Apply {
     readMeta(new HPath(tableDir), graft.util.Hfs.conf(spark))
       .map(_.commitId).getOrElse(-1L)
 
+  /** The table's merge-key column from the manifest (None for a table
+    * that has not committed since the keyCol invariant landed) — the
+    * SQL write/delete faces key their verbs by it. */
+  def tableKeyCol(spark: SparkSession, tableDir: String): Option[String] =
+    readMeta(new HPath(tableDir), graft.util.Hfs.conf(spark))
+      .flatMap(_.keyCol)
+
   /** CDC-OUT resolution: the CHANGE SLICES the commits in
     * `(since, until]` wrote — each merge batch's applied envelope rows
     * (latest per key, REMOVEs included) and each [[purgeKeys]]'s

@@ -91,6 +91,53 @@ object CdcQueries {
       tableDir
     }
 
+  /** q284's merge table — SQL DELETE end-to-end: the [[sqlInsertDir]]
+    * construction (commit 1 startMerge + commit 2 SQL INSERT) plus
+    * commit 3, a plain `DELETE FROM ... WHERE user_id IN (...)` —
+    * Spark's SupportsDelete path routes the key-equality predicate
+    * onto [[Apply.purgeKeys]]: one ledgered commit rewriting only the
+    * touched buckets, REMOVE events in the change slice. Own table
+    * (the q283 gate must keep reading the undeleted state). The
+    * deleted set is every user_id divisible by 7 — collected as a
+    * bounded distinct-user list because the purge verb is
+    * key-addressed by design (a predicate delete is select-keys +
+    * purge). */
+  private[graft] def sqlDeleteDir(s: SparkSession, d: String): String =
+    graft.util.Maintenance.getOrBuild("sqlDeleteSeed", s, d) {
+      val ev = Tables.events(s, d)
+      val cut = ev.agg(max(col("event_id"))).head.getLong(0) / 2
+      val base = java.nio.file.Files
+        .createTempDirectory("graftsqldel").toString
+      val tableDir = s"$base/table"
+      val env = ev.filter(col("event_id") <= cut).select(
+        lit(Envelope.Modify).as("op"), col("user_id").as("key"),
+        col("event_id"),
+        struct(col("user_id"), col("event_type"), col("value")).as("after"))
+      env.write.parquet(s"$base/in")
+      val q = Apply.startMerge(
+        s.readStream.schema(env.schema).parquet(s"$base/in"), tableDir,
+        checkpointDir = s"$base/ck",
+        keyCol = "user_id", versionCol = "event_id",
+        schema = env.schema("after").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      q.processAllAvailable(); q.stop() // commit 1
+      s.conf.set("spark.sql.catalog.graft_sql",
+        classOf[graft.sources.GraftCatalog].getName)
+      ev.filter(col("event_id") > cut)
+        .createOrReplaceTempView("graft_delete_delta")
+      s.sql(s"INSERT INTO graft_sql.`$tableDir`.merge " +
+        "(user_id, event_type, value, _version) " +
+        "SELECT user_id, event_type, value, event_id " +
+        "FROM graft_delete_delta") // commit 2
+      val gone = ev.select(col("user_id")).distinct()
+        .filter(col("user_id") % 7 === 0)
+        .collect().map(_.getLong(0)).sorted
+      if (gone.nonEmpty)
+        s.sql(s"DELETE FROM graft_sql.`$tableDir`.merge " +
+          s"WHERE user_id IN (${gone.mkString(", ")})") // commit 3
+      tableDir
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- P1/T5: route the change feed — REMOVEs dropped, kept ops counted.
     //    Uses the production Envelope.route (raise-on-unknown included).
@@ -147,6 +194,20 @@ object CdcQueries {
     //    oracle — the SQL path is an equal citizen of the fold).
     "q283_sql_insert" -> { (s, d) =>
       val dir = sqlInsertDir(s, d)
+      Apply.readMergeTable(s, dir)
+        .select(col("user_id"), col("_version").as("last_event_id"),
+          col("event_type").as("last_type"),
+          cents(col("value")).as("last_value_cents"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- round 13: SQL DELETE — the compliance sweep issued as plain
+    //    SQL, routed onto the key-addressed purgeKeys rewrite; the
+    //    table must read as the latest event per user MINUS the
+    //    deleted keys (and the purge commit recorded REMOVE events in
+    //    the change slice — GraftCatalogSpec pins that side).
+    "q284_sql_delete" -> { (s, d) =>
+      val dir = sqlDeleteDir(s, d)
       Apply.readMergeTable(s, dir)
         .select(col("user_id"), col("_version").as("last_event_id"),
           col("event_type").as("last_type"),
@@ -431,6 +492,15 @@ object CdcQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |    ORDER BY event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // After the SQL DELETE, the table is q33's recompute restricted to
+    // the kept users.
+    "q284_sql_delete" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS last_value_cents
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 AND user_id % 7 <> 0 ORDER BY user_id""".stripMargin,
 
     // The table fed half by startMerge, half by SQL INSERT must equal
     // the latest event per user over ALL events — q33's recompute; the

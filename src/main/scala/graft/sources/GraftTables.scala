@@ -4,15 +4,15 @@ import java.util.{Map => JMap, Set => JSet}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, InsertableRelation}
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 CATALOG FACE for the persisted substrates (round-11
@@ -109,7 +109,7 @@ class GraftTables extends TableProvider with DataSourceRegister {
   * `followMergeTable` cascade sees SQL inserts like any other commit). */
 private[sources] final class GraftSnapshotTable(delegate: ParquetTable,
     spark: SparkSession, dir: String, label: String, writable: Boolean)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
@@ -123,6 +123,53 @@ private[sources] final class GraftSnapshotTable(delegate: ParquetTable,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = delegate.newScanBuilder(options)
+
+  /** SQL `DELETE FROM ... WHERE <key> = v` / `<key> IN (...)` routes
+    * onto [[graft.cdc.Apply.purgeKeys]] — the compliance delete: one
+    * ledgered commit rewriting only the touched buckets, REMOVE events
+    * in the change slice (a cascade propagates the deletion). The
+    * purge verb is KEY-addressed by design, so only key-equality
+    * predicates qualify ([[canDeleteWhere]] false otherwise — Spark
+    * then fails the DELETE loudly rather than half-applying it);
+    * arbitrary-predicate deletes are a scan + an explicit purgeKeys
+    * call. Multiple AND-ed key filters intersect. Logical immediacy /
+    * deferred physical reclamation per purgeKeys' documented grace. */
+  private def keyName: Option[String] =
+    if (writable) graft.cdc.Apply.tableKeyCol(spark, dir) else None
+
+  private def keyValuesOf(filters: Array[Filter],
+      key: String): Option[Seq[Any]] = {
+    val sets = filters.toSeq.map {
+      case EqualTo(c, v) if c == key => Some(Seq(v))
+      case In(c, vs) if c == key => Some(vs.toSeq)
+      case _ => None
+    }
+    if (sets.isEmpty || sets.exists(_.isEmpty)) None
+    else Some(sets.flatten.reduce((a, b) => a.intersect(b)))
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    keyName.exists(k => keyValuesOf(filters, k).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val k = keyName.getOrElse(sys.error(
+      s"graft table '$label' does not support SQL DELETE — only the " +
+        "CURRENT merge surface of a keyCol-bearing table does"))
+    val vals = keyValuesOf(filters, k).getOrElse(sys.error(
+      s"DELETE on '$label' supports only key-equality predicates " +
+        s"($k = v / $k IN (...)): the purge verb is key-addressed; " +
+        "for arbitrary predicates, select the keys and call purgeKeys"))
+    val keyType = delegate.schema(k).dataType
+    val keys = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(Row(_)), 1),
+      StructType(Seq(StructField(k, keyType))))
+    graft.cdc.Apply.purgeKeys(spark, dir, keys, k)
+    ()
+  }
+
+  override def truncateTable(): Boolean = sys.error(
+    s"TRUNCATE is not supported on graft table '$label' — wholesale " +
+      "rewinds are the restore/compact/vacuum verbs")
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (!writable) sys.error(

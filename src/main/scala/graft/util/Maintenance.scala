@@ -212,6 +212,7 @@ object Maintenance {
     "procStoreSeed"   -> ((s, d) => graft.text.LmQueries.procStoreDir(s, d)),
     "mergeFeedSeed"   -> ((s, d) => graft.cdc.CdcQueries.mergeFeedDir(s, d)),
     "sqlInsertSeed"   -> ((s, d) => graft.cdc.CdcQueries.sqlInsertDir(s, d)),
+    "sqlDeleteSeed"   -> ((s, d) => graft.cdc.CdcQueries.sqlDeleteDir(s, d)),
     "upsertStoreSeed" -> ((s, d) => graft.text.LmQueries.upsertStoreDir(s, d)),
     "graphStoreSeed"  -> ((s, d) => graft.warehouse.GraphQueries.graphStoreDir(s, d)),
     "linkageLedger"   -> ((s, d) => graft.warehouse.ExtrasQueries.linkageLedger(s, d)),

@@ -278,5 +278,34 @@ class GraftCatalogSpec extends AnyFunSuite {
     val e3 = intercept[Exception](Apply.insertBatch(spark, dir,
       Seq(("k9", "x", 1.0)).toDF("id", "ticker", "price")))
     assert(e3.getMessage.contains("_version"))
+
+    // SQL DELETE: a key-equality predicate routes onto purgeKeys —
+    // one ledgered commit, REMOVE event in the change slice
+    val c0 = Apply.currentCommit(spark, dir)
+    spark.sql(s"DELETE FROM graft_test.`$dir`.merge WHERE id IN ('k3')")
+    assert(Apply.currentCommit(spark, dir) == c0 + 1)
+    assert(Apply.readMergeTable(spark, dir)
+      .filter(col("id") === "k3").count() == 0L)
+    val delSlice = spark.read.format("graft").option("path", dir)
+      .option("table", "changes.merge")
+      .option("sinceCommit", c0.toString)
+      .option("untilCommit", (c0 + 1).toString).load()
+      .select(col("_key"), col("op")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(delSlice == Set("k3" -> "REMOVE"),
+      s"the SQL delete must ride the feed as a REMOVE event: $delSlice")
+    // non-key predicates refuse: the purge verb is key-addressed
+    val e4 = intercept[Exception](spark.sql(
+      s"DELETE FROM graft_test.`$dir`.merge WHERE price > 1.0"))
+    assert(chain(e4).exists(m => m.contains("key-equality") ||
+      m.toLowerCase.contains("cannot delete") ||
+      m.toLowerCase.contains("delete")), chain(e4).mkString(" <- "))
+    assert(Apply.currentCommit(spark, dir) == c0 + 1,
+      "a refused DELETE must not commit")
+    // TRUNCATE refuses loudly
+    val e5 = intercept[Exception](spark.sql(
+      s"TRUNCATE TABLE graft_test.`$dir`.merge"))
+    assert(chain(e5).exists(m => m.contains("TRUNCATE") ||
+      m.toLowerCase.contains("truncate")), chain(e5).mkString(" <- "))
   }
 }

@@ -82,6 +82,7 @@ class MaintenanceSpec extends AnyFunSuite {
       "ivfUpsertSeed", "ivfPqUpsertSeed",
       "cascadeMergeSeed", "semCascadeSeed", "ivfCascadeSeed",
       "postingsStoreSeed", "procStoreSeed", "mergeFeedSeed", "sqlInsertSeed",
+      "sqlDeleteSeed",
       "upsertStoreSeed", "graphStoreSeed",
       "linkageLedger", "linkageBase", "shardExportSeed", "pipelineSeed",
       "zorderLayout", "bucketedPair", "coPurchasePairs", "lpaLabels",
