@@ -788,6 +788,36 @@ object IndexStore {
     }
   }
 
+  /** [[followMergeTable]]'s composite twin: the `changes.merge` feed
+    * maintaining the persisted IVF-PQ store through
+    * [[upsertPqVectors]] — retired codes, frozen-quantizer re-encodes,
+    * and the rewritten raw-vecs side table publish per feed window,
+    * exactly-once via the same offsets + batch ledger. */
+  def followMergeTablePq(spark: SparkSession, mergeDir: String,
+      dir: String, checkpoint: String, embedOf: Column,
+      retainGens: Int = 2, sinceCommit: Long = -1L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft").option("path", mergeDir)
+      .option("table", "changes.merge")
+      .option("sinceCommit", sinceCommit.toString).load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        val latest = graft.cdc.Envelope.latestByKey(df,
+          col("_key"), struct(col("commit"), col("_version")),
+          tieBreak = Seq(col("op").desc))
+          .localCheckpoint(true)
+        upsertPqVectors(
+          latest.filter(col("op") =!= graft.cdc.Envelope.Remove)
+            .select(col("_key").as("vid"), embedOf.as("v")),
+          col("vid"), col("v"),
+          latest.filter(col("op") === graft.cdc.Envelope.Remove)
+            .select(col("_key").as("vid")),
+          dir, retainGens, batchId = bid)
+        ()
+      }
+      .start()
+
   /** [[upsertVectors]]'s composite-index twin — VECTOR REFRESH on the
     * persisted IVF-PQ store: retire the old copies of incoming/removed
     * ids, encode the new vectors against the FROZEN coarse cells and

@@ -565,13 +565,23 @@ object Apply {
     // must be readable): mergeSchema across evolution boundaries, then
     // normalize both sides to the superset so full-row comparison and
     // typed-null after-images are well-defined
-    def stateOf(m: TableMeta): Option[DataFrame] =
-      if (m.buckets.isEmpty) None // every row deleted: an empty state
+    // bucket-level diff prune: a bucket mapped to the SAME generation
+    // in both manifests holds byte-identical files (generations are
+    // immutable and keys never change buckets), so it contributes no
+    // change events — scan only buckets whose generation differs. A
+    // restore shortly after the restored commit diffs O(touched
+    // buckets), not O(table).
+    val changedBuckets = (cur.buckets.keySet ++ snap.buckets.keySet)
+      .filter(b => cur.buckets.get(b) != snap.buckets.get(b))
+    def stateOf(m: TableMeta): Option[DataFrame] = {
+      val bs = m.buckets.filter(kv => changedBuckets(kv._1))
+      if (bs.isEmpty) None // nothing (changed) on this side
       else Some(spark.read
         .option("mergeSchema", "true").option("basePath", root.toString)
-        .parquet(m.buckets.toSeq.sortBy(_._1).map { case (b, g) =>
+        .parquet(bs.toSeq.sortBy(_._1).map { case (b, g) =>
           new HPath(root, s"gen=$g/_bucket=$b").toString }: _*)
         .drop("gen", "_bucket"))
+    }
     (stateOf(cur), stateOf(snap)) match {
       case (None, None) => // empty -> empty: no change, claim the id
         claimChanges(root, cur.commitId + 1, hc)

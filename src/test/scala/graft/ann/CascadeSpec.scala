@@ -149,4 +149,49 @@ class CascadeSpec extends AnyFunSuite {
     cascade()
     assert(IndexStore.loadIvf(spark, dir)._2 == before)
   }
+
+  test("IVF-PQ follower: the composite twin — retired codes, frozen-" +
+      "quantizer re-encodes, rewritten raw vecs, replay no-ops") {
+    val base = Files.createTempDirectory("ivfpqcascade").toString
+    val mergeDir = s"$base/table"; val dir = s"$base/index"
+    val ck = s"$base/fck"
+    val neg = transform(col("embedding"), x => -x)
+    mergeOnce(base, "seed", envOf(slice(0, 100), "INSERT", 1L,
+      col("embedding")))
+    IndexStore.saveIvfPq(Similarity.buildIvfPq(slice(0, 100),
+      col("vec_id"), col("embedding"), nCells = 4, m = 8, ksub = 16,
+      materialize = true), dir,
+      sideTables = Seq("vecs" -> slice(0, 100)
+        .select(col("vec_id").as("vid"), col("embedding").as("v"))))
+    def cascade(): Unit = {
+      val q = IndexStore.followMergeTablePq(spark, mergeDir, dir, ck,
+        embedOf = col("embedding"), sinceCommit = 1L)
+      q.processAllAvailable(); q.stop()
+    }
+    cascade()
+    val (idx0, _) = IndexStore.loadIvfPq(spark, dir)
+    mergeOnce(base, "refresh",
+      envOf(embs.filter(col("vec_id") === 3L), "MODIFY", 2L, neg)
+        .unionByName(envOf(embs.filter(col("vec_id") === 5L), "REMOVE",
+          2L, col("embedding")))
+        .unionByName(envOf(embs.filter(col("vec_id") === 101L), "INSERT",
+          2L, col("embedding"))))
+    cascade()
+    val (idx1, m1) = IndexStore.loadIvfPq(spark, dir)
+    assert(m1.rows == 100L && idx1.codes.count() == 100L)
+    assert(idx1.codes.filter(col("vid") === 5L).count() == 0L)
+    assert(idx1.codes.filter(col("vid") === 101L).count() == 1L)
+    assert(idx1.cells.zip(idx0.cells).forall { case ((_, a), (_, b)) =>
+      a.toSeq == b.toSeq }, "the follower must keep the quantizers frozen")
+    val vecs = spark.read.parquet(s"$dir/gen=${m1.gen}/vecs")
+    val want = embs.filter(col("vec_id") === 3L)
+      .head().getSeq[Float](1).map(x => -x).toSeq
+    assert(vecs.filter(col("vid") === 3L)
+      .head().getAs[scala.collection.Seq[Float]]("v").toSeq == want,
+      "the raw-vecs side table must carry the re-embedded vector")
+    // quiescence across a restart
+    val before = IndexStore.loadIvfPq(spark, dir)._2
+    cascade()
+    assert(IndexStore.loadIvfPq(spark, dir)._2 == before)
+  }
 }
