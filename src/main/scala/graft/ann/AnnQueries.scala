@@ -310,6 +310,34 @@ object AnnQueries {
       dir
     }
 
+  /** q285's ATOMIC CASCADE SET: the semantic ledger AND the IVF index
+    * hydrated from the warehouse's commit-1 state, then maintained
+    * TOGETHER by [[graft.util.Cascade.followMergeTableAll]] — one
+    * [[graft.util.PipelineLedger]] set commit per feed window pins
+    * both stores' batch-exact snapshots, so a composed read is
+    * consistent even against a crash mid-window. */
+  private[graft] def cascadeSetDir(s: SparkSession, d: String): String =
+    Maintenance.getOrBuild("cascadeSetSeed", s, d) {
+      val mergeDir = s"${cascadeMergeDir(s, d)}/table"
+      val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val base = java.nio.file.Files
+        .createTempDirectory("graftcascset").toString
+      graft.dedup.SemLedgerStore.maintainBatch(
+        e, col("vec_id"), col("embedding"), s"$base/sem")
+      IndexStore.saveIvf(Similarity.buildIvf(e, col("vec_id"),
+        col("embedding"), nCentroids = 8, iterations = 1,
+        materialize = true), s"$base/index")
+      val q = graft.util.Cascade.followMergeTableAll(s, mergeDir,
+        s"$base/set", s"$base/ck", Seq(
+          graft.util.Cascade.semFollower("sem", s"$base/sem",
+            col("embedding")),
+          graft.util.Cascade.ivfFollower("index", s"$base/index",
+            col("embedding"))),
+        sinceCommit = 1L)
+      q.processAllAvailable(); q.stop()
+      base
+    }
+
   /** q282's FOLLOWED IVF index — [[semCascadeDir]]'s search-side twin,
     * built on [[IndexStore.upsertVectors]]'s one-commit atomicity. */
   private[graft] def ivfCascadeDir(s: SparkSession, d: String): String =
@@ -913,6 +941,30 @@ object AnnQueries {
         .withColumn("n_rows", lit(meta.rows))
     },
 
+    // -- the ATOMIC cascade: both stores followed the SAME feed window
+    //    under one PipelineLedger set commit; this query composes them
+    //    AT THEIR PINNED COMMITS — the full-probe top-10 from the
+    //    pinned index, each hit annotated with its near-dup component
+    //    from the pinned semantic ledger — and must equal the exact
+    //    recompute over the post-refresh corpus (topk + closure in one
+    //    oracle). A half-applied window could not produce this output:
+    //    the set manifest is written only after every store committed.
+    "q285_cascade_set" -> { (s, d) =>
+      val base = cascadeSetDir(s, d)
+      val set = graft.util.PipelineLedger.readSet(s, s"$base/set")
+      val (idx, meta) = IndexStore.loadIvfAt(s, s"$base/index",
+        set.stores("index"))
+      val lbl = graft.dedup.SemLedgerStore.loadAt(s, s"$base/sem",
+        set.stores("sem"))._3
+      IndexStore.searchPruned(idx, queryVec(s, d), k = 10, nprobe = 8)
+        .withColumn("n_rows", lit(meta.rows))
+        .join(lbl.select(col("id").as("nn_id"), col("comp")),
+          Seq("nn_id"), "left")
+        .select(col("nn_id"), col("cosine"),
+          coalesce(col("comp"), col("nn_id")).as("comp"), col("n_rows"))
+        .orderBy(col("cosine").desc, col("nn_id"))
+    },
+
     // -- k-NN label vote (the data-labeling / label-propagation face of
     //    the search stack): the first 10 vectors are unlabeled queries,
     //    the rest the labeled corpus; each query takes the majority
@@ -1378,6 +1430,32 @@ object AnnQueries {
         |  n.n_rows
         |FROM corpus c, q, n
         |ORDER BY cosine DESC, nn_id LIMIT 10""".stripMargin,
+
+    // The composed set read: exact cosine top-10 over the post-refresh
+    // corpus, each hit's component from the same corpus's near-dup
+    // closure, corpus count as n_rows — one recompute checks both
+    // pinned stores AND their mutual consistency.
+    "q285_cascade_set" ->
+      s"""WITH RECURSIVE ${lshPairsCtesFromE(postRefreshCorpusSelect)},
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM vpairs
+        |  UNION ALL SELECT b_id AS src, a_id AS dst FROM vpairs),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.src, r.lab FROM edges e2 JOIN reach r ON e2.dst = r.id),
+        |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM e),
+        |topk AS (
+        |  SELECT c.vec_id AS nn_id,
+        |    LIST_DOT_PRODUCT(c.v, qv)
+        |      / (SQRT(LIST_DOT_PRODUCT(c.v, c.v)) * SQRT(LIST_DOT_PRODUCT(qv, qv))) AS cosine
+        |  FROM e c, q
+        |  ORDER BY cosine DESC, nn_id LIMIT 10)
+        |SELECT t.nn_id, t.cosine, COALESCE(l.comp, t.nn_id) AS comp, n.n_rows
+        |FROM topk t LEFT JOIN lbl l ON t.nn_id = l.id, n
+        |ORDER BY cosine DESC, nn_id""".stripMargin,
 
     // The same generated-hyperplane banding + exact cosine, restricted
     // to train×eval crossings — the store-served gate must land on the

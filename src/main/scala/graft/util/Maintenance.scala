@@ -206,6 +206,7 @@ object Maintenance {
     "ivfPqUpsertSeed" -> ((s, d) => graft.ann.AnnQueries.ivfPqUpsertDir(s, d)),
     "cascadeMergeSeed" -> ((s, d) => graft.ann.AnnQueries.cascadeMergeDir(s, d)),
     "semCascadeSeed"  -> ((s, d) => graft.ann.AnnQueries.semCascadeDir(s, d)),
+    "cascadeSetSeed"  -> ((s, d) => graft.ann.AnnQueries.cascadeSetDir(s, d)),
     "ivfCascadeSeed"  -> ((s, d) => graft.ann.AnnQueries.ivfCascadeDir(s, d)),
     "semDecontamSeed" -> ((s, d) => graft.ann.AnnQueries.semDecontamDir(s, d)),
     "postingsStoreSeed" -> ((s, d) => graft.text.LmQueries.postingsStoreDir(s, d)),

@@ -194,4 +194,71 @@ class CascadeSpec extends AnyFunSuite {
     cascade()
     assert(IndexStore.loadIvfPq(spark, dir)._2 == before)
   }
+
+  test("atomic multi-store cascade (followMergeTableAll): one set " +
+      "commit per feed window pins both stores batch-exactly; a crash " +
+      "between store commits replays to the SAME set; quiescent") {
+    import graft.util.{Cascade, PipelineLedger}
+    import graft.dedup.SemLedgerStore
+    val base = Files.createTempDirectory("cascset").toString
+    val mergeDir = s"$base/table"
+    val neg = transform(col("embedding"), x => -x)
+    mergeOnce(base, "seed", envOf(slice(0, 30), "INSERT", 1L,
+      col("embedding")))
+    // hydrate both stores from the commit-1 state
+    SemLedgerStore.maintainBatch(slice(0, 30), col("vec_id"),
+      col("embedding"), s"$base/sem")
+    IndexStore.saveIvf(Similarity.buildIvf(slice(0, 30), col("vec_id"),
+      col("embedding"), nCentroids = 4, iterations = 1,
+      materialize = true), s"$base/index")
+    val stores = Seq(
+      Cascade.semFollower("sem", s"$base/sem", col("embedding")),
+      Cascade.ivfFollower("index", s"$base/index", col("embedding")))
+    def followAll(): Unit = {
+      val q = Cascade.followMergeTableAll(spark, mergeDir, s"$base/set",
+        s"$base/ck", stores, sinceCommit = 1L)
+      q.processAllAvailable(); q.stop()
+    }
+    // the refresh commit (2): vec 3 re-embedded, 5 removed, 31 added
+    mergeOnce(base, "refresh",
+      envOf(embs.filter(col("vec_id") === 3L), "MODIFY", 2L, neg)
+        .unionByName(envOf(embs.filter(col("vec_id") === 5L), "REMOVE",
+          2L, col("embedding")))
+        .unionByName(envOf(embs.filter(col("vec_id") === 31L), "INSERT",
+          2L, col("embedding"))))
+    // SIMULATED CRASH between store commits: a previous cascade run
+    // folded the SEM store for this window (the stream's bid 0) and
+    // died before the index fold and the set commit
+    val window = Cascade.reduceLatest(
+      spark.read.format("graft").option("path", mergeDir)
+        .option("table", "changes.merge").option("sinceCommit", "1")
+        .option("untilCommit", "2").load())
+    stores.head.fold(window, 0L)
+    assert(SemLedgerStore.load(spark, s"$base/sem")._1
+      .filter(col("id") === 5L).count() == 0L,
+      "the crashed run's sem fold must have applied")
+    // the replayed cascade: sem fold is a ledgered no-op, index folds,
+    // ONE set commit pins both at their batch-exact commits
+    followAll()
+    val set = PipelineLedger.readSet(spark, s"$base/set")
+    assert(set.batch == 0L && set.stores.keySet == Set("sem", "index"))
+    assert(set.stores("sem") ==
+      SemLedgerStore.commitForBatch(spark, s"$base/sem", 0L))
+    assert(set.stores("index") ==
+      IndexStore.commitForBatch(spark, s"$base/index", 0L))
+    // the composed pinned read is the post-refresh state on BOTH sides
+    val vecs = SemLedgerStore.loadAt(spark, s"$base/sem",
+      set.stores("sem"))._1
+    assert(vecs.count() == 30L &&
+      vecs.filter(col("id") === 5L).count() == 0L &&
+      vecs.filter(col("id") === 31L).count() == 1L)
+    val (idx, m) = IndexStore.loadIvfAt(spark, s"$base/index",
+      set.stores("index"))
+    assert(m.rows == 30L &&
+      idx.assigned.filter(col("vid") === 5L).count() == 0L &&
+      idx.assigned.filter(col("vid") === 31L).count() == 1L)
+    // quiescence: nothing new, the set does not advance
+    followAll()
+    assert(PipelineLedger.readSet(spark, s"$base/set").commit == set.commit)
+  }
 }

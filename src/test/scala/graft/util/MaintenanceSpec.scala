@@ -81,6 +81,7 @@ class MaintenanceSpec extends AnyFunSuite {
       "ivfPqStoreSeed", "semStoreSeed", "semUpsertSeed", "semDecontamSeed",
       "ivfUpsertSeed", "ivfPqUpsertSeed",
       "cascadeMergeSeed", "semCascadeSeed", "ivfCascadeSeed",
+      "cascadeSetSeed",
       "postingsStoreSeed", "procStoreSeed", "mergeFeedSeed", "sqlInsertSeed",
       "sqlDeleteSeed",
       "upsertStoreSeed", "graphStoreSeed",
