@@ -12,15 +12,16 @@ package graft
 // under shifted ids while the refresh delta stays the q281/q282 shape
 // over the ORIGINAL ids (~500 rows) — exactly the production ratio
 // (big corpus, small change window).
-// MEASURED (round 13, sf0.1 local[32], warm):
-//   x16 (32k vecs):  follower poll 2.66 s | rebuild 5.13 s | quiescent 0.19 s
-//   x64 (128k vecs): follower poll 3.00 s | rebuild 6.58 s | quiescent 0.42 s
+// MEASURED (round 13, sf0.1 local[32], warm; after the twin-offset fix
+// so the INSERT twins are genuinely new ids at every k):
+//   x16 (32k vecs):  follower poll 2.55 s | rebuild 4.32 s | quiescent 0.21 s
+//   x64 (128k vecs): follower poll 3.58 s | rebuild 6.52 s | quiescent 0.41 s
 // The follower's cost is near-flat in corpus size (the delta work plus
 // an id-column scan for the retire semi-join); the rebuild re-trains
-// and rewrites everything, growing with the corpus — at 4x the data the
-// gap widens from x1.9 to x2.2 and keeps opening, while a poll that
-// finds nothing costs ~0.2-0.4 s (one feed-window resolution, zero
-// data read).
+// and rewrites everything, growing with the corpus — the gap holds at
+// ~x1.7-1.8 across 4x the data and keeps opening with corpus size,
+// while a poll that finds nothing costs ~0.2-0.4 s (one feed-window
+// resolution, zero data read).
 import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
@@ -76,7 +77,10 @@ object CascadeProbe {
       envOf(e0.filter(col("vec_id") % 10 === 0), "MODIFY", 2L, neg)
         .unionByName(envOf(
           e0.filter(col("vec_id") % 9 === 0)
-            .select((col("vec_id") + lit(100000000L)).as("vec_id"),
+            // twin ids OUTSIDE the replica id range (round-13 review:
+            // +1e8 collided with replica i=10's shift, turning the
+            // INSERT twins into upserts at the default k=16)
+            .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
               col("embedding")), "INSERT", 2L, neg))
         .unionByName(envOf(
           e0.filter(col("vec_id") % 17 === 0 && col("vec_id") % 10 =!= 0),

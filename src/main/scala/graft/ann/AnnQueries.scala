@@ -238,6 +238,28 @@ object AnnQueries {
       dir
     }
 
+  /** THE SIMULATED VECTOR REFRESH — the single source of truth for the
+    * q279/q280/q281/q282/q285 engine side (round-13 review: four
+    * hand-copied constructions of this delta would let one edited
+    * modulus silently break the oracle agreement of the others;
+    * [[postRefreshCorpusSelect]] is the SQL twin): every %10 vector
+    * RE-EMBEDDED (negated), every %9 vector's twin ADDED under a fresh
+    * +1e8 id (negated), every %17 non-updated vector DELETED —
+    * `removes` keeps the embedding column so envelope builders can
+    * type their after-image. */
+  private[graft] def refreshDelta(e: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val neg = transform(col("embedding"), x => -x)
+    (e.filter(col("vec_id") % 10 === 0 && col("vec_id") =!= 0)
+       .select(col("vec_id"), neg.as("embedding")),
+     e.filter(col("vec_id") % 9 === 0 && col("vec_id") =!= 0)
+       .select((col("vec_id") + lit(100000000L)).as("vec_id"),
+         neg.as("embedding")),
+     e.filter(col("vec_id") % 17 === 0 && col("vec_id") % 10 =!= 0)
+       .select(col("vec_id"), col("embedding")))
+  }
+
   /** q281/q282's WAREHOUSE substrate: a merge table whose payload is
     * the embedding corpus. Commit 1 = the base corpus (every vector,
     * id ≠ 0) as INSERTs; commit 2 = THE REFRESH as warehouse CDC —
@@ -252,25 +274,17 @@ object AnnQueries {
       val base = java.nio.file.Files
         .createTempDirectory("graftcascade").toString
       val tableDir = s"$base/table"
-      val neg = transform(col("embedding"), x => -x)
-      def envOf(df: org.apache.spark.sql.DataFrame, op: String, ver: Long,
-          emb: org.apache.spark.sql.Column) =
+      def envOf(df: org.apache.spark.sql.DataFrame, op: String, ver: Long) =
         df.select(lit(op).as("op"), col("vec_id").as("key"),
           lit(ver).as("ver"),
           when(lit(op) === graft.cdc.Envelope.Remove, lit(null))
-            .otherwise(struct(col("vec_id"), emb.as("embedding")))
+            .otherwise(struct(col("vec_id"), col("embedding")))
             .as("after"))
-      val seed = envOf(e, graft.cdc.Envelope.Insert, 1L, col("embedding"))
-      val refresh = envOf(e.filter(col("vec_id") % 10 === 0),
-          graft.cdc.Envelope.Modify, 2L, neg)
-        .unionByName(envOf(
-          e.filter(col("vec_id") % 9 === 0)
-            .select((col("vec_id") + lit(100000000L)).as("vec_id"),
-              col("embedding")),
-          graft.cdc.Envelope.Insert, 2L, neg))
-        .unionByName(envOf(
-          e.filter(col("vec_id") % 17 === 0 && col("vec_id") % 10 =!= 0),
-          graft.cdc.Envelope.Remove, 2L, col("embedding")))
+      val (updated, added, removes) = refreshDelta(e)
+      val seed = envOf(e, graft.cdc.Envelope.Insert, 1L)
+      val refresh = envOf(updated, graft.cdc.Envelope.Modify, 2L)
+        .unionByName(envOf(added, graft.cdc.Envelope.Insert, 2L))
+        .unionByName(envOf(removes, graft.cdc.Envelope.Remove, 2L))
       val schema = seed.schema("after").dataType
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       def mergeOnce(part: String,
@@ -838,17 +852,9 @@ object AnnQueries {
     "q279_ivf_upsert" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       val dir = ivfUpsertDir(s, d)
-      val neg = transform(col("embedding"), x => -x)
-      val updated = e.filter(col("vec_id") % 10 === 0 && col("vec_id") =!= 0)
-        .select(col("vec_id"), neg.as("embedding"))
-      val added = e.filter(col("vec_id") % 9 === 0 && col("vec_id") =!= 0)
-        .select((col("vec_id") + lit(100000000L)).as("vec_id"),
-          neg.as("embedding"))
-      val removes = e.filter(col("vec_id") % 17 === 0 &&
-          col("vec_id") % 10 =!= 0)
-        .select(col("vec_id"))
+      val (updated, added, removes) = refreshDelta(e)
       IndexStore.upsertVectors(updated.unionByName(added), col("vec_id"),
-        col("embedding"), removes, dir, batchId = 1L)
+        col("embedding"), removes.select(col("vec_id")), dir, batchId = 1L)
       val (idx, meta) = IndexStore.loadIvf(s, dir)
       IndexStore.searchPruned(idx, queryVec(s, d), k = 10, nprobe = 8)
         .withColumn("n_rows", lit(meta.rows))
@@ -867,16 +873,9 @@ object AnnQueries {
       val e = Tables.embeddings(s, d)
       val dir = ivfPqUpsertDir(s, d)
       val neg = transform(col("embedding"), x => -x)
-      val updated = e.filter(col("vec_id") % 10 === 0 && col("vec_id") =!= 0)
-        .select(col("vec_id"), neg.as("embedding"))
-      val added = e.filter(col("vec_id") % 9 === 0 && col("vec_id") =!= 0)
-        .select((col("vec_id") + lit(100000000L)).as("vec_id"),
-          neg.as("embedding"))
-      val removes = e.filter(col("vec_id") % 17 === 0 &&
-          col("vec_id") % 10 =!= 0)
-        .select(col("vec_id"))
+      val (updated, added, removes) = refreshDelta(e)
       IndexStore.upsertPqVectors(updated.unionByName(added), col("vec_id"),
-        col("embedding"), removes, dir, batchId = 1L)
+        col("embedding"), removes.select(col("vec_id")), dir, batchId = 1L)
       val (idx, meta) = IndexStore.loadIvfPq(s, dir)
       val qv = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
@@ -887,9 +886,7 @@ object AnnQueries {
         .select(col("vec_id"),
           when(col("vec_id") % 10 === 0, neg).otherwise(col("embedding"))
             .as("embedding"))
-        .unionByName(e.filter(col("vec_id") % 9 === 0 && col("vec_id") =!= 0)
-          .select((col("vec_id") + lit(100000000L)).as("vec_id"),
-            neg.as("embedding")))
+        .unionByName(added)
       val exactIds = corpus.select(col("vec_id"),
           (Similarity.dot(col("embedding"), col("embedding"))
             - lit(2) * Similarity.dot(col("embedding"), qlit)

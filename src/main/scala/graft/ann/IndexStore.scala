@@ -391,26 +391,12 @@ object IndexStore {
   def followMergeTable(spark: SparkSession, mergeDir: String, dir: String,
       checkpoint: String, embedOf: Column, sinceCommit: Long = -1L)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream.format("graft").option("path", mergeDir)
-      .option("table", "changes.merge")
-      .option("sinceCommit", sinceCommit.toString).load()
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (df: DataFrame, bid: Long) =>
-        val latest = graft.cdc.Envelope.latestByKey(df,
-          col("_key"), struct(col("commit"), col("_version")),
-          tieBreak = Seq(col("op").desc))
-          .localCheckpoint(true)
-        upsertVectors(
-          latest.filter(col("op") =!= graft.cdc.Envelope.Remove)
-            .select(col("_key").as("vid"), embedOf.as("v")),
-          col("vid"), col("v"),
-          latest.filter(col("op") === graft.cdc.Envelope.Remove)
-            .select(col("_key").as("vid")),
-          dir, batchId = bid)
+    graft.util.Cascade.followInto(spark, mergeDir, checkpoint, sinceCommit,
+      (ups, rem, bid) => {
+        upsertVectors(ups.select(col("_key").as("vid"), embedOf.as("v")),
+          col("vid"), col("v"), rem.toDF("vid"), dir, batchId = bid)
         ()
-      }
-      .start()
+      })
   /** ADVICE r11: a ledgered batch the tombstone screen (or the batch
     * itself) left EMPTY must still record its batch id — returning
     * without a commit leaves the batch unledgered, so after maintenance
@@ -465,7 +451,16 @@ object IndexStore {
     * so fold write volume tracks the delta (IndexProbe measures it).
     * Only the doubling re-train rewrites: it reassigns every vector,
     * which invalidates the old slices wholesale, so it opens a fresh
-    * generation with slice 0 (the epoch reset). */
+    * generation with slice 0 (the epoch reset).
+    *
+    * CONTRACT — the plain fold is APPEND-ONLY of NEW ids (the sibling
+    * stores' adjudicated rule): a batch id already in the index
+    * DUPLICATES if never tombstoned and is SCREENED (by id presence in
+    * the tombstone ledger, deliberately not by the v4 slice order) if
+    * it ever was — purges stay sticky through plain re-folds, and a
+    * refresh of any existing id, tombstone history or not, must go
+    * through [[upsertVectors]], which retires the live copy and lands
+    * the new one in one commit (IndexStoreSpec pins both faces). */
   def ivfMaintainBatch(batch: DataFrame, id: Column, vec: Column,
       dir: String, nCentroids: Int, growthFactor: Double = 2.0,
       retainGens: Int = 2, batchId: Long = -1L): Option[(Long, Boolean)] = {
@@ -797,26 +792,13 @@ object IndexStore {
       dir: String, checkpoint: String, embedOf: Column,
       retainGens: Int = 2, sinceCommit: Long = -1L)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream.format("graft").option("path", mergeDir)
-      .option("table", "changes.merge")
-      .option("sinceCommit", sinceCommit.toString).load()
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (df: DataFrame, bid: Long) =>
-        val latest = graft.cdc.Envelope.latestByKey(df,
-          col("_key"), struct(col("commit"), col("_version")),
-          tieBreak = Seq(col("op").desc))
-          .localCheckpoint(true)
-        upsertPqVectors(
-          latest.filter(col("op") =!= graft.cdc.Envelope.Remove)
-            .select(col("_key").as("vid"), embedOf.as("v")),
-          col("vid"), col("v"),
-          latest.filter(col("op") === graft.cdc.Envelope.Remove)
-            .select(col("_key").as("vid")),
-          dir, retainGens, batchId = bid)
+    graft.util.Cascade.followInto(spark, mergeDir, checkpoint, sinceCommit,
+      (ups, rem, bid) => {
+        upsertPqVectors(ups.select(col("_key").as("vid"), embedOf.as("v")),
+          col("vid"), col("v"), rem.toDF("vid"), dir, retainGens,
+          batchId = bid)
         ()
-      }
-      .start()
+      })
 
   /** [[upsertVectors]]'s composite-index twin — VECTOR REFRESH on the
     * persisted IVF-PQ store: retire the old copies of incoming/removed

@@ -332,7 +332,14 @@ object Apply {
       tableDir, s"$stage/ck", keyCol = key, versionCol = "_version",
       schema = env.schema("after").dataType.asInstanceOf[StructType],
       nBuckets = m.nBuckets)
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() }
+    finally {
+      q.stop()
+      // one-shot staging: the rows live in the table now — a workload
+      // of many INSERTs must not leak a parquet copy + checkpoint per
+      // statement (round-13 review)
+      graft.util.Hfs.delete(new HPath(stage), hc)
+    }
   }
 
   /** Reclaim retired (superseded/orphaned) generation dirs older than

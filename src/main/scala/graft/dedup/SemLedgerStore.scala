@@ -447,26 +447,13 @@ object SemLedgerStore {
       checkpoint: String, embedOf: Column, retainGens: Int = 2,
       sinceCommit: Long = -1L)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream.format("graft").option("path", mergeDir)
-      .option("table", "changes.merge")
-      .option("sinceCommit", sinceCommit.toString).load()
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (df: DataFrame, bid: Long) =>
-        val latest = graft.cdc.Envelope.latestByKey(df,
-          col("_key"), struct(col("commit"), col("_version")),
-          tieBreak = Seq(col("op").desc))
-          .localCheckpoint(true)
-        upsertVecs(
-          latest.filter(col("op") =!= graft.cdc.Envelope.Remove)
-            .select(col("_key").as("id"), embedOf.as("v")),
-          col("id"), col("v"),
-          latest.filter(col("op") === graft.cdc.Envelope.Remove)
-            .select(col("_key").as("id")),
-          dir, retainGens, batchId = bid)
+    graft.util.Cascade.followInto(spark, mergeDir, checkpoint, sinceCommit,
+      (ups, rem, bid) => {
+        upsertVecs(ups.select(col("_key").as("id"), embedOf.as("v")),
+          col("id"), col("v"), rem.toDF("id"), dir, retainGens,
+          batchId = bid)
         ()
-      }
-      .start()
+      })
 
   /** ADVICE r11: a ledgered batch the tombstone screen (or the batch
     * itself) left EMPTY must still record its batch id — returning

@@ -340,31 +340,13 @@ object PostingsStore {
       checkpoint: String, textOf: Column, prefixes: Int = 64,
       sinceCommit: Long = -1L)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream.format("graft").option("path", mergeDir)
-      .option("table", "changes.merge")
-      .option("sinceCommit", sinceCommit.toString).load()
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (df: DataFrame, bid: Long) =>
-        // order by COMMIT first (the table's serialization axis), then
-        // _version: a batch window spanning a RESTORE carries reinstated
-        // rows whose user versions are OLDER than rows earlier commits
-        // upserted — the restore commit's state must still win (ADVICE
-        // r12: restores now emit their state diff into the feed)
-        val latest = graft.cdc.Envelope.latestByKey(df,
-          col("_key"), struct(col("commit"), col("_version")),
-          tieBreak = Seq(col("op").desc))
-          .localCheckpoint(true)
-        upsertBatch(
-          latest.filter(col("op") =!= graft.cdc.Envelope.Remove)
-            .select(col("_key").as("id"), textOf.as("text")),
-          col("id"), col("text"),
-          latest.filter(col("op") === graft.cdc.Envelope.Remove)
-            .select(col("_key").as("id")),
-          dir, prefixes, batchId = bid)
+    graft.util.Cascade.followInto(spark, mergeDir, checkpoint, sinceCommit,
+      (ups, rem, bid) => {
+        upsertBatch(ups.select(col("_key").as("id"), textOf.as("text")),
+          col("id"), col("text"), rem.toDF("id"), dir, prefixes,
+          batchId = bid)
         ()
-      }
-      .start()
+      })
 
   /** Continuous maintenance: one fold per micro-batch of arriving
     * documents, exactly-once via the manifest's batch-id ledger. */

@@ -42,6 +42,29 @@ object Cascade {
     latest.filter(col("op") === graft.cdc.Envelope.Remove)
       .select(col("_key")))
 
+  /** The SHARED follower harness every per-store `followMergeTable`
+    * delegates to (round-13 review: five hand-copied foreachBatch
+    * bodies would let the next reduce/ordering change silently miss
+    * one follower): read the feed from `sinceCommit`, reduce each
+    * window ONCE ([[reduceLatest]] — commit-first ordering), split
+    * upserts from REMOVEs, and hand them to the store's one-commit
+    * upsert verb under the stream's batch id. */
+  def followInto(spark: SparkSession, mergeDir: String,
+      checkpoint: String, sinceCommit: Long,
+      apply: (DataFrame, DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft").option("path", mergeDir)
+      .option("table", "changes.merge")
+      .option("sinceCommit", sinceCommit.toString).load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        val (ups, rem) = split(reduceLatest(df))
+        apply(ups, rem, bid)
+        ()
+      }
+      .start()
+
   /** The BM25 postings index as a set member ([[
     * graft.text.PostingsStore.upsertBatch]] under the shared batch id). */
   def postingsFollower(name: String, dir: String, textOf: Column,

@@ -438,6 +438,18 @@ class IndexStoreSpec extends AnyFunSuite {
     val (idx3, m3) = IndexStore.loadIvf(spark, dir)
     assert(m3.rows == 30L &&
       idx3.assigned.filter(col("vid") === 3L).count() == 0L)
+    // CONTRACT (round-13 review): the plain fold is append-only of NEW
+    // ids — an id with tombstone HISTORY (here 7: retired and re-landed
+    // by the upsert, currently live) is screened by id presence, so a
+    // refresh through the wrong verb cannot double-insert; refreshes go
+    // through upsertVectors (pinned above to re-land exactly one copy)
+    assert(IndexStore.ivfMaintainBatch(embs.filter(col("vec_id") === 7L),
+      col("vec_id"), col("embedding"), dir, nCentroids = 4,
+      batchId = 10L).isEmpty,
+      "a plain fold of a tombstone-history id must be a screened no-op")
+    val mPin = IndexStore.loadIvf(spark, dir)
+    assert(mPin._2.rows == 30L &&
+      mPin._1.assigned.filter(col("vid") === 7L).count() == 1L)
     // compact makes the mask physical; search and ledger preserved
     def top5 = IndexStore.searchPruned(IndexStore.loadIvf(spark, dir)._1,
       query, k = 5, nprobe = 4)
@@ -445,14 +457,14 @@ class IndexStoreSpec extends AnyFunSuite {
     val before = top5
     assert(IndexStore.compactAssigned(spark, dir).nonEmpty)
     val mC = IndexStore.loadIvf(spark, dir)._2
-    assert(mC.rows == 30L && mC.batch == 9L)
+    assert(mC.rows == 30L && mC.batch == 10L)
     assert(top5 == before)
     assert(IndexStore.loadIvf(spark, dir)._1.assigned
       .filter(col("vid").isin(3L, 9L)).count() == 0L)
     // the doubling re-train trains on the POST-REFRESH corpus: deleted
     // ids stay gone, the re-embedded copy keeps its new coordinates
     val r2 = IndexStore.ivfMaintainBatch(slice(32, 65), col("vec_id"),
-      col("embedding"), dir, nCentroids = 4, batchId = 10L)
+      col("embedding"), dir, nCentroids = 4, batchId = 11L)
     assert(r2.exists(_._2), "this fold must trigger the re-train")
     val (idx4, m4) = IndexStore.loadIvf(spark, dir)
     assert(m4.rows == 63L && idx4.assigned.count() == 63L)
