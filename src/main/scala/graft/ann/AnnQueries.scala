@@ -336,8 +336,16 @@ object AnnQueries {
       val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
       val base = java.nio.file.Files
         .createTempDirectory("graftcascset").toString
-      graft.dedup.SemLedgerStore.maintainBatch(
-        e, col("vec_id"), col("embedding"), s"$base/sem")
+      // the sem store CLONES q281's already-followed ledger (a store is
+      // a directory) instead of re-folding the corpus — the set
+      // cascade's own follower then REPLAYS the window against it (the
+      // store ledger screens the fold, commitForBatch still pins), so
+      // this substrate also exercises the partial-crash replay path
+      // CascadeSpec pins, at a fraction of the Verify cost
+      val hc = graft.util.Hfs.conf(s)
+      graft.util.Hfs.copyDir(
+        new org.apache.hadoop.fs.Path(semCascadeDir(s, d)),
+        new org.apache.hadoop.fs.Path(s"$base/sem"), hc)
       IndexStore.saveIvf(Similarity.buildIvf(e, col("vec_id"),
         col("embedding"), nCentroids = 8, iterations = 1,
         materialize = true), s"$base/index")

@@ -26,6 +26,16 @@ object Hfs {
 
   def exists(p: Path, c: Configuration): Boolean = fs(p, c).exists(p)
 
+  /** Recursive directory copy (FS-neutral via Hadoop's FileUtil) — the
+    * store-cloning primitive: a persisted store IS a directory, so a
+    * consumer needing its own mutable copy of an expensive-to-fold
+    * substrate clones the dir instead of re-folding the corpus. */
+  def copyDir(src: Path, dst: Path, c: Configuration): Unit = {
+    val ok = org.apache.hadoop.fs.FileUtil.copy(
+      fs(src, c), src, fs(dst, c), dst, false, c)
+    require(ok, s"copy $src -> $dst failed")
+  }
+
   /** Children of `dir`, empty if the directory is absent. */
   def list(dir: Path, c: Configuration): Array[FileStatus] = {
     val f = fs(dir, c)

@@ -36,12 +36,40 @@ import org.apache.spark.sql.functions.{col, count, lit}
 object Maintenance {
 
   private val store = new ConcurrentHashMap[(String, SparkSession, String), AnyRef]()
+  private val buildLocks =
+    new ConcurrentHashMap[(String, SparkSession, String), Object]()
 
   /** Build-once accessor: the single seam every maintenance memo routes
-    * through. `build` runs at most once per (name, session, dir). */
+    * through. `build` runs at most once per (name, session, dir).
+    *
+    * Round-13 fix: builders NEST (a cascade substrate builds on the
+    * merge-table substrate, which builds on others), and running user
+    * code inside `ConcurrentHashMap.computeIfAbsent` forbids exactly
+    * that — a nested getOrBuild from within a mapping function throws
+    * `IllegalStateException("Recursive update")` whenever the two keys
+    * interact in the table (bin collision / resize), which surfaced as
+    * a TIMING-DEPENDENT failure under Verify's parallel query threads.
+    * So: builds run under a plain per-key monitor (double-checked
+    * against the store), never inside a CHM compute — nested builds
+    * just take the nested key's monitor (memo dependencies form a DAG,
+    * so no cycles). The lock map's own computeIfAbsent has a trivial
+    * allocation-only mapping function, which cannot nest. */
   def getOrBuild[T <: AnyRef](name: String, s: SparkSession, dir: String)(
-      build: => T): T =
-    store.computeIfAbsent((name, s, dir), _ => build).asInstanceOf[T]
+      build: => T): T = {
+    val k = (name, s, dir)
+    val got = store.get(k)
+    if (got != null) return got.asInstanceOf[T]
+    val lock = buildLocks.computeIfAbsent(k, _ => new Object)
+    lock.synchronized {
+      val again = store.get(k)
+      if (again != null) again.asInstanceOf[T]
+      else {
+        val v = build
+        store.put(k, v)
+        v
+      }
+    }
+  }
 
   /** Replace a maintained state in place — the INGESTION write path: a
     * grown index supersedes the memo without a rebuild (ivfIngest /
