@@ -244,6 +244,7 @@ object Maintenance {
     "sqlDeleteSeed"   -> ((s, d) => graft.cdc.CdcQueries.sqlDeleteDir(s, d)),
     "upsertStoreSeed" -> ((s, d) => graft.text.LmQueries.upsertStoreDir(s, d)),
     "graphStoreSeed"  -> ((s, d) => graft.warehouse.GraphQueries.graphStoreDir(s, d)),
+    "graphCascadeSeed" -> ((s, d) => graft.warehouse.GraphQueries.graphCascadeDir(s, d)),
     "linkageLedger"   -> ((s, d) => graft.warehouse.ExtrasQueries.linkageLedger(s, d)),
     "linkageBase"     -> ((s, d) => graft.warehouse.ExtrasQueries.linkageBase(s, d)),
     "shardExportSeed" -> ((s, d) => graft.text.TextQueries.shardExportDir(s, d)),

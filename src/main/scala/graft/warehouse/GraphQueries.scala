@@ -180,6 +180,73 @@ object GraphQueries {
       dir
     }
 
+  /** q286's warehouse→GRAPH cascade substrate: a merge table whose
+    * payload is each order's BASKET (the sorted distinct part set),
+    * commit 1 = every order, commit 2 = a basket refresh as warehouse
+    * CDC — every %10 order's basket SHRINKS to its two smallest
+    * distinct parts (MODIFY), every %17 non-modified order is REMOVEd, every
+    * %9 order's twin is INSERTed under a fresh +1e9 id — then
+    * [[GraphStore.followMergeTable]] maintains the co-purchase graph
+    * from the table's own feed: one [[GraphStore.upsertOrders]] commit
+    * cancels the retired baskets' pairs (negative Δ slice) and lands
+    * the refreshed ones. */
+  private[graft] def graphCascadeDir(s: SparkSession, d: String): String =
+    graft.util.Maintenance.getOrBuild("graphCascadeSeed", s, d) {
+      val li = Tables.lineitem(s, d)
+      val base = java.nio.file.Files
+        .createTempDirectory("graftgraphcasc").toString
+      val tableDir = s"$base/table"
+      def basketsOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("l_orderkey").as("ord"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      def envOf(df: org.apache.spark.sql.DataFrame, op: String, ver: Long) =
+        df.select(lit(op).as("op"), col("ord").as("key"),
+          lit(ver).as("ver"),
+          when(lit(op) === graft.cdc.Envelope.Remove, lit(null))
+            .otherwise(struct(col("ord"), col("items"))).as("after"))
+      val seed = basketsOf(li)
+      // TOTAL refresh transform (l_linenumber is uniform-random per
+      // line in this corpus, so a linenumber cut would silently skip
+      // orders with no matching lines): every %10 basket shrinks to
+      // its TWO SMALLEST distinct parts
+      val refresh =
+        envOf(basketsOf(li.filter(col("l_orderkey") % 10 === 0))
+            .select(col("ord"), slice(col("items"), 1, 2).as("items")),
+          graft.cdc.Envelope.Modify, 2L)
+        .unionByName(envOf(
+          basketsOf(li.filter(col("l_orderkey") % 9 === 0))
+            .select((col("ord") + lit(1000000000L)).as("ord"),
+              col("items")),
+          graft.cdc.Envelope.Insert, 2L))
+        .unionByName(envOf(
+          seed.filter(col("ord") % 17 === 0 && col("ord") % 10 =!= 0),
+          graft.cdc.Envelope.Remove, 2L))
+      val env1 = envOf(seed, graft.cdc.Envelope.Insert, 1L)
+      val schema = env1.schema("after").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      def mergeOnce(part: String,
+          env: org.apache.spark.sql.DataFrame): Unit = {
+        val in = s"$base/in_$part"
+        env.write.parquet(in)
+        val q = graft.cdc.Apply.startMerge(
+          s.readStream.schema(env.schema).parquet(in), tableDir,
+          checkpointDir = s"$base/ck_$part",
+          keyCol = "ord", versionCol = "ver", schema = schema)
+        q.processAllAvailable(); q.stop()
+      }
+      mergeOnce("seed", env1)       // commit 1
+      mergeOnce("refresh", refresh) // commit 2
+      // hydrate the store from the commit-1 state, follow from there
+      val dir = s"$base/graph"
+      GraphStore.maintainBatch(
+        li.select(col("l_orderkey"), col("l_partkey")).distinct(),
+        col("l_orderkey"), col("l_partkey"), dir)
+      val q = GraphStore.followMergeTable(s, tableDir, dir, s"$base/fck",
+        itemsOf = col("items"), sinceCommit = 1L)
+      q.processAllAvailable(); q.stop()
+      dir
+    }
+
   /** MAINTAINED LPA community labeling over the maintained graph — the
     * coPurchasePairs pattern one level up: community assignments are
     * refreshed state next to the edge table (every downstream report —
@@ -601,6 +668,20 @@ object GraphQueries {
     //    pre-aggregated slice, and reads the merged thresholded edge
     //    list. Oracle = q239's full rebuild: incremental-through-
     //    parquet-then-compacted ≡ full.
+    // -- round 13: the warehouse→GRAPH cascade — a basket refresh flows
+    //    as warehouse CDC and the followed co-purchase graph must read
+    //    as the full pair recompute over the POST-state baskets: %10
+    //    baskets shrunk to their ln≤2 parts (their lost pairs CANCELLED
+    //    by the upsert's negative Δ slice), %17 baskets removed, %9
+    //    twins added. Summing the differential pairs feed stays exact
+    //    through updates — nothing new for consumers.
+    "q286_graph_cascade" -> { (s, d) =>
+      val dir = graphCascadeDir(s, d)
+      GraphStore.load(s, dir)._2
+        .filter(col("n_ab") >= MinCoOccurrence)
+        .orderBy(col("u"), col("v"))
+    },
+
     "q258_graph_store_fold" -> { (s, d) =>
       val dir = graphStoreDir(s, d)
       GraphStore.maintainBatch(
@@ -816,6 +897,36 @@ object GraphQueries {
         |FROM lineitem a
         |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
         |  AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING COUNT(*) >= $MinCoOccurrence
+        |ORDER BY u, v""".stripMargin,
+
+    // The followed graph ≡ the basket-pair recompute over the
+    // POST-refresh baskets (distinct part sets): %10 shrunk to their
+    // two smallest parts, %17 non-modified removed, %9 twins added
+    // under +1e9 ids.
+    "q286_graph_cascade" ->
+      s"""WITH seedb AS (
+        |  SELECT DISTINCT l_orderkey AS ord, l_partkey AS item
+        |  FROM lineitem
+        |  WHERE l_orderkey % 10 <> 0
+        |    AND NOT (l_orderkey % 17 = 0 AND l_orderkey % 10 <> 0)),
+        |modb AS (
+        |  SELECT ord, item FROM (
+        |    SELECT ord, item,
+        |      ROW_NUMBER() OVER (PARTITION BY ord ORDER BY item) AS rk
+        |    FROM (SELECT DISTINCT l_orderkey AS ord, l_partkey AS item
+        |          FROM lineitem WHERE l_orderkey % 10 = 0))
+        |  WHERE rk <= 2),
+        |twin AS (
+        |  SELECT DISTINCT l_orderkey + 1000000000 AS ord, l_partkey AS item
+        |  FROM lineitem WHERE l_orderkey % 9 = 0),
+        |basket AS (
+        |  SELECT * FROM seedb
+        |  UNION ALL SELECT * FROM modb
+        |  UNION ALL SELECT * FROM twin)
+        |SELECT a.item AS u, b.item AS v, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |FROM basket a JOIN basket b
+        |  ON a.ord = b.ord AND a.item < b.item
         |GROUP BY 1, 2 HAVING COUNT(*) >= $MinCoOccurrence
         |ORDER BY u, v""".stripMargin,
 

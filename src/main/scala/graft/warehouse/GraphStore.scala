@@ -34,7 +34,14 @@ import graft.util.Generations
 object GraphStore {
 
   private val MetaName = "_graft_graph_meta.json"
-  private val Format = "graft-graph-v3" // v3 (round 11): + commit id / history archive
+  // v3 (round 11): + commit id / history archive.
+  // v4 (round 13): SLICE-ORDERED tombstones — a purged/slice=S basket
+  // masks only item slices < S, so [[upsertOrders]] can retire a
+  // basket's old lines and land its refreshed ones in ONE atomic
+  // commit (the ivf-v4 / postings-v3 rule). Pure purge flows read
+  // identically (a purge's tombstone is always newer than the lines it
+  // targets); a pre-round-13 dir fails loudly as a format mismatch.
+  private val Format = "graft-graph-v4"
 
   /** v2: `prefixes` — the basket-hash partition fan of the items store
     * (`items/slice=S/op=P`, op = hash(ord) mod prefixes; frozen at seed
@@ -83,7 +90,11 @@ object GraphStore {
       .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
       .drop("slice")
 
-  /** Tombstoned basket ids (the [[purgeOrders]] ledger). */
+  /** Tombstoned basket ids with their tombstone slice (the
+    * [[purgeOrders]]/[[upsertOrders]] ledger) — since v4 the slice id
+    * rides along: a tombstone masks only item slices OLDER than it, so
+    * an upsert's re-landed basket (written above its own tombstone)
+    * stays visible. */
   private def livePurgedOrds(spark: SparkSession, dir: String,
       m: Meta): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/purged")
@@ -93,18 +104,27 @@ object GraphStore {
     if (hasSlices)
       spark.read.parquet(s"$dir/purged")
         .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
-        .select(col("ord"))
+        .select(col("ord"), col("slice").cast("long").as("_tomb"))
     else {
       import spark.implicits._
-      Seq.empty[Long].toDF("ord")
+      Seq.empty[(Long, Long)].toDF("ord", "_tomb")
     }
   }
 
+  /** The v4 mask: drop item lines whose basket has a NEWER tombstone. */
+  private def maskItems(items: DataFrame, tomb: DataFrame): DataFrame =
+    items.join(tomb.select(col("ord").as("_tord"), col("_tomb")),
+        col("ord") === col("_tord") && col("_tomb") > col("slice"),
+        "left_anti")
+      .select(col("ord"), col("item"))
+
   /** The live basket lines minus tombstoned baskets. */
   private def liveItems(spark: SparkSession, dir: String, m: Meta): DataFrame =
-    live(spark, dir, "items", m)
-      .join(livePurgedOrds(spark, dir, m), Seq("ord"), "left_anti")
-      .select(col("ord"), col("item"))
+    maskItems(
+      spark.read.parquet(s"$dir/items")
+        .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
+        .select(col("ord"), col("item"), col("slice")),
+      livePurgedOrds(spark, dir, m))
 
   /** The fold's BASE-side read, pruned to the prefixes a delta's
     * baskets touch (≤ `prefixes` driver ints — bounded metadata): every
@@ -118,10 +138,12 @@ object GraphStore {
     val ops = deltaOrds.select(
         opOf(col(deltaOrds.columns.head), m.prefixes).as("op"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    live(spark, dir, "items", m)
-      .filter(col("op").isin(ops.map(Integer.valueOf): _*))
-      .join(livePurgedOrds(spark, dir, m), Seq("ord"), "left_anti")
-      .select(col("ord"), col("item"))
+    maskItems(
+      spark.read.parquet(s"$dir/items")
+        .filter(col("slice") >= m.sliceBase && col("slice") < m.slices)
+        .filter(col("op").isin(ops.map(Integer.valueOf): _*))
+        .select(col("ord"), col("item"), col("slice")),
+      livePurgedOrds(spark, dir, m))
   }
 
   def meta(spark: SparkSession, dir: String): Option[Meta] =
@@ -323,6 +345,101 @@ object GraphStore {
     Some(sliceId)
     }
   }
+
+  /** BASKET REFRESH (round 13) — the graph store's cell of the upsert
+    * matrix: when a warehouse order CHANGES (lines added/removed), the
+    * co-purchase graph must retire the basket's old pairs and land its
+    * new ones atomically. The delta-store layout makes this pure
+    * differential algebra in ONE ledgered commit over two slice ids:
+    * slice S carries the tombstone (v4 slice-ordered: masks only older
+    * item slices) plus the NEGATIVE Δ-pairs cancelling the retired
+    * lines; slice S+1 carries the new lines and their POSITIVE Δ-pairs
+    * (replacement semantics — the new basket pairs against itself
+    * only, its old lines being retired in the same commit). Summing
+    * the pairs feed therefore keeps maintaining exact edge weights
+    * through updates, with nothing new for consumers to learn.
+    * `removeOrds` deletes baskets outright; an ord in both re-lands
+    * (the upsert wins); previously-purged baskets re-enter through an
+    * upsert. `upserts` carries (ord, item) LINES — exact duplicate
+    * lines collapse (a basket is a line SET here; both engines and the
+    * oracle must agree on multiplicity, and at-least-once producers
+    * re-deliver). Returns the first slice written (None for replays /
+    * no-op batches). */
+  def upsertOrders(upserts: DataFrame, ord: Column, item: Column,
+      removeOrds: DataFrame, dir: String, batchId: Long = -1L)
+      : Option[Long] = {
+    val spark = upserts.sparkSession
+    graft.util.Maintenance.withLeasedWriteLock("GraphStore", spark, dir) {
+    val m = readMeta(spark, dir).getOrElse(sys.error(
+      s"no committed graph store at $dir — upsertOrders updates an " +
+        "existing store; seed with maintainBatch first"))
+    if (batchId >= 0 && batchId <= m.batch) return None
+    val lines = upserts.select(ord.as("ord"), item.as("item"))
+      .distinct().localCheckpoint(true)
+    val rem = removeOrds.select(removeOrds.columns.head).toDF("ord")
+      .distinct()
+      .join(lines.select(col("ord")), Seq("ord"), "left_anti")
+      .localCheckpoint(true)
+    if (lines.isEmpty && rem.isEmpty) {
+      recordEmptyBatch(spark, dir, Some(m), batchId); return None
+    }
+    // retire the LIVE baskets among incoming/removed — absent or
+    // already-purged ords need no tombstone (their re-land, if any, is
+    // a plain insert above the existing mask)
+    val targets = lines.select(col("ord")).distinct().unionByName(rem)
+      .join(liveItems(spark, dir, m).select(col("ord")), Seq("ord"),
+        "left_semi")
+      .localCheckpoint(true)
+    var next = m.slices
+    if (!targets.isEmpty) {
+      // tombstone + cancelling negatives, one slice id
+      val goneLines = baseItemsFor(spark, dir, targets)
+        .join(targets, Seq("ord"), "left_semi").localCheckpoint(true)
+      Generations.claimSlice(spark, dir, Seq("items"), next)
+      GraphQueries.edgeDelta(goneLines.limit(0), goneLines, "ord", "item")
+        .select(col("u"), col("v"), (-col("dn")).as("dn"))
+        .write.mode("overwrite").parquet(s"$dir/pairs/slice=$next")
+      targets.write.mode("overwrite").parquet(s"$dir/purged/slice=$next")
+      next += 1
+    }
+    if (!lines.isEmpty) {
+      // the re-landed/new baskets + their pairs, one slice id above
+      Generations.claimSlice(spark, dir, Seq("purged"), next)
+      GraphQueries.edgeDelta(lines.limit(0), lines, "ord", "item")
+        .write.mode("overwrite").parquet(s"$dir/pairs/slice=$next")
+      lines.withColumn("op", opOf(col("ord"), m.prefixes))
+        .write.mode("overwrite").partitionBy("op")
+        .parquet(s"$dir/items/slice=$next")
+      next += 1
+    }
+    if (next == m.slices) { // removes of absent baskets only
+      recordEmptyBatch(spark, dir, Some(m), batchId); return None
+    }
+    commitMeta(spark, dir, m.copy(batch = batchId, slices = next,
+      commit = m.commit + 1))
+    Some(m.slices)
+    }
+  }
+
+  /** The warehouse→GRAPH cascade: maintain this store FROM a merge
+    * table's `changes.merge` feed (the
+    * [[graft.text.PostingsStore.followMergeTable]] family, via the
+    * shared [[graft.util.Cascade.followInto]] harness) — warehouse
+    * order updates refresh their baskets atomically
+    * ([[upsertOrders]]), REMOVEs and `purgeKeys` compliance deletions
+    * cancel their pairs, exactly-once end-to-end. `itemsOf` maps a
+    * feed row to its item ARRAY (the order's basket). */
+  def followMergeTable(spark: SparkSession, mergeDir: String, dir: String,
+      checkpoint: String, itemsOf: Column, sinceCommit: Long = -1L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.util.Cascade.followInto(spark, mergeDir, checkpoint, sinceCommit,
+      (ups, rem, bid) => {
+        upsertOrders(
+          ups.select(col("_key").as("ord"),
+            explode(itemsOf).as("item")),
+          col("ord"), col("item"), rem.toDF("ord"), dir, batchId = bid)
+        ()
+      })
 
   /** CHANGE-FEED resolution (round 12 — the
     * [[graft.text.PostingsStore.changeDirs]] analog on the graph

@@ -195,6 +195,65 @@ class CascadeSpec extends AnyFunSuite {
     assert(IndexStore.loadIvfPq(spark, dir)._2 == before)
   }
 
+  test("graph follower: warehouse basket updates cancel and re-land " +
+      "their pairs, REMOVEs and purgeKeys cancel them, exactly-once " +
+      "across restarts") {
+    import graft.warehouse.GraphStore
+    val base = Files.createTempDirectory("graphcascade").toString
+    val mergeDir = s"$base/table"; val dir = s"$base/graph"
+    val ck = s"$base/fck"
+    import spark.implicits._
+    def env(op: String, ver: Long, rows: (Long, Seq[Long])*) =
+      rows.toSeq.toDF("ord", "items").select(lit(op).as("op"),
+        col("ord").as("key"), lit(ver).as("ver"),
+        when(lit(op) === "REMOVE", lit(null))
+          .otherwise(struct(col("ord"), col("items"))).as("after"))
+    def mergeOrd(part: String, e: DataFrame): Unit = {
+      val in = s"$base/in_$part"
+      e.write.parquet(in)
+      val q = graft.cdc.Apply.startMerge(
+        spark.readStream.schema(e.schema).parquet(in), mergeDir,
+        checkpointDir = s"$base/ck_$part",
+        keyCol = "ord", versionCol = "ver",
+        schema = e.schema("after").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      q.processAllAvailable(); q.stop()
+    }
+    mergeOrd("seed", env("INSERT", 1L,
+      1L -> Seq(10L, 20L, 30L), 2L -> Seq(10L, 20L), 3L -> Seq(40L, 50L)))
+    GraphStore.maintainBatch(
+      Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L),
+        (3L, 40L), (3L, 50L)).toDF("ord", "item"),
+      col("ord"), col("item"), dir)
+    def cascade(): Unit = {
+      val q = GraphStore.followMergeTable(spark, mergeDir, dir, ck,
+        itemsOf = col("items"), sinceCommit = 1L)
+      q.processAllAvailable(); q.stop()
+    }
+    def edges(): Map[(Long, Long), Long] =
+      GraphStore.load(spark, dir)._2.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cascade()
+    assert(edges() == Map((10L, 20L) -> 2L, (10L, 30L) -> 1L,
+      (20L, 30L) -> 1L, (40L, 50L) -> 1L))
+    // commit 2: basket 1 shrinks to {10,20}, basket 3 removed
+    mergeOrd("refresh",
+      env("MODIFY", 2L, 1L -> Seq(10L, 20L))
+        .unionByName(env("REMOVE", 2L, 3L -> Seq.empty[Long])))
+    cascade()
+    assert(edges() == Map((10L, 20L) -> 2L),
+      "the refresh must cancel basket 1's lost pairs and basket 3's")
+    // a warehouse compliance purge cancels basket 2's pairs
+    assert(graft.cdc.Apply.purgeKeys(spark, mergeDir,
+      Seq(2L).toDF("ord"), "ord", gcGraceMs = 0L) == 1L)
+    cascade()
+    assert(edges() == Map((10L, 20L) -> 1L))
+    // quiescent restart
+    val before = GraphStore.meta(spark, dir).get
+    cascade()
+    assert(GraphStore.meta(spark, dir).get == before)
+  }
+
   test("atomic multi-store cascade (followMergeTableAll): one set " +
       "commit per feed window pins both stores batch-exactly; a crash " +
       "between store commits replays to the SAME set; quiescent") {

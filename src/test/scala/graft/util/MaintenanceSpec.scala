@@ -84,7 +84,7 @@ class MaintenanceSpec extends AnyFunSuite {
       "cascadeSetSeed",
       "postingsStoreSeed", "procStoreSeed", "mergeFeedSeed", "sqlInsertSeed",
       "sqlDeleteSeed",
-      "upsertStoreSeed", "graphStoreSeed",
+      "upsertStoreSeed", "graphStoreSeed", "graphCascadeSeed",
       "linkageLedger", "linkageBase", "shardExportSeed", "pipelineSeed",
       "zorderLayout", "bucketedPair", "coPurchasePairs", "lpaLabels",
       "edgeBase"))

@@ -132,6 +132,68 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(storedPairs(dir) == expect)
   }
 
+  test("upsertOrders: a basket refresh cancels the old pairs and lands " +
+      "the new ones in ONE commit; replay no-op; upsert wins remove; " +
+      "purged baskets re-enter; a later purge retires the re-landed " +
+      "basket; compact preserves") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graphupsert").toString
+    val seed = lines.select(col("ord"), col("item")).distinct()
+    GraphStore.maintainBatch(seed, col("ord"), col("item"), dir,
+      batchId = 0L)
+    def pairsOf(items: org.apache.spark.sql.DataFrame) =
+      items.as("a").join(items.as("b"),
+          col("a.ord") === col("b.ord") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("u"), col("b.item").as("v"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the three widest baskets: A refreshed (two smallest parts),
+    // B deleted, C in both upserts and removes (upsert wins: full set)
+    val wide = seed.groupBy(col("ord")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ord")).limit(3)
+      .collect().map(_.getLong(0))
+    val (a, b, c) = (wide(0), wide(1), wide(2))
+    val newA = seed.filter(col("ord") === a)
+      .orderBy(col("item")).limit(2)
+    val r = GraphStore.upsertOrders(
+      newA.unionByName(seed.filter(col("ord") === c)),
+      col("ord"), col("item"), Seq(b, c).toDF("ord"), dir, batchId = 1L)
+    assert(r.nonEmpty)
+    val post = seed.filter(col("ord") =!= a && col("ord") =!= b)
+      .unionByName(newA)
+    val expect = pairsOf(post)
+    assert(storedPairs(dir) == expect,
+      "summed pairs must equal the recompute over the refreshed baskets")
+    assert(GraphStore.load(spark, dir)._1
+      .filter(col("ord") === a).count() == 2L,
+      "the re-landed basket must stay visible above its own tombstone")
+    assert(GraphStore.load(spark, dir)._1
+      .filter(col("ord") === b).count() == 0L)
+    // replay is a no-op
+    assert(GraphStore.upsertOrders(
+      newA.unionByName(seed.filter(col("ord") === c)),
+      col("ord"), col("item"), Seq(b, c).toDF("ord"), dir,
+      batchId = 1L).isEmpty)
+    assert(storedPairs(dir) == expect)
+    // a previously-deleted basket re-enters through an upsert
+    assert(GraphStore.upsertOrders(seed.filter(col("ord") === b),
+      col("ord"), col("item"), Seq.empty[Long].toDF("ord"), dir,
+      batchId = 2L).nonEmpty)
+    val expect2 = pairsOf(post.unionByName(seed.filter(col("ord") === b)))
+    assert(storedPairs(dir) == expect2)
+    // a LATER purge retires the re-landed basket (newer tombstone)
+    assert(GraphStore.purgeOrders(spark, dir, Seq(a).toDF("ord")).nonEmpty)
+    val expect3 = pairsOf(post.filter(col("ord") =!= a)
+      .unionByName(seed.filter(col("ord") === b)))
+    assert(storedPairs(dir) == expect3)
+    // compact + vacuum preserve the state and make the masks physical
+    assert(GraphStore.compact(spark, dir).nonEmpty)
+    assert(GraphStore.vacuumSlices(spark, dir) > 0)
+    assert(storedPairs(dir) == expect3)
+    assert(GraphStore.load(spark, dir)._1
+      .filter(col("ord") === a).count() == 0L)
+  }
+
   test("streaming maintenance: the substrate follows the arriving lines") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
