@@ -324,21 +324,62 @@ object Apply {
     val env = rows.select(lit(Envelope.Modify).as("op"),
       col(key).as("key"), col("_version"),
       struct(afterCols.toIndexedSeq.map(col): _*).as("after"))
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft-insert").toString
+    // STAGING lives under the TABLE's own filesystem (round-13 verdict
+    // #2): a driver-local java.nio temp dir is invisible to executors
+    // on any multi-node deployment — each task would write its
+    // partitions to its own local disk and the staged read would see a
+    // fraction of the rows. `_staging/` is underscore-prefixed, so the
+    // table's own parquet listings and manifest protocol never see it.
+    sweepStaging(spark, tableDir)
+    val stage = s"$tableDir/$StagingDirName/insert-${java.util.UUID.randomUUID}"
     env.write.parquet(s"$stage/in")
-    val q = startMerge(
-      spark.readStream.schema(env.schema).parquet(s"$stage/in"),
-      tableDir, s"$stage/ck", keyCol = key, versionCol = "_version",
-      schema = env.schema("after").dataType.asInstanceOf[StructType],
-      nBuckets = m.nBuckets)
-    try { q.processAllAvailable() }
-    finally {
-      q.stop()
+    // fail-loud on NULL fold axes (ADVICE r13): an INSERT whose column
+    // list omits _version (Spark fills NULL) would otherwise pass the
+    // column check and silently LOSE the fold to any stored row (desc
+    // ordering puts nulls last) — a partially-ignored INSERT. Checked
+    // on the staged copy: one cheap scan, no recompute of the input.
+    val staged = spark.read.parquet(s"$stage/in")
+    def hasNull(c: String): Boolean =
+      staged.filter(col(c).isNull).limit(1).count() > 0L
+    try {
+      require(!hasNull("_version"),
+        s"INSERT into $tableDir carries NULL _version rows — the merge " +
+          "fold is versioned (latest per key wins) and a null version " +
+          "always loses; supply _version for every row")
+      require(!hasNull("key"),
+        s"INSERT into $tableDir carries NULL '$key' rows — the merge " +
+          "fold is keyed and cannot address a null key")
+      val q = startMerge(
+        spark.readStream.schema(env.schema).parquet(s"$stage/in"),
+        tableDir, s"$stage/ck", keyCol = key, versionCol = "_version",
+        schema = env.schema("after").dataType.asInstanceOf[StructType],
+        nBuckets = m.nBuckets)
+      try { q.processAllAvailable() }
+      finally q.stop()
+    } finally {
       // one-shot staging: the rows live in the table now — a workload
       // of many INSERTs must not leak a parquet copy + checkpoint per
       // statement (round-13 review)
       graft.util.Hfs.delete(new HPath(stage), hc)
+    }
+  }
+
+  private[graft] val StagingDirName = "_staging"
+
+  /** Reclaim CRASHED statements' staged envelopes: a kill between an
+    * INSERT's stage write and its cleanup strands `_staging/<uuid>`
+    * (never data — the merge committed or it didn't). Swept on the next
+    * statement, with an age grace so a concurrent in-flight INSERT's
+    * live staging is never pulled out from under it. */
+  private def sweepStaging(spark: SparkSession, tableDir: String,
+      graceMs: Long = 60L * 60 * 1000): Unit = {
+    val hc = graft.util.Hfs.conf(spark)
+    val root = new HPath(s"$tableDir/$StagingDirName")
+    if (graft.util.Hfs.exists(root, hc)) {
+      val cut = System.currentTimeMillis() - graceMs
+      graft.util.Hfs.list(root, hc)
+        .filter(st => st.isDirectory && st.getModificationTime < cut)
+        .foreach(st => graft.util.Hfs.delete(st.getPath, hc))
     }
   }
 

@@ -592,6 +592,30 @@ object LedgerStore {
       }
       .start()
 
+  /** The warehouse→TEXT-DEDUP cascade (round 14, closing the last
+    * follower gap — every other maintained substrate got its
+    * `changes.merge` follower in rounds 12–13): maintain this ledger
+    * FROM a merge table's feed via the shared
+    * [[graft.util.Cascade.followInto]] harness, exactly-once
+    * end-to-end. Warehouse document updates RE-INGEST atomically
+    * ([[upsertDocs]]' one-commit tombstone + re-land + relabel);
+    * warehouse REMOVEs and `purgeKeys` compliance deletions propagate
+    * as ledger purges — the deletion-propagation path to the dedup
+    * labeling. `textOf` maps a feed row to its document text (in
+    * production the stored text column or a normalization expression
+    * over it). */
+  def followMergeTable(spark: SparkSession, mergeDir: String, dir: String,
+      checkpoint: String, textOf: Column, retainGens: Int = 2,
+      sinceCommit: Long = -1L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.util.Cascade.followInto(spark, mergeDir, checkpoint, sinceCommit,
+      (ups, rem, bid) => {
+        upsertDocs(ups.select(col("_key").as("doc_id"), textOf.as("text")),
+          col("doc_id"), col("text"), rem.toDF("doc_id"), dir, retainGens,
+          batchId = bid)
+        ()
+      })
+
   /** The committed snapshot id produced by LEDGERED batch `batchId` —
     * the pin a cross-store set manifest records (ADVICE r11: the
     * store's CURRENT commit can be later than the batch's fold commit

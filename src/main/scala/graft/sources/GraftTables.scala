@@ -106,7 +106,17 @@ class GraftTables extends TableProvider with DataSourceRegister {
   * the whole input DataFrame to [[graft.cdc.Apply.insertBatch]], which
   * stages it as MODIFY envelopes and folds ONE ledgered commit through
   * the real leased merge path (change slice included — a
-  * `followMergeTable` cascade sees SQL inserts like any other commit). */
+  * `followMergeTable` cascade sees SQL inserts like any other commit).
+  *
+  * Streaming over a SNAPSHOT surface is intentionally unsupported
+  * (ADVICE r13): a snapshot is an immutable path set — "new files in
+  * these dirs" is never a meaningful stream (folds publish NEW dirs
+  * under a NEW commit; the old snapshot never grows). The streaming
+  * face of every store is its CHANGE FEED (`changes.*` through the
+  * same provider), which carries commit-windowed deltas with offsets;
+  * `readStream` on a snapshot fails Spark's capability check with the
+  * table's name, and this paragraph is the contract that makes that
+  * refusal deliberate rather than an oversight. */
 private[sources] final class GraftSnapshotTable(delegate: ParquetTable,
     spark: SparkSession, dir: String, label: String, writable: Boolean)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {

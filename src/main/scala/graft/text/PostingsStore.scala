@@ -144,6 +144,18 @@ object PostingsStore {
       readMeta(spark, dir).getOrElse(sys.error(
         s"no committed postings store at $dir (missing $MetaName)")))
 
+  /** [[docLengths]] AS OF a committed snapshot id — the pinned-read
+    * face a cross-store set composition needs ([[bm25QueryAt]]'s
+    * masked-doclen sibling; same fail-closed retention contract). */
+  def docLengthsAt(spark: SparkSession, dir: String,
+      commit: Long): DataFrame = {
+    val m = metaAt(spark, dir, commit)
+    Generations.requireSlicesReadable(spark, dir,
+      Seq("doclen", "purged"), m.sliceBase, m.slices,
+      s"snapshot $commit")
+    live(spark, dir, "doclen", m)
+  }
+
   /** ADVICE r11: a ledgered batch the tombstone screen (or the batch
     * itself) left EMPTY must still record its batch id — returning
     * without a commit leaves the batch unledgered, so after a

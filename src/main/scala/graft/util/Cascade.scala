@@ -108,6 +108,53 @@ object Cascade {
       },
       (s, bid) => graft.ann.IndexStore.commitForBatch(s, dir, bid))
 
+  /** The persisted IVF-PQ index as a set member
+    * ([[graft.ann.IndexStore.upsertPqVectors]]' frozen-quantizer
+    * one-commit refresh) — round 14, joining the atomic set the
+    * standalone `followMergeTablePq` already served. */
+  def ivfPqFollower(name: String, dir: String,
+      embedOf: Column): PipelineLedger.Store =
+    PipelineLedger.Store(name,
+      (df, bid) => {
+        val (ups, rem) = split(df)
+        graft.ann.IndexStore.upsertPqVectors(
+          ups.select(col("_key").as("vid"), embedOf.as("v")),
+          col("vid"), col("v"), rem.toDF("vid"), dir, batchId = bid)
+        ()
+      },
+      (s, bid) => graft.ann.IndexStore.pqCommitForBatch(s, dir, bid))
+
+  /** The text dedup ledger as a set member
+    * ([[graft.dedup.LedgerStore.upsertDocs]]' one-commit re-ingest;
+    * `textOf` = the document-text hook, as in
+    * [[graft.dedup.LedgerStore.followMergeTable]]). */
+  def ledgerFollower(name: String, dir: String,
+      textOf: Column): PipelineLedger.Store =
+    PipelineLedger.Store(name,
+      (df, bid) => {
+        val (ups, rem) = split(df)
+        graft.dedup.LedgerStore.upsertDocs(
+          ups.select(col("_key").as("doc_id"), textOf.as("text")),
+          col("doc_id"), col("text"), rem.toDF("doc_id"), dir,
+          batchId = bid)
+        ()
+      },
+      (s, bid) => graft.dedup.LedgerStore.commitForBatch(s, dir, bid))
+
+  /** The co-purchase graph as a set member — delegates to the SAME
+    * feed-window fold the standalone follower uses
+    * ([[graft.warehouse.GraphStore.applyFeedWindow]]), so the
+    * empty-basket retirement rule (ADVICE r13) holds on both paths. */
+  def graphFollower(name: String, dir: String,
+      itemsOf: Column): PipelineLedger.Store =
+    PipelineLedger.Store(name,
+      (df, bid) => {
+        val (ups, rem) = split(df)
+        graft.warehouse.GraphStore.applyFeedWindow(ups, rem, dir,
+          itemsOf, bid)
+      },
+      (s, bid) => graft.warehouse.GraphStore.commitForBatch(s, dir, bid))
+
   /** Follow `changes.merge` into EVERY store of the set, one
     * [[PipelineLedger.refreshAll]] commit per feed window — the
     * atomic cascade. Stores hydrate from a snapshot first and follow

@@ -200,6 +200,10 @@ object Maintenance {
   def invalidate(name: String, s: SparkSession, dir: String): Boolean = {
     val v = store.remove((name, s, dir))
     growth.remove((name, s, dir)) // a rebuild re-notes its base size
+    // the build lock dies with its memo (ADVICE r13: entries pinned
+    // stopped sessions forever); a racing getOrBuild simply allocates
+    // a fresh monitor — double-checking against the store stays correct
+    buildLocks.remove((name, s, dir))
     if (v != null) frames(v).foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
     v != null
   }

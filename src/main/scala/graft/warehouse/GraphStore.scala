@@ -428,18 +428,35 @@ object GraphStore {
     * order updates refresh their baskets atomically
     * ([[upsertOrders]]), REMOVEs and `purgeKeys` compliance deletions
     * cancel their pairs, exactly-once end-to-end. `itemsOf` maps a
-    * feed row to its item ARRAY (the order's basket). */
+    * feed row to its item ARRAY (the order's basket). A MODIFY whose
+    * basket is EMPTY or NULL explodes to zero lines, so its ord would
+    * reach [[upsertOrders]] in neither upserts nor removeOrds and its
+    * old pairs would silently stay live (ADVICE r13) — the verb's
+    * contract is "sets the id's current state", so empty-basket keys
+    * are routed into removeOrds and retired in the same commit. */
   def followMergeTable(spark: SparkSession, mergeDir: String, dir: String,
       checkpoint: String, itemsOf: Column, sinceCommit: Long = -1L)
       : org.apache.spark.sql.streaming.StreamingQuery =
     graft.util.Cascade.followInto(spark, mergeDir, checkpoint, sinceCommit,
-      (ups, rem, bid) => {
-        upsertOrders(
-          ups.select(col("_key").as("ord"),
-            explode(itemsOf).as("item")),
-          col("ord"), col("item"), rem.toDF("ord"), dir, batchId = bid)
-        ()
-      })
+      (ups, rem, bid) => applyFeedWindow(ups, rem, dir, itemsOf, bid))
+
+  /** ONE feed window into [[upsertOrders]] — shared by
+    * [[followMergeTable]] and the set-cascade follower
+    * ([[graft.util.Cascade.graphFollower]]), so the empty-basket rule
+    * above cannot drift between the two paths (the round-13 followInto
+    * lesson, one level down). */
+  private[graft] def applyFeedWindow(ups: DataFrame, rem: DataFrame,
+      dir: String, itemsOf: Column, batchId: Long): Unit = {
+    val keyed = ups.select(col("_key").as("ord"), itemsOf.as("items"))
+    val emptied = keyed
+      .filter(col("items").isNull || size(col("items")) === 0)
+      .select(col("ord"))
+    upsertOrders(
+      keyed.select(col("ord"), explode(col("items")).as("item")),
+      col("ord"), col("item"),
+      rem.toDF("ord").unionByName(emptied), dir, batchId = batchId)
+    ()
+  }
 
   /** CHANGE-FEED resolution (round 12 — the
     * [[graft.text.PostingsStore.changeDirs]] analog on the graph

@@ -307,5 +307,41 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"TRUNCATE TABLE graft_test.`$dir`.merge"))
     assert(chain(e5).exists(m => m.contains("TRUNCATE") ||
       m.toLowerCase.contains("truncate")), chain(e5).mkString(" <- "))
+
+    // STAGING lives under the TABLE root (round-13 verdict #2: a
+    // driver-local temp dir is invisible to executors on a real
+    // cluster) and is cleaned per statement — the successful INSERTs
+    // above created `$dir/_staging/...` and removed their dirs
+    val staging = new java.io.File(s"$dir/_staging")
+    assert(staging.isDirectory,
+      "insertBatch must stage under the table's own filesystem")
+    assert(Option(staging.listFiles()).getOrElse(Array.empty).isEmpty,
+      "a completed INSERT must not leak its staged envelopes")
+
+    // a CRASHED statement's stranded staging is swept by the next one
+    // (age-graced so an in-flight INSERT's staging survives)
+    val stranded = new java.io.File(s"$dir/_staging/insert-stranded")
+    assert(stranded.mkdirs())
+    assert(stranded.setLastModified(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    spark.sql(s"INSERT INTO graft_test.`$dir`.merge " +
+      "(id, ticker, price, _version) VALUES " +
+      "('k5', 'v', 5.0, TIMESTAMP '1970-01-01 00:00:03')")
+    assert(!stranded.exists(),
+      "the next statement must sweep crash-stranded staging dirs")
+
+    // NULL _version fails LOUDLY (ADVICE r13: an INSERT whose column
+    // list omits _version gets NULL-filled and would silently lose the
+    // fold) — and the refused statement must not commit
+    val cPre = Apply.currentCommit(spark, dir)
+    val e6 = intercept[Exception](spark.sql(
+      s"INSERT INTO graft_test.`$dir`.merge (id, ticker, price) " +
+        "VALUES ('k6', 'x', 1.0)"))
+    assert(chain(e6).exists(_.contains("NULL _version")),
+      chain(e6).mkString(" <- "))
+    assert(Apply.currentCommit(spark, dir) == cPre,
+      "a refused NULL-version INSERT must not commit")
+    assert(Apply.readMergeTable(spark, dir)
+      .filter(col("id") === "k6").count() == 0L)
   }
 }
