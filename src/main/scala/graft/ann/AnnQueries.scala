@@ -360,6 +360,95 @@ object AnnQueries {
       base
     }
 
+  /** q287's DERIVED-FACET hooks — the six-store cascade follows ONE
+    * embedding feed, so the text and basket facets DERIVE
+    * deterministically from (vec_id, sign(embedding[0])). Documents in
+    * the same (vec_id % 41, sign) class carry IDENTICAL token sets
+    * (Jaccard 1 — the exact near-dup closure is the class partition,
+    * SQL-recomputable without replaying the banded machinery); token
+    * sets across classes are DISJOINT (Jaccard 0, every token carries
+    * its class tag). A re-embed that flips the first coordinate's sign
+    * MOVES the doc/basket to the twin class, so MODIFY envelopes
+    * change text AND basket content — the re-ingest paths get real
+    * retire+reland work — while staying recomputable from the
+    * post-refresh corpus alone (the q279 oracle contract). Token count
+    * varies with the class (4 + c%4) so the postings doclen face is
+    * content-sensitive too. */
+  private[graft] def cascadeSignOf: org.apache.spark.sql.Column =
+    when(element_at(col("embedding"), 1) < lit(0.0f), lit(1L))
+      .otherwise(lit(0L))
+
+  private[graft] def cascadeTextOf: org.apache.spark.sql.Column = {
+    val tag = concat(lit("d"), (col("vec_id") % 41).cast("string"),
+      lit("s"), cascadeSignOf.cast("string"))
+    concat(tag, lit("a "), tag, lit("b "), tag, lit("c"),
+      repeat(concat(lit(" "), tag, lit("f")),
+        ((col("vec_id") % 41) % 4 + 1).cast("int")))
+  }
+
+  /** Basket = three items in disjoint slot ranges (no cross-slot
+    * collisions), each a (modulus, sign) congruence — pair weights are
+    * then plain group counts in the oracle. */
+  private[graft] def cascadeItemsOf: org.apache.spark.sql.Column =
+    array((col("vec_id") % 101) * 2 + cascadeSignOf,
+      lit(1000L) + (col("vec_id") % 89) * 2 + cascadeSignOf,
+      lit(2000L) + (col("vec_id") % 71) * 2 + cascadeSignOf)
+
+  /** q287's SIX-STORE ATOMIC CASCADE (round-14 verdict #1 — the set
+    * now covers EVERY maintained substrate): semantic ledger + IVF
+    * (cloned from the already-followed q281/q282 stores, so their
+    * folds exercise the ledgered-replay path), IVF-PQ, text dedup
+    * ledger, BM25 postings, and the co-purchase graph — all hydrated
+    * from the warehouse's commit-1 state, then maintained TOGETHER by
+    * [[graft.util.Cascade.followMergeTableAll]]: one feed window, six
+    * one-commit store folds, ONE [[graft.util.PipelineLedger]] set
+    * commit pinning all six batch-exact snapshots. */
+  private[graft] def cascadeSetAllDir(s: SparkSession, d: String): String =
+    Maintenance.getOrBuild("cascadeSetAllSeed", s, d) {
+      val mergeDir = s"${cascadeMergeDir(s, d)}/table"
+      val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val base = java.nio.file.Files
+        .createTempDirectory("graftcascall").toString
+      val hc = graft.util.Hfs.conf(s)
+      graft.util.Hfs.copyDir(
+        new org.apache.hadoop.fs.Path(semCascadeDir(s, d)),
+        new org.apache.hadoop.fs.Path(s"$base/sem"), hc)
+      graft.util.Hfs.copyDir(
+        new org.apache.hadoop.fs.Path(ivfCascadeDir(s, d)),
+        new org.apache.hadoop.fs.Path(s"$base/index"), hc)
+      // seeds fold UN-LEDGERED (default batchId=-1) so the stream's
+      // bid-0 window is NOT mistaken for a replay of the seed
+      IndexStore.ivfPqMaintainBatch(e, col("vec_id"), col("embedding"),
+        s"$base/pq", nCells = 8, m = 16, ksub = 64)
+      graft.dedup.LedgerStore.maintainBatch(
+        e.select(col("vec_id").as("doc_id"), cascadeTextOf.as("text")),
+        col("doc_id"), col("text"), s"$base/ledger")
+      graft.text.PostingsStore.maintainBatch(
+        e.select(col("vec_id").as("id"), cascadeTextOf.as("text")),
+        col("id"), col("text"), s"$base/postings")
+      graft.warehouse.GraphStore.maintainBatch(
+        e.select(col("vec_id").as("ord"),
+          explode(cascadeItemsOf).as("item")),
+        col("ord"), col("item"), s"$base/graph")
+      val q = graft.util.Cascade.followMergeTableAll(s, mergeDir,
+        s"$base/set", s"$base/ck", Seq(
+          graft.util.Cascade.semFollower("sem", s"$base/sem",
+            col("embedding")),
+          graft.util.Cascade.ivfFollower("index", s"$base/index",
+            col("embedding")),
+          graft.util.Cascade.ivfPqFollower("pq", s"$base/pq",
+            col("embedding")),
+          graft.util.Cascade.ledgerFollower("ledger", s"$base/ledger",
+            cascadeTextOf),
+          graft.util.Cascade.postingsFollower("postings",
+            s"$base/postings", cascadeTextOf),
+          graft.util.Cascade.graphFollower("graph", s"$base/graph",
+            cascadeItemsOf)),
+        sinceCommit = 1L)
+      q.processAllAvailable(); q.stop()
+      base
+    }
+
   /** q282's FOLLOWED IVF index — [[semCascadeDir]]'s search-side twin,
     * built on [[IndexStore.upsertVectors]]'s one-commit atomicity. */
   private[graft] def ivfCascadeDir(s: SparkSession, d: String): String =
@@ -970,6 +1059,72 @@ object AnnQueries {
         .orderBy(col("cosine").desc, col("nn_id"))
     },
 
+    // -- round 14: the SIX-STORE atomic cascade — every maintained
+    //    substrate followed the SAME feed window under ONE set commit;
+    //    this query composes pinned reads across ALL SIX (IVF top-10 +
+    //    semantic component + text-dedup component + BM25 doclen +
+    //    basket co-purchase weight + IVF-PQ stats/recall) and must
+    //    equal one recompute over the post-refresh corpus. A
+    //    half-applied window cannot produce this output: the set
+    //    manifest is written only after every store committed, and
+    //    each facet would drift independently.
+    "q287_cascade_set_all" -> { (s, d) =>
+      val base = cascadeSetAllDir(s, d)
+      val set = graft.util.PipelineLedger.readSet(s, s"$base/set")
+      val (idx, meta) = IndexStore.loadIvfAt(s, s"$base/index",
+        set.stores("index"))
+      val semSel = graft.dedup.SemLedgerStore.loadAt(s, s"$base/sem",
+        set.stores("sem"))._3
+        .select(col("id").as("nn_id"), col("comp").as("sem_comp"))
+      val txtSel = graft.dedup.LedgerStore.loadAt(s, s"$base/ledger",
+        set.stores("ledger"))._1
+        .select(col("id").as("nn_id"), col("comp").as("text_comp"))
+      val dlSel = graft.text.PostingsStore.docLengthsAt(s,
+        s"$base/postings", set.stores("postings"))
+        .select(col("id").as("nn_id"), col("dl").as("doclen"))
+      val pairs = graft.warehouse.GraphStore.loadAt(s, s"$base/graph",
+        set.stores("graph"))._2
+      val (pqIdx, pqMeta) = IndexStore.loadIvfPqAt(s, s"$base/pq",
+        set.stores("pq"))
+      val tk = IndexStore.searchPruned(idx, queryVec(s, d), k = 10,
+        nprobe = 8).localCheckpoint(true)
+      // PQ invariant flag (the q280/q247 pattern): the pinned composite
+      // index's ADC top-10 must overlap the exact top-10 by >= 3.
+      // Driver-side work is two bounded 10-id lists.
+      val topIds = tk.select(col("nn_id")).collect()
+        .map(_.getLong(0)).toSet
+      val qv = queryVec(s, d).head().getSeq[Float](0)
+        .map(_.toDouble).toSeq
+      val adc = Similarity.ivfPqSearchAdc(pqIdx, qv, k = 10,
+        nprobe = 8).collect().map(_.getLong(0))
+      val pqOk = adc.count(topIds) >= 3
+      // the hits' CURRENT baskets (the merge table IS the post-refresh
+      // corpus) -> their three pairwise edges from the PINNED graph.
+      // broadcast(hits) keeps the corpus scan semi-join-pruned.
+      val hits = tk.select(col("nn_id"))
+      val items = graft.cdc.Apply.readMergeTable(s,
+          s"${cascadeMergeDir(s, d)}/table")
+        .select(col("vec_id").as("nn_id"), cascadeItemsOf.as("items"))
+        .join(broadcast(hits), Seq("nn_id"))
+      val bp = items.select(col("nn_id"), explode(array(
+          struct(element_at(col("items"), 1).as("u"),
+            element_at(col("items"), 2).as("v")),
+          struct(element_at(col("items"), 1).as("u"),
+            element_at(col("items"), 3).as("v")),
+          struct(element_at(col("items"), 2).as("u"),
+            element_at(col("items"), 3).as("v")))).as("p"))
+        .select(col("nn_id"), col("p.u").as("u"), col("p.v").as("v"))
+      val wt = pairs.join(broadcast(bp), Seq("u", "v"))
+        .groupBy(col("nn_id")).agg(sum(col("n_ab")).as("basket_wt"))
+      tk.join(semSel, Seq("nn_id")).join(txtSel, Seq("nn_id"))
+        .join(dlSel, Seq("nn_id")).join(wt, Seq("nn_id"))
+        .select(col("nn_id"), col("cosine"), col("sem_comp"),
+          col("text_comp"), col("doclen"), col("basket_wt"),
+          lit(meta.rows).as("n_rows"), lit(pqMeta.rows).as("pq_rows"),
+          lit(pqOk).as("pq_recall_ok"))
+        .orderBy(col("cosine").desc, col("nn_id"))
+    },
+
     // -- k-NN label vote (the data-labeling / label-propagation face of
     //    the search stack): the first 10 vectors are unlabeled queries,
     //    the rest the labeled corpus; each query takes the majority
@@ -1460,6 +1615,60 @@ object AnnQueries {
         |  ORDER BY cosine DESC, nn_id LIMIT 10)
         |SELECT t.nn_id, t.cosine, COALESCE(l.comp, t.nn_id) AS comp, n.n_rows
         |FROM topk t LEFT JOIN lbl l ON t.nn_id = l.id, n
+        |ORDER BY cosine DESC, nn_id""".stripMargin,
+
+    // The six-store composed set read: exact cosine top-10 over the
+    // post-refresh corpus; each hit's semantic component from the
+    // closure; its text-dedup component, doclen and basket pair
+    // weights from the DERIVED facets (same (vec_id % 41, sign)
+    // classes / congruence baskets the engine's hooks generate —
+    // identical texts within a class make the text closure the class
+    // partition, so MIN(vec_id) per class IS the exact ledger label);
+    // corpus count pins both index manifests; the PQ recall face is
+    // the q280 invariant flag.
+    "q287_cascade_set_all" ->
+      s"""WITH RECURSIVE ${lshPairsCtesFromE(postRefreshCorpusSelect)},
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM vpairs
+        |  UNION ALL SELECT b_id AS src, a_id AS dst FROM vpairs),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.src, r.lab FROM edges e2 JOIN reach r ON e2.dst = r.id),
+        |lbl AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM e),
+        |cls AS (
+        |  SELECT vec_id, vec_id % 41 AS c,
+        |    CASE WHEN v[1] < 0 THEN 1 ELSE 0 END AS s,
+        |    vec_id % 101 AS m101, vec_id % 89 AS m89, vec_id % 71 AS m71
+        |  FROM e),
+        |tcomp AS (
+        |  SELECT vec_id, MIN(vec_id) OVER (PARTITION BY c, s) AS text_comp,
+        |    CAST(4 + (c % 4) AS BIGINT) AS doclen
+        |  FROM cls),
+        |g12 AS (SELECT m101, m89, s, COUNT(*) AS n FROM cls GROUP BY 1, 2, 3),
+        |g13 AS (SELECT m101, m71, s, COUNT(*) AS n FROM cls GROUP BY 1, 2, 3),
+        |g23 AS (SELECT m89, m71, s, COUNT(*) AS n FROM cls GROUP BY 1, 2, 3),
+        |topk AS (
+        |  SELECT c.vec_id AS nn_id,
+        |    LIST_DOT_PRODUCT(c.v, qv)
+        |      / (SQRT(LIST_DOT_PRODUCT(c.v, c.v)) * SQRT(LIST_DOT_PRODUCT(qv, qv))) AS cosine
+        |  FROM e c, q
+        |  ORDER BY cosine DESC, nn_id LIMIT 10)
+        |SELECT t.nn_id, t.cosine,
+        |  COALESCE(l.comp, t.nn_id) AS sem_comp,
+        |  tc.text_comp, tc.doclen,
+        |  CAST(g12.n + g13.n + g23.n AS BIGINT) AS basket_wt,
+        |  n.n_rows, n.n_rows AS pq_rows, TRUE AS pq_recall_ok
+        |FROM topk t
+        |  LEFT JOIN lbl l ON t.nn_id = l.id
+        |  JOIN tcomp tc ON tc.vec_id = t.nn_id
+        |  JOIN cls x ON x.vec_id = t.nn_id
+        |  JOIN g12 ON g12.m101 = x.m101 AND g12.m89 = x.m89 AND g12.s = x.s
+        |  JOIN g13 ON g13.m101 = x.m101 AND g13.m71 = x.m71 AND g13.s = x.s
+        |  JOIN g23 ON g23.m89 = x.m89 AND g23.m71 = x.m71 AND g23.s = x.s,
+        |  n
         |ORDER BY cosine DESC, nn_id""".stripMargin,
 
     // The same generated-hyperplane banding + exact cosine, restricted

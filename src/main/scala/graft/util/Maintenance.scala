@@ -239,6 +239,7 @@ object Maintenance {
     "cascadeMergeSeed" -> ((s, d) => graft.ann.AnnQueries.cascadeMergeDir(s, d)),
     "semCascadeSeed"  -> ((s, d) => graft.ann.AnnQueries.semCascadeDir(s, d)),
     "cascadeSetSeed"  -> ((s, d) => graft.ann.AnnQueries.cascadeSetDir(s, d)),
+    "cascadeSetAllSeed" -> ((s, d) => graft.ann.AnnQueries.cascadeSetAllDir(s, d)),
     "ivfCascadeSeed"  -> ((s, d) => graft.ann.AnnQueries.ivfCascadeDir(s, d)),
     "semDecontamSeed" -> ((s, d) => graft.ann.AnnQueries.semDecontamDir(s, d)),
     "postingsStoreSeed" -> ((s, d) => graft.text.LmQueries.postingsStoreDir(s, d)),

@@ -248,6 +248,14 @@ class CascadeSpec extends AnyFunSuite {
       Seq(2L).toDF("ord"), "ord", gcGraceMs = 0L) == 1L)
     cascade()
     assert(edges() == Map((10L, 20L) -> 1L))
+    // ADVICE r13: a MODIFY whose basket shrinks to EMPTY must retire
+    // the old basket in the same commit (it explodes to zero lines, so
+    // without the empty-basket route it would reach upsertOrders in
+    // neither upserts nor removeOrds and its pairs would stay live)
+    mergeOrd("emptied", env("MODIFY", 3L, 1L -> Seq.empty[Long]))
+    cascade()
+    assert(edges().isEmpty,
+      "an emptied basket's pairs must be cancelled, not left live")
     // quiescent restart
     val before = GraphStore.meta(spark, dir).get
     cascade()
@@ -317,6 +325,112 @@ class CascadeSpec extends AnyFunSuite {
       idx.assigned.filter(col("vid") === 5L).count() == 0L &&
       idx.assigned.filter(col("vid") === 31L).count() == 1L)
     // quiescence: nothing new, the set does not advance
+    followAll()
+    assert(PipelineLedger.readSet(spark, s"$base/set").commit == set.commit)
+  }
+
+  test("set cascade over the round-14 members (text ledger, graph, " +
+      "IVF-PQ): one set commit pins all three; a crash between store " +
+      "commits replays to the SAME set; REMOVEs propagate everywhere") {
+    import graft.util.{Cascade, PipelineLedger}
+    import graft.dedup.LedgerStore
+    import graft.warehouse.GraphStore
+    val base = Files.createTempDirectory("cascset14").toString
+    val mergeDir = s"$base/table"
+    // derived facets off the one embedding feed (the q287 pattern):
+    // text classes by (vec_id % 7, sign), 2-item baskets by congruence
+    val sgn = when(element_at(col("embedding"), 1) < lit(0.0f), lit(1L))
+      .otherwise(lit(0L))
+    val tag = concat(lit("c"), (col("vec_id") % 7).cast("string"),
+      lit("s"), sgn.cast("string"))
+    val textOf = concat(tag, lit("x "), tag, lit("y "), tag, lit("z"))
+    val itemsOf = array((col("vec_id") % 5) * 2 + sgn,
+      lit(100L) + (col("vec_id") % 3) * 2 + sgn)
+    val neg = transform(col("embedding"), x => -x)
+    mergeOnce(base, "seed", envOf(slice(0, 60), "INSERT", 1L,
+      col("embedding")))
+    LedgerStore.maintainBatch(
+      slice(0, 60).select(col("vec_id").as("doc_id"), textOf.as("text")),
+      col("doc_id"), col("text"), s"$base/ledger")
+    GraphStore.maintainBatch(
+      slice(0, 60).select(col("vec_id").as("ord"),
+        explode(itemsOf).as("item")),
+      col("ord"), col("item"), s"$base/graph")
+    IndexStore.saveIvfPq(Similarity.buildIvfPq(slice(0, 60),
+      col("vec_id"), col("embedding"), nCells = 4, m = 8, ksub = 16,
+      materialize = true), s"$base/pq",
+      sideTables = Seq("vecs" -> slice(0, 60)
+        .select(col("vec_id").as("vid"), col("embedding").as("v"))))
+    val stores = Seq(
+      Cascade.ivfPqFollower("pq", s"$base/pq", col("embedding")),
+      Cascade.ledgerFollower("ledger", s"$base/ledger", textOf),
+      Cascade.graphFollower("graph", s"$base/graph", itemsOf))
+    def followAll(): Unit = {
+      val q = Cascade.followMergeTableAll(spark, mergeDir, s"$base/set",
+        s"$base/ck", stores, sinceCommit = 1L)
+      q.processAllAvailable(); q.stop()
+    }
+    // the refresh commit (2): vec 3 re-embedded (sign may flip -> its
+    // text class and basket MOVE), vec 5 removed, vec 61 added
+    mergeOnce(base, "refresh",
+      envOf(embs.filter(col("vec_id") === 3L), "MODIFY", 2L, neg)
+        .unionByName(envOf(embs.filter(col("vec_id") === 5L), "REMOVE",
+          2L, col("embedding")))
+        .unionByName(envOf(embs.filter(col("vec_id") === 61L), "INSERT",
+          2L, col("embedding"))))
+    // SIMULATED CRASH: a previous run folded the PQ store for this
+    // window (bid 0) and died before the other folds and the set commit
+    val window = Cascade.reduceLatest(
+      spark.read.format("graft").option("path", mergeDir)
+        .option("table", "changes.merge").option("sinceCommit", "1")
+        .option("untilCommit", "2").load())
+    stores.head.fold(window, 0L)
+    assert(IndexStore.loadIvfPq(spark, s"$base/pq")._1.codes
+      .filter(col("vid") === 5L).count() == 0L,
+      "the crashed run's pq fold must have applied")
+    // the replay: pq is a ledgered no-op, ledger+graph fold, ONE set
+    // commit pins all three batch-exactly
+    followAll()
+    val set = PipelineLedger.readSet(spark, s"$base/set")
+    assert(set.batch == 0L &&
+      set.stores.keySet == Set("pq", "ledger", "graph"))
+    assert(set.stores("pq") ==
+      IndexStore.pqCommitForBatch(spark, s"$base/pq", 0L))
+    assert(set.stores("ledger") ==
+      LedgerStore.commitForBatch(spark, s"$base/ledger", 0L))
+    assert(set.stores("graph") ==
+      GraphStore.commitForBatch(spark, s"$base/graph", 0L))
+    // pinned reads see the post-refresh state on every member
+    val lbl = LedgerStore.loadAt(spark, s"$base/ledger",
+      set.stores("ledger"))._1
+    assert(lbl.count() == 60L &&
+      lbl.filter(col("id") === 5L).count() == 0L &&
+      lbl.filter(col("id") === 61L).count() == 1L)
+    val (items, _, _) = GraphStore.loadAt(spark, s"$base/graph",
+      set.stores("graph"))
+    assert(items.select(col("ord")).distinct().count() == 60L &&
+      items.filter(col("ord") === 5L).count() == 0L &&
+      items.filter(col("ord") === 61L).count() == 2L)
+    val (pq, pqm) = IndexStore.loadIvfPqAt(spark, s"$base/pq",
+      set.stores("pq"))
+    assert(pqm.rows == 60L && pq.codes.count() == 60L &&
+      pq.codes.filter(col("vid") === 61L).count() == 1L)
+    // the ledger labels equal the derived-class partition of the
+    // POST-refresh corpus (identical texts per class -> comp = min id)
+    val post = slice(0, 60).filter(col("vec_id") =!= 5L && col("vec_id") =!= 3L)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(embs.filter(col("vec_id") === 61L))
+      .unionByName(embs.filter(col("vec_id") === 3L)
+        .select(col("vec_id"), neg.as("embedding")))
+    val wantComp = post
+      .select(col("vec_id"), (col("vec_id") % 7).cast("long").as("c"), sgn.as("s"))
+      .withColumn("comp", min(col("vec_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("c"), col("s"))))
+      .select(col("vec_id").as("id"), col("comp"))
+    assert(lbl.join(wantComp, Seq("id"))
+      .filter(lbl("comp") =!= wantComp("comp")).count() == 0L,
+      "followed ledger labels must equal the class-partition recompute")
+    // quiescence: the set does not advance on an empty restart
     followAll()
     assert(PipelineLedger.readSet(spark, s"$base/set").commit == set.commit)
   }
