@@ -149,11 +149,37 @@ object Apply {
       schema: StructType,
       trigger: Trigger = Trigger.AvailableNow(),
       nBuckets: Int = 16,
-      gcGraceMs: Long = DefaultGcGraceMs): StreamingQuery =
+      gcGraceMs: Long = DefaultGcGraceMs): StreamingQuery = {
+    val versionType = envelopes.schema(versionCol).dataType
     envelopes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        mergeBatch(batch, tableDir, keyCol, versionCol, versionType,
+          schema, nBuckets, gcGraceMs)
+      }
+      .start()
+  }
+
+  /** The MERGE COMMIT itself — [[startMerge]]'s per-micro-batch body as
+    * a library verb, shared by every face that folds one batch of
+    * envelopes: the streaming sink above, the SQL INSERT path
+    * ([[insertBatch]]), and the SQL row-level path ([[rowLevelCommit]]
+    * — round 14, verdict #4). One call = one leased, ledgered,
+    * change-slice-emitting commit; semantics documented on
+    * [[startMerge]]. The batch faces call it directly rather than
+    * wrapping a one-shot stream: a SQL statement has no replay axis to
+    * be exactly-once against, so a throwaway checkpoint would buy
+    * nothing and cost a stream start per statement. */
+  private[graft] def mergeBatch(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      tableDir: String,
+      keyCol: String,
+      versionCol: String,
+      versionType: org.apache.spark.sql.types.DataType,
+      schema: StructType,
+      nBuckets: Int,
+      gcGraceMs: Long): Unit = {
         import org.apache.spark.sql.functions._
         val spark = batch.sparkSession
         val hc = graft.util.Hfs.conf(spark)
@@ -205,7 +231,6 @@ object Apply {
           .select(bucketOf(col("_key")).as("b")).distinct()
           .collect().map(_.getInt(0)).sorted
         if (touched.nonEmpty) {
-          val versionType = envelopes.schema(versionCol).dataType
           val stored = addVersion(schema, versionType)
           val liveDirs = touched.toIndexedSeq
             .flatMap(b => gens.get(b).map(g =>
@@ -286,24 +311,25 @@ object Apply {
         }
         } // withLeasedWriteLock
         ()
-      }
-      .start()
+  }
 
   /** SQL WRITE FACE (round 13, verdict #6): one batch of rows upserted
     * as ONE ledgered merge commit — the verb behind `INSERT INTO
     * graft_cat.`<dir>`` ([[graft.sources.GraftTables]]'s V1 write
     * fallback). Rows carry the table's read-face schema (data columns
     * + `_version`); each becomes a MODIFY envelope keyed by the
-    * manifest's `keyCol` and versioned by `_version`, staged to a temp
-    * dir and folded through the REAL [[startMerge]] path — so the
+    * manifest's `keyCol` and versioned by `_version`, staged under the
+    * table root and folded through the REAL merge path ([[mergeBatch]],
+    * the same body every [[startMerge]] micro-batch runs) — so the
     * lease, the latest-per-key fold against stored rows, the change
     * slice, and the pointer-archive commit all apply unchanged (a raw
     * file append would bypass every one of them). Stale rows lose the
     * version fold exactly like a late stream envelope. One-shot
-    * imperative semantics: each INSERT is its own commit with a
-    * throwaway checkpoint — SQL INSERT has no replay axis to be
-    * exactly-once against (streams use [[startMerge]] directly).
-    * DELETE stays a library/procedure verb ([[purgeKeys]]). */
+    * imperative semantics: each INSERT is its own commit — SQL INSERT
+    * has no replay axis to be exactly-once against (streams use
+    * [[startMerge]] directly). Key-addressed DELETE stays a
+    * library/procedure verb ([[purgeKeys]]); predicate DELETE, UPDATE
+    * and MERGE ride the row-level face ([[rowLevelCommit]]). */
   def insertBatch(spark: SparkSession, tableDir: String,
       rows: DataFrame): Unit = {
     import org.apache.spark.sql.functions._
@@ -349,13 +375,10 @@ object Apply {
       require(!hasNull("key"),
         s"INSERT into $tableDir carries NULL '$key' rows — the merge " +
           "fold is keyed and cannot address a null key")
-      val q = startMerge(
-        spark.readStream.schema(env.schema).parquet(s"$stage/in"),
-        tableDir, s"$stage/ck", keyCol = key, versionCol = "_version",
+      mergeBatch(staged, tableDir, keyCol = key, versionCol = "_version",
+        versionType = env.schema("_version").dataType,
         schema = env.schema("after").dataType.asInstanceOf[StructType],
-        nBuckets = m.nBuckets)
-      try { q.processAllAvailable() }
-      finally q.stop()
+        nBuckets = m.nBuckets, gcGraceMs = DefaultGcGraceMs)
     } finally {
       // one-shot staging: the rows live in the table now — a workload
       // of many INSERTs must not leak a parquet copy + checkpoint per
@@ -363,6 +386,104 @@ object Apply {
       graft.util.Hfs.delete(new HPath(stage), hc)
     }
   }
+
+  /** SQL ROW-LEVEL WRITE FACE (round 14, verdict #4): commit one
+    * UPDATE / MERGE INTO / predicate-DELETE statement's staged envelope
+    * files as ONE leased, ledgered, change-slice-emitting merge commit.
+    * The statement's [[graft.sources.GraftDeltaWriter]] tasks wrote
+    * MODIFY/REMOVE envelopes as parquet under the table's own
+    * `_staging/` (task-side, cluster-visible, never through the driver
+    * — the Delta-Lake-shaped split: data files from executors, ONE
+    * metadata commit from the driver); this verb is the driver half.
+    * Only the files named by COMMITTED task messages are read, so a
+    * zombie/speculative attempt's orphan file is ignored (and swept by
+    * [[sweepStaging]] later).
+    *
+    * THE STALE-VERSION GATE: the merge fold is versioned — an UPDATE
+    * whose rows do not advance `_version` past the stored row would
+    * LOSE the fold and silently no-op, which is not acceptable SQL
+    * semantics. Before anything mutates, the staged envelopes are
+    * joined against the stored rows of the touched buckets (bucket-
+    * pruned: O(touched), never O(table)) and the statement ABORTS
+    * loudly if any MODIFY carries `_version` ≤ the stored version
+    * (REMOVEs may equal the stored version — a DELETE tombstone at the
+    * scanned version outranks the row it deletes via the fold's
+    * REMOVE>MODIFY tie-break). The contract is explicit and documented
+    * on the catalog face: `UPDATE … SET _version = _version + 1, …` —
+    * the version axis is user-visible state in this warehouse, exactly
+    * like the INSERT face's mandatory `_version` column. All-or-
+    * nothing: the gate runs before the fold, so a stale statement
+    * mutates nothing. Single-writer-per-table discipline makes the
+    * gate-then-fold sequence safe (the fold itself re-checks nothing —
+    * a concurrent writer would be fenced by the lease inside
+    * [[mergeBatch]]). */
+  private[graft] def rowLevelCommit(spark: SparkSession, tableDir: String,
+      stage: String, files: Seq[String], command: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val hc = graft.util.Hfs.conf(spark)
+    try {
+      if (files.isEmpty) return // statement matched no rows: a no-op, not a commit
+      val m = readMeta(new HPath(tableDir), hc).getOrElse(sys.error(
+        s"$tableDir is not a merge table (no $MetaName) — $command " +
+          "writes into an existing table; seed with startMerge"))
+      val key = m.keyCol.getOrElse(sys.error(
+        s"$tableDir has no keyCol in its manifest: run one merge/purge " +
+          s"commit to upgrade it before using the SQL $command face"))
+      val staged = spark.read.parquet(files: _*)
+      def hasNull(c: String): Boolean =
+        staged.filter(col(c).isNull).limit(1).count() > 0L
+      require(!hasNull("_version"),
+        s"$command on $tableDir produced NULL _version rows — the merge " +
+          "fold is versioned; every written row must carry _version")
+      require(!hasNull("key"),
+        s"$command on $tableDir produced NULL '$key' rows — the merge " +
+          "fold is keyed and cannot address a null key")
+      // stale-version gate (see scaladoc): bucket-pruned stored read,
+      // one join against the statement's own envelope set
+      val bucketOf = (c: org.apache.spark.sql.Column) =>
+        pmod(xxhash64(c), lit(m.nBuckets)).cast("int")
+      val touched = staged.select(bucketOf(col("key")).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val liveDirs = touched.flatMap(b => m.buckets.get(b).map(g =>
+        new HPath(new HPath(tableDir), s"gen=$g/_bucket=$b").toString))
+      if (liveDirs.nonEmpty) {
+        val keyType = staged.schema("key").dataType
+        val versionType = staged.schema("_version").dataType
+        val storedSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(key, keyType),
+          org.apache.spark.sql.types.StructField("_version", versionType)))
+        val storedVs = spark.read.schema(storedSchema).parquet(liveDirs: _*)
+          .select(col(key).as("key"), col("_version").as("_stored"))
+        val stale = staged.select(col("op"), col("key"), col("_version"))
+          .join(storedVs, "key")
+          .filter(when(col("op") === Envelope.Remove,
+              col("_version") < col("_stored"))
+            .otherwise(col("_version") <= col("_stored")))
+        val sample = stale.select(col("key"), col("_version"),
+          col("_stored")).limit(4).collect()
+        if (sample.nonEmpty) sys.error(
+          s"stale $command on $tableDir rejected — the merge fold is " +
+            "versioned (latest per key wins) and these rows do not " +
+            "advance _version past the stored row, so the statement " +
+            "would silently lose the fold; advance the version " +
+            "explicitly (e.g. UPDATE … SET _version = _version + 1, …): " +
+            sample.map(r => s"$key=${r.get(0)} _version=${r.get(1)} " +
+              s"stored=${r.get(2)}").mkString("; ") +
+            " — nothing was applied (the gate runs before the fold)")
+      }
+      mergeBatch(staged, tableDir, keyCol = key, versionCol = "_version",
+        versionType = staged.schema("_version").dataType,
+        schema = staged.schema("after").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType],
+        nBuckets = m.nBuckets, gcGraceMs = DefaultGcGraceMs)
+    } finally graft.util.Hfs.delete(new HPath(stage), hc)
+  }
+
+  /** [[rowLevelCommit]]'s pre-write hook: sweep crash-stranded staging
+    * before a statement stages new files (the same hygiene
+    * [[insertBatch]] runs). */
+  private[graft] def sweepStagingFor(spark: SparkSession,
+      tableDir: String): Unit = sweepStaging(spark, tableDir)
 
   private[graft] val StagingDirName = "_staging"
 

@@ -138,6 +138,81 @@ object CdcQueries {
       tableDir
     }
 
+  /** q288's merge table — SQL UPDATE end-to-end (round-14 verdict #4):
+    * commit 1 seeds EVERY event through the real streamed fold (the
+    * stored row per user is the latest event), commit 2 is one plain
+    * `UPDATE … SET …, _version = _version + 1 WHERE user_id % 3 = 0` —
+    * Spark's delta-based row-level rewrite hands the matched rows to
+    * [[graft.sources.GraftDeltaWriter]] tasks, which stage MODIFY
+    * envelopes under the table root; the driver commit enforces the
+    * version-advance gate and folds ONE leased change-slice-emitting
+    * commit ([[Apply.rowLevelCommit]]). */
+  private[graft] def sqlUpdateDir(s: SparkSession, d: String): String =
+    graft.util.Maintenance.getOrBuild("sqlUpdateSeed", s, d) {
+      val tableDir = seedLatestStateTable(s, d, "graftsqlupd")
+      s.sql(s"UPDATE graft_sql.`$tableDir`.merge SET value = 42.0, " +
+        "event_type = 'repriced', _version = _version + 1 " +
+        "WHERE user_id % 3 = 0") // commit 2
+      tableDir
+    }
+
+  /** q289's merge table — SQL MERGE INTO end-to-end: one statement
+    * carrying all three action kinds against the seeded latest-state
+    * table (matched-update re-prices user_id%4==1 one version up,
+    * matched-delete tombstones user_id%4==2, not-matched-insert lands
+    * a synthetic +10M user per user_id%4==3), folded as ONE row-level
+    * commit. The deterministic %4 routing keeps the whole closure
+    * DuckDB-recomputable. */
+  private[graft] def sqlMergeDir(s: SparkSession, d: String): String =
+    graft.util.Maintenance.getOrBuild("sqlMergeSeed", s, d) {
+      val tableDir = seedLatestStateTable(s, d, "graftsqlmrg")
+      val users = Tables.events(s, d).select(col("user_id")).distinct()
+      users.filter(col("user_id") % 4 === 1)
+        .select(col("user_id").as("id"), lit("upd").as("action"))
+        .unionByName(users.filter(col("user_id") % 4 === 2)
+          .select(col("user_id").as("id"), lit("del").as("action")))
+        .unionByName(users.filter(col("user_id") % 4 === 3)
+          .select((col("user_id") + 10000000L).as("id"),
+            lit("ins").as("action")))
+        .createOrReplaceTempView("graft_merge_src")
+      s.sql(
+        s"""MERGE INTO graft_sql.`$tableDir`.merge AS t
+           |USING graft_merge_src AS s ON t.user_id = s.id
+           |WHEN MATCHED AND s.action = 'del' THEN DELETE
+           |WHEN MATCHED AND s.action = 'upd' THEN UPDATE SET
+           |  value = 7.5, event_type = 'merged',
+           |  _version = t._version + 1
+           |WHEN NOT MATCHED AND s.action = 'ins' THEN INSERT
+           |  (user_id, event_type, value, _version)
+           |  VALUES (s.id, 'inserted', 5.25, 1)""".stripMargin) // commit 2
+      tableDir
+    }
+
+  /** Shared seed for the row-level gates: every event folded through
+    * the real streamed merge path as commit 1, so the stored row per
+    * user is the LATEST event (q33's closure) before the SQL statement
+    * under test runs. */
+  private def seedLatestStateTable(s: SparkSession, d: String,
+      tag: String): String = {
+    val ev = Tables.events(s, d)
+    val base = java.nio.file.Files.createTempDirectory(tag).toString
+    val tableDir = s"$base/table"
+    val env = ev.select(lit(Envelope.Modify).as("op"),
+      col("user_id").as("key"), col("event_id"),
+      struct(col("user_id"), col("event_type"), col("value")).as("after"))
+    env.write.parquet(s"$base/in")
+    val q = Apply.startMerge(
+      s.readStream.schema(env.schema).parquet(s"$base/in"), tableDir,
+      checkpointDir = s"$base/ck",
+      keyCol = "user_id", versionCol = "event_id",
+      schema = env.schema("after").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    q.processAllAvailable(); q.stop() // commit 1
+    s.conf.set("spark.sql.catalog.graft_sql",
+      classOf[graft.sources.GraftCatalog].getName)
+    tableDir
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- P1/T5: route the change feed — REMOVEs dropped, kept ops counted.
     //    Uses the production Envelope.route (raise-on-unknown included).
@@ -208,6 +283,33 @@ object CdcQueries {
     //    the change slice — GraftCatalogSpec pins that side).
     "q284_sql_delete" -> { (s, d) =>
       val dir = sqlDeleteDir(s, d)
+      Apply.readMergeTable(s, dir)
+        .select(col("user_id"), col("_version").as("last_event_id"),
+          col("event_type").as("last_type"),
+          cents(col("value")).as("last_value_cents"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- round 14: SQL UPDATE — one statement re-prices every third
+    //    user through the delta-based row-level face: task-staged
+    //    MODIFY envelopes, the version-advance gate, ONE leased fold
+    //    commit. The table must read as the latest event per user with
+    //    the matched users carrying the updated image one version up.
+    "q288_sql_update" -> { (s, d) =>
+      val dir = sqlUpdateDir(s, d)
+      Apply.readMergeTable(s, dir)
+        .select(col("user_id"), col("_version").as("last_event_id"),
+          col("event_type").as("last_type"),
+          cents(col("value")).as("last_value_cents"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- round 14: SQL MERGE INTO — matched-update, matched-delete and
+    //    not-matched-insert in ONE statement, ONE row-level fold
+    //    commit; the table must read as the deterministic %4 closure
+    //    over the latest-event state.
+    "q289_sql_merge" -> { (s, d) =>
+      val dir = sqlMergeDir(s, d)
       Apply.readMergeTable(s, dir)
         .select(col("user_id"), col("_version").as("last_event_id"),
           col("event_type").as("last_type"),
@@ -511,6 +613,46 @@ object CdcQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |    ORDER BY event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // The latest event per user, with every third user carrying the
+    // UPDATE's image (value 42.0, type 'repriced') one version above
+    // its last event.
+    "q288_sql_update" ->
+      """SELECT user_id,
+        |  CASE WHEN user_id % 3 = 0 THEN event_id + 1 ELSE event_id END
+        |    AS last_event_id,
+        |  CASE WHEN user_id % 3 = 0 THEN 'repriced' ELSE event_type END
+        |    AS last_type,
+        |  CASE WHEN user_id % 3 = 0 THEN 4200
+        |    ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END
+        |    AS last_value_cents
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // The MERGE closure over the latest-event state: %4==1 users carry
+    // the update image one version up, %4==2 users are deleted,
+    // %4==3 users spawn a synthetic +10M inserted row at version 1.
+    "q289_sql_merge" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_id, event_type, value
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY event_id DESC) AS rn FROM events)
+        |  WHERE rn = 1)
+        |SELECT user_id,
+        |  CASE WHEN user_id % 4 = 1 THEN event_id + 1 ELSE event_id END
+        |    AS last_event_id,
+        |  CASE WHEN user_id % 4 = 1 THEN 'merged' ELSE event_type END
+        |    AS last_type,
+        |  CASE WHEN user_id % 4 = 1 THEN 750
+        |    ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END
+        |    AS last_value_cents
+        |FROM latest WHERE user_id % 4 <> 2
+        |UNION ALL
+        |SELECT user_id + 10000000 AS user_id, 1 AS last_event_id,
+        |  'inserted' AS last_type, 525 AS last_value_cents
+        |FROM latest WHERE user_id % 4 = 3
+        |ORDER BY user_id""".stripMargin,
 
     // The feed since commit 1 must equal the delta batch's effective
     // upserts: latest event per user among event_id > cut, REMOVEs

@@ -5,10 +5,10 @@ import java.util.{Map => JMap, Set => JSet}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, InsertableRelation}
@@ -119,10 +119,27 @@ class GraftTables extends TableProvider with DataSourceRegister {
   * refusal deliberate rather than an oversight. */
 private[sources] final class GraftSnapshotTable(delegate: ParquetTable,
     spark: SparkSession, dir: String, label: String, writable: Boolean)
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with SupportsRowLevelOperations {
 
   override def name(): String = delegate.name
-  override def schema(): StructType = delegate.schema
+
+  /** The read-face schema, with the FOLD AXES declared non-nullable on
+    * the writable merge surface: the merge refuses null keys/versions
+    * ([[graft.cdc.Apply.insertBatch]] fails loudly on either), so the
+    * stored columns genuinely never hold nulls — and Spark's row-level
+    * protocol requires row-identity columns to be non-nullable
+    * (`NULLABLE_ROW_ID_ATTRIBUTES`). Declaring it also hands writers a
+    * runtime null check on INSERT (aligned with the fold's own guard)
+    * and lets codegen drop null branches on the read side. */
+  override def schema(): StructType = keyName match {
+    case Some(k) if writable &&
+        delegate.schema.fieldNames.contains("_version") =>
+      StructType(delegate.schema.fields.map(f =>
+        if (f.name == k || f.name == "_version") f.copy(nullable = false)
+        else f))
+    case _ => delegate.schema
+  }
   override def partitioning(): Array[Transform] = delegate.partitioning
   override def properties(): JMap[String, String] = delegate.properties
 
@@ -144,7 +161,7 @@ private[sources] final class GraftSnapshotTable(delegate: ParquetTable,
     * arbitrary-predicate deletes are a scan + an explicit purgeKeys
     * call. Multiple AND-ed key filters intersect. Logical immediacy /
     * deferred physical reclamation per purgeKeys' documented grace. */
-  private def keyName: Option[String] =
+  private lazy val keyName: Option[String] =
     if (writable) graft.cdc.Apply.tableKeyCol(spark, dir) else None
 
   private def keyValuesOf(filters: Array[Filter],
@@ -201,6 +218,32 @@ private[sources] final class GraftSnapshotTable(delegate: ParquetTable,
             }
           }
       }
+    }
+  }
+
+  /** SQL `UPDATE` / `MERGE INTO` / predicate `DELETE` (round-14 verdict
+    * #4): delta-based row-level operations whose task writers stage
+    * fold envelopes under the table root and whose driver commit runs
+    * the SAME leased merge fold as INSERT — see
+    * [[GraftRowLevelOperation]] for the full contract (the version-
+    * advance rule, the key-identity rule, and the two DELETE flavors:
+    * key-equality stays the metadata purge via [[deleteWhere]];
+    * arbitrary predicates become versioned tombstones through the
+    * fold). */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    if (!writable) sys.error(
+      s"graft table '$label' does not support SQL ${info.command} — " +
+        "only the CURRENT merge surface does; slice/snapshot surfaces " +
+        "are maintained by the library's ledgered fold verbs")
+    val k = keyName.getOrElse(sys.error(
+      s"graft table '$label' has no keyCol in its manifest (written " +
+        "before the keyCol-invariant upgrade): run one merge/purge " +
+        s"commit to upgrade it before using SQL ${info.command}"))
+    new RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new GraftRowLevelOperation(delegate, spark, dir, label, k,
+          info.command)
     }
   }
 }

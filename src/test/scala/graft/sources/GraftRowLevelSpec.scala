@@ -1,0 +1,199 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.cdc.Apply
+
+case class RlAfter(id: Long, ticker: String, price: Double)
+case class RlEnv(op: String, key: Long, after: RlAfter, v: Long)
+
+/** SQL UPDATE / MERGE INTO / predicate-DELETE (round-14 verdict #4):
+  * the delta-based row-level face must route every statement through
+  * ONE leased merge-fold commit (change slice included), enforce the
+  * version-advance contract all-or-nothing BEFORE anything mutates,
+  * refuse key reassignment, and leave no staging behind. */
+class GraftRowLevelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val catalogReady: Unit = spark.conf.set(
+    "spark.sql.catalog.graft_rl", classOf[GraftCatalog].getName)
+
+  private def chain(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+
+  /** Seed a fresh merge table with ids 1..6 at version 10 via the real
+    * streamed fold (commit 1). */
+  private def seed(): String = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graftrl").toString + "/t"
+    val rows = (1L to 6L).map(i =>
+      RlEnv("INSERT", i, RlAfter(i, s"t$i", i.toDouble), 10L))
+    val schema = rows.toDF().schema("after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val ms = MemoryStream[RlEnv]
+    ms.addData(rows: _*)
+    val q = Apply.startMerge(ms.toDF(), dir,
+      Files.createTempDirectory("graftrlck").toString,
+      keyCol = "id", versionCol = "v", schema = schema)
+    q.processAllAvailable(); q.stop()
+    assert(Apply.currentCommit(spark, dir) == 1L)
+    dir
+  }
+
+  private def state(dir: String): Map[Long, (String, Double, Long)] =
+    Apply.readMergeTable(spark, dir)
+      .select(col("id"), col("ticker"), col("price"), col("_version"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2),
+        r.getLong(3)))).toMap
+
+  private def slice(dir: String, from: Long, to: Long): Set[(Long, String)] =
+    spark.read.format("graft").option("path", dir)
+      .option("table", "changes.merge")
+      .option("sinceCommit", from.toString)
+      .option("untilCommit", to.toString).load()
+      .select(col("_key"), col("op")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("UPDATE advances the fold: one ledgered commit, new image at " +
+      "the advanced version, MODIFY events in the change slice") {
+    catalogReady
+    val dir = seed()
+    spark.sql(s"UPDATE graft_rl.`$dir`.merge " +
+      "SET price = 99.0, ticker = 'upd', _version = _version + 1 " +
+      "WHERE id <= 2")
+    assert(Apply.currentCommit(spark, dir) == 2L,
+      "one UPDATE statement must be one ledgered commit")
+    val s = state(dir)
+    assert(s(1L) == (("upd", 99.0, 11L)) && s(2L) == (("upd", 99.0, 11L)),
+      s"updated rows must carry the new image at the advanced version: $s")
+    assert((3L to 6L).forall(i => s(i) == ((s"t$i", i.toDouble, 10L))),
+      s"unmatched rows must be untouched: $s")
+    assert(slice(dir, 1L, 2L) == Set(1L -> "MODIFY", 2L -> "MODIFY"),
+      "a cascade must see the SQL UPDATE like any other commit")
+    // staging cleaned per statement
+    val staging = new java.io.File(s"$dir/_staging")
+    assert(Option(staging.listFiles()).getOrElse(Array.empty).isEmpty,
+      "a completed UPDATE must not leak its staged envelopes")
+  }
+
+  test("stale UPDATE is rejected all-or-nothing BEFORE the fold: no " +
+      "version advance → loud abort, nothing applied, no commit") {
+    catalogReady
+    val dir = seed()
+    // no _version assignment at all: every matched row is stale
+    val e1 = intercept[Exception](spark.sql(
+      s"UPDATE graft_rl.`$dir`.merge SET price = 1.0 WHERE id >= 3"))
+    assert(chain(e1).exists(m => m.contains("stale") &&
+      m.contains("_version")), chain(e1).mkString(" <- "))
+    assert(Apply.currentCommit(spark, dir) == 1L,
+      "a rejected UPDATE must not commit")
+    assert(state(dir)(3L) == (("t3", 3.0, 10L)), "nothing applied")
+    // MIXED statement: one fresh row, one stale row → the WHOLE
+    // statement aborts (the gate runs before the fold)
+    spark.sql(s"UPDATE graft_rl.`$dir`.merge SET _version = 13 " +
+      "WHERE id = 5") // 5 → version 13 (commit 2)
+    val e2 = intercept[Exception](spark.sql(
+      s"UPDATE graft_rl.`$dir`.merge SET _version = 13, price = 0.0 " +
+        "WHERE id IN (5, 6)")) // 5 stale (13 ≤ 13), 6 fresh (13 > 10)
+    assert(chain(e2).exists(_.contains("stale")),
+      chain(e2).mkString(" <- "))
+    val s = state(dir)
+    assert(s(6L) == (("t6", 6.0, 10L)),
+      s"the fresh half of a stale statement must NOT apply: $s")
+    assert(Apply.currentCommit(spark, dir) == 2L)
+  }
+
+  test("UPDATE cannot reassign the merge key — the key is the row's " +
+      "identity") {
+    catalogReady
+    val dir = seed()
+    val e = intercept[Exception](spark.sql(
+      s"UPDATE graft_rl.`$dir`.merge " +
+        "SET id = id + 100, _version = _version + 1 WHERE id = 1"))
+    assert(chain(e).exists(m => m.contains("reassign") ||
+      m.toLowerCase.contains("row id") ||
+      m.toLowerCase.contains("identity")), chain(e).mkString(" <- "))
+    assert(state(dir).keySet == (1L to 6L).toSet,
+      "a refused key reassignment must not mutate the table")
+    assert(Apply.currentCommit(spark, dir) == 1L)
+  }
+
+  test("predicate DELETE rides the row-level face: versioned REMOVE " +
+      "tombstones through the fold (key-equality DELETE stays the " +
+      "metadata purge — GraftCatalogSpec pins that flavor)") {
+    catalogReady
+    val dir = seed()
+    spark.sql(s"DELETE FROM graft_rl.`$dir`.merge WHERE price > 4.5")
+    assert(Apply.currentCommit(spark, dir) == 2L,
+      "one DELETE statement must be one ledgered commit")
+    assert(state(dir).keySet == Set(1L, 2L, 3L, 4L),
+      "rows matching the predicate must tombstone out")
+    assert(slice(dir, 1L, 2L) == Set(5L -> "REMOVE", 6L -> "REMOVE"),
+      "the tombstones must enter the change feed")
+    // replay-shaped idempotence: deleting the survivors' complement
+    // again matches nothing and commits nothing
+    spark.sql(s"DELETE FROM graft_rl.`$dir`.merge WHERE price > 4.5")
+    assert(Apply.currentCommit(spark, dir) == 2L,
+      "a DELETE matching no rows is a no-op, not a commit")
+  }
+
+  test("MERGE INTO: matched-update, matched-delete and not-matched-" +
+      "insert land as ONE fold commit with one change slice") {
+    catalogReady
+    val dir = seed()
+    import spark.implicits._
+    Seq((1L, "upd", 50.0, 0L), (2L, "del", 0.0, 0L),
+      (9L, "ins", 9.9, 20L))
+      .toDF("id", "action", "price", "v")
+      .createOrReplaceTempView("graft_rl_src")
+    spark.sql(
+      s"""MERGE INTO graft_rl.`$dir`.merge AS t
+         |USING graft_rl_src AS s ON t.id = s.id
+         |WHEN MATCHED AND s.action = 'del' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET price = s.price,
+         |  ticker = 'merged', _version = t._version + 1
+         |WHEN NOT MATCHED THEN INSERT (id, ticker, price, _version)
+         |  VALUES (s.id, 'ins', s.price, s.v)""".stripMargin)
+    assert(Apply.currentCommit(spark, dir) == 2L,
+      "one MERGE statement must be one ledgered commit")
+    val s = state(dir)
+    assert(s(1L) == (("merged", 50.0, 11L)), s"matched update: $s")
+    assert(!s.contains(2L), s"matched delete: $s")
+    assert(s(9L) == (("ins", 9.9, 20L)), s"not-matched insert: $s")
+    assert((3L to 6L).forall(i => s(i) == ((s"t$i", i.toDouble, 10L))),
+      s"untouched rows: $s")
+    assert(slice(dir, 1L, 2L) ==
+      Set(1L -> "MODIFY", 2L -> "REMOVE", 9L -> "MODIFY"),
+      "the slice must carry exactly the statement's effects")
+    val staging = new java.io.File(s"$dir/_staging")
+    assert(Option(staging.listFiles()).getOrElse(Array.empty).isEmpty,
+      "a completed MERGE must not leak its staged envelopes")
+  }
+
+  test("a MERGE whose update half does not advance the version aborts " +
+      "whole — the insert half must not survive the rejected statement") {
+    catalogReady
+    val dir = seed()
+    import spark.implicits._
+    Seq((1L, 50.0, 10L), (9L, 9.9, 20L)).toDF("id", "price", "v")
+      .createOrReplaceTempView("graft_rl_src2")
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft_rl.`$dir`.merge AS t
+         |USING graft_rl_src2 AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET price = s.price
+         |WHEN NOT MATCHED THEN INSERT (id, ticker, price, _version)
+         |  VALUES (s.id, 'ins', s.price, s.v)""".stripMargin))
+    assert(chain(e).exists(_.contains("stale")), chain(e).mkString(" <- "))
+    val s = state(dir)
+    assert(!s.contains(9L) && s(1L) == (("t1", 1.0, 10L)),
+      s"a rejected MERGE must apply NOTHING (all-or-nothing): $s")
+    assert(Apply.currentCommit(spark, dir) == 1L)
+  }
+}
