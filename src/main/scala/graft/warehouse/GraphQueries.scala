@@ -491,7 +491,7 @@ object GraphQueries {
       .join(e.as("e3"),
         col("e3.u") === col("e1.t") && col("e3.v") === col("e2.t"))
       .agg(count(lit(1)).as("n_triangles"))
-    e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(tri))
   }
 
   /** Degree histogram of a canonically-oriented edge list: undirected

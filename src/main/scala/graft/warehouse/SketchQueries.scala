@@ -150,7 +150,7 @@ object SketchQueries {
         val est = a.filter(keep(col(ak)))
           .join(b.filter(keep(col(bk))), col(ak) === col(bk))
           .agg((count(lit(1)) * JoinSampleRate).as("n_est"))
-        exact.crossJoin(est)
+        exact.crossJoin(broadcast(est)) // 1-row x 1-row, explicit
           .select(lit(name).as("join_pair"), col("n_exact"), col("n_est"),
             (col("n_est").cast("double") / col("n_exact").cast("double"))
               .as("ratio"))
@@ -232,7 +232,7 @@ object SketchQueries {
       val kth = h.orderBy(col("hv")).limit(k)
         .agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth_min_hash"))
       val exact = li.agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
-      kth.crossJoin(exact) // 1-row × 1-row
+      kth.crossJoin(broadcast(exact)) // 1-row × 1-row, explicit
         .withColumn("kmv_estimate",
           expr(s"((${k - 1} * 281474976710656) div kth_min_hash)"))
         .select(col("exact_distinct"), col("k_used"), col("kth_min_hash"),
