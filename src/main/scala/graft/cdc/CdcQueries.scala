@@ -188,6 +188,22 @@ object CdcQueries {
       tableDir
     }
 
+  /** q290's merge table — predicate DELETE end-to-end: unlike q284's
+    * key-equality DELETE (which Spark's metadata-delete optimization
+    * converts to the compliance purge), an arbitrary-predicate DELETE
+    * rides the row-level face — the scan finds the matched rows, task
+    * writers stage REMOVE envelopes at the scanned versions, and the
+    * fold tombstones them in ONE commit. Deterministic predicate
+    * (`event_type = 'error' OR value > 900`) keeps the closure
+    * DuckDB-recomputable. */
+  private[graft] def sqlDeletePredDir(s: SparkSession, d: String): String =
+    graft.util.Maintenance.getOrBuild("sqlDeletePredSeed", s, d) {
+      val tableDir = seedLatestStateTable(s, d, "graftsqldelp")
+      s.sql(s"DELETE FROM graft_sql.`$tableDir`.merge " +
+        "WHERE event_type = 'error' OR value > 900.0") // commit 2
+      tableDir
+    }
+
   /** Shared seed for the row-level gates: every event folded through
     * the real streamed merge path as commit 1, so the stored row per
     * user is the LATEST event (q33's closure) before the SQL statement
@@ -297,6 +313,18 @@ object CdcQueries {
     //    the matched users carrying the updated image one version up.
     "q288_sql_update" -> { (s, d) =>
       val dir = sqlUpdateDir(s, d)
+      Apply.readMergeTable(s, dir)
+        .select(col("user_id"), col("_version").as("last_event_id"),
+          col("event_type").as("last_type"),
+          cents(col("value")).as("last_value_cents"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- round 14: predicate SQL DELETE — the row-level flavor (q284
+    //    stays the key-equality metadata purge): matched rows
+    //    tombstone out of the latest-event state through the fold.
+    "q290_sql_delete_predicate" -> { (s, d) =>
+      val dir = sqlDeletePredDir(s, d)
       Apply.readMergeTable(s, dir)
         .select(col("user_id"), col("_version").as("last_event_id"),
           col("event_type").as("last_type"),
@@ -629,6 +657,18 @@ object CdcQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |    ORDER BY event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // The latest event per user MINUS the rows the predicate DELETE
+    // tombstoned (matched on the LATEST image, the scanned state).
+    "q290_sql_delete_predicate" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS last_value_cents
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 AND NOT (event_type = 'error' OR value > 900.0)
+        |ORDER BY user_id""".stripMargin,
 
     // The MERGE closure over the latest-event state: %4==1 users carry
     // the update image one version up, %4==2 users are deleted,

@@ -177,6 +177,74 @@ class GraftRowLevelSpec extends AnyFunSuite {
       "a completed MERGE must not leak its staged envelopes")
   }
 
+  test("MERGE ... WHEN NOT MATCHED BY SOURCE: target rows absent from " +
+      "the source delete/update through the same fold commit") {
+    catalogReady
+    val dir = seed()
+    import spark.implicits._
+    Seq((1L, 11.0)).toDF("id", "price")
+      .createOrReplaceTempView("graft_rl_src3")
+    spark.sql(
+      s"""MERGE INTO graft_rl.`$dir`.merge AS t
+         |USING graft_rl_src3 AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET price = s.price,
+         |  _version = t._version + 1
+         |WHEN NOT MATCHED BY SOURCE AND t.id >= 5 THEN DELETE""".stripMargin)
+    assert(Apply.currentCommit(spark, dir) == 2L)
+    val s = state(dir)
+    assert(s(1L) == (("t1", 11.0, 11L)), s"matched update: $s")
+    assert(s.keySet == Set(1L, 2L, 3L, 4L),
+      s"source-absent rows ≥ 5 must tombstone out: $s")
+    assert(slice(dir, 1L, 2L) ==
+      Set(1L -> "MODIFY", 5L -> "REMOVE", 6L -> "REMOVE"))
+  }
+
+  test("only COMMITTED task files fold: a zombie staged file is " +
+      "ignored by the commit and swept once it ages out") {
+    catalogReady
+    val dir = seed()
+    import spark.implicits._
+    // a crashed/speculative attempt's orphan: valid envelope parquet
+    // in the staging area that no committed message names
+    val zombieDir = s"$dir/_staging/rowlevel-zombie/tasks"
+    Seq(("MODIFY", 999L, 99L, (999L, "zombie", 6.66)))
+      .toDF("op", "key", "_version", "after")
+      .write.parquet(s"$zombieDir/z.parquet")
+    spark.sql(s"UPDATE graft_rl.`$dir`.merge " +
+      "SET ticker = 'upd', _version = _version + 1 WHERE id = 1")
+    val s = state(dir)
+    assert(!s.contains(999L),
+      s"the zombie envelope must never reach the fold: $s")
+    assert(s(1L) == (("upd", 1.0, 11L)))
+    // fresh zombie staging survives the statement (age grace protects
+    // in-flight writers)...
+    val zroot = new java.io.File(s"$dir/_staging/rowlevel-zombie")
+    assert(zroot.exists())
+    // ...and is swept once old
+    def backdate(f: java.io.File): Unit = {
+      f.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+      ()
+    }
+    backdate(zroot)
+    spark.sql(s"UPDATE graft_rl.`$dir`.merge " +
+      "SET ticker = 'upd2', _version = _version + 1 WHERE id = 1")
+    assert(!zroot.exists(),
+      "an aged-out stranded staging dir must be swept by the next " +
+        "statement")
+  }
+
+  test("the row-level matched-row scan pushes the statement predicate " +
+      "into the parquet scan (the delegate's pushdown is intact)") {
+    catalogReady
+    val dir = seed()
+    val plan = spark.sql(s"EXPLAIN FORMATTED UPDATE graft_rl.`$dir`" +
+      ".merge SET _version = _version + 1 WHERE id = 3")
+      .head.getString(0)
+    assert(plan.contains("EqualTo(id,3)"),
+      s"the UPDATE condition must reach the scan as a pushed filter:\n" +
+        plan.take(2000))
+  }
+
   test("a MERGE whose update half does not advance the version aborts " +
       "whole — the insert half must not survive the rejected statement") {
     catalogReady
