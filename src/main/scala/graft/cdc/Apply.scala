@@ -485,6 +485,76 @@ object Apply {
   private[graft] def sweepStagingFor(spark: SparkSession,
       tableDir: String): Unit = sweepStaging(spark, tableDir)
 
+  /** SQL DDL FACE (round 14): create an EMPTY merge table — the verb
+    * behind `CREATE TABLE <cat>.`<dir>`.merge (…) TBLPROPERTIES
+    * (key_col '<k>')`. Writes commit 0: a manifest with ZERO buckets
+    * carrying the lifetime invariants (nBuckets, keyCol, layout) plus
+    * a CREATION-SCHEMA sidecar (`_graft_create_schema.json`) that
+    * serves the catalog read face while the table holds no data (a
+    * parquet snapshot with no paths cannot infer its own schema). The
+    * schema must carry the key column and `_version` — the fold axes
+    * every later write is checked against. From here the whole
+    * lifecycle is SQL: INSERT (the versioned upsert), UPDATE / MERGE
+    * INTO / predicate DELETE (the row-level fold), key DELETE (the
+    * purge). Time travel to commit 0 reads the empty state. */
+  def createTable(spark: SparkSession, tableDir: String,
+      schema: StructType, keyCol: String, nBuckets: Int = 16): Unit = {
+    val hc = graft.util.Hfs.conf(spark)
+    val root = new HPath(tableDir)
+    require(schema.fieldNames.contains(keyCol),
+      s"CREATE TABLE $tableDir: schema must carry the key column " +
+        s"'$keyCol' (got ${schema.fieldNames.mkString(", ")})")
+    require(schema.fieldNames.contains("_version"),
+      s"CREATE TABLE $tableDir: schema must carry the _version column " +
+        "— the merge fold is versioned (latest per key wins) and every " +
+        "write face requires it")
+    require(nBuckets > 0, s"CREATE TABLE $tableDir: nBuckets must be " +
+      s"positive, got $nBuckets (a lifetime invariant of the table)")
+    if (readMeta(root, hc).isDefined) sys.error(
+      s"$tableDir already holds a merge table — CREATE refuses to " +
+        "touch it (rewinds are restore; removal is out-of-band)")
+    graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
+      graft.util.Hfs.writeStringAtomic(
+        new HPath(root, CreateSchemaName), schema.json, hc)
+      writeManifest(root, nBuckets, Map.empty, Map.empty, 0L, hc,
+        archive = true, keyCol = Some(keyCol))
+    }
+  }
+
+  private[graft] val CreateSchemaName = "_graft_create_schema.json"
+
+  /** The CREATE-time schema, if this table was stood up via
+    * [[createTable]] — the read face for a merge snapshot with no
+    * buckets (freshly created, or every row since deleted). */
+  private[graft] def createSchemaOf(spark: SparkSession,
+      tableDir: String): Option[StructType] = {
+    val hc = graft.util.Hfs.conf(spark)
+    val p = new HPath(new HPath(tableDir), CreateSchemaName)
+    if (graft.util.Hfs.exists(p, hc))
+      Some(org.apache.spark.sql.types.DataType
+        .fromJson(graft.util.Hfs.readString(p, hc))
+        .asInstanceOf[StructType])
+    else None
+  }
+
+  /** Is the merge snapshot at `commit` (or the current one) EMPTY —
+    * a committed manifest with zero buckets? Distinct from "not a
+    * table" (no manifest at all). */
+  private[graft] def mergeSnapshotEmpty(spark: SparkSession,
+      tableDir: String, commit: Option[Long]): Boolean = {
+    val hc = graft.util.Hfs.conf(spark)
+    val root = new HPath(tableDir)
+    commit match {
+      case None => readMeta(root, hc).exists(_.buckets.isEmpty)
+      case Some(c) =>
+        val hp = historyPath(root, c)
+        readMeta(root, hc).isDefined &&
+          c <= currentCommit(spark, tableDir) &&
+          graft.util.Hfs.exists(hp, hc) &&
+          parseMeta(graft.util.Hfs.readString(hp, hc)).buckets.isEmpty
+    }
+  }
+
   private[graft] val StagingDirName = "_staging"
 
   /** Reclaim CRASHED statements' staged envelopes: a kill between an

@@ -204,6 +204,35 @@ object CdcQueries {
       tableDir
     }
 
+  /** q291's merge table — the FULL SQL LIFECYCLE, no library verb in
+    * sight: `CREATE TABLE` (commit 0: empty manifest + creation-schema
+    * sidecar), `INSERT INTO … SELECT` every event (commit 1: the
+    * versioned fold keeps the latest per user), `UPDATE` every fifth
+    * user (commit 2: the row-level face, version advanced), and a
+    * predicate `DELETE` (commit 3: row-level tombstones). A Redshift
+    * analyst's whole workflow, reproduced on the fold. */
+  private[graft] def sqlLifecycleDir(s: SparkSession, d: String): String =
+    graft.util.Maintenance.getOrBuild("sqlLifecycleSeed", s, d) {
+      val base = java.nio.file.Files
+        .createTempDirectory("graftsqlcre").toString
+      val tableDir = s"$base/table"
+      s.conf.set("spark.sql.catalog.graft_sql",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.sql(s"CREATE TABLE graft_sql.`$tableDir`.merge (" +
+        "user_id BIGINT, event_type STRING, value DOUBLE, " +
+        "_version BIGINT) TBLPROPERTIES (key_col 'user_id')")
+      Tables.events(s, d).createOrReplaceTempView("graft_lifecycle_events")
+      s.sql(s"INSERT INTO graft_sql.`$tableDir`.merge " +
+        "SELECT user_id, event_type, value, event_id " +
+        "FROM graft_lifecycle_events")
+      s.sql(s"UPDATE graft_sql.`$tableDir`.merge SET value = 11.0, " +
+        "event_type = 'lifted', _version = _version + 1 " +
+        "WHERE user_id % 5 = 0")
+      s.sql(s"DELETE FROM graft_sql.`$tableDir`.merge " +
+        "WHERE value > 950.0")
+      tableDir
+    }
+
   /** Shared seed for the row-level gates: every event folded through
     * the real streamed merge path as commit 1, so the stored row per
     * user is the LATEST event (q33's closure) before the SQL statement
@@ -325,6 +354,18 @@ object CdcQueries {
     //    tombstone out of the latest-event state through the fold.
     "q290_sql_delete_predicate" -> { (s, d) =>
       val dir = sqlDeletePredDir(s, d)
+      Apply.readMergeTable(s, dir)
+        .select(col("user_id"), col("_version").as("last_event_id"),
+          col("event_type").as("last_type"),
+          cents(col("value")).as("last_value_cents"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- round 14: the FULL SQL LIFECYCLE — CREATE TABLE → INSERT →
+    //    UPDATE → predicate DELETE, four commits, zero library verbs;
+    //    the table must read as the composed closure.
+    "q291_sql_lifecycle" -> { (s, d) =>
+      val dir = sqlLifecycleDir(s, d)
       Apply.readMergeTable(s, dir)
         .select(col("user_id"), col("_version").as("last_event_id"),
           col("event_type").as("last_type"),
@@ -668,6 +709,24 @@ object CdcQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |    ORDER BY event_id DESC) AS rn FROM events)
         |WHERE rn = 1 AND NOT (event_type = 'error' OR value > 900.0)
+        |ORDER BY user_id""".stripMargin,
+
+    // The CREATE→INSERT→UPDATE→DELETE closure: latest event per user,
+    // every fifth user lifted to (lifted, 11.0) one version up, then
+    // rows whose FINAL value exceeds 950 deleted (lifted rows are 11.0,
+    // so only un-lifted users can match).
+    "q291_sql_lifecycle" ->
+      """SELECT user_id,
+        |  CASE WHEN user_id % 5 = 0 THEN event_id + 1 ELSE event_id END
+        |    AS last_event_id,
+        |  CASE WHEN user_id % 5 = 0 THEN 'lifted' ELSE event_type END
+        |    AS last_type,
+        |  CASE WHEN user_id % 5 = 0 THEN 1100
+        |    ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END
+        |    AS last_value_cents
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 AND (user_id % 5 = 0 OR NOT value > 950.0)
         |ORDER BY user_id""".stripMargin,
 
     // The MERGE closure over the latest-event state: %4==1 users carry

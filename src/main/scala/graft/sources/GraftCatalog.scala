@@ -44,11 +44,19 @@ import graft.util.Generations
   * every store kind, because they share the archive protocol). Change
   * feeds position by offset window, not snapshot, so they reject both.
   *
-  * The catalog is READ-ONLY by design: every store's write path is a
-  * SEMANTIC fold (merge, dedup, postings, index maintenance) behind
-  * the writer lease and the batch ledger — a raw SQL INSERT has no
-  * meaning against them, and pretending otherwise would bypass
-  * exactly-once. Mutations stay library verbs; DDL throws loudly.
+  * Writability is SURFACE-SCOPED: the CURRENT merge surface carries
+  * the full SQL lifecycle — CREATE TABLE (round 14, `key_col`
+  * TBLPROPERTY → [[graft.cdc.Apply.createTable]]), INSERT (the
+  * versioned-upsert fold), UPDATE / MERGE INTO / predicate DELETE
+  * (the row-level fold), key-equality DELETE (the purge) — every verb
+  * routed through the SAME leased, ledgered fold, never a raw file
+  * write. Every OTHER surface is read-only by design: slice/snapshot
+  * stores are the outputs of semantic folds (dedup, postings, index
+  * maintenance) behind the writer lease and the batch ledger — a raw
+  * SQL write has no meaning against them, and pretending otherwise
+  * would bypass exactly-once. ALTER/DROP/RENAME throw loudly
+  * everywhere (schema evolves through the fold's mergeSchema;
+  * destructive removal is out-of-band).
   */
 class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
@@ -92,7 +100,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private def load(ident: Identifier, commit: Option[Long]): Table = {
     val (dir, table) = parse(ident)
-    GraftTables.resolveTable(SparkSession.active, dir, table, commit,
+    val spark = SparkSession.active
+    // ABSENCE is a typed NoSuchTableException (round 14): CREATE TABLE
+    // / tableExists probe through loadTable, and a generic error here
+    // would fail the probe instead of answering it. The store's OWN
+    // manifest file is the existence witness — one rule for every
+    // surface kind. Malformed/vacuumed stores still fail loudly at
+    // resolution below.
+    val meta = GraftTables.metaNameOf(table)
+    if (!graft.util.Hfs.exists(
+        new org.apache.hadoop.fs.Path(s"$dir/$meta"),
+        graft.util.Hfs.conf(spark)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    GraftTables.resolveTable(spark, dir, table, commit,
       CaseInsensitiveStringMap.empty())
   }
 
@@ -169,13 +190,50 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       "batch-id ledger (maintainBatch / startMerge / purge / compact); " +
       "a raw DDL/DML verb would bypass exactly-once")
 
+  /** SQL `CREATE TABLE <cat>.`<dir>`.merge (cols…) TBLPROPERTIES
+    * (key_col '<k>' [, buckets 'n'])` (round 14) — stands up an EMPTY
+    * merge table entirely in SQL ([[graft.cdc.Apply.createTable]]:
+    * commit-0 manifest carrying the lifetime invariants + the
+    * creation-schema sidecar). Only the MERGE surface is creatable:
+    * every other store kind is the OUTPUT of a semantic fold
+    * (postings/ledger/graph/index builds), not a container one can
+    * declare empty. The schema must carry `key_col` and `_version`.
+    * CTAS works too (CREATE + the V1 INSERT fold). From here the full
+    * lifecycle is SQL: INSERT → UPDATE / MERGE INTO / DELETE →
+    * SELECT, with VERSION AS OF 0 reading the empty state. DROP stays
+    * refused (destructive removal is out-of-band by design). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: JMap[String, String]): Table = readOnly("CREATE TABLE")
+      properties: JMap[String, String]): Table = {
+    val (dir, table) = parse(ident)
+    require(table == "merge",
+      s"CREATE TABLE supports only the merge surface — '$table' is " +
+        "the output of a semantic fold verb, not a declarable " +
+        "container (build it with its library fold)")
+    require(partitions.isEmpty,
+      "graft merge tables bucket by xxhash64(key) internally — " +
+        "PARTITIONED BY is not supported")
+    val props = properties
+    val keyCol = Option(props.get("key_col"))
+      .orElse(Option(props.get("keycol")))
+      .getOrElse(sys.error(
+        "CREATE TABLE on a graft merge surface requires TBLPROPERTIES " +
+          "(key_col '<column>') — the merge key is a lifetime " +
+          "invariant of the table (it IS the bucket hash)"))
+    val nBuckets = Option(props.get("buckets")).map(_.toInt).getOrElse(16)
+    graft.cdc.Apply.createTable(SparkSession.active, dir, schema,
+      keyCol, nBuckets)
+    load(ident, None)
+  }
 
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform],
-      properties: JMap[String, String]): Table = readOnly("CREATE TABLE")
+      properties: JMap[String, String]): Table =
+    createTable(ident,
+      StructType(columns.map(c =>
+        org.apache.spark.sql.types.StructField(c.name, c.dataType,
+          c.nullable)).toIndexedSeq),
+      partitions, properties)
 
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = readOnly("ALTER TABLE")

@@ -83,7 +83,9 @@ import graft.cdc.{Apply, Envelope}
   * feed, so cascades converge either way.
   */
 private[sources] final class GraftRowLevelOperation(
-    delegate: ParquetTable, spark: SparkSession, dir: String,
+    delegate: org.apache.spark.sql.connector.catalog.Table
+      with org.apache.spark.sql.connector.catalog.SupportsRead,
+    spark: SparkSession, dir: String,
     label: String, keyCol: String, cmd: RowLevelOperation.Command)
   extends org.apache.spark.sql.connector.write.SupportsDelta {
 

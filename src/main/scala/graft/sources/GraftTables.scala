@@ -117,7 +117,8 @@ class GraftTables extends TableProvider with DataSourceRegister {
   * `readStream` on a snapshot fails Spark's capability check with the
   * table's name, and this paragraph is the contract that makes that
   * refusal deliberate rather than an oversight. */
-private[sources] final class GraftSnapshotTable(delegate: ParquetTable,
+private[sources] final class GraftSnapshotTable(
+    delegate: Table with SupportsRead,
     spark: SparkSession, dir: String, label: String, writable: Boolean)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with SupportsRowLevelOperations {
@@ -186,7 +187,7 @@ private[sources] final class GraftSnapshotTable(delegate: ParquetTable,
       s"DELETE on '$label' supports only key-equality predicates " +
         s"($k = v / $k IN (...)): the purge verb is key-addressed; " +
         "for arbitrary predicates, select the keys and call purgeKeys"))
-    val keyType = delegate.schema(k).dataType
+    val keyType = delegate.schema().apply(k).dataType
     val keys = spark.createDataFrame(
       spark.sparkContext.parallelize(vals.map(Row(_)), 1),
       StructType(Seq(StructField(k, keyType))))
@@ -248,6 +249,46 @@ private[sources] final class GraftSnapshotTable(delegate: ParquetTable,
   }
 }
 
+/** The zero-row read delegate behind an EMPTY merge snapshot: schema
+  * from the CREATE-time sidecar, a scan that plans NO partitions.
+  * [[GraftSnapshotTable]] wraps it exactly like a parquet delegate, so
+  * the write/delete/row-level faces are identical code. */
+private[sources] final class EmptyMergeDelegate(nameV: String,
+    schemaV: StructType)
+  extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan}
+  override def name(): String = nameV
+  override def schema(): StructType = schemaV
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): JMap[String, String] =
+    java.util.Collections.emptyMap()
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schemaV
+        override def description(): String = s"$nameV (empty snapshot)"
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            Array.empty
+          override def createReaderFactory(): PartitionReaderFactory =
+            EmptyMergeDelegate.NoPartitions
+        }
+      }
+    }
+}
+
+private[sources] object EmptyMergeDelegate {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+  object NoPartitions extends PartitionReaderFactory {
+    override def createReader(p: InputPartition)
+        : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+      throw new IllegalStateException(
+        "empty merge snapshot plans no partitions")
+  }
+}
+
 /** Resolution shared by the provider (`format("graft")`, option-
   * addressed) and the CATALOG face ([[GraftCatalog]], identifier-
   * addressed with `VERSION AS OF` / `TIMESTAMP AS OF`). */
@@ -290,6 +331,21 @@ object GraftTables {
             "changes.sem.{vecs,pairs,purged} and " +
             "changes.ledger.{sigs,postings,purged}")
       }
+    } else if (table == "merge" &&
+        graft.cdc.Apply.mergeSnapshotEmpty(spark, dir, commit)) {
+      // an EMPTY merge snapshot (freshly CREATEd, or every row since
+      // deleted): no parquet paths exist to infer a schema from, so
+      // the CREATE-time schema sidecar serves the read face — zero
+      // rows, full write faces (INSERT seeds it; MERGE INTO an empty
+      // target with NOT MATCHED INSERT is a natural first load)
+      val schema = graft.cdc.Apply.createSchemaOf(spark, dir)
+        .getOrElse(sys.error(
+          s"$dir is an empty merge table with no creation schema — it " +
+            "was seeded outside CREATE TABLE and then fully emptied; " +
+            "re-seed with startMerge/INSERT via the library verbs"))
+      val name = s"graft:merge@${commit.getOrElse("current")}:$dir"
+      new GraftSnapshotTable(new EmptyMergeDelegate(name, schema), spark,
+        dir, table, writable = commit.isEmpty)
     } else {
       val (paths, extra) = pathsOf(spark, dir, table, commit)
       val name = s"graft:$table@${commit.getOrElse("current")}:$dir"

@@ -247,6 +247,10 @@ object Maintenance {
     "mergeFeedSeed"   -> ((s, d) => graft.cdc.CdcQueries.mergeFeedDir(s, d)),
     "sqlInsertSeed"   -> ((s, d) => graft.cdc.CdcQueries.sqlInsertDir(s, d)),
     "sqlDeleteSeed"   -> ((s, d) => graft.cdc.CdcQueries.sqlDeleteDir(s, d)),
+    "sqlUpdateSeed"   -> ((s, d) => graft.cdc.CdcQueries.sqlUpdateDir(s, d)),
+    "sqlMergeSeed"    -> ((s, d) => graft.cdc.CdcQueries.sqlMergeDir(s, d)),
+    "sqlDeletePredSeed" -> ((s, d) => graft.cdc.CdcQueries.sqlDeletePredDir(s, d)),
+    "sqlLifecycleSeed" -> ((s, d) => graft.cdc.CdcQueries.sqlLifecycleDir(s, d)),
     "upsertStoreSeed" -> ((s, d) => graft.text.LmQueries.upsertStoreDir(s, d)),
     "graphStoreSeed"  -> ((s, d) => graft.warehouse.GraphQueries.graphStoreDir(s, d)),
     "graphCascadeSeed" -> ((s, d) => graft.warehouse.GraphQueries.graphCascadeDir(s, d)),

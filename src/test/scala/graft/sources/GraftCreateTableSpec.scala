@@ -1,0 +1,141 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.cdc.Apply
+
+/** SQL CREATE TABLE on the merge surface (round 14): stand up an empty
+  * table entirely in SQL, read it empty (the creation-schema sidecar
+  * serves the zero-path snapshot), write it through every SQL face,
+  * time-travel back to the empty commit — and refuse everything that
+  * would break the fold's invariants. */
+class GraftCreateTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val catalogReady: Unit = spark.conf.set(
+    "spark.sql.catalog.graft_ct", classOf[GraftCatalog].getName)
+
+  private def chain(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+
+  test("CREATE TABLE → empty read → INSERT → UPDATE → DELETE → " +
+      "VERSION AS OF 0: the full lifecycle with no library verb") {
+    catalogReady
+    val dir = Files.createTempDirectory("graftct").toString + "/t"
+    spark.sql(s"CREATE TABLE graft_ct.`$dir`.merge " +
+      "(id BIGINT, ticker STRING, price DOUBLE, _version BIGINT) " +
+      "TBLPROPERTIES (key_col 'id')")
+    assert(Apply.currentCommit(spark, dir) == 0L)
+    // empty read through SQL: zero rows, declared schema, key axes
+    // non-nullable
+    val empty = spark.sql(s"SELECT * FROM graft_ct.`$dir`.merge")
+    assert(empty.count() == 0L)
+    assert(empty.schema.fieldNames.toSeq ==
+      Seq("id", "ticker", "price", "_version"))
+    assert(!empty.schema("id").nullable && !empty.schema("_version").nullable)
+    // IF NOT EXISTS on an existing table is a no-op; bare CREATE refuses
+    spark.sql(s"CREATE TABLE IF NOT EXISTS graft_ct.`$dir`.merge " +
+      "(id BIGINT, _version BIGINT) TBLPROPERTIES (key_col 'id')")
+    val dup = intercept[Exception](spark.sql(
+      s"CREATE TABLE graft_ct.`$dir`.merge " +
+        "(id BIGINT, _version BIGINT) TBLPROPERTIES (key_col 'id')"))
+    assert(chain(dup).exists(m => m.contains("already") ||
+      m.contains("TABLE_OR_VIEW_ALREADY_EXISTS")), chain(dup).mkString(" <- "))
+    // the lifecycle
+    spark.sql(s"INSERT INTO graft_ct.`$dir`.merge VALUES " +
+      "(1, 'a', 1.0, 10), (2, 'b', 2.0, 10), (3, 'c', 990.0, 10)")
+    spark.sql(s"UPDATE graft_ct.`$dir`.merge " +
+      "SET ticker = 'upd', _version = _version + 1 WHERE id = 1")
+    spark.sql(s"DELETE FROM graft_ct.`$dir`.merge WHERE price > 900.0")
+    val got = spark.sql(s"SELECT id, ticker, _version FROM " +
+      s"graft_ct.`$dir`.merge ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "upd", 11L), (2L, "b", 10L)))
+    assert(Apply.currentCommit(spark, dir) == 3L,
+      "INSERT, UPDATE and DELETE must each be one ledgered commit")
+    // time travel to the empty creation state
+    assert(spark.sql(s"SELECT * FROM graft_ct.`$dir`.merge " +
+      "VERSION AS OF 0").count() == 0L)
+    // the change feed covers the WHOLE history (commit 0 stamped the
+    // enabled marker)
+    val feed = spark.read.format("graft").option("path", dir)
+      .option("table", "changes.merge").option("sinceCommit", "0").load()
+      .select(col("op"), col("_key")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(feed == Set(("MODIFY", 1L), ("MODIFY", 2L), ("MODIFY", 3L),
+      ("REMOVE", 3L)),
+      s"the lifecycle's commits must all ride the feed: $feed")
+  }
+
+  test("MERGE INTO an EMPTY created table is a valid first load " +
+      "(NOT MATCHED inserts through the row-level face)") {
+    catalogReady
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftct2").toString + "/t"
+    spark.sql(s"CREATE TABLE graft_ct.`$dir`.merge " +
+      "(id BIGINT, ticker STRING, price DOUBLE, _version BIGINT) " +
+      "TBLPROPERTIES (key_col 'id', buckets '8')")
+    Seq((7L, 7.0, 1L), (8L, 8.0, 1L)).toDF("id", "price", "v")
+      .createOrReplaceTempView("graft_ct_src")
+    spark.sql(
+      s"""MERGE INTO graft_ct.`$dir`.merge AS t
+         |USING graft_ct_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET price = s.price,
+         |  _version = t._version + 1
+         |WHEN NOT MATCHED THEN INSERT (id, ticker, price, _version)
+         |  VALUES (s.id, 'first', s.price, s.v)""".stripMargin)
+    val got = spark.sql(
+      s"SELECT id, ticker FROM graft_ct.`$dir`.merge ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((7L, "first"), (8L, "first")))
+    assert(Apply.currentCommit(spark, dir) == 1L)
+  }
+
+  test("CTAS: CREATE TABLE ... AS SELECT seeds through the real fold") {
+    catalogReady
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftct3").toString + "/t"
+    Seq((1L, "x", 5.0, 3L), (1L, "y", 6.0, 7L), (2L, "z", 1.0, 1L))
+      .toDF("id", "ticker", "price", "_version")
+      .createOrReplaceTempView("graft_ct_ctas_src")
+    spark.sql(s"CREATE TABLE graft_ct.`$dir`.merge " +
+      "TBLPROPERTIES (key_col 'id') AS " +
+      "SELECT * FROM graft_ct_ctas_src")
+    val got = spark.sql(
+      s"SELECT id, ticker FROM graft_ct.`$dir`.merge ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "y"), (2L, "z")),
+      s"CTAS rows must ride the versioned fold (latest per key): $got")
+  }
+
+  test("CREATE TABLE refuses: missing key_col, non-merge surfaces, " +
+      "PARTITIONED BY, schema without _version or the key") {
+    catalogReady
+    val dir = Files.createTempDirectory("graftct4").toString
+    def fails(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(chain(e).exists(_.toLowerCase.contains(needle.toLowerCase)),
+        s"[$sql] -> ${chain(e).mkString(" <- ")}")
+    }
+    fails(s"CREATE TABLE graft_ct.`$dir/a`.merge (id BIGINT, _version " +
+      "BIGINT)", "key_col")
+    fails(s"CREATE TABLE graft_ct.`$dir/b`.`postings.doclen` " +
+      "(id BIGINT, _version BIGINT) TBLPROPERTIES (key_col 'id')",
+      "merge surface")
+    fails(s"CREATE TABLE graft_ct.`$dir/c`.merge (id BIGINT, _version " +
+      "BIGINT) PARTITIONED BY (id) TBLPROPERTIES (key_col 'id')",
+      "PARTITIONED")
+    fails(s"CREATE TABLE graft_ct.`$dir/d`.merge (id BIGINT) " +
+      "TBLPROPERTIES (key_col 'id')", "_version")
+    fails(s"CREATE TABLE graft_ct.`$dir/e`.merge (id BIGINT, _version " +
+      "BIGINT) TBLPROPERTIES (key_col 'nope')", "key column")
+    // none of the refusals left a table behind
+    Seq("a", "b", "c", "d", "e").foreach { p =>
+      assert(!new java.io.File(s"$dir/$p/_graft_table_meta.json").exists())
+    }
+  }
+}

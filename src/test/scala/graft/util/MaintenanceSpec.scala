@@ -81,9 +81,10 @@ class MaintenanceSpec extends AnyFunSuite {
       "ivfPqStoreSeed", "semStoreSeed", "semUpsertSeed", "semDecontamSeed",
       "ivfUpsertSeed", "ivfPqUpsertSeed",
       "cascadeMergeSeed", "semCascadeSeed", "ivfCascadeSeed",
-      "cascadeSetSeed",
+      "cascadeSetSeed", "cascadeSetAllSeed",
       "postingsStoreSeed", "procStoreSeed", "mergeFeedSeed", "sqlInsertSeed",
-      "sqlDeleteSeed",
+      "sqlDeleteSeed", "sqlUpdateSeed", "sqlMergeSeed", "sqlDeletePredSeed",
+      "sqlLifecycleSeed",
       "upsertStoreSeed", "graphStoreSeed", "graphCascadeSeed",
       "linkageLedger", "linkageBase", "shardExportSeed", "pipelineSeed",
       "zorderLayout", "bucketedPair", "coPurchasePairs", "lpaLabels",
