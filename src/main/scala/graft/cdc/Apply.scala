@@ -521,6 +521,46 @@ object Apply {
     }
   }
 
+  /** SQL `ALTER TABLE … ADD COLUMNS (…)` (round 14): schema evolution
+    * as a DECLARED verb. The fold has always evolved schemas physically
+    * (mergeSchema reads across generations; a wider envelope widens the
+    * next generation), but the CATALOG face validates writes against
+    * the table's declared schema — so an added column must be declared
+    * before SQL can write it. This verb appends the new fields to the
+    * declared-schema sidecar (creating it from the current read schema
+    * for tables seeded outside CREATE TABLE); the read face then serves
+    * sidecar-only columns as NULL until data carries them (exactly how
+    * parquet serves a column missing from old files). Appended fields
+    * must be new names and are always nullable (old rows have no
+    * value); dropping/renaming/retyping is refused — those rewrite
+    * data, which is the fold's job (compact), not DDL's. */
+  def addColumns(spark: SparkSession, tableDir: String,
+      fields: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    val hc = graft.util.Hfs.conf(spark)
+    val root = new HPath(tableDir)
+    val m = readMeta(root, hc).getOrElse(sys.error(
+      s"$tableDir is not a merge table (no $MetaName) — nothing to ALTER"))
+    graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
+      val declared = createSchemaOf(spark, tableDir).getOrElse {
+        // seeded outside CREATE TABLE: the current read schema is the
+        // baseline declaration
+        require(m.buckets.nonEmpty, s"$tableDir has no declared schema " +
+          "and no data to infer one from")
+        spark.read.option("mergeSchema", "true")
+          .parquet(snapshotBucketDirs(spark, tableDir, None): _*).schema
+      }
+      val dup = fields.map(_.name).intersect(declared.fieldNames.toSeq)
+      require(dup.isEmpty,
+        s"ALTER TABLE $tableDir: column(s) ${dup.mkString(", ")} " +
+          "already exist")
+      val widened = StructType(
+        declared.fields.toIndexedSeq ++
+          fields.map(_.copy(nullable = true)))
+      graft.util.Hfs.writeStringAtomic(
+        new HPath(root, CreateSchemaName), widened.json, hc)
+    }
+  }
+
   private[graft] val CreateSchemaName = "_graft_create_schema.json"
 
   /** The CREATE-time schema, if this table was stood up via

@@ -233,6 +233,39 @@ object CdcQueries {
       tableDir
     }
 
+  /** q292's merge table — SQL SCHEMA EVOLUTION end-to-end: CREATE with
+    * the base schema, INSERT the early event window, `ALTER TABLE ADD
+    * COLUMNS (etype2 STRING)`, then INSERT the late window WITH the
+    * new column (upper-cased event type). Early rows read etype2 as
+    * NULL (the declared-schema widening — parquet's missing-column
+    * contract); late rows carry it; the fold keeps latest per user
+    * across both windows. */
+  private[graft] def sqlEvolutionDir(s: SparkSession, d: String): String =
+    graft.util.Maintenance.getOrBuild("sqlEvolutionSeed", s, d) {
+      val ev = Tables.events(s, d)
+      val cut = ev.agg(max(col("event_id"))).head.getLong(0) / 2
+      val base = java.nio.file.Files
+        .createTempDirectory("graftsqlevo").toString
+      val tableDir = s"$base/table"
+      s.conf.set("spark.sql.catalog.graft_sql",
+        classOf[graft.sources.GraftCatalog].getName)
+      ev.createOrReplaceTempView("graft_evolution_events")
+      s.sql(s"CREATE TABLE graft_sql.`$tableDir`.merge (" +
+        "user_id BIGINT, event_type STRING, value DOUBLE, " +
+        "_version BIGINT) TBLPROPERTIES (key_col 'user_id')")
+      s.sql(s"INSERT INTO graft_sql.`$tableDir`.merge " +
+        "SELECT user_id, event_type, value, event_id " +
+        s"FROM graft_evolution_events WHERE event_id <= $cut")
+      s.sql(s"ALTER TABLE graft_sql.`$tableDir`.merge " +
+        "ADD COLUMNS (etype2 STRING)")
+      s.sql(s"INSERT INTO graft_sql.`$tableDir`.merge " +
+        "(user_id, event_type, value, _version, etype2) " +
+        "SELECT user_id, event_type, value, event_id, " +
+        "upper(event_type) " +
+        s"FROM graft_evolution_events WHERE event_id > $cut")
+      tableDir
+    }
+
   /** Shared seed for the row-level gates: every event folded through
     * the real streamed merge path as commit 1, so the stored row per
     * user is the LATEST event (q33's closure) before the SQL statement
@@ -370,6 +403,18 @@ object CdcQueries {
         .select(col("user_id"), col("_version").as("last_event_id"),
           col("event_type").as("last_type"),
           cents(col("value")).as("last_value_cents"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- round 14: SQL schema evolution — ALTER TABLE ADD COLUMNS
+    //    between two INSERT windows; early-window winners read the new
+    //    column as NULL, late-window winners carry it.
+    "q292_sql_evolution" -> { (s, d) =>
+      val dir = sqlEvolutionDir(s, d)
+      s.sql(s"SELECT * FROM graft_sql.`$dir`.merge")
+        .select(col("user_id"), col("_version").as("last_event_id"),
+          col("event_type").as("last_type"),
+          cents(col("value")).as("last_value_cents"), col("etype2"))
         .orderBy(col("user_id"))
     },
 
@@ -728,6 +773,19 @@ object CdcQueries {
         |    ORDER BY event_id DESC) AS rn FROM events)
         |WHERE rn = 1 AND (user_id % 5 = 0 OR NOT value > 950.0)
         |ORDER BY user_id""".stripMargin,
+
+    // Latest event per user; winners from the post-ALTER window carry
+    // the upper-cased etype2, earlier winners read it as NULL.
+    "q292_sql_evolution" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS last_value_cents,
+        |  CASE WHEN event_id > (SELECT MAX(event_id) // 2 FROM events)
+        |    THEN UPPER(event_type) ELSE NULL END AS etype2
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // The MERGE closure over the latest-event state: %4==1 users carry
     // the update image one version up, %4==2 users are deleted,

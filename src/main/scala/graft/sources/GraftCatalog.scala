@@ -235,8 +235,38 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           c.nullable)).toIndexedSeq),
       partitions, properties)
 
+  /** SQL `ALTER TABLE … ADD COLUMNS (…)` on the merge surface
+    * (round 14): the declared-schema evolution verb
+    * ([[graft.cdc.Apply.addColumns]] — new columns read as NULL until
+    * data carries them, exactly parquet's missing-column contract).
+    * Everything else (DROP/RENAME/retype/positioned adds) refuses:
+    * those rewrite data, which is the fold's job, not DDL's. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = readOnly("ALTER TABLE")
+      changes: TableChange*): Table = {
+    val (dir, table) = parse(ident)
+    require(table == "merge",
+      s"ALTER TABLE supports only the merge surface — '$table' is " +
+        "maintained by its library fold verbs")
+    val fields = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "ALTER TABLE ADD COLUMNS supports only top-level columns " +
+            s"(got ${a.fieldNames.mkString(".")}) — the fold's schema " +
+            "evolution is column-wise")
+        require(a.position() == null,
+          "ALTER TABLE ADD COLUMNS appends at the end (FIRST/AFTER " +
+            "would reorder the declared schema against the stored " +
+            "generations)")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, nullable = true)
+      case other => readOnly(
+        s"ALTER TABLE ${other.getClass.getSimpleName} (only ADD " +
+          "COLUMNS evolves a merge table; drops/renames/retypes " +
+          "rewrite data — the fold's job)")
+    }
+    graft.cdc.Apply.addColumns(SparkSession.active, dir, fields)
+    load(ident, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     readOnly("DROP TABLE")

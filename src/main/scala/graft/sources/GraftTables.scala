@@ -349,9 +349,33 @@ object GraftTables {
     } else {
       val (paths, extra) = pathsOf(spark, dir, table, commit)
       val name = s"graft:$table@${commit.getOrElse("current")}:$dir"
-      val pq = ParquetTable(name, spark,
+      val inferred = ParquetTable(name, spark,
         new CaseInsensitiveStringMap((options.asScala ++ extra).asJava),
         paths, None, classOf[ParquetFileFormat])
+      // DECLARED-SCHEMA WIDENING (round 14, ALTER TABLE ADD COLUMNS):
+      // a column declared on the sidecar but not yet carried by any
+      // generation's footers is served as NULL — the same contract
+      // parquet gives a column missing from OLD files. Footer columns
+      // always win their own types; only sidecar-ONLY columns append.
+      // Current snapshot only: a time-travel read shows the snapshot's
+      // own physical schema (the declaration is current-state DDL).
+      val pq =
+        if (table == "merge" && commit.isEmpty) {
+          graft.cdc.Apply.createSchemaOf(spark, dir) match {
+            case Some(declared) =>
+              val have = inferred.schema.fieldNames.toSet
+              val extras = declared.fields.filterNot(f => have(f.name))
+              if (extras.isEmpty) inferred
+              else ParquetTable(name, spark,
+                new CaseInsensitiveStringMap(
+                  (options.asScala ++ extra).asJava),
+                paths,
+                Some(StructType(
+                  inferred.schema.fields.toIndexedSeq ++ extras)),
+                classOf[ParquetFileFormat])
+            case None => inferred
+          }
+        } else inferred
       // the stock FileTable would accept a raw parquet APPEND into the
       // snapshot's resolved dirs — rows outside the manifest protocol
       // (no fold, no lease, no change slice, `rows` never counted).

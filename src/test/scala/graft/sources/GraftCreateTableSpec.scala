@@ -112,6 +112,79 @@ class GraftCreateTableSpec extends AnyFunSuite {
       s"CTAS rows must ride the versioned fold (latest per key): $got")
   }
 
+  test("ALTER TABLE ADD COLUMNS: the new column reads NULL on old " +
+      "rows, is writable by every SQL face after, and survives the " +
+      "fold; drops/renames/retypes refuse") {
+    catalogReady
+    val dir = Files.createTempDirectory("graftct5").toString + "/t"
+    spark.sql(s"CREATE TABLE graft_ct.`$dir`.merge " +
+      "(id BIGINT, price DOUBLE, _version BIGINT) " +
+      "TBLPROPERTIES (key_col 'id')")
+    spark.sql(s"INSERT INTO graft_ct.`$dir`.merge VALUES " +
+      "(1, 1.0, 10), (2, 2.0, 10)")
+    spark.sql(s"ALTER TABLE graft_ct.`$dir`.merge " +
+      "ADD COLUMNS (region STRING)")
+    // declared widening: NULL until data carries it
+    val afterAlter = spark.sql(
+      s"SELECT id, region FROM graft_ct.`$dir`.merge ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(afterAlter == Seq((1L, null), (2L, null)))
+    // INSERT with the new column; UPDATE sets it on an old row
+    spark.sql(s"INSERT INTO graft_ct.`$dir`.merge " +
+      "(id, price, _version, region) VALUES (3, 3.0, 10, 'emea')")
+    spark.sql(s"UPDATE graft_ct.`$dir`.merge " +
+      "SET region = 'apac', _version = _version + 1 WHERE id = 1")
+    val got = spark.sql(
+      s"SELECT id, region FROM graft_ct.`$dir`.merge ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "apac"), (2L, null), (3L, "emea")),
+      s"the evolved column must fold like any other: $got")
+    // refusals
+    def fails(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(chain(e).exists(_.toLowerCase.contains(needle.toLowerCase)),
+        s"[$sql] -> ${chain(e).mkString(" <- ")}")
+    }
+    fails(s"ALTER TABLE graft_ct.`$dir`.merge DROP COLUMN price",
+      "rewrite data")
+    fails(s"ALTER TABLE graft_ct.`$dir`.merge RENAME COLUMN price TO p",
+      "rewrite data")
+    fails(s"ALTER TABLE graft_ct.`$dir`.merge ADD COLUMNS (price INT)",
+      "already exist")
+  }
+
+  test("ALTER TABLE ADD COLUMNS works on a table seeded OUTSIDE " +
+      "CREATE TABLE (the current read schema becomes the baseline " +
+      "declaration)") {
+    catalogReady
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.cdc.{After, Env}
+    val dir = Files.createTempDirectory("graftct6").toString + "/t"
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val schema = Seq(Env("INSERT", "x", After("x", "t", 1.0), ts(1)))
+      .toDF().schema("after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val ms = MemoryStream[Env]
+    ms.addData(Env("INSERT", "k1", After("k1", "a", 1.0), ts(100)))
+    val q = Apply.startMerge(ms.toDF(), dir,
+      Files.createTempDirectory("graftct6ck").toString,
+      keyCol = "id", versionCol = "ts", schema = schema)
+    q.processAllAvailable(); q.stop()
+    spark.sql(s"ALTER TABLE graft_ct.`$dir`.merge " +
+      "ADD COLUMNS (note STRING)")
+    val got = spark.sql(
+      s"SELECT id, note FROM graft_ct.`$dir`.merge").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("k1", null)))
+    spark.sql(s"INSERT INTO graft_ct.`$dir`.merge " +
+      "(id, ticker, price, _version, note) VALUES " +
+      "('k2', 'b', 2.0, TIMESTAMP '1970-01-01 00:00:01', 'n2')")
+    assert(spark.sql(s"SELECT note FROM graft_ct.`$dir`.merge " +
+      "WHERE id = 'k2'").head.getString(0) == "n2")
+  }
+
   test("CREATE TABLE refuses: missing key_col, non-merge surfaces, " +
       "PARTITIONED BY, schema without _version or the key") {
     catalogReady
