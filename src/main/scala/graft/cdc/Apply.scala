@@ -418,7 +418,8 @@ object Apply {
     * a concurrent writer would be fenced by the lease inside
     * [[mergeBatch]]). */
   private[graft] def rowLevelCommit(spark: SparkSession, tableDir: String,
-      stage: String, files: Seq[String], command: String): Unit = {
+      stage: String, files: Seq[String], command: String,
+      staleGate: Boolean = true): Unit = {
     import org.apache.spark.sql.functions._
     val hc = graft.util.Hfs.conf(spark)
     try {
@@ -439,13 +440,18 @@ object Apply {
         s"$command on $tableDir produced NULL '$key' rows — the merge " +
           "fold is keyed and cannot address a null key")
       // stale-version gate (see scaladoc): bucket-pruned stored read,
-      // one join against the statement's own envelope set
+      // one join against the statement's own envelope set. The
+      // STREAMING sink passes staleGate=false: a replayed epoch's
+      // envelopes are SUPPOSED to lose the fold silently (that
+      // no-op-on-replay IS its exactly-once), exactly like startMerge.
       val bucketOf = (c: org.apache.spark.sql.Column) =>
         pmod(xxhash64(c), lit(m.nBuckets)).cast("int")
-      val touched = staged.select(bucketOf(col("key")).as("b")).distinct()
-        .collect().map(_.getInt(0)).toSeq
-      val liveDirs = touched.flatMap(b => m.buckets.get(b).map(g =>
-        new HPath(new HPath(tableDir), s"gen=$g/_bucket=$b").toString))
+      val liveDirs = if (!staleGate) Nil else {
+        val touched = staged.select(bucketOf(col("key")).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        touched.flatMap(b => m.buckets.get(b).map(g =>
+          new HPath(new HPath(tableDir), s"gen=$g/_bucket=$b").toString))
+      }
       if (liveDirs.nonEmpty) {
         val keyType = staged.schema("key").dataType
         val versionType = staged.schema("_version").dataType

@@ -266,6 +266,33 @@ object CdcQueries {
       tableDir
     }
 
+  /** q293's merge table — the DSv2 STREAMING SINK end-to-end: CREATE
+    * the table in SQL, then stream every event into it through
+    * `writeStream.format("graft")` (file-source micro-batches, each
+    * epoch one leased fold commit). The table must read as the latest
+    * event per user — the sink is an equal citizen of the fold. */
+  private[graft] def sinkStreamDir(s: SparkSession, d: String): String =
+    graft.util.Maintenance.getOrBuild("sinkStreamSeed", s, d) {
+      val base = java.nio.file.Files
+        .createTempDirectory("graftsinkq").toString
+      val tableDir = s"$base/table"
+      s.conf.set("spark.sql.catalog.graft_sql",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.sql(s"CREATE TABLE graft_sql.`$tableDir`.merge (" +
+        "user_id BIGINT, event_type STRING, value DOUBLE, " +
+        "_version BIGINT) TBLPROPERTIES (key_col 'user_id')")
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), col("value"), col("event_id").as("_version"))
+      ev.write.parquet(s"$base/in")
+      val q = s.readStream.schema(ev.schema).parquet(s"$base/in")
+        .writeStream.format("graft").option("path", tableDir)
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+      tableDir
+    }
+
   /** Shared seed for the row-level gates: every event folded through
     * the real streamed merge path as commit 1, so the stored row per
     * user is the LATEST event (q33's closure) before the SQL statement
@@ -399,6 +426,18 @@ object CdcQueries {
     //    the table must read as the composed closure.
     "q291_sql_lifecycle" -> { (s, d) =>
       val dir = sqlLifecycleDir(s, d)
+      Apply.readMergeTable(s, dir)
+        .select(col("user_id"), col("_version").as("last_event_id"),
+          col("event_type").as("last_type"),
+          cents(col("value")).as("last_value_cents"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- round 14: the DSv2 streaming sink — every event streamed into
+    //    a CREATEd table through writeStream.format("graft"); the
+    //    table must read as the latest event per user (q33's closure).
+    "q293_stream_sink" -> { (s, d) =>
+      val dir = sinkStreamDir(s, d)
       Apply.readMergeTable(s, dir)
         .select(col("user_id"), col("_version").as("last_event_id"),
           col("event_type").as("last_type"),
@@ -773,6 +812,15 @@ object CdcQueries {
         |    ORDER BY event_id DESC) AS rn FROM events)
         |WHERE rn = 1 AND (user_id % 5 = 0 OR NOT value > 950.0)
         |ORDER BY user_id""".stripMargin,
+
+    // The sink-fed table equals the latest event per user (q33's
+    // recompute — the streaming sink is an equal citizen of the fold).
+    "q293_stream_sink" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS last_value_cents
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // Latest event per user; winners from the post-ALTER window carry
     // the upper-cased etype2, earlier winners read it as NULL.

@@ -216,8 +216,9 @@ private final class GraftDeltaWriter(stageTasks: String, keyCol: String,
   // after-image fields in envelope order, each resolved to its row slot
   private lazy val afterIdx =
     afterSchema.fields.map(f => rowSchema.fieldIndex(f.name))
-  private val idKeyIdx = idSchema.fieldIndex(keyCol)
-  private val idVersionIdx = idSchema.fieldIndex("_version")
+  // lazy: an insert-only writer (the streaming sink) has no id schema
+  private lazy val idKeyIdx = idSchema.fieldIndex(keyCol)
+  private lazy val idVersionIdx = idSchema.fieldIndex("_version")
 
   private var writer: OutputWriter = _
   private var path: String = _
@@ -283,6 +284,97 @@ private final class GraftDeltaWriter(stageTasks: String, keyCol: String,
   }
 
   override def close(): Unit = ()
+}
+
+/** STRUCTURED STREAMING SINK for the merge table (round 14):
+  * `df.writeStream.format("graft").option("path", dir)` — the DSv2
+  * face of [[Apply.startMerge]]. Rows carry the table's write schema
+  * (data columns + `_version`); each micro-batch epoch stages MODIFY
+  * envelopes task-side under
+  * `_staging/stream-<queryId>-epoch-<epoch>/` (the same writer the
+  * row-level face uses, insert-only) and the epoch commit folds ONE
+  * leased, ledgered, change-slice-emitting merge commit
+  * ([[Apply.rowLevelCommit]] with the stale gate OFF — CDC ingest
+  * semantics: a late or replayed envelope is SUPPOSED to lose the
+  * fold silently; that no-op-on-replay IS the sink's exactly-once,
+  * the same property [[Apply.startMerge]] documents for checkpoint
+  * replays). Only files named by COMMITTED task messages fold, and
+  * each epoch's staging dies with its commit, so a crashed epoch
+  * leaves only age-swept garbage, never data. */
+private final class GraftStreamingWrite(spark: SparkSession, dir: String,
+    label: String, queryId: String, rowSchema: StructType)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val keyCol = Apply.tableKeyCol(spark, dir).getOrElse(sys.error(
+    s"graft table '$label' has no keyCol in its manifest: run one " +
+      "merge/purge commit (or CREATE TABLE) before streaming into it"))
+  require(rowSchema.fieldNames.contains(keyCol) &&
+    rowSchema.fieldNames.contains("_version"),
+    s"writeStream into '$label' requires the key column '$keyCol' and " +
+      s"_version in the stream schema; got " +
+      rowSchema.fieldNames.mkString(", "))
+
+  private val envSchema: StructType = {
+    val afterFields = rowSchema.fields.filterNot(_.name == "_version")
+    StructType(Seq(
+      StructField("op", StringType, nullable = false),
+      StructField("key", rowSchema(keyCol).dataType, nullable = false),
+      StructField("_version", rowSchema("_version").dataType,
+        nullable = false),
+      StructField("after", StructType(afterFields.toIndexedSeq))))
+  }
+
+  private def stageFor(epochId: Long): String =
+    s"$dir/${Apply.StagingDirName}/stream-$queryId-epoch-$epochId"
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    Apply.sweepStagingFor(spark, dir)
+    val job = Job.getInstance(graft.util.Hfs.conf(spark))
+    val factory = new ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty[String, String], envSchema)
+    val conf = new SerializableHConf(job.getConfiguration)
+    val stagePrefix = s"$dir/${Apply.StagingDirName}/stream-$queryId"
+    val kc = keyCol
+    val env = envSchema
+    val rows = rowSchema
+    new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
+        val inner = new GraftDeltaWriter(
+          s"$stagePrefix-epoch-$epochId/tasks", kc, env, rows,
+          new StructType(), factory, conf, partitionId, taskId)
+        new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+          override def write(row: InternalRow): Unit = inner.insert(row)
+          override def commit(): WriterCommitMessage = inner.commit()
+          override def abort(): Unit = inner.abort()
+          override def close(): Unit = inner.close()
+        }
+      }
+    }
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.toSeq.collect {
+      case m: GraftDeltaMessage => m.files
+    }.flatten
+    Apply.rowLevelCommit(SparkSession.active, dir, stageFor(epochId),
+      files, s"streaming epoch $epochId", staleGate = false)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    graft.util.Hfs.delete(new HPath(stageFor(epochId)),
+      graft.util.Hfs.conf(spark))
+}
+
+private[sources] object GraftStreamingWrite {
+  def apply(spark: SparkSession, dir: String, label: String,
+      queryId: String, rowSchema: StructType)
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new GraftStreamingWrite(spark, dir, label, queryId, rowSchema)
 }
 
 /** Hadoop `Configuration` is not `java.io.Serializable`; this is the

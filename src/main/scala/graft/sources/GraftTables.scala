@@ -146,7 +146,8 @@ private[sources] final class GraftSnapshotTable(
 
   override def capabilities(): JSet[TableCapability] =
     (if (writable)
-       Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+       Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+         TableCapability.STREAMING_WRITE)
      else Set(TableCapability.BATCH_READ)).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
@@ -218,6 +219,13 @@ private[sources] final class GraftSnapshotTable(
               graft.cdc.Apply.insertBatch(spark, dir, data)
             }
           }
+        // STRUCTURED STREAMING SINK (round 14): each epoch is one
+        // leased fold commit; replayed epochs are semantic no-ops —
+        // see [[GraftStreamingWrite]]
+        override def toStreaming: org.apache.spark.sql.connector
+            .write.streaming.StreamingWrite =
+          GraftStreamingWrite(spark, dir, label, info.queryId,
+            info.schema)
       }
     }
   }

@@ -84,7 +84,7 @@ class MaintenanceSpec extends AnyFunSuite {
       "cascadeSetSeed", "cascadeSetAllSeed",
       "postingsStoreSeed", "procStoreSeed", "mergeFeedSeed", "sqlInsertSeed",
       "sqlDeleteSeed", "sqlUpdateSeed", "sqlMergeSeed", "sqlDeletePredSeed",
-      "sqlLifecycleSeed", "sqlEvolutionSeed",
+      "sqlLifecycleSeed", "sqlEvolutionSeed", "sinkStreamSeed",
       "upsertStoreSeed", "graphStoreSeed", "graphCascadeSeed",
       "linkageLedger", "linkageBase", "shardExportSeed", "pipelineSeed",
       "zorderLayout", "bucketedPair", "coPurchasePairs", "lpaLabels",
