@@ -516,10 +516,13 @@ object Apply {
         "write face requires it")
     require(nBuckets > 0, s"CREATE TABLE $tableDir: nBuckets must be " +
       s"positive, got $nBuckets (a lifetime invariant of the table)")
-    if (readMeta(root, hc).isDefined) sys.error(
-      s"$tableDir already holds a merge table — CREATE refuses to " +
-        "touch it (rewinds are restore; removal is out-of-band)")
     graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
+      // existence check INSIDE the lease (round-14 self-review): two
+      // racing CREATEs with different schemas must not both pass an
+      // unlocked check and let the last sidecar win silently
+      if (readMeta(root, hc).isDefined) sys.error(
+        s"$tableDir already holds a merge table — CREATE refuses to " +
+          "touch it (rewinds are restore; removal is out-of-band)")
       graft.util.Hfs.writeStringAtomic(
         new HPath(root, CreateSchemaName), schema.json, hc)
       writeManifest(root, nBuckets, Map.empty, Map.empty, 0L, hc,

@@ -236,10 +236,14 @@ private final class GraftDeltaWriter(stageTasks: String, keyCol: String,
     writer
   }
 
-  private def emit(op: String, key: Any, version: Any,
+  // hoisted op constants: one UTF8String per writer, not per row
+  private val modifyOp = UTF8String.fromString(Envelope.Modify)
+  private val removeOp = UTF8String.fromString(Envelope.Remove)
+
+  private def emit(op: UTF8String, key: Any, version: Any,
       after: InternalRow): Unit = {
     out().write(new GenericInternalRow(
-      Array[Any](UTF8String.fromString(op), key, version, after)))
+      Array[Any](op, key, version, after)))
     nRows += 1
   }
 
@@ -248,7 +252,7 @@ private final class GraftDeltaWriter(stageTasks: String, keyCol: String,
       afterIdx.map(i => row.get(i, rowSchema(i).dataType)))
 
   override def insert(row: InternalRow): Unit =
-    emit(Envelope.Modify, row.get(rowKeyIdx, keyType),
+    emit(modifyOp, row.get(rowKeyIdx, keyType),
       row.get(rowVersionIdx, versionType), afterOf(row))
 
   override def reinsert(metadata: InternalRow, row: InternalRow): Unit =
@@ -266,7 +270,7 @@ private final class GraftDeltaWriter(stageTasks: String, keyCol: String,
   }
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit =
-    emit(Envelope.Remove, id.get(idKeyIdx, keyType),
+    emit(removeOp, id.get(idKeyIdx, keyType),
       id.get(idVersionIdx, versionType), null)
 
   override def commit(): WriterCommitMessage = {
