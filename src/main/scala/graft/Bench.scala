@@ -121,10 +121,14 @@ object Bench {
           .sortBy(-_._2).take(20) // bound the extra passes
         flagged.foreach { case (name, first) =>
           val t0 = System.nanoTime()
-          try SparkEntry.queries(name)(spark, sfDir).count()
-          catch { case _: Throwable => () } // keep `first`; already green
+          // a FAILED rerun must keep `first` — recording the elapsed
+          // time of a run that never completed would poison both this
+          // artifact and next round's trajectory (round-14 review)
+          val ok =
+            try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
           val again = (System.nanoTime() - t0) / 1e9
-          val best = math.min(first, again)
+          val best = if (ok) math.min(first, again) else first
           timings(name) = best
           reruns(name) = (first, best)
         }

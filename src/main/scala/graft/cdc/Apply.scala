@@ -365,16 +365,8 @@ object Apply {
     // ordering puts nulls last) — a partially-ignored INSERT. Checked
     // on the staged copy: one cheap scan, no recompute of the input.
     val staged = spark.read.parquet(s"$stage/in")
-    def hasNull(c: String): Boolean =
-      staged.filter(col(c).isNull).limit(1).count() > 0L
     try {
-      require(!hasNull("_version"),
-        s"INSERT into $tableDir carries NULL _version rows — the merge " +
-          "fold is versioned (latest per key wins) and a null version " +
-          "always loses; supply _version for every row")
-      require(!hasNull("key"),
-        s"INSERT into $tableDir carries NULL '$key' rows — the merge " +
-          "fold is keyed and cannot address a null key")
+      requireFoldAxes(staged, tableDir, key, "INSERT into")
       mergeBatch(staged, tableDir, keyCol = key, versionCol = "_version",
         versionType = env.schema("_version").dataType,
         schema = env.schema("after").dataType.asInstanceOf[StructType],
@@ -431,14 +423,7 @@ object Apply {
         s"$tableDir has no keyCol in its manifest: run one merge/purge " +
           s"commit to upgrade it before using the SQL $command face"))
       val staged = spark.read.parquet(files: _*)
-      def hasNull(c: String): Boolean =
-        staged.filter(col(c).isNull).limit(1).count() > 0L
-      require(!hasNull("_version"),
-        s"$command on $tableDir produced NULL _version rows — the merge " +
-          "fold is versioned; every written row must carry _version")
-      require(!hasNull("key"),
-        s"$command on $tableDir produced NULL '$key' rows — the merge " +
-          "fold is keyed and cannot address a null key")
+      requireFoldAxes(staged, tableDir, key, s"$command on")
       // stale-version gate (see scaladoc): bucket-pruned stored read,
       // one join against the statement's own envelope set. The
       // STREAMING sink passes staleGate=false: a replayed epoch's
@@ -483,6 +468,29 @@ object Apply {
           .asInstanceOf[org.apache.spark.sql.types.StructType],
         nBuckets = m.nBuckets, gcGraceMs = DefaultGcGraceMs)
     } finally graft.util.Hfs.delete(new HPath(stage), hc)
+  }
+
+  /** Fail-loud on NULL fold axes, ONE scan for both columns (round-14
+    * review: the previous per-column probes each scanned the staged
+    * files to completion on the clean path). A NULL `_version` would
+    * silently lose the fold (desc ordering puts nulls last — a
+    * partially-ignored statement); a NULL key cannot be addressed by
+    * the keyed fold at all. */
+  private def requireFoldAxes(staged: DataFrame, tableDir: String,
+      key: String, what: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val bad = staged
+      .filter(col("_version").isNull || col("key").isNull)
+      .select(col("_version").isNull.as("nullVersion")).limit(1).collect()
+    bad.headOption.foreach { r =>
+      if (r.getBoolean(0)) sys.error(
+        s"$what $tableDir carries NULL _version rows — the merge fold " +
+          "is versioned (latest per key wins) and a null version " +
+          "always loses; supply _version for every row")
+      else sys.error(
+        s"$what $tableDir carries NULL '$key' rows — the merge fold " +
+          "is keyed and cannot address a null key")
+    }
   }
 
   /** [[rowLevelCommit]]'s pre-write hook: sweep crash-stranded staging
@@ -570,6 +578,38 @@ object Apply {
     }
   }
 
+  /** DROP for a merge table that NEVER HELD DATA (commit 0, zero
+    * buckets) — the cleanup half of [[createTable]] (round-14 review):
+    * Spark's CTAS is non-atomic (create, then write), and its failure
+    * path calls `dropTable`; refusing it stranded the commit-0
+    * manifest, making the corrected CTAS un-retryable without
+    * out-of-band file deletion. Dropping creation ARTIFACTS (manifest,
+    * schema sidecar, empty history, feed marker) destroys nothing a
+    * fold produced; any table whose manifest records data — or ever
+    * did (commitId > 0) — still refuses loudly: destructive removal of
+    * real state stays out-of-band by design. Returns false if no table
+    * exists. */
+  def dropEmptyTable(spark: SparkSession, tableDir: String): Boolean = {
+    val hc = graft.util.Hfs.conf(spark)
+    val root = new HPath(tableDir)
+    graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
+      readMeta(root, hc) match {
+        case None => false
+        case Some(m) =>
+          if (m.buckets.nonEmpty || m.commitId != 0L) sys.error(
+            s"DROP TABLE refuses $tableDir: the table holds (or held) " +
+              s"data — commit ${m.commitId}, ${m.buckets.size} live " +
+              "buckets; destructive removal of real state is " +
+              "out-of-band by design (rewinds are restore/purge/vacuum)")
+          Seq(MetaName, CreateSchemaName, HistoryDirName, ChangesDirName,
+            StagingDirName).foreach { n =>
+            graft.util.Hfs.delete(new HPath(root, n), hc)
+          }
+          true
+      }
+    }
+  }
+
   private[graft] val CreateSchemaName = "_graft_create_schema.json"
 
   /** The CREATE-time schema, if this table was stood up via
@@ -609,10 +649,15 @@ object Apply {
   /** Reclaim CRASHED statements' staged envelopes: a kill between an
     * INSERT's stage write and its cleanup strands `_staging/<uuid>`
     * (never data — the merge committed or it didn't). Swept on the next
-    * statement, with an age grace so a concurrent in-flight INSERT's
-    * live staging is never pulled out from under it. */
+    * statement, with an age grace so a concurrent in-flight statement's
+    * live staging is never pulled out from under it. The grace bounds
+    * the longest statement the sweep can coexist with (round-14 review:
+    * a >grace-old statement racing a sweep would lose its staging
+    * mid-read) — 12 h covers any plausible single SQL statement while
+    * still reclaiming crashed staging within the day; stranded files
+    * are small and inert either way. */
   private def sweepStaging(spark: SparkSession, tableDir: String,
-      graceMs: Long = 60L * 60 * 1000): Unit = {
+      graceMs: Long = 12L * 60 * 60 * 1000): Unit = {
     val hc = graft.util.Hfs.conf(spark)
     val root = new HPath(s"$tableDir/$StagingDirName")
     if (graft.util.Hfs.exists(root, hc)) {

@@ -268,8 +268,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     load(ident, None)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    readOnly("DROP TABLE")
+  /** DROP only for a merge table that NEVER HELD DATA (the CTAS
+    * failure-cleanup path — Spark's non-atomic CTAS drops the created
+    * table when the write fails; round-14 review). Data-bearing tables
+    * and every other surface refuse loudly as before. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val (dir, table) = parse(ident)
+    if (table != "merge") readOnly("DROP TABLE (non-merge surface)")
+    graft.cdc.Apply.dropEmptyTable(SparkSession.active, dir)
+  }
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("RENAME TABLE")

@@ -139,15 +139,8 @@ private final class GraftDeltaWrite(spark: SparkSession, dir: String,
   // plans with an empty row schema, but its REMOVE envelopes must
   // still carry the fold's full after shape — null-imaged, like a
   // streamed REMOVE; parquet also refuses empty groups)
-  private val envSchema: StructType = {
-    val afterFields = tableSchema.fields.filterNot(_.name == "_version")
-    StructType(Seq(
-      StructField("op", StringType, nullable = false),
-      StructField("key", tableSchema(keyCol).dataType, nullable = false),
-      StructField("_version", tableSchema("_version").dataType,
-        nullable = false),
-      StructField("after", StructType(afterFields.toIndexedSeq))))
-  }
+  private val envSchema: StructType =
+    GraftEnvelopes.envSchemaOf(tableSchema, keyCol)
 
   override def toBatch(): DeltaBatchWrite = new DeltaBatchWrite {
     // sweep crash-stranded statements, then stage this one
@@ -318,15 +311,8 @@ private final class GraftStreamingWrite(spark: SparkSession, dir: String,
       s"_version in the stream schema; got " +
       rowSchema.fieldNames.mkString(", "))
 
-  private val envSchema: StructType = {
-    val afterFields = rowSchema.fields.filterNot(_.name == "_version")
-    StructType(Seq(
-      StructField("op", StringType, nullable = false),
-      StructField("key", rowSchema(keyCol).dataType, nullable = false),
-      StructField("_version", rowSchema("_version").dataType,
-        nullable = false),
-      StructField("after", StructType(afterFields.toIndexedSeq))))
-  }
+  private val envSchema: StructType =
+    GraftEnvelopes.envSchemaOf(rowSchema, keyCol)
 
   private def stageFor(epochId: Long): String =
     s"$dir/${Apply.StagingDirName}/stream-$queryId-epoch-$epochId"
@@ -379,6 +365,23 @@ private[sources] object GraftStreamingWrite {
       queryId: String, rowSchema: StructType)
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new GraftStreamingWrite(spark, dir, label, queryId, rowSchema)
+}
+
+/** The fold's ENVELOPE shape derived from a row schema carrying the
+  * fold axes — ONE definition shared by the batch row-level write and
+  * the streaming sink (round-14 review: two verbatim copies could
+  * drift): op / key / _version / after(every non-_version field, in
+  * row order). */
+private[sources] object GraftEnvelopes {
+  def envSchemaOf(schema: StructType, keyCol: String): StructType = {
+    val afterFields = schema.fields.filterNot(_.name == "_version")
+    StructType(Seq(
+      StructField("op", StringType, nullable = false),
+      StructField("key", schema(keyCol).dataType, nullable = false),
+      StructField("_version", schema("_version").dataType,
+        nullable = false),
+      StructField("after", StructType(afterFields.toIndexedSeq))))
+  }
 }
 
 /** Hadoop `Configuration` is not `java.io.Serializable`; this is the

@@ -343,9 +343,15 @@ object GraftTables {
         graft.cdc.Apply.mergeSnapshotEmpty(spark, dir, commit)) {
       // an EMPTY merge snapshot (freshly CREATEd, or every row since
       // deleted): no parquet paths exist to infer a schema from, so
-      // the CREATE-time schema sidecar serves the read face — zero
-      // rows, full write faces (INSERT seeds it; MERGE INTO an empty
-      // target with NOT MATCHED INSERT is a natural first load)
+      // the declared-schema sidecar serves the read face — zero rows,
+      // full write faces (INSERT seeds it; MERGE INTO an empty target
+      // with NOT MATCHED INSERT is a natural first load). Contract
+      // note (round-14 review): the declaration is NOT versioned, so
+      // an empty snapshot — at ANY commit — serves the CURRENT
+      // declared schema; snapshots holding data always show their own
+      // physical schema. The only observable asymmetry is a post-ALTER
+      // time travel to an empty commit showing the added column (zero
+      // rows either way).
       val schema = graft.cdc.Apply.createSchemaOf(spark, dir)
         .getOrElse(sys.error(
           s"$dir is an empty merge table with no creation schema — it " +

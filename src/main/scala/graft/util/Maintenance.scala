@@ -57,18 +57,28 @@ object Maintenance {
   def getOrBuild[T <: AnyRef](name: String, s: SparkSession, dir: String)(
       build: => T): T = {
     val k = (name, s, dir)
-    val got = store.get(k)
-    if (got != null) return got.asInstanceOf[T]
-    val lock = buildLocks.computeIfAbsent(k, _ => new Object)
-    lock.synchronized {
-      val again = store.get(k)
-      if (again != null) again.asInstanceOf[T]
-      else {
-        val v = build
-        store.put(k, v)
-        v
+    while (true) {
+      val got = store.get(k)
+      if (got != null) return got.asInstanceOf[T]
+      val lock = buildLocks.computeIfAbsent(k, _ => new Object)
+      lock.synchronized {
+        // CANONICALITY check (round-14 review): [[invalidate]] removes
+        // the lock entry with its memo, so a thread that grabbed the
+        // OLD monitor before the removal must not build under it — a
+        // racing getOrBuild on the FRESH monitor would build the same
+        // state concurrently and the loser's put would silently
+        // replace (and leak) the winner's cached frames. Only the
+        // holder of the CURRENT map entry builds; stale holders retry.
+        if (buildLocks.get(k) eq lock) {
+          val again = store.get(k)
+          if (again != null) return again.asInstanceOf[T]
+          val v = build
+          store.put(k, v)
+          return v
+        }
       }
     }
+    sys.error("unreachable")
   }
 
   /** Replace a maintained state in place — the INGESTION write path: a
@@ -198,14 +208,25 @@ object Maintenance {
     * entry existed. The next accessor call rebuilds from current files —
     * the in-place-regeneration refresh path. */
   def invalidate(name: String, s: SparkSession, dir: String): Boolean = {
-    val v = store.remove((name, s, dir))
-    growth.remove((name, s, dir)) // a rebuild re-notes its base size
-    // the build lock dies with its memo (ADVICE r13: entries pinned
-    // stopped sessions forever); a racing getOrBuild simply allocates
-    // a fresh monitor — double-checking against the store stays correct
-    buildLocks.remove((name, s, dir))
-    if (v != null) frames(v).foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
-    v != null
+    val k = (name, s, dir)
+    // synchronize on the CURRENT build lock (round-14 review): an
+    // invalidate landing mid-build would otherwise remove the lock
+    // entry while the builder holds the old monitor, letting a racing
+    // getOrBuild build the same state concurrently under a fresh one.
+    // Taking the monitor first means the removal happens strictly
+    // before or after any build — never inside it. The lock entry then
+    // dies with its memo (ADVICE r13: entries pinned stopped sessions
+    // forever); getOrBuild's canonicality check handles the rest.
+    val lock = buildLocks.get(k)
+    def drop(): Boolean = {
+      val v = store.remove(k)
+      growth.remove(k) // a rebuild re-notes its base size
+      buildLocks.remove(k)
+      if (v != null) frames(v).foreach(df =>
+        try df.unpersist(false) catch { case _: Throwable => () })
+      v != null
+    }
+    if (lock == null) drop() else lock.synchronized(drop())
   }
 
   /** Drop ALL states for a corpus path (the "corpus was regenerated"

@@ -327,7 +327,7 @@ class GraftCatalogSpec extends AnyFunSuite {
     val stranded = new java.io.File(s"$dir/_staging/insert-stranded")
     assert(stranded.mkdirs())
     assert(stranded.setLastModified(
-      System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+      System.currentTimeMillis() - 13L * 60 * 60 * 1000))
     spark.sql(s"INSERT INTO graft_test.`$dir`.merge " +
       "(id, ticker, price, _version) VALUES " +
       "('k5', 'v', 5.0, TIMESTAMP '1970-01-01 00:00:03')")

@@ -185,6 +185,48 @@ class GraftCreateTableSpec extends AnyFunSuite {
       "WHERE id = 'k2'").head.getString(0) == "n2")
   }
 
+  test("DROP TABLE removes only a table that never held data — the " +
+      "CTAS failure-cleanup path: a failed CTAS leaves NO stranded " +
+      "table and the corrected CTAS retries cleanly") {
+    catalogReady
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftct7").toString + "/t"
+    // a CTAS whose write fails (NULL _version loses the fold-axis
+    // guard) must clean up the created table via dropTable
+    Seq((1L, "x", 5.0, Some(3L)), (2L, "y", 6.0, None))
+      .toDF("id", "ticker", "price", "_version")
+      .createOrReplaceTempView("graft_ct_bad_src")
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE graft_ct.`$dir`.merge " +
+        "TBLPROPERTIES (key_col 'id') AS " +
+        "SELECT * FROM graft_ct_bad_src"))
+    assert(!new java.io.File(s"$dir/_graft_table_meta.json").exists(),
+      "a failed CTAS must not strand the created table")
+    // the corrected CTAS retries cleanly on the same identifier
+    spark.sql(s"CREATE TABLE graft_ct.`$dir`.merge " +
+      "TBLPROPERTIES (key_col 'id') AS " +
+      "SELECT * FROM graft_ct_bad_src WHERE _version IS NOT NULL")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_ct.`$dir`.merge")
+      .head.getLong(0) == 1L)
+    // DROP on a data-bearing table refuses loudly
+    val e = intercept[Exception](spark.sql(
+      s"DROP TABLE graft_ct.`$dir`.merge"))
+    assert(chain(e).exists(m => m.contains("holds (or held) data") ||
+      m.contains("out-of-band")), chain(e).mkString(" <- "))
+    // DROP on a freshly created EMPTY table works, and CREATE reuses
+    // the identifier
+    val dir2 = Files.createTempDirectory("graftct8").toString + "/t"
+    spark.sql(s"CREATE TABLE graft_ct.`$dir2`.merge " +
+      "(id BIGINT, _version BIGINT) TBLPROPERTIES (key_col 'id')")
+    spark.sql(s"DROP TABLE graft_ct.`$dir2`.merge")
+    assert(!new java.io.File(s"$dir2/_graft_table_meta.json").exists())
+    spark.sql(s"CREATE TABLE graft_ct.`$dir2`.merge " +
+      "(id BIGINT, note STRING, _version BIGINT) " +
+      "TBLPROPERTIES (key_col 'id')")
+    assert(spark.sql(s"SELECT * FROM graft_ct.`$dir2`.merge")
+      .schema.fieldNames.toSeq == Seq("id", "note", "_version"))
+  }
+
   test("CREATE TABLE refuses: missing key_col, non-merge surfaces, " +
       "PARTITIONED BY, schema without _version or the key") {
     catalogReady

@@ -222,7 +222,7 @@ class GraftRowLevelSpec extends AnyFunSuite {
     assert(zroot.exists())
     // ...and is swept once old
     def backdate(f: java.io.File): Unit = {
-      f.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+      f.setLastModified(System.currentTimeMillis() - 13L * 60 * 60 * 1000)
       ()
     }
     backdate(zroot)
