@@ -102,6 +102,58 @@ class CascadeSpec extends AnyFunSuite {
     assert(SemLedgerStore.load(spark, dir)._4 == before)
   }
 
+  test("SQL writes cascade: UPDATE / predicate DELETE / MERGE INTO " +
+      "issued through the catalog drive the semantic-ledger follower " +
+      "exactly like streamed commits (round 14: the row-level face " +
+      "emits the same change slices the fold always has)") {
+    import graft.dedup.SemLedgerStore
+    val base = Files.createTempDirectory("sqlcascade").toString
+    val mergeDir = s"$base/table"; val dir = s"$base/ledger"
+    val ck = s"$base/fck"
+    mergeOnce(base, "seed", envOf(slice(0, 30), "INSERT", 1L,
+      col("embedding"))) // commit 1
+    SemLedgerStore.maintainBatch(slice(0, 30), col("vec_id"),
+      col("embedding"), dir)
+    def cascade(): Unit = {
+      val q = SemLedgerStore.followMergeTable(spark, mergeDir, dir, ck,
+        embedOf = col("embedding"), sinceCommit = 1L)
+      q.processAllAvailable(); q.stop()
+    }
+    spark.conf.set("spark.sql.catalog.graft_csc",
+      classOf[graft.sources.GraftCatalog].getName)
+    // commit 2: SQL UPDATE re-embeds vec 3 (negated), version advanced
+    spark.sql(s"UPDATE graft_csc.`$mergeDir`.merge " +
+      "SET embedding = transform(embedding, x -> -x), " +
+      "_version = _version + 1 WHERE vec_id = 3")
+    // commit 3: predicate DELETE (non-key-equality → row-level
+    // tombstone) removes vec 5
+    spark.sql(s"DELETE FROM graft_csc.`$mergeDir`.merge " +
+      "WHERE vec_id > 4 AND vec_id < 6")
+    // commit 4: MERGE INTO inserts vec 31
+    embs.filter(col("vec_id") === 31L)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"),
+        lit(1L).as("v"))
+      .createOrReplaceTempView("graft_csc_src")
+    spark.sql(
+      s"""MERGE INTO graft_csc.`$mergeDir`.merge AS t
+         |USING graft_csc_src AS s ON t.vec_id = s.id
+         |WHEN NOT MATCHED THEN INSERT (vec_id, embedding, _version)
+         |  VALUES (s.id, s.emb, s.v)""".stripMargin)
+    cascade() // one follower run over the three SQL commits
+    val (vecs, _, labels, m) = SemLedgerStore.load(spark, dir)
+    assert(m.rows == 30L && vecs.count() == 30L)
+    assert(vecs.filter(col("id") === 5L).count() == 0L,
+      "the SQL predicate DELETE must reach the followed ledger")
+    assert(vecs.filter(col("id") === 31L).count() == 1L,
+      "the MERGE-inserted vector must reach the followed ledger")
+    val want = embs.filter(col("vec_id") === 3L)
+      .head().getSeq[Float](1).map(x => -x).toSeq
+    assert(vecs.filter(col("id") === 3L)
+      .head().getAs[scala.collection.Seq[Float]]("v").toSeq == want,
+      "the SQL UPDATE's re-embedded vector must reach the ledger")
+    assert(labels.count() == 30L)
+  }
+
   test("IVF-index follower: the same feed keeps the persisted index in " +
       "sync on upsertVectors' one-commit atomicity; restarts replay as " +
       "no-ops") {
