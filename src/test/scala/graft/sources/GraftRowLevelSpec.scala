@@ -233,6 +233,52 @@ class GraftRowLevelSpec extends AnyFunSuite {
         "statement")
   }
 
+  test("row-level predicates may carry SUBQUERIES: DELETE WHERE id IN " +
+      "(SELECT …) and UPDATE WHERE EXISTS both plan through the " +
+      "matched-row scan (the rewrite is a plan, not a filter list)") {
+    catalogReady
+    val dir = seed()
+    import spark.implicits._
+    Seq(5L, 6L).toDF("did").createOrReplaceTempView("graft_rl_sub")
+    // IN-subquery + residual predicate → only id 6 matches
+    spark.sql(s"DELETE FROM graft_rl.`$dir`.merge " +
+      "WHERE id IN (SELECT did FROM graft_rl_sub) AND price > 5.5")
+    assert(state(dir).keySet == (1L to 5L).toSet)
+    // correlated EXISTS → id 5 (6 already gone)
+    spark.sql(s"UPDATE graft_rl.`$dir`.merge " +
+      "SET ticker = 'sub', _version = _version + 1 " +
+      "WHERE EXISTS (SELECT 1 FROM graft_rl_sub s WHERE s.did = id)")
+    val s = state(dir)
+    assert(s(5L) == (("sub", 5.0, 11L)), s"EXISTS update: $s")
+    assert(s(4L) == (("t4", 4.0, 10L)))
+  }
+
+  test("the DataFrame MERGE API (df.mergeInto) resolves through the " +
+      "same catalog row-level face as SQL MERGE INTO") {
+    catalogReady
+    val dir = seed()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    Seq((1L, 77.0, 0L), (9L, 9.9, 20L)).toDF("s_id", "s_price", "s_v")
+      .mergeInto(s"graft_rl.`$dir`.merge", c("id") === c("s_id"))
+      .whenMatched()
+      .update(Map(
+        "price" -> c("s_price"),
+        "ticker" -> org.apache.spark.sql.functions.lit("api"),
+        "_version" -> (c("_version") + 1)))
+      .whenNotMatched()
+      .insert(Map(
+        "id" -> c("s_id"),
+        "ticker" -> org.apache.spark.sql.functions.lit("api-ins"),
+        "price" -> c("s_price"), "_version" -> c("s_v")))
+      .merge()
+    val s = state(dir)
+    assert(s(1L) == (("api", 77.0, 11L)), s"API matched update: $s")
+    assert(s(9L) == (("api-ins", 9.9, 20L)), s"API insert: $s")
+    assert(Apply.currentCommit(spark, dir) == 2L,
+      "one mergeInto call must be one ledgered commit")
+  }
+
   test("the row-level matched-row scan pushes the statement predicate " +
       "into the parquet scan (the delegate's pushdown is intact)") {
     catalogReady
