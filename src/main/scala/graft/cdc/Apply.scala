@@ -179,7 +179,8 @@ object Apply {
       versionType: org.apache.spark.sql.types.DataType,
       schema: StructType,
       nBuckets: Int,
-      gcGraceMs: Long): Unit = {
+      gcGraceMs: Long,
+      what: String = "merge into"): Unit = {
         import org.apache.spark.sql.functions._
         val spark = batch.sparkSession
         val hc = graft.util.Hfs.conf(spark)
@@ -226,6 +227,14 @@ object Apply {
         val upserts = batch
           .select(col("op"), col("key").as("_key"),
             col(versionCol).as("_version"), col("after.*"))
+        // fail-loud NULL fold axes at the ONE chokepoint every write
+        // face funnels through (ADVICE r14): the catalog read face
+        // declares key/_version non-nullable, so the fold itself must
+        // be the guarantor — not a per-face promise. A null version
+        // silently loses the fold; a null key cannot be addressed by
+        // the keyed fold (xxhash64(null) would bucket it to the seed
+        // value). One bounded limit-1 job over the DELTA per commit.
+        requireFoldAxes(upserts, tableDir, keyCol, what, keyField = "_key")
         // touched buckets: at most nBuckets small ints — driver-safe
         val touched = upserts
           .select(bucketOf(col("_key")).as("b")).distinct()
@@ -359,18 +368,19 @@ object Apply {
     sweepStaging(spark, tableDir)
     val stage = s"$tableDir/$StagingDirName/insert-${java.util.UUID.randomUUID}"
     env.write.parquet(s"$stage/in")
-    // fail-loud on NULL fold axes (ADVICE r13): an INSERT whose column
-    // list omits _version (Spark fills NULL) would otherwise pass the
-    // column check and silently LOSE the fold to any stored row (desc
-    // ordering puts nulls last) — a partially-ignored INSERT. Checked
-    // on the staged copy: one cheap scan, no recompute of the input.
+    // NULL fold axes (ADVICE r13): an INSERT whose column list omits
+    // _version (Spark fills NULL) would otherwise pass the column
+    // check and silently LOSE the fold to any stored row (desc
+    // ordering puts nulls last) — a partially-ignored INSERT. The
+    // fail-loud guard lives inside mergeBatch (ADVICE r14: one
+    // chokepoint, all faces) and runs on this staged copy.
     val staged = spark.read.parquet(s"$stage/in")
     try {
-      requireFoldAxes(staged, tableDir, key, "INSERT into")
       mergeBatch(staged, tableDir, keyCol = key, versionCol = "_version",
         versionType = env.schema("_version").dataType,
         schema = env.schema("after").dataType.asInstanceOf[StructType],
-        nBuckets = m.nBuckets, gcGraceMs = DefaultGcGraceMs)
+        nBuckets = m.nBuckets, gcGraceMs = DefaultGcGraceMs,
+        what = "INSERT into")
     } finally {
       // one-shot staging: the rows live in the table now — a workload
       // of many INSERTs must not leak a parquet copy + checkpoint per
@@ -405,10 +415,20 @@ object Apply {
     * the version axis is user-visible state in this warehouse, exactly
     * like the INSERT face's mandatory `_version` column. All-or-
     * nothing: the gate runs before the fold, so a stale statement
-    * mutates nothing. Single-writer-per-table discipline makes the
-    * gate-then-fold sequence safe (the fold itself re-checks nothing —
-    * a concurrent writer would be fenced by the lease inside
-    * [[mergeBatch]]). */
+    * mutates nothing.
+    *
+    * GATE AND FOLD SHARE ONE LEASE (ADVICE r14): the whole
+    * gate-then-fold sequence runs inside [[graft.util.Maintenance
+    * .withLeasedWriteLock]]. Within one JVM the monitor serializes two
+    * SQL statements outright, so the second statement's gate runs
+    * against the FIRST statement's committed state and rejects its
+    * now-stale envelopes loudly; across processes the lease epoch
+    * claimed here at gate time fences the other writer's pointer PUT
+    * inside [[mergeBatch]] (reentrant for us — one statement, one
+    * epoch). Either way an interleaved gate1/gate2/fold1/fold2 cannot
+    * silently lose fold2's gate-approved envelopes — exactly the lost
+    * update the gate exists to reject. Pinned by the two-statement
+    * race test in GraftRowLevelSpec. */
   private[graft] def rowLevelCommit(spark: SparkSession, tableDir: String,
       stage: String, files: Seq[String], command: String,
       staleGate: Boolean = true): Unit = {
@@ -416,14 +436,26 @@ object Apply {
     val hc = graft.util.Hfs.conf(spark)
     try {
       if (files.isEmpty) return // statement matched no rows: a no-op, not a commit
+      graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
       val m = readMeta(new HPath(tableDir), hc).getOrElse(sys.error(
         s"$tableDir is not a merge table (no $MetaName) — $command " +
           "writes into an existing table; seed with startMerge"))
       val key = m.keyCol.getOrElse(sys.error(
         s"$tableDir has no keyCol in its manifest: run one merge/purge " +
           s"commit to upgrade it before using the SQL $command face"))
+      // staging liveness (ADVICE r14): [[sweepStaging]]'s age grace is
+      // the only thing keeping a concurrent statement's sweep off these
+      // files. Re-stamp the stage dir (resetting the sweep clock, so
+      // the exposure window is commit duration, not statement duration)
+      // and fail ATTRIBUTABLY if the staging already vanished, instead
+      // of a bare FileNotFound mid-fold.
+      if (!graft.util.Hfs.exists(new HPath(stage), hc)) sys.error(
+        s"$command on $tableDir: staged envelopes at $stage were swept " +
+          "before the commit could read them (the statement outlived " +
+          "the staging sweep grace) — nothing was applied; re-run the " +
+          "statement")
+      graft.util.Hfs.stamp(new HPath(stage), hc)
       val staged = spark.read.parquet(files: _*)
-      requireFoldAxes(staged, tableDir, key, s"$command on")
       // stale-version gate (see scaladoc): bucket-pruned stored read,
       // one join against the statement's own envelope set. The
       // STREAMING sink passes staleGate=false: a replayed epoch's
@@ -466,7 +498,9 @@ object Apply {
         versionType = staged.schema("_version").dataType,
         schema = staged.schema("after").dataType
           .asInstanceOf[org.apache.spark.sql.types.StructType],
-        nBuckets = m.nBuckets, gcGraceMs = DefaultGcGraceMs)
+        nBuckets = m.nBuckets, gcGraceMs = DefaultGcGraceMs,
+        what = s"$command on")
+      } // withLeasedWriteLock — gate and fold under one epoch
     } finally graft.util.Hfs.delete(new HPath(stage), hc)
   }
 
@@ -475,12 +509,17 @@ object Apply {
     * files to completion on the clean path). A NULL `_version` would
     * silently lose the fold (desc ordering puts nulls last — a
     * partially-ignored statement); a NULL key cannot be addressed by
-    * the keyed fold at all. */
+    * the keyed fold at all. Called from INSIDE [[mergeBatch]] since
+    * round 15 (ADVICE r14): every write face — SQL INSERT/UPDATE/
+    * MERGE/DELETE, the streaming sink, library [[startMerge]] — passes
+    * through the one chokepoint, making the catalog read face's
+    * non-nullable key/_version declaration a fold-enforced invariant
+    * rather than a per-face promise. */
   private def requireFoldAxes(staged: DataFrame, tableDir: String,
-      key: String, what: String): Unit = {
+      key: String, what: String, keyField: String = "key"): Unit = {
     import org.apache.spark.sql.functions.col
     val bad = staged
-      .filter(col("_version").isNull || col("key").isNull)
+      .filter(col("_version").isNull || col(keyField).isNull)
       .select(col("_version").isNull.as("nullVersion")).limit(1).collect()
     bad.headOption.foreach { r =>
       if (r.getBoolean(0)) sys.error(
@@ -527,10 +566,13 @@ object Apply {
     graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
       // existence check INSIDE the lease (round-14 self-review): two
       // racing CREATEs with different schemas must not both pass an
-      // unlocked check and let the last sidecar win silently
-      if (readMeta(root, hc).isDefined) sys.error(
-        s"$tableDir already holds a merge table — CREATE refuses to " +
-          "touch it (rewinds are restore; removal is out-of-band)")
+      // unlocked check and let the last sidecar win silently. TYPED
+      // signal (ADVICE r14): the catalog face translates this into
+      // Spark's TableAlreadyExistsException — symmetric with the
+      // round-14 typed NoSuchTableException on absence — so IF NOT
+      // EXISTS and racing CREATEs get an error Spark can classify.
+      if (readMeta(root, hc).isDefined)
+        throw new MergeTableExistsException(tableDir)
       graft.util.Hfs.writeStringAtomic(
         new HPath(root, CreateSchemaName), schema.json, hc)
       writeManifest(root, nBuckets, Map.empty, Map.empty, 0L, hc,
@@ -1470,3 +1512,14 @@ object Apply {
   def startIfNotRunning(spark: SparkSession, name: String)(start: => StreamingQuery): Option[StreamingQuery] =
     if (spark.streams.active.exists(_.name == name)) None else Some(start)
 }
+
+/** Typed already-exists signal from [[Apply.createTable]] (ADVICE r14):
+  * library callers get the loud message; the catalog face
+  * ([[graft.sources.GraftCatalog.createTable]]) translates it into
+  * Spark's `TableAlreadyExistsException` so `CREATE TABLE IF NOT
+  * EXISTS` and racing CREATEs see the typed error Spark classifies —
+  * symmetric with the typed `NoSuchTableException` on absence. */
+final class MergeTableExistsException(val tableDir: String)
+  extends RuntimeException(
+    s"$tableDir already holds a merge table — CREATE refuses to " +
+      "touch it (rewinds are restore; removal is out-of-band)")

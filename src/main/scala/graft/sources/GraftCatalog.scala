@@ -221,8 +221,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           "(key_col '<column>') — the merge key is a lifetime " +
           "invariant of the table (it IS the bucket hash)"))
     val nBuckets = Option(props.get("buckets")).map(_.toInt).getOrElse(16)
-    graft.cdc.Apply.createTable(SparkSession.active, dir, schema,
+    // typed already-exists (ADVICE r14): Apply.createTable checks
+    // existence INSIDE the lease; translate its signal into the
+    // exception Spark classifies, so IF NOT EXISTS and a CREATE racing
+    // another CREATE behave like any other catalog's.
+    try graft.cdc.Apply.createTable(SparkSession.active, dir, schema,
       keyCol, nBuckets)
+    catch {
+      case _: graft.cdc.MergeTableExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident)
+    }
     load(ident, None)
   }
 

@@ -54,6 +54,15 @@ object Hfs {
     fs(p, c).create(p, false).close()
   }
 
+  /** Re-stamp a path's modification time to NOW — the liveness signal
+    * age-graced sweeps ([[graft.cdc.Apply]]'s staging sweep) honor: a
+    * long-running statement re-stamps its stage dir at commit start so
+    * the sweep's clock measures time-since-last-sign-of-life, not
+    * time-since-creation. */
+  def stamp(p: Path, c: Configuration): Unit = {
+    fs(p, c).setTimes(p, System.currentTimeMillis(), -1)
+  }
+
   def readString(p: Path, c: Configuration): String = {
     val in = fs(p, c).open(p)
     try {

@@ -310,4 +310,55 @@ class GraftRowLevelSpec extends AnyFunSuite {
       s"a rejected MERGE must apply NOTHING (all-or-nothing): $s")
     assert(Apply.currentCommit(spark, dir) == 1L)
   }
+
+  test("TWO RACING UPDATE STATEMENTS never lose an update silently " +
+      "(ADVICE r14): the stale gate and the fold share one lease, so " +
+      "the loser either serializes cleanly or aborts loudly") {
+    catalogReady
+    val dir = seed()
+    // Both statements read-modify-write the same row with a relative
+    // version bump. If their scans interleave before either commit,
+    // both stage _version = 11 — the gate-then-fold sequence must then
+    // reject the second loudly (its envelope no longer advances the
+    // fold), NEVER absorb it as a silent no-op. If the statements
+    // serialize scan-and-all, both apply and the effects compose.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def run() = pool.submit(new Runnable {
+      def run(): Unit = {
+        gate.await()
+        try spark.sql(s"UPDATE graft_rl.`$dir`.merge " +
+          "SET price = price + 1.0, _version = _version + 1 " +
+          "WHERE id = 1")
+        catch { case t: Throwable => errs.add(t) }
+        ()
+      }
+    })
+    run(); run()
+    gate.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300,
+      java.util.concurrent.TimeUnit.SECONDS))
+    val wins = 2 - errs.size()
+    val s = state(dir)
+    val commit = Apply.currentCommit(spark, dir)
+    assert(wins >= 1, "at least one statement must commit: " +
+      Option(errs.peek()).map(chain(_).mkString(" <- ")).getOrElse(""))
+    // applied effects == successful statements — the invariant that
+    // rules out the silent lost update (2 commits, 1 effect) AND the
+    // silent no-op (1 commit claimed, 0 effects)
+    assert(s(1L) == (("t1", 1.0 + wins, 10L + wins)),
+      s"$wins statement(s) reported success, state must show exactly " +
+        s"$wins applied bumps: $s")
+    assert(commit == 1L + wins,
+      s"each successful statement is one ledgered commit: got $commit " +
+        s"for $wins win(s)")
+    errs.forEach { t =>
+      assert(chain(t).exists(m => m.contains("stale") ||
+          m.contains("FENCED")),
+        "the losing statement must fail ATTRIBUTABLY (stale gate or " +
+          "lease fence), got: " + chain(t).mkString(" <- "))
+    }
+  }
 }
