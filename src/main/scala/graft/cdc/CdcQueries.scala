@@ -457,6 +457,24 @@ object CdcQueries {
         .orderBy(col("user_id"))
     },
 
+    // -- round 15 (verdict r14 #2): the DECLARATION is versioned —
+    //    ALTER is its own commit (CREATE=0, INSERT=1, ALTER=2,
+    //    INSERT=3 on the q292 substrate), and a time-travel read
+    //    serves the declaration AS OF that commit. Reading AS OF the
+    //    ALTER commit shows the EARLY window's rows widened by the
+    //    just-declared column as NULL: data from before the ALTER,
+    //    schema from the ALTER — neither the current declaration nor
+    //    the bare physical schema. The oracle recomputes the early
+    //    latest-per-user state with a NULL etype2.
+    "q294_sql_evolution_asof" -> { (s, d) =>
+      val dir = sqlEvolutionDir(s, d)
+      s.sql(s"SELECT * FROM graft_sql.`$dir`.merge VERSION AS OF 2")
+        .select(col("user_id"), col("_version").as("last_event_id"),
+          col("event_type").as("last_type"),
+          cents(col("value")).as("last_value_cents"), col("etype2"))
+        .orderBy(col("user_id"))
+    },
+
     // -- round 14: SQL MERGE INTO — matched-update, matched-delete and
     //    not-matched-insert in ONE statement, ONE row-level fold
     //    commit; the table must read as the deterministic %4 closure
@@ -833,6 +851,20 @@ object CdcQueries {
         |    THEN UPPER(event_type) ELSE NULL END AS etype2
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |    ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // AS OF the ALTER commit: the EARLY window's latest-per-user state
+    // (the only data that existed), widened by the just-declared
+    // etype2 as NULL.
+    "q294_sql_evolution_asof" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS last_value_cents,
+        |  CAST(NULL AS VARCHAR) AS etype2
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY event_id DESC) AS rn FROM events
+        |  WHERE event_id <= (SELECT MAX(event_id) // 2 FROM events))
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // The MERGE closure over the latest-event state: %4==1 users carry

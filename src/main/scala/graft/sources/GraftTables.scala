@@ -343,16 +343,15 @@ object GraftTables {
         graft.cdc.Apply.mergeSnapshotEmpty(spark, dir, commit)) {
       // an EMPTY merge snapshot (freshly CREATEd, or every row since
       // deleted): no parquet paths exist to infer a schema from, so
-      // the declared-schema sidecar serves the read face — zero rows,
-      // full write faces (INSERT seeds it; MERGE INTO an empty target
-      // with NOT MATCHED INSERT is a natural first load). Contract
-      // note (round-14 review): the declaration is NOT versioned, so
-      // an empty snapshot — at ANY commit — serves the CURRENT
-      // declared schema; snapshots holding data always show their own
-      // physical schema. The only observable asymmetry is a post-ALTER
-      // time travel to an empty commit showing the added column (zero
-      // rows either way).
-      val schema = graft.cdc.Apply.createSchemaOf(spark, dir)
+      // the declared schema serves the read face — zero rows, full
+      // write faces (INSERT seeds it; MERGE INTO an empty target with
+      // NOT MATCHED INSERT is a natural first load). The declaration
+      // is VERSIONED since round 15 (verdict r14 #2): a time-travel
+      // read serves the declaration AS OF that commit (every CREATE/
+      // ALTER archives a schema-<commit>.json), so `VERSION AS OF` a
+      // pre-ALTER empty commit shows the pre-ALTER columns. Tables
+      // predating versioning fall back to the current sidecar.
+      val schema = graft.cdc.Apply.declaredSchemaAt(spark, dir, commit)
         .getOrElse(sys.error(
           s"$dir is an empty merge table with no creation schema — it " +
             "was seeded outside CREATE TABLE and then fully emptied; " +
@@ -370,12 +369,14 @@ object GraftTables {
       // a column declared on the sidecar but not yet carried by any
       // generation's footers is served as NULL — the same contract
       // parquet gives a column missing from OLD files. Footer columns
-      // always win their own types; only sidecar-ONLY columns append.
-      // Current snapshot only: a time-travel read shows the snapshot's
-      // own physical schema (the declaration is current-state DDL).
+      // always win their own types; only declared-ONLY columns append.
+      // Time-travel reads widen by the declaration AS OF that commit
+      // (round 15 — the declaration is versioned), so a snapshot taken
+      // after an ALTER but before data carried the new column shows it
+      // as NULL, and a pre-ALTER snapshot never shows it.
       val pq =
-        if (table == "merge" && commit.isEmpty) {
-          graft.cdc.Apply.createSchemaOf(spark, dir) match {
+        if (table == "merge") {
+          graft.cdc.Apply.declaredSchemaAt(spark, dir, commit) match {
             case Some(declared) =>
               val have = inferred.schema.fieldNames.toSet
               val extras = declared.fields.filterNot(f => have(f.name))

@@ -253,4 +253,52 @@ class GraftCreateTableSpec extends AnyFunSuite {
       assert(!new java.io.File(s"$dir/$p/_graft_table_meta.json").exists())
     }
   }
+
+  test("the DECLARATION is versioned (round 15): ALTER is its own " +
+      "commit, VERSION AS OF serves the declaration as of that commit " +
+      "— a pre-ALTER empty snapshot shows the pre-ALTER columns") {
+    catalogReady
+    val dir = Files.createTempDirectory("graftct9").toString + "/t"
+    spark.sql(s"CREATE TABLE graft_ct.`$dir`.merge " +
+      "(id BIGINT, price DOUBLE, _version BIGINT) " +
+      "TBLPROPERTIES (key_col 'id')") // commit 0 (empty)
+    spark.sql(s"INSERT INTO graft_ct.`$dir`.merge " +
+      "VALUES (1, 1.0, 10)") // commit 1
+    spark.sql(s"ALTER TABLE graft_ct.`$dir`.merge " +
+      "ADD COLUMNS (region STRING)") // commit 2 — a real DDL commit
+    assert(Apply.currentCommit(spark, dir) == 2L,
+      "an ALTER must be its own ledgered commit")
+    spark.sql(s"INSERT INTO graft_ct.`$dir`.merge " +
+      "(id, price, _version, region) VALUES (2, 2.0, 10, 'emea')") // 3
+    def colsAt(v: Long): Seq[String] = spark.sql(
+      s"SELECT * FROM graft_ct.`$dir`.merge VERSION AS OF $v")
+      .schema.fieldNames.toSeq
+    // the EMPTY pre-ALTER snapshot: pre-ALTER declaration, no region
+    assert(colsAt(0L) == Seq("id", "price", "_version"),
+      s"AS OF 0 must show the CREATE-time declaration: ${colsAt(0L)}")
+    // pre-ALTER data snapshot: physical schema, still no region
+    assert(colsAt(1L) == Seq("id", "price", "_version"))
+    // the ALTER commit itself: declaration widened, data unchanged —
+    // region reads NULL on the commit-1 row
+    assert(colsAt(2L) == Seq("id", "price", "_version", "region"),
+      s"AS OF the ALTER commit must show the widened declaration: " +
+        colsAt(2L))
+    val at2 = spark.sql(s"SELECT id, region FROM graft_ct.`$dir`.merge " +
+      "VERSION AS OF 2").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(at2 == Seq((1L, null)))
+    // current: both rows, region carried by the late one
+    val cur = spark.sql(s"SELECT id, region FROM graft_ct.`$dir`.merge " +
+      "ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(cur == Seq((1L, null), (2L, "emea")))
+    // the ALTER commit wrote NO change slice: the feed over its window
+    // is empty (the fail-closed reader treats a missing slice dir as
+    // "no logical change" — the compact/restore contract)
+    val feed = spark.read.format("graft").option("path", dir)
+      .option("table", "changes.merge")
+      .option("sinceCommit", "1").option("untilCommit", "2").load()
+    assert(feed.count() == 0L,
+      "a DDL commit must contribute nothing to the change feed")
+  }
 }
