@@ -550,10 +550,11 @@ object Apply {
     * lifecycle is SQL: INSERT (the versioned upsert), UPDATE / MERGE
     * INTO / predicate DELETE (the row-level fold), key DELETE (the
     * purge). Time travel to commit 0 reads the empty state. */
-  def createTable(spark: SparkSession, tableDir: String,
-      schema: StructType, keyCol: String, nBuckets: Int = 16): Unit = {
-    val hc = graft.util.Hfs.conf(spark)
-    val root = new HPath(tableDir)
+  /** CREATE-time invariants, shared by [[createTable]] and the atomic
+    * CTAS path ([[ctasCommit]] and the catalog's stageCreate, which
+    * must refuse BEFORE the query runs). */
+  private[graft] def validateCreate(tableDir: String, schema: StructType,
+      keyCol: String, nBuckets: Int): Unit = {
     require(schema.fieldNames.contains(keyCol),
       s"CREATE TABLE $tableDir: schema must carry the key column " +
         s"'$keyCol' (got ${schema.fieldNames.mkString(", ")})")
@@ -563,6 +564,13 @@ object Apply {
         "write face requires it")
     require(nBuckets > 0, s"CREATE TABLE $tableDir: nBuckets must be " +
       s"positive, got $nBuckets (a lifetime invariant of the table)")
+  }
+
+  def createTable(spark: SparkSession, tableDir: String,
+      schema: StructType, keyCol: String, nBuckets: Int = 16): Unit = {
+    val hc = graft.util.Hfs.conf(spark)
+    val root = new HPath(tableDir)
+    validateCreate(tableDir, schema, keyCol, nBuckets)
     graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
       // existence check INSIDE the lease (round-14 self-review): two
       // racing CREATEs with different schemas must not both pass an
@@ -583,6 +591,53 @@ object Apply {
         schemaHistoryPath(root, 0L), schema.json, hc)
       writeManifest(root, nBuckets, Map.empty, Map.empty, 0L, hc,
         archive = true, keyCol = Some(keyCol))
+    }
+  }
+
+  /** ATOMIC CTAS (round 15, verdict r14 #3): commit a staged `CREATE
+    * TABLE … AS SELECT` — creation AND first load in ONE pointer move.
+    * The query's rows were already written (task-side, via the staged
+    * table's write face) as plain parquet under the table's own
+    * `_staging/ctas-<uuid>/`; this verb folds them so that the FIRST
+    * manifest this table ever gets (commit 1) already points at the
+    * data. A reader racing the statement sees either no table at all
+    * (no manifest ⇒ typed NoSuchTableException) or the fully-loaded
+    * table — never the round-14 empty-created intermediate; a failed
+    * or crashed CTAS leaves NO table (the staged catalog aborts by
+    * deleting the staging dir — nothing else exists yet). Declaration
+    * sidecar + schema-1 archive land BEFORE the manifest (invisible
+    * until it, overwritten by a retry). An empty SELECT degenerates to
+    * [[createTable]] — an empty table at commit 0, the same outcome
+    * CREATE-then-no-INSERT gives. */
+  private[graft] def ctasCommit(spark: SparkSession, tableDir: String,
+      stagedIn: String, schema: StructType, keyCol: String,
+      nBuckets: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    validateCreate(tableDir, schema, keyCol, nBuckets)
+    val hc = graft.util.Hfs.conf(spark)
+    val root = new HPath(tableDir)
+    graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
+      if (readMeta(root, hc).isDefined)
+        throw new MergeTableExistsException(tableDir)
+      val rows = spark.read.schema(schema).parquet(stagedIn)
+      if (rows.isEmpty) {
+        createTable(spark, tableDir, schema, keyCol, nBuckets)
+      } else {
+        graft.util.Hfs.writeStringAtomic(
+          new HPath(root, CreateSchemaName), schema.json, hc)
+        graft.util.Hfs.writeStringAtomic(
+          schemaHistoryPath(root, 1L), schema.json, hc)
+        val afterCols = rows.columns.filterNot(_ == "_version")
+        val env = rows.select(lit(Envelope.Modify).as("op"),
+          col(keyCol).as("key"), col("_version"),
+          struct(afterCols.toIndexedSeq.map(col): _*).as("after"))
+        mergeBatch(env, tableDir, keyCol = keyCol,
+          versionCol = "_version",
+          versionType = env.schema("_version").dataType,
+          schema = env.schema("after").dataType.asInstanceOf[StructType],
+          nBuckets = nBuckets, gcGraceMs = DefaultGcGraceMs,
+          what = "CTAS into")
+      }
     }
   }
 

@@ -3,7 +3,7 @@ package graft.sources
 import java.util.{Map => JMap}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{Column, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Column, Identifier, ProcedureCatalog, StagedTable, StagingTableCatalog, Table, TableCatalog, TableChange, TableInfo}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
@@ -58,7 +58,8 @@ import graft.util.Generations
   * everywhere (schema evolves through the fold's mergeSchema;
   * destructive removal is out-of-band).
   */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+  with StagingTableCatalog {
 
   private var catName: String = "graft"
   private var root: Option[String] = None
@@ -202,9 +203,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * lifecycle is SQL: INSERT → UPDATE / MERGE INTO / DELETE →
     * SELECT, with VERSION AS OF 0 reading the empty state. DROP stays
     * refused (destructive removal is out-of-band by design). */
-  override def createTable(ident: Identifier, schema: StructType,
+  /** Shared CREATE validation: merge-only surface, no PARTITIONED BY,
+    * key_col TBLPROPERTY. Returns (dir, keyCol, nBuckets). */
+  private def createParams(ident: Identifier,
       partitions: Array[Transform],
-      properties: JMap[String, String]): Table = {
+      props: JMap[String, String]): (String, String, Int) = {
     val (dir, table) = parse(ident)
     require(table == "merge",
       s"CREATE TABLE supports only the merge surface — '$table' is " +
@@ -213,7 +216,6 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     require(partitions.isEmpty,
       "graft merge tables bucket by xxhash64(key) internally — " +
         "PARTITIONED BY is not supported")
-    val props = properties
     val keyCol = Option(props.get("key_col"))
       .orElse(Option(props.get("keycol")))
       .getOrElse(sys.error(
@@ -221,6 +223,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           "(key_col '<column>') — the merge key is a lifetime " +
           "invariant of the table (it IS the bucket hash)"))
     val nBuckets = Option(props.get("buckets")).map(_.toInt).getOrElse(16)
+    (dir, keyCol, nBuckets)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val (dir, keyCol, nBuckets) =
+      createParams(ident, partitions, properties)
     // typed already-exists (ADVICE r14): Apply.createTable checks
     // existence INSIDE the lease; translate its signal into the
     // exception Spark classifies, so IF NOT EXISTS and a CREATE racing
@@ -243,6 +253,46 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         org.apache.spark.sql.types.StructField(c.name, c.dataType,
           c.nullable)).toIndexedSeq),
       partitions, properties)
+
+  /** ATOMIC CTAS (round 15, verdict r14 #3): being a
+    * `StagingTableCatalog` makes Spark plan `CREATE TABLE … AS SELECT`
+    * as `AtomicCreateTableAsSelectExec` — the query writes through a
+    * STAGED table ([[GraftStagedCtasTable]]: rows land under the
+    * table's own `_staging/ctas-<uuid>/`, nothing else exists) and the
+    * table is created WITH its data in one pointer move at
+    * commitStagedChanges ([[graft.cdc.Apply.ctasCommit]] — the first
+    * manifest is the loaded commit 1). A failed CTAS aborts by
+    * deleting staging: no created-empty window for readers, no
+    * stranded table to mop up. Invariants (merge surface, key_col,
+    * `_version`) are validated HERE, before the query runs. */
+  override def stageCreate(ident: Identifier,
+      info: TableInfo): StagedTable = {
+    val (dir, keyCol, nBuckets) =
+      createParams(ident, info.partitions(), info.properties())
+    graft.cdc.Apply.validateCreate(dir, info.schema(), keyCol, nBuckets)
+    // refuse an existing table BEFORE the query runs (typed; the
+    // commit re-checks inside the lease for the racing window)
+    val exists =
+      try { load(ident, None); true }
+      catch {
+        case _: org.apache.spark.sql.catalyst.analysis
+          .NoSuchTableException => false
+      }
+    if (exists) throw new org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException(ident)
+    new GraftStagedCtasTable(SparkSession.active, dir, info.schema(),
+      keyCol, nBuckets)
+  }
+
+  override def stageReplace(ident: Identifier,
+      info: TableInfo): StagedTable = readOnly(
+    "REPLACE TABLE (replacing a merge table rewrites folded state; " +
+      "rewinds are restore, removal is out-of-band)")
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: TableInfo): StagedTable = readOnly(
+    "CREATE OR REPLACE TABLE (replacing a merge table rewrites folded " +
+      "state; rewinds are restore, removal is out-of-band)")
 
   /** SQL `ALTER TABLE … ADD COLUMNS (…)` on the merge surface
     * (round 14): the declared-schema evolution verb

@@ -254,6 +254,58 @@ class GraftCreateTableSpec extends AnyFunSuite {
     }
   }
 
+  test("CTAS is ATOMIC (round 15): a reader racing the statement sees " +
+      "NO table until the commit, then the fully-loaded table — never " +
+      "the created-empty intermediate") {
+    catalogReady
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftct10").toString + "/t"
+    // a deliberately slow source: each row sleeps, so the staged-write
+    // window is wide enough to poll through
+    spark.range(3).map { i =>
+      Thread.sleep(2000); (i, s"t$i", i.toDouble, 10L)
+    }.toDF("id", "ticker", "price", "_version")
+      .createOrReplaceTempView("graft_ct_slow_src")
+    @volatile var ctasErr: Option[Throwable] = None
+    val t = new Thread(() =>
+      try spark.sql(s"CREATE TABLE graft_ct.`$dir`.merge " +
+        "TBLPROPERTIES (key_col 'id') AS " +
+        "SELECT * FROM graft_ct_slow_src")
+      catch { case e: Throwable => ctasErr = Some(e) })
+    t.start()
+    var sawAbsent = false
+    var sawPartial: Option[Long] = None
+    while (t.isAlive) {
+      try {
+        val n = spark.sql(
+          s"SELECT count(*) AS n FROM graft_ct.`$dir`.merge")
+          .head.getLong(0)
+        if (n != 3L) sawPartial = Some(n)
+      } catch { case _: Exception => sawAbsent = true }
+      Thread.sleep(100)
+    }
+    t.join()
+    ctasErr.foreach(throw _)
+    assert(sawAbsent,
+      "a reader during the CTAS window must see NO table (the " +
+        "statement ran >2 s; absence was never observed)")
+    assert(sawPartial.isEmpty,
+      s"a reader observed a partial/empty table of $sawPartial rows — " +
+        "CTAS must be creation + first load in ONE pointer move")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_ct.`$dir`.merge")
+      .head.getLong(0) == 3L)
+    assert(Apply.currentCommit(spark, dir) == 1L,
+      "atomic CTAS: the table's FIRST commit already carries the data")
+    // CTAS onto an existing table refuses BEFORE running the query
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE graft_ct.`$dir`.merge " +
+        "TBLPROPERTIES (key_col 'id') AS " +
+        "SELECT * FROM graft_ct_slow_src"))
+    assert(chain(e).exists(m => m.contains("already") ||
+      m.contains("TABLE_OR_VIEW_ALREADY_EXISTS")),
+      chain(e).mkString(" <- "))
+  }
+
   test("the DECLARATION is versioned (round 15): ALTER is its own " +
       "commit, VERSION AS OF serves the declaration as of that commit " +
       "— a pre-ALTER empty snapshot shows the pre-ALTER columns") {
