@@ -156,6 +156,27 @@ object CdcQueries {
       tableDir
     }
 
+  /** q295's merge table — SQL `INSERT OVERWRITE` end-to-end
+    * (round 15, verdict r14 #7): seed the latest-state table, then
+    * overwrite its whole content with the upper-cased latest state of
+    * only `user_id % 3 <> 0` users at `event_id + 1` (the version must
+    * advance — the overwrite rides the stale-gated fold). Dropped
+    * users become REMOVE events in the commit's change slice; the
+    * final state is exactly the SELECT — DuckDB-recomputable. */
+  private[graft] def sqlOverwriteDir(s: SparkSession, d: String): String =
+    graft.util.Maintenance.getOrBuild("sqlOverwriteSeed", s, d) {
+      val tableDir = seedLatestStateTable(s, d, "graftsqlow")
+      Tables.events(s, d)
+        .createOrReplaceTempView("graft_overwrite_events")
+      s.sql(s"INSERT OVERWRITE graft_sql.`$tableDir`.merge " +
+        "SELECT user_id, upper(event_type) AS event_type, value, " +
+        "event_id + 1 AS _version FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY event_id DESC) AS rn FROM graft_overwrite_events) " +
+        "WHERE rn = 1 AND user_id % 3 <> 0") // commit 2
+      tableDir
+    }
+
   /** q289's merge table — SQL MERGE INTO end-to-end: one statement
     * carrying all three action kinds against the seeded latest-state
     * table (matched-update re-prices user_id%4==1 one version up,
@@ -472,6 +493,19 @@ object CdcQueries {
         .select(col("user_id"), col("_version").as("last_event_id"),
           col("event_type").as("last_type"),
           cents(col("value")).as("last_value_cents"), col("etype2"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- round 15 (verdict r14 #7): SQL INSERT OVERWRITE — replace the
+    //    table's content in ONE stale-gated fold commit (MODIFYs for
+    //    the batch, REMOVEs for disappeared keys). The table must read
+    //    as exactly the overwriting SELECT.
+    "q295_sql_overwrite" -> { (s, d) =>
+      val dir = sqlOverwriteDir(s, d)
+      s.sql(s"SELECT * FROM graft_sql.`$dir`.merge")
+        .select(col("user_id"), col("_version").as("last_event_id"),
+          col("event_type").as("last_type"),
+          cents(col("value")).as("last_value_cents"))
         .orderBy(col("user_id"))
     },
 
@@ -852,6 +886,17 @@ object CdcQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |    ORDER BY event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // The overwrite closure: latest event per user restricted to
+    // user_id % 3 <> 0, upper-cased, one version past the latest event.
+    "q295_sql_overwrite" ->
+      """SELECT user_id, event_id + 1 AS last_event_id,
+        |  UPPER(event_type) AS last_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS last_value_cents
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 AND user_id % 3 <> 0 ORDER BY user_id""".stripMargin,
 
     // AS OF the ALTER commit: the EARLY window's latest-per-user state
     // (the only data that existed), widened by the just-declared

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, InsertableRelation}
@@ -145,9 +145,15 @@ private[sources] final class GraftSnapshotTable(
   override def properties(): JMap[String, String] = delegate.properties
 
   override def capabilities(): JSet[TableCapability] =
+    // TRUNCATE advertises INSERT OVERWRITE (round 15 — the analyzer
+    // requires it to plan OverwriteByExpression(true)); the verb
+    // itself routes through [[graft.cdc.Apply.overwriteBatch]], one
+    // stale-gated fold commit. Bare `TRUNCATE TABLE` still refuses
+    // (truncateTable below) — destructive wholesale removal stays
+    // out-of-band by design.
     (if (writable)
        Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-         TableCapability.STREAMING_WRITE)
+         TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
      else Set(TableCapability.BATCH_READ)).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
@@ -206,17 +212,23 @@ private[sources] final class GraftSnapshotTable(
         "surfaces are maintained by the library's ledgered fold verbs " +
         "(a raw file append would bypass the manifest protocol); SQL " +
         "INSERT is supported only on the CURRENT merge surface")
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      // INSERT OVERWRITE plans as OverwriteByExpression(true) and
+      // V2Writes requires the builder to accept truncate() — record it
+      // and route the one statement to the stale-gated overwrite fold
+      private var truncated = false
+      override def truncate(): WriteBuilder = { truncated = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame,
                 overwrite: Boolean): Unit = {
-              require(!overwrite,
-                "INSERT OVERWRITE is not supported — the merge fold is " +
-                  "a versioned upsert; rewinds/rewrites are the " +
-                  "restore/purge/compact verbs")
-              graft.cdc.Apply.insertBatch(spark, dir, data)
+              // INSERT OVERWRITE (round 15): one stale-gated fold
+              // commit — MODIFYs for the batch, REMOVEs for stored
+              // keys absent from it; versions must advance
+              if (overwrite || truncated)
+                graft.cdc.Apply.overwriteBatch(spark, dir, data)
+              else graft.cdc.Apply.insertBatch(spark, dir, data)
             }
           }
         // STRUCTURED STREAMING SINK (round 14): each epoch is one

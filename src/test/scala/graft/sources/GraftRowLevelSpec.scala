@@ -311,6 +311,43 @@ class GraftRowLevelSpec extends AnyFunSuite {
     assert(Apply.currentCommit(spark, dir) == 1L)
   }
 
+  test("INSERT OVERWRITE replaces the table content as ONE stale-gated " +
+      "fold commit: disappeared keys become REMOVEs in the change " +
+      "slice; non-advancing versions reject all-or-nothing") {
+    catalogReady
+    val dir = seed() // ids 1..6 at version 10, commit 1
+    import spark.implicits._
+    Seq((1L, "ow", 9.0, 20L), (2L, "ow", 9.0, 20L),
+      (7L, "new", 7.0, 20L))
+      .toDF("id", "ticker", "price", "_version")
+      .createOrReplaceTempView("graft_rl_ow_src")
+    spark.sql(s"INSERT OVERWRITE graft_rl.`$dir`.merge " +
+      "SELECT * FROM graft_rl_ow_src")
+    assert(Apply.currentCommit(spark, dir) == 2L,
+      "one INSERT OVERWRITE must be one ledgered commit")
+    val s = state(dir)
+    assert(s == Map(1L -> (("ow", 9.0, 20L)), 2L -> (("ow", 9.0, 20L)),
+      7L -> (("new", 7.0, 20L))),
+      s"overwrite must replace the content exactly: $s")
+    assert(slice(dir, 1L, 2L) == Set(1L -> "MODIFY", 2L -> "MODIFY",
+      7L -> "MODIFY", 3L -> "REMOVE", 4L -> "REMOVE", 5L -> "REMOVE",
+      6L -> "REMOVE"),
+      "a cascade must see the overwrite as upserts + deletions")
+    // staging cleaned per statement
+    val staging = new java.io.File(s"$dir/_staging")
+    assert(Option(staging.listFiles()).getOrElse(Array.empty).isEmpty,
+      "a completed INSERT OVERWRITE must not leak staging")
+    // non-advancing versions: the whole statement rejects loudly,
+    // nothing applied (id=1 stored at 20, the batch re-offers 20)
+    val e = intercept[Exception](spark.sql(
+      s"INSERT OVERWRITE graft_rl.`$dir`.merge " +
+        "SELECT * FROM graft_rl_ow_src"))
+    assert(chain(e).exists(m => m.contains("stale") &&
+      m.contains("OVERWRITE")), chain(e).mkString(" <- "))
+    assert(Apply.currentCommit(spark, dir) == 2L &&
+      state(dir) == s, "a rejected overwrite must mutate nothing")
+  }
+
   test("TWO RACING UPDATE STATEMENTS never lose an update silently " +
       "(ADVICE r14): the stale gate and the fold share one lease, so " +
       "the loser either serializes cleanly or aborts loudly") {

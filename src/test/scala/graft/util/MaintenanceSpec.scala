@@ -84,7 +84,8 @@ class MaintenanceSpec extends AnyFunSuite {
       "cascadeSetSeed", "cascadeSetAllSeed",
       "postingsStoreSeed", "procStoreSeed", "mergeFeedSeed", "sqlInsertSeed",
       "sqlDeleteSeed", "sqlUpdateSeed", "sqlMergeSeed", "sqlDeletePredSeed",
-      "sqlLifecycleSeed", "sqlEvolutionSeed", "sinkStreamSeed",
+      "sqlLifecycleSeed", "sqlEvolutionSeed", "sqlOverwriteSeed",
+      "sinkStreamSeed",
       "upsertStoreSeed", "graphStoreSeed", "graphCascadeSeed",
       "linkageLedger", "linkageBase", "shardExportSeed", "pipelineSeed",
       "zorderLayout", "bucketedPair", "coPurchasePairs", "lpaLabels",
