@@ -788,11 +788,16 @@ object Apply {
         s"$tableDir is not a merge table (no $MetaName) — nothing to ALTER"))
       val declared = createSchemaOf(spark, tableDir).getOrElse {
         // seeded outside CREATE TABLE: the current read schema is the
-        // baseline declaration
+        // baseline declaration — ARCHIVED at the current commit, so a
+        // pre-ALTER time travel resolves to it (the oldest-archive
+        // fallback in declaredSchemaAt), never to the widened one
         require(m.buckets.nonEmpty, s"$tableDir has no declared schema " +
           "and no data to infer one from")
-        spark.read.option("mergeSchema", "true")
+        val baseline = spark.read.option("mergeSchema", "true")
           .parquet(snapshotBucketDirs(spark, tableDir, None): _*).schema
+        graft.util.Hfs.writeStringAtomic(
+          schemaHistoryPath(root, m.commitId), baseline.json, hc)
+        baseline
       }
       val dup = fields.map(_.name).intersect(declared.fieldNames.toSeq)
       require(dup.isEmpty,
@@ -872,12 +877,15 @@ object Apply {
 
   /** The DECLARED schema AS OF a commit (round 15): `None` = current
     * (the root sidecar, the fast path, unchanged); `Some(c)` = the
-    * newest archived `schema-N.json` with N <= c. Tables created
-    * before declaration versioning (or seeded outside CREATE TABLE)
-    * have no archives and fall back to the root sidecar — for them
-    * every data-bearing snapshot still shows its own physical schema,
-    * so the fallback is only ever visible on empty snapshots (the
-    * pre-round-15 contract). */
+    * newest archived `schema-N.json` with N <= c. If archives exist
+    * but none is old enough (a table seeded OUTSIDE CREATE TABLE whose
+    * first archive is its first ALTER), the OLDEST archive serves —
+    * it is the earliest KNOWN declaration, so a pre-ALTER time travel
+    * never shows post-ALTER columns. Tables with no archives at all
+    * fall back to the root sidecar — for them every data-bearing
+    * snapshot still shows its own physical schema, so the fallback is
+    * only ever visible on empty snapshots (the pre-round-15
+    * contract). */
   private[graft] def declaredSchemaAt(spark: SparkSession,
       tableDir: String,
       commit: Option[Long]): Option[StructType] = {
@@ -890,12 +898,17 @@ object Apply {
           .list(new HPath(root, HistoryDirName), hc)
           .map(_.getPath.getName)
           .collect { case SchemaHistRe(n) => n.toLong }
-          .filter(_ <= c)
-        if (archived.isEmpty) createSchemaOf(spark, tableDir)
-        else Some(org.apache.spark.sql.types.DataType
-          .fromJson(graft.util.Hfs.readString(
-            schemaHistoryPath(root, archived.max), hc))
-          .asInstanceOf[StructType])
+        val pick =
+          if (archived.isEmpty) None
+          else archived.filter(_ <= c).maxOption
+            .orElse(Some(archived.min))
+        pick match {
+          case None => createSchemaOf(spark, tableDir)
+          case Some(n) => Some(org.apache.spark.sql.types.DataType
+            .fromJson(graft.util.Hfs.readString(
+              schemaHistoryPath(root, n), hc))
+            .asInstanceOf[StructType])
+        }
     }
   }
 

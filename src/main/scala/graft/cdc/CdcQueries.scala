@@ -478,6 +478,22 @@ object CdcQueries {
         .orderBy(col("user_id"))
     },
 
+    // -- q295's commit seen through the CHANGE FEED: the overwrite's
+    //    slice must carry a MODIFY per new row and a typed-null REMOVE
+    //    per dropped key — a cascade consumes an overwrite as plain
+    //    upserts + deletions.
+    "q296_sql_overwrite_feed" -> { (s, d) =>
+      val dir = sqlOverwriteDir(s, d)
+      s.read.format("graft").option("path", dir)
+        .option("table", "changes.merge")
+        .option("sinceCommit", "1").option("untilCommit", "2").load()
+        .select(col("op"), col("_key").as("user_id"),
+          col("_version").as("version"),
+          col("event_type").as("last_type"),
+          cents(col("value")).as("last_value_cents"))
+        .orderBy(col("user_id"))
+    },
+
     // -- round 15 (verdict r14 #2): the DECLARATION is versioned —
     //    ALTER is its own commit (CREATE=0, INSERT=1, ALTER=2,
     //    INSERT=3 on the q292 substrate), and a time-travel read
@@ -897,6 +913,27 @@ object CdcQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |    ORDER BY event_id DESC) AS rn FROM events)
         |WHERE rn = 1 AND user_id % 3 <> 0 ORDER BY user_id""".stripMargin,
+
+    // The overwrite's change slice: MODIFYs for kept users at the
+    // advanced version, typed-null REMOVEs (at the stored version) for
+    // dropped users.
+    "q296_sql_overwrite_feed" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_id, event_type, value
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY event_id DESC) AS rn FROM events)
+        |  WHERE rn = 1)
+        |SELECT 'MODIFY' AS op, user_id, event_id + 1 AS version,
+        |  UPPER(event_type) AS last_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS last_value_cents
+        |FROM latest WHERE user_id % 3 <> 0
+        |UNION ALL
+        |SELECT 'REMOVE' AS op, user_id, event_id AS version,
+        |  CAST(NULL AS VARCHAR) AS last_type,
+        |  CAST(NULL AS BIGINT) AS last_value_cents
+        |FROM latest WHERE user_id % 3 = 0
+        |ORDER BY user_id""".stripMargin,
 
     // AS OF the ALTER commit: the EARLY window's latest-per-user state
     // (the only data that existed), widened by the just-declared

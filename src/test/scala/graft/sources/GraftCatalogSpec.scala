@@ -267,13 +267,21 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"INSERT INTO graft_test.`$pdir`.postings.doclen VALUES (1, 1, 0)"))
     assert(chain(e).exists(m => m.contains("read-only") ||
       m.contains("does not support")), chain(e).mkString(" <- "))
-    // INSERT OVERWRITE refuses: rewinds are restore/purge verbs
+    // INSERT OVERWRITE is a SUPPORTED verb since round 15 (one
+    // stale-gated fold commit — full semantics gated in
+    // GraftRowLevelSpec and q295/q296); here pin its VERSION CONTRACT:
+    // an overwrite that does not advance past the stored versions
+    // rejects all-or-nothing, so the table is untouched for the rest
+    // of this lifecycle
+    val preOw = Apply.currentCommit(spark, dir)
     val e2 = intercept[Exception](spark.sql(
       s"INSERT OVERWRITE graft_test.`$dir`.merge " +
-        "(id, ticker, price, _version) VALUES " +
-        "('k9', 'x', 1.0, TIMESTAMP '1970-01-01 00:00:02')"))
-    assert(chain(e2).exists(m => m.contains("INSERT OVERWRITE") ||
-      m.contains("does not support")), chain(e2).mkString(" <- "))
+        "SELECT id, ticker, price, TIMESTAMP '1970-01-01 00:00:00' " +
+        s"AS _version FROM graft_test.`$dir`.merge"))
+    assert(chain(e2).exists(m => m.contains("stale") &&
+      m.contains("OVERWRITE")), chain(e2).mkString(" <- "))
+    assert(Apply.currentCommit(spark, dir) == preOw,
+      "a stale overwrite must commit nothing")
     // the library verb guards its contract: _version is mandatory
     val e3 = intercept[Exception](Apply.insertBatch(spark, dir,
       Seq(("k9", "x", 1.0)).toDF("id", "ticker", "price")))

@@ -183,6 +183,15 @@ class GraftCreateTableSpec extends AnyFunSuite {
       "('k2', 'b', 2.0, TIMESTAMP '1970-01-01 00:00:01', 'n2')")
     assert(spark.sql(s"SELECT note FROM graft_ct.`$dir`.merge " +
       "WHERE id = 'k2'").head.getString(0) == "n2")
+    // declaration versioning holds for legacy tables too: the ALTER
+    // archived its inferred BASELINE at the pre-ALTER commit, so a
+    // pre-ALTER time travel never shows the added column
+    val preAlter = spark.sql(
+      s"SELECT * FROM graft_ct.`$dir`.merge VERSION AS OF 1")
+      .schema.fieldNames.toSeq
+    assert(!preAlter.contains("note"),
+      s"pre-ALTER snapshot of a legacy table must not show the added " +
+        s"column: $preAlter")
   }
 
   test("DROP TABLE removes only a table that never held data — the " +
