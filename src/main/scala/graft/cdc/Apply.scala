@@ -557,29 +557,54 @@ object Apply {
     * at 100 TB that is the inherent price of `INSERT OVERWRITE`, paid
     * only by statements that ask for it. */
   def overwriteBatch(spark: SparkSession, tableDir: String,
-      rows: DataFrame): Unit = {
+      rows: DataFrame): Unit =
+    overwriteWhere(spark, tableDir, rows, cond = None)
+
+  /** `REPLACE WHERE` — the scoped sibling (round 15, §12d): replace
+    * only the region `cond` selects. Stored rows MATCHING `cond` and
+    * absent from the batch become REMOVEs; every batch row must
+    * SATISFY `cond` (Delta's replaceWhere contract — a row outside
+    * the replaced region in a "replace this region" statement is a
+    * statement bug, rejected loudly before anything mutates). On this
+    * KEYED table a batch row whose key exists outside the region is a
+    * versioned upsert of that row — replace = delete(region) +
+    * versioned upsert(batch), the only coherent reading when a key
+    * can hold at most one row. `cond = None` is the full overwrite
+    * ([[overwriteBatch]]'s contract above). */
+  private[graft] def overwriteWhere(spark: SparkSession,
+      tableDir: String, rows: DataFrame,
+      cond: Option[org.apache.spark.sql.Column]): Unit = {
     import org.apache.spark.sql.functions._
+    val what = cond.fold("INSERT OVERWRITE")(_ => "REPLACE WHERE")
     val hc = graft.util.Hfs.conf(spark)
     graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
     val m = readMeta(new HPath(tableDir), hc).getOrElse(sys.error(
-      s"$tableDir is not a merge table (no $MetaName) — INSERT " +
-        "OVERWRITE writes into an existing table; seed with startMerge"))
+      s"$tableDir is not a merge table (no $MetaName) — $what " +
+        "writes into an existing table; seed with startMerge"))
     val key = m.keyCol.getOrElse(sys.error(
       s"$tableDir has no keyCol in its manifest (written before the " +
         "keyCol-invariant upgrade): run one merge/purge commit to " +
         "upgrade it before using the SQL write face"))
     require(rows.columns.contains("_version"),
-      s"INSERT OVERWRITE into $tableDir must supply the _version " +
+      s"$what into $tableDir must supply the _version " +
         "column — the merge fold is versioned (latest per key wins)")
     require(rows.columns.contains(key),
-      s"INSERT OVERWRITE into $tableDir must supply its key column " +
-        s"'$key'")
+      s"$what into $tableDir must supply its key column '$key'")
     sweepStaging(spark, tableDir)
     val stage =
       s"$tableDir/$StagingDirName/overwrite-${java.util.UUID.randomUUID}"
     rows.write.parquet(s"$stage/in")
     try {
       val staged = spark.read.parquet(s"$stage/in")
+      // every batch row must live inside the replaced region
+      cond.foreach { c =>
+        val out = staged.filter(!c).limit(1).collect()
+        if (out.nonEmpty) sys.error(
+          s"$what into $tableDir rejected — the batch carries rows " +
+            "OUTSIDE the replaced region (first: " + out.head + "); " +
+            "a replace-this-region statement whose data escapes the " +
+            "region is a statement bug — nothing was applied")
+      }
       // stored (key, _version) across ALL live buckets — the REMOVE
       // set and the stale gate both need it; one column-pruned scan
       val liveDirs = m.buckets.toSeq.sortBy(_._1).map { case (b, g) =>
@@ -598,7 +623,7 @@ object Apply {
           .filter(col("_version") <= col("_stored"))
         val sample = stale.limit(4).collect()
         if (sample.nonEmpty) sys.error(
-          s"stale INSERT OVERWRITE into $tableDir rejected — the merge " +
+          s"stale $what into $tableDir rejected — the merge " +
             "fold is versioned (latest per key wins) and these rows do " +
             "not advance _version past the stored row, so the " +
             "statement would silently lose the fold; advance the " +
@@ -611,9 +636,19 @@ object Apply {
         val modifies = staged.select(lit(Envelope.Modify).as("op"),
           col(key).as("key"), col("_version"),
           struct(afterFields.map(f => col(f.name)): _*).as("after"))
+        // the to-be-removed stored keys: the whole table for a full
+        // overwrite, only the cond-matching region for REPLACE WHERE
+        // (Catalyst prunes the scan to key/_version/cond columns)
+        val removable = cond match {
+          case None => stored
+          case Some(c) =>
+            spark.read.schema(staged.schema).parquet(liveDirs: _*)
+              .filter(c)
+              .select(col(key).as("_sk"), col("_version").as("_stored"))
+        }
         // REMOVE at the stored version: the fold's REMOVE>MODIFY
         // tie-break retires the row deterministically
-        val removes = stored
+        val removes = removable
           .join(staged.select(col(key).as("_sk")), Seq("_sk"), "left_anti")
           .select(lit(Envelope.Remove).as("op"), col("_sk").as("key"),
             col("_stored").as("_version"),
@@ -625,7 +660,7 @@ object Apply {
           schema = modifies.schema("after").dataType
             .asInstanceOf[StructType],
           nBuckets = m.nBuckets, gcGraceMs = DefaultGcGraceMs,
-          what = "INSERT OVERWRITE into")
+          what = s"$what into")
       } else {
         // overwriting an EMPTY table is just the insert
         val afterFields = staged.schema.fields
@@ -637,7 +672,7 @@ object Apply {
           versionType = env.schema("_version").dataType,
           schema = env.schema("after").dataType.asInstanceOf[StructType],
           nBuckets = m.nBuckets, gcGraceMs = DefaultGcGraceMs,
-          what = "INSERT OVERWRITE into")
+          what = s"$what into")
       }
     } finally graft.util.Hfs.delete(new HPath(stage), hc)
     }

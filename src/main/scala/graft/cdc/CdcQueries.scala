@@ -177,6 +177,32 @@ object CdcQueries {
       tableDir
     }
 
+  /** q297's merge table — SQL `REPLACE WHERE` end-to-end (round 15,
+    * §12d): seed the latest-state table, then replace ONLY the
+    * `user_id <= max/2` region with its non-'error' members
+    * upper-cased at `event_id + 1` — region members whose latest event
+    * was an error drop out (REMOVEs in the slice), every other user is
+    * untouched. The region is a RANGE predicate because `REPLACE
+    * WHERE` conditions must translate to data-source filters (`%`
+    * does not — V2Writes rejects it before the write builder, by
+    * design). Deterministic, DuckDB-recomputable. */
+  private[graft] def sqlReplaceWhereDir(s: SparkSession,
+      d: String): String =
+    graft.util.Maintenance.getOrBuild("sqlReplaceWhereSeed", s, d) {
+      val tableDir = seedLatestStateTable(s, d, "graftsqlrw")
+      val ev = Tables.events(s, d)
+      val cut = ev.agg(max(col("user_id"))).head.getLong(0) / 2
+      ev.createOrReplaceTempView("graft_rw_events")
+      s.sql(s"INSERT INTO graft_sql.`$tableDir`.merge " +
+        s"REPLACE WHERE user_id <= $cut " +
+        "SELECT user_id, upper(event_type) AS event_type, value, " +
+        "event_id + 1 AS _version FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY event_id DESC) AS rn FROM graft_rw_events) " +
+        s"WHERE rn = 1 AND user_id <= $cut AND event_type <> 'error'")
+      tableDir // commit 2
+    }
+
   /** q289's merge table — SQL MERGE INTO end-to-end: one statement
     * carrying all three action kinds against the seeded latest-state
     * table (matched-update re-prices user_id%4==1 one version up,
@@ -489,6 +515,18 @@ object CdcQueries {
         .option("sinceCommit", "1").option("untilCommit", "2").load()
         .select(col("op"), col("_key").as("user_id"),
           col("_version").as("version"),
+          col("event_type").as("last_type"),
+          cents(col("value")).as("last_value_cents"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- round 15 (§12d): SQL REPLACE WHERE — replace ONLY the
+    //    condition's region in one stale-gated fold commit; everything
+    //    outside the region must be untouched.
+    "q297_sql_replace_where" -> { (s, d) =>
+      val dir = sqlReplaceWhereDir(s, d)
+      s.sql(s"SELECT * FROM graft_sql.`$dir`.merge")
+        .select(col("user_id"), col("_version").as("last_event_id"),
           col("event_type").as("last_type"),
           cents(col("value")).as("last_value_cents"))
         .orderBy(col("user_id"))
@@ -913,6 +951,28 @@ object CdcQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |    ORDER BY event_id DESC) AS rn FROM events)
         |WHERE rn = 1 AND user_id % 3 <> 0 ORDER BY user_id""".stripMargin,
+
+    // REPLACE WHERE closure: only the user_id <= max/2 region changes
+    // — its non-'error' members replaced one version up and
+    // upper-cased, its 'error' members removed; everyone else
+    // untouched.
+    "q297_sql_replace_where" ->
+      """WITH cut AS (SELECT MAX(user_id) // 2 AS c FROM events),
+        |latest AS (
+        |  SELECT user_id, event_id, event_type, value
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY event_id DESC) AS rn FROM events)
+        |  WHERE rn = 1)
+        |SELECT user_id,
+        |  CASE WHEN user_id <= (SELECT c FROM cut)
+        |    THEN event_id + 1 ELSE event_id END AS last_event_id,
+        |  CASE WHEN user_id <= (SELECT c FROM cut)
+        |    THEN UPPER(event_type) ELSE event_type END AS last_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS last_value_cents
+        |FROM latest
+        |WHERE user_id > (SELECT c FROM cut) OR event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
 
     // The overwrite's change slice: MODIFYs for kept users at the
     // advanced version, typed-null REMOVEs (at the stored version) for

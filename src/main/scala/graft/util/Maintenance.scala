@@ -274,6 +274,7 @@ object Maintenance {
     "sqlLifecycleSeed" -> ((s, d) => graft.cdc.CdcQueries.sqlLifecycleDir(s, d)),
     "sqlEvolutionSeed" -> ((s, d) => graft.cdc.CdcQueries.sqlEvolutionDir(s, d)),
     "sqlOverwriteSeed" -> ((s, d) => graft.cdc.CdcQueries.sqlOverwriteDir(s, d)),
+    "sqlReplaceWhereSeed" -> ((s, d) => graft.cdc.CdcQueries.sqlReplaceWhereDir(s, d)),
     "sinkStreamSeed"  -> ((s, d) => graft.cdc.CdcQueries.sinkStreamDir(s, d)),
     "upsertStoreSeed" -> ((s, d) => graft.text.LmQueries.upsertStoreDir(s, d)),
     "graphStoreSeed"  -> ((s, d) => graft.warehouse.GraphQueries.graphStoreDir(s, d)),

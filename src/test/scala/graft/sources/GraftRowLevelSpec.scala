@@ -348,6 +348,48 @@ class GraftRowLevelSpec extends AnyFunSuite {
       state(dir) == s, "a rejected overwrite must mutate nothing")
   }
 
+  test("INSERT INTO ... REPLACE WHERE replaces ONLY the region: " +
+      "in-region keys absent from the batch become REMOVEs, rows " +
+      "outside the region reject the whole statement, the rest of " +
+      "the table is untouched") {
+    catalogReady
+    val dir = seed() // ids 1..6 at version 10
+    import spark.implicits._
+    // a batch row OUTSIDE the replaced region rejects all-or-nothing
+    Seq((1L, "rw", 9.0, 20L), (7L, "out", 7.0, 20L))
+      .toDF("id", "ticker", "price", "_version")
+      .createOrReplaceTempView("graft_rl_rw_bad")
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO graft_rl.`$dir`.merge REPLACE WHERE id <= 3 " +
+        "SELECT * FROM graft_rl_rw_bad"))
+    assert(chain(e).exists(m => m.contains("OUTSIDE the replaced") ||
+      m.contains("outside")), chain(e).mkString(" <- "))
+    assert(Apply.currentCommit(spark, dir) == 1L, "nothing applied")
+    // the real replace: region id <= 3, batch carries only id 1
+    Seq((1L, "rw", 9.0, 20L))
+      .toDF("id", "ticker", "price", "_version")
+      .createOrReplaceTempView("graft_rl_rw_src")
+    spark.sql(s"INSERT INTO graft_rl.`$dir`.merge REPLACE WHERE " +
+      "id <= 3 SELECT * FROM graft_rl_rw_src")
+    assert(Apply.currentCommit(spark, dir) == 2L,
+      "one REPLACE WHERE must be one ledgered commit")
+    val s = state(dir)
+    assert(s == Map(1L -> (("rw", 9.0, 20L)),
+      4L -> (("t4", 4.0, 10L)), 5L -> (("t5", 5.0, 10L)),
+      6L -> (("t6", 6.0, 10L))),
+      s"region replaced, remainder untouched: $s")
+    assert(slice(dir, 1L, 2L) == Set(1L -> "MODIFY", 2L -> "REMOVE",
+      3L -> "REMOVE"),
+      "the slice must carry the region's upserts + deletions only")
+    // the stale contract holds here too: re-offering version 20
+    val e2 = intercept[Exception](spark.sql(
+      s"INSERT INTO graft_rl.`$dir`.merge REPLACE WHERE id <= 3 " +
+        "SELECT * FROM graft_rl_rw_src"))
+    assert(chain(e2).exists(m => m.contains("stale") &&
+      m.contains("REPLACE WHERE")), chain(e2).mkString(" <- "))
+    assert(Apply.currentCommit(spark, dir) == 2L && state(dir) == s)
+  }
+
   test("TWO RACING UPDATE STATEMENTS never lose an update silently " +
       "(ADVICE r14): the stale gate and the fold share one lease, so " +
       "the loser either serializes cleanly or aborts loudly") {

@@ -85,7 +85,7 @@ class MaintenanceSpec extends AnyFunSuite {
       "postingsStoreSeed", "procStoreSeed", "mergeFeedSeed", "sqlInsertSeed",
       "sqlDeleteSeed", "sqlUpdateSeed", "sqlMergeSeed", "sqlDeletePredSeed",
       "sqlLifecycleSeed", "sqlEvolutionSeed", "sqlOverwriteSeed",
-      "sinkStreamSeed",
+      "sqlReplaceWhereSeed", "sinkStreamSeed",
       "upsertStoreSeed", "graphStoreSeed", "graphCascadeSeed",
       "linkageLedger", "linkageBase", "shardExportSeed", "pipelineSeed",
       "zorderLayout", "bucketedPair", "coPurchasePairs", "lpaLabels",
