@@ -390,6 +390,43 @@ class GraftRowLevelSpec extends AnyFunSuite {
     assert(Apply.currentCommit(spark, dir) == 2L && state(dir) == s)
   }
 
+  test("the DataFrameWriterV2 API rides the same verbs: append → the " +
+      "insert fold, overwrite(cond) → REPLACE WHERE, create() → " +
+      "atomic CTAS") {
+    catalogReady
+    val dir = seed() // ids 1..6 at version 10, commit 1
+    import spark.implicits._
+    // append: one ledgered insert-fold commit
+    Seq((7L, "api", 7.0, 20L)).toDF("id", "ticker", "price", "_version")
+      .writeTo(s"graft_rl.`$dir`.merge").append()
+    assert(Apply.currentCommit(spark, dir) == 2L)
+    assert(state(dir)(7L) == (("api", 7.0, 20L)))
+    // overwrite(cond): the REPLACE WHERE fold — region id <= 2
+    // replaced by one row, id=2 drops out, the rest untouched
+    Seq((1L, "ow", 1.5, 30L)).toDF("id", "ticker", "price", "_version")
+      .writeTo(s"graft_rl.`$dir`.merge")
+      .overwrite(col("id") <= 2)
+    assert(Apply.currentCommit(spark, dir) == 3L)
+    val s = state(dir)
+    assert(s(1L) == (("ow", 1.5, 30L)) && !s.contains(2L) &&
+      (3L to 7L).forall(s.contains),
+      s"overwrite(cond) must replace only the region: $s")
+    assert(slice(dir, 2L, 3L) == Set(1L -> "MODIFY", 2L -> "REMOVE"))
+    // create(): CTAS through the staged catalog — first commit is the
+    // loaded one
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graftrlapi").toString + "/t"
+    Seq((1L, "c", 1.0, 1L), (1L, "c2", 2.0, 2L))
+      .toDF("id", "ticker", "price", "_version")
+      .writeTo(s"graft_rl.`$dir2`.merge")
+      .tableProperty("key_col", "id")
+      .create()
+    assert(Apply.currentCommit(spark, dir2) == 1L,
+      "API CTAS must be atomic: the first commit carries the data")
+    assert(state(dir2) == Map(1L -> (("c2", 2.0, 2L))),
+      "CTAS rows must ride the versioned fold")
+  }
+
   test("TWO RACING UPDATE STATEMENTS never lose an update silently " +
       "(ADVICE r14): the stale gate and the fold share one lease, so " +
       "the loser either serializes cleanly or aborts loudly") {
