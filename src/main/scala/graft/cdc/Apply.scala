@@ -947,6 +947,32 @@ object Apply {
     }
   }
 
+  /** Every archived declaration, oldest first — the SQL face of
+    * declaration versioning (`CALL <cat>.system.schema_history(store
+    * => dir)`): one row per CREATE/ALTER commit with the declaration
+    * that commit published. Empty for tables predating versioning
+    * that were never ALTERed. */
+  def schemaHistory(spark: SparkSession,
+      tableDir: String): Seq[(Long, StructType)] = {
+    val hc = graft.util.Hfs.conf(spark)
+    val root = new HPath(tableDir)
+    graft.util.Hfs.list(new HPath(root, HistoryDirName), hc)
+      .map(_.getPath.getName)
+      .collect { case SchemaHistRe(n) => n.toLong }
+      .sorted.toSeq
+      .map(n => n -> org.apache.spark.sql.types.DataType
+        .fromJson(graft.util.Hfs.readString(
+          schemaHistoryPath(root, n), hc))
+        .asInstanceOf[StructType])
+  }
+
+  /** (keyCol, nBuckets, commitId) of the merge manifest — the SQL
+    * introspection face (`SHOW TBLPROPERTIES` through the catalog). */
+  def tableProps(spark: SparkSession,
+      tableDir: String): Option[(Option[String], Int, Long)] =
+    readMeta(new HPath(tableDir), graft.util.Hfs.conf(spark))
+      .map(m => (m.keyCol, m.nBuckets, m.commitId))
+
   /** Is the merge snapshot at `commit` (or the current one) EMPTY —
     * a committed manifest with zero buckets? Distinct from "not a
     * table" (no manifest at all). */

@@ -532,6 +532,17 @@ object CdcQueries {
         .orderBy(col("user_id"))
     },
 
+    // -- q294's DECLARATION LEDGER through the CALL face: one row per
+    //    DDL commit with the declaration that commit published. The
+    //    substrate's DDL fully determines the rows, so the oracle is
+    //    the literal expected ledger (the invariant-gate pattern).
+    "q298_sql_schema_history" -> { (s, d) =>
+      val dir = sqlEvolutionDir(s, d)
+      s.sql(s"CALL graft_sql.system.schema_history(store => '$dir')")
+        .select(col("commit").as("commit_id"), col("declared_schema"))
+        .orderBy(col("commit_id"))
+    },
+
     // -- round 15 (verdict r14 #2): the DECLARATION is versioned —
     //    ALTER is its own commit (CREATE=0, INSERT=1, ALTER=2,
     //    INSERT=3 on the q292 substrate), and a time-travel read
@@ -951,6 +962,17 @@ object CdcQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |    ORDER BY event_id DESC) AS rn FROM events)
         |WHERE rn = 1 AND user_id % 3 <> 0 ORDER BY user_id""".stripMargin,
+
+    // The declaration ledger is fully determined by the substrate's
+    // own DDL (CREATE at commit 0, ALTER ADD COLUMNS at commit 2).
+    "q298_sql_schema_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT),
+        |   'user_id BIGINT,event_type STRING,value DOUBLE,_version BIGINT'),
+        |  (CAST(2 AS BIGINT),
+        |   'user_id BIGINT,event_type STRING,value DOUBLE,_version BIGINT,etype2 STRING'))
+        |  AS t(commit_id, declared_schema)
+        |ORDER BY commit_id""".stripMargin,
 
     // REPLACE WHERE closure: only the user_id <= max/2 region changes
     // — its non-'error' members replaced one version up and

@@ -49,7 +49,8 @@ private[sources] object GraftProcedures {
     "ivf" -> "_graft_index_meta.json")
 
   val Names: Seq[String] =
-    Seq("compact", "vacuum", "commits", "restore", "vacuum_changes")
+    Seq("compact", "vacuum", "commits", "restore", "vacuum_changes",
+      "schema_history")
 
   private def kindOf(spark: SparkSession, dir: String): (String, String) =
     Kinds.collectFirst {
@@ -120,6 +121,20 @@ private[sources] object GraftProcedures {
           row2("merge", s"current state restored to snapshot $c " +
             s"(committed as ${graft.cdc.Apply.currentCommit(spark, dir)})")
         }, withCommit = true)
+      // the VERSIONED-DECLARATION ledger (round 15, verdict r14 #2):
+      // one row per CREATE/ALTER commit with the declaration that
+      // commit published (what `VERSION AS OF` serves for empty
+      // snapshots and declared-column widening)
+      case "schema_history" => new StoreProcedure(name, dirOf,
+        new StructType().add("commit", LongType)
+          .add("declared_schema", StringType),
+        (spark, dir, _) => {
+          requireKind(spark, dir, "merge", "schema_history")
+          graft.cdc.Apply.schemaHistory(spark, dir).map { case (c, st) =>
+            new GenericInternalRow(Array[Any](c,
+              UTF8String.fromString(st.toDDL)))
+          }.toArray[InternalRow]
+        })
       case "vacuum_changes" => new StoreProcedure("vacuum_changes", dirOf,
         new StructType().add("kind", StringType).add("detail", StringType),
         (spark, dir, commit) => {

@@ -142,7 +142,22 @@ private[sources] final class GraftSnapshotTable(
     case _ => delegate.schema
   }
   override def partitioning(): Array[Transform] = delegate.partitioning
-  override def properties(): JMap[String, String] = delegate.properties
+
+  /** SQL introspection (round 15): `SHOW TBLPROPERTIES` on the
+    * writable merge surface reports the table's lifetime invariants
+    * (key_col, buckets) and its current commit — what a Delta user
+    * gets from DESCRIBE DETAIL. Snapshot/time-travel faces keep the
+    * delegate's properties untouched. */
+  override def properties(): JMap[String, String] =
+    if (label == "merge" && writable) {
+      val m = new java.util.HashMap[String, String](delegate.properties)
+      graft.cdc.Apply.tableProps(spark, dir).foreach { case (k, n, c) =>
+        k.foreach(m.put("key_col", _))
+        m.put("buckets", n.toString)
+        m.put("commit", c.toString)
+      }
+      m
+    } else delegate.properties
 
   override def capabilities(): JSet[TableCapability] =
     // TRUNCATE advertises INSERT OVERWRITE (round 15 — the analyzer

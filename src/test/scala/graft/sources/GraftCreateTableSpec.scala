@@ -361,5 +361,22 @@ class GraftCreateTableSpec extends AnyFunSuite {
       .option("sinceCommit", "1").option("untilCommit", "2").load()
     assert(feed.count() == 0L,
       "a DDL commit must contribute nothing to the change feed")
+    // the declaration ledger is SQL-visible: one row per DDL commit
+    val hist = spark.sql(
+      s"CALL graft_ct.system.schema_history(store => '$dir')")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist.map(_._1) == Seq(0L, 2L),
+      s"schema_history must list the CREATE and the ALTER: $hist")
+    assert(!hist.head._2.contains("region") &&
+      hist.last._2.contains("region"),
+      s"each row carries the declaration THAT commit published: $hist")
+    // SHOW TBLPROPERTIES reports the invariants + current commit
+    val props = spark.sql(
+      s"SHOW TBLPROPERTIES graft_ct.`$dir`.merge").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("key_col").contains("id") &&
+      props.get("buckets").contains("16") &&
+      props.get("commit").contains("3"),
+      s"introspection must surface key_col/buckets/commit: $props")
   }
 }
