@@ -116,4 +116,73 @@ class GraftStreamSinkSpec extends AnyFunSuite {
     assert(chain(e).exists(_.contains("_version")),
       chain(e).mkString(" <- "))
   }
+
+  test("a STREAMING EPOCH racing a SQL UPDATE never loses an update " +
+      "silently: the faces serialize on the table's lease, every " +
+      "committed statement is one ledgered commit, and the loser (if " +
+      "any) fails attributably") {
+    catalogReady
+    import spark.implicits._
+    val base = Files.createTempDirectory("graftsinkrace").toString
+    val dir = s"$base/t"
+    spark.sql(s"CREATE TABLE graft_ss.`$dir`.merge " +
+      "(id BIGINT, price DOUBLE, _version BIGINT) " +
+      "TBLPROPERTIES (key_col 'id')")
+    spark.sql(s"INSERT INTO graft_ss.`$dir`.merge VALUES " +
+      "(1, 100.0, 10), (2, 2.0, 10)") // commit 1
+    val in = s"$base/in"
+    Seq((1L, 200.0, 20L)).toDF("id", "price", "_version")
+      .repartition(1).write.parquet(in)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def run(body: => Unit) = pool.submit(new Runnable {
+      def run(): Unit = {
+        gate.await()
+        try body catch { case t: Throwable => errs.add(t); () }
+      }
+    })
+    // face A: a SQL UPDATE offering version 11
+    run(spark.sql(s"UPDATE graft_ss.`$dir`.merge " +
+      "SET price = price + 1.0, _version = _version + 1 WHERE id = 1"))
+    // face B: one streaming epoch offering version 20 for the same key
+    run {
+      val q = spark.readStream
+        .schema("id BIGINT, price DOUBLE, _version BIGINT").parquet(in)
+        .writeStream.format("graft").option("path", dir)
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    gate.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300,
+      java.util.concurrent.TimeUnit.SECONDS))
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val wins = 2 - errs.size()
+    val commit = Apply.currentCommit(spark, dir)
+    val row = Apply.readMergeTable(spark, dir).filter(col("id") === 1L)
+      .select(col("price"), col("_version")).head
+    val (price, version) = (row.getDouble(0), row.getLong(1))
+    // invariant 1: commits == seed + successful statements — every
+    // committed effect is ledgered, nothing half-applies
+    assert(commit == 1L + wins,
+      s"$wins statement(s) succeeded but the ledger shows " +
+        s"${commit - 1} post-seed commits")
+    // invariant 2: the final image is one of the three serializable
+    // outcomes — never a silent mix
+    val outcome = (wins, price, version)
+    assert(outcome == ((2, 200.0, 20L)) || // UPDATE then epoch
+      outcome == ((2, 201.0, 21L)) ||      // epoch, then UPDATE on top
+      outcome == ((1, 200.0, 20L)),        // epoch won; UPDATE stale
+      s"non-serializable outcome: wins=$wins price=$price v=$version")
+    // invariant 3: a losing UPDATE failed ATTRIBUTABLY
+    errs.forEach { t =>
+      assert(chain(t).exists(m => m.contains("stale") ||
+        m.contains("FENCED")),
+        "the losing face must fail loudly: " + chain(t).mkString(" <- "))
+    }
+  }
 }
