@@ -574,7 +574,6 @@ object Apply {
   private[graft] def overwriteWhere(spark: SparkSession,
       tableDir: String, rows: DataFrame,
       cond: Option[org.apache.spark.sql.Column]): Unit = {
-    import org.apache.spark.sql.functions._
     val what = cond.fold("INSERT OVERWRITE")(_ => "REPLACE WHERE")
     val hc = graft.util.Hfs.conf(spark)
     graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
@@ -596,6 +595,56 @@ object Apply {
     rows.write.parquet(s"$stage/in")
     try {
       val staged = spark.read.parquet(s"$stage/in")
+      overwriteStaged(spark, tableDir, m, key, staged, cond, what)
+    } finally graft.util.Hfs.delete(new HPath(stage), hc)
+    }
+  }
+
+  /** The stored-side read schema for the REPLACE WHERE region scan:
+    * the condition's referenced columns plus the fold axes — computed
+    * EXPLICITLY (round 16, verdict r15 #6) so the scan's narrowness is
+    * this function's contract, not a property of optimizer column
+    * pruning reaching through a full-schema read. Falls back to the
+    * full schema only if the condition's references cannot be resolved
+    * against it (never for catalog-planned REPLACE WHERE conditions,
+    * whose filters are data-source-translatable by construction). */
+  private[graft] def removableReadSchema(stagedSchema: StructType,
+      cond: org.apache.spark.sql.Column, key: String): StructType = {
+    // the condition arrives UNRESOLVED (a raw Column), so its
+    // `references` read empty; ANALYZE it against an empty frame of
+    // the staged schema instead — the analyzer's own resolution rules
+    // (case sensitivity included) then name the referenced columns
+    val refs =
+      try {
+        val spark = SparkSession.active
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            stagedSchema)
+          .filter(cond)
+          .queryExecution.analyzed.expressions
+          .flatMap(_.references.map(_.name)).toSet
+      } catch { case _: Throwable => return stagedSchema }
+    val wanted = refs ++ Set(key, "_version")
+    StructType(stagedSchema.fields.filter(f => wanted(f.name)))
+  }
+
+  /** The OVERWRITE FOLD CORE — [[overwriteWhere]]'s body once the rows
+    * are staged and the manifest validated, shared by every face that
+    * replaces content as one commit: `INSERT OVERWRITE` / `REPLACE
+    * WHERE` (via [[overwriteWhere]]), `TRUNCATE TABLE` (the empty
+    * batch, [[truncateMerge]]) and `REPLACE TABLE … AS SELECT` (the
+    * declaration-reset replace, [[replaceCommit]]). MUST run inside
+    * the caller's [[graft.util.Maintenance.withLeasedWriteLock]] —
+    * the region/stale gates and the fold share the caller's epoch.
+    *
+    * `staged` defines the AFTER schema of the commit: stored rows are
+    * read THROUGH it inside [[mergeBatch]], which is exactly what a
+    * declaration-reset replace needs (old-only columns drop, new-only
+    * columns read NULL) and a no-op for the same-schema verbs. */
+  private def overwriteStaged(spark: SparkSession, tableDir: String,
+      m: TableMeta, key: String, staged: DataFrame,
+      cond: Option[org.apache.spark.sql.Column], what: String): Unit = {
+    import org.apache.spark.sql.functions._
       // every batch row must live inside the replaced region
       cond.foreach { c =>
         val out = staged.filter(!c).limit(1).collect()
@@ -637,12 +686,15 @@ object Apply {
           col(key).as("key"), col("_version"),
           struct(afterFields.map(f => col(f.name)): _*).as("after"))
         // the to-be-removed stored keys: the whole table for a full
-        // overwrite, only the cond-matching region for REPLACE WHERE
-        // (Catalyst prunes the scan to key/_version/cond columns)
+        // overwrite, only the cond-matching region for REPLACE WHERE —
+        // read with an EXPLICITLY narrowed schema (cond columns ∪ the
+        // fold axes, [[removableReadSchema]]) so the region scan's
+        // pruning is structural, not an optimizer courtesy
         val removable = cond match {
           case None => stored
           case Some(c) =>
-            spark.read.schema(staged.schema).parquet(liveDirs: _*)
+            spark.read.schema(removableReadSchema(staged.schema, c, key))
+              .parquet(liveDirs: _*)
               .filter(c)
               .select(col(key).as("_sk"), col("_version").as("_stored"))
         }
@@ -674,7 +726,122 @@ object Apply {
           nBuckets = m.nBuckets, gcGraceMs = DefaultGcGraceMs,
           what = s"$what into")
       }
-    } finally graft.util.Hfs.delete(new HPath(stage), hc)
+  }
+
+  /** Bare `TRUNCATE TABLE` (round 16, verdict r15 #2): the EMPTY
+    * overwrite — every stored key becomes a REMOVE at its stored
+    * version, folded as ONE leased, ledgered, change-slice-emitting
+    * commit, so downstream cascades see the truncation as plain
+    * deletions and purge coherently. The table itself SURVIVES
+    * (manifest, declared schema, history, change feed — all intact);
+    * only the content empties, exactly SQL TRUNCATE's contract. No
+    * stale gate applies: an empty batch carries no versions to check,
+    * and the REMOVE-at-stored-version envelopes always win the fold's
+    * REMOVE>MODIFY tie-break. Truncating an already-empty table is a
+    * no-op, not a commit — symmetric with a DELETE matching no rows.
+    * Pre-round-15 snapshots stay time-travelable until GC'd. */
+  def truncateMerge(spark: SparkSession, tableDir: String): Unit = {
+    val hc = graft.util.Hfs.conf(spark)
+    graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
+      val m = readMeta(new HPath(tableDir), hc).getOrElse(sys.error(
+        s"$tableDir is not a merge table (no $MetaName) — TRUNCATE " +
+          "applies to an existing table"))
+      val key = m.keyCol.getOrElse(sys.error(
+        s"$tableDir has no keyCol in its manifest (written before the " +
+          "keyCol-invariant upgrade): run one merge/purge commit to " +
+          "upgrade it before using the SQL write face"))
+      if (m.buckets.nonEmpty) {
+        // the empty batch, in the table's own declared (or physical)
+        // schema — which necessarily carries the fold axes
+        val schema = createSchemaOf(spark, tableDir)
+          .getOrElse(readMergeTable(spark, tableDir).schema)
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        overwriteStaged(spark, tableDir, m, key, empty, cond = None,
+          what = "TRUNCATE TABLE")
+      }
+    }
+  }
+
+  /** ATOMIC `REPLACE TABLE … AS SELECT` / `CREATE OR REPLACE TABLE`
+    * (round 16, verdict r15 #1): the declaration-reset overwrite. The
+    * replacing query's rows were staged task-side by the catalog's
+    * staged table ([[graft.sources.GraftStagedReplaceTable]] — the
+    * round-15 `StagingTableCatalog` machinery); this verb commits them
+    * as ONE leased fold commit in which every stored key absent from
+    * the query becomes a REMOVE at its stored version and every query
+    * row a MODIFY — downstream cascades consume a table replacement as
+    * plain upserts + deletions, exactly like `INSERT OVERWRITE`
+    * (q295/q296). The DECLARATION resets with the data: stored rows
+    * fold THROUGH the new schema (old-only columns drop, new-only
+    * columns null — [[overwriteStaged]]'s read-through contract), the
+    * new declaration is archived at the fold's commit id for AS-OF
+    * reads, and the root sidecar flips last.
+    *
+    * LIFETIME INVARIANTS SURVIVE THE REPLACE: key column and bucket
+    * count are the table's identity (the bucket layout IS xxhash64 of
+    * the key), so a replace that would change either refuses loudly —
+    * that is a different table; create it elsewhere. THE VERSION
+    * CONTRACT HOLDS here like every overwrite face: query rows for
+    * surviving keys must advance `_version` past the stored row,
+    * all-or-nothing, rejected before anything mutates (on rejection
+    * the transient schema archive is withdrawn — commit ids must never
+    * carry a declaration change that did not happen).
+    *
+    * A strict `REPLACE TABLE` on a missing table throws the typed
+    * [[MergeTableMissingException]] (the catalog translates it to
+    * Spark's `CannotReplaceMissingTableException`); `CREATE OR
+    * REPLACE` degenerates to the atomic CTAS ([[ctasCommit]]). A
+    * replace whose query is EMPTY still commits: the final state is
+    * empty, the slice is all REMOVEs, and on an already-empty table
+    * the declaration reset publishes as a metadata-only commit. */
+  private[graft] def replaceCommit(spark: SparkSession, tableDir: String,
+      stagedIn: String, schema: StructType, keyCol: String,
+      nBuckets: Int, orCreate: Boolean): Unit = {
+    validateCreate(tableDir, schema, keyCol, nBuckets)
+    val hc = graft.util.Hfs.conf(spark)
+    val root = new HPath(tableDir)
+    graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
+      readMeta(root, hc) match {
+        case None =>
+          if (!orCreate) throw new MergeTableMissingException(tableDir)
+          ctasCommit(spark, tableDir, stagedIn, schema, keyCol, nBuckets)
+        case Some(m) =>
+          if (m.nBuckets != nBuckets) sys.error(
+            s"REPLACE TABLE $tableDir: the table was created with " +
+              s"nBuckets=${m.nBuckets}, the replace declares " +
+              s"$nBuckets — the bucket function is a lifetime " +
+              "invariant; a replace keeps the table's identity")
+          m.keyCol.filter(_ != keyCol).foreach(k => sys.error(
+            s"REPLACE TABLE $tableDir: the table's merge key is '$k', " +
+              s"the replace declares '$keyCol' — the key IS the bucket " +
+              "hash, a lifetime invariant; a different key is a " +
+              "different table"))
+          val staged = spark.read.schema(schema).parquet(stagedIn)
+          // archive the replacing declaration at the commit the fold
+          // will claim — withdrawn if the gate rejects (a commit id
+          // must never carry a declaration change that didn't happen)
+          val c = m.commitId + 1
+          graft.util.Hfs.writeStringAtomic(
+            schemaHistoryPath(root, c), schema.json, hc)
+          try overwriteStaged(spark, tableDir, m, keyCol, staged,
+            cond = None, what = "REPLACE TABLE")
+          catch {
+            case t: Throwable =>
+              graft.util.Hfs.delete(schemaHistoryPath(root, c), hc)
+              throw t
+          }
+          // replacing an EMPTY table with an empty query folds nothing
+          // — publish the declaration reset as a metadata-only commit
+          // (same shape as ALTER: archived declaration, same buckets)
+          if (readMeta(root, hc).exists(_.commitId == m.commitId)) {
+            claimChanges(root, c, hc)
+            writeManifest(root, m.nBuckets, m.buckets, m.retired, c, hc,
+              archive = true, keyCol = m.keyCol.orElse(Some(keyCol)))
+          }
+          graft.util.Hfs.writeStringAtomic(
+            new HPath(root, CreateSchemaName), schema.json, hc)
+      }
     }
   }
 
@@ -816,6 +983,7 @@ object Apply {
     * crash between flip and sidecar heals on the retried ALTER. */
   def addColumns(spark: SparkSession, tableDir: String,
       fields: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    if (fields.isEmpty) return // a vacuous ALTER is a no-op, not a commit
     val hc = graft.util.Hfs.conf(spark)
     val root = new HPath(tableDir)
     graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
@@ -851,6 +1019,158 @@ object Apply {
         m.commitId + 1, hc, archive = true, keyCol = m.keyCol)
       graft.util.Hfs.writeStringAtomic(
         new HPath(root, CreateSchemaName), widened.json, hc)
+    }
+  }
+
+  /** SQL `ALTER TABLE … DROP COLUMN(s)` (round 16, verdict r15 #4) —
+    * the library FOLD-REWRITE verb the round-15 refusal pointed at:
+    * dropping a column rewrites data, which is the fold's job, so this
+    * IS a fold — the narrowed declaration is archived
+    * ([[schemaHistoryPath]]) and every live bucket is rewritten in ONE
+    * projection commit (the same read-every-bucket/one-new-generation/
+    * manifest-flip shape as [[compact]], with the projection applied).
+    * The fold axes are untouchable: dropping the key column or
+    * `_version` refuses (they ARE the table). Like compact, the commit
+    * is a PHYSICAL rewrite with no logical change — its change-slice
+    * id is claimed empty, so the feed reads it as "no change" — and
+    * pre-DROP snapshots keep their generations until GC, so `VERSION
+    * AS OF` a pre-DROP commit still serves the dropped column with its
+    * data ([[declaredSchemaAt]] serves the pre-DROP declaration).
+    * Tables seeded outside CREATE TABLE get their baseline declaration
+    * archived first, exactly like [[addColumns]]. An empty table drops
+    * the column as a metadata-only commit (nothing to rewrite). */
+  def dropColumns(spark: SparkSession, tableDir: String,
+      names: Seq[String], ifExists: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions._
+    val hc = graft.util.Hfs.conf(spark)
+    val root = new HPath(tableDir)
+    graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
+      val m = readMeta(root, hc).getOrElse(sys.error(
+        s"$tableDir is not a merge table (no $MetaName) — nothing to ALTER"))
+      if (m.layout != LayoutV2) sys.error(
+        s"$tableDir has unknown layout '${m.layout}': refusing to rewrite")
+      val key = m.keyCol.getOrElse(sys.error(
+        s"$tableDir has no keyCol in its manifest: run one merge/purge " +
+          "commit to upgrade it before ALTER TABLE DROP COLUMN"))
+      val declared = createSchemaOf(spark, tableDir).getOrElse {
+        require(m.buckets.nonEmpty, s"$tableDir has no declared schema " +
+          "and no data to infer one from")
+        val baseline = spark.read.option("mergeSchema", "true")
+          .parquet(snapshotBucketDirs(spark, tableDir, None): _*).schema
+        graft.util.Hfs.writeStringAtomic(
+          schemaHistoryPath(root, m.commitId), baseline.json, hc)
+        baseline
+      }
+      val missing = names.filterNot(declared.fieldNames.contains)
+      val dropping =
+        if (ifExists) names.filter(declared.fieldNames.contains)
+        else {
+          require(missing.isEmpty, s"ALTER TABLE $tableDir: column(s) " +
+            s"${missing.mkString(", ")} do not exist " +
+            s"(declared: ${declared.fieldNames.mkString(", ")})")
+          names
+        }
+      val axes = dropping.filter(n => n == key || n == "_version")
+      require(axes.isEmpty, s"ALTER TABLE $tableDir cannot drop " +
+        s"${axes.mkString(", ")} — the merge key and _version are the " +
+        "fold axes, the table's identity; dropping them is dropping " +
+        "the table")
+      if (dropping.nonEmpty) {
+        val narrowed = StructType(
+          declared.fields.filterNot(f => dropping.contains(f.name)))
+        val c = m.commitId + 1
+        if (m.buckets.nonEmpty) {
+          // ONE projection-rewrite commit over every live bucket — the
+          // compact read (mergeSchema across evolved generations,
+          // basePath so _bucket re-tags from the dir names), projected
+          // to the narrowed declaration (declared-only columns that no
+          // generation carries yet materialize as NULL)
+          val all = spark.read
+            .option("mergeSchema", "true")
+            .option("basePath", root.toString)
+            .parquet(m.buckets.toSeq.sortBy(_._1).map { case (b, g) =>
+              new HPath(root, s"gen=$g/_bucket=$b").toString }: _*)
+            .drop("gen")
+          val phys = all.columns.toSet
+          val projected = all.select(
+            narrowed.fields.toIndexedSeq.map(f =>
+              if (phys(f.name)) col(f.name)
+              else lit(null).cast(f.dataType).as(f.name)) :+ col("_bucket"): _*)
+          val gen =
+            (rootGenNumbers(root, hc) ++ m.buckets.values ++ Seq(-1L)).max + 1
+          val genDir = new HPath(root, s"gen=$gen")
+          projected.repartitionByRange(m.nBuckets, col("_bucket"))
+            .write.partitionBy("_bucket").mode("overwrite")
+            .parquet(genDir.toString)
+          val written = graft.util.Hfs.list(genDir, hc)
+            .filter(_.getPath.getName.startsWith("_bucket="))
+            .map(_.getPath.getName.stripPrefix("_bucket=").toInt).toSet
+          if (written != m.buckets.keySet) sys.error(
+            s"DROP COLUMN rewrite of $tableDir lost buckets " +
+              s"${m.buckets.keySet -- written}: aborting before commit " +
+              "(the orphan generation will be GC'd)")
+          val newGens: Map[Int, Long] =
+            m.buckets.keysIterator.map(_ -> gen).toMap
+          val live = newGens.toSeq.map { case (b, g) => (g, b) }.toSet
+          val (keep, drop) =
+            splitRetired(root, live, m.retired, DefaultGcGraceMs, hc)
+          claimChanges(root, c, hc) // physical rewrite, no logical change
+          graft.util.Hfs.writeStringAtomic(
+            schemaHistoryPath(root, c), narrowed.json, hc)
+          writeManifest(root, m.nBuckets, newGens, keep, c, hc,
+            archive = true, keyCol = m.keyCol)
+          gcDirs(root, drop, hc)
+        } else {
+          claimChanges(root, c, hc)
+          graft.util.Hfs.writeStringAtomic(
+            schemaHistoryPath(root, c), narrowed.json, hc)
+          writeManifest(root, m.nBuckets, m.buckets, m.retired, c, hc,
+            archive = true, keyCol = m.keyCol)
+        }
+        graft.util.Hfs.writeStringAtomic(
+          new HPath(root, CreateSchemaName), narrowed.json, hc)
+      }
+    }
+  }
+
+  /** Backfill declaration history for a PRE-VERSIONING table (round
+    * 16, verdict r15 #5): tables created before round 15 — or seeded
+    * by library verbs rather than CREATE TABLE — have no archived
+    * declarations, so [[declaredSchemaAt]] falls back to the current
+    * sidecar. This verb archives the current declaration (sidecar, or
+    * the physical merged read schema) as the FLOOR entry at the
+    * current commit, making the AS-OF contract uniform: every table
+    * answers `schema_history` with at least its baseline, and pre-ALTER
+    * time travel resolves to it. Idempotent — a table that already has
+    * history is left untouched. SQL face: `CALL <cat>.system
+    * .migrate_schema_history(store => dir)`. Returns a human-readable
+    * summary of what happened. */
+  def migrateSchemaHistory(spark: SparkSession, tableDir: String): String = {
+    val hc = graft.util.Hfs.conf(spark)
+    val root = new HPath(tableDir)
+    graft.util.Maintenance.withLeasedWriteLock("Apply", spark, tableDir) {
+      val m = readMeta(root, hc).getOrElse(sys.error(
+        s"$tableDir is not a merge table (no $MetaName) — nothing to migrate"))
+      val archived = schemaHistory(spark, tableDir)
+      if (archived.nonEmpty)
+        s"already versioned (${archived.size} archived declarations, " +
+          s"floor at commit ${archived.head._1})"
+      else {
+        val sidecar = createSchemaOf(spark, tableDir)
+        val baseline = sidecar.getOrElse {
+          require(m.buckets.nonEmpty, s"$tableDir has no declared " +
+            "schema and no data to infer one from")
+          spark.read.option("mergeSchema", "true")
+            .parquet(snapshotBucketDirs(spark, tableDir, None): _*).schema
+        }
+        graft.util.Hfs.writeStringAtomic(
+          schemaHistoryPath(root, m.commitId), baseline.json, hc)
+        // a table with data but no sidecar also gains the fast
+        // current-declaration path (the same write addColumns performs)
+        if (sidecar.isEmpty) graft.util.Hfs.writeStringAtomic(
+          new HPath(root, CreateSchemaName), baseline.json, hc)
+        s"declaration archived as the floor entry at commit ${m.commitId}"
+      }
     }
   }
 
@@ -1828,3 +2148,14 @@ final class MergeTableExistsException(val tableDir: String)
   extends RuntimeException(
     s"$tableDir already holds a merge table — CREATE refuses to " +
       "touch it (rewinds are restore; removal is out-of-band)")
+
+/** Typed missing-table signal from [[Apply.replaceCommit]] (round 16):
+  * a strict `REPLACE TABLE` on a table that does not exist. The
+  * catalog face translates it into Spark's
+  * `CannotReplaceMissingTableException` so the statement fails with
+  * the error class SQL clients classify; `CREATE OR REPLACE` never
+  * raises it (absence degenerates to the atomic CTAS). */
+final class MergeTableMissingException(val tableDir: String)
+  extends RuntimeException(
+    s"$tableDir holds no merge table — REPLACE TABLE replaces an " +
+      "existing table (use CREATE OR REPLACE to create-if-absent)")

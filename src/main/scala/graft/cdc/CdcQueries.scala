@@ -203,6 +203,87 @@ object CdcQueries {
       tableDir // commit 2
     }
 
+  /** q299/q302's merge table — SQL `REPLACE TABLE … AS SELECT`
+    * end-to-end (round 16, verdict r15 #1): seed the latest-state
+    * table, then REPLACE it with a DIFFERENT declaration — `value`
+    * dropped, a computed `tag` added — holding only `user_id % 2 = 0`
+    * users upper-cased at `event_id + 1` (the version contract holds
+    * across a replace). Odd users become REMOVEs at their stored
+    * versions in the commit's change slice; the final state (and the
+    * declaration) is exactly the replacing SELECT. Deterministic,
+    * DuckDB-recomputable. */
+  private[graft] def sqlReplaceDir(s: SparkSession, d: String): String =
+    graft.util.Maintenance.getOrBuild("sqlReplaceSeed", s, d) {
+      val tableDir = seedLatestStateTable(s, d, "graftsqlrt")
+      Tables.events(s, d).createOrReplaceTempView("graft_rt_events")
+      s.sql(s"REPLACE TABLE graft_sql.`$tableDir`.merge " +
+        "TBLPROPERTIES (key_col 'user_id') AS " +
+        "SELECT user_id, upper(event_type) AS event_type, " +
+        "concat(event_type, '-r') AS tag, event_id + 1 AS _version " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY event_id DESC) AS rn FROM graft_rt_events) " +
+        "WHERE rn = 1 AND user_id % 2 = 0") // commit 2
+      tableDir
+    }
+
+  /** q300's merge table — bare SQL `TRUNCATE TABLE` end-to-end
+    * (round 16, verdict r15 #2): seed the latest-state table, then
+    * truncate it — the EMPTY overwrite, one fold commit whose change
+    * slice is a typed-null REMOVE at the stored version for EVERY
+    * stored key (a cascade purges coherently); the table itself
+    * survives. The gate reads the FEED (the final state is empty —
+    * vacuously hash-equal; the slice carries the verb's whole
+    * observable contract). */
+  private[graft] def sqlTruncateDir(s: SparkSession, d: String): String =
+    graft.util.Maintenance.getOrBuild("sqlTruncateSeed", s, d) {
+      val tableDir = seedLatestStateTable(s, d, "graftsqltr")
+      s.sql(s"TRUNCATE TABLE graft_sql.`$tableDir`.merge") // commit 2
+      tableDir
+    }
+
+  /** q301's merge table — SQL `ALTER TABLE … DROP COLUMN` end-to-end
+    * (round 16, verdict r15 #4): CREATE with an `extra` column, INSERT
+    * every event carrying it, then DROP it — the library fold-rewrite
+    * (ONE projection commit over every live bucket, narrowed
+    * declaration archived, no logical change in the feed). The table
+    * must read as the latest event per user WITHOUT the column —
+    * while `VERSION AS OF` the pre-DROP commit still serves it
+    * (GraftDropColumnSpec pins that side). */
+  private[graft] def sqlDropColumnDir(s: SparkSession, d: String): String =
+    graft.util.Maintenance.getOrBuild("sqlDropColSeed", s, d) {
+      val base = java.nio.file.Files
+        .createTempDirectory("graftsqldc").toString
+      val tableDir = s"$base/table"
+      s.conf.set("spark.sql.catalog.graft_sql",
+        classOf[graft.sources.GraftCatalog].getName)
+      Tables.events(s, d).createOrReplaceTempView("graft_dc_events")
+      s.sql(s"CREATE TABLE graft_sql.`$tableDir`.merge (" +
+        "user_id BIGINT, event_type STRING, value DOUBLE, " +
+        "extra STRING, _version BIGINT) " +
+        "TBLPROPERTIES (key_col 'user_id')") // commit 0
+      s.sql(s"INSERT INTO graft_sql.`$tableDir`.merge " +
+        "SELECT user_id, event_type, value, upper(event_type), " +
+        "event_id FROM graft_dc_events") // commit 1
+      s.sql(s"ALTER TABLE graft_sql.`$tableDir`.merge " +
+        "DROP COLUMN extra") // commit 2: the projection rewrite
+      tableDir
+    }
+
+  /** q303's merge table — `CALL system.migrate_schema_history`
+    * end-to-end (round 16, verdict r15 #5): a table seeded ONLY by
+    * the library fold (no CREATE TABLE — no declaration sidecar, no
+    * schema history: the pre-round-15 layout), upgraded by the
+    * migrate procedure, which archives the physical baseline as the
+    * declaration FLOOR at the current commit. The gate reads the
+    * resulting ledger — fully determined by the substrate. */
+  private[graft] def sqlMigrateDir(s: SparkSession, d: String): String =
+    graft.util.Maintenance.getOrBuild("sqlMigrateSeed", s, d) {
+      val tableDir = seedLatestStateTable(s, d, "graftsqlmh")
+      s.sql("CALL graft_sql.system.migrate_schema_history(" +
+        s"store => '$tableDir')")
+      tableDir
+    }
+
   /** q289's merge table — SQL MERGE INTO end-to-end: one statement
     * carrying all three action kinds against the seeded latest-state
     * table (matched-update re-prices user_id%4==1 one version up,
@@ -572,6 +653,71 @@ object CdcQueries {
           col("event_type").as("last_type"),
           cents(col("value")).as("last_value_cents"))
         .orderBy(col("user_id"))
+    },
+
+    // -- round 16 (verdict r15 #1): SQL REPLACE TABLE — data AND
+    //    declaration reset in ONE fold commit; the table must read as
+    //    exactly the replacing SELECT, in its new schema.
+    "q299_sql_replace_table" -> { (s, d) =>
+      val dir = sqlReplaceDir(s, d)
+      s.sql(s"SELECT * FROM graft_sql.`$dir`.merge")
+        .select(col("user_id"), col("_version").as("last_event_id"),
+          col("event_type").as("last_type"), col("tag"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- q299's commit through the CHANGE FEED: a cascade consumes a
+    //    table replacement as plain upserts + deletions — MODIFYs in
+    //    the NEW schema for kept users, typed-null REMOVEs at stored
+    //    versions for dropped ones.
+    "q302_sql_replace_table_feed" -> { (s, d) =>
+      val dir = sqlReplaceDir(s, d)
+      s.read.format("graft").option("path", dir)
+        .option("table", "changes.merge")
+        .option("sinceCommit", "1").option("untilCommit", "2").load()
+        .select(col("op"), col("_key").as("user_id"),
+          col("_version").as("version"),
+          col("event_type").as("last_type"), col("tag"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- round 16 (verdict r15 #2): bare TRUNCATE TABLE — the empty
+    //    overwrite; the commit's slice is a REMOVE at the stored
+    //    version for EVERY stored key (the verb's whole observable
+    //    contract — the final state is empty).
+    "q300_sql_truncate_feed" -> { (s, d) =>
+      val dir = sqlTruncateDir(s, d)
+      s.read.format("graft").option("path", dir)
+        .option("table", "changes.merge")
+        .option("sinceCommit", "1").option("untilCommit", "2").load()
+        .select(col("op"), col("_key").as("user_id"),
+          col("_version").as("version"),
+          col("event_type").as("last_type"),
+          cents(col("value")).as("last_value_cents"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- round 16 (verdict r15 #4): ALTER TABLE DROP COLUMN — the
+    //    library fold-rewrite; the table reads as the latest event per
+    //    user WITHOUT the dropped column, data otherwise intact.
+    "q301_sql_drop_column" -> { (s, d) =>
+      val dir = sqlDropColumnDir(s, d)
+      s.sql(s"SELECT * FROM graft_sql.`$dir`.merge")
+        .select(col("user_id"), col("_version").as("last_event_id"),
+          col("event_type").as("last_type"),
+          cents(col("value")).as("last_value_cents"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- round 16 (verdict r15 #5): migrate_schema_history — the
+    //    declaration ledger of a library-seeded (pre-versioning)
+    //    table after the migrate procedure: exactly the physical
+    //    baseline archived as the floor at the current commit.
+    "q303_sql_migrate_history" -> { (s, d) =>
+      val dir = sqlMigrateDir(s, d)
+      s.sql(s"CALL graft_sql.system.schema_history(store => '$dir')")
+        .select(col("commit").as("commit_id"), col("declared_schema"))
+        .orderBy(col("commit_id"))
     },
 
     // -- round 14: SQL MERGE INTO — matched-update, matched-delete and
@@ -1030,6 +1176,66 @@ object CdcQueries {
         |    ORDER BY event_id DESC) AS rn FROM events
         |  WHERE event_id <= (SELECT MAX(event_id) // 2 FROM events))
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // The REPLACE TABLE closure: latest event per user restricted to
+    // even users, upper-cased + tagged, one version past the latest
+    // event — in the replacing declaration (no value column).
+    "q299_sql_replace_table" ->
+      """SELECT user_id, event_id + 1 AS last_event_id,
+        |  UPPER(event_type) AS last_type,
+        |  event_type || '-r' AS tag
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 AND user_id % 2 = 0 ORDER BY user_id""".stripMargin,
+
+    // The replace's change slice: MODIFYs (new declaration) for even
+    // users at the advanced version, typed-null REMOVEs at stored
+    // versions for odd users.
+    "q302_sql_replace_table_feed" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_id, event_type
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY event_id DESC) AS rn FROM events)
+        |  WHERE rn = 1)
+        |SELECT 'MODIFY' AS op, user_id, event_id + 1 AS version,
+        |  UPPER(event_type) AS last_type, event_type || '-r' AS tag
+        |FROM latest WHERE user_id % 2 = 0
+        |UNION ALL
+        |SELECT 'REMOVE' AS op, user_id, event_id AS version,
+        |  CAST(NULL AS VARCHAR) AS last_type,
+        |  CAST(NULL AS VARCHAR) AS tag
+        |FROM latest WHERE user_id % 2 <> 0
+        |ORDER BY user_id""".stripMargin,
+
+    // The truncation's slice: a typed-null REMOVE at the stored
+    // (latest-event) version for every stored user.
+    "q300_sql_truncate_feed" ->
+      """SELECT 'REMOVE' AS op, user_id, event_id AS version,
+        |  CAST(NULL AS VARCHAR) AS last_type,
+        |  CAST(NULL AS BIGINT) AS last_value_cents
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // Post-DROP state: the latest event per user — the dropped column
+    // gone, everything else byte-identical to q33's recompute.
+    "q301_sql_drop_column" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS last_value_cents
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // The migrated ledger: exactly one floor entry — the physical
+    // baseline declaration at the seed commit.
+    "q303_sql_migrate_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT),
+        |   'user_id BIGINT,event_type STRING,value DOUBLE,_version BIGINT'))
+        |  AS t(commit_id, declared_schema)
+        |ORDER BY commit_id""".stripMargin,
 
     // The MERGE closure over the latest-event state: %4==1 users carry
     // the update image one version up, %4==2 users are deleted,

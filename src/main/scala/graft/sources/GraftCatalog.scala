@@ -284,28 +284,110 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       keyCol, nBuckets)
   }
 
-  override def stageReplace(ident: Identifier,
-      info: TableInfo): StagedTable = readOnly(
-    "REPLACE TABLE (replacing a merge table rewrites folded state; " +
-      "rewinds are restore, removal is out-of-band)")
+  /** REPLACE-time parameters (round 16, verdict r15 #1): like
+    * [[createParams]], but key_col/buckets may be INHERITED from the
+    * existing manifest — a replace keeps the table's lifetime
+    * invariants, so re-declaring them is optional (and a mismatched
+    * re-declaration refuses inside the commit's lease,
+    * [[graft.cdc.Apply.replaceCommit]]). */
+  private def replaceParams(ident: Identifier,
+      partitions: Array[Transform],
+      props: JMap[String, String]): (String, String, Int) = {
+    val (dir, table) = parse(ident)
+    require(table == "merge",
+      s"REPLACE TABLE supports only the merge surface — '$table' is " +
+        "the output of a semantic fold verb, not a declarable " +
+        "container (build it with its library fold)")
+    require(partitions.isEmpty,
+      "graft merge tables bucket by xxhash64(key) internally — " +
+        "PARTITIONED BY is not supported")
+    val existing = graft.cdc.Apply.tableProps(SparkSession.active, dir)
+    val keyCol = Option(props.get("key_col"))
+      .orElse(Option(props.get("keycol")))
+      .orElse(existing.flatMap(_._1))
+      .getOrElse(sys.error(
+        "REPLACE TABLE on a graft merge surface needs TBLPROPERTIES " +
+          "(key_col '<column>') — or an existing table to inherit the " +
+          "key from (the merge key is a lifetime invariant)"))
+    val nBuckets = Option(props.get("buckets")).map(_.toInt)
+      .orElse(existing.map(_._2)).getOrElse(16)
+    (dir, keyCol, nBuckets)
+  }
 
+  /** ATOMIC `REPLACE TABLE … AS SELECT` (round 16, verdict r15 #1):
+    * planned as `AtomicReplaceTableAsSelectExec` — the query stages
+    * through [[GraftStagedReplaceTable]] while readers keep the OLD
+    * table, and the commit is the DECLARATION-RESET OVERWRITE FOLD
+    * ([[graft.cdc.Apply.replaceCommit]]): one leased commit whose
+    * change slice is REMOVEs (disappeared keys, stored versions) +
+    * MODIFYs (the query's rows) — a cascade consumes a table
+    * replacement as plain upserts + deletions. Strict REPLACE refuses
+    * a missing table before the query runs (re-checked inside the
+    * commit's lease for the racing window). */
+  override def stageReplace(ident: Identifier,
+      info: TableInfo): StagedTable = {
+    val (dir, keyCol, nBuckets) =
+      replaceParams(ident, info.partitions(), info.properties())
+    graft.cdc.Apply.validateCreate(dir, info.schema(), keyCol, nBuckets)
+    val exists =
+      try { load(ident, None); true }
+      catch {
+        case _: org.apache.spark.sql.catalyst.analysis
+          .NoSuchTableException => false
+      }
+    if (!exists) throw new org.apache.spark.sql.catalyst.analysis
+      .CannotReplaceMissingTableException(ident)
+    new GraftStagedReplaceTable(SparkSession.active, dir, info.schema(),
+      keyCol, nBuckets, orCreate = false, ident)
+  }
+
+  /** `CREATE OR REPLACE TABLE … AS SELECT`: [[stageReplace]] without
+    * the existence requirement — an absent table degenerates to the
+    * atomic CTAS inside the commit's lease. */
   override def stageCreateOrReplace(ident: Identifier,
-      info: TableInfo): StagedTable = readOnly(
-    "CREATE OR REPLACE TABLE (replacing a merge table rewrites folded " +
-      "state; rewinds are restore, removal is out-of-band)")
+      info: TableInfo): StagedTable = {
+    val (dir, keyCol, nBuckets) =
+      replaceParams(ident, info.partitions(), info.properties())
+    graft.cdc.Apply.validateCreate(dir, info.schema(), keyCol, nBuckets)
+    new GraftStagedReplaceTable(SparkSession.active, dir, info.schema(),
+      keyCol, nBuckets, orCreate = true, ident)
+  }
 
   /** SQL `ALTER TABLE … ADD COLUMNS (…)` on the merge surface
     * (round 14): the declared-schema evolution verb
     * ([[graft.cdc.Apply.addColumns]] — new columns read as NULL until
     * data carries them, exactly parquet's missing-column contract).
-    * Everything else (DROP/RENAME/retype/positioned adds) refuses:
-    * those rewrite data, which is the fold's job, not DDL's. */
+    * `ALTER TABLE … DROP COLUMN(s)` (round 16, verdict r15 #4) routes
+    * onto the library FOLD-REWRITE ([[graft.cdc.Apply.dropColumns]]:
+    * narrowed declaration archived, ONE projection commit rewriting
+    * every live bucket — AS-OF reads before the DROP still serve the
+    * column). RENAME/retype/positioned adds still refuse: renames
+    * would sever the stored generations from the declaration. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val (dir, table) = parse(ident)
     require(table == "merge",
       s"ALTER TABLE supports only the merge surface — '$table' is " +
         "maintained by its library fold verbs")
+    // an ALTER whose changes resolved away entirely (DROP COLUMN IF
+    // EXISTS on an absent column) is a no-op, not a vacuous commit
+    if (changes.isEmpty) return load(ident, None)
+    val deletes = changes.collect {
+      case d: TableChange.DeleteColumn => d }
+    if (deletes.nonEmpty) {
+      require(deletes.size == changes.size, "ALTER TABLE cannot mix " +
+        "DROP COLUMN with other changes in one statement")
+      val names = deletes.map { d =>
+        require(d.fieldNames.length == 1,
+          "ALTER TABLE DROP COLUMN supports only top-level columns " +
+            s"(got ${d.fieldNames.mkString(".")}) — the fold's schema " +
+            "evolution is column-wise")
+        d.fieldNames.head
+      }
+      graft.cdc.Apply.dropColumns(SparkSession.active, dir, names,
+        ifExists = deletes.forall(_.ifExists()))
+      return load(ident, None)
+    }
     val fields = changes.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
@@ -319,9 +401,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, nullable = true)
       case other => readOnly(
-        s"ALTER TABLE ${other.getClass.getSimpleName} (only ADD " +
-          "COLUMNS evolves a merge table; drops/renames/retypes " +
-          "rewrite data — the fold's job)")
+        s"ALTER TABLE ${other.getClass.getSimpleName} (ADD COLUMNS " +
+          "evolves a merge table and DROP COLUMN fold-rewrites it; " +
+          "renames/retypes refuse — they would sever the stored " +
+          "generations from the declaration)")
     }
     graft.cdc.Apply.addColumns(SparkSession.active, dir, fields)
     load(ident, None)

@@ -50,7 +50,7 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "vacuum", "commits", "restore", "vacuum_changes",
-      "schema_history")
+      "schema_history", "migrate_schema_history")
 
   private def kindOf(spark: SparkSession, dir: String): (String, String) =
     Kinds.collectFirst {
@@ -135,6 +135,15 @@ private[sources] object GraftProcedures {
               UTF8String.fromString(st.toDDL)))
           }.toArray[InternalRow]
         })
+      // backfill declaration history for a pre-versioning table
+      // (round 16, verdict r15 #5): archives the current declaration
+      // as the floor entry so AS-OF and schema_history answer
+      // uniformly on tables created before declaration versioning (or
+      // seeded by library verbs). Idempotent.
+      case "migrate_schema_history" => verb(name, dirOf) { (spark, dir) =>
+        requireKind(spark, dir, "merge", "migrate_schema_history")
+        ("merge", graft.cdc.Apply.migrateSchemaHistory(spark, dir))
+      }
       case "vacuum_changes" => new StoreProcedure("vacuum_changes", dirOf,
         new StructType().add("kind", StringType).add("detail", StringType),
         (spark, dir, commit) => {

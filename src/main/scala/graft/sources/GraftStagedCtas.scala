@@ -37,25 +37,32 @@ import graft.cdc.Apply
   * writing the staged parquet) — the same idiom as the merge table's
   * INSERT path, and all the staged write needs: envelope conversion,
   * validation and the fold happen once, at commit, under the lease. */
-private[sources] final class GraftStagedCtasTable(
+private[sources] sealed abstract class GraftStagedWriteTable(
     spark: SparkSession, dir: String, tableSchema: StructType,
-    keyCol: String, nBuckets: Int)
+    kind: String)
   extends StagedTable with SupportsWrite {
 
-  private val stage =
-    s"$dir/${Apply.StagingDirName}/ctas-${UUID.randomUUID}"
+  protected val stage =
+    s"$dir/${Apply.StagingDirName}/$kind-${UUID.randomUUID}"
 
-  override def name(): String = s"graft:ctas-staged:$dir"
+  override def name(): String = s"graft:$kind-staged:$dir"
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] = Array.empty
   override def properties(): JMap[String, String] =
     java.util.Collections.emptyMap()
 
+  // TRUNCATE: REPLACE TABLE … AS SELECT plans its staged write as
+  // OverwriteByExpression(true) — the capability (and the truncate()
+  // builder face below) admit it. For a STAGED table truncation is
+  // vacuous: the staging dir is born empty, and the replace semantics
+  // live in the commit verb, not the write mode.
   override def capabilities(): JSet[TableCapability] =
-    Set(TableCapability.V1_BATCH_WRITE).asJava
+    Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): WriteBuilder = this
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -67,10 +74,13 @@ private[sources] final class GraftStagedCtasTable(
       }
     }
 
+  /** Commit the staged rows at `stagedIn` — the only variance between
+    * CTAS and REPLACE. */
+  protected def commitStaged(stagedIn: String): Unit
+
   override def commitStagedChanges(): Unit = {
     val hc = graft.util.Hfs.conf(spark)
-    try Apply.ctasCommit(spark, dir, s"$stage/in", tableSchema,
-      keyCol, nBuckets)
+    try commitStaged(s"$stage/in")
     finally graft.util.Hfs.delete(new HPath(stage), hc)
   }
 
@@ -84,4 +94,40 @@ private[sources] final class GraftStagedCtasTable(
     if (graft.util.Hfs.list(staging, hc).isEmpty)
       graft.util.Hfs.delete(staging, hc)
   }
+}
+
+private[sources] final class GraftStagedCtasTable(
+    spark: SparkSession, dir: String, tableSchema: StructType,
+    keyCol: String, nBuckets: Int)
+  extends GraftStagedWriteTable(spark, dir, tableSchema, "ctas") {
+  override protected def commitStaged(stagedIn: String): Unit =
+    Apply.ctasCommit(spark, dir, stagedIn, tableSchema, keyCol, nBuckets)
+}
+
+/** ATOMIC `REPLACE TABLE … AS SELECT` / `CREATE OR REPLACE TABLE`
+  * (round 16, verdict r15 #1): the same staged-write discipline as the
+  * CTAS above — the replacing query's rows land under the table's own
+  * `_staging/replace-<uuid>/` while every reader keeps seeing the OLD
+  * table; the commit is [[Apply.replaceCommit]]'s declaration-reset
+  * overwrite fold (stored keys absent from the query → REMOVEs at
+  * stored versions, query rows → MODIFYs, new declaration archived at
+  * the fold's commit), so a reader racing the statement sees either
+  * the old state or the fully-replaced one — never empty or partial.
+  * A failed or aborted replace deletes the staging dir and leaves the
+  * table byte-identical. Strict REPLACE on a missing table surfaces
+  * Spark's `CannotReplaceMissingTableException` (typed at the verb,
+  * translated here where the Identifier lives). */
+private[sources] final class GraftStagedReplaceTable(
+    spark: SparkSession, dir: String, tableSchema: StructType,
+    keyCol: String, nBuckets: Int, orCreate: Boolean,
+    ident: org.apache.spark.sql.connector.catalog.Identifier)
+  extends GraftStagedWriteTable(spark, dir, tableSchema, "replace") {
+  override protected def commitStaged(stagedIn: String): Unit =
+    try Apply.replaceCommit(spark, dir, stagedIn, tableSchema, keyCol,
+      nBuckets, orCreate)
+    catch {
+      case _: graft.cdc.MergeTableMissingException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .CannotReplaceMissingTableException(ident)
+    }
 }

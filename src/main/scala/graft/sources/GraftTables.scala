@@ -218,9 +218,20 @@ private[sources] final class GraftSnapshotTable(
     ()
   }
 
-  override def truncateTable(): Boolean = sys.error(
-    s"TRUNCATE is not supported on graft table '$label' — wholesale " +
-      "rewinds are the restore/compact/vacuum verbs")
+  /** Bare SQL `TRUNCATE TABLE` (round 16, verdict r15 #2): the EMPTY
+    * overwrite — [[graft.cdc.Apply.truncateMerge]] folds a REMOVE at
+    * the stored version for every stored key as ONE leased commit, so
+    * the change feed carries the truncation and cascades purge
+    * coherently; the table itself (declaration, history, feed)
+    * survives. Only the writable merge surface truncates; snapshot /
+    * slice faces keep refusing. */
+  override def truncateTable(): Boolean = {
+    if (!(writable && label == "merge")) sys.error(
+      s"TRUNCATE is not supported on graft table '$label' — wholesale " +
+        "rewinds are the restore/compact/vacuum verbs")
+    graft.cdc.Apply.truncateMerge(spark, dir)
+    true
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (!writable) sys.error(

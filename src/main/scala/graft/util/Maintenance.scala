@@ -275,6 +275,10 @@ object Maintenance {
     "sqlEvolutionSeed" -> ((s, d) => graft.cdc.CdcQueries.sqlEvolutionDir(s, d)),
     "sqlOverwriteSeed" -> ((s, d) => graft.cdc.CdcQueries.sqlOverwriteDir(s, d)),
     "sqlReplaceWhereSeed" -> ((s, d) => graft.cdc.CdcQueries.sqlReplaceWhereDir(s, d)),
+    "sqlReplaceSeed"  -> ((s, d) => graft.cdc.CdcQueries.sqlReplaceDir(s, d)),
+    "sqlTruncateSeed" -> ((s, d) => graft.cdc.CdcQueries.sqlTruncateDir(s, d)),
+    "sqlDropColSeed"  -> ((s, d) => graft.cdc.CdcQueries.sqlDropColumnDir(s, d)),
+    "sqlMigrateSeed"  -> ((s, d) => graft.cdc.CdcQueries.sqlMigrateDir(s, d)),
     "sinkStreamSeed"  -> ((s, d) => graft.cdc.CdcQueries.sinkStreamDir(s, d)),
     "upsertStoreSeed" -> ((s, d) => graft.text.LmQueries.upsertStoreDir(s, d)),
     "graphStoreSeed"  -> ((s, d) => graft.warehouse.GraphQueries.graphStoreDir(s, d)),

@@ -85,7 +85,8 @@ class MaintenanceSpec extends AnyFunSuite {
       "postingsStoreSeed", "procStoreSeed", "mergeFeedSeed", "sqlInsertSeed",
       "sqlDeleteSeed", "sqlUpdateSeed", "sqlMergeSeed", "sqlDeletePredSeed",
       "sqlLifecycleSeed", "sqlEvolutionSeed", "sqlOverwriteSeed",
-      "sqlReplaceWhereSeed", "sinkStreamSeed",
+      "sqlReplaceWhereSeed", "sqlReplaceSeed", "sqlTruncateSeed",
+      "sqlDropColSeed", "sqlMigrateSeed", "sinkStreamSeed",
       "upsertStoreSeed", "graphStoreSeed", "graphCascadeSeed",
       "linkageLedger", "linkageBase", "shardExportSeed", "pipelineSeed",
       "zorderLayout", "bucketedPair", "coPurchasePairs", "lpaLabels",
