@@ -142,6 +142,36 @@ object Bench {
         }
       }
     }
+    // CONTENTION FACTOR (r15 verdict #7): the one number a reader wants
+    // when deciding flat-vs-regressed — shared-query sum ÷ committed
+    // trajectory sum, normalized by the calibration ratio (so a uniformly
+    // slower host reads ~1.0 and only a real plan regression moves it).
+    // Computed from the same trajectory file the rerun pass loads;
+    // emitted as `contention_factor` (raw ratio) + `normalized_factor`
+    // (calibration-cancelled). 0.0 when no trajectory exists.
+    val trajForFactor: Map[String, Double] = {
+      val trajPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRAJECTORY",
+        "docs/bench_trajectory.json")
+      if (Files.exists(Paths.get(trajPath))) {
+        val s = new String(Files.readAllBytes(Paths.get(trajPath)),
+          StandardCharsets.UTF_8)
+        val m = """"(q[0-9]+[a-z0-9_]*)":([0-9.eE+-]+)""".r
+        m.findAllMatchIn(s).map(g => g.group(1) -> g.group(2).toDouble)
+          .toMap ++
+          """"calibration_s":([0-9.eE+-]+)""".r.findFirstMatchIn(s)
+            .map(g => "_calibration" -> g.group(1).toDouble)
+      } else Map.empty
+    }
+    val (rawFactor, normFactor) = {
+      val shared = timings.toSeq.filter { case (n, _) =>
+        !errors.contains(n) && trajForFactor.contains(n) }
+      val mine = shared.map(_._2).sum
+      val theirs = shared.map { case (n, _) => trajForFactor(n) }.sum
+      val calRatio = trajForFactor.get("_calibration")
+        .filter(_ > 0).map(calibrationS / _).getOrElse(1.0)
+      if (theirs > 0) (mine / theirs, mine / theirs / calRatio)
+      else (0.0, 0.0)
+    }
     // END-OF-RUN CALIBRATION (r14 verdict #4): the start-of-run probe
     // predates any mid-run contention burst — r14's driver artifact
     // carried a FASTER calibration (0.134) than the clean run (0.153)
@@ -158,7 +188,7 @@ object Bench {
     val rer = reruns.map { case (k, (f, b)) =>
       s""""$k":{"first":$f,"final":$b}""" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibrationS,"calibration_end_s":$calibrationEndS,"queries":$qs,"errors":$errs,"reruns":$rer,"n_queries":${timings.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibrationS,"calibration_end_s":$calibrationEndS,"contention_factor":$rawFactor,"normalized_factor":$normFactor,"queries":$qs,"errors":$errs,"reruns":$rer,"n_queries":${timings.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     // Round-12 fix: every BENCH_r*.json through r11 has `parsed: null` —
@@ -192,7 +222,7 @@ object Bench {
     val compactReruns = reruns.take(4).map { case (k, (f, b)) =>
       s""""$k":"${num(f)}>${num(b)}"""" }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","calibration_s":${num(calibrationS)},"calibration_end_s":${num(calibrationEndS)},"queries":$compactQs,"n_queries":${timings.size},"n_errors":${errors.size},"n_reruns":${reruns.size},"reruns":$compactReruns,"errors":$compactErrs,"sf":"$sfDir","full":"$outPath"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","calibration_s":${num(calibrationS)},"calibration_end_s":${num(calibrationEndS)},"contention_factor":${num(rawFactor)},"normalized_factor":${num(normFactor)},"queries":$compactQs,"n_queries":${timings.size},"n_errors":${errors.size},"n_reruns":${reruns.size},"reruns":$compactReruns,"errors":$compactErrs,"sf":"$sfDir","full":"$outPath"}"""
     spark.stop()
     println(compact)
     System.out.flush()

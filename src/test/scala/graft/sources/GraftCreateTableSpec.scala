@@ -114,7 +114,7 @@ class GraftCreateTableSpec extends AnyFunSuite {
 
   test("ALTER TABLE ADD COLUMNS: the new column reads NULL on old " +
       "rows, is writable by every SQL face after, and survives the " +
-      "fold; drops/renames/retypes refuse") {
+      "fold; renames/retypes refuse, DROP rewrites") {
     catalogReady
     val dir = Files.createTempDirectory("graftct5").toString + "/t"
     spark.sql(s"CREATE TABLE graft_ct.`$dir`.merge " +
@@ -145,12 +145,18 @@ class GraftCreateTableSpec extends AnyFunSuite {
       assert(chain(e).exists(_.toLowerCase.contains(needle.toLowerCase)),
         s"[$sql] -> ${chain(e).mkString(" <- ")}")
     }
-    fails(s"ALTER TABLE graft_ct.`$dir`.merge DROP COLUMN price",
-      "rewrite data")
     fails(s"ALTER TABLE graft_ct.`$dir`.merge RENAME COLUMN price TO p",
-      "rewrite data")
+      "renames/retypes refuse")
     fails(s"ALTER TABLE graft_ct.`$dir`.merge ADD COLUMNS (price INT)",
       "already exist")
+    // DROP COLUMN is no longer a refusal (round 16, r15 verdict #4 —
+    // the library fold-rewrite; GraftDropColumnSpec pins the full
+    // contract incl. AS-OF reads): here just the visible face — the
+    // column disappears from subsequent reads
+    spark.sql(s"ALTER TABLE graft_ct.`$dir`.merge DROP COLUMN price")
+    assert(!spark.sql(s"SELECT * FROM graft_ct.`$dir`.merge")
+      .columns.contains("price"),
+      "DROP COLUMN must narrow the read schema")
   }
 
   test("ALTER TABLE ADD COLUMNS works on a table seeded OUTSIDE " +
