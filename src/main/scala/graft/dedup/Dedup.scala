@@ -343,7 +343,18 @@ object Dedup {
       .select(Seq(col("b_id"), col("b_nm")) ++ sigCol("b_sig") ++ Seq(
         col("blk"), col("a_len"), col("seg_i"),
         expr("substring(b_nm, s0 + 1, s1 - s0)").as("seg")): _*)
-    probes.join(index, Seq("blk", "a_len", "seg_i", "seg"))
+    // SHUFFLE-HASH, never broadcast (round 16, measured): the planner
+    // estimates both sides from the un-exploded scan, so the 39-combo
+    // index side auto-broadcasts — a single-threaded driver build of the
+    // exploded substring relation, after which the banded-DP verify runs
+    // at the PROBE SCAN's parallelism (1-2 input splits at sf0.1: wall
+    // ≈ summed task time). At 100 TB the exploded index could never
+    // broadcast at all. Shuffling both sides keys the join at
+    // shuffle-partition parallelism at every scale; probes (k+1 combos)
+    // build, index (39 combos at k=2) streams. A/B at sf0.1:
+    // q131 4.43 -> 1.58 s warm (with the hash-aggregable pair fold
+    // below); candidates and verified pairs bit-identical.
+    probes.hint("shuffle_hash").join(index, Seq("blk", "a_len", "seg_i", "seg"))
       .filter(col("a_id") < col("b_id"))
       .select(Seq(col("a_id"), col("b_id"), col("a_nm"), col("b_nm")) ++
         sigCol("a_sig") ++ sigCol("b_sig"): _*)
@@ -371,9 +382,19 @@ object Dedup {
     editDistanceCandidatesRaw(rows, id, name, block, k)
       .withColumn("dist", levenshtein(col("a_nm"), col("b_nm"), k).cast("long"))
       .filter(col("dist") >= 0)
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(first(col("a_nm")).as("a_name"), first(col("b_nm")).as("b_name"),
-        first(col("dist")).as("dist"))
+      // names in the GROUP KEY, not the buffer (round 16, measured):
+      // first(string) has a variable-width declarative buffer, which
+      // HashAggregateExec cannot hold — the fold planned as TWO
+      // SortAggregates over the full match stream (a sort each side of
+      // the exchange). Names are functionally dependent on the ids, so
+      // grouping by (ids, names) is the SAME grouping, keys may be
+      // var-width in an UnsafeRow hash map, and the one remaining
+      // buffer (dist — constant per pair; min = first = any) is a
+      // long: partial/final HashAggregate with map-side combine, zero
+      // sorts. Result identical row-for-row.
+      .groupBy(col("a_id"), col("b_id"),
+        col("a_nm").as("a_name"), col("b_nm").as("b_name"))
+      .agg(min(col("dist")).as("dist"))
 
   /** DELTA edit-distance pairs: every pair within `k` that TOUCHES a
     * new record, with NO old×old candidate work — the
@@ -400,9 +421,11 @@ object Dedup {
     editDistanceCandidatesRawSides(n, o.unionByName(n), k)
       .withColumn("dist", levenshtein(col("a_nm"), col("b_nm"), k).cast("long"))
       .filter(col("dist") >= 0)
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(first(col("a_nm")).as("a_name"), first(col("b_nm")).as("b_name"),
-        first(col("dist")).as("dist"))
+      // same hash-aggregable fold as [[editDistancePairs]] (names are
+      // key, the long is the buffer — no SortAggregate)
+      .groupBy(col("a_id"), col("b_id"),
+        col("a_nm").as("a_name"), col("b_nm").as("b_name"))
+      .agg(min(col("dist")).as("dist"))
   }
 
   /** [[editDistanceCandidatesRaw]] with DISTINCT probe and index
@@ -439,7 +462,9 @@ object Dedup {
         col("s0") >= 0 && col("s1") <= col("b_len"))
       .select(col("i_id"), col("i_nm"), col("blk"), col("a_len"),
         col("seg_i"), expr("substring(i_nm, s0 + 1, s1 - s0)").as("seg"))
-    probes.join(index, Seq("blk", "a_len", "seg_i", "seg"))
+    // same shuffle-hash discipline as [[editDistanceCandidatesRaw]]:
+    // the exploded index side must never broadcast
+    probes.hint("shuffle_hash").join(index, Seq("blk", "a_len", "seg_i", "seg"))
       .filter(col("p_id") =!= col("i_id"))
       .select(least(col("p_id"), col("i_id")).as("a_id"),
         greatest(col("p_id"), col("i_id")).as("b_id"),
