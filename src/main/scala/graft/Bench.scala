@@ -20,6 +20,19 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // SIZE-ADAPTIVE cached-plan partitioning (round 16, guide §2.2/§6,
+      // PerfProbe-measured): cached plans are otherwise built WITHOUT
+      // AQE, so a kilobyte-sized maintained table (the memoized edge/
+      // ledger substrates) persists as shuffle.partitions tiny
+      // partitions and every downstream aggregate pays a fixed
+      // per-task cost × that count (one groupBy over the 3,853-row
+      // maintained pair cache: 12.3 summed task-seconds at 32
+      // partitions vs 1.9 at AQE-coalesced ~10; q108 wall 1.24 ->
+      // 0.43 s). AQE sizes cached partitions by bytes
+      // (advisoryPartitionSizeInBytes), so big caches keep their
+      // parallelism at any scale — adaptive, not a local[32] constant.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
