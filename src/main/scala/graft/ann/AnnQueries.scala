@@ -1071,8 +1071,6 @@ object AnnQueries {
     "q287_cascade_set_all" -> { (s, d) =>
       val base = cascadeSetAllDir(s, d)
       val set = graft.util.PipelineLedger.readSet(s, s"$base/set")
-      val (idx, meta) = IndexStore.loadIvfAt(s, s"$base/index",
-        set.stores("index"))
       val semSel = graft.dedup.SemLedgerStore.loadAt(s, s"$base/sem",
         set.stores("sem"))._3
         .select(col("id").as("nn_id"), col("comp").as("sem_comp"))
@@ -1084,19 +1082,40 @@ object AnnQueries {
         .select(col("id").as("nn_id"), col("dl").as("doclen"))
       val pairs = graft.warehouse.GraphStore.loadAt(s, s"$base/graph",
         set.stores("graph"))._2
-      val (pqIdx, pqMeta) = IndexStore.loadIvfPqAt(s, s"$base/pq",
-        set.stores("pq"))
-      val tk = IndexStore.searchPruned(idx, queryVec(s, d), k = 10,
-        nprobe = 8).localCheckpoint(true)
+      // The exact-probe chain (IVF load -> pruned search -> checkpoint
+      // -> top-id collect) and the PQ chain (IVF-PQ load -> query-vec
+      // head -> ADC collect) are INDEPENDENT sequences of small jobs —
+      // run them from two driver threads so one chain's jobs back-fill
+      // the cores the other's tiny stages leave idle (guide §2.6 /
+      // round 16: the composed read was 46 sequential stages carrying
+      // 1.9 summed task-seconds — pure orchestration latency). Results
+      // are bounded 10-id lists either way; nothing about the plans or
+      // their outputs changes, only their scheduling overlaps.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fExact = Future {
+        val (idx, meta) = IndexStore.loadIvfAt(s, s"$base/index",
+          set.stores("index"))
+        val tk = IndexStore.searchPruned(idx, queryVec(s, d), k = 10,
+          nprobe = 8).localCheckpoint(true)
+        val topIds = tk.select(col("nn_id")).collect()
+          .map(_.getLong(0)).toSet
+        (tk, meta, topIds)
+      }
       // PQ invariant flag (the q280/q247 pattern): the pinned composite
       // index's ADC top-10 must overlap the exact top-10 by >= 3.
       // Driver-side work is two bounded 10-id lists.
-      val topIds = tk.select(col("nn_id")).collect()
-        .map(_.getLong(0)).toSet
-      val qv = queryVec(s, d).head().getSeq[Float](0)
-        .map(_.toDouble).toSeq
-      val adc = Similarity.ivfPqSearchAdc(pqIdx, qv, k = 10,
-        nprobe = 8).collect().map(_.getLong(0))
+      val fPq = Future {
+        val (pqIdx, pqMeta) = IndexStore.loadIvfPqAt(s, s"$base/pq",
+          set.stores("pq"))
+        val qv = queryVec(s, d).head().getSeq[Float](0)
+          .map(_.toDouble).toSeq
+        (Similarity.ivfPqSearchAdc(pqIdx, qv, k = 10,
+          nprobe = 8).collect().map(_.getLong(0)), pqMeta)
+      }
+      val (tk, meta, topIds) = Await.result(fExact, Duration.Inf)
+      val (adc, pqMeta) = Await.result(fPq, Duration.Inf)
       val pqOk = adc.count(topIds) >= 3
       // the hits' CURRENT baskets (the merge table IS the post-refresh
       // corpus) -> their three pairwise edges from the PINNED graph.

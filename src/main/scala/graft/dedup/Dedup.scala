@@ -498,10 +498,18 @@ object Dedup {
     val sh = if (hashKeys)
       sh0.select(col("id"), col("pos"), xxhash64(col("sh")).as("sh"))
     else sh0
-    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxOccurrences)
-      .select(col("sh"))
-    val occ = sh.join(rare, Seq("sh"), "left_semi")
+    // cap disabled → the df filter drops nothing: skip its groupBy +
+    // semi-join shuffle entirely (round 16 — the capBuckets pattern;
+    // oracle-parity configs pass Int.MaxValue because the SQL
+    // recomputation cannot model the drop)
+    val occ =
+      if (maxOccurrences == Int.MaxValue) sh
+      else {
+        val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxOccurrences)
+          .select(col("sh"))
+        sh.join(rare, Seq("sh"), "left_semi")
+      }
     val a = occ.select(col("sh"), col("id").as("id_a"), col("pos").as("pos_a"))
     val b = occ.select(col("sh"), col("id").as("id_b"), col("pos").as("pos_b"))
     val pairs = a.join(b, Seq("sh"))

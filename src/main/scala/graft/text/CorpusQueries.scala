@@ -170,8 +170,13 @@ object CorpusQueries {
     //    unbounded occurrence cap (the SQL cannot model the stop-window
     //    drop; production callers keep both defaults).
     "q133_shared_spans" -> { (s, d) =>
+      // Int.MaxValue = the declared cap-disabled oracle-parity config
+      // (round 16): sharedSpans now skips the df-guard's groupBy +
+      // semi-join outright when disabled — at the previous 1000000 the
+      // filter dropped nothing but still paid one full shuffle of the
+      // shingle stream
       Dedup.sharedSpans(Tables.documents(s, d), col("doc_id"), col("text"),
-          n = SpanN, maxOccurrences = 1000000, hashKeys = false)
+          n = SpanN, maxOccurrences = Int.MaxValue, hashKeys = false)
         .orderBy(col("id_a"), col("id_b"), col("a_start"), col("b_start"))
     },
 
