@@ -60,7 +60,25 @@ object Verify {
     val t0 = System.nanoTime()
     val timings =
       new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    // LONGEST-FIRST submission (round 17, guide §2.6): the pool drains
+    // alphabetically, which scheduled the cascade-substrate queries —
+    // the most expensive builds in the gate (q285 83 s / q287 109 s at
+    // sf0.01 in round 16) — near the END of the 303, so their build
+    // chains ran after the cheap tail had drained and extended the wall
+    // by a full chain length. Submitting the known-heavy queries first
+    // overlaps their substrate builds with the hundreds of sub-second
+    // queries; per-query timing and results are unchanged (queries are
+    // independent, shared substrates build once behind Maintenance
+    // locks whichever thread gets there first).
+    val heavyFirst = Seq(
+      "q287_cascade_set_all", "q285_cascade_set", "q281_sem_cascade",
+      "q282_index_cascade", "q266_semledger_asof", "q264_pipeline_asof",
+      "q262_pipeline_set", "q286_graph_cascade", "q277_sem_upsert",
+      "q97_tpch_q2", "q96_tpch_q21", "q94_tpch_q15", "q87_repeated_spans",
+      "q252_semledger_store_fold", "q263_sem_decontaminate",
+      "q212_semantic_dedup").zipWithIndex.toMap
     val todo = SparkEntry.queries.toSeq.sortBy(_._1)
+      .sortBy { case (name, _) => heavyFirst.getOrElse(name, Int.MaxValue) }
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "6").toInt
       .max(1)

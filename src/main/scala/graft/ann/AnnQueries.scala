@@ -311,13 +311,20 @@ object AnnQueries {
     * here; a text warehouse would pass a model expression). */
   private[graft] def semCascadeDir(s: SparkSession, d: String): String =
     Maintenance.getOrBuild("semCascadeSeed", s, d) {
-      val mergeDir = s"${cascadeMergeDir(s, d)}/table"
       val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
       val base = java.nio.file.Files
         .createTempDirectory("graftsemcascade").toString
       val dir = s"$base/ledger"
-      graft.dedup.SemLedgerStore.maintainBatch(
-        e, col("vec_id"), col("embedding"), dir)
+      // the merge-table build and the ledger's seed fold are independent
+      // (the seed folds the corpus, not the feed) — overlap them
+      // (guide §2.6; round 17: 7 s + 8.6 s sequential at sf0.01)
+      val mergeDir = graft.util.Par.all(Seq(
+        () => s"${cascadeMergeDir(s, d)}/table",
+        () => {
+          graft.dedup.SemLedgerStore.maintainBatch(
+            e, col("vec_id"), col("embedding"), dir)
+          ""
+        })).head
       val q = graft.dedup.SemLedgerStore.followMergeTable(s, mergeDir,
         dir, s"$base/ck", embedOf = col("embedding"), sinceCommit = 1L)
       q.processAllAvailable(); q.stop()
@@ -343,12 +350,15 @@ object AnnQueries {
       // this substrate also exercises the partial-crash replay path
       // CascadeSpec pins, at a fraction of the Verify cost
       val hc = graft.util.Hfs.conf(s)
-      graft.util.Hfs.copyDir(
-        new org.apache.hadoop.fs.Path(semCascadeDir(s, d)),
-        new org.apache.hadoop.fs.Path(s"$base/sem"), hc)
-      IndexStore.saveIvf(Similarity.buildIvf(e, col("vec_id"),
-        col("embedding"), nCentroids = 8, iterations = 1,
-        materialize = true), s"$base/index")
+      // the sem clone and the IVF hydrate are independent — overlap
+      // them (guide §2.6)
+      graft.util.Par.all(Seq(
+        () => graft.util.Hfs.copyDir(
+          new org.apache.hadoop.fs.Path(semCascadeDir(s, d)),
+          new org.apache.hadoop.fs.Path(s"$base/sem"), hc),
+        () => IndexStore.saveIvf(Similarity.buildIvf(e, col("vec_id"),
+          col("embedding"), nCentroids = 8, iterations = 1,
+          materialize = true), s"$base/index")))
       val q = graft.util.Cascade.followMergeTableAll(s, mergeDir,
         s"$base/set", s"$base/ck", Seq(
           graft.util.Cascade.semFollower("sem", s"$base/sem",
@@ -410,26 +420,31 @@ object AnnQueries {
       val base = java.nio.file.Files
         .createTempDirectory("graftcascall").toString
       val hc = graft.util.Hfs.conf(s)
-      graft.util.Hfs.copyDir(
-        new org.apache.hadoop.fs.Path(semCascadeDir(s, d)),
-        new org.apache.hadoop.fs.Path(s"$base/sem"), hc)
-      graft.util.Hfs.copyDir(
-        new org.apache.hadoop.fs.Path(ivfCascadeDir(s, d)),
-        new org.apache.hadoop.fs.Path(s"$base/index"), hc)
-      // seeds fold UN-LEDGERED (default batchId=-1) so the stream's
-      // bid-0 window is NOT mistaken for a replay of the seed
-      IndexStore.ivfPqMaintainBatch(e, col("vec_id"), col("embedding"),
-        s"$base/pq", nCells = 8, m = 16, ksub = 64)
-      graft.dedup.LedgerStore.maintainBatch(
-        e.select(col("vec_id").as("doc_id"), cascadeTextOf.as("text")),
-        col("doc_id"), col("text"), s"$base/ledger")
-      graft.text.PostingsStore.maintainBatch(
-        e.select(col("vec_id").as("id"), cascadeTextOf.as("text")),
-        col("id"), col("text"), s"$base/postings")
-      graft.warehouse.GraphStore.maintainBatch(
-        e.select(col("vec_id").as("ord"),
-          explode(cascadeItemsOf).as("item")),
-        col("ord"), col("item"), s"$base/graph")
+      // the two store clones and the four seed folds are independent —
+      // each lands in its own directory, so they run CONCURRENTLY
+      // (guide §2.6; round 17, measured at sf0.01: 0.5 + 2.9 + 3.7 +
+      // 1.5 + 1.4 s sequential, wall-dominated by per-job fixed cost).
+      // Seeds fold UN-LEDGERED (default batchId=-1) so the stream's
+      // bid-0 window is NOT mistaken for a replay of the seed.
+      graft.util.Par.all(Seq(
+        () => graft.util.Hfs.copyDir(
+          new org.apache.hadoop.fs.Path(semCascadeDir(s, d)),
+          new org.apache.hadoop.fs.Path(s"$base/sem"), hc),
+        () => graft.util.Hfs.copyDir(
+          new org.apache.hadoop.fs.Path(ivfCascadeDir(s, d)),
+          new org.apache.hadoop.fs.Path(s"$base/index"), hc),
+        () => IndexStore.ivfPqMaintainBatch(e, col("vec_id"),
+          col("embedding"), s"$base/pq", nCells = 8, m = 16, ksub = 64),
+        () => graft.dedup.LedgerStore.maintainBatch(
+          e.select(col("vec_id").as("doc_id"), cascadeTextOf.as("text")),
+          col("doc_id"), col("text"), s"$base/ledger"),
+        () => graft.text.PostingsStore.maintainBatch(
+          e.select(col("vec_id").as("id"), cascadeTextOf.as("text")),
+          col("id"), col("text"), s"$base/postings"),
+        () => graft.warehouse.GraphStore.maintainBatch(
+          e.select(col("vec_id").as("ord"),
+            explode(cascadeItemsOf).as("item")),
+          col("ord"), col("item"), s"$base/graph")))
       val q = graft.util.Cascade.followMergeTableAll(s, mergeDir,
         s"$base/set", s"$base/ck", Seq(
           graft.util.Cascade.semFollower("sem", s"$base/sem",

@@ -380,23 +380,40 @@ object SemLedgerStore {
     val members = labels.join(comps, Seq("comp"), "left_semi")
       .join(targets, Seq("id"), "left_anti")
       .select(col("id"))
-    val vecsM = liveVecs(spark, dir, m)
-      .join(members, Seq("id"), "left_semi").localCheckpoint(true)
-    val pairsM = Dedup.lshNearDups(vecsM, col("id"), col("v"),
-      m.nBands, m.planesPerBand, m.dim, threshold)
-    val lblM = Dedup.components(pairsM, col("a_id"), col("b_id"))
-    val relabeled = members
-      .join(lblM.select(col("id"), col("comp")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
-    val labelsAfterPurge = labels.join(comps, Seq("comp"), "left_anti")
-      .select(col("id"), col("comp"))
-      .unionByName(relabeled).localCheckpoint(true)
-    val vecsAfterPurge = liveVecs(spark, dir, m)
-      .join(targets, Seq("id"), "left_anti")
-    // FOLD PHASE: the new vectors pair against the post-purge corpus
-    val deltaPairs = Dedup.lshNearDupsDelta(vecsAfterPurge, newVecs,
-      col("id"), col("v"), m.nBands, m.planesPerBand, m.dim, threshold)
-      .localCheckpoint(true)
+    // The purge-relabel chain (LSH over the affected components'
+    // remaining members + a components fixpoint) and the FOLD-phase
+    // delta-pair chain (LSH of the new vectors against the post-purge
+    // corpus) are INDEPENDENT — neither reads the other's result — and
+    // both are long sequences of tiny jobs (round 17, measured: the
+    // whole refresh fold ran 134 sequential jobs carrying 4.3 summed
+    // task-seconds in 27 s of wall at sf0.01). Run them from two driver
+    // threads so one chain's jobs back-fill the other's idle cores
+    // (guide §2.6); results and the commit sequence are unchanged.
+    val (labelsAfterPurge, deltaPairs) = {
+      val rs = graft.util.Par.all(Seq[() => DataFrame](
+        () => {
+          val vecsM = liveVecs(spark, dir, m)
+            .join(members, Seq("id"), "left_semi").localCheckpoint(true)
+          val pairsM = Dedup.lshNearDups(vecsM, col("id"), col("v"),
+            m.nBands, m.planesPerBand, m.dim, threshold)
+          val lblM = Dedup.components(pairsM, col("a_id"), col("b_id"))
+          val relabeled = members
+            .join(lblM.select(col("id"), col("comp")), Seq("id"), "left")
+            .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+          labels.join(comps, Seq("comp"), "left_anti")
+            .select(col("id"), col("comp"))
+            .unionByName(relabeled).localCheckpoint(true)
+        },
+        () => {
+          // FOLD PHASE: the new vectors pair against the post-purge corpus
+          val vecsAfterPurge = liveVecs(spark, dir, m)
+            .join(targets, Seq("id"), "left_anti")
+          Dedup.lshNearDupsDelta(vecsAfterPurge, newVecs,
+            col("id"), col("v"), m.nBands, m.planesPerBand, m.dim,
+            threshold).localCheckpoint(true)
+        }))
+      (rs(0), rs(1))
+    }
     val allIds = labelsAfterPurge.select(col("id"))
       .unionByName(newVecs.select(col("id"))).distinct()
     val newLabels = Dedup.componentsIncremental(

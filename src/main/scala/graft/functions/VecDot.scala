@@ -89,6 +89,31 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
+
+  // DISPLAY ONLY (round 17, measured): the LSH plane vectors ride into
+  // plans as 64-element array LITERALS (16 of them per bandKeys call),
+  // and every action stringifies its plan for the SQL-execution event —
+  // Literal.toString → GenericArrayData.toString materialized the full
+  // arrays so often that driver thread dumps showed plan stringification
+  // as the top frame: one semantic-ledger refresh fold spent ~24 of 29 s
+  // BETWEEN jobs (119 jobs, 5.3 s job wall, 4.3 s task time), much of it
+  // here. Eliding literal-array children cuts that cost at the source
+  // for every vec_dot site. `sql` is deliberately NOT overridden:
+  // auto-generated column names derive from sql, and changing those
+  // would change result schemas.
+  override def toString: String = {
+    def short(e: Expression): String = e match {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.dataType.isInstanceOf[ArrayType] =>
+        val n = l.value match {
+          case a: ArrayData => a.numElements().toString
+          case _ => "?"
+        }
+        s"array_lit<${l.dataType.asInstanceOf[ArrayType].elementType.simpleString}>[$n]"
+      case other => other.toString
+    }
+    s"vec_dot(${short(left)}, ${short(right)})"
+  }
 }
 
 object VecDot {

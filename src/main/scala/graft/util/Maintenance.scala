@@ -295,10 +295,19 @@ object Maintenance {
   )
 
   /** Build every registered state for (session, dir); returns the names
-    * in build order. Bench's warm section — one call, outside the timed
-    * window, declared in its scaladoc. */
+    * in registration order. Bench's warm section — one call, outside the
+    * timed window, declared in its scaladoc. Warmers run CONCURRENTLY on
+    * a small pool (round 17, guide §2.6): each build is a chain of many
+    * tiny jobs dominated by per-job fixed cost, and the builds are
+    * independent or DAG-nested ([[getOrBuild]]'s per-key monitors make
+    * nested/shared builds race-safe — whichever thread arrives first
+    * builds, the rest wait on the monitor). Submission keeps
+    * registration order (FIFO scheduling), so earlier entries still get
+    * resources first. */
   def warmAll(s: SparkSession, dir: String): Seq[String] =
-    registered.map { case (name, warm) => warm(s, dir); name }
+    Par.all(registered.map { case (name, warm) => () => {
+      warm(s, dir); name
+    } }, maxThreads = 4)
 
   final case class StateInfo(name: String, dir: String, built: Boolean)
 

@@ -127,8 +127,23 @@ object PipelineLedger {
       s"$dir holds '${m.format}', expected $Format"))
     if (prev.exists(m => batchId >= 0 && batchId <= m.batch)) return None
     // fold the set; each store's own batch ledger absorbs partial-crash
-    // replays, so this sequence is idempotent under the shared batch id
-    stores.foreach(_.fold(batch, batchId))
+    // replays, so the folds are idempotent under the shared batch id.
+    // The folds are INDEPENDENT — each store owns its directory, its
+    // lease, and its commit pointer — so they run CONCURRENTLY from a
+    // bounded pool (guide §2.6; round 17, measured: the six-store
+    // cascade window was 219 sequential jobs carrying 14.5 summed
+    // task-seconds in 15.5 s of wall — per-job fixed cost, not task
+    // work). The crash contract is unchanged: a failure anywhere leaves
+    // SOME stores folded and the set pointer at batch B−1, exactly the
+    // state a sequential crash leaves, and the replay screens
+    // already-folded stores through their batch ledgers
+    // (PipelineLedgerSpec pins both faces). Par.all awaits every fold
+    // before rethrowing, so no fold's jobs are orphaned by a sibling's
+    // failure.
+    Par.all(stores.map(st => () => {
+      spark.sparkContext.setJobDescription(s"pipeline fold: ${st.name}")
+      st.fold(batch, batchId)
+    }))
     // pin each store's BATCH-EXACT fold commit, not its current commit
     // (identical in the normal path; differs only on a crash replay
     // that interleaved store-level maintenance — ADVICE r11)
